@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count-consuming action (df.count() after the
+query's own semantics, or collect for small results) so the full plan runs;
+timings exclude session startup, include Catalyst planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rust_dataframe_spark import catalog
+from rust_dataframe_spark.context import get_spark
+
+# Headline set: the scan/agg/join/sort/window spine plus extension operators.
+# Kept in sync with catalog as operators land.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_select_filter_project",
+    "q06_revenue_forecast",
+    "q10_join_inner",
+    "q11_join_left_nulls",
+    "q14_join_multikey",
+    "q16_join_star_tpch5",
+    "q20_agg_catalog",
+    "q23_hist",
+    "q31_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once with the cheapest query
+    catalog.QUERIES["q31_topk"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in catalog.QUERIES:
+            continue
+        t0 = time.time()
+        df = catalog.QUERIES[name](spark, sf_dir)
+        # noop sink evaluates every output column without collecting to the
+        # driver (df.count() would let Catalyst prune computed columns)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Execution context: owns the SparkSession plus source/function registries.
+
+Mirrors the reference's ``Context`` (reference: src/context.rs:8-23), which held a
+Spark-like master/appname pair and placeholder registries for datasources and
+functions.  Here the context is a thin factory around ``SparkSession`` with a
+scale-oriented default configuration:
+
+* **AQE on** – runtime re-planning (skew-join splitting, partition coalescing,
+  dynamic join-strategy switches) is the single highest-leverage setting for a
+  1000-executor cluster, and is harmless on ``local[*]``.
+* **Arrow on** – every Pandas-UDF path (dedup shingling, embedding math,
+  multimodal decode) moves data JVM<->Python via Arrow record batches.
+* **shuffle.partitions** – defaults to a small number suitable for local test
+  runs; on a real cluster this should be raised (or left to AQE coalescing via
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``).
+
+Nothing in this module is proprietary; every config key is a public Apache Spark
+configuration documented at spark.apache.org.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["Context", "get_spark", "default_builder"]
+
+# Public Spark config defaults chosen for the 100 TB design posture.  On a real
+# cluster most of these are still right; the ones that are local-only are marked.
+_DEFAULT_CONF: dict[str, str] = {
+    # Adaptive query execution: coalesce small shuffle partitions, split skewed
+    # ones, switch sort-merge->broadcast when a side turns out small at runtime.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas_udf / mapInPandas / toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Broadcast threshold: dims like region/nation/supplier are tiny even at
+    # sf100k; 64 MiB is a safe executor-memory-aware bound.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ANSI off keeps SQL semantics aligned with the DuckDB oracle for things
+    # like divide-by-zero -> null (reference kernels propagate null too).
+    "spark.sql.ansi.enabled": "false",
+    # Stable timestamp behavior across engines.
+    "spark.sql.session.timeZone": "UTC",
+    # Local-only sizing (cluster deployments override via spark-submit).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def default_builder(app_name: str = "rust-dataframe-spark") -> SparkSession.Builder:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for k, v in _DEFAULT_CONF.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def get_spark(app_name: str = "rust-dataframe-spark") -> SparkSession:
+    """Get or create the default SparkSession for this engine."""
+    return default_builder(app_name).getOrCreate()
+
+
+class Context:
+    """Engine context: SparkSession + registries.
+
+    The reference kept ``frames``, ``registered datasources`` and a
+    ``functions: HashMap<String, String>`` placeholder (src/context.rs:8-23);
+    here the registries are real: datasources register reader callables and
+    functions register Spark Column-expression builders or UDFs.
+    """
+
+    def __init__(self, spark: SparkSession | None = None) -> None:
+        self.spark: SparkSession = spark or get_spark()
+        self._datasources: dict[str, Callable[..., DataFrame]] = {}
+        self._functions: dict[str, Callable[..., Any]] = {}
+
+    # -- datasource registry (reference src/context.rs:21-23) ---------------
+    def register_datasource(self, name: str, reader: Callable[..., DataFrame]) -> None:
+        if name in self._datasources:
+            raise ValueError(f"datasource {name!r} already registered")
+        self._datasources[name] = reader
+
+    def datasource(self, name: str) -> Callable[..., DataFrame]:
+        return self._datasources[name]
+
+    # -- function registry --------------------------------------------------
+    def register_function(self, name: str, fn: Callable[..., Any]) -> None:
+        self._functions[name] = fn
+
+    def function(self, name: str) -> Callable[..., Any]:
+        return self._functions[name]
+
+    # -- convenience readers (SURVEY §2.1) ----------------------------------
+    def read_parquet(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    def read_csv(self, path: str, schema=None, header: bool = True, **options) -> DataFrame:
+        reader = self.spark.read.options(header=header, **options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        return reader.csv(path)
+
+    def read_json(self, path: str, schema=None, **options) -> DataFrame:
+        reader = self.spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.json(path)
+
+    def table(self, sf_dir: str, name: str) -> DataFrame:
+        """Load one of the standard test tables from a scale-factor dir."""
+        return self.spark.read.parquet(f"{sf_dir}/{name}.parquet")
