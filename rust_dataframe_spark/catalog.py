@@ -798,3 +798,7 @@ def q44_scalar_hash_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- register extension catalogs (imported for their @query side effects) ---
+from . import catalog_window, catalog_array, catalog_scalar2  # noqa: E402,F401
