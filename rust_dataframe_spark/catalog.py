@@ -32,6 +32,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read nanos as long (legacy conf, session-settable) and rebuild a
+    microsecond TimestampType column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -801,4 +810,4 @@ def q44_scalar_hash_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- register extension catalogs (imported for their @query side effects) ---
-from . import catalog_window, catalog_array, catalog_scalar2  # noqa: E402,F401
+from . import catalog_window, catalog_array, catalog_scalar2, catalog_llm  # noqa: E402,F401

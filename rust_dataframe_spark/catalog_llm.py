@@ -1,0 +1,530 @@
+"""LLM-data-pipeline catalog: dedup, similarity search, text analysis,
+multimodal, event windows (BASELINE.json north-star extensions).
+
+The documents table has no natural duplicates (synthetic word salad), so the
+dedup queries build a corpus with injected copies *inside the query* — base
+docs unioned with exact copies (q70) or tail-modified copies (q72) of
+doc_id < 20, at id + 100000.  Both engines construct the corpus identically,
+so the oracle still hash-checks end-to-end behavior on real near-dup pairs.
+
+The MinHash family used everywhere: ``min(md5(shingle || '#i'))`` — string
+min over salted md5 hex digests.  Deterministic, engine-agnostic, and a valid
+permutation-min approximation (see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import ORACLE, QUERIES, load_events, query, table
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators import text as tx
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side of the MinHash family)
+# ---------------------------------------------------------------------------
+
+_SH_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
+    "i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))"
+)
+
+
+def _mh_sql(i: int, sh: str = "sh") -> str:
+    return f"list_aggregate(list_transform({sh}, s -> md5(s || '#{i}')), 'min')"
+
+
+_CORPUS_EXACT = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+)"""
+
+_CORPUS_NEAR = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' zzextra zzwords zztail' AS text
+  FROM documents WHERE doc_id < 20
+)"""
+
+
+def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+    )
+    return d.unionByName(dups)
+
+
+def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mods = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzextra zzwords zztail")).alias("text"),
+    )
+    return d.unionByName(mods)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q70_exact_dedup",
+    oracle=f"""
+    WITH {_CORPUS_EXACT}
+    SELECT min(doc_id) AS keep_id, count(*) AS copies
+    FROM corpus GROUP BY md5(text) ORDER BY keep_id
+    """,
+)
+def q70_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash group-by (operators/dedup.exact_dedup):
+    shuffle key is the md5 digest, never the document bytes."""
+    corpus = _corpus_exact(spark, sf_dir)
+    return dd.exact_dedup(corpus, "text", "doc_id").orderBy("keep_id")
+
+
+@query(
+    "q71_minhash_signature",
+    oracle=f"""
+    WITH sh_t AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
+           {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
+    FROM sh_t ORDER BY doc_id
+    """,
+)
+def q71_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature parity check: the first 4 signature slots, value-exact
+    across engines (shingling + salted-md5 min is bit-reproducible)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    sh = d.select(
+        "doc_id", F.array_distinct(dd.shingle(F.col("text"), 3)).alias("shingles")
+    )
+    sig = sh.select("doc_id", dd.minhash_signature(F.col("shingles"), 4).alias("sig"))
+    return sig.select(
+        "doc_id",
+        F.col("sig")[0].alias("mh0"),
+        F.col("sig")[1].alias("mh1"),
+        F.col("sig")[2].alias("mh2"),
+        F.col("sig")[3].alias("mh3"),
+    ).orderBy("doc_id")
+
+
+_Q72_ORACLE = (
+    "WITH "
+    + _CORPUS_NEAR.strip()
+    + ", sh_t AS (SELECT doc_id, "
+    + _SH_SQL
+    + " AS sh FROM corpus), sig AS (SELECT doc_id, sh, "
+    + ", ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(16))
+    + " FROM sh_t), bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(mh{4*b} || '|' || mh{4*b+1} || '|' || mh{4*b+2} || '|' || mh{4*b+3}) AS bh "
+        "FROM sig"
+        for b in range(4)
+    )
+    + "), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, "
+    "round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 "
+    "/ len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard "
+    "FROM cand JOIN sh_t sa ON sa.doc_id = id_a JOIN sh_t sb ON sb.doc_id = id_b "
+    "WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 "
+    "/ len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8 "
+    "ORDER BY id_a, id_b"
+)
+
+
+@query("q72_lsh_near_dup", oracle=_Q72_ORACLE)
+def q72_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate detection end-to-end
+    (operators/dedup.near_dup_pairs): shingle -> 16-slot signature -> 4-band
+    LSH self-join -> exact-Jaccard verify >= 0.8.
+
+    Scale: the self-join shuffles on (band, band_hash) — each bucket holds
+    only colliding docs, so the join is linear in candidates, not O(n^2).
+    """
+    corpus = _corpus_near(spark, sf_dir)
+    out = dd.near_dup_pairs(
+        corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+@query(
+    "q73_ngram_jaccard",
+    oracle=f"""
+    WITH sh_t AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents WHERE doc_id < 40)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.01
+    ORDER BY id_a, id_b
+    """,
+)
+def q73_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard all-pairs on a bounded subset — the brute-force
+    baseline that validates the LSH path (and the shape of the LSH verify
+    stage).  Deliberately gated to doc_id < 40: the unbounded cross join is
+    the anti-pattern LSH exists to avoid."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = d.select("doc_id", F.array_distinct(dd.shingle(F.col("text"), 3)).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.01)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("q74_simhash")
+def q74_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (operators/dedup.simhash, vectorized Pandas UDF).
+
+    No SQL oracle — the 64-bit bit-vote loop is not reasonably expressible in
+    ANSI SQL; covered by deterministic unit tests (tests/test_llm_ops.py)
+    instead.  Driver records the weaker rows-only check.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dd.simhash(d, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q75_embedding_topk",
+    oracle="""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings)
+    SELECT vec_id,
+           round(list_dot_product(emb, qv)
+                 / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))), 6)
+               AS cos_sim
+    FROM e, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q75_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (operators/similarity.cosine_topk): the exact
+    ANN baseline.  Query vector fetched driver-side (1 row), shipped as a
+    literal; math is zip_with/aggregate in codegen; top-k plans as
+    TakeOrderedAndProject."""
+    e = table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.cosine_topk(e, "vec_id", "embedding", qvec, k=10)
+
+
+@query(
+    "q76_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6)
+               AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def q76_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs on a bounded block — the verify
+    stage of embedding dedup (candidates would come from SRP buckets at scale,
+    q77)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = sim.as_double(F.col("embedding"))
+    a = e.select(F.col("vec_id").alias("id_a"), emb.alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), emb.alias("emb_b"))
+    cos = sim.cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("raw"))
+        .filter(F.col("raw") >= 0.35)
+        .select("id_a", "id_b", F.round("raw", 6).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _srp_oracle() -> str:
+    planes = sim.srp_planes(64, 8, seed=42)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(emb, ["
+        + ",".join(f"{c:.1f}" for c in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb "
+        "FROM embeddings) "
+        f"SELECT {bits} AS bucket, count(*) AS n_vecs, min(vec_id) AS min_id "
+        "FROM e GROUP BY 1 ORDER BY bucket"
+    )
+
+
+@query("q77_srp_buckets", oracle=_srp_oracle())
+def q77_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH bucketing (operators/similarity.srp_*):
+    the scale path for ANN — 8 deterministic hyperplanes -> 8-bit bucket,
+    neighbors collide.  Query returns the bucket histogram.
+
+    Scale: one narrow map (8 dot products/vector) + a groupBy on a 256-value
+    key; candidate generation becomes per-bucket blocks instead of n^2.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    buckets = sim.srp_candidates(e, "vec_id", "embedding", n_planes=8, seed=42)
+    return (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_id"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q78_text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS words,
+             list_distinct(string_split(text, ' ')) AS uw
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_words,
+           round(len(list_filter(uw, x -> list_contains(
+               ['the','a','of','and','to','in','is','it','for','on'], x))) / 10.0, 6)
+             AS stop_ratio,
+           round(len(uw) * 1.0 / len(words), 6) AS diversity,
+           round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 * 1.0 / length(text), 6) AS punct_ratio,
+           round(0.25 * (CASE WHEN len(words) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+               + 0.25 * least(len(list_filter(uw, x -> list_contains(
+                     ['the','a','of','and','to','in','is','it','for','on'], x))) / 10.0, 1.0)
+               + 0.25 * (len(uw) * 1.0 / len(words))
+               + 0.25 * (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                     * 5.0 / length(text), 1.0)), 6) AS quality
+    FROM t ORDER BY doc_id
+    """,
+)
+def q78_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (operators/text.quality_score): length band, stopword
+    ratio, lexical diversity, punctuation ratio -> [0,1] score.  Pure codegen
+    expressions; scan-bound at any scale."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return tx.quality_score(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "q79_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS uw
+      FROM documents WHERE doc_id < 200
+    ), s AS (
+      SELECT doc_id, lang,
+        len(list_filter(uw, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x))) AS s_en,
+        len(list_filter(uw, x -> list_contains(['der','die','das','und','ist','von','zu','mit','den','ein'], x))) AS s_de,
+        len(list_filter(uw, x -> list_contains(['le','la','les','de','et','un','une','est','pour','dans'], x))) AS s_fr,
+        len(list_filter(uw, x -> list_contains(['el','la','los','de','y','un','una','es','para','en'], x))) AS s_es,
+        len(list_filter(uw, x -> list_contains(['的','是','了','在','和','有','我','不','人','这'], x))) AS s_zh
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                ELSE 'de' END AS pred_lang,
+           CAST(greatest(s_en, s_de, s_fr, s_es, s_zh) AS INT) AS pred_score
+    FROM s ORDER BY doc_id
+    """,
+)
+def q79_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID (operators/text.language_id); argmax via
+    greatest-of-structs, tie-broken toward the lexicographically greatest
+    language code (oracle CASE checks in that order: zh > fr > es > en > de)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return tx.language_id(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "q80_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+               FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           md5(norm) AS exact_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS bag_fp
+    FROM t ORDER BY doc_id
+    """,
+)
+def q80_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (operators/text.fingerprint): exact
+    (normalized md5) + bag-of-words (order-insensitive) digests."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return tx.fingerprint(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "q81_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT)                             AS n_chars,
+           CAST(len(string_split(text, ' ')) AS INT)             AS n_words,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
+                                                                 AS n_tokens,
+           round(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                 * 1.0 / length(text), 6)                        AS alnum_ratio,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_words
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q81_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (operators/text.token_stats): whitespace tokens plus a
+    BPE-ish regex token count (letter runs / digit runs / punctuation)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return tx.token_stats(d, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q82_multimodal_digest",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text)                               AS digest,
+           'application/octet-stream'              AS mime
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q82_multimodal_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing, built-in half (operators/multimodal.
+    attach_payload): binary payload + metadata struct; digest/size computed
+    JVM-side on the binary column."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pay = mm.attach_payload(d, "doc_id", "text")
+    return pay.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+        F.col("meta.mime").alias("mime"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q83_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)       AS n_bytes,
+           md5(text)                                        AS digest,
+           CAST(octet_length(encode(text)) % 1920 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 1080 + 1 AS INT) AS height
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q83_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (operators/multimodal.extract_features
+    via mapInPandas) with the deterministic fake decoder — the oracle replays
+    the fake's arithmetic, proving the distributed plumbing returns exactly
+    what the per-batch Python produced."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pay = mm.attach_payload(d, "doc_id", "text")
+    return mm.extract_features(pay, fake_decode=True).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch shape of the streaming ops, SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q84_event_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def q84_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows via F.window (the reference's `window()`
+    scalar stub, functions/scalar.rs:493) — identical code works on
+    readStream + withWatermark (rust_dataframe_spark/streaming/)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "value_sum")
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "q85_sessionization",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q85_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via session_window (gap 30 min) — the batch shape of
+    applyInPandasWithState-style stateful streaming; oracle replays it as
+    gaps-and-islands SQL."""
+    e = load_events(spark, sf_dir)
+    sessions = e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("ev")
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("ev").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each a composition of built-in DataFrame ops (JVM-side, no
+Python row loop), designed so every stage is shuffle-bounded and scales
+linearly with corpus size:
+
+* **exact_dedup** — hash group-by on content; shuffle carries one row per
+  distinct content hash (md5), not the text itself.
+* **minhash** — per-doc MinHash signatures over word n-gram shingles.  The
+  hash family is ``min(md5(shingle || '#' || i))`` for i in 0..k-1: string-min
+  over a cryptographic hex digest is a valid permutation-min approximation and,
+  crucially, is computable identically in any engine (the DuckDB oracle
+  replays it bit-for-bit).  All array ops (transform/array_min) run in
+  whole-stage codegen — zero Python.
+* **lsh_candidate_pairs** — band the signature (b bands x r rows), hash each
+  band, explode to (band_idx, band_hash), self-join on the band key.  At 100 TB
+  the join is shuffle-on-band-hash where each bucket is tiny by construction;
+  skewed buckets (degenerate shingles) are handled by AQE skew splitting.
+* **near_dup_pairs** — verify candidates with exact n-gram Jaccard via
+  array_intersect/array_union on the (deduplicated) candidate pairs only —
+  the classic candidate-then-verify shape that avoids the O(n^2) cross join.
+
+SimHash lives here too as a Pandas-UDF variant (vectorized Arrow batches) —
+the shape to use when the per-doc computation doesn't decompose into array
+built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingle",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "near_dup_pairs",
+    "simhash",
+]
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str, *, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup: one surviving id per distinct content value.
+
+    Groups on ``md5(content)`` so the shuffle key is a fixed 32-byte digest
+    regardless of document size (shuffling full documents at 100 TB is the
+    naive mistake this avoids).  Returns (keep_id, copies).
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(F.md5(F.col(content_col)).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(agg.alias("keep_id"), F.count(F.lit(1)).alias("copies"))
+        .drop("__h")
+    )
+
+
+def shingle(text_col, n: int = 3):
+    """Word n-gram shingles as an array column (JVM-side).
+
+    ``transform(sequence(0, n_words - n), i -> words[i+1 .. i+n] joined)``;
+    documents shorter than n words yield their whole text as one shingle.
+    """
+    words = F.split(text_col, " ")
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+
+
+def minhash_signature(shingles_col, k: int = 16):
+    """k-element MinHash signature: min(md5(shingle || '#i')) per salt i.
+
+    Array of k hex strings.  String-order min over md5 digests is uniform on
+    the shingle set, so P(min_a == min_b) approximates Jaccard(a, b) exactly as
+    in the original MinHash construction.
+    """
+    def slot(i: int):
+        salt = F.lit(f"#{i}")
+        # NB: the lambda must take exactly one arg — PySpark treats a two-arg
+        # transform lambda as (element, index)
+        return F.array_min(F.transform(shingles_col, lambda s: F.md5(F.concat(s, salt))))
+
+    return F.array(*[slot(i) for i in range(k)])
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, sig_col: str, *, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Candidate pairs: docs sharing >= 1 LSH band.
+
+    Explodes each doc into ``bands`` (band_idx, band_hash) rows, self-joins on
+    the band key, dedups pairs.  Returns (id_a, id_b) with id_a < id_b.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        sig_df.select(F.col(id_col), F.explode(band_structs).alias("b"))
+        .select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("bh")
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("band").alias("band_r"), F.col("bh").alias("bh_r")
+    )
+    return (
+        left.join(
+            right,
+            (left["band"] == right["band_r"])
+            & (left["bh"] == right["bh_r"])
+            & (left["id_a"] < right["id_b"]),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate detection.
+
+    shingle -> minhash -> LSH candidates -> exact Jaccard verify >= threshold.
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6dp.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingle(F.col(text_col), shingle_n)).alias("shingles"),
+    )
+    sig = sh.select(
+        F.col(id_col), F.col("shingles"), minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
+    cands = lsh_candidate_pairs(
+        sig.select(id_col, "sig"), id_col, "sig", bands=bands, rows_per_band=rows_per_band
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document via a vectorized Pandas UDF.
+
+    The per-doc loop over tokens x bits doesn't decompose into array built-ins
+    without a 64x row blow-up, so this is the documented Pandas-UDF slow path
+    (Arrow batches, no per-row Python).  Deterministic: token hash = md5.
+    Returns (id, simhash: bigint).
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    def _simhash_fn(texts):
+        import hashlib
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            acc = [0] * bits
+            for tok in t.split():
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[: bits // 8], "big"
+                )
+                for j in range(bits):
+                    acc[j] += 1 if (h >> j) & 1 else -1
+            v = 0
+            for j in range(bits):
+                if acc[j] > 0:
+                    v |= 1 << j
+            # reinterpret as signed 64-bit for LongType
+            if v >= 1 << 63:
+                v -= 1 << 64
+            out.append(v)
+        return pd.Series(out, dtype="object")
+
+    # `from __future__ import annotations` turns hints into strings, which
+    # pandas_udf can't resolve — attach real type objects instead.
+    _simhash_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _simhash = F.pandas_udf(_simhash_fn, LongType())
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))

@@ -1,0 +1,93 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+* **brute-force cosine top-k** — the exact baseline: dot products via
+  higher-order functions (zip_with/aggregate), entirely JVM-side, then
+  TakeOrderedAndProject for the top-k.  Scales as O(n) per query vector;
+  right answer for one-off queries and for verifying the approximate path.
+* **random-hyperplane LSH (SRP)** — deterministic pseudo-random hyperplanes
+  (seeded, generated driver-side as literals so any engine can replay them);
+  each vector gets a b-bit sign bucket; candidate neighbors share a bucket.
+  At 100 TB: bucketing is a narrow map + one shuffle on (bucket), turning the
+  O(n^2) all-pairs problem into per-bucket blocks — the same
+  candidate-then-verify shape as MinHash-LSH for text.
+
+Everything here avoids Python row loops; the embedding math stays in
+whole-stage codegen via F.transform/F.zip_with/F.aggregate.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["cosine", "cosine_topk", "srp_planes", "srp_bucket", "srp_candidates"]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
+def as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<double> columns (JVM-side)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Plans as scan -> codegen'd math -> TakeOrderedAndProject(k): no shuffle of
+    vectors, only k rows reach the driver side of the sort.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(as_double(F.col(vec_col)), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def srp_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes (+-1 components).
+
+    Driver-side constants (n_planes x dim floats) — broadcast implicitly as
+    literals; regenerate identically anywhere from the seed.
+    """
+    rng = random.Random(seed)
+    return [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(n_planes)]
+
+
+def srp_bucket(vec_col, planes: list[list[float]]):
+    """b-bit bucket string: '1' where dot(vec, plane_i) >= 0 else '0'."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(c) for c in plane])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def srp_candidates(
+    df: DataFrame, id_col: str, vec_col: str, *, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """Bucket all vectors by SRP signature; vectors sharing a bucket are ANN
+    candidates.  Returns (id, bucket)."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = srp_planes(dim, n_planes, seed)
+    return df.select(
+        F.col(id_col), srp_bucket(as_double(F.col(vec_col)), planes).alias("bucket")
+    )

@@ -1,0 +1,117 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+fingerprinting.  All pure `pyspark.sql.functions` compositions — elementwise,
+codegen'd, shuffle-free — because at 100 TB the text-stats pass is scan-bound
+and any per-row Python would dominate the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+# Tiny per-language stopword lists for the n-gram/stopword-voting language-ID
+# heuristic.  Deliberately minimal — the operator shape (literal-array overlap
+# scoring) is what scales; swap in real lists for production.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "para", "en"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "人", "这"],
+}
+
+_WORDS = lambda c: F.split(c, " ")  # noqa: E731
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex token count
+    (word pieces + punctuation as separate tokens) and char stats."""
+    t = F.col(text_col)
+    words = _WORDS(t)
+    # BPE-ish: letter-runs, digit-runs, and single punctuation marks each count
+    # as one token
+    bpe_tokens = F.regexp_extract_all(t, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(words).alias("n_words"),
+        F.size(bpe_tokens).alias("n_tokens"),
+        F.round(F.length(F.regexp_replace(t, "[^a-zA-Z0-9\\s]", "")) / F.length(t), 6).alias(
+            "alnum_ratio"
+        ),
+        F.size(F.array_distinct(words)).alias("n_unique_words"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str, lang: str = "en") -> DataFrame:
+    """Heuristic document quality: length band + stopword ratio + lexical
+    diversity + punctuation ratio, combined into [0, 1]."""
+    t = F.col(text_col)
+    words = _WORDS(t)
+    n_words = F.size(words)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(words), sw)) / F.lit(
+        float(len(STOPWORDS[lang]))
+    )
+    diversity = F.size(F.array_distinct(words)) / n_words
+    punct_ratio = (F.length(t) - F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", ""))) / F.length(t)
+    len_ok = F.when((n_words >= 10) & (n_words <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * F.least(stop_ratio, F.lit(1.0))
+        + F.lit(0.25) * diversity
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-voting language ID: score = |words ∩ stopwords(lang)| per
+    language; predicted language = argmax (ties broken by language code).
+
+    The argmax over a fixed small set is a greatest-of-structs trick — still
+    elementwise, no shuffle.
+    """
+    words = F.array_distinct(_WORDS(F.col(text_col)))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in ws]))).alias("score"),
+            # invert code ordering so greatest() tie-breaks toward the
+            # alphabetically-first language code
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(STOPWORDS.items(), reverse=True)
+    ]
+    best = F.greatest(*scores)
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        best["score"].cast("int").alias("pred_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: exact (md5 of normalized text) and bag-of-words
+    (md5 of sorted distinct words) — the latter survives word reordering."""
+    t = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(t), "\\s+", " "))
+    bag = F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("exact_fp"),
+        F.md5(bag).alias("bag_fp"),
+    )

@@ -1,0 +1,150 @@
+"""Unit tests for the LLM-pipeline operators (dedup, similarity, text,
+multimodal) on small literal DataFrames with known answers."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_dataframe_spark.operators import dedup as dd
+from rust_dataframe_spark.operators import multimodal as mm
+from rust_dataframe_spark.operators import similarity as sim
+from rust_dataframe_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " with a tiny tail"),  # near dup of 1
+        (4, "completely different words about spark dataframes and shuffles here"),
+        (5, "der hund und die katze sind von dem haus zu dem garten gelaufen"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestExactDedup:
+    def test_keeps_min_id(self, docs):
+        out = {r["keep_id"]: r["copies"] for r in dd.exact_dedup(docs, "text", "doc_id").collect()}
+        assert out[1] == 2  # docs 1+2 collapsed
+        assert 2 not in out
+        assert out[3] == 1 and out[4] == 1
+
+
+class TestMinhashLSH:
+    def test_identical_docs_identical_signatures(self, docs):
+        sh = docs.select(
+            "doc_id", F.array_distinct(dd.shingle(F.col("text"), 3)).alias("s")
+        )
+        sig = sh.select("doc_id", dd.minhash_signature(F.col("s"), 8).alias("sig"))
+        rows = {r["doc_id"]: r["sig"] for r in sig.collect()}
+        assert rows[1] == rows[2]
+        assert rows[1] != rows[4]
+
+    def test_near_dup_pairs_finds_duplicates(self, docs):
+        pairs = dd.near_dup_pairs(
+            docs, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4, threshold=0.5
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in found  # exact dup, jaccard 1.0
+        jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+        assert jac[(1, 2)] == 1.0
+        assert all(j >= 0.5 for j in jac.values())
+        # unrelated docs must not pair
+        assert not any(4 in p or 5 in p for p in found)
+
+    def test_shingle_short_doc(self, spark):
+        f = spark.createDataFrame([(1, "one two")], "id int, text string")
+        sh = f.select(dd.shingle(F.col("text"), 3).alias("s")).first()["s"]
+        assert sh == ["one two"]
+
+
+class TestSimhash:
+    def test_deterministic_and_close_for_near_dups(self, docs):
+        out = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, "doc_id", "text").collect()}
+        assert out[1] == out[2]  # identical text, identical simhash
+        ham_near = bin((out[1] ^ out[3]) & ((1 << 64) - 1)).count("1")
+        ham_far = bin((out[1] ^ out[4]) & ((1 << 64) - 1)).count("1")
+        assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+class TestSimilarity:
+    def test_cosine_topk_self_first(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        out = sim.cosine_topk(df, "vec_id", "embedding", [1.0, 0.0, 0.0], k=3).collect()
+        assert [r["vec_id"] for r in out] == [0, 1, 2]
+        assert out[0]["cos_sim"] == 1.0
+
+    def test_srp_same_vector_same_bucket(self, spark):
+        rows = [(0, [1.0] * 8), (1, [1.0] * 8), (2, [-1.0] * 8)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        out = {r["vec_id"]: r["bucket"] for r in sim.srp_candidates(df, "vec_id", "embedding", n_planes=6).collect()}
+        assert out[0] == out[1]
+        assert len(out[0]) == 6
+        # opposite vector flips every non-zero-dot bit
+        assert out[2] != out[0]
+
+    def test_srp_planes_deterministic(self):
+        assert sim.srp_planes(16, 4, seed=7) == sim.srp_planes(16, 4, seed=7)
+        assert sim.srp_planes(16, 4, seed=7) != sim.srp_planes(16, 4, seed=8)
+
+
+class TestText:
+    def test_token_stats(self, spark):
+        f = spark.createDataFrame([(1, "Hello, world! abc123 x")], "id int, text string")
+        r = tx.token_stats(f, "id", "text").first()
+        assert r["n_words"] == 4
+        # Hello , world ! abc 123 x  -> 7 BPE-ish tokens
+        assert r["n_tokens"] == 7
+        assert r["n_unique_words"] == 4
+
+    def test_quality_score_bounds(self, docs):
+        rows = tx.quality_score(docs, "doc_id", "text").collect()
+        assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+        by_id = {r["doc_id"]: r for r in rows}
+        # English doc with stopwords scores a higher stop_ratio than German one
+        assert by_id[1]["stop_ratio"] > by_id[5]["stop_ratio"]
+
+    def test_language_id(self, docs):
+        out = {r["doc_id"]: r["pred_lang"] for r in tx.language_id(docs, "doc_id", "text").collect()}
+        assert out[1] == "en"
+        assert out[5] == "de"
+
+    def test_fingerprint_normalization(self, spark):
+        f = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "world hello")],
+            "id int, text string",
+        )
+        rows = {r["id"]: r for r in tx.fingerprint(f, "id", "text").collect()}
+        assert rows[1]["exact_fp"] == rows[2]["exact_fp"]  # case/whitespace normalized
+        assert rows[2]["exact_fp"] != rows[3]["exact_fp"]  # order matters for exact
+        assert rows[2]["bag_fp"] == rows[3]["bag_fp"]  # bag fp order-insensitive
+
+
+class TestMultimodal:
+    def test_attach_and_extract(self, spark):
+        f = spark.createDataFrame([(1, "hello"), (2, "worlds")], "doc_id bigint, text string")
+        feats = {r["doc_id"]: r for r in mm.extract_features(mm.attach_payload(f, "doc_id", "text")).collect()}
+        assert feats[1]["n_bytes"] == 5
+        assert feats[1]["digest"] == hashlib.md5(b"hello").hexdigest()
+        assert feats[1]["width"] == 6 and feats[1]["height"] == 6  # fake decode: n%1920+1
+        assert feats[2]["n_bytes"] == 6
+
+    def test_decode_stub_raises_without_fake(self):
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"xx")
+
+    def test_schema_stable(self, spark):
+        f = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+        out = mm.extract_features(mm.attach_payload(f, "doc_id", "text"))
+        assert out.schema == mm.FEATURE_SCHEMA
