@@ -1,0 +1,109 @@
+"""File sources & sinks (SURVEY §2.1): CSV, line-delimited JSON, Parquet.
+
+Reference readers: ``from_csv`` with CsvReadOptions {has_headers, delimiter,
+max_records, batch_size, projection} (dataframe.rs:349-389, expression.rs:
+372-378), ``from_json`` (dataframe.rs:409-448), ``from_parquet`` file-or-dir
+(dataframe.rs:450-489); writers to_csv/to_parquet (dataframe.rs:527-560) and
+the JSON-write roadmap item (README.md:66-68).
+
+Mapping notes:
+* ``max_records`` -> ``.limit(n)`` (Catalyst pushes the limit into the scan —
+  the reference's optimiser did the same rewrite by hand, optimiser.rs:163-177).
+* ``projection`` -> ``.select`` (Catalyst column-prunes into the reader,
+  reference equivalent: optimiser.rs:103-159).
+* ``batch_size`` has no Spark analog (partition sizing is
+  ``spark.sql.files.maxPartitionBytes``) — accepted and ignored.
+* Arrow IPC (from_arrow/to_arrow, dataframe.rs:391-407) has no native Spark
+  source; ``read_arrow_ipc``/``write_arrow_ipc`` bridge through pyarrow on
+  the driver for small frames and otherwise direct users to parquet
+  (documented deviation, SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "write_csv",
+    "write_json",
+    "write_parquet",
+    "read_arrow_ipc",
+    "write_arrow_ipc",
+]
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    *,
+    has_headers: bool = True,
+    delimiter: str = ",",
+    max_records: int | None = None,
+    projection: list[str] | None = None,
+    batch_size: int | None = None,  # no-op: Spark sizes partitions by bytes
+    **options,
+) -> DataFrame:
+    reader = spark.read.options(header=has_headers, sep=delimiter, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    df = reader.csv(path)
+    if projection:
+        df = df.select(*projection)
+    if max_records is not None:
+        df = df.limit(max_records)
+    return df
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
+    # dir-of-files is native; empty files are skipped by the reader (the
+    # reference had to hand-roll that, dataframe.rs:461-473)
+    return spark.read.options(**options).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        # partition pruning at read time — the 100 TB layout lever
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
+    """Arrow IPC bridge (driver-side; small frames only — use parquet at scale)."""
+    import pyarrow as pa
+
+    with pa.memory_map(path) as source:
+        tbl = pa.ipc.open_file(source).read_all()
+    return spark.createDataFrame(tbl.to_pandas())
+
+
+def write_arrow_ipc(df: DataFrame, path: str) -> None:
+    """Arrow IPC bridge (driver-side collect — small frames only)."""
+    import pyarrow as pa
+
+    tbl = pa.Table.from_pandas(df.toPandas())
+    with pa.OSFile(path, "wb") as sink, pa.ipc.new_file(sink, tbl.schema) as writer:
+        writer.write_table(tbl)

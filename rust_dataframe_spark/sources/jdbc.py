@@ -1,0 +1,135 @@
+"""JDBC (Postgres/MySQL/MSSQL) source & sink (SURVEY §2.1, §3.3).
+
+The reference hand-rolled the Postgres binary COPY protocol (~800 LoC:
+io/sql/postgres/reader.rs, writer.rs) with schema from information_schema,
+limit/offset pagination (PostgresReadIterator, reader.rs:118-200) and
+overwrite DDL (writer.rs:14-59).  Spark's JDBC source covers all of it:
+
+=============================  ==========================================
+reference                      Spark JDBC option
+=============================  ==========================================
+from_sql_table(conn, table)    .option("dbtable", table)
+read_query(conn, sql, limit)   .option("query", sql)  (+ .limit)
+PostgresReadIterator           partitionColumn/lowerBound/upperBound/
+                               numPartitions  (parallel reads, the scale
+                               path vs the reference's serial pagination)
+to_sql(..., overwrite)         .mode("overwrite"/"append")
+MsSql/MySql enum stubs         driver class per dialect
+=============================  ==========================================
+
+Type-mapping deviations from the reference (SURVEY §1.3): Postgres ``numeric``
+maps to DecimalType(38,18) (the reference degraded to Float64, reader.rs:247);
+unsigned ints don't exist in Spark — the next-wider signed type is used, which
+is what the reference's *writer* did anyway (writer.rs:78-81).
+
+No database or JDBC driver jar ships in this container, so these are
+config-builders tested for option plumbing only (tests/test_sources.py);
+against a live cluster they need ``--jars postgresql-*.jar`` etc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+__all__ = ["SqlDatabase", "read_table", "read_query", "read_partitioned", "write_table"]
+
+
+class SqlDatabase:
+    """Dialect registry (reference SqlDatabase enum, expression.rs:387-392 —
+    Postgres implemented, MsSql/MySql erroring stubs; all three work here)."""
+
+    POSTGRES = "postgres"
+    MYSQL = "mysql"
+    MSSQL = "mssql"
+
+    _DRIVERS = {
+        POSTGRES: "org.postgresql.Driver",
+        MYSQL: "com.mysql.cj.jdbc.Driver",
+        MSSQL: "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+    }
+
+    @classmethod
+    def driver(cls, dialect: str) -> str:
+        return cls._DRIVERS[dialect]
+
+
+def _base(
+    spark: SparkSession, url: str, *, dialect: str = SqlDatabase.POSTGRES, **options
+) -> DataFrameReader:
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", SqlDatabase.driver(dialect))
+        .options(**options)
+    )
+
+
+def read_table(
+    spark: SparkSession, url: str, table: str, *, dialect: str = SqlDatabase.POSTGRES, **options
+) -> DataFrame:
+    """reference DataFrame::from_sql_table (dataframe.rs:497-510)."""
+    return _base(spark, url, dialect=dialect, **options).option("dbtable", table).load()
+
+
+def read_query(
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    *,
+    limit: int | None = None,
+    dialect: str = SqlDatabase.POSTGRES,
+    **options,
+) -> DataFrame:
+    """reference Postgres::read_query (io/sql/postgres/reader.rs:84-116)."""
+    df = _base(spark, url, dialect=dialect, **options).option("query", sql).load()
+    return df.limit(limit) if limit is not None else df
+
+
+def read_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str,
+    lower_bound,
+    upper_bound,
+    num_partitions: int,
+    dialect: str = SqlDatabase.POSTGRES,
+    **options,
+) -> DataFrame:
+    """Parallel partitioned read — the scalable analog of the reference's
+    limit/offset PostgresReadIterator (reader.rs:118-200): each executor reads
+    its own key range concurrently instead of the driver paging serially."""
+    return (
+        _base(spark, url, dialect=dialect, **options)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower_bound))
+        .option("upperBound", str(upper_bound))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+
+
+def write_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    overwrite: bool = False,
+    dialect: str = SqlDatabase.POSTGRES,
+    batchsize: int = 10000,
+    **options,
+) -> None:
+    """reference DataFrame::to_sql with SqlWriteOptions{overwrite}
+    (dataframe.rs:562-594, writer.rs:14-59)."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("driver", SqlDatabase.driver(dialect))
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode("overwrite" if overwrite else "append")
+        .save()
+    )

@@ -1,0 +1,108 @@
+"""Structured Streaming helpers (SURVEY §2.11 — beyond reference scope).
+
+The reference has no streaming at all; its only "window" is the SQL
+window-function spec.  These helpers give the engine the streaming shapes a
+training-data pipeline needs, reusing the *same* batch expressions from the
+catalog (F.window / session_window), which is the point of Structured
+Streaming: one query shape for both.
+
+Scale posture: event-time + watermark bounds state; tumbling/sliding windows
+shuffle on (window, keys); state-store size is O(open windows x keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = [
+    "read_stream_parquet",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "run_available_now",
+]
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-source stream over a parquet directory (schema required for
+    streaming reads)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("win_start"), key_col, "n_events", "value_sum")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping buckets."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), key_col, "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (dynamic gap-based) per key — the built-in form of
+    custom stateful sessionization."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming query over all currently-available input
+    (Trigger.AvailableNow), collect results from the memory sink, stop.
+
+    The batch-parity harness: lets tests assert streaming output equals the
+    batch catalog query on the same files.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    out = spark.table(query_name)
+    q.stop()
+    return out

@@ -1,0 +1,149 @@
+"""Function-catalog tests: every reference name resolves; spot-check values
+(incl. the functions DuckDB lacks, which the oracle queries can't cover:
+sha1, crc32, soundex, initcap, format_number, conv, months_between...)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from rust_dataframe_spark.functions import aggregate as agg_cat
+from rust_dataframe_spark.functions import array as arr_cat
+from rust_dataframe_spark.functions import scalar as sc_cat
+from rust_dataframe_spark.functions import window as win_cat
+
+# Names the reference declares (SURVEY §2.8-2.10) — the parity contract.
+REFERENCE_SCALARS = [
+    "add", "subtract", "multiply", "divide", "abs", "acos", "asin", "atan",
+    "atan2", "cbrt", "ceil", "cos", "cosh", "degrees", "exp", "expm1", "floor",
+    "hypot", "log", "log10", "log2", "radians", "round", "sin", "sinh", "sqrt",
+    "tan", "tanh", "lower", "upper", "ltrim", "rtrim", "trim", "substring",
+    "hour", "add_months", "asc", "base64", "bitwise_not", "coalesce", "concat",
+    "concat_ws", "conv", "corr", "crc32", "current_date", "current_timestamp",
+    "date_add", "date_format", "date_sub", "date_trunc", "date_diff",
+    "day_of_month", "day_of_week", "day_of_year", "desc", "explode",
+    "factorial", "format_number", "format_string", "from_json",
+    "from_unix_time", "from_utc_timestamp", "greatest", "hash", "hex",
+    "initcap", "last_day", "least", "length", "levenshtein", "lit", "locate",
+    "lpad", "md5", "minute", "monotonically_increasing_id", "month",
+    "months_between", "nanvl", "next_day", "ntile", "pow", "quarter", "rand",
+    "randn", "regexp_extract", "regexp_replace", "repeat", "reverse", "rint",
+    "rpad", "second", "sequence", "sha1", "sha2", "shift_left", "shift_right",
+    "shift_right_unsigned", "shuffle", "signum", "size", "slice", "sort_array",
+    "soundex", "split", "struct", "substring_index", "to_date", "to_json",
+    "to_timestamp", "to_utc_timestamp", "translate", "trunc", "unbase64",
+    "unhex", "unix_timestamp", "week_of_year", "when", "window", "year",
+]
+
+REFERENCE_AGGREGATES = [
+    "sum", "max", "min", "avg", "count", "count_distinct", "first", "last",
+    "kurtosis", "skewness", "stddev", "sum_distinct", "variance",
+    "collect_list", "collect_set",
+]
+
+REFERENCE_ARRAYS = [
+    "array_contains", "array_distinct", "array_except", "array_intersect",
+    "array_max", "array_min", "array_position", "array_remove", "array_repeat",
+    "array_sort", "array_union", "array_join", "arrays_overlap", "arrays_zip",
+    "collect_list", "collect_set", "map_concat", "map_from_arrays",
+    "map_from_entries", "map_keys", "map_values",
+]
+
+REFERENCE_WINDOWS = [
+    "cume_dist", "dense_rank", "lag", "lead", "percent_rank", "rank",
+    "row_number", "ntile",
+]
+
+
+class TestSurfaceComplete:
+    def test_all_scalar_names_present(self):
+        missing = [n for n in REFERENCE_SCALARS if n not in sc_cat.SCALAR_FUNCTIONS]
+        assert not missing, f"missing scalar fns: {missing}"
+
+    def test_all_aggregate_names_present(self):
+        missing = [n for n in REFERENCE_AGGREGATES if n not in agg_cat.AGGREGATE_FUNCTIONS]
+        assert not missing
+
+    def test_all_array_names_present(self):
+        missing = [n for n in REFERENCE_ARRAYS if n not in arr_cat.ARRAY_FUNCTIONS]
+        assert not missing
+
+    def test_all_window_names_present(self):
+        missing = [n for n in REFERENCE_WINDOWS if n not in win_cat.WINDOW_FUNCTIONS]
+        assert not missing
+
+
+class TestOracleGapFunctions:
+    """Functions DuckDB can't oracle — exact expected values asserted here."""
+
+    def test_sha1_crc32_soundex_initcap(self, spark):
+        df = spark.createDataFrame([Row(s="Robert")])
+        r = df.select(
+            F.sha1("s").alias("sha1"),
+            F.crc32("s").alias("crc"),
+            F.soundex("s").alias("sdx"),
+            F.initcap(F.lit("hello world")).alias("ic"),
+            F.format_number(F.lit(1234567.891), 2).alias("fmt"),
+            F.conv(F.lit("ff"), 16, 10).alias("conv"),
+            F.hash("s").alias("h"),
+            F.xxhash64("s").alias("xx"),
+        ).first()
+        import hashlib
+        import zlib
+
+        assert r["sha1"] == hashlib.sha1(b"Robert").hexdigest()
+        assert r["crc"] == zlib.crc32(b"Robert")
+        assert r["sdx"] == "R163"
+        assert r["ic"] == "Hello World"
+        assert r["fmt"] == "1,234,567.89"
+        assert r["conv"] == "255"
+        assert isinstance(r["h"], int) and isinstance(r["xx"], int)
+
+    def test_months_between_next_day(self, spark):
+        df = spark.createDataFrame([Row(d="2020-01-31")])
+        r = df.select(
+            F.months_between(F.lit("2020-03-31").cast("date"), F.col("d").cast("date")).alias("mb"),
+            F.next_day(F.col("d").cast("date"), "Mon").alias("nd"),
+            F.trunc(F.col("d").cast("date"), "month").alias("tr"),
+        ).first()
+        assert r["mb"] == 2.0
+        assert str(r["nd"]) == "2020-02-03"
+        assert str(r["tr"]) == "2020-01-01"
+
+    def test_rand_randn_seeded(self, spark):
+        df = spark.range(5)
+        a = [r[0] for r in df.select(F.rand(42)).collect()]
+        b = [r[0] for r in df.select(F.rand(42)).collect()]
+        assert a == b  # seeded determinism
+        assert all(0.0 <= x < 1.0 for x in a)
+
+    def test_substring_zero_based_adapter(self, spark):
+        df = spark.createDataFrame([Row(s="abcdef")])
+        r = df.select(sc_cat.substring_zero_based(F.col("s"), 0, 3).alias("z")).first()
+        assert r["z"] == "abc"  # reference 0-based == Spark substring(s,1,3)
+
+    def test_repeat_list_adapter(self, spark):
+        df = spark.createDataFrame([Row(xs=[1, 2])])
+        r = df.select(arr_cat.repeat_list(F.col("xs"), 2).alias("r")).first()
+        assert r["r"] == [1, 2, 1, 2]  # reference repeats the list, not elements
+
+    def test_nanvl_nan_handling(self, spark):
+        df = spark.createDataFrame([(float("nan"), 1.0)], "a double, b double")
+        assert df.select(F.nanvl("a", "b")).first()[0] == 1.0
+
+
+class TestWindowSpecBuilder:
+    def test_rows_between(self, spark):
+        from pyspark.sql import Window
+
+        df = spark.createDataFrame([(1, i) for i in range(5)], "k int, v int")
+        w = win_cat.window_spec(
+            partition_by=["k"], order_by=["v"],
+            rows_between=(Window.unboundedPreceding, Window.currentRow),
+        )
+        out = [r["s"] for r in df.select(F.sum("v").over(w).alias("s")).collect()]
+        assert out == [0, 1, 3, 6, 10]
+
+    def test_rejects_both_frames(self):
+        with pytest.raises(ValueError):
+            win_cat.window_spec(order_by=["x"], rows_between=(0, 0), range_between=(0, 0))

@@ -1,0 +1,69 @@
+"""Streaming tests: availableNow batch-parity — the streaming query over the
+events files must equal the equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_dataframe_spark.streaming import ops as st
+
+
+@pytest.fixture(scope="module")
+def events(spark, tmp_path_factory):
+    # write a small deterministic event set (timestamps in µs; the driver's
+    # events.parquet is TIMESTAMP(NANOS) which streaming reads can't use)
+    p = str(tmp_path_factory.mktemp("stream") / "events")
+    rows = []
+    for u in range(3):
+        for i in range(20):
+            rows.append((u, f"2024-01-01 {i // 4:02d}:{(i % 4) * 10:02d}:00", "click", float(i)))
+    df = spark.createDataFrame(rows, "user_id int, ts_s string, event_type string, value double")
+    df.select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value") \
+        .write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_tumbling_stream_equals_batch(spark, events):
+    schema = spark.read.parquet(events).schema
+    stream = st.read_stream_parquet(spark, events, schema)
+    out = st.run_available_now(
+        st.tumbling_counts(stream, window="1 hour", watermark="2 hours"), "t_tumble"
+    )
+    batch = (
+        spark.read.parquet(events)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "value_sum")
+    )
+    s = {(r["win_start"], r["event_type"]): (r["n_events"], r["value_sum"]) for r in out.collect()}
+    b = {(r["win_start"], r["event_type"]): (r["n_events"], r["value_sum"]) for r in batch.collect()}
+    assert s == b and len(s) == 5  # 20 events / 4-per-hour = 5 windows
+
+
+def test_session_stream(spark, events):
+    schema = spark.read.parquet(events).schema
+    stream = st.read_stream_parquet(spark, events, schema)
+    out = st.run_available_now(
+        st.session_counts(stream, gap="15 minutes", watermark="2 hours"), "t_sess"
+    )
+    rows = out.collect()
+    # 10-minute spacing < 15-minute gap except across the hour boundary
+    # (30:00 -> next 00:00 = 30 min) -> 5 sessions per user
+    per_user = {}
+    for r in rows:
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
+    assert per_user == {0: 5, 1: 5, 2: 5}
+    assert all(r["n_events"] == 4 for r in rows)
+
+
+def test_sliding_stream(spark, events):
+    schema = spark.read.parquet(events).schema
+    stream = st.read_stream_parquet(spark, events, schema)
+    out = st.run_available_now(
+        st.sliding_counts(stream, window="1 hour", slide="30 minutes", watermark="2 hours"),
+        "t_slide",
+    )
+    rows = out.collect()
+    assert len(rows) > 5  # overlapping windows > tumbling window count
+    assert all(r["n_events"] > 0 for r in rows)
