@@ -23,6 +23,7 @@ from rust_dataframe_spark.context import get_spark
 # Headline set: the scan/agg/join/sort/window spine plus extension operators.
 # Kept in sync with catalog as operators land.
 HEADLINE = [
+    # TPC-H-ish spine
     "q01_pricing_summary",
     "q02_select_filter_project",
     "q06_revenue_forecast",
@@ -33,6 +34,18 @@ HEADLINE = [
     "q20_agg_catalog",
     "q23_hist",
     "q31_topk",
+    # window / array / event
+    "q52_window_running",
+    "q61_explode_wordcount",
+    "q84_event_tumbling",
+    "q85_sessionization",
+    # LLM-pipeline extensions
+    "q70_exact_dedup",
+    "q72_lsh_near_dup",
+    "q75_embedding_topk",
+    "q77_srp_buckets",
+    "q78_text_quality",
+    "q80_fingerprint",
 ]
 
 

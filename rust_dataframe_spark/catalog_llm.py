@@ -34,7 +34,12 @@ _SH_SQL = (
 
 
 def _mh_sql(i: int, sh: str = "sh") -> str:
-    return f"list_aggregate(list_transform({sh}, s -> md5(s || '#{i}')), 'min')"
+    # slot i = min over shingles of the 8-hex-char window (i%4)*8 of
+    # md5(shingle || '#' || i//4), no salt for digest 0 — must mirror
+    # operators/dedup.minhash_signature exactly
+    j, off = i // 4, (i % 4) * 8
+    digest = "md5(s)" if j == 0 else f"md5(s || '#{j}')"
+    return f"list_aggregate(list_transform({sh}, s -> substr({digest}, {off + 1}, 8)), 'min')"
 
 
 _CORPUS_EXACT = """

@@ -33,6 +33,7 @@ __all__ = [
     "exact_dedup",
     "shingle",
     "minhash_signature",
+    "minhash_signatures_df",
     "lsh_candidate_pairs",
     "near_dup_pairs",
     "simhash",
@@ -72,19 +73,65 @@ def shingle(text_col, n: int = 3):
 
 
 def minhash_signature(shingles_col, k: int = 16):
-    """k-element MinHash signature: min(md5(shingle || '#i')) per salt i.
+    """k-element MinHash signature from salted md5 digests.
 
-    Array of k hex strings.  String-order min over md5 digests is uniform on
-    the shingle set, so P(min_a == min_b) approximates Jaccard(a, b) exactly as
-    in the original MinHash construction.
+    Each group of 4 slots shares one md5 call: slot i takes the 8-hex-char
+    window ``(i%4)*8`` of ``md5(shingle || '#' || i//4)`` (no salt for digest
+    0).  Disjoint 32-bit windows of a crypto digest are independent uniform
+    values, so each slot is a valid permutation-min; sharing the digest cuts
+    hash work 4x versus one md5 per slot.  The shared digest subtree is
+    computed once per row by codegen subexpression elimination (all slots
+    live in ONE projection — don't split them).
+
+    Values are 8-char hex strings; string min == numeric min on equal-length
+    hex, and P(min_a == min_b) approximates Jaccard(a, b) as in the original
+    MinHash construction.
     """
-    def slot(i: int):
-        salt = F.lit(f"#{i}")
-        # NB: the lambda must take exactly one arg — PySpark treats a two-arg
-        # transform lambda as (element, index)
-        return F.array_min(F.transform(shingles_col, lambda s: F.md5(F.concat(s, salt))))
 
-    return F.array(*[slot(i) for i in range(k)])
+    def slot_fn(j: int, off: int):
+        # factory closure: transform lambdas must take exactly one parameter
+        # (PySpark inspects arity; extra params get bound to the index column)
+        if j == 0:
+            return lambda s: F.substring(F.md5(s), off + 1, 8)
+        salt = F.lit(f"#{j}")
+        return lambda s: F.substring(F.md5(F.concat(s, salt)), off + 1, 8)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles_col, slot_fn(i // 4, (i % 4) * 8)))
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame, id_col: str, shingles_col: str, k: int = 16
+) -> DataFrame:
+    """DataFrame-level MinHash: explode shingles -> md5 digests as flat
+    columns -> per-doc min aggregation.  Same hash family as
+    ``minhash_signature`` (slot i = window (i%4)*8 of digest i//4) but fully
+    whole-stage-codegen'd: flat projections get subexpression elimination (one
+    md5 per digest per shingle — HOF lambdas don't), and the groupBy is
+    map-side-combined, so the shuffle carries k*8 chars per doc per partition.
+    Prefer this form in pipelines; returns (id, sig: array<string>).
+    """
+    ex = df.select(F.col(id_col), F.explode(shingles_col).alias("__s"))
+    s = F.col("__s")
+    digests = [
+        F.md5(s) if j == 0 else F.md5(F.concat(s, F.lit(f"#{j}")))
+        for j in range((k + 3) // 4)
+    ]
+    wins = [
+        F.substring(digests[i // 4], (i % 4) * 8 + 1, 8).alias(f"__w{i}") for i in range(k)
+    ]
+    mins = (
+        ex.select(F.col(id_col), *wins)
+        .groupBy(id_col)
+        .agg(*[F.min(f"__w{i}").alias(f"__m{i}") for i in range(k)])
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(
@@ -150,14 +197,20 @@ def near_dup_pairs(
         F.col(id_col),
         F.array_distinct(shingle(F.col(text_col), shingle_n)).alias("shingles"),
     )
-    sig = sh.select(
-        F.col(id_col), F.col("shingles"), minhash_signature(F.col("shingles"), num_hashes).alias("sig")
-    )
+    # Persist only the signatures (k hex strings per doc — the compact
+    # artifact); without this the shingle+minhash lineage would recompute for
+    # each branch of the LSH self-join.  At 100 TB you persist/checkpoint this
+    # same table, never the shingle sets.
+    sig = minhash_signatures_df(sh, id_col, "shingles", num_hashes).persist()
     cands = lsh_candidate_pairs(
-        sig.select(id_col, "sig"), id_col, "sig", bands=bands, rows_per_band=rows_per_band
+        sig, id_col, "sig", bands=bands, rows_per_band=rows_per_band
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    # Verify: join texts onto the (few) candidate pairs FIRST, then recompute
+    # shingles for candidates only — O(candidates), not O(corpus).
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
+    sh_a = F.array_distinct(shingle(F.col("t_a"), shingle_n))
+    sh_b = F.array_distinct(shingle(F.col("t_b"), shingle_n))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -165,8 +218,7 @@ def near_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b)),
                 6,
             ).alias("jaccard"),
         )

@@ -1,0 +1,60 @@
+"""Plan-shape guardrails (SURVEY §7.2.11): pushdown reaches the scan, dims
+broadcast, top-k avoids global sort, codegen covers the hot path.  A failure
+here means a scale regression even if results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_dataframe_spark import catalog
+from rust_dataframe_spark.plans import inspect as pi
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q01_pushdown_and_pruning(spark):
+    df = catalog.QUERIES["q01_pricing_summary"](spark, SF)
+    assert "l_shipdate" in pi.pushed_filters(df)
+    cols = set(pi.read_schema_columns(df))
+    assert "l_orderkey" not in cols  # unused columns pruned from the scan
+    assert {"l_quantity", "l_returnflag"} <= cols
+
+
+def test_q06_all_predicates_pushed(spark):
+    df = catalog.QUERIES["q06_revenue_forecast"](spark, SF)
+    pushed = pi.pushed_filters(df)
+    for c in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert c in pushed
+    assert set(pi.read_schema_columns(df)) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_dim_join_broadcasts(spark):
+    df = catalog.QUERIES["q10_join_inner"](spark, SF)
+    assert pi.has_broadcast_join(df)
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = catalog.QUERIES["q16_join_star_tpch5"](spark, SF)
+    assert pi.has_broadcast_join(df)
+    # only the two fact shuffles (customer⋈orders, orders⋈lineitem) + agg
+    assert pi.exchange_count(df) <= 3
+
+
+def test_topk_is_take_ordered(spark):
+    df = catalog.QUERIES["q31_topk"](spark, SF)
+    assert pi.has_take_ordered(df)
+    assert pi.exchange_count(df) == 0  # no full shuffle for top-k
+
+
+def test_codegen_after_execution(spark):
+    df = catalog.QUERIES["q01_pricing_summary"](spark, SF)
+    df.collect()  # finalize the AQE plan
+    assert pi.codegen_stage_count(df) >= 1
+
+
+def test_filter_scan_reads_two_columns_only(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
+    assert set(pi.read_schema_columns(df)) == {"l_orderkey", "l_quantity"}
