@@ -26,7 +26,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["Context", "get_spark", "default_builder"]
+__all__ = ["Context", "get_spark", "default_builder", "widen"]
 
 # Public Spark config defaults chosen for the 100 TB design posture.  On a real
 # cluster most of these are still right; the ones that are local-only are marked.
@@ -66,6 +66,26 @@ def default_builder(app_name: str = "rust-dataframe-spark") -> SparkSession.Buil
 def get_spark(app_name: str = "rust-dataframe-spark") -> SparkSession:
     """Get or create the default SparkSession for this engine."""
     return default_builder(app_name).getOrCreate()
+
+
+def widen(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Adaptive scan-parallelism repair: round-robin repartition iff the plan
+    currently has fewer partitions than the cluster has cores.
+
+    Small parquet files (or files written as a single row group — every split
+    beyond the first comes back empty) give the scan 1-2 partitions, which
+    serializes all scan-side compute (filter, partial agg, hashing) no matter
+    how many cores exist.  On a real 100 TB input the scan is already
+    thousands of partitions wide and this is a **no-op** — it only fires on
+    narrow inputs, where the one extra exchange is repaid many times over by
+    parallel compute.  Catalyst still pushes filters and pruning *through* the
+    Repartition node down to the scan, so pushdown is unaffected.
+    """
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 class Context:
