@@ -44,6 +44,7 @@ HEADLINE = [
     "q72_lsh_near_dup",
     "q75_embedding_topk",
     "q77_srp_buckets",
+    "q86_ivf_topk",
     "q78_text_quality",
     "q80_fingerprint",
 ]

@@ -195,13 +195,35 @@ def q73_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q74_simhash")
+def _simhash_oracle() -> str:
+    # one vote-sum per bit: s_j = sum over tokens of +-1 on bit j of the
+    # little-endian first-8-bytes md5 (== DuckDB md5_number_upper)
+    votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+    fold = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j}::HUGEINT ELSE 0 END" for j in range(64))
+    return f"""
+    WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+               FROM documents WHERE doc_id < 100),
+    u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    h AS (SELECT doc_id, md5_number_upper(tok) AS hv FROM u),
+    v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    f AS (SELECT doc_id, {fold} AS raw FROM v)
+    SELECT doc_id,
+           CAST(CASE WHEN raw >= {1 << 63}::HUGEINT THEN raw - {1 << 64}::HUGEINT
+                     ELSE raw END AS BIGINT) AS simhash
+    FROM f ORDER BY doc_id
+    """
+
+
+@query("q74_simhash", oracle=_simhash_oracle())
 def q74_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (operators/dedup.simhash, vectorized Pandas UDF).
 
-    No SQL oracle — the 64-bit bit-vote loop is not reasonably expressible in
-    ANSI SQL; covered by deterministic unit tests (tests/test_llm_ops.py)
-    instead.  Driver records the weaker rows-only check.
+    The oracle replays the full 64-bit bit-vote in SQL: token hash =
+    ``md5_number_upper`` (little-endian first 8 md5 bytes — the UDF uses the
+    same byte order), one vote sum per bit, fold to a signed BIGINT.
     """
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return dd.simhash(d, "doc_id", "text").orderBy("doc_id")

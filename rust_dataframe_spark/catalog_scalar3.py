@@ -1,0 +1,322 @@
+"""Catalog extension 3: statistical aggregates, the remaining math/datetime
+scalar stubs, JSON functions, array constructors, and IVF ANN.
+
+Covers reference wishlist names (SURVEY §2.8, functions/scalar.rs stub lines):
+corr:184, acos asin atan tan sinh cosh tanh degrees radians log2 (impl'd
+kernels 106-458), expm1:238, hypot:274, pow:347, factorial:248, conv:183,
+to_date:459, to_timestamp:461, date_format:209, minute:339, second:387,
+hour:267, from_unix_time:262, next_day:344, trunc:470, months_between:342,
+from_json:261, to_json:460, sequence:388, explode:237 (positional variant).
+
+Oracle notes: sinh/cosh/tanh/expm1 are absent in DuckDB, so the oracle uses
+their exp() identities; both sides round to 6dp which absorbs the <=1-ulp
+libm differences.  crc32 / sha1 / soundex have no DuckDB equivalent at all —
+they live in functions/scalar.py and are pinned by known-vector unit tests
+instead of an oracle query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import query, table
+from .operators import similarity as sim
+
+# ---------------------------------------------------------------------------
+# statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q26_stats_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qp,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS covp_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+           round(quantile_cont(l_quantity, 0.5), 4)          AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 4)    AS p25_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q26_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr (reference stub scalar.rs:184) plus covariance and exact
+    interpolated percentiles (Spark `percentile` == DuckDB `quantile_cont`).
+
+    Scale: all five are single-pass partial aggregates except percentile,
+    which Spark computes with a per-group sorted sketch — for 100 TB prefer
+    `percentile_approx` and document the error bound."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covs_qp"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("med_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# remaining math scalars
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q55_scalar_math2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(acos(1 - l_discount), 6)                                   AS v_acos,
+           round(asin(l_discount), 6)                                       AS v_asin,
+           round(atan(l_tax), 6)                                            AS v_atan,
+           round(tan(l_discount), 6)                                        AS v_tan,
+           round((exp(l_tax) - exp(-l_tax)) / 2, 6)                         AS v_sinh,
+           round((exp(l_tax) + exp(-l_tax)) / 2, 6)                         AS v_cosh,
+           round((exp(2 * l_tax) - 1) / (exp(2 * l_tax) + 1), 6)            AS v_tanh,
+           round(degrees(l_discount), 6)                                    AS v_degrees,
+           round(radians(l_quantity), 6)                                    AS v_radians,
+           round(log2(l_quantity), 6)                                       AS v_log2,
+           round(exp(l_discount) - 1, 6)                                    AS v_expm1,
+           round(sqrt(l_quantity * l_quantity + l_linenumber * l_linenumber), 6) AS v_hypot,
+           round(pow(l_linenumber, 2.5), 6)                                 AS v_pow,
+           CAST(factorial(l_linenumber) AS BIGINT)                          AS v_fact,
+           to_base(l_orderkey, 16)                                          AS v_conv
+    FROM lineitem WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q55_scalar_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the math kernel/stub surface (reference functions/scalar.rs:
+    acos 115, asin 128, atan 138, tan 442, sinh 407, cosh 195, tanh 452,
+    degrees 216, radians 356, log2 308, expm1 238, hypot 274, pow 347,
+    factorial 248, conv 183) — every one a built-in `F.*`, rounded to 6dp so
+    libm ulp differences vanish."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    d, t, q, n = F.col("l_discount"), F.col("l_tax"), F.col("l_quantity"), F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.acos(1 - d), 6).alias("v_acos"),
+        F.round(F.asin(d), 6).alias("v_asin"),
+        F.round(F.atan(t), 6).alias("v_atan"),
+        F.round(F.tan(d), 6).alias("v_tan"),
+        F.round(F.sinh(t), 6).alias("v_sinh"),
+        F.round(F.cosh(t), 6).alias("v_cosh"),
+        F.round(F.tanh(t), 6).alias("v_tanh"),
+        F.round(F.degrees(d), 6).alias("v_degrees"),
+        F.round(F.radians(q), 6).alias("v_radians"),
+        F.round(F.log2(q), 6).alias("v_log2"),
+        F.round(F.expm1(d), 6).alias("v_expm1"),
+        F.round(F.hypot(q, n.cast("double")), 6).alias("v_hypot"),
+        F.round(F.pow(n, F.lit(2.5)), 6).alias("v_pow"),
+        F.factorial(n).alias("v_fact"),
+        F.conv(F.col("l_orderkey").cast("string"), 10, 16).alias("v_conv"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# remaining datetime scalars
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q56_datetime2",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderdate,
+             strptime(strftime(o_orderdate, '%Y-%m-%d') || ' 12:34:56',
+                      '%Y-%m-%d %H:%M:%S') AS ts2
+      FROM orders WHERE o_orderkey < 500
+    )
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')                          AS d_str,
+           CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS d_back,
+           ts2,
+           hour(ts2)                                                  AS h,
+           minute(ts2)                                                AS mi,
+           second(ts2)                                                AS s,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')                 AS from_unix,
+           strftime(o_orderdate, '%A')                                AS dayname,
+           CAST(date_trunc('month', o_orderdate) AS DATE)             AS month_start,
+           CAST(o_orderdate + ((7 - (isodow(o_orderdate) - 1) - 1) % 7 + 1) * INTERVAL 1 DAY
+                AS DATE)                                              AS next_monday,
+           round((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1)
+                 + (day(o_orderdate) - 15) / 31.0, 6)                 AS mb
+    FROM t ORDER BY o_orderkey
+    """,
+)
+def q56_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining temporal stubs (reference functions/scalar.rs: date_format
+    209, to_date 459, to_timestamp 461, hour 267 (impl), minute 339, second
+    387, from_unix_time 262, next_day 344, trunc 470, months_between 342).
+
+    months_between oracle uses Spark's documented 31-day-month fraction; the
+    anchor (1995-01-15, mid-month) avoids the both-last-day special case."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d_str = F.date_format("o_orderdate", "yyyy-MM-dd")
+    ts2 = F.to_timestamp(F.concat(d_str, F.lit(" 12:34:56")), "yyyy-MM-dd HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        d_str.alias("d_str"),
+        F.to_date(d_str, "yyyy-MM-dd").alias("d_back"),
+        ts2.alias("ts2"),
+        F.hour(ts2).alias("h"),
+        F.minute(ts2).alias("mi"),
+        F.second(ts2).alias("s"),
+        F.from_unixtime(F.unix_timestamp("o_orderdate")).alias("from_unix"),
+        F.date_format("o_orderdate", "EEEE").alias("dayname"),
+        F.trunc("o_orderdate", "mm").alias("month_start"),
+        F.next_day("o_orderdate", "Mon").alias("next_monday"),
+        F.round(
+            F.months_between(F.col("o_orderdate"), F.lit("1995-01-15").cast("timestamp")), 6
+        ).alias("mb"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# JSON functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q57_json",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             to_json(struct_pack(p_partkey := p_partkey, p_name := p_name,
+                                 p_size := p_size)) AS js
+      FROM part WHERE p_partkey < 300
+    )
+    SELECT p_partkey,
+           js,
+           json_extract_string(js, '$.p_name')            AS name_out,
+           CAST(json_extract(js, '$.p_size') AS INT)      AS size_out,
+           CAST(json_extract(js, '$.p_partkey') AS BIGINT) AS key_out
+    FROM t ORDER BY p_partkey
+    """,
+)
+def q57_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar stubs (reference functions/scalar.rs: to_json 460,
+    from_json 261): serialize a struct, then re-parse it with both the typed
+    path (from_json + schema) and the stringly path (get_json_object).
+
+    Both engines emit compact key-ordered JSON for simple structs, so the
+    serialized string itself is value-compared too."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    js = F.to_json(F.struct("p_partkey", "p_name", "p_size"))
+    t = p.select("p_partkey", js.alias("js"))
+    parsed = F.from_json(F.col("js"), "p_partkey bigint, p_name string, p_size int")
+    return t.select(
+        "p_partkey",
+        "js",
+        F.get_json_object("js", "$.p_name").alias("name_out"),
+        parsed["p_size"].alias("size_out"),
+        parsed["p_partkey"].alias("key_out"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# array constructors / positional explode
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q66_arrays2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           range(1, l_linenumber + 1)                                   AS seq,
+           flatten([range(1, l_linenumber + 1), range(1, l_linenumber + 1)]) AS flat,
+           list_transform(range(1, 4), x -> l_returnflag)               AS rep
+    FROM lineitem WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q66_arrays2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array constructors (reference stubs: sequence scalar.rs:388,
+    array_repeat array.rs:294 — Spark repeats the element, the convention we
+    keep; flatten table.rs:109 was `unimplemented!`)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    seq = F.sequence(F.lit(1).cast("bigint"), F.col("l_linenumber").cast("bigint"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        seq.alias("seq"),
+        F.flatten(F.array(seq, seq)).alias("flat"),
+        F.array_repeat(F.col("l_returnflag"), 3).alias("rep"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q67_posexplode",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           unnest(range(0, l_linenumber)) AS pos,
+           unnest(range(1, l_linenumber + 1)) AS val
+    FROM lineitem WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber, pos
+    """,
+)
+def q67_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (positional variant of the explode stub scalar.rs:237);
+    DuckDB replays it with zipped parallel unnests (0-based pos)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    seq = F.sequence(F.lit(1).cast("bigint"), F.col("l_linenumber").cast("bigint"))
+    return (
+        li.select("l_orderkey", "l_linenumber", F.posexplode(seq).alias("pos", "val"))
+        .orderBy("l_orderkey", "l_linenumber", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbors (the ANN scale path beyond SRP buckets)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_oracle() -> str:
+    return """
+    WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+               FROM embeddings WHERE vec_id < 8),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+    sims AS (SELECT e.vec_id, c.cid, e.emb,
+                    list_dot_product(emb, cv)
+                    / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cv, cv))) AS s,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        list_dot_product(emb, cv)
+                        / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        c.cid ASC) AS rn
+             FROM e CROSS JOIN c),
+    assign AS (SELECT vec_id, cid AS cell, emb FROM sims WHERE rn = 1),
+    probe AS (SELECT cid FROM c, q
+              ORDER BY list_dot_product(cv, qv)
+                       / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+                       cid ASC
+              LIMIT 2)
+    SELECT a.vec_id, a.cell,
+           round(list_dot_product(a.emb, q.qv)
+                 / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+               AS cos_sim
+    FROM assign a, q
+    WHERE a.cell IN (SELECT cid FROM probe)
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """
+
+
+@query("q86_ivf_topk", oracle=_ivf_oracle())
+def q86_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.ivf_topk): coarse-quantize every vector
+    to its nearest centroid, probe only the 2 cells nearest the query, exact
+    cosine top-10 inside.  Deterministic quantizer (centroids = vec_id < 8)
+    so DuckDB replays assignment, probing, and search bit-for-bit; at scale
+    the centroids come from sampled k-means and `cell` becomes a partition
+    column, turning probes into partition pruning."""
+    e = table(spark, sf_dir, "embeddings")
+    cent_rows = e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows]
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ivf_topk(e, "vec_id", "embedding", qvec, centroids, nprobe=2, k=10)

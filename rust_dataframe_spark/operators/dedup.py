@@ -222,8 +222,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> Dat
 
     The per-doc loop over tokens x bits doesn't decompose into array built-ins
     without a 64x row blow-up, so this is the documented Pandas-UDF slow path
-    (Arrow batches, no per-row Python).  Deterministic: token hash = md5.
-    Returns (id, simhash: bigint).
+    (Arrow batches, no per-row Python).  Deterministic: token hash = first
+    bits/8 bytes of md5, **little-endian** (chosen so DuckDB's
+    ``md5_number_upper`` reproduces it exactly — the oracle replays the full
+    bit-vote in SQL).  Returns (id, simhash: bigint).
     """
     import pandas as pd
     from pyspark.sql.types import LongType
@@ -239,7 +241,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> Dat
             acc = [0] * bits
             for tok in t.split():
                 h = int.from_bytes(
-                    hashlib.md5(tok.encode()).digest()[: bits // 8], "big"
+                    hashlib.md5(tok.encode()).digest()[: bits // 8], "little"
                 )
                 for j in range(bits):
                     acc[j] += 1 if (h >> j) & 1 else -1

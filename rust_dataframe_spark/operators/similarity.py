@@ -23,7 +23,15 @@ import random
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["cosine", "cosine_topk", "srp_planes", "srp_bucket", "srp_candidates"]
+__all__ = [
+    "cosine",
+    "cosine_topk",
+    "srp_planes",
+    "srp_bucket",
+    "srp_candidates",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def _dot(a, b):
@@ -79,6 +87,70 @@ def srp_bucket(vec_col, planes: list[list[float]]):
         for plane in planes
     ]
     return F.concat(*bits)
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: list[tuple[int, list[float]]]):
+    """Assign each vector to its nearest centroid by cosine (IVF coarse
+    quantization).  Returns (id, cell, vec) with ``cell`` = centroid id.
+
+    Centroids ship as literals (they're tiny — broadcast for free); the argmax
+    is the greatest-of-structs trick (sim, then lower centroid id on ties), so
+    assignment is one codegen'd map over the scan — no shuffle, no UDF.  At
+    scale the centroid set comes from a sampled k-means (pyspark.ml KMeans);
+    here it is injectable so tests and the SQL oracle can replay a
+    deterministic quantizer.
+    """
+    emb = as_double(F.col(vec_col))
+    structs = [
+        F.struct(
+            cosine(emb, F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
+            F.lit(-cid).alias("negid"),
+        )
+        for cid, cv in centroids
+    ]
+    best = F.greatest(*structs)
+    return df.select(F.col(id_col), (-best["negid"]).alias("cell"), F.col(vec_col))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    *,
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF approximate nearest neighbors: probe only the ``nprobe`` cells
+    whose centroids are nearest the query, then exact cosine top-k inside.
+
+    The scale path versus brute force (``cosine_topk``): assignment is a
+    one-off batch job (store ``cell`` as a partition column of the vector
+    table) and each query scans |n|/|cells| * nprobe vectors with partition
+    pruning doing the skipping.  Probe-cell choice happens driver-side — the
+    centroid table is small by construction.
+    """
+
+    def _pydot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def _pycos(a, b):
+        import math
+
+        return _pydot(a, b) / (math.sqrt(_pydot(a, a)) * math.sqrt(_pydot(b, b)))
+
+    ranked = sorted(centroids, key=lambda c: (-_pycos(c[1], query_vec), c[0]))
+    probe = [cid for cid, _ in ranked[:nprobe]]
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    hits = assigned.filter(F.col("cell").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(as_double(F.col(vec_col)), q)
+    return (
+        hits.select(F.col(id_col), F.col("cell"), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def srp_candidates(

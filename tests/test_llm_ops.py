@@ -98,6 +98,26 @@ class TestSimilarity:
         assert sim.srp_planes(16, 4, seed=7) == sim.srp_planes(16, 4, seed=7)
         assert sim.srp_planes(16, 4, seed=7) != sim.srp_planes(16, 4, seed=8)
 
+    def test_ivf_assign_and_topk(self, spark):
+        rows = [
+            (0, [1.0, 0.0]),   # centroid 0 direction
+            (1, [0.0, 1.0]),   # centroid 1 direction
+            (10, [0.9, 0.1]),  # near centroid 0
+            (11, [0.1, 0.9]),  # near centroid 1
+            (12, [-1.0, 0.0]),  # anti, still nearest-of-two deterministic
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        cells = {r["vec_id"]: r["cell"] for r in sim.ivf_assign(df, "vec_id", "embedding", cents).collect()}
+        assert cells[0] == 0 and cells[10] == 0
+        assert cells[1] == 1 and cells[11] == 1
+        # nprobe=1 searches only the query's own cell
+        out = sim.ivf_topk(df, "vec_id", "embedding", [1.0, 0.0], cents, nprobe=1, k=10).collect()
+        ids = [r["vec_id"] for r in out]
+        assert 0 in ids and 10 in ids
+        assert 1 not in ids and 11 not in ids  # other cell never scanned
+        assert out[0]["vec_id"] == 0 and out[0]["cos_sim"] == 1.0
+
 
 class TestText:
     def test_token_stats(self, spark):
