@@ -3,9 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed with a count-consuming action (df.count() after the
-query's own semantics, or collect for small results) so the full plan runs;
-timings exclude session startup, include Catalyst planning.
+Methodology: each query runs twice and the SECOND (warm) run is reported —
+pass 1 pays one-off JVM JIT + whole-stage-codegen compilation + parquet
+footer reads, which on a long-lived cluster amortize to zero; pass 2 is the
+steady-state cost that actually scales with data volume.  Every run executes
+the full plan into a noop sink (no collect, no column pruning of the
+result), timings include Catalyst planning.
 """
 
 from __future__ import annotations
@@ -59,16 +62,19 @@ def main() -> None:
     # warm the JVM + parquet footers once with the cheapest query
     catalog.QUERIES["q31_topk"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in catalog.QUERIES:
-            continue
+    def run_once(name: str) -> float:
         t0 = time.time()
         df = catalog.QUERIES[name](spark, sf_dir)
         # noop sink evaluates every output column without collecting to the
         # driver (df.count() would let Catalyst prune computed columns)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        return time.time() - t0
+
+    names = [n for n in HEADLINE if n in catalog.QUERIES]
+    for name in names:  # pass 1: JIT/codegen/footer warm-up (untimed)
+        run_once(name)
+    spark.catalog.clearCache()  # drop operator-internal persists between passes
+    timings = {name: round(run_once(name), 3) for name in names}  # pass 2: steady state
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -277,24 +277,22 @@ def q67_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_oracle() -> str:
     return """
-    WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    WITH c AS (SELECT vec_id AS cid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)
+                          / sqrt(list_dot_product(
+                              list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                              list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS cvn
                FROM embeddings WHERE vec_id < 8),
     e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
           FROM embeddings),
     q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
     sims AS (SELECT e.vec_id, c.cid, e.emb,
-                    list_dot_product(emb, cv)
-                    / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cv, cv))) AS s,
                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                        list_dot_product(emb, cv)
-                        / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cv, cv))) DESC,
-                        c.cid ASC) AS rn
+                        list_dot_product(emb, cvn) DESC, c.cid ASC) AS rn
              FROM e CROSS JOIN c),
     assign AS (SELECT vec_id, cid AS cell, emb FROM sims WHERE rn = 1),
     probe AS (SELECT cid FROM c, q
-              ORDER BY list_dot_product(cv, qv)
-                       / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
-                       cid ASC
+              ORDER BY list_dot_product(cvn, qv) DESC, cid ASC
               LIMIT 2)
     SELECT a.vec_id, a.cell,
            round(list_dot_product(a.emb, q.qv)
@@ -318,5 +316,5 @@ def q86_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     cent_rows = e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows]
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = dict(centroids)[0]  # query = vec 0, already fetched — one collect total
     return sim.ivf_topk(e, "vec_id", "embedding", qvec, centroids, nprobe=2, k=10)

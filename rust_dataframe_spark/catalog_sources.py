@@ -1,0 +1,122 @@
+"""Catalog extension: file-format round-trips (SURVEY §2.1).
+
+Each query exercises a real write -> read cycle through one of the engine's
+file sinks/sources (rust_dataframe_spark/sources/files.py), then aggregates
+the read-back frame.  The DuckDB oracle aggregates the original parquet
+directly, so a PASS proves the format round-trip is lossless for the columns
+involved (types, quoting, null handling) — the same guarantee the reference
+established with its CSV/Arrow/Parquet round-trip tests
+(dataframe.rs:838-943).
+
+Scratch output goes under /tmp (never the read-only testdata); paths embed
+the scale-factor directory name so concurrent runs at different SFs don't
+collide.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import query, table
+from .sources import files as fs
+
+_SCRATCH = "/tmp/spark_graft_io"
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    return os.path.join(_SCRATCH, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}")
+
+
+_RT_AGG = """
+    SELECT count(*)                       AS n_rows,
+           count(s_name)                  AS n_names,
+           round(sum(s_acctbal), 2)       AS bal_sum,
+           min(s_name)                    AS min_name,
+           max(s_suppkey)                 AS max_key,
+           sum(s_nationkey)               AS nk_sum
+    FROM supplier
+"""
+
+
+@query("q90_csv_roundtrip", oracle=_RT_AGG)
+def q90_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip (reference from_csv dataframe.rs:349-389 /
+    to_csv 527-543): write supplier to CSV, read it back with an explicit
+    schema, aggregate.  The oracle aggregates the original parquet — equality
+    proves header/quoting/type fidelity through the text format."""
+    s = table(spark, sf_dir, "supplier")
+    path = _scratch("csv_supplier", sf_dir)
+    fs.write_csv(s, path)
+    back = fs.read_csv(
+        spark, path, schema="s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s_name").alias("n_names"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+        F.min("s_name").alias("min_name"),
+        F.max("s_suppkey").alias("max_key"),
+        F.sum("s_nationkey").cast("bigint").alias("nk_sum"),
+    )
+
+
+@query(
+    "q91_json_roundtrip",
+    oracle="""
+    SELECT count(*)                          AS n_rows,
+           round(sum(o_totalprice), 2)       AS price_sum,
+           min(o_orderpriority)              AS min_prio,
+           CAST(max(o_orderdate) AS VARCHAR) AS max_date
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def q91_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited JSON round-trip (reference from_json dataframe.rs:
+    409-448; JSON write was a roadmap stub, README.md:66-68 — implemented
+    here): timestamps survive via ISO serialization + schema-driven parse."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    path = _scratch("json_orders", sf_dir)
+    fs.write_json(o, path)
+    back = fs.read_json(
+        spark,
+        path,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderdate").cast("string").alias("max_date"),
+    )
+
+
+@query(
+    "q92_partitioned_parquet",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                 AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem WHERE l_orderkey < 5000
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q92_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet write + partition-pruned read — the 100 TB
+    layout lever (write once partitioned by the filter column; every later
+    scan prunes directories instead of reading data).  Round-trips through
+    sources/files.write_parquet(partition_by=['l_returnflag'])."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    path = _scratch("pq_lineitem", sf_dir)
+    fs.write_parquet(
+        li.select("l_orderkey", "l_quantity", "l_returnflag"), path,
+        partition_by=["l_returnflag"],
+    )
+    back = fs.read_parquet(spark, path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag")
+    )

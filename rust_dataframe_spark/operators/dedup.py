@@ -184,9 +184,13 @@ def near_dup_pairs(
     rows_per_band = num_hashes // bands
     # widen() repairs scan parallelism on narrow inputs (no-op at scale) —
     # shingling + hashing is the compute-heavy stage and must use every core.
+    # No array_distinct here: MinHash is multiset-invariant (duplicate
+    # shingles can't change a min), and the dedup pass costs ~40% of the
+    # whole signature stage.  The verify stage below distincts, where set
+    # semantics actually matter.
     sh = widen(df).select(
         F.col(id_col),
-        F.array_distinct(shingle(F.col(text_col), shingle_n)).alias("shingles"),
+        shingle(F.col(text_col), shingle_n).alias("shingles"),
     )
     # Persist only the signatures (k hex strings per doc — the compact
     # artifact); without this the shingle+minhash lineage would recompute for

@@ -100,14 +100,22 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: list[tuple[i
     here it is injectable so tests and the SQL oracle can replay a
     deterministic quantizer.
     """
+    import math
+
     emb = as_double(F.col(vec_col))
-    structs = [
-        F.struct(
-            cosine(emb, F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
-            F.lit(-cid).alias("negid"),
+    # argmax_c cosine(v, c) == argmax_c dot(v, c/||c||): ||v|| is constant
+    # across centroids, and centroid norms fold into the literals driver-side.
+    # One dot product per centroid per row instead of dot + two norms + sqrt.
+    structs = []
+    for cid, cv in centroids:
+        nrm = math.sqrt(sum(x * x for x in cv))
+        cvn = [x / nrm for x in cv]
+        structs.append(
+            F.struct(
+                _dot(emb, F.array(*[F.lit(x) for x in cvn])).alias("sim"),
+                F.lit(-cid).alias("negid"),
+            )
         )
-        for cid, cv in centroids
-    ]
     best = F.greatest(*structs)
     return df.select(F.col(id_col), (-best["negid"]).alias("cell"), F.col(vec_col))
 

@@ -168,3 +168,36 @@ class TestMultimodal:
         f = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
         out = mm.extract_features(mm.attach_payload(f, "doc_id", "text"))
         assert out.schema == mm.FEATURE_SCHEMA
+
+
+class TestSkew:
+    def test_salted_join_matches_plain(self, spark):
+        from rust_dataframe_spark.operators import skew
+
+        # hot key: 900 of 1000 rows share key 7
+        big = spark.range(1000).select(
+            F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.createDataFrame(
+            [(7, "hot"), (950, "cold"), (999, "cold")], "k bigint, name string"
+        )
+        plain = big.join(small, "k").select("k", "v", "name")
+        salted = skew.salted_join(big, small, "k", n_salts=4).select("k", "v", "name")
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    def test_salted_join_left_keeps_unmatched(self, spark):
+        from rust_dataframe_spark.operators import skew
+
+        big = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+        small = spark.createDataFrame([(1, "x")], "k bigint, name string")
+        out = skew.salted_join(big, small, "k", n_salts=3, how="left").collect()
+        got = {(r["k"], r["name"]) for r in out}
+        assert got == {(1, "x"), (2, None)}
+
+    def test_salted_agg_count(self, spark):
+        from rust_dataframe_spark.operators import skew
+
+        df = spark.range(500).select((F.col("id") % 3).alias("k"))
+        out = {r["k"]: r["count"] for r in skew.salted_agg_count(df, "k", n_salts=4).collect()}
+        assert out == {0: 167, 1: 167, 2: 166}
