@@ -230,3 +230,66 @@ def q25_with_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.col("rid")).alias("n_ids"),
     )
+
+
+@query(
+    "q33_sort_nulls",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'F') AS st,
+             round(o_totalprice, 2) AS total
+      FROM orders WHERE o_orderkey < 400
+    )
+    SELECT o_orderkey, st, total FROM t
+    ORDER BY st DESC NULLS FIRST, total ASC NULLS LAST, o_orderkey
+    LIMIT 150
+    """,
+)
+def q33_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four nulls-placement sort variants exist in our API; the reference
+    declared `nulls_first` but hard-coded it off at execution
+    (expression.rs:305-318 — SURVEY §2.6 do-not-reproduce).  Nulls are
+    manufactured with nullif so both engines sort the same data."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("st"),
+        F.round("o_totalprice", 2).alias("total"),
+    ).orderBy(
+        F.col("st").desc_nulls_first(), F.col("total").asc_nulls_last(), F.col("o_orderkey")
+    ).limit(150)
+    # the LIMIT makes null placement load-bearing for the order-insensitive
+    # value check: nulls-last would select a disjoint row set
+
+
+@query(
+    "q34_predicate_ast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE NOT (l_returnflag = 'A')
+      AND (l_quantity >= 49.0 OR l_discount <= 0.01)
+      AND l_linenumber <> 7
+      AND l_shipdate IS NOT NULL
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 200
+    """,
+)
+def q34_predicate_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BooleanFilter AST (reference expression.rs:745-870): Not, And,
+    Or, Ne, Ge, Le over scalar and column operands — typed comparisons, not
+    the reference's everything-to-Float64 coercion (expression.rs:843-845,
+    SURVEY §2.3 deviation note)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (~(F.col("l_returnflag") == "A"))
+            & ((F.col("l_quantity") >= 49.0) | (F.col("l_discount") <= 0.01))
+            & (F.col("l_linenumber") != 7)
+            & F.col("l_shipdate").isNotNull()
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )

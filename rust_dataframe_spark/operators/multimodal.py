@@ -28,7 +28,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["attach_payload", "FEATURE_SCHEMA", "extract_features", "decode_image"]
+__all__ = [
+    "attach_payload",
+    "FEATURE_SCHEMA",
+    "FRAME_SCHEMA",
+    "extract_features",
+    "decode_image",
+    "resize_images",
+    "sample_frames",
+]
 
 # Output schema of the feature-extraction stage — fixed and explicit, because
 # mapInPandas cannot infer it.
@@ -100,3 +108,90 @@ def extract_features(mm_df: DataFrame, *, fake_decode: bool = True) -> DataFrame
             )
 
     return mm_df.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def resize_images(
+    mm_df: DataFrame, *, width: int, height: int, fake_decode: bool = True
+) -> DataFrame:
+    """Resize every image payload to (width, height) — Arrow-batched, 1:1.
+
+    STUB decode/encode (real path: PIL/opencv decode -> resize -> re-encode);
+    the fake emits a deterministic payload (md5 of input ++ target dims) so
+    tests can assert the plumbing: schema preserved, meta dims updated,
+    payload replaced, row count unchanged.
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def _resize(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake_decode:  # pragma: no cover - real decoder absent here
+                raise NotImplementedError("image resize requires PIL/opencv")
+            payloads = [
+                hashlib.md5(bytes(p) + f"|{width}x{height}".encode()).digest()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return mm_df.mapInPandas(_resize, out_schema)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    mm_df: DataFrame, *, n_frames: int = 4, fps_ms: int = 1000, fake_decode: bool = True
+) -> DataFrame:
+    """Sample ``n_frames`` frames from each video payload — the 1->N batch
+    shape (one input row yields several output rows inside one Arrow batch).
+
+    STUB decode (real path: pyav/ffmpeg seek + decode); the fake derives each
+    frame deterministically from (payload, frame_idx).  The partitioning
+    story survives the fake: output inherits the input's partitioning, so a
+    downstream per-frame feature stage needs no extra shuffle.
+    """
+
+    def _sample(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake_decode:  # pragma: no cover - real decoder absent here
+                raise NotImplementedError("frame sampling requires pyav/ffmpeg")
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * fps_ms)
+                    frames.append(hashlib.md5(bytes(p) + f"|f{i}".encode()).digest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
+            )
+
+    return mm_df.mapInPandas(_sample, FRAME_SCHEMA)

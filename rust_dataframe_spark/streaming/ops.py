@@ -19,6 +19,7 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_counts",
+    "stateful_running_counts",
     "run_available_now",
 ]
 
@@ -87,7 +88,40 @@ def session_counts(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def stateful_running_counts(events: DataFrame, *, key_col: str = "user_id") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``: a
+    per-key event counter that accumulates across micro-batches.
+
+    The built-in windowed aggs cover time-bucketed state; this is the escape
+    hatch for state the built-ins can't express (running dedup sets, ML
+    feature decay, per-entity session machines).  State here is one long per
+    key; each micro-batch emits the key's new cumulative total (update mode).
+
+    Scale: state lives in the state store partitioned by key — the shuffle is
+    on ``key_col`` only, and Arrow batches keep the Python hop vectorized.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [total]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} int, n_events long",
+        stateStructType="n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, *, output_mode: str = "complete", **read_opts
+) -> DataFrame:
     """Execute a streaming query over all currently-available input
     (Trigger.AvailableNow), collect results from the memory sink, stop.
 
@@ -97,7 +131,7 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -201,3 +201,27 @@ class TestSkew:
         df = spark.range(500).select((F.col("id") % 3).alias("k"))
         out = {r["k"]: r["count"] for r in skew.salted_agg_count(df, "k", n_salts=4).collect()}
         assert out == {0: 167, 1: 167, 2: 166}
+
+
+class TestMultimodalTransforms:
+    def test_resize_updates_dims_and_payload(self, spark):
+        f = spark.createDataFrame([(1, "hello"), (2, "worlds")], "doc_id bigint, text string")
+        pay = mm.attach_payload(f, "doc_id", "text")
+        out = {r["doc_id"]: r for r in mm.resize_images(pay, width=224, height=224).collect()}
+        assert len(out) == 2
+        assert out[1]["width"] == 224 and out[1]["height"] == 224
+        import hashlib
+        assert bytes(out[1]["payload"]) == hashlib.md5(b"hello|224x224").digest()
+
+    def test_sample_frames_one_to_n(self, spark):
+        f = spark.createDataFrame([(1, "vid-a"), (2, "vid-b")], "doc_id bigint, text string")
+        pay = mm.attach_payload(f, "doc_id", "text")
+        out = mm.sample_frames(pay, n_frames=3, fps_ms=500).collect()
+        assert len(out) == 6  # 2 docs x 3 frames
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["frame_ts_ms"]))
+        assert sorted(by_doc[1]) == [(0, 0), (1, 500), (2, 1000)]
+        # frames deterministic and distinct per index
+        frames = {bytes(r["frame"]) for r in out}
+        assert len(frames) == 6

@@ -67,3 +67,34 @@ def test_sliding_stream(spark, events):
     rows = out.collect()
     assert len(rows) > 5  # overlapping windows > tumbling window count
     assert all(r["n_events"] > 0 for r in rows)
+
+
+def test_stateful_counts_accumulate_across_batches(spark, tmp_path_factory):
+    # two separate files + maxFilesPerTrigger=1 => two micro-batches; the
+    # per-user totals must carry state across the batch boundary
+    p = str(tmp_path_factory.mktemp("stateful") / "ev")
+    f1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:01:00"), (2, "2024-01-01 00:02:00")],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    f2 = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00"), (3, "2024-01-01 01:01:00")],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    f1.coalesce(1).write.mode("overwrite").parquet(p)
+    f2.coalesce(1).write.mode("append").parquet(p)
+
+    schema = spark.read.parquet(p).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p)
+    )
+    out = st.run_available_now(
+        st.stateful_running_counts(stream, key_col="user_id"), "t_stateful",
+        output_mode="update",
+    )
+    # memory sink in update mode appends one row per key per batch; the max
+    # per key is the final cumulative state
+    rows = out.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+    totals = {r["user_id"]: r["n"] for r in rows}
+    assert totals[1] == 3  # accumulated across both micro-batches
+    assert totals.get(2) == 1 and totals.get(3) == 1
