@@ -42,6 +42,8 @@ HEADLINE = [
     "q61_explode_wordcount",
     "q84_event_tumbling",
     "q85_sessionization",
+    "q87_asof_join",
+    "q88_range_join",
     # LLM-pipeline extensions
     "q70_exact_dedup",
     "q72_lsh_near_dup",

@@ -555,3 +555,89 @@ def q85_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal): as-of and range — SURVEY §2.4 upside
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q87_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts, max(value) AS p_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, round(c.value, 4) AS click_value,
+           p.ts AS r_ts, round(p.p_value, 4) AS r_p_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def q87_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.asof_join): every click matched to the
+    user's latest purchase at-or-before it.  Spark has no ASOF built-in; the
+    operator composes union + running last(ignorenulls) window — one shuffle
+    on user_id.  DuckDB's native ASOF JOIN is the oracle.  The right side is
+    deduped per (user, ts) so both engines resolve equal-ts ties identically.
+    """
+    from .operators import temporal as tp
+
+    e = load_events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    out = tp.asof_join(clicks, purch, "user_id", "ts", direction="backward")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("click_value"),
+        "r_ts",
+        F.round("r_p_value", 4).alias("r_p_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q88_range_join",
+    oracle="""
+    WITH bands(label, lo, hi) AS (
+      VALUES ('low', 0.0, 9.5), ('mid', 9.5, 27.25), ('high', 27.0, 50.0)
+    )
+    SELECT b.label,
+           count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS price_sum
+    FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+    GROUP BY b.label ORDER BY b.label
+    """,
+)
+def q88_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (operators/temporal.range_join): rows land in every
+    band containing their value (bands deliberately overlap at 27.0-27.25 and
+    touch at 9.5 — inclusive bounds mean boundary rows match both).  The
+    operator buckets both sides (width 8) so the match is a hash join on the
+    bucket, not a nested-loop BETWEEN — the shape that survives two large
+    sides."""
+    from .operators import temporal as tp
+
+    li = table(spark, sf_dir, "lineitem")
+    bands = li.sparkSession.createDataFrame(
+        [("low", 0.0, 9.5), ("mid", 9.5, 27.25), ("high", 27.0, 50.0)],
+        "label string, lo double, hi double",
+    )
+    out = tp.range_join(li, "l_quantity", bands, "lo", "hi", bucket_width=8.0)
+    return (
+        out.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("price_sum"))
+        .orderBy("label")
+    )

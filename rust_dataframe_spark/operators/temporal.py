@@ -1,0 +1,120 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+interval/range join — composed from shuffle-bounded DataFrame primitives
+(SURVEY §2.4 notes both as absent from the reference too; they're table
+stakes for time-series and training-data feature pipelines).
+
+* **asof_join** — for every left row, the nearest right row at-or-before
+  (backward) / at-or-after (forward) its timestamp, per key.  Implemented
+  with the union + running ``last(ignorenulls)`` window trick: ONE shuffle on
+  the key (same cost as a plain equi join), no range explosion, no UDF.  The
+  naive alternative — non-equi join + per-left-row argmax — is O(n*m) per
+  key and collapses at scale.
+* **range_join** — equi-join rows to the interval(s) containing them.  The
+  naive BETWEEN theta-join degenerates to a broadcast nested loop; this
+  implementation buckets both sides by a fixed width (intervals explode into
+  every bucket they overlap), equi-joins on the bucket, then applies the
+  exact BETWEEN as a post-filter — turning an O(n*m) comparison into a
+  shuffle-on-bucket hash join.  Pick ``bucket_width`` ≈ median interval
+  length; wider means fewer replicas, narrower means tighter post-filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    direction: str = "backward",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the nearest right row whose
+    ``ts_col`` is <= (backward) or >= (forward) the left row's, matching on
+    ``key_col``.  Ties at equal timestamps match (inclusive).  Unmatched left
+    rows keep nulls (left-join semantics).
+
+    Right payload columns come back prefixed with ``right_prefix`` (including
+    the matched right timestamp as ``<prefix><ts_col>``).
+
+    Scale: one shuffle (window partitioned by key).  For a hot key, pre-split
+    it by coarse time bucket (partitionBy(key, window(ts))) and as-of join
+    within buckets, seeding each bucket with the previous bucket's last row.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload = [c for c in right.columns if c not in (key_col, ts_col)]
+    clash = {right_prefix + c for c in payload + [ts_col]} & set(left.columns)
+    if clash:
+        raise ValueError(f"left columns collide with prefixed right columns: {sorted(clash)}")
+
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(ts_col).alias(right_prefix + ts_col),
+        *[F.col(c).alias(right_prefix + c) for c in payload],
+    ).withColumn("__side", F.lit(0))
+    l = left.withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    # right rows (__side 0) sort before left rows at equal ts -> inclusive match
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_order, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = [
+        F.last(F.col(right_prefix + c), ignorenulls=True).over(w).alias(right_prefix + c)
+        for c in [ts_col] + payload
+    ]
+    return (
+        u.select(*left.columns, F.col("__side"), *filled)
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )
+
+
+def range_join(
+    left: DataFrame,
+    value_col: str,
+    bands: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    *,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each left row to every band whose [lo, hi] interval (inclusive)
+    contains ``value_col``.  Implemented as a bucketed equi join: bands
+    replicate into each ``bucket_width``-sized bucket they overlap, rows hash
+    to their single bucket, the exact BETWEEN filters the bucket-collisions.
+
+    With a small band table Catalyst broadcasts it and the bucket column
+    folds away; the bucketing is what keeps this a hash join when BOTH sides
+    are large (the case Spark would otherwise plan as a nested loop).
+    """
+    bw = float(bucket_width)
+    b = bands.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bw).cast("long"),
+                F.floor(F.col(hi_col) / bw).cast("long"),
+            )
+        ),
+    )
+    lb = left.withColumn("__b", F.floor(F.col(value_col) / bw).cast("long"))
+    out = lb.join(
+        b,
+        (lb["__b"] == b["__b"])
+        & (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) <= F.col(hi_col)),
+        how,
+    )
+    return out.drop("__b")

@@ -225,3 +225,41 @@ class TestMultimodalTransforms:
         # frames deterministic and distinct per index
         frames = {bytes(r["frame"]) for r in out}
         assert len(frames) == 6
+
+
+class TestTemporalJoins:
+    def test_asof_backward(self, spark):
+        from rust_dataframe_spark.operators import temporal as tp
+
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 50, "d")],
+            "k bigint, ts bigint, v string",
+        )
+        right = spark.createDataFrame(
+            [(1, 5, 100.0), (1, 20, 200.0), (1, 30, 300.0)], "k bigint, ts bigint, p double"
+        )
+        out = {r["v"]: (r["r_ts"], r["r_p"]) for r in tp.asof_join(left, right, "k", "ts").collect()}
+        assert out["a"] == (5, 100.0)    # latest at-or-before 10
+        assert out["b"] == (20, 200.0)   # equal ts matches (inclusive)
+        assert out["c"] == (5, 100.0)    # equal ts at 5
+        assert out["d"] == (None, None)  # key 2 has no right rows
+
+    def test_asof_forward(self, spark):
+        from rust_dataframe_spark.operators import temporal as tp
+
+        left = spark.createDataFrame([(1, 10, "a"), (1, 31, "b")], "k bigint, ts bigint, v string")
+        right = spark.createDataFrame([(1, 5, 100.0), (1, 30, 300.0)], "k bigint, ts bigint, p double")
+        out = {r["v"]: r["r_ts"] for r in tp.asof_join(left, right, "k", "ts", direction="forward").collect()}
+        assert out["a"] == 30    # earliest at-or-after 10
+        assert out["b"] is None  # nothing after 31
+
+    def test_range_join_inclusive_and_overlap(self, spark):
+        from rust_dataframe_spark.operators import temporal as tp
+
+        rows = spark.createDataFrame([(1, 9.5), (2, 20.0), (3, 99.0)], "id bigint, v double")
+        bands = spark.createDataFrame(
+            [("lo", 0.0, 9.5), ("mid", 9.5, 30.0)], "label string, lo double, hi double"
+        )
+        out = tp.range_join(rows, "v", bands, "lo", "hi", bucket_width=7.0).collect()
+        got = sorted((r["id"], r["label"]) for r in out)
+        assert got == [(1, "lo"), (1, "mid"), (2, "mid")]  # 9.5 in both; 99 unmatched
