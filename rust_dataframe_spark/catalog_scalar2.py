@@ -293,3 +293,56 @@ def q34_predicate_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber")
         .limit(200)
     )
+
+
+@query(
+    "q03_projection_verbs",
+    oracle="""
+    SELECT l_orderkey AS okey,
+           l_linenumber,
+           CAST(l_quantity AS INT) AS qty_int,
+           round(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_orderkey < 200
+    ORDER BY okey, l_linenumber
+    """,
+)
+def q03_projection_verbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The projection verb chain as one query: select -> drop ->
+    with_column_renamed -> cast (reference dataframe.rs:258-337, 116-124;
+    CastOperation operation/scalar.rs:95-137).  Catalyst collapses the chain
+    into a single Project over the pruned scan — verbs are free."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax")
+        .drop("l_tax")
+        .withColumnRenamed("l_orderkey", "okey")
+        .withColumn("qty_int", F.col("l_quantity").cast("int"))
+        .drop("l_quantity")
+        .withColumn("price", F.round("l_extendedprice", 2))
+        .drop("l_extendedprice")
+        .select("okey", "l_linenumber", "qty_int", "price")
+        .orderBy("okey", "l_linenumber")
+    )
+
+
+@query(
+    "q17_join_cross",
+    oracle="""
+    SELECT r.r_name, count(*) AS n_pairs, min(n.n_name) AS first_nation
+    FROM region r CROSS JOIN nation n
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)
+def q17_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (absent from the reference, SURVEY §2.4 'free upside') —
+    only ever sane when one side is tiny; Spark plans
+    BroadcastNestedLoopJoin.  Kept deliberately small (5 x 25)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.min("n_name").alias("first_nation"))
+        .orderBy("r_name")
+    )
