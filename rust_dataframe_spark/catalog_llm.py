@@ -641,3 +641,37 @@ def q88_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("price_sum"))
         .orderBy("label")
     )
+
+
+def _srp_neardup_oracle() -> str:
+    planes = sim.srp_planes(64, 8, seed=42)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(emb, ["
+        + ",".join(f"{c:.1f}" for c in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    cos = (
+        "list_dot_product(a.emb, b.emb)"
+        " / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb "
+        "FROM embeddings), "
+        f"bk AS (SELECT vec_id, emb, {bits} AS bucket FROM e) "
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim "
+        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+        f"WHERE {cos} >= 0.35 "
+        "ORDER BY id_a, id_b"
+    )
+
+
+@query("q89_srp_near_dup", oracle=_srp_neardup_oracle())
+def q89_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup end-to-end at scale (operators/similarity.
+    srp_near_dup): SRP buckets generate candidates, exact cosine verifies —
+    the same candidates-then-verify shape as MinHash-LSH, replacing the
+    O(n^2) all-pairs join of q76 with per-bucket blocks."""
+    e = table(spark, sf_dir, "embeddings")
+    out = sim.srp_near_dup(e, "vec_id", "embedding", n_planes=8, seed=42, threshold=0.35)
+    return out.orderBy("id_a", "id_b")

@@ -29,6 +29,7 @@ __all__ = [
     "srp_planes",
     "srp_bucket",
     "srp_candidates",
+    "srp_near_dup",
     "ivf_assign",
     "ivf_topk",
 ]
@@ -87,6 +88,45 @@ def srp_bucket(vec_col, planes: list[list[float]]):
         for plane in planes
     ]
     return F.concat(*bits)
+
+
+def srp_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_planes: int = 8,
+    seed: int = 42,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: SRP-bucket candidates, then
+    exact-cosine verify — the candidates-then-verify shape (same as
+    MinHash-LSH for text) that replaces the O(n^2) all-pairs cosine join.
+
+    Returns (id_a, id_b, cos_sim rounded 6dp) for same-bucket pairs with
+    cosine >= threshold.  Recall is governed by n_planes: P(same bucket) =
+    (1 - theta/pi)^n_planes; run b independent plane sets (different seeds)
+    and union for higher recall.
+
+    Scale: bucketing is a narrow map; the self-join shuffles (id, bucket)
+    pairs; vectors travel only for candidate pairs (two hash joins on id).
+    """
+    buckets = srp_candidates(df, id_col, vec_col, n_planes=n_planes, seed=seed)
+    a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), F.col("bucket").alias("bucket_b"))
+    cands = a.join(
+        b, (a["bucket"] == b["bucket_b"]) & (a["id_a"] < b["id_b"])
+    ).select("id_a", "id_b")
+    va = df.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("emb_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("emb_b"))
+    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("raw"))
+        .filter(F.col("raw") >= threshold)
+        .select("id_a", "id_b", F.round("raw", 6).alias("cos_sim"))
+    )
 
 
 def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: list[tuple[int, list[float]]]):

@@ -58,3 +58,46 @@ def test_filter_scan_reads_two_columns_only(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     df = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
     assert set(pi.read_schema_columns(df)) == {"l_orderkey", "l_quantity"}
+
+
+def test_asof_join_single_exchange(spark):
+    """The union+window as-of join must cost exactly one shuffle (on the key),
+    like a plain equi join — the whole point vs a non-equi theta join."""
+    from rust_dataframe_spark.operators import temporal as tp
+
+    left = spark.createDataFrame([(1, 10, "a")], "k bigint, ts bigint, v string")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k bigint, ts bigint, p double")
+    out = tp.asof_join(left, right, "k", "ts")
+    assert pi.exchange_count(out) == 1
+
+
+def test_range_join_is_hash_join(spark):
+    """Bucketed range join plans as a hash join (broadcast here — small
+    bands), never BroadcastNestedLoopJoin on the BETWEEN predicate."""
+    from rust_dataframe_spark.operators import temporal as tp
+
+    rows = spark.range(1000).select(F.col("id"), (F.col("id") % 50).cast("double").alias("v"))
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 30.0)], "label string, lo double, hi double"
+    )
+    out = tp.range_join(rows, "v", bands, "lo", "hi", bucket_width=8.0)
+    plan = pi.physical_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Hive-partitioned layout: a filter on the partition column must show up
+    as PartitionFilters (directory pruning), not a data filter."""
+    from rust_dataframe_spark.sources import files as fs
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "part_lineitem")
+    fs.write_parquet(li, path, partition_by=["l_returnflag"])
+    back = fs.read_parquet(spark, path).filter(F.col("l_returnflag") == "A")
+    plan = pi.formatted_plan(back)
+    assert "PartitionFilters" in plan
+    line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "l_returnflag" in line
