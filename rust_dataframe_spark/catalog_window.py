@@ -189,3 +189,37 @@ def q54_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q58_window_value_fns",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           first_value(o_orderkey) OVER w AS first_k,
+           last_value(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_k,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_k
+    FROM orders WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def q58_window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over explicit frames — last/nth need
+    the full-partition frame (the default RANGE..CURRENT ROW frame makes
+    last_value just the current row, a classic window pitfall both engines
+    share)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w_run = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    w_full = w_run.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w_run).alias("first_k"),
+        F.last("o_orderkey").over(w_full).alias("last_k"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_k"),
+    ).orderBy("o_orderkey")

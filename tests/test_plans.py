@@ -101,3 +101,31 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert "PartitionFilters" in plan
     line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
     assert "l_returnflag" in line
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Co-located bucketed tables: same key, same bucket count -> the join
+    itself needs no shuffle (the one exchange below is the later groupBy)."""
+    from rust_dataframe_spark.sources import files as fs
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_orderstatus")
+    fs.write_bucketed(li, "t_li_bucketed", ["l_orderkey"], 8,
+                      path=str(tmp_path / "li"), sort_cols=["l_orderkey"])
+    fs.write_bucketed(o, "t_o_bucketed", ["o_orderkey"], 8,
+                      path=str(tmp_path / "o"), sort_cols=["o_orderkey"])
+    try:
+        a, b = spark.table("t_li_bucketed"), spark.table("t_o_bucketed")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.join(b, a["l_orderkey"] == b["o_orderkey"]).groupBy("o_orderstatus").count()
+            plan = pi.physical_plan(j)
+            assert "SortMergeJoin" in plan
+            # only the groupBy exchange — the join reads bucket-aligned scans
+            assert pi.exchange_count(j) == 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
