@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis): operator semantics hold for arbitrary
+inputs, not just the fixtures — the upgrade over the reference's test
+strategy (SURVEY §5: it had only hand-picked golden files).
+
+Examples are kept small (Spark job per example); deadline disabled because
+JVM scheduling jitter, not the logic, dominates wall time.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from rust_dataframe_spark.frame import Frame, SortCriteria
+
+# a value pool with the edge cases the reference's 002.sql fixtures cared
+# about: nulls, duplicates, negatives, ±inf (NaN excluded: SQL orderings of
+# NaN differ across engines and Python — covered by targeted unit tests)
+_vals = st.one_of(
+    st.none(),
+    st.integers(min_value=-5, max_value=5).map(float),
+    st.sampled_from([math.inf, -math.inf, 0.0]),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_vals, min_size=0, max_size=12), st.booleans(), st.booleans())
+def test_sort_matches_python_semantics(spark, xs, descending, nulls_first):
+    """Frame.sort == Python sort with explicit null placement, any data."""
+    f = Frame(spark.createDataFrame([(x,) for x in xs], "v double"))
+    out = [r["v"] for r in f.sort([SortCriteria("v", descending, nulls_first)]).collect()]
+
+    nulls = [x for x in xs if x is None]
+    rest = sorted([x for x in xs if x is not None], reverse=descending)
+    expected = nulls + rest if nulls_first else rest + nulls
+    assert out == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(-3, 3)), min_size=0, max_size=10),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(-3, 3)), min_size=0, max_size=6),
+)
+def test_range_join_equals_naive_between(spark, rows, bands):
+    """Bucketed range_join == the naive BETWEEN cross-filter, any intervals
+    (including empty, inverted, overlapping, and boundary-touching ones)."""
+    from rust_dataframe_spark.operators import temporal as tp
+
+    rdf = spark.createDataFrame(
+        [(i, float(v)) for i, (_, v) in enumerate(rows)] or [(0, 0.0)], "id bigint, v double"
+    ) if rows else None
+    if rdf is None:
+        return
+    bdf = spark.createDataFrame(
+        [(str(i), float(min(lo, lo + w)), float(lo + w) if w >= 0 else float(lo))
+         for i, (lo, w) in enumerate(bands)] or [("x", 1.0, 0.0)],
+        "label string, lo double, hi double",
+    )
+    got = sorted(
+        (r["id"], r["label"])
+        for r in tp.range_join(rdf, "v", bdf, "lo", "hi", bucket_width=2.0).collect()
+    )
+    bands_py = [(str(i), min(lo, lo + w), (lo + w) if w >= 0 else lo) for i, (lo, w) in enumerate(bands)] or [("x", 1.0, 0.0)]
+    expected = sorted(
+        (i, lab)
+        for i, (_, v) in enumerate(rows)
+        for (lab, lo, hi) in bands_py
+        if lo <= v <= hi
+    )
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 9)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 9)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_join_matches_naive(spark, lrows, rrows):
+    """asof_join == per-row python argmax of at-or-before right rows."""
+    from rust_dataframe_spark.operators import temporal as tp
+
+    if not lrows:
+        return
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _) in enumerate(lrows)], "k bigint, ts bigint, lid bigint"
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(p)) for (k, t, p) in rrows] or [(99, 0, 0.0)],
+        "k bigint, ts bigint, p double",
+    )
+    rrows_eff = rrows or [(99, 0, 0.0)]
+    out = {r["lid"]: (r["r_ts"], r["r_p"]) for r in tp.asof_join(left, right, "k", "ts").collect()}
+    assert len(out) == len(lrows)
+    for i, (k, t, _) in enumerate(lrows):
+        cands = [(rt, float(p)) for (rk, rt, p) in rrows_eff if rk == k and rt <= t]
+        expected = max(cands) if cands else (None, None)
+        # ties on ts resolved by max p? rrows unique on (k, ts) so ts is unique per key
+        assert out[i] == expected, (i, k, t, cands)
