@@ -318,3 +318,43 @@ def q86_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows]
     qvec = dict(centroids)[0]  # query = vec 0, already fetched — one collect total
     return sim.ivf_topk(e, "vec_id", "embedding", qvec, centroids, nprobe=2, k=10)
+
+
+@query(
+    "q59_scalar_misc",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate,
+             CASE WHEN l_linenumber = 3 THEN 'NaN'::DOUBLE ELSE l_quantity END AS maybe_nan
+      FROM lineitem WHERE l_orderkey < 300
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(position('1' IN CAST(l_orderkey AS VARCHAR)) AS INT)        AS v_locate,
+           CASE WHEN isnan(maybe_nan) THEN -1.0 ELSE maybe_nan END          AS v_nanvl,
+           round_even(l_quantity + 0.5, 0)                                  AS v_rint,
+           CAST((((-l_orderkey)::HUGEINT & 18446744073709551615) >> 3) AS BIGINT) AS v_srl,
+           (l_shipdate AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'  AS v_from_utc,
+           CAST(timezone('Asia/Tokyo', l_shipdate) AS TIMESTAMP)            AS v_to_utc
+    FROM t ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q59_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last scalar stragglers (reference stubs: locate scalar.rs:290, nanvl
+    343, rint 370, shift_right_unsigned 393, from_utc_timestamp 263,
+    to_utc_timestamp 462).  rint is half-even (DuckDB round_even);
+    shiftrightunsigned on negatives replayed with a HUGEINT mask; timezone
+    conversions hit the 1992-98 US/Japan DST tables on both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    maybe_nan = F.when(F.col("l_linenumber") == 3, F.lit(float("nan"))).otherwise(
+        F.col("l_quantity")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.locate("1", F.col("l_orderkey").cast("string")).alias("v_locate"),
+        F.nanvl(maybe_nan, F.lit(-1.0)).alias("v_nanvl"),
+        F.rint(F.col("l_quantity") + 0.5).alias("v_rint"),
+        F.shiftrightunsigned(-F.col("l_orderkey"), 3).alias("v_srl"),
+        F.from_utc_timestamp("l_shipdate", "America/New_York").alias("v_from_utc"),
+        F.to_utc_timestamp("l_shipdate", "Asia/Tokyo").alias("v_to_utc"),
+    ).orderBy("l_orderkey", "l_linenumber")
