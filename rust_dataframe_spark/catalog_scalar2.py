@@ -346,3 +346,25 @@ def q17_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"), F.min("n_name").alias("first_nation"))
         .orderBy("r_name")
     )
+
+
+_Q04_SQL = """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("q04_sql_api", oracle=_Q04_SQL)
+def q04_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: the exact same ANSI text runs through
+    ``spark.sql`` here and through DuckDB as the oracle — one dialect, two
+    engines, byte-identical query string.  Tables are registered as temp
+    views per scale-factor dir (Context.register_tables)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q04_SQL)

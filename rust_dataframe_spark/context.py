@@ -139,3 +139,13 @@ class Context:
     def table(self, sf_dir: str, name: str) -> DataFrame:
         """Load one of the standard test tables from a scale-factor dir."""
         return self.spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    # -- SQL entry point ------------------------------------------------------
+    def register_tables(self, sf_dir: str, names: list[str]) -> None:
+        """Expose parquet tables as temp views so ANSI SQL runs directly
+        (`ctx.sql(...)`) — the same text the DuckDB oracle executes."""
+        for n in names:
+            self.table(sf_dir, n).createOrReplaceTempView(n)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
