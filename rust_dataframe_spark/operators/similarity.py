@@ -111,22 +111,57 @@ def srp_near_dup(
     Scale: bucketing is a narrow map; the self-join shuffles (id, bucket)
     pairs; vectors travel only for candidate pairs (two hash joins on id).
     """
-    buckets = srp_candidates(df, id_col, vec_col, n_planes=n_planes, seed=seed)
+    # Exact-dup collapse first (same load-bearing step as dedup.near_dup_pairs):
+    # identical vectors share a bucket by construction, so duplicate groups
+    # inflate candidate pairs by O(group^2).  Verify once per distinct vector
+    # pair, expand through membership after.  The digest is internal — any
+    # stable hash works; md5 of the joined components is deterministic.
+    digest = F.md5(F.array_join(F.transform(F.col(vec_col), lambda x: x.cast("string")), ","))
+    h = df.select(F.col(id_col), F.col(vec_col), digest.alias("__h"))
+    mem = h.select("__h", F.col(id_col)).persist()
+    reps = mem.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    rep_vecs = reps.join(h, on=["__h", id_col]).select("__h", F.col(id_col), F.col(vec_col))
+
+    buckets = srp_candidates(rep_vecs, id_col, vec_col, n_planes=n_planes, seed=seed)
     a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), F.col("bucket").alias("bucket_b"))
     cands = a.join(
         b, (a["bucket"] == b["bucket_b"]) & (a["id_a"] < b["id_b"])
     ).select("id_a", "id_b")
-    va = df.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("emb_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("emb_b"))
+    va = rep_vecs.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("emb_a"))
+    vb = rep_vecs.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("emb_b"))
     cos = cosine(F.col("emb_a"), F.col("emb_b"))
-    return (
+    rep_pairs = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("raw"))
         .filter(F.col("raw") >= threshold)
         .select("id_a", "id_b", F.round("raw", 6).alias("cos_sim"))
+    ).persist()
+
+    ga = reps.select(F.col(id_col).alias("id_a"), F.col("__h").alias("__ha"))
+    gb = reps.select(F.col(id_col).alias("id_b"), F.col("__h").alias("__hb"))
+    ma = mem.select(F.col("__h").alias("__ha"), F.col(id_col).alias("m_a"))
+    mb = mem.select(F.col("__h").alias("__hb"), F.col(id_col).alias("m_b"))
+    cross = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .join(ma, "__ha")
+        .join(mb, "__hb")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            F.col("cos_sim"),
+        )
     )
+    # identical vectors: cosine rounds to exactly 1.0 (<=1-ulp off pre-round)
+    m1 = mem.select("__h", F.col(id_col).alias("id_a"))
+    m2 = mem.select(F.col("__h").alias("__h2"), F.col(id_col).alias("id_b"))
+    within = (
+        m1.join(m2, (m1["__h"] == m2["__h2"]) & (m1["id_a"] < m2["id_b"]))
+        .select("id_a", "id_b", F.lit(1.0).alias("cos_sim"))
+    )
+    return cross.unionByName(within)
 
 
 def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: list[tuple[int, list[float]]]):
