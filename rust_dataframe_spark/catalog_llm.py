@@ -675,3 +675,29 @@ def q89_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     out = sim.srp_near_dup(e, "vec_id", "embedding", n_planes=8, seed=42, threshold=0.35)
     return out.orderBy("id_a", "id_b")
+
+
+_Q93_ORACLE = (
+    "WITH RECURSIVE pairs AS ("
+    + _Q72_ORACLE.replace("ORDER BY id_a, id_b", "")
+    + "), edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+    "  UNION SELECT id_b, id_a FROM pairs), "
+    "reach(a, b) AS (SELECT DISTINCT a, a FROM edges"
+    "  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+    "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id"
+)
+
+
+@query("q93_dup_clusters", oracle=_Q93_ORACLE)
+def q93_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment (operators/dedup.dup_clusters): connected
+    components over the q72 near-dup pairs via iterative min-label
+    propagation — the catalog's one driver-coordinated iterative algorithm
+    (converges in diameter rounds; the driver sees only a 1-row convergence
+    check per round).  The oracle replays it as a DuckDB recursive-CTE
+    transitive closure + min over the reachable set."""
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = dd.near_dup_pairs(
+        corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    return dd.dup_clusters(pairs).orderBy("doc_id")

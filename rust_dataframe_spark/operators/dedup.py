@@ -36,6 +36,7 @@ __all__ = [
     "minhash_signatures_df",
     "lsh_candidate_pairs",
     "near_dup_pairs",
+    "dup_clusters",
     "simhash",
 ]
 
@@ -259,6 +260,60 @@ def near_dup_pairs(
         .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     )
     return cross.unionByName(within)
+
+
+def dup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", *, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document that appears
+    in a pair gets a ``cluster_id`` = the smallest doc id reachable through
+    the duplicate graph.  The production dedup decision is "keep cluster_id,
+    drop the rest" — pairs alone under-delete when duplicates chain
+    (A~B, B~C but A!~C).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels; converges in O(graph diameter) rounds
+    (near-dup graphs are shallow — dup clusters are cliques or short chains).
+    Each round is one join + one map-side-combined groupBy; the driver only
+    checks a one-row convergence count.  For planet-scale graphs swap in the
+    alternating large-star/small-star algorithm (same primitive ops, better
+    worst-case rounds).
+
+    Every round ``localCheckpoint``s the new labels — the essential move for
+    ANY iterative DataFrame algorithm: persist() caches data but the logical
+    plan still doubles per round (labels feeds both union branches), so by
+    round ~10 planning itself OOMs.  Checkpointing truncates the lineage to
+    the materialized result; plan size stays constant.  (Pinned by the
+    diameter-9 chain test, which OOMed without this.)
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    adj = fwd.unionByName(rev).distinct().persist()
+    labels = (
+        adj.select(F.col("src").alias("id"))
+        .distinct()
+        .select(F.col("id"), F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            adj.join(labels, adj["dst"] == labels["id"])
+            .select(adj["src"].alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(neigh).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    adj.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:

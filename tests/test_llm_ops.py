@@ -263,3 +263,21 @@ class TestTemporalJoins:
         out = tp.range_join(rows, "v", bands, "lo", "hi", bucket_width=7.0).collect()
         got = sorted((r["id"], r["label"]) for r in out)
         assert got == [(1, "lo"), (1, "mid"), (2, "mid")]  # 9.5 in both; 99 unmatched
+
+
+class TestDupClusters:
+    def test_chain_collapses_to_one_cluster(self, spark):
+        # A~B, B~C (A!~C directly) must land in one cluster via transitivity
+        pairs = spark.createDataFrame(
+            [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 1.0)], "id_a bigint, id_b bigint, jaccard double"
+        )
+        out = {r["doc_id"]: r["cluster_id"] for r in dd.dup_clusters(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_converges_on_long_chain(self, spark):
+        # path graph 0-1-2-...-9: diameter 9, still one cluster
+        pairs = spark.createDataFrame(
+            [(i, i + 1, 1.0) for i in range(9)], "id_a bigint, id_b bigint, jaccard double"
+        )
+        out = {r["doc_id"]: r["cluster_id"] for r in dd.dup_clusters(pairs).collect()}
+        assert set(out.values()) == {0} and len(out) == 10
