@@ -701,3 +701,36 @@ def q93_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4, threshold=0.8
     )
     return dd.dup_clusters(pairs).orderBy("doc_id")
+
+
+@query(
+    "q94_hash_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM h GROUP BY 1 ORDER BY split
+    """,
+)
+def q94_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/text.hash_split): bucket
+    by md5(key) so membership is a pure function of the key — reproducible
+    across engines, runs, and repartitioning (the property rand()-based
+    sample lacks; holdout rows can never leak into training on reprocess)."""
+    d = table(spark, sf_dir, "documents")
+    out = tx.hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )

@@ -115,3 +115,43 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("exact_fp"),
         F.md5(bag).alias("bag_fp"),
     )
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, *, salt: str = "") -> DataFrame:
+    """Deterministic content-addressed sample: keep rows where the first 8 hex
+    chars of md5(key || salt), read as a uint32, fall under fraction * 2^32.
+
+    Unlike ``df.sample`` (rand-seeded, partition-layout-dependent), this is
+    reproducible across runs, engines, and repartitioning — the property a
+    training-data pipeline needs so a holdout row NEVER leaks into training
+    regardless of when or where the split is recomputed.  Change ``salt`` to
+    draw an independent sample.
+    """
+    cutoff = int(fraction * (1 << 32))
+    h = F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8), 16, 10).cast("bigint")
+    return df.filter(h < cutoff)
+
+
+def hash_split(df: DataFrame, key_col: str, weights: dict[str, float], *, salt: str = "") -> DataFrame:
+    """Deterministic train/val/test split: adds a ``split`` column assigning
+    each row to a named bucket with probability proportional to its weight,
+    by the same uniform md5 hash as ``hash_sample``.  Weights must sum to 1.
+
+    Stable under reshuffling and incremental reprocessing: a document's
+    split is a pure function of its key — append-only pipelines can split
+    new data daily without touching (or leaking into) old splits.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    h = F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8), 16, 10).cast("bigint")
+    u = h / F.lit(float(1 << 32))  # uniform [0, 1)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        clause = F.when(u < acc, F.lit(name))
+        expr = clause if expr is None else expr.when(u < acc, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

@@ -281,3 +281,27 @@ class TestDupClusters:
         )
         out = {r["doc_id"]: r["cluster_id"] for r in dd.dup_clusters(pairs).collect()}
         assert set(out.values()) == {0} and len(out) == 10
+
+
+class TestHashSplit:
+    def test_split_deterministic_and_complete(self, spark):
+        df = spark.range(1000).select(F.col("id").alias("doc_id"))
+        out = tx.hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert sum(counts.values()) == 1000
+        assert 700 < counts["train"] < 900  # ~80% within binomial slack
+        # identical assignment on recompute and after repartition
+        again = tx.hash_split(df.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        a = {r["doc_id"]: r["split"] for r in out.collect()}
+        b = {r["doc_id"]: r["split"] for r in again.collect()}
+        assert a == b
+
+    def test_hash_sample_subset_property(self, spark):
+        df = spark.range(2000).select(F.col("id").alias("doc_id"))
+        s10 = {r["doc_id"] for r in tx.hash_sample(df, "doc_id", 0.1).collect()}
+        s30 = {r["doc_id"] for r in tx.hash_sample(df, "doc_id", 0.3).collect()}
+        assert s10 <= s30          # nested samples: smaller fraction is a subset
+        assert 100 < len(s10) < 320
+        salted = {r["doc_id"] for r in tx.hash_sample(df, "doc_id", 0.1, salt="v2").collect()}
+        assert salted != s10       # independent draw under a different salt
