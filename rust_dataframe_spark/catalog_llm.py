@@ -734,3 +734,39 @@ def q94_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "q95_repetition",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w
+               FROM documents WHERE doc_id < 200),
+    base AS (
+      SELECT doc_id, len(w) AS n_words,
+             round((length(text) - len(w) + 1) * 1.0 / len(w), 6) AS mean_word_len
+      FROM d
+    ),
+    wu AS (SELECT doc_id, unnest(w) AS g FROM d),
+    wc AS (SELECT doc_id, max(c) AS top_w FROM
+             (SELECT doc_id, g, count(*) AS c FROM wu GROUP BY doc_id, g)
+           GROUP BY doc_id),
+    bu AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS g
+           FROM d WHERE len(w) >= 2),
+    bc AS (SELECT doc_id, max(c) AS top_b FROM
+             (SELECT doc_id, g, count(*) AS c FROM bu GROUP BY doc_id, g)
+           GROUP BY doc_id)
+    SELECT b.doc_id, b.n_words, b.mean_word_len,
+           round(wc.top_w * 1.0 / b.n_words, 6) AS top_word_frac,
+           round(bc.top_b * 1.0 / greatest(b.n_words - 1, 1), 6) AS top_bigram_frac
+    FROM base b LEFT JOIN wc ON b.doc_id = wc.doc_id
+                LEFT JOIN bc ON b.doc_id = bc.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q95_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/text.repetition_stats):
+    top-word and top-bigram fractions + mean word length — the standard
+    boilerplate/spam signals applied before training-corpus inclusion."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return tx.repetition_stats(d, "doc_id", "text").orderBy("doc_id")

@@ -155,3 +155,59 @@ def hash_split(df: DataFrame, key_col: str, weights: dict[str, float], *, salt: 
         expr = clause if expr is None else expr.when(u < acc, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4-style filters):
+    mean word length, fraction of words that are the single most frequent
+    word, and fraction of word-bigrams that are the most frequent bigram.
+    High top-fractions mark boilerplate/spam for removal before training.
+
+    Shape: explode words/bigrams -> count per (doc, gram) -> max per doc —
+    two map-side-combined shuffles keyed by doc id, linear in corpus size;
+    the wide per-doc arrays never cross a shuffle.
+    """
+    words = F.split(F.col(text_col), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0)) - 0),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.round(
+            (F.length(F.col(text_col)) - F.size(words) + 1) / F.size(words), 6
+        ).alias("mean_word_len"),
+        words.alias("__w"),
+        F.when(F.size(words) >= 2, F.slice(bigrams, 1, F.size(words) - 1)).otherwise(
+            F.array()
+        ).alias("__b"),
+    )
+    wc = (
+        base.select(F.col(id_col), F.explode("__w").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_w"))
+    )
+    bc = (
+        base.select(F.col(id_col), F.explode("__b").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_b"))
+    )
+    return (
+        base.select(F.col(id_col), "n_words", "mean_word_len")
+        .join(wc, id_col, "left")
+        .join(bc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            "mean_word_len",
+            F.round(F.col("top_w") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(
+                F.col("top_b") / F.greatest(F.col("n_words") - 1, F.lit(1)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -305,3 +305,23 @@ class TestHashSplit:
         assert 100 < len(s10) < 320
         salted = {r["doc_id"] for r in tx.hash_sample(df, "doc_id", 0.1, salt="v2").collect()}
         assert salted != s10       # independent draw under a different salt
+
+
+class TestRepetition:
+    def test_repeated_doc_flags_high(self, spark):
+        rows = [
+            (1, "spam spam spam spam spam spam"),
+            (2, "the quick brown fox jumps high"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in tx.repetition_stats(df, "doc_id", "text").collect()}
+        assert out[1]["top_word_frac"] == 1.0
+        assert out[1]["top_bigram_frac"] == 1.0
+        assert out[2]["top_word_frac"] < 0.5
+        assert out[2]["n_words"] == 6
+
+    def test_single_word_doc_null_bigram(self, spark):
+        df = spark.createDataFrame([(1, "lonely")], "doc_id bigint, text string")
+        r = tx.repetition_stats(df, "doc_id", "text").first()
+        assert r["n_words"] == 1 and r["top_word_frac"] == 1.0
+        assert r["top_bigram_frac"] is None
