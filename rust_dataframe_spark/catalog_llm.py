@@ -770,3 +770,44 @@ def q95_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/spam signals applied before training-corpus inclusion."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return tx.repetition_stats(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "q96_decontamination",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, text FROM documents WHERE doc_id < 10
+    ),
+    cs AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+               i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS s
+      FROM documents WHERE doc_id >= 10
+    ),
+    bs AS (
+      SELECT bench_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+               i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS s
+      FROM bench
+    )
+    SELECT c.doc_id, b.bench_id, count(DISTINCT c.s) AS shared_ngrams
+    FROM cs c JOIN bs b ON c.s = b.s
+    GROUP BY c.doc_id, b.bench_id
+    HAVING count(DISTINCT c.s) >= 2
+    ORDER BY doc_id, bench_id
+    """,
+)
+def q96_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (operators/dedup.decontaminate): corpus docs
+    sharing >= 2 distinct 5-gram shingles with a benchmark set (docs 0-9
+    standing in as the eval set).  The benchmark's exploded shingles
+    broadcast; the corpus never shuffles until the per-pair hit counts."""
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= 10)
+    bench = d.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"), F.col("text")
+    )
+    out = dd.decontaminate(
+        corpus, bench, "doc_id", "text", "bench_id", "text", shingle_n=5, min_shared=2
+    )
+    return out.orderBy("doc_id", "bench_id")

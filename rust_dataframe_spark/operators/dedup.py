@@ -37,6 +37,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "near_dup_pairs",
     "dup_clusters",
+    "decontaminate",
     "simhash",
 ]
 
@@ -360,3 +361,43 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> Dat
     _simhash = F.pandas_udf(_simhash_fn, LongType())
 
     return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    *,
+    shingle_n: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents that share >=
+    ``min_shared`` distinct word n-grams with any benchmark document — the
+    standard train/test-contamination sweep run before training.
+
+    Shape: explode distinct shingles on both sides, equi-join on the shingle
+    string, count distinct shared shingles per (doc, bench) pair.  The
+    benchmark side is tiny relative to the corpus (eval sets are KBs-MBs), so
+    Catalyst broadcasts its exploded shingles and the corpus side streams
+    through map-side — no corpus shuffle at all until the per-pair count,
+    which is keyed on (doc, bench) hits only.  Returns
+    (id, bench_id, shared_ngrams) for flagged pairs.
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle(F.col(text_col), shingle_n))).alias("__s"),
+    )
+    b = benchmark.select(
+        F.col(bench_id_col).alias("__bid"),
+        F.explode(F.array_distinct(shingle(F.col(bench_text_col), shingle_n))).alias("__s"),
+    )
+    hits = c.join(F.broadcast(b), "__s")
+    return (
+        hits.groupBy(id_col, "__bid")
+        .agg(F.count_distinct("__s").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+        .select(F.col(id_col), F.col("__bid").alias("bench_id"), F.col("shared_ngrams"))
+    )

@@ -325,3 +325,37 @@ class TestRepetition:
         r = tx.repetition_stats(df, "doc_id", "text").first()
         assert r["n_words"] == 1 and r["top_word_frac"] == 1.0
         assert r["top_bigram_frac"] is None
+
+
+class TestDecontamination:
+    def test_flags_overlapping_doc(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (100, "alpha beta gamma delta epsilon zeta eta theta"),
+                (101, "totally unrelated words nothing shared here at all"),
+            ],
+            "doc_id bigint, text string",
+        )
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], "bench_id bigint, text string"
+        )
+        out = dd.decontaminate(
+            corpus, bench, "doc_id", "text", "bench_id", "text", shingle_n=5, min_shared=2
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["doc_id"] == 100 and r["bench_id"] == 1
+        assert r["shared_ngrams"] == 2  # two shared 5-gram windows
+
+    def test_below_threshold_not_flagged(self, spark):
+        corpus = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon unrelated tail words")],
+            "doc_id bigint, text string",
+        )
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], "bench_id bigint, text string"
+        )
+        out = dd.decontaminate(
+            corpus, bench, "doc_id", "text", "bench_id", "text", shingle_n=5, min_shared=2
+        ).collect()
+        assert out == []  # only one shared 5-gram => under min_shared
