@@ -811,3 +811,44 @@ def q96_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, bench, "doc_id", "text", "bench_id", "text", shingle_n=5, min_shared=2
     )
     return out.orderBy("doc_id", "bench_id")
+
+
+@query(
+    "q97_pii_scan",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0
+                          THEN ' contact user' || doc_id || '@example.com or https://ex.com/d?q=' || doc_id
+                          ELSE '' END AS text
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT)                                AS n_url,
+           CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS INT)                   AS n_phone
+    FROM t ORDER BY doc_id
+    """,
+)
+def q97_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scanning (operators/text.pii_scan): per-doc email/URL/phone match
+    counts.  The synthetic docs carry no PII, so every 5th doc gets a
+    deterministic injected email+URL inside the query — both engines build
+    the same corpus and must count the same spans."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or https://ex.com/d?q="),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tx.pii_scan(injected, "doc_id", "text").orderBy("doc_id")

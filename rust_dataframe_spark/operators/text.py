@@ -211,3 +211,39 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+_PII_PATTERNS = {
+    # deliberately simple, deterministic patterns — production would plug in
+    # a vetted library; the operator shape (count + redact, one projection)
+    # is what matters at scale
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Count PII-ish matches (emails, URLs, phone numbers) per document —
+    the routing signal for redact-vs-drop decisions in a cleaning pipeline.
+    Pure regexp_extract_all projections: elementwise, codegen'd, no shuffle.
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+            for name, pat in _PII_PATTERNS.items()
+        ],
+    )
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Replace PII-ish spans with typed placeholders (``<EMAIL>`` etc.),
+    chained regexp_replace — one elementwise projection, order fixed
+    (emails before phones so phone-like digit runs inside emails don't
+    double-fire)."""
+    t = F.col(text_col)
+    for name, pat in _PII_PATTERNS.items():
+        t = F.regexp_replace(t, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), t.alias("text"))

@@ -359,3 +359,21 @@ class TestDecontamination:
             corpus, bench, "doc_id", "text", "bench_id", "text", shingle_n=5, min_shared=2
         ).collect()
         assert out == []  # only one shared 5-gram => under min_shared
+
+
+class TestPII:
+    def test_scan_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a@b.co and c@d.org see https://x.y call +1 (555) 123-4567 now"),
+             (2, "clean text only")],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in tx.pii_scan(df, "doc_id", "text").collect()}
+        assert out[1]["n_email"] == 2 and out[1]["n_url"] == 1 and out[1]["n_phone"] == 1
+        assert out[2]["n_email"] == out[2]["n_url"] == out[2]["n_phone"] == 0
+
+    def test_redact_replaces_spans(self, spark):
+        df = spark.createDataFrame([(1, "write a@b.co or visit https://x.y/z")], "doc_id bigint, text string")
+        t = tx.pii_redact(df, "doc_id", "text").first()["text"]
+        assert "<EMAIL>" in t and "<URL>" in t
+        assert "a@b.co" not in t and "https://" not in t
