@@ -368,3 +368,34 @@ def q04_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     views per scale-factor dir (Context.register_tables)."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q04_SQL)
+
+
+@query(
+    "q27_profile",
+    oracle="""
+    SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_nulls,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS VARCHAR) AS min, CAST(max(l_quantity) AS VARCHAR) AS max
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+           count(DISTINCT l_linenumber),
+           CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+    FROM lineitem
+    ORDER BY "column"
+    """,
+)
+def q27_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/histogram.profile): nulls/distincts/min/max
+    for several columns in ONE scan (wide aggregate, then driver-side unpivot
+    of the single stat row)."""
+    from .operators.histogram import profile
+
+    li = table(spark, sf_dir, "lineitem")
+    return profile(li, ["l_quantity", "l_returnflag", "l_linenumber"]).orderBy("column")

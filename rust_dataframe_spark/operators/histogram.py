@@ -56,3 +56,46 @@ def hist(df: DataFrame, column: str, nbins: int = 10, density: bool = False) -> 
             "density", (F.col("count") / F.lit(float(total)) / F.lit(width))
         ).drop("count")
     return out
+
+
+def profile(df, columns=None):
+    """Per-column data profile: rows, nulls, distincts, min/max (as strings)
+    — the reference's hist/uniques generalized into one table-scan summary
+    (reference table.rs:244-341 had hist + uniques as the only profiling).
+
+    One job, all columns at once: a single wide aggregate computes every
+    stat (Spark evaluates them in one pass over the scan), then the 1-row
+    result is unpivoted driver-side into (column, n_rows, n_nulls,
+    n_distinct, min, max) — no per-column scans, no collect of data rows.
+
+    ``n_distinct`` is exact here; at 100 TB swap count_distinct for
+    approx_count_distinct (HLL, mergeable, fixed memory) — same plan shape.
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs).first()
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            int(row[f"{c}__rows"]),
+            int(row[f"{c}__nulls"]),
+            int(row[f"{c}__distinct"]),
+            row[f"{c}__min"],
+            row[f"{c}__max"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out, "column string, n_rows bigint, n_nulls bigint, n_distinct bigint, min string, max string"
+    )

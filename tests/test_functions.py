@@ -147,3 +147,22 @@ class TestWindowSpecBuilder:
     def test_rejects_both_frames(self):
         with pytest.raises(ValueError):
             win_cat.window_spec(order_by=["x"], rows_between=(0, 0), range_between=(0, 0))
+
+
+class TestApproxAggregates:
+    """Scale substitutes for exact count_distinct/percentile: error-bounded,
+    fixed-memory, mergeable (SCALE.md aggregation section)."""
+
+    def test_approx_count_distinct_within_rsd(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(10000).select((F.col("id") % 1234).alias("k"))
+        approx = df.agg(F.approx_count_distinct("k", rsd=0.05).alias("a")).first()["a"]
+        assert abs(approx - 1234) / 1234 < 0.15  # 3x rsd slack
+
+    def test_percentile_approx_brackets_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(10001).select(F.col("id").cast("double").alias("v"))
+        got = df.agg(F.percentile_approx("v", 0.5, 10000).alias("p")).first()["p"]
+        assert abs(got - 5000.0) <= 10
