@@ -199,12 +199,15 @@ def near_dup_pairs(
 
     rows_per_band = num_hashes // bands
 
-    # 1. collapse exact duplicates: membership (__h, id) + one representative
-    # (min id) per distinct text.  Shuffle key is the digest, never the text.
+    # 1. collapse exact duplicates: one representative (min id) per distinct
+    # text, in a single groupBy on the digest.  first(text) is deterministic
+    # here — every row in a group carries the identical text.  Membership
+    # (__h, id) persists for the expansion joins; it holds digests+ids only.
     h = widen(df).select(F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__h"))
     mem = h.select("__h", F.col(id_col)).persist()
-    reps = mem.groupBy("__h").agg(F.min(id_col).alias(id_col))
-    rep_docs = reps.join(h, on=["__h", id_col]).select("__h", F.col(id_col), F.col(text_col))
+    rep_docs = h.groupBy("__h").agg(
+        F.min(id_col).alias(id_col), F.first(text_col).alias(text_col)
+    )
 
     # 2. LSH over representatives.  No array_distinct before minhash: MinHash
     # is multiset-invariant (duplicate shingles can't change a min) and the
@@ -216,17 +219,22 @@ def near_dup_pairs(
     cands = lsh_candidate_pairs(sig, id_col, "sig", bands=bands, rows_per_band=rows_per_band)
 
     # 3. verify candidates only: join texts, recompute shingles per pair —
-    # O(distinct-text candidates), not O(corpus).
-    a = rep_docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
-    b = rep_docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
+    # O(distinct-text candidates), not O(corpus).  Each side carries its
+    # group digest through, so the expansion below needs no rep->digest join.
+    a = rep_docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"), F.col("__h").alias("__ha")
+    )
+    b = rep_docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"), F.col("__h").alias("__hb")
+    )
     sh_a = F.array_distinct(shingle(F.col("t_a"), shingle_n))
     sh_b = F.array_distinct(shingle(F.col("t_b"), shingle_n))
     rep_pairs = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
-            "id_a",
-            "id_b",
+            "__ha",
+            "__hb",
             F.round(
                 F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b)),
                 6,
@@ -237,14 +245,10 @@ def near_dup_pairs(
 
     # 4a. expand cross-group pairs: every member of a's group x every member
     # of b's group; the pair's jaccard is the representatives' jaccard.
-    ga = reps.select(F.col(id_col).alias("id_a"), F.col("__h").alias("__ha"))
-    gb = reps.select(F.col(id_col).alias("id_b"), F.col("__h").alias("__hb"))
     ma = mem.select(F.col("__h").alias("__ha"), F.col(id_col).alias("m_a"))
     mb = mem.select(F.col("__h").alias("__hb"), F.col(id_col).alias("m_b"))
     cross = (
-        rep_pairs.join(ga, "id_a")
-        .join(gb, "id_b")
-        .join(ma, "__ha")
+        rep_pairs.join(ma, "__ha")
         .join(mb, "__hb")
         .select(
             F.least("m_a", "m_b").alias("id_a"),

@@ -119,8 +119,11 @@ def srp_near_dup(
     digest = F.md5(F.array_join(F.transform(F.col(vec_col), lambda x: x.cast("string")), ","))
     h = df.select(F.col(id_col), F.col(vec_col), digest.alias("__h"))
     mem = h.select("__h", F.col(id_col)).persist()
-    reps = mem.groupBy("__h").agg(F.min(id_col).alias(id_col))
-    rep_vecs = reps.join(h, on=["__h", id_col]).select("__h", F.col(id_col), F.col(vec_col))
+    # one groupBy yields both the representative id and its vector
+    # (first(vec) is deterministic — all vectors in a group are identical)
+    rep_vecs = h.groupBy("__h").agg(
+        F.min(id_col).alias(id_col), F.first(vec_col).alias(vec_col)
+    )
 
     buckets = srp_candidates(rep_vecs, id_col, vec_col, n_planes=n_planes, seed=seed)
     a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
@@ -128,25 +131,29 @@ def srp_near_dup(
     cands = a.join(
         b, (a["bucket"] == b["bucket_b"]) & (a["id_a"] < b["id_b"])
     ).select("id_a", "id_b")
-    va = rep_vecs.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("emb_a"))
-    vb = rep_vecs.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("emb_b"))
+    va = rep_vecs.select(
+        F.col(id_col).alias("id_a"),
+        as_double(F.col(vec_col)).alias("emb_a"),
+        F.col("__h").alias("__ha"),
+    )
+    vb = rep_vecs.select(
+        F.col(id_col).alias("id_b"),
+        as_double(F.col(vec_col)).alias("emb_b"),
+        F.col("__h").alias("__hb"),
+    )
     cos = cosine(F.col("emb_a"), F.col("emb_b"))
     rep_pairs = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cos.alias("raw"))
+        .select("__ha", "__hb", cos.alias("raw"))
         .filter(F.col("raw") >= threshold)
-        .select("id_a", "id_b", F.round("raw", 6).alias("cos_sim"))
+        .select("__ha", "__hb", F.round("raw", 6).alias("cos_sim"))
     ).persist()
 
-    ga = reps.select(F.col(id_col).alias("id_a"), F.col("__h").alias("__ha"))
-    gb = reps.select(F.col(id_col).alias("id_b"), F.col("__h").alias("__hb"))
     ma = mem.select(F.col("__h").alias("__ha"), F.col(id_col).alias("m_a"))
     mb = mem.select(F.col("__h").alias("__hb"), F.col(id_col).alias("m_b"))
     cross = (
-        rep_pairs.join(ga, "id_a")
-        .join(gb, "id_b")
-        .join(ma, "__ha")
+        rep_pairs.join(ma, "__ha")
         .join(mb, "__hb")
         .select(
             F.least("m_a", "m_b").alias("id_a"),
