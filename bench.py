@@ -36,9 +36,13 @@ HEADLINE = [
     "q16_join_star_tpch5",
     "q20_agg_catalog",
     "q23_hist",
+    "q26_stats_corr",
     "q31_topk",
+    "q33_sort_nulls",
     # window / array / event
     "q52_window_running",
+    "q55_scalar_math2",
+    "q57_json",
     "q61_explode_wordcount",
     "q84_event_tumbling",
     "q85_sessionization",
@@ -50,8 +54,11 @@ HEADLINE = [
     "q75_embedding_topk",
     "q77_srp_buckets",
     "q86_ivf_topk",
+    "q89_srp_near_dup",
     "q78_text_quality",
     "q80_fingerprint",
+    "q94_hash_split",
+    "q95_repetition",
 ]
 
 
