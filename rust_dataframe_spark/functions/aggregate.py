@@ -51,3 +51,31 @@ AGGREGATE_FUNCTIONS: dict[str, object] = {
 
 def get(name: str):
     return AGGREGATE_FUNCTIONS[name]
+
+
+def geometric_mean_udaf():
+    """Custom aggregate (UDAF) as a grouped-agg Pandas UDF — the registration
+    path the reference's Context.functions placeholder gestured at
+    (context.rs:8-23) but never implemented.  Arrow ships each group's column
+    to Python as one vector; the log-sum-exp form avoids overflow.
+
+    Scale: grouped-agg UDFs have NO partial aggregation — every raw value
+    shuffles to its group's reducer (unlike built-in aggregates, which
+    combine map-side).  Use for genuinely custom math on bounded groups; for
+    algebraic things prefer composing built-ins (geomean == exp(avg(ln x)),
+    which DOES partial-aggregate — that form is the oracle-checked one in
+    q20-style queries).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    def _geomean(v):
+        arr = v.to_numpy(dtype="float64")
+        arr = arr[arr > 0]
+        if arr.size == 0:
+            return None
+        return float(np.exp(np.log(arr).mean()))
+
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    return F.pandas_udf(_geomean, DoubleType(), F.PandasUDFType.GROUPED_AGG)

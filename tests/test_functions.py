@@ -166,3 +166,23 @@ class TestApproxAggregates:
         df = spark.range(10001).select(F.col("id").cast("double").alias("v"))
         got = df.agg(F.percentile_approx("v", 0.5, 10000).alias("p")).first()["p"]
         assert abs(got - 5000.0) <= 10
+
+
+class TestUDAF:
+    def test_geometric_mean_grouped_agg(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+        from rust_dataframe_spark.functions.aggregate import geometric_mean_udaf
+
+        df = spark.createDataFrame(
+            [("a", 2.0), ("a", 8.0), ("b", 3.0), ("b", 27.0)], "k string, v double"
+        )
+        gm = geometric_mean_udaf()
+        out = {r["k"]: r["gm"] for r in df.groupBy("k").agg(gm("v").alias("gm")).collect()}
+        assert abs(out["a"] - 4.0) < 1e-9          # sqrt(2*8)
+        assert abs(out["b"] - 9.0) < 1e-9          # sqrt(3*27)
+        # equals the partial-aggregating built-in composition
+        built = {r["k"]: r["gm"] for r in df.groupBy("k")
+                 .agg(F.exp(F.avg(F.ln("v"))).alias("gm")).collect()}
+        assert all(abs(out[k] - built[k]) < 1e-9 for k in out)
