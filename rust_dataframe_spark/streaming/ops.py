@@ -20,6 +20,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "stateful_running_counts",
+    "stateful_running_counts_tws",
     "run_available_now",
 ]
 
@@ -116,6 +117,47 @@ def stateful_running_counts(events: DataFrame, *, key_col: str = "user_id") -> D
         stateStructType="n_events long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_running_counts_tws(events: DataFrame, *, key_col: str = "user_id") -> DataFrame:
+    """Per-key running event counter via ``transformWithStateInPandas`` —
+    Spark 4's successor to ``applyInPandasWithState`` (same semantics as
+    :func:`stateful_running_counts`, newer API).
+
+    Differences that matter at scale: state is typed and composable (value /
+    list / map states per processor instead of one tuple), timers replace the
+    single timeout conf, and the state store must be RocksDB
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — which is also what you want at
+    100 TB: state spills to disk per partition instead of living on the heap.
+
+    Environment note: the TWS Python runner needs ``google.protobuf``, which
+    this container lacks — the test suite skips execution when the import
+    fails and pins behavior via :func:`stateful_running_counts` instead.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle):
+            self.count = handle.getValueState("count", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self.count.update((total,))
+            yield pd.DataFrame({key_col: [key[0]], "n_events": [total]})
+
+        def close(self):
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType=f"{key_col} int, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
     )
 
 

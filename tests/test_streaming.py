@@ -69,6 +69,44 @@ def test_sliding_stream(spark, events):
     assert all(r["n_events"] > 0 for r in rows)
 
 
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_running_counts(spark, tmp_path_factory):
+    """transformWithStateInPandas (Spark 4 stateful API) — same semantics as
+    the applyInPandasWithState test below; requires protobuf + RocksDB."""
+    if not _protobuf_available():
+        pytest.skip("google.protobuf not installed — TWS Python runner needs it")
+    p = str(tmp_path_factory.mktemp("tws") / "ev")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:01:00"), (2, "2024-01-01 00:02:00")],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(p).schema
+        stream = spark.readStream.schema(schema).parquet(p)
+        out = st.run_available_now(
+            st.stateful_running_counts_tws(stream, key_col="user_id"), "t_tws",
+            output_mode="update",
+        )
+        totals = {r["user_id"]: r["n_events"] for r in out.collect()}
+        assert totals == {1: 2, 2: 1}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_stateful_counts_accumulate_across_batches(spark, tmp_path_factory):
     # two separate files + maxFilesPerTrigger=1 => two micro-batches; the
     # per-user totals must carry state across the batch boundary
