@@ -120,3 +120,29 @@ def q92_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q105_python_datasource",
+    oracle="""
+    SELECT count(*)                     AS n,
+           sum(id)                      AS sum_id,
+           round(sum(sqrt(id)), 4)      AS sum_val
+    FROM generate_series(0, 9999) t(id)
+    """,
+)
+def q105_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 `pyspark.sql.datasource`) — the
+    reference's pluggable `DataSource` trait (io/datasource.rs:87-111,
+    all-todo!) made real: schema + partition list + per-partition iterator,
+    registered on the session (sources/python_source.py).  The oracle
+    recomputes the same deterministic rows via DuckDB generate_series."""
+    from .sources import python_source
+
+    python_source.register(spark)
+    df = spark.read.format("graft_range").option("n", 10000).option("parts", 8).load()
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("sum_id"),
+        F.round(F.sum("val"), 4).alias("sum_val"),
+    )

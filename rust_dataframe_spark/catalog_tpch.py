@@ -1,0 +1,124 @@
+"""Headline multi-join analytical shapes (TPC-H Q3 / Q18 adapted to the
+driver's slimmed tables — orders carries no o_shippriority/o_clerk).
+
+These exist for plan variety at benchmark time: q103 is the classic
+filter→join→join→agg→top-k funnel, q104 is the HAVING-subquery (semi-join
+against an aggregate) shape.  Correctness rides the same DuckDB oracle as
+everything else.
+
+Scale notes: neither query broadcasts by hint — customer is NOT a dim table
+at 100 TB (sf100k ⇒ ~15 B rows), so both plan as shuffle joins and AQE
+converts the genuinely-small post-aggregate/post-filter sides (q104's
+qualifying-order list; q103's segment-filtered customer at small SF) to
+broadcasts at runtime from observed sizes.  That is the posture that
+survives scale-up; a hard-coded broadcast hint would OOM the driver at sf100k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import query, table
+
+
+@query(
+    "q103_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q103_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority top-k): segment-filtered customer joins
+    orders and lineitem, revenue per unshipped order, top 10.
+
+    Plan: both predicates push to the parquet scans; the join order
+    (small-filtered side first) and runtime broadcast decisions are left to
+    Catalyst/AQE.  ORDER BY is on the *rounded* revenue with a unique
+    tie-break key, so the LIMIT cut is engine-independent.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q104_tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2)    AS total,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY total DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q104_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds a threshold, rejoined to customer + lineitem.
+
+    The IN-subquery compiles to a LEFT SEMI join against the aggregated
+    qualifying-order list — that list is tiny after the HAVING filter at any
+    scale (it shrinks with selectivity, not data size), so AQE broadcasts it;
+    the expensive side stays a single shuffle on l_orderkey.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_oq"))
+        .filter(F.col("_oq") > 250)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total"),
+            "sum_qty",
+        )
+        .orderBy(F.col("total").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -101,3 +101,30 @@ class TestJdbcPlumbing:
         with pytest.raises(Exception) as e:
             jdbc.read_table(spark, "jdbc:postgresql://localhost/x", "t")
         assert "postgresql" in str(e.value).lower() or "ClassNotFound" in str(e.value)
+
+
+class TestPythonDataSource:
+    """Spark 4 Python DataSource (sources/python_source.py) — the reference's
+    pluggable DataSource trait (io/datasource.rs:87-111) done natively."""
+
+    def test_range_source_rows_and_partitions(self, spark):
+        from rust_dataframe_spark.sources import python_source
+
+        python_source.register(spark)
+        df = (
+            spark.read.format("graft_range")
+            .option("n", 1000).option("parts", 4).load()
+        )
+        assert df.rdd.getNumPartitions() == 4
+        assert df.count() == 1000
+        row = df.agg(F.sum("id").alias("s"), F.min("val").alias("m")).collect()[0]
+        assert row["s"] == 1000 * 999 // 2
+        assert row["m"] == 0.0
+
+    def test_range_source_deterministic(self, spark):
+        from rust_dataframe_spark.sources import python_source
+
+        python_source.register(spark)
+        a = spark.read.format("graft_range").option("n", 500).load()
+        b = spark.read.format("graft_range").option("n", 500).load()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
