@@ -34,6 +34,8 @@ HEADLINE = [
     "q11_join_left_nulls",
     "q14_join_multikey",
     "q16_join_star_tpch5",
+    "q103_tpch_q3",
+    "q104_tpch_q18",
     "q20_agg_catalog",
     "q23_hist",
     "q26_stats_corr",
