@@ -21,6 +21,8 @@ __all__ = [
     "session_counts",
     "stateful_running_counts",
     "stateful_running_counts_tws",
+    "stream_dedup",
+    "foreach_batch_parquet",
     "run_available_now",
 ]
 
@@ -158,6 +160,52 @@ def stateful_running_counts_tws(events: DataFrame, *, key_col: str = "user_id") 
         outputStructType=f"{key_col} int, n_events bigint",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    *,
+    id_cols: tuple[str, ...] = ("user_id", "ts"),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication via ``dropDuplicatesWithinWatermark`` —
+    the streaming half of the batch `q70_exact_dedup` operator.
+
+    Rows are emitted immediately (dedup filters, it never buffers); state
+    holds one entry per key seen within the watermark horizon and is evicted
+    as the watermark advances.  That bound is the reason to prefer this over
+    plain ``dropDuplicates`` on a stream, whose key set grows forever — at
+    100 TB/day of events, unbounded dedup state is an OOM on a timer.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+
+
+def foreach_batch_parquet(stream_df: DataFrame, path: str, *, checkpoint: str):
+    """Idempotent parquet sink via ``foreachBatch``: each micro-batch lands in
+    its own ``_batch_id=N`` partition with dynamic partition overwrite, so a
+    replayed batch (restart between sink-write and checkpoint-commit)
+    overwrites its own partition instead of duplicating rows — exactly-once
+    output from an at-least-once retry loop.  Returns the started query.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

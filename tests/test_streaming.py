@@ -136,3 +136,48 @@ def test_stateful_counts_accumulate_across_batches(spark, tmp_path_factory):
     totals = {r["user_id"]: r["n"] for r in rows}
     assert totals[1] == 3  # accumulated across both micro-batches
     assert totals.get(2) == 1 and totals.get(3) == 1
+
+
+def test_stream_dedup_across_batches(spark, tmp_path_factory):
+    # the duplicate (user 1, 00:00) reappears in the second micro-batch within
+    # the watermark horizon — dropDuplicatesWithinWatermark must drop it
+    p = str(tmp_path_factory.mktemp("sdedup") / "ev")
+    f1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:01:00")],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    f2 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (3, "2024-01-01 00:05:00")],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    f1.coalesce(1).write.mode("overwrite").parquet(p)
+    f2.coalesce(1).write.mode("append").parquet(p)
+
+    schema = spark.read.parquet(p).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p)
+    out = st.run_available_now(
+        st.stream_dedup(stream, id_cols=("user_id", "ts")), "t_sdedup",
+        output_mode="append",
+    )
+    rows = out.collect()
+    assert len(rows) == 3  # 4 input rows, 1 cross-batch duplicate dropped
+    assert sorted(r["user_id"] for r in rows) == [1, 2, 3]
+
+
+def test_foreach_batch_parquet_idempotent_partitions(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("fbsink")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+    f1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    f2 = spark.createDataFrame([(3, "c")], "k int, v string")
+    f1.coalesce(1).write.mode("overwrite").parquet(src)
+    f2.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = st.foreach_batch_parquet(stream, out, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # one partition per micro-batch; re-writing a batch id overwrites in place
+    assert back.select("_batch_id").distinct().count() == 2
