@@ -358,3 +358,38 @@ def q59_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_utc_timestamp("l_shipdate", "America/New_York").alias("v_from_utc"),
         F.to_utc_timestamp("l_shipdate", "Asia/Tokyo").alias("v_to_utc"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q106_scalar_string3",
+    oracle="""
+    SELECT s_suppkey,
+           left(s_name, 3)                                        AS left3,
+           right(s_name, 4)                                       AS right4,
+           bin(s_suppkey)                                         AS bin_key,
+           round_even(s_suppkey + 0.5, 0)                         AS bround_key,
+           substr(s_name, 1, 1) || 'XX' || substr(s_name, 4)      AS overlay_name,
+           CAST(len(regexp_extract_all(s_name, '[0-9]')) AS INT)  AS digit_cnt
+    FROM supplier
+    WHERE s_suppkey < 500
+    ORDER BY s_suppkey
+    """,
+)
+def q106_scalar_string3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/number stragglers beyond q49/q59: left/right, bin (base-2
+    digits), bround (half-even banker's rounding — DuckDB round_even; the
+    tie operand is ``+ 0.5``, exactly representable in binary, because a
+    decimal like x.05 is NOT and the two engines see different sides of the
+    tie),
+    overlay (the oracle states overlay's definition as a substr composition,
+    since DuckDB lacks the function), regexp_count."""
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 500)
+    return s.select(
+        "s_suppkey",
+        F.left(F.col("s_name"), F.lit(3)).alias("left3"),
+        F.right(F.col("s_name"), F.lit(4)).alias("right4"),
+        F.bin("s_suppkey").alias("bin_key"),
+        F.bround(F.col("s_suppkey") + 0.5, 0).alias("bround_key"),
+        F.overlay(F.col("s_name"), F.lit("XX"), F.lit(2), F.lit(2)).alias("overlay_name"),
+        F.regexp_count(F.col("s_name"), F.lit("[0-9]")).cast("int").alias("digit_cnt"),
+    ).orderBy("s_suppkey")
