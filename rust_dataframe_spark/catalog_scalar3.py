@@ -393,3 +393,57 @@ def q106_scalar_string3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.overlay(F.col("s_name"), F.lit("XX"), F.lit(2), F.lit(2)).alias("overlay_name"),
         F.regexp_count(F.col("s_name"), F.lit("[0-9]")).cast("int").alias("digit_cnt"),
     ).orderBy("s_suppkey")
+
+
+@query(
+    "q107_variant_json",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             to_json(struct_pack(
+               okey   := o_orderkey,
+               price  := round(o_totalprice, 2),
+               meta   := struct_pack(status := o_orderstatus, prio := o_orderpriority),
+               tags   := [o_orderstatus, o_orderpriority]
+             )) AS doc
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT o_orderkey,
+           CAST(json_extract(doc, '$.okey') AS BIGINT)      AS v_okey,
+           CAST(json_extract(doc, '$.price') AS DOUBLE)     AS v_price,
+           json_extract_string(doc, '$.meta.status')        AS v_status,
+           json_extract_string(doc, '$.tags[1]')            AS v_tag1
+    FROM j ORDER BY o_orderkey
+    """,
+)
+def q107_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns via Spark 4 VariantType: JSON text ->
+    ``parse_json`` (binary variant encoding) -> path extraction with
+    ``variant_get``.  Both engines build the same JSON document from order
+    fields, then extract scalars by path (nested object + array index).
+
+    Scale: variant is the lakehouse answer to schema-on-read JSON at volume —
+    the binary encoding parses once at ingest, and ``variant_get`` is
+    codegen'd field access, far cheaper than repeated ``get_json_object``
+    string re-parsing (q57's shape) on a 100 TB raw-JSON column.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("okey"),
+            F.round("o_totalprice", 2).alias("price"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("prio"),
+            ).alias("meta"),
+            F.array("o_orderstatus", "o_orderpriority").alias("tags"),
+        )
+    )
+    v = F.parse_json(doc)
+    return o.select(
+        "o_orderkey",
+        F.variant_get(v, "$.okey", "bigint").alias("v_okey"),
+        F.variant_get(v, "$.price", "double").alias("v_price"),
+        F.variant_get(v, "$.meta.status", "string").alias("v_status"),
+        F.variant_get(v, "$.tags[1]", "string").alias("v_tag1"),
+    ).orderBy("o_orderkey")

@@ -186,3 +186,32 @@ class TestUDAF:
         built = {r["k"]: r["gm"] for r in df.groupBy("k")
                  .agg(F.exp(F.avg(F.ln("v"))).alias("gm")).collect()}
         assert all(abs(out[k] - built[k]) < 1e-9 for k in out)
+
+
+class TestHllSketches:
+    """Spark 4 datasketches HLL: mergeable distinct-count state — the 100 TB
+    pattern is to pre-aggregate a sketch per partition/day and roll up later
+    without rescanning (sketches union losslessly; plain count_distinct
+    cannot merge)."""
+
+    def test_sketch_estimate_error_bound(self, spark):
+        n = 20_000
+        df = spark.range(n).select((F.col("id") % 5000).alias("k"))
+        est = df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("e")
+        ).collect()[0]["e"]
+        assert abs(est - 5000) / 5000 < 0.05
+
+    def test_sketch_rollup_equals_single_shot(self, spark):
+        df = spark.range(30_000).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") % 7000).alias("k")
+        )
+        single = df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("e")
+        ).collect()[0]["e"]
+        rolled = (
+            df.groupBy("g").agg(F.hll_sketch_agg("k").alias("sk"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        ).collect()[0]["e"]
+        # pre-aggregated per-group sketches union to the same estimate
+        assert rolled == single
