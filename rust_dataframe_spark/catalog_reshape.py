@@ -90,8 +90,10 @@ def q99_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     The value list is explicit (``['O','F','P']``) — at 100 TB an implicit
     ``pivot(col)`` first runs a driver-side ``distinct().collect()`` over the
     pivot column, which is both a hidden job and an OOM hazard; with explicit
-    values the pivot compiles to one map-side-partial aggregate, same cost as
-    the CASE-WHEN form the oracle uses.
+    values the pivot compiles to two map-side-partial aggregate phases
+    (agg by (yr, status), then PivotFirst by yr) whose shuffles each carry
+    only O(groups × values) rows — the CASE-WHEN form the oracle uses does it
+    in one phase, but both are group-bounded, not data-bounded.
     """
     o = table(spark, sf_dir, "orders")
     return (

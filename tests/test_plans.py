@@ -129,3 +129,32 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_q104_semi_join_shape(spark):
+    df = catalog.QUERIES["q104_tpch_q18"](spark, SF)
+    df.collect()  # finalize AQE decisions
+    assert "LeftSemi" in pi.physical_plan(df)
+
+
+def test_q99_pivot_two_phase_agg(spark):
+    df = catalog.QUERIES["q99_pivot"](spark, SF)
+    # Spark pivots in two aggregate phases: agg by (yr, status), then
+    # PivotFirst agg by yr — both map-side partial, so each shuffle carries
+    # O(groups x values) rows — plus the presentation sort's range exchange
+    assert pi.exchange_count(df) <= 3
+
+
+def test_q107_variant_no_extra_shuffle(spark):
+    df = catalog.QUERIES["q107_variant_json"](spark, SF)
+    # elementwise variant extraction: only the presentation sort may exchange
+    assert pi.exchange_count(df) <= 1
+
+
+def test_q98_groups_window_single_hash_exchange(spark):
+    df = catalog.QUERIES["q98_window_groups"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "Window" in plan
+    # both windows partition on o_orderstatus -> one hash exchange, plus the
+    # final presentation sort's range exchange
+    assert pi.exchange_count(df) <= 2
