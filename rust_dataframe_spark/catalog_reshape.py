@@ -202,3 +202,54 @@ def q102_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q102_SQL)
+
+
+@query(
+    "q108_merge_upsert",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM customer
+    ),
+    src AS (
+      SELECT c_custkey, 'UPDATED-' || c_name AS c_name,
+             round(c_acctbal + 1000, 2) AS c_acctbal
+      FROM customer WHERE c_custkey < 100
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW-' || c_name, round(c_acctbal, 2)
+      FROM customer WHERE c_custkey < 50
+    ),
+    merged AS (
+      SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name    ELSE t.c_name    END AS c_name,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal
+      FROM tgt t FULL JOIN src s ON t.c_custkey = s.c_custkey
+    )
+    SELECT c_custkey, c_name, c_acctbal FROM merged
+    WHERE c_custkey < 150 OR c_custkey >= 1000000
+    ORDER BY c_custkey
+    """,
+)
+def q108_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 merge/upsert (operators/merge.merge_upsert): a delta of updated
+    rows (keys < 100) and brand-new rows (keys + 1,000,000) merged into the
+    canonical customer table; updated rows replace wholesale, new rows
+    insert, the rest carry over.  Output window straddles all three classes.
+    """
+    from .operators.merge import merge_upsert
+
+    c = table(spark, sf_dir, "customer")
+    tgt = c.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+    updates = c.filter(F.col("c_custkey") < 100).select(
+        "c_custkey",
+        F.concat(F.lit("UPDATED-"), F.col("c_name")).alias("c_name"),
+        F.round(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
+    )
+    inserts = c.filter(F.col("c_custkey") < 50).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+    merged = merge_upsert(tgt, updates.unionAll(inserts), keys=["c_custkey"])
+    return merged.filter(
+        (F.col("c_custkey") < 150) | (F.col("c_custkey") >= 1000000)
+    ).orderBy("c_custkey")
