@@ -22,6 +22,7 @@ __all__ = [
     "stateful_running_counts",
     "stateful_running_counts_tws",
     "stream_dedup",
+    "stream_near_dup_candidates",
     "foreach_batch_parquet",
     "run_available_now",
 ]
@@ -181,6 +182,83 @@ def stream_dedup(
     """
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(id_cols)
+    )
+
+
+def stream_near_dup_candidates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate candidates: each arriving document
+    is checked against every document seen so far *in its LSH buckets*, across
+    micro-batch boundaries.
+
+    Composition: the signature stage is the exact batch expression pipeline
+    (``operators/dedup.shingle`` + ``minhash_signature`` — same hash family,
+    codegen'd, elementwise, so it streams untouched); banding explodes each
+    doc into ``bands`` bucket keys; the stateful hop keys on the bucket and
+    keeps the id list seen per bucket, emitting (id_a, id_b) for every
+    new-vs-seen co-occupant.
+
+    Output is a *candidate multiset* (a pair sharing b bands is emitted up to
+    b times, like the batch ``lsh_candidate_pairs`` before its distinct) —
+    dedup + Jaccard-verify downstream in batch, where the texts live.
+
+    Scale: state per bucket is an id list — ids only, never text or
+    signatures.  Unlike the watermarked ops, LSH state has no time bound; in
+    production cap it with a timeout (GroupStateTimeout) or periodic state
+    rebuild, and expect hot buckets under exact-dup-heavy input — the batch
+    collapse lesson (SCALE.md q72) applies upstream: exact-dedup the stream
+    first (``stream_dedup`` on a text digest).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import minhash_signature, shingle
+
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col),
+        minhash_signature(shingle(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}#"),
+                F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_keys).alias("bucket"))
+
+    def update(key, pdf_iter, state):
+        seen = list(state.get[0]) if state.exists else []
+        pairs: list[tuple[int, int]] = []
+        for pdf in pdf_iter:
+            for nid in pdf[id_col].tolist():
+                nid = int(nid)
+                pairs.extend((min(o, nid), max(o, nid)) for o in seen if o != nid)
+                seen.append(nid)
+        state.update((seen,))
+        yield pd.DataFrame(
+            {
+                "id_a": pd.Series([p[0] for p in pairs], dtype="int64"),
+                "id_b": pd.Series([p[1] for p in pairs], dtype="int64"),
+            }
+        )
+
+    return banded.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="id_a long, id_b long",
+        stateStructType="ids array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

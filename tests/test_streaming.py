@@ -181,3 +181,25 @@ def test_foreach_batch_parquet_idempotent_partitions(spark, tmp_path_factory):
     assert back.count() == 3
     # one partition per micro-batch; re-writing a batch id overwrites in place
     assert back.select("_batch_id").distinct().count() == 2
+
+
+def test_stream_near_dup_across_batches(spark, tmp_path_factory):
+    # doc 2 (batch 2) is an exact copy of doc 1 (batch 1): identical MinHash
+    # signatures -> same bucket in every band -> the (1,2) candidate must be
+    # found even though the docs arrived in different micro-batches; doc 3 is
+    # unrelated and must pair with nobody
+    p = str(tmp_path_factory.mktemp("sndup") / "docs")
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about spark shuffles and parquet files"
+    f1 = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    f2 = spark.createDataFrame([(2, text), (3, other)], "doc_id int, text string")
+    f1.coalesce(1).write.mode("overwrite").parquet(p)
+    f2.coalesce(1).write.mode("append").parquet(p)
+
+    schema = spark.read.parquet(p).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p)
+    out = st.run_available_now(
+        st.stream_near_dup_candidates(stream), "t_sndup", output_mode="append"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2)}
