@@ -253,3 +253,37 @@ def q108_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(
         (F.col("c_custkey") < 150) | (F.col("c_custkey") >= 1000000)
     ).orderBy("c_custkey")
+
+
+_Q109_SQL = """
+    SELECT o.o_orderkey,
+           round(o.o_totalprice, 2) AS total,
+           round(o.o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS vs_avg
+    FROM orders o
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+          )
+      AND o.o_orderkey < 20000
+    ORDER BY o.o_orderkey
+"""
+
+
+@query("q109_subqueries", oracle=_Q109_SQL)
+def q109_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS + an uncorrelated scalar subquery —
+    the q04 one-dialect-two-engines pattern (identical ANSI text through
+    ``spark.sql`` and DuckDB).
+
+    Scale: Catalyst decorrelates EXISTS into a left-semi and NOT EXISTS into
+    a left-anti join on l_orderkey (no per-row re-execution — the subquery
+    rewrite the reference never attempted, SURVEY §4.1); the scalar subquery
+    evaluates once and broadcasts as a literal.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q109_SQL)

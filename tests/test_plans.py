@@ -158,3 +158,10 @@ def test_q98_groups_window_single_hash_exchange(spark):
     # both windows partition on o_orderstatus -> one hash exchange, plus the
     # final presentation sort's range exchange
     assert pi.exchange_count(df) <= 2
+
+
+def test_q109_subqueries_decorrelate_to_joins(spark):
+    df = catalog.QUERIES["q109_subqueries"](spark, SF)
+    plan = pi.physical_plan(df)
+    # EXISTS -> left semi, NOT EXISTS -> left anti; no per-row subquery loops
+    assert "LeftSemi" in plan and "LeftAnti" in plan
