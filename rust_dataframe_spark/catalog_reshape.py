@@ -287,3 +287,29 @@ def q109_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q109_SQL)
+
+
+_Q110_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS total
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey < 200
+    ORDER BY c.c_custkey, total DESC, t.o_orderkey
+"""
+
+
+@query("q110_lateral_topn", oracle=_Q110_SQL)
+def q110_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-2 orders per customer) — identical
+    ANSI text through ``spark.sql`` and DuckDB.  The classic per-group top-n
+    as a join shape instead of a row_number window.
+
+    Scale: Spark decorrelates the lateral into a window/rank over a single
+    shuffle on the correlation key — same cost class as the q50-style
+    row_number formulation; nothing executes per-outer-row.
+    """
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q110_SQL)
