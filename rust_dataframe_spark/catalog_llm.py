@@ -852,3 +852,56 @@ def q97_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return tx.pii_scan(injected, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "q111_funnel",
+    oracle="""
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 0 AS step_idx, 'view' AS stage,     (SELECT count(*) FROM s0) AS n_users
+    UNION ALL
+    SELECT 1, 'click',    (SELECT count(*) FROM s1)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    ORDER BY step_idx
+    """,
+)
+def q111_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase
+    (operators/events.funnel): each stage requires a strictly-later event
+    than the user's entry into the previous stage."""
+    from .operators.events import funnel
+
+    e = load_events(spark, sf_dir)
+    return funnel(e, ["view", "click", "purchase"])
+
+
+@query(
+    "q112_retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS c0 FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.c0 AS DATE) AS cohort_start,
+           CAST(floor(date_diff('day', CAST(f.c0 AS DATE), CAST(e.ts AS DATE)) / 7.0)
+                AS INT) AS period_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_start, period_offset
+    """,
+)
+def q112_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix (operators/events.retention_cohorts):
+    cohort = ISO week of first event (both engines truncate weeks to
+    Monday); cells count distinct users active at each week offset."""
+    from .operators.events import retention_cohorts
+
+    return retention_cohorts(load_events(spark, sf_dir), period="week")

@@ -44,3 +44,28 @@ class TestMergeUpsert:
         b = spark.createDataFrame([(1, 2)], "k int, x int")
         with _pytest.raises(ValueError):
             merge_upsert(a, b, ["k"])
+
+
+class TestEventAnalytics:
+    def test_funnel_requires_strict_order(self, spark):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.operators.events import funnel
+
+        rows = [
+            # user 1: view -> click -> purchase, fully ordered
+            (1, "view", "2024-01-01 00:00:00"),
+            (1, "click", "2024-01-01 01:00:00"),
+            (1, "purchase", "2024-01-01 02:00:00"),
+            # user 2: clicked BEFORE viewing -> counts for view only
+            (2, "click", "2024-01-02 00:00:00"),
+            (2, "view", "2024-01-02 01:00:00"),
+            # user 3: view then click, no purchase
+            (3, "view", "2024-01-03 00:00:00"),
+            (3, "click", "2024-01-03 00:30:00"),
+        ]
+        e = spark.createDataFrame(rows, "user_id int, event_type string, ts_s string").select(
+            "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        out = {r["stage"]: r["n_users"] for r in funnel(e, ["view", "click", "purchase"]).collect()}
+        assert out == {"view": 3, "click": 2, "purchase": 1}
