@@ -905,3 +905,37 @@ def q112_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.events import retention_cohorts
 
     return retention_cohorts(load_events(spark, sf_dir), period="week")
+
+
+@query(
+    "q113_scd2_intervals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_orderdate                          AS valid_from,
+           lead(o_orderdate) OVER w             AS valid_to,
+           lead(o_orderdate) OVER w IS NULL     AS is_current
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, valid_from, o_orderkey
+    """,
+)
+def q113_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 temporal-table construction (operators/temporal.scd2_intervals):
+    a per-key change log becomes [valid_from, valid_to) validity intervals
+    with an is_current flag — one lead() window, one shuffle on the key;
+    query historical state downstream with the as-of join (q87)."""
+    from .operators.temporal import scd2_intervals
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+    return (
+        scd2_intervals(
+            o, ["o_custkey"], ts_col="o_orderdate", tiebreak_cols=("o_orderkey",)
+        )
+        .select("o_custkey", "o_orderkey", "valid_from", "valid_to", "is_current")
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    )

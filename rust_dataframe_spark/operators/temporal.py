@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "scd2_intervals"]
 
 
 def asof_join(
@@ -118,3 +118,30 @@ def range_join(
         how,
     )
     return out.drop("__b")
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_cols: list[str],
+    *,
+    ts_col: str = "ts",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Change log -> SCD-2 temporal table: each change row becomes a validity
+    interval ``[valid_from, valid_to)`` per key, where ``valid_to`` is the
+    next change's timestamp (null = currently valid).
+
+    Simultaneous changes make ``lead`` nondeterministic — pass
+    ``tiebreak_cols`` (a unique column) whenever ``ts_col`` can tie.
+
+    One window (``lead`` over the key partition ordered by time) — a single
+    shuffle on the key, no self-join.  Pair with an as-of join
+    (:func:`asof_join`) to query "the attribute as of time t" downstream.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak_cols)
+    return changes.select(
+        "*",
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        (F.lead(ts_col).over(w).isNull()).alias("is_current"),
+    ).drop(ts_col)

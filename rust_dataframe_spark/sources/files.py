@@ -136,3 +136,35 @@ def write_arrow_ipc(df: DataFrame, path: str) -> None:
     tbl = pa.Table.from_pandas(df.toPandas())
     with pa.OSFile(path, "wb") as sink, pa.ipc.new_file(sink, tbl.schema) as writer:
         writer.write_table(tbl)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files sized
+    ~``target_file_bytes`` (default 128 MiB, the HDFS/S3 sweet spot).
+
+    The file count is derived from the *source's actual on-disk bytes* (file
+    status, no data scan), then the data is rewritten through a
+    ``repartition(n)`` round-robin exchange.  Returns n.
+
+    Scale: millions of small files are a 100 TB pipeline's silent killer —
+    every scan pays per-file open/footer costs and the driver pays listing
+    memory.  Compaction is the maintenance op that keeps scans at
+    maxPartitionBytes-sized splits; run it per partition directory so only
+    hot partitions rewrite.
+    """
+    # sum file sizes via the JVM Hadoop FS API (no data read, no listing on
+    # the driver beyond what any scan would do)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(src_path).repartition(n).write.mode("overwrite").parquet(dst_path)
+    return n

@@ -128,3 +128,21 @@ class TestPythonDataSource:
         a = spark.read.format("graft_range").option("n", 500).load()
         b = spark.read.format("graft_range").option("n", 500).load()
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestCompaction:
+    def test_compact_many_small_files(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.files import compact_parquet
+
+        src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+        # 64 tiny files
+        spark.range(10_000).repartition(64).write.parquet(src)
+        import glob
+        assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+        n = compact_parquet(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
+        assert n == 1
+        assert len(glob.glob(f"{dst}/part-*.parquet")) == 1
+        # lossless
+        a = spark.read.parquet(src)
+        b = spark.read.parquet(dst)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
