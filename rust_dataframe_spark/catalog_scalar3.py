@@ -17,7 +17,7 @@ instead of an oracle query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .catalog import query, table
 from .operators import similarity as sim
@@ -446,4 +446,94 @@ def q107_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.price", "double").alias("v_price"),
         F.variant_get(v, "$.meta.status", "string").alias("v_status"),
         F.variant_get(v, "$.tags[1]", "string").alias("v_tag1"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q114_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT s_suppkey,
+             'https://s' || s_suppkey || '.example.com/cat/' || s_nationkey ||
+             '/item?bal=' || CAST(s_suppkey % 100 AS VARCHAR) || '&ok=1' AS url
+      FROM supplier WHERE s_suppkey < 200
+    )
+    SELECT s_suppkey,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1)   AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1)            AS query,
+           regexp_extract(url, '[?&]bal=([^&]*)', 1)     AS bal_param
+    FROM u ORDER BY s_suppkey
+    """,
+)
+def q114_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via ``parse_url`` (host/path/query/named query
+    param) — the crawl-pipeline primitive behind per-domain dedup, robots
+    filtering, and URL canonicalization.  The oracle states the same
+    extractions as anchored regexes."""
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 200)
+    url = F.concat(
+        F.lit("https://s"),
+        F.col("s_suppkey").cast("string"),
+        F.lit(".example.com/cat/"),
+        F.col("s_nationkey").cast("string"),
+        F.lit("/item?bal="),
+        (F.col("s_suppkey") % 100).cast("string"),
+        F.lit("&ok=1"),
+    )
+    return s.select(
+        "s_suppkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("bal")).alias("bal_param"),
+    ).orderBy("s_suppkey")
+
+
+@query(
+    "q115_fill_ignore_nulls",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE round(o_totalprice, 2) END AS v
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey, v,
+           last_value(v IGNORE NULLS) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+           first_value(v IGNORE NULLS) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_orderkey
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+    FROM g ORDER BY o_orderkey
+    """,
+)
+def q115_fill_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window variants as forward/backward gap-fill
+    (operators/temporal.forward_fill): nulls take the nearest non-null
+    neighbor in order — one shuffle, single-pass running frames."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    g = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("v"),
+    )
+    w_ff = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bf = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return g.select(
+        "o_orderkey",
+        "v",
+        F.last("v", ignorenulls=True).over(w_ff).alias("ffill"),
+        F.first("v", ignorenulls=True).over(w_bf).alias("bfill"),
     ).orderBy("o_orderkey")

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "scd2_intervals"]
+__all__ = ["asof_join", "range_join", "scd2_intervals", "forward_fill"]
 
 
 def asof_join(
@@ -145,3 +145,25 @@ def scd2_intervals(
         F.lead(ts_col).over(w).alias("valid_to"),
         (F.lead(ts_col).over(w).isNull()).alias("is_current"),
     ).drop(ts_col)
+
+
+def forward_fill(
+    df: DataFrame,
+    value_col: str,
+    *,
+    partition_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Gap-fill: replace nulls in ``value_col`` with the most recent non-null
+    value in order (``last ... IGNORE NULLS`` over a running frame) — the
+    sensor/telemetry forward-fill pattern.
+
+    One shuffle on the partition key; the frame is running, so Spark
+    evaluates it in a single pass per partition (no per-row rescans).
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(value_col, F.last(value_col, ignorenulls=True).over(w))
