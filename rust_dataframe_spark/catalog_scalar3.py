@@ -537,3 +537,75 @@ def q115_fill_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w_ff).alias("ffill"),
         F.first("v", ignorenulls=True).over(w_bf).alias("bfill"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q116_try_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN (l_linenumber - l_linenumber) = 0 THEN NULL
+                ELSE l_extendedprice / (l_linenumber - l_linenumber) END AS div_zero,
+           round(l_extendedprice / 4, 6)                                 AS div_ok,
+           TRY_CAST(l_returnflag AS INTEGER)                             AS cast_bad,
+           TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT)               AS cast_ok,
+           ([l_quantity])[5]                                             AS elem_oob,
+           ([l_quantity])[1]                                             AS elem_ok
+    FROM lineitem WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q116_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` variants: errors become nulls instead of failed
+    jobs — at 100 TB one malformed row must not kill a 6-hour pipeline, and
+    try_* keeps ANSI mode's integrity everywhere else.  Division by zero,
+    invalid cast, and out-of-bounds element access all null out; the oracle
+    states each as its explicit null-guard.  div_ok divides by 4 (a
+    2-decimal price over a power of two is an exact 4-decimal value) because
+    an arbitrary quotient lands on rounding-tie boundaries where the two
+    engines' double rounding disagrees at any width."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - F.col("l_linenumber")).alias("div_zero"),
+        F.round(F.try_divide(F.col("l_extendedprice"), F.lit(4)), 6).alias("div_ok"),
+        F.col("l_returnflag").try_cast("int").alias("cast_bad"),
+        F.col("l_orderkey").cast("string").try_cast("bigint").alias("cast_ok"),
+        F.try_element_at(F.array("l_quantity"), F.lit(5)).alias("elem_oob"),
+        F.try_element_at(F.array("l_quantity"), F.lit(1)).alias("elem_ok"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q117_agg_misc",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0)                       AS all_pos,
+           bool_or(l_discount > 0.09)                     AS any_big_disc,
+           count_if(l_quantity > 45)                      AS n_bulk,
+           round(median(l_quantity), 4)                   AS med_qty,
+           mode(l_quantity)                               AS mode_qty,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q117_agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate stragglers: bool_and/bool_or, count_if, median, mode (the
+    data's per-group mode is unique, so both engines agree — mode under ties
+    is engine-defined), and deterministic string aggregation (Spark side:
+    sorted collect_set + concat_ws; DuckDB: string_agg DISTINCT ORDER BY)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+            F.count_if(F.col("l_quantity") > 45).alias("n_bulk"),
+            F.round(F.median("l_quantity"), 4).alias("med_qty"),
+            F.mode("l_quantity").alias("mode_qty"),
+            F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+        )
+        .orderBy("l_returnflag")
+    )
