@@ -609,3 +609,42 @@ def q117_agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q118_datetime3",
+    oracle="""
+    SELECT o_orderkey,
+           make_date(year(o_orderdate), month(o_orderdate), 1)           AS month_first,
+           make_timestamp(year(o_orderdate), month(o_orderdate),
+                          day(o_orderdate), 12, 0, 0.0)                  AS noon_ts,
+           o_orderdate + INTERVAL 36 HOUR                                AS plus_36h,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)          AS days_since,
+           date_diff('hour', TIMESTAMP '1995-01-01', o_orderdate)        AS hours_since,
+           epoch_us(o_orderdate)                                         AS micros
+    FROM orders WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def q118_datetime3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime constructors + interval arithmetic: make_date /
+    make_timestamp (field-wise construction), timestampadd/timestampdiff
+    (DuckDB: interval addition / date_diff), unix_micros (epoch_us).
+    Completes the temporal surface beyond q42/q46/q56."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_first"),
+        F.make_timestamp(
+            F.year(d), F.month(d), F.dayofmonth(d), F.lit(12), F.lit(0), F.lit(0.0)
+        ).alias("noon_ts"),
+        F.timestamp_add("HOUR", F.lit(36), d).alias("plus_36h"),
+        F.timestamp_diff(
+            "DAY", F.lit("1995-01-01").cast("timestamp"), d
+        ).alias("days_since"),
+        F.timestamp_diff(
+            "HOUR", F.lit("1995-01-01").cast("timestamp"), d
+        ).alias("hours_since"),
+        F.unix_micros(d.cast("timestamp")).alias("micros"),
+    ).orderBy("o_orderkey")
