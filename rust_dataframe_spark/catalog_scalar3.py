@@ -648,3 +648,35 @@ def q118_datetime3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hours_since"),
         F.unix_micros(d.cast("timestamp")).alias("micros"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q119_inline_structs",
+    oracle="""
+    SELECT t.p_partkey, u.s.tag AS tag, u.s.val AS val
+    FROM (
+      SELECT p_partkey,
+             [{'tag': 'retail', 'val': round(p_retailprice, 2)},
+              {'tag': 'double', 'val': round(p_retailprice * 2, 2)}] AS arr
+      FROM part WHERE p_partkey < 200
+    ) t, unnest(t.arr) AS u(s)
+    ORDER BY p_partkey, tag
+    """,
+)
+def q119_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``inline`` — the array-of-structs generator (one output row per struct,
+    struct fields become columns); the last explode-family member beyond
+    q61/q67.  DuckDB states it as unnest over a list of structs."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    arr = F.array(
+        F.struct(F.lit("retail").alias("tag"), F.round("p_retailprice", 2).alias("val")),
+        F.struct(
+            F.lit("double").alias("tag"),
+            F.round(F.col("p_retailprice") * 2, 2).alias("val"),
+        ),
+    )
+    return (
+        p.select("p_partkey", F.inline(arr))
+        .select("p_partkey", "tag", "val")
+        .orderBy("p_partkey", "tag")
+    )

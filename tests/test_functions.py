@@ -215,3 +215,25 @@ class TestHllSketches:
         ).collect()[0]["e"]
         # pre-aggregated per-group sketches union to the same estimate
         assert rolled == single
+
+
+class TestThetaSketches:
+    """Theta sketches (Spark 4 datasketches): mergeable distinct-set algebra —
+    unlike HLL, theta supports intersection and difference, so pre-aggregated
+    per-shard sketches answer "users in A and B" without rescanning.  Below
+    the sketch's nominal entries (4096) estimates are exact."""
+
+    def test_union_and_intersection_estimates(self, spark):
+        a = spark.range(0, 1500).select(F.col("id").alias("k"))
+        b = spark.range(1000, 2500).select(F.col("id").alias("k"))
+        ska = a.agg(F.theta_sketch_agg("k").alias("sk"))
+        skb = b.agg(F.theta_sketch_agg("k").alias("sk"))
+        both = ska.crossJoin(skb.withColumnRenamed("sk", "sk2"))
+        row = both.select(
+            F.theta_sketch_estimate(F.theta_union("sk", "sk2")).alias("u"),
+            F.theta_sketch_estimate(F.theta_intersection("sk", "sk2")).alias("i"),
+            F.theta_sketch_estimate(F.theta_difference("sk", "sk2")).alias("d"),
+        ).collect()[0]
+        assert row["u"] == 2500   # |A ∪ B| (< 4096 nominal entries => exact)
+        assert row["i"] == 500    # |A ∩ B| = [1000, 1500)
+        assert row["d"] == 1000   # |A \ B| = [0, 1000)
