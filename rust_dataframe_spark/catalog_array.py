@@ -236,3 +236,48 @@ def q65_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q120_map_hof",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 2) * 2                          AS tv_p,
+           'K,P'                                               AS tk_keys,
+           CASE WHEN round(o_totalprice, 2) > 150000 THEN 1 ELSE 0 END
+             + CASE WHEN o_orderkey * 1.0 > 150000 THEN 1 ELSE 0 END AS mf_n,
+           round(o_totalprice, 2) + o_orderkey * 1.0           AS mzw_p
+    FROM orders WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def q120_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order map functions — transform_values, transform_keys,
+    map_filter, map_zip_with (the lambda-taking family beyond q65's map
+    constructors).  Outputs are flattened to scalars because MapType has no
+    cross-engine canonical order to hash; the oracle states each result
+    algebraically from the map's known entries.
+
+    Scale: all four are elementwise codegen'd expressions — no shuffle, no
+    Python.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    m = F.create_map(
+        F.lit("p"), F.round("o_totalprice", 2),
+        F.lit("k"), F.col("o_orderkey") * 1.0,
+    )
+    tv = F.transform_values(m, lambda k, v: v * 2)
+    tk = F.transform_keys(m, lambda k, v: F.upper(k))
+    mf = F.map_filter(m, lambda k, v: v > 150000)
+    m2 = F.create_map(
+        F.lit("p"), F.col("o_orderkey") * 1.0,
+        F.lit("k"), F.round("o_totalprice", 2),
+    )
+    mzw = F.map_zip_with(m, m2, lambda k, v1, v2: v1 + v2)
+    return o.select(
+        "o_orderkey",
+        F.element_at(tv, "p").alias("tv_p"),
+        F.array_join(F.array_sort(F.map_keys(tk)), ",").alias("tk_keys"),
+        F.size(mf).alias("mf_n"),
+        F.element_at(mzw, "p").alias("mzw_p"),
+    ).orderBy("o_orderkey")
