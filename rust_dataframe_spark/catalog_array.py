@@ -281,3 +281,46 @@ def q120_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(mf).alias("mf_n"),
         F.element_at(mzw, "p").alias("mzw_p"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q121_array_hof2",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             [l_quantity, l_discount * 100, l_tax * 100] AS arr
+      FROM lineitem WHERE l_orderkey < 300
+    )
+    SELECT l_orderkey, l_linenumber,
+           len(list_filter(arr, x -> x < 0)) = 0                    AS all_pos,
+           len(list_filter(arr, x -> x > 40)) > 0                   AS any_big,
+           CAST(len(list_filter(arr, x -> x < 10)) AS INT)          AS n_small,
+           round(coalesce(list_aggregate(list_filter(arr, x -> x > 5), 'sum'), 0), 4)
+                                                                    AS big_sum
+    FROM t ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q121_array_hof2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array predicate/filter higher-order functions — forall, exists,
+    filter, and a filter→aggregate fold (q64 covered transform/aggregate/
+    zip_with).  DuckDB states forall/exists as empty/non-empty list_filter.
+
+    Scale: elementwise codegen, no shuffle — the same class as every HOF op.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    arr = F.array(
+        F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.forall(arr, lambda x: x >= 0).alias("all_pos"),
+        F.exists(arr, lambda x: x > 40).alias("any_big"),
+        F.size(F.filter(arr, lambda x: x < 10)).alias("n_small"),
+        F.round(
+            F.aggregate(
+                F.filter(arr, lambda x: x > 5), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            4,
+        ).alias("big_sum"),
+    ).orderBy("l_orderkey", "l_linenumber")
