@@ -260,32 +260,56 @@ def q75_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(e, "vec_id", "embedding", qvec, k=10)
 
 
-@query(
-    "q76_embedding_neardup",
-    oracle="""
+def _srp_bits_sql(planes: list[list[float]], emb: str = "emb") -> str:
+    """DuckDB replay of operators/similarity.srp_bucket for literal planes."""
+    return " || ".join(
+        "(CASE WHEN list_dot_product(" + emb + ", ["
+        + ",".join(f"{c:.1f}" for c in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+
+
+def _q76_oracle() -> str:
+    bits = _srp_bits_sql(sim.srp_planes(64, 4, seed=42))
+    return f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-               FROM embeddings WHERE vec_id < 200)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.emb, b.emb)
-                 / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6)
+               FROM embeddings WHERE vec_id < 200),
+    b AS (SELECT vec_id, emb, {bits} AS bucket FROM e)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_dot_product(a.emb, c.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6)
                AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.emb, b.emb)
-          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_dot_product(a.emb, c.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))) >= 0.35
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@query("q76_embedding_neardup", oracle=_q76_oracle())
 def q76_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs on a bounded block — the verify
-    stage of embedding dedup (candidates would come from SRP buckets at scale,
-    q77)."""
+    """Embedding-cosine near-duplicate pairs, candidates-then-verify: SRP
+    buckets (operators/similarity.srp_candidates, 4 planes so genuinely
+    similar pairs collide) feed the exact-cosine verify — every join is an
+    equi-join (bucket, then id), so the plan is hash joins end-to-end with no
+    BroadcastNestedLoopJoin (plan-pinned in tests/test_plans.py).  The scale
+    shape: bucket shuffle keys are (bucket) and (id); vectors travel only for
+    candidate pairs."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    cands = sim.srp_candidates(e, "vec_id", "embedding", n_planes=4, seed=42)
+    a = cands.select(F.col("vec_id").alias("id_a"), "bucket")
+    b = cands.select(F.col("vec_id").alias("id_b"), F.col("bucket").alias("bucket_b"))
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
     emb = sim.as_double(F.col("embedding"))
-    a = e.select(F.col("vec_id").alias("id_a"), emb.alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), emb.alias("emb_b"))
+    va = e.select(F.col("vec_id").alias("id_a"), emb.alias("emb_a"))
+    vb = e.select(F.col("vec_id").alias("id_b"), emb.alias("emb_b"))
     cos = sim.cosine(F.col("emb_a"), F.col("emb_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("raw"))
         .filter(F.col("raw") >= 0.35)
         .select("id_a", "id_b", F.round("raw", 6).alias("cos_sim"))
@@ -294,13 +318,7 @@ def q76_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _srp_oracle() -> str:
-    planes = sim.srp_planes(64, 8, seed=42)
-    bits = " || ".join(
-        "(CASE WHEN list_dot_product(emb, ["
-        + ",".join(f"{c:.1f}" for c in plane)
-        + "]) >= 0 THEN '1' ELSE '0' END)"
-        for plane in planes
-    )
+    bits = _srp_bits_sql(sim.srp_planes(64, 8, seed=42))
     return (
         "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb "
         "FROM embeddings) "

@@ -165,3 +165,12 @@ def test_q109_subqueries_decorrelate_to_joins(spark):
     plan = pi.physical_plan(df)
     # EXISTS -> left semi, NOT EXISTS -> left anti; no per-row subquery loops
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q76_neardup_no_nested_loop_join(spark):
+    """q76 verifies SRP-bucket candidates with equi-joins only — the catalog
+    must contain no all-pairs BroadcastNestedLoopJoin plan (VERDICT r1 #1)."""
+    df = catalog.QUERIES["q76_embedding_neardup"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
