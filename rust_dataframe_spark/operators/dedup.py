@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .cache import persist_tracked
+
 __all__ = [
     "exact_dedup",
     "shingle",
@@ -51,6 +53,8 @@ def exact_dedup(
     regardless of document size (shuffling full documents at 100 TB is the
     naive mistake this avoids).  Returns (keep_id, copies).
     """
+    if keep not in ("min", "max"):
+        raise ValueError(f"exact_dedup keep must be 'min' or 'max', got {keep!r}")
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     return (
         df.select(F.md5(F.col(content_col)).alias("__h"), F.col(id_col))
@@ -204,7 +208,7 @@ def near_dup_pairs(
     # here — every row in a group carries the identical text.  Membership
     # (__h, id) persists for the expansion joins; it holds digests+ids only.
     h = widen(df).select(F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__h"))
-    mem = h.select("__h", F.col(id_col)).persist()
+    mem = persist_tracked(h.select("__h", F.col(id_col)))
     rep_docs = h.groupBy("__h").agg(
         F.min(id_col).alias(id_col), F.first(text_col).alias(text_col)
     )
@@ -215,7 +219,7 @@ def near_dup_pairs(
     # signatures (k hex strings/doc) — at 100 TB you checkpoint this table,
     # never the shingle sets.
     sh = rep_docs.select(F.col(id_col), shingle(F.col(text_col), shingle_n).alias("shingles"))
-    sig = minhash_signatures_df(sh, id_col, "shingles", num_hashes).persist()
+    sig = persist_tracked(minhash_signatures_df(sh, id_col, "shingles", num_hashes))
     cands = lsh_candidate_pairs(sig, id_col, "sig", bands=bands, rows_per_band=rows_per_band)
 
     # 3. verify candidates only: join texts, recompute shingles per pair —
@@ -241,7 +245,8 @@ def near_dup_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-    ).persist()
+    )
+    rep_pairs = persist_tracked(rep_pairs)
 
     # 4a. expand cross-group pairs: every member of a's group x every member
     # of b's group; the pair's jaccard is the representatives' jaccard.

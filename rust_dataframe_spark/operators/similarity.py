@@ -23,6 +23,8 @@ import random
 
 from pyspark.sql import DataFrame, functions as F
 
+from .cache import persist_tracked
+
 __all__ = [
     "cosine",
     "cosine_topk",
@@ -118,7 +120,7 @@ def srp_near_dup(
     # stable hash works; md5 of the joined components is deterministic.
     digest = F.md5(F.array_join(F.transform(F.col(vec_col), lambda x: x.cast("string")), ","))
     h = df.select(F.col(id_col), F.col(vec_col), digest.alias("__h"))
-    mem = h.select("__h", F.col(id_col)).persist()
+    mem = persist_tracked(h.select("__h", F.col(id_col)))
     # one groupBy yields both the representative id and its vector
     # (first(vec) is deterministic — all vectors in a group are identical)
     rep_vecs = h.groupBy("__h").agg(
@@ -148,7 +150,8 @@ def srp_near_dup(
         .select("__ha", "__hb", cos.alias("raw"))
         .filter(F.col("raw") >= threshold)
         .select("__ha", "__hb", F.round("raw", 6).alias("cos_sim"))
-    ).persist()
+    )
+    rep_pairs = persist_tracked(rep_pairs)
 
     ma = mem.select(F.col("__h").alias("__ha"), F.col(id_col).alias("m_a"))
     mb = mem.select(F.col("__h").alias("__hb"), F.col(id_col).alias("m_b"))

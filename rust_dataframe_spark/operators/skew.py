@@ -57,7 +57,17 @@ def salted_join(
     The salt uses a deterministic per-row hash (xxhash64 of all big-side
     columns + a seed) rather than rand() so retried tasks produce identical
     output — nondeterministic columns break Spark's task-retry contract.
+
+    Only ``inner`` and ``left`` are supported: under right/full, an unmatched
+    small-side row would surface once per replica (n_salts copies), diverging
+    from the plain join this function promises to mirror.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the small side is "
+            "replicated n_salts times, so right/full would emit unmatched small rows "
+            "once per replica"
+        )
     salt = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns], F.lit(42))) % n_salts).cast("int")
     b = big.withColumn("__salt", salt)
     s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
@@ -73,10 +83,14 @@ def salted_agg_count(df: DataFrame, key_col: str, *, n_salts: int = 8) -> DataFr
     (For algebraic aggregates Spark's own partial aggregation already does
     map-side combining — this helps when the *reduce* side itself is the
     bottleneck, e.g. count_distinct re-shuffles raw values per key.)
+
+    The salt hashes every data column (+ seed), like ``salted_join``: a
+    nondeterministic salt (rand/monotonic id) in a shuffle key double-counts
+    or drops rows when a task retries after a fetch failure.  Identical
+    duplicate rows share a salt — acceptable: counts are still exact, the
+    spread is merely no finer than the distinct-row population.
     """
-    salt = (F.abs(F.xxhash64(F.col(key_col), F.monotonically_increasing_id())) % n_salts).cast(
-        "int"
-    )
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(7))) % n_salts).cast("int")
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(key_col, "__salt")

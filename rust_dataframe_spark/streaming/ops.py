@@ -303,7 +303,11 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination(timeout) returns False on timeout without raising —
+    # reading the memory sink then would silently return a partial table.
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"availableNow query {query_name!r} did not finish within 120s")
     spark = stream_df.sparkSession
     out = spark.table(query_name)
     q.stop()

@@ -202,6 +202,27 @@ class TestSkew:
         out = {r["k"]: r["count"] for r in skew.salted_agg_count(df, "k", n_salts=4).collect()}
         assert out == {0: 167, 1: 167, 2: 166}
 
+    def test_salted_join_rejects_outer(self, spark):
+        import pytest
+
+        from rust_dataframe_spark.operators import skew
+
+        big = spark.createDataFrame([(1, "a")], "k bigint, v string")
+        small = spark.createDataFrame([(1, "x")], "k bigint, name string")
+        for how in ("right", "full", "outer"):
+            with pytest.raises(ValueError, match="inner.*left"):
+                skew.salted_join(big, small, "k", how=how)
+
+    def test_salted_agg_count_salt_is_deterministic(self, spark):
+        """The (key, salt) shuffle key must be stable across recomputation —
+        a retried task re-hashing rows into the same salts (ADVICE r1)."""
+        from rust_dataframe_spark.operators import skew
+
+        df = spark.range(300).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+        a = {tuple(r) for r in skew.salted_agg_count(df, "k", n_salts=8).collect()}
+        b = {tuple(r) for r in skew.salted_agg_count(df, "k", n_salts=8).collect()}
+        assert a == b == {(i, 60) for i in range(5)}
+
 
 class TestMultimodalTransforms:
     def test_resize_updates_dims_and_payload(self, spark):
@@ -377,3 +398,31 @@ class TestPII:
         t = tx.pii_redact(df, "doc_id", "text").first()["text"]
         assert "<EMAIL>" in t and "<URL>" in t
         assert "a@b.co" not in t and "https://" not in t
+
+
+class TestCacheHygiene:
+    def test_exact_dedup_rejects_bad_keep(self, spark):
+        import pytest
+
+        from rust_dataframe_spark.operators import dedup as dd
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="keep"):
+            dd.exact_dedup(df, "text", "doc_id", keep="first")
+
+    def test_near_dup_persists_are_released(self, spark):
+        """near_dup_pairs/srp_near_dup register their persists; release()
+        drops them so long-lived sessions don't accumulate cache (ADVICE r1)."""
+        from rust_dataframe_spark.operators import cache as opcache
+        from rust_dataframe_spark.operators import dedup as dd
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} common words here and more filler text {i}") for i in range(30)]
+            + [(100 + i, f"w{i} common words here and more filler text {i}") for i in range(5)],
+            "doc_id bigint, text string",
+        )
+        dd.near_dup_pairs(docs, "doc_id", "text").collect()
+        released = opcache.release()
+        assert released >= 3  # mem, sig, rep_pairs
+        jsc = spark.sparkContext._jsc.sc()
+        assert jsc.getPersistentRDDs().size() == 0

@@ -57,6 +57,7 @@ def canon_rows(cols, rows):
 def main(argv):
     import __spark_entry__ as entry_mod
     from rust_dataframe_spark.context import get_spark
+    from rust_dataframe_spark.operators import cache as opcache
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
@@ -75,6 +76,7 @@ def main(argv):
             sdf = queries[name](spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            opcache.release()  # drop operator-internal persists between queries
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
