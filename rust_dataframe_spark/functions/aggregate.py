@@ -70,6 +70,10 @@ def geometric_mean_udaf():
     import pandas as pd
     from pyspark.sql.types import DoubleType
 
+    # type-hint form (pd.Series -> scalar infers a grouped-agg UDF); the
+    # PandasUDFType enum is deprecated since Spark 3.0.  Annotations are set
+    # as live objects because `from __future__ import annotations` would
+    # stringify inline hints, which the inference layer rejects.
     def _geomean(v):
         arr = v.to_numpy(dtype="float64")
         arr = arr[arr > 0]
@@ -78,4 +82,4 @@ def geometric_mean_udaf():
         return float(np.exp(np.log(arr).mean()))
 
     _geomean.__annotations__ = {"v": pd.Series, "return": float}
-    return F.pandas_udf(_geomean, DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    return F.pandas_udf(_geomean, DoubleType())
