@@ -146,3 +146,28 @@ def q105_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("id").alias("sum_id"),
         F.round(F.sum("val"), 4).alias("sum_val"),
     )
+
+
+@query("q122_arrow_ipc_dist", oracle=_RT_AGG)
+def q122_arrow_ipc_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Arrow IPC round-trip (reference from_arrow/to_arrow,
+    dataframe.rs:391-407/515-525 — executor-side here, unlike the
+    driver-side bridge): partitions write part-*.arrow in parallel
+    (sources/files.write_arrow_ipc_dir), the read is a binaryFile scan +
+    mapInPandas pyarrow decode (read_arrow_ipc_dir), so neither direction
+    routes data through the driver.  Oracle aggregates the source parquet —
+    equality proves the IPC round-trip lossless."""
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _scratch("arrow_supplier", sf_dir)
+    fs.write_arrow_ipc_dir(s.repartition(4), path)
+    back = fs.read_arrow_ipc_dir(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s_name").alias("n_names"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+        F.min("s_name").alias("min_name"),
+        F.max("s_suppkey").alias("max_key"),
+        F.sum("s_nationkey").cast("bigint").alias("nk_sum"),
+    )

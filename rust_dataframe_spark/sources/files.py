@@ -21,6 +21,8 @@ Mapping notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
@@ -33,6 +35,8 @@ __all__ = [
     "write_bucketed",
     "read_arrow_ipc",
     "write_arrow_ipc",
+    "read_arrow_ipc_dir",
+    "write_arrow_ipc_dir",
 ]
 
 
@@ -121,12 +125,91 @@ def write_bucketed(
 
 
 def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
-    """Arrow IPC bridge (driver-side; small frames only — use parquet at scale)."""
+    """Arrow IPC bridge (driver-side; small frames only — use
+    :func:`read_arrow_ipc_dir` for the executor-side path)."""
     import pyarrow as pa
 
     with pa.memory_map(path) as source:
         tbl = pa.ipc.open_file(source).read_all()
     return spark.createDataFrame(tbl.to_pandas())
+
+
+def read_arrow_ipc_dir(
+    spark: SparkSession, path: str, *, pattern: str = "*.arrow"
+) -> DataFrame:
+    """Executor-side Arrow IPC reader: ``binaryFile`` scan + per-file pyarrow
+    decode inside ``mapInPandas`` (reference from_arrow,
+    dataframe.rs:391-407 — distributed rather than driver-side).
+
+    Each matching file becomes one input row (its full bytes); executors
+    decode in parallel, so total data volume is unbounded by driver memory —
+    the per-FILE bound is what matters (binaryFile materializes a whole file
+    per row; write IPC files at the 64-256 MiB granularity you'd use for
+    parquet).  The schema comes from one driver-side metadata peek at the
+    first file (footer only, no data read).
+    """
+    import glob as _glob
+
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    first = sorted(_glob.glob(os.path.join(path, pattern)))
+    if not first:
+        raise FileNotFoundError(f"no files matching {pattern!r} under {path}")
+    with pa.memory_map(first[0]) as src:
+        arrow_schema = pa.ipc.open_file(src).schema
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    binary = (
+        spark.read.format("binaryFile").option("pathGlobFilter", pattern).load(path)
+    )
+
+    def _decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                tbl = pa.ipc.open_file(pa.BufferReader(content)).read_all()
+                yield tbl.to_pandas()
+
+    return binary.select("content").mapInPandas(_decode, schema=spark_schema)
+
+
+def write_arrow_ipc_dir(df: DataFrame, path: str) -> int:
+    """Executor-side Arrow IPC sink: each partition writes one
+    ``part-{pid:05d}.arrow`` file (reference to_arrow, dataframe.rs:515-525).
+
+    Filenames are deterministic per partition, so a retried task overwrites
+    its own file instead of duplicating it (idempotent without a commit
+    protocol).  Requires ``path`` on a filesystem all executors share (true
+    in local mode and on NFS/fuse mounts; for object stores use parquet or a
+    custom DataSource with a proper commit protocol).  Returns the number of
+    files written; empty partitions are skipped.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark import TaskContext
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    os.makedirs(path, exist_ok=True)
+    arrow_schema = to_arrow_schema(df.schema)
+
+    def _write(batches):
+        pid = TaskContext.get().partitionId()
+        out, n = None, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if out is None:
+                sink = pa.OSFile(os.path.join(path, f"part-{pid:05d}.arrow"), "wb")
+                out = pa.ipc.new_file(sink, arrow_schema)
+            out.write_table(pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False))
+            n += len(pdf)
+        if out is not None:
+            out.close()
+            sink.close()
+            yield pd.DataFrame({"n_rows": [n]})
+
+    manifest = df.mapInPandas(_write, schema="n_rows long").collect()
+    return len(manifest)
 
 
 def write_arrow_ipc(df: DataFrame, path: str) -> None:

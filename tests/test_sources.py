@@ -59,6 +59,30 @@ class TestRoundTrips:
         back = fs.read_arrow_ipc(spark, p).orderBy("id")
         assert [r["id"] for r in back.collect()] == [1, 2, 3]
 
+    def test_arrow_ipc_dir_roundtrip_multifile(self, spark, tmp_path):
+        """Executor-side IPC path: N partitions -> N files -> parallel decode."""
+        p = str(tmp_path / "ipc_dir")
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") * 2).cast("double").alias("v"),
+            F.concat(F.lit("row"), F.col("id")).alias("s"),
+        ).repartition(4)
+        n_files = fs.write_arrow_ipc_dir(df, p)
+        assert n_files == 4
+        import glob
+        assert len(glob.glob(p + "/part-*.arrow")) == 4
+        back = fs.read_arrow_ipc_dir(spark, p)
+        assert back.schema == df.schema
+        assert back.count() == 1000
+        agg = back.agg(F.sum("id").alias("s"), F.min("s").alias("m")).first()
+        assert agg["s"] == 499500 and agg["m"] == "row0"
+
+    def test_arrow_ipc_dir_empty_partitions_skipped(self, spark, tmp_path):
+        p = str(tmp_path / "ipc_sparse")
+        df = spark.range(10).repartition(8)
+        n_files = fs.write_arrow_ipc_dir(df, p)
+        assert 1 <= n_files <= 8
+        assert fs.read_arrow_ipc_dir(spark, p).count() == 10
+
 
 class TestReaderOptions:
     def test_csv_projection_and_limit(self, spark, frame, tmp_path):
