@@ -537,6 +537,36 @@ def q23_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q23b_hist_density",
+    oracle="""
+    WITH b AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS mn,
+                      CAST(max(l_quantity) AS DOUBLE) AS mx,
+                      count(l_quantity)               AS total
+               FROM lineitem),
+    bk AS (
+      SELECT least(10, greatest(1,
+               CAST(floor((l_quantity - b.mn) / ((b.mx - b.mn) / 10)) AS INT) + 1)) AS bucket
+      FROM lineitem, b WHERE l_quantity IS NOT NULL
+    )
+    SELECT bucket,
+           b.mn + (bucket - 1) * ((b.mx - b.mn) / 10)      AS lo,
+           b.mn + bucket * ((b.mx - b.mn) / 10)            AS hi,
+           count(*) / b.total / ((b.mx - b.mn) / 10)       AS density
+    FROM bk, b GROUP BY bucket, b.mn, b.mx, b.total ORDER BY bucket
+    """,
+)
+def q23b_hist_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column::hist density mode (reference table.rs:244-290 normalizes
+    counts to count/total/width) via operators/histogram.hist(density=True).
+    No rounding on either side: both engines evaluate (count/total)/width in
+    the same association over IEEE doubles, so the values are bit-equal."""
+    from .operators.histogram import hist
+
+    li = table(spark, sf_dir, "lineitem")
+    return hist(li, "l_quantity", nbins=10, density=True)
+
+
 # ---------------------------------------------------------------------------
 # Sort / top-k (SURVEY §2.6) and set ops (§2.7)
 # ---------------------------------------------------------------------------
