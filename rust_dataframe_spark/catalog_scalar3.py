@@ -680,3 +680,52 @@ def q119_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "tag", "val")
         .orderBy("p_partkey", "tag")
     )
+
+
+@query(
+    "q123_decimal_e2e",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                                                    AS n,
+           sum(CAST(l_quantity AS DECIMAL(38,18)))                     AS qty_sum,
+           min(CAST(l_quantity AS DECIMAL(38,18)))                     AS qty_min,
+           max(CAST(l_quantity AS DECIMAL(38,18)))                     AS qty_max,
+           sum(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST('1.25' AS DECIMAL(5,2)))                         AS qty_x
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q123_decimal_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType(38,18) end-to-end: cast, arithmetic, parquet round-trip,
+    aggregation — executable evidence for the numeric->Decimal(38,18) claim
+    in sources/jdbc.py:21 (the reference degraded numerics to Float64,
+    reader.rs:247).  Decimals come from exact integer-valued quantities and a
+    scale-2 literal so every value is exact at both engines' result scales;
+    avg/division are excluded deliberately (their result-scale rules differ
+    between engines — documented, not hidden).  The frame is written to and
+    read back from parquet before aggregating, proving DECIMAL(38,18)
+    survives the storage format (logical type FIXED_LEN_BYTE_ARRAY/16+)."""
+    import os as _os
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(38,18)").alias("qty_dec"),
+        (
+            F.col("l_quantity").cast("decimal(19,2)")
+            * F.expr("CAST('1.25' AS DECIMAL(5,2))")
+        ).alias("qty_x"),
+    )
+    path = f"/tmp/spark_graft_io/decimal_{_os.path.basename(sf_dir.rstrip('/'))}"
+    li.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qty_dec").alias("qty_sum"),
+            F.min("qty_dec").alias("qty_min"),
+            F.max("qty_dec").alias("qty_max"),
+            F.sum("qty_x").alias("qty_x"),
+        )
+        .orderBy("l_returnflag")
+    )
