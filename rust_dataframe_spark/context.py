@@ -39,6 +39,8 @@ _DEFAULT_CONF: dict[str, str] = {
     # Arrow transfer for pandas_udf / mapInPandas / toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Let Python DataSources receive pushFilters() (off by default in 4.1).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Broadcast threshold: dims like region/nation/supplier are tiny even at
     # sf100k; 64 MiB is a safe executor-memory-aware bound.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

@@ -48,13 +48,61 @@ class GraftRangeDataSource(DataSource):
 
 
 class GraftRangeReader(DataSourceReader):
+    """Reader with genuine filter pushdown (the reference's
+    ``supports_filtering`` capability flag, io/datasource.rs:94-106).
+
+    ``pushFilters`` narrows the generated range for comparison filters on
+    ``id`` BEFORE ``partitions()`` is computed, so pruned rows are never
+    generated and fully-pruned partitions never become tasks.  Unsupported
+    filters are returned for Spark to re-apply post-scan (the v2 contract).
+    Limit pushdown has no hook in the Spark 4.1 Python DataSource API —
+    documented in COVERAGE.md.
+    """
+
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
         self.parts = max(1, int(options.get("parts", 8)))
+        self.lo = 0
+        self.hi = self.n
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            value = getattr(f, "value", None)
+            if tuple(attr or ()) == ("id",) and isinstance(value, int):
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, value + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, value)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, value + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, value)
+                    self.hi = min(self.hi, value + 1)
+                    continue
+            yield f  # not handled — Spark re-applies it after the scan
 
     def partitions(self):
-        step = max(1, -(-self.n // self.parts))
-        return [_RangePartition(s, min(s + step, self.n)) for s in range(0, self.n, step)]
+        lo, hi = self.lo, min(self.hi, self.n)
+        if hi <= lo:
+            return [_RangePartition(0, 0)]  # fully pruned
+        span = hi - lo
+        step = max(1, -(-span // self.parts))
+        return [_RangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)]
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):

@@ -170,3 +170,48 @@ class TestCompaction:
         a = spark.read.parquet(src)
         b = spark.read.parquet(dst)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestPythonDataSourcePushdown:
+    def test_filter_narrows_partitions(self):
+        """pushFilters consumes id-comparisons before partitions() is built —
+        pruned rows are never generated (reference supports_filtering flag,
+        io/datasource.rs:94-106)."""
+        from pyspark.sql.datasource import GreaterThanOrEqual, LessThan, StringContains
+
+        from rust_dataframe_spark.sources.python_source import GraftRangeReader
+
+        r = GraftRangeReader({"n": "10000", "parts": "8"})
+        leftover = list(r.pushFilters([
+            GreaterThanOrEqual(("id",), 9000),
+            LessThan(("id",), 9500),
+            StringContains(("val",), "x"),  # unsupported -> returned to Spark
+        ]))
+        assert len(leftover) == 1 and isinstance(leftover[0], StringContains)
+        parts = r.partitions()
+        assert parts[0].start == 9000 and parts[-1].end == 9500
+        assert sum(p.end - p.start for p in parts) == 500
+
+    def test_fully_pruned_range(self):
+        from pyspark.sql.datasource import LessThan
+
+        from rust_dataframe_spark.sources.python_source import GraftRangeReader
+
+        r = GraftRangeReader({"n": "100", "parts": "4"})
+        list(r.pushFilters([LessThan(("id",), 0)]))
+        parts = r.partitions()
+        assert sum(p.end - p.start for p in parts) == 0
+
+    def test_e2e_filter_not_reapplied(self, spark):
+        """The comparison must disappear from the post-scan Filter node."""
+        from rust_dataframe_spark.sources import python_source
+
+        python_source.register(spark)
+        df = (
+            spark.read.format("graft_range")
+            .option("n", 10000).option("parts", 8).load()
+            .filter(F.col("id") >= 9990)
+        )
+        assert df.count() == 10
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "9990" not in plan  # consumed by the reader, not re-applied
