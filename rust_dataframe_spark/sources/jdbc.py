@@ -22,9 +22,15 @@ maps to DecimalType(38,18) (the reference degraded to Float64, reader.rs:247);
 unsigned ints don't exist in Spark — the next-wider signed type is used, which
 is what the reference's *writer* did anyway (writer.rs:78-81).
 
-No database or JDBC driver jar ships in this container, so these are
-config-builders tested for option plumbing only (tests/test_sources.py);
-against a live cluster they need ``--jars postgresql-*.jar`` etc.
+Live verification: no Postgres/MySQL/MSSQL server or driver jar exists in
+this container (those dialects are option-plumbing-tested only and need
+``--jars postgresql-*.jar`` on a real cluster), but Spark bundles embedded
+Derby, so the full path — DDL generation, overwrite/append, decimal type
+mapping, partitioned parallel read, raw-query read — runs against a real
+database in tests/test_sources.py::TestJdbcLiveDerby, mirroring the
+reference's live fixture (sql/postgresql/002.sql, reader.rs:839-885,
+writer.rs:469-517).  Derby deviation: DOUBLE NaN/±Infinity rejected
+(SQLSTATE 22003) — covered by null rows instead; Postgres accepts them.
 """
 
 from __future__ import annotations
@@ -41,11 +47,18 @@ class SqlDatabase:
     POSTGRES = "postgres"
     MYSQL = "mysql"
     MSSQL = "mssql"
+    # Embedded Derby: in-JVM database, no server.  Spark bundles the Derby
+    # jars (Hive-metastore dependency) and a built-in DerbyDialect, so the
+    # WHOLE JDBC path — DDL generation, type mapping, partitioned parallel
+    # read — is live-testable without network or external jars
+    # (tests/test_sources.py::TestJdbcLiveDerby).
+    DERBY = "derby"
 
     _DRIVERS = {
         POSTGRES: "org.postgresql.Driver",
         MYSQL: "com.mysql.cj.jdbc.Driver",
         MSSQL: "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+        DERBY: "org.apache.derby.jdbc.EmbeddedDriver",
     }
 
     @classmethod
