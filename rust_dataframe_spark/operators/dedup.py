@@ -27,7 +27,7 @@ built-ins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .cache import persist_tracked
 
@@ -41,6 +41,7 @@ __all__ = [
     "dup_clusters",
     "decontaminate",
     "simhash",
+    "repeated_ngram_spans",
 ]
 
 
@@ -409,4 +410,68 @@ def decontaminate(
         .agg(F.count_distinct("__s").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
         .select(F.col(id_col), F.col("__bid").alias("bench_id"), F.col("shared_ngrams"))
+    )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring detection at word-n-gram resolution
+    — the distributed stand-in for exact substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", which used a
+    single-machine suffix array; suffix arrays don't shard, n-gram inverted
+    indexes do).
+
+    Pipeline: posexplode every word n-gram with its start position ->
+    md5 the n-gram (the shuffle carries 32 B digests + ids, never text) ->
+    count DISTINCT documents per digest -> keep digests in >= ``min_docs``
+    docs -> join positions back -> merge runs of consecutive repeated
+    positions per document into maximal spans (gaps-and-islands: island key
+    = pos - row_number, one window per doc).
+
+    Returns (id, span_start, span_end, n_grams) in word coordinates,
+    span_end inclusive = last_pos + n - 1.  Production dedup then cuts those
+    spans out of the text (or drops docs whose repeated fraction is high).
+
+    Scale: explode is O(total tokens) but narrow; the distinct-doc count is
+    two partial-aggregated shuffles on fixed-width digests; the island merge
+    windows partition by doc (bounded).  At 100 TB swap count_distinct for
+    approx_count_distinct >= min_docs (HLL, one shuffle) — same shape.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_pos = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] — docs shorter
+    # than n words must yield no n-grams, not two garbage ones
+    positions = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(positions, lambda i: F.array_join(F.slice(words, i, n), " "))
+        ).alias("pos", "__g"),
+    ).select(F.col(id_col), F.col("pos"), F.md5(F.col("__g")).alias("__h"))
+
+    shared = (
+        grams.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("__h")
+    )
+    hits = grams.join(shared, "__h").select(F.col(id_col), F.col("pos"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("__isl")
     )

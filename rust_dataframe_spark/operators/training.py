@@ -1,0 +1,205 @@
+"""Training-data assembly operators: domain mixing, sequence packing,
+semantic dedup — the steps between "filtered corpus" and "tokens on GPUs".
+
+These extend the reference's data-prep surface (it stops at frame verbs) with
+the operations an LLM training pipeline runs at 100 TB:
+
+* **stratified_sample** — per-domain sampling rates (the "data mixture":
+  upsample curated sources, downsample crawl), deterministic per document so
+  reruns and incremental ingest draw the same rows.
+* **global_cumsum / pack_sequences** — GPT-style concat-and-chunk packing:
+  lay every document end-to-end and cut fixed-length training sequences.
+  The core primitive is a GLOBAL running sum, which naive window code plans
+  as ``Exchange SinglePartition`` (one reducer sees the whole corpus — the
+  classic scale bug).  Here it is a distributed two-phase prefix sum:
+  range-partition by the order key, per-partition window cumsum, plus a
+  driver-side prefix of the tiny per-partition totals (n_partitions rows).
+* **semdedup** — semantic dedup (SemDeDup, arXiv:2303.09540 shape): cluster
+  by nearest centroid, drop any document that has a more-senior (smaller id)
+  near-identical neighbor in its cluster.  Candidates are bounded per
+  cluster — the same candidates-then-verify shape as MinHash-LSH/SRP.
+
+Everything is built-in-function DataFrame code (whole-stage codegen); no
+Python row loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .similarity import as_double, cosine, ivf_assign
+
+__all__ = [
+    "stratified_sample",
+    "global_cumsum",
+    "pack_sequences",
+    "semdedup",
+]
+
+_HASH_SPACE = 1 << 32
+
+
+def _uhash(key_col: str, salt: str):
+    """Uniform uint32 from md5 — identical math to text.hash_sample, so any
+    engine replays the draw."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixture operator.
+
+    ``fractions`` maps stratum value -> keep probability; strata not listed
+    keep ``default_fraction``.  The draw hashes only the document key, so a
+    document's fate is independent of its stratum's other members, stable
+    under repartitioning, and consistent across engines (md5).  Rates >= 1.0
+    keep everything (upsampling-by-repetition is a separate epoch-level
+    concern, kept out of the row filter deliberately).
+
+    Scale: a narrow filter over the scan — no shuffle, no per-stratum pass;
+    the CASE over strata is one codegen'd expression regardless of how many
+    strata are configured.
+    """
+    for name, frac in fractions.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
+    cutoff = None
+    for name, frac in fractions.items():
+        clause = (F.col(strata_col) == name, F.lit(int(frac * _HASH_SPACE)))
+        cutoff = F.when(*clause) if cutoff is None else cutoff.when(*clause)
+    default_lit = F.lit(int(default_fraction * _HASH_SPACE))
+    cutoff = default_lit if cutoff is None else cutoff.otherwise(default_lit)
+    return df.filter(_uhash(key_col, salt) < cutoff)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` in global ``order_col`` order,
+    WITHOUT a single-partition window.
+
+    Plan shape: repartitionByRange(order) -> pid tag -> per-pid window cumsum
+    (parallel across partitions) + one tiny driver aggregate of per-partition
+    totals (num_partitions rows) whose exclusive prefix is joined back as a
+    literal CASE.  Total cost: two shuffles of the data + an O(partitions)
+    driver step — versus the naive ``Window.orderBy(col)`` which funnels the
+    entire dataset through ONE task (plan-pinned in
+    tests/test_plans.py::test_pack_sequences_no_single_partition_window).
+
+    ``order_col`` must be unique (it defines the concatenation order).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = sorted(
+        ranged.groupBy("__pid").agg(F.sum(F.col(value_col)).alias("t")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["__pid"]] = acc
+        acc += r["t"] or 0
+    off = None
+    for pid, val in offsets.items():
+        clause = (F.col("__pid") == pid, F.lit(val))
+        off = F.when(*clause) if off is None else off.when(*clause)
+    off = F.lit(0) if off is None else off.otherwise(F.lit(0))
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return ranged.withColumn(
+        out_col, (F.sum(F.col(value_col)).over(w) + off).cast("bigint")
+    ).drop("__pid")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    *,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    ``order_col`` order and cut into fixed ``seq_len`` training sequences.
+
+    Adds ``start_off`` (global token offset of the document), ``first_chunk``
+    / ``last_chunk`` (the sequence ids the document lands in) and
+    ``n_chunks`` (how many sequences it spans — crossings = n_chunks - 1 is
+    the packing-efficiency metric).  Runs on the distributed prefix sum
+    above; everything else is elementwise arithmetic.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    order = order_col or id_col
+    c = global_cumsum(df, order, n_tokens_col, out_col="__cum")
+    start = (F.col("__cum") - F.col(n_tokens_col)).cast("bigint")
+    end_incl = (F.col("__cum") - 1).cast("bigint")
+    return (
+        c.withColumn("start_off", start)
+        .withColumn("first_chunk", F.floor(start / seq_len).cast("bigint"))
+        .withColumn(
+            "last_chunk",
+            F.when(F.col(n_tokens_col) > 0, F.floor(end_incl / seq_len))
+            .otherwise(F.floor(start / seq_len))
+            .cast("bigint"),
+        )
+        .withColumn("n_chunks", (F.col("last_chunk") - F.col("first_chunk") + 1))
+        .drop("__cum")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    eps: float = 0.97,
+) -> DataFrame:
+    """Semantic dedup: keep a document unless a smaller-id document in the
+    SAME centroid cell is within cosine ``eps`` of it (SemDeDup's
+    keep-one-per-near-clique rule, greedy by id).
+
+    Returns the surviving rows with their ``cell``.  Candidate pairs are
+    bounded per cell (the clustering is the blocking step), verified with
+    exact cosine, and the drop decision is a left-anti join — no transitive
+    closure needed because seniority is a total order.
+
+    Scale: assignment is a narrow codegen map (see ivf_assign); the
+    self-join shuffles (cell) keys; at production scale centroids come from
+    sampled k-means over ~1% of vectors and cells are sized (k ≈ n/10k) so
+    per-cell blocks stay small.  Skewed cells: AQE skew-join handles the
+    split; a degenerate mega-cell means the quantizer needs more centroids,
+    which is a data-quality signal in itself.
+    """
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    a = assigned.select(
+        F.col(id_col).alias("__ida"), F.col("cell"), as_double(F.col(vec_col)).alias("__va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"),
+        F.col("cell").alias("__cellb"),
+        as_double(F.col(vec_col)).alias("__vb"),
+    )
+    dropped = (
+        a.join(b, (F.col("cell") == F.col("__cellb")) & (F.col("__idb") < F.col("__ida")))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= eps)
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, on=id_col, how="left_anti")

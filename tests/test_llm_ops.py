@@ -426,3 +426,90 @@ class TestCacheHygiene:
         assert released >= 3  # mem, sig, rep_pairs
         jsc = spark.sparkContext._jsc.sc()
         assert jsc.getPersistentRDDs().size() == 0
+
+
+class TestTraining:
+    def test_stratified_sample_rates(self, spark):
+        from rust_dataframe_spark.operators import training as tr
+
+        df = spark.range(20000).select(
+            F.col("id"), (F.col("id") % 2 == 0).cast("string").alias("s")
+        )
+        out = tr.stratified_sample(
+            df, "id", "s", {"true": 1.0, "false": 0.1}, default_fraction=0.0
+        )
+        counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+        assert counts["true"] == 10000          # rate 1.0 keeps everything
+        assert 700 <= counts["false"] <= 1300   # ~10% of 10000
+
+    def test_stratified_sample_deterministic_and_validated(self, spark):
+        import pytest
+
+        from rust_dataframe_spark.operators import training as tr
+
+        df = spark.range(1000).select(F.col("id"), F.lit("a").alias("s"))
+        a = {r["id"] for r in tr.stratified_sample(df, "id", "s", {"a": 0.3}).collect()}
+        b = {r["id"] for r in tr.stratified_sample(df, "id", "s", {"a": 0.3}).collect()}
+        assert a == b
+        with pytest.raises(ValueError):
+            tr.stratified_sample(df, "id", "s", {"a": 1.5})
+
+    def test_global_cumsum_matches_single_node(self, spark):
+        from rust_dataframe_spark.operators import training as tr
+
+        df = spark.range(5000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+        out = {r["id"]: r["cumsum"] for r in tr.global_cumsum(df, "id", "v").collect()}
+        acc, expected = 0, {}
+        for i in range(5000):
+            acc += i % 7
+            expected[i] = acc
+        assert out == expected
+
+    def test_pack_sequences_chunks(self, spark):
+        from rust_dataframe_spark.operators import training as tr
+
+        rows = [(1, 300), (2, 300), (3, 0), (4, 600), (5, 24)]
+        df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+        out = {r["doc_id"]: r for r in
+               tr.pack_sequences(df, "doc_id", "n_tokens", 512).collect()}
+        # doc1: [0,300) -> chunk 0; doc2: [300,600) -> spans 0-1
+        assert (out[1]["first_chunk"], out[1]["last_chunk"]) == (0, 0)
+        assert (out[2]["first_chunk"], out[2]["last_chunk"]) == (0, 1)
+        assert out[2]["n_chunks"] == 2
+        # doc3: zero tokens at offset 600 -> degenerate single chunk, no span
+        assert out[3]["n_chunks"] == 1 and out[3]["start_off"] == 600
+        # doc4: [600,1200) -> chunks 1-2; doc5: [1200,1224) -> chunk 2
+        assert (out[4]["first_chunk"], out[4]["last_chunk"]) == (1, 2)
+        assert (out[5]["first_chunk"], out[5]["last_chunk"]) == (2, 2)
+
+    def test_semdedup_keeps_senior_drops_near(self, spark):
+        from rust_dataframe_spark.operators import training as tr
+
+        rows = [
+            (0, [1.0, 0.0]), (1, [0.99, 0.01]),   # near-dup pair, same cell -> drop 1
+            (2, [0.0, 1.0]),                        # other cell, survives
+            (3, [1.0, 0.05]),                       # near 0 too -> dropped
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        kept = {r["vec_id"] for r in
+                tr.semdedup(df, "vec_id", "embedding", cents, eps=0.95).collect()}
+        assert kept == {0, 2}
+
+    def test_repeated_ngram_spans_islands(self, spark):
+        from rust_dataframe_spark.operators import dedup as dd
+
+        shared = "alpha beta gamma delta epsilon zeta eta"
+        rows = [
+            (1, f"{shared} unique1 tail1 words here"),
+            (2, f"prefix2 other2 {shared} trailing2"),
+            (3, "totally different content with no overlap at all okay"),
+            (4, "tiny"),  # shorter than n -> no grams, no crash
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        spans = {(r["doc_id"]): (r["span_start"], r["span_end"], r["n_grams"])
+                 for r in dd.repeated_ngram_spans(df, "doc_id", "text", n=5).collect()}
+        # 7 shared words -> 3 repeated 5-grams, merged into ONE span of 7 words
+        assert spans[1] == (0, 6, 3)
+        assert spans[2] == (2, 8, 3)
+        assert 3 not in spans and 4 not in spans

@@ -174,3 +174,12 @@ def test_q76_neardup_no_nested_loop_join(spark):
     plan = pi.physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """The global running sum must be the two-phase distributed prefix sum —
+    never a naive Window.orderBy that funnels the corpus through one task."""
+    df = catalog.QUERIES["q125_pack_sequences"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-partition cumsum is still a window
