@@ -174,3 +174,42 @@ def q127_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_near(spark, sf_dir)
     spans = dd.repeated_ngram_spans(corpus, "doc_id", "text", n=5, min_docs=2)
     return spans.orderBy("doc_id", "span_start")
+
+
+@query(
+    "q128_kmeans",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid,
+                  list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS cvn
+           FROM e WHERE vec_id < 4),
+    s1 AS (SELECT e.vec_id, c0.cid, e.emb,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      list_dot_product(emb, cvn) DESC, c0.cid ASC) AS rn
+           FROM e CROSS JOIN c0),
+    a1 AS (SELECT vec_id, cid AS cell, emb FROM s1 WHERE rn = 1),
+    d1 AS (SELECT cell, unnest(range(1, 65)) AS dim, emb FROM a1),
+    m1 AS (SELECT cell, dim, avg(emb[dim]) AS mv FROM d1 GROUP BY cell, dim),
+    c1 AS (SELECT cell AS cid, list(mv ORDER BY dim) AS cv FROM m1 GROUP BY cell),
+    c1n AS (SELECT cid,
+                   list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+            FROM c1),
+    s2 AS (SELECT e.vec_id, c1n.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      list_dot_product(emb, cvn) DESC, c1n.cid ASC) AS rn
+           FROM e CROSS JOIN c1n)
+    SELECT vec_id, cid AS cell FROM s2 WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def q128_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (operators/training.kmeans), 2 Lloyd
+    iterations, k=4, deterministic first-k init — trains the quantizer that
+    q86/q126 take as given.  Per iteration: literal-centroid assignment
+    (narrow codegen map) + elementwise-mean update whose shuffle is
+    O(k * dim) rows; the driver sees only k centroid rows per round.  The
+    oracle replays both iterations as chained CTEs (assignment argmax by
+    normalized dot, per-dimension AVG, relist ORDER BY dim)."""
+    e = table(spark, sf_dir, "embeddings")
+    _, assigned = tr.kmeans(e, "vec_id", "embedding", k=4, n_iter=2)
+    return assigned.orderBy("vec_id")

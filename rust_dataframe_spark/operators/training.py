@@ -34,6 +34,7 @@ __all__ = [
     "global_cumsum",
     "pack_sequences",
     "semdedup",
+    "kmeans",
 ]
 
 _HASH_SPACE = 1 << 32
@@ -203,3 +204,57 @@ def semdedup(
         .distinct()
     )
     return assigned.join(dropped, on=id_col, how="left_anti")
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    n_iter: int = 2,
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Distributed spherical k-means (Lloyd): assign by max cosine, update by
+    elementwise mean — the centroid-training step that ivf_topk/semdedup
+    take as input ("centroids come from sampled k-means").
+
+    Deterministic init: the k smallest-``id_col`` vectors (injectable
+    baseline any engine can replay; swap for k-means|| sampling in
+    production).  Returns (final centroids, final assignment frame
+    ``(id, cell)``).
+
+    Scale shape per iteration: assignment is the ivf_assign narrow codegen
+    map (centroids ship as literals — k vectors ALWAYS fit the driver, the
+    same tiny-artifact exception as LSH planes); the update posexplodes to
+    (cell, dim, value) and partial-aggregates the mean, so the shuffle is
+    O(k * dim * partitions) rows, never the vectors themselves.  The driver
+    round-trips k rows per iteration — equivalent to dup_clusters' one-row
+    convergence check, not a data collect.  Empty cells keep their previous
+    centroid.
+    """
+    if k <= 0 or n_iter <= 0:
+        raise ValueError(f"k and n_iter must be positive, got k={k}, n_iter={n_iter}")
+    init_rows = df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init_rows)
+    ]
+    assigned = None
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, id_col, vec_col, cents)
+        dims = assigned.select(
+            "cell", F.posexplode(as_double(F.col(vec_col))).alias("dim", "v")
+        )
+        mean_rows = (
+            dims.groupBy("cell", "dim")
+            .agg(F.avg("v").alias("mv"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "mv"))), lambda s: s["mv"]
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in mean_rows}
+        cents = [(cid, new.get(cid, old)) for cid, old in cents]
+    return cents, assigned.select(F.col(id_col), F.col("cell"))

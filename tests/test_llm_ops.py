@@ -513,3 +513,33 @@ class TestTraining:
         assert spans[1] == (0, 6, 3)
         assert spans[2] == (2, 8, 3)
         assert 3 not in spans and 4 not in spans
+
+
+class TestKmeans:
+    def test_converges_on_separated_clusters(self, spark):
+        from rust_dataframe_spark.operators import training as tr
+
+        rows = (
+            [(i, [1.0 + 0.01 * i, 0.0]) for i in range(10)]
+            + [(100 + i, [0.0, 1.0 + 0.01 * i]) for i in range(10)]
+        )
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        cents, assigned = tr.kmeans(df, "vec_id", "embedding", k=2, n_iter=3)
+        cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+        # all x-axis vectors share one cell, all y-axis the other
+        assert len({cells[i] for i in range(10)}) == 1
+        assert len({cells[100 + i] for i in range(10)}) == 1
+        assert cells[0] != cells[100]
+        # updated centroids point along the clusters' axes
+        by_cid = dict(cents)
+        cx = by_cid[cells[0]]
+        assert cx[0] > 10 * abs(cx[1])
+
+    def test_kmeans_validates(self, spark):
+        import pytest
+
+        from rust_dataframe_spark.operators import training as tr
+
+        df = spark.createDataFrame([(1, [1.0])], "vec_id bigint, embedding array<float>")
+        with pytest.raises(ValueError):
+            tr.kmeans(df, "vec_id", "embedding", k=0)
