@@ -957,3 +957,17 @@ def q113_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "o_orderkey", "valid_from", "valid_to", "is_current")
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     )
+
+
+@query("q129_dup_clusters_star", oracle=_Q93_ORACLE)
+def q129_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (operators/dedup.dup_clusters_star) — same answer as q93's min-label
+    propagation (identical oracle), O(log^2 n) rounds instead of O(diameter):
+    the variant that survives long-chain duplicate graphs at planet scale.
+    Equivalence with q93 is also property-tested on random graphs."""
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = dd.near_dup_pairs(
+        corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    return dd.dup_clusters_star(pairs).orderBy("doc_id")

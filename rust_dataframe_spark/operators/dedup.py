@@ -39,6 +39,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "near_dup_pairs",
     "dup_clusters",
+    "dup_clusters_star",
     "decontaminate",
     "simhash",
     "repeated_ngram_spans",
@@ -306,6 +307,7 @@ def dup_clusters(
         .select(F.col("id"), F.col("id").alias("label"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             adj.join(labels, adj["dst"] == labels["id"])
@@ -322,8 +324,17 @@ def dup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     adj.unpersist()
+    if not converged:
+        # an un-converged label set is silently WRONG (labels only traveled
+        # max_iter hops); refuse rather than return it
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds (graph diameter "
+            "exceeds max_iter) — raise max_iter, or use dup_clusters_star, whose "
+            "round count is O(log^2 n) independent of diameter"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -474,4 +485,88 @@ def repeated_ngram_spans(
             F.count(F.lit(1)).alias("n_grams"),
         )
         .drop("__isl")
+    )
+
+
+def dup_clusters_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", *, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — the planet-scale
+    alternative to ``dup_clusters``' min-label propagation: O(log^2 n) rounds
+    on ANY graph shape versus O(diameter), at the cost of ~2x work per round.
+    Same contract: every node in a pair -> (doc_id, cluster_id = component
+    min), so the two are interchangeable (equivalence is property-tested).
+
+    Each round:
+
+    * **large-star**: every node points its LARGER neighbors at the minimum
+      of its neighborhood (+ itself) — long chains contract exponentially;
+    * **small-star**: every node points its smaller-or-equal neighbors (and
+      itself) at that minimum — stars flatten to depth 1.
+
+    Both are one groupBy + one join over the edge list; rounds
+    ``localCheckpoint`` for the same lineage-truncation reason as
+    ``dup_clusters``.  Convergence: the edge set is a fixed point (star
+    edges only).
+    """
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # each operator REPLACES the edge set (keeping old edges breaks the
+        # contraction argument): symmetrize, then every node points its
+        # strictly-larger neighbors at its neighborhood minimum
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient (larger -> smaller); every node points its smaller neighbors
+        # AND itself at the minimum
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = oriented.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    nodes = fwd.select("u").unionByName(rev.select("u")).distinct()
+    edges = fwd.unionByName(rev).filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        canon_old = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
+        canon_new = new_edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
+        changed = (
+            canon_new.exceptAll(canon_old).limit(1).count()
+            + canon_old.exceptAll(canon_new).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    # fixed point: star edges (node -> component_min); roots label themselves
+    labels = (
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .groupBy("u")
+        .agg(F.min("v").alias("cluster_id"))
+    )
+    roots = nodes.join(labels.select("u"), "u", "left_anti").select(
+        F.col("u"), F.col("u").alias("cluster_id")
+    )
+    return (
+        labels.select(F.col("u").alias("doc_id"), "cluster_id")
+        .unionByName(roots.select(F.col("u").alias("doc_id"), "cluster_id"))
     )

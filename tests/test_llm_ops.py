@@ -543,3 +543,38 @@ class TestKmeans:
         df = spark.createDataFrame([(1, [1.0])], "vec_id bigint, embedding array<float>")
         with pytest.raises(ValueError):
             tr.kmeans(df, "vec_id", "embedding", k=0)
+
+
+class TestStarConnectedComponents:
+    def test_equivalent_to_label_prop_on_random_graph(self, spark):
+        import random
+
+        from rust_dataframe_spark.operators import dedup as dd
+
+        rng = random.Random(11)
+        pairs = [(rng.randrange(150), rng.randrange(150)) for _ in range(120)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        a = sorted(map(tuple, dd.dup_clusters(df, max_iter=100).collect()))
+        b = sorted(map(tuple, dd.dup_clusters_star(df).collect()))
+        assert a == b
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from rust_dataframe_spark.operators import dedup as dd
+
+        chain = [(i, i + 1) for i in range(60)]
+        df = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+        out = dd.dup_clusters_star(df, max_iter=10).collect()
+        assert len(out) == 61 and all(r["cluster_id"] == 0 for r in out)
+
+    def test_label_prop_refuses_unconverged(self, spark):
+        """Silent under-convergence returned WRONG clusters before; now it
+        raises and names the star variant as the fix."""
+        import pytest
+
+        from rust_dataframe_spark.operators import dedup as dd
+
+        chain = [(i, i + 1) for i in range(30)]
+        df = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+        with pytest.raises(RuntimeError, match="star"):
+            dd.dup_clusters(df, max_iter=5).collect()
