@@ -213,3 +213,46 @@ def q128_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     _, assigned = tr.kmeans(e, "vec_id", "embedding", k=4, n_iter=2)
     return assigned.orderBy("vec_id")
+
+
+def _q130_oracle() -> str:
+    def interleave(expr: str, c_idx: int) -> str:
+        return " + ".join(
+            f"((({expr} >> {b}) & 1) << {b * 2 + c_idx})" for b in range(16)
+        )
+
+    zc = interleave("(o_custkey & 65535)", 0)
+    zd = interleave("(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535)", 1)
+    return f"""
+    WITH z AS (
+      SELECT o_orderkey, CAST({zc} + {zd} AS BIGINT) AS zval
+      FROM orders WHERE o_orderkey < 5000
+    )
+    SELECT zval >> 16 AS bucket, count(*) AS n, min(zval) AS z_min, max(zval) AS z_max
+    FROM z GROUP BY 1 ORDER BY bucket
+    """
+
+
+@query("q130_zorder", oracle=_q130_oracle())
+def q130_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve values (operators/layout.zorder_value): bit
+    interleave of customer key and order date epoch-day, 16 bits each — the
+    multi-column clustering key behind OPTIMIZE ZORDER.  Pure integer
+    shifts/masks in codegen; the oracle replays the interleave as DuckDB
+    arithmetic.  Layout effectiveness (per-file min-max span shrinkage on
+    BOTH columns) is measured, not asserted, in tests/test_sources.py."""
+    from .operators.layout import zorder_value
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    z = zorder_value([F.col("o_custkey"), day], bits=16)
+    return (
+        o.select(z.alias("zval"))
+        .groupBy(F.shiftright(F.col("zval"), 16).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+        .orderBy("bucket")
+    )

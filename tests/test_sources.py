@@ -319,3 +319,47 @@ class TestJdbcLiveDerby:
         )
         assert out.count() == 10
         assert all(r["k"] < 50 for r in out.collect())
+
+
+class TestZorderLayout:
+    def test_zorder_tightens_per_file_spans_on_both_columns(self, spark, tmp_path):
+        """Measured, not asserted by fiat: after write_zordered on (a, b),
+        every file's min-max span on BOTH columns shrinks well below the
+        full range; a single-column sort leaves the other column's spans at
+        ~full range (why Z-order exists)."""
+        from rust_dataframe_spark.operators.layout import write_zordered
+
+        n, full = 40_000, 1 << 12
+        df = spark.range(n).select(
+            (F.col("id") % full).alias("a"),
+            ((F.col("id") * 2654435761) % full).alias("b"),  # decorrelated
+        )
+        zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "sorted")
+        write_zordered(df, ["a", "b"], zpath, bits=12, num_files=16)
+        df.repartitionByRange(16, F.col("a")).sortWithinPartitions("a").write.parquet(spath)
+
+        def spans(path):
+            d = spark.read.parquet(path).withColumn("f", F.input_file_name())
+            rows = d.groupBy("f").agg(
+                (F.max("a") - F.min("a")).alias("sa"),
+                (F.max("b") - F.min("b")).alias("sb"),
+            ).collect()
+            return (sum(r["sa"] for r in rows) / len(rows),
+                    sum(r["sb"] for r in rows) / len(rows))
+
+        za, zb = spans(zpath)
+        sa, sb = spans(spath)
+        assert sa < 0.1 * full          # sorted layout: tight on a...
+        assert sb > 0.8 * full          # ...but b spans ~everything
+        assert za < 0.6 * full and zb < 0.6 * full  # z-order: partial on BOTH
+        assert max(za, zb) < 0.75 * sb  # strictly better than sort's worst column
+
+    def test_zorder_value_validation(self, spark):
+        import pytest
+
+        from rust_dataframe_spark.operators.layout import zorder_value
+
+        with pytest.raises(ValueError):
+            zorder_value(["a"], bits=16)
+        with pytest.raises(ValueError):
+            zorder_value(["a", "b", "c", "d"], bits=16)
