@@ -256,3 +256,36 @@ def q130_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q131_udtf_ngrams",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents WHERE doc_id < 30),
+    g0 AS (SELECT doc_id, words,
+                  unnest(range(1, greatest(len(words) - 2, 0) + 1)) AS i
+           FROM w),
+    g AS (SELECT doc_id, i - 1 AS pos, array_to_string(words[i:i+2], ' ') AS ngram
+          FROM g0)
+    SELECT doc_id, pos, ngram FROM g ORDER BY doc_id, pos
+    """,
+)
+def q131_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in SQL LATERAL position (functions/table.NgramsUDTF):
+    `FROM documents, LATERAL ngrams(text, 3)` — the table-function shape the
+    reference's UDF registry never reached.  Row-at-a-time Python by design
+    (API demonstration); the hot-path equivalent is the codegen'd
+    dedup.shingle/posexplode, which the oracle also replays."""
+    from .functions.table import register_udtfs
+
+    register_udtfs(spark)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, pos, ngram
+        FROM __docs_udtf, LATERAL ngrams(text, 3)
+        WHERE doc_id < 30
+        ORDER BY doc_id, pos
+        """
+    )

@@ -237,3 +237,31 @@ class TestThetaSketches:
         assert row["u"] == 2500   # |A ∪ B| (< 4096 nominal entries => exact)
         assert row["i"] == 500    # |A ∩ B| = [1000, 1500)
         assert row["d"] == 1000   # |A \ B| = [0, 1000)
+
+
+class TestUDTF:
+    def test_ngrams_udtf_matches_shingle(self, spark):
+        """UDTF output == the codegen'd shingle path on the same text."""
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.functions.table import register_udtfs
+        from rust_dataframe_spark.operators import dedup as dd
+
+        register_udtfs(spark)
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "x y"), (3, None)], "id int, text string"
+        )
+        df.createOrReplaceTempView("__t_udtf")
+        got = spark.sql(
+            "SELECT id, pos, ngram FROM __t_udtf, LATERAL ngrams(text, 3) ORDER BY id, pos"
+        ).collect()
+        assert [(r["id"], r["pos"], r["ngram"]) for r in got] == [
+            (1, 0, "a b c"), (1, 1, "b c d"), (1, 2, "c d e")]
+        # doc 2 shorter than n -> no rows; null text -> no rows (no crash)
+        builtin = (
+            df.filter("id = 1")
+            .select(F.posexplode(dd.shingle(F.col("text"), 3)).alias("pos", "ngram"))
+            .collect()
+        )
+        assert [(r["pos"], r["ngram"]) for r in builtin] == [(p, g) for _, p, g in [
+            (1, 0, "a b c"), (1, 1, "b c d"), (1, 2, "c d e")]]
