@@ -5,10 +5,17 @@ Runs every entry in ``__spark_entry__.queries()`` at sf0.01, runs the matching
 names, and exact canonicalized values (order-insensitive).  Usage:
 
     python tools/check.py [query_name ...]     # default: all
+
+Set ``CHECK_JSON_OUT=/path.json`` to also write a machine-readable record
+(same shape as the driver's CORRECTNESS files) — committed per round as
+CORRECTNESS_local_r*.json so the full catalog stays auditable beyond the
+driver's 50-query cap.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -70,6 +77,7 @@ def main(argv):
     oracles = entry_mod.oracle_sql()
     names = argv or sorted(queries)
     n_pass = n_fail = n_weak = 0
+    record = {}
     for name in names:
         t0 = time.time()
         try:
@@ -79,10 +87,12 @@ def main(argv):
             opcache.release()  # drop operator-internal persists between queries
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            record[name] = {"status": "fail", "err": f"spark: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"WEAK {name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "weak", "spark_rows": len(srows)}
             n_weak += 1
             continue
         try:
@@ -91,6 +101,7 @@ def main(argv):
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            record[name] = {"status": "fail", "err": f"duckdb: {e}"}
             n_fail += 1
             continue
         problems = []
@@ -106,11 +117,24 @@ def main(argv):
                 problems.append(f"values differ; first diffs: {diffs}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "fail", "err": "; ".join(problems)}
             n_fail += 1
         else:
             print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+            record[name] = {
+                "status": "pass", "rows_match": True, "schema_match": True,
+                "hash_match": True, "spark_rows": len(srows), "oracle_rows": len(drows),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    out_path = os.environ.get("CHECK_JSON_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {"n_pass": n_pass, "n_weak": n_weak, "n_fail": n_fail,
+                 "sf_dir": SF_DIR, "queries": record},
+                f, indent=1,
+            )
     return 1 if n_fail else 0
 
 
