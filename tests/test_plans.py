@@ -183,3 +183,21 @@ def test_pack_sequences_no_single_partition_window(spark):
     plan = pi.physical_plan(df)
     assert "SinglePartition" not in plan
     assert "Window" in plan  # the per-partition cumsum is still a window
+
+
+def test_ivf_cell_partition_pruning(spark, tmp_path):
+    """SCALE.md's IVF claim, pinned: store `cell` as a partition column and a
+    probe of nprobe cells becomes directory pruning — the scan never touches
+    the other cells' files."""
+    from rust_dataframe_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent_rows = e.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows]
+    path = str(tmp_path / "ivf_cells")
+    sim.ivf_assign(e, "vec_id", "embedding", cents).write.partitionBy("cell").parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("cell").isin([0, 1]))
+    plan = pi.physical_plan(probe)
+    assert "PartitionFilters" in plan and "cell" in plan
+    cells_seen = {r["cell"] for r in probe.select("cell").distinct().collect()}
+    assert cells_seen <= {0, 1}

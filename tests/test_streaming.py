@@ -203,3 +203,29 @@ def test_stream_near_dup_across_batches(spark, tmp_path_factory):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert pairs == {(1, 2)}
+
+
+def test_streaming_stratified_sample_equals_batch(spark, tmp_path_factory):
+    """stratified_sample is a pure narrow filter, so the SAME operator runs
+    unchanged on a stream, and streaming output == batch output on identical
+    files (md5 draw is data-deterministic, not trigger-dependent)."""
+    from rust_dataframe_spark.operators import training as tr
+
+    p = str(tmp_path_factory.mktemp("sstrat") / "docs")
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("books").alias("src"),
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(p)
+
+    mix = {"web": 0.25, "books": 1.0}
+    batch = {r["id"] for r in
+             tr.stratified_sample(spark.read.parquet(p), "id", "src", mix).collect()}
+    schema = spark.read.parquet(p).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p)
+    out = st.run_available_now(
+        tr.stratified_sample(stream, "id", "src", mix), "t_sstrat",
+        output_mode="append",
+    )
+    streamed = {r["id"] for r in out.collect()}
+    assert streamed == batch and len(batch) > 0
