@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .catalog import query, table
 from .catalog_llm import _CORPUS_NEAR, _corpus_near
 from .operators import dedup as dd
+from .operators import text as tx
 from .operators import training as tr
 
 _SPACE = 1 << 32
@@ -289,3 +290,30 @@ def q131_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@query(
+    "q132_chunk_text",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+                      len(string_split(text, ' ')) AS nw
+               FROM documents WHERE doc_id < 100),
+    c AS (SELECT doc_id, nw, words,
+                 unnest(range(0,
+                     1 + CAST(floor((greatest(nw - 128, 0) + 95) / 96.0) AS INT))) AS k
+          FROM w)
+    SELECT doc_id, k AS chunk_id,
+           array_to_string(words[k*96+1 : k*96+128], ' ') AS chunk_text,
+           least(128, nw - k*96)                          AS n_tokens
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+def q132_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.chunk_text,
+    chunk=128 / overlap=32 -> stride 96) — the RAG-indexing / long-doc
+    training-prep step.  Generate-and-explode per document, slices in
+    codegen, no shuffle; the oracle replays windows with unnest(range) +
+    1-based list slices."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = tx.chunk_text(d, "doc_id", "text", chunk_tokens=128, overlap=32)
+    return out.orderBy("doc_id", "chunk_id")

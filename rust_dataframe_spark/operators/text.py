@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
+    "chunk_text",
     "token_stats",
     "quality_score",
     "language_id",
@@ -247,3 +248,55 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for name, pat in _PII_PATTERNS.items():
         t = F.regexp_replace(t, pat, f"<{name.upper()}>")
     return df.select(F.col(id_col), t.alias("text"))
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows — the
+    chunking step of RAG indexing and long-document training prep.
+
+    Chunk k covers words [k*stride, k*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short; every
+    document yields at least one chunk.  Returns (id, chunk_id, chunk_text,
+    n_tokens).
+
+    Scale: one generate-and-explode per document (posexplode over a
+    sequence, slices in codegen) — narrow, no shuffle; output row count =
+    ceil(tokens/stride) per doc, the same expansion a tokenizer pipeline
+    pays anyway.
+    """
+    if chunk_tokens <= 0 or not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"need chunk_tokens > 0 and 0 <= overlap < chunk_tokens, "
+            f"got {chunk_tokens}, {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    n_extra = F.greatest(n_words - chunk_tokens, F.lit(0))
+    # ceil(n_extra / stride) via floor((n_extra + stride - 1) / stride)
+    n_chunks = (F.lit(1) + F.floor((n_extra + (stride - 1)) / stride)).cast("int")
+    exploded = df.select(
+        F.col(id_col),
+        n_words.alias("__nw"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.array_join(F.slice(words, k * stride + 1, chunk_tokens), " "),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.col("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.col("__nw") - F.col("chunk_id") * stride
+        ).alias("n_tokens"),
+    )

@@ -578,3 +578,34 @@ class TestStarConnectedComponents:
         df = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
         with pytest.raises(RuntimeError, match="star"):
             dd.dup_clusters(df, max_iter=5).collect()
+
+
+class TestChunkText:
+    def test_chunks_overlap_and_tail(self, spark):
+        from rust_dataframe_spark.operators import text as tx
+
+        words = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, words), (2, "short text")], "id int, text string")
+        out = sorted(
+            tx.chunk_text(df, "id", "text", chunk_tokens=4, overlap=2).collect(),
+            key=lambda r: (r["id"], r["chunk_id"]),
+        )
+        one = [(r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in out if r["id"] == 1]
+        # stride 2: chunks at 0,2,4,6 cover all 10 words; last is full
+        assert one == [
+            (0, "w0 w1 w2 w3", 4),
+            (1, "w2 w3 w4 w5", 4),
+            (2, "w4 w5 w6 w7", 4),
+            (3, "w6 w7 w8 w9", 4),
+        ]
+        two = [(r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in out if r["id"] == 2]
+        assert two == [(0, "short text", 2)]  # shorter than chunk -> one chunk
+
+    def test_chunk_validation(self, spark):
+        import pytest
+
+        from rust_dataframe_spark.operators import text as tx
+
+        df = spark.createDataFrame([(1, "a")], "id int, text string")
+        with pytest.raises(ValueError):
+            tx.chunk_text(df, "id", "text", chunk_tokens=4, overlap=4)
