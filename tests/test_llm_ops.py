@@ -421,11 +421,15 @@ class TestCacheHygiene:
             + [(100 + i, f"w{i} common words here and more filler text {i}") for i in range(5)],
             "doc_id bigint, text string",
         )
+        # delta-based: other tests' localCheckpoint RDDs legitimately stay in
+        # the global registry, so assert THIS operator's persists come and go
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
         dd.near_dup_pairs(docs, "doc_id", "text").collect()
+        assert jsc.getPersistentRDDs().size() > before
         released = opcache.release()
         assert released >= 3  # mem, sig, rep_pairs
-        jsc = spark.sparkContext._jsc.sc()
-        assert jsc.getPersistentRDDs().size() == 0
+        assert jsc.getPersistentRDDs().size() <= before
 
 
 class TestTraining:
