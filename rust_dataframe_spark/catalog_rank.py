@@ -1,0 +1,197 @@
+"""Catalog extension: relevance ranking (operators/ranking.py), link-graph
+authority (operators/graph.py), hopping event windows, and weighted
+sampling — retrieval/selection steps of a training-data pipeline, beyond
+the reference's frame-verb surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import load_events, query, table
+from .operators import ranking as rk
+from .operators import training as tr
+from .operators.graph import pagerank
+
+_BM25_TERMS = ["vector", "join", "stream"]
+
+
+@query(
+    "q133_tfidf",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    s AS (SELECT doc_id, term, tf, df,
+                 tf * ((n - df + 0.5) / (df + 0.5)) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS rn FROM s)
+    SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
+    ORDER BY doc_id, term
+    """,
+)
+def q133_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf
+    (operators/ranking.tfidf_top_terms).  The idf is the log-free Robertson
+    ratio (N - df + 0.5)/(df + 0.5) — monotone-equivalent ranking, and every
+    step is an exactly-rounded IEEE op so the scores are bit-equal across
+    engines with no rounding.  Term counts combine map-side; the vocabulary
+    join is AQE-broadcast at this size and a term-keyed shuffle at corpus
+    scale; N rides along as a 1-row crossJoin."""
+    d = table(spark, sf_dir, "documents")
+    out = rk.tfidf_top_terms(d, "doc_id", "text", top_n=3)
+    return out.orderBy("doc_id", "term")
+
+
+def _q134_oracle() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    cases = " ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s{i},"
+        for i, t in enumerate(_BM25_TERMS)
+    ).rstrip(",")
+    total = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    corpus AS (SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM dl),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({in_list}) GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    s AS (SELECT doc_id, term,
+                 ((n - df + 0.5) / (df + 0.5))
+                 * ((tf * CAST(2.2 AS DOUBLE))
+                    / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) AS s
+          FROM tf JOIN dfreq USING (term) CROSS JOIN corpus JOIN dl USING (doc_id)),
+    p AS (SELECT doc_id, {cases} FROM s GROUP BY doc_id)
+    SELECT doc_id, {total} AS score FROM p ORDER BY doc_id
+    """
+
+
+@query("q134_bm25", oracle=_q134_oracle())
+def q134_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance (operators/ranking.bm25_score, k1=1.2 b=0.75) of every
+    document for the query {vector, join, stream}.  Tokens are filtered to
+    the query terms BEFORE any shuffle (cost is O(matching tokens)); the
+    per-term contributions are pivoted to columns and added in fixed
+    left-to-right order because a shuffle-ordered float sum is not
+    reproducible across engines or retries — the same determinism discipline
+    as the fixed-point PageRank next door."""
+    d = table(spark, sf_dir, "documents")
+    out = rk.bm25_score(d, "doc_id", "text", _BM25_TERMS, k1=1.2, b=0.75)
+    return out.orderBy("doc_id")
+
+
+@query(
+    "q135_pagerank",
+    oracle="""
+    WITH e AS (SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst
+               FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    c1 AS (SELECT e.dst AS node, sum((85 * r0.r) // (100 * deg.outdeg)) AS s
+           FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+    r1 AS (SELECT n.node, CAST(150000 + COALESCE(c1.s, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 USING (node)),
+    c2 AS (SELECT e.dst AS node, sum((85 * r1.r) // (100 * deg.outdeg)) AS s
+           FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+    r2 AS (SELECT n.node, CAST(150000 + COALESCE(c2.s, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 USING (node))
+    SELECT node, r FROM r2 ORDER BY node
+    """,
+)
+def q135_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank, 2 iterations, damping 0.85 (operators/
+    graph.pagerank) over a deterministic order->part link graph (keys mod
+    500).  Integer ranks make the iteration bit-reproducible under any
+    partitioning/retry order — float PageRank isn't — so scores can feed
+    deterministic sampling cutoffs.  Edges are degree-annotated and
+    src-partitioned once (persisted); each round moves only the O(nodes)
+    rank table.  The oracle unrolls both rounds as chained CTEs."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 500).alias("src"),
+            (F.col("l_partkey") % 500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, "src", "dst", n_iter=2).orderBy("node")
+
+
+@query(
+    "q136_hopping_window",
+    oracle="""
+    WITH h AS (
+      SELECT unnest([time_bucket(INTERVAL '15 minutes', ts),
+                     time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes'])
+                 AS win_start,
+             event_type, value
+      FROM events
+    )
+    SELECT win_start, event_type, count(*) AS n_events,
+           round(sum(value), 4) AS value_sum
+    FROM h GROUP BY 1, 2 ORDER BY win_start, event_type
+    """,
+)
+def q136_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 30-minute width, 15-minute
+    slide, so every event lands in exactly 2 windows — q84's tumbling shape
+    generalized.  F.window's generator replicates rows BEFORE the partial
+    agg, so the shuffle carries (window, type) partial sums, never raw
+    events; identical code runs on readStream + withWatermark.  The oracle
+    expands membership with unnest of the two slide-aligned buckets."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "value_sum")
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "q137_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsamp1'), 1, 8))::UBIGINT
+                 AS hv,
+             CAST(floor(least(greatest(n_chars / 300.0, 0.0), 1.0) * 4294967296.0)
+                  AS BIGINT) AS cutoff
+      FROM documents
+    )
+    SELECT source, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+           sum(n_chars) AS chars
+    FROM w WHERE hv < cutoff
+    GROUP BY source ORDER BY source
+    """,
+)
+def q137_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row importance sampling (operators/training.weighted_sample):
+    keep probability proportional to document length (n_chars/300, capped
+    at 1) — the continuous form of q124's per-stratum mixture, the shape
+    quality-score- or PageRank-weighted selection takes.  Cutoff arithmetic
+    is exact (power-of-two scaling + explicit floor, since DuckDB CAST
+    rounds while Spark truncates); one codegen'd filter, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    kept = tr.weighted_sample(
+        d, "doc_id", F.col("n_chars") / F.lit(300.0), salt="wsamp1"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .orderBy("source")
+    )

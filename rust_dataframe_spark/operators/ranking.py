@@ -1,0 +1,132 @@
+"""Corpus ranking / relevance operators: TF-IDF term weighting and BM25
+document scoring — the retrieval-side counterparts of the dedup/quality
+family (used in training pipelines for keyword-based subset selection,
+retrieval-augmented filtering, and corpus search; extends the reference's
+surface, which stops at frame verbs).
+
+Cross-engine bit-determinism (the repo's oracle-gate discipline): both
+operators use the *rational* Robertson idf ``(N - df + 0.5) / (df + 0.5)``
+instead of its logarithm.  Every arithmetic step is an IEEE-754
+exactly-rounded op (integer-valued +, *, /) evaluated in the same
+association order on both engines, so scores are bit-equal in Spark and
+DuckDB with no rounding in the query.  The log is monotone in the ratio, so
+rankings are unchanged; production callers who want the classic scale can
+``F.log`` the ratio at the end.
+
+Scale shape (100 TB corpus):
+
+* tokenize/explode is a narrow map; term counts are map-side partial
+  aggregates, so the (doc, term) shuffle carries pre-combined counts.
+* the document-frequency table is vocabulary-sized (≪ corpus);  its join
+  back onto term counts is broadcast-able for bounded vocabularies and an
+  ordinary term-keyed shuffle join otherwise — AQE decides at runtime.
+* corpus-level scalars (N, avgdl) are 1-row aggregates crossJoin'd back
+  (broadcast of one row), never driver round-trips.
+* BM25 filters the exploded tokens to the query terms *before* any
+  shuffle, so cost is O(matching tokens), not O(corpus tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["tfidf_top_terms", "bm25_score"]
+
+
+def _idf_ratio(n_col, df_col):
+    """Robertson idf without the log: (N - df + 0.5) / (df + 0.5)."""
+    return (n_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, *, top_n: int = 3
+) -> DataFrame:
+    """Top-``top_n`` characteristic terms per document by tf-idf.
+
+    Returns ``(id, term, tf, df, score)`` with ``score = tf * idf_ratio``;
+    ties broken by term ascending so the cut is total-ordered.
+    """
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    toks = _tokens(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is one row per (doc, term), so df = plain count per term.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(n)
+        .withColumn("score", F.col("tf") * _idf_ratio(F.col("__n"), F.col("df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_n)
+        .select(id_col, "term", "tf", "df", "score")
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document for a bag-of-words query.
+
+    Per term: ``idf_ratio * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl))``.
+    The per-term contributions are pivoted to columns and added in the fixed
+    ``query_terms`` order (left-to-right), NOT via a group-sum — floating
+    addition is order-sensitive, and a shuffle-ordered sum would not be
+    reproducible across engines or retries.  Only documents matching at
+    least one term are returned.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    dl = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("__dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.sum("__dl") / F.count(F.lit(1))).alias("__avgdl"),
+    )
+    toks = _tokens(df, id_col, text_col).filter(F.col("term").isin(query_terms))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Same association order as the SQL oracle: idf * (num / den).
+    one_minus_b = 1.0 - b
+    s = _idf_ratio(F.col("__n"), F.col("df")) * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(one_minus_b) + F.lit(b) * (F.col("__dl") / F.col("__avgdl")))
+        )
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(corpus)
+        .join(dl, on=id_col)
+        .select(F.col(id_col), F.col("term"), s.alias("__s"))
+    )
+    pivoted = scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("__s"))).alias(f"__s_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    total = F.coalesce(F.col("__s_0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        total = total + F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
+    return pivoted.select(F.col(id_col), total.alias("score"))

@@ -31,6 +31,7 @@ from .similarity import as_double, cosine, ivf_assign
 
 __all__ = [
     "stratified_sample",
+    "weighted_sample",
     "global_cumsum",
     "pack_sequences",
     "semdedup",
@@ -79,6 +80,34 @@ def stratified_sample(
         cutoff = F.when(*clause) if cutoff is None else cutoff.when(*clause)
     default_lit = F.lit(int(default_fraction * _HASH_SPACE))
     cutoff = default_lit if cutoff is None else cutoff.otherwise(default_lit)
+    return df.filter(_uhash(key_col, salt) < cutoff)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Per-row importance sampling: keep probability = clamp(weight, 0, 1),
+    where ``weight`` is any column expression (e.g. a quality or PageRank
+    score mapped into [0, 1]).  The continuous generalization of
+    :func:`stratified_sample` — rates vary per ROW, not per stratum.
+
+    Determinism: the draw is the same md5 hash as stratified_sample; the
+    cutoff is ``floor(clamp(weight) * 2^32)`` — multiplying by a power of
+    two is exact in IEEE-754, and floor is applied explicitly on both
+    engines (DuckDB's CAST rounds-to-nearest while Spark's truncates, so a
+    bare cast would disagree on half-integers).  A document's fate is a pure
+    function of (key, salt, its own weight): stable under repartitioning,
+    retries, and incremental reprocessing.
+
+    Scale: one codegen'd filter over the scan — no shuffle, no sampling
+    state.
+    """
+    w = F.least(F.greatest(weight_col, F.lit(0.0)), F.lit(1.0))
+    cutoff = F.floor(w * F.lit(float(_HASH_SPACE))).cast("bigint")
     return df.filter(_uhash(key_col, salt) < cutoff)
 
 

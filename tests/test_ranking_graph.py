@@ -1,0 +1,130 @@
+"""Tests for operators/ranking.py (tf-idf, BM25), operators/graph.py
+(fixed-point PageRank) and training.weighted_sample."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_dataframe_spark.operators import ranking as rk
+from rust_dataframe_spark.operators import training as tr
+from rust_dataframe_spark.operators.cache import release
+from rust_dataframe_spark.operators.graph import pagerank
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a c"),
+            (2, "a b"),
+            (3, "c c c d"),
+        ],
+        ["id", "text"],
+    )
+
+
+class TestTfIdf:
+    def test_rare_term_outranks_common(self, spark):
+        out = rk.tfidf_top_terms(_docs(spark), "id", "text", top_n=1)
+        top = {r["id"]: r["term"] for r in out.collect()}
+        # 'a' appears in 2 docs, 'c' in 2, 'b' in 2, 'd' in 1 -> doc 3's top
+        # term must be the doc-unique 'd'... unless tf dominates: tf(c)=3.
+        # idf_ratio(d) = (3-1+0.5)/1.5 = 5/3; score(d)=5/3.
+        # idf_ratio(c) = (3-2+0.5)/2.5 = 0.6; score(c)=1.8 > 5/3.
+        assert top[3] == "c"
+        # doc 2: both terms tf=1, df=2 -> tie on score, term asc wins.
+        assert top[2] == "a"
+
+    def test_top_n_bounds_rows(self, spark):
+        out = rk.tfidf_top_terms(_docs(spark), "id", "text", top_n=2)
+        counts = out.groupBy("id").count().collect()
+        assert all(r["count"] <= 2 for r in counts)
+
+    def test_validates(self, spark):
+        with pytest.raises(ValueError):
+            rk.tfidf_top_terms(_docs(spark), "id", "text", top_n=0)
+
+
+class TestBm25:
+    def test_matching_docs_only_and_monotone_tf(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x x x y"), (2, "x y"), (3, "y z")], ["id", "text"]
+        )
+        out = {r["id"]: r["score"] for r in rk.bm25_score(docs, "id", "text", ["x"]).collect()}
+        assert set(out) == {1, 2}
+        # same dl=4 vs 2 penalizes doc1 a bit, but tf 3 vs 1 dominates with k1=1.2
+        assert out[1] > out[2] > 0
+        rk.bm25_score(docs, "id", "text", ["x"])  # idempotent build
+
+    def test_validates(self, spark):
+        d = _docs(spark)
+        with pytest.raises(ValueError):
+            rk.bm25_score(d, "id", "text", [])
+        with pytest.raises(ValueError):
+            rk.bm25_score(d, "id", "text", ["a", "a"])
+
+
+class TestPagerank:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, ["src", "dst"])
+
+    def test_star_exact_fixed_point(self, spark):
+        # star: everyone points at 0; integer arithmetic makes ranks exact
+        e = self._edges(spark, [(1, 0), (2, 0), (3, 0)])
+        r = {row["node"]: row["r"] for row in pagerank(e, n_iter=2).collect()}
+        release()
+        base = 150_000
+        # spokes have no in-links -> base after every iteration
+        assert r[1] == r[2] == r[3] == base
+        # iter2 hub: base + 3 * (85 * base) div 100
+        assert r[0] == base + 3 * ((85 * base) // 100)
+
+    def test_partitioning_invariant_bit_identical(self, spark):
+        # the fixed-point claim: result independent of physical layout
+        import random
+
+        rng = random.Random(7)
+        rows = list({(rng.randrange(40), rng.randrange(40)) for _ in range(300)})
+        rows = [(a, b) for a, b in rows if a != b]
+        e1 = self._edges(spark, rows)
+        e2 = self._edges(spark, rows).repartition(17)
+        r1 = sorted(map(tuple, pagerank(e1, n_iter=3).collect()))
+        r2 = sorted(map(tuple, pagerank(e2, n_iter=3).collect()))
+        release()
+        assert r1 == r2
+
+    def test_mass_bounds(self, spark):
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 1)])
+        ranks = pagerank(e, n_iter=4).collect()
+        release()
+        # cycle with outdeg 1 everywhere: scale is the exact fixed point
+        # (base + 85% of scale == scale), preserved bit-for-bit each round
+        for row in ranks:
+            assert row["r"] == 1_000_000
+
+    def test_validates(self, spark):
+        e = self._edges(spark, [(1, 2)])
+        with pytest.raises(ValueError):
+            pagerank(e, n_iter=0)
+        with pytest.raises(ValueError):
+            pagerank(e, damping_num=100, damping_den=100)
+
+
+class TestWeightedSample:
+    def test_extremes(self, spark):
+        df = spark.range(200).withColumn("w1", F.lit(5.0)).withColumn("w0", F.lit(-1.0))
+        assert tr.weighted_sample(df, "id", F.col("w1")).count() == 200  # clamp to 1
+        assert tr.weighted_sample(df, "id", F.col("w0")).count() == 0  # clamp to 0
+
+    def test_rate_tracks_weight(self, spark):
+        df = spark.range(4000).withColumn("w", F.lit(0.25))
+        n = tr.weighted_sample(df, "id", F.col("w"), salt="t").count()
+        assert 800 <= n <= 1200  # ~1000 expected
+
+    def test_deterministic_and_salt_sensitive(self, spark):
+        df = spark.range(1000).withColumn("w", F.lit(0.5))
+        a = {r["id"] for r in tr.weighted_sample(df, "id", F.col("w"), salt="s1").collect()}
+        b = {r["id"] for r in tr.weighted_sample(df, "id", F.col("w"), salt="s1").collect()}
+        c = {r["id"] for r in tr.weighted_sample(df, "id", F.col("w"), salt="s2").collect()}
+        assert a == b
+        assert a != c
