@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import as_double, cosine, ivf_assign
+from .similarity import _dot, as_double, cosine, ivf_assign
 
 __all__ = [
     "stratified_sample",
@@ -36,6 +36,7 @@ __all__ = [
     "pack_sequences",
     "semdedup",
     "kmeans",
+    "kmeans_parallel_init",
 ]
 
 _HASH_SPACE = 1 << 32
@@ -235,6 +236,103 @@ def semdedup(
     return assigned.join(dropped, on=id_col, how="left_anti")
 
 
+def _angular_cost(vec_col, centers: list[list[float]]):
+    """1 - max_c cosine(v, c): per-row distance to the nearest of the given
+    centers, which ship as normalized literals (one dot per center, codegen)."""
+    import math
+
+    emb = as_double(F.col(vec_col))
+    vnorm = F.sqrt(_dot(emb, emb))
+    sims = []
+    for cv in centers:
+        nrm = math.sqrt(sum(x * x for x in cv)) or 1.0
+        sims.append(_dot(emb, F.array(*[F.lit(x / nrm) for x in cv])) / vnorm)
+    best = sims[0] if len(sims) == 1 else F.greatest(*sims)
+    return F.greatest(F.lit(0.0), F.lit(1.0) - best)
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    l: int | None = None,
+    rounds: int = 3,
+    salt: str = "kmpp",
+) -> list[tuple[int, list[float]]]:
+    """k-means|| initialization (Bahmani et al., VLDB 2012) — the scalable
+    replacement for both sequential k-means++ (k driver round-trips) and the
+    first-k baseline init (arbitrarily bad cost).
+
+    Each of ``rounds`` passes oversamples ~``l`` points (default 2k) with
+    probability ``min(1, l * cost/phi)`` where cost is the angular distance
+    to the nearest center chosen so far and ``phi`` the total cost; the
+    O(l * rounds) candidate set is then weighted by how many points each
+    candidate covers and reduced to k centers driver-side by weighted
+    farthest-point greedy.  Total: ``rounds`` scans + one assignment pass —
+    versus k scans for k-means++.
+
+    Determinism: the acceptance draw is the engine-agnostic md5 hash keyed
+    by (id, salt, round) — NOT rand() — so a run is reproducible under task
+    retry (the same guarantee as stratified_sample).  phi is a float sum,
+    so bit-identity across *different partitionings* is not claimed (this is
+    the production init; the oracle-checked queries use injectable
+    centroids).
+
+    Scale: per round, one codegen'd scan computes costs + draws (no
+    shuffle); phi is a 1-row aggregate; only accepted candidates (O(l)
+    vectors) reach the driver — the same tiny-artifact exception as LSH
+    planes and k-means centroids.
+    """
+    if k <= 0 or rounds <= 0:
+        raise ValueError(f"k and rounds must be positive, got k={k}, rounds={rounds}")
+    l = l or 2 * k
+    seed = df.orderBy(id_col).limit(1).select(vec_col).collect()
+    if not seed:
+        raise ValueError("cannot initialize from an empty frame")
+    cands: list[list[float]] = [[float(x) for x in seed[0][vec_col]]]
+    for r in range(rounds):
+        cost = _angular_cost(vec_col, cands).alias("__cost")
+        scored = df.select(F.col(id_col), F.col(vec_col), cost)
+        phi = scored.agg(F.sum("__cost")).collect()[0][0]
+        if not phi or phi <= 0.0:  # every point already coincides with a center
+            break
+        u = _uhash(id_col, f"{salt}#{r}") / F.lit(float(_HASH_SPACE))
+        kept = scored.filter(u < F.lit(float(l)) * F.col("__cost") / F.lit(float(phi)))
+        cands.extend(
+            [float(x) for x in row[vec_col]] for row in kept.select(vec_col).collect()
+        )
+    # weight candidates by coverage: points whose nearest candidate they are
+    assigned = ivf_assign(df, id_col, vec_col, list(enumerate(cands)))
+    wrows = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("w")).collect()
+    weights = {int(r["cell"]): int(r["w"]) for r in wrows}
+    # driver-side reduction (candidate set is O(l * rounds)): weighted
+    # farthest-point greedy — start at the heaviest candidate, then add the
+    # candidate maximizing weight * angular gap to the chosen set.
+    import math
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return num / (na * nb)
+
+    order = sorted(range(len(cands)), key=lambda i: (-weights.get(i, 0), i))
+    chosen = [order[0]]
+    while len(chosen) < min(k, len(cands)):
+        best_i, best_gain = None, -1.0
+        for i in order:
+            if i in chosen:
+                continue
+            gap = min(1.0 - _cos(cands[i], cands[j]) for j in chosen)
+            gain = weights.get(i, 0) * gap
+            if gain > best_gain:
+                best_i, best_gain = i, gain
+        chosen.append(best_i)
+    return [(rank, cands[i]) for rank, i in enumerate(chosen)]
+
+
 def kmeans(
     df: DataFrame,
     id_col: str,
@@ -242,15 +340,16 @@ def kmeans(
     *,
     k: int,
     n_iter: int = 2,
+    init: list[tuple[int, list[float]]] | None = None,
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Distributed spherical k-means (Lloyd): assign by max cosine, update by
     elementwise mean — the centroid-training step that ivf_topk/semdedup
     take as input ("centroids come from sampled k-means").
 
     Deterministic init: the k smallest-``id_col`` vectors (injectable
-    baseline any engine can replay; swap for k-means|| sampling in
-    production).  Returns (final centroids, final assignment frame
-    ``(id, cell)``).
+    baseline any engine can replay), or pass ``init=`` — typically
+    :func:`kmeans_parallel_init` — to seed from k-means|| in production.
+    Returns (final centroids, final assignment frame ``(id, cell)``).
 
     Scale shape per iteration: assignment is the ivf_assign narrow codegen
     map (centroids ship as literals — k vectors ALWAYS fit the driver, the
@@ -263,10 +362,13 @@ def kmeans(
     """
     if k <= 0 or n_iter <= 0:
         raise ValueError(f"k and n_iter must be positive, got k={k}, n_iter={n_iter}")
-    init_rows = df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
-    cents: list[tuple[int, list[float]]] = [
-        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init_rows)
-    ]
+    if init is not None:
+        if len(init) != k:
+            raise ValueError(f"init must supply exactly k={k} centroids, got {len(init)}")
+        cents = [(cid, [float(x) for x in cv]) for cid, cv in init]
+    else:
+        init_rows = df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+        cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init_rows)]
     assigned = None
     for _ in range(n_iter):
         assigned = ivf_assign(df, id_col, vec_col, cents)

@@ -201,3 +201,42 @@ def test_ivf_cell_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
     cells_seen = {r["cell"] for r in probe.select("cell").distinct().collect()}
     assert cells_seen <= {0, 1}
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """A selective dim predicate should induce a runtime bloom filter on the
+    fact side of a shuffle join (row-level runtime filtering): the fact scan
+    pre-filters to keys that can match, which at 100 TB is the difference
+    between shuffling the full fact table and a fraction of it.  Broadcast
+    joins get this for free; this guards the shuffle-join path."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {}
+    for key in confs:
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+    try:
+        for key, val in confs.items():
+            spark.conf.set(key, val)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = pi.formatted_plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for key, val in old.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)

@@ -128,3 +128,52 @@ class TestWeightedSample:
         c = {r["id"] for r in tr.weighted_sample(df, "id", F.col("w"), salt="s2").collect()}
         assert a == b
         assert a != c
+
+
+class TestKmeansParallelInit:
+    def _emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_returns_k_centroids_and_feeds_kmeans(self, spark):
+        e = self._emb(spark)
+        init = tr.kmeans_parallel_init(e, "vec_id", "embedding", k=6, rounds=2)
+        assert [cid for cid, _ in init] == list(range(6))
+        dim = len(e.select("embedding").first()["embedding"])
+        assert all(len(cv) == dim for _, cv in init)
+        cents, assigned = tr.kmeans(e, "vec_id", "embedding", k=6, n_iter=1, init=init)
+        cells = {r["cell"] for r in assigned.collect()}
+        assert cells <= set(range(6))
+        assert assigned.count() == e.count()
+
+    def test_deterministic_for_fixed_input(self, spark):
+        e = self._emb(spark)
+        a = tr.kmeans_parallel_init(e, "vec_id", "embedding", k=4, rounds=2)
+        b = tr.kmeans_parallel_init(e, "vec_id", "embedding", k=4, rounds=2)
+        assert a == b
+
+    def test_beats_first_k_init_cost(self, spark):
+        from rust_dataframe_spark.operators.training import _angular_cost
+
+        e = self._emb(spark)
+        k = 8
+        kmpp = [cv for _, cv in tr.kmeans_parallel_init(e, "vec_id", "embedding", k=k)]
+        first = [
+            [float(x) for x in r["embedding"]]
+            for r in e.orderBy("vec_id").limit(k).collect()
+        ]
+
+        def cost(centers):
+            return e.select(
+                _angular_cost("embedding", centers).alias("c")
+            ).agg(F.sum("c")).collect()[0][0]
+
+        # oversampled + weighted-greedy init should not be worse than the
+        # arbitrary first-k baseline (wide margin: guards gross regressions)
+        assert cost(kmpp) <= cost(first) * 1.05
+
+    def test_validates(self, spark):
+        e = self._emb(spark)
+        with pytest.raises(ValueError):
+            tr.kmeans_parallel_init(e, "vec_id", "embedding", k=0)
+        with pytest.raises(ValueError):
+            tr.kmeans(e, "vec_id", "embedding", k=3, init=[(0, [1.0])])
