@@ -64,9 +64,17 @@ def test_sliding_stream(spark, events):
         st.sliding_counts(stream, window="1 hour", slide="30 minutes", watermark="2 hours"),
         "t_slide",
     )
-    rows = out.collect()
-    assert len(rows) > 5  # overlapping windows > tumbling window count
-    assert all(r["n_events"] > 0 for r in rows)
+    batch = (
+        spark.read.parquet(events)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+    s = {(r["win_start"], r["event_type"]): r["n_events"] for r in out.collect()}
+    b = {(r["win_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    # exact batch parity: same hopping-window semantics as q136
+    assert s == b
+    assert len(s) > 5  # overlapping windows > tumbling window count
 
 
 def _protobuf_available() -> bool:
