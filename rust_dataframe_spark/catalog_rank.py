@@ -195,3 +195,124 @@ def q137_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+from .catalog_llm import _CORPUS_NEAR, _Q93_ORACLE, _corpus_near  # noqa: E402
+from .operators import dedup as dd  # noqa: E402
+
+_Q138_ORACLE = _Q93_ORACLE.replace(
+    "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id",
+    ", clus AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),"
+    + _CORPUS_NEAR.replace("corpus AS (", "corpus2 AS (")
+    + """,
+    allc AS (SELECT c.doc_id, COALESCE(cl.cluster_id, c.doc_id) AS cluster_id,
+                    len(c.text) AS keeper_len
+             FROM corpus2 c LEFT JOIN clus cl USING (doc_id)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY keeper_len DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM allc)
+    SELECT cluster_id, doc_id AS keeper_id, n_members, keeper_len
+    FROM r WHERE rn = 1 ORDER BY cluster_id""",
+)
+
+
+@query("q138_canonical_docs", oracle=_Q138_ORACLE)
+def q138_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline end-to-end: MinHash-LSH near-dup pairs (q72)
+    -> connected components (q93) -> ONE canonical survivor per cluster
+    (operators/dedup.keep_canonical), keeping the longest member
+    (tie-break smallest id) — the decision step that actually shrinks the
+    corpus.  Docs outside any pair are their own singleton clusters via a
+    left join (clusters side is tiny — broadcast); the winner pick is one
+    cluster-keyed window."""
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = dd.near_dup_pairs(
+        corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    clusters = dd.dup_clusters(pairs)
+    kept = dd.keep_canonical(
+        corpus, clusters, "doc_id",
+        [F.length("text").desc(), F.col("doc_id").asc()],
+    )
+    return kept.select(
+        "cluster_id",
+        F.col("doc_id").alias("keeper_id"),
+        "n_members",
+        F.length("text").alias("keeper_len"),
+    ).orderBy("cluster_id")
+
+
+@query(
+    "q139_posting_lists",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    d AS (SELECT DISTINCT doc_id, term FROM toks)
+    SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+    FROM d GROUP BY term ORDER BY term
+    """,
+)
+def q139_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/ranking.posting_lists): term ->
+    sorted posting list + document frequency, the serving artifact behind
+    q133/q134.  (doc, term) pairs dedupe in a map-side-combined aggregate;
+    the per-term collect is df-bounded (stopword sharding documented in the
+    operator for web-scale lists)."""
+    d = table(spark, sf_dir, "documents")
+    return rk.posting_lists(d, "doc_id", "text").orderBy("term")
+
+
+@query(
+    "q140_bigram_lift",
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+    g0 AS (SELECT words, unnest(range(1, greatest(len(words), 1))) AS i FROM w),
+    g AS (SELECT words[i] AS w1, words[i+1] AS w2 FROM g0),
+    nxy AS (SELECT w1, w2, count(*) AS n_xy FROM g GROUP BY w1, w2),
+    nx AS (SELECT w1, count(*) AS n_x FROM g GROUP BY w1),
+    ny AS (SELECT w2, count(*) AS n_y FROM g GROUP BY w2),
+    t AS (SELECT count(*) AS t FROM g)
+    SELECT w1, w2, n_xy, (n_xy * t) / (n_x * n_y) AS lift
+    FROM nxy JOIN nx USING (w1) JOIN ny USING (w2) CROSS JOIN t
+    WHERE n_xy >= 10
+    ORDER BY lift DESC, w1, w2 LIMIT 20
+    """,
+)
+def q140_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/ranking.bigram_lift): top-20 adjacent
+    word pairs by lift = (n_xy * T)/(n_x * n_y) — PMI without the log, so
+    the score is one integer-product division and bit-equal across engines.
+    Bigram generation is generate-and-explode (narrow); margins join on
+    single words (vocabulary-sized)."""
+    d = table(spark, sf_dir, "documents")
+    out = rk.bigram_lift(d, "doc_id", "text", min_count=10)
+    return out.orderBy(F.col("lift").desc(), "w1", "w2").limit(20)
+
+
+@query(
+    "q141_take_per_stratum",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'tps1'), 1, 8))::UBIGINT
+                 AS hv
+      FROM documents
+    ),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY hv ASC, doc_id ASC)
+                     AS rn
+          FROM h)
+    SELECT source, doc_id FROM r WHERE rn <= 5 ORDER BY source, doc_id
+    """,
+)
+def q141_take_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE per-stratum sample (operators/training.take_per_stratum):
+    exactly 5 docs per source, ranked by the md5 draw — the balanced
+    eval-set builder complementing q124's fixed-rate mixture.  Membership
+    is a pure function of (key, salt): stable across engines and reruns,
+    bounded churn on incremental ingest.  One stratum-keyed window
+    shuffle."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = tr.take_per_stratum(d, "doc_id", "source", 5, salt="tps1")
+    return out.select("source", "doc_id").orderBy("source", "doc_id")

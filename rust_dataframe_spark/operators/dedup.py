@@ -40,6 +40,7 @@ __all__ = [
     "near_dup_pairs",
     "dup_clusters",
     "dup_clusters_star",
+    "keep_canonical",
     "decontaminate",
     "simhash",
     "repeated_ngram_spans",
@@ -336,6 +337,48 @@ def dup_clusters(
             "round count is O(log^2 n) independent of diameter"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    order_by: list,
+    *,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pick ONE canonical row per duplicate cluster — the decision step that
+    turns cluster labels (dup_clusters / dup_clusters_star) into a deduped
+    corpus.  ``clusters`` is (id, cluster_id) covering the pair-involved
+    docs; rows absent from it are singletons (cluster = own id).  The winner
+    per cluster is row 1 under ``order_by`` (e.g. longest text, best quality
+    score, smallest id) — pass a total order (tie-break on ``id_col``) so
+    the choice is deterministic.
+
+    Returns the winning rows of ``df`` plus ``cluster_col`` and
+    ``n_members``.
+
+    Scale: one left join (clusters side is pair-involved docs only — tiny
+    relative to the corpus, broadcast-able) + one window partitioned by
+    cluster.  The window shuffle is keyed by cluster id: skew is bounded by
+    the largest duplicate cluster, which exact-dup collapse upstream keeps
+    small (SCALE.md).
+    """
+    lab = clusters.select(
+        F.col(id_col).alias("__kid"), F.col(cluster_col).alias("__kcl")
+    )
+    tagged = df.join(lab, df[id_col] == F.col("__kid"), "left").withColumn(
+        "__cluster", F.coalesce(F.col("__kcl"), F.col(id_col))
+    )
+    w = Window.partitionBy("__cluster").orderBy(*order_by)
+    wc = Window.partitionBy("__cluster")
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") == 1)
+        .drop("__kid", "__kcl", "__rn")
+        .withColumnRenamed("__cluster", cluster_col)
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["tfidf_top_terms", "bm25_score"]
+__all__ = ["tfidf_top_terms", "bm25_score", "posting_lists", "bigram_lift"]
 
 
 def _idf_ratio(n_col, df_col):
@@ -130,3 +130,80 @@ def bm25_score(
     for i in range(1, len(query_terms)):
         total = total + F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
     return pivoted.select(F.col(id_col), total.alias("score"))
+
+
+def posting_lists(
+    df: DataFrame, id_col: str, text_col: str, *, min_df: int = 1
+) -> DataFrame:
+    """Inverted index build: ``(term, df, postings)`` with postings the
+    sorted list of containing document ids — the retrieval-side artifact
+    BM25/tf-idf serve queries from.
+
+    Scale: the (doc, term) distinct is a map-side-combined aggregate; the
+    per-term collect is bounded by document frequency — for web-corpus
+    stopwords whose posting lists would not fit one task, shard the list by
+    adding a ``pmod(doc_id, n_shards)`` grouping key (same rows, n_shards
+    rows per hot term) and concatenate on serve.  ``min_df`` prunes the
+    hapax tail before the expensive collect.
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    pairs = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.lit(1))
+    )
+    out = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+    )
+    return out.filter(F.col("df") >= min_df) if min_df > 1 else out
+
+
+def bigram_lift(
+    df: DataFrame, id_col: str, text_col: str, *, min_count: int = 2
+) -> DataFrame:
+    """Collocation mining: lift of adjacent word pairs,
+    ``lift(x, y) = (n_xy * T) / (n_x. * n_.y)`` where ``n_xy`` counts the
+    bigram, ``n_x.`` bigrams starting with x, ``n_.y`` bigrams ending with
+    y, and T all bigrams.  Lift is PMI without the log — same ranking,
+    and the integer-product / single-division form is bit-reproducible
+    across engines (the repo's oracle discipline; callers wanting PMI
+    proper can log it).
+
+    Used in pipelines for tokenizer-vocabulary candidates and boilerplate
+    phrase detection.  Scale: bigram generation is a narrow
+    generate-and-explode (no shuffle); the three count tables are
+    map-side-combined aggregates; the two margin joins key on single words
+    (vocabulary-sized, broadcast-able).
+    """
+    words = F.split(F.col(text_col), " ")
+    pairs_expr = F.expr(
+        "CASE WHEN size(__w) >= 2 THEN "
+        "transform(sequence(1, size(__w) - 1), "
+        "i -> struct(element_at(__w, i) AS w1, element_at(__w, i + 1) AS w2)) "
+        "ELSE array() END"
+    )
+    bg = (
+        df.select(words.alias("__w"))
+        .select(F.explode(pairs_expr).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    n_xy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    n_x = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n_x"))
+    n_y = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n_y"))
+    t = bg.agg(F.count(F.lit(1)).alias("__t"))
+    return (
+        n_xy.join(n_x, "w1")
+        .join(n_y, "w2")
+        .crossJoin(t)
+        .filter(F.col("n_xy") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            ((F.col("n_xy") * F.col("__t")) / (F.col("n_x") * F.col("n_y"))).alias(
+                "lift"
+            ),
+        )
+    )

@@ -389,3 +389,34 @@ def kmeans(
         new = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in mean_rows}
         cents = [(cid, new.get(cid, old)) for cid, old in cents]
     return cents, assigned.select(F.col(id_col), F.col("cell"))
+
+
+def take_per_stratum(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic fixed-SIZE sample: exactly min(k, |stratum|) rows per
+    stratum — the balanced-eval-set / few-shot-pool builder, complementing
+    the fixed-RATE stratified_sample.  Rows are ranked inside each stratum
+    by the md5 draw (tie-broken on the key), so membership is a pure
+    function of (key, salt): stable across runs, engines, and
+    repartitioning, and adding new rows to a stratum can only displace the
+    highest-hash members (bounded churn on incremental reprocess).
+
+    Scale: one hash-partitioned window per stratum (single shuffle keyed by
+    the stratum — skew bounded by AQE); no global sort, no driver state.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(strata_col).orderBy(
+        _uhash(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -177,3 +177,72 @@ class TestKmeansParallelInit:
             tr.kmeans_parallel_init(e, "vec_id", "embedding", k=0)
         with pytest.raises(ValueError):
             tr.kmeans(e, "vec_id", "embedding", k=3, init=[(0, [1.0])])
+
+
+class TestPostingLists:
+    def test_sorted_and_df_consistent(self, spark):
+        out = rk.posting_lists(_docs(spark), "id", "text").collect()
+        by_term = {r["term"]: r for r in out}
+        assert by_term["a"]["postings"] == [1, 2]
+        assert by_term["d"]["postings"] == [3]
+        for r in out:
+            assert r["df"] == len(r["postings"])
+            assert r["postings"] == sorted(r["postings"])
+
+    def test_min_df_prunes(self, spark):
+        out = rk.posting_lists(_docs(spark), "id", "text", min_df=2).collect()
+        assert {r["term"] for r in out} == {"a", "b", "c"}
+        with pytest.raises(ValueError):
+            rk.posting_lists(_docs(spark), "id", "text", min_df=0)
+
+
+class TestBigramLift:
+    def test_counts_and_lift(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x y x y"), (2, "x y z"), (3, "q")], ["id", "text"]
+        )
+        # bigrams: (x,y)x2, (y,x)x1 from doc1; (x,y), (y,z) from doc2; none from doc3
+        out = {(r["w1"], r["w2"]): r for r in
+               rk.bigram_lift(docs, "id", "text", min_count=1).collect()}
+        assert out[("x", "y")]["n_xy"] == 3
+        # T=5, n_x.(x)=3, n_.y(y)=3 -> lift = 15/9
+        assert abs(out[("x", "y")]["lift"] - 15 / 9) < 1e-12
+        assert ("q", "q") not in out  # single-word doc contributes nothing
+
+    def test_min_count_filters(self, spark):
+        docs = spark.createDataFrame([(1, "x y x y"), (2, "x y z")], ["id", "text"])
+        out = rk.bigram_lift(docs, "id", "text", min_count=3).collect()
+        assert {(r["w1"], r["w2"]) for r in out} == {("x", "y")}
+
+
+class TestKeepCanonical:
+    def test_singletons_and_winner(self, spark):
+        from rust_dataframe_spark.operators import dedup as dd
+
+        df = spark.createDataFrame(
+            [(1, "short"), (2, "longer text"), (3, "solo")], ["doc_id", "text"]
+        )
+        clusters = spark.createDataFrame([(1, 1), (2, 1)], ["doc_id", "cluster_id"])
+        out = dd.keep_canonical(
+            df, clusters, "doc_id", [F.length("text").desc(), F.col("doc_id").asc()]
+        )
+        rows = {r["cluster_id"]: r for r in out.collect()}
+        assert rows[1]["doc_id"] == 2 and rows[1]["n_members"] == 2  # longest wins
+        assert rows[3]["doc_id"] == 3 and rows[3]["n_members"] == 1  # singleton
+
+
+class TestTakePerStratum:
+    def test_exact_k_and_deterministic(self, spark):
+        df = spark.range(100).withColumn("s", (F.col("id") % 3).cast("string"))
+        a = tr.take_per_stratum(df, "id", "s", 7, salt="x")
+        assert a.groupBy("s").count().collect()[0]["count"] == 7
+        assert a.count() == 21
+        b = tr.take_per_stratum(df, "id", "s", 7, salt="x")
+        assert sorted(r["id"] for r in a.collect()) == sorted(r["id"] for r in b.collect())
+
+    def test_small_stratum_keeps_all(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["id", "s"])
+        out = tr.take_per_stratum(df, "id", "s", 5)
+        assert out.count() == 3
+        with pytest.raises(ValueError):
+            tr.take_per_stratum(df, "id", "s", 0)
