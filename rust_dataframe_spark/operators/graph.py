@@ -48,6 +48,7 @@ def pagerank(
     damping_den: int = 100,
     scale: int = 1_000_000,
     checkpoint_every: int = 5,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Iterative fixed-point PageRank over an edge list.
 
@@ -55,6 +56,12 @@ def pagerank(
     rounds of ``r[v] = base + sum_{u->v} (damping_num * r[u]) div
     (damping_den * outdeg[u])`` with ``base = scale - scale * damping_num
     div damping_den`` and all-``scale`` initialization.
+
+    ``redistribute_dangling=True`` adds the stochastic-matrix correction:
+    each round, the damped rank mass of out-degree-0 nodes is shared
+    equally (integer div) across all nodes — one extra 1-row aggregate per
+    round (the dangling total), still exact integer arithmetic, so total
+    mass is conserved up to div truncation instead of leaking.
     """
     if n_iter <= 0:
         raise ValueError(f"n_iter must be positive, got {n_iter}")
@@ -75,6 +82,11 @@ def pagerank(
     base = scale - (scale * damping_num) // damping_den
     ranks = nodes.withColumn("r", F.lit(scale).cast("bigint"))
     contrib_expr = F.expr(f"({damping_num} * __r) div ({damping_den} * __outdeg)")
+    if redistribute_dangling:
+        n_nodes = nodes.count()
+        dangling = persist_tracked(
+            nodes.join(deg.select(F.col(src).alias("node")), "node", "left_anti")
+        )
     for i in range(n_iter):
         rsrc = ranks.select(F.col("node").alias("__esrc"), F.col("r").alias("__r"))
         sums = (
@@ -83,9 +95,16 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
+        share = 0
+        if redistribute_dangling:
+            row = dangling.join(ranks, "node").agg(F.sum("r").alias("t")).collect()[0]
+            # damped dangling mass, split equally: exact integer arithmetic
+            share = (damping_num * int(row["t"] or 0)) // (damping_den * n_nodes)
         ranks = nodes.join(sums, "node", "left").select(
             "node",
-            (F.lit(base) + F.coalesce(F.col("__s"), F.lit(0))).cast("bigint").alias("r"),
+            (F.lit(base + share) + F.coalesce(F.col("__s"), F.lit(0)))
+            .cast("bigint")
+            .alias("r"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint()

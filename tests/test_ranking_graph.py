@@ -246,3 +246,25 @@ class TestTakePerStratum:
         assert out.count() == 3
         with pytest.raises(ValueError):
             tr.take_per_stratum(df, "id", "s", 0)
+
+
+class TestPagerankDangling:
+    def test_mass_conserved_with_redistribution(self, spark):
+        # 1 -> 2 -> 3 (3 dangles): without redistribution mass leaks,
+        # with it total stays within div-truncation of n * scale
+        e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+        leak = pagerank(e, n_iter=3)
+        cons = pagerank(e, n_iter=3, redistribute_dangling=True)
+        total_leak = sum(r["r"] for r in leak.collect())
+        total_cons = sum(r["r"] for r in cons.collect())
+        release()
+        n, scale = 3, 1_000_000
+        assert total_leak < n * scale - 100_000  # visible leak
+        assert n * scale - 10 <= total_cons <= n * scale  # truncation only
+
+    def test_no_dangling_nodes_identical(self, spark):
+        e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+        a = sorted(map(tuple, pagerank(e, n_iter=2).collect()))
+        b = sorted(map(tuple, pagerank(e, n_iter=2, redistribute_dangling=True).collect()))
+        release()
+        assert a == b
