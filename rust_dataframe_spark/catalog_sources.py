@@ -171,3 +171,107 @@ def q122_arrow_ipc_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_suppkey").alias("max_key"),
         F.sum("s_nationkey").cast("bigint").alias("nk_sum"),
     )
+
+
+@query("q142_orc_roundtrip", oracle=_RT_AGG)
+def q142_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (sources/files.write_orc/read_orc):
+    the second columnar format next to parquet — same pushdown/pruning
+    posture (plan-tested in test_sources), schema travels in the file.
+    The avro format needs the external spark-avro jar (absent in this
+    container; documented in sources/files.read_orc)."""
+    s = table(spark, sf_dir, "supplier")
+    path = _scratch("orc_supplier", sf_dir)
+    fs.write_orc(s, path)
+    back = fs.read_orc(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s_name").alias("n_names"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+        F.min("s_name").alias("min_name"),
+        F.max("s_suppkey").alias("max_key"),
+        F.sum("s_nationkey").cast("bigint").alias("nk_sum"),
+    )
+
+
+@query(
+    "q143_text_roundtrip",
+    oracle="""
+    SELECT count(*)            AS n_rows,
+           sum(doc_id)         AS id_sum,
+           sum(len(text))      AS chars,
+           min(lang)           AS min_lang
+    FROM documents
+    """,
+)
+def q143_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line sink + source (sources/files.write_text/read_text) —
+    the crawl-ingestion shape: serialize documents as tab-separated lines,
+    write .text, read back as one `value` column, re-parse with split.
+    Equality against the parquet oracle proves the line format is lossless
+    for tab-free text.  Scale: the text scan is splittable per line like
+    any file source; parsing is codegen'd string ops."""
+    d = table(spark, sf_dir, "documents")
+    lines = d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("lang"), F.col("text"))
+        .alias("value")
+    )
+    path = _scratch("text_docs", sf_dir)
+    fs.write_text(lines, path)
+    back = fs.read_text(spark, path)
+    parsed = back.select(
+        F.split(F.col("value"), "\t", 3).alias("p")
+    ).select(
+        F.col("p")[0].cast("bigint").alias("doc_id"),
+        F.col("p")[1].alias("lang"),
+        F.col("p")[2].alias("text"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum(F.length("text")).cast("bigint").alias("chars"),
+        F.min("lang").alias("min_lang"),
+    )
+
+
+@query(
+    "q144_schema_merge",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderkey, NULL, o_orderpriority
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    )
+    SELECT count(*)                     AS n_rows,
+           count(o_totalprice)          AS n_price,
+           count(o_orderpriority)       AS n_prio,
+           round(sum(o_totalprice), 2)  AS price_sum
+    FROM u
+    """,
+)
+def q144_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution (mergeSchema): two batches written with
+    different column sets (an added column mid-stream — the normal life of
+    a long-lived ingestion dir), read as one table with the union schema
+    and NULLs where a batch lacks the column.  At scale mergeSchema=true
+    costs a footer read per file — enable per-read like here, or keep
+    schemas in a catalog; never on by default."""
+    o = table(spark, sf_dir, "orders")
+    path = _scratch("merge_orders", sf_dir)
+    b1 = o.filter(F.col("o_orderkey") < 1000).select("o_orderkey", "o_totalprice")
+    b2 = o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    fs.write_parquet(b1, f"{path}/b1")
+    fs.write_parquet(b2, f"{path}/b2")
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderpriority").alias("n_prio"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )

@@ -363,3 +363,29 @@ class TestZorderLayout:
             zorder_value(["a"], bits=16)
         with pytest.raises(ValueError):
             zorder_value(["a", "b", "c", "d"], bits=16)
+
+
+class TestOrcAndText:
+    def test_orc_pushdown_and_pruning(self, spark, tmp_path):
+        from rust_dataframe_spark.plans import inspect as pi
+        from rust_dataframe_spark.sources import files as fs
+
+        src = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+        path = str(tmp_path / "orc_sup")
+        fs.write_orc(src, path)
+        df = fs.read_orc(spark, path).filter(F.col("s_suppkey") > 5).select("s_name")
+        plan = pi.formatted_plan(df)
+        assert "s_suppkey" in pi.pushed_filters(df)
+        cols = set(pi.read_schema_columns(df))
+        assert "s_acctbal" not in cols  # pruned from the ORC scan
+        assert "OrcScan" in plan or "orc" in plan.lower()
+
+    def test_text_roundtrip_lossless(self, spark, tmp_path):
+        from rust_dataframe_spark.sources import files as fs
+
+        d = spark.createDataFrame([(1, "a b"), (2, "c")], ["i", "t"])
+        path = str(tmp_path / "txt")
+        fs.write_text(d.select(F.concat_ws("\t", F.col("i"), F.col("t")).alias("value")), path)
+        back = fs.read_text(spark, path).select(F.split("value", "\t", 2).alias("p"))
+        rows = sorted((int(r["p"][0]), r["p"][1]) for r in back.collect())
+        assert rows == [(1, "a b"), (2, "c")]
