@@ -316,3 +316,55 @@ def q141_take_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     out = tr.take_per_stratum(d, "doc_id", "source", 5, salt="tps1")
     return out.select("source", "doc_id").orderBy("source", "doc_id")
+
+
+from .operators import observability as ob  # noqa: E402
+
+
+@query(
+    "q145_constraint_audit",
+    oracle="""
+    WITH w AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS p0,
+             sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS p1,
+             sum(CASE WHEN l_extendedprice IS NOT NULL THEN 1 ELSE 0 END) AS p2,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1992-01-01'
+                      AND l_shipdate <= TIMESTAMP '1998-12-31' THEN 1 ELSE 0 END) AS p3
+      FROM lineitem
+    ),
+    rules AS (
+      SELECT 'qty_positive' AS rule, n AS n_rows, p0 AS n_pass, n - p0 AS n_fail FROM w
+      UNION ALL SELECT 'discount_range', n, p1, n - p1 FROM w
+      UNION ALL SELECT 'price_not_null', n, p2, n - p2 FROM w
+      UNION ALL SELECT 'ship_in_range', n, p3, n - p3 FROM w
+      UNION ALL
+      SELECT 'fk_lineitem_orders', count(*), count(o.o_orderkey),
+             count(*) - count(o.o_orderkey)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT rule, n_rows, n_pass, n_fail FROM rules ORDER BY rule
+    """,
+)
+def q145_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (operators/observability.
+    constraint_audit + referential_orphans — the Deequ/expectations shape):
+    null/range/ordering rules compile into ONE global aggregate over one
+    scan (adding a rule adds an expression, not a pass); the FK rule is a
+    lazy left join on distinct parent keys; all rows union into one report
+    plan.  The pre-publish gate a 100 TB pipeline runs on every batch."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    rows = ob.constraint_audit(
+        li,
+        {
+            "qty_positive": F.col("l_quantity") > 0,
+            "discount_range": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+            "price_not_null": F.col("l_extendedprice").isNotNull(),
+            "ship_in_range": (F.col("l_shipdate") >= F.lit("1992-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit("1998-12-31").cast("timestamp")),
+        },
+    )
+    fk = ob.referential_orphans(li, o, "l_orderkey", "o_orderkey", rule="fk_lineitem_orders")
+    return rows.unionByName(fk).orderBy("rule")

@@ -31,3 +31,60 @@ def with_metrics(df: DataFrame, **metrics: Column) -> tuple[DataFrame, Observati
     obs = Observation()
     observed = df.observe(obs, *[expr.alias(name) for name, expr in metrics.items()])
     return observed, obs
+
+
+def constraint_audit(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/expectations shape): every
+    rule is a boolean Column that is True when a row PASSES; the result is
+    one long row per rule — ``(rule, n_rows, n_pass, n_fail)``.
+
+    All rules evaluate in ONE scan: each compiles to a conditional count in
+    a single global aggregate (map-side partial, one 1-row result), then a
+    stack() unpivot to long form — adding a rule adds an expression, not a
+    pass.  Referential rules need a join — see :func:`referential_orphans`
+    and union the rows.
+    """
+    from pyspark.sql import functions as F
+
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, cond) in enumerate(checks.items()):
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"__p{i}"))
+    wide = df.agg(*aggs)
+    k = len(checks)
+    stack_args = ", ".join(
+        f"'{name}', __p{i}" for i, name in enumerate(checks)
+    )
+    return wide.select(
+        F.expr(f"stack({k}, {stack_args}) AS (rule, n_pass)"), F.col("__n").alias("n_rows")
+    ).select(
+        "rule",
+        "n_rows",
+        "n_pass",
+        (F.col("n_rows") - F.col("n_pass")).cast("bigint").alias("n_fail"),
+    )
+
+
+def referential_orphans(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str, *, rule: str
+) -> DataFrame:
+    """Referential-integrity rule as one audit row: child rows whose key has
+    no match in parent.  Same output schema as constraint_audit, so the rows
+    union into one report — and the whole thing stays ONE lazy plan (left
+    join on distinct parent keys + conditional count; no driver actions).
+    Scale: only keys move; the distinct-parent side broadcasts when small,
+    else AQE plans the shuffle."""
+    from pyspark.sql import functions as F
+
+    j = child.select(F.col(child_key).alias("__ck")).join(
+        parent.select(F.col(parent_key).alias("__pk")).distinct(),
+        F.col("__ck") == F.col("__pk"),
+        "left",
+    )
+    return j.agg(
+        F.lit(rule).alias("rule"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("__pk").alias("n_pass"),
+        (F.count(F.lit(1)) - F.count("__pk")).cast("bigint").alias("n_fail"),
+    )

@@ -240,3 +240,18 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+
+
+def test_join_hints_control_strategy(spark):
+    """Join-strategy hints are the manual override when statistics mislead:
+    broadcast() forces a map-side join, shuffle_hash avoids the sort of
+    sort-merge for size-skewed pairs.  Guard that both reach the physical
+    plan (Catalyst honors hints over its own choice)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    b = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    assert pi.has_broadcast_join(b)
+    sh = li.hint("shuffle_hash").join(
+        o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey
+    )
+    assert "ShuffledHashJoin" in pi.physical_plan(sh)

@@ -268,3 +268,29 @@ class TestPagerankDangling:
         b = sorted(map(tuple, pagerank(e, n_iter=2, redistribute_dangling=True).collect()))
         release()
         assert a == b
+
+
+class TestConstraintAudit:
+    def test_counts_violations(self, spark):
+        from rust_dataframe_spark.operators import observability as ob
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, -1.0), (3, None)], ["id", "v"]
+        )
+        out = {r["rule"]: r for r in ob.constraint_audit(
+            df, {"v_pos": F.col("v") > 0, "v_notnull": F.col("v").isNotNull()}
+        ).collect()}
+        assert out["v_pos"]["n_rows"] == 3
+        assert out["v_pos"]["n_pass"] == 1          # null fails the predicate
+        assert out["v_pos"]["n_fail"] == 2
+        assert out["v_notnull"]["n_pass"] == 2
+        with pytest.raises(ValueError):
+            ob.constraint_audit(df, {})
+
+    def test_referential_orphans(self, spark):
+        from rust_dataframe_spark.operators import observability as ob
+
+        child = spark.createDataFrame([(1,), (2,), (9,)], ["fk"])
+        parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+        r = ob.referential_orphans(child, parent, "fk", "pk", rule="fk").collect()[0]
+        assert (r["n_rows"], r["n_pass"], r["n_fail"]) == (3, 2, 1)
