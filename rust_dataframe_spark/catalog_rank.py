@@ -368,3 +368,59 @@ def q145_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fk = ob.referential_orphans(li, o, "l_orderkey", "o_orderkey", rule="fk_lineitem_orders")
     return rows.unionByName(fk).orderBy("rule")
+
+
+@query(
+    "q146_snapshot_diff",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+               WHERE o_orderkey < 1500),
+    n AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderpriority
+          FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 2000),
+    j AS (SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS k,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                      WHEN n.o_orderkey IS NULL THEN 'removed'
+                      WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                        OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                           THEN 'changed'
+                      ELSE 'unchanged' END AS change_type
+          FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+    SELECT change_type, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+    FROM j GROUP BY change_type ORDER BY change_type
+    """,
+)
+def q146_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC extraction (operators/merge.snapshot_diff): two
+    overlapping order snapshots — the new one shifted forward and with some
+    prices touched — classified added/removed/changed/unchanged by one
+    null-safe full-outer join on the key.  The output feeds merge_upsert
+    (q108) as the delta; together they are the no-table-format CDC loop."""
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") < 1500).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new = (
+        o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 2000))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    )
+    from .operators.merge import snapshot_diff
+
+    d = snapshot_diff(old, new, "o_orderkey")
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )

@@ -41,3 +41,45 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     return t.join(s, cond, "full_outer").select(
         *[F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in cols]
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, *, compare_cols: list[str] | None = None
+) -> DataFrame:
+    """Row-level diff of two table snapshots — the CDC primitive when there
+    is no change log: classify every key as ``added`` / ``removed`` /
+    ``changed`` / ``unchanged``.  ``compare_cols`` limits which columns
+    define "changed" (default: every shared non-key column); comparison is
+    null-safe (NULL -> value counts as a change, NULL -> NULL does not).
+
+    Returns one row per key: ``(key, change_type)`` plus the new-side
+    columns (old-side for removals).  Feed ``changed + added`` into
+    merge_upsert to apply the delta; at 100 TB this one full-outer join on
+    the key (bucketed layout makes it exchange-free) replaces re-publishing
+    the whole table.
+    """
+    shared = [c for c in new.columns if c in set(old.columns) and c != key]
+    cols = compare_cols if compare_cols is not None else shared
+    missing = [c for c in cols if c not in shared]
+    if missing or not cols:
+        raise ValueError(f"compare_cols must be shared non-key columns, bad: {missing or cols}")
+    o = old.select(key, *cols).alias("o")
+    n = new.select(key, *cols).alias("n")
+    j = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full")
+    differs = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in cols],
+    )
+    change = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+        change.alias("change_type"),
+    ]
+    for c in cols:
+        out_cols.append(F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c))
+    return j.select(*out_cols)

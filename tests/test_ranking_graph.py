@@ -294,3 +294,25 @@ class TestConstraintAudit:
         parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
         r = ob.referential_orphans(child, parent, "fk", "pk", rule="fk").collect()[0]
         assert (r["n_rows"], r["n_pass"], r["n_fail"]) == (3, 2, 1)
+
+
+class TestSnapshotDiff:
+    def test_classification_and_null_safety(self, spark):
+        from rust_dataframe_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "d")], ["k", "v"]
+        )
+        new = spark.createDataFrame(
+            [(2, "B"), (3, None), (4, "d"), (5, "e")], ["k", "v"]
+        )
+        out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k").collect()}
+        assert out == {1: "removed", 2: "changed", 3: "unchanged", 4: "unchanged", 5: "added"}
+
+    def test_compare_cols_validation(self, spark):
+        from rust_dataframe_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a")], ["k", "v"])
+        new = spark.createDataFrame([(1, "a")], ["k", "v"])
+        with pytest.raises(ValueError):
+            snapshot_diff(old, new, "k", compare_cols=["nope"])
