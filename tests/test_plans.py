@@ -255,3 +255,18 @@ def test_join_hints_control_strategy(spark):
         o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey
     )
     assert "ShuffledHashJoin" in pi.physical_plan(sh)
+
+
+def test_scalar_crossjoin_is_single_row_broadcast(spark):
+    """q133/q140 attach corpus scalars (N, total-bigrams) by crossJoin of a
+    1-row keyless aggregate, which plans as BroadcastNestedLoopJoin — the
+    RIGHT use of NLJ (broadcasting one row), unlike q76's former all-pairs
+    NLJ.  Pin the shape: exactly one NLJ, its build side an IdentityBroadcast
+    of a keyless HashAggregate, and no CartesianProduct anywhere."""
+    for name in ["q133_tfidf", "q140_bigram_lift"]:
+        df = catalog.QUERIES[name](spark, SF)
+        p = pi.physical_plan(df)
+        assert "CartesianProduct" not in p, name
+        assert p.count("BroadcastNestedLoopJoin") == 1, name
+        assert "IdentityBroadcastMode" in p, name
+        assert "keys=[]" in p.replace("Keys: []", "keys=[]"), name
