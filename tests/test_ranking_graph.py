@@ -316,3 +316,25 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, "a")], ["k", "v"])
         with pytest.raises(ValueError):
             snapshot_diff(old, new, "k", compare_cols=["nope"])
+
+
+class TestEmptyInputs:
+    """Operators must degrade to empty results, not crash, on empty frames
+    (a filtered-to-nothing partition is normal at 100 TB)."""
+
+    def test_ranking_ops_empty(self, spark):
+        e = spark.createDataFrame([], "id bigint, text string")
+        assert rk.tfidf_top_terms(e, "id", "text").count() == 0
+        assert rk.bm25_score(e, "id", "text", ["x"]).count() == 0
+        assert rk.posting_lists(e, "id", "text").count() == 0
+        assert rk.bigram_lift(e, "id", "text").count() == 0
+
+    def test_pagerank_empty_edges(self, spark):
+        e = spark.createDataFrame([], "src bigint, dst bigint")
+        assert pagerank(e, n_iter=1).count() == 0
+        release()
+
+    def test_sampling_ops_empty(self, spark):
+        e = spark.createDataFrame([], "id bigint, s string, w double")
+        assert tr.weighted_sample(e, "id", F.col("w")).count() == 0
+        assert tr.take_per_stratum(e, "id", "s", 3).count() == 0
