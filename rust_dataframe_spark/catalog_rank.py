@@ -424,3 +424,78 @@ def q146_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "q147_recursive_cte",
+    oracle="""
+    WITH RECURSIVE w(node, cur, depth) AS (
+      SELECT o_orderkey AS node, o_orderkey AS cur, 0 AS depth
+      FROM orders WHERE o_orderkey > 0 AND o_orderkey < 1000
+      UNION ALL
+      SELECT node, cur // 2, depth + 1 FROM w WHERE cur > 1
+    ),
+    d AS (SELECT node, max(depth) AS depth FROM w GROUP BY node)
+    SELECT depth, count(*) AS n, min(node) AS min_node, max(node) AS max_node
+    FROM d GROUP BY depth ORDER BY depth
+    """,
+)
+def q147_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL WITH RECURSIVE (new in Spark 4) — an ancestor walk up the
+    implicit binary tree parent = node div 2, aggregated to nodes-per-depth.
+    The declarative sibling of the operator-level iterations (dup_clusters,
+    pagerank): same union-per-round execution underneath, with the engine
+    managing the loop.  For unbounded production graphs the operator path
+    with localCheckpoint stays the scale answer (lineage/round control);
+    recursive SQL is the right tool for bounded-depth hierarchy queries
+    (BOMs, org charts, folder trees).  Oracle runs the identical query with
+    DuckDB's `//` integer-division spelling."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE w(node, cur, depth) AS (
+          SELECT o_orderkey AS node, o_orderkey AS cur, 0 AS depth
+          FROM orders WHERE o_orderkey > 0 AND o_orderkey < 1000
+          UNION ALL
+          SELECT node, cur div 2, depth + 1 FROM w WHERE cur > 1
+        ),
+        d AS (SELECT node, max(depth) AS depth FROM w GROUP BY node)
+        SELECT depth, count(*) AS n, min(node) AS min_node, max(node) AS max_node
+        FROM d GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+@query(
+    "q148_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem WHERE l_quantity > 40
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q148_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (new in Spark 4: CREATE FUNCTION ... RETURN
+    <expr>) — the declarative end of the function registry
+    (context.register_udf covers Python/Pandas; this one never leaves
+    Catalyst: the body INLINES into the plan, so it codegens like any
+    built-in, with zero serialization cost — always prefer it over a Python
+    UDF when the logic is expressible).  The oracle inlines the same
+    expression."""
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS line_revenue")
+    spark.sql(
+        "CREATE TEMPORARY FUNCTION line_revenue(price DOUBLE, disc DOUBLE) "
+        "RETURNS DOUBLE RETURN price * (1 - disc)"
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(line_revenue(l_extendedprice, l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem WHERE l_quantity > 40
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )

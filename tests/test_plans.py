@@ -270,3 +270,14 @@ def test_scalar_crossjoin_is_single_row_broadcast(spark):
         assert p.count("BroadcastNestedLoopJoin") == 1, name
         assert "IdentityBroadcastMode" in p, name
         assert "keys=[]" in p.replace("Keys: []", "keys=[]"), name
+
+
+def test_sql_udf_inlines_no_python_eval(spark):
+    """A SQL-defined UDF must inline into the Catalyst plan (codegen like a
+    built-in) — if BatchEvalPython/ArrowEvalPython appears, something routed
+    it through the Python worker and the 10-100x UDF penalty is back."""
+    df = catalog.QUERIES["q148_sql_udf"](spark, SF)
+    p = pi.physical_plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    df.collect()
+    assert pi.codegen_stage_count(df) >= 1
