@@ -499,3 +499,58 @@ def q148_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "q149_authority_weighted_sample",
+    oracle="""
+    WITH e AS (SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst
+               FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    c1 AS (SELECT e.dst AS node, sum((85 * r0.r) // (100 * deg.outdeg)) AS s
+           FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+    r1 AS (SELECT n.node, CAST(150000 + COALESCE(c1.s, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 USING (node)),
+    c2 AS (SELECT e.dst AS node, sum((85 * r1.r) // (100 * deg.outdeg)) AS s
+           FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+    r2 AS (SELECT n.node, CAST(150000 + COALESCE(c2.s, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 USING (node)),
+    w AS (SELECT node, r,
+                 ('0x' || substr(md5(CAST(node AS VARCHAR) || 'auth1'), 1, 8))::UBIGINT
+                     AS hv,
+                 CAST(floor(least(greatest(r / 2000000.0, 0.0), 1.0) * 4294967296.0)
+                      AS BIGINT) AS cutoff
+          FROM r2)
+    SELECT count(*) AS n_kept, sum(r) AS rank_mass,
+           min(node) AS min_node, max(node) AS max_node
+    FROM w WHERE hv < cutoff
+    """,
+)
+def q149_authority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-weighted selection end-to-end: fixed-point PageRank (q135)
+    -> rank/2e6 as keep probability -> md5 weighted_sample (q137) — the
+    quality-weighted corpus subsetting loop, and the payoff of keeping BOTH
+    stages bit-deterministic: integer ranks + exact cutoff arithmetic mean
+    the kept set is reproducible across engines, partitionings, and
+    retries, so downstream training data is stable by construction."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 500).alias("src"),
+            (F.col("l_partkey") % 500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, "src", "dst", n_iter=2)
+    kept = tr.weighted_sample(
+        ranks, "node", F.col("r") / F.lit(2000000.0), salt="auth1"
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("r").cast("bigint").alias("rank_mass"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

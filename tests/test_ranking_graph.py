@@ -338,3 +338,29 @@ class TestEmptyInputs:
         e = spark.createDataFrame([], "id bigint, s string, w double")
         assert tr.weighted_sample(e, "id", F.col("w")).count() == 0
         assert tr.take_per_stratum(e, "id", "s", 3).count() == 0
+
+
+class TestSamplingMonotonicity:
+    """Deterministic-draw invariants: for a fixed (key, salt), raising the
+    keep probability can only ADD rows — the property that makes staged
+    rollouts (sample 1% -> 10% -> 100%) supersets of each other."""
+
+    def test_weighted_sample_monotone_in_weight(self, spark):
+        df = spark.range(2000)
+        lo = {r["id"] for r in tr.weighted_sample(df, "id", F.lit(0.2), salt="m").collect()}
+        hi = {r["id"] for r in tr.weighted_sample(df, "id", F.lit(0.6), salt="m").collect()}
+        assert lo <= hi and len(lo) < len(hi)
+
+    def test_take_per_stratum_monotone_in_k(self, spark):
+        df = spark.range(300).withColumn("s", (F.col("id") % 4).cast("string"))
+        k3 = {r["id"] for r in tr.take_per_stratum(df, "id", "s", 3, salt="m").collect()}
+        k9 = {r["id"] for r in tr.take_per_stratum(df, "id", "s", 9, salt="m").collect()}
+        assert k3 <= k9 and len(k3) == 12 and len(k9) == 36
+
+    def test_stratified_subset_of_weighted_equivalent(self, spark):
+        # stratified_sample at rate p == weighted_sample with constant p:
+        # identical draw, identical cutoff arithmetic -> identical rows
+        df = spark.range(1000).withColumn("g", F.lit("x"))
+        a = {r["id"] for r in tr.stratified_sample(df, "id", "g", {"x": 0.3}, salt="m").collect()}
+        b = {r["id"] for r in tr.weighted_sample(df, "id", F.lit(0.3), salt="m").collect()}
+        assert a == b
