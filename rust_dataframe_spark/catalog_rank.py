@@ -1,7 +1,15 @@
-"""Catalog extension: relevance ranking (operators/ranking.py), link-graph
-authority (operators/graph.py), hopping event windows, and weighted
-sampling — retrieval/selection steps of a training-data pipeline, beyond
-the reference's frame-verb surface.
+"""Catalog extension (round 2): retrieval / selection / ops queries beyond
+the reference's frame-verb surface —
+
+* relevance ranking: tf-idf, BM25, posting lists, bigram lift
+  (operators/ranking.py)
+* link-graph authority: fixed-point PageRank (operators/graph.py) and the
+  authority-weighted selection loop (q149)
+* sampling: per-row weighted, fixed-size per-stratum (operators/training.py)
+* events: hopping windows (q136)
+* pipeline ops: canonical-survivor dedup decision (q138), data-quality
+  audit (q145), snapshot diff / CDC (q146)
+* Spark 4 SQL surface: WITH RECURSIVE (q147), SQL-defined UDFs (q148)
 """
 
 from __future__ import annotations
