@@ -22,6 +22,8 @@ __all__ = [
     "stateful_running_counts",
     "stateful_running_counts_tws",
     "stream_dedup",
+    "enrich_stream",
+    "interval_join",
     "stream_near_dup_candidates",
     "foreach_batch_parquet",
     "run_available_now",
@@ -260,6 +262,53 @@ def stream_near_dup_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str, *, how: str = "left") -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a dimension table —
+    the lookup/enrichment step of every event pipeline (user -> segment,
+    doc -> source metadata).  The static side is re-read per micro-batch
+    (so dimension updates flow in without restarting) and broadcast: no
+    state store, no watermark needed, the stream side never shuffles.
+
+    At 100 TB-of-stream the dim must stay broadcast-sized; for big dims,
+    pre-bucket both sides on the key instead and drop the hint."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    tolerance: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join, event-time bounded: match rows sharing
+    ``key_col`` with right.ts in [left.ts, left.ts + tolerance] — the
+    impression->click attribution shape.  BOTH sides carry watermarks and
+    the join predicate bounds event-time distance, which is what lets the
+    state store evict: without the interval condition a stream-stream join
+    must keep every row forever.  State per key is O(rows within
+    watermark + tolerance); output is append-mode.
+
+    Returns columns ``key, l_ts, r_ts`` plus left/right values prefixed
+    ``l_``/``r_``."""
+    from pyspark.sql import functions as F
+
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {tolerance}"))
+    )
+    lcols = [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns if c != key_col]
+    rcols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns if c != key_col]
+    return l.join(r, cond, "inner").select(F.col(f"l.{key_col}").alias(key_col), *lcols, *rcols)
 
 
 def foreach_batch_parquet(stream_df: DataFrame, path: str, *, checkpoint: str):

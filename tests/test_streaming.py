@@ -237,3 +237,42 @@ def test_streaming_stratified_sample_equals_batch(spark, tmp_path_factory):
     )
     streamed = {r["id"] for r in out.collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_enrich_stream_static_join(spark, events):
+    schema = spark.read.parquet(events).schema
+    stream = st.read_stream_parquet(spark, events, schema)
+    dim = spark.createDataFrame(
+        [(0, "free"), (1, "pro"), (2, "pro")], ["user_id", "segment"]
+    )
+    enriched = st.enrich_stream(stream, dim, "user_id").groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = {r["segment"]: r["n"] for r in st.run_available_now(enriched, "t_enrich").collect()}
+    assert out == {"free": 20, "pro": 40}
+
+
+def test_interval_join_stream_stream(spark, events):
+    schema = spark.read.parquet(events).schema
+    lstream = st.read_stream_parquet(spark, events, schema).filter(
+        F.col("value") % 2 == 0
+    ).select("user_id", "ts", "value")
+    rstream = st.read_stream_parquet(spark, events, schema).filter(
+        F.col("value") % 2 == 1
+    ).select("user_id", "ts", "value")
+    joined = st.interval_join(
+        lstream, rstream, "user_id", watermark="4 hours", tolerance="10 minutes"
+    )
+    out = st.run_available_now(joined, "t_ivj", output_mode="append")
+    lb = spark.read.parquet(events).filter(F.col("value") % 2 == 0).select("user_id", "ts", "value")
+    rb = spark.read.parquet(events).filter(F.col("value") % 2 == 1).select("user_id", "ts", "value")
+    batch = lb.alias("l").join(
+        rb.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")),
+    )
+    s = sorted((r["user_id"], r["l_ts"], r["r_ts"]) for r in out.collect())
+    b = sorted((r["user_id"], r["ts"], r[4]) for r in batch.collect())
+    assert len(s) == len(b) > 0
+    assert s == [(u, lt, rt) for (u, lt, rt) in b]
