@@ -275,3 +275,38 @@ def q144_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_prio"),
         F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
     )
+
+
+@query("q150_python_sink_roundtrip", oracle=_RT_AGG)
+def q150_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-connector WRITE path (Spark 4 DataSourceWriter,
+    sources/python_source.GraftDirWriter): supplier streams through the
+    Python sink — per-task uniquely-named part files + a driver-side
+    manifest commit, so failed/speculative attempts are invisible to
+    readers (the exactly-once file-commit protocol in miniature; completes
+    the reference's DataSource trait with the half it never had).  Read
+    back via the manifest, aggregate against the parquet oracle."""
+    import shutil
+
+    from .sources import python_source as ps
+
+    ps.register(spark)
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _scratch("pysink_supplier", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    s.repartition(4).write.format("graft_range").option("path", path).mode(
+        "append"
+    ).save()
+    back = ps.read_manifest_dir(
+        spark, path, "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s_name").alias("n_names"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+        F.min("s_name").alias("min_name"),
+        F.max("s_suppkey").alias("max_key"),
+        F.sum("s_nationkey").cast("bigint").alias("nk_sum"),
+    )

@@ -24,7 +24,13 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _RangePartition(InputPartition):
@@ -45,6 +51,9 @@ class GraftRangeDataSource(DataSource):
 
     def reader(self, schema) -> "GraftRangeReader":
         return GraftRangeReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "GraftDirWriter":
+        return GraftDirWriter(self.options)
 
 
 class GraftRangeReader(DataSourceReader):
@@ -112,3 +121,81 @@ class GraftRangeReader(DataSourceReader):
 def register(spark: SparkSession) -> None:
     """Idempotently register the source with this session."""
     spark.dataSource.register(GraftRangeDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write path (Spark 4 DataSourceWriter) — completes the connector: the
+# reference's trait stopped at reads; this adds the sink half with the
+# commit protocol that makes distributed writes exactly-once.
+# ---------------------------------------------------------------------------
+
+
+class _PartFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class GraftDirWriter(DataSourceWriter):
+    """JSON-lines directory sink with a manifest commit protocol.
+
+    Each task streams its partition to a uniquely-named part file (safe
+    under task retries — a retried attempt writes a NEW file) and returns a
+    commit message; ``commit`` (driver, runs once, only after every task
+    succeeded) writes ``_MANIFEST`` naming exactly the committed files.
+    Readers trust only the manifest, so half-written files from failed or
+    speculative attempts are invisible — the same design as Spark's file
+    commit protocol and table-format transaction logs, in ~40 lines.
+    ``abort`` removes whatever was written.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("graft_range write requires .option('path', ...)")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(fname, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        manifest = {
+            "files": sorted(os.path.basename(m.path) for m in messages if m),
+            "rows": sum(m.rows for m in messages if m),
+        }
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            fh.write(_json.dumps(manifest))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def read_manifest_dir(spark: SparkSession, path: str, schema):
+    """Read back a GraftDirWriter directory: only files the manifest names —
+    uncommitted part files (failed/speculative attempts) are ignored."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as fh:
+        manifest = _json.loads(fh.read())
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

@@ -389,3 +389,31 @@ class TestOrcAndText:
         back = fs.read_text(spark, path).select(F.split("value", "\t", 2).alias("p"))
         rows = sorted((int(r["p"][0]), r["p"][1]) for r in back.collect())
         assert rows == [(1, "a b"), (2, "c")]
+
+
+class TestPythonSink:
+    def test_manifest_ignores_uncommitted_files(self, spark, tmp_path):
+        """A stray part file (failed/speculative attempt) in the dir must be
+        invisible: readers trust only _MANIFEST."""
+        from rust_dataframe_spark.sources import python_source as ps
+
+        ps.register(spark)
+        p = str(tmp_path / "sink")
+        df = spark.range(50).select(F.col("id"), (F.col("id") + 1).alias("v"))
+        df.repartition(2).write.format("graft_range").option("path", p).mode(
+            "append"
+        ).save()
+        # simulate a leftover failed-attempt file
+        with open(f"{p}/part-deadbeef.jsonl", "w") as fh:
+            fh.write('{"id": 999999, "v": 0}\n')
+        back = ps.read_manifest_dir(spark, p, "id bigint, v bigint")
+        assert back.count() == 50
+        assert back.agg(F.max("id")).collect()[0][0] == 49
+
+    def test_write_requires_path(self, spark):
+        from rust_dataframe_spark.sources.python_source import GraftDirWriter
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            GraftDirWriter({})
