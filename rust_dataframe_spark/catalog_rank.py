@@ -562,3 +562,98 @@ def q149_authority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming queries, driver-visible: each runs a real availableNow
+# Structured-Streaming query and STILL has a full SQL oracle — the streaming
+# result must equal the batch answer exactly (availableNow batch parity).
+# ---------------------------------------------------------------------------
+
+
+def _stream_events(spark: SparkSession, sf_dir: str):
+    """events.parquet is TIMESTAMP(NANOS), which streaming file sources
+    reject — materialize a micros copy once per sf_dir and stream that."""
+    import os
+
+    from .catalog_sources import _scratch
+    from .streaming import ops as st
+
+    path = _scratch("stream_events", sf_dir)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_events(spark, sf_dir).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    return st.read_stream_parquet(spark, path, schema)
+
+
+@query(
+    "q151_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def q151_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q84's tumbling windows executed as a REAL Structured Streaming query
+    (readStream -> watermark -> windowed agg -> availableNow into a memory
+    sink) and checked against the same SQL oracle — the batch-parity claim
+    made driver-visible: identical declarative code, identical answer, on
+    either runtime."""
+    from .streaming import ops as st
+
+    stream = _stream_events(spark, sf_dir)
+    out = st.run_available_now(
+        st.tumbling_counts(stream, window="1 hour", watermark="2 hours"),
+        "q151_sink",
+    )
+    return out.select(
+        "win_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("value_sum"), 4).alias("value_sum"),
+    ).orderBy("win_start", "event_type")
+
+
+@query(
+    "q152_stream_sessionization",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q152_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q85's sessionization as a streaming session_window query (stateful,
+    gap-merged in the state store, availableNow) — aggregated to per-user
+    session/event counts and checked against the same gaps-and-islands SQL
+    oracle.  Watermark bounds state; identical results to batch."""
+    from .streaming import ops as st
+
+    stream = _stream_events(spark, sf_dir)
+    sessions = st.run_available_now(
+        st.session_counts(stream, gap="30 minutes", watermark="2 hours"),
+        "q152_sink",
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
