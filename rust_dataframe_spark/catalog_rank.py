@@ -657,3 +657,78 @@ def q152_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q153_stream_dedup",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, ts FROM events)
+    SELECT count(*) AS n_rows,
+           sum(user_id) AS user_sum,
+           CAST(min(ts) AS VARCHAR) AS min_ts,
+           CAST(max(ts) AS VARCHAR) AS max_ts
+    FROM d
+    """,
+)
+def q153_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/ops.stream_dedup,
+    dropDuplicatesWithinWatermark on (user_id, ts)) — state holds one key
+    per watermark horizon and evicts as it advances, the bounded-state
+    answer to unbounded dropDuplicates.  availableNow output must equal
+    batch DISTINCT (the oracle)."""
+    from .streaming import ops as st
+
+    stream = _stream_events(spark, sf_dir)
+    out = st.run_available_now(
+        st.stream_dedup(stream, id_cols=("user_id", "ts")),
+        "q153_sink",
+        output_mode="append",
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").cast("bigint").alias("user_sum"),
+        F.min("ts").cast("string").alias("min_ts"),
+        F.max("ts").cast("string").alias("max_ts"),
+    )
+
+
+@query(
+    "q154_stream_interval_join",
+    oracle="""
+    SELECT count(*) AS n_pairs,
+           CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS lag_us_sum,
+           min(v.user_id) AS min_user,
+           max(v.user_id) AS max_user
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+    """,
+)
+def q154_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/ops.interval_join) as the
+    view->purchase attribution query: two streams over the same event log,
+    dual watermarks, purchase within 30 minutes of the view.  The time
+    bound is what lets the state store evict (without it, stream-stream
+    join state grows forever).  availableNow result equals the batch theta
+    join (the oracle) exactly."""
+    from .streaming import ops as st
+
+    views = _stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    ).select("user_id", "ts")
+    buys = _stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts")
+    joined = st.interval_join(
+        views, buys, "user_id", watermark="2 hours", tolerance="30 minutes"
+    )
+    out = st.run_available_now(joined, "q154_sink", output_mode="append")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts")))
+        .cast("bigint")
+        .alias("lag_us_sum"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
