@@ -33,12 +33,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read nanos as long (legacy conf, session-settable) and rebuild a
-    microsecond TimestampType column."""
+    """Schema-adaptive events loader.  Testdata generations have stored ``ts``
+    as TIMESTAMP(NANOS) (which Spark's parquet reader rejects — read nanos as
+    long via the legacy conf and rebuild), as TIMESTAMP(MICROS) without UTC
+    adjustment (read as TIMESTAMP_NTZ), or as plain TIMESTAMP.  Normalize all
+    three to a session-tz (UTC) TimestampType column so every downstream query
+    sees identical wall-clock values regardless of the physical encoding."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":  # legacy nanos-as-long
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":  # timestamp_ntz: same wall clock, UTC session
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e
 
 
 def query(name: str, oracle: str | None = None):
