@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .catalog import query, table
 from .catalog_llm import _CORPUS_NEAR, _corpus_near
 from .operators import dedup as dd
+from .operators import similarity as sim
 from .operators import text as tx
 from .operators import training as tr
 
@@ -317,3 +318,231 @@ def q132_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     out = tx.chunk_text(d, "doc_id", "text", chunk_tokens=128, overlap=32)
     return out.orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# q155: corpus-level line dedup (CCNet/RefinedWeb boilerplate removal)
+# ---------------------------------------------------------------------------
+
+# deterministic "lines": break the space-separated text into 3-word lines on
+# BOTH engines with the same regex, so the line-dedup semantics (not the line
+# derivation) are what the oracle checks
+_Q155_PAT = r"((\S+\s+){2}\S+)\s+"
+_Q155_MIN_DOCS = 3
+
+
+@query(
+    "q155_line_dedup",
+    oracle=f"""
+    WITH lined AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '{_Q155_PAT}', '\\1' || chr(10), 'g'),
+                          chr(10)) AS parts
+      FROM documents),
+    lines AS (
+      SELECT doc_id, parts[ord] AS line, ord
+      FROM (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS ord
+            FROM lined)),
+    hot AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= {_Q155_MIN_DOCS}),
+    marked AS (
+      SELECT l.doc_id, l.line, l.ord, (h.line IS NOT NULL) AS dropped
+      FROM lines l LEFT JOIN hot h ON l.line = h.line)
+    SELECT doc_id,
+           md5(coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                                   chr(10) ORDER BY ord), '')) AS text_fp,
+           CAST(count(CASE WHEN NOT dropped THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(count(CASE WHEN dropped THEN 1 END) AS BIGINT)     AS n_dropped
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q155_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line deduplication (operators/text.line_dedup — the
+    CCNet/RefinedWeb boilerplate pass): every line appearing verbatim in >= 3
+    distinct documents is struck from ALL documents; survivors re-join in
+    original order (value-checked via md5 of the rebuilt text).  Scale: the
+    blocklist is built from md5 digests (16 B/line shuffle) and broadcast
+    back, so the corpus shuffles once (reassembly), never on line text."""
+    d = table(spark, sf_dir, "documents")
+    lined = d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _Q155_PAT, "$1\n").alias("text"),
+    )
+    out = tx.line_dedup(lined, "doc_id", "text", min_docs=_Q155_MIN_DOCS)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_fp"),
+        "n_kept",
+        "n_dropped",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q156: int8 embedding quantization + quantized-vs-exact cosine parity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_int8_quant",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings WHERE vec_id <= 100),
+    m AS (SELECT vec_id, emb,
+                 list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS mx
+          FROM e),
+    q AS (SELECT vec_id, emb,
+                 list_transform(emb, x -> CAST(round(
+                     x / (CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END)) AS INT)) AS qv
+          FROM m),
+    qq AS (SELECT vec_id, emb,
+                  list_transform(qv, x -> CAST(x AS DOUBLE)) AS qd
+           FROM q),
+    p AS (SELECT a.vec_id AS pair_id,
+                 list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))) AS ce,
+                 list_dot_product(a.qd, b.qd)
+                   / (sqrt(list_dot_product(a.qd, a.qd))
+                      * sqrt(list_dot_product(b.qd, b.qd))) AS cq
+          FROM qq a JOIN qq b ON b.vec_id = a.vec_id + 1)
+    SELECT pair_id, round(ce, 6) AS cos_exact, round(cq, 6) AS cos_int8,
+           round(abs(ce - cq), 4) AS abs_err4
+    FROM p ORDER BY pair_id
+    """,
+)
+def q156_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (operators/similarity.quantize_int8):
+    symmetric per-vector max-abs scaling to int8 codes — the 4x memory /
+    shuffle lever for ANN at 100 TB — verified by computing cosine on the
+    codes next to exact float cosine for 100 adjacent-id pairs and bounding
+    the error.  Codes are exact integers, so both engines agree bit-for-bit
+    on the quantized path; scales cancel in the cosine ratio (no scale
+    column needed).  All HOF codegen; the only shuffle is the pair join."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 100)
+    qd = sim.quantize_int8(e, "embedding")
+    a = qd.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").alias("ea"),
+        F.col("qvec").alias("qa"),
+    )
+    b = qd.select(
+        (F.col("vec_id") - 1).alias("pair_id"),
+        F.col("embedding").alias("eb"),
+        F.col("qvec").alias("qb"),
+    )
+    pairs = a.join(b, "pair_id")
+    cos_e = sim.cosine(sim.as_double(F.col("ea")), sim.as_double(F.col("eb")))
+    cos_q = sim.quantized_cosine(F.col("qa"), F.col("qb"))
+    return pairs.select(
+        "pair_id",
+        F.round(cos_e, 6).alias("cos_exact"),
+        F.round(cos_q, 6).alias("cos_int8"),
+        F.round(F.abs(cos_e - cos_q), 4).alias("abs_err4"),
+    ).orderBy("pair_id")
+
+
+# ---------------------------------------------------------------------------
+# q157: character-budget source balancing (equalize corpus share by chars)
+# ---------------------------------------------------------------------------
+
+_Q157_SALT = "bal1"
+
+
+@query(
+    "q157_mixture_balance",
+    oracle=f"""
+    WITH s AS (SELECT source, sum(n_chars) AS src_chars FROM documents GROUP BY source),
+    r AS (SELECT source,
+                 CAST((SELECT min(src_chars) FROM s) AS DOUBLE) / CAST(src_chars AS DOUBLE) AS rate
+          FROM s),
+    h AS (SELECT d.source, d.doc_id, d.n_chars, r.rate,
+                 ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '{_Q157_SALT}'), 1, 8))::UBIGINT
+                   / 4294967296.0 AS u
+          FROM documents d JOIN r USING (source))
+    SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM h WHERE u < rate GROUP BY source ORDER BY source
+    """,
+)
+def q157_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-budget source balancing: compute each source's share of the
+    corpus in characters, derive a per-source keep-rate that downsamples
+    every source to the smallest source's character budget, and apply it
+    with the same deterministic md5(doc_id) coin as hash_sample — so the
+    balanced mixture is reproducible across runs, engines and incremental
+    reprocessing.  The rate table is #sources rows (aggregate -> broadcast
+    both ways); the corpus itself is touched by one codegen'd filter, no
+    extra shuffle."""
+    d = table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(F.sum("n_chars").alias("src_chars"))
+    m = stats.agg(F.min("src_chars").alias("min_chars"))
+    rates = stats.crossJoin(F.broadcast(m)).select(
+        "source", (F.col("min_chars") / F.col("src_chars")).alias("rate")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_Q157_SALT))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 32))
+    )
+    kept = d.join(F.broadcast(rates), "source").filter(u < F.col("rate"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158: token-budget corpus selection (greedy by priority, distributed cumsum)
+# ---------------------------------------------------------------------------
+
+_Q158_BUDGET = 20_000
+
+
+@query(
+    "q158_budget_select",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                      (500000 - n_chars) * 10000000 + doc_id AS ord
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY ord
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM t)
+    SELECT doc_id, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= {_Q158_BUDGET} ORDER BY doc_id
+    """,
+)
+def q158_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: rank documents by a priority key
+    (longest-first, doc_id tie-break), take the prefix whose running token
+    total fits a 20k-token budget — the 'fill the training budget with the
+    best data' step of corpus curation.  The running total is
+    operators/training.global_cumsum (range-partitioned two-phase prefix
+    sum), NOT a single-partition window — the oracle's `sum() OVER (ORDER
+    BY)` is exactly the plan the operator refuses (same guarantee as
+    q125_pack_sequences, plan-pinned there)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        ((F.lit(500000) - F.col("n_chars")) * F.lit(10000000) + F.col("doc_id")).alias(
+            "__ord"
+        ),
+    )
+    c = tr.global_cumsum(d, "__ord", "n_tokens", out_col="cum_tokens")
+    return (
+        c.filter(F.col("cum_tokens") <= _Q158_BUDGET)
+        .select("doc_id", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )

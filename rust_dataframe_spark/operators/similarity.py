@@ -34,6 +34,8 @@ __all__ = [
     "srp_near_dup",
     "ivf_assign",
     "ivf_topk",
+    "quantize_int8",
+    "quantized_cosine",
 ]
 
 
@@ -256,3 +258,41 @@ def srp_candidates(
     return df.select(
         F.col(id_col), srp_bucket(as_double(F.col(vec_col)), planes).alias("bucket")
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str, *, out_col: str = "qvec") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max(|x|)/127, code =
+    round(x/scale) in [-127, 127].  Adds ``out_col`` (array<int> codes) and
+    ``{out_col}_scale`` (double).
+
+    This is the memory lever for ANN at 100 TB: a 1024-dim float32 embedding
+    is 4 KiB; its int8 codes are 1 KiB + 8 B of scale — 4x more vectors per
+    executor page, 4x less shuffle when buckets of candidates move.  Cosine
+    on codes is exact integer arithmetic rescaled afterward (scales cancel
+    in the numerator/norm ratio), so ranking error is bounded by the
+    rounding step alone (~1/254 per component, relative).
+
+    All codegen (transform/aggregate HOFs); no shuffle, no Python.
+    """
+    v = as_double(F.col(vec_col))
+    absmax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda s, x: F.greatest(s, x)
+    )
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    df = df.withColumn("__qscale", scale)
+    codes = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x / F.col("__qscale")).cast("int"),
+    )
+    return df.withColumn(out_col, codes).withColumnRenamed(
+        "__qscale", f"{out_col}_scale"
+    )
+
+
+def quantized_cosine(qa, qb):
+    """Cosine similarity from int8 code arrays.  Scales cancel: the ratio
+    dot/(|a||b|) over codes equals the same ratio over dequantized vectors,
+    so no scale column is needed — integer dot and norms, one double divide."""
+    qa_d = as_double(qa)
+    qb_d = as_double(qb)
+    return _dot(qa_d, qb_d) / (_norm(qa_d) * _norm(qb_d))

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "chunk_text",
+    "line_dedup",
     "token_stats",
     "quality_score",
     "language_id",
@@ -300,3 +301,61 @@ def chunk_text(
             F.lit(chunk_tokens), F.col("__nw") - F.col("chunk_id") * stride
         ).alias("n_tokens"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    delim: str = "\n",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level line deduplication (the CCNet / RefinedWeb boilerplate
+    pass): any line that appears verbatim in >= ``min_docs`` DISTINCT
+    documents is removed from EVERY document; surviving lines are re-joined
+    in their original order.  Returns (id, text, n_kept, n_dropped) — a doc
+    whose every line is boilerplate survives with empty text, not silently
+    dropped.
+
+    Scale shape: the blocklist (lines with document-frequency >= min_docs)
+    is tiny relative to the corpus — frequent strings are few by definition —
+    so it is built with one narrow groupBy on the line digest and BROADCAST
+    back; the per-line pass is then a map-side anti join, no second shuffle
+    of the corpus.  Lines travel through the frequency agg as md5 digests,
+    never as text (16 B/line of shuffle, same trick as exact_dedup; 128-bit
+    so digest collisions stay impossible even at 10^11 lines, where a 64-bit
+    hash would birthday-collide).  Reassembly groups by doc id — one shuffle
+    of the surviving lines, which the pipeline pays once.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("__pos", "__line"),
+    )
+    hot = (
+        lines.groupBy(F.md5("__line").alias("__h"))
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__h")
+    )
+    marked = lines.join(
+        F.broadcast(hot), F.md5(F.col("__line")) == F.col("__h"), "left"
+    ).withColumn("__drop", F.col("__h").isNotNull())
+    rebuilt = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__drop"), F.struct("__pos", "__line")
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            delim,
+        ).alias(text_col),
+        F.sum(F.when(~F.col("__drop"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("__drop"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+    )
+    return rebuilt

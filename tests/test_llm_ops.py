@@ -613,3 +613,70 @@ class TestChunkText:
         df = spark.createDataFrame([(1, "a")], "id int, text string")
         with pytest.raises(ValueError):
             tx.chunk_text(df, "id", "text", chunk_tokens=4, overlap=4)
+
+
+class TestLineDedup:
+    def test_hot_lines_removed_everywhere(self, spark):
+        rows = [
+            (1, "boiler\nunique one\nboiler2"),
+            (2, "boiler\nunique two\nboiler2"),
+            (3, "boiler\nunique three"),
+            (4, "only original content here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {
+            r["doc_id"]: r
+            for r in tx.line_dedup(df, "doc_id", "text", min_docs=3).collect()
+        }
+        # "boiler" occurs in 3 docs -> dropped; "boiler2" in 2 -> kept
+        assert out[1]["text"] == "unique one\nboiler2"
+        assert out[2]["text"] == "unique two\nboiler2"
+        assert out[3]["text"] == "unique three"
+        assert out[4]["text"] == "only original content here"
+        assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 1
+        assert out[4]["n_dropped"] == 0
+
+    def test_all_boilerplate_doc_survives_empty(self, spark):
+        rows = [(i, "spam") for i in range(1, 5)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = tx.line_dedup(df, "doc_id", "text", min_docs=2).collect()
+        assert len(out) == 4  # no doc silently dropped
+        assert all(r["text"] == "" and r["n_kept"] == 0 for r in out)
+
+    def test_order_preserved(self, spark):
+        rows = [(1, "\n".join(f"line{i}" for i in range(20)))]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = tx.line_dedup(df, "doc_id", "text", min_docs=2).collect()[0]
+        assert out["text"] == "\n".join(f"line{i}" for i in range(20))
+
+
+class TestInt8Quant:
+    def test_codes_bounded_and_scale_correct(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+            "vec_id bigint, emb array<float>",
+        )
+        rows = {r["vec_id"]: r for r in sim.quantize_int8(df, "emb").collect()}
+        assert rows[1]["qvec"] == [64, -127, 32]  # round(x / (1.0/127))
+        assert abs(rows[1]["qvec_scale"] - 1.0 / 127.0) < 1e-12
+        # all-zero vector: scale falls back to 1.0, codes all zero (no NaN)
+        assert rows[2]["qvec"] == [0, 0, 0]
+        assert rows[2]["qvec_scale"] == 1.0
+
+    def test_quantized_cosine_close_to_exact(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        rows = [
+            (i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, emb array<float>")
+        q = sim.quantize_int8(df, "emb")
+        a = q.select(F.col("vec_id").alias("i"), F.col("emb").alias("ea"), F.col("qvec").alias("qa"))
+        b = q.select((F.col("vec_id") - 1).alias("i"), F.col("emb").alias("eb"), F.col("qvec").alias("qb"))
+        pairs = a.join(b, "i").select(
+            sim.cosine(sim.as_double(F.col("ea")), sim.as_double(F.col("eb"))).alias("ce"),
+            sim.quantized_cosine(F.col("qa"), F.col("qb")).alias("cq"),
+        )
+        for r in pairs.collect():
+            assert abs(r["ce"] - r["cq"]) < 0.02  # int8 rounding error bound

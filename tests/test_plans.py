@@ -281,3 +281,19 @@ def test_sql_udf_inlines_no_python_eval(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     df.collect()
     assert pi.codegen_stage_count(df) >= 1
+
+
+def test_line_dedup_blocklist_broadcasts(spark):
+    """q155's hot-line blocklist must come back as a broadcast hash join —
+    a sort-merge join there would shuffle the whole exploded corpus twice."""
+    df = catalog.QUERIES["q155_line_dedup"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_budget_select_no_single_partition_window(spark):
+    """q158's running token total must use the two-phase prefix sum, never a
+    global one-task window (Exchange SinglePartition)."""
+    df = catalog.QUERIES["q158_budget_select"](spark, SF)
+    assert "SinglePartition" not in pi.physical_plan(df)
