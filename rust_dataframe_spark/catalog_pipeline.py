@@ -1,0 +1,161 @@
+"""Catalog extension: crawl-ingestion + incremental-corpus operators
+(operators/text.strip_markup / inverse_frequency_score,
+operators/dedup.lsh_band_index / incremental_near_dups) — the steps between
+"raw crawl" and "dedup-ready corpus" that the reference's frame-verb surface
+(it stops at tables) never reaches but a 100 TB training pipeline runs daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import query, table
+from .catalog_llm import _SH_SQL, _mh_sql
+from .operators import dedup as dd
+from .operators import text as tx
+
+# ---------------------------------------------------------------------------
+# q159: corpus-LM quality proxy (log-free fixed-point surprisal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q159_surprisal_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+    n AS (SELECT count(*) AS total FROM toks),
+    scored AS (SELECT t.doc_id,
+                      CAST(floor(n.total * 1000.0 / v.cnt) AS BIGINT) AS surp
+               FROM toks t JOIN vocab v USING (w) CROSS JOIN n)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+           CAST(sum(surp) AS BIGINT) AS surprisal_milli,
+           round(sum(surp) * 1.0 / count(*) / 1000.0, 6) AS avg_surprisal
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q159_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filter (operators/text.inverse_frequency_score —
+    the CCNet perplexity-filter shape, log-free): per-token surprisal
+    N/count(token) accumulated per doc in fixed-point so the sum is an
+    integer — associative, bit-identical under any partitioning, comparable
+    across engines without float-order hazards.  One explode + two
+    map-side-combined aggs; vocabulary joins on the token."""
+    d = table(spark, sf_dir, "documents")
+    return tx.inverse_frequency_score(d, "doc_id", "text", scale=1000).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160: markup stripping (crawl-text normalization)
+# ---------------------------------------------------------------------------
+
+# deterministic pseudo-HTML built identically on both engines, so the oracle
+# checks the STRIP pipeline, not the synthesis
+_Q160_WRAP_SQL = (
+    "'<div class=\"doc\">' || "
+    "replace(text, ' value ', ' <b>value</b> &amp; ') || '</div>'"
+)
+
+
+@query(
+    "q160_strip_markup",
+    oracle=f"""
+    WITH html AS (SELECT doc_id, {_Q160_WRAP_SQL} AS h FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', ' ', 'g') AS t FROM html),
+    s2 AS (SELECT doc_id,
+                  replace(replace(replace(replace(replace(t,
+                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                      '&#39;', ''''), '&amp;', '&') AS t
+           FROM s1),
+    s3 AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t FROM s2)
+    SELECT doc_id, md5(t) AS clean_fp, CAST(length(t) AS INT) AS n_chars
+    FROM s3 ORDER BY doc_id
+    """,
+)
+def q160_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping (operators/text.strip_markup): tags out, XML entities
+    decoded, whitespace collapsed — the crawl-text normalization pass.  The
+    query wraps each document in deterministic pseudo-HTML on BOTH engines,
+    then each engine runs its own strip implementation; md5 of the cleaned
+    text is value-compared.  Elementwise regex/replace chain: codegen'd,
+    shuffle-free, scan-bound at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    html = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="doc">'),
+            F.replace(
+                F.col("text"), F.lit(" value "), F.lit(" <b>value</b> &amp; ")
+            ),
+            F.lit("</div>"),
+        ).alias("text"),
+    )
+    clean = tx.strip_markup(html, "doc_id", "text")
+    return clean.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_fp"),
+        F.length(F.col("text")).cast("int").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q161: incremental ingestion dedup (new batch vs existing corpus index)
+# ---------------------------------------------------------------------------
+
+
+def _q161_oracle() -> str:
+    def bands_sql(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"md5(mh{4 * b} || '|' || mh{4 * b + 1} || '|' || mh{4 * b + 2} || '|' || mh{4 * b + 3}) AS bh "
+            f"FROM {src}"
+            for b in range(4)
+        )
+
+    mh16 = ", ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(16))
+    return f"""
+    WITH old_c AS (SELECT doc_id, text FROM documents),
+    new_c AS (SELECT doc_id + 100000 AS doc_id,
+                     regexp_replace(text, '\\s+\\S+$', '') AS text
+              FROM documents WHERE doc_id < 50),
+    sh_old AS (SELECT doc_id, {_SH_SQL} AS sh FROM old_c),
+    sh_new AS (SELECT doc_id, {_SH_SQL} AS sh FROM new_c),
+    sig_old AS (SELECT doc_id, sh, {mh16} FROM sh_old),
+    sig_new AS (SELECT doc_id, sh, {mh16} FROM sh_new),
+    bands_old AS ({bands_sql('sig_old')}),
+    bands_new AS ({bands_sql('sig_new')}),
+    cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+             FROM bands_new n JOIN bands_old o
+             ON n.band = o.band AND n.bh = o.bh)
+    SELECT new_id, old_id,
+           round(len(list_filter(sn.sh, x -> list_contains(so.sh, x))) * 1.0
+                 / len(list_distinct(list_concat(sn.sh, so.sh))), 6) AS jaccard
+    FROM cand
+    JOIN sh_new sn ON sn.doc_id = new_id
+    JOIN sh_old so ON so.doc_id = old_id
+    WHERE len(list_filter(sn.sh, x -> list_contains(so.sh, x))) * 1.0
+          / len(list_distinct(list_concat(sn.sh, so.sh))) >= 0.8
+    ORDER BY new_id, old_id
+    """
+
+
+@query("q161_incremental_dedup", oracle=_q161_oracle())
+def q161_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup (operators/dedup.incremental_near_dups):
+    a simulated daily batch (50 docs, last word dropped, shifted ids) probes
+    the existing corpus's LSH band index (operators/dedup.lsh_band_index) —
+    the old corpus is never self-joined or re-shingled, so per-batch cost is
+    O(batch + collisions), the posture that keeps daily dedup affordable
+    when the accumulated corpus is 1000x the batch.  Candidates are verified
+    with exact n-gram Jaccard >= 0.8 against the matched old docs only."""
+    d = table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+$", "").alias("text"),
+    )
+    out = dd.incremental_near_dups(
+        new, d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    return out.orderBy("new_id", "old_id")

@@ -37,6 +37,8 @@ __all__ = [
     "minhash_signature",
     "minhash_signatures_df",
     "lsh_candidate_pairs",
+    "lsh_band_index",
+    "incremental_near_dups",
     "near_dup_pairs",
     "dup_clusters",
     "dup_clusters_star",
@@ -612,4 +614,101 @@ def dup_clusters_star(
     return (
         labels.select(F.col("u").alias("doc_id"), "cluster_id")
         .unionByName(roots.select(F.col("u").alias("doc_id"), "cluster_id"))
+    )
+
+
+def lsh_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The persistent LSH index of an existing corpus: one (id, band, bh) row
+    per band per document.  Materialize this ONCE (parquet, partitioned or
+    bucketed by (band, bh)) and every future ingestion batch probes it
+    without re-signaturing the old corpus — the incremental-dedup posture a
+    daily-append 100 TB pipeline needs, where re-running corpus-wide LSH per
+    batch would be O(corpus) daily instead of O(batch)."""
+    rows_per_band = num_hashes // bands
+    sh = df.select(F.col(id_col), shingle(F.col(text_col), shingle_n).alias("__sh"))
+    sig = minhash_signatures_df(sh, id_col, "__sh", num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental-ingestion near-dedup: find every (new_id, old_id) pair
+    whose n-gram Jaccard >= threshold, WITHOUT self-joining the old corpus.
+
+    The new batch is signatured and its band hashes probe the old corpus's
+    band index (``lsh_band_index``); only colliding (new, old) candidates are
+    Jaccard-verified against the old texts.  Cost: O(batch) signatures + one
+    join against the index + O(candidates) verifies — the old corpus is
+    never re-shingled (its index is a one-time build, amortized across every
+    future batch).  Returns (new_id, old_id, jaccard).
+
+    New-batch-internal duplicates are a separate ``near_dup_pairs(new_df)``
+    call (O(batch^2 worst case) but batch-sized); composing both is the
+    standard daily-ingest recipe.
+    """
+    old_idx = lsh_band_index(
+        old_df, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+    )
+    new_idx = lsh_band_index(
+        new_df, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+    )
+    cands = (
+        new_idx.select(F.col(id_col).alias("new_id"), "band", "bh")
+        .join(
+            old_idx.select(F.col(id_col).alias("old_id"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    a = new_df.select(F.col(id_col).alias("new_id"), F.col(text_col).alias("__ta"))
+    b = old_df.select(F.col(id_col).alias("old_id"), F.col(text_col).alias("__tb"))
+    sh_a = F.array_distinct(shingle(F.col("__ta"), shingle_n))
+    sh_b = F.array_distinct(shingle(F.col("__tb"), shingle_n))
+    return (
+        cands.join(a, "new_id")
+        .join(b, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.round(
+                F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b)),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -359,3 +359,70 @@ def line_dedup(
         F.sum(F.when(F.col("__drop"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
     )
     return rebuilt
+
+
+def strip_markup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """HTML/markup normalization for crawl ingestion: drop tags, unescape the
+    five XML entities, collapse whitespace, trim.  Returns (id, text).
+
+    All regexp/replace compositions — elementwise, codegen'd, shuffle-free;
+    at 100 TB this pass is scan-bound next to the parse-heavy alternatives
+    (a real DOM parser belongs in a mapInPandas stage only when structure,
+    not text, is needed — same gating as operators/multimodal).
+    """
+    t = F.col(text_col)
+    t = F.regexp_replace(t, "<[^>]*>", " ")
+    for ent, ch in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes as literal &lt; text
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(F.col(id_col), t.alias(text_col))
+
+
+def inverse_frequency_score(
+    df: DataFrame, id_col: str, text_col: str, *, scale: int = 1000
+) -> DataFrame:
+    """Corpus-LM quality proxy (the CCNet-style perplexity filter, log-free):
+    per-token surprisal = corpus_tokens / token_count, accumulated per doc in
+    FIXED-POINT (floor(N * scale / cnt)) so the per-doc sum is an integer —
+    associative, bit-identical under any partitioning/retry history (a float
+    log-prob sum is not; same rationale as the rational idf in
+    operators/ranking).  Returns (id, n_tokens, surprisal_milli, avg_surprisal)
+    where avg_surprisal = surprisal_milli / n_tokens / scale, rounded to 6.
+
+    High score = rare-word-heavy (possibly gibberish), low = boilerplate of
+    corpus-common words; production filters cut both tails.  Shape: one
+    explode + two map-side-combined aggs; the vocabulary table joins on the
+    token (vocab-sized — broadcast when bounded, AQE decides otherwise).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    )
+    vocab = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        toks.join(vocab, "__w")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col(id_col),
+            F.floor(F.col("__n") * scale / F.col("__cnt")).alias("__surp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum("__surp").cast("bigint").alias("surprisal_milli"),
+        )
+        .withColumn(
+            "avg_surprisal",
+            F.round(
+                F.col("surprisal_milli") / F.col("n_tokens") / F.lit(float(scale)), 6
+            ),
+        )
+    )

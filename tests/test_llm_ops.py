@@ -680,3 +680,77 @@ class TestInt8Quant:
         )
         for r in pairs.collect():
             assert abs(r["ce"] - r["cq"]) < 0.02  # int8 rounding error bound
+
+
+class TestStripMarkup:
+    def test_tags_entities_whitespace(self, spark):
+        rows = [
+            (1, "<p>hello <b>world</b></p>"),
+            (2, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+            (3, "  spaced    out\ttext  "),
+            (4, "&amp;lt; stays literal"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r["text"] for r in tx.strip_markup(df, "doc_id", "text").collect()}
+        assert out[1] == "hello world"
+        assert out[2] == 'a & b <tag> "q" \'s\''
+        assert out[3] == "spaced out text"
+        # &amp; decoded last: "&amp;lt;" -> "&lt;" literal, not "<"
+        assert out[4] == "&lt; stays literal"
+
+
+class TestSurprisalScore:
+    def test_fixed_point_values(self, spark):
+        # corpus: 4 tokens total; "a" x3 (surp floor(4000/3)=1333), "z" x1 (4000)
+        df = spark.createDataFrame(
+            [(1, "a a z"), (2, "a")], "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r for r in tx.inverse_frequency_score(df, "doc_id", "text").collect()}
+        assert out[1]["n_tokens"] == 3
+        assert out[1]["surprisal_milli"] == 1333 + 1333 + 4000
+        assert out[2]["surprisal_milli"] == 1333
+        assert abs(out[1]["avg_surprisal"] - round(6666 / 3 / 1000.0, 6)) < 1e-9
+
+    def test_rare_scores_higher_than_common(self, spark):
+        df = spark.createDataFrame(
+            [(1, "common common common common"), (2, "rareword")],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r["avg_surprisal"] for r in tx.inverse_frequency_score(df, "doc_id", "text").collect()}
+        assert out[2] > out[1]
+
+
+class TestIncrementalDedup:
+    def test_new_batch_hits_old_corpus_only(self, spark):
+        old = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely unrelated text about spark shuffles and joins"),
+            ],
+            "doc_id bigint, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (101, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+                (102, "the quick brown fox jumps over the lazy dog"),  # near dup of 1
+                (103, "brand new document with entirely fresh content words"),
+                (104, "another brand new document sharing nothing with corpus"),  # vs 103: new-internal only
+            ],
+            "doc_id bigint, text string",
+        )
+        out = dd.incremental_near_dups(new, old, "doc_id", "text", threshold=0.7)
+        pairs = {(r["new_id"], r["old_id"]): r["jaccard"] for r in out.collect()}
+        assert pairs[(101, 1)] == 1.0
+        assert (102, 1) in pairs and pairs[(102, 1)] >= 0.7
+        # new-internal near-dups are NOT reported (separate near_dup_pairs call)
+        assert all(old_id in (1, 2) for (_, old_id) in pairs)
+
+    def test_band_index_shape(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two three four five six seven")], "doc_id bigint, text string"
+        )
+        idx = dd.lsh_band_index(df, "doc_id", "text", num_hashes=16, bands=4)
+        rows = idx.collect()
+        assert len(rows) == 4  # one row per band
+        assert {r["band"] for r in rows} == {0, 1, 2, 3}
+        assert all(len(r["bh"]) == 32 for r in rows)  # md5 hex
