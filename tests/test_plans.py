@@ -297,3 +297,39 @@ def test_budget_select_no_single_partition_window(spark):
     global one-task window (Exchange SinglePartition)."""
     df = catalog.QUERIES["q158_budget_select"](spark, SF)
     assert "SinglePartition" not in pi.physical_plan(df)
+
+
+def test_persisted_band_index_probe_no_index_exchange(spark, tmp_path):
+    """q161's scale story, materialized: the corpus LSH band index persisted
+    as a bucketed table means a daily ingest batch probes it with an
+    exchange on the (small) batch side only — the (huge) index is read
+    bucket-aligned, never reshuffled."""
+    from rust_dataframe_spark.operators import dedup as dd
+    from rust_dataframe_spark.sources import files as fs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = dd.lsh_band_index(docs, "doc_id", "text")
+    fs.write_bucketed(idx, "t_band_index", ["band", "bh"], 8,
+                      path=str(tmp_path / "idx"), sort_cols=["band", "bh"])
+    try:
+        persisted = spark.table("t_band_index")
+        batch = dd.lsh_band_index(
+            docs.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 500).alias("doc_id"), "text"
+            ),
+            "doc_id", "text",
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = batch.withColumnRenamed("doc_id", "new_id").join(
+                persisted, ["band", "bh"]
+            )
+            plan = pi.physical_plan(probe)
+            assert "SortMergeJoin" in plan
+            # one exchange total: the batch side; the index scan is bucketed
+            assert pi.exchange_count(probe) == 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_band_index")
