@@ -159,3 +159,82 @@ def q161_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4, threshold=0.8
     )
     return out.orderBy("new_id", "old_id")
+
+
+# ---------------------------------------------------------------------------
+# q162: greedy subword tokenization (WordPiece matching rule)
+# ---------------------------------------------------------------------------
+
+_Q162_VOCAB = [
+    # single chars (full coverage of the synthetic corpus's a-z words)
+    *[chr(c) for c in range(ord("a"), ord("z") + 1)],
+    # multi-char pieces, max length 3 (bounds the oracle's walk fan-out)
+    "th", "he", "in", "er", "an", "re", "on", "at", "st", "or",
+    "val", "ue", "tab", "le", "row", "key", "agg", "sca", "fas",
+    "slo", "lin", "sor", "win", "dow", "par", "has",
+]
+
+
+def _q162_oracle() -> str:
+    vocab_sql = ", ".join(f"'{p}'" for p in _Q162_VOCAB)
+    return f"""
+    WITH RECURSIVE
+    vocab AS (SELECT unnest([{vocab_sql}]) AS p),
+    words AS (
+      SELECT doc_id, parts[o] AS w, o AS pos
+      FROM (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS o
+            FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents))),
+    dw AS (SELECT DISTINCT w FROM words),
+    positions AS (
+      SELECT w, unnest(range(1, length(w) + 1)) AS cpos FROM dw),
+    best AS (
+      SELECT pp.w, pp.cpos,
+             (SELECT p FROM vocab v
+              WHERE substr(pp.w, pp.cpos, length(v.p)) = v.p
+              ORDER BY length(v.p) DESC, v.p LIMIT 1) AS piece
+      FROM positions pp),
+    walk(w, cpos, toks) AS (
+      SELECT w, 1, []::VARCHAR[] FROM dw
+      UNION ALL
+      SELECT walk.w, walk.cpos + coalesce(length(b.piece), 1),
+             list_append(walk.toks, coalesce(b.piece, '[UNK]'))
+      FROM walk JOIN best b ON b.w = walk.w AND b.cpos = walk.cpos
+      WHERE walk.cpos <= length(walk.w)),
+    done AS (SELECT w, toks FROM walk WHERE cpos > length(w)),
+    per_word AS (
+      SELECT ww.doc_id, ww.pos, d.toks FROM words ww JOIN done d ON d.w = ww.w)
+    SELECT doc_id,
+           CAST(sum(len(toks)) AS BIGINT) AS n_pieces,
+           CAST(sum(len(list_filter(toks, t -> t = '[UNK]'))) AS BIGINT) AS n_unk,
+           md5(string_agg(array_to_string(toks, '|'), '|' ORDER BY pos)) AS pieces_fp
+    FROM per_word GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("q162_wordpiece", oracle=_q162_oracle())
+def q162_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match subword tokenization
+    (operators/text.wordpiece_tokenize): the WordPiece matching rule over a
+    literal vocabulary, tokenizing each DISTINCT word once (Heaps'-law
+    bounded Python work, Arrow-batched) and joining pieces back to the
+    corpus.  The oracle replays the same greedy walk as a recursive CTE, so
+    the per-character matching semantics — not just counts — are
+    value-checked (md5 of the piece stream per document)."""
+    d = table(spark, sf_dir, "documents")
+    toks = tx.wordpiece_tokenize(d, "doc_id", "text", _Q162_VOCAB)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.sum(F.size("pieces")).cast("bigint").alias("n_pieces"),
+        F.sum(F.size(F.filter(F.col("pieces"), lambda t: t == "[UNK]")))
+        .cast("bigint")
+        .alias("n_unk"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda s: F.array_join(s["pieces"], "|"),
+                ),
+                "|",
+            )
+        ).alias("pieces_fp"),
+    )
+    return per_doc.orderBy("doc_id")

@@ -426,3 +426,63 @@ def inverse_frequency_score(
             ),
         )
     )
+
+
+def wordpiece_tokenize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: list[str],
+    *,
+    unk: str = "[UNK]",
+    broadcast_words: bool = True,
+) -> DataFrame:
+    """Greedy longest-match subword tokenization (the WordPiece matching rule,
+    no ## continuation markers): within each word, repeatedly take the longest
+    vocab piece that prefixes the remainder; an unmatched character emits
+    ``unk`` and advances one char.  Returns (id, pos, word, pieces).
+
+    Scale design — the load-bearing trick: tokenize each DISTINCT word once,
+    then join back.  Natural-language corpora obey Heaps' law (vocabulary
+    grows ~sqrt of corpus), so the Python-side work is vocabulary-bounded
+    while the corpus only pays a word-keyed join (broadcast when the distinct
+    table fits).  The per-word matcher is an Arrow-batched Pandas UDF — a
+    char-position loop is genuinely non-decomposable into column algebra
+    (same gating rationale as SimHash in operators/dedup).
+    """
+    import pandas as pd
+
+    vocab_set = frozenset(vocab)
+    if not vocab_set:
+        raise ValueError("vocab must be non-empty")
+    max_len = max(len(p) for p in vocab_set)
+
+    def _tok_word(w: str) -> list[str]:
+        out, pos, n = [], 0, len(w)
+        while pos < n:
+            for ln in range(min(max_len, n - pos), 0, -1):
+                piece = w[pos : pos + ln]
+                if piece in vocab_set:
+                    out.append(piece)
+                    pos += ln
+                    break
+            else:
+                out.append(unk)
+                pos += 1
+        return out
+
+    def _tok(s):
+        return s.map(_tok_word)
+
+    _tok.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    tok_udf = F.pandas_udf(_tok, "array<string>")
+
+    words = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__w")
+    )
+    toked = words.select("__w").distinct().withColumn("pieces", tok_udf(F.col("__w")))
+    if broadcast_words:  # Heaps'-law vocabularies fit; pass False for id-like columns
+        toked = F.broadcast(toked)
+    return words.join(toked, "__w").select(
+        F.col(id_col), F.col("pos"), F.col("__w").alias("word"), F.col("pieces")
+    )

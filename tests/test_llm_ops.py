@@ -754,3 +754,27 @@ class TestIncrementalDedup:
         assert len(rows) == 4  # one row per band
         assert {r["band"] for r in rows} == {0, 1, 2, 3}
         assert all(len(r["bh"]) == 32 for r in rows)  # md5 hex
+
+
+class TestWordpiece:
+    def test_greedy_longest_match(self, spark):
+        df = spark.createDataFrame([(1, "table value")], "doc_id bigint, text string")
+        vocab = ["t", "a", "b", "l", "e", "v", "u", "tab", "le", "val", "ue", "ta"]
+        out = {r["word"]: r["pieces"] for r in
+               tx.wordpiece_tokenize(df, "doc_id", "text", vocab).collect()}
+        assert out["table"] == ["tab", "le"]       # tab beats ta beats t
+        assert out["value"] == ["val", "ue"]
+
+    def test_unk_advances_one_char(self, spark):
+        df = spark.createDataFrame([(1, "axa")], "doc_id bigint, text string")
+        out = tx.wordpiece_tokenize(df, "doc_id", "text", ["a"]).collect()[0]
+        assert out["pieces"] == ["a", "[UNK]", "a"]
+
+    def test_positions_preserved(self, spark):
+        df = spark.createDataFrame([(1, "b a b")], "doc_id bigint, text string")
+        rows = sorted(
+            tx.wordpiece_tokenize(df, "doc_id", "text", ["a", "b"]).collect(),
+            key=lambda r: r["pos"],
+        )
+        assert [r["word"] for r in rows] == ["b", "a", "b"]
+        assert [r["pos"] for r in rows] == [0, 1, 2]
