@@ -238,3 +238,79 @@ def q162_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pieces_fp"),
     )
     return per_doc.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q163/q164: exact k-NN join + hard-negative mining
+# ---------------------------------------------------------------------------
+
+_KNN_CTES = """
+    e AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 8),
+    p AS (SELECT q.vec_id AS query_id, q.label AS ql,
+                 c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                 round(list_dot_product(q.emb, c.emb)
+                       / (sqrt(list_dot_product(q.emb, q.emb))
+                          * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim
+          FROM e c CROSS JOIN q
+          WHERE c.vec_id != q.vec_id)
+"""
+
+
+@query(
+    "q163_knn_join",
+    oracle=f"""
+    WITH {_KNN_CTES},
+    r AS (SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM p)
+    SELECT query_id, rank, neighbor_id, cos_sim
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q163_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join (operators/similarity.knn_join): 8 query vectors x the
+    full corpus, top-5 neighbors each by cosine.  Query side broadcasts;
+    corpus vectors never shuffle — only (query, neighbor, sim) triples enter
+    the per-query top-k window.  Ranks order on round(cos, 6) with an id
+    tie-break, so they are retry- and engine-deterministic.  The exact
+    verify counterpart of the IVF/SRP approximate family (which is the
+    documented path when the query side is corpus-sized)."""
+    from .operators import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    out = sim.knn_join(q, e, "vec_id", "embedding", k=5)
+    return out.orderBy("query_id", "rank")
+
+
+@query(
+    "q164_hard_negatives",
+    oracle=f"""
+    WITH {_KNN_CTES},
+    r AS (SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM p WHERE neighbor_label != ql)
+    SELECT query_id, rank, neighbor_id, cos_sim, neighbor_label
+    FROM r WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+)
+def q164_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.knn_join with exclude_same_label): each anchor's 3
+    nearest neighbors of a DIFFERENT class — the pairs that teach a
+    contrastive model the most.  Same broadcast-query / window-top-k shape
+    as q163 with the label filter applied before ranking."""
+    from .operators import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    out = sim.knn_join(
+        q, e, "vec_id", "embedding", k=3,
+        label_col="label", exclude_same_label=True,
+    )
+    return out.orderBy("query_id", "rank")

@@ -35,6 +35,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "quantize_int8",
+    "knn_join",
     "quantized_cosine",
 ]
 
@@ -296,3 +297,57 @@ def quantized_cosine(qa, qb):
     qa_d = as_double(qa)
     qb_d = as_double(qb)
     return _dot(qa_d, qb_d) / (_norm(qa_d) * _norm(qb_d))
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    *,
+    label_col: str | None = None,
+    exclude_same_label: bool = False,
+) -> DataFrame:
+    """Exact k-NN join: for every query vector, the k most-cosine-similar
+    corpus vectors (self-matches excluded).  With ``exclude_same_label=True``
+    and a ``label_col``, this is HARD-NEGATIVE MINING — the contrastive-
+    training step that wants each anchor's nearest neighbors of a DIFFERENT
+    class.  Returns (query_id, rank, neighbor_id, cos_sim[, neighbor label]).
+
+    Ordering is on round(cos, 6) with an id tie-break, so ranks are
+    deterministic across engines, retries, and partitionings.
+
+    Scale: the QUERY side broadcasts (eval batches are small); the corpus
+    stays partitioned and never shuffles vectors — only (query_id, id, sim)
+    triples move into the per-query top-k window.  When the query side is
+    also corpus-sized, don't use this operator: pre-bucket with IVF
+    (``ivf_topk``) or SRP and knn-join per cell — exact all-pairs k-NN has
+    no scale path, which is the point of the ANN family above.
+    """
+    from pyspark.sql import Window
+
+    qcols = [F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")]
+    ccols = [F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")]
+    if label_col:
+        qcols.append(F.col(label_col).alias("__ql"))
+        ccols.append(F.col(label_col).alias("neighbor_label"))
+    pairs = corpus.select(*ccols).crossJoin(F.broadcast(queries.select(*qcols)))
+    pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    if exclude_same_label:
+        if not label_col:
+            raise ValueError("exclude_same_label requires label_col")
+        pairs = pairs.filter(F.col("neighbor_label") != F.col("__ql"))
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    out_cols = ["query_id", "rank", "neighbor_id", "cos_sim"] + (
+        ["neighbor_label"] if label_col else []
+    )
+    return (
+        pairs.withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols)
+    )

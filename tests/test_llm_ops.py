@@ -778,3 +778,31 @@ class TestWordpiece:
         )
         assert [r["word"] for r in rows] == ["b", "a", "b"]
         assert [r["pos"] for r in rows] == [0, 1, 2]
+
+
+class TestKnnJoin:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),   # closest to 0
+            (2, [0.0, 1.0], 1),   # orthogonal to 0
+            (3, [1.0, 0.05], 1),  # near 0, different label
+        ]
+        return spark.createDataFrame(rows, "vec_id bigint, emb array<float>, label int")
+
+    def test_topk_order_and_self_exclusion(self, spark, vecs):
+        out = sim.knn_join(vecs.filter(F.col("vec_id") == 0), vecs, "vec_id", "emb", k=3)
+        rows = sorted(out.collect(), key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in rows] == [3, 1, 2]
+        assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in rows)
+
+    def test_hard_negatives_exclude_same_label(self, spark, vecs):
+        out = sim.knn_join(
+            vecs.filter(F.col("vec_id") == 0), vecs, "vec_id", "emb", k=2,
+            label_col="label", exclude_same_label=True,
+        )
+        rows = sorted(out.collect(), key=lambda r: r["rank"])
+        # label-0 anchor: only label-1 neighbors qualify, nearest first
+        assert [r["neighbor_id"] for r in rows] == [3, 2]
+        assert all(r["neighbor_label"] == 1 for r in rows)
