@@ -105,7 +105,9 @@ def q160_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q161_oracle() -> str:
+def _q161_with_clause() -> str:
+    """Shared CTE chain: new-batch vs old-corpus verified pairs (>= 0.8)."""
+
     def bands_sql(src: str) -> str:
         return " UNION ALL ".join(
             f"SELECT doc_id, {b} AS band, "
@@ -116,7 +118,7 @@ def _q161_oracle() -> str:
 
     mh16 = ", ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(16))
     return f"""
-    WITH old_c AS (SELECT doc_id, text FROM documents),
+    old_c AS (SELECT doc_id, text FROM documents),
     new_c AS (SELECT doc_id + 100000 AS doc_id,
                      regexp_replace(text, '\\s+\\S+$', '') AS text
               FROM documents WHERE doc_id < 50),
@@ -128,16 +130,23 @@ def _q161_oracle() -> str:
     bands_new AS ({bands_sql('sig_new')}),
     cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
              FROM bands_new n JOIN bands_old o
-             ON n.band = o.band AND n.bh = o.bh)
-    SELECT new_id, old_id,
-           round(len(list_filter(sn.sh, x -> list_contains(so.sh, x))) * 1.0
-                 / len(list_distinct(list_concat(sn.sh, so.sh))), 6) AS jaccard
-    FROM cand
-    JOIN sh_new sn ON sn.doc_id = new_id
-    JOIN sh_old so ON so.doc_id = old_id
-    WHERE len(list_filter(sn.sh, x -> list_contains(so.sh, x))) * 1.0
-          / len(list_distinct(list_concat(sn.sh, so.sh))) >= 0.8
-    ORDER BY new_id, old_id
+             ON n.band = o.band AND n.bh = o.bh),
+    pairs AS (
+      SELECT new_id, old_id,
+             round(len(list_filter(sn.sh, x -> list_contains(so.sh, x))) * 1.0
+                   / len(list_distinct(list_concat(sn.sh, so.sh))), 6) AS jaccard
+      FROM cand
+      JOIN sh_new sn ON sn.doc_id = new_id
+      JOIN sh_old so ON so.doc_id = old_id
+      WHERE len(list_filter(sn.sh, x -> list_contains(so.sh, x))) * 1.0
+            / len(list_distinct(list_concat(sn.sh, so.sh))) >= 0.8)
+    """
+
+
+def _q161_oracle() -> str:
+    return f"""
+    WITH {_q161_with_clause()}
+    SELECT new_id, old_id, jaccard FROM pairs ORDER BY new_id, old_id
     """
 
 
@@ -314,3 +323,76 @@ def q164_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_col="label", exclude_same_label=True,
     )
     return out.orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q165: STREAMING ingest dedup — file stream probes the static corpus index
+# ---------------------------------------------------------------------------
+
+
+def _q165_oracle() -> str:
+    return f"""
+    WITH {_q161_with_clause()}
+    SELECT new_id, CAST(count(*) AS BIGINT) AS n_dups, max(jaccard) AS max_jaccard
+    FROM pairs GROUP BY new_id ORDER BY new_id
+    """
+
+
+@query("q165_stream_index_probe", oracle=_q165_oracle())
+def q165_stream_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental dedup: the daily-ingest batch arrives as a file
+    stream, is band-hashed in-flight (lsh_band_index is stateless narrow
+    ops, so it runs unchanged on the stream), probes the STATIC corpus band
+    index with a stream-static join, verifies candidates with exact Jaccard
+    against the static corpus texts, and aggregates per new doc.  State:
+    the stream-static joins are stateless; only the pair-dedup and final
+    aggregate hold state, both bounded by the batch's collision count.
+    availableNow output must equal the batch q161 pipeline (the oracle
+    aggregates the same verified pairs)."""
+    import os
+
+    from .catalog_sources import _scratch
+    from .streaming import ops as st
+
+    d = table(spark, sf_dir, "documents")
+    # static side: the persisted corpus index + texts (built batch-side once)
+    old_idx = dd.lsh_band_index(d, "doc_id", "text").select(
+        F.col("doc_id").alias("old_id"), "band", "bh"
+    )
+    old_txt = d.select(F.col("doc_id").alias("old_id"), F.col("text").alias("__tb"))
+
+    # the "daily batch" materialized once, then consumed as a file stream
+    path = _scratch("stream_newbatch", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"\s+\S+$", "").alias("text"),
+        ).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = st.read_stream_parquet(spark, path, schema)
+
+    s_idx = dd.lsh_band_index(stream, "doc_id", "text", carry_cols=["text"]).select(
+        F.col("doc_id").alias("new_id"), F.col("text").alias("__ta"), "band", "bh"
+    )
+    sh_a = F.array_distinct(dd.shingle(F.col("__ta"), 3))
+    sh_b = F.array_distinct(dd.shingle(F.col("__tb"), 3))
+    verified = (
+        s_idx.join(old_idx, ["band", "bh"])  # stream-static: stateless
+        .join(old_txt, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.round(
+                F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b)),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .dropDuplicates(["new_id", "old_id"])  # collapse multi-band collisions
+    )
+    agg = verified.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    out = st.run_available_now(agg, "q165_sink", output_mode="complete")
+    return out.orderBy("new_id")

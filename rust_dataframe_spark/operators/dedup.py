@@ -625,16 +625,31 @@ def lsh_band_index(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """The persistent LSH index of an existing corpus: one (id, band, bh) row
     per band per document.  Materialize this ONCE (parquet, partitioned or
     bucketed by (band, bh)) and every future ingestion batch probes it
     without re-signaturing the old corpus — the incremental-dedup posture a
     daily-append 100 TB pipeline needs, where re-running corpus-wide LSH per
-    batch would be O(corpus) daily instead of O(batch)."""
+    batch would be O(corpus) daily instead of O(batch).
+
+    ``carry_cols`` ride through to the output (e.g. the text column, for a
+    downstream verify that may not be able to join back to the source —
+    streaming probes).  Stateless narrow ops only, so the operator works
+    unchanged on a streaming DataFrame."""
+    carry = list(carry_cols or [])
     rows_per_band = num_hashes // bands
-    sh = df.select(F.col(id_col), shingle(F.col(text_col), shingle_n).alias("__sh"))
-    sig = minhash_signatures_df(sh, id_col, "__sh", num_hashes)
+    sh = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        shingle(F.col(text_col), shingle_n).alias("__sh"),
+    )
+    sig = sh.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        minhash_signature(F.col("__sh"), num_hashes).alias("sig"),
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -648,8 +663,13 @@ def lsh_band_index(
             for b in range(bands)
         ]
     )
-    return sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
-        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    return sig.select(
+        F.col(id_col), *[F.col(c) for c in carry], F.explode(band_structs).alias("b")
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.col("b.band").alias("band"),
+        F.col("b.bh").alias("bh"),
     )
 
 
