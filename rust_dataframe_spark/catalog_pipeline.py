@@ -396,3 +396,60 @@ def q165_stream_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = st.run_available_now(agg, "q165_sink", output_mode="complete")
     return out.orderBy("new_id")
+
+
+# ---------------------------------------------------------------------------
+# q166: embedding mean-pooling (chunk -> document aggregation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q166_mean_pool",
+    oracle="""
+    WITH e AS (SELECT vec_id // 10 AS gid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    dims AS (SELECT gid, d AS dim, emb[d + 1] AS v
+             FROM (SELECT gid, emb, unnest(range(0, len(emb))) AS d FROM e)),
+    per_dim AS (SELECT gid, dim, avg(v) AS m, count(*) AS n
+                FROM dims GROUP BY gid, dim),
+    pooled AS (SELECT gid, CAST(max(n) AS INT) AS n_vecs,
+                      list(m ORDER BY dim) AS p
+               FROM per_dim GROUP BY gid)
+    SELECT gid, n_vecs,
+           round(p[1], 6) AS d0, round(p[2], 6) AS d1,
+           round(p[3], 6) AS d2, round(p[4], 6) AS d3,
+           round(sqrt(list_dot_product(p, p)), 6) AS l2
+    FROM pooled ORDER BY gid
+    """,
+)
+def q166_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-to-document embedding pooling (operators/similarity.mean_pool):
+    every 10 consecutive vectors form a pseudo-document; their element-wise
+    mean is the document embedding.  The shuffle carries (group, dim,
+    partial) triples — never whole vectors — and float32 inputs summed in
+    double are exact, so pooled vectors are bit-identical under any
+    partitioning (checked: the oracle recomputes them single-node)."""
+    from .operators import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") / 10).cast("bigint").alias("gid"), "embedding"
+    )
+    pooled = sim.mean_pool(e, "gid", "embedding")
+    p = F.col("pooled")
+    return pooled.select(
+        "gid",
+        "n_vecs",
+        F.round(p[0], 6).alias("d0"),
+        F.round(p[1], 6).alias("d1"),
+        F.round(p[2], 6).alias("d2"),
+        F.round(p[3], 6).alias("d3"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(p, lambda x: x * x), F.lit(0.0), lambda s, v: s + v
+                )
+            ),
+            6,
+        ).alias("l2"),
+    ).orderBy("gid")

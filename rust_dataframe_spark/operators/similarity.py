@@ -36,6 +36,7 @@ __all__ = [
     "ivf_topk",
     "quantize_int8",
     "knn_join",
+    "mean_pool",
     "quantized_cosine",
 ]
 
@@ -351,3 +352,44 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select(*out_cols)
     )
+
+
+def mean_pool(
+    df: DataFrame, group_col: str, vec_col: str, *, normalize: bool = False
+) -> DataFrame:
+    """Element-wise mean of vectors per group — the chunk-embeddings ->
+    document-embedding pooling step (and the centroid update of k-means).
+    Returns (group, n_vecs, pooled array<double>[, optionally L2-normalized]).
+
+    Shape: posexplode to (group, dim, value) -> one map-side-combined
+    (group, dim) average -> re-assemble the vector sorted by dim.  The
+    shuffle carries (group, dim, partial) triples — dim-parallel, no
+    whole-vector rows in flight, no skew from wide groups.
+
+    Determinism note: float32 inputs summed in double stay EXACT (24-bit
+    significands, bounded count), so the per-dim mean is order-independent —
+    pooled vectors are bit-identical under any partitioning.
+    """
+    dims = df.select(
+        F.col(group_col),
+        F.posexplode(as_double(F.col(vec_col))).alias("__dim", "__v"),
+    )
+    per_dim = dims.groupBy(group_col, "__dim").agg(
+        F.avg("__v").alias("__m"), F.count(F.lit(1)).alias("__n")
+    )
+    pooled = per_dim.groupBy(group_col).agg(
+        F.max("__n").cast("int").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
+            lambda s: s["__m"],
+        ).alias("pooled"),
+    )
+    if normalize:
+        nrm = _norm(F.col("pooled"))
+        pooled = pooled.withColumn(
+            "pooled",
+            F.when(nrm > 0, F.transform(F.col("pooled"), lambda x: x / nrm)).otherwise(
+                F.col("pooled")
+            ),
+        )
+    return pooled

@@ -806,3 +806,25 @@ class TestKnnJoin:
         # label-0 anchor: only label-1 neighbors qualify, nearest first
         assert [r["neighbor_id"] for r in rows] == [3, 2]
         assert all(r["neighbor_label"] == 1 for r in rows)
+
+
+class TestMeanPool:
+    def test_values_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (1, [3.0, 2.0]), (2, [5.0, 5.0])],
+            "gid bigint, emb array<float>",
+        )
+        out = {r["gid"]: r for r in sim.mean_pool(df, "gid", "emb").collect()}
+        assert out[1]["pooled"] == [2.0, 1.0] and out[1]["n_vecs"] == 2
+        assert out[2]["pooled"] == [5.0, 5.0] and out[2]["n_vecs"] == 1
+
+    def test_normalize_unit_length(self, spark):
+        df = spark.createDataFrame([(1, [3.0, 4.0])], "gid bigint, emb array<float>")
+        out = sim.mean_pool(df, "gid", "emb", normalize=True).collect()[0]
+        assert abs(out["pooled"][0] - 0.6) < 1e-12
+        assert abs(out["pooled"][1] - 0.8) < 1e-12
+
+    def test_zero_vector_normalize_no_nan(self, spark):
+        df = spark.createDataFrame([(1, [0.0, 0.0])], "gid bigint, emb array<float>")
+        out = sim.mean_pool(df, "gid", "emb", normalize=True).collect()[0]
+        assert out["pooled"] == [0.0, 0.0]
