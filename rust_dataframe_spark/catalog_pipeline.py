@@ -453,3 +453,114 @@ def q166_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("l2"),
     ).orderBy("gid")
+
+
+# ---------------------------------------------------------------------------
+# q167: robust outlier detection (Tukey fences) / q168: linear interpolation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_tukey_outliers",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.25) AS p25,
+                      quantile_cont(value, 0.75) AS p75
+               FROM events GROUP BY event_type),
+    f AS (SELECT event_type, p25 - 1.5 * (p75 - p25) AS lo,
+                 p75 + 1.5 * (p75 - p25) AS hi FROM b),
+    j AS (SELECT e.event_type, e.value, f.lo, f.hi,
+                 (e.value < f.lo OR e.value > f.hi) AS is_out
+          FROM events e JOIN f USING (event_type))
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(min(lo), 6) AS lo, round(max(hi), 6) AS hi,
+           round(min(CASE WHEN is_out THEN value END), 4) AS min_out,
+           round(max(CASE WHEN is_out THEN value END), 4) AS max_out
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q167_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection (operators/observability.
+    tukey_outliers): values outside [p25 - 1.5*IQR, p75 + 1.5*IQR] per event
+    type.  Quantile fences, not z-scores, on purpose: exact percentiles are
+    pure functions of the sorted data, so the outlier SET is bit-identical
+    across engines/retries (a mean/stddev fence floats with accumulation
+    order).  One tiny grouped-percentile agg broadcast back + one codegen
+    filter."""
+    from .catalog import load_events
+    from .operators import observability as ob
+
+    e = load_events(spark, sf_dir)
+    out = ob.tukey_outliers(e, "value", group_cols=["event_type"])
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.min("lo"), 6).alias("lo"),
+            F.round(F.max("hi"), 6).alias("hi"),
+            F.round(F.min(F.when(F.col("is_outlier"), F.col("value"))), 4).alias("min_out"),
+            F.round(F.max(F.when(F.col("is_outlier"), F.col("value"))), 4).alias("max_out"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q168_interpolate",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+                      CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+               FROM events WHERE user_id < 50),
+    w AS (SELECT event_id, user_id, t, v,
+            last_value(v IGNORE NULLS) OVER fw AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER fw AS pt,
+            last_value(v IGNORE NULLS) OVER bw AS nv,
+            last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER bw AS nt
+          FROM e
+          WINDOW fw AS (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 bw AS (PARTITION BY user_id ORDER BY t DESC, event_id DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, (v IS NULL) AS was_masked,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END, 6) AS v_interp
+    FROM w ORDER BY user_id, event_id
+    """,
+)
+def q168_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation (operators/temporal.interpolate_linear): every
+    7th event's value is masked, then rebuilt as the time-weighted blend of
+    the nearest known neighbors (edge gaps fall back to nearest-fill).  Two
+    single-pass IGNORE-NULLS running windows per series, one shuffle on the
+    series key — forward_fill's cost envelope with strictly better
+    estimates.  The oracle replays the identical window algebra."""
+    from .catalog import load_events
+    from .operators import temporal as tp
+
+    e = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 50)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("t"),
+            F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("v"),
+        )
+    )
+    out = tp.interpolate_linear(
+        e, "v", "t", partition_cols=["user_id"], order_cols=["t", "event_id"],
+        out_col="v_interp",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_masked"),
+        F.round(F.col("v_interp"), 6).alias("v_interp"),
+    ).orderBy("user_id", "event_id")

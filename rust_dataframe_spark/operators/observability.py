@@ -88,3 +88,42 @@ def referential_orphans(
         F.count("__pk").alias("n_pass"),
         (F.count(F.lit(1)) - F.count("__pk")).cast("bigint").alias("n_fail"),
     )
+
+
+def tukey_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str],
+    k: float = 1.5,
+) -> DataFrame:
+    """Robust per-group outlier detection by Tukey fences: a value is an
+    outlier if outside [p25 - k*IQR, p75 + k*IQR].  Returns the input plus
+    (lo, hi, is_outlier).
+
+    Deliberately quantile-based, not z-score: exact interpolated percentiles
+    are pure functions of the sorted data (no accumulation-order float
+    drift), so the fences — and therefore the outlier SET — are bit-identical
+    across engines, retries, and partitionings.  A mean/stddev fence is
+    cheaper (one pass, no sort buffer) but its boundary floats with
+    partial-aggregation order; for 100 TB swap `percentile` for
+    `approx_percentile` and accept the documented rank error instead.
+
+    Shape: one grouped percentile pass (tiny result — one row per group,
+    broadcast back) + one codegen'd filter over the scan.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(0.25)).alias("__p25"),
+        F.percentile(value_col, F.lit(0.75)).alias("__p75"),
+    )
+    bounds = bounds.select(
+        *group_cols,
+        (F.col("__p25") - k * (F.col("__p75") - F.col("__p25"))).alias("lo"),
+        (F.col("__p75") + k * (F.col("__p75") - F.col("__p25"))).alias("hi"),
+    )
+    joined = df.join(F.broadcast(bounds), group_cols)
+    return joined.withColumn(
+        "is_outlier", (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi"))
+    )

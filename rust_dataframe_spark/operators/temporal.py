@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "scd2_intervals", "forward_fill"]
+__all__ = ["asof_join", "range_join", "scd2_intervals", "forward_fill", "interpolate_linear"]
 
 
 def asof_join(
@@ -167,3 +167,51 @@ def forward_fill(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(value_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    *,
+    partition_cols: list[str],
+    order_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear gap interpolation: nulls in ``value_col`` are replaced by the
+    time-weighted blend of the nearest non-null neighbors on each side —
+    v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev) — falling
+    back to forward-/backward-fill at series edges.  ``time_col`` must be
+    numeric (epoch micros via F.unix_micros for timestamps).
+
+    Two running windows per series (one forward, one reversed, both
+    ``last IGNORE NULLS`` single-pass frames), one shuffle on the partition
+    key — same cost envelope as forward_fill, strictly better estimates for
+    telemetry/sensor gaps.
+    """
+    order = order_cols or [time_col]
+    out = out_col or value_col
+    fwd = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*[F.col(c).asc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*[F.col(c).desc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col)
+    t_at_v = F.when(v.isNotNull(), F.col(time_col))  # time of the known points
+    pv = F.last(v, ignorenulls=True).over(fwd)
+    pt = F.last(t_at_v, ignorenulls=True).over(fwd)
+    nv = F.last(v, ignorenulls=True).over(bwd)
+    nt = F.last(t_at_v, ignorenulls=True).over(bwd)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(pv.isNull(), nv)  # leading gap: backward-fill
+        .when(nv.isNull(), pv)  # trailing gap: forward-fill
+        .when(nt == pt, pv)  # degenerate: same anchor on both sides
+        .otherwise(pv + (nv - pv) * (F.col(time_col) - pt) / (nt - pt))
+    )
+    return df.withColumn(out, interp)

@@ -69,3 +69,49 @@ class TestEventAnalytics:
         )
         out = {r["stage"]: r["n_users"] for r in funnel(e, ["view", "click", "purchase"]).collect()}
         assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+class TestInterpolateLinear:
+    def test_midpoint_and_edges(self, spark):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.operators import temporal as tp
+
+        rows = [
+            (1, 0, None),   # leading gap -> backward-fill = 10
+            (1, 10, 10.0),
+            (1, 15, None),  # midpoint of 10..20 -> 15
+            (1, 20, 20.0),
+            (1, 30, None),  # trailing gap -> forward-fill = 20
+        ]
+        df = spark.createDataFrame(rows, "uid bigint, t bigint, v double")
+        out = tp.interpolate_linear(
+            df, "v", "t", partition_cols=["uid"], out_col="vi"
+        )
+        got = {r["t"]: r["vi"] for r in out.collect()}
+        assert got == {0: 10.0, 10: 10.0, 15: 15.0, 20: 20.0, 30: 20.0}
+
+    def test_time_weighting_not_midpoint(self, spark):
+        from rust_dataframe_spark.operators import temporal as tp
+
+        df = spark.createDataFrame(
+            [(1, 0, 0.0), (1, 9, None), (1, 10, 100.0)], "uid bigint, t bigint, v double"
+        )
+        out = tp.interpolate_linear(df, "v", "t", partition_cols=["uid"], out_col="vi")
+        got = {r["t"]: r["vi"] for r in out.collect()}
+        assert abs(got[9] - 90.0) < 1e-9  # 9/10 of the way, not 50
+
+
+class TestTukeyOutliers:
+    def test_fences_and_flags(self, spark):
+        from rust_dataframe_spark.operators import observability as ob
+
+        vals = [float(x) for x in range(1, 12)] + [1000.0]  # 1..11 + one spike
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "g string, value double"
+        )
+        out = ob.tukey_outliers(df, "value", group_cols=["g"])
+        flagged = [r["value"] for r in out.filter("is_outlier").collect()]
+        assert flagged == [1000.0]
+        kept = out.filter("NOT is_outlier").count()
+        assert kept == 11
