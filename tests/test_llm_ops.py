@@ -828,3 +828,31 @@ class TestMeanPool:
         df = spark.createDataFrame([(1, [0.0, 0.0])], "gid bigint, emb array<float>")
         out = sim.mean_pool(df, "gid", "emb", normalize=True).collect()[0]
         assert out["pooled"] == [0.0, 0.0]
+
+
+class TestEmptyInputsRound3:
+    """Round-3 operators must degrade to empty results, not crash."""
+
+    def test_line_dedup_empty(self, spark):
+        df = spark.createDataFrame([], "doc_id bigint, text string")
+        assert tx.line_dedup(df, "doc_id", "text").count() == 0
+
+    def test_knn_join_empty_corpus(self, spark):
+        q = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id bigint, emb array<float>")
+        empty = spark.createDataFrame([], "vec_id bigint, emb array<float>")
+        assert sim.knn_join(q, empty, "vec_id", "emb", k=3).count() == 0
+
+    def test_incremental_dedup_empty_batch(self, spark):
+        old = spark.createDataFrame(
+            [(1, "some corpus document text here")], "doc_id bigint, text string"
+        )
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        assert dd.incremental_near_dups(empty, old, "doc_id", "text").count() == 0
+
+    def test_mean_pool_empty(self, spark):
+        df = spark.createDataFrame([], "gid bigint, emb array<float>")
+        assert sim.mean_pool(df, "gid", "emb").count() == 0
+
+    def test_wordpiece_empty(self, spark):
+        df = spark.createDataFrame([], "doc_id bigint, text string")
+        assert tx.wordpiece_tokenize(df, "doc_id", "text", ["a"]).count() == 0

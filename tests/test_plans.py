@@ -333,3 +333,18 @@ def test_persisted_band_index_probe_no_index_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_band_index")
+
+
+def test_q169_q10_shape(spark):
+    """Q10: nation broadcasts; top-20 is TakeOrderedAndProject."""
+    df = catalog.QUERIES["q169_tpch_q10"](spark, SF)
+    assert pi.has_broadcast_join(df)
+    assert pi.has_take_ordered(df)
+
+
+def test_q170_q7_nation_filter_before_fact_shuffle(spark):
+    """Q7: the two-nation restriction must prune the dim scans (broadcast
+    joins), leaving the fact side shuffles + one agg exchange."""
+    df = catalog.QUERIES["q170_tpch_q7"](spark, SF)
+    assert pi.has_broadcast_join(df)
+    assert pi.exchange_count(df) <= 4
