@@ -564,3 +564,117 @@ def q168_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("was_masked"),
         F.round(F.col("v_interp"), 6).alias("v_interp"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q171: the flagship END-TO-END training-data pipeline, one lazy plan
+# ---------------------------------------------------------------------------
+
+_E2E_SALT = "e2e"
+_E2E_MAX_SURP = 40_000   # per-token fixed-point surprisal ceiling (milli)
+_E2E_MIN_TOKENS = 20
+_E2E_BUDGET = 15_000     # token budget of the final selection
+
+
+@query(
+    "q171_pipeline_e2e",
+    oracle=f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    d AS (SELECT doc.* FROM documents doc JOIN keep USING (doc_id)),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d),
+    vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+    n AS (SELECT count(*) AS total FROM toks),
+    sc AS (SELECT t.doc_id, CAST(floor(n.total * 1000.0 / v.cnt) AS BIGINT) AS surp
+           FROM toks t JOIN vocab v USING (w) CROSS JOIN n),
+    doc_sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(sum(surp) AS BIGINT) AS sm
+               FROM sc GROUP BY doc_id),
+    qual AS (
+      SELECT s.doc_id, d.source, d.n_chars, s.n_tokens, s.sm
+      FROM doc_sc s JOIN d USING (doc_id)
+      WHERE s.n_tokens >= {_E2E_MIN_TOKENS}
+        AND s.sm <= {_E2E_MAX_SURP} * s.n_tokens),
+    st AS (SELECT source, sum(n_chars) AS src_chars FROM qual GROUP BY source),
+    r AS (SELECT source,
+                 CAST((SELECT min(src_chars) FROM st) AS DOUBLE)
+                   / CAST(src_chars AS DOUBLE) AS rate
+          FROM st),
+    bal AS (
+      SELECT q.* FROM qual q JOIN r USING (source)
+      WHERE ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR) || '{_E2E_SALT}'), 1, 8))::UBIGINT
+              / 4294967296.0 < r.rate),
+    o AS (SELECT doc_id, source, n_tokens,
+                 (10000000000 - (sm * 1000 // n_tokens)) * 10000000 + doc_id AS ord
+          FROM bal),
+    c AS (SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY ord
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM o)
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= {_E2E_BUDGET} ORDER BY doc_id
+    """,
+)
+def q171_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline as ONE lazy Spark plan: exact
+    dedup (md5 digests, keep-min) -> corpus-LM quality gate (fixed-point
+    surprisal per token, integer compare — no float boundary) -> character-
+    budget source balancing (md5 coin) -> token-budget selection ordered by
+    surprisal density (integer `div` priority, distributed prefix sum).
+    Every stage is an operator exercised alone elsewhere (q70/q159/q157/
+    q158); this query pins their COMPOSITION: one submit, Catalyst sees the
+    whole pipeline, and every intermediate stays distributed — no
+    checkpoint-to-driver between stages.  All stage decisions are integer/
+    digest arithmetic, so the selected set is bit-reproducible across
+    engines, retries, and partitionings."""
+    from .operators import dedup as dd
+    from .operators import text as tx
+    from .operators import training as tr
+
+    d = table(spark, sf_dir, "documents")
+    keep = dd.exact_dedup(d, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = d.join(keep, "doc_id")
+    scored = tx.inverse_frequency_score(kept, "doc_id", "text", scale=1000)
+    enriched = scored.join(kept.select("doc_id", "source", "n_chars"), "doc_id")
+    qual = enriched.filter(
+        (F.col("n_tokens") >= _E2E_MIN_TOKENS)
+        & (F.col("surprisal_milli") <= _E2E_MAX_SURP * F.col("n_tokens"))
+    )
+    st = qual.groupBy("source").agg(F.sum("n_chars").alias("src_chars"))
+    m = st.agg(F.min("src_chars").alias("min_chars"))
+    rates = st.crossJoin(F.broadcast(m)).select(
+        "source", (F.col("min_chars") / F.col("src_chars")).alias("rate")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_E2E_SALT))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 32))
+    )
+    bal = qual.join(F.broadcast(rates), "source").filter(u < F.col("rate"))
+    ordered = bal.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (
+            (F.lit(10000000000) - F.expr("surprisal_milli * 1000 div n_tokens"))
+            * F.lit(10000000)
+            + F.col("doc_id")
+        ).alias("__ord"),
+    )
+    c = tr.global_cumsum(ordered, "__ord", "n_tokens", out_col="cum_tokens")
+    return (
+        c.filter(F.col("cum_tokens") <= _E2E_BUDGET)
+        .select(
+            "doc_id", "source", F.col("n_tokens").cast("int").alias("n_tokens"),
+            "cum_tokens",
+        )
+        .orderBy("doc_id")
+    )

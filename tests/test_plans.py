@@ -348,3 +348,18 @@ def test_q170_q7_nation_filter_before_fact_shuffle(spark):
     df = catalog.QUERIES["q170_tpch_q7"](spark, SF)
     assert pi.has_broadcast_join(df)
     assert pi.exchange_count(df) <= 4
+
+
+def test_q171_pipeline_single_partition_only_for_scalars(spark):
+    """The end-to-end pipeline may funnel to one task ONLY for 1-row scalar
+    aggregates (corpus token total, min source chars — the identity-broadcast
+    pattern); the budget stage's window must stay the distributed prefix sum
+    and the corpus itself must never pass through a SinglePartition exchange."""
+    df = catalog.QUERIES["q171_pipeline_e2e"](spark, SF)
+    lines = pi.physical_plan(df).splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            parent = lines[i - 1]
+            assert "HashAggregate(keys=[]" in parent, (
+                f"non-scalar SinglePartition exchange: {parent.strip()}"
+            )
