@@ -108,3 +108,54 @@ def test_asof_join_matches_naive(spark, lrows, rrows):
         expected = max(cands) if cands else (None, None)
         # ties on ts resolved by max p? rrows unique on (k, ts) so ts is unique per key
         assert out[i] == expected, (i, k, t, cands)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=6
+    )
+)
+def test_wordpiece_reconstructs_words(spark, words):
+    """With a vocab covering every character, the concatenation of a word's
+    pieces reconstructs the word exactly — greedy matching loses nothing."""
+    from rust_dataframe_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id bigint, text string")
+    out = tx.wordpiece_tokenize(df, "doc_id", "text", ["a", "b", "ab", "ba"])
+    for r in out.collect():
+        assert "".join(r["pieces"]) == r["word"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=5),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+def test_line_dedup_conserves_lines(spark, docs, min_docs):
+    """n_kept + n_dropped == line count per doc; no doc disappears; kept text
+    is the original minus exactly the corpus-hot lines, order preserved."""
+    from rust_dataframe_spark.operators import text as tx
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in tx.line_dedup(df, "doc_id", "text", min_docs=min_docs).collect()}
+    # compute hot lines in plain Python
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, lines in enumerate(docs):
+        for ln in lines:
+            seen[ln].add(i)
+    hot = {ln for ln, ds in seen.items() if len(ds) >= min_docs}
+    assert set(out) == set(range(len(docs)))
+    for i, lines in enumerate(docs):
+        r = out[i]
+        assert r["n_kept"] + r["n_dropped"] == len(lines)
+        expect = [ln for ln in lines if ln not in hot]
+        got = r["text"].split("\n") if r["text"] else []
+        assert got == expect
