@@ -25,7 +25,8 @@ from .catalog import query, table
     "q103_tpch_q3",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+             AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -45,7 +46,10 @@ def q103_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: both predicates push to the parquet scans; the join order
     (small-filtered side first) and runtime broadcast decisions are left to
     Catalyst/AQE.  ORDER BY is on the *rounded* revenue with a unique
-    tie-break key, so the LIMIT cut is engine-independent.
+    tie-break key, so the LIMIT cut is engine-independent.  Revenue
+    accumulates as DECIMAL(18,4) on both engines (same rationale as q169:
+    a double sum's last ulp floats with accumulation order and can flip
+    the rounded cent).
     """
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
