@@ -678,3 +678,46 @@ def q171_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q172: Unicode NFC normalization (multilingual corpus hygiene)
+# ---------------------------------------------------------------------------
+
+# decomposed combining sequences appended identically on both engines; the
+# STRIP under test is each engine's own NFC implementation
+_Q172_SUFFIX = ' café Å end'
+
+
+@query(
+    "q172_nfc_normalize",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text || '{_Q172_SUFFIX}' AS raw FROM documents),
+    n AS (SELECT doc_id, raw, nfc_normalize(raw) AS clean FROM t)
+    SELECT doc_id,
+           CAST(length(raw) AS INT)   AS len_raw,
+           CAST(length(clean) AS INT) AS len_nfc,
+           md5(clean)                 AS nfc_fp
+    FROM n ORDER BY doc_id
+    """,
+)
+def q172_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/text.nfc_normalize): combining
+    sequences (e + U+0301, A + U+030A) composed to single codepoints —
+    without this pass, multilingual dedup digests and tokenizer vocabularies
+    silently split on encoding form.  Spark side is stdlib unicodedata via
+    an Arrow-batched Pandas UDF (no builtin exists); the oracle is DuckDB's
+    native nfc_normalize — two independent NFC implementations must agree
+    byte-for-byte (md5 of the normalized text)."""
+    d = table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_Q172_SUFFIX)).alias("text")
+    )
+    lens_raw = raw.select("doc_id", F.length("text").alias("len_raw"), "text")
+    clean = tx.nfc_normalize(lens_raw, "doc_id", "text")
+    return clean.select(
+        "doc_id",
+        F.col("len_raw").cast("int").alias("len_raw"),
+        F.length("text").cast("int").alias("len_nfc"),
+        F.md5("text").alias("nfc_fp"),
+    ).orderBy("doc_id")

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "chunk_text",
     "line_dedup",
+    "nfc_normalize",
     "token_stats",
     "quality_score",
     "language_id",
@@ -486,3 +487,31 @@ def wordpiece_tokenize(
     return words.join(toked, "__w").select(
         F.col(id_col), F.col("pos"), F.col("__w").alias("word"), F.col("pieces")
     )
+
+
+def nfc_normalize(df: DataFrame, id_col: str, text_col: str, *, form: str = "NFC") -> DataFrame:
+    """Unicode normalization (NFC by default) — the multilingual-corpus
+    hygiene pass that makes 'e'+COMBINING-ACUTE and precomposed 'é' the same
+    token/shingle/digest.  Skipping it silently splits dedup groups and
+    vocabulary entries for any non-ASCII corpus.
+
+    Spark has no normalization builtin, so this is an Arrow-batched Pandas
+    UDF over stdlib ``unicodedata`` — per-row Python is unavoidable here,
+    which is exactly the case the Pandas-UDF gating rationale (SimHash,
+    multimodal) reserves the slow path for.  Elementwise, shuffle-free.
+    """
+    import unicodedata
+
+    import pandas as pd
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(s):
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_norm, "string")
+    return df.withColumn(text_col, udf(F.col(text_col)))

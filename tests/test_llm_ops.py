@@ -856,3 +856,20 @@ class TestEmptyInputsRound3:
     def test_wordpiece_empty(self, spark):
         df = spark.createDataFrame([], "doc_id bigint, text string")
         assert tx.wordpiece_tokenize(df, "doc_id", "text", ["a"]).count() == 0
+
+
+class TestNfcNormalize:
+    def test_composes_and_preserves_nulls(self, spark):
+        decomposed = "café"  # e + COMBINING ACUTE
+        df = spark.createDataFrame(
+            [(1, decomposed), (2, None), (3, "plain")], "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r["text"] for r in tx.nfc_normalize(df, "doc_id", "text").collect()}
+        assert out[1] == "café" and len(out[1]) == 4
+        assert out[2] is None
+        assert out[3] == "plain"
+
+    def test_nfkc_compatibility_fold(self, spark):
+        df = spark.createDataFrame([(1, "ﬁle")], "doc_id bigint, text string")  # ﬁ ligature
+        out = tx.nfc_normalize(df, "doc_id", "text", form="NFKC").collect()[0]["text"]
+        assert out == "file"
