@@ -329,9 +329,14 @@ def line_dedup(
     hash would birthday-collide).  Reassembly groups by doc id — one shuffle
     of the surviving lines, which the pipeline pays once.
     """
+    import re
+
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("__pos", "__line"),
+        # F.split takes a REGEX — escape so '.', '|' etc. work as delimiters
+        F.posexplode(F.split(F.col(text_col), re.escape(delim))).alias(
+            "__pos", "__line"
+        ),
     )
     hot = (
         lines.groupBy(F.md5("__line").alias("__h"))

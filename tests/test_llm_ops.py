@@ -650,6 +650,16 @@ class TestLineDedup:
         assert out["text"] == "\n".join(f"line{i}" for i in range(20))
 
 
+    def test_regex_special_delimiter(self, spark):
+        # '.' is a regex metachar — the operator must treat it literally
+        rows = [(1, "keep.spam.keep2"), (2, "spam.other"), (3, "spam.third")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r["text"]
+               for r in tx.line_dedup(df, "doc_id", "text", delim=".", min_docs=3).collect()}
+        assert out[1] == "keep.keep2"
+        assert out[2] == "other"
+
+
 class TestInt8Quant:
     def test_codes_bounded_and_scale_correct(self, spark):
         df = spark.createDataFrame(
