@@ -721,3 +721,71 @@ def q172_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("int").alias("len_nfc"),
         F.md5("text").alias("nfc_fp"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q173/q174: outer explode + map explode (null/empty-preserving unnest family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q173_explode_outer",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN NULL
+                  WHEN doc_id % 5 = 1 THEN []::VARCHAR[]
+                  ELSE string_split(text, ' ')[1:3] END AS arr
+      FROM documents WHERE doc_id < 50),
+    lat AS (SELECT doc_id,
+                   CASE WHEN arr IS NULL OR len(arr) = 0
+                        THEN [NULL]::VARCHAR[] ELSE arr END AS a2
+            FROM t),
+    ex AS (SELECT doc_id, unnest(a2) AS w FROM lat)
+    SELECT doc_id, w FROM ex ORDER BY doc_id, w
+    """,
+)
+def q173_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with NULL or empty arrays survive as a single
+    null-element row instead of vanishing — the semantics difference that
+    silently drops documents in an inner explode pipeline (every 5th doc
+    here has a null or empty array).  The oracle emulates outer semantics
+    with a CASE-to-[NULL] rewrite before unnest."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.split(F.col("text"), " ")
+    arr = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("array<string>"))
+        .when(F.col("doc_id") % 5 == 1, F.array().cast("array<string>"))
+        .otherwise(F.slice(words, 1, 3))
+    )
+    t = d.select("doc_id", arr.alias("arr"))
+    return t.select("doc_id", F.explode_outer("arr").alias("w")).orderBy(
+        "doc_id", "w"
+    )
+
+
+@query(
+    "q174_map_explode",
+    oracle="""
+    SELECT doc_id, 'chars' AS k, CAST(n_chars AS BIGINT) AS v
+    FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id, 'id' AS k, doc_id AS v
+    FROM documents WHERE doc_id < 50
+    ORDER BY doc_id, k
+    """,
+)
+def q174_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode over a MapType column -> one (key, value) row per entry — the
+    map counterpart of array explode (rounds out the §2.9 unnest family with
+    q61/q67/q119/q173).  The oracle replays the two fixed entries as a
+    UNION ALL."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    m = F.create_map(
+        F.lit("chars"), F.col("n_chars").cast("bigint"),
+        F.lit("id"), F.col("doc_id"),
+    )
+    return (
+        d.select("doc_id", F.explode(m).alias("k", "v"))
+        .orderBy("doc_id", "k")
+    )
