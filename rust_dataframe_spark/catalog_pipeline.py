@@ -789,3 +789,67 @@ def q174_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(m).alias("k", "v"))
         .orderBy("doc_id", "k")
     )
+
+
+# ---------------------------------------------------------------------------
+# q175: STREAMING Python DataSource (completes the custom-connector matrix)
+# ---------------------------------------------------------------------------
+
+_Q175_N = 2000
+_Q175_BATCH = 500
+
+
+@query(
+    "q175_python_stream_source",
+    oracle=f"""
+    SELECT count(*)                AS n,
+           sum(id)                 AS sum_id,
+           round(sum(sqrt(id)), 4) AS sum_val
+    FROM generate_series(0, {_Q175_N - 1}) t(id)
+    """,
+)
+def q175_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source (Spark 4 SimpleDataSourceStreamReader,
+    sources/python_source.GraftRangeStreamReader): the same pluggable
+    source that serves batch reads (q105), filter pushdown, and the
+    manifest-commit write path (q150) now feeds Structured Streaming —
+    offsets are plain dicts and the row set is a pure function of the
+    offset range, so restarts/replays are exactly-once by construction.
+    This run consumes {_Q175_N} rows across {_Q175_N // _Q175_BATCH}
+    genuine micro-batches (complete-mode agg, memory sink), then the final
+    aggregate is value-checked against the full closed-form range."""
+    import time
+
+    from .sources import python_source
+
+    python_source.register(spark)
+    sdf = (
+        spark.readStream.format("graft_range")
+        .option("n", _Q175_N)
+        .option("batch_rows", _Q175_BATCH)
+        .load()
+    )
+    agg = sdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("sum_id"),
+        F.round(F.sum("val"), 4).alias("sum_val"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q175_sink")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = spark.table("q175_sink").collect()
+            if rows and rows[0]["n"] == _Q175_N:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError("q175 stream did not drain within 120s")
+    finally:
+        q.stop()
+    return spark.table("q175_sink")

@@ -417,3 +417,57 @@ class TestPythonSink:
 
         with _pytest.raises(ValueError):
             GraftDirWriter({})
+
+
+class TestPythonStreamSource:
+    def test_offset_chaining_and_replay(self):
+        """Pure-Python reader contract: offsets chain to n, and
+        readBetweenOffsets replays exactly what read() produced."""
+        from rust_dataframe_spark.sources.python_source import GraftRangeStreamReader
+
+        r = GraftRangeStreamReader({"n": "10", "batch_rows": "4"})
+        off = r.initialOffset()
+        seen, offsets = [], [off]
+        while int(off["pos"]) < 10:
+            rows, off = r.read(off)
+            seen.extend(rows)
+            offsets.append(off)
+        assert [i for i, _ in seen] == list(range(10))
+        assert [o["pos"] for o in offsets] == [0, 4, 8, 10]
+        # replay any interval — identical rows (exactly-once on retry)
+        assert r.readBetweenOffsets({"pos": 4}, {"pos": 8}) == seen[4:8]
+
+    def test_stream_matches_batch(self, spark):
+        """The streaming read of the source equals its batch read."""
+        import time
+
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources import python_source
+
+        python_source.register(spark)
+        batch = (
+            spark.read.format("graft_range").option("n", 300).option("parts", 4).load()
+        )
+        expect = batch.agg(F.sum("id").alias("s")).collect()[0]["s"]
+        sdf = (
+            spark.readStream.format("graft_range")
+            .option("n", 300).option("batch_rows", 100).load()
+        )
+        agg = sdf.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        q = (
+            agg.writeStream.format("memory").queryName("t_ps_parity")
+            .outputMode("complete").trigger(processingTime="0 seconds").start()
+        )
+        try:
+            deadline = time.time() + 60
+            got = None
+            while time.time() < deadline:
+                rows = spark.table("t_ps_parity").collect()
+                if rows and rows[0]["n"] == 300:
+                    got = rows[0]["s"]
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        assert got == expect
