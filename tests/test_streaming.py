@@ -276,3 +276,41 @@ def test_interval_join_stream_stream(spark, events):
     b = sorted((r["user_id"], r["ts"], r[4]) for r in batch.collect())
     assert len(s) == len(b) > 0
     assert s == [(u, lt, rt) for (u, lt, rt) in b]
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path_factory):
+    """Stop-and-restart against the SAME checkpoint: the resumed query must
+    process only files that arrived while it was down — no reprocessing of
+    committed batches, no duplicate rows in the sink.  This is the
+    exactly-once restart contract end-to-end (offset log + idempotent
+    batch-id-partitioned sink), not just single-run idempotence."""
+    base = tmp_path_factory.mktemp("restart")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    # run 1: drains the first file, commits, stops
+    q1 = st.foreach_batch_parquet(
+        spark.readStream.schema(schema).parquet(src), out, checkpoint=ckpt
+    )
+    assert q1.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+    batches_run1 = {r["_batch_id"] for r in first.select("_batch_id").distinct().collect()}
+
+    # data arrives while the query is DOWN
+    spark.createDataFrame([(3, "c"), (4, "d")], "k int, v string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    # run 2: same checkpoint — resumes past the committed offset
+    q2 = st.foreach_batch_parquet(
+        spark.readStream.schema(schema).parquet(src), out, checkpoint=ckpt
+    )
+    assert q2.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 4  # no duplicates of run-1 rows
+    assert sorted(r["k"] for r in back.collect()) == [1, 2, 3, 4]
+    batches_all = {r["_batch_id"] for r in back.select("_batch_id").distinct().collect()}
+    # run 2 wrote NEW batch ids; run-1 partitions were left untouched
+    assert batches_run1 < batches_all
