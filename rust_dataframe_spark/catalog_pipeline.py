@@ -853,3 +853,88 @@ def q175_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table("q175_sink")
+
+
+# ---------------------------------------------------------------------------
+# q176-q178: skew mitigation, driver-visible (salting is result-transparent,
+# so the oracle is the PLAIN join/agg — equality proves the transparency)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q176_salted_join",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n,
+           CAST(sum(l.l_linenumber) AS BIGINT) AS ln_sum
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+)
+def q176_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted (hot-key-replicated) join (operators/skew.salted_join): the big
+    side gets a deterministic per-row salt, the small side is exploded once
+    per salt, the join key becomes (key, salt) — each hot key spreads over
+    n_salts reducers.  Salting is RESULT-transparent, which is exactly what
+    the oracle proves: the aggregate of the salted join equals the plain
+    join.  The salt is xxhash64-deterministic (not rand()), so task retries
+    reproduce identical output."""
+    from .operators import skew as sk
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    j = sk.salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        "k",
+        n_salts=8,
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_linenumber").cast("bigint").alias("ln_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q177_salted_agg",
+    oracle="""
+    SELECT l_returnflag AS key, count(*) AS count
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q177_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted count (operators/skew.salted_agg_count): (key, salt)
+    partial then key final — the hot key reaches the final reducer as
+    n_salts partial rows instead of every raw row.  Oracle = the plain
+    groupBy count (salting must not change any count)."""
+    from .operators import skew as sk
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("key")
+    )
+    return sk.salted_agg_count(li, "key", n_salts=8).orderBy("key")
+
+
+@query(
+    "q178_hot_keys",
+    oracle="""
+    SELECT l_orderkey AS key, count(*) AS n_rows
+    FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 6
+    ORDER BY key
+    """,
+)
+def q178_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection (operators/skew.hot_keys): the cheap pre-pass that
+    decides WHERE salting is worth its replication cost — one
+    partial-aggregated count with a threshold (here >= 6 line items per
+    order; at 100 TB run on a sample with a scaled threshold)."""
+    from .operators import skew as sk
+
+    li = table(spark, sf_dir, "lineitem")
+    out = sk.hot_keys(li, "l_orderkey", min_rows=6)
+    return out.select(
+        F.col("l_orderkey").alias("key"), F.col("n_rows").cast("bigint").alias("n_rows")
+    ).orderBy("key")
