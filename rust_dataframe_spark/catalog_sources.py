@@ -310,3 +310,32 @@ def q150_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_suppkey").alias("max_key"),
         F.sum("s_nationkey").cast("bigint").alias("nk_sum"),
     )
+
+
+@query("q179_compaction", oracle=_RT_AGG)
+def q179_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (sources/files.compact_parquet — the
+    maintenance op that keeps 100 TB scans at maxPartitionBytes-sized splits
+    instead of millions of footer-open costs): supplier is deliberately
+    shattered into 16 tiny files, compacted back to size-derived file
+    counts, and re-aggregated.  Equality with the original parquet's
+    aggregate (the oracle) proves the rewrite is lossless; the compacted
+    directory's file count collapsing to 1 is pinned in
+    tests/test_sources.py."""
+    import os
+
+    s = table(spark, sf_dir, "supplier")
+    shattered = _scratch("compact_src", sf_dir)
+    compacted = _scratch("compact_dst", sf_dir)
+    if not os.path.exists(os.path.join(shattered, "_SUCCESS")):
+        s.repartition(16).write.mode("overwrite").parquet(shattered)
+    fs.compact_parquet(spark, shattered, compacted)
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s_name").alias("n_names"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+        F.min("s_name").alias("min_name"),
+        F.max("s_suppkey").alias("max_key"),
+        F.sum("s_nationkey").cast("bigint").alias("nk_sum"),
+    )
