@@ -546,3 +546,53 @@ def q158_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q180: deterministic per-epoch training shuffle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q180_epoch_shuffle",
+    oracle="""
+    WITH e1 AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|shuffle|1') AS k
+                FROM documents),
+    e2 AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|shuffle|2') AS k
+           FROM documents),
+    r1 AS (SELECT doc_id, row_number() OVER (ORDER BY k) AS pos1 FROM e1),
+    r2 AS (SELECT doc_id, row_number() OVER (ORDER BY k) AS pos2 FROM e2)
+    SELECT r1.doc_id, pos1, pos2 FROM r1 JOIN r2 USING (doc_id)
+    WHERE pos1 <= 20 OR pos2 <= 20
+    ORDER BY doc_id
+    """,
+)
+def q180_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle (operators/training.
+    epoch_shuffle_order): document order = sort by md5(id|salt|epoch) —
+    different every epoch, bit-identical for the same epoch across runs/
+    engines/cluster sizes, no rand() retry hazard.  The query shows two
+    epochs producing different (but each reproducible) orders; at scale the
+    sort is a repartitionByRange write, never a global driver sort (the
+    single-partition windows HERE are presentation of a 40-row result, not
+    the shuffle mechanism)."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    e1 = tr.epoch_shuffle_order(d, "doc_id", 1).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy("shuffle_key"))
+        .alias("pos1"),
+    )
+    e2 = tr.epoch_shuffle_order(d, "doc_id", 2).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy("shuffle_key"))
+        .alias("pos2"),
+    )
+    return (
+        e1.join(e2, "doc_id")
+        .filter((F.col("pos1") <= 20) | (F.col("pos2") <= 20))
+        .orderBy("doc_id")
+    )

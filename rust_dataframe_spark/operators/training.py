@@ -37,6 +37,7 @@ __all__ = [
     "semdedup",
     "kmeans",
     "kmeans_parallel_init",
+    "epoch_shuffle_order",
 ]
 
 _HASH_SPACE = 1 << 32
@@ -419,4 +420,29 @@ def take_per_stratum(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def epoch_shuffle_order(
+    df: DataFrame, key_col: str, epoch: int, *, salt: str = "shuffle"
+) -> DataFrame:
+    """Deterministic per-epoch training shuffle: adds ``shuffle_key`` =
+    md5(key || salt || epoch) — sorting (or range-partitioning a write) by it
+    yields a uniform pseudo-random document order that is (a) different every
+    epoch, (b) bit-identical for the same epoch across runs, engines,
+    retries, and cluster sizes, and (c) free of rand()'s task-retry hazard.
+
+    At 100 TB you never globally sort the corpus to shuffle it: write with
+    ``repartitionByRange(shuffle_key)`` + in-partition sort (one range
+    shuffle, the same layout cost as any write), or just read
+    bucket-by-shuffle_key order.  The column is the contract; the layout
+    step is the caller's.
+    """
+    return df.withColumn(
+        "shuffle_key",
+        F.md5(
+            F.concat(
+                F.col(key_col).cast("string"), F.lit(f"|{salt}|{epoch}")
+            )
+        ),
     )
