@@ -938,3 +938,87 @@ def q178_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("l_orderkey").alias("key"), F.col("n_rows").cast("bigint").alias("n_rows")
     ).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# q181/q182: the batch Pandas-API surfaces (grouped-map + cogroup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q181_grouped_map",
+    oracle="""
+    WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+    d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+          FROM events e JOIN m USING (event_type))
+    SELECT event_type, count(*) AS n,
+           round(min(med), 6) AS med,
+           round(median(dev), 6) AS mad
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q181_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (operators/observability.robust_group_stats):
+    per event type, median + MAD computed with each group materialized as
+    ONE pandas frame (Arrow both ways) — the batch Pandas-API surface that
+    completes the scalar-UDF / Pandas-UDF / UDAF / UDTF / mapInPandas /
+    stateful-streaming family.  pandas' interpolated median equals DuckDB's
+    median(), so values cross-check exactly.  The docstring (and the 100 TB
+    note in the operator) is explicit that two percentile passes are the
+    scale form; grouped-map is for genuinely procedural per-group logic."""
+    from .catalog import load_events
+    from .operators import observability as ob
+
+    e = load_events(spark, sf_dir)
+    out = ob.robust_group_stats(e, "value", group_cols=["event_type"])
+    return out.select(
+        "event_type",
+        "n",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q182_cogroup",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view' AND user_id < 200),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase' AND user_id < 200),
+    keys AS (SELECT DISTINCT user_id FROM (SELECT user_id FROM v UNION ALL SELECT user_id FROM p)),
+    fv AS (SELECT user_id, min(ts) AS first_view_ts FROM v GROUP BY user_id),
+    lag AS (SELECT p.user_id,
+                   CAST(min(epoch_us(p.ts)) - min(epoch_us(fv.first_view_ts)) AS BIGINT) AS lag_us
+            FROM p JOIN fv USING (user_id)
+            WHERE p.ts >= fv.first_view_ts GROUP BY p.user_id)
+    SELECT k.user_id,
+           CAST(coalesce((SELECT count(*) FROM v WHERE v.user_id = k.user_id), 0) AS BIGINT) AS n_views,
+           CAST(coalesce((SELECT count(*) FROM p WHERE p.user_id = k.user_id), 0) AS BIGINT) AS n_purchases,
+           CAST(fv.first_view_ts AS VARCHAR) AS first_view_ts,
+           lag.lag_us
+    FROM keys k
+    LEFT JOIN fv ON fv.user_id = k.user_id
+    LEFT JOIN lag ON lag.user_id = k.user_id
+    ORDER BY k.user_id
+    """,
+)
+def q182_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas (operators/events.cogroup_view_purchase): both
+    sides of each user key arrive together as two pandas frames — per-user
+    view/purchase attribution (first purchase at-or-after the first view)
+    as procedural merge logic.  The oracle recomputes the same answer with
+    joins+aggregates, which is also the documented scale form; cogroup
+    exists for merges that are genuinely programmatic."""
+    from .catalog import load_events
+    from .operators import events as ev
+
+    e = load_events(spark, sf_dir).filter(F.col("user_id") < 200)
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = ev.cogroup_view_purchase(views, buys, "user_id")
+    return out.select(
+        "user_id",
+        "n_views",
+        "n_purchases",
+        F.col("first_view_ts").cast("string").alias("first_view_ts"),
+        "lag_us",
+    ).orderBy("user_id")

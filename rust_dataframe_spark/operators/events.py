@@ -95,3 +95,58 @@ def retention_cohorts(
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
         .orderBy("cohort_start", "period_offset")
     )
+
+
+def cogroup_view_purchase(views: DataFrame, purchases: DataFrame, key_col: str) -> DataFrame:
+    """Per-key view/purchase attribution via ``cogroup().applyInPandas`` —
+    the two-frame Pandas-API surface: both sides of a key arrive together as
+    two pandas frames, no join materialization in between.
+
+    Returns (key, n_views, n_purchases, first_view_ts, lag_us) where lag_us
+    is micros from the first view to the first purchase at-or-after it
+    (NULL when either side is empty or no purchase follows).
+
+    The same answer is expressible as joins+windows (and that form scales
+    better — cogroup holds both groups in one worker's memory); cogroup is
+    the right tool when the per-key merge logic is genuinely procedural
+    (per-user session replay, policy simulation).
+
+    Implementation note: each side's ``ts`` is re-aliased to a side-specific
+    name BEFORE the cogroup.  When both inputs derive from the same scan,
+    their ``ts`` attributes share one expression id and Catalyst's column
+    pruning keeps the column on only ONE side of the cogroup (the other
+    pandas frame silently arrives without it); the alias mints fresh ids,
+    making pruning see two distinct columns.
+    """
+    import pandas as pd
+
+    v_in = views.select(F.col(key_col), F.col("ts").alias("__vts"))
+    p_in = purchases.select(F.col(key_col), F.col("ts").alias("__pts"))
+
+    def _merge(v: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        key = v[key_col].iloc[0] if len(v) else p[key_col].iloc[0]
+        first_view = v["__vts"].min() if len(v) else pd.NaT
+        lag = None
+        if len(v) and len(p):
+            after = p.loc[p["__pts"] >= first_view, "__pts"]
+            if len(after):
+                lag = int((after.min() - first_view).value // 1000)
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "n_views": [len(v)],
+                "n_purchases": [len(p)],
+                "first_view_ts": [first_view],
+                "lag_us": [lag],
+            }
+        )
+
+    return (
+        v_in.groupBy(key_col)
+        .cogroup(p_in.groupBy(key_col))
+        .applyInPandas(
+            _merge,
+            schema=f"{key_col} bigint, n_views bigint, n_purchases bigint, "
+            "first_view_ts timestamp, lag_us bigint",
+        )
+    )

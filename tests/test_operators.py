@@ -115,3 +115,30 @@ class TestTukeyOutliers:
         assert flagged == [1000.0]
         kept = out.filter("NOT is_outlier").count()
         assert kept == 11
+
+
+class TestCogroupAttribution:
+    def test_shared_lineage_inputs(self, spark):
+        """Both inputs filtered from the SAME frame — the case where
+        Catalyst's pruning drops the shared-expr-id ts column from one
+        cogroup side unless the operator re-aliases per side."""
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.operators import events as ev
+
+        e = spark.createDataFrame(
+            [
+                (1, "view", 100), (1, "purchase", 150), (1, "purchase", 90),
+                (2, "view", 200),            # views only
+                (3, "purchase", 300),        # purchases only
+            ],
+            "user_id bigint, event_type string, t bigint",
+        ).select("user_id", "event_type", F.timestamp_micros(F.col("t") * 1000000).alias("ts"))
+        views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+        buys = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+        out = ev.cogroup_view_purchase(views, buys, "user_id")
+        rows = {r["user_id"]: r for r in
+                out.select("user_id", "n_views", "n_purchases", "lag_us").orderBy("user_id").collect()}
+        assert rows[1]["lag_us"] == 50 * 1000000  # purchase at 90 is BEFORE the view
+        assert rows[2]["n_purchases"] == 0 and rows[2]["lag_us"] is None
+        assert rows[3]["n_views"] == 0 and rows[3]["lag_us"] is None
