@@ -36,6 +36,16 @@ HEADLINE = [
     "q16_join_star_tpch5",
     "q103_tpch_q3",
     "q104_tpch_q18",
+    "q169_tpch_q10",
+    "q170_tpch_q7",
+    # round 4: the completed TPC-H suite's heavy shapes
+    "q183_tpch_q2",
+    "q185_tpch_q8",
+    "q186_tpch_q9",
+    "q189_tpch_q13",
+    "q192_tpch_q16",
+    "q196_tpch_q21",
+    "q197_tpch_q22",
     "q20_agg_catalog",
     "q23_hist",
     "q26_stats_corr",

@@ -1,0 +1,861 @@
+"""The rest of the TPC-H suite (Q2/Q4/Q8/Q9/Q11-Q17/Q19-Q22), adapted to the
+driver's slimmed star schema.
+
+Together with q01 (Q1), q06 (Q6), q16_join_star_tpch5 (Q5), q103 (Q3),
+q104 (Q18), q169 (Q10) and q170 (Q7), this completes all 22 classic TPC-H
+query shapes — the canonical coverage test for a SQL analytics engine (the
+reference's own roadmap cites "Spark function parity"; TPC-H is the query-
+shape half of that claim).
+
+Schema adaptations (the driver's tables carry no partsupp, no
+commit/receipt dates, no phone/container/comment columns) — each documented
+on the query:
+
+* **partsupp surrogate** — the distinct ``(l_partkey, l_suppkey)`` pairs of
+  ``lineitem`` are the part-supplier relation; unit supply cost is
+  ``min(l_extendedprice / l_quantity)`` over a pair's lines (Q2/Q11/Q16/Q20).
+* **late-shipment surrogate** — ``l_shipdate > o_orderdate + N days`` stands
+  in for the missing ``l_commitdate < l_receiptdate`` (Q4/Q12/Q21).
+* **category columns** — ``o_orderpriority`` replaces ``l_shipmode``
+  (Q12/Q13), ``l_returnflag`` is the Q12 group key, ``c_nationkey % 10``
+  replaces the phone country code (Q22), ``p_size``/``p_brand`` replace
+  ``p_container`` (Q17/Q19), ``p_name`` prefix replaces the ``%green%``
+  pattern (Q9: names are "<adjective> <noun>", so the color prefix is
+  ``red%``).
+
+Cross-engine determinism: every money aggregate accumulates as
+DECIMAL(18,4) (exact, partition-order-independent — same rationale as
+q103/q169); ratios cast the exact decimal sums to double before one final
+identical division+round; every LIMIT sits under a total order.  The Q22
+above-average filter multiplies through by the count
+(``c_acctbal * n > sum``) so both engines compare bit-identical doubles
+instead of an engine-rounded decimal average.
+
+Scale posture is per-query (inline); the common rules: dims broadcast by
+hint, fact-fact joins shuffle on their keys once, aggregates are map-side
+partial, EXISTS/NOT EXISTS compile to semi/anti joins or per-key aggregates
+(never correlated per-row subplans), and no query collects anything to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .catalog import query, table
+
+D184 = "decimal(18,4)"
+
+
+def _disc_price() -> F.Column:
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(D184)
+
+
+@query(
+    "q183_tpch_q2",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             min(round(l_extendedprice / l_quantity, 4)) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    cand AS (
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost,
+             min(unit_cost) OVER (PARTITION BY p_partkey) AS best
+      FROM supply
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+           p_type, unit_cost
+    FROM cand WHERE unit_cost = best
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q183_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier).  partsupp surrogate: unit cost is
+    ``min(round(l_extendedprice/l_quantity, 4))`` per (part, supplier) —
+    rounded *before* the min so both engines fold identical doubles.
+
+    Plan: the supply relation is one map-side-partial aggregate of lineitem
+    (shuffle key l_partkey+l_suppkey); part/supplier/nation/region all
+    broadcast (size-bounded dims); per-part min is a window over the
+    region+size restricted candidate set — O(qualifying pairs), not
+    O(lineitem).  The window's partition key (p_partkey) reuses the shuffle
+    that the aggregate already produced, and AQE coalesces the tiny tail.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supply = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias(
+                "unit_cost"
+            )
+        )
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        supply.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("best", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            "unit_cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q184_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q184_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking).  Late-shipment surrogate:
+    ``l_shipdate > o_orderdate + 30 days`` (no commit/receipt dates in the
+    slimmed schema).
+
+    Plan: the EXISTS is a LEFT SEMI join on l_orderkey with the lateness
+    predicate as join condition — one shuffle pair on the order key, then a
+    5-group map-side-partial aggregate.  The quarter filter pushes to the
+    orders scan, so the semi join's probe side is already quarter-sized.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q185_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem  ON p_partkey = l_partkey
+      JOIN supplier  ON s_suppkey = l_suppkey
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ) t
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q185_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of AMERICA-market
+    ECONOMY-part revenue per order year.
+
+    Plan: part filter prunes lineitem early (broadcast semi-shape via the
+    dim join); region restriction broadcasts into customer through nation;
+    both decimal sums are exact, so the final share is one identical
+    double division on both engines.  The two-year numerator/denominator
+    aggregate is 2 rows — shuffle cost is the lineitem⋈orders key exchange,
+    everything else broadcasts.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    t = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _disc_price().alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast(D184)
+    return (
+        t.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero))
+            .alias("_num"),
+            F.sum("volume").alias("_den"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q186_tpch_q9",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE 'red%'
+    ) t
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+)
+def q186_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit).  No partsupp supply cost in the
+    slimmed schema, so unit cost is the documented surrogate
+    ``0.6 * p_retailprice``; the color pattern becomes the ``red%`` name
+    prefix (names are "<adjective> <noun>").
+
+    Plan: the name filter broadcasts through part into lineitem; the only
+    big exchange is lineitem⋈orders on the order key; profit accumulates as
+    exact DECIMAL(18,4) per (nation, year) — 25×7 groups, map-side partial.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(D184)
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q187_tpch_q11",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(value, 2) AS value
+    FROM val
+    WHERE value > (SELECT sum(value) * 0.001 FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q187_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock).  partsupp surrogate: a part's "stock
+    value" for NATION_7 is the decimal sum of that nation's suppliers'
+    lineitem extended prices for the part.
+
+    Plan: nation filter broadcasts through supplier into lineitem; one
+    aggregate shuffled on l_partkey; the global-total scalar subquery is a
+    1-row aggregate broadcast back over the per-part values (no second scan
+    of lineitem — Spark reuses the val exchange on both branches of the
+    self-reference).  The fraction threshold keeps output size a share of
+    value mass, not of row count, so it scales.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(D184)).alias("value"))
+    )
+    total = val.agg((F.sum("value") * 0.001).alias("_threshold"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_threshold"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q188_tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q188_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority).  Adaptation: the group key is
+    ``l_returnflag`` (no l_shipmode) and "late" is the 90-day surrogate (no
+    commit/receipt dates); the priority split is verbatim Q12.
+
+    Plan: the year filter pushes to the lineitem scan; one join shuffle on
+    the order key (the lateness predicate is a post-join filter since it
+    needs both sides); 3-group conditional-count aggregate is map-side
+    partial.  Counts are exact integers — no float determinism concern.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q189_tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q189_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution).  The comment-pattern
+    exclusion becomes an o_orderpriority exclusion (no o_comment column);
+    the LEFT JOIN keeps order-less customers in the c_count=0 bucket —
+    the semantically load-bearing part of Q13.
+
+    Plan: two cascaded aggregates — per-customer count shuffles on
+    c_custkey (same key as the join, so one exchange serves both), then the
+    distribution aggregate shuffles ~50 distinct counts.  The join's filter
+    sits on the orders side *inside* the join condition (not a WHERE — that
+    would turn the left join inner).
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q190_tpch_q14",
+    oracle="""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                        AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q190_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue share).  The synthetic p_type domain carries
+    'PROMO' directly, so the LIKE 'PROMO%%' of the original is equality here.
+
+    Plan: month filter pushes to the lineitem scan; part broadcasts; the
+    whole query is one 1-row conditional aggregate — numerator and
+    denominator accumulate in the same pass as exact decimals, the share is
+    one identical double division on both engines.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast(D184)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(zero))
+            .alias("_promo"),
+            F.sum(_disc_price()).alias("_total"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("_promo").cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q191_tpch_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q191_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum quarterly
+    revenue — the view + scalar-max shape.
+
+    Plan: one quarter-filtered aggregate on l_suppkey; the max is a 1-row
+    aggregate over that (tiny) result broadcast back as the filter — the
+    revenue relation is computed once and reused for both branches.
+    Revenue is exact decimal, so the ``= max`` equality is bit-safe across
+    engines (the reason the original's double version is notoriously
+    flaky is exactly why we accumulate decimal).
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price()).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q192_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q192_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (part/supplier relationship).  partsupp surrogate: distinct
+    (l_partkey, l_suppkey) pairs; the "customer complaints" supplier
+    exclusion becomes ``s_acctbal < 0`` (no s_comment column).
+
+    Plan: the distinct collapses lineitem to pair cardinality before any
+    join (shuffle carries two int64s); part broadcasts with its three
+    filters pushed to the scan; the excluded-supplier list is a broadcast
+    anti join (NOT IN over a non-null key column compiles to anti); the
+    count-distinct agg re-uses the pair dedup.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q193_tpch_q17",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2)
+           AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q193_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue).  p_container becomes
+    p_brand (no container column).
+
+    Plan: the correlated scalar average decorrelates into a per-part
+    aggregate joined back on l_partkey — the brand filter broadcasts into
+    *both* lineitem branches, so the per-part average is computed only for
+    the brand's parts (not all parts).  Final sum is a 1-row exact decimal
+    divided once as double.  l_quantity sums are exact in double too
+    (integral values), so the 0.2×avg threshold is bit-identical.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = brand_lines.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_cap")
+    )
+    return (
+        brand_lines.join(avg_qty, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_cap"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(D184)).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q194_tpch_q19",
+    oracle="""
+    SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+           AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q194_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicate).  p_container
+    clauses become p_size ranges.
+
+    Plan: Catalyst extracts the common constraints from the disjunction —
+    the p_brand IN (…) and p_size ≤ 15 envelope pushes to the part scan and
+    the l_quantity ∈ [1,30] envelope to the lineitem scan — then applies the
+    full OR post-join.  Part broadcasts; single 1-row decimal aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q195_tpch_q20",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'SMALL'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 300
+      )
+    ORDER BY s_suppkey
+    """,
+)
+def q195_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion).  partsupp/availqty surrogate:
+    qualifying suppliers are those who shipped > 300 units of SMALL-type
+    parts in the year (the original's "half of shipped quantity in excess
+    stock" needs ps_availqty).
+
+    Plan: part-type filter broadcasts into the year-pruned lineitem scan;
+    one aggregate on l_suppkey; HAVING shrinks it to a qualifying-supplier
+    list that semi-joins (broadcast — it only shrinks with selectivity)
+    into the nation-filtered supplier dim.  l_quantity sums are exact
+    (integral doubles), so the >300 cut is engine-independent.
+    """
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q196_tpch_q21",
+    oracle="""
+    SELECT s_suppkey, s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders     ON o_orderkey = l1.l_orderkey
+    JOIN nation     ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_2'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_suppkey, s_name
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 50
+    """,
+)
+def q196_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished orders,
+    lines from NATION_2 suppliers that shipped late where at least one
+    other supplier participated and no *other* supplier was late.  Late is
+    the 60-day surrogate.
+
+    Plan: instead of two correlated subplans, both EXISTS conditions
+    decorrelate into ONE per-order aggregate — ``n_supp`` (distinct
+    suppliers) and ``n_late_supp`` (distinct late suppliers) — computed
+    from a single lineitem⋈orders pass and joined back on the order key:
+    ``n_supp > 1`` ⇔ the EXISTS, and (given l1 itself is late)
+    ``n_late_supp = 1`` ⇔ the NOT EXISTS.  That's 2 shuffles on
+    l_orderkey total where the textbook plan does a semi *and* an anti
+    join (3+ passes); the per-order aggregate also cannot skew (bounded by
+    lines-per-order).
+    """
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    lines = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "_late", late
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    l1 = (
+        lines.filter(F.col("_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        l1.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(50)
+    )
+
+
+@query(
+    "q197_tpch_q22",
+    oracle="""
+    WITH pos AS (SELECT c_acctbal FROM customer WHERE c_acctbal > 0.0),
+    stats AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS s,
+             count(*) AS n
+      FROM pos
+    ),
+    active AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+           count(*) AS numcust,
+           round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS totacctbal
+    FROM customer, stats
+    WHERE c_acctbal * n > s
+      AND c_custkey NOT IN (SELECT o_custkey FROM active)
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+def q197_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): rich customers with no recent
+    orders, grouped by "country code".  Adaptations: the phone-prefix
+    country code becomes ``c_nationkey % 10``; "no orders at all" becomes
+    "no orders since 2000-01-01" (every synthetic customer has at least one
+    lifetime order).
+
+    Determinism: the above-average test is cross-multiplied —
+    ``c_acctbal * n > sum`` with an exact decimal sum — so neither engine
+    ever computes a rounded average (a double avg's last ulp floats with
+    accumulation order; the product of each row's double by an exact int is
+    bit-identical everywhere).
+
+    Plan: the balance-stats scalar (1 row) and the active-customer list
+    (shrinks with the recency filter) both broadcast; NOT IN compiles to a
+    broadcast anti join (o_custkey is non-null); one final 10-group
+    aggregate.
+    """
+    c = table(spark, sf_dir, "customer")
+    stats = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast(D184)).cast("double").alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    active = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(stats))
+        .filter(F.col("c_acctbal") * F.col("_n") > F.col("_s"))
+        .join(F.broadcast(active), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast(D184)), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
