@@ -51,9 +51,13 @@ def test_q2_dims_broadcast_and_windowed_min(spark):
     assert pi.exchange_count(df) <= 2
 
 
-def test_q4_exists_is_semi_join(spark):
+def test_q4_exists_via_preaggregate(spark):
+    """EXISTS(line later than X) is computed as max(l_shipdate) per order —
+    a map-side-combined HashAggregate — never a semi join over raw lines."""
     plan = _plan(spark, "q184_tpch_q4")
-    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+    assert "partial_max(l_shipdate" in plan  # map-side combine before shuffle
+    assert "LeftSemi" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -72,14 +76,16 @@ def test_q19_disjunction_envelope_pushed(spark):
 
 
 def test_q21_single_pass_decorrelation(spark):
-    """The EXISTS + NOT EXISTS pair costs one extra aggregate, not a semi
-    plus anti join over lineitem: at most 3 non-broadcast exchanges (lines
-    join key, per-order agg reuse, final group-by)."""
+    """The EXISTS + NOT EXISTS pair costs one per-(order,supplier)
+    aggregate plus a window on the already-shuffled order key — no expand
+    (the count_distinct trap), no semi/anti join over lineitem."""
     df = catalog.QUERIES["q196_tpch_q21"](spark, SF)
     plan = pi.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert pi.exchange_count(df) <= 4
+    assert "Expand" not in plan  # no multi-distinct expansion
+    assert plan.count("LeftSemi") + plan.count("LeftAnti") == 0
+    assert pi.exchange_count(df) <= 3
     assert pi.has_take_ordered(df)  # top-50 never globally sorts
 
 
