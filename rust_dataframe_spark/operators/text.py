@@ -520,3 +520,51 @@ def nfc_normalize(df: DataFrame, id_col: str, text_col: str, *, form: str = "NFC
     _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_norm, "string")
     return df.withColumn(text_col, udf(F.col(text_col)))
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    *,
+    min_word_len: int = 2,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the counting step of a BPE
+    tokenizer-training iteration (the merge rule picks the top pair; q162's
+    wordpiece applies the finished vocab, this is how that vocab is *made*).
+
+    Two-level aggregation keeps the corpus out of the pair explosion: words
+    aggregate to DISTINCT (word, count) first (Heaps'-law bounded, the same
+    trick as wordpiece_tokenize), then each distinct word explodes into its
+    ``len-1`` adjacent character pairs via a codegen'd ``transform`` over
+    ``sequence`` — no Python, no shuffle of per-occurrence rows.  Pair
+    counts weight by word frequency.
+
+    Returns ``(pair, cnt)`` sorted by descending count.  A full BPE trainer
+    loops: count -> pick top pair -> re-segment affected words (only words
+    containing the pair — a filtered join, not a corpus rewrite) -> repeat;
+    each round's Python surface stays vocabulary-sized.
+    """
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+        )
+        .filter(F.length("w") >= min_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    out = (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+    )
+    return out.limit(top_k) if top_k else out

@@ -364,3 +364,97 @@ class TestSamplingMonotonicity:
         a = {r["id"] for r in tr.stratified_sample(df, "id", "g", {"x": 0.3}, salt="m").collect()}
         b = {r["id"] for r in tr.weighted_sample(df, "id", F.lit(0.3), salt="m").collect()}
         assert a == b
+
+
+# --- round 4: triangles / sweep-line / BPE pairs ---------------------------
+
+
+def test_triangle_count_known_graphs(spark):
+    from rust_dataframe_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; listing edges in arbitrary orientation with a dup
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 3)], ["u", "v"]
+    )
+    assert triangle_count(k4).collect()[0]["n_triangles"] == 4
+    # a 4-cycle has none
+    c4 = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], ["u", "v"])
+    assert triangle_count(c4).collect()[0]["n_triangles"] == 0
+    # self-loops are ignored
+    loop = spark.createDataFrame([(1, 1), (1, 2), (2, 3), (1, 3)], ["u", "v"])
+    assert triangle_count(loop).collect()[0]["n_triangles"] == 1
+
+
+def test_cooccurrence_edges_support(spark):
+    from rust_dataframe_spark.operators.graph import cooccurrence_edges
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (2, "c")],
+        ["g", "item"],
+    )
+    rows = {(r["u"], r["v"]): r["support"]
+            for r in cooccurrence_edges(df, "g", "item").collect()}
+    # duplicate (1, b) must not inflate support; canonical u < v
+    assert rows == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    strong = cooccurrence_edges(df, "g", "item", min_support=2).collect()
+    assert [(r["u"], r["v"]) for r in strong] == [("a", "b")]
+
+
+def test_max_concurrency_half_open(spark):
+    import datetime
+
+    from rust_dataframe_spark.operators.temporal import max_concurrency
+
+    t = lambda sec: datetime.datetime(2024, 1, 1, 0, 0, sec)
+    df = spark.createDataFrame(
+        [
+            ("a", t(0), t(10)),  # back-to-back: [0,10) then [10,20)
+            ("a", t(10), t(20)),
+            ("b", t(0), t(10)),  # true overlap
+            ("b", t(5), t(15)),
+            ("b", t(9), t(12)),
+        ],
+        ["g", "s", "e"],
+    )
+    got = {r["g"]: r["max_concurrent"] for r in max_concurrency(df, "g", "s", "e").collect()}
+    assert got == {"a": 1, "b": 3}  # touching endpoints never overlap
+
+
+def test_bpe_pair_counts_known(spark):
+    from rust_dataframe_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [("abab abab",), ("xy! AB?",)], ["text"]
+    )
+    got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(df, "text").collect()}
+    # 'abab' x2 occurrences -> 1 distinct word, corpus count 2: ab x2, ba x1 per word
+    assert got == {"ab": 2 * 2 + 1, "ba": 1 * 2, "xy": 1}
+
+
+def test_max_concurrency_bucketed_matches_single_level(spark):
+    """The two-level (bucketed) sweep must equal the single-level sweep,
+    including intervals that straddle bucket boundaries."""
+    import datetime
+
+    from rust_dataframe_spark.operators.temporal import max_concurrency
+
+    base = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta
+    df = spark.createDataFrame(
+        [
+            # day-straddling pile-up: 3 concurrent across midnight
+            ("a", base + h(hours=22), base + h(hours=26)),
+            ("a", base + h(hours=23), base + h(hours=25)),
+            ("a", base + h(hours=23, minutes=30), base + h(hours=24, minutes=30)),
+            ("a", base + h(hours=48), base + h(hours=49)),
+            # peak entirely inside day 2
+            ("b", base + h(hours=30), base + h(hours=31)),
+            ("b", base + h(hours=30), base + h(hours=31)),
+        ],
+        ["g", "s", "e"],
+    )
+    flat = {r["g"]: r["max_concurrent"]
+            for r in max_concurrency(df, "g", "s", "e").collect()}
+    bucketed = {r["g"]: r["max_concurrent"]
+                for r in max_concurrency(df, "g", "s", "e", bucket="day").collect()}
+    assert flat == bucketed == {"a": 3, "b": 2}
