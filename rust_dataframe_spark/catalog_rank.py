@@ -861,3 +861,61 @@ def q200_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bpe_pair_counts(d, "text", top_k=50)
+
+
+_Q201_SALT = "temp1"
+
+
+@query(
+    "q201_temperature_mixture",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, sum(CAST(n_chars AS DECIMAL(28,4))) AS mass FROM documents GROUP BY source
+    ),
+    ws AS (
+      SELECT source, mass,
+             CAST(round(sqrt(CAST(mass AS DOUBLE)), 6) AS DECIMAL(28,6)) AS w
+      FROM s
+    ),
+    tot AS (SELECT sum(mass) AS total, sum(w) AS wsum FROM ws),
+    r AS (
+      SELECT source,
+             least(1.0,
+                   0.5 * CAST(total AS DOUBLE) * CAST(w AS DOUBLE)
+                   / (CAST(wsum AS DOUBLE) * CAST(mass AS DOUBLE))) AS rate
+      FROM ws CROSS JOIN tot
+    ),
+    h AS (
+      SELECT d.source, d.n_chars, r.rate,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '{_Q201_SALT}'), 1, 8))::UBIGINT
+               / 4294967296.0 AS u
+      FROM documents d JOIN r USING (source)
+    )
+    SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM h WHERE u < rate GROUP BY source ORDER BY source
+    """,
+)
+def q201_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (alpha=0.5) mixture sampling at half the corpus
+    character budget (operators/text.temperature_mixture): kept share per
+    source follows sqrt(mass) — the standard multilingual tail-upweighting
+    rule — with q157's deterministic md5 coin.  Rates derive from exact
+    decimal mass/weight sums (see the operator's determinism note: a raw
+    double weight sum would flip coin-boundary rows between engines).
+    Shape: one #sources aggregate broadcast back; the corpus pays one
+    codegen'd filter — no sample tables, no corpus shuffle."""
+    from .operators.text import temperature_mixture
+
+    d = table(spark, sf_dir, "documents")
+    kept = temperature_mixture(
+        d, "source", "n_chars", alpha=0.5, budget_frac=0.5,
+        key_col="doc_id", salt=_Q201_SALT,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

@@ -151,3 +151,29 @@ class Context:
 
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)
+
+
+def enable_runtime_bloom_filters(
+    spark: SparkSession,
+    *,
+    application_side_min_scan: str = "10GB",
+) -> None:
+    """Turn on Catalyst's runtime bloom-filter join pruning (InjectRuntimeFilter):
+    for a shuffle join where one side carries a selective filter, Spark
+    aggregates a bloom filter over the filtered side's join keys and pushes a
+    ``might_contain`` probe into the big side's scan — rows that cannot match
+    are dropped BEFORE the shuffle.  This is the single biggest shuffle-byte
+    lever for selective fact⋈fact joins at 100 TB (broadcast handles the
+    small-dim case; bloom handles the big-but-filtered case).
+
+    ``application_side_min_scan`` mirrors
+    ``spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold``:
+    injection only pays when the probe side scans at least this much.  The
+    10 GB default is right on a cluster; tests lower it to demonstrate the
+    plan shape on toy files.  (All keys are public Spark SQL configs.)
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_min_scan,
+    )

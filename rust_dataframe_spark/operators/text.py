@@ -568,3 +568,75 @@ def bpe_pair_counts(
         .orderBy(F.col("cnt").desc(), "pair")
     )
     return out.limit(top_k) if top_k else out
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    weight_col: str,
+    *,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture sampling: downsample each source so its
+    share of the kept corpus follows ``p_s ∝ (mass_s)^alpha`` — the standard
+    multilingual/multi-source rebalancing rule (alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform; 0.3–0.7 is the usual range for
+    upweighting tail sources).  ``budget_frac`` sets the kept fraction of
+    total mass; per-source keep-rates are capped at 1 (no upsampling — pair
+    with an explicit replication step if tail sources must repeat).
+
+    Rows keep/drop by the same deterministic md5(key||salt) coin as
+    hash_sample, so the mixture is reproducible across runs, engines,
+    repartitioning and incremental reprocessing.
+
+    Determinism discipline (the same rules as the decimal TPC-H money sums):
+    per-source mass accumulates as exact DECIMAL; the tempered weight is
+    ``round(sqrt(mass), 6)`` — sqrt is IEEE correctly-rounded, and the round
+    + decimal cast makes the cross-source weight SUM exact and
+    partition-order-independent (a raw double sum's last ulp floats with
+    aggregation order and would flip coin-boundary rows between engines).
+    alpha other than 0.5/1.0 goes through pow(), whose last ulp is
+    libm-dependent — fine in production, but the cross-engine oracle pins
+    0.5.
+
+    Scale: the rate table is #sources rows (one aggregate, broadcast back);
+    the corpus pays one codegen'd filter.  Rates recompute from totals, so
+    incremental ingest just re-runs the filter.
+    """
+    if alpha == 0.5:
+        wexp = lambda c: F.sqrt(c)
+    elif alpha == 1.0:
+        wexp = lambda c: c
+    else:
+        wexp = lambda c: F.pow(c, F.lit(alpha))
+    stats = df.groupBy(source_col).agg(
+        F.sum(F.col(weight_col).cast("decimal(28,4)")).alias("_mass")
+    )
+    w = F.round(wexp(F.col("_mass").cast("double")), 6).cast("decimal(28,6)")
+    tot = stats.agg(
+        F.sum("_mass").alias("_total"), F.sum(w).alias("_wsum")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_frac))
+            * F.col("_total").cast("double")
+            * w.cast("double")
+            / (F.col("_wsum").cast("double") * F.col("_mass").cast("double")),
+        ).alias("_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 32))
+    )
+    return df.join(F.broadcast(rates), source_col).filter(u < F.col("_rate")).drop("_rate")

@@ -883,3 +883,43 @@ class TestNfcNormalize:
         df = spark.createDataFrame([(1, "ﬁle")], "doc_id bigint, text string")  # ﬁ ligature
         out = tx.nfc_normalize(df, "doc_id", "text", form="NFKC").collect()[0]["text"]
         assert out == "file"
+
+
+def test_temperature_mixture_upweights_tail(spark):
+    from rust_dataframe_spark.operators.text import temperature_mixture
+
+    rows = [("head", i, 100) for i in range(900)] + [("tail", 10_000 + i, 100) for i in range(100)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    kept = temperature_mixture(
+        df, "source", "n_chars", alpha=0.5, budget_frac=0.5, key_col="doc_id"
+    )
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("doc_id").alias("n")
+    ).collect()}
+    # alpha=0.5 with budget 0.5: tail rate caps at 1.0 (kept whole), head is
+    # downsampled to make room -> tail share rises above its natural 10%
+    assert counts["tail"] == 100  # rate capped at 1 keeps every tail row
+    assert 0.30 * 900 < counts["head"] < 0.60 * 900
+    # deterministic: same salt, same rows
+    again = temperature_mixture(
+        df, "source", "n_chars", alpha=0.5, budget_frac=0.5, key_col="doc_id"
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_temperature_mixture_alpha1_natural(spark):
+    from rust_dataframe_spark.operators.text import temperature_mixture
+
+    rows = [("a", i, 10) for i in range(500)] + [("b", 1000 + i, 10) for i in range(500)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    kept = temperature_mixture(
+        df, "source", "n_chars", alpha=1.0, budget_frac=0.4, key_col="doc_id"
+    )
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("doc_id").alias("n")
+    ).collect()}
+    # equal masses at alpha=1 -> equal keep-rate ~= budget_frac for both
+    for s in ("a", "b"):
+        assert 0.25 * 500 < counts[s] < 0.55 * 500

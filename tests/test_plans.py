@@ -363,3 +363,42 @@ def test_q171_pipeline_single_partition_only_for_scalars(spark):
             assert "HashAggregate(keys=[]" in parent, (
                 f"non-scalar SinglePartition exchange: {parent.strip()}"
             )
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark):
+    """Selective fact⋈fact join: with runtime bloom filters on, Catalyst
+    aggregates a bloom over the filtered side's keys and probes it on the
+    big side BEFORE the shuffle (InjectRuntimeFilter).  Results must be
+    identical with and without."""
+    from rust_dataframe_spark.context import enable_runtime_bloom_filters
+
+    d = "/root/testdata/sf0.001"
+    prev_bloom = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+
+    def q():
+        o = spark.read.parquet(f"{d}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        baseline = q().collect()
+        enable_runtime_bloom_filters(spark, application_side_min_scan="1KB")
+        df = q()
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized  # filter built on the filtered side
+        assert "might_contain" in optimized  # probe pushed into the big side
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, baseline))
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prev_bloom)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
