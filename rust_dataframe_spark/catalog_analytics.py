@@ -1,0 +1,324 @@
+"""Catalog extension (round 3): analytics depth beyond the round-2 surface —
+
+* SQL regression aggregates: regr_slope/intercept/r2/avgx/count +
+  any_value + percentile_disc (q202) — the OLS-by-group family both engines
+  ship natively (reference scalar-stub wishlist stops at corr,
+  functions/scalar.rs:184; this completes the bivariate-stats shelf).
+* DSIR importance weights (q203, operators/training.dsir_weights) — hashed
+  n-gram importance resampling, the data-selection step between raw crawl
+  and the training mixture.
+* product-quantization ANN (q204, operators/similarity.pq_*) — the third
+  ANN family next to IVF (q86) and SRP-LSH (q77/q89): codes + asymmetric
+  distance computation, the memory-bound regime's tool of choice.
+* reciprocal-rank fusion (q205, operators/ranking.rrf_fuse) — hybrid
+  lexical+semantic retrieval, fusing the q134 BM25 ranking with an
+  embedding-cosine ranking.
+* EWMA smoothing (q206, operators/temporal.ewma) — the recursive decay
+  metric Spark has no native window for, computed as an order-pinned list
+  fold both engines replay bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .catalog import load_events, query, table
+from .operators import ranking as rk
+from .operators import similarity as sim
+from .operators import training as tr
+from .operators.temporal import ewma
+
+
+# ---------------------------------------------------------------------------
+# q202: regression aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q202_regression_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6)      AS avg_qty,
+           regr_count(l_extendedprice, l_quantity)               AS n_pairs,
+           any_value(substr(l_returnflag, 1, 1))                 AS flag_initial,
+           quantile_disc(l_quantity, 0.5)                        AS med_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q202_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares aggregates — the SQL:2003 regr_*
+    family (slope/intercept/r2/avgx/count of price on quantity), plus
+    any_value (on a group-constant expression, so the nondeterminism is
+    harmless) and percentile_disc (DISCRETE median: returns an actual data
+    value, so the engines agree exactly with no rounding).
+
+    Scale: all regr_* are single-pass mergeable co-moments (partial aggs
+    combine map-side) — one shuffle of 6 doubles per group.  percentile_disc
+    keeps a per-group sorted buffer like exact percentile (q26); at 100 TB
+    prefer approx_percentile and document the rank error."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 6).alias("avg_qty"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+            F.any_value(F.substring("l_returnflag", 1, 1)).alias("flag_initial"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias(
+                "med_qty_disc"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203: DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source = 'src0' AS is_t,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(tok || 'dsir'), 1, 8))::UBIGINT % 256 AS b
+      FROM toks WHERE tok <> ''
+    ),
+    stats AS (
+      SELECT b, count(*) AS ct_r,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct_t
+      FROM tb GROUP BY b
+    ),
+    totals AS (SELECT sum(ct_r) AS n_r, sum(ct_t) AS n_t FROM stats),
+    scored AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(ct_t + 1) AS target_mass,
+             sum(ct_r + 1) AS raw_mass
+      FROM tb JOIN stats USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, target_mass, raw_mass,
+           round(CAST((n_r + 256) * target_mass AS DOUBLE)
+                 / CAST((n_t + 256) * raw_mass AS DOUBLE), 6) AS weight
+    FROM scored CROSS JOIN totals
+    ORDER BY doc_id
+    """,
+)
+def q203_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/training.dsir_weights, arXiv:2302.03169
+    shape): every document weighted by hashed-unigram likelihood ratio of the
+    'src0' target domain vs the whole corpus — the importance-resampling step
+    that tilts a 100 TB crawl toward a curated domain without a classifier.
+    Log-free integer-exact arithmetic (one double division per doc), so no
+    float-order hazard survives to the oracle comparison."""
+    d = table(spark, sf_dir, "documents")
+    return tr.dsir_weights(
+        d, "doc_id", "text", F.col("source") == "src0", n_buckets=256, salt="dsir"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q204: product-quantization ANN
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q204_pq_adc",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    cb AS (SELECT vec_id AS cid, emb FROM v WHERE vec_id < 8),
+    js AS (SELECT * FROM generate_series(0, 7) t(j)),
+    sub AS (SELECT vec_id, j, emb[j*8+1 : j*8+8] AS sv FROM v CROSS JOIN js),
+    cbs AS (SELECT cid, j, emb[j*8+1 : j*8+8] AS cw FROM cb CROSS JOIN js),
+    d AS (
+      SELECT sub.vec_id, sub.j, cbs.cid,
+             list_reduce(
+               list_prepend(0.0, list_transform(list_zip(sv, cw),
+                                                p -> (p[1]-p[2])*(p[1]-p[2]))),
+               (s, x) -> s + x) AS dist
+      FROM sub JOIN cbs ON sub.j = cbs.j
+    ),
+    codes AS (
+      SELECT vec_id, j, CAST(min([dist, CAST(cid AS DOUBLE)])[2] AS INT) AS code
+      FROM d GROUP BY vec_id, j
+    ),
+    qd AS (SELECT j, cid, dist FROM d WHERE vec_id = 0),
+    adc AS (
+      SELECT c.vec_id,
+             list_reduce(list_prepend(0.0, list(qd.dist ORDER BY c.j)),
+                         (s, x) -> s + x) AS dist
+      FROM codes c JOIN qd ON qd.j = c.j AND qd.cid = c.code
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(dist, 6) AS adc_dist
+    FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def q204_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_encode/pq_adc_topk):
+    8 subspaces x 8 codewords (deterministic quantizer: codewords = the
+    subvectors of vec_id < 8, same injectable-trainer trick as IVF q86), ADC
+    top-10 for query = vec 0.  Distances are left-fold squared-L2 on both
+    engines, so encoding and the distance table agree bit-for-bit.
+
+    The 100 TB role: codes are m bytes/vector (vs 4*dim for floats) — encode
+    once as a narrow codegen map (no shuffle, codebooks are literals), store
+    codes as a column, and every query scan is table lookups + a fold, never
+    vector math.  Pair with IVF cells (partition pruning) for the full
+    IVF-PQ layout."""
+    e = table(spark, sf_dir, "embeddings")
+    rows = e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    training = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+    qvec = dict(training)[0]
+    books = sim.pq_split_codebooks(training, m=8)
+    return sim.pq_adc_topk(e, "vec_id", "embedding", qvec, books, k=10)
+
+
+# ---------------------------------------------------------------------------
+# q205: reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_TERMS = ["vector", "join", "stream"]
+
+
+def _rrf_oracle() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    cases = " ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s{i},"
+        for i, t in enumerate(_RRF_TERMS)
+    ).rstrip(",")
+    total = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(len(_RRF_TERMS)))
+    return f"""
+    WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    corpus AS (SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM dl),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({in_list}) GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    s AS (SELECT doc_id, term,
+                 ((n - df + 0.5) / (df + 0.5))
+                 * ((tf * CAST(2.2 AS DOUBLE))
+                    / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) AS s
+          FROM tf JOIN dfreq USING (term) CROSS JOIN corpus JOIN dl USING (doc_id)),
+    p AS (SELECT doc_id, {cases} FROM s GROUP BY doc_id),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY ({total}) DESC, doc_id) AS r
+            FROM p QUALIFY r <= 20),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+    cos AS (SELECT vec_id,
+                   round(
+                     list_reduce(list_prepend(0.0,
+                         list_transform(list_zip(emb, qv), p -> p[1]*p[2])),
+                         (s, x) -> s + x)
+                     / (sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(emb, x -> x*x)), (s, x) -> s + x))
+                        * sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(qv, x -> x*x)), (s, x) -> s + x))), 6)
+                     AS c
+            FROM e CROSS JOIN q WHERE vec_id <> 0),
+    sem AS (SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY c DESC, vec_id) AS r
+            FROM cos QUALIFY r <= 20),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s2.doc_id) AS doc_id, l.r AS rl, s2.r AS rs
+      FROM lex l FULL OUTER JOIN sem s2 ON l.doc_id = s2.doc_id
+    )
+    SELECT doc_id,
+           round(COALESCE(1.0 / (60.0 + CAST(rl AS DOUBLE)), 0.0)
+                 + COALESCE(1.0 / (60.0 + CAST(rs AS DOUBLE)), 0.0), 6) AS rrf_score,
+           (CASE WHEN rl IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN rs IS NOT NULL THEN 1 ELSE 0 END) AS n_lists
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    """
+
+
+@query("q205_rrf_fusion", oracle=_rrf_oracle())
+def q205_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (operators/ranking.rrf_fuse):
+    fuse the top-20 BM25 lexical ranking (q134's scorer) with the top-20
+    embedding-cosine ranking for query vec 0 (doc_id == vec_id in the
+    testdata).  Both component rankings are bit-deterministic (fixed-order
+    float adds / fold-order cosine), so ranks — and hence the fused score,
+    a fixed-order sum of two exact divisions — replay exactly.
+
+    Scale: each component ranking is top-k (TakeOrderedAndProject-bounded);
+    the fuse joins k-row frames — driver-free, broadcast-size."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+
+    lex_scores = rk.bm25_score(d, "doc_id", "text", _RRF_TERMS)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = (
+        lex_scores.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "rank")
+    )
+
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0][0]]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    cos = F.round(sim.cosine(sim.as_double(F.col("embedding")), qlit), 6)
+    ws = Window.orderBy(F.col("c").desc(), F.col("doc_id"))
+    semantic = (
+        e.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("c"))
+        .withColumn("rank", F.row_number().over(ws))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "rank")
+    )
+    return rk.rrf_fuse([lex, semantic], "doc_id", k=60)
+
+
+# ---------------------------------------------------------------------------
+# q206: EWMA smoothing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q206_ewma_smooth",
+    oracle="""
+    WITH h AS (
+      SELECT event_id, user_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hist
+      FROM events WHERE user_id < 20
+    )
+    SELECT event_id, user_id, ts, value,
+           round(list_reduce(hist, (s, v) -> v * 0.25 + s * 0.75), 6) AS ewma
+    FROM h ORDER BY user_id, ts, event_id
+    """,
+)
+def q206_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators/temporal.ewma, alpha=0.25) —
+    the recursive smoother Spark lacks a native window for, computed as an
+    order-pinned list fold (collect_list running frame + F.aggregate) that
+    DuckDB's list_reduce replays with identical IEEE rounding.  Bounded to
+    user_id < 20 because the batch fold is O(history^2) per key by
+    construction — the operator docstring names the streaming one-pass
+    recurrence as the unbounded-history path."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    out = ewma(
+        ev, "user_id", "ts", "value", alpha=0.25, tiebreak_col="event_id"
+    )
+    return out.select("event_id", "user_id", "ts", "value", "ewma").orderBy(
+        "user_id", "ts", "event_id"
+    )

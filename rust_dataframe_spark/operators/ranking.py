@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["tfidf_top_terms", "bm25_score", "posting_lists", "bigram_lift"]
+__all__ = ["tfidf_top_terms", "bm25_score", "posting_lists", "bigram_lift", "rrf_fuse"]
 
 
 def _idf_ratio(n_col, df_col):
@@ -207,3 +207,49 @@ def bigram_lift(
             ),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    *,
+    k: int = 60,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the standard
+    hybrid-retrieval combiner: given N rankings of (mostly overlapping)
+    candidate sets, score every candidate ``sum_i 1/(k + rank_i)``, skipping
+    rankings the candidate is absent from.  Fusing a lexical ranking (BM25)
+    with an embedding ranking is the shape every RAG retrieval stack runs.
+
+    Each input frame must carry (``id_col``, ``rank_col``) with dense integer
+    ranks.  The contributions are added LEFT-TO-RIGHT in the ``rankings``
+    list order — each term is one exact division of small integers, so the
+    fixed-order sum is bit-identical across engines (same stance as
+    bm25_score's pivoted add).  Returns (id, rrf_score, n_lists) ordered by
+    score desc with id tie-break.
+
+    Scale: N-1 full outer joins on the id — each input is already a top-k
+    list (bounded), so the joins are broadcast-size; with corpus-wide inputs
+    they become id-keyed shuffles, still one per list.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    fused = None
+    for i, r in enumerate(rankings):
+        ri = r.select(F.col(id_col), F.col(rank_col).alias(f"__r{i}"))
+        fused = ri if fused is None else fused.join(ri, id_col, "full_outer")
+    score = F.lit(0.0)
+    present = F.lit(0)
+    for i in range(len(rankings)):
+        term = F.when(
+            F.col(f"__r{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"__r{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        score = score + term
+        present = present + F.when(F.col(f"__r{i}").isNotNull(), 1).otherwise(0)
+    return fused.select(
+        F.col(id_col),
+        F.round(score, 6).alias("rrf_score"),
+        present.alias("n_lists"),
+    ).orderBy(F.col("rrf_score").desc(), F.col(id_col))

@@ -34,6 +34,9 @@ __all__ = [
     "srp_near_dup",
     "ivf_assign",
     "ivf_topk",
+    "pq_split_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
     "quantize_int8",
     "knn_join",
     "mean_pool",
@@ -246,6 +249,132 @@ def ivf_topk(
     return (
         hits.select(F.col(id_col), F.col("cell"), F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_split_codebooks(
+    training: list[tuple[int, list[float]]], m: int
+) -> list[list[tuple[int, list[float]]]]:
+    """Build product-quantization codebooks by slicing ``k`` training vectors
+    into ``m`` contiguous subspaces: codebook ``j`` holds the j-th subvector
+    of every training vector, keyed by its id.
+
+    Like :func:`ivf_topk`'s centroids, the training set is injectable so
+    tests and the SQL oracle can replay a deterministic quantizer; at scale
+    the codewords come from per-subspace k-means on a sample.
+    """
+    if not training:
+        raise ValueError("training vectors required")
+    dim = len(training[0][1])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    s = dim // m
+    return [
+        [(cid, vec[j * s : (j + 1) * s]) for cid, vec in training]
+        for j in range(m)
+    ]
+
+
+def _l2sq(a, b_lit: list[float]):
+    # Squared L2 distance as a LEFT FOLD in index order: (x-y)*(x-y) summed
+    # sequentially.  The same op sequence is replayable bit-for-bit by any
+    # engine with list primitives (DuckDB: list_zip + list_transform +
+    # list_reduce with a 0.0 prepend) — no reliance on reduction order.
+    bl = F.array(*[F.lit(float(x)) for x in b_lit])
+    return F.aggregate(
+        F.zip_with(a, bl, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+    *,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m = len(codebooks)``
+    contiguous subvectors and replace subvector ``j`` with the id of its
+    nearest codeword (squared-L2, ties to the lower id).  Output column is an
+    ``array<int>`` of length m — with k=256 codewords per subspace this is the
+    classic 64x compression (1 byte per subspace vs 4*sub_dim bytes).
+
+    Codebooks ship as literals (m*k*sub_dim floats — tiny), so encoding is
+    ONE codegen'd narrow map over the scan: no shuffle, no UDF, no Python.
+    That is the 100 TB property: encode once, store codes as a column, and
+    every later ADC scan reads m bytes per row instead of the vector.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    emb = as_double(F.col(vec_col))
+    codes = []
+    for j in range(m):
+        subv = F.slice(emb, j * sub + 1, sub)
+        # argmin over codewords: lexicographic least of (dist, cid) structs
+        best = F.least(
+            *[
+                F.struct(_l2sq(subv, cw).alias("d"), F.lit(cid).alias("c"))
+                for cid, cw in codebooks[j]
+            ]
+        )
+        codes.append(best["c"])
+    return df.select(F.col(id_col), F.col(vec_col), F.array(*codes).alias(out_col))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    codebooks: list[list[tuple[int, list[float]]]],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """PQ approximate nearest neighbors by Asymmetric Distance Computation:
+    precompute the query's distance to every codeword per subspace (an m x k
+    table, driver-side), then score each row as the sum of m table lookups on
+    its codes — no vector math per row at query time.
+
+    Returns (id, adc_dist rounded 6dp) for the k smallest approximate
+    distances, ties to the lower id.  Plans as scan -> codegen'd encode +
+    lookup -> TakeOrderedAndProject(k): zero shuffle of vectors.
+
+    Determinism: the Python distance table uses the identical left-fold op
+    order as the in-plan encoding, so Spark and a SQL oracle computing the
+    table relationally agree bit-for-bit.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+
+    def _pyl2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+        return acc
+
+    # m lookup tables indexed by codeword id (codeword ids must be 0..k-1
+    # for the array lookup; assert rather than silently misindex)
+    dtables: list[list[float]] = []
+    for j in range(m):
+        qsub = [float(x) for x in query_vec[j * sub : (j + 1) * sub]]
+        cb = sorted(codebooks[j])
+        if [cid for cid, _ in cb] != list(range(len(cb))):
+            raise ValueError("codeword ids must be dense 0..k-1")
+        dtables.append([_pyl2(qsub, cw) for _, cw in cb])
+
+    enc = pq_encode(df, id_col, vec_col, codebooks)
+    # left-to-right sum over subspaces (fixed float order, engine-replayable)
+    adc = F.lit(0.0)
+    for j in range(m):
+        table_j = F.array(*[F.lit(d) for d in dtables[j]])
+        adc = adc + F.element_at(table_j, F.element_at(F.col("codes"), j + 1) + 1)
+    return (
+        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )
 

@@ -284,3 +284,51 @@ def max_concurrency(
         .groupBy("g")
         .agg(F.max(F.col("offset") + F.col("mx")).cast("bigint").alias("max_concurrent"))
     )
+
+
+def ewma(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average per key:
+    ``y_1 = x_1;  y_t = alpha*x_t + (1-alpha)*y_{t-1}`` — the standard
+    time-series smoother/decay metric (pandas ``ewm(adjust=False)``).
+
+    Spark has no native recursive window, so the recurrence is computed as a
+    LEFT FOLD over the ordered history: ``collect_list`` over a running
+    rows-frame, then one ``F.aggregate`` pass ``v*alpha + s*(1-alpha)``
+    seeded by the first element.  Both steps are order-pinned by the window
+    sort, so the op sequence — and therefore every IEEE rounding — is
+    replayable bit-for-bit by any engine with list folds (DuckDB
+    list_reduce).
+
+    Cost: the fold is O(t) per row -> O(n^2) per key.  Fine for dashboards
+    and bounded histories (hundreds of rows/key); for long histories use the
+    streaming form (stateful one-pass recurrence via
+    streaming.stateful_running_counts' shape) or a rows-frame CAP (pass the
+    history through ``F.slice`` first) — the unbounded batch recurrence
+    fundamentally serializes per key, which is why it is NOT the 100 TB
+    default but a per-key diagnostic.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    order = [F.col(order_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a = F.lit(float(alpha))
+    folded = F.aggregate(
+        hist,
+        F.lit(None).cast("double"),
+        lambda s, v: F.when(s.isNull(), v).otherwise(v * a + s * (F.lit(1.0) - a)),
+    )
+    return df.withColumn(out_col, F.round(folded, 6))

@@ -38,6 +38,7 @@ __all__ = [
     "kmeans",
     "kmeans_parallel_init",
     "epoch_shuffle_order",
+    "dsir_weights",
 ]
 
 _HASH_SPACE = 1 << 32
@@ -445,4 +446,80 @@ def epoch_shuffle_order(
                 F.col(key_col).cast("string"), F.lit(f"|{salt}|{epoch}")
             )
         ),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    *,
+    n_buckets: int = 256,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, arXiv:2302.03169
+    shape): weight every document by how much its hashed-n-gram feature
+    profile looks like a TARGET distribution versus the RAW corpus, then
+    sample proportionally to the weight to tilt the mixture toward the
+    target domain without training a classifier.
+
+    This is the log-free integer-exact variant (same determinism stance as
+    the Robertson idf in ranking.py and the fixed-point surprisal in
+    text.py): tokens hash into ``n_buckets`` features via md5 (replayable on
+    any engine); with add-one smoothing the per-token likelihood ratio is
+    ((ct_t[b]+1)/(N_t+B)) / ((ct_r[b]+1)/(N_r+B)).  Instead of summing
+    per-token LOGS (libm differences leak into the last ulp), the weight is
+    the ratio of the two expected counts over the document:
+
+        weight = (N_r + B) * sum_t(ct_t[b]+1)  /  ((N_t + B) * sum_t(ct_r[b]+1))
+
+    Every sum is an exact 64-bit integer (order-independent), so the single
+    double division at the end is bit-identical across engines, retries and
+    partitionings.  Returns (id, n_tokens, target_mass, raw_mass, weight).
+
+    Scale: two explode+agg passes build the 2 x n_buckets feature table
+    (tiny -> broadcast back); scoring is one explode + broadcast join + int
+    agg.  Counts stay < 2^63 up to ~10^18 tokens.  ``target_pred`` is a
+    boolean Column selecting the in-domain documents (e.g. a curated
+    source); at 100 TB the target table is typically a separate small
+    corpus — pass its union with the raw frame and a flag predicate.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("__tok"), F.lit(salt))), 1, 8), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    toks = toks.select(F.col(id_col), "__is_target", bucket.alias("__b"))
+    stats = toks.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__ct_r"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__ct_t"),
+    )
+    totals = stats.agg(
+        F.sum("__ct_r").alias("__n_r"), F.sum("__ct_t").alias("__n_t")
+    )
+    scored = (
+        toks.join(F.broadcast(stats), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__ct_t") + 1).alias("target_mass"),
+            F.sum(F.col("__ct_r") + 1).alias("raw_mass"),
+        )
+    )
+    b = F.lit(n_buckets).cast("bigint")
+    weight = (
+        ((F.col("__n_r") + b) * F.col("target_mass")).cast("double")
+        / ((F.col("__n_t") + b) * F.col("raw_mass")).cast("double")
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        F.col(id_col),
+        "n_tokens",
+        "target_mass",
+        "raw_mass",
+        F.round(weight, 6).alias("weight"),
     )

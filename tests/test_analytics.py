@@ -1,0 +1,189 @@
+"""Round-3 analytics operators: product quantization, DSIR weights,
+reciprocal-rank fusion, EWMA."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from rust_dataframe_spark.operators import ranking as rk
+from rust_dataframe_spark.operators import similarity as sim
+from rust_dataframe_spark.operators import training as tr
+from rust_dataframe_spark.operators.temporal import ewma
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _toy_vectors():
+    # 4-dim vectors; m=2 subspaces of 2 dims
+    return [
+        (0, [0.0, 0.0, 1.0, 1.0]),
+        (1, [10.0, 10.0, -1.0, -1.0]),
+        (2, [0.1, -0.1, 1.2, 0.9]),  # near vec 0 in both subspaces
+        (3, [9.0, 11.0, -0.8, -1.1]),  # near vec 1 in both subspaces
+    ]
+
+
+def test_pq_split_codebooks_shapes():
+    books = sim.pq_split_codebooks(_toy_vectors()[:2], m=2)
+    assert len(books) == 2
+    assert books[0] == [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    assert books[1] == [(0, [1.0, 1.0]), (1, [-1.0, -1.0])]
+    with pytest.raises(ValueError):
+        sim.pq_split_codebooks(_toy_vectors()[:2], m=3)
+
+
+def test_pq_encode_assigns_nearest_codeword(spark):
+    vecs = _toy_vectors()
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs]
+    )
+    books = sim.pq_split_codebooks(vecs[:2], m=2)
+    out = {
+        r["vec_id"]: r["codes"]
+        for r in sim.pq_encode(df, "vec_id", "embedding", books).collect()
+    }
+    assert out[0] == [0, 0] and out[1] == [1, 1]
+    assert out[2] == [0, 0]  # near vec 0
+    assert out[3] == [1, 1]  # near vec 1
+
+
+def test_pq_adc_query_in_codebook_has_zero_distance(spark):
+    vecs = _toy_vectors()
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in vecs])
+    books = sim.pq_split_codebooks(vecs[:2], m=2)
+    res = sim.pq_adc_topk(df, "vec_id", "embedding", vecs[0][1], books, k=4).collect()
+    # query == vec 0 == codeword 0 in both subspaces -> exact zero ADC
+    assert res[0]["vec_id"] == 0 and res[0]["adc_dist"] == 0.0
+    # vec 2 shares vec 0's codes -> identical ADC, ranked next by id
+    assert res[1]["vec_id"] == 2 and res[1]["adc_dist"] == 0.0
+    # vecs 1/3 quantize to codeword 1 -> large ADC
+    assert res[2]["adc_dist"] > 100
+
+
+def test_pq_dense_codeword_ids_required(spark):
+    df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 2.0])])
+    books = [[(5, [1.0, 2.0])]]
+    with pytest.raises(ValueError):
+        sim.pq_adc_topk(df, "vec_id", "embedding", [1.0, 2.0], books, k=1)
+
+
+# ---------------------------------------------------------------------------
+# DSIR weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_tilt_toward_target(spark):
+    rows = [
+        Row(doc_id=i, text="alpha beta gamma", source="tgt") for i in range(5)
+    ] + [
+        Row(doc_id=10 + i, text="delta epsilon zeta", source="raw") for i in range(5)
+    ] + [
+        Row(doc_id=20, text="alpha beta gamma", source="raw"),  # looks like target
+        Row(doc_id=21, text="delta epsilon zeta", source="tgt"),  # looks like raw
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["doc_id"]: r
+        for r in tr.dsir_weights(
+            df, "doc_id", "text", F.col("source") == "tgt", n_buckets=64
+        ).collect()
+    }
+    # a raw doc whose tokens match the target domain outweighs one that doesn't
+    assert out[20]["weight"] > out[10]["weight"]
+    # weights are positive; masses are exact integers
+    for r in out.values():
+        assert r["weight"] > 0
+        assert isinstance(r["target_mass"], int) and isinstance(r["raw_mass"], int)
+        assert r["n_tokens"] == 3
+
+
+def test_dsir_weight_value_exact(spark):
+    # one bucket per token guaranteed distinct? use big bucket count and one
+    # doc per domain so masses are hand-checkable: every token unique.
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="aa bb", source="t"), Row(doc_id=1, text="cc dd", source="r")]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tr.dsir_weights(
+            df, "doc_id", "text", F.col("source") == "t", n_buckets=4096
+        ).collect()
+    }
+    # N_r = 4, N_t = 2, B = 4096.  Target doc tokens: ct_t=1, ct_r=1 each
+    # -> target_mass = 4, raw_mass = 4 -> weight = (4+4096)/(2+4096)
+    r0 = out[0]
+    assert (r0["target_mass"], r0["raw_mass"]) == (4, 4)
+    assert r0["weight"] == round((4 + 4096) * 4 / ((2 + 4096) * 4), 6)
+    # raw doc: ct_t=0 -> target_mass = 2
+    r1 = out[1]
+    assert (r1["target_mass"], r1["raw_mass"]) == (2, 4)
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_combines_and_orders(spark):
+    a = spark.createDataFrame([Row(id=1, rank=1), Row(id=2, rank=2)])
+    b = spark.createDataFrame([Row(id=2, rank=1), Row(id=3, rank=2)])
+    out = {r["id"]: r for r in rk.rrf_fuse([a, b], "id", k=60).collect()}
+    assert out[2]["n_lists"] == 2
+    assert out[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert out[1]["rrf_score"] == round(1 / 61, 6)
+    assert out[3]["rrf_score"] == round(1 / 62, 6)
+    # doc 2 (in both lists) outranks single-list docs
+    ordered = [r["id"] for r in rk.rrf_fuse([a, b], "id", k=60).collect()]
+    assert ordered[0] == 2
+
+
+def test_rrf_fuse_validation():
+    with pytest.raises(ValueError):
+        rk.rrf_fuse([], "id")
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_reference_recurrence(spark):
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0]
+    df = spark.createDataFrame(
+        [Row(k="a", t=i, v=x) for i, x in enumerate(vals)]
+    )
+    out = [
+        r["ewma"]
+        for r in ewma(df, "k", "t", "v", alpha=0.25).orderBy("t").collect()
+    ]
+    # pandas ewm(adjust=False) recurrence
+    exp, y = [], None
+    for x in vals:
+        y = x if y is None else x * 0.25 + y * 0.75
+        exp.append(round(y, 6))
+    assert out == exp
+
+
+def test_ewma_partitions_independent(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", t=0, v=1.0), Row(k="b", t=0, v=100.0), Row(k="a", t=1, v=2.0)]
+    )
+    out = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma(df, "k", "t", "v", alpha=0.5).collect()
+    }
+    assert out[("a", 0)] == 1.0
+    assert out[("b", 0)] == 100.0
+    assert out[("a", 1)] == round(2.0 * 0.5 + 1.0 * 0.5, 6)
+
+
+def test_ewma_alpha_validation(spark):
+    df = spark.createDataFrame([Row(k="a", t=0, v=1.0)])
+    with pytest.raises(ValueError):
+        ewma(df, "k", "t", "v", alpha=0.0)
