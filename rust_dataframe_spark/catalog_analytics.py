@@ -322,3 +322,91 @@ def q206_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "value", "ewma").orderBy(
         "user_id", "ts", "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q207: record-linkage blocking + weighted Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q207_weighted_jaccard",
+    oracle="""
+    WITH blocks AS (SELECT doc_id, lang, source, n_chars // 16 AS nb FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM blocks a JOIN blocks b
+        ON a.lang IS NOT DISTINCT FROM b.lang
+       AND a.source IS NOT DISTINCT FROM b.source
+       AND a.nb IS NOT DISTINCT FROM b.nb
+       AND a.doc_id < b.doc_id
+    ),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY 1),
+    inter AS (
+      SELECT p.id_a, p.id_b, sum(least(ta.c, tb.c)) AS inter
+      FROM pairs p
+      JOIN tc ta ON ta.doc_id = p.id_a
+      JOIN tc tb ON tb.doc_id = p.id_b AND tb.tok = ta.tok
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, na.n AS n_a, nb2.n AS n_b, i.inter,
+           round(CAST(i.inter AS DOUBLE)
+                 / CAST(na.n + nb2.n - i.inter AS DOUBLE), 6) AS wjaccard
+    FROM inter i
+    JOIN tot na ON na.doc_id = i.id_a
+    JOIN tot nb2 ON nb2.doc_id = i.id_b
+    WHERE CAST(i.inter AS DOUBLE)
+          / CAST(na.n + nb2.n - i.inter AS DOUBLE) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def q207_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage blocking + multiset verify
+    (operators/dedup.blocked_weighted_jaccard): block documents on
+    (lang, source, n_chars//16) — cheap equality keys — then score each
+    within-block pair with weighted Jaccard over token counts.  The multiset
+    refinement of q73's set Jaccard (repetition counts with multiplicity),
+    and the classic entity-resolution shape: blocking bounds the candidate
+    set, only common tokens join, sums are exact integers."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "nb", F.floor(F.col("n_chars") / 16)
+    )
+    from .operators.dedup import blocked_weighted_jaccard
+
+    return blocked_weighted_jaccard(
+        d, "doc_id", "text", ["lang", "source", "nb"], threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q208: Simpson diversity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_simpson_diversity",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2),
+    p AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+                 sum(c * c) AS sum_sq
+          FROM tc GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types, sum_sq,
+           round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           round(1.0 - CAST(sum_sq AS DOUBLE)
+                 / CAST(n_tokens * n_tokens AS DOUBLE), 6) AS simpson
+    FROM p ORDER BY doc_id
+    """,
+)
+def q208_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity scoring (operators/text.simpson_diversity): Gini-
+    Simpson index + type-token ratio per document — the log-free entropy
+    stand-in for repetition filtering (complements q95's Gopher
+    top-fraction stats with a whole-distribution signal).  Integer sums,
+    two closing divisions — bit-identical across engines."""
+    from .operators.text import simpson_diversity
+
+    d = table(spark, sf_dir, "documents")
+    return simpson_diversity(d, "doc_id", "text").orderBy("doc_id")

@@ -46,6 +46,7 @@ __all__ = [
     "decontaminate",
     "simhash",
     "repeated_ngram_spans",
+    "blocked_weighted_jaccard",
 ]
 
 
@@ -732,3 +733,85 @@ def incremental_near_dups(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def blocked_weighted_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list,
+    *,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Record-linkage shape: BLOCK on cheap equality keys, then verify each
+    within-block pair with WEIGHTED (multiset) Jaccard over token counts —
+    ``sum_t min(c_a, c_b) / sum_t max(c_a, c_b)``.  The multiset refinement
+    of q73's set Jaccard: repeated boilerplate tokens count with their
+    multiplicity, so a doc that repeats one line 50 times no longer looks
+    identical to the doc containing it once.
+
+    Only the INTERSECTION is joined: ``sum max = n_a + n_b - sum min``, so
+    the verify is one (id, token) equi-join over common tokens — never a
+    full outer per pair.  All sums are exact integers; the one closing
+    division is bit-identical across engines.
+
+    Scale: blocking turns O(n^2) into per-block blocks (the same
+    candidates-then-verify contract as LSH/SRP; pick block keys so blocks
+    stay bounded — the classic entity-resolution discipline).  Two
+    map-side-combined count aggs + two equi-joins; returns
+    (id_a, id_b, n_a, n_b, inter, wjaccard) for pairs >= threshold.
+    """
+    if not block_cols:
+        raise ValueError("block_cols must be non-empty (no blocking = all-pairs)")
+    bcols = list(block_cols)
+    blocks = df.select(F.col(id_col), *[F.col(c) for c in bcols])
+    a = blocks.select(F.col(id_col).alias("id_a"), *bcols)
+    b = blocks.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"__b_{c}") for c in bcols]
+    )
+    cond = F.lit(True)
+    for c in bcols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    pairs = (
+        a.join(b, cond)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    tc = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = tc.groupBy(id_col).agg(F.sum("__c").alias("__n"))
+
+    ta = tc.select(
+        F.col(id_col).alias("id_a"), F.col("__tok"), F.col("__c").alias("__ca")
+    )
+    tb = tc.select(
+        F.col(id_col).alias("id_b"), F.col("__tok"), F.col("__c").alias("__cb")
+    )
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "__tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("__ca", "__cb")).alias("inter"))
+    )
+    na = totals.select(F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"))
+    nb = totals.select(F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("wjaccard"),
+        )
+    )
+    return out.filter(F.col("wjaccard") >= threshold)

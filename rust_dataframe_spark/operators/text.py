@@ -16,6 +16,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "simpson_diversity",
     "STOPWORDS",
 ]
 
@@ -640,3 +641,40 @@ def temperature_mixture(
         / F.lit(float(1 << 32))
     )
     return df.join(F.broadcast(rates), source_col).filter(u < F.col("_rate")).drop("_rate")
+
+
+def simpson_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Lexical diversity per document: the Gini-Simpson index
+    ``1 - sum_i c_i^2 / n^2`` over whitespace-token counts (probability two
+    random tokens are different) plus the type-token ratio — repetition
+    signals complementary to the Gopher top-fraction stats (q95): Simpson
+    responds to the WHOLE count distribution, not just the head.
+
+    Entropy would need per-engine ``log`` (libm last-ulp hazard); Simpson is
+    its log-free stand-in with the same ranking role — both sums are exact
+    64-bit integers, so the two closing divisions are bit-identical across
+    engines (the repo's determinism discipline).
+
+    Returns (id, n_tokens, n_types, sum_sq, ttr, simpson).  Scale: explode ->
+    two map-side-combined integer aggregates; no joins, no floats in flight.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    counts = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("__c") * F.col("__c")).alias("sum_sq"),
+    )
+    n = F.col("n_tokens")
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_types",
+        "sum_sq",
+        F.round(F.col("n_types").cast("double") / n.cast("double"), 6).alias("ttr"),
+        F.round(
+            F.lit(1.0) - F.col("sum_sq").cast("double") / (n * n).cast("double"), 6
+        ).alias("simpson"),
+    )

@@ -187,3 +187,69 @@ def test_ewma_alpha_validation(spark):
     df = spark.createDataFrame([Row(k="a", t=0, v=1.0)])
     with pytest.raises(ValueError):
         ewma(df, "k", "t", "v", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# blocked weighted Jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_weighted_jaccard_multiset(spark):
+    from rust_dataframe_spark.operators.dedup import blocked_weighted_jaccard
+
+    rows = [
+        Row(doc_id=1, text="a a a b", blk="x"),
+        Row(doc_id=2, text="a b", blk="x"),
+        Row(doc_id=3, text="a b", blk="y"),  # different block: never paired
+        Row(doc_id=4, text="c d", blk="x"),  # no common tokens with 1/2
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in blocked_weighted_jaccard(df, "doc_id", "text", ["blk"]).collect()
+    }
+    # multiset: min(3,1)+min(1,1)=2 over max: 4+2-2=4 -> 0.5 (set Jaccard would be 1.0)
+    assert out[(1, 2)]["wjaccard"] == 0.5
+    assert out[(1, 2)]["inter"] == 2
+    assert (1, 3) not in out and (2, 3) not in out
+    assert (1, 4) not in out  # zero intersection pairs are dropped
+
+
+def test_blocked_weighted_jaccard_identical_docs(spark):
+    from rust_dataframe_spark.operators.dedup import blocked_weighted_jaccard
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x y x", blk=0), Row(doc_id=2, text="x y x", blk=0)]
+    )
+    out = blocked_weighted_jaccard(df, "doc_id", "text", ["blk"]).collect()
+    assert len(out) == 1 and out[0]["wjaccard"] == 1.0
+
+
+def test_blocked_weighted_jaccard_requires_blocks(spark):
+    from rust_dataframe_spark.operators.dedup import blocked_weighted_jaccard
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a", blk=0)])
+    with pytest.raises(ValueError):
+        blocked_weighted_jaccard(df, "doc_id", "text", [])
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity
+# ---------------------------------------------------------------------------
+
+
+def test_simpson_diversity_values(spark):
+    from rust_dataframe_spark.operators.text import simpson_diversity
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="w x y z")]
+    )
+    out = {r["doc_id"]: r for r in simpson_diversity(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_types"], r1["sum_sq"]) == (3, 2, 5)
+    assert r1["ttr"] == round(2 / 3, 6)
+    assert r1["simpson"] == round(1.0 - 5 / 9, 6)
+    # all-distinct doc: simpson = 1 - n/n^2
+    r2 = out[2]
+    assert r2["simpson"] == round(1.0 - 4 / 16, 6)
+    assert r2["ttr"] == 1.0
