@@ -402,3 +402,38 @@ def test_runtime_bloom_filter_prunes_fact_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_pq_adc_plan_is_narrow_topk(spark):
+    """q204: PQ encode + ADC is one codegen'd map over the scan feeding
+    TakeOrderedAndProject — no shuffle of vectors, no join."""
+    df = catalog.QUERIES["q204_pq_adc"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert pi.has_take_ordered(df)
+    assert pi.exchange_count(df) == 0
+    assert "Join" not in plan
+
+
+def test_weighted_jaccard_all_hash_joins(spark):
+    """q207: blocking + verify compiles to equi hash joins only — the
+    entity-resolution contract (no NLJ, no cartesian)."""
+    df = catalog.QUERIES["q207_weighted_jaccard"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_no_nlj(spark):
+    """q205: component rankings are top-k-bounded; the fuse is equi-join
+    only.  (The 1-row corpus-stats crossJoin inside BM25 broadcasts and is
+    allowed; what must not appear is a non-broadcast cartesian.)"""
+    df = catalog.QUERIES["q205_rrf_fusion"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_single_shuffle(spark):
+    """q206: the EWMA fold rides the per-key window sort — exactly one
+    exchange (hash by user) beyond the scan."""
+    df = catalog.QUERIES["q206_ewma_smooth"](spark, SF)
+    assert pi.exchange_count(df) <= 2  # key shuffle (+ final order-by range)
