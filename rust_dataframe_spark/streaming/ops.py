@@ -21,6 +21,7 @@ __all__ = [
     "session_counts",
     "stateful_running_counts",
     "stateful_running_counts_tws",
+    "stream_ewma",
     "stream_dedup",
     "enrich_stream",
     "interval_join",
@@ -361,3 +362,68 @@ def run_available_now(
     out = spark.table(query_name)
     q.stop()
     return out
+
+
+def stream_ewma(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Streaming one-pass EWMA — the UNBOUNDED-history path the batch
+    operator (operators/temporal.ewma) routes long histories to: state per
+    key is ONE double (the last smoothed value), each micro-batch folds its
+    rows in event-time order and emits per-event EWMA rows.
+
+    Versus the batch fold (O(history^2) per key), this is O(rows) total with
+    O(1) state — the recurrence ``y = alpha*x + (1-alpha)*y_prev`` is
+    exactly pandas ``ewm(adjust=False)``, which vectorizes the in-batch fold
+    (state seeds the series as a virtual first element).
+
+    Ordering contract: rows are sorted by ``ts_col`` WITHIN each micro-batch
+    and state carries across batches in arrival order — correct when
+    ingestion is per-key monotone (log files, CDC).  For out-of-order
+    sources put a watermarked sort in front or the recurrence is
+    order-of-arrival, same as any streaming fold.
+
+    Scale: state store shuffles on ``key_col`` only; Arrow batches keep the
+    Python hop vectorized (one pandas ewm call per key per batch).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    a = float(alpha)
+
+    def update(key, pdf_iter, state):
+        prev = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdf_iter))
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(ts_col, kind="mergesort")
+        vals = rows[value_col].astype("float64")
+        if prev is None:
+            sm = vals.ewm(alpha=a, adjust=False).mean()
+        else:
+            seeded = pd.concat([pd.Series([prev]), vals], ignore_index=True)
+            sm = seeded.ewm(alpha=a, adjust=False).mean().iloc[1:]
+        state.update((float(sm.iloc[-1]),))
+        yield pd.DataFrame(
+            {
+                key_col: rows[key_col].values,
+                ts_col: rows[ts_col].values,
+                value_col: vals.values,
+                "ewma": sm.round(6).values,
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} int, {ts_col} timestamp, {value_col} double, ewma double",
+        stateStructType="last_ewma double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

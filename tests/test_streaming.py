@@ -314,3 +314,25 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path_factory):
     batches_all = {r["_batch_id"] for r in back.select("_batch_id").distinct().collect()}
     # run 2 wrote NEW batch ids; run-1 partitions were left untouched
     assert batches_run1 < batches_all
+
+
+def test_stream_ewma_matches_batch_fold(spark, events):
+    """One-pass stateful EWMA over the stream == the batch O(n^2) fold —
+    state carries the recurrence across micro-batches."""
+    from rust_dataframe_spark.operators.temporal import ewma as batch_ewma
+
+    schema = spark.read.parquet(events).schema
+    stream = st.read_stream_parquet(spark, events, schema)
+    out = st.run_available_now(
+        st.stream_ewma(stream, key_col="user_id", ts_col="ts", value_col="value"),
+        "t_ewma",
+        output_mode="update",
+    )
+    got = {
+        (r["user_id"], r["ts"]): r["ewma"] for r in out.collect()
+    }
+    batch = batch_ewma(
+        spark.read.parquet(events), "user_id", "ts", "value", alpha=0.25
+    )
+    want = {(r["user_id"], r["ts"]): r["ewma"] for r in batch.collect()}
+    assert got == want and len(got) == 60
