@@ -410,3 +410,115 @@ def q208_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return simpson_diversity(d, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q209: multi-probe SRP-LSH near-dup (recall lever)
+# ---------------------------------------------------------------------------
+
+_MP_PLANES = 6
+
+
+def _fold_dot_sql(a: str, plane: list[float]) -> str:
+    """DuckDB replay of similarity._dot (left fold in index order) against a
+    literal plane — bit-identical to Spark's zip_with+aggregate."""
+    coeffs = "[" + ",".join(f"{c:.1f}" for c in plane) + "]"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {coeffs}),"
+        " p -> p[1]*p[2])), (s, x) -> s + x)"
+    )
+
+
+def _mp_oracle() -> str:
+    planes = sim.srp_planes(64, _MP_PLANES, seed=42)
+    n = _MP_PLANES
+    d_cols = ", ".join(f"{_fold_dot_sql('emb', p)} AS d{i}" for i, p in enumerate(planes))
+    b_cols = ", ".join(
+        f"(CASE WHEN d{i} >= 0 THEN '1' ELSE '0' END) AS b{i}" for i in range(n)
+    )
+    argmin = (
+        "CAST(list_min(["
+        + ", ".join(f"[abs(d{i}), CAST({i} AS DOUBLE)]" for i in range(n))
+        + "])[2] AS INT) AS fi"
+    )
+    bucket = " || ".join(f"b{i}" for i in range(n))
+    flipped = " || ".join(
+        f"(CASE WHEN fi = {i} THEN (CASE WHEN b{i} = '1' THEN '0' ELSE '1' END)"
+        f" ELSE b{i} END)"
+        for i in range(n)
+    )
+    fold_sq = (
+        "list_reduce(list_prepend(0.0, list_transform({v}, x -> x*x)), (s, x) -> s + x)"
+    )
+    cos = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(va.emb, vb.emb),"
+        " p -> p[1]*p[2])), (s, x) -> s + x)"
+        f" / (sqrt({fold_sq.format(v='va.emb')}) * sqrt({fold_sq.format(v='vb.emb')}))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings WHERE vec_id < 200),
+    d AS (SELECT vec_id, emb, {d_cols} FROM e),
+    b AS (SELECT vec_id, emb, {b_cols}, {argmin} FROM d),
+    p AS (
+      SELECT vec_id, 0 AS probe, {bucket} AS bucket FROM b
+      UNION ALL
+      SELECT vec_id, 1 AS probe, {flipped} AS bucket FROM b
+    ),
+    exact AS (SELECT vec_id, {bucket} AS bucket FROM b),
+    cand AS (
+      SELECT DISTINCT least(p.vec_id, x.vec_id) AS id_a,
+                      greatest(p.vec_id, x.vec_id) AS id_b
+      FROM p JOIN exact x ON p.bucket = x.bucket AND p.vec_id <> x.vec_id
+    ),
+    v AS (SELECT vec_id, emb FROM e)
+    SELECT c.id_a, c.id_b, round({cos}, 6) AS cos_sim
+    FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b
+    WHERE {cos} >= 0.35
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q209_srp_multiprobe", oracle=_mp_oracle())
+def q209_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH near-dup (operators/similarity.srp_multiprobe,
+    Lv et al. VLDB'07 shape): every vector probes its own bucket PLUS the
+    bucket one flip of its least-confident bit away, recovering neighbors a
+    single sign separated — recall rises without more hash tables and
+    without shortening codes (q76's recall/bucket-size trade-off gets a
+    third axis).  Probe rows join probe-0 rows on the bucket — still pure
+    equi-joins; shuffle grows by (n_probes+1)x, never 2^k.
+
+    Margins fold in index order and the flip ranking tie-breaks on plane
+    index, so the probe set — and the verified pair set — replays exactly
+    on both engines."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    probes = sim.srp_multiprobe(
+        e, "vec_id", "embedding", n_planes=_MP_PLANES, seed=42, n_probes=1
+    )
+    exact = probes.filter(F.col("probe") == 0).select(
+        F.col("vec_id").alias("id_x"), F.col("bucket").alias("bucket_x")
+    )
+    cand = (
+        probes.join(
+            exact,
+            (F.col("bucket") == F.col("bucket_x")) & (F.col("vec_id") != F.col("id_x")),
+        )
+        .select(
+            F.least("vec_id", "id_x").alias("id_a"),
+            F.greatest("vec_id", "id_x").alias("id_b"),
+        )
+        .distinct()
+    )
+    emb = sim.as_double(F.col("embedding"))
+    va = e.select(F.col("vec_id").alias("id_a"), emb.alias("emb_a"))
+    vb = e.select(F.col("vec_id").alias("id_b"), emb.alias("emb_b"))
+    cos = sim.cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("raw"))
+        .filter(F.col("raw") >= 0.35)
+        .select("id_a", "id_b", F.round("raw", 6).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "srp_planes",
     "srp_bucket",
     "srp_candidates",
+    "srp_multiprobe",
     "srp_near_dup",
     "ivf_assign",
     "ivf_topk",
@@ -389,6 +390,74 @@ def srp_candidates(
     return df.select(
         F.col(id_col), srp_bucket(as_double(F.col(vec_col)), planes).alias("bucket")
     )
+
+
+def srp_multiprobe(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_planes: int = 8,
+    seed: int = 42,
+    n_probes: int = 1,
+) -> DataFrame:
+    """Multi-probe SRP-LSH: each vector emits its own bucket (probe 0) PLUS
+    the ``n_probes`` buckets reachable by flipping its least-confident bits —
+    the bits whose hyperplane margin ``|dot(v, plane_k)|`` is smallest (the
+    classic multi-probe LSH recall lever, Lv et al. VLDB'07): a near-neighbor
+    that landed one sign-flip away is found WITHOUT building more hash
+    tables or widening buckets.
+
+    Returns (id, probe, bucket): probe 0 is the true bucket; probe k >= 1
+    flips the k-th-smallest-margin bit.  Candidate generation joins probe
+    rows against probe-0 rows on the bucket — still an equi-join, state and
+    shuffle grow by the factor (n_probes + 1) instead of the 2^k blowup of
+    shorter codes.
+
+    Determinism: margins fold in index order (engine-replayable) and the
+    flip ranking tie-breaks on plane index, so the probe set is identical
+    across engines and retries.
+    """
+    if not (0 <= n_probes < n_planes):
+        raise ValueError(f"n_probes must be in [0, {n_planes}), got {n_probes}")
+    dim = len(df.select(vec_col).first()[0])
+    planes = srp_planes(dim, n_planes, seed)
+    emb = as_double(F.col(vec_col))
+    dots = [
+        _dot(emb, F.array(*[F.lit(c) for c in plane])) for plane in planes
+    ]
+    bits = [
+        F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")) for d in dots
+    ]
+    barr = F.array(*bits)
+    bucket = F.concat(*bits)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
+                for i, d in enumerate(dots)
+            ]
+        )
+    )
+    probes = [F.struct(F.lit(0).alias("probe"), bucket.alias("bucket"))]
+    for k in range(1, n_probes + 1):
+        flip_i = F.element_at(ranked, k)["i"]
+        flipped = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda i: F.when(
+                    i == flip_i,
+                    F.when(F.element_at(barr, i + 1) == "1", F.lit("0")).otherwise(
+                        F.lit("1")
+                    ),
+                ).otherwise(F.element_at(barr, i + 1)),
+            ),
+            "",
+        )
+        probes.append(F.struct(F.lit(k).alias("probe"), flipped.alias("bucket")))
+    return df.select(
+        F.col(id_col), F.explode(F.array(*probes)).alias("p")
+    ).select(F.col(id_col), F.col("p.probe").alias("probe"), F.col("p.bucket").alias("bucket"))
 
 
 def quantize_int8(df: DataFrame, vec_col: str, *, out_col: str = "qvec") -> DataFrame:

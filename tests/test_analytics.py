@@ -253,3 +253,61 @@ def test_simpson_diversity_values(spark):
     r2 = out[2]
     assert r2["simpson"] == round(1.0 - 4 / 16, 6)
     assert r2["ttr"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# multi-probe SRP
+# ---------------------------------------------------------------------------
+
+
+def test_srp_multiprobe_probe0_equals_exact_bucket(spark):
+    from rust_dataframe_spark.catalog import table
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    exact = {
+        r["vec_id"]: r["bucket"]
+        for r in sim.srp_candidates(e, "vec_id", "embedding", n_planes=6).collect()
+    }
+    probes = sim.srp_multiprobe(
+        e, "vec_id", "embedding", n_planes=6, n_probes=1
+    ).collect()
+    p0 = {r["vec_id"]: r["bucket"] for r in probes if r["probe"] == 0}
+    p1 = {r["vec_id"]: r["bucket"] for r in probes if r["probe"] == 1}
+    assert p0 == exact
+    # each flip bucket differs from the exact bucket in exactly one bit
+    for vid, b in p1.items():
+        diff = sum(1 for x, y in zip(b, p0[vid]) if x != y)
+        assert diff == 1 and len(b) == 6
+
+
+def test_srp_multiprobe_raises_recall(spark):
+    # two near-identical vectors forced across a bucket boundary: the tiny
+    # first component flips sign, every other plane agrees
+    from pyspark.sql import Row
+
+    planes = sim.srp_planes(4, 3, seed=42)
+    base = [1.0, 1.0, 1.0, 1.0]
+    va = list(base)
+    vb = list(base)
+    # craft component 0 so exactly plane 0's dot straddles zero: use the
+    # actual plane signs to push dot(plane0) slightly +/-
+    s = planes[0]
+    va[0] = 0.001 * s[0]
+    vb[0] = -0.001 * s[0]
+    # make remaining dims dominate the other planes identically
+    df = spark.createDataFrame([Row(vec_id=0, embedding=va), Row(vec_id=1, embedding=vb)])
+    probes = sim.srp_multiprobe(df, "vec_id", "embedding", n_planes=3, seed=42, n_probes=1)
+    rows = probes.collect()
+    p0 = {r["vec_id"]: r["bucket"] for r in rows if r["probe"] == 0}
+    p1 = {r["vec_id"]: r["bucket"] for r in rows if r["probe"] == 1}
+    if p0[0] != p0[1]:
+        # exact buckets miss the pair; some flip probe must recover it
+        assert p1[0] == p0[1] or p1[1] == p0[0]
+
+
+def test_srp_multiprobe_validation(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 2.0])])
+    with pytest.raises(ValueError):
+        sim.srp_multiprobe(df, "vec_id", "embedding", n_planes=4, n_probes=4)
