@@ -71,6 +71,13 @@ HEADLINE = [
     "q80_fingerprint",
     "q94_hash_split",
     "q95_repetition",
+    # round 5: analytics depth (regr aggs, DSIR, PQ-ANN, blocking verify,
+    # multi-probe LSH)
+    "q202_regression_agg",
+    "q203_dsir_weights",
+    "q204_pq_adc",
+    "q207_weighted_jaccard",
+    "q209_srp_multiprobe",
 ]
 
 
