@@ -522,3 +522,47 @@ def q209_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("raw", 6).alias("cos_sim"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q210: incremental aggregate-state maintenance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q210_incremental_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(l_quantity) AS s,
+           min(l_quantity) AS mn,
+           max(l_quantity) AS mx,
+           round(sum(l_quantity) / count(*), 6) AS avg,
+           round(sum(l_quantity * l_quantity) / count(*)
+                 - (sum(l_quantity) / count(*)) * (sum(l_quantity) / count(*)), 6)
+             AS var_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q210_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/merge.agg_state/
+    merge_agg_state/finalize_agg_state): per-flag quantity stats kept as a
+    mergeable (n, s, ss, min, max) STATE — the 'old' state (shipdate <
+    1995) absorbs the 'new batch' (>= 1995) with one key-merge, and the
+    result must equal the full recompute the oracle runs.  That equality IS
+    the operator's contract: refreshing a corpus-wide aggregate costs one
+    shuffle of the BATCH, never a rescan of history.
+
+    Determinism: l_quantity is integer-valued, so n/s/ss are exact in
+    doubles and the avg/variance identities are bit-identical regardless of
+    merge order or engine."""
+    from .operators.merge import agg_state, finalize_agg_state, merge_agg_state
+
+    li = table(spark, sf_dir, "lineitem")
+    cut = F.to_timestamp(F.lit("1995-01-01"))
+    old = agg_state(li.filter(F.col("l_shipdate") < cut), ["l_returnflag"], "l_quantity")
+    new = agg_state(li.filter(F.col("l_shipdate") >= cut), ["l_returnflag"], "l_quantity")
+    merged = merge_agg_state(old, new, ["l_returnflag"])
+    return finalize_agg_state(merged, ["l_returnflag"]).orderBy("l_returnflag")

@@ -83,3 +83,70 @@ def snapshot_diff(
     for c in cols:
         out_cols.append(F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c))
     return j.select(*out_cols)
+
+
+def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Mergeable per-key aggregate STATE: (keys, n, s, ss, mn, mx) — count,
+    sum, sum of squares, min, max.  The partial-aggregate form every
+    distributive/algebraic aggregate reduces to; two states combine with
+    :func:`merge_agg_state` and finalize to avg/variance with
+    :func:`finalize_agg_state`.
+
+    This is incremental-view maintenance without a table format: keep the
+    state table, fold each day's batch in (one key-shuffle over the BATCH
+    only), and never rescan history — the 100 TB alternative to recomputing
+    a corpus-wide groupBy per refresh.
+    """
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+
+
+def merge_agg_state(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Combine two aggregate states by key (full-outer, null-safe): counts
+    and sums add, min/max take the extremum, absent keys pass through.
+    Associative and commutative — fold any number of batches in any order."""
+    bb = b
+    for c in ["n", "s", "ss", "mn", "mx"]:
+        bb = bb.withColumnRenamed(c, f"__b_{c}")
+    j = a.join(bb, keys, "full_outer")
+    z = F.lit(0)
+    return j.select(
+        *keys,
+        (F.coalesce(F.col("n"), z) + F.coalesce(F.col("__b_n"), z)).alias("n"),
+        (F.coalesce(F.col("s"), F.lit(0.0)) + F.coalesce(F.col("__b_s"), F.lit(0.0))).alias("s"),
+        (F.coalesce(F.col("ss"), F.lit(0.0)) + F.coalesce(F.col("__b_ss"), F.lit(0.0))).alias("ss"),
+        F.coalesce(
+            F.least(F.col("mn"), F.col("__b_mn")), F.col("mn"), F.col("__b_mn")
+        ).alias("mn"),
+        F.coalesce(
+            F.greatest(F.col("mx"), F.col("__b_mx")), F.col("mx"), F.col("__b_mx")
+        ).alias("mx"),
+    )
+
+
+def finalize_agg_state(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Read avg and population variance off a state frame:
+    ``avg = s/n``, ``var_pop = ss/n - (s/n)^2`` — the algebraic identities
+    the mergeable (n, s, ss) triple exists for.  With integer-valued inputs
+    the sums are exact in doubles (up to 2^53), so the two closing ops are
+    bit-identical across engines and merge orders; for wide-magnitude float
+    inputs prefer Welford merging and document the rounding."""
+    n = F.col("n").cast("double")
+    avg = F.col("s") / n
+    return state.select(
+        *keys,
+        "n",
+        "s",
+        "mn",
+        "mx",
+        F.round(avg, 6).alias("avg"),
+        F.round(F.col("ss") / n - (F.col("s") / n) * (F.col("s") / n), 6).alias(
+            "var_pop"
+        ),
+    )

@@ -311,3 +311,42 @@ def test_srp_multiprobe_validation(spark):
     df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 2.0])])
     with pytest.raises(ValueError):
         sim.srp_multiprobe(df, "vec_id", "embedding", n_planes=4, n_probes=4)
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate state
+# ---------------------------------------------------------------------------
+
+
+def test_agg_state_merge_associative_any_order(spark):
+    from rust_dataframe_spark.operators.merge import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_state,
+    )
+
+    rows = [Row(k="a", v=float(i)) for i in range(1, 8)] + [
+        Row(k="b", v=10.0),
+        Row(k="b", v=20.0),
+    ]
+    df = spark.createDataFrame(rows)
+    b1 = agg_state(df.filter(F.col("v") <= 3), ["k"], "v")
+    b2 = agg_state(df.filter((F.col("v") > 3) & (F.col("v") <= 10)), ["k"], "v")
+    b3 = agg_state(df.filter(F.col("v") > 10), ["k"], "v")
+    full = finalize_agg_state(agg_state(df, ["k"], "v"), ["k"]).collect()
+    m12 = merge_agg_state(merge_agg_state(b1, b2, ["k"]), b3, ["k"])
+    m21 = merge_agg_state(b3, merge_agg_state(b2, b1, ["k"]), ["k"])
+    key = lambda r: r["k"]  # noqa: E731
+    want = sorted([tuple(r) for r in full], key=lambda t: t[0])
+    assert sorted([tuple(r) for r in finalize_agg_state(m12, ["k"]).collect()], key=lambda t: t[0]) == want
+    assert sorted([tuple(r) for r in finalize_agg_state(m21, ["k"]).collect()], key=lambda t: t[0]) == want
+
+
+def test_agg_state_merge_handles_absent_keys(spark):
+    from rust_dataframe_spark.operators.merge import agg_state, merge_agg_state
+
+    a = agg_state(spark.createDataFrame([Row(k="x", v=1.0)]), ["k"], "v")
+    b = agg_state(spark.createDataFrame([Row(k="y", v=5.0)]), ["k"], "v")
+    out = {r["k"]: r for r in merge_agg_state(a, b, ["k"]).collect()}
+    assert out["x"]["n"] == 1 and out["x"]["mn"] == 1.0 and out["x"]["mx"] == 1.0
+    assert out["y"]["n"] == 1 and out["y"]["s"] == 5.0
