@@ -566,3 +566,69 @@ def q210_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = agg_state(li.filter(F.col("l_shipdate") >= cut), ["l_returnflag"], "l_quantity")
     merged = merge_agg_state(old, new, ["l_returnflag"])
     return finalize_agg_state(merged, ["l_returnflag"]).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q211: count-min sketch heavy-hitter estimation
+# ---------------------------------------------------------------------------
+
+_CM_TERMS = ["join", "the", "vector", "zzznotfound"]
+_CM_DEPTH, _CM_WIDTH = 4, 256
+
+
+def _cm_oracle() -> str:
+    probe_vals = ", ".join(f"'{t}'" for t in _CM_TERMS)
+    cell = "('0x' || substr(md5({v} || '|cm|{r}'), 1, 8))::UBIGINT % {w}"
+    build_arms = " UNION ALL ".join(
+        f"SELECT {r} AS row, {cell.format(v='tok', r=r, w=_CM_WIDTH)} AS bucket FROM t"
+        for r in range(_CM_DEPTH)
+    )
+    probe_arms = " UNION ALL ".join(
+        f"SELECT term, {r} AS row, {cell.format(v='term', r=r, w=_CM_WIDTH)} AS bucket"
+        " FROM probes"
+        for r in range(_CM_DEPTH)
+    )
+    return f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    t AS (SELECT tok FROM toks WHERE tok <> ''),
+    cells AS (SELECT row, bucket, count(*) AS c FROM ({build_arms}) GROUP BY 1, 2),
+    probes AS (SELECT unnest([{probe_vals}]) AS term),
+    pc AS ({probe_arms}),
+    est AS (
+      SELECT term, min(COALESCE(c, 0)) AS est
+      FROM pc LEFT JOIN cells USING (row, bucket) GROUP BY term
+    ),
+    tru AS (SELECT tok AS term, count(*) AS n FROM t GROUP BY 1)
+    SELECT e.term, e.est, COALESCE(tr.n, 0) AS true_n
+    FROM est e LEFT JOIN tru tr ON tr.term = e.term
+    ORDER BY e.term
+    """
+
+
+@query("q211_countmin", oracle=_cm_oracle())
+def q211_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketches): corpus token frequencies
+    summarized into a 4x256 mergeable cell table, then point-estimated for
+    probe terms next to their true counts — est >= true always (one-sided
+    error), equality when the term's cells are collision-free.  The
+    fixed-memory frequency summary a 100 TB pipeline broadcasts where an
+    exact vocabulary count table would not fit; per-day sketches merge by
+    cell addition (operators/sketches.countmin_merge).  md5 cell hashing =
+    the oracle rebuilds the identical sketch."""
+    from .operators.sketches import countmin_build, countmin_lookup
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sketch = countmin_build(toks, "tok", depth=_CM_DEPTH, width=_CM_WIDTH)
+    terms = spark.createDataFrame([(t,) for t in _CM_TERMS], "term string")
+    est = countmin_lookup(
+        sketch, terms, "term", depth=_CM_DEPTH, width=_CM_WIDTH
+    )
+    tru = toks.groupBy(F.col("tok").alias("term")).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.join(tru, "term", "left")
+        .select("term", "est", F.coalesce(F.col("n"), F.lit(0)).alias("true_n"))
+        .orderBy("term")
+    )

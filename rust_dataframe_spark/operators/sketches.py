@@ -1,0 +1,101 @@
+"""Count-min sketch: fixed-size mergeable frequency summaries.
+
+The approximate-counting complement of the HLL/theta sketches in
+tests/test_functions.py: HLL answers "how many DISTINCT", count-min answers
+"how often does THIS item occur" with bounded memory — ``depth x width``
+integer cells regardless of vocabulary size.  Guarantees (standard CM):
+``true <= est`` always, and ``est <= true + (2/width) * N`` with probability
+``1 - 2^-depth`` — the one-sided error is what makes it safe for
+heavy-hitter screening (no true heavy hitter is ever missed).
+
+Engine-replayable by construction: cell hashing is the repo's md5 pattern
+(``conv(substr(md5(token || '|' || row), 1, 8), 16, 10) % width``), so a SQL
+oracle rebuilds the identical sketch and the estimates match exactly.
+
+Scale shape: the build is explode -> ONE map-side-combined aggregate into at
+most depth*width cells (a few KB) — the sketch of a 100 TB corpus fits in a
+broadcast; per-partition or per-day sketches merge by cell-wise addition
+(associative, commutative), which is the point: count once, merge forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["countmin_build", "countmin_merge", "countmin_lookup"]
+
+
+def _cell(token_col, row: int, width: int, salt: str):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(token_col, F.lit(f"|{salt}|{row}"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def countmin_build(
+    df: DataFrame,
+    token_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Build a count-min sketch over a token column.  Returns the sparse cell
+    table (row, bucket, c) — absent cells are zero.  One explode-free pass:
+    each token lands in ``depth`` cells via independent salted hashes."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    rows = F.array(
+        *[
+            F.struct(F.lit(r).alias("row"), _cell(F.col(token_col), r, width, salt).alias("bucket"))
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the same (depth, width, salt): cell-wise
+    addition.  Associative/commutative — fold per-day or per-partition
+    sketches in any order."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-estimate the count of each term: min over the depth rows of the
+    term's cell (missing cell = 0).  ``terms`` is a frame of probe terms —
+    the same hash expressions recompute the cells, so lookups never need the
+    original data."""
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).alias("row"), _cell(F.col(term_col), r, width, salt).alias("bucket"))
+            for r in range(depth)
+        ]
+    )
+    probes = terms.select(F.col(term_col), F.explode(cells).alias("rb")).select(
+        F.col(term_col), F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    joined = probes.join(sketch, ["row", "bucket"], "left").select(
+        F.col(term_col), F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return joined.groupBy(term_col).agg(F.min("c").alias("est"))

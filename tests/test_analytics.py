@@ -350,3 +350,50 @@ def test_agg_state_merge_handles_absent_keys(spark):
     out = {r["k"]: r for r in merge_agg_state(a, b, ["k"]).collect()}
     assert out["x"]["n"] == 1 and out["x"]["mn"] == 1.0 and out["x"]["mx"] == 1.0
     assert out["y"]["n"] == 1 and out["y"]["s"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_never_underestimates_and_is_exact_when_sparse(spark):
+    from rust_dataframe_spark.operators.sketches import countmin_build, countmin_lookup
+
+    toks = spark.createDataFrame(
+        [Row(tok=t) for t in ["a"] * 5 + ["b"] * 3 + ["c"]]
+    )
+    sketch = countmin_build(toks, "tok", depth=4, width=1024)
+    terms = spark.createDataFrame([Row(term=t) for t in ["a", "b", "c", "missing"]])
+    est = {
+        r["term"]: r["est"]
+        for r in countmin_lookup(sketch, terms, "term", depth=4, width=1024).collect()
+    }
+    # 3 distinct tokens in 4x1024 cells: collision-free -> exact
+    assert est == {"a": 5, "b": 3, "c": 1, "missing": 0}
+
+
+def test_countmin_merge_equals_single_build(spark):
+    from rust_dataframe_spark.operators.sketches import (
+        countmin_build,
+        countmin_lookup,
+        countmin_merge,
+    )
+
+    day1 = spark.createDataFrame([Row(tok=t) for t in ["x", "x", "y"]])
+    day2 = spark.createDataFrame([Row(tok=t) for t in ["x", "z"]])
+    both = day1.unionByName(day2)
+    merged = countmin_merge(
+        countmin_build(day1, "tok", depth=3, width=64),
+        countmin_build(day2, "tok", depth=3, width=64),
+    )
+    single = countmin_build(both, "tok", depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, single.collect()))
+
+
+def test_countmin_validation(spark):
+    from rust_dataframe_spark.operators.sketches import countmin_build
+
+    df = spark.createDataFrame([Row(tok="a")])
+    with pytest.raises(ValueError):
+        countmin_build(df, "tok", depth=0)
