@@ -632,3 +632,97 @@ def q211_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "est", F.coalesce(F.col("n"), F.lit(0)).alias("true_n"))
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# q212: IVF-PQ — the composed ANN layout (cell pruning + code scan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q212_ivf_pq",
+    oracle="""
+    WITH c AS (SELECT vec_id AS cid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)
+                          / sqrt(list_dot_product(
+                              list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                              list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS cvn
+               FROM embeddings WHERE vec_id < 8),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+    sims AS (SELECT e.vec_id, c.cid, e.emb,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        list_dot_product(emb, cvn) DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN c),
+    assign AS (SELECT vec_id, cid AS cell, emb FROM sims WHERE rn = 1),
+    probe AS (SELECT cid FROM c, q
+              ORDER BY list_dot_product(cvn, qv) DESC, cid ASC
+              LIMIT 2),
+    cb AS (SELECT vec_id AS cid, emb FROM e WHERE vec_id < 8),
+    js AS (SELECT * FROM generate_series(0, 7) t(j)),
+    sub AS (SELECT vec_id, j, emb[j*8+1 : j*8+8] AS sv FROM e CROSS JOIN js),
+    cbs AS (SELECT cid, j, emb[j*8+1 : j*8+8] AS cw FROM cb CROSS JOIN js),
+    d AS (
+      SELECT sub.vec_id, sub.j, cbs.cid,
+             list_reduce(
+               list_prepend(0.0, list_transform(list_zip(sv, cw),
+                                                p -> (p[1]-p[2])*(p[1]-p[2]))),
+               (s, x) -> s + x) AS dist
+      FROM sub JOIN cbs ON sub.j = cbs.j
+    ),
+    codes AS (
+      SELECT vec_id, j, CAST(min([dist, CAST(cid AS DOUBLE)])[2] AS INT) AS code
+      FROM d GROUP BY vec_id, j
+    ),
+    qd AS (SELECT j, cid, dist FROM d WHERE vec_id = 0),
+    hits AS (SELECT vec_id, cell FROM assign
+             WHERE cell IN (SELECT cid FROM probe)),
+    adc AS (
+      SELECT h.vec_id, h.cell,
+             list_reduce(list_prepend(0.0, list(qd.dist ORDER BY cd.j)),
+                         (s, x) -> s + x) AS dist
+      FROM hits h
+      JOIN codes cd ON cd.vec_id = h.vec_id
+      JOIN qd ON qd.j = cd.j AND qd.cid = cd.code
+      GROUP BY h.vec_id, h.cell
+    )
+    SELECT vec_id, cell, round(dist, 6) AS adc_dist
+    FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def q212_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN layout, composed from the catalog's own
+    pieces: IVF coarse cells prune the scan to nprobe partitions (q86's
+    operators/similarity.ivf_assign), and within the probed cells distances
+    come from PQ codes + ADC lookups (q204's pq_adc_topk), never from raw
+    vectors.  At 100 TB: `cell` is a partition column (probe = partition
+    pruning), codes are an m-byte column — the query reads nprobe/ncells of
+    the table and does table-lookup arithmetic only.  Both stages use the
+    same injectable deterministic trainers as their standalone queries, so
+    the composition replays exactly."""
+    e = table(spark, sf_dir, "embeddings")
+    rows = e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    training = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+    qvec = dict(training)[0]
+    centroids = training
+
+    import math
+
+    def _pydot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    ranked = sorted(
+        centroids,
+        key=lambda c: (
+            -_pydot(c[1], qvec) / (math.sqrt(_pydot(c[1], c[1])) * math.sqrt(_pydot(qvec, qvec))),
+            c[0],
+        ),
+    )
+    probe = [cid for cid, _ in ranked[:2]]
+    assigned = sim.ivf_assign(e, "vec_id", "embedding", centroids)
+    hits = assigned.filter(F.col("cell").isin(probe))
+    books = sim.pq_split_codebooks(training, m=8)
+    return sim.pq_adc_topk(
+        hits, "vec_id", "embedding", qvec, books, k=10, keep_cols=["cell"]
+    )

@@ -297,6 +297,7 @@ def pq_encode(
     codebooks: list[list[tuple[int, list[float]]]],
     *,
     out_col: str = "codes",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: split each vector into ``m = len(codebooks)``
     contiguous subvectors and replace subvector ``j`` with the id of its
@@ -323,7 +324,10 @@ def pq_encode(
             ]
         )
         codes.append(best["c"])
-    return df.select(F.col(id_col), F.col(vec_col), F.array(*codes).alias(out_col))
+    extra = [F.col(c) for c in (keep_cols or [])]
+    return df.select(
+        F.col(id_col), F.col(vec_col), *extra, F.array(*codes).alias(out_col)
+    )
 
 
 def pq_adc_topk(
@@ -334,6 +338,7 @@ def pq_adc_topk(
     codebooks: list[list[tuple[int, list[float]]]],
     *,
     k: int = 10,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """PQ approximate nearest neighbors by Asymmetric Distance Computation:
     precompute the query's distance to every codeword per subspace (an m x k
@@ -367,14 +372,15 @@ def pq_adc_topk(
             raise ValueError("codeword ids must be dense 0..k-1")
         dtables.append([_pyl2(qsub, cw) for _, cw in cb])
 
-    enc = pq_encode(df, id_col, vec_col, codebooks)
+    enc = pq_encode(df, id_col, vec_col, codebooks, keep_cols=keep_cols)
     # left-to-right sum over subspaces (fixed float order, engine-replayable)
     adc = F.lit(0.0)
     for j in range(m):
         table_j = F.array(*[F.lit(d) for d in dtables[j]])
         adc = adc + F.element_at(table_j, F.element_at(F.col("codes"), j + 1) + 1)
+    extra = [F.col(c) for c in (keep_cols or [])]
     return (
-        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        enc.select(F.col(id_col), *extra, F.round(adc, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )

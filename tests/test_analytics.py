@@ -397,3 +397,16 @@ def test_countmin_validation(spark):
     df = spark.createDataFrame([Row(tok="a")])
     with pytest.raises(ValueError):
         countmin_build(df, "tok", depth=0)
+
+
+def test_pq_adc_keep_cols_pass_through(spark):
+    vecs = _toy_vectors()
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v, cell=i % 2) for i, v in vecs]
+    )
+    books = sim.pq_split_codebooks(vecs[:2], m=2)
+    res = sim.pq_adc_topk(
+        df, "vec_id", "embedding", vecs[0][1], books, k=4, keep_cols=["cell"]
+    ).collect()
+    assert {r["vec_id"]: r["cell"] for r in res} == {0: 0, 1: 1, 2: 0, 3: 1}
+    assert list(res[0].asDict()) == ["vec_id", "cell", "adc_dist"]
