@@ -726,3 +726,43 @@ def q212_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk(
         hits, "vec_id", "embedding", qvec, books, k=10, keep_cols=["cell"]
     )
+
+
+# ---------------------------------------------------------------------------
+# q213: streaming one-pass EWMA, driver-visible
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q213_stream_ewma",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hist
+      FROM events WHERE user_id < 20
+    )
+    SELECT user_id, ts, value,
+           round(list_reduce(hist, (s, v) -> v * 0.25 + s * 0.75), 6) AS ewma
+    FROM h ORDER BY user_id, ts
+    """,
+)
+def q213_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q206's EWMA executed as a REAL stateful Structured Streaming query
+    (streaming/ops.stream_ewma: applyInPandasWithState, ONE double of state
+    per key, availableNow into a memory sink) and checked against the same
+    recursive-fold SQL oracle — the O(1)-state streaming path the batch
+    operator's docstring routes unbounded histories to, made
+    driver-visible.  The recurrence is pandas ewm(adjust=False), vectorized
+    per key per micro-batch."""
+    from .catalog_rank import _stream_events
+    from .streaming import ops as st
+
+    stream = _stream_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    out = st.run_available_now(
+        st.stream_ewma(stream, key_col="user_id", ts_col="ts", value_col="value"),
+        "q213_sink",
+        output_mode="update",
+    )
+    return out.select("user_id", "ts", "value", "ewma").orderBy("user_id", "ts")

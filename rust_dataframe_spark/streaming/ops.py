@@ -405,18 +405,35 @@ def stream_ewma(
             return
         rows = rows.sort_values(ts_col, kind="mergesort")
         vals = rows[value_col].astype("float64")
-        if prev is None:
-            sm = vals.ewm(alpha=a, adjust=False).mean()
-        else:
-            seeded = pd.concat([pd.Series([prev]), vals], ignore_index=True)
-            sm = seeded.ewm(alpha=a, adjust=False).mean().iloc[1:]
-        state.update((float(sm.iloc[-1]),))
+        # Explicit fold with the exact op sequence of the batch operator's
+        # lambda (v*alpha + s*(1-alpha)) — pandas ewm(adjust=False) computes
+        # the same recurrence through a different weighted form whose IEEE
+        # roundings differ in the last ulp, which the oracle gate catches.
+        one_minus_a = 1.0 - a
+        y = prev
+        out = []
+        for x in vals:
+            y = x if y is None else x * a + y * one_minus_a
+            out.append(y)
+        state.update((float(y),))
+        # Match Spark's F.round / DuckDB's round exactly: both round HALF_UP
+        # on the SHORTEST decimal representation of the double (Java
+        # Double.toString semantics), not on its exact binary expansion.
+        # The dyadic recurrence (x*0.25 + y*0.75) lands on .xxxxxx5 shortest
+        # reprs routinely, where Python's banker's round() and exact-binary
+        # quantization both go the other way.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
         yield pd.DataFrame(
             {
                 key_col: rows[key_col].values,
                 ts_col: rows[ts_col].values,
                 value_col: vals.values,
-                "ewma": sm.round(6).values,
+                "ewma": [
+                    float(Decimal(repr(float(v))).quantize(q6, rounding=ROUND_HALF_UP))
+                    for v in out
+                ],
             }
         )
 
