@@ -410,3 +410,53 @@ def test_pq_adc_keep_cols_pass_through(spark):
     ).collect()
     assert {r["vec_id"]: r["cell"] for r in res} == {0: 0, 1: 1, 2: 0, 3: 1}
     assert list(res[0].asDict()) == ["vec_id", "cell", "adc_dist"]
+
+
+# ---------------------------------------------------------------------------
+# empty-input / degenerate-input guards for the round-5 operators
+# ---------------------------------------------------------------------------
+
+
+def test_round5_ops_empty_inputs(spark):
+    from rust_dataframe_spark.operators.dedup import blocked_weighted_jaccard
+    from rust_dataframe_spark.operators.merge import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_state,
+    )
+    from rust_dataframe_spark.operators.sketches import countmin_build, countmin_lookup
+    from rust_dataframe_spark.operators.text import simpson_diversity
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, blk int")
+    assert simpson_diversity(empty_docs, "doc_id", "text").count() == 0
+    assert (
+        blocked_weighted_jaccard(empty_docs, "doc_id", "text", ["blk"]).count() == 0
+    )
+    empty_toks = spark.createDataFrame([], "tok string")
+    sketch = countmin_build(empty_toks, "tok")
+    terms = spark.createDataFrame([Row(term="x")])
+    est = countmin_lookup(sketch, terms, "term").collect()
+    assert est[0]["est"] == 0  # empty sketch estimates zero, not null
+    empty_vals = spark.createDataFrame([], "k string, v double")
+    st = agg_state(empty_vals, ["k"], "v")
+    assert st.count() == 0
+    merged = merge_agg_state(st, st, ["k"])
+    assert finalize_agg_state(merged, ["k"]).count() == 0
+
+
+def test_dsir_all_target_degenerate(spark):
+    # every doc is in the target: weights collapse to a constant
+    # (N_r = N_t, ct_t = ct_r) -> weight == 1.0 exactly
+    from rust_dataframe_spark.operators.training import dsir_weights
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c", source="t") for i in range(3)]
+    )
+    out = dsir_weights(df, "doc_id", "text", F.col("source") == "t").collect()
+    assert all(r["weight"] == 1.0 for r in out)
+
+
+def test_ewma_single_row_groups(spark):
+    df = spark.createDataFrame([Row(k="a", t=0, v=7.5), Row(k="b", t=0, v=-2.0)])
+    out = {r["k"]: r["ewma"] for r in ewma(df, "k", "t", "v", alpha=0.3).collect()}
+    assert out == {"a": 7.5, "b": -2.0}
