@@ -678,3 +678,99 @@ def simpson_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.lit(1.0) - F.col("sum_sq").cast("double") / (n * n).cast("double"), 6
         ).alias("simpson"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    *,
+    min_word_len: int = 2,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Train ``n_merges`` BPE merge rules (Sennrich et al. 2016) — the full
+    trainer q200's pair counting is one iteration of: count adjacent symbol
+    pairs over the DISTINCT-word table (Heaps'-law bounded, weighted by word
+    frequency), adopt the most frequent pair as a merge rule (ties broken
+    lexicographically so training is deterministic), apply it corpus-wide,
+    repeat.  Returns (ordered merge rules, final symbolized word table
+    ``(word, n, syms)``).
+
+    The merge application is the faithful greedy left-to-right non-overlap
+    fold (``'a a a a'`` + rule (a,a) -> ``'aa aa'``), expressed as ONE
+    codegen'd ``F.aggregate`` with (accumulated array, pending symbol)
+    struct state — no Python per row.
+
+    Scale: each round is a pair-count aggregate over distinct words (a
+    vocabulary-sized frame, persisted between rounds) plus a 1-row collect
+    for the winning pair — the driver loop is O(n_merges) tiny actions, the
+    heavy lifting stays distributed.  Same iterative-operator discipline as
+    kmeans (bounded rounds, lineage truncated by persisting each round).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") >= min_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w", "n", F.split(F.col("w"), "").alias("syms"))
+    )
+
+    def pair_counts(t: DataFrame) -> DataFrame:
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("a"), F.element_at("syms", i + 1).alias("b")
+            ),
+        )
+        return (
+            t.filter(F.size("syms") >= 2)
+            .select("n", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+
+    def apply_merge(syms_col, a: str, b: str):
+        init = F.struct(
+            F.array().cast("array<string>").alias("acc"),
+            F.lit(None).cast("string").alias("pend"),
+        )
+        # step must also flush the PREVIOUS pend when no pair forms
+        def step_full(st, s):
+            is_pair = st["pend"].isNotNull() & (st["pend"] == a) & (s == b)
+            acc = (
+                F.when(st["pend"].isNull(), st["acc"])
+                .when(is_pair, F.concat(st["acc"], F.array(F.concat(st["pend"], s))))
+                .otherwise(F.concat(st["acc"], F.array(st["pend"])))
+            )
+            pend = F.when(is_pair, F.lit(None).cast("string")).otherwise(s)
+            return F.struct(acc.alias("acc"), pend.alias("pend"))
+
+        return F.aggregate(
+            syms_col,
+            init,
+            step_full,
+            lambda st: F.when(
+                st["pend"].isNull(), st["acc"]
+            ).otherwise(F.concat(st["acc"], F.array(st["pend"]))),
+        )
+
+    merges: list[tuple[str, str]] = []
+    cur = words
+    from .cache import persist_tracked
+
+    for _ in range(n_merges):
+        top = (
+            pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        cur = persist_tracked(
+            cur.select("w", "n", apply_merge(F.col("syms"), a, b).alias("syms"))
+        )
+    return merges, cur

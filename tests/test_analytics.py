@@ -460,3 +460,47 @@ def test_ewma_single_row_groups(spark):
     df = spark.createDataFrame([Row(k="a", t=0, v=7.5), Row(k="b", t=0, v=-2.0)])
     out = {r["k"]: r["ewma"] for r in ewma(df, "k", "t", "v", alpha=0.3).collect()}
     assert out == {"a": 7.5, "b": -2.0}
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_classic_example(spark):
+    from rust_dataframe_spark.operators.text import bpe_train
+
+    # Sennrich-style toy corpus: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([Row(text=text)])
+    merges, vocab = bpe_train(df, "text", n_merges=3)
+    # round 1: 'es' (9: newest 6 + widest 3); round 2: 'est' (9); round 3:
+    # 'lo' (7: low 5 + lower 2)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o")]
+    syms = {r["w"]: r["syms"] for r in vocab.collect()}
+    assert syms["newest"] == ["n", "e", "w", "est"]
+    assert syms["low"] == ["lo", "w"]
+    assert syms["lower"] == ["lo", "w", "e", "r"]
+
+
+def test_bpe_merge_greedy_nonoverlap(spark):
+    from rust_dataframe_spark.operators.text import bpe_train
+
+    # 'aaaa' x2, 'aaa' x1: round-1 best pair is (a,a); greedy left-to-right
+    # gives aaaa -> [aa, aa], aaa -> [aa, a]
+    df = spark.createDataFrame([Row(text="aaaa aaaa aaa")])
+    merges, vocab = bpe_train(df, "text", n_merges=1)
+    assert merges == [("a", "a")]
+    syms = {r["w"]: r["syms"] for r in vocab.collect()}
+    assert syms["aaaa"] == ["aa", "aa"]
+    assert syms["aaa"] == ["aa", "a"]
+
+
+def test_bpe_train_stops_when_no_pairs(spark):
+    from rust_dataframe_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([Row(text="ab cd")])
+    merges, _ = bpe_train(df, "text", n_merges=10)
+    # only 2 distinct pairs exist ('ab', 'cd'); after both merge into single
+    # symbols there is nothing left to count
+    assert len(merges) <= 4
