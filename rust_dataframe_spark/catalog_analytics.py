@@ -766,3 +766,55 @@ def q213_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return out.select("user_id", "ts", "value", "ewma").orderBy("user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# q214: distribution drift between snapshots (total variation distance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q214_drift_tvd",
+    oracle="""
+    WITH src AS (
+      SELECT value, ts < TIMESTAMP '2024-01-16 00:00:00' AS is_a,
+             least(20, greatest(1,
+                 CAST(floor((CAST(value AS DOUBLE) - 0.0) / 500.0 * 20) AS BIGINT) + 1))
+               AS bucket
+      FROM events
+    ),
+    j AS (
+      SELECT bucket,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_i,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS m_i
+      FROM src GROUP BY bucket
+    ),
+    t AS (SELECT sum(n_i) AS n, sum(m_i) AS m FROM j)
+    SELECT sum(n_i) AS n_a,
+           sum(m_i) AS n_b,
+           count(*) AS used_bins,
+           sum(abs(n_i * m - m_i * n)) AS tvd_num,
+           round(CAST(sum(abs(n_i * m - m_i * n)) AS DOUBLE)
+                 / (2.0 * CAST(max(n) * max(m) AS DOUBLE)), 6) AS tvd
+    FROM j CROSS JOIN t
+    """,
+)
+def q214_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitoring (operators/observability.distribution_drift):
+    total variation distance between the first and second half-month of
+    event values, over 20 fixed-width buckets — the log-free PSI stand-in
+    (integer-exact: one |n_i*M - m_i*N| sum, one closing division) a data
+    platform runs between corpus versions to catch train/serve skew.  Two
+    tiny histogram aggregates + a bucket join; no per-engine libm anywhere."""
+    from .operators.observability import distribution_drift
+
+    ev = load_events(spark, sf_dir)
+    cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    return distribution_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        "value",
+        nbins=20,
+        lo=0.0,
+        hi=500.0,
+    )

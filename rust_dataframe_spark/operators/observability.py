@@ -12,7 +12,7 @@ that Spark gives for free.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 
 def with_metrics(df: DataFrame, **metrics: Column) -> tuple[DataFrame, Observation]:
@@ -159,3 +159,69 @@ def robust_group_stats(df: DataFrame, value_col: str, *, group_cols: list[str]) 
         return pd.DataFrame(out)
 
     return df.groupBy(*gcols).applyInPandas(_stats, schema=schema)
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    *,
+    nbins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Distribution drift between two samples of the same metric — the
+    train/serve-skew and snapshot-regression check an ML data platform runs
+    between corpus versions.  Both samples histogram into the same fixed
+    ``nbins`` equal-width buckets over [lo, hi); drift is the total
+    variation distance ``TVD = 0.5 * sum_i |p_i - q_i|`` in [0, 1].
+
+    PSI/KL need per-bucket logs (per-engine libm hazard, and undefined on
+    empty buckets); TVD is the log-free drift metric with the same
+    monitoring role, computed INTEGER-EXACT: with counts n_i/N and m_i/M,
+    ``TVD = sum_i |n_i*M - m_i*N| / (2*N*M)`` — one exact integer sum and a
+    single closing division, bit-identical across engines, partitionings
+    and retries.  Returns one row: (n_a, n_b, used_bins, tvd_num, tvd).
+
+    Scale: two map-side-combined histogram aggregates (nbins rows each), a
+    bucket-keyed outer join of two tiny frames, one 1-row cross join for the
+    totals.  Values outside [lo, hi) clamp into the edge buckets so both
+    engines bucket identically.
+    """
+    if nbins < 1 or not (lo < hi):
+        raise ValueError(f"need nbins >= 1 and lo < hi, got {nbins}, [{lo}, {hi})")
+    span = float(hi) - float(lo)
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        raw = F.floor((v - F.lit(float(lo))) / F.lit(span) * nbins).cast("bigint") + 1
+        bkt = F.least(
+            F.lit(nbins).cast("bigint"), F.greatest(F.lit(1).cast("bigint"), raw)
+        )
+        return (
+            df.select(bkt.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca = bucketed(a, "n_i")
+    cb = bucketed(b, "m_i")
+    j = ca.join(cb, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce(F.col("n_i"), F.lit(0)).alias("n_i"),
+        F.coalesce(F.col("m_i"), F.lit(0)).alias("m_i"),
+    )
+    totals = j.agg(F.sum("n_i").alias("__n"), F.sum("m_i").alias("__m"))
+    cells = j.crossJoin(F.broadcast(totals))
+    num = F.sum(F.abs(F.col("n_i") * F.col("__m") - F.col("m_i") * F.col("__n")))
+    return cells.groupBy().agg(
+        F.sum("n_i").alias("n_a"),
+        F.sum("m_i").alias("n_b"),
+        F.count(F.lit(1)).alias("used_bins"),
+        num.alias("tvd_num"),
+        F.round(
+            num.cast("double")
+            / (F.lit(2.0) * (F.max("__n") * F.max("__m")).cast("double")),
+            6,
+        ).alias("tvd"),
+    )

@@ -504,3 +504,45 @@ def test_bpe_train_stops_when_no_pairs(spark):
     # only 2 distinct pairs exist ('ab', 'cd'); after both merge into single
     # symbols there is nothing left to count
     assert len(merges) <= 4
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (TVD)
+# ---------------------------------------------------------------------------
+
+
+def test_drift_identical_distributions_zero(spark):
+    from rust_dataframe_spark.operators.observability import distribution_drift
+
+    df = spark.createDataFrame([Row(v=float(i % 10)) for i in range(100)])
+    out = distribution_drift(df, df, "v", nbins=10, lo=0.0, hi=10.0).collect()[0]
+    assert out["tvd"] == 0.0 and out["tvd_num"] == 0
+    assert out["n_a"] == out["n_b"] == 100
+
+
+def test_drift_disjoint_distributions_one(spark):
+    from rust_dataframe_spark.operators.observability import distribution_drift
+
+    a = spark.createDataFrame([Row(v=1.0)] * 10)
+    b = spark.createDataFrame([Row(v=9.0)] * 20)
+    out = distribution_drift(a, b, "v", nbins=10, lo=0.0, hi=10.0).collect()[0]
+    assert out["tvd"] == 1.0  # fully disjoint supports
+
+
+def test_drift_hand_value(spark):
+    from rust_dataframe_spark.operators.observability import distribution_drift
+
+    # a: 3 in bucket1, 1 in bucket2 (N=4); b: 1 and 1 (M=2)
+    a = spark.createDataFrame([Row(v=0.5)] * 3 + [Row(v=1.5)])
+    b = spark.createDataFrame([Row(v=0.5), Row(v=1.5)])
+    out = distribution_drift(a, b, "v", nbins=2, lo=0.0, hi=2.0).collect()[0]
+    # TVD = 0.5*(|3/4-1/2| + |1/4-1/2|) = 0.25; num = |3*2-1*4| + |1*2-1*4| = 4
+    assert out["tvd_num"] == 4 and out["tvd"] == 0.25
+
+
+def test_drift_validation(spark):
+    from rust_dataframe_spark.operators.observability import distribution_drift
+
+    df = spark.createDataFrame([Row(v=1.0)])
+    with pytest.raises(ValueError):
+        distribution_drift(df, df, "v", nbins=0, lo=0.0, hi=1.0)
