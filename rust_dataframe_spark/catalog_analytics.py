@@ -15,7 +15,17 @@
   embedding-cosine ranking.
 * EWMA smoothing (q206, operators/temporal.ewma) — the recursive decay
   metric Spark has no native window for, computed as an order-pinned list
-  fold both engines replay bit-for-bit.
+  fold both engines replay bit-for-bit; q213 is its streaming one-pass
+  form (O(1) state per key) run as a real stateful streaming query.
+* record-linkage blocking + weighted (multiset) Jaccard verify (q207,
+  operators/dedup.blocked_weighted_jaccard) and Gini-Simpson lexical
+  diversity (q208, operators/text.simpson_diversity).
+* multi-probe SRP-LSH (q209, operators/similarity.srp_multiprobe) — the
+  recall lever; and IVF-PQ (q212) — the composed production ANN layout.
+* incremental view maintenance (q210, operators/merge.agg_state family),
+  count-min sketch frequency summaries (q211, operators/sketches), and
+  snapshot drift monitoring via integer-exact total variation distance
+  (q214, operators/observability.distribution_drift).
 """
 
 from __future__ import annotations

@@ -437,3 +437,28 @@ def test_ewma_single_shuffle(spark):
     exchange (hash by user) beyond the scan."""
     df = catalog.QUERIES["q206_ewma_smooth"](spark, SF)
     assert pi.exchange_count(df) <= 2  # key shuffle (+ final order-by range)
+
+
+def test_incremental_agg_no_extra_shuffles(spark):
+    """q210: two partial-agg branches + one key merge — bounded exchanges
+    (2 partial aggs + 1 join + final sort), nothing single-partition except
+    the 3-row result sort."""
+    df = catalog.QUERIES["q210_incremental_agg"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_countmin_sketch_is_two_aggregates(spark):
+    """q211: build + lookup are hash aggregates; the sketch side of the
+    probe join broadcasts (it is <= depth*width rows by construction)."""
+    df = catalog.QUERIES["q211_countmin"](spark, SF)
+    assert pi.has_broadcast_join(df)
+
+
+def test_drift_totals_broadcast(spark):
+    """q214: the 1-row totals crossJoin must plan as a broadcast, never a
+    shuffled cartesian."""
+    df = catalog.QUERIES["q214_drift_tvd"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
