@@ -828,3 +828,58 @@ def q214_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=0.0,
         hi=500.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# q215: regression residual outliers (model-in-SQL anomaly detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q215_regr_residuals",
+    oracle="""
+    WITH fit AS (
+      SELECT l_returnflag,
+             round(regr_slope(l_extendedprice, l_quantity), 6)     AS b,
+             round(regr_intercept(l_extendedprice, l_quantity), 6) AS a
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    r AS (
+      SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag,
+             round(li.l_extendedprice - (f.a + f.b * li.l_quantity), 4) AS resid
+      FROM lineitem li JOIN fit f USING (l_returnflag)
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag, resid
+    FROM r
+    ORDER BY abs(resid) DESC, l_orderkey, l_linenumber
+    LIMIT 25
+    """,
+)
+def q215_regr_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-in-the-engine anomaly detection: fit price ~ quantity per
+    return flag with the regr_* aggregates (q202), broadcast the 3-row
+    model back over the fact table, and surface the 25 largest residuals —
+    the fit-predict-flag loop running entirely as one lazy plan, no ML
+    library, no driver round-trip beyond Catalyst's broadcast.
+
+    Determinism: coefficients are rounded to 6dp BEFORE prediction on both
+    engines, so every residual is computed from identical operands — the
+    fit's last-ulp engine differences never reach the comparison.  Scale:
+    one co-moment aggregate + a broadcast join + TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    fit = li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("b"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("a"),
+    )
+    r = li.join(F.broadcast(fit), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(
+            F.col("l_extendedprice") - (F.col("a") + F.col("b") * F.col("l_quantity")),
+            4,
+        ).alias("resid"),
+    )
+    return r.orderBy(
+        F.abs(F.col("resid")).desc(), "l_orderkey", "l_linenumber"
+    ).limit(25)
