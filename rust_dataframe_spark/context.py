@@ -85,7 +85,15 @@ def widen(df: DataFrame, target: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Partition-count probe.  Any probe forces physical planning; this one at
+    # least stays JVM-side (no Python RDD wrapper / serializer setup the
+    # public df.rdd accessor would build).  Falls back to the public API if
+    # the internal accessor moves.
+    try:
+        n = df._jdf.rdd().getNumPartitions()
+    except Exception:
+        n = df.rdd.getNumPartitions()
+    if n >= target:
         return df
     return df.repartition(target)
 
