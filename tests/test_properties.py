@@ -159,3 +159,77 @@ def test_line_dedup_conserves_lines(spark, docs, min_docs):
         expect = [ln for ln in lines if ln not in hot]
         got = r["text"].split("\n") if r["text"] else []
         assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=10,
+    ),
+    st.floats(min_value=0.05, max_value=1.0),
+)
+def test_ewma_matches_python_recurrence(spark, xs, alpha):
+    """operators/temporal.ewma == the plain recurrence for any series/alpha."""
+    from rust_dataframe_spark.operators.temporal import ewma
+
+    df = spark.createDataFrame([(i, float(x)) for i, x in enumerate(xs)], "t int, v double")
+    df = df.withColumn("k", F.lit("g"))
+    got = [r["ewma"] for r in ewma(df, "k", "t", "v", alpha=alpha).orderBy("t").collect()]
+    a = float(alpha)
+    y, want = None, []
+    for x in xs:
+        y = x if y is None else x * a + y * (1.0 - a)
+        want.append(y)
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-6 + 1e-9 * abs(w)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=30),
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=12),
+)
+def test_countmin_dominates_true_counts(spark, corpus, probes):
+    """CM estimates never underestimate, for any corpus and probe set."""
+    from rust_dataframe_spark.operators.sketches import countmin_build, countmin_lookup
+
+    toks = spark.createDataFrame([(t,) for t in corpus] or [("__never__",)], "tok string")
+    sketch = countmin_build(toks, "tok", depth=3, width=8)  # tiny: force collisions
+    uniq = sorted(set(probes)) or ["x"]
+    terms = spark.createDataFrame([(t,) for t in uniq], "term string")
+    est = {
+        r["term"]: r["est"]
+        for r in countmin_lookup(sketch, terms, "term", depth=3, width=8).collect()
+    }
+    from collections import Counter
+
+    true = Counter(corpus if corpus else ["__never__"])
+    for t in uniq:
+        assert est[t] >= true.get(t, 0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 4), min_size=1, max_size=15),
+    st.lists(st.integers(0, 4), min_size=1, max_size=15),
+)
+def test_drift_tvd_bounds_and_symmetry(spark, xs, ys):
+    """TVD in [0,1]; symmetric under swapping the two samples; zero iff the
+    bucketed distributions coincide."""
+    from rust_dataframe_spark.operators.observability import distribution_drift
+
+    a = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    b = spark.createDataFrame([(float(y),) for y in ys], "v double")
+    d_ab = distribution_drift(a, b, "v", nbins=5, lo=0.0, hi=5.0).collect()[0]
+    d_ba = distribution_drift(b, a, "v", nbins=5, lo=0.0, hi=5.0).collect()[0]
+    assert 0.0 <= d_ab["tvd"] <= 1.0
+    assert d_ab["tvd"] == d_ba["tvd"] and d_ab["tvd_num"] == d_ba["tvd_num"]
+    from collections import Counter
+
+    n, m = len(xs), len(ys)
+    pa = {k: v / n for k, v in Counter(xs).items()}
+    pb = {k: v / m for k, v in Counter(ys).items()}
+    same = pa == pb
+    assert (d_ab["tvd"] == 0.0) == same
