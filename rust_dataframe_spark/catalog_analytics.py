@@ -883,3 +883,115 @@ def q215_regr_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.orderBy(
         F.abs(F.col("resid")).desc(), "l_orderkey", "l_linenumber"
     ).limit(25)
+
+
+# ---------------------------------------------------------------------------
+# q216: multi-touch attribution (U-shaped credit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q216_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id, ts, event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT c.conv_id, t.channel, t.ts, t.event_id
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.ts <= c.conv_ts
+       AND t.ts > c.conv_ts - INTERVAL 24 HOURS
+    ),
+    r AS (
+      SELECT conv_id, channel,
+             row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS rk,
+             count(*) OVER (PARTITION BY conv_id) AS n
+      FROM j
+    ),
+    g AS (
+      SELECT conv_id, channel, max(n) AS n,
+             max(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS is_first,
+             max(CASE WHEN rk = n THEN 1 ELSE 0 END) AS is_last,
+             sum(CASE WHEN rk > 1 AND rk < n THEN 1 ELSE 0 END) AS mid_cnt
+      FROM r GROUP BY conv_id, channel
+    )
+    SELECT conv_id, channel, n AS n_touches,
+           round(CASE
+             WHEN n = 1 THEN CAST(is_first AS DOUBLE)
+             WHEN n = 2 THEN 0.5 * is_first + 0.5 * is_last
+             ELSE 0.4 * is_first + 0.4 * is_last
+                  + (0.2 / CAST(n - 2 AS DOUBLE)) * mid_cnt
+           END, 6) AS credit
+    FROM g
+    ORDER BY conv_id, channel
+    """,
+)
+def q216_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: every purchase distributes credit
+    over its click/view touches in a 24 h lookback — 40% first touch, 40%
+    last, 20% split over the middles (collapsing to 1.0 / 0.5+0.5 for 1-2
+    touch paths).  The marketing-analytics staple, expressed as one
+    user-keyed equi-join + two windows + a closed-form credit expression:
+    per (conversion, channel) credit is computed from integer counts in a
+    FIXED operation order (no float accumulation across rows), so engines
+    agree bit-for-bit.
+
+    Scale: the join is user-keyed (hash), the windows ride the conv_id
+    shuffle; lookback bounds per-conversion touch counts, which bounds both
+    window state and output."""
+    ev = load_events(spark, sf_dir)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id"),
+        F.col("ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = conv.join(touch, "user_id").filter(
+        (F.col("ts") <= F.col("conv_ts"))
+        & (F.col("ts") > F.col("conv_ts") - F.expr("INTERVAL 24 HOURS"))
+    )
+    wr = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("conv_id")
+    r = j.select(
+        "conv_id",
+        "channel",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    g = r.groupBy("conv_id", "channel").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("is_first"),
+        F.max(F.when(F.col("rk") == F.col("n"), 1).otherwise(0)).alias("is_last"),
+        F.sum(
+            F.when((F.col("rk") > 1) & (F.col("rk") < F.col("n")), 1).otherwise(0)
+        ).alias("mid_cnt"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.col("is_first").cast("double"))
+        .when(
+            F.col("n") == 2,
+            F.lit(0.5) * F.col("is_first") + F.lit(0.5) * F.col("is_last"),
+        )
+        .otherwise(
+            F.lit(0.4) * F.col("is_first")
+            + F.lit(0.4) * F.col("is_last")
+            + (F.lit(0.2) / (F.col("n") - 2).cast("double")) * F.col("mid_cnt")
+        )
+    )
+    return g.select(
+        "conv_id",
+        "channel",
+        F.col("n").alias("n_touches"),
+        F.round(credit, 6).alias("credit"),
+    ).orderBy("conv_id", "channel")
