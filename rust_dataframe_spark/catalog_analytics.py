@@ -995,3 +995,187 @@ def q216_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_touches"),
         F.round(credit, 6).alias("credit"),
     ).orderBy("conv_id", "channel")
+
+
+# ---------------------------------------------------------------------------
+# q217: event-transition matrix (first-order Markov over user journeys)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q217_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(n) AS total FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n,
+           round(CAST(t.n AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS prob
+    FROM t JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def q217_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event journeys: lag
+    each user's ordered stream, count (from, to) pairs, normalize per
+    source state — the sequence-modeling summary behind journey analysis
+    and Markov attribution.  Counts are exact integers; each probability is
+    one division of identical operands.  Scale: one user-keyed window + two
+    map-side-combined aggregates; the matrix is |event_types|^2 rows."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = s.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return (
+        t.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total").cast("double"), 6).alias(
+                "prob"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218: multi-term AND search over the inverted index
+# ---------------------------------------------------------------------------
+
+_SEARCH_TERMS = ["join", "stream"]
+
+
+def _search_oracle() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    hits AS (
+      SELECT doc_id, count(DISTINCT term) AS matched
+      FROM toks WHERE term IN ({in_list})
+      GROUP BY doc_id
+    ),
+    docs AS (SELECT doc_id FROM hits WHERE matched = {len(_SEARCH_TERMS)})
+    SELECT d.doc_id, d.n_chars, d.source
+    FROM docs JOIN documents d USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("q218_search_and", oracle=_search_oracle())
+def q218_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) search served FROM the inverted index
+    (operators/ranking.posting_lists — q139 builds it, this queries it):
+    intersect the query terms' posting lists, then fetch the matching
+    documents.  The serving-side counterpart of the index build: the
+    intersection runs over |query| posting rows (vocabulary-sized access,
+    never a corpus scan at lookup time); the doc fetch is an id-keyed join
+    the docs table would be bucketed on.
+
+    The posting lists are sorted id arrays, so the intersection is
+    array_intersect of per-term arrays — bounded by document frequency."""
+    from .operators.ranking import posting_lists
+
+    d = table(spark, sf_dir, "documents")
+    idx = posting_lists(d, "doc_id", "text").filter(
+        F.col("term").isin(_SEARCH_TERMS)
+    )
+    inter = idx.agg(
+        F.aggregate(
+            F.collect_list("postings"),
+            F.lit(None).cast("array<bigint>"),
+            lambda acc, p: F.when(acc.isNull(), p).otherwise(F.array_intersect(acc, p)),
+        ).alias("ids"),
+        F.count(F.lit(1)).alias("n_terms"),
+    ).filter(F.col("n_terms") == len(_SEARCH_TERMS))
+    docs = inter.select(F.explode("ids").alias("doc_id"))
+    return (
+        docs.join(d, "doc_id")
+        .select("doc_id", "n_chars", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219: deterministic negative sampling for contrastive training
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4
+_NEG_P = 2654435761  # Knuth multiplicative-hash constant
+_NEG_N = None  # corpus size resolved per sf_dir in the query
+
+
+@query(
+    "q219_negative_sampling",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS sz FROM embeddings),
+    anchors AS (SELECT vec_id FROM embeddings WHERE vec_id < 100),
+    cand AS (
+      SELECT a.vec_id AS anchor_id, j,
+             (a.vec_id * {_NEG_P} + j * 97) % sz AS neg_id
+      FROM anchors a CROSS JOIN n
+      CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS j)
+    ),
+    picked AS (
+      SELECT anchor_id, neg_id,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY j) AS rk
+      FROM (SELECT DISTINCT ON (anchor_id, neg_id) anchor_id, neg_id, j
+            FROM cand WHERE neg_id <> anchor_id
+            ORDER BY anchor_id, neg_id, j)
+    )
+    SELECT anchor_id, rk AS neg_rank, neg_id
+    FROM picked WHERE rk <= {_NEG_K}
+    ORDER BY anchor_id, neg_rank
+    """,
+)
+def q219_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive embedding training:
+    each anchor draws 4 pseudo-random negatives via the Knuth
+    multiplicative hash ``(anchor * 2654435761 + j*97) mod N`` — reproducible
+    across runs/engines/partitionings (no rand()), collision- and
+    self-pair-free by construction (duplicates dropped, j oversampled by 1).
+    The complement of hard-negative mining (q164): in-batch/random negatives
+    are the bulk of a contrastive loss; hard negatives are the garnish.
+
+    Scale: pure arithmetic on the anchor id — a narrow map producing k rows
+    per anchor, then (optionally) an id-keyed join to fetch vectors; no
+    shuffle of embeddings, no sampling state.  The corpus size N is one
+    count() action (at scale: a catalog statistic, not a scan)."""
+    e = table(spark, sf_dir, "embeddings")
+    sz = e.count()
+    anchors = e.filter(F.col("vec_id") < 100).select("vec_id")
+    js = F.array(*[F.lit(j) for j in range(1, _NEG_K + 2)])
+    cand = anchors.select(
+        F.col("vec_id").alias("anchor_id"), F.explode(js).alias("j")
+    ).select(
+        "anchor_id",
+        "j",
+        ((F.col("anchor_id") * _NEG_P + F.col("j") * 97) % sz).alias("neg_id"),
+    )
+    dedup = (
+        cand.filter(F.col("neg_id") != F.col("anchor_id"))
+        .groupBy("anchor_id", "neg_id")
+        .agg(F.min("j").alias("j"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy("j")
+    return (
+        dedup.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NEG_K)
+        .select("anchor_id", F.col("rk").alias("neg_rank"), "neg_id")
+        .orderBy("anchor_id", "neg_rank")
+    )
