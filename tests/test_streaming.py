@@ -336,3 +336,35 @@ def test_stream_ewma_matches_batch_fold(spark, events):
     )
     want = {(r["user_id"], r["ts"]): r["ewma"] for r in batch.collect()}
     assert got == want and len(got) == 60
+
+
+def test_stream_ewma_rocksdb_state_store(spark, events):
+    """The 100 TB state path: the same stateful EWMA runs on the RocksDB
+    state-store provider (state spills to local disk per partition instead
+    of living on the executor heap) and produces identical results."""
+    from rust_dataframe_spark.operators.temporal import ewma as batch_ewma
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(events).schema
+        stream = st.read_stream_parquet(spark, events, schema)
+        out = st.run_available_now(
+            st.stream_ewma(stream, key_col="user_id", ts_col="ts", value_col="value"),
+            "t_ewma_rocks",
+            output_mode="update",
+        )
+        got = {(r["user_id"], r["ts"]): r["ewma"] for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    batch = batch_ewma(
+        spark.read.parquet(events), "user_id", "ts", "value", alpha=0.25
+    )
+    want = {(r["user_id"], r["ts"]): r["ewma"] for r in batch.collect()}
+    assert got == want and len(got) == 60
