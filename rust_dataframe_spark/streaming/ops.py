@@ -287,14 +287,24 @@ def interval_join(
     ts_col: str = "ts",
     watermark: str = "2 hours",
     tolerance: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join, event-time bounded: match rows sharing
+    """Stream-stream join, event-time bounded: match rows sharing
     ``key_col`` with right.ts in [left.ts, left.ts + tolerance] — the
     impression->click attribution shape.  BOTH sides carry watermarks and
     the join predicate bounds event-time distance, which is what lets the
     state store evict: without the interval condition a stream-stream join
     must keep every row forever.  State per key is O(rows within
     watermark + tolerance); output is append-mode.
+
+    ``how='left_outer'`` adds the no-match rows: a left row whose join
+    window closes unmatched emits once with nulls on the right — but ONLY
+    when the watermark has advanced past ``l.ts + tolerance``, i.e. outer
+    results trail the watermark by design (Spark can't know "no match ever"
+    until late data is ruled out).  A drained availableNow run therefore
+    holds back unmatched rows from the final watermark window — the test
+    feeds a later batch to flush them, which is also the production shape
+    (continuous streams always have a next batch).
 
     Returns columns ``key, l_ts, r_ts`` plus left/right values prefixed
     ``l_``/``r_``."""
@@ -309,7 +319,9 @@ def interval_join(
     )
     lcols = [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns if c != key_col]
     rcols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns if c != key_col]
-    return l.join(r, cond, "inner").select(F.col(f"l.{key_col}").alias(key_col), *lcols, *rcols)
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how!r}")
+    return l.join(r, cond, how).select(F.col(f"l.{key_col}").alias(key_col), *lcols, *rcols)
 
 
 def foreach_batch_parquet(stream_df: DataFrame, path: str, *, checkpoint: str):

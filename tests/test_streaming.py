@@ -368,3 +368,46 @@ def test_stream_ewma_rocksdb_state_store(spark, events):
     )
     want = {(r["user_id"], r["ts"]): r["ewma"] for r in batch.collect()}
     assert got == want and len(got) == 60
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path_factory):
+    """Stream-stream LEFT OUTER interval join: an impression with no click in
+    its tolerance window emits once with nulls — after the watermark passes
+    its window (flushed here by a later batch, as in production)."""
+    base = tmp_path_factory.mktemp("souter")
+    lp, rp = str(base / "left"), str(base / "right")
+
+    def _ev(rows):
+        return spark.createDataFrame(rows, "user_id int, ts_s string, v string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "v"
+        )
+
+    # batch 1: imp A (user 1) gets a click; imp B (user 2) never does
+    _ev([(1, "2024-01-01 00:00:00", "impA"), (2, "2024-01-01 00:01:00", "impB")]) \
+        .coalesce(1).write.mode("overwrite").parquet(lp)
+    _ev([(1, "2024-01-01 00:05:00", "clickA")]).coalesce(1).write.mode("overwrite").parquet(rp)
+    # batch 2: far-future rows on BOTH sides advance both watermarks past
+    # imp B's window so its no-match row can finalize
+    _ev([(9, "2024-01-01 09:00:00", "impZ")]).coalesce(1).write.mode("append").parquet(lp)
+    _ev([(9, "2024-01-01 09:00:01", "clickZ")]).coalesce(1).write.mode("append").parquet(rp)
+
+    schema = spark.read.parquet(lp).schema
+    ls = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(lp)
+    rs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(rp)
+    out = st.run_available_now(
+        st.interval_join(
+            ls, rs, "user_id",
+            watermark="1 minute", tolerance="10 minutes", how="left_outer",
+        ),
+        "t_souter",
+        output_mode="append",
+    )
+    rows = {(r["user_id"], r["l_v"]): r["r_v"] for r in out.collect()}
+    assert rows[(1, "impA")] == "clickA"      # matched pair
+    assert (2, "impB") in rows and rows[(2, "impB")] is None  # unmatched emits nulls
+
+
+def test_interval_join_rejects_unknown_type(spark):
+    df = spark.createDataFrame([], "user_id int, ts timestamp, v string")
+    with pytest.raises(ValueError):
+        st.interval_join(df, df, "user_id", how="left_semi")
