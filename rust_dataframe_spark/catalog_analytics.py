@@ -1179,3 +1179,46 @@ def q219_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", F.col("rk").alias("neg_rank"), "neg_id")
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q220: file-skipping manifest (data-skipping beyond partition pruning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q220_manifest_skip",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 2000 AND 2999
+    ORDER BY o_orderkey
+    """,
+)
+def q220_manifest_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping via a min/max manifest (operators/layout.build_manifest
+    + pruned_read): orders are laid out range-clustered into 16 files
+    (repartitionByRange — the layout job), a per-file min/max manifest is
+    built (the Delta/Iceberg-log shape without a table format), and a
+    selective key-range query reads ONLY the files whose range intersects —
+    the oracle is the plain full-scan filter, proving skipping never
+    changes answers.  The pytest companion asserts the pruned plan actually
+    touches a fraction of the files.
+
+    Scale: the manifest is O(files) rows (broadcastable); the layout job is
+    one range shuffle, amortized over every later selective scan."""
+    import os
+
+    from .catalog_sources import _scratch
+    from .operators.layout import build_manifest, pruned_read
+
+    path = _scratch("manifest_orders", sf_dir)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        o.repartitionByRange(16, F.col("o_orderkey")).write.mode("overwrite").parquet(
+            path
+        )
+    man = build_manifest(spark, path, ["o_orderkey"])
+    out = pruned_read(spark, path, man, "o_orderkey", 2000, 2999)
+    return out.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")

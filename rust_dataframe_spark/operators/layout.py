@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["zorder_value", "write_zordered"]
+__all__ = ["zorder_value", "write_zordered", "build_manifest", "pruned_read"]
 
 
 def zorder_value(cols: list, *, bits: int = 16):
@@ -70,4 +70,53 @@ def write_zordered(
         .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def build_manifest(spark, path: str, stat_cols: list[str]):
+    """File-skipping manifest: per-FILE min/max of the given columns — the
+    data-skipping index a table format (Delta/Iceberg/Hudi) keeps in its
+    log, built here directly from the open parquet directory via one scan
+    grouped on ``input_file_name()``.  Combine with :func:`write_zordered`:
+    Z-ordering is what makes per-file ranges TIGHT, the manifest is what
+    turns tight ranges into skipped IO.
+
+    Returns (file, n_rows, <c>_min, <c>_max ...).  Scale: the manifest is
+    O(files) rows — thousands of entries for a 100 TB table — and is itself
+    a tiny broadcastable table; rebuild incrementally per ingested file in
+    production rather than by rescanning (this builder is the bootstrap).
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (
+        df.withColumn("file", F.input_file_name())
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def pruned_read(spark, path: str, manifest, col: str, lo, hi):
+    """Manifest-driven pruned read: select only the files whose [min, max]
+    range for ``col`` intersects [lo, hi], read just those, and apply the
+    exact predicate as a post-filter.  The result EQUALS the full-scan
+    filter (skipping only removes files that cannot match); what changes is
+    IO — with a clustered layout, a selective range touches a small
+    fraction of files (pinned by the inputFiles assertion in tests).
+
+    The file list is collected driver-side: O(matching files) strings, the
+    same metadata a table format's planner would hand Spark.
+    """
+    hits = [
+        r["file"]
+        for r in manifest.filter(
+            (F.col(f"{col}_max") >= lo) & (F.col(f"{col}_min") <= hi)
+        ).collect()
+    ]
+    if not hits:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return (
+        spark.read.parquet(*[h.replace("file:", "") for h in hits])
+        .filter((F.col(col) >= lo) & (F.col(col) <= hi))
     )

@@ -546,3 +546,36 @@ def test_drift_validation(spark):
     df = spark.createDataFrame([Row(v=1.0)])
     with pytest.raises(ValueError):
         distribution_drift(df, df, "v", nbins=0, lo=0.0, hi=1.0)
+
+
+# ---------------------------------------------------------------------------
+# file-skipping manifest
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_pruned_read_touches_fraction_of_files(spark, tmp_path):
+    from rust_dataframe_spark.operators.layout import build_manifest, pruned_read
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 16000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.repartitionByRange(16, F.col("k")).write.parquet(path)
+    man = build_manifest(spark, path, ["k"])
+    assert man.count() == 16
+    out = pruned_read(spark, path, man, "k", 100, 199)
+    # correctness: equals the full-scan filter
+    got = sorted(r["k"] for r in out.collect())
+    assert got == list(range(100, 200))
+    # skipping: a 100-key range over a 16-file range layout touches 1-2 files
+    assert len(out.inputFiles()) <= 2
+
+
+def test_manifest_empty_range_reads_nothing(spark, tmp_path):
+    from rust_dataframe_spark.operators.layout import build_manifest, pruned_read
+
+    path = str(tmp_path / "clustered2")
+    spark.range(0, 100).select(F.col("id").alias("k")).write.parquet(path)
+    man = build_manifest(spark, path, ["k"])
+    out = pruned_read(spark, path, man, "k", 5000, 6000)
+    assert out.count() == 0
