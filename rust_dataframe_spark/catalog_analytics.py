@@ -1222,3 +1222,132 @@ def q220_manifest_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     man = build_manifest(spark, path, ["o_orderkey"])
     out = pruned_read(spark, path, man, "o_orderkey", 2000, 2999)
     return out.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q221: per-label centroid outliers (embedding-space label QA)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q221_centroid_outliers",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    dims AS (SELECT label, vec_id, d.i AS dim, emb[d.i] AS v
+             FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d),
+    cent AS (SELECT label, dim, sum(v) / count(*) AS c
+             FROM dims GROUP BY label, dim),
+    cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(e.emb, cv.cv), p -> p[1]*p[2])),
+                 (s, x) -> s + x)
+             / (sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(e.emb, x -> x*x)), (s, x) -> s + x))
+                * sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(cv.cv, x -> x*x)), (s, x) -> s + x)))
+               AS cos_c
+      FROM e JOIN cvec cv USING (label)
+    )
+    SELECT vec_id, label, round(cos_c, 6) AS cos_to_centroid
+    FROM scored
+    ORDER BY cos_c ASC, vec_id
+    LIMIT 20
+    """,
+)
+def q221_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label QA: pool each label's centroid
+    (operators/similarity.mean_pool — exact float32-in-double sums, so the
+    centroid is partition-order-independent), score every member's cosine
+    to its own centroid, and surface the 20 least-coherent vectors — the
+    mislabeled/noise-candidate list a curation pipeline reviews.  SemDeDup
+    (q126) asks 'too close to a neighbor?'; this asks the complementary
+    'too far from its own class?'.
+
+    Scale: pooling shuffles (label, dim, partial) triples; scoring is one
+    broadcast join of |labels| centroids + codegen'd fold math; top-20 is
+    TakeOrderedAndProject."""
+    from .operators.similarity import mean_pool
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = mean_pool(e, "label", "embedding").select(
+        "label", F.col("pooled").alias("cv")
+    )
+    emb = sim.as_double(F.col("embedding"))
+    cos = sim.cosine(emb, F.col("cv"))
+    return (
+        e.join(F.broadcast(cents), "label")
+        .select("vec_id", "label", cos.alias("raw"))
+        .orderBy(F.col("raw").asc(), "vec_id")
+        .limit(20)
+        .select("vec_id", "label", F.round("raw", 6).alias("cos_to_centroid"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222: top conversion paths (sequence analytics over sessions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q222_top_paths",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS sess_id
+      FROM d
+    ),
+    paths AS (
+      SELECT user_id, sess_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, sess_id
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 15
+    """,
+)
+def q222_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: sessionize (30-min gap), render each session
+    as its ordered event-type sequence, count path frequencies — the
+    product-analytics view q217's transition matrix marginalizes away
+    (paths keep ORDER, the matrix keeps only adjacency).  The in-session
+    ordering is pinned by (ts, event_id) inside sort_array, never by
+    collect_list's arrival order, so paths are identical across engines
+    and partitionings.
+
+    Scale: one session-window shuffle keyed (user, session); path strings
+    are session-bounded; the path census is a map-side-combined count."""
+    ev = load_events(spark, sf_dir)
+    sess = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        sess.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
