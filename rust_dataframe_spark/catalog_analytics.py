@@ -1117,7 +1117,6 @@ def q218_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEG_K = 4
 _NEG_P = 2654435761  # Knuth multiplicative-hash constant
-_NEG_N = None  # corpus size resolved per sf_dir in the query
 
 
 @query(

@@ -579,3 +579,38 @@ def test_manifest_empty_range_reads_nothing(spark, tmp_path):
     man = build_manifest(spark, path, ["k"])
     out = pruned_read(spark, path, man, "k", 5000, 6000)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# IVF cells as partition columns (the q86 scale claim, pinned)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_cell_partition_pruning(spark, tmp_path):
+    """q86/q212's 100 TB story is 'store cell as a partition column and
+    probing becomes partition pruning' — prove it: assign, write partitioned
+    by cell, read with a probe filter, and the scan must touch only the
+    probed cells' files."""
+    from rust_dataframe_spark.catalog import table
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = e.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+    assigned = sim.ivf_assign(e, "vec_id", "embedding", cents)
+    path = str(tmp_path / "ivf_cells")
+    assigned.write.partitionBy("cell").parquet(path)
+
+    back = spark.read.parquet(path)
+    probed = back.filter(F.col("cell").isin([0, 1]))
+    # inputFiles() is a relation-level property (pre-pruning); the proof of
+    # skipping is the scan node's PartitionFilters in the executed plan
+    from rust_dataframe_spark.plans import inspect as pi
+
+    plan = pi.formatted_plan(probed)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the pruned read returns exactly the assigned members
+    want = sorted(
+        r["vec_id"] for r in assigned.filter(F.col("cell").isin([0, 1])).collect()
+    )
+    got = sorted(r["vec_id"] for r in probed.collect())
+    assert got == want
