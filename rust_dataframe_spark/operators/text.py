@@ -680,6 +680,38 @@ def simpson_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def apply_bpe_merge(syms_col, a: str, b: str):
+    """Apply ONE BPE merge rule (a, b) -> 'ab' to a symbol-array column with
+    the faithful greedy left-to-right non-overlap semantics ('a a a a' +
+    (a,a) -> ['aa','aa']), as one codegen'd fold with (accumulated array,
+    pending symbol) struct state — shared by the trainer (bpe_train) and
+    the applier (bpe_apply)."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    # the step must also flush the PREVIOUS pend when no pair forms
+    def step(st, s):
+        is_pair = st["pend"].isNotNull() & (st["pend"] == a) & (s == b)
+        acc = (
+            F.when(st["pend"].isNull(), st["acc"])
+            .when(is_pair, F.concat(st["acc"], F.array(F.concat(st["pend"], s))))
+            .otherwise(F.concat(st["acc"], F.array(st["pend"])))
+        )
+        pend = F.when(is_pair, F.lit(None).cast("string")).otherwise(s)
+        return F.struct(acc.alias("acc"), pend.alias("pend"))
+
+    return F.aggregate(
+        syms_col,
+        init,
+        step,
+        lambda st: F.when(st["pend"].isNull(), st["acc"]).otherwise(
+            F.concat(st["acc"], F.array(st["pend"]))
+        ),
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -730,31 +762,6 @@ def bpe_train(
             .agg(F.sum("n").alias("cnt"))
         )
 
-    def apply_merge(syms_col, a: str, b: str):
-        init = F.struct(
-            F.array().cast("array<string>").alias("acc"),
-            F.lit(None).cast("string").alias("pend"),
-        )
-        # step must also flush the PREVIOUS pend when no pair forms
-        def step_full(st, s):
-            is_pair = st["pend"].isNotNull() & (st["pend"] == a) & (s == b)
-            acc = (
-                F.when(st["pend"].isNull(), st["acc"])
-                .when(is_pair, F.concat(st["acc"], F.array(F.concat(st["pend"], s))))
-                .otherwise(F.concat(st["acc"], F.array(st["pend"])))
-            )
-            pend = F.when(is_pair, F.lit(None).cast("string")).otherwise(s)
-            return F.struct(acc.alias("acc"), pend.alias("pend"))
-
-        return F.aggregate(
-            syms_col,
-            init,
-            step_full,
-            lambda st: F.when(
-                st["pend"].isNull(), st["acc"]
-            ).otherwise(F.concat(st["acc"], F.array(st["pend"]))),
-        )
-
     merges: list[tuple[str, str]] = []
     cur = words
     from .cache import persist_tracked
@@ -771,6 +778,37 @@ def bpe_train(
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
         cur = persist_tracked(
-            cur.select("w", "n", apply_merge(F.col("syms"), a, b).alias("syms"))
+            cur.select("w", "n", apply_bpe_merge(F.col("syms"), a, b).alias("syms"))
         )
     return merges, cur
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    min_word_len: int = 2,
+) -> DataFrame:
+    """Apply an ordered list of trained BPE merge rules to a corpus —
+    tokenizer SERVING to bpe_train's tokenizer TRAINING.  Returns the
+    distinct-word table (w, n, syms): each word's final symbol sequence
+    after every merge, identical to what the trainer's own loop produced
+    (pinned by the round-trip test).
+
+    Scale: the merges compose into ONE lazy plan of chained folds over the
+    Heaps'-bounded distinct-word table; the corpus is touched once for the
+    word census.  For vocabularies of thousands of merges, checkpoint every
+    ~50 merges (the trainer's persist cadence) to bound the expression tree.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") >= min_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w", "n", F.split(F.col("w"), "").alias("syms"))
+    )
+    syms = F.col("syms")
+    for a, b in merges:
+        syms = apply_bpe_merge(syms, a, b)
+    return words.select("w", "n", syms.alias("syms"))

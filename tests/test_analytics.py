@@ -614,3 +614,20 @@ def test_ivf_cell_partition_pruning(spark, tmp_path):
     )
     got = sorted(r["vec_id"] for r in probed.collect())
     assert got == want
+
+
+def test_bpe_apply_reproduces_training_segmentation(spark):
+    from rust_dataframe_spark.operators.text import bpe_apply, bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([Row(text=text)])
+    merges, trained = bpe_train(df, "text", n_merges=3)
+    applied = bpe_apply(df, "text", merges)
+    t = {r["w"]: r["syms"] for r in trained.collect()}
+    a = {r["w"]: r["syms"] for r in applied.collect()}
+    assert t == a
+    # and serving generalizes: an unseen word segments with the same rules
+    new = bpe_apply(spark.createDataFrame([Row(text="lowest slowest")]), "text", merges)
+    syms = {r["w"]: r["syms"] for r in new.collect()}
+    assert syms["lowest"] == ["lo", "w", "est"]
+    assert syms["slowest"] == ["s", "lo", "w", "est"]
