@@ -471,3 +471,27 @@ class TestPythonStreamSource:
         finally:
             q.stop()
         assert got == expect
+
+
+def test_metadata_columns_expose_ingest_lineage(spark, tmp_path):
+    """The hidden ``_metadata`` struct on file sources (file_path/file_name/
+    file_size/file_modification_time) — the per-row ingest-lineage columns a
+    pipeline stamps into bronze tables for audit and selective reprocessing."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "lineage")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").repartition(4).write.parquet(p)
+    df = spark.read.parquet(p).select(
+        "id",
+        F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.file_size").alias("fsize"),
+    )
+    rows = df.collect()
+    assert len(rows) == 100
+    assert all(r["fname"].endswith(".parquet") and r["fsize"] > 0 for r in rows)
+    # lineage is per-file: 4 part files -> up to 4 distinct names, all real
+    names = {r["fname"] for r in rows}
+    import os
+
+    on_disk = {f for f in os.listdir(p) if f.endswith(".parquet")}
+    assert names <= on_disk and len(names) >= 2
