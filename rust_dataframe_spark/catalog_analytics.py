@@ -1350,3 +1350,60 @@ def q222_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# q223: content-addressed table fingerprint (dataset identity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q223_table_fingerprint",
+    oracle="""
+    WITH li AS (
+      SELECT ('0x' || substr(md5(concat_ws('|',
+                 CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                 CAST(l_quantity AS VARCHAR))), 1, 15))::BIGINT AS d
+      FROM lineitem
+    ),
+    o AS (
+      SELECT ('0x' || substr(md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR), o_orderpriority)), 1, 15))::BIGINT AS d
+      FROM orders
+    )
+    SELECT 'lineitem' AS tbl, count(*) AS n_rows,
+           CAST(sum(CAST(d AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS fingerprint
+    FROM li
+    UNION ALL
+    SELECT 'orders', count(*),
+           CAST(sum(CAST(d AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+    FROM o
+    ORDER BY tbl
+    """,
+)
+def q223_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dataset fingerprints: per-row md5 digests (over a
+    canonical column serialization) summed mod the Mersenne prime 2^61-1 —
+    an ORDER-INDEPENDENT table identity that two engines, two clusters, or
+    two snapshot copies can compare without sorting or moving rows.  The
+    cheap answer to 'is this 100 TB copy byte-identical to that one?' and
+    the cache-invalidation key for derived artifacts (indexes, sketches,
+    manifests).  One scan per table, map-side-combined decimal sum."""
+    M = 2305843009213693951  # 2^61 - 1
+
+    def fp(df: DataFrame, cols: list, name: str) -> DataFrame:
+        ser = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        d = F.conv(F.substring(F.md5(ser), 1, 15), 16, 10).cast("decimal(38,0)")
+        return df.select(d.alias("d")).agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("d") % M).cast("bigint").alias("fingerprint"),
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        fp(li, ["l_orderkey", "l_linenumber", "l_quantity"], "lineitem")
+        .unionByName(fp(o, ["o_orderkey", "o_orderpriority"], "orders"))
+        .orderBy("tbl")
+    )
