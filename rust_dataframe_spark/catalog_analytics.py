@@ -1407,3 +1407,60 @@ def q223_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fp(o, ["o_orderkey", "o_orderpriority"], "orders"))
         .orderBy("tbl")
     )
+
+
+# ---------------------------------------------------------------------------
+# q224: erasure cascade (right-to-be-forgotten)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q224_erasure_cascade",
+    oracle="""
+    WITH erase AS (SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 0),
+    kept AS (
+      SELECT e.* FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM erase x WHERE x.user_id = e.user_id)
+    )
+    SELECT count(*)                         AS kept_events,
+           (SELECT count(*) FROM events)    AS total_events,
+           (SELECT count(*) FROM erase)     AS erased_users,
+           count(DISTINCT user_id)          AS kept_users,
+           CAST(sum(CASE WHEN user_id % 29 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaked_rows
+    FROM kept
+    """,
+)
+def q224_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure: a deletion list (here: user_id % 29 = 0,
+    standing in for a GDPR request table) cascades through the event store
+    as a broadcast ANTI join, and the audit row proves completeness —
+    leaked_rows MUST be 0, with kept/erased tallies for the compliance log.
+
+    Scale: the deletion list is tiny (broadcast anti join — no shuffle of
+    the fact table); at 100 TB pair with partition-level rewrite
+    (foreach_batch_parquet's dynamic overwrite) so only partitions
+    containing erased users rewrite, and re-run this audit after."""
+    ev = load_events(spark, sf_dir)
+    erase = ev.filter(F.col("user_id") % 29 == 0).select("user_id").distinct()
+    kept = ev.join(F.broadcast(erase), "user_id", "left_anti")
+    totals = ev.agg(F.count(F.lit(1)).alias("total_events"))
+    nerase = erase.agg(F.count(F.lit(1)).alias("erased_users"))
+    return (
+        kept.agg(
+            F.count(F.lit(1)).alias("kept_events"),
+            F.countDistinct("user_id").alias("kept_users"),
+            F.sum(F.when(F.col("user_id") % 29 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_rows"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(nerase))
+        .select(
+            "kept_events",
+            "total_events",
+            "erased_users",
+            "kept_users",
+            F.coalesce(F.col("leaked_rows"), F.lit(0)).alias("leaked_rows"),
+        )
+    )
