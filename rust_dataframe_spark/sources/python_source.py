@@ -27,6 +27,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -58,6 +59,9 @@ class GraftRangeDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "GraftRangeStreamReader":
         return GraftRangeStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "GraftDirStreamWriter":
+        return GraftDirStreamWriter(self.options)
 
 
 class GraftRangeReader(DataSourceReader):
@@ -239,3 +243,59 @@ class GraftRangeStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end):
         pass
+
+
+class GraftDirStreamWriter(DataSourceStreamWriter):
+    """Streaming JSON-lines directory sink with PER-BATCH manifest commits —
+    the streaming half of :class:`GraftDirWriter`'s exactly-once protocol.
+
+    Each task of micro-batch N streams rows to a fresh uniquely-named part
+    file and returns a commit message; ``commit(messages, batchId)`` (driver,
+    after all tasks of the batch succeed) writes ``_MANIFEST-N`` naming
+    exactly that batch's committed files.  A batch REPLAYED after a crash
+    between sink-commit and checkpoint-commit rewrites ``_MANIFEST-N``
+    (atomically superseding it), so its earlier orphaned part files are
+    never manifest-listed — readers that trust only manifests see each
+    batch exactly once.  Same idempotence design as
+    streaming/ops.foreach_batch_parquet, here INSIDE a custom connector.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("graft_range stream write requires .option('path', ...)")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(fname, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os
+
+        manifest = {
+            "batch": batchId,
+            "files": sorted(os.path.basename(m.path) for m in messages if m),
+            "rows": sum(m.rows for m in messages if m),
+        }
+        tmp = os.path.join(self.path, f"._MANIFEST-{batchId}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(_json.dumps(manifest))
+        os.replace(tmp, os.path.join(self.path, f"_MANIFEST-{batchId}"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m and os.path.exists(m.path):
+                os.remove(m.path)

@@ -495,3 +495,59 @@ def test_metadata_columns_expose_ingest_lineage(spark, tmp_path):
 
     on_disk = {f for f in os.listdir(p) if f.endswith(".parquet")}
     assert names <= on_disk and len(names) >= 2
+
+
+def test_python_stream_sink_exactly_once(spark, tmp_path):
+    """Custom-connector STREAMING WRITE path (DataSourceStreamWriter): each
+    micro-batch commits its own _MANIFEST-N; manifest-listed rows equal the
+    input exactly; no-op restart on the same checkpoint re-commits nothing."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rust_dataframe_spark.sources import python_source
+
+    python_source.register(spark)
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 50).select(
+        F.col("id"), (F.col("id") * 1.5).alias("val")
+    ).coalesce(2).write.parquet(src)
+
+    def run_once():
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream.writeStream.format("graft_range")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 120
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.5)
+        q.stop()
+
+    run_once()
+    manifests = sorted(f for f in os.listdir(sink) if f.startswith("_MANIFEST-"))
+    assert manifests, "no batch manifests committed"
+    listed, rows = set(), 0
+    for mf in manifests:
+        m = _json.loads(open(os.path.join(sink, mf)).read())
+        listed |= set(m["files"])
+        rows += m["rows"]
+    assert rows == 50
+    # manifest-listed files contain exactly the committed rows
+    n_lines = sum(
+        sum(1 for _ in open(os.path.join(sink, f))) for f in listed
+    )
+    assert n_lines == 50
+
+    # restart on the same checkpoint: nothing new to process, nothing re-committed
+    before = sorted(os.listdir(sink))
+    run_once()
+    assert sorted(os.listdir(sink)) == before
