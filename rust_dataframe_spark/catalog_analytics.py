@@ -1464,3 +1464,108 @@ def q224_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("leaked_rows"), F.lit(0)).alias("leaked_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q225: perceptual-hash (dHash) image near-dup — multimodal x dedup
+# ---------------------------------------------------------------------------
+
+
+def _dhash_oracle() -> str:
+    # mirror operators/multimodal.dhash_bands: pixel k = byte k%16 of
+    # md5^(1+k//16)(payload); payload bytes == the utf8 text in DuckDB
+    chain = ["md5(text)"]
+    for _ in range(4):
+        chain.append(f"md5({chain[-1]})")
+
+    def px(k: int) -> str:
+        h = chain[k // 16]
+        j = k % 16
+        return f"('0x' || substr({h}, {2 * j + 1}, 2))::INT"
+
+    band_cols = []
+    for b in range(4):
+        terms = []
+        for l in range(16):
+            r = 2 * b + l // 8
+            c = l % 8
+            terms.append(
+                f"(CASE WHEN {px(r * 9 + c)} > {px(r * 9 + c + 1)} THEN {1 << l} ELSE 0 END)"
+            )
+        band_cols.append("(" + " + ".join(terms) + f") AS d{b}")
+    bands_sql = ", ".join(band_cols)
+    ham = " + ".join(
+        f"bit_count(xor(a.d{b}::BIGINT, x.d{b}::BIGINT))" for b in range(4)
+    )
+    band_eq = " OR ".join(f"a.d{b} = x.d{b}" for b in range(4))
+    return f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    h AS (SELECT doc_id, {bands_sql} FROM src),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+      FROM h a JOIN h x ON a.doc_id < x.doc_id AND ({band_eq})
+    )
+    SELECT c.id_a, c.id_b, CAST({ham} AS INT) AS hamming
+    FROM cand c JOIN h a ON a.doc_id = c.id_a JOIN h x ON x.doc_id = c.id_b
+    WHERE {ham} <= 8
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q225_image_dhash", oracle=_dhash_oracle())
+def q225_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGES (operators/multimodal.
+    dhash_bands): dHash each payload into four 16-bit bands, candidates =
+    pairs sharing ANY band (the Hamming-space analog of MinHash banding —
+    a pair within Hamming 8 of 64 bits collides on >= 1 intact band with
+    high probability), verify with exact Hamming distance <= 8 via
+    bit_count(xor).  Joins are band equi-joins; the decode is the
+    deterministic md5-chain stand-in (multimodal stub policy) so the
+    oracle replays the whole pipeline; swapping in a real PIL dHash keeps
+    every downstream shape."""
+    from .operators.multimodal import attach_payload, dhash_bands
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    # re-ingested copies (id-shifted) stand in for duplicate uploads — the
+    # corpus has no byte-identical docs at this SF, and the stand-in decode
+    # has no perceptual locality, so EXACT payload dups are what the
+    # banding must recover (hamming 0)
+    dups = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    d = base.unionByName(dups)
+    pay = attach_payload(d, "doc_id", "text")
+    h = pay.select(F.col("doc_id"), *dhash_bands(F.col("payload")))
+    a = h.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"d{b}").alias(f"a{b}") for b in range(4)]
+    )
+    x = h.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"d{b}").alias(f"b{b}") for b in range(4)]
+    )
+    band_eq = None
+    for b in range(4):
+        eq = F.col(f"a{b}") == F.col(f"b{b}")
+        band_eq = eq if band_eq is None else (band_eq | eq)
+    cand = (
+        a.join(x, (F.col("id_a") < F.col("id_b")) & band_eq)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ham = None
+    for b in range(4):
+        t = F.bit_count(
+            F.col(f"a{b}").cast("long").bitwiseXOR(F.col(f"b{b}").cast("long"))
+        )
+        ham = t if ham is None else ham + t
+    return (
+        cand.join(a, "id_a")
+        .join(x, "id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 8)
+        .orderBy("id_a", "id_b")
+    )

@@ -195,3 +195,46 @@ def sample_frames(
             )
 
     return mm_df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def dhash_bands(payload_col):
+    """Perceptual difference-hash (dHash) of an image payload as four 16-bit
+    band integers — the image analog of SimHash banding: visually-similar
+    images share bands, so near-dup candidates come from band equi-joins and
+    Hamming distance verifies (sum of per-band ``bit_count(xor)``).
+
+    DECODE STUB (the multimodal policy, see decode_image): real dHash
+    grayscales and 9x8-downsamples via PIL, absent in this container.  The
+    deterministic stand-in derives the 72 "pixels" from an md5 chain over
+    the payload bytes (pixel k = byte k%16 of md5^(1+k//16)(payload)) — the
+    SPARK-SIDE SHAPE (pure codegen expressions, banding, Hamming verify) is
+    the real thing, and the md5 chain is replayable bit-for-bit by the SQL
+    oracle, which a PIL decode could never be.  Identical payloads get
+    identical hashes; the downstream plumbing doesn't change when the fake
+    decode is swapped for the real one behind the same 72-byte contract.
+
+    dHash bit (r, c) = pixel(r, c) > pixel(r, c+1) over a 9-wide, 8-tall
+    grid; band b packs rows 2b..2b+1 (16 bits, little-endian by local bit).
+    """
+    # md5 chain: 5 hex digests cover 80 bytes >= 72 pixels
+    chain = [F.md5(payload_col)]
+    for _ in range(4):
+        chain.append(F.md5(chain[-1]))
+
+    def px(k: int):
+        h = chain[k // 16]
+        j = k % 16
+        return F.conv(F.substring(h, 2 * j + 1, 2), 16, 10).cast("int")
+
+    bands = []
+    for b in range(4):
+        val = F.lit(0)
+        for l in range(16):
+            r = 2 * b + l // 8
+            c = l % 8
+            bit = F.when(px(r * 9 + c) > px(r * 9 + c + 1), F.lit(1 << l)).otherwise(
+                F.lit(0)
+            )
+            val = val + bit
+        bands.append(val.cast("int").alias(f"d{b}"))
+    return bands
