@@ -1569,3 +1569,116 @@ def q225_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 8)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q226: RAG indexing pipeline end-to-end (chunk -> embed -> pool -> ANN)
+# ---------------------------------------------------------------------------
+
+_RAG_DIM, _RAG_PLANES = 16, 4
+
+
+def _rag_oracle() -> str:
+    # pseudo-embedder: dim i = uint32(md5(chunk || '#e{i}')) / 2^32 - 0.5
+    dims = ", ".join(
+        f"('0x' || substr(md5(chunk_text || '#e{i}'), 1, 8))::UBIGINT"
+        f" / 4294967296.0 - 0.5"
+        for i in range(_RAG_DIM)
+    )
+    planes = sim.srp_planes(_RAG_DIM, _RAG_PLANES, seed=7)
+    bits = " || ".join(
+        "(CASE WHEN " + _fold_dot_sql("mv", p) + " >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    fold_sq = (
+        "list_reduce(list_prepend(0.0, list_transform({v}, x -> x*x)), (s, x) -> s + x)"
+    )
+    cos = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(p.mv, q.mv),"
+        " pr -> pr[1]*pr[2])), (s, x) -> s + x)"
+        f" / (sqrt({fold_sq.format(v='p.mv')}) * sqrt({fold_sq.format(v='q.mv')}))"
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+                      len(string_split(text, ' ')) AS nw
+               FROM documents WHERE doc_id < 200),
+    c AS (SELECT doc_id, nw, words,
+                 unnest(range(0,
+                     1 + CAST(floor((greatest(nw - 16, 0) + 11) / 12.0) AS INT))) AS k
+          FROM w),
+    ch AS (SELECT doc_id, k AS chunk_id,
+                  array_to_string(words[k*12+1 : k*12+16], ' ') AS chunk_text
+           FROM c),
+    cv AS (SELECT doc_id, chunk_id, [{dims}] AS v FROM ch),
+    pooled AS (
+      SELECT doc_id,
+             list_transform(
+               list_reduce(list(v ORDER BY chunk_id),
+                           (a, b) -> list_transform(list_zip(a, b),
+                                                    pr -> pr[1] + pr[2])),
+               x -> x / CAST(count(*) AS DOUBLE)) AS mv
+      FROM cv GROUP BY doc_id
+    ),
+    b AS (SELECT doc_id, mv, {bits} AS bucket FROM pooled),
+    q AS (SELECT mv, bucket FROM b WHERE doc_id = 0)
+    SELECT p.doc_id, round({cos}, 6) AS cos_sim
+    FROM b p, q
+    WHERE p.bucket = q.bucket AND p.doc_id <> 0
+    ORDER BY cos_sim DESC, p.doc_id
+    LIMIT 10
+    """
+
+
+@query("q226_rag_e2e", oracle=_rag_oracle())
+def q226_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG indexing pipeline END-TO-END as one lazy plan: chunk documents
+    (operators/text.chunk_text, 16/4 windows) -> embed each chunk (a
+    deterministic md5 pseudo-embedder stands in for the model call — same
+    stub policy as multimodal decode: the Spark-side shape is real, and
+    unlike a real model it replays in SQL) -> mean-pool chunk vectors per
+    document in CHUNK ORDER (ordered fold, not a float group-sum) -> SRP-
+    bucket the index -> serve a query (doc 0) by probing its bucket and
+    exact-cosine ranking the candidates.  Chunking/embedding are narrow
+    maps; pooling is one doc-keyed shuffle; the probe is a broadcast join
+    of a 1-row query frame — the q171 pipeline discipline applied to
+    retrieval indexing."""
+    from .operators.text import chunk_text
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ch = chunk_text(docs, "doc_id", "text", chunk_tokens=16, overlap=4)
+
+    dims = []
+    for i in range(_RAG_DIM):
+        u = F.conv(
+            F.substring(F.md5(F.concat(F.col("chunk_text"), F.lit(f"#e{i}"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        dims.append(u / F.lit(4294967296.0) - F.lit(0.5))
+    cv = ch.select("doc_id", "chunk_id", F.array(*dims).alias("v"))
+
+    pooled = cv.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("chunk_id", "v"))).alias("vs")
+    )
+    vecs = F.transform(F.col("vs"), lambda s: s["v"])
+    summed = F.aggregate(
+        vecs,
+        F.array_repeat(F.lit(0.0), _RAG_DIM),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+    mv = F.transform(summed, lambda x: x / F.size("vs").cast("double"))
+    pooled = pooled.select("doc_id", mv.alias("mv"))
+
+    planes = sim.srp_planes(_RAG_DIM, _RAG_PLANES, seed=7)
+    b = pooled.select("doc_id", "mv", sim.srp_bucket(F.col("mv"), planes).alias("bucket"))
+    q = b.filter(F.col("doc_id") == 0).select(
+        F.col("mv").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cos = sim.cosine(F.col("mv"), F.col("qv"))
+    return (
+        b.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .filter(F.col("doc_id") != 0)
+        .select("doc_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(10)
+    )
