@@ -647,3 +647,23 @@ def test_every_catalog_query_documented_in_coverage():
         q for q in entry.queries() if q not in cov and q.split("_")[0] not in cov
     ]
     assert missing == []
+
+
+# ---------------------------------------------------------------------------
+# dHash bands
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_bands_deterministic_and_banded(spark):
+    from rust_dataframe_spark.operators.multimodal import attach_payload, dhash_bands
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="hello world"), Row(doc_id=2, text="hello world"),
+         Row(doc_id=3, text="completely different")]
+    )
+    pay = attach_payload(df, "doc_id", "text")
+    h = {r["doc_id"]: [r[f"d{b}"] for b in range(4)]
+         for r in pay.select("doc_id", *dhash_bands(F.col("payload"))).collect()}
+    assert h[1] == h[2]          # identical payloads -> identical hash
+    assert h[1] != h[3]
+    assert all(0 <= v < 65536 for v in h[1] + h[3])  # 16-bit bands
