@@ -1682,3 +1682,85 @@ def q226_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q227: Poisson bootstrap (scalable resampling for uncertainty estimates)
+# ---------------------------------------------------------------------------
+
+_BOOT_R = 10
+
+
+def _boot_oracle() -> str:
+    arms = []
+    for b in range(_BOOT_R):
+        arms.append(f"""
+      SELECT {b} AS replica,
+             CASE WHEN u{b} < 0.3679 THEN 0 WHEN u{b} < 0.7358 THEN 1 ELSE 2 END AS k,
+             l_quantity AS q
+      FROM u""")
+    u_cols = ", ".join(
+        f"('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||"
+        f" CAST(l_linenumber AS VARCHAR) || '#b{b}'), 1, 8))::UBIGINT"
+        f" / 4294967296.0 AS u{b}"
+        for b in range(_BOOT_R)
+    )
+    union = " UNION ALL ".join(arms)
+    return f"""
+    WITH u AS (SELECT l_orderkey, l_linenumber, l_quantity, {u_cols} FROM lineitem),
+    r AS ({union})
+    SELECT replica,
+           CAST(sum(k) AS BIGINT) AS n_eff,
+           round(CAST(sum(k * q) AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6) AS boot_mean
+    FROM r GROUP BY replica
+    ORDER BY replica
+    """
+
+
+@query("q227_poisson_bootstrap", oracle=_boot_oracle())
+def q227_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012 — 'Estimating
+    uncertainty for massive data streams'): each row enters replica b with
+    multiplicity ~ Poisson(1), so resampling needs NO global N, no shuffle,
+    and no second pass — the bootstrap that actually runs at 100 TB.  The
+    multiplicity draw is an md5-uniform three-point approximation of
+    Poisson(1) (P(0)=P(1)=0.3679, P(2)=0.2642 — matched mean 0.9963,
+    truncated tail documented), deterministic per (row, replica): replays
+    across engines/retries and never leaks rows between replicas.
+    l_quantity is integer-valued, so every replica mean is a ratio of exact
+    integer sums — one division, bit-identical.  Returns 10 replica means;
+    their spread IS the uncertainty estimate of mean(l_quantity)."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("#"), F.col("l_linenumber").cast("string")
+    )
+    replicas = []
+    for b in range(_BOOT_R):
+        u = (
+            F.conv(F.substring(F.md5(F.concat(key, F.lit(f"#b{b}"))), 1, 8), 16, 10)
+            .cast("bigint")
+            / F.lit(4294967296.0)
+        )
+        k = (
+            F.when(u < 0.3679, F.lit(0))
+            .when(u < 0.7358, F.lit(1))
+            .otherwise(F.lit(2))
+        )
+        replicas.append(
+            F.struct(F.lit(b).alias("replica"), k.alias("k"))
+        )
+    exploded = li.select(
+        F.col("l_quantity").alias("q"), F.explode(F.array(*replicas)).alias("r")
+    ).select(F.col("r.replica").alias("replica"), F.col("r.k").alias("k"), "q")
+    return (
+        exploded.groupBy("replica")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_eff"),
+            F.round(
+                F.sum(F.col("k") * F.col("q")).cast("double")
+                / F.sum("k").cast("double"),
+                6,
+            ).alias("boot_mean"),
+        )
+        .orderBy("replica")
+    )
