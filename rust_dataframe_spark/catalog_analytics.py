@@ -1764,3 +1764,49 @@ def q227_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replica")
     )
+
+
+# ---------------------------------------------------------------------------
+# q228: CUSUM drift detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q228_cusum_drift",
+    oracle="""
+    WITH h AS (
+      SELECT event_id, user_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hist
+      FROM events WHERE user_id < 10
+    )
+    SELECT event_id, user_id, ts, value,
+           round(list_reduce(list_prepend(0.0, hist),
+                             (s, v) -> greatest(0.0, s + v - 55.0)), 6) AS cusum,
+           (round(list_reduce(list_prepend(0.0, hist),
+                        (s, v) -> greatest(0.0, s + v - 55.0)), 6) > 500.0) AS alarm
+    FROM h ORDER BY user_id, ts, event_id
+    """,
+)
+def q228_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift alarms per user (operators/temporal.cusum,
+    target 50 + slack 5, threshold 500): persistent upward shifts in event
+    value accumulate into s_t and trip ``alarm`` where any per-point
+    threshold stays silent — the classic sequential change detector, as an
+    order-pinned fold both engines replay exactly (same discipline as EWMA
+    q206; same streaming escape hatch for unbounded histories)."""
+    from .operators.temporal import cusum
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 10)
+    out = cusum(
+        ev, "user_id", "ts", "value", target=50.0, slack=5.0, tiebreak_col="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "cusum",
+        (F.col("cusum") > 500.0).alias("alarm"),
+    ).orderBy("user_id", "ts", "event_id")

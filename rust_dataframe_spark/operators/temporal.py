@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "scd2_intervals", "forward_fill", "interpolate_linear"]
+__all__ = ["asof_join", "range_join", "scd2_intervals", "forward_fill", "interpolate_linear", "ewma", "cusum"]
 
 
 def asof_join(
@@ -330,5 +330,45 @@ def ewma(
         hist,
         F.lit(None).cast("double"),
         lambda s, v: F.when(s.isNull(), v).otherwise(v * a + s * (F.lit(1.0) - a)),
+    )
+    return df.withColumn(out_col, F.round(folded, 6))
+
+
+def cusum(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    target: float,
+    slack: float,
+    out_col: str = "cusum",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One-sided CUSUM change detector per key:
+    ``s_1 = max(0, x_1 - (target + slack)); s_t = max(0, s_{t-1} + x_t -
+    (target + slack))`` — the classic drift alarm (signal when s crosses a
+    threshold h): small persistent shifts accumulate where a fixed
+    per-point threshold stays silent.
+
+    Same engineering as :func:`ewma`: Spark has no recursive window, so the
+    recurrence is an order-pinned list fold (``collect_list`` running frame
+    + ``F.aggregate``), every op replayable bit-for-bit by a SQL engine
+    with list folds; ``target + slack`` folds to one literal on both
+    engines.  Same O(history^2)-per-key caveat, same streaming escape hatch
+    (a one-double-state applyInPandasWithState op, stream_ewma's shape).
+    """
+    order = [F.col(order_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = F.collect_list(F.col(value_col).cast("double")).over(w)
+    drift = F.lit(float(target) + float(slack))
+    folded = F.aggregate(
+        hist,
+        F.lit(0.0),
+        lambda s, v: F.greatest(F.lit(0.0), s + v - drift),
     )
     return df.withColumn(out_col, F.round(folded, 6))

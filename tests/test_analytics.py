@@ -667,3 +667,30 @@ def test_dhash_bands_deterministic_and_banded(spark):
     assert h[1] == h[2]          # identical payloads -> identical hash
     assert h[1] != h[3]
     assert all(0 <= v < 65536 for v in h[1] + h[3])  # 16-bit bands
+
+
+def test_cusum_accumulates_persistent_shift(spark):
+    from rust_dataframe_spark.operators.temporal import cusum
+
+    # values at target: s stays 0; shifted run: s ramps by (x - target - slack)
+    vals = [10.0, 10.0, 10.0, 14.0, 14.0, 14.0]
+    df = spark.createDataFrame([Row(k="a", t=i, v=x) for i, x in enumerate(vals)])
+    out = [
+        r["cusum"]
+        for r in cusum(df, "k", "t", "v", target=10.0, slack=1.0).orderBy("t").collect()
+    ]
+    assert out[:3] == [0.0, 0.0, 0.0]  # in-control points never accumulate
+    assert out[3:] == [3.0, 6.0, 9.0]  # +3 per shifted point
+
+
+def test_cusum_resets_after_dip(spark):
+    from rust_dataframe_spark.operators.temporal import cusum
+
+    df = spark.createDataFrame(
+        [Row(k="a", t=0, v=20.0), Row(k="a", t=1, v=0.0), Row(k="a", t=2, v=20.0)]
+    )
+    out = [
+        r["cusum"]
+        for r in cusum(df, "k", "t", "v", target=10.0, slack=0.0).orderBy("t").collect()
+    ]
+    assert out == [10.0, 0.0, 10.0]  # max(0, .) clamps, never negative
