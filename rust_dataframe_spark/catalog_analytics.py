@@ -1699,9 +1699,11 @@ def _boot_oracle() -> str:
              CASE WHEN u{b} < 0.3679 THEN 0 WHEN u{b} < 0.7358 THEN 1 ELSE 2 END AS k,
              l_quantity AS q
       FROM u""")
+    # 4 uniforms per digest (disjoint 8-hex windows, the minhash trick):
+    # 10 replicas cost ceil(10/4)=3 md5 calls per row instead of 10
     u_cols = ", ".join(
         f"('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||"
-        f" CAST(l_linenumber AS VARCHAR) || '#b{b}'), 1, 8))::UBIGINT"
+        f" CAST(l_linenumber AS VARCHAR) || '#w{b // 4}'), {(b % 4) * 8 + 1}, 8))::UBIGINT"
         f" / 4294967296.0 AS u{b}"
         for b in range(_BOOT_R)
     )
@@ -1730,14 +1732,22 @@ def q227_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_quantity is integer-valued, so every replica mean is a ratio of exact
     integer sums — one division, bit-identical.  Returns 10 replica means;
     their spread IS the uncertainty estimate of mean(l_quantity)."""
-    li = table(spark, sf_dir, "lineitem")
+    from .context import widen
+
+    # the replica explode multiplies per-row compute 10x; a single-file scan
+    # would serialize it on one core — widen() repairs scan parallelism
+    # (no-op on a real multi-file table)
+    li = widen(table(spark, sf_dir, "lineitem"))
     key = F.concat(
         F.col("l_orderkey").cast("string"), F.lit("#"), F.col("l_linenumber").cast("string")
     )
+    digests = [
+        F.md5(F.concat(key, F.lit(f"#w{w}"))) for w in range((_BOOT_R + 3) // 4)
+    ]
     replicas = []
     for b in range(_BOOT_R):
         u = (
-            F.conv(F.substring(F.md5(F.concat(key, F.lit(f"#b{b}"))), 1, 8), 16, 10)
+            F.conv(F.substring(digests[b // 4], (b % 4) * 8 + 1, 8), 16, 10)
             .cast("bigint")
             / F.lit(4294967296.0)
         )
