@@ -1389,6 +1389,8 @@ def q223_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap answer to 'is this 100 TB copy byte-identical to that one?' and
     the cache-invalidation key for derived artifacts (indexes, sketches,
     manifests).  One scan per table, map-side-combined decimal sum."""
+    from .context import widen
+
     M = 2305843009213693951  # 2^61 - 1
 
     def fp(df: DataFrame, cols: list, name: str) -> DataFrame:
@@ -1400,8 +1402,8 @@ def q223_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("d") % M).cast("bigint").alias("fingerprint"),
         )
 
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
+    li = widen(table(spark, sf_dir, "lineitem"))
+    o = widen(table(spark, sf_dir, "orders"))
     return (
         fp(li, ["l_orderkey", "l_linenumber", "l_quantity"], "lineitem")
         .unionByName(fp(o, ["o_orderkey", "o_orderpriority"], "orders"))
