@@ -26,6 +26,15 @@
   count-min sketch frequency summaries (q211, operators/sketches), and
   snapshot drift monitoring via integer-exact total variation distance
   (q214, operators/observability.distribution_drift).
+* model-in-the-engine analytics: OLS residual outliers (q215), U-shaped
+  multi-touch attribution (q216), Markov event transitions (q217), top
+  journey paths (q222), CUSUM drift alarms (q228), deterministic Poisson
+  bootstrap (q227).
+* retrieval/serving: posting-list AND search (q218), deterministic negative
+  sampling (q219), per-label centroid outliers (q221), the RAG indexing
+  pipeline end-to-end (q226), perceptual dHash image near-dup (q225).
+* platform: file-skipping manifests (q220), content-addressed table
+  fingerprints (q223), right-to-be-forgotten erasure cascade (q224).
 """
 
 from __future__ import annotations
