@@ -22,6 +22,7 @@ __all__ = [
     "stateful_running_counts",
     "stateful_running_counts_tws",
     "stream_ewma",
+    "stream_cusum",
     "stream_dedup",
     "enrich_stream",
     "interval_join",
@@ -453,6 +454,73 @@ def stream_ewma(
         update,
         outputStructType=f"{key_col} int, {ts_col} timestamp, {value_col} double, ewma double",
         stateStructType="last_ewma double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_cusum(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    target: float,
+    slack: float,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Streaming one-sided CUSUM — the one-pass O(1)-state form of
+    operators/temporal.cusum (same pairing as stream_ewma/ewma): state per
+    key is the single running statistic, each micro-batch folds its rows in
+    event-time order via ``s = max(0, s + x - (target + slack))`` and emits
+    per-event rows (plus ``alarm`` when a threshold is given).  This is the
+    shape a 100 TB monitoring pipeline actually runs: the batch fold is the
+    backtest, this is production.
+
+    Ordering contract and rounding semantics identical to stream_ewma
+    (per-batch event-time sort, state in arrival order across batches,
+    shortest-repr HALF_UP rounding to match F.round)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    drift = float(target) + float(slack)
+
+    def update(key, pdf_iter, state):
+        s = state.get[0] if state.exists else 0.0
+        rows = pd.concat(list(pdf_iter))
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(ts_col, kind="mergesort")
+        vals = rows[value_col].astype("float64")
+        out = []
+        for x in vals:
+            s = max(0.0, s + x - drift)
+            out.append(s)
+        state.update((float(s),))
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        rounded = [
+            float(Decimal(repr(float(v))).quantize(q6, rounding=ROUND_HALF_UP))
+            for v in out
+        ]
+        frame = {
+            key_col: rows[key_col].values,
+            ts_col: rows[ts_col].values,
+            value_col: vals.values,
+            "cusum": rounded,
+        }
+        if threshold is not None:
+            frame["alarm"] = [v > threshold for v in rounded]
+        yield pd.DataFrame(frame)
+
+    out_schema = f"{key_col} int, {ts_col} timestamp, {value_col} double, cusum double"
+    if threshold is not None:
+        out_schema += ", alarm boolean"
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="s double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -411,3 +411,28 @@ def test_interval_join_rejects_unknown_type(spark):
     df = spark.createDataFrame([], "user_id int, ts timestamp, v string")
     with pytest.raises(ValueError):
         st.interval_join(df, df, "user_id", how="left_semi")
+
+
+def test_stream_cusum_matches_batch_fold(spark, events):
+    from rust_dataframe_spark.operators.temporal import cusum as batch_cusum
+
+    schema = spark.read.parquet(events).schema
+    stream = st.read_stream_parquet(spark, events, schema)
+    out = st.run_available_now(
+        st.stream_cusum(
+            stream, key_col="user_id", ts_col="ts", value_col="value",
+            target=8.0, slack=1.0, threshold=20.0,
+        ),
+        "t_cusum",
+        output_mode="update",
+    )
+    got = {(r["user_id"], r["ts"]): (r["cusum"], r["alarm"]) for r in out.collect()}
+    batch = batch_cusum(
+        spark.read.parquet(events), "user_id", "ts", "value", target=8.0, slack=1.0
+    )
+    want = {
+        (r["user_id"], r["ts"]): (r["cusum"], r["cusum"] > 20.0)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 60
+    assert any(a for _, a in got.values())  # the ramp trips the alarm somewhere
