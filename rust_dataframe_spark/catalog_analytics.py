@@ -1831,3 +1831,49 @@ def q228_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         (F.col("cusum") > 500.0).alias("alarm"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q229: XML round-trip (Spark 4 native XML source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q229_xml_roundtrip",
+    oracle="""
+    SELECT count(*)                       AS n_rows,
+           count(s_name)                  AS n_names,
+           round(sum(s_acctbal), 2)       AS bal_sum,
+           min(s_name)                    AS min_name,
+           max(s_suppkey)                 AS max_key,
+           sum(s_nationkey)               AS nk_sum
+    FROM supplier
+    """,
+)
+def q229_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (Spark 4's upstreamed spark-xml —
+    completing the text-format matrix: csv q90, json q91, text q143, now
+    xml): write supplier as <row> elements, read it back with an explicit
+    schema, aggregate.  The oracle aggregates the original parquet —
+    equality proves element/attribute/type fidelity through the markup
+    format.  Avro is the one mainstream format documented UNSUPPORTED here
+    (external spark-avro jar, absent in this environment)."""
+    from .catalog_sources import _scratch
+    from .sources import files as fs
+
+    s = table(spark, sf_dir, "supplier")
+    path = _scratch("xml_supplier", sf_dir)
+    fs.write_xml(s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), path)
+    back = fs.read_xml(
+        spark,
+        path,
+        schema="s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s_name").alias("n_names"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+        F.min("s_name").alias("min_name"),
+        F.max("s_suppkey").alias("max_key"),
+        F.sum("s_nationkey").cast("bigint").alias("nk_sum"),
+    )

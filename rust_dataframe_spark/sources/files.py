@@ -275,3 +275,22 @@ def compact_parquet(
     n = max(1, -(-total // target_file_bytes))
     spark.read.parquet(src_path).repartition(n).write.mode("overwrite").parquet(dst_path)
     return n
+
+
+def read_xml(spark: SparkSession, path: str, *, row_tag: str = "row", schema: str | None = None, **options) -> DataFrame:
+    """XML source (native in Spark 4 — the spark-xml package was merged
+    upstream): one row per ``row_tag`` element, schema inferred or
+    explicit.  Completes the text-format matrix next to csv/json/text;
+    Avro remains documented-unsupported here (external jar, absent in this
+    environment)."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def write_xml(df: DataFrame, path: str, *, row_tag: str = "row", mode: str = "overwrite") -> None:
+    """XML sink (native Spark 4): one ``row_tag`` element per row."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
