@@ -1877,3 +1877,91 @@ def q229_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_suppkey").alias("max_key"),
         F.sum("s_nationkey").cast("bigint").alias("nk_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q230: DataFrame.transpose (Spark 4 API)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q230_transpose",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag AS f,
+             round(sum(l_quantity), 2)      AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(avg(l_discount), 6)      AS avg_disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT 'avg_disc' AS key,
+           max(CASE WHEN f = 'A' THEN avg_disc END) AS A,
+           max(CASE WHEN f = 'N' THEN avg_disc END) AS N,
+           max(CASE WHEN f = 'R' THEN avg_disc END) AS R
+    FROM a
+    UNION ALL
+    SELECT 'sum_price',
+           max(CASE WHEN f = 'A' THEN sum_price END),
+           max(CASE WHEN f = 'N' THEN sum_price END),
+           max(CASE WHEN f = 'R' THEN sum_price END)
+    FROM a
+    UNION ALL
+    SELECT 'sum_qty',
+           max(CASE WHEN f = 'A' THEN sum_qty END),
+           max(CASE WHEN f = 'N' THEN sum_qty END),
+           max(CASE WHEN f = 'R' THEN sum_qty END)
+    FROM a
+    ORDER BY key
+    """,
+)
+def q230_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (new in Spark 4): flip a per-flag metrics frame
+    so metrics become rows and flags become columns — the
+    report-orientation pivot analysts do by hand with N conditional
+    aggregates (which is exactly how the oracle replays it).  Spark
+    requires a common value type (all double here) and sorts the new
+    columns by index value, both pinned by the oracle's shape."""
+    li = table(spark, sf_dir, "lineitem")
+    agged = li.groupBy(F.col("l_returnflag").alias("f")).agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return agged.transpose().orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# q231: SQL pipe syntax (Spark 4 SQL surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q231_sql_pipe",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 25
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q231_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|>, new in Spark 4 — the sequential query form from
+    Google's 'SQL Has Problems' pipe-syntax paper): the same
+    filter->aggregate as classic SQL, written as a left-to-right pipeline.
+    Compiles to the identical Catalyst plan; the oracle is the classic
+    spelling, proving the two syntaxes are one engine surface."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 25
+        |> AGGREGATE count(*) AS n,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, revenue
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
