@@ -1965,3 +1965,45 @@ def q231_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q232: SQL session variables (Spark 4 SQL surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q232_sql_variables",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_quantity), 2) AS qty_sum
+    FROM lineitem
+    WHERE l_quantity > 30.0 AND l_discount BETWEEN 0.02 AND 0.08
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q232_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE / SET VAR, new in Spark 4): thresholds
+    live as typed session state instead of string-spliced literals — the
+    parameterization mechanism for SQL-first pipelines (safe against
+    injection, visible in EXPLAIN as constants after binding).  The oracle
+    runs the same query with the values inlined, proving variable binding
+    is pure sugar over literals."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_cut DOUBLE DEFAULT 25.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE disc_lo DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE disc_hi DOUBLE DEFAULT 1.0")
+    spark.sql("SET VAR qty_cut = 30.0")
+    spark.sql("SET VAR disc_lo = 0.02")
+    spark.sql("SET VAR disc_hi = 0.08")
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_quantity), 2) AS qty_sum
+        FROM lineitem
+        WHERE l_quantity > qty_cut AND l_discount BETWEEN disc_lo AND disc_hi
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
