@@ -78,6 +78,11 @@ HEADLINE = [
     "q204_pq_adc",
     "q207_weighted_jaccard",
     "q209_srp_multiprobe",
+    "q210_incremental_agg",
+    "q214_drift_tvd",
+    "q223_table_fingerprint",
+    "q226_rag_e2e",
+    "q227_poisson_bootstrap",
 ]
 
 
