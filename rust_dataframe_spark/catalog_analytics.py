@@ -2007,3 +2007,62 @@ def q232_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q233: personalized PageRank (seeded restart)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q233_personalized_pagerank",
+    oracle="""
+    WITH e AS (SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst
+               FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node,
+                  CAST(CASE WHEN node < 10 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+           FROM nodes),
+    c1 AS (SELECT e.dst AS node, sum((85 * r0.r) // (100 * deg.outdeg)) AS s
+           FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+    r1 AS (SELECT n.node,
+                  CAST(CASE WHEN n.node < 10 THEN 150000 ELSE 0 END
+                       + COALESCE(c1.s, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 USING (node)),
+    c2 AS (SELECT e.dst AS node, sum((85 * r1.r) // (100 * deg.outdeg)) AS s
+           FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+    r2 AS (SELECT n.node,
+                  CAST(CASE WHEN n.node < 10 THEN 150000 ELSE 0 END
+                       + COALESCE(c2.s, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 USING (node))
+    SELECT node, r FROM r2 WHERE r > 0 ORDER BY r DESC, node LIMIT 50
+    """,
+)
+def q233_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.pagerank(seeds=...), topic-
+    sensitive variant, Haveliwala 2002): restart mass flows only to the
+    seed nodes {0..9}, so rank measures proximity-weighted authority
+    RELATIVE to the seed neighborhood — the query-biased ranking behind
+    related-item recommendation and seed-expansion corpus selection (the
+    personalized form of q149's authority-weighted sampling).  Same graph
+    and fixed-point integer recurrence as q135, same 2-round chained-CTE
+    oracle, bit-identical under any partitioning; only rank-reachable
+    nodes (r > 0) return."""
+    from .operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 500).alias("src"),
+            (F.col("l_partkey") % 500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    r = pagerank(e, "src", "dst", n_iter=2, seeds=list(range(10)))
+    return (
+        r.filter(F.col("r") > 0)
+        .orderBy(F.col("r").desc(), "node")
+        .limit(50)
+    )

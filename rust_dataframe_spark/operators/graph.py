@@ -49,6 +49,7 @@ def pagerank(
     scale: int = 1_000_000,
     checkpoint_every: int = 5,
     redistribute_dangling: bool = False,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Iterative fixed-point PageRank over an edge list.
 
@@ -56,6 +57,12 @@ def pagerank(
     rounds of ``r[v] = base + sum_{u->v} (damping_num * r[u]) div
     (damping_den * outdeg[u])`` with ``base = scale - scale * damping_num
     div damping_den`` and all-``scale`` initialization.
+
+    ``seeds`` switches to PERSONALIZED PageRank: restart mass (the base
+    term) and the initial rank go only to the seed set, so scores measure
+    authority *relative to the seeds' neighborhood* — the query-biased /
+    recommendation variant (topic-sensitive PageRank, Haveliwala 2002).
+    Same exact integer arithmetic, bit-identical under any partitioning.
 
     ``redistribute_dangling=True`` adds the stochastic-matrix correction:
     each round, the damped rank mass of out-degree-0 nodes is shared
@@ -80,7 +87,15 @@ def pagerank(
         .repartition(F.col("__esrc"))
     )
     base = scale - (scale * damping_num) // damping_den
-    ranks = nodes.withColumn("r", F.lit(scale).cast("bigint"))
+    if seeds is None:
+        ranks = nodes.withColumn("r", F.lit(scale).cast("bigint"))
+        base_col = None
+    else:
+        is_seed = F.col("node").isin(list(seeds))
+        ranks = nodes.withColumn(
+            "r", F.when(is_seed, F.lit(scale)).otherwise(F.lit(0)).cast("bigint")
+        )
+        base_col = F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
     contrib_expr = F.expr(f"({damping_num} * __r) div ({damping_den} * __outdeg)")
     if redistribute_dangling:
         n_nodes = nodes.count()
@@ -100,9 +115,12 @@ def pagerank(
             row = dangling.join(ranks, "node").agg(F.sum("r").alias("t")).collect()[0]
             # damped dangling mass, split equally: exact integer arithmetic
             share = (damping_num * int(row["t"] or 0)) // (damping_den * n_nodes)
+        base_term = (
+            F.lit(base + share) if base_col is None else base_col + F.lit(share)
+        )
         ranks = nodes.join(sums, "node", "left").select(
             "node",
-            (F.lit(base + share) + F.coalesce(F.col("__s"), F.lit(0)))
+            (base_term + F.coalesce(F.col("__s"), F.lit(0)))
             .cast("bigint")
             .alias("r"),
         )

@@ -694,3 +694,18 @@ def test_cusum_resets_after_dip(spark):
         for r in cusum(df, "k", "t", "v", target=10.0, slack=0.0).orderBy("t").collect()
     ]
     assert out == [10.0, 0.0, 10.0]  # max(0, .) clamps, never negative
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    from rust_dataframe_spark.operators.graph import pagerank
+
+    # star: seed 0 -> {1,2}; far component {10 -> 11} gets zero mass
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (2, 0), (10, 11), (11, 10)], "src int, dst int"
+    )
+    r = {row["node"]: row["r"] for row in pagerank(edges, n_iter=3, seeds=[0]).collect()}
+    assert r[0] > r[1] == r[2] > 0
+    assert r[10] == 0 and r[11] == 0  # unreachable from the seed: no rank
+    # global variant ranks the far component too
+    g = {row["node"]: row["r"] for row in pagerank(edges, n_iter=3).collect()}
+    assert g[10] > 0 and g[11] > 0
