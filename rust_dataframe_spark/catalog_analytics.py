@@ -2066,3 +2066,100 @@ def q233_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("r").desc(), "node")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q234: A/B experiment readout with bootstrap uncertainty
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q234_ab_bootstrap",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'ab1'), 1, 8))::UBIGINT
+                       / 4294967296.0 < 0.5
+                  THEN 'A' ELSE 'B' END AS arm,
+             user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT arm, cents,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#w0'), 1, 8))::UBIGINT
+               / 4294967296.0 AS u0,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#w0'), 9, 8))::UBIGINT
+               / 4294967296.0 AS u1,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#w0'), 17, 8))::UBIGINT
+               / 4294967296.0 AS u2
+      FROM assigned
+    ),
+    r AS (
+      SELECT arm, 0 AS replica,
+             CASE WHEN u0 < 0.3679 THEN 0 WHEN u0 < 0.7358 THEN 1 ELSE 2 END AS k,
+             cents FROM u
+      UNION ALL
+      SELECT arm, 1,
+             CASE WHEN u1 < 0.3679 THEN 0 WHEN u1 < 0.7358 THEN 1 ELSE 2 END, cents FROM u
+      UNION ALL
+      SELECT arm, 2,
+             CASE WHEN u2 < 0.3679 THEN 0 WHEN u2 < 0.7358 THEN 1 ELSE 2 END, cents FROM u
+    )
+    SELECT arm, replica,
+           CAST(sum(k) AS BIGINT) AS n_eff,
+           round(CAST(sum(k * cents) AS DOUBLE)
+                 / (100.0 * CAST(sum(k) AS DOUBLE)), 6) AS boot_mean
+    FROM r GROUP BY arm, replica
+    ORDER BY arm, replica
+    """,
+)
+def q234_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout end-to-end: users hash-assigned 50/50 to arms
+    (the q94 deterministic-split discipline — a user NEVER changes arms
+    across reruns), purchase values bootstrapped per arm (q227's Poisson
+    replicas), yielding per-arm replica means whose spread is the
+    uncertainty band an A/B decision reads.  The metric is cents —
+    ``round(value*100)`` is one identical op per row on both engines, so
+    replica sums are exact integers and every mean is a single division
+    (the repo's no-float-accumulation rule applied to money).
+
+    Scale: assignment and multiplicity draws are narrow maps; one (arm,
+    replica)-keyed combine.  3 replicas here for the demo; production runs
+    100+ at the same per-row cost shape."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    arm_u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab1"))), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    assigned = ev.select(
+        F.when(arm_u < 0.5, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+        F.col("event_id"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    digest = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#w0")))
+    replicas = []
+    for b in range(3):
+        u = (
+            F.conv(F.substring(digest, b * 8 + 1, 8), 16, 10).cast("bigint")
+            / F.lit(4294967296.0)
+        )
+        k = (
+            F.when(u < 0.3679, F.lit(0)).when(u < 0.7358, F.lit(1)).otherwise(F.lit(2))
+        )
+        replicas.append(F.struct(F.lit(b).alias("replica"), k.alias("k")))
+    exploded = assigned.select(
+        "arm", "cents", F.explode(F.array(*replicas)).alias("r")
+    ).select("arm", F.col("r.replica").alias("replica"), F.col("r.k").alias("k"), "cents")
+    return (
+        exploded.groupBy("arm", "replica")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_eff"),
+            F.round(
+                F.sum(F.col("k") * F.col("cents")).cast("double")
+                / (F.lit(100.0) * F.sum("k").cast("double")),
+                6,
+            ).alias("boot_mean"),
+        )
+        .orderBy("arm", "replica")
+    )
