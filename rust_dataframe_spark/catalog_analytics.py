@@ -2163,3 +2163,54 @@ def q234_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm", "replica")
     )
+
+
+# ---------------------------------------------------------------------------
+# q235: Holt linear-trend smoothing + forecast
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q235_holt_trend",
+    oracle="""
+    WITH h AS (
+      SELECT event_id, user_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hist
+      FROM events WHERE user_id < 8
+    ),
+    s AS (
+      SELECT event_id, user_id, ts, value,
+             list_reduce(
+               list_prepend([hist[1], 0.0], list_transform(hist, x -> [x])),
+               (acc, v) -> [0.5*v[1] + 0.5*(acc[1]+acc[2]),
+                            0.25*((0.5*v[1] + 0.5*(acc[1]+acc[2])) - acc[1])
+                              + 0.75*acc[2]]) AS st
+      FROM h
+    )
+    SELECT event_id, user_id, ts, value,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[1] + st[2], 6) AS forecast_1
+    FROM s ORDER BY user_id, ts, event_id
+    """,
+)
+def q235_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing with one-step forecast
+    (operators/temporal.holt_linear, alpha=0.5 beta=0.25 — dyadic
+    coefficients, so 1-a/1-b are exact): level + trend per user event
+    series, the forecasting upgrade over EWMA's level-only smoothing.  The
+    two-state recurrence folds as a [level, trend] list accumulator over
+    [x] element lists — the same-type-fold trick that makes multi-state
+    recurrences engine-replayable (DuckDB list_reduce requires acc type ==
+    element type)."""
+    from .operators.temporal import holt_linear
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 8)
+    out = holt_linear(
+        ev, "user_id", "ts", "value", alpha=0.5, beta=0.25, tiebreak_col="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "level", "trend", "forecast_1"
+    ).orderBy("user_id", "ts", "event_id")

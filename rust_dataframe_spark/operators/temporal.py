@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "scd2_intervals", "forward_fill", "interpolate_linear", "ewma", "cusum"]
+__all__ = ["asof_join", "range_join", "scd2_intervals", "forward_fill", "interpolate_linear", "ewma", "cusum", "holt_linear"]
 
 
 def asof_join(
@@ -372,3 +372,60 @@ def cusum(
         lambda s, v: F.greatest(F.lit(0.0), s + v - drift),
     )
     return df.withColumn(out_col, F.round(folded, 6))
+
+
+def holt_linear(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Holt double-exponential smoothing per key — level AND trend:
+    ``l_t = a*x_t + (1-a)*(l_{t-1} + t_{t-1})``,
+    ``t_t = b*(l_t - l_{t-1}) + (1-b)*t_{t-1}`` (init l_1 = x_1, t_1 = 0),
+    plus the one-step-ahead forecast ``l_t + t_t`` — the trending-series
+    smoother EWMA (level-only) cannot follow.
+
+    The TWO-state recurrence folds as a list-typed accumulator ``[l, t]``
+    over single-element ``[x]`` lists — the trick that fits multi-state
+    recurrences into engines whose fold requires accumulator type ==
+    element type (DuckDB list_reduce), keeping the op sequence replayable
+    bit-for-bit.  ``l_t`` appears twice in the step; it is spelled
+    identically both times on both engines, so the duplicated arithmetic
+    rounds identically.  Same O(history^2) batch-fold caveat and streaming
+    escape hatch as :func:`ewma`/:func:`cusum`.
+    """
+    if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0):
+        raise ValueError(f"need 0 < alpha <= 1 and 0 <= beta <= 1, got {alpha}, {beta}")
+    order = [F.col(order_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a, b = F.lit(float(alpha)), F.lit(float(beta))
+    one_a, one_b = F.lit(1.0 - float(alpha)), F.lit(1.0 - float(beta))
+
+    def step(acc, v):
+        x = F.element_at(v, 1)
+        l_prev, t_prev = F.element_at(acc, 1), F.element_at(acc, 2)
+        l_new = a * x + one_a * (l_prev + t_prev)
+        return F.array(
+            l_new,
+            b * ((a * x + one_a * (l_prev + t_prev)) - l_prev) + one_b * t_prev,
+        )
+
+    init = F.array(F.element_at(hist, 1), F.lit(0.0))
+    state = F.aggregate(F.transform(hist, lambda x: F.array(x)), init, step)
+    level = F.element_at(state, 1)
+    trend = F.element_at(state, 2)
+    return (
+        df.withColumn("level", F.round(level, 6))
+        .withColumn("trend", F.round(trend, 6))
+        .withColumn("forecast_1", F.round(level + trend, 6))
+    )

@@ -711,3 +711,32 @@ def test_personalized_pagerank_mass_stays_near_seeds(spark):
     # global variant ranks the far component too
     g = {row["node"]: row["r"] for row in pagerank(edges, n_iter=3).collect()}
     assert g[10] > 0 and g[11] > 0
+
+
+def test_holt_linear_tracks_a_trend(spark):
+    from rust_dataframe_spark.operators.temporal import holt_linear
+
+    # perfect linear series: level converges onto the line, trend toward the slope
+    vals = [10.0 + 2.0 * i for i in range(12)]
+    df = spark.createDataFrame([Row(k="a", t=i, v=x) for i, x in enumerate(vals)])
+    out = holt_linear(df, "k", "t", "v", alpha=0.5, beta=0.5).orderBy("t").collect()
+    # python reference with identical op order; HALF_UP rounding to match
+    # F.round (dyadic coefficients make exact .xxxxxx5 ties routine)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(v):
+        return float(Decimal(repr(float(v))).quantize(Decimal("0.000001"),
+                                                      rounding=ROUND_HALF_UP))
+
+    l, tr, want = vals[0], 0.0, []
+    for x in vals:
+        l_new = 0.5 * x + 0.5 * (l + tr)
+        tr = 0.5 * ((0.5 * x + 0.5 * (l + tr)) - l) + 0.5 * tr
+        l = l_new
+        want.append((r6(l), r6(tr), r6(l + tr)))
+    got = [(r["level"], r["trend"], r["forecast_1"]) for r in out]
+    assert got == want
+    # after a dozen points on a slope-2 line, trend is near 2 and the
+    # one-step forecast is near the next point
+    assert abs(out[-1]["trend"] - 2.0) < 0.2
+    assert abs(out[-1]["forecast_1"] - (vals[-1] + 2.0)) < 0.5
