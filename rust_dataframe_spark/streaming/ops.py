@@ -23,6 +23,7 @@ __all__ = [
     "stateful_running_counts_tws",
     "stream_ewma",
     "stream_cusum",
+    "stream_holt",
     "stream_dedup",
     "enrich_stream",
     "interval_join",
@@ -521,6 +522,81 @@ def stream_cusum(
         update,
         outputStructType=out_schema,
         stateStructType="s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_holt(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Streaming one-pass Holt linear-trend smoothing — the O(1)-state form
+    of operators/temporal.holt_linear (two doubles per key: level and
+    trend), completing the recursive-statistics family's batch/streaming
+    symmetry (ewma/stream_ewma, cusum/stream_cusum, holt/stream_holt).
+
+    Ordering contract and HALF_UP shortest-repr rounding identical to
+    stream_ewma; the level expression is spelled twice exactly as in the
+    batch fold so replicated arithmetic rounds identically.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    a = float(alpha)
+    one_a = 1.0 - a
+    b = float(beta)
+    one_b = 1.0 - b
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            l, t, started = state.get[0], state.get[1], True
+        else:
+            l, t, started = 0.0, 0.0, False
+        rows = pd.concat(list(pdf_iter))
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(ts_col, kind="mergesort")
+        vals = rows[value_col].astype("float64")
+        out = []
+        for x in vals:
+            if not started:
+                l, t, started = float(x), 0.0, True
+            l_new = a * x + one_a * (l + t)
+            t = b * ((a * x + one_a * (l + t)) - l) + one_b * t
+            l = l_new
+            out.append((l, t))
+        state.update((float(l), float(t)))
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+
+        def r6(v):
+            return float(Decimal(repr(float(v))).quantize(q6, rounding=ROUND_HALF_UP))
+
+        yield pd.DataFrame(
+            {
+                key_col: rows[key_col].values,
+                ts_col: rows[ts_col].values,
+                value_col: vals.values,
+                "level": [r6(l_) for l_, _ in out],
+                "trend": [r6(t_) for _, t_ in out],
+                "forecast_1": [r6(l_ + t_) for l_, t_ in out],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} int, {ts_col} timestamp, {value_col} double,"
+            " level double, trend double, forecast_1 double"
+        ),
+        stateStructType="l double, t double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -436,3 +436,28 @@ def test_stream_cusum_matches_batch_fold(spark, events):
     }
     assert got == want and len(got) == 60
     assert any(a for _, a in got.values())  # the ramp trips the alarm somewhere
+
+
+def test_stream_holt_matches_batch_fold(spark, events):
+    from rust_dataframe_spark.operators.temporal import holt_linear
+
+    schema = spark.read.parquet(events).schema
+    stream = st.read_stream_parquet(spark, events, schema)
+    out = st.run_available_now(
+        st.stream_holt(stream, key_col="user_id", ts_col="ts", value_col="value",
+                       alpha=0.5, beta=0.25),
+        "t_holt",
+        output_mode="update",
+    )
+    got = {
+        (r["user_id"], r["ts"]): (r["level"], r["trend"], r["forecast_1"])
+        for r in out.collect()
+    }
+    batch = holt_linear(
+        spark.read.parquet(events), "user_id", "ts", "value", alpha=0.5, beta=0.25
+    )
+    want = {
+        (r["user_id"], r["ts"]): (r["level"], r["trend"], r["forecast_1"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 60
