@@ -21,6 +21,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -36,6 +37,7 @@ __all__ = [
     "decode_image",
     "resize_images",
     "sample_frames",
+    "segment_audio",
 ]
 
 # Output schema of the feature-extraction stage — fixed and explicit, because
@@ -238,3 +240,70 @@ def dhash_bands(payload_col):
             val = val + bit
         bands.append(val.cast("int").alias(f"d{b}"))
     return bands
+
+
+def segment_audio(
+    mm_df: DataFrame,
+    *,
+    frame_bytes: int = 16,
+    energy_threshold: int = 128,
+    min_frames: int = 2,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Energy-based audio segmentation (the VAD shape): decode the payload
+    to PCM frames, compute per-frame energy, emit the contiguous runs of
+    frames above the threshold as (doc_id, seg_id, start_frame, n_frames,
+    mean_energy) — the speech/music region extraction step before an audio
+    corpus is transcribed or embedded.
+
+    STUB decode (the multimodal policy): real PCM needs ffmpeg/soundfile,
+    absent here; the fake treats the payload BYTES as 8-bit samples, so
+    frame energy = mean byte value per ``frame_bytes`` window — a
+    deterministic stand-in with the identical Arrow-batched mapInPandas
+    shape, per-row fan-out (one row per SEGMENT), and run-length logic the
+    real decoder would drive.  Segments shorter than ``min_frames`` drop
+    (the VAD hangover rule).
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("seg_id", IntegerType()),
+            StructField("start_frame", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("mean_energy", DoubleType()),
+        ]
+    )
+
+    def _segment(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake_decode:  # pragma: no cover - real decoder absent here
+                raise NotImplementedError(
+                    "real PCM decode requires ffmpeg/soundfile (not in container)"
+                )
+            rows = {k: [] for k in ("doc_id", "seg_id", "start_frame", "n_frames", "mean_energy")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                energies = [
+                    sum(data[i : i + frame_bytes]) / max(1, len(data[i : i + frame_bytes]))
+                    for i in range(0, len(data), frame_bytes)
+                ]
+                seg_id, start, acc = 0, None, []
+                for idx, e in enumerate(energies + [-1.0]):  # sentinel flushes
+                    if e >= energy_threshold:
+                        if start is None:
+                            start = idx
+                        acc.append(e)
+                    elif start is not None:
+                        if len(acc) >= min_frames:
+                            rows["doc_id"].append(doc_id)
+                            rows["seg_id"].append(seg_id)
+                            rows["start_frame"].append(start)
+                            rows["n_frames"].append(len(acc))
+                            rows["mean_energy"].append(round(sum(acc) / len(acc), 6))
+                            seg_id += 1
+                        start, acc = None, []
+            yield pd.DataFrame(rows)
+
+    return mm_df.select("doc_id", "payload").mapInPandas(_segment, schema=out_schema)

@@ -740,3 +740,29 @@ def test_holt_linear_tracks_a_trend(spark):
     # one-step forecast is near the next point
     assert abs(out[-1]["trend"] - 2.0) < 0.2
     assert abs(out[-1]["forecast_1"] - (vals[-1] + 2.0)) < 0.5
+
+
+def test_segment_audio_runs_and_thresholds(spark):
+    from rust_dataframe_spark.operators.multimodal import segment_audio
+
+    # payload bytes ARE the fake 8-bit samples: quiet(64) x32, loud(200) x48,
+    # quiet x32, loud x16 -> with 16-byte frames and threshold 128:
+    # one 3-frame loud segment, then a 1-frame loud run dropped by min_frames
+    quiet, loud = bytes([64] * 32), bytes([200] * 48)
+    payload = quiet + loud + bytes([64] * 32) + bytes([200] * 16)
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(payload))])
+    segs = segment_audio(df, frame_bytes=16, energy_threshold=128, min_frames=2).collect()
+    assert len(segs) == 1
+    s = segs[0]
+    assert (s["seg_id"], s["start_frame"], s["n_frames"]) == (0, 2, 3)
+    assert s["mean_energy"] == 200.0
+
+
+def test_segment_audio_empty_and_silent(spark):
+    from rust_dataframe_spark.operators.multimodal import segment_audio
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(bytes([10] * 64))),
+         Row(doc_id=2, payload=bytearray(b""))]
+    )
+    assert segment_audio(df, energy_threshold=128).count() == 0
