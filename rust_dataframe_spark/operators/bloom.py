@@ -1,0 +1,104 @@
+"""Explicit Bloom-filter semi-join reduction (runtime row-level filter).
+
+Spark's optimizer injects Bloom runtime filters on its own
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``), but that machinery is
+JVM-internal and join-shape-gated.  This module builds the same primitive as
+a first-class, engine-replayable DataFrame op, because a 100 TB pipeline
+wants it *explicitly* in two places the optimizer can't reach:
+
+* pre-filtering a huge probe table **before an expensive non-join stage**
+  (e.g. text shingling only for docs that might match an allowlist);
+* shipping a compact membership summary **across jobs** (build once, probe
+  in later pipelines), which no single-query optimizer can do.
+
+Construction: k salted 32-bit hashes per key (md5 hex-window family — the
+same engine-agnostic digest discipline as operators/dedup.py MinHash), each
+mod m bit positions.  The "filter" is the distinct set of set-bit positions:
+at most ``k × n_build`` values, aggregated to one array row and broadcast to
+the probe side.  A probe key passes iff all k of its positions are present.
+
+Scale: the build side reduces to ≤ m integers regardless of build-row count
+(m is chosen from the target fp rate: m/n ≈ 14, k=3 → ~1% fp).  The probe is
+a narrow map against a broadcast array — membership via ``array_contains``
+over a *sorted* array; no shuffle of the probe side at all.  False positives
+are quantified, never hidden: :func:`semi_join_compare` reports
+bloom-pass vs true-match counts side by side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["bloom_positions", "bloom_bits", "bloom_probe", "semi_join_compare"]
+
+
+def bloom_positions(key: Column, m: int, k: int) -> Column:
+    """Array of k bit positions for ``key``: position_i =
+    ``int(md5(key || '#bi')[:8], 16) % m``.  Deterministic and identical in
+    any engine with md5 (DuckDB replays it as
+    ``('0x' || substr(md5(key || '#bi'), 1, 8))::UBIGINT % m``)."""
+    s = key.cast("string")
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(s, F.lit(f"#b{i}"))), 1, 8), 16, 10
+                ).cast("bigint")
+                % m
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_bits(build: DataFrame, key_col: str, *, m: int, k: int) -> DataFrame:
+    """One-row DataFrame ``(bits: array<bigint>)`` — the sorted distinct bit
+    positions set by the build side's keys.  ≤ min(m, k·n) elements."""
+    return (
+        build.select(
+            F.explode(bloom_positions(F.col(key_col), m, k)).alias("pos")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_list("pos")).alias("bits"))
+    )
+
+
+def bloom_probe(
+    probe: DataFrame, key_col: str, bits: DataFrame, *, m: int, k: int
+) -> DataFrame:
+    """``probe`` plus a boolean ``bloom_pass`` column: true iff every one of
+    the key's k positions is in the build bitmap.  The one-row bitmap is
+    cross-joined with a broadcast hint — a map-side lookup, no shuffle."""
+    probed = probe.crossJoin(F.broadcast(bits)).withColumn(
+        "__pos", bloom_positions(F.col(key_col), m, k)
+    )
+    passed = F.forall("__pos", lambda p: F.array_contains(F.col("bits"), p))
+    return probed.withColumn("bloom_pass", passed).drop("bits", "__pos")
+
+
+def semi_join_compare(
+    probe: DataFrame, probe_key: str, build: DataFrame, build_key: str, *, m: int, k: int
+) -> DataFrame:
+    """Audit row for the Bloom reduction: probe rows, true semi-join rows,
+    bloom-passing rows, and false positives (bloom-pass minus true-match).
+    ``n_false_pos / (n_probe - n_true)`` is the realized fp rate to check
+    against the design point."""
+    bits = bloom_bits(build, build_key, m=m, k=k)
+    truth = build.select(F.col(build_key).alias("__bk")).distinct()
+    flagged = (
+        bloom_probe(probe, probe_key, bits, m=m, k=k)
+        .join(
+            F.broadcast(truth),
+            F.col(probe_key) == F.col("__bk"),
+            "left",
+        )
+        .withColumn("true_match", F.col("__bk").isNotNull())
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("true_match").cast("int")).alias("n_true"),
+        F.sum(F.col("bloom_pass").cast("int")).alias("n_bloom_pass"),
+        F.sum((F.col("bloom_pass") & ~F.col("true_match")).cast("int")).alias(
+            "n_false_pos"
+        ),
+    )

@@ -1,0 +1,224 @@
+"""Distribution-comparison and robust-statistics operators.
+
+The drift family the repo already has (TVD q214) compares histograms; this
+module adds the classical *test statistics* a data-quality / model-monitoring
+pipeline reports alongside them:
+
+* :func:`ks_2sample` — two-sample Kolmogorov-Smirnov statistic (max ECDF gap),
+  computed on *binned* values so the ECDF support is bounded.
+* :func:`chi2_independence` — chi-squared statistic + Cramér's V for a
+  two-way contingency table.
+* :func:`psi` — Population Stability Index over fixed-width bins, the
+  standard score-drift monitor.
+* :func:`mad_outliers` — robust z-scores from median/MAD (the Iglewicz-
+  Hoaglin modified z-score), per group.
+
+Scale posture (all four): the heavy input scan reduces to a tiny keyed
+aggregate (bins × groups, contingency cells) *before* any window or join, so
+the shuffle payload is bounded by the statistic's support, never by the data.
+The only ordered window (`ks_2sample` ECDF cumsum) runs over the bounded bin
+axis.  ``mad_outliers`` uses exact interpolated percentiles (== DuckDB
+`quantile_cont`); at 100 TB substitute `percentile_approx` and document the
+error bound, as q26 does.
+
+Reference parity: the reference exposes describe-style stats only
+(`/root/reference/src/table.rs:244-290` hist, `dataframe.rs` aggregates);
+this module is net-new capability in the training-data-pipeline direction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["ks_2sample", "chi2_independence", "psi", "mad_outliers"]
+
+
+def _binned(value: Column, lo: float, hi: float, nbins: int) -> Column:
+    """Fixed-width bin index in [0, nbins+1] (width_bucket semantics:
+    0 = below lo, nbins+1 = at-or-above hi).  Deterministic, engine-agnostic
+    float math — the same expression a DuckDB oracle writes."""
+    w = (hi - lo) / nbins
+    raw = F.floor((value - F.lit(lo)) / F.lit(w)) + F.lit(1)
+    return (
+        F.when(value < lo, F.lit(0))
+        .when(value >= hi, F.lit(nbins + 1))
+        .otherwise(raw)
+        .cast("int")
+    )
+
+
+def ks_2sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: Column,
+    *,
+    lo: float,
+    hi: float,
+    nbins: int = 1000,
+) -> DataFrame:
+    """Two-sample KS statistic: ``D = max_x |F_a(x) - F_b(x)|`` where the
+    ECDFs are evaluated on ``nbins`` fixed-width bins of ``value_col`` and
+    ``group_col`` is a boolean column (true = sample a).
+
+    One row out: ``(ks_stat, n_a, n_b)``.
+
+    Shape: scan → groupBy(bin) partial-agg (bounded at nbins+2 rows) →
+    single-partition cumsum window over bins → global max.  The window is
+    over the *bin axis*, so its size is fixed regardless of input rows; at
+    100 TB only the first aggregate touches data volume.  Binning makes D a
+    lower bound of the exact statistic with error ≤ max bin probability —
+    the standard streaming/distributed KS trade documented here rather than
+    hidden.
+    """
+    b = df.select(
+        _binned(F.col(value_col), lo, hi, nbins).alias("bin"),
+        group_col.cast("int").alias("is_a"),
+    )
+    per_bin = b.groupBy("bin").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("cb"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    ecdf = per_bin.select(
+        "bin",
+        (F.sum("ca").over(w) / F.sum("ca").over(tot)).alias("fa"),
+        (F.sum("cb").over(w) / F.sum("cb").over(tot)).alias("fb"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    )
+    return ecdf.groupBy().agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks_stat"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+
+
+def chi2_independence(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Pearson chi-squared test of independence on the ``row_col`` ×
+    ``col_col`` contingency table, plus Cramér's V effect size and degrees
+    of freedom.  One row out: ``(chi2, dof, cramers_v, n)``.
+
+    Shape: one groupBy over the pair (cells), margins derived from the cell
+    table by two more tiny aggregates, one broadcast-sized join back.  Cell
+    count bounds every post-scan structure; the input scan is the only
+    data-volume term.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rm = cells.groupBy("r").agg(F.sum("o").alias("rn"))
+    cm = cells.groupBy("c").agg(F.sum("o").alias("cn"))
+    n = cells.groupBy().agg(F.sum("o").alias("n"))
+    # complete the table: a (row, col) pair with zero observations still
+    # contributes (0 - e)^2 / e — the margin cross-product supplies the
+    # missing cells (all post-scan, all bounded by category counts)
+    full = (
+        rm.crossJoin(cm)
+        .join(cells, ["r", "c"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    j = full.crossJoin(F.broadcast(n))
+    term = (F.col("o") - F.col("rn") * F.col("cn") / F.col("n")) ** 2 / (
+        F.col("rn") * F.col("cn") / F.col("n")
+    )
+    agg = j.groupBy().agg(
+        F.sum(term).alias("chi2"),
+        F.count_distinct("r").alias("nr"),
+        F.count_distinct("c").alias("nc"),
+        F.max("n").alias("n"),
+    )
+    return agg.select(
+        "chi2",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        F.sqrt(
+            F.col("chi2") / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+        ).alias("cramers_v"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def psi(
+    df: DataFrame,
+    value_col: str,
+    is_reference: Column,
+    *,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between the reference slice
+    (``is_reference`` true) and the current slice, over ``nbins``
+    fixed-width bins: ``PSI = Σ (q_i - p_i) · ln(q_i / p_i)`` with
+    ``eps``-floored proportions (the conventional guard for empty bins —
+    part of the statistic's definition here, so oracles replay it exactly).
+
+    One row out: ``(psi, n_ref, n_cur)``.  Rule of thumb: <0.1 stable,
+    0.1-0.25 moderate shift, >0.25 major shift.
+
+    Shape: scan → groupBy(bin) → one bounded aggregate.  No window, no join.
+    """
+    b = df.select(
+        _binned(F.col(value_col), lo, hi, nbins).alias("bin"),
+        is_reference.cast("int").alias("is_ref"),
+    )
+    per_bin = b.groupBy("bin").agg(
+        F.sum("is_ref").alias("cr"),
+        F.sum(1 - F.col("is_ref")).alias("cc"),
+    )
+    tot = Window.partitionBy()
+    props = per_bin.select(
+        F.greatest(F.col("cr") / F.sum("cr").over(tot), F.lit(eps)).alias("p"),
+        F.greatest(F.col("cc") / F.sum("cc").over(tot), F.lit(eps)).alias("q"),
+        F.sum("cr").over(tot).alias("n_ref"),
+        F.sum("cc").over(tot).alias("n_cur"),
+    )
+    return props.groupBy().agg(
+        F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))).alias("psi"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    threshold: float = 3.5,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust per-group outlier statistics via the modified z-score
+    ``0.6745·(x - median) / MAD`` — equivalently ``(x - median) /
+    (1.4826·MAD)`` (Iglewicz & Hoaglin): immune to the outliers it hunts,
+    unlike mean/stddev fences.
+
+    Returns one row per group: ``(group, med, mad, n, n_outliers, max_absz)``.
+
+    Two exact-percentile passes (median, then median of absolute
+    deviations) joined back — medians are not algebraic, so two passes is
+    the honest distributed shape.  Spark ``percentile`` == DuckDB
+    ``quantile_cont`` (linear interpolation), keeping oracles bit-aligned.
+    At 100 TB swap both passes to ``percentile_approx``.
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad")
+    )
+    z = dev.join(F.broadcast(mad), group_col).withColumn(
+        "absz", F.col("absdev") / (F.lit(consistency) * F.col("mad"))
+    )
+    return z.groupBy(group_col).agg(
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.max("n").alias("n"),
+        F.sum((F.col("absz") > threshold).cast("int")).alias("n_outliers"),
+        F.max("absz").alias("max_absz"),
+    )

@@ -37,6 +37,8 @@ __all__ = [
     "write_arrow_ipc",
     "read_arrow_ipc_dir",
     "write_arrow_ipc_dir",
+    "read_orc",
+    "write_orc",
 ]
 
 
@@ -294,3 +296,23 @@ def read_xml(spark: SparkSession, path: str, *, row_tag: str = "row", schema: st
 def write_xml(df: DataFrame, path: str, *, row_tag: str = "row", mode: str = "overwrite") -> None:
     """XML sink (native Spark 4): one ``row_tag`` element per row."""
     df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC source (native Spark, zero extra jars) — the second first-class
+    columnar format next to parquet.  Same pushdown story as parquet:
+    predicate pushdown + column pruning reach the ORC stripe reader, and
+    Hive-partitioned directory layouts prune the same way."""
+    r = spark.read
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite", compression: str = "zstd", partition_by: list[str] | None = None) -> None:
+    """ORC sink (native).  zstd-compressed by default, optional Hive
+    partitioning — mirrors write_parquet's surface."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
