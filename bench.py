@@ -83,6 +83,11 @@ HEADLINE = [
     "q223_table_fingerprint",
     "q226_rag_e2e",
     "q227_poisson_bootstrap",
+    # round-6 additions: robust stats / runtime filter / exact set-sim join
+    "q240_mad_outliers",
+    "q242_bloom_semijoin",
+    "q247_equidepth_hist",
+    "q249_prefix_setjoin",
 ]
 
 
