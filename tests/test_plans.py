@@ -462,3 +462,49 @@ def test_drift_totals_broadcast(spark):
     df = catalog.QUERIES["q214_drift_tvd"](spark, SF)
     plan = pi.physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_spatial_join_is_equi_join(spark):
+    """q241: the grid-cell join must plan as an equi-join on (jx, jy) —
+    never a cartesian/NLJ over points (the whole point of cell bucketing)."""
+    df = catalog.QUERIES["q241_spatial_pairs"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_no_sort_merge(spark):
+    """q242: the probe side joins only against broadcast one-row/tiny
+    frames (bitmap + truth set) — no sort-merge join, no probe-side
+    repartition-by-key anywhere in the plan."""
+    df = catalog.QUERIES["q242_bloom_semijoin"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert pi.has_broadcast_join(df)
+
+
+def test_equidepth_no_window_no_global_sort(spark):
+    """q247: equi-depth bucketing must avoid the ntile shape — no Window
+    operator, no global Sort of the input; the cuts row broadcasts."""
+    df = catalog.QUERIES["q247_equidepth_hist"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_setjoin_candidates_are_equi_joins(spark):
+    """q249: candidate generation and verification are equi-joins (prefix
+    token / pair ids) — the exact set-similarity join must never fall back
+    to a cartesian."""
+    df = catalog.QUERIES["q249_prefix_setjoin"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_outliers_broadcast_joinbacks(spark):
+    """q240: the two scalar-per-group join-backs (median, MAD) broadcast —
+    the fact table is never shuffled for a 3-row dimension."""
+    df = catalog.QUERIES["q240_mad_outliers"](spark, SF)
+    assert pi.has_broadcast_join(df)
+    assert "CartesianProduct" not in pi.physical_plan(df)
