@@ -1,9 +1,11 @@
-"""Catalog round 6 (continued): q245-q249.
+"""Catalog round 6 (continued): q245-q254.
 
 CUPED experiment variance reduction, blocked fuzzy string matching,
 equi-depth histogram without a global sort, a Benford first-digit audit,
-and the exact set-similarity join via prefix filtering — the guaranteed-
-recall counterpart to the LSH family.
+the exact set-similarity join via prefix filtering (the guaranteed-recall
+counterpart to the LSH family), corrupt-record-tolerant JSON ingestion,
+RFM segmentation, seasonal-adjusted robust anomaly detection, end-to-end
+entity resolution, and point-in-time feature-store assembly.
 """
 
 from __future__ import annotations
@@ -300,3 +302,363 @@ def q249_prefix_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q250: corrupt-record tolerant JSON ingestion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q250_corrupt_json",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)      AS n_good,
+           CAST(5 AS BIGINT)             AS n_corrupt,
+           CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+    FROM supplier WHERE s_suppkey <= 40
+    """,
+)
+def q250_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record tolerant ingestion (PERMISSIVE mode +
+    ``_corrupt_record``): a JSON-lines directory holding valid supplier
+    rows plus 5 deliberately malformed lines must load without failing,
+    with the damage quantified — the production posture for 100 TB raw
+    ingests where "one bad line kills the job" (FAILFAST) is not an
+    option.  The oracle recomputes the good-row aggregate from the source
+    table and pins the corrupt count as a literal (the 5 planted lines
+    are part of the query's fixture).  Note the documented Spark caveat:
+    the parsed frame is persisted before filtering on _corrupt_record
+    (Spark disallows/miscounts corrupt-only projections on a lazy scan)."""
+    from .catalog_sources import _scratch
+
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 40)
+    path = _scratch("corrupt_json", sf_dir)
+    s.select("s_suppkey", "s_name").write.mode("overwrite").json(path)
+    bad = spark.createDataFrame(
+        [
+            ('{"s_suppkey": not-a-number}',),
+            ("{unclosed",),
+            ("]]][[[",),
+            ('{"s_suppkey": 1, "s_name": "x"',),
+            ("plain text, not json at all",),
+        ],
+        "value string",
+    )
+    bad.coalesce(1).write.mode("append").text(path)
+    from .operators.cache import persist_tracked
+
+    parsed = persist_tracked(
+        spark.read.schema("s_suppkey long, s_name string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    out = parsed.agg(
+        F.sum(F.col("_corrupt_record").isNull().cast("int")).alias("n_good"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("int")).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("s_suppkey"))).alias(
+            "key_sum"
+        ),
+    )
+    return out.select(
+        F.col("n_good").cast("bigint").alias("n_good"),
+        F.col("n_corrupt").cast("bigint").alias("n_corrupt"),
+        F.col("key_sum").cast("bigint").alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q251: RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q251_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(epoch(o_orderdate)) AS recency,
+             count(*) * 1.0          AS frequency,
+             sum(o_totalprice)       AS monetary
+      FROM orders GROUP BY 1
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency,   [0.25, 0.5, 0.75]) AS rc,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+             quantile_cont(monetary,  [0.25, 0.5, 0.75]) AS mc
+      FROM rfm
+    ),
+    scored AS (
+      SELECT 1 + len(list_filter(rc, c -> recency   >= c)) AS r_score,
+             1 + len(list_filter(fc, c -> frequency >= c)) AS f_score,
+             1 + len(list_filter(mc, c -> monetary  >= c)) AS m_score
+      FROM rfm CROSS JOIN cuts
+    )
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score, CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q251_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quartile scores 1-4)
+    — the classic customer-value census, built the scale-safe way: per-
+    customer rollup, one percentile aggregate for all nine cut points,
+    broadcast, codegen'd fold for bucket assignment (same no-global-sort
+    discipline as q247 — an ntile over customers would single-partition
+    the world).  Output is the segment census (score triple → count).
+    Recency uses epoch seconds (numeric, engine-identical); quartiles
+    keep the segment count readable (4³ max cells)."""
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("timestamp").cast("long")).alias("recency"),
+        (F.count(F.lit(1)) * 1.0).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = rfm.agg(
+        F.percentile("recency", qs).alias("rc"),
+        F.percentile("frequency", qs).alias("fc"),
+        F.percentile("monetary", qs).alias("mc"),
+    )
+
+    def score(metric: str, cut: str):
+        return 1 + F.aggregate(
+            cut, F.lit(0), lambda acc, c: acc + F.when(F.col(metric) >= c, 1).otherwise(0)
+        )
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        score("recency", "rc").cast("int").alias("r_score"),
+        score("frequency", "fc").cast("int").alias("f_score"),
+        score("monetary", "mc").cast("int").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252: seasonal-adjusted robust anomaly detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q252_seasonal_anomaly",
+    oracle="""
+    WITH hb AS (
+      SELECT event_type, hour(ts) AS hr, sum(value) AS sv, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, hr,
+             (sv / cnt) / (sum(sv) OVER (PARTITION BY event_type)
+                           / sum(cnt) OVER (PARTITION BY event_type)) AS sidx
+      FROM hb
+    ),
+    resid AS (
+      SELECT e.event_type, e.value / i.sidx AS r
+      FROM events e JOIN idx i
+        ON e.event_type = i.event_type AND hour(e.ts) = i.hr
+    ),
+    med AS (SELECT event_type, quantile_cont(r, 0.5) AS med FROM resid GROUP BY 1),
+    dev AS (SELECT resid.event_type, abs(r - med) AS absdev, med
+            FROM resid JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1),
+    z AS (SELECT dev.event_type, absdev / (1.4826 * mad) AS absz
+          FROM dev JOIN mad USING (event_type))
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN absz > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           round(max(absz), 4) AS max_absz
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def q252_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted robust anomaly detection — the composition the
+    individual pieces exist for: deseasonalize each event value by its
+    hour-of-day index (q243), then flag anomalies with MAD z-scores on the
+    residuals (q240) per event type.  A point that is normal at peak hour
+    and anomalous at 4am is caught; a plain threshold misses it.  Shapes
+    compose without new machinery: bounded seasonal table broadcast back,
+    two percentile passes, everything else partial aggregates."""
+    ev = load_events(spark, sf_dir)
+    hb = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.sum("value").alias("sv"), F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    idx = hb.select(
+        "event_type",
+        "hr",
+        (
+            (F.col("sv") / F.col("cnt"))
+            / (F.sum("sv").over(w) / F.sum("cnt").over(w))
+        ).alias("sidx"),
+    )
+    resid = ev.withColumn("hr", F.hour("ts")).join(
+        F.broadcast(idx), ["event_type", "hr"]
+    ).select("event_type", (F.col("value") / F.col("sidx")).alias("r"))
+    from .operators.stats import mad_outliers
+
+    out = mad_outliers(resid, "event_type", "r")
+    return out.select(
+        "event_type",
+        "n",
+        F.col("n_outliers").alias("n_anomalies"),
+        F.round("max_absz", 4).alias("max_absz"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q253: entity resolution end-to-end (fuzzy match -> components -> canonical)
+# ---------------------------------------------------------------------------
+
+_Q253_PAIRS = """
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+            FROM part WHERE p_partkey < 300) a
+      JOIN (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+            FROM part WHERE p_partkey < 300) b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+@query(
+    "q253_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_Q253_PAIRS}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (SELECT DISTINCT a, a FROM edges
+                    UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS pid, min(b) AS entity_id FROM reach GROUP BY a)
+    SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(pid) AS BIGINT) AS min_member,
+           CAST(max(pid) AS BIGINT) AS max_member
+    FROM comp GROUP BY 1 ORDER BY entity_id
+    """,
+)
+def q253_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocked fuzzy matching (q246's pairs)
+    → connected components (operators/dedup.dup_clusters — transitive
+    closure, because A~B and B~C must land in one entity even when A!~C)
+    → per-entity summary with the canonical id (= component min).  This is
+    the full record-linkage pipeline a catalog/CRM dedup runs, assembled
+    from operators that each already proved out separately; the oracle
+    replays the closure with a recursive CTE (same pattern as q93)."""
+    from .operators.dedup import dup_clusters
+
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.substring_index("p_name", " ", 1).alias("blk"),
+        )
+    )
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"), "blk")
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"), "blk")
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("na", "nb") <= 4)
+        .select("id_a", "id_b")
+    )
+    comp = dup_clusters(pairs)
+    return (
+        comp.groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("min_member"),
+            F.max("doc_id").alias("max_member"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q254: point-in-time feature assembly (feature-store join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q254_pit_features",
+    oracle="""
+    WITH buys AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase' AND user_id < 50
+    ),
+    clicks AS (
+      SELECT user_id, ts, value, event_id FROM events
+      WHERE event_type = 'click' AND user_id < 50
+    ),
+    views AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type = 'view' AND user_id < 50
+    )
+    SELECT b.event_id, b.user_id,
+           CAST(b.ts AS VARCHAR) AS ts,
+           round(b.value, 4) AS label_value,
+           CAST((SELECT count(*) FROM views v
+                 WHERE v.user_id = b.user_id AND v.ts <= b.ts) AS BIGINT)
+             AS n_views_asof,
+           round((SELECT c.value FROM clicks c
+                  WHERE c.user_id = b.user_id AND c.ts <= b.ts
+                  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), 4)
+             AS last_click_value
+    FROM buys b ORDER BY b.user_id, b.ts, b.event_id
+    """,
+)
+def q254_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly (the feature-store
+    join): for every purchase event, attach (a) the running view count
+    as-of the purchase instant and (b) the most recent click value as-of
+    it — using only information available at label time, the property that
+    prevents feature leakage.  Built from one running-count window and one
+    backward as-of join (operators/temporal.asof_join, q87's operator) —
+    each a single key-partitioned shuffle; the oracle states the same
+    semantics as correlated subqueries (fine at oracle scale, and the
+    window/as-of forms ARE the scale path)."""
+    from pyspark.sql import Window
+
+    from .operators.temporal import asof_join
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 50)
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(1).alias("one")
+    )
+    # running view count via union trick: count views at-or-before each buy
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = buys.withColumn("__side", F.lit(1)).unionByName(
+        views.withColumn("__side", F.lit(0)), allowMissingColumns=True
+    )
+    counted = (
+        u.withColumn(
+            "n_views_asof", F.sum(F.coalesce(F.col("one"), F.lit(0))).over(w)
+        )
+        .filter(F.col("__side") == 1)
+        .select("event_id", "user_id", "ts", "value", "n_views_asof")
+    )
+    out = asof_join(counted, clicks, "user_id", "ts", right_prefix="c_")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.round("value", 4).alias("label_value"),
+        F.col("n_views_asof").cast("bigint").alias("n_views_asof"),
+        F.round("c_value", 4).alias("last_click_value"),
+    ).orderBy("user_id", "ts", "event_id")
