@@ -662,3 +662,218 @@ def q254_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_views_asof").cast("bigint").alias("n_views_asof"),
         F.round("c_value", 4).alias("last_click_value"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q255: distributed covariance matrix (PCA prep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q255_covariance_matrix",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, (embedding[1:8])::DOUBLE[] AS e FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) - 1 AS k
+      FROM v
+    ),
+    g AS (
+      SELECT a.k AS i, b.k AS j, sum(a.x * b.x) AS gv
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    m AS (SELECT k, avg(x) AS mk, count(*) AS n FROM ex GROUP BY 1)
+    SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+           round(gv / mi.n - mi.mk * mj.mk, 6) AS cov
+    FROM g JOIN m mi ON g.i = mi.k JOIN m mj ON g.j = mj.k
+    ORDER BY i, j
+    """,
+)
+def q255_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix over an embedding slice (operators/
+    linalg.covariance_matrix) — the PCA / whitening preprocessing
+    reduction: every row contributes its outer product, partial sums
+    combine map-side, and the result is d² scalars regardless of row
+    count.  Demonstrated on the first 8 dims (64 cells); the operator
+    docstring states the block-panel recipe for large d.  The slice is
+    cast to double *before* multiplying so both engines run the identical
+    IEEE path."""
+    from .operators.linalg import covariance_matrix
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")).alias(
+            "e"
+        ),
+    )
+    out = covariance_matrix(e, "e")
+    return out.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.round("cov", 6).alias("cov"),
+    ).orderBy("i", "j")
+
+
+# ---------------------------------------------------------------------------
+# q256: nearest-direction as-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q256_asof_nearest",
+    oracle="""
+    WITH buys AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id < 50
+    ),
+    clicks AS (
+      SELECT user_id, ts, value, event_id FROM events
+      WHERE event_type = 'click' AND user_id < 50
+    )
+    SELECT b.event_id, b.user_id, CAST(b.ts AS VARCHAR) AS ts,
+           round((SELECT c.value FROM clicks c
+                  WHERE c.user_id = b.user_id
+                  ORDER BY abs(epoch_us(c.ts) - epoch_us(b.ts)),
+                           (c.ts > b.ts), c.event_id
+                  LIMIT 1), 4) AS nearest_click_value
+    FROM buys b ORDER BY b.user_id, b.ts, b.event_id
+    """,
+)
+def q256_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (operators/temporal.asof_join,
+    direction='nearest' — completing pandas merge_asof's direction
+    surface over the backward/forward pair q87 pinned): each purchase
+    grabs the click closest in time on either side, ties preferring the
+    at-or-before match.  Still one shuffle: both directional fills ride
+    the same hash partitioning by key (one exchange, two window sorts),
+    then a per-row gap comparison picks the winner — no second join, no
+    range explosion."""
+    from .operators.temporal import asof_join
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 50)
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(buys, clicks, "user_id", "ts", direction="nearest", right_prefix="c_")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.round("c_value", 4).alias("nearest_click_value"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q257: small-file compaction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q257_compaction",
+    oracle="""
+    SELECT CAST(40 AS BIGINT) AS files_before,
+           CAST(4 AS BIGINT)  AS files_after,
+           CAST(count(*) AS BIGINT) AS rows
+    FROM events WHERE user_id < 100
+    """,
+)
+def q257_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/layout.compact_files) — the
+    maintenance job that keeps a streaming-ingested table scannable: a
+    deliberately fragmented 40-file copy of an events slice is rewritten
+    into 4 range-sorted files (repartitionByRange(ts) +
+    sortWithinPartitions, so per-file min-max ts stats become selective
+    again).  The audit row (files before/after, row count) is the query
+    result; the oracle pins the fixture's file counts and recomputes the
+    row count from source — proving the rewrite is lossless.  At 100 TB
+    this runs per partition directory over a small-file threshold."""
+    from .catalog_sources import _scratch
+    from .operators.layout import compact_files
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 100)
+    src = _scratch("frag_events", sf_dir)
+    dst = _scratch("compact_events", sf_dir)
+    ev.repartition(40).write.mode("overwrite").parquet(src)
+    audit = compact_files(spark, src, dst, target_files=4, sort_cols=["ts"])
+    return spark.createDataFrame(
+        [
+            (
+                audit["files_before"],
+                audit["files_after"],
+                audit["rows"],
+            )
+        ],
+        "files_before bigint, files_after bigint, rows bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q258: Kaplan-Meier survival (user retention with censoring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q258_kaplan_meier",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey,
+             date_diff('day', min(o_orderdate), max(o_orderdate)) AS t,
+             max(o_orderdate) < TIMESTAMP '2000-06-01' AS observed
+      FROM orders GROUP BY 1
+    ),
+    per_t AS (
+      SELECT t, sum(CASE WHEN observed THEN 1 ELSE 0 END) AS d, count(*) AS c
+      FROM u GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d, sum(c) OVER (ORDER BY t DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS n_at_risk
+      FROM per_t
+    )
+    SELECT CAST(t AS BIGINT) AS t,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_events,
+           round(CASE WHEN max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+                          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) = 1
+                 THEN 0.0
+                 ELSE exp(sum(ln(CASE WHEN d < n_at_risk
+                                      THEN 1 - d * 1.0 / n_at_risk
+                                      ELSE 1 END))
+                          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW))
+                 END, 6) AS survival
+    FROM risk WHERE d > 0 ORDER BY t
+    """,
+)
+def q258_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-retention curve with right censoring
+    (operators/stats.kaplan_meier): lifetime = days between a customer's
+    first and last order; customers still ordering near the dataset's
+    horizon (last order ≥ 2000-06-01) are *censored* — they join every
+    risk set up to their horizon but never count as churn events, the
+    correction that keeps naive retention curves from biasing down.  The
+    subject table collapses to per-distinct-day counts before any window,
+    so the ordered windows run over the day axis (hundreds of rows at a
+    6-year span), never over customers; the survival product is the
+    identical exp(Σ ln) form in both engines."""
+    from .operators.stats import kaplan_meier
+
+    o = table(spark, sf_dir, "orders")
+    u = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("t"),
+        (F.max("o_orderdate") < F.lit("2000-06-01").cast("timestamp")).alias("observed"),
+    )
+    out = kaplan_meier(u, "t", "observed")
+    return out.select(
+        F.col("t").cast("bigint").alias("t"),
+        "n_at_risk",
+        "d_events",
+        F.round("survival", 6).alias("survival"),
+    ).orderBy("t")

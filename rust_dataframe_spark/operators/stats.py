@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ks_2sample", "chi2_independence", "psi", "mad_outliers"]
+__all__ = ["ks_2sample", "chi2_independence", "psi", "mad_outliers", "kaplan_meier"]
 
 
 def _binned(value: Column, lo: float, hi: float, nbins: int) -> Column:
@@ -221,4 +221,46 @@ def mad_outliers(
         F.max("n").alias("n"),
         F.sum((F.col("absz") > threshold).cast("int")).alias("n_outliers"),
         F.max("absz").alias("max_absz"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame, duration_col: str, observed_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival estimator with right censoring: one row per
+    distinct *event* time t — ``(t, n_at_risk, d_events, survival)`` with
+    ``S(t) = Π_{u ≤ t} (1 - d_u / n_u)``.  Censored subjects (observed =
+    false) count toward risk sets up to their censoring time but never as
+    events — dropping them instead (the naive mistake) biases S downward.
+
+    Shape: the subject table collapses to per-distinct-duration counts
+    first, so every window below runs over the *time axis*, bounded by the
+    measurement resolution (days here), never by subject count.  The
+    running product is ``exp(Σ ln(...))`` — both this and the DuckDB
+    oracle use the identical log-sum form so the float path matches.
+    """
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(observed_col).cast("int")).alias("d"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    risk_w = (
+        Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    at_risk = per_t.withColumn("n_at_risk", F.sum("c").over(risk_w))
+    events = at_risk.filter(F.col("d") > 0)
+    surv_w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # the log-sum trick needs an absorbing-zero guard: when d == n_at_risk
+    # the factor is exactly 0 and ln() is undefined (null in Spark, -inf in
+    # DuckDB) — flag it with a running max and pin survival to 0 from that
+    # point on, contributing ln(1)=0 to the sum instead
+    factor = 1.0 - F.col("d") / F.col("n_at_risk")
+    hit_zero = F.max((factor <= 0.0).cast("int")).over(surv_w)
+    safe_ln = F.log(F.when(factor > 0.0, factor).otherwise(F.lit(1.0)))
+    return events.select(
+        "t",
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.when(hit_zero == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum(safe_ln).over(surv_w)))
+        .alias("survival"),
     )

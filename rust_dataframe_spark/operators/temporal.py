@@ -46,8 +46,8 @@ def asof_join(
     it by coarse time bucket (partitionBy(key, window(ts))) and as-of join
     within buckets, seeding each bucket with the previous bucket's last row.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     payload = [c for c in right.columns if c not in (key_col, ts_col)]
     clash = {right_prefix + c for c in payload + [ts_col]} & set(left.columns)
     if clash:
@@ -62,22 +62,55 @@ def asof_join(
     l = left.withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
 
-    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
-    # right rows (__side 0) sort before left rows at equal ts -> inclusive match
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_order, F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = [
-        F.last(F.col(right_prefix + c), ignorenulls=True).over(w).alias(right_prefix + c)
+    def w_for(d: str):
+        ts_order = F.col(ts_col).asc() if d == "backward" else F.col(ts_col).desc()
+        # right rows (__side 0) sort before left rows at equal ts -> inclusive
+        return (
+            Window.partitionBy(key_col)
+            .orderBy(ts_order, F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+
+    if direction in ("backward", "forward"):
+        w = w_for(direction)
+        filled = [
+            F.last(F.col(right_prefix + c), ignorenulls=True).over(w).alias(right_prefix + c)
+            for c in [ts_col] + payload
+        ]
+        return (
+            u.select(*left.columns, F.col("__side"), *filled)
+            .filter(F.col("__side") == 1)
+            .drop("__side")
+        )
+
+    # nearest: evaluate both fills (one shuffle — both windows share the
+    # hash partitioning by key; Catalyst plans one exchange + two sorts),
+    # then pick per row by absolute time gap; ties prefer the backward
+    # (at-or-before) match, matching the inclusive semantics above.
+    wb, wf = w_for("backward"), w_for("forward")
+    both = u.select(
+        *left.columns,
+        F.col("__side"),
+        *[
+            F.last(F.col(right_prefix + c), ignorenulls=True).over(wb).alias("__b_" + c)
+            for c in [ts_col] + payload
+        ],
+        *[
+            F.last(F.col(right_prefix + c), ignorenulls=True).over(wf).alias("__f_" + c)
+            for c in [ts_col] + payload
+        ],
+    ).filter(F.col("__side") == 1)
+    t = F.col(ts_col).cast("double")
+    bt = F.col("__b_" + ts_col).cast("double")
+    ft = F.col("__f_" + ts_col).cast("double")
+    use_back = bt.isNotNull() & (ft.isNull() | ((t - bt) <= (ft - t)))
+    chosen = [
+        F.when(use_back, F.col("__b_" + c)).otherwise(F.col("__f_" + c)).alias(
+            right_prefix + c
+        )
         for c in [ts_col] + payload
     ]
-    return (
-        u.select(*left.columns, F.col("__side"), *filled)
-        .filter(F.col("__side") == 1)
-        .drop("__side")
-    )
+    return both.select(*left.columns, *chosen)
 
 
 def range_join(

@@ -1,0 +1,126 @@
+"""Unit tests: linalg (gram/covariance), KM survival, nearest as-of,
+file compaction."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from rust_dataframe_spark.operators.linalg import covariance_matrix, gram_matrix
+from rust_dataframe_spark.operators.stats import kaplan_meier
+from rust_dataframe_spark.operators.temporal import asof_join
+
+
+def test_gram_matrix_hand_computed(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0, 4.0],)], "v array<double>"
+    )
+    g = {(r["i"], r["j"]): r["g"] for r in gram_matrix(df, "v").collect()}
+    # X^T X for [[1,2],[3,4]] = [[10, 14], [14, 20]]
+    assert g == {(0, 0): 10.0, (0, 1): 14.0, (1, 0): 14.0, (1, 1): 20.0}
+
+
+def test_covariance_matches_numpy_style(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [([rng.uniform(-1, 1) for _ in range(3)],) for _ in range(50)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(df, "v").collect()
+    }
+    vecs = [r[0] for r in rows]
+    n = len(vecs)
+    means = [sum(v[k] for v in vecs) / n for k in range(3)]
+    for i in range(3):
+        for j in range(3):
+            want = sum(v[i] * v[j] for v in vecs) / n - means[i] * means[j]
+            assert got[(i, j)] == pytest.approx(want, rel=1e-9)
+    # symmetry
+    assert got[(0, 1)] == pytest.approx(got[(1, 0)], rel=1e-12)
+
+
+def test_kaplan_meier_textbook_example(spark):
+    # classic small example: durations/events
+    # subjects: t=1 event, t=2 censored, t=3 event, t=4 event, t=5 censored
+    rows = [
+        Row(t=1, obs=True),
+        Row(t=2, obs=False),
+        Row(t=3, obs=True),
+        Row(t=4, obs=True),
+        Row(t=5, obs=False),
+    ]
+    out = {r["t"]: r for r in kaplan_meier(spark.createDataFrame(rows), "t", "obs").collect()}
+    # t=1: n=5, d=1 -> S=4/5
+    assert out[1]["n_at_risk"] == 5
+    assert out[1]["survival"] == pytest.approx(0.8)
+    # t=3: n=3 (t=1 event and t=2 censored are gone), d=1 -> S=0.8*2/3
+    assert out[3]["n_at_risk"] == 3
+    assert out[3]["survival"] == pytest.approx(0.8 * 2 / 3)
+    # t=4: n=2, d=1 -> S=0.8*(2/3)*(1/2)
+    assert out[4]["survival"] == pytest.approx(0.8 * (2 / 3) * 0.5)
+    # censored-only times never appear
+    assert 2 not in out and 5 not in out
+
+
+def test_kaplan_meier_no_censoring_matches_ecdf(spark):
+    rows = [Row(t=t, obs=True) for t in [1, 1, 2, 3, 3, 3, 4]]
+    out = {r["t"]: r["survival"] for r in kaplan_meier(spark.createDataFrame(rows), "t", "obs").collect()}
+    # with no censoring KM == empirical survival function
+    assert out[1] == pytest.approx(5 / 7)
+    assert out[2] == pytest.approx(4 / 7)
+    assert out[3] == pytest.approx(1 / 7)
+    assert out[4] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0)], "k long, ts double"
+    )
+    right = spark.createDataFrame(
+        [(1, 8.0, "a"), (1, 11.0, "b"), (1, 25.0, "c")],
+        "k long, ts double, tag string",
+    )
+    out = {
+        r["ts"]: r["r_tag"]
+        for r in asof_join(left, right, "k", "ts", direction="nearest").collect()
+    }
+    assert out[10.0] == "b"  # |10-11|=1 < |10-8|=2
+    assert out[20.0] == "c"  # |20-25|=5 < |20-11|=9
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([(1, 10.0)], "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, 8.0, "back"), (1, 12.0, "fwd")], "k long, ts double, tag string"
+    )
+    out = asof_join(left, right, "k", "ts", direction="nearest").collect()[0]
+    assert out["r_tag"] == "back"
+
+
+def test_asof_nearest_one_sided(spark):
+    # only forward matches exist -> still matched (backward would null)
+    left = spark.createDataFrame([(1, 5.0)], "k long, ts double")
+    right = spark.createDataFrame([(1, 9.0, "f")], "k long, ts double, tag string")
+    out = asof_join(left, right, "k", "ts", direction="nearest").collect()[0]
+    assert out["r_tag"] == "f"
+
+
+def test_compact_files_roundtrip(spark, tmp_path):
+    from rust_dataframe_spark.operators.layout import compact_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(10_000).withColumn("v", F.rand(seed=1))
+    df.repartition(25).write.parquet(src)
+    audit = compact_files(spark, src, dst, target_files=3, sort_cols=["id"])
+    assert audit["files_before"] == 25
+    assert audit["files_after"] == 3
+    assert audit["rows"] == 10_000
+    # lossless: same id sum
+    a = spark.read.parquet(src).agg(F.sum("id")).collect()[0][0]
+    b = spark.read.parquet(dst).agg(F.sum("id")).collect()[0][0]
+    assert a == b
