@@ -1,0 +1,372 @@
+"""Catalog round 6 (continued): q259-q263.
+
+TextRank keyword extraction (graph ∘ ranking composition), offline policy
+evaluation (IPS / SNIPS / ESS), calibration reliability + Brier score, the
+interval×interval overlap join, and a referential-integrity audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .catalog import load_events, query, table
+
+__all__: list[str] = []
+
+
+# ---------------------------------------------------------------------------
+# q259: TextRank keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def _q259_oracle() -> str:
+    # unrolled 2-iteration integer fixed-point PageRank (q135's discipline)
+    # over the bigram co-occurrence graph, string-keyed
+    return """
+    WITH t0 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS tl
+      FROM documents WHERE doc_id < 100
+    ),
+    t AS (SELECT * FROM t0 WHERE len(tl) >= 2),
+    bg AS (
+      SELECT unnest(tl[1:len(tl) - 1]) AS a, unnest(tl[2:len(tl)]) AS b
+      FROM t
+    ),
+    e AS (SELECT DISTINCT a AS src, b AS dst FROM bg WHERE a <> b
+          UNION SELECT DISTINCT b, a FROM bg WHERE a <> b),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    c1 AS (SELECT e.dst AS node, sum((85 * r0.r) // (100 * deg.outdeg)) AS s
+           FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+    r1 AS (SELECT n.node, CAST(150000 + COALESCE(c1.s, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 USING (node)),
+    c2 AS (SELECT e.dst AS node, sum((85 * r1.r) // (100 * deg.outdeg)) AS s
+           FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+    r2 AS (SELECT n.node, CAST(150000 + COALESCE(c2.s, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 USING (node))
+    SELECT node AS keyword, r FROM r2 ORDER BY r DESC, keyword LIMIT 20
+    """
+
+
+@query("q259_textrank", oracle=_q259_oracle())
+def q259_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction — PageRank over the word co-occurrence
+    graph (Mihalcea & Tarau '04): adjacent-word bigrams become undirected
+    edges, the stationary rank surfaces the corpus's central vocabulary.
+    Pure composition: the bigram builder is array expressions, the rank is
+    the existing integer fixed-point ``operators/graph.pagerank`` (2
+    iterations, damping 0.85 — deterministic integer arithmetic both
+    engines replay exactly, q135's discipline), and the top-20 sits under
+    a total order.  Scale: edges are DISTINCT bigrams (vocab²-bounded, in
+    practice near-linear in corpus), each rank round is one join +
+    aggregate."""
+    from .operators.graph import pagerank
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.filter(F.split("text", " "), lambda x: x != "").alias("tl")
+        )
+        .filter(F.size("tl") >= 2)
+    )
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(tl, 1, size(tl)-1),"
+                " (x, i) -> struct(x AS a, element_at(tl, i+2) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").filter(F.col("a") != F.col("b"))
+    edges = (
+        bg.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(bg.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    r = pagerank(edges, "src", "dst", n_iter=2)
+    return (
+        r.select(F.col("node").alias("keyword"), "r")
+        .orderBy(F.desc("r"), "keyword")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260: offline policy evaluation (IPS / SNIPS / ESS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q260_policy_eval",
+    oracle="""
+    WITH logged AS (
+      SELECT value AS reward,
+             CASE WHEN event_type = 'purchase' THEN 1.0 / 0.2 ELSE 0.0 END AS w
+      FROM events
+    )
+    SELECT round(avg(w * reward), 4) AS v_ips,
+           round(sum(w * reward) / sum(w), 4) AS v_snips,
+           round(pow(sum(w), 2) / sum(w * w), 2) AS ess,
+           CAST(count(*) AS BIGINT) AS n_logged
+    FROM logged
+    """,
+)
+def q260_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline (off-policy) evaluation of a target policy from logged
+    bandit feedback — the counterfactual "what would this policy have
+    earned" estimate that gates policy rollouts without an online test.
+    Logged policy: uniform over the 5 event actions (propensity 0.2, by
+    construction of the fixture).  Target policy: always 'purchase'.
+    Reports IPS (unbiased, high variance), self-normalized IPS (biased,
+    low variance — the practical default), and the effective sample size
+    (Σw)²/Σw² that tells you how much logged data actually supports the
+    target policy.  One scan, one aggregate — embarrassingly scalable."""
+    ev = load_events(spark, sf_dir)
+    logged = ev.select(
+        F.col("value").alias("reward"),
+        F.when(F.col("event_type") == "purchase", 1.0 / 0.2)
+        .otherwise(0.0)
+        .alias("w"),
+    )
+    return logged.agg(
+        F.round(F.avg(F.col("w") * F.col("reward")), 4).alias("v_ips"),
+        F.round(
+            F.sum(F.col("w") * F.col("reward")) / F.sum("w"), 4
+        ).alias("v_snips"),
+        F.round(F.pow(F.sum("w"), 2) / F.sum(F.col("w") * F.col("w")), 2).alias(
+            "ess"
+        ),
+        F.count(F.lit(1)).alias("n_logged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q261: calibration reliability diagram + Brier score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q261_reliability",
+    oracle="""
+    WITH scored AS (
+      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#score'), 1, 8))
+               ::UBIGINT / 4294967296.0 AS score,
+             CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END AS label
+      FROM events
+    ),
+    binned AS (
+      SELECT CAST(floor(score * 10) AS INT) AS bin, score, label,
+             avg(pow(score - label, 2)) OVER () AS brier
+      FROM scored
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(avg(score), 6) AS avg_score,
+           round(avg(label), 6) AS pos_rate,
+           round(max(brier), 6) AS brier
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q261_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability diagram + Brier score — the model-eval
+    verb: decile-binned predicted probability vs observed positive rate,
+    with the overall Brier (mean squared probability error) alongside.
+    The fixture's 'model' is a deterministic md5-derived score (both
+    engines replay it bit-for-bit), so the diagram shows a flat
+    uncalibrated baseline — the operator working, not a claim about the
+    fixture.  Scale: one scan → 10-bin aggregate; the global Brier rides
+    a whole-frame window over the already-binned rows."""
+    ev = load_events(spark, sf_dir)
+    score = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#score"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 4294967296.0
+    )
+    scored = ev.select(
+        score.alias("score"),
+        F.when(F.col("value") > 50.0, 1.0).otherwise(0.0).alias("label"),
+    )
+    w = Window.partitionBy()
+    binned = scored.select(
+        F.floor(F.col("score") * 10).cast("int").alias("bin"),
+        "score",
+        "label",
+        F.avg((F.col("score") - F.col("label")) ** 2).over(w).alias("brier"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.round(F.avg("label"), 6).alias("pos_rate"),
+            F.round(F.max("brier"), 6).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q262: interval×interval overlap join (sessions × campaigns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q262_interval_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE user_id < 40
+    ),
+    sid AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM d
+    ),
+    sessions AS (
+      SELECT user_id, epoch(min(ts)) AS s_lo, epoch(max(ts)) AS s_hi
+      FROM sid GROUP BY user_id, sid
+    ),
+    campaigns AS (
+      SELECT i AS day,
+             epoch(make_timestamp(2024, 1, i, 10, 0, 0)) AS c_lo,
+             epoch(make_timestamp(2024, 1, i, 14, 0, 0)) AS c_hi
+      FROM range(1, 31) t(i)
+    )
+    SELECT CAST(c.day AS INT) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM sessions s JOIN campaigns c
+      ON s.s_lo <= c.c_hi AND c.c_lo <= s.s_hi
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q262_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/temporal.
+    interval_overlap_join): which user sessions overlap which campaign
+    windows — the attribution join both sides of which are *intervals*,
+    completing the temporal-join family (as-of q87, point-in-interval
+    q88).  The operator buckets both interval sets by a fixed width and
+    equi-joins on the bucket, with the first-overlap-bucket rule emitting
+    each pair exactly once — the theta join the oracle writes would plan
+    as a nested loop at scale.  Sessions come from the same
+    gaps-and-islands construction both engines share (q85)."""
+    from .operators.temporal import interval_overlap_join
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 40)
+    wlag = Window.partitionBy("user_id").orderBy("ts")
+    wcum = wlag.rowsBetween(Window.unboundedPreceding, 0)
+    sid = (
+        ev.select(
+            "user_id",
+            "ts",
+            F.when(
+                (
+                    F.col("ts").cast("long")
+                    - F.lag(F.col("ts").cast("long")).over(wlag)
+                    > 1800
+                )
+                | F.lag("ts").over(wlag).isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_s"),
+        )
+        .withColumn("sid", F.sum("new_s").over(wcum))
+    )
+    sessions = sid.groupBy("user_id", "sid").agg(
+        F.min(F.col("ts").cast("long")).alias("s_lo"),
+        F.max(F.col("ts").cast("long")).alias("s_hi"),
+    )
+    campaigns = spark.range(1, 31).select(
+        F.col("id").cast("int").alias("day"),
+        F.unix_timestamp(
+            F.make_timestamp(
+                F.lit(2024), F.lit(1), F.col("id"), F.lit(10), F.lit(0), F.lit(0)
+            )
+        ).alias("c_lo"),
+        F.unix_timestamp(
+            F.make_timestamp(
+                F.lit(2024), F.lit(1), F.col("id"), F.lit(14), F.lit(0), F.lit(0)
+            )
+        ).alias("c_hi"),
+    )
+    j = interval_overlap_join(
+        sessions, "s_lo", "s_hi", campaigns, "c_lo", "c_hi", bucket_width=14400.0
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q263: referential-integrity audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q263_ref_integrity",
+    oracle="""
+    SELECT
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        AS orphan_lineitems,
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        AS orphan_orders,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+        AS orphan_customers,
+      CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitem,
+      CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders
+    """,
+)
+def q263_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the FK chain lineitem→orders→
+    customer→nation: orphan counts per edge in one report row — the
+    constraint check a lakehouse runs after every load (parquet enforces
+    nothing).  Each orphan count is a left-anti join (hash, AQE-sized);
+    the parent side of each check is the smaller table, so Catalyst
+    broadcasts it.  Composes with the erasure cascade (q224): run this
+    after deletes to prove no dangling children."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    # one lazy plan: each audit is a scalar aggregate branch, cross-joined
+    # into the single report row (no driver-side .count() round trips)
+    a1 = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    a2 = (
+        o.join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    a3 = (
+        c.join(n.select("n_nationkey"), c["c_nationkey"] == n["n_nationkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_customers"))
+    )
+    t1 = li.agg(F.count(F.lit(1)).alias("n_lineitem"))
+    t2 = o.agg(F.count(F.lit(1)).alias("n_orders"))
+    return a1.crossJoin(a2).crossJoin(a3).crossJoin(t1).crossJoin(t2)

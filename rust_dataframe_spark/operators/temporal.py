@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "scd2_intervals", "forward_fill", "interpolate_linear", "ewma", "cusum", "holt_linear"]
+__all__ = ["asof_join", "range_join", "interval_overlap_join", "scd2_intervals", "forward_fill", "interpolate_linear", "ewma", "cusum", "holt_linear"]
 
 
 def asof_join(
@@ -462,3 +462,60 @@ def holt_linear(
         .withColumn("trend", F.round(trend, 6))
         .withColumn("forecast_1", F.round(level + trend, 6))
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    right: DataFrame,
+    r_lo: str,
+    r_hi: str,
+    *,
+    bucket_width: float,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval×interval overlap join: every (left, right) pair whose
+    ``[lo, hi]`` intervals intersect (inclusive).  The interval-set
+    generalization of :func:`range_join` (point-in-interval).
+
+    Shape: both sides explode into the fixed-width buckets they span and
+    equi-join on the bucket — the naive theta join
+    (``l_lo <= r_hi AND r_lo <= l_hi``) plans as a nested loop and dies at
+    scale.  A pair overlapping several shared buckets would duplicate; the
+    **first-overlap-bucket rule** dedups for free: a pair is emitted only
+    from the bucket containing ``max(l_lo, r_lo)`` (the overlap's left
+    edge), which by construction both sides cover — no distinct needed.
+    ``bucket_width`` ≈ median interval length balances replication (long
+    intervals × many buckets) against bucket collision checks.
+
+    Interval columns must be numeric (cast timestamps to epoch first).
+    Right columns come back suffixed on name collision.
+    """
+    bw = float(bucket_width)
+    lcols = left.columns
+    rename = {c: c + suffix for c in right.columns if c in lcols}
+    r = right
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    rlo = rename.get(r_lo, r_lo)
+    rhi = rename.get(r_hi, r_hi)
+
+    def spanned(df, lo, hi):
+        return df.withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bw).cast("long"),
+                    F.floor(F.col(hi) / bw).cast("long"),
+                )
+            ),
+        )
+
+    lb = spanned(left, l_lo, l_hi)
+    rb = spanned(r, rlo, rhi)
+    overlap = (F.col(l_lo) <= F.col(rhi)) & (F.col(rlo) <= F.col(l_hi))
+    first_bucket = F.floor(
+        F.greatest(F.col(l_lo), F.col(rlo)) / bw
+    ).cast("long") == F.col("__b")
+    return lb.join(rb, "__b").filter(overlap & first_bucket).drop("__b")

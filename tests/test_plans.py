@@ -508,3 +508,12 @@ def test_mad_outliers_broadcast_joinbacks(spark):
     df = catalog.QUERIES["q240_mad_outliers"](spark, SF)
     assert pi.has_broadcast_join(df)
     assert "CartesianProduct" not in pi.physical_plan(df)
+
+
+def test_interval_overlap_is_equi_join(spark):
+    """q262: the interval×interval join must plan on the bucket key —
+    never the raw theta overlap (nested loop)."""
+    df = catalog.QUERIES["q262_interval_overlap"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
