@@ -124,3 +124,47 @@ def test_compact_files_roundtrip(spark, tmp_path):
     a = spark.read.parquet(src).agg(F.sum("id")).collect()[0][0]
     b = spark.read.parquet(dst).agg(F.sum("id")).collect()[0][0]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    import random
+
+    from rust_dataframe_spark.operators.temporal import interval_overlap_join
+
+    rng = random.Random(11)
+    L = [(i, a, a + rng.uniform(0.5, 8)) for i, a in ((i, rng.uniform(0, 50)) for i in range(40))]
+    R = [(j, a, a + rng.uniform(0.5, 8)) for j, a in ((j, rng.uniform(0, 50)) for j in range(40))]
+    ldf = spark.createDataFrame(L, "lid long, lo double, hi double")
+    rdf = spark.createDataFrame(R, "rid long, lo double, hi double")
+    out = interval_overlap_join(ldf, "lo", "hi", rdf, "lo", "hi", bucket_width=4.0)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    want = sorted(
+        (l[0], r[0]) for l in L for r in R if l[1] <= r[2] and r[1] <= l[2]
+    )
+    assert got == want and len(want) > 0
+
+
+def test_interval_overlap_emits_pair_once_across_buckets(spark):
+    from rust_dataframe_spark.operators.temporal import interval_overlap_join
+
+    # both intervals span many buckets; overlap covers several shared buckets
+    ldf = spark.createDataFrame([(1, 0.0, 100.0)], "lid long, lo double, hi double")
+    rdf = spark.createDataFrame([(2, 10.0, 90.0)], "rid long, lo double, hi double")
+    out = interval_overlap_join(ldf, "lo", "hi", rdf, "lo", "hi", bucket_width=5.0)
+    assert out.count() == 1
+
+
+def test_interval_overlap_touching_endpoints_inclusive(spark):
+    from rust_dataframe_spark.operators.temporal import interval_overlap_join
+
+    ldf = spark.createDataFrame([(1, 0.0, 10.0)], "lid long, lo double, hi double")
+    rdf = spark.createDataFrame(
+        [(2, 10.0, 20.0), (3, 20.5, 30.0)], "rid long, lo double, hi double"
+    )
+    rows = interval_overlap_join(ldf, "lo", "hi", rdf, "lo", "hi", bucket_width=7.0).collect()
+    assert [(r["lid"], r["rid"]) for r in rows] == [(1, 2)]
