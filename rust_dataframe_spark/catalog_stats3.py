@@ -370,3 +370,236 @@ def q263_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1 = li.agg(F.count(F.lit(1)).alias("n_lineitem"))
     t2 = o.agg(F.count(F.lit(1)).alias("n_orders"))
     return a1.crossJoin(a2).crossJoin(a3).crossJoin(t1).crossJoin(t2)
+
+
+# ---------------------------------------------------------------------------
+# q264: HLL approx-distinct error-bound certificate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q264_hll_bound",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM lineitem
+    """,
+)
+def q264_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog error-bound certificate: the documented 100 TB
+    substitution (``approx_count_distinct`` for exact distinct) is only
+    trustworthy if its error bound actually holds — this query *checks*
+    it inside the oracle gate: Spark computes both the exact distinct and
+    the HLL++ estimate (rsd=0.02) and asserts |approx−exact|/exact ≤
+    3·rsd; the oracle pins the exact count and the claim.  A Spark
+    regression that blew the bound would fail the gate.  (The approx
+    value itself is engine-specific, so the *certificate*, not the
+    estimate, is the cross-engine contract.)"""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count_distinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")
+            <= 3 * 0.02
+        ).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q265: salted two-phase aggregation (skew mitigation, exactness pinned)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q265_salted_agg",
+    oracle="""
+    SELECT l_suppkey, count(*) AS count
+    FROM lineitem GROUP BY 1 ORDER BY l_suppkey
+    """,
+)
+def q265_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.salted_agg_count):
+    (key, salt) partial counts then a key-level merge — the manual skew
+    break for reduce-side hot keys, with the salt a *deterministic* hash
+    of the row (a rand() salt double-counts on task retry — the
+    correctness trap this operator exists to avoid).  The oracle is the
+    plain GROUP BY: equality certifies the two-phase rewrite is exact,
+    which is the entire point of pinning it here."""
+    from .operators.skew import salted_agg_count
+
+    li = table(spark, sf_dir, "lineitem")
+    return salted_agg_count(li, "l_suppkey", n_salts=8).orderBy("l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# q266: approx-percentile rank-error certificate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q266_approx_pct_bound",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok
+    FROM lineitem
+    """,
+)
+def q266_approx_pct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx rank-error certificate — the other half of the
+    "swap exact percentiles for approx at 100 TB" claim made throughout
+    (q26/q240/q247/q251): with accuracy=10000 the KLL-style sketch
+    guarantees rank error ≤ n/accuracy; this query computes the true rank
+    of each approximate quantile (one count-under pass against the
+    broadcast scalars) and asserts it lands within the bound (+1 for
+    boundary discreteness).  The oracle pins the claims as literals —
+    a sketch regression fails the gate."""
+    li = table(spark, sf_dir, "lineitem")
+    acc = 10000
+    apx = li.agg(
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)),
+            F.lit(acc),
+        ).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = li.crossJoin(F.broadcast(apx))
+    ranks = j.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            (F.col("l_extendedprice") <= F.element_at("qs", 1)).cast("long")
+        ).alias("r25"),
+        F.sum(
+            (F.col("l_extendedprice") <= F.element_at("qs", 2)).cast("long")
+        ).alias("r50"),
+        F.sum(
+            (F.col("l_extendedprice") <= F.element_at("qs", 3)).cast("long")
+        ).alias("r90"),
+    )
+
+    def ok(rank_col: str, p: float):
+        tol = F.col("n") / acc + 1
+        return (
+            F.abs(F.col(rank_col) - F.lit(p) * F.col("n")) <= tol
+        )
+
+    return ranks.select(
+        F.col("n").cast("bigint").alias("n"),
+        ok("r25", 0.25).alias("p25_ok"),
+        ok("r50", 0.5).alias("p50_ok"),
+        ok("r90", 0.9).alias("p90_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q267: weighted reservoir sampling (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q267_weighted_reservoir",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#res'), 1, 8))
+                ::UBIGINT + 0.5) / 4294967296.0 AS uv
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, n_chars, pow(uv, 1.0 / n_chars) AS k FROM u
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, round(k, 8) AS k
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 25
+    """,
+)
+def q267_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling *without* replacement via Efraimidis-Spirakis
+    A-ES: each row draws key = u^(1/w) (u uniform from the md5 hash
+    family, w = document length) and the k largest keys are the sample —
+    inclusion probability proportional to weight, single pass, no
+    sampling state, and fully mergeable (the top-k of a union is the
+    top-k of per-partition top-ks: TakeOrderedAndProject does exactly
+    that).  Complements the Bernoulli per-row `training.weighted_sample`
+    with the fixed-size-k guarantee.  Deterministic: the draw is a pure
+    function of doc_id, so the sample is stable under retries and
+    repartitioning — the property random() samplers lose."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#res"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + 0.5
+        )
+        / 4294967296.0
+    )
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.pow(u, 1.0 / F.col("n_chars")).alias("k"),
+    )
+    return (
+        keyed.select("doc_id", "n_chars", F.round("k", 8).alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q268: temperature-scaled dataset mixture weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q268_mixture_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_docs, n_chars, pow(n_docs, 0.3) AS raw
+      FROM s
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(raw / sum(raw) OVER (), 6) AS mix_p,
+           CAST(round(10000 * raw / sum(raw) OVER ()) AS BIGINT)
+             AS alloc_10k
+    FROM w ORDER BY source
+    """,
+)
+def q268_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled dataset mixing weights (the multilingual /
+    multi-source training-mixture rule, á la mT5: p_s ∝ n_s^α with
+    α=0.3): upsamples small sources, tempers the head, and emits the
+    per-source document allocation for a 10k-doc training budget.  Feeds
+    directly into the deterministic samplers (q94 hash_split /
+    q267 reservoir) to materialize the mixture.  One tiny aggregate —
+    the window runs over the source axis."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    raw = F.pow(F.col("n_docs"), 0.3)
+    return s.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(raw / F.sum(raw).over(w), 6).alias("mix_p"),
+        F.round(10000 * raw / F.sum(raw).over(w), 0)
+        .cast("bigint")
+        .alias("alloc_10k"),
+    ).orderBy("source")
