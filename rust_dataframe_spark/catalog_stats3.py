@@ -603,3 +603,94 @@ def q268_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_10k"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q269: streaming per-day drift monitor (TVD vs static reference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q269_stream_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 500.0 THEN 11
+                  ELSE CAST(floor((value - 0.0) / 50.0) + 1 AS INT) END AS bin
+      FROM events
+    ),
+    ref AS (
+      SELECT bin, count(*) * 1.0 / (SELECT count(*) FROM binned) AS p
+      FROM binned GROUP BY 1
+    ),
+    day_tot AS (SELECT win_start, count(*) AS dn FROM binned GROUP BY 1),
+    day_bin AS (SELECT win_start, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+    grid AS (
+      SELECT d.win_start, r.bin, r.p, d.dn, COALESCE(b.n, 0) AS n
+      FROM day_tot d CROSS JOIN ref r
+      LEFT JOIN day_bin b ON b.win_start = d.win_start AND b.bin = r.bin
+    )
+    SELECT CAST(win_start AS VARCHAR) AS win_start,
+           CAST(max(dn) AS BIGINT) AS n_day,
+           round(0.5 * sum(abs(n * 1.0 / dn - p)), 6) AS tvd
+    FROM grid GROUP BY win_start ORDER BY win_start
+    """,
+)
+def q269_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: a REAL Structured Streaming query
+    (readStream → watermark → per-day binned histogram, availableNow)
+    feeds a batch post-step that scores each day's value distribution
+    against the whole-corpus reference by total variation distance — the
+    production shape for "alert when today's traffic stops looking like
+    the reference", here with full availableNow batch parity against the
+    SQL oracle.  The streaming state is nbins+2 counters per open window;
+    the TVD join runs on the tiny (days × bins) grid.  Composes the
+    streaming histogram (streaming/ops.stream_binned_histogram) with the
+    drift discipline of q214/q239."""
+    from .catalog_rank import _stream_events
+    from .streaming import ops as st
+
+    stream = _stream_events(spark, sf_dir)
+    per_day = st.run_available_now(
+        st.stream_binned_histogram(
+            stream, window="1 day", watermark="2 days", lo=0.0, hi=500.0, nbins=10
+        ),
+        "q269_sink",
+    )
+    # the memory-sink frame appears in three branches of one plan; rename
+    # through fresh projections so the self-joins carry distinct attributes
+    ref = per_day.groupBy(F.col("bin").alias("rbin")).agg(F.sum("n").alias("rn"))
+    tot = ref.agg(F.sum("rn").alias("N"))
+    refp = ref.crossJoin(F.broadcast(tot)).select(
+        "rbin", (F.col("rn") / F.col("N")).alias("p")
+    )
+    day_tot = per_day.groupBy(F.col("win_start").alias("dws")).agg(
+        F.sum("n").alias("dn")
+    )
+    day_bin = per_day.select(
+        F.col("win_start").alias("bws"), F.col("bin").alias("bbin"), "n"
+    )
+    grid = (
+        day_tot.crossJoin(F.broadcast(refp))
+        .join(
+            day_bin,
+            (F.col("dws") == F.col("bws")) & (F.col("rbin") == F.col("bbin")),
+            "left",
+        )
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumnRenamed("dws", "win_start")
+    )
+    return (
+        grid.groupBy("win_start")
+        .agg(
+            F.max("dn").cast("bigint").alias("n_day"),
+            F.round(
+                0.5 * F.sum(F.abs(F.col("n") / F.col("dn") - F.col("p"))), 6
+            ).alias("tvd"),
+        )
+        .select(
+            F.col("win_start").cast("string").alias("win_start"), "n_day", "tvd"
+        )
+        .orderBy("win_start")
+    )

@@ -600,3 +600,33 @@ def stream_holt(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_binned_histogram(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 day",
+    watermark: str = "2 days",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    nbins: int = 10,
+) -> DataFrame:
+    """Per-tumbling-window binned value histogram — the streaming half of a
+    drift monitor: each window emits its (bin → count) distribution, which a
+    batch (or foreachBatch) post-step compares against a static reference
+    (TVD / PSI — operators/stats).  Bin rule shared with the batch operators
+    (operators/stats._binned), so streaming and batch monitors agree
+    bit-for-bit.  State per window is nbins+2 counters."""
+    from ..operators.stats import _binned
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            _binned(F.col(value_col), lo, hi, nbins).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "bin", "n")
+    )
