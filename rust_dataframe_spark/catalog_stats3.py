@@ -694,3 +694,54 @@ def q269_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q270: multi-source BFS hop distances (k-hop neighborhood)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q270_bfs_levels",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst
+      FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach(node, d) AS (
+      SELECT * FROM (VALUES (0::BIGINT, 0), (1::BIGINT, 0), (2::BIGINT, 0),
+                            (3::BIGINT, 0), (4::BIGINT, 0)) t(node, d)
+      UNION
+      SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.node
+      WHERE r.d < 4
+    )
+    SELECT node, CAST(min(d) AS INT) AS dist
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def q270_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (operators/graph.bfs_levels): fewest
+    hops from the seed set {0..4} within 4 hops on the undirected mod-500
+    order/part graph (q135's graph) — the k-hop-neighborhood /
+    blast-radius verb that completes the graph family next to PageRank
+    (influence), connected components (membership), and triangles
+    (density).  Each round is one join + min-aggregate with the same
+    lineage-truncation guard as dup_clusters; the oracle replays it as a
+    depth-bounded recursive CTE."""
+    from .operators.graph import bfs_levels
+
+    li = table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.select(
+            (F.col("l_orderkey") % 500).alias("src"),
+            (F.col("l_partkey") % 500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    out = bfs_levels(e, "src", "dst", seeds=[0, 1, 2, 3, 4], max_hops=4)
+    return out.select(
+        "node", F.col("dist").cast("int").alias("dist")
+    ).orderBy("node")

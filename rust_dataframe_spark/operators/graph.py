@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .cache import persist_tracked
 
-__all__ = ["pagerank", "cooccurrence_edges", "triangle_count"]
+__all__ = ["pagerank", "cooccurrence_edges", "triangle_count", "bfs_levels"]
 
 
 def pagerank(
@@ -227,3 +227,47 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     # each triangle's wedge is built at its unique minimum-order vertex
     closed = wedges.join(e, ["a", "b"], "inner")
     return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    seeds: list,
+    max_hops: int = 6,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop distances: ``(node, dist)`` = fewest hops from
+    any seed, for every node within ``max_hops`` — k-hop neighborhoods,
+    blast-radius queries, friend-of-friend expansion.  Pass edges in both
+    directions for an undirected walk.
+
+    Each round joins the current distance table with the edge list and
+    folds with a min-aggregate; ``localCheckpoint`` truncates lineage on
+    the same cadence as ``dup_clusters`` (the iterative-plan OOM guard).
+    Rounds are bounded by ``max_hops`` — unlike connected components, the
+    answer itself is hop-bounded, so termination is structural.  Per-round
+    cost: one shuffle keyed by node; the frontier argument of the join is
+    the *whole* distance table, which keeps the code single-purpose (for
+    huge graphs, keep only the latest frontier and anti-join out settled
+    nodes — the standard refinement, noted not needed at catalog scale).
+    """
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(s, 0) for s in seeds], f"node {'bigint' if isinstance(seeds[0], int) else 'string'}, dist int"
+    )
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    for h in range(1, max_hops + 1):
+        nxt = (
+            dist.join(e, dist["node"] == e["__s"])
+            .select(F.col("__d").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if h % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

@@ -168,3 +168,43 @@ def test_interval_overlap_touching_endpoints_inclusive(spark):
     )
     rows = interval_overlap_join(ldf, "lo", "hi", rdf, "lo", "hi", bucket_width=7.0).collect()
     assert [(r["lid"], r["rid"]) for r in rows] == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# bfs_levels
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_levels_path_graph(spark):
+    from rust_dataframe_spark.operators.graph import bfs_levels
+
+    # path 1-2-3-4-5, seed 1
+    e0 = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        e0 + [(b, a) for a, b in e0], "src long, dst long"
+    )
+    out = {r["node"]: r["dist"] for r in bfs_levels(edges, seeds=[1], max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond max_hops
+
+
+def test_bfs_levels_multi_source_min(spark):
+    from rust_dataframe_spark.operators.graph import bfs_levels
+
+    e0 = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        e0 + [(b, a) for a, b in e0], "src long, dst long"
+    )
+    out = {r["node"]: r["dist"] for r in bfs_levels(edges, seeds=[1, 5], max_hops=4).collect()}
+    # node 3 is 2 hops from both ends; nodes 2 and 4 are 1 hop from a seed
+    assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_levels_cycle_terminates(spark):
+    from rust_dataframe_spark.operators.graph import bfs_levels
+
+    e0 = [(1, 2), (2, 3), (3, 1)]
+    edges = spark.createDataFrame(
+        e0 + [(b, a) for a, b in e0], "src long, dst long"
+    )
+    out = {r["node"]: r["dist"] for r in bfs_levels(edges, seeds=[1], max_hops=5).collect()}
+    assert out == {1: 0, 2: 1, 3: 1}
