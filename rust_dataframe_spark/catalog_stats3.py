@@ -745,3 +745,287 @@ def q270_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "node", F.col("dist").cast("int").alias("dist")
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q271: IR ranking quality — nDCG@10 + MRR over BM25
+# ---------------------------------------------------------------------------
+
+
+def _q271_oracle() -> str:
+    from .catalog_rank import _q134_oracle
+
+    return f"""
+    WITH scores AS ({_q134_oracle()}),
+    lab AS (
+      SELECT s.doc_id, s.score,
+             CASE WHEN list_contains(string_split(d.text, ' '), 'stream')
+                  THEN 1 ELSE 0 END AS rel
+      FROM scores s JOIN documents d USING (doc_id)
+      WHERE s.score > 0
+    ),
+    ranked AS (
+      SELECT doc_id, rel,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM lab
+    ),
+    dcg AS (
+      SELECT sum(CASE WHEN rk <= 10 THEN rel / log2(rk + 1) ELSE 0 END) AS dcg,
+             min(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+             sum(rel) AS n_rel
+      FROM ranked
+    )
+    SELECT round(dcg / list_sum(list_transform(
+             range(1, CAST(least(10, n_rel) AS BIGINT) + 1),
+             i -> 1.0 / log2(i + 1))), 6) AS ndcg10,
+           round(CASE WHEN first_rel IS NULL THEN 0.0
+                      ELSE 1.0 / first_rel END, 6) AS mrr,
+           CAST(n_rel AS BIGINT) AS n_rel
+    FROM dcg
+    """
+
+
+@query("q271_ndcg", oracle=_q271_oracle())
+def q271_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation — nDCG@10 and MRR over the BM25 ranking
+    (q134's scorer, operators/ranking.bm25_score) with 'contains stream'
+    as the relevance label: the IR-eval verbs that close the search loop
+    (index q140 → score q134 → fuse q205 → *evaluate*).  The ranking
+    window runs only over docs matching at least one query term
+    (score > 0), and the ideal-DCG normalizer folds over a ≤10-element
+    integer sequence — both bounded.  Spark and DuckDB compute the
+    identical fixed-order BM25 float path, so ranks agree exactly."""
+    from .catalog_rank import _BM25_TERMS
+    from .operators import ranking as rk
+
+    d = table(spark, sf_dir, "documents")
+    scores = rk.bm25_score(d, "doc_id", "text", _BM25_TERMS, k1=1.2, b=0.75)
+    lab = (
+        scores.join(d.select("doc_id", "text"), "doc_id")
+        .filter(F.col("score") > 0)
+        .select(
+            "doc_id",
+            "score",
+            F.array_contains(F.split("text", " "), "stream")
+            .cast("int")
+            .alias("rel"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    ranked = lab.select("rel", F.row_number().over(w).alias("rk"))
+    agg = ranked.agg(
+        F.sum(
+            F.when(F.col("rk") <= 10, F.col("rel") / F.log2(F.col("rk") + 1)).otherwise(
+                0.0
+            )
+        ).alias("dcg"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+        F.sum("rel").alias("n_rel"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(10), F.col("n_rel")).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i + 1),
+    )
+    return agg.select(
+        F.round(F.col("dcg") / idcg, 6).alias("ndcg10"),
+        F.round(
+            F.when(F.col("first_rel").isNull(), 0.0).otherwise(
+                1.0 / F.col("first_rel")
+            ),
+            6,
+        ).alias("mrr"),
+        F.col("n_rel").cast("bigint").alias("n_rel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q272: k-anonymity audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q272_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS INT) AS bal_band,
+             count(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(min(n) AS BIGINT) AS min_group,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+             AS risk_share
+    FROM g
+    """,
+)
+def q272_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier triple
+    (nation, market segment, account-balance band): how many
+    quasi-identifier groups are small enough to re-identify members, and
+    what share of rows they expose — the privacy check run before any
+    data release, complementing the PII scan/redact (q97) and erasure
+    cascade (q224).  One groupBy over the quasi-identifiers, one bounded
+    rollup; generalizing a identifier (widening bal_band) is the
+    remediation lever and just changes the grouping expression."""
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n") < 5).cast("int")).cast("bigint").alias("groups_below_k"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("n").cast("bigint").alias("min_group"),
+        F.round(
+            F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)) / F.sum("n"), 6
+        ).alias("risk_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q273: two-proportion z-test (cohort conversion significance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q273_conversion_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS cohort,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS x0,
+             sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)    AS n0,
+             sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS x1,
+             sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)    AS n1
+      FROM u
+    )
+    SELECT round(x0 * 1.0 / n0, 6) AS p0,
+           round(x1 * 1.0 / n1, 6) AS p1,
+           CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round((x0 * 1.0 / n0 - x1 * 1.0 / n1)
+                 / sqrt(((x0 + x1) * 1.0 / (n0 + n1))
+                        * (1 - (x0 + x1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z,
+           abs((x0 * 1.0 / n0 - x1 * 1.0 / n1)
+               / sqrt(((x0 + x1) * 1.0 / (n0 + n1))
+                      * (1 - (x0 + x1) * 1.0 / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1))) > 1.96 AS significant
+    FROM s
+    """,
+)
+def q273_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on cohort conversion (did the user ever
+    purchase), pooled-variance form — the significance readout that sits
+    on top of the A/B machinery (q234 bootstrap gives the uncertainty
+    band, q245 CUPED shrinks the variance, this gives the classical
+    decision rule at α=0.05).  Per-user rollup then a single scalar
+    aggregate; every engine computes the identical closed form."""
+    ev = load_events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    ).withColumn("cohort", F.col("user_id") % 2)
+    s = u.agg(
+        F.sum(F.when(F.col("cohort") == 0, F.col("conv")).otherwise(0)).alias("x0"),
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("conv")).otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    p0 = F.col("x0") / F.col("n0")
+    p1 = F.col("x1") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1"))
+    z = (p0 - p1) / F.sqrt(pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1")))
+    return s.select(
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q274: rolling-origin backtest folds
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q274_backtest_folds",
+    oracle="""
+    WITH folds AS (
+      SELECT i AS fold,
+             make_timestamp(1996 + i, 1, 1, 0, 0, 0) AS train_end,
+             make_timestamp(1997 + i, 1, 1, 0, 0, 0) AS test_end
+      FROM range(0, 4) t(i)
+    )
+    SELECT CAST(fold AS INT) AS fold,
+           CAST(train_end AS VARCHAR) AS train_end,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_orderdate < f.train_end) AS BIGINT) AS n_train,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_orderdate >= f.train_end
+                   AND o.o_orderdate < f.test_end) AS BIGINT) AS n_test
+    FROM folds f ORDER BY fold
+    """,
+)
+def q274_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest folds — the
+    time-series-safe alternative to random k-fold CV, where every fold
+    trains strictly before it tests (the temporal cousin of the
+    point-in-time join q254's leakage guarantee): four folds with train
+    cut-offs 1996..1999 and one-year test windows, with per-fold row
+    counts.  One range-join of the 4-row fold spec against the orders
+    scan (broadcast, bucket-free: the fold table is tiny) — the fold
+    assignment an actual backtest pipeline feeds into q94's hash_split
+    machinery."""
+    folds = spark.range(0, 4).select(
+        F.col("id").cast("int").alias("fold"),
+        F.make_timestamp(
+            (F.lit(1996) + F.col("id")).cast("int"),
+            F.lit(1), F.lit(1), F.lit(0), F.lit(0), F.lit(0),
+        ).alias("train_end"),
+        F.make_timestamp(
+            (F.lit(1997) + F.col("id")).cast("int"),
+            F.lit(1), F.lit(1), F.lit(0), F.lit(0), F.lit(0),
+        ).alias("test_end"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("timestamp").alias("od")
+    )
+    j = o.crossJoin(F.broadcast(folds))
+    return (
+        j.groupBy("fold", "train_end")
+        .agg(
+            F.sum((F.col("od") < F.col("train_end")).cast("int"))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(
+                (
+                    (F.col("od") >= F.col("train_end"))
+                    & (F.col("od") < F.col("test_end"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_test"),
+        )
+        .select(
+            "fold",
+            F.col("train_end").cast("string").alias("train_end"),
+            "n_train",
+            "n_test",
+        )
+        .orderBy("fold")
+    )
