@@ -344,7 +344,7 @@ def q241_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bloom_oracle(m: int = 1024) -> str:
     def pos(key: str, i: int) -> str:
         return (
-            f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '#b{i}'), 1, 8))"
+            f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '#b'), {1 + 8 * i}, 8))"
             f"::UBIGINT % {m} AS BIGINT)"
         )
 

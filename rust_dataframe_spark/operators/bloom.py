@@ -33,18 +33,23 @@ __all__ = ["bloom_positions", "bloom_bits", "bloom_probe", "semi_join_compare"]
 
 
 def bloom_positions(key: Column, m: int, k: int) -> Column:
-    """Array of k bit positions for ``key``: position_i =
-    ``int(md5(key || '#bi')[:8], 16) % m``.  Deterministic and identical in
-    any engine with md5 (DuckDB replays it as
-    ``('0x' || substr(md5(key || '#bi'), 1, 8))::UBIGINT % m``)."""
+    """Array of k bit positions for ``key``: position_i = the i-th 8-hex-char
+    window of ONE md5 digest, mod m — the same share-one-digest trick as the
+    MinHash family (operators/dedup.py: disjoint 32-bit windows of a crypto
+    digest are independent uniform values), cutting hash work k× versus one
+    md5 per position.  k ≤ 4 (a 128-bit digest holds four 32-bit windows).
+    Deterministic and identical in any engine with md5 (DuckDB replays a
+    window as ``('0x' || substr(md5(key || '#b'), 1+8i, 8))::UBIGINT % m``).
+    Production swaps md5 for xxhash64; md5 is the engine-portable choice the
+    oracle gate needs."""
+    if k > 4:
+        raise ValueError(f"k <= 4 (one md5 digest = four 32-bit windows), got {k}")
     s = key.cast("string")
+    d = F.md5(F.concat(s, F.lit("#b")))
     return F.array(
         *[
             (
-                F.conv(
-                    F.substring(F.md5(F.concat(s, F.lit(f"#b{i}"))), 1, 8), 16, 10
-                ).cast("bigint")
-                % m
+                F.conv(F.substring(d, 1 + 8 * i, 8), 16, 10).cast("bigint") % m
             )
             for i in range(k)
         ]
