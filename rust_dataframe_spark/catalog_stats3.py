@@ -1029,3 +1029,238 @@ def q274_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# q275: OHLC / VWAP bars
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q275_ohlc_bars",
+    oracle="""
+    WITH t AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS bar, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    o AS (
+      SELECT bar, ts, event_id, value,
+             row_number() OVER (PARTITION BY bar ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY bar ORDER BY ts DESC, event_id DESC)
+               AS rl
+      FROM t
+    )
+    SELECT CAST(bar AS VARCHAR) AS bar,
+           round(max(CASE WHEN rf = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max(CASE WHEN rl = 1 THEN value END), 4) AS close,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           round(sum(value * value) / sum(value), 6) AS vwap
+    FROM o GROUP BY bar ORDER BY bar
+    """,
+)
+def q275_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC + VWAP bars over purchase events — the market-data
+    aggregation verb (open/close need *ordered* firsts per bar, high/low/
+    vwap are plain aggregates): open/close pin their rows with
+    deterministic row_numbers (tie-broken on event_id) instead of relying
+    on Spark's first()/last() shuffle-order, which is not reproducible —
+    the same determinism discipline as q21.  Here "volume" is the value
+    itself, so vwap = Σv²/Σv.  One shuffle keyed by bar; windows run
+    within bars."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    t = ev.select(
+        F.date_trunc("day", "ts").alias("bar"), "ts", "event_id", "value"
+    )
+    wf = Window.partitionBy("bar").orderBy("ts", "event_id")
+    wl = Window.partitionBy("bar").orderBy(F.desc("ts"), F.desc("event_id"))
+    o = t.select(
+        "bar",
+        "value",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return (
+        o.groupBy("bar")
+        .agg(
+            F.round(F.max(F.when(F.col("rf") == 1, F.col("value"))), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max(F.when(F.col("rl") == 1, F.col("value"))), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            F.round(
+                F.sum(F.col("value") * F.col("value")) / F.sum("value"), 6
+            ).alias("vwap"),
+        )
+        .select(F.col("bar").cast("string").alias("bar"), "open", "high", "low", "close", "n_trades", "vwap")
+        .orderBy("bar")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q276: leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q276_target_encoding",
+    oracle="""
+    WITH lab AS (
+      SELECT o_custkey, o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT cat, sum(y) AS sy, count(*) AS cn, avg(y) AS cat_mean
+      FROM lab GROUP BY 1
+    ),
+    gm AS (SELECT avg(y) AS gmean FROM lab)
+    SELECT cat,
+           CAST(cn AS BIGINT) AS n,
+           round(cat_mean, 6) AS cat_mean,
+           round((sy + 20 * gmean) / (cn + 20), 6) AS smoothed,
+           round((sy - cat_mean) / (cn - 1), 6) AS loo_for_positive
+    FROM g CROSS JOIN gm ORDER BY cat
+    """,
+)
+def q276_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding of a categorical feature (order priority →
+    P(status = F)) with the two leakage controls a real feature pipeline
+    needs: additive smoothing toward the global mean (m=20 pseudo-counts
+    — guards rare categories) and the leave-one-out form ((Σy − y_i)/
+    (n−1), shown for a positive-label row) that keeps a row's own label
+    out of its feature.  Per-category sums broadcast back to rows at
+    apply time; this query emits the encoder table itself — category
+    stats, smoothed and LOO encodings — which is what gets persisted and
+    reused across training runs."""
+    o = table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    )
+    g = lab.groupBy("cat").agg(
+        F.sum("y").alias("sy"),
+        F.count(F.lit(1)).alias("cn"),
+        F.avg("y").alias("cat_mean"),
+    )
+    glob = lab.agg(F.avg("y").alias("gmean"))
+    return (
+        g.crossJoin(F.broadcast(glob))
+        .select(
+            "cat",
+            F.col("cn").cast("bigint").alias("n"),
+            F.round("cat_mean", 6).alias("cat_mean"),
+            F.round(
+                (F.col("sy") + 20 * F.col("gmean")) / (F.col("cn") + 20), 6
+            ).alias("smoothed"),
+            F.round(
+                (F.col("sy") - F.col("cat_mean")) / (F.col("cn") - 1), 6
+            ).alias("loo_for_positive"),
+        )
+        .orderBy("cat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q277: sequence-gap detection (missing-range audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q277_sequence_gaps",
+    oracle="""
+    WITH k AS (SELECT DISTINCT event_id AS id FROM events
+               WHERE event_type = 'purchase'),
+    g AS (
+      SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM k
+    )
+    SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - id - 1 AS BIGINT) AS gap_len
+    FROM g WHERE nxt - id > 1
+    ORDER BY gap_start LIMIT 50
+    """,
+)
+def q277_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit: missing ranges in the purchase event-id sequence
+    (first 50 gaps) — the data-completeness check for any
+    supposed-to-be-contiguous id space (ingest offsets, CDC sequence
+    numbers, partition indexes).  Gaps-and-islands via one lead() over
+    the distinct keys; at 100 TB the distinct+sort shuffle is the cost,
+    and the practical form runs per partition-directory with boundary
+    stitching.  The fixture's purchase event-ids are a ~1-in-5 subset of
+    a dense sequence, so real gaps abound (this fixture's orderkeys are
+    contiguous, unlike dbgen's sparse ones — hence the event subset)."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    k = ev.select(F.col("event_id").alias("id")).distinct()
+    w = Window.orderBy("id")
+    g = k.select("id", F.lead("id").over(w).alias("nxt"))
+    return (
+        g.filter(F.col("nxt") - F.col("id") > 1)
+        .select(
+            (F.col("id") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("id") - 1).cast("bigint").alias("gap_len"),
+        )
+        .orderBy("gap_start")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q278: feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q278_feature_hashing",
+    oracle="""
+    WITH f AS (
+      SELECT c_custkey,
+             CAST(('0x' || substr(md5('seg=' || c_mktsegment), 1, 8))::UBIGINT
+                  % 32 AS INT) AS h_seg,
+             CAST(('0x' || substr(md5('nat=' || CAST(c_nationkey AS VARCHAR)),
+                                  1, 8))::UBIGINT % 32 AS INT) AS h_nat
+      FROM customer
+    ),
+    u AS (
+      SELECT h_seg AS dim FROM f
+      UNION ALL SELECT h_nat FROM f
+    )
+    SELECT dim, CAST(count(*) AS BIGINT) AS n
+    FROM u GROUP BY dim ORDER BY dim
+    """,
+)
+def q278_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): categorical features map to a
+    fixed 32-dim space via ``md5(feature_name || '=' || value) mod d`` —
+    no vocabulary build, no fit step, bounded width no matter how many
+    categories arrive, collisions by design (and quantified here: the
+    per-dimension load census IS the collision report).  The field-name
+    prefix keeps same-valued features in different fields from colliding
+    systematically.  Per-row cost is one hash per feature in codegen;
+    the census is one bounded aggregate."""
+    c = table(spark, sf_dir, "customer")
+
+    def h(prefix: str, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 32
+        ).cast("int")
+
+    f = c.select(
+        h("seg=", F.col("c_mktsegment")).alias("h_seg"),
+        h("nat=", F.col("c_nationkey")).alias("h_nat"),
+    )
+    u = f.select(F.col("h_seg").alias("dim")).unionAll(
+        f.select(F.col("h_nat").alias("dim"))
+    )
+    return (
+        u.groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dim")
+    )
