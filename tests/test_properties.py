@@ -233,3 +233,80 @@ def test_drift_tvd_bounds_and_symmetry(spark, xs, ys):
     pb = {k: v / m for k, v in Counter(ys).items()}
     same = pa == pb
     assert (d_ab["tvd"] == 0.0) == same
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=0,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_interval_overlap_equals_theta(spark, ls, rs):
+    """interval_overlap_join == naive theta overlap, any intervals
+    (including degenerate point-intervals, inverted ones are normalized)."""
+    from rust_dataframe_spark.operators.temporal import interval_overlap_join
+
+    L = [(i, float(min(a, b)), float(max(a, b))) for i, (a, b) in enumerate(ls)]
+    R = [(j, float(min(a, b)), float(max(a, b))) for j, (a, b) in enumerate(rs)]
+    if not L or not R:
+        return
+    ldf = spark.createDataFrame(L, "lid long, lo double, hi double")
+    rdf = spark.createDataFrame(R, "rid long, lo double, hi double")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, "lo", "hi", rdf, "lo", "hi", bucket_width=3.0
+        ).collect()
+    )
+    want = sorted(
+        (l[0], r[0]) for l in L for r in R if l[1] <= r[2] and r[1] <= l[2]
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=15, unique=True),
+    st.lists(st.integers(0, 40), min_size=1, max_size=30),
+)
+def test_bloom_never_false_negative(spark, build, probe):
+    """Bloom membership: every true member passes, for any key sets."""
+    from rust_dataframe_spark.operators.bloom import bloom_bits, bloom_probe
+
+    bdf = spark.createDataFrame([(k,) for k in build], "key long")
+    pdf = spark.createDataFrame([(k,) for k in probe], "key long")
+    bits = bloom_bits(bdf, "key", m=128, k=3)
+    out = bloom_probe(pdf, "key", bits, m=128, k=3).collect()
+    for r in out:
+        if r["key"] in set(build):
+            assert r["bloom_pass"], f"false negative for {r['key']}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.booleans()), min_size=1, max_size=12
+    )
+)
+def test_kaplan_meier_monotone_nonincreasing(spark, subjects):
+    """KM survival is nonincreasing in t and within (0, 1]... or exactly 0
+    after an absorbing event, for any censoring pattern."""
+    from pyspark.sql import Row
+
+    from rust_dataframe_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame([Row(t=t, obs=o) for t, o in subjects])
+    rows = sorted(
+        kaplan_meier(df, "t", "obs").collect(), key=lambda r: r["t"]
+    )
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev + 1e-12
+        prev = r["survival"]
