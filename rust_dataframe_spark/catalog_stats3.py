@@ -1264,3 +1264,107 @@ def q278_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q279: schema evolution (mergeSchema read across file generations)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q279_schema_evolution",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN s_suppkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_bal,
+           CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+           round(sum(CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END), 2)
+             AS bal_sum
+    FROM supplier
+    """,
+)
+def q279_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: generation 1 writes
+    suppliers WITHOUT the balance column, generation 2 adds it;
+    ``mergeSchema`` unifies the directory into one frame where gen-1 rows
+    read the new column as null — the additive-column evolution every
+    long-lived table undergoes.  Half the keys land in each generation
+    (s_suppkey mod 2), so ``n_with_bal`` counts exactly the evolved half
+    and ``bal_sum`` proves values survived; the oracle recomputes from
+    the source (count(s_acctbal) over the full table == gen-2 rows
+    because the split is by parity and sums are parity-split too...
+    no — the oracle must model the null half: see the WHERE)."""
+    from .catalog_sources import _scratch
+
+    s = table(spark, sf_dir, "supplier")
+    path = _scratch("evolve_supplier", sf_dir)
+    g1 = s.filter(F.col("s_suppkey") % 2 == 0).select("s_suppkey", "s_name")
+    g2 = s.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    g1.write.mode("overwrite").parquet(f"{path}/gen=1")
+    g2.write.mode("overwrite").parquet(f"{path}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s_acctbal").alias("n_with_bal"),
+        F.sum("s_suppkey").cast("bigint").alias("key_sum"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q280: dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q280_dynamic_pruning",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE n.n_name IN ('NATION_6', 'NATION_7')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q280_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    Hive-partitioned by customer nation (a one-time layout job), and a
+    selective dim-side filter (two nations) prunes fact partitions AT
+    RUNTIME through the join — the Spark mechanism that makes star-schema
+    queries scan 2/25ths instead of everything when the filter is on the
+    dimension, not the fact.  The plan carries a ``dynamicpruning``
+    subquery on the partitioned scan (pinned by the companion plan test).
+    At 100 TB this is THE lever for dimension-filtered fact scans; the
+    partition column choice comes from the dominant filter dimension."""
+    from .catalog_sources import _scratch
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    path = _scratch("orders_by_nation", sf_dir)
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .select("o_orderkey", "o_custkey", "o_totalprice", "c_nationkey")
+            .write.mode("overwrite")
+            .partitionBy("c_nationkey")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    dim = n.filter(F.col("n_name").isin("NATION_6", "NATION_7"))
+    return (
+        fact.join(dim, fact["c_nationkey"] == dim["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("n_name")
+    )

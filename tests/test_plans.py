@@ -517,3 +517,11 @@ def test_interval_overlap_is_equi_join(spark):
     plan = pi.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_active(spark):
+    """q280: the partitioned fact scan must carry a dynamicpruning
+    subquery fed by the filtered dim — the runtime partition-skip lever."""
+    df = catalog.QUERIES["q280_dynamic_pruning"](spark, SF)
+    plan = df._jdf.queryExecution().toString().lower()
+    assert "dynamicpruning" in plan
