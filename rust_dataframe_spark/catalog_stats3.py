@@ -1368,3 +1368,96 @@ def q280_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q281: phrase search via positional posting lists
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q281_phrase_search",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS tl
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, unnest(tl[1:len(tl) - 1]) AS a, unnest(tl[2:len(tl)]) AS w
+      FROM t WHERE len(tl) >= 2
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM b WHERE a = 'table' AND w = 'hash'
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q281_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search ("table hash") via POSITIONAL posting lists: the term
+    index stores (doc, position), and a phrase match is a self-join of the
+    two term postings on doc with positions differing by exactly 1 — the
+    inverted-index upgrade from bag-of-words AND (q218) to exact phrase
+    semantics, the way a real search engine executes quoted queries.
+    Postings are filtered to the two query terms BEFORE the join, so cost
+    is O(matching postings), and the join keys on doc_id — hash join,
+    AQE-splittable.  The oracle replays it with zipped adjacent-token
+    pairs."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("pos", "term"),
+    )
+    pa = toks.filter(F.col("term") == "table").select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    pb = toks.filter(F.col("term") == "hash").select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    hits = pa.join(
+        pb,
+        (F.col("doc_id") == F.col("doc_b")) & (F.col("pb") == F.col("pa") + 1),
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q282: SLA latency quantile report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q282_latency_quantiles",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           round(max(value), 4) AS p100
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q282_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ops-dashboard staple: per-event-type p50/p95/p99/max — exact
+    interpolated percentiles here (Spark `percentile` == DuckDB
+    `quantile_cont`), with the same documented 100 TB substitution as the
+    rest of the percentile family (`percentile_approx`, whose rank-error
+    bound q266 certifies).  One shuffle on the 5-key group; the tail
+    quantiles are why monitoring reads quantiles and never averages."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+            F.round(F.max("value"), 4).alias("p100"),
+        )
+        .orderBy("event_type")
+    )
