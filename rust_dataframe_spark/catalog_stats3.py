@@ -1461,3 +1461,102 @@ def q282_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q283: salted join exactness pin
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q283_salted_join",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(c.c_acctbal), 2) AS bal_sum
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q283_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join exactness pin (operators/skew.salted_join, q265's
+    companion for the JOIN side): the big side salts on a deterministic
+    row hash, the small side replicates into every salt — each hot key
+    spreads over n_salts shuffle partitions while the result stays
+    IDENTICAL to the plain join, which the plain-join oracle certifies.
+    (Deterministic salt, not rand(): a retried task must re-produce the
+    same salt or rows double/vanish — the correctness trap the operator
+    guards.)"""
+    from .operators.skew import salted_join
+
+    c = table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "nk"
+    )
+    n = table(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "nk")
+    j = salted_join(c, n, "nk", n_salts=8)
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q284: count-min overestimate certificate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q284_cms_bound",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      FROM documents
+    ),
+    exact AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+    top AS (SELECT term, n FROM exact ORDER BY n DESC, term LIMIT 10),
+    tot AS (SELECT count(*) AS n_total FROM tok)
+    SELECT term, CAST(top.n AS BIGINT) AS n_exact,
+           TRUE AS never_under, TRUE AS within_eps
+    FROM top CROSS JOIN tot ORDER BY term
+    """,
+)
+def q284_cms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch guarantee certificate (the third certificate next
+    to HLL q264 and percentile q266): for the 10 most frequent terms the
+    sketch estimate must (a) NEVER undercount — structural, the min of
+    sums each containing the true count — and (b) overcount by at most
+    ε·N with ε = e/width (standard CMS bound at ~99.9% for depth 4; a
+    deterministic hash family makes the check reproducible).  Spark
+    computes exact counts AND sketch lookups (operators/sketches, the
+    same build/lookup as q211) and asserts both; the oracle pins the
+    exact counts and the claims."""
+    from .operators.sketches import countmin_build, countmin_lookup
+
+    depth, width = 4, 1024
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("term")
+    )
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = exact.orderBy(F.desc("n"), "term").limit(10)
+    tot = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    sketch = countmin_build(tok, "term", depth=depth, width=width)
+    est = countmin_lookup(sketch, top.select("term"), "term", depth=depth, width=width)
+    eps = 2.718281828459045 / width
+    return (
+        top.join(est.withColumnRenamed("est", "cms"), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.col("n").cast("bigint").alias("n_exact"),
+            (F.col("cms") >= F.col("n")).alias("never_under"),
+            (F.col("cms") <= F.col("n") + F.lit(eps) * F.col("n_total")).alias(
+                "within_eps"
+            ),
+        )
+        .orderBy("term")
+    )
