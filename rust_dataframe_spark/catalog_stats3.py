@@ -1560,3 +1560,68 @@ def q284_cms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# q285: mergeable HLL sketch rollup (sketch once, re-aggregate forever)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q285_hll_merge",
+    oracle="""
+    WITH per_region AS (
+      SELECT n.n_regionkey AS region,
+             count(DISTINCT o.o_custkey) AS n_exact
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    )
+    SELECT CAST(region AS INT) AS region,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM per_region ORDER BY region
+    """,
+)
+def q285_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (Spark 4 Datasketches surface:
+    hll_sketch_agg → hll_union_agg → hll_sketch_estimate): per-NATION
+    distinct-customer sketches built once, then merged up to REGION level
+    *without touching the raw data again* — the pattern that makes
+    distinct-count dashboards feasible at 100 TB (daily/partition sketches
+    persisted, any rollup is a cheap union of ≤4 KB summaries).  The
+    certificate discipline of q264: Spark computes the merged estimate AND
+    the exact region-level distinct and asserts the 3σ bound (lgK=14 →
+    rsd ≈ 1.04/√2^14 ≈ 0.8%); the oracle pins the exact counts and the
+    claim."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    base = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
+        n, c["c_nationkey"] == n["n_nationkey"]
+    )
+    per_nation = base.groupBy("n_regionkey", "n_nationkey").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk")
+    )
+    per_region = per_nation.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est")
+    )
+    exact = base.groupBy(F.col("n_regionkey").alias("region_e")).agg(
+        F.count_distinct("o_custkey").alias("n_exact")
+    )
+    rsd = 1.04 / (2 ** 14) ** 0.5
+    return (
+        per_region.join(
+            exact, per_region["n_regionkey"] == exact["region_e"]
+        )
+        .select(
+            F.col("n_regionkey").cast("int").alias("region"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact")
+                <= 3 * rsd
+            ).alias("within_bound"),
+        )
+        .orderBy("region")
+    )
