@@ -1625,3 +1625,111 @@ def q285_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# q286: null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q286_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 5 END AS k
+      FROM orders WHERE o_orderkey < 200
+    ),
+    b AS (
+      SELECT CASE WHEN i = 5 THEN NULL ELSE i END AS k,
+             'grp_' || CAST(i AS VARCHAR) AS tag
+      FROM range(0, 6) t(i)
+    )
+    SELECT coalesce(CAST(a.k AS VARCHAR), 'NULL') AS k,
+           b.tag, CAST(count(*) AS BIGINT) AS n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q286_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` == SQL IS NOT DISTINCT
+    FROM): NULL keys MATCH each other instead of vanishing — the
+    semantics a dimension with an explicit "unknown" bucket needs, and
+    the complement of the standard null-drop equi-join the join family
+    (q10-q17) pinned.  Still a hash join: Catalyst plans <=> as an
+    equi-join key (null-safe), not a theta join."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("k"),
+    )
+    b = spark.range(0, 6).select(
+        F.when(F.col("id") == 5, None).otherwise(F.col("id")).alias("kb"),
+        F.concat(F.lit("grp_"), F.col("id").cast("string")).alias("tag"),
+    )
+    j = a.join(b, a["k"].eqNullSafe(b["kb"]))
+    return (
+        j.groupBy(
+            F.coalesce(F.col("k").cast("string"), F.lit("NULL")).alias("k"),
+            "tag",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k", "tag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q287: the NOT IN null trap (vs NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q287_not_in_trap",
+    oracle="""
+    WITH probe AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 100),
+    blocklist AS (
+      SELECT CASE WHEN i = 3 THEN NULL ELSE i * 10 END AS bk
+      FROM range(0, 5) t(i)
+    )
+    SELECT
+      CAST((SELECT count(*) FROM probe
+            WHERE k NOT IN (SELECT bk FROM blocklist)) AS BIGINT)
+        AS not_in_count,
+      CAST((SELECT count(*) FROM probe p
+            WHERE NOT EXISTS (SELECT 1 FROM blocklist b WHERE b.bk = p.k))
+        AS BIGINT) AS not_exists_count,
+      CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_probe
+    """,
+)
+def q287_not_in_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, demonstrated and pinned: with a NULL in the
+    blocklist, ``NOT IN`` is three-valued-logic poisoned (k <> NULL is
+    UNKNOWN, so NO row qualifies — not_in_count = 0) while ``NOT
+    EXISTS`` does what everyone means (null-anti-join semantics).  Both
+    engines agree on the standard; the query documents WHY this repo's
+    erasure/decontamination pipelines (q224, q96) are built on anti
+    joins, never NOT IN subqueries.  Catalyst plans NOT IN as a
+    null-aware anti join — correct and notoriously expensive; NOT EXISTS
+    plans as a plain left-anti hash join."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    o.createOrReplaceTempView("q287_probe")
+    bl = spark.range(0, 5).select(
+        F.when(F.col("id") == 3, None).otherwise(F.col("id") * 10).alias("bk")
+    )
+    bl.createOrReplaceTempView("q287_block")
+    return spark.sql(
+        """
+        SELECT
+          CAST((SELECT count(*) FROM q287_probe
+                WHERE o_orderkey NOT IN (SELECT bk FROM q287_block)) AS BIGINT)
+            AS not_in_count,
+          CAST((SELECT count(*) FROM q287_probe p
+                WHERE NOT EXISTS (SELECT 1 FROM q287_block b
+                                  WHERE b.bk = p.o_orderkey)) AS BIGINT)
+            AS not_exists_count,
+          CAST((SELECT count(*) FROM q287_probe) AS BIGINT) AS n_probe
+        """
+    )
