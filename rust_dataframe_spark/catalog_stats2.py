@@ -1,11 +1,13 @@
-"""Catalog round 6 (continued): q245-q254.
+"""Catalog round 6 (continued): q245-q258.
 
 CUPED experiment variance reduction, blocked fuzzy string matching,
 equi-depth histogram without a global sort, a Benford first-digit audit,
 the exact set-similarity join via prefix filtering (the guaranteed-recall
 counterpart to the LSH family), corrupt-record-tolerant JSON ingestion,
 RFM segmentation, seasonal-adjusted robust anomaly detection, end-to-end
-entity resolution, and point-in-time feature-store assembly.
+entity resolution, point-in-time feature-store assembly, the
+covariance matrix, nearest as-of join, small-file compaction, and
+Kaplan-Meier survival.
 """
 
 from __future__ import annotations

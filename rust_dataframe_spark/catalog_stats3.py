@@ -1,8 +1,14 @@
-"""Catalog round 6 (continued): q259-q263.
+"""Catalog round 6 (continued): q259-q287.
 
 TextRank keyword extraction (graph ∘ ranking composition), offline policy
 evaluation (IPS / SNIPS / ESS), calibration reliability + Brier score, the
-interval×interval overlap join, and a referential-integrity audit.
+interval×interval overlap join, referential-integrity / k-anonymity /
+sequence-gap governance audits, approx-sketch error certificates (HLL,
+percentile, count-min, mergeable-HLL rollup), skew-rewrite exactness pins
+(salted agg + join), samplers and encoders (A-ES reservoir, mixture
+weights, target encoding, feature hashing), ranking eval (nDCG/MRR,
+phrase search), BFS k-hop, OHLC bars, backtest folds, streaming drift,
+schema evolution, dynamic partition pruning, and null-semantics pins.
 """
 
 from __future__ import annotations
