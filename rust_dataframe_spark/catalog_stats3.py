@@ -1739,3 +1739,135 @@ def q287_not_in_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
           CAST((SELECT count(*) FROM q287_probe) AS BIGINT) AS n_probe
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q288: ROC-AUC via the rank statistic (Mann-Whitney U)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q288_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#score'), 1, 8))
+               ::UBIGINT / 4294967296.0
+             + CASE WHEN value > 50.0 THEN 0.15 ELSE 0.0 END AS score,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS label
+      FROM events
+    ),
+    ranked AS (
+      SELECT label,
+             rank() OVER (ORDER BY score) AS rk,
+             count(*) OVER (PARTITION BY score) AS ties
+      FROM scored
+    ),
+    agg AS (
+      SELECT sum(CASE WHEN label = 1 THEN rk + (ties - 1) / 2.0 ELSE 0 END)
+               AS rsum,
+             sum(label) AS np, sum(1 - label) AS nn
+      FROM ranked
+    )
+    SELECT round((rsum - np * (np + 1) / 2.0) / (np * nn), 6) AS auc,
+           CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+    FROM agg
+    """,
+)
+def q288_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC via the Mann-Whitney rank statistic — AUC = (ΣR₊ −
+    n₊(n₊+1)/2)/(n₊n₋) with midrank tie correction — completing the
+    model-eval trio (reliability/Brier q261, this, and the threshold
+    metrics any of them derive).  The fixture score is the q261 md5 score
+    plus a +0.15 signal bump for positives, so AUC lands meaningfully
+    above 0.5 (the metric detecting real signal, not a coin flip).
+    Honest scale note: the exact rank needs a global sort — at 100 TB
+    use the binned ECDF formulation (q237's trick: AUC from bin-level
+    pos/neg cumulative sums, error ≤ bin mass), here the exact form is
+    oracle-pinned."""
+    ev = load_events(spark, sf_dir)
+    score = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#score"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 4294967296.0
+        + F.when(F.col("value") > 50.0, 0.15).otherwise(0.0)
+    )
+    scored = ev.select(
+        score.alias("score"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("label"),
+    )
+    wr = Window.orderBy("score")
+    wt = Window.partitionBy("score")
+    ranked = scored.select(
+        "label",
+        F.rank().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wt).alias("ties"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("label") == 1,
+                F.col("rk") + (F.col("ties") - 1) / 2.0,
+            ).otherwise(0.0)
+        ).alias("rsum"),
+        F.sum("label").alias("np"),
+        F.sum(1 - F.col("label")).alias("nn"),
+    )
+    return agg.select(
+        F.round(
+            (F.col("rsum") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q289: rolling median (robust moving statistic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q289_rolling_median",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE user_id < 6
+    )
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM d ORDER BY user_id, ts, event_id
+    """,
+)
+def q289_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-event median per user — the robust moving statistic
+    (EWMA q206 smooths but chases outliers; a rolling median ignores
+    them).  Spark's exact ``percentile`` runs as a window aggregate over
+    the trailing frame; DuckDB's windowed ``quantile_cont`` replays the
+    identical interpolation.  Cost: a per-row sort buffer of frame size —
+    fine for small frames (7 here); for wide frames the scale form is
+    the two-heap streaming median inside applyInPandasWithState or an
+    approximate bin-based median."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 6)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med7"),
+        )
+        .orderBy("user_id", F.col("event_id"))
+    )
