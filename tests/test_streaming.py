@@ -461,3 +461,83 @@ def test_stream_holt_matches_batch_fold(spark, events):
         for r in batch.collect()
     }
     assert got == want and len(got) == 60
+
+
+def test_stream_binned_histogram_matches_batch(spark, events):
+    """q269's streaming histogram: availableNow per-window bin counts ==
+    the batch groupBy with the shared bin rule."""
+    from rust_dataframe_spark.operators.stats import _binned
+
+    schema = spark.read.parquet(events).schema
+    stream = st.read_stream_parquet(spark, events, schema)
+    out = st.run_available_now(
+        st.stream_binned_histogram(
+            stream, window="1 hour", watermark="2 hours", lo=0.0, hi=20.0, nbins=4
+        ),
+        "t_binned",
+    )
+    batch = (
+        spark.read.parquet(events)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            _binned(F.col("value"), 0.0, 20.0, 4).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "bin", "n")
+    )
+    s = {(r["win_start"], r["bin"]): r["n"] for r in out.collect()}
+    b = {(r["win_start"], r["bin"]): r["n"] for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
+def test_streaming_countmin_incremental_merge(spark, events, tmp_path_factory):
+    """Sketch maintenance as a stream: each micro-batch builds a partial
+    count-min and foreachBatch-merges it into a persistent sketch table;
+    the final merged sketch must equal the one-shot batch sketch (count-min
+    cells are sums — associative, so incremental == batch)."""
+    from rust_dataframe_spark.operators.sketches import countmin_build, countmin_merge
+
+    out_dir = str(tmp_path_factory.mktemp("cms") / "sketch")
+    schema = spark.read.parquet(events).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(events)
+
+    import os
+
+    def merge_batch(df, batch_id):
+        part = countmin_build(
+            df.select(F.col("user_id").cast("string").alias("tok")), "tok",
+            depth=2, width=64,
+        )
+        if os.path.exists(out_dir):
+            prev = spark.read.parquet(out_dir)
+            merged = countmin_merge(prev, part)
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(out_dir + "_tmp")
+        spark.read.parquet(out_dir + "_tmp").write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in countmin_build(
+            spark.read.parquet(events).select(
+                F.col("user_id").cast("string").alias("tok")
+            ),
+            "tok",
+            depth=2,
+            width=64,
+        ).collect()
+    }
+    assert final == batch and len(final) > 0
