@@ -1871,3 +1871,102 @@ def q289_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", F.col("event_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q290: heterogeneous-format federation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q290_format_federation",
+    oracle="""
+    SELECT n_nationkey % 3 AS shard,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def q290_format_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-format federation: the same logical table lives in
+    three physical formats at once (shard 0 → parquet, shard 1 → csv,
+    shard 2 → json — the real state of any long-lived lake mid-migration),
+    and one unionByName query reads across all of them with aligned
+    schemas.  The oracle aggregates the source table; equality proves no
+    shard lost rows or mangled types through its format.  Scale: each
+    shard scan keeps its own format reader and pushdown; the union is
+    plan-level only (no shuffle until the aggregate)."""
+    from .catalog_sources import _scratch
+    from .sources import files as fs
+
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = _scratch("fed_nation", sf_dir)
+    n.filter(F.col("n_nationkey") % 3 == 0).write.mode("overwrite").parquet(
+        f"{base}/pq"
+    )
+    n.filter(F.col("n_nationkey") % 3 == 1).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(f"{base}/csv")
+    n.filter(F.col("n_nationkey") % 3 == 2).write.mode("overwrite").json(
+        f"{base}/json"
+    )
+    schema = "n_nationkey int, n_name string"
+    pq = spark.read.schema(schema).parquet(f"{base}/pq")
+    cs = spark.read.schema(schema).option("header", "true").csv(f"{base}/csv")
+    js = spark.read.schema(schema).json(f"{base}/json")
+    fed = pq.unionByName(cs).unionByName(js)
+    return (
+        fed.groupBy((F.col("n_nationkey") % 3).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q291: retractable incremental view maintenance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q291_retractable_ivm",
+    oracle="""
+    WITH remaining AS (
+      SELECT o_orderpriority AS pri, o_totalprice
+      FROM orders WHERE o_orderkey >= 1000
+    )
+    SELECT pri, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS s,
+           round(avg(o_totalprice), 4) AS mean
+    FROM remaining GROUP BY 1 ORDER BY 1
+    """,
+)
+def q291_retractable_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable incremental view maintenance
+    (operators/merge.retract_agg_state): the running per-priority state
+    (q210's mergeable form) absorbs a DELETION batch (orderkey < 1000) by
+    subtracting the deleted rows' state — count/sum/sum-of-squares are
+    group-invertible so the maintained view equals a from-scratch
+    recompute over the remaining rows, which the oracle performs.
+    (Min/max are NOT invertible: the operator nulls them with an
+    ``extrema_stale`` flag when a deleted extremum touches them — dropped
+    here since the oracle checks the invertible measures.)  Cost: one
+    key-shuffle over the DELETED slice only, never a history rescan —
+    erasure compliance (q224) meeting materialized aggregates."""
+    from .operators.merge import agg_state, retract_agg_state
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"), "o_totalprice", "o_orderkey"
+    )
+    full_state = agg_state(o, ["pri"], "o_totalprice")
+    deleted = o.filter(F.col("o_orderkey") < 1000)
+    del_state = agg_state(deleted, ["pri"], "o_totalprice")
+    maintained = retract_agg_state(full_state, del_state, ["pri"])
+    return maintained.select(
+        "pri",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("s", 2).alias("s"),
+        F.round(F.col("s") / F.col("n"), 4).alias("mean"),
+    ).orderBy("pri")

@@ -150,3 +150,37 @@ def finalize_agg_state(state: DataFrame, keys: list[str]) -> DataFrame:
             "var_pop"
         ),
     )
+
+
+def retract_agg_state(
+    state: DataFrame, deletes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Retract a batch of deleted rows' aggregate state from the running
+    state — the deletion half of incremental view maintenance.  Counts and
+    (co)sums are group-invertible and subtract exactly; **min/max are
+    not**: if the deleted batch's extremum TOUCHES the state's extremum
+    the stored value can no longer be trusted and is nulled with
+    ``extrema_stale = true`` (the signal to rebuild that key's extrema
+    from storage — the honest cost of retractable IVM, not hidden behind
+    a wrong answer).  Keys whose count reaches zero drop out entirely.
+    """
+    dd = deletes
+    for c in ["n", "s", "ss", "mn", "mx"]:
+        dd = dd.withColumnRenamed(c, f"__d_{c}")
+    j = state.join(dd, keys, "left")
+    z = F.lit(0)
+    touched = (F.col("__d_mn") <= F.col("mn")) | (F.col("__d_mx") >= F.col("mx"))
+    out = j.select(
+        *keys,
+        (F.col("n") - F.coalesce(F.col("__d_n"), z)).alias("n"),
+        (F.col("s") - F.coalesce(F.col("__d_s"), F.lit(0.0))).alias("s"),
+        (F.col("ss") - F.coalesce(F.col("__d_ss"), F.lit(0.0))).alias("ss"),
+        F.when(F.coalesce(touched, F.lit(False)), F.lit(None)).otherwise(
+            F.col("mn")
+        ).alias("mn"),
+        F.when(F.coalesce(touched, F.lit(False)), F.lit(None)).otherwise(
+            F.col("mx")
+        ).alias("mx"),
+        F.coalesce(touched, F.lit(False)).alias("extrema_stale"),
+    )
+    return out.filter(F.col("n") > 0)

@@ -208,3 +208,52 @@ def test_bfs_levels_cycle_terminates(spark):
     )
     out = {r["node"]: r["dist"] for r in bfs_levels(edges, seeds=[1], max_hops=5).collect()}
     assert out == {1: 0, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# retract_agg_state
+# ---------------------------------------------------------------------------
+
+
+def test_retract_exact_for_invertible_measures(spark):
+    from rust_dataframe_spark.operators.merge import agg_state, retract_agg_state
+
+    rows = [("a", float(v)) for v in range(10)] + [("b", 100.0), ("b", 200.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    full = agg_state(df, ["k"], "v")
+    dels = agg_state(
+        spark.createDataFrame([("a", 0.0), ("a", 9.0)], "k string, v double"),
+        ["k"],
+        "v",
+    )
+    out = {r["k"]: r for r in retract_agg_state(full, dels, ["k"]).collect()}
+    assert out["a"]["n"] == 8 and out["a"]["s"] == sum(range(1, 9))
+    # deleted batch contained both extrema -> stale
+    assert out["a"]["extrema_stale"] and out["a"]["mn"] is None
+    # untouched key passes through intact
+    assert out["b"]["n"] == 2 and not out["b"]["extrema_stale"]
+    assert out["b"]["mn"] == 100.0 and out["b"]["mx"] == 200.0
+
+
+def test_retract_interior_delete_keeps_extrema(spark):
+    from rust_dataframe_spark.operators.merge import agg_state, retract_agg_state
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("a", 9.0)], "k string, v double"
+    )
+    full = agg_state(df, ["k"], "v")
+    dels = agg_state(
+        spark.createDataFrame([("a", 5.0)], "k string, v double"), ["k"], "v"
+    )
+    out = retract_agg_state(full, dels, ["k"]).collect()[0]
+    assert out["n"] == 2 and not out["extrema_stale"]
+    assert out["mn"] == 1.0 and out["mx"] == 9.0
+
+
+def test_retract_emptied_key_drops(spark):
+    from rust_dataframe_spark.operators.merge import agg_state, retract_agg_state
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    full = agg_state(df, ["k"], "v")
+    out = retract_agg_state(full, full, ["k"]).collect()
+    assert out == []
