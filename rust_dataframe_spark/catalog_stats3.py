@@ -1970,3 +1970,120 @@ def q291_retractable_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s", 2).alias("s"),
         F.round(F.col("s") / F.col("n"), 4).alias("mean"),
     ).orderBy("pri")
+
+
+# ---------------------------------------------------------------------------
+# q292: URL canonicalization dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q292_url_dedup",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTP://Example-' || CAST(doc_id % 40 AS VARCHAR)
+               || '.COM/path/' || CAST(doc_id % 7 AS VARCHAR)
+               || '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+               || '&utm_campaign=x#frag' AS url
+      FROM documents WHERE doc_id < 500
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(string_split(string_split(url, '://')[2], '/')[1])
+               || '/' ||
+               string_split(string_split(string_split(url, '://')[2], '?')[1],
+                            '/')[2]
+               || '/' ||
+               string_split(string_split(string_split(url, '://')[2], '?')[1],
+                            '/')[3]
+               || '?id=' ||
+               regexp_extract(url, 'id=([0-9]+)', 1) AS curl
+      FROM urls
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST(min(doc_id) AS BIGINT) AS sample_survivor
+    FROM canon
+    """,
+)
+def q292_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the web-crawl curation step exact text
+    hashing can't do: scheme/host case-folded, tracking parameters
+    (utm_*) stripped, fragments dropped, the id parameter kept — so
+    `HTTP://Example-1.COM/path/2?utm_source=feed&id=0&utm_campaign=x#frag`
+    and its clean twin collapse to one canonical key.  The fixture
+    synthesizes 500 messy URLs over 40×7×3 true identities; the audit row
+    counts raw vs canonical.  Spark side uses parse_url + regexp (JVM
+    codegen); the oracle rebuilds the same canonical string with split/
+    regexp primitives — two implementations, one normalization contract."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    url = F.concat(
+        F.lit("HTTP://Example-"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit(".COM/path/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.lower(F.parse_url("url", F.lit("HOST")))
+    path = F.parse_url("url", F.lit("PATH"))
+    idv = F.regexp_extract("url", r"id=([0-9]+)", 1)
+    canon = u.select(
+        "doc_id",
+        F.concat(host, path, F.lit("?id="), idv).alias("curl"),
+    )
+    return canon.agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct("curl").alias("n_canonical"),
+        F.min("doc_id").cast("bigint").alias("sample_survivor"),
+    ).select(
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_canonical").cast("bigint").alias("n_canonical"),
+        "sample_survivor",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q293: duplication-rate report by source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q293_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+             AS dup_rate
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def q293_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate report — the curation dashboard number
+    that decides which crawl sources get dedup budget: exact-dup rate =
+    1 − distinct(md5(text))/docs per source.  The shuffle carries 32-byte
+    digests (the q70 discipline), grouped by source; at 100 TB this is
+    the cheap screening pass that routes high-dup sources into the full
+    MinHash-LSH pipeline (q72) and lets clean sources skip it."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.md5("text")).alias("n_unique"),
+            F.round(
+                1.0 - F.count_distinct(F.md5("text")) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_unique").cast("bigint").alias("n_unique"),
+            "dup_rate",
+        )
+        .orderBy("source")
+    )
