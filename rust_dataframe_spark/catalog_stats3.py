@@ -2087,3 +2087,75 @@ def q293_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q294: rolling 7-day distinct users (mergeable sketches over a window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q294_rolling_uniques",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS day FROM events
+    ),
+    pairs AS (
+      SELECT d.day, e.user_id
+      FROM days d JOIN events e
+        ON time_bucket(INTERVAL '1 day', e.ts) <= d.day
+       AND time_bucket(INTERVAL '1 day', e.ts) > d.day - INTERVAL '7 days'
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM pairs GROUP BY day ORDER BY day
+    """,
+)
+def q294_rolling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users — the metric plain windowing CANNOT
+    compute at scale because distinct counts don't merge... unless the
+    daily partials are HLL sketches: one pass builds per-day sketches,
+    each day then unions its trailing 7 sketches (a days×7 self-join over
+    a tiny table) and estimates.  No rescan of raw events per window —
+    the whole point.  Certificate discipline: Spark also computes the
+    exact rolling distinct (affordable at fixture scale, the oracle pins
+    it) and asserts the lgK=14 estimate lands within 3σ ≈ 2.4%."""
+    ev = load_events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    a = daily.select(F.col("day").alias("anchor"))
+    trailing = a.join(
+        daily,
+        (F.col("day") <= F.col("anchor"))
+        & (F.col("day") > F.date_sub(F.col("anchor"), 7)),
+    )
+    est = trailing.groupBy("anchor").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est")
+    )
+    exact = (
+        ev.select(F.col("day").alias("eday"), "user_id")
+        .join(
+            a.withColumnRenamed("anchor", "xanchor"),
+            (F.col("eday") <= F.col("xanchor"))
+            & (F.col("eday") > F.date_sub(F.col("xanchor"), 7)),
+        )
+        .groupBy("xanchor")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    rsd = 1.04 / (2 ** 14) ** 0.5
+    return (
+        est.join(exact, est["anchor"] == exact["xanchor"])
+        .select(
+            F.col("anchor").cast("string").alias("day"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact")
+                <= 3 * rsd
+            ).alias("within_bound"),
+        )
+        .orderBy("day")
+    )
