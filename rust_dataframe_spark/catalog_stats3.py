@@ -2159,3 +2159,77 @@ def q294_rolling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q295: time-to-convert distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q295_time_to_convert",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    fp AS (
+      SELECT e.user_id, min(e.ts) AS first_buy
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+      GROUP BY 1
+    ),
+    lag AS (
+      SELECT fv.user_id % 2 AS cohort,
+             date_diff('second', fv.first_view, fp.first_buy) AS lag_s
+      FROM fv JOIN fp ON fv.user_id = fp.user_id
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(lag_s, 0.5), 4) AS median_lag_s,
+           round(quantile_cont(lag_s, 0.9), 4) AS p90_lag_s
+    FROM lag GROUP BY 1 ORDER BY 1
+    """,
+)
+def q295_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per cohort, the median and p90 lag
+    from a user's first view to their first at-or-after purchase — the
+    product metric behind "how long does conversion take", built on the
+    same leakage-safe at-or-after discipline as the PIT join (q254) and
+    read as quantiles, not means (conversion lags are heavy-tailed —
+    q282's lesson).  Two per-user min-aggregates, one broadcast-sized
+    join, one bounded quantile group."""
+    ev = load_events(spark, sf_dir)
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_buy"))
+    )
+    lag = fv.join(fp, "user_id").select(
+        (F.col("user_id") % 2).alias("cohort"),
+        (
+            F.col("first_buy").cast("long") - F.col("first_view").cast("long")
+        ).alias("lag_s"),
+    )
+    return (
+        lag.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.percentile("lag_s", F.lit(0.5)), 4).alias("median_lag_s"),
+            F.round(F.percentile("lag_s", F.lit(0.9)), 4).alias("p90_lag_s"),
+        )
+        .select(
+            F.col("cohort").cast("bigint").alias("cohort"),
+            "n_converted",
+            "median_lag_s",
+            "p90_lag_s",
+        )
+        .orderBy("cohort")
+    )
