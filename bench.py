@@ -88,6 +88,10 @@ HEADLINE = [
     "q242_bloom_semijoin",
     "q247_equidepth_hist",
     "q249_prefix_setjoin",
+    # round-6 final: sketch rollups + ML eval
+    "q285_hll_merge",
+    "q288_auc",
+    "q294_rolling_uniques",
 ]
 
 
