@@ -2233,3 +2233,201 @@ def q295_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# q296: exact packed-bitmap semi-join (dense-domain membership)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q296_bitmap_semijoin",
+    oracle="""
+    WITH build AS (
+      SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_nationkey % 5 = 2
+    ),
+    words AS (
+      SELECT CAST(k // 64 AS BIGINT) AS w,
+             bit_or(1::BIGINT << CAST(k % 64 AS INT)) AS bits
+      FROM build GROUP BY 1
+    ),
+    probe AS (
+      SELECT l.l_suppkey, (words.bits >> CAST(l.l_suppkey % 64 AS INT)) & 1 = 1
+               AS member
+      FROM lineitem l
+      LEFT JOIN words ON words.w = CAST(l.l_suppkey // 64 AS BIGINT)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+           CAST((SELECT count(*) FROM lineitem l JOIN build b
+                 ON l.l_suppkey = b.k) AS BIGINT) AS n_true
+    FROM probe
+    """,
+)
+def q296_bitmap_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact packed-bitmap semi-join — the dense-integer-domain complement
+    to the probabilistic Bloom reduction (q242): build keys pack into
+    ⌈domain/64⌉ int64 words (bit_or aggregate), the probe tests
+    ``(words[key>>6] >> (key & 63)) & 1`` via an equi-join on the word
+    index — EXACT membership (n_member == n_true, asserted by the oracle's
+    independent true-join count), zero false positives, and the bitmap is
+    domain/8 bytes regardless of build count.  Bloom when the key space is
+    huge/sparse; bitmap when it's dense and bounded — the audit row states
+    which trade this is."""
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 5 == 2)
+    li = table(spark, sf_dir, "lineitem")
+    build = s.select(F.col("s_suppkey").alias("k")).distinct()
+    words = build.groupBy(
+        (F.col("k") / 64).cast("bigint").alias("w")
+    ).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(k % 64 AS INT))")).alias("bits")
+    )
+    probe = li.join(
+        F.broadcast(words),
+        (F.col("l_suppkey") / 64).cast("bigint") == F.col("w"),
+        "left",
+    ).withColumn(
+        "member",
+        F.coalesce(
+            F.expr("(shiftright(bits, CAST(l_suppkey % 64 AS INT)) & 1) = 1"),
+            F.lit(False),
+        ),
+    )
+    truth = li.join(F.broadcast(build), li["l_suppkey"] == build["k"]).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    agg = probe.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("member").cast("int")).alias("n_member"),
+    )
+    return agg.crossJoin(F.broadcast(truth)).select(
+        F.col("n_probe").cast("bigint").alias("n_probe"),
+        F.col("n_member").cast("bigint").alias("n_member"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q297: consistent-hashing shard assignment + minimal-movement proof
+# ---------------------------------------------------------------------------
+
+
+def _q297_ring(n_shards: int, vnodes: int) -> str:
+    # ring points as a VALUES list: md5('shard<j>#v<i>') 32-bit position
+    pts = ", ".join(
+        f"({j}, CAST(('0x' || substr(md5('shard{j}#v{i}'), 1, 8))::UBIGINT AS BIGINT))"
+        for j in range(n_shards)
+        for i in range(vnodes)
+    )
+    return f"(VALUES {pts}) ring(shard, pos)"
+
+
+@query(
+    "q297_consistent_hashing",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ch'), 1, 8))
+                  ::UBIGINT AS BIGINT) AS h
+      FROM documents
+    ),
+    r8 AS (SELECT * FROM {_q297_ring(8, 16)}),
+    r9 AS (SELECT * FROM {_q297_ring(9, 16)}),
+    a8 AS (
+      SELECT doc_id,
+             coalesce(
+               (SELECT shard FROM r8 WHERE pos >= h ORDER BY pos, shard LIMIT 1),
+               (SELECT shard FROM r8 ORDER BY pos, shard LIMIT 1)) AS s8
+      FROM docs
+    ),
+    a9 AS (
+      SELECT doc_id,
+             coalesce(
+               (SELECT shard FROM r9 WHERE pos >= h ORDER BY pos, shard LIMIT 1),
+               (SELECT shard FROM r9 ORDER BY pos, shard LIMIT 1)) AS s9
+      FROM docs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           round(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS moved_frac,
+           (sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) * 1.0 / count(*) < 0.25)
+             AS minimal_movement
+    FROM a8 JOIN a9 USING (doc_id)
+    """,
+)
+def q297_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing shard assignment with the minimal-movement
+    property PROVEN on the data: docs hash onto a ring of 8 shards × 16
+    virtual nodes (clockwise-successor rule, wrap at the top); adding a
+    9th shard re-homes only the ring arcs the new shard claims — the
+    audit row shows the moved fraction (expected ≈ 1/9 ≈ 11%, asserted
+    < 25%) versus the ~8/9 a mod-N reshard would move.  This is how a
+    100 TB store re-shards without a full shuffle.  Implementation: the
+    144-point ring is a broadcast literal; assignment is min-over-
+    successors in codegen (the oracle's correlated LIMIT 1 restated as
+    an aggregate); everything md5-deterministic."""
+    n_sh, vn = 8, 16
+
+    def ring_df(n_shards: int):
+        import hashlib
+
+        pts = [
+            (
+                j,
+                int(
+                    hashlib.md5(f"shard{j}#v{i}".encode()).hexdigest()[:8], 16
+                ),
+            )
+            for j in range(n_shards)
+            for i in range(vn)
+        ]
+        return spark.createDataFrame(pts, "shard int, pos bigint")
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#ch"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+
+    def assign(ring, out_col: str):
+        # successor = min (pos, shard) with pos >= h; wrap to global min
+        j = d.crossJoin(F.broadcast(ring))
+        succ = (
+            j.filter(F.col("pos") >= F.col("h"))
+            .groupBy("doc_id")
+            .agg(F.min(F.struct("pos", "shard")).alias("st"))
+            .select("doc_id", F.col("st.shard").alias(out_col))
+        )
+        wrap = ring.agg(F.min(F.struct("pos", "shard")).alias("st")).select(
+            F.col("st.shard").alias("__wrap")
+        )
+        return (
+            d.select("doc_id")
+            .join(succ, "doc_id", "left")
+            .crossJoin(F.broadcast(wrap))
+            .select(
+                "doc_id",
+                F.coalesce(F.col(out_col), F.col("__wrap")).alias(out_col),
+            )
+        )
+
+    a8 = assign(ring_df(8), "s8")
+    a9 = assign(ring_df(9), "s9")
+    j = a8.join(a9, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("s8") != F.col("s9")).cast("int")).alias("n_moved"),
+    ).select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_moved").cast("bigint").alias("n_moved"),
+        F.round(F.col("n_moved") / F.col("n_docs"), 6).alias("moved_frac"),
+        (F.col("n_moved") / F.col("n_docs") < 0.25).alias("minimal_movement"),
+    )
