@@ -2431,3 +2431,292 @@ def q297_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_moved") / F.col("n_docs"), 6).alias("moved_frac"),
         (F.col("n_moved") / F.col("n_docs") < 0.25).alias("minimal_movement"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q298: ABC (Pareto) revenue classification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q298_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, sum(l_extendedprice) AS r FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_suppkey, r,
+             sum(r) OVER (ORDER BY r DESC, l_suppkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(r) OVER () AS cum_share
+      FROM rev
+    ),
+    cls AS (
+      SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+                  WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS klass, r
+      FROM ranked
+    )
+    SELECT klass, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(r) / sum(sum(r)) OVER (), 6) AS revenue_share
+    FROM cls GROUP BY klass ORDER BY klass
+    """,
+)
+def q298_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of suppliers by revenue: cumulative-
+    share cut at 50%/80% — the inventory-management census behind "which
+    20% of keys carry 80% of the value" (and, operationally, which keys
+    deserve the hot-key treatment of operators/skew).  The input scan
+    collapses to per-supplier revenue BEFORE the ordered window, so the
+    single-partition cumsum runs over the supplier axis, never rows."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(F.sum("l_extendedprice").alias("r"))
+    wc = Window.orderBy(F.desc("r"), "l_suppkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    ranked = rev.select(
+        "r", (F.sum("r").over(wc) / F.sum("r").over(tot)).alias("cum_share")
+    )
+    cls = ranked.select(
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C")
+        .alias("klass"),
+        "r",
+    )
+    out = cls.groupBy("klass").agg(
+        F.count(F.lit(1)).alias("n_suppliers"), F.sum("r").alias("sr")
+    )
+    return (
+        out.select(
+            "klass",
+            "n_suppliers",
+            F.round(F.col("sr") / F.sum("sr").over(tot), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("klass")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q299: mixture-allocation sampling (q268 ∘ q267)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q299_mixture_sample",
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs, pow(count(*), 0.3) AS raw
+      FROM documents GROUP BY 1
+    ),
+    alloc AS (
+      SELECT source, n_docs,
+             CAST(round(2000 * raw / sum(raw) OVER ()) AS BIGINT) AS alloc
+      FROM s
+    ),
+    keyed AS (
+      SELECT source, doc_id,
+             pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#res'), 1, 8))
+                  ::UBIGINT + 0.5) / 4294967296.0, 1.0 / n_chars) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, k,
+             row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id)
+               AS rk
+      FROM keyed
+    )
+    SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs, a.alloc,
+           CAST(count(r.doc_id) AS BIGINT) AS n_sampled
+    FROM alloc a LEFT JOIN ranked r
+      ON r.source = a.source AND r.rk <= a.alloc
+    GROUP BY a.source, a.n_docs, a.alloc
+    ORDER BY a.source
+    """,
+)
+def q299_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materializing the training mixture end-to-end: the temperature
+    allocation (q268, p ∝ n^0.3 over a 2000-doc budget) feeds per-source
+    A-ES weighted reservoirs (q267, key = u^(1/len)) — each source
+    returns exactly its allocated k (or everything it has), length-
+    weighted, deterministic under retries.  Per-source top-k is a rank
+    window partitioned by source (bounded per-source state); the
+    allocation table is broadcast-sized.  The composition every
+    multi-source pretraining run executes between "weights decided" and
+    "tokens packed" (q126's sequence packing picks up from here)."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = Window.partitionBy()
+    raw = F.pow(F.col("n_docs"), 0.3)
+    alloc = s.select(
+        "source",
+        "n_docs",
+        F.round(2000 * raw / F.sum(raw).over(tot), 0)
+        .cast("bigint")
+        .alias("alloc"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#res"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    keyed = d.select(
+        "source", "doc_id", F.pow(u, 1.0 / F.col("n_chars")).alias("k")
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("k"), "doc_id")
+    ranked = keyed.select("source", "doc_id", F.row_number().over(wr).alias("rk"))
+    picked = ranked.join(
+        F.broadcast(alloc.select(F.col("source").alias("asrc"), "alloc")),
+        (F.col("source") == F.col("asrc")) & (F.col("rk") <= F.col("alloc")),
+    )
+    per_src = picked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    return (
+        alloc.join(per_src, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "alloc",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias(
+                "n_sampled"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q300: pretraining-curation pipeline capstone (one lazy plan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q300_curation_pipeline",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, text, n_chars,
+             len(string_split(text, ' ')) AS wc
+      FROM documents
+    ),
+    screened AS (
+      SELECT * FROM d WHERE n_chars >= 100 AND wc >= 20
+    ),
+    surv AS (
+      SELECT min(doc_id) AS doc_id FROM screened GROUP BY md5(text)
+    ),
+    sdocs AS (
+      SELECT s.* FROM screened s JOIN surv ON s.doc_id = surv.doc_id
+    ),
+    bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id < 10),
+    cs AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+               i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS s
+      FROM sdocs
+    ),
+    bs AS (
+      SELECT bench_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+               i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS s
+      FROM bench
+    ),
+    contam AS (
+      SELECT DISTINCT c.doc_id
+      FROM cs c JOIN bs b ON c.s = b.s
+      GROUP BY c.doc_id, b.bench_id HAVING count(DISTINCT c.s) >= 2
+    ),
+    clean AS (
+      SELECT * FROM sdocs WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    sampled AS (
+      SELECT * FROM clean
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cur'), 1, 8))
+            ::UBIGINT < 2147483648
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST((SELECT count(*) FROM screened x WHERE x.source = d.source)
+             AS BIGINT) AS n_screened,
+           CAST((SELECT count(*) FROM sdocs x WHERE x.source = d.source)
+             AS BIGINT) AS n_deduped,
+           CAST((SELECT count(*) FROM clean x WHERE x.source = d.source)
+             AS BIGINT) AS n_clean,
+           CAST((SELECT count(*) FROM sampled x WHERE x.source = d.source)
+             AS BIGINT) AS n_sampled,
+           CAST(coalesce((SELECT sum(wc) FROM sampled x
+                          WHERE x.source = d.source), 0) AS BIGINT)
+             AS sampled_tokens
+    FROM d GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q300_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-curation pipeline as ONE lazy plan — the capstone
+    composition: cheap screen (length + word count) → exact-dedup
+    survivor selection (md5 digests, q70) → benchmark decontamination
+    (5-gram overlap vs docs 0-9, q96's operator) → deterministic hash
+    sample at 50% (q94's discipline) → per-source funnel census with
+    sampled token mass.  Every stage is an operator that already proved
+    out alone; the value here is the single declarative plan: Catalyst
+    sees the whole funnel, pushes the screen into the scan, reuses the
+    shuffle keys, and nothing materializes between stages.  (The LSH
+    near-dup stage (q72) slots between dedup and decontam in production;
+    scoped out here to keep the oracle tractable — its own queries carry
+    that proof.)"""
+    from .operators.dedup import decontaminate, exact_dedup
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "wc", F.size(F.split("text", " "))
+    )
+    screened = d.filter((F.col("n_chars") >= 100) & (F.col("wc") >= 20))
+    surv_ids = exact_dedup(screened, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    sdocs = screened.join(surv_ids, "doc_id")
+    bench = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    contam = (
+        decontaminate(sdocs, bench, "doc_id", "text", "doc_id", "text")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = sdocs.join(contam, "doc_id", "left_anti")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#cur"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sampled = clean.filter(u32 < 2147483648)
+
+    def per_src(df, name):
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    toks = sampled.groupBy("source").agg(F.sum("wc").alias("sampled_tokens"))
+    out = (
+        per_src(d, "n_raw")
+        .join(per_src(screened, "n_screened"), "source", "left")
+        .join(per_src(sdocs, "n_deduped"), "source", "left")
+        .join(per_src(clean, "n_clean"), "source", "left")
+        .join(per_src(sampled, "n_sampled"), "source", "left")
+        .join(toks, "source", "left")
+    )
+    z = F.lit(0)
+    return out.select(
+        "source",
+        F.col("n_raw").cast("bigint").alias("n_raw"),
+        F.coalesce(F.col("n_screened"), z).cast("bigint").alias("n_screened"),
+        F.coalesce(F.col("n_deduped"), z).cast("bigint").alias("n_deduped"),
+        F.coalesce(F.col("n_clean"), z).cast("bigint").alias("n_clean"),
+        F.coalesce(F.col("n_sampled"), z).cast("bigint").alias("n_sampled"),
+        F.coalesce(F.col("sampled_tokens"), z).cast("bigint").alias(
+            "sampled_tokens"
+        ),
+    ).orderBy("source")
