@@ -92,6 +92,7 @@ HEADLINE = [
     "q285_hll_merge",
     "q288_auc",
     "q294_rolling_uniques",
+    "q300_curation_pipeline",
 ]
 
 
