@@ -2720,3 +2720,146 @@ def q300_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sampled_tokens"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q301: resample to a regular grid + forward fill
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q301_resample_ffill",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS slot,
+             round(avg(value), 6) AS v
+      FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT u.user_id, g.slot
+      FROM (SELECT DISTINCT user_id FROM agg) u
+      CROSS JOIN (SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-01',
+                    TIMESTAMP '2024-01-30 18:00:00',
+                    INTERVAL '6 hours')) AS slot) g
+    ),
+    joined AS (
+      SELECT g.user_id, g.slot, a.v,
+             last_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      FROM grid g LEFT JOIN agg a
+        ON a.user_id = g.user_id AND a.slot = g.slot
+    )
+    SELECT user_id, CAST(slot AS VARCHAR) AS slot, v_filled,
+           (v IS NULL) AS was_gap
+    FROM joined ORDER BY user_id, slot
+    """,
+)
+def q301_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling an irregular event series onto a regular 6-hour grid
+    with forward fill — the telemetry-regularization recipe in one plan:
+    bucket-aggregate (mean per occupied slot) → LEFT JOIN against the
+    generated full grid (sequence(), in-plan — no driver-side calendar)
+    → operators/temporal.forward_fill carries the last observation over
+    the gaps, with ``was_gap`` marking synthesized rows.  Grid size =
+    users × slots is the bounded output contract; the input scan reduces
+    to occupied slots before the join."""
+    from .operators.temporal import forward_fill
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 5)
+    # 6-hour slots: truncate epoch seconds to the 6h boundary
+    agg6 = (
+        ev.groupBy(
+            "user_id",
+            F.timestamp_seconds(
+                (F.col("ts").cast("long") / 21600).cast("bigint") * 21600
+            ).alias("slot"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    users = agg6.select("user_id").distinct()
+    slots = spark.sql(
+        "SELECT explode(sequence(TIMESTAMP '2024-01-01', "
+        "TIMESTAMP '2024-01-30 18:00:00', INTERVAL 6 HOURS)) AS slot"
+    )
+    grid = users.crossJoin(slots)
+    joined = grid.join(agg6, ["user_id", "slot"], "left").withColumn(
+        "was_gap", F.col("v").isNull()
+    )
+    filled = forward_fill(
+        joined.withColumn("v_filled", F.col("v")),
+        "v_filled",
+        partition_cols=["user_id"],
+        order_cols=["slot"],
+    )
+    return filled.select(
+        "user_id",
+        F.col("slot").cast("string").alias("slot"),
+        "v_filled",
+        "was_gap",
+    ).orderBy("user_id", "slot")
+
+
+# ---------------------------------------------------------------------------
+# q302: data-contract dead-letter routing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q302_dead_letter",
+    oracle="""
+    WITH checked AS (
+      SELECT CASE
+               WHEN value < 0 OR value > 400 THEN 'value_out_of_range'
+               WHEN event_type NOT IN
+                    ('click', 'view', 'purchase', 'signup', 'error')
+                 THEN 'unknown_event_type'
+               WHEN ts < TIMESTAMP '2024-01-01'
+                 OR ts >= TIMESTAMP '2024-02-01' THEN 'ts_out_of_window'
+               ELSE 'ok' END AS verdict
+      FROM events
+    )
+    SELECT verdict, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+    FROM checked GROUP BY verdict ORDER BY verdict
+    """,
+)
+def q302_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract enforcement with dead-letter routing: every record is
+    checked against the table's contract (value range, event-type enum,
+    timestamp window) and routed to its FIRST violated rule — the verdict
+    census that drives an ingest's dead-letter queue (the same posture as
+    corrupt-record ingestion q250, one level up: syntactically valid rows
+    that are semantically out of contract).  First-match-wins makes the
+    routing deterministic when a row violates several rules; the split
+    itself is a single codegen'd CASE — at 100 TB the router is free, the
+    dead-letter WRITE is the cost (and is partitioned by verdict)."""
+    ev = load_events(spark, sf_dir)
+    verdict = (
+        F.when((F.col("value") < 0) | (F.col("value") > 400), "value_out_of_range")
+        .when(
+            ~F.col("event_type").isin(
+                "click", "view", "purchase", "signup", "error"
+            ),
+            "unknown_event_type",
+        )
+        .when(
+            (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp")),
+            "ts_out_of_window",
+        )
+        .otherwise("ok")
+    )
+    checked = ev.select(verdict.alias("verdict"))
+    tot = Window.partitionBy()
+    return (
+        checked.groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "verdict",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(tot), 6).alias("share"),
+        )
+        .orderBy("verdict")
+    )
