@@ -2863,3 +2863,102 @@ def q302_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+# ---------------------------------------------------------------------------
+# q303: anti-entropy repair — per-bucket fingerprint divergence localization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q303_anti_entropy",
+    oracle="""
+    WITH replica_a AS (
+      SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    ),
+    replica_b AS (
+      SELECT s_suppkey, s_name,
+             CASE WHEN s_suppkey = 42 THEN s_acctbal + 1.0
+                  ELSE s_acctbal END AS s_acctbal
+      FROM supplier
+    ),
+    fa AS (
+      SELECT s_suppkey % 16 AS bucket,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|'
+               || CAST(s_acctbal AS VARCHAR)), 1, 15))::UBIGINT AS HUGEINT))
+               % 2305843009213693951 AS BIGINT) AS fp_a,
+             count(*) AS n_a
+      FROM replica_a GROUP BY 1
+    ),
+    fb AS (
+      SELECT s_suppkey % 16 AS bucket,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|'
+               || CAST(s_acctbal AS VARCHAR)), 1, 15))::UBIGINT AS HUGEINT))
+               % 2305843009213693951 AS BIGINT) AS fp_b,
+             count(*) AS n_b
+      FROM replica_b GROUP BY 1
+    )
+    SELECT CAST(fa.bucket AS BIGINT) AS bucket,
+           (fa.fp_a <> fb.fp_b) AS diverged,
+           CAST(fa.n_a AS BIGINT) AS n_rows
+    FROM fa JOIN fb ON fa.bucket = fb.bucket
+    WHERE fa.fp_a <> fb.fp_b OR fa.n_a <> fb.n_b
+    ORDER BY bucket
+    """,
+)
+def q303_anti_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair scan: two replicas of a table compare per-BUCKET
+    content fingerprints (q223's order-independent md5-sum mod 2⁶¹−1,
+    bucketed on key mod 16) and only diverging buckets surface — the
+    Merkle-style localization that lets replica repair transfer 1/16th of
+    the table instead of diffing everything.  The fixture plants one
+    mutated row (supplier 42's balance) in replica B; exactly bucket
+    42 % 16 = 10 must emerge, which the oracle independently recomputes.
+    Scale: one scan per replica reduced to 16 scalars each — divergence
+    detection costs two fingerprint passes regardless of table size,
+    recursing into finer buckets only where fingerprints disagree."""
+    M = 2305843009213693951
+
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    rb = s.withColumn(
+        "s_acctbal",
+        F.when(F.col("s_suppkey") == 42, F.col("s_acctbal") + 1.0).otherwise(
+            F.col("s_acctbal")
+        ),
+    )
+
+    def bucket_fp(df: DataFrame, fp_name: str, n_name: str) -> DataFrame:
+        ser = F.concat_ws(
+            "|",
+            F.col("s_suppkey").cast("string"),
+            F.col("s_name"),
+            F.col("s_acctbal").cast("string"),
+        )
+        d = F.conv(F.substring(F.md5(ser), 1, 15), 16, 10).cast("decimal(38,0)")
+        return (
+            df.select((F.col("s_suppkey") % 16).alias("bucket"), d.alias("d"))
+            .groupBy("bucket")
+            .agg(
+                (F.sum("d") % M).cast("bigint").alias(fp_name),
+                F.count(F.lit(1)).alias(n_name),
+            )
+        )
+
+    fa = bucket_fp(s, "fp_a", "n_a")
+    fb = bucket_fp(rb, "fp_b", "n_b")
+    j = fa.join(fb, "bucket")
+    return (
+        j.filter(
+            (F.col("fp_a") != F.col("fp_b")) | (F.col("n_a") != F.col("n_b"))
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            (F.col("fp_a") != F.col("fp_b")).alias("diverged"),
+            F.col("n_a").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )
