@@ -154,3 +154,29 @@ class TestFrameVerbs:
         f = Frame(spark.createDataFrame([(i,) for i in range(100)], "x int"))
         out = f.top_k([SortCriteria("x", descending=True)], 3).collect()
         assert [r["x"] for r in out] == [99, 98, 97]
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE name must exist in the catalog — a renamed
+    or dropped query must fail HERE, not in the driver's bench run (the
+    round-2 bench died on exactly this class of drift)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from rust_dataframe_spark import catalog
+
+    missing = [n for n in bench.HEADLINE if n not in catalog.QUERIES]
+    assert missing == []
+
+
+def test_every_query_has_oracle():
+    """The driver records a weaker rows-only check for oracle-less queries;
+    this repo's contract is 100% oracle coverage — enforce it."""
+    from rust_dataframe_spark import catalog
+
+    assert set(catalog.QUERIES) == set(catalog.ORACLE)
