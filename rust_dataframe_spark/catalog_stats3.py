@@ -2962,3 +2962,116 @@ def q303_anti_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q304: write-audit-publish (WAP)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q304_write_audit_publish",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_staged,
+           CAST(0 AS BIGINT) AS n_contract_violations,
+           TRUE AS published,
+           CAST(count(*) AS BIGINT) AS n_live
+    FROM orders WHERE o_totalprice > 0
+    """,
+)
+def q304_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish: new data lands in a STAGING path, an audit
+    plan checks the contract (row count > 0, no negative totals, no null
+    keys), and only a passing audit promotes the staging directory to the
+    live path — readers never observe a half-written or contract-
+    violating table.  The audit row (staged count, violations, published
+    flag, live count re-read from the published path) is the query
+    result; the oracle recomputes the expected counts from the source.
+    At 100 TB the promote is a metastore pointer swap (or directory
+    rename), never a rewrite — the pattern table formats productize and
+    plain parquet pipelines implement exactly like this."""
+    import os
+    import shutil
+
+    from .catalog_sources import _scratch
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    staging = _scratch("wap_staging", sf_dir)
+    live = _scratch("wap_live", sf_dir)
+    o.write.mode("overwrite").parquet(staging)
+
+    staged = spark.read.parquet(staging)
+    audit = staged.agg(
+        F.count(F.lit(1)).alias("n_staged"),
+        F.sum(
+            (
+                (F.col("o_totalprice") <= 0) | F.col("o_orderkey").isNull()
+            ).cast("int")
+        ).alias("n_contract_violations"),
+    ).collect()[0]
+    ok = audit["n_contract_violations"] == 0 and audit["n_staged"] > 0
+    if ok:
+        if os.path.exists(live):
+            shutil.rmtree(live)
+        os.replace(staging, live)  # atomic directory promote
+    n_live = spark.read.parquet(live).count() if ok else 0
+    return spark.createDataFrame(
+        [(audit["n_staged"], audit["n_contract_violations"], ok, n_live)],
+        "n_staged bigint, n_contract_violations bigint, published boolean,"
+        " n_live bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q305: idempotent re-run proof (keyed upsert, run twice)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q305_idempotent_rerun",
+    oracle="""
+    SELECT CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_after_first,
+           CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_after_second,
+           TRUE AS idempotent
+    FROM supplier
+    """,
+)
+def q305_idempotent_rerun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent re-run proof: applying the SAME keyed upsert batch twice
+    (operators/merge.merge_upsert) leaves the target bit-identical — the
+    at-least-once-delivery survival property every batch pipeline needs
+    (schedulers re-run failed jobs; a non-idempotent append double-counts).
+    The query runs the merge twice from an empty target and compares
+    counts plus a full-row checksum equality; append-style ingestion gets
+    the same guarantee from the manifest-committed sinks
+    (sources/python_source) and hash-keyed dedup (q70) — this pins the
+    merge path."""
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    empty = s.filter(F.lit(False))
+    from .operators.merge import merge_upsert
+
+    once = merge_upsert(empty, s, ["s_suppkey"])
+    twice = merge_upsert(once, s, ["s_suppkey"])
+    a = once.agg(F.count_distinct("s_suppkey").alias("n_after_first"))
+    b = twice.agg(F.count_distinct("s_suppkey").alias("n_after_second"))
+    fp1 = once.agg(
+        F.sum(F.conv(F.substring(F.md5(F.concat_ws("|", "s_suppkey", "s_name", "s_acctbal")), 1, 12), 16, 10).cast("bigint")).alias("f1")
+    )
+    fp2 = twice.agg(
+        F.sum(F.conv(F.substring(F.md5(F.concat_ws("|", "s_suppkey", "s_name", "s_acctbal")), 1, 12), 16, 10).cast("bigint")).alias("f2")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(fp1)
+        .crossJoin(fp2)
+        .select(
+            F.col("n_after_first").cast("bigint").alias("n_after_first"),
+            F.col("n_after_second").cast("bigint").alias("n_after_second"),
+            (
+                (F.col("n_after_first") == F.col("n_after_second"))
+                & (F.col("f1") == F.col("f2"))
+            ).alias("idempotent"),
+        )
+    )
