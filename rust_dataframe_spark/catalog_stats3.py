@@ -3075,3 +3075,79 @@ def q305_idempotent_rerun(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idempotent"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q306: late-arriving dimension handling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q306_late_dimension",
+    oracle="""
+    WITH dim_early AS (
+      SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 3 <> 0
+    ),
+    phase1 AS (
+      SELECT l.l_orderkey, l.l_suppkey, e.s_name
+      FROM lineitem l LEFT JOIN dim_early e ON l.l_suppkey = e.s_suppkey
+      WHERE l.l_orderkey < 3000
+    ),
+    parked AS (SELECT * FROM phase1 WHERE s_name IS NULL),
+    dim_late AS (
+      SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 3 = 0
+    ),
+    resolved AS (
+      SELECT p.l_orderkey, p.l_suppkey, d.s_name
+      FROM parked p JOIN dim_late d ON p.l_suppkey = d.s_suppkey
+    )
+    SELECT CAST((SELECT count(*) FROM phase1) AS BIGINT) AS n_facts,
+           CAST((SELECT count(*) FROM phase1 WHERE s_name IS NOT NULL)
+             AS BIGINT) AS n_resolved_p1,
+           CAST((SELECT count(*) FROM parked) AS BIGINT) AS n_parked,
+           CAST((SELECT count(*) FROM resolved) AS BIGINT) AS n_resolved_p2,
+           ((SELECT count(*) FROM parked) = (SELECT count(*) FROM resolved))
+             AS fully_resolved
+    """,
+)
+def q306_late_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling: facts join the dimension as it
+    exists at load time (phase 1), unmatched facts PARK instead of being
+    dropped or poisoned with defaults, and the next dimension delivery
+    resolves the parked set (phase 2) — the warehouse pattern for dims
+    that trail their facts (new products, just-registered users).  The
+    audit row proves conservation: parked == late-resolved, nothing lost.
+    Both joins are plain broadcast-able equi-joins; the parked buffer is
+    the only extra state and is bounded by the dim's lateness window."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dim_early = s.filter(F.col("s_suppkey") % 3 != 0)
+    dim_late = s.filter(F.col("s_suppkey") % 3 == 0)
+    phase1 = li.select("l_orderkey", "l_suppkey").join(
+        F.broadcast(dim_early), li["l_suppkey"] == dim_early["s_suppkey"], "left"
+    )
+    parked = phase1.filter(F.col("s_name").isNull()).select(
+        "l_orderkey", "l_suppkey"
+    )
+    resolved = parked.join(
+        F.broadcast(dim_late), parked["l_suppkey"] == dim_late["s_suppkey"]
+    )
+    a = phase1.agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.sum(F.col("s_name").isNotNull().cast("int")).alias("n_resolved_p1"),
+    )
+    b = parked.agg(F.count(F.lit(1)).alias("n_parked"))
+    c = resolved.agg(F.count(F.lit(1)).alias("n_resolved_p2"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .select(
+            F.col("n_facts").cast("bigint").alias("n_facts"),
+            F.col("n_resolved_p1").cast("bigint").alias("n_resolved_p1"),
+            F.col("n_parked").cast("bigint").alias("n_parked"),
+            F.col("n_resolved_p2").cast("bigint").alias("n_resolved_p2"),
+            (F.col("n_parked") == F.col("n_resolved_p2")).alias(
+                "fully_resolved"
+            ),
+        )
+    )
