@@ -3151,3 +3151,73 @@ def q306_late_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q307: aggregate navigator (answer from the cube, prove it == the facts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q307_aggregate_navigator",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mon, o_orderpriority AS pri,
+             sum(o_totalprice) AS rev, count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(mon AS VARCHAR) AS mon,
+           CAST(sum(cnt) AS BIGINT) AS n_orders,
+           round(sum(rev), 2) AS revenue,
+           TRUE AS matches_facts
+    FROM monthly WHERE mon >= TIMESTAMP '2000-01-01'
+    GROUP BY mon ORDER BY mon
+    """,
+)
+def q307_aggregate_navigator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate navigation: a daily (day × priority) cube is maintained
+    once, and the monthly revenue question is answered by RE-AGGREGATING
+    THE CUBE — never rescanning the fact table — with the equality to the
+    fact-level answer asserted in the result (``matches_facts``).  This is
+    the materialized-rollup discipline every BI layer runs on: additive
+    measures (sum, count) roll up losslessly from any finer grain, and the
+    cube is smaller than the facts by the grain ratio, so the 100 TB fact
+    scan happens once per load, not once per dashboard refresh.  (The
+    incremental-maintenance half of this story is q210/q291's mergeable
+    state.)"""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(
+        F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("cnt")
+    )
+    from_cube = (
+        daily.filter(F.col("day") >= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy(F.date_trunc("month", "day").alias("mon"))
+        .agg(
+            F.sum("cnt").alias("n_orders"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+    )
+    from_facts = (
+        o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("fmon"))
+        .agg(
+            F.count(F.lit(1)).alias("f_n"),
+            F.round(F.sum("o_totalprice"), 2).alias("f_rev"),
+        )
+    )
+    j = from_cube.join(from_facts, from_cube["mon"] == from_facts["fmon"], "full_outer")
+    return (
+        j.select(
+            F.col("mon").cast("date").cast("string").alias("mon"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "revenue",
+            (
+                (F.col("n_orders") == F.col("f_n"))
+                & (F.col("revenue") == F.col("f_rev"))
+            ).alias("matches_facts"),
+        )
+        .orderBy("mon")
+    )
