@@ -3221,3 +3221,54 @@ def q307_aggregate_navigator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+# ---------------------------------------------------------------------------
+# q308: CDC log compaction (keep-latest per key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q308_cdc_compaction",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    ranked AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, CAST(ts AS VARCHAR) AS ts, event_id,
+           round(value, 4) AS value
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q308_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: collapse an append-only change log to the
+    LATEST record per key (event-time order, event_id tie-break — the
+    deterministic discipline shuffle-order "last()" cannot give) — the
+    keep-latest compaction every CDC-ingested table runs before serving,
+    and the batch shape of streaming dropDuplicates-keep-last.  One
+    row_number window per key partition; at 100 TB this is exactly the
+    sortWithinPartitions + per-key head that compaction jobs (q257)
+    pipeline with the file rewrite."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").cast("string").alias("ts"),
+            "event_id",
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("user_id")
+    )
