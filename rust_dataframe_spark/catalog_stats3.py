@@ -3272,3 +3272,139 @@ def q308_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q309: period-over-period growth report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q309_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             sum(o_totalprice) AS rev, count(*) AS n
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      GROUP BY 1
+    )
+    SELECT CAST(CAST(mon AS DATE) AS VARCHAR) AS mon,
+           CAST(n AS BIGINT) AS n_orders,
+           round(rev, 2) AS revenue,
+           round((rev - lag(rev) OVER (ORDER BY mon))
+                 / lag(rev) OVER (ORDER BY mon) * 100, 4) AS mom_pct
+    FROM m ORDER BY mon
+    """,
+)
+def q309_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth — the period-over-period report every BI
+    layer serves: monthly revenue with lag-based percent change (first
+    month null by definition).  The scan reduces to the month axis before
+    the lag window, so the ordered window is bounded by the reporting
+    range; composes with the aggregate navigator (q307): in production
+    this reads the cube, not the facts."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("mon")
+    return (
+        m.select(
+            F.col("mon").cast("date").cast("string").alias("mon"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round("rev", 2).alias("revenue"),
+            F.round(
+                (F.col("rev") - F.lag("rev").over(w))
+                / F.lag("rev").over(w)
+                * 100,
+                4,
+            ).alias("mom_pct"),
+        )
+        .orderBy("mon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q310: sessionized bounce rate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q310_bounce_rate",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sid AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM d
+    ),
+    sessions AS (
+      SELECT user_id, sid, time_bucket(INTERVAL '1 day', min(ts)) AS day,
+             count(*) AS n_events
+      FROM sid GROUP BY 1, 2
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS bounce_rate
+    FROM sessions GROUP BY day ORDER BY day
+    """,
+)
+def q310_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions with exactly one event,
+    attributed to the day the session STARTED (min ts — the attribution
+    rule stated, because midnight-spanning sessions must land somewhere
+    deterministic).  Same gaps-and-islands sessionization both engines
+    share (q85/q262); the scan reduces to per-session rows, then a
+    day-bounded census.  The web-analytics staple that q85's session
+    counts and q295's conversion lags sit beside."""
+    ev = load_events(spark, sf_dir)
+    wlag = Window.partitionBy("user_id").orderBy("ts")
+    wcum = wlag.rowsBetween(Window.unboundedPreceding, 0)
+    sid = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            (
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wlag)
+                > 1800
+            )
+            | F.lag("ts").over(wlag).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    ).withColumn("sid", F.sum("new_s").over(wcum))
+    sessions = sid.groupBy("user_id", "sid").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        sessions.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("int")).alias("n_bounces"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_sessions",
+            F.col("n_bounces").cast("bigint").alias("n_bounces"),
+            F.round(F.col("n_bounces") / F.col("n_sessions"), 6).alias(
+                "bounce_rate"
+            ),
+        )
+        .orderBy("day")
+    )
