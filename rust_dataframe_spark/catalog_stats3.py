@@ -3408,3 +3408,170 @@ def q310_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q311: weighted mean / weighted variance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q311_weighted_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_discount) / sum(l_extendedprice), 6)
+             AS w_mean_disc,
+           round(sum(l_extendedprice * l_discount * l_discount)
+                   / sum(l_extendedprice)
+                 - pow(sum(l_extendedprice * l_discount)
+                       / sum(l_extendedprice), 2), 8) AS w_var_disc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def q311_weighted_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted discount moments per return flag: weighted mean
+    Σwx/Σw and weighted population variance Σwx²/Σw − mean² — the
+    money-weighted statistics an unweighted avg silently misstates when
+    line values vary by orders of magnitude.  Pure partial aggregates
+    (three weighted sums), one shuffle on the 3-key group — the weighted
+    counterpart of q26's plain moments."""
+    li = table(spark, sf_dir, "lineitem")
+    w, x = F.col("l_extendedprice"), F.col("l_discount")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(w * x) / F.sum(w), 6).alias("w_mean_disc"),
+            F.round(
+                F.sum(w * x * x) / F.sum(w) - (F.sum(w * x) / F.sum(w)) ** 2, 8
+            ).alias("w_var_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q312: cumulative new-user growth curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q312_new_user_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, time_bucket(INTERVAL '1 day', min(ts)) AS day
+      FROM events GROUP BY 1
+    ),
+    daily AS (SELECT day, count(*) AS n_new FROM first_seen GROUP BY 1)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily ORDER BY day
+    """,
+)
+def q312_new_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative new-user curve: each user attributed to their
+    first-seen day, daily cohort sizes, running total — the growth chart.
+    The "distinct so far" trap solved the scalable way: a running
+    count(DISTINCT) window is unmergeable, but first-seen attribution is
+    one min-per-user aggregate and the cumulative sum runs over the
+    bounded day axis.  (q294's sketch union solves the sliding-window
+    variant of the same problem.)"""
+    ev = load_events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            F.col("day").cast("string").alias("day"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q313: Zipf fit of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q313_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+      FROM documents
+    ),
+    freq AS (SELECT t, count(*) AS f FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rk FROM freq
+    )
+    SELECT round(regr_slope(ln(f), ln(rk)), 6) AS zipf_slope,
+           round(regr_r2(ln(f), ln(rk)), 6) AS r2,
+           CAST(count(*) AS BIGINT) AS vocab
+    FROM ranked
+    """,
+)
+def q313_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(frequency) on ln(rank) (natural text ≈ −1; synthetic or degenerate
+    corpora deviate — a cheap corpus-health fingerprint next to the
+    Gopher repetition filters q95).  The regression runs on the
+    vocab-bounded rank table via the regr_* aggregates both engines
+    share; the rank window is vocabulary-bounded, never corpus-bounded."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.desc("f"), "t")
+    ranked = freq.select("f", F.row_number().over(w).alias("rk"))
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("f"), F.log("rk")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("f"), F.log("rk")), 6).alias("r2"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q314: perfect-order rate (composite fulfillment SLA)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q314_perfect_order_rate",
+    oracle="""
+    WITH flags AS (
+      SELECT l_orderkey,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_return
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(1 - has_return) AS BIGINT) AS n_perfect,
+           round(sum(1 - has_return) * 1.0 / count(*), 6) AS perfect_rate
+    FROM flags
+    """,
+)
+def q314_perfect_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perfect-order rate: share of orders with NO returned line — the
+    composite fulfillment SLA that must aggregate at the ORDER grain
+    (a line-level return rate double-counts multi-line orders — the
+    grain mistake this query exists to pin).  Max-flag rollup to orders,
+    then one census row; both aggregates are map-side partial."""
+    li = table(spark, sf_dir, "lineitem")
+    flags = li.groupBy("l_orderkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_return")
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(1 - F.col("has_return")).cast("bigint").alias("n_perfect"),
+        F.round(F.sum(1 - F.col("has_return")) / F.count(F.lit(1)), 6).alias(
+            "perfect_rate"
+        ),
+    )
