@@ -20,14 +20,18 @@ Scale shape: token-frequency table (vocab-bounded) built once and joined
 back; candidate generation is one equi-join shuffled on the prefix token
 (skewed common tokens appear in few prefixes *because* of rare-first
 ordering; AQE splits the stragglers); verification is codegen'd
-array_intersect on candidate pairs.  The only single-partition structure is
-the vocabulary rank window — bounded by vocab size, never by corpus size;
-at web scale swap it for a broadcast frequency-dictionary join.
+array_intersect on candidate pairs.  The vocabulary rank is the two-phase
+distributed ``global_row_number`` (repartitionByRange + per-partition
+window + O(partitions) offset prefix) — no single-partition funnel even at
+web-scale vocabularies (10^8+ tokens), plan-pinned in
+tests/test_plans.py::test_prefix_join_no_single_partition_window.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
+
+from .training import global_row_number
 
 __all__ = ["prefix_jaccard_join"]
 
@@ -49,9 +53,9 @@ def prefix_jaccard_join(
 
     tok = docs.select("did", F.explode("toks").alias("t"))
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    # deterministic rare-first total order over the vocabulary
-    rank_w = Window.orderBy("cnt", "t")
-    ranked = vocab.select("t", F.row_number().over(rank_w).alias("rk"))
+    # deterministic rare-first total order over the vocabulary — two-phase
+    # distributed rank, never a global single-partition window (VERDICT r3 #1)
+    ranked = global_row_number(vocab, ["cnt", "t"], out_col="rk").select("t", "rk")
 
     by_rank = (
         tok.join(ranked, "t")

@@ -33,6 +33,7 @@ __all__ = [
     "stratified_sample",
     "weighted_sample",
     "global_cumsum",
+    "global_row_number",
     "pack_sequences",
     "semdedup",
     "kmeans",
@@ -112,6 +113,51 @@ def weighted_sample(
     w = F.least(F.greatest(weight_col, F.lit(0.0)), F.lit(1.0))
     cutoff = F.floor(w * F.lit(float(_HASH_SPACE))).cast("bigint")
     return df.filter(_uhash(key_col, salt) < cutoff)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based global ``row_number`` in ``order_cols`` order WITHOUT a
+    single-partition window.
+
+    Same two-phase shape as :func:`global_cumsum` (the pack_sequences prefix
+    sum): ``repartitionByRange(order_cols)`` -> per-partition ``row_number``
+    (parallel) + an O(partitions) driver prefix of per-partition row counts
+    joined back as a literal CASE over the partition id.  Range partitioning
+    assigns ascending key ranges to ascending partition ids, so
+    ``per-partition rank + exclusive count prefix`` IS the global rank.
+
+    ``order_cols`` must be a unique composite key (ties would make the rank
+    nondeterministic under either implementation).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = sorted(
+        ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("t")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["__pid"]] = acc
+        acc += r["t"] or 0
+    off = None
+    for pid, val in offsets.items():
+        clause = (F.col("__pid") == pid, F.lit(val))
+        off = F.when(*clause) if off is None else off.when(*clause)
+    off = F.lit(0) if off is None else off.otherwise(F.lit(0))
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return ranged.withColumn(
+        out_col, (F.row_number().over(w) + off).cast("int")
+    ).drop("__pid")
 
 
 def global_cumsum(

@@ -176,6 +176,17 @@ def test_q76_neardup_no_nested_loop_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_prefix_join_no_single_partition_window(spark):
+    """The prefix-filter set-join's vocabulary rank must be the two-phase
+    distributed global_row_number — at web scale the token vocabulary is
+    10^8+, so a naive Window.orderBy over it is a one-task funnel
+    (VERDICT r3 next-round #1)."""
+    df = catalog.QUERIES["q249_prefix_setjoin"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-partition rank is still a window
+
+
 def test_pack_sequences_no_single_partition_window(spark):
     """The global running sum must be the two-phase distributed prefix sum —
     never a naive Window.orderBy that funnels the corpus through one task."""
