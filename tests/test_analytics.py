@@ -496,6 +496,42 @@ def test_bpe_merge_greedy_nonoverlap(spark):
     assert syms["aaa"] == ["aa", "a"]
 
 
+def test_bpe_train_batched_matches_sequential(spark):
+    """VERDICT r3 #2: the batched trainer (top-m disjoint merges per scan)
+    must reproduce the sequential trainer's rule list on the fixture corpus
+    while using fewer scans."""
+    from rust_dataframe_spark.operators.text import bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([Row(text=text)])
+    seq_stats: dict = {}
+    seq_merges, seq_vocab = bpe_train(
+        df, "text", n_merges=3, batch_merges=1, stats=seq_stats
+    )
+    bat_stats: dict = {}
+    bat_merges, bat_vocab = bpe_train(
+        df, "text", n_merges=3, batch_merges=3, checkpoint_every=1, stats=bat_stats
+    )
+    assert seq_merges == bat_merges == [("e", "s"), ("es", "t"), ("l", "o")]
+    assert seq_stats["n_scans"] == 3
+    assert bat_stats["n_scans"] < seq_stats["n_scans"]
+    seq_syms = {r["w"]: r["syms"] for r in seq_vocab.collect()}
+    bat_syms = {r["w"]: r["syms"] for r in bat_vocab.collect()}
+    assert seq_syms == bat_syms
+
+
+def test_bpe_train_batched_scan_budget(spark):
+    """When the top pairs are symbol-disjoint, one scan adopts the whole
+    batch: n_scans <= ceil(n_merges / batch_merges)."""
+    from rust_dataframe_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([Row(text="ab ab ab cd cd ef")])
+    stats: dict = {}
+    merges, _ = bpe_train(df, "text", n_merges=3, batch_merges=3, stats=stats)
+    assert merges == [("a", "b"), ("c", "d"), ("e", "f")]
+    assert stats["n_scans"] == 1
+
+
 def test_bpe_train_stops_when_no_pairs(spark):
     from rust_dataframe_spark.operators.text import bpe_train
 
