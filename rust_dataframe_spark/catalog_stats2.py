@@ -163,15 +163,21 @@ def q247_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     single row, broadcast), then bucket assignment is a codegen'd
     fold over the cut array — scan-parallel, no global sort, no collect.
     Spark `percentile(array)` == DuckDB `quantile_cont(list)` keeps both
-    engines on identical cut bits; at 100 TB the cuts come from
-    `percentile_approx` with a stated error bound."""
+    engines on identical cut bits.  Above the scale.py row threshold the
+    cuts auto-degrade to `percentile_approx` (KLL-style sketch, rank error
+    ≤ n/accuracy — the q266 certificate), so at 100 TB no executor ever
+    buffers the full value set; parity bound pinned in
+    tests/test_scale_mode.py."""
+    from .scale import APPROX_ACCURACY, use_approx
+
     li = table(spark, sf_dir, "lineitem")
     qs = [i / 10.0 for i in range(1, 10)]
-    cuts = li.agg(
-        F.percentile(
-            "l_extendedprice", F.array(*[F.lit(q) for q in qs])
-        ).alias("cs")
-    )
+    qarr = F.array(*[F.lit(q) for q in qs])
+    if use_approx(li, cache_key=f"{sf_dir}/lineitem"):
+        cut_expr = F.percentile_approx("l_extendedprice", qarr, APPROX_ACCURACY)
+    else:
+        cut_expr = F.percentile("l_extendedprice", qarr)
+    cuts = li.agg(cut_expr.cast("array<double>").alias("cs"))
     b = li.crossJoin(F.broadcast(cuts)).select(
         (
             1

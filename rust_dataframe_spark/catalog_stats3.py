@@ -1780,10 +1780,15 @@ def q288_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics any of them derive).  The fixture score is the q261 md5 score
     plus a +0.15 signal bump for positives, so AUC lands meaningfully
     above 0.5 (the metric detecting real signal, not a coin flip).
-    Honest scale note: the exact rank needs a global sort — at 100 TB
-    use the binned ECDF formulation (q237's trick: AUC from bin-level
-    pos/neg cumulative sums, error ≤ bin mass), here the exact form is
-    oracle-pinned."""
+    Scale: the exact rank needs a global sort, so above the scale.py row
+    threshold the query auto-degrades to the binned-ECDF formulation
+    (q237's trick): bucket scores into B=1000 bins, AUC = Σ_b pos_b ·
+    (negs-below_b + neg_b/2) / (n₊n₋) — one scan-parallel aggregate plus
+    a window over ≤B rows (bounded by B, never by data).  |Δ AUC| ≤ the
+    largest bin's probability mass; parity pinned in
+    tests/test_scale_mode.py."""
+    from .scale import use_approx
+
     ev = load_events(spark, sf_dir)
     score = (
         F.conv(
@@ -1802,6 +1807,48 @@ def q288_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         F.when(F.col("value") > 50.0, 1).otherwise(0).alias("label"),
     )
+    if use_approx(ev, cache_key=f"{sf_dir}/events"):
+        B = 1000
+        bounds = scored.agg(
+            F.min("score").alias("lo"), F.max("score").alias("hi")
+        )
+        binned = (
+            scored.crossJoin(F.broadcast(bounds))
+            .select(
+                F.least(
+                    F.lit(B - 1),
+                    F.floor(
+                        (F.col("score") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo") + F.lit(1e-12))
+                        * B
+                    ).cast("int"),
+                ).alias("bin"),
+                "label",
+            )
+            .groupBy("bin")
+            .agg(
+                F.sum("label").alias("np_b"),
+                F.sum(1 - F.col("label")).alias("nn_b"),
+            )
+        )
+        wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+        contrib = binned.select(
+            "np_b",
+            "nn_b",
+            F.coalesce(F.sum("nn_b").over(wb), F.lit(0)).alias("nn_below"),
+        )
+        agg = contrib.agg(
+            F.sum(
+                F.col("np_b") * (F.col("nn_below") + F.col("nn_b") / 2.0)
+            ).alias("u"),
+            F.sum("np_b").alias("np"),
+            F.sum("nn_b").alias("nn"),
+        )
+        return agg.select(
+            F.round(F.col("u") / (F.col("np") * F.col("nn")), 6).alias("auc"),
+            F.col("np").cast("bigint").alias("n_pos"),
+            F.col("nn").cast("bigint").alias("n_neg"),
+        )
     wr = Window.orderBy("score")
     wt = Window.partitionBy("score")
     ranked = scored.select(
@@ -1854,20 +1901,28 @@ def q289_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     them).  Spark's exact ``percentile`` runs as a window aggregate over
     the trailing frame; DuckDB's windowed ``quantile_cont`` replays the
     identical interpolation.  Cost: a per-row sort buffer of frame size —
-    fine for small frames (7 here); for wide frames the scale form is
-    the two-heap streaming median inside applyInPandasWithState or an
-    approximate bin-based median."""
+    fine for small frames (7 here); above the scale.py row threshold the
+    window swaps to ``percentile_approx`` (bounded sketch per frame — the
+    wide-frame/100 TB form; on a ≤7-row frame the sketch is exact up to
+    even-count interpolation, the bound pinned in
+    tests/test_scale_mode.py)."""
+    from .scale import APPROX_ACCURACY, use_approx
+
     ev = load_events(spark, sf_dir).filter(F.col("user_id") < 6)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-6, 0)
     )
+    if use_approx(load_events(spark, sf_dir), cache_key=f"{sf_dir}/events"):
+        med = F.percentile_approx("value", F.lit(0.5), F.lit(APPROX_ACCURACY))
+    else:
+        med = F.percentile("value", F.lit(0.5))
     return (
         ev.select(
             "event_id",
             "user_id",
-            F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med7"),
+            F.round(med.over(w).cast("double"), 6).alias("med7"),
         )
         .orderBy("user_id", F.col("event_id"))
     )
@@ -2198,7 +2253,12 @@ def q295_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     same leakage-safe at-or-after discipline as the PIT join (q254) and
     read as quantiles, not means (conversion lags are heavy-tailed —
     q282's lesson).  Two per-user min-aggregates, one broadcast-sized
-    join, one bounded quantile group."""
+    join, one bounded quantile group.  Above the scale.py row threshold
+    the per-cohort quantiles auto-degrade to ``percentile_approx``
+    (mergeable sketch — no cohort-wide value buffer at 100 TB); rank-error
+    bound pinned in tests/test_scale_mode.py."""
+    from .scale import APPROX_ACCURACY, use_approx
+
     ev = load_events(spark, sf_dir)
     fv = (
         ev.filter(F.col("event_type") == "view")
@@ -2218,12 +2278,20 @@ def q295_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_buy").cast("long") - F.col("first_view").cast("long")
         ).alias("lag_s"),
     )
+    if use_approx(ev, cache_key=f"{sf_dir}/events"):
+        def pct(q):
+            return F.percentile_approx(
+                "lag_s", F.lit(q), F.lit(APPROX_ACCURACY)
+            ).cast("double")
+    else:
+        def pct(q):
+            return F.percentile("lag_s", F.lit(q))
     return (
         lag.groupBy("cohort")
         .agg(
             F.count(F.lit(1)).alias("n_converted"),
-            F.round(F.percentile("lag_s", F.lit(0.5)), 4).alias("median_lag_s"),
-            F.round(F.percentile("lag_s", F.lit(0.9)), 4).alias("p90_lag_s"),
+            F.round(pct(0.5), 4).alias("median_lag_s"),
+            F.round(pct(0.9), 4).alias("p90_lag_s"),
         )
         .select(
             F.col("cohort").cast("bigint").alias("cohort"),
