@@ -236,10 +236,13 @@ def q239_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT med.g, abs(l.l_extendedprice - med.med) AS absdev, med.med, med.n
       FROM lineitem l JOIN med ON l.l_returnflag = med.g
     ),
-    mad AS (SELECT g, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1),
+    mad AS (SELECT g, quantile_cont(absdev, 0.5) AS mad, avg(absdev) AS meanad
+            FROM dev GROUP BY 1),
     z AS (
       SELECT dev.g, dev.med, mad.mad, dev.n,
-             dev.absdev / (1.4826 * mad.mad) AS absz
+             CASE WHEN mad.mad > 0 THEN dev.absdev / (1.4826 * mad.mad)
+                  WHEN mad.meanad > 0 THEN dev.absdev / (1.253314 * mad.meanad)
+                  ELSE 0.0 END AS absz
       FROM dev JOIN mad ON dev.g = mad.g
     )
     SELECT g AS l_returnflag,

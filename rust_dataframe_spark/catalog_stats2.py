@@ -472,8 +472,13 @@ def q251_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     med AS (SELECT event_type, quantile_cont(r, 0.5) AS med FROM resid GROUP BY 1),
     dev AS (SELECT resid.event_type, abs(r - med) AS absdev, med
             FROM resid JOIN med USING (event_type)),
-    mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1),
-    z AS (SELECT dev.event_type, absdev / (1.4826 * mad) AS absz
+    mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad,
+                   avg(absdev) AS meanad
+            FROM dev GROUP BY 1),
+    z AS (SELECT dev.event_type,
+                 CASE WHEN mad > 0 THEN absdev / (1.4826 * mad)
+                      WHEN meanad > 0 THEN absdev / (1.253314 * meanad)
+                      ELSE 0.0 END AS absz
           FROM dev JOIN mad USING (event_type))
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN absz > 3.5 THEN 1 ELSE 0 END) AS BIGINT)

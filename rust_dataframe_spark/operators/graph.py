@@ -31,7 +31,7 @@ variant can add a dangling-mass accumulator (one 1-row aggregate per round).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .cache import persist_tracked
 
@@ -268,10 +268,45 @@ def bfs_levels(
     the *whole* distance table, which keeps the code single-purpose (for
     huge graphs, keep only the latest frontier and anti-join out settled
     nodes — the standard refinement, noted not needed at catalog scale).
+
+    The seed frame's node type is taken from the edge schema's ``src``
+    column (ADVICE r3) — never inferred from ``seeds[0]`` — so numpy ints,
+    Decimals, etc. coerce to the type the join key actually has, and an
+    empty or mistyped seed list fails with a clear ValueError up front
+    instead of an IndexError or a silently empty string-typed join.
     """
+    if not seeds:
+        raise ValueError("seeds must be a non-empty list of node ids")
     spark = edges.sparkSession
+    node_type = edges.schema[src].dataType
+
+    def _coerce(s):
+        import numbers
+
+        if isinstance(node_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            if isinstance(s, bool) or not isinstance(s, numbers.Integral):
+                raise ValueError(
+                    f"seed {s!r} ({type(s).__name__}) does not coerce to the "
+                    f"edge key type {node_type.simpleString()}"
+                )
+            return int(s)  # numpy ints etc. -> plain int
+        if isinstance(node_type, T.StringType):
+            if not isinstance(s, str):
+                raise ValueError(
+                    f"seed {s!r} ({type(s).__name__}) does not coerce to the "
+                    f"edge key type string"
+                )
+            return s
+        return s  # exotic key types: let schema verification decide
+
     dist = spark.createDataFrame(
-        [(s, 0) for s in seeds], f"node {'bigint' if isinstance(seeds[0], int) else 'string'}, dist int"
+        [(_coerce(s), 0) for s in seeds],
+        T.StructType(
+            [
+                T.StructField("node", node_type, False),
+                T.StructField("dist", T.IntegerType(), False),
+            ]
+        ),
     )
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     for h in range(1, max_hops + 1):

@@ -144,12 +144,15 @@ def compact_files(
     Scale notes: the rewrite is one pass (scan → optional range shuffle →
     write); ``target_files`` should target 128 MB-1 GB per file.  On a real
     lakehouse this runs per-partition-directory, compacting only
-    directories whose small-file count passed a threshold.
+    directories whose small-file count passed a threshold.  The audit
+    counts come from Spark's own file index (``input_file_name`` over each
+    scan), not a local-filesystem glob, so they are correct on s3:// /
+    hdfs:// / abfs:// paths too (ADVICE r3).
     """
-    import glob
-    import os
-
     df = spark.read.parquet(src_path)
+    n_before = (
+        df.select(F.input_file_name().alias("f")).distinct().count()
+    )
     if sort_cols:
         out = df.repartitionByRange(target_files, *sort_cols).sortWithinPartitions(
             *sort_cols
@@ -157,7 +160,17 @@ def compact_files(
     else:
         out = df.repartition(target_files)
     out.write.mode("overwrite").parquet(dst_path)
-    n_before = len(glob.glob(os.path.join(src_path, "*.parquet")))
-    n_after = len(glob.glob(os.path.join(dst_path, "*.parquet")))
-    rows = spark.read.parquet(dst_path).count()
-    return {"files_before": n_before, "files_after": n_after, "rows": rows}
+    compacted = spark.read.parquet(dst_path)
+    audit = (
+        compacted.select(F.input_file_name().alias("__f"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("__f").alias("files"),
+        )
+        .collect()[0]
+    )
+    return {
+        "files_before": n_before,
+        "files_after": int(audit["files"]),
+        "rows": int(audit["rows"]),
+    }

@@ -153,7 +153,11 @@ def finalize_agg_state(state: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def retract_agg_state(
-    state: DataFrame, deletes: DataFrame, keys: list[str]
+    state: DataFrame,
+    deletes: DataFrame,
+    keys: list[str],
+    *,
+    unmatched_col: str | None = None,
 ) -> DataFrame:
     """Retract a batch of deleted rows' aggregate state from the running
     state — the deletion half of incremental view maintenance.  Counts and
@@ -163,24 +167,49 @@ def retract_agg_state(
     ``extrema_stale = true`` (the signal to rebuild that key's extrema
     from storage — the honest cost of retractable IVM, not hidden behind
     a wrong answer).  Keys whose count reaches zero drop out entirely.
+
+    Staleness is STICKY (ADVICE r3): a key whose extrema were nulled by an
+    earlier retraction stays ``extrema_stale = true`` through every later
+    one (null mn/mx, or an incoming ``extrema_stale`` column, force the
+    flag) — a comparison against a null extremum can never silently reset
+    the flag to false.  Delete batches may also contain keys absent from
+    the state (a bug in the caller's CDC feed); pass ``unmatched_col`` to
+    surface them — the output gains that boolean column, unmatched keys
+    appear as rows with ``n`` = the *negated* delete count and the flag
+    set, instead of being silently dropped.
     """
-    dd = deletes
+    dd = deletes.drop("extrema_stale")
     for c in ["n", "s", "ss", "mn", "mx"]:
         dd = dd.withColumnRenamed(c, f"__d_{c}")
-    j = state.join(dd, keys, "left")
+    how = "full_outer" if unmatched_col is not None else "left"
+    j = state.join(dd, keys, how)
     z = F.lit(0)
-    touched = (F.col("__d_mn") <= F.col("mn")) | (F.col("__d_mx") >= F.col("mx"))
-    out = j.select(
-        *keys,
-        (F.col("n") - F.coalesce(F.col("__d_n"), z)).alias("n"),
-        (F.col("s") - F.coalesce(F.col("__d_s"), F.lit(0.0))).alias("s"),
-        (F.col("ss") - F.coalesce(F.col("__d_ss"), F.lit(0.0))).alias("ss"),
-        F.when(F.coalesce(touched, F.lit(False)), F.lit(None)).otherwise(
-            F.col("mn")
-        ).alias("mn"),
-        F.when(F.coalesce(touched, F.lit(False)), F.lit(None)).otherwise(
-            F.col("mx")
-        ).alias("mx"),
-        F.coalesce(touched, F.lit(False)).alias("extrema_stale"),
+    prior_stale = F.col("mn").isNull() | F.col("mx").isNull()
+    if "extrema_stale" in state.columns:
+        prior_stale = prior_stale | F.coalesce(
+            F.col("extrema_stale"), F.lit(False)
+        )
+    matched = F.col("n").isNotNull()
+    touched = (
+        (F.col("__d_mn") <= F.col("mn")) | (F.col("__d_mx") >= F.col("mx"))
     )
-    return out.filter(F.col("n") > 0)
+    stale = F.coalesce(touched, F.lit(False)) | prior_stale
+    cols = [
+        *keys,
+        (F.coalesce(F.col("n"), z) - F.coalesce(F.col("__d_n"), z)).alias("n"),
+        (
+            F.coalesce(F.col("s"), F.lit(0.0))
+            - F.coalesce(F.col("__d_s"), F.lit(0.0))
+        ).alias("s"),
+        (
+            F.coalesce(F.col("ss"), F.lit(0.0))
+            - F.coalesce(F.col("__d_ss"), F.lit(0.0))
+        ).alias("ss"),
+        F.when(stale, F.lit(None)).otherwise(F.col("mn")).alias("mn"),
+        F.when(stale, F.lit(None)).otherwise(F.col("mx")).alias("mx"),
+        stale.alias("extrema_stale"),
+    ]
+    if unmatched_col is not None:
+        cols.append((~matched).alias(unmatched_col))
+        return j.select(*cols).filter((F.col("n") > 0) | F.col(unmatched_col))
+    return j.select(*cols).filter(F.col("n") > 0)

@@ -194,13 +194,23 @@ def mad_outliers(
     (1.4826·MAD)`` (Iglewicz & Hoaglin): immune to the outliers it hunts,
     unlike mean/stddev fences.
 
-    Returns one row per group: ``(group, med, mad, n, n_outliers, max_absz)``.
+    Returns one row per group: ``(group, med, mad, n, n_outliers,
+    max_absz, mad_zero)``.
 
     Two exact-percentile passes (median, then median of absolute
     deviations) joined back — medians are not algebraic, so two passes is
     the honest distributed shape.  Spark ``percentile`` == DuckDB
     ``quantile_cont`` (linear interpolation), keeping oracles bit-aligned.
     At 100 TB swap both passes to ``percentile_approx``.
+
+    MAD == 0 guard (ADVICE r3): when over half a group's values equal the
+    median — common for integer or low-cardinality metrics — MAD is 0 and
+    the naive division would yield NULL in Spark (silently suppressing
+    every outlier) and ±inf in DuckDB, breaking cross-engine parity.
+    Following Iglewicz & Hoaglin, the score falls back to the meanAD form
+    ``(x - median) / (1.253314·meanAD)``; if meanAD is also 0 (a constant
+    group) every score is 0.  ``mad_zero`` flags groups that took the
+    fallback so callers can tell which scale estimator produced the flag.
     """
     med = df.groupBy(group_col).agg(
         F.percentile(value_col, F.lit(0.5)).alias("med"),
@@ -210,10 +220,20 @@ def mad_outliers(
         "absdev", F.abs(F.col(value_col) - F.col("med"))
     )
     mad = dev.groupBy(group_col).agg(
-        F.percentile("absdev", F.lit(0.5)).alias("mad")
+        F.percentile("absdev", F.lit(0.5)).alias("mad"),
+        F.avg("absdev").alias("__meanad"),
     )
     z = dev.join(F.broadcast(mad), group_col).withColumn(
-        "absz", F.col("absdev") / (F.lit(consistency) * F.col("mad"))
+        "absz",
+        F.when(
+            F.col("mad") > 0,
+            F.col("absdev") / (F.lit(consistency) * F.col("mad")),
+        )
+        .when(
+            F.col("__meanad") > 0,
+            F.col("absdev") / (F.lit(1.253314) * F.col("__meanad")),
+        )
+        .otherwise(F.lit(0.0)),
     )
     return z.groupBy(group_col).agg(
         F.max("med").alias("med"),
@@ -221,6 +241,7 @@ def mad_outliers(
         F.max("n").alias("n"),
         F.sum((F.col("absz") > threshold).cast("int")).alias("n_outliers"),
         F.max("absz").alias("max_absz"),
+        F.max(F.col("mad") == 0).alias("mad_zero"),
     )
 
 

@@ -199,6 +199,30 @@ def test_bfs_levels_multi_source_min(spark):
     assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
 
 
+def test_bfs_levels_seed_validation(spark):
+    """ADVICE r3: empty seeds -> clear ValueError; the seed type comes from
+    the edge schema (numpy ints coerce), not from seeds[0]."""
+    import pytest as _pytest
+
+    from rust_dataframe_spark.operators.graph import bfs_levels
+
+    e0 = [(1, 2), (2, 3)]
+    edges = spark.createDataFrame(
+        e0 + [(b, a) for a, b in e0], "src long, dst long"
+    )
+    with _pytest.raises(ValueError, match="non-empty"):
+        bfs_levels(edges, seeds=[], max_hops=2)
+    with _pytest.raises(ValueError, match="coerce"):
+        bfs_levels(edges, seeds=["one"], max_hops=2)
+    import numpy as np
+
+    out = {
+        r["node"]: r["dist"]
+        for r in bfs_levels(edges, seeds=[np.int64(1)], max_hops=2).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2}
+
+
 def test_bfs_levels_cycle_terminates(spark):
     from rust_dataframe_spark.operators.graph import bfs_levels
 
@@ -248,6 +272,60 @@ def test_retract_interior_delete_keeps_extrema(spark):
     out = retract_agg_state(full, dels, ["k"]).collect()[0]
     assert out["n"] == 2 and not out["extrema_stale"]
     assert out["mn"] == 1.0 and out["mx"] == 9.0
+
+
+def test_retract_staleness_is_sticky(spark):
+    """ADVICE r3: once a key's extrema are nulled, a later retraction must
+    keep extrema_stale=true — the comparison against null mn/mx may not
+    silently reset it."""
+    from rust_dataframe_spark.operators.merge import agg_state, retract_agg_state
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)], "k string, v double"
+    )
+    full = agg_state(df, ["k"], "v")
+    d1 = agg_state(
+        spark.createDataFrame([("a", 0.0), ("a", 9.0)], "k string, v double"),
+        ["k"], "v",
+    )
+    s1 = retract_agg_state(full, d1, ["k"])
+    assert s1.collect()[0]["extrema_stale"]
+    d2 = agg_state(
+        spark.createDataFrame([("a", 5.0)], "k string, v double"), ["k"], "v"
+    )
+    out = retract_agg_state(s1, d2, ["k"]).collect()[0]
+    assert out["n"] == 7
+    assert out["extrema_stale"] is True
+    assert out["mn"] is None and out["mx"] is None
+
+
+def test_retract_surfaces_unmatched_delete_keys(spark):
+    """ADVICE r3: deletes for keys absent from state are a CDC-feed bug —
+    with unmatched_col set they surface as flagged rows instead of being
+    silently dropped by the left join."""
+    from rust_dataframe_spark.operators.merge import agg_state, retract_agg_state
+
+    full = agg_state(
+        spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k string, v double"),
+        ["k"], "v",
+    )
+    dels = agg_state(
+        spark.createDataFrame([("ghost", 7.0)], "k string, v double"), ["k"], "v"
+    )
+    # default: silently no-op on state (back-compat)
+    out = {r["k"]: r for r in retract_agg_state(full, dels, ["k"]).collect()}
+    assert set(out) == {"a"} and out["a"]["n"] == 2
+    # opt-in audit: the ghost key appears flagged with negated count
+    audited = {
+        r["k"]: r
+        for r in retract_agg_state(
+            full, dels, ["k"], unmatched_col="unmatched_delete"
+        ).collect()
+    }
+    assert set(audited) == {"a", "ghost"}
+    assert audited["a"]["unmatched_delete"] is False
+    assert audited["ghost"]["unmatched_delete"] is True
+    assert audited["ghost"]["n"] == -1
 
 
 def test_retract_emptied_key_drops(spark):

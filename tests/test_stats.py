@@ -167,8 +167,24 @@ def test_mad_constant_group_has_zero_mad(spark):
     df = spark.createDataFrame([Row(g="c", v=5.0)] * 10)
     out = mad_outliers(df, "g", "v").collect()[0]
     assert out["mad"] == 0.0
-    # 0/0 -> NaN robust z; no spurious outlier count
-    assert out["n_outliers"] == 0 or out["n_outliers"] is None
+    assert out["mad_zero"] is True
+    # constant group: every deviation 0, no spurious outliers, finite z
+    assert out["n_outliers"] == 0
+    assert out["max_absz"] == 0.0
+
+
+def test_mad_zero_with_real_outlier_uses_meanad_fallback(spark):
+    """ADVICE r3: >half the values equal the median => MAD==0; the naive
+    division would NULL out the z-score and report 0 outliers even with an
+    extreme point present. The meanAD fallback must still flag it."""
+    vals = [5.0] * 9 + [1000.0]
+    df = spark.createDataFrame([Row(g="z", v=v) for v in vals])
+    out = mad_outliers(df, "g", "v").collect()[0]
+    assert out["mad"] == 0.0
+    assert out["mad_zero"] is True
+    # meanAD = (0*9 + 995)/10 = 99.5; z(1000) = 995/(1.253314*99.5) ~ 7.98
+    assert out["max_absz"] == pytest.approx(995.0 / (1.253314 * 99.5), rel=1e-6)
+    assert out["n_outliers"] == 1
 
 
 def test_mad_groups_are_independent(spark):
