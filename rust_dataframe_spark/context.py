@@ -67,6 +67,11 @@ def default_builder(app_name: str = "rust-dataframe-spark") -> SparkSession.Buil
 
 def get_spark(app_name: str = "rust-dataframe-spark") -> SparkSession:
     """Get or create the default SparkSession for this engine."""
+    from .vendor import ensure_protobuf
+
+    # best-effort, before the JVM captures the env: workers need PYTHONPATH
+    # set NOW for the transformWithStateInPandas protobuf protocol
+    ensure_protobuf()
     return default_builder(app_name).getOrCreate()
 
 

@@ -53,12 +53,21 @@ class SqlDatabase:
     # read — is live-testable without network or external jars
     # (tests/test_sources.py::TestJdbcLiveDerby).
     DERBY = "derby"
+    # Embedded H2: like Derby but with IEEE-754 special-value support —
+    # DOUBLE NaN/±Infinity round-trip, closing the one double-semantics gap
+    # Derby leaves against the reference's 002.sql fixture
+    # (sql/postgresql/002.sql; dataframe.rs:1005-1060).  Spark ships an
+    # H2Dialect; the jar itself is NOT bundled, so the live test
+    # (tests/test_sources.py::TestJdbcLiveH2) skips with a documented
+    # reason when org.h2.Driver is absent from the classpath.
+    H2 = "h2"
 
     _DRIVERS = {
         POSTGRES: "org.postgresql.Driver",
         MYSQL: "com.mysql.cj.jdbc.Driver",
         MSSQL: "com.microsoft.sqlserver.jdbc.SQLServerDriver",
         DERBY: "org.apache.derby.jdbc.EmbeddedDriver",
+        H2: "org.h2.Driver",
     }
 
     @classmethod

@@ -78,11 +78,9 @@ def test_sliding_stream(spark, events):
 
 
 def _protobuf_available() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        return True
-    except ImportError:
-        return False
+    from rust_dataframe_spark.vendor import ensure_protobuf
+
+    return ensure_protobuf()
 
 
 def test_tws_running_counts(spark, tmp_path_factory):

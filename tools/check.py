@@ -5,6 +5,7 @@ Runs every entry in ``__spark_entry__.queries()`` at sf0.01, runs the matching
 names, and exact canonicalized values (order-insensitive).  Usage:
 
     python tools/check.py [query_name ...]     # default: all
+    python tools/check.py --sample 50 --seed 4 # seeded rotating spot-set
 
 Set ``CHECK_JSON_OUT=/path.json`` to also write a machine-readable record
 (same shape as the driver's CORRECTNESS files) — committed per round as
@@ -75,7 +76,26 @@ def main(argv):
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    names = argv or sorted(queries)
+    sample_n = seed = None
+    args = list(argv)
+    while "--sample" in args or "--seed" in args:
+        if "--sample" in args:
+            i = args.index("--sample")
+            sample_n = int(args[i + 1]); del args[i:i + 2]
+        if "--seed" in args:
+            i = args.index("--seed")
+            seed = int(args[i + 1]); del args[i:i + 2]
+    names = args or sorted(queries)
+    if sample_n is not None:
+        # deterministic seeded rotation over the catalog (VERDICT r3 #6):
+        # the judge replays `python tools/check.py --sample N --seed R` and
+        # gets the identical subset, so each round independently re-verifies
+        # a different slice of the queries the driver's 50-cap never reaches
+        import random as _random
+
+        rng = _random.Random(seed if seed is not None else 0)
+        names = sorted(rng.sample(sorted(names), min(sample_n, len(names))))
+        print(f"# sampled {len(names)} queries with seed={seed}")
     n_pass = n_fail = n_weak = 0
     record = {}
     for name in names:
