@@ -262,11 +262,18 @@ def q240_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two exact-percentile passes with broadcast join-backs (medians are not
     algebraic; two passes is the honest distributed shape).  Spark
     ``percentile`` == DuckDB ``quantile_cont`` keeps the oracle
-    bit-aligned; at 100 TB both passes become ``percentile_approx``."""
+    bit-aligned; above the scale.py row threshold both passes auto-degrade
+    to ``percentile_approx`` (parity bound in tests/test_scale_mode.py)."""
     from .operators.stats import mad_outliers
+    from .scale import use_approx
 
     li = table(spark, sf_dir, "lineitem")
-    out = mad_outliers(li, "l_returnflag", "l_extendedprice")
+    out = mad_outliers(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        approx=use_approx(li, cache_key=f"{sf_dir}/lineitem"),
+    )
     return out.select(
         "l_returnflag",
         F.round("med", 4).alias("med"),

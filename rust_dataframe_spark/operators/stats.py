@@ -188,6 +188,7 @@ def mad_outliers(
     *,
     threshold: float = 3.5,
     consistency: float = 1.4826,
+    approx: bool = False,
 ) -> DataFrame:
     """Robust per-group outlier statistics via the modified z-score
     ``0.6745·(x - median) / MAD`` — equivalently ``(x - median) /
@@ -201,7 +202,11 @@ def mad_outliers(
     deviations) joined back — medians are not algebraic, so two passes is
     the honest distributed shape.  Spark ``percentile`` == DuckDB
     ``quantile_cont`` (linear interpolation), keeping oracles bit-aligned.
-    At 100 TB swap both passes to ``percentile_approx``.
+    ``approx=True`` swaps both passes to ``percentile_approx`` (mergeable
+    sketch, no per-group value buffer — the 100 TB form; rank error ≤
+    n/accuracy, same certificate machinery as scale.py's other degrade
+    paths); q240 selects it via ``scale.use_approx`` above the row
+    threshold.
 
     MAD == 0 guard (ADVICE r3): when over half a group's values equal the
     median — common for integer or low-cardinality metrics — MAD is 0 and
@@ -212,15 +217,26 @@ def mad_outliers(
     group) every score is 0.  ``mad_zero`` flags groups that took the
     fallback so callers can tell which scale estimator produced the flag.
     """
+    if approx:
+        from ..scale import APPROX_ACCURACY
+
+        def _median(col):
+            return F.percentile_approx(
+                col, F.lit(0.5), F.lit(APPROX_ACCURACY)
+            ).cast("double")
+    else:
+        def _median(col):
+            return F.percentile(col, F.lit(0.5))
+
     med = df.groupBy(group_col).agg(
-        F.percentile(value_col, F.lit(0.5)).alias("med"),
+        _median(value_col).alias("med"),
         F.count(F.lit(1)).alias("n"),
     )
     dev = df.join(F.broadcast(med), group_col).withColumn(
         "absdev", F.abs(F.col(value_col) - F.col("med"))
     )
     mad = dev.groupBy(group_col).agg(
-        F.percentile("absdev", F.lit(0.5)).alias("mad"),
+        _median("absdev").alias("mad"),
         F.avg("absdev").alias("__meanad"),
     )
     z = dev.join(F.broadcast(mad), group_col).withColumn(

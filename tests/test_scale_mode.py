@@ -67,6 +67,23 @@ def test_q247_equidepth_parity(spark, monkeypatch):
         assert abs(approx[b]["n"] - er["n"]) <= bound, (b, approx[b]["n"], er["n"])
 
 
+def test_q240_mad_outliers_parity(spark, monkeypatch):
+    exact = {r["l_returnflag"]: r for r in _run(spark, "q240_mad_outliers", "exact", monkeypatch)}
+    approx = {r["l_returnflag"]: r for r in _run(spark, "q240_mad_outliers", "approx", monkeypatch)}
+    assert set(exact) == set(approx)
+    for g, er in exact.items():
+        ar = approx[g]
+        assert ar["n"] == er["n"]
+        # with n < accuracy the sketch is rank-exact up to interpolation:
+        # approx med/mad land within one order-statistic gap, which for the
+        # smooth price distribution is well under 0.5% relative
+        for col in ("med", "mad"):
+            assert abs(ar[col] - er[col]) <= max(abs(er[col]) * 0.005, 1e-4), (g, col)
+        # outlier counts shift by at most the points whose |z| straddles the
+        # threshold under the slightly-moved scale — a thin shell
+        assert abs(ar["n_outliers"] - er["n_outliers"]) <= max(5, er["n"] * 0.01)
+
+
 def test_q288_auc_parity(spark, monkeypatch):
     (e,) = _run(spark, "q288_auc", "exact", monkeypatch)
     (a,) = _run(spark, "q288_auc", "approx", monkeypatch)
