@@ -3643,3 +3643,62 @@ def q314_perfect_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "perfect_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q315: hashed linear quality-classifier inference (fastText-style)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_W315 = [round(_math.sin(i + 1.0), 6) for i in range(32)]
+_W315_SQL = "[" + ", ".join(f"{w:.6f}" for w in _W315) + "]"
+
+
+@query(
+    "q315_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(toks) AS n,
+             -0.1 + CASE WHEN len(toks) > 0 THEN
+               list_sum(list_transform(toks, x ->
+                 ({_W315_SQL})[1 + CAST(
+                   ('0x' || substr(md5(x || '#hls'), 1, 8))::UBIGINT % 32
+                   AS INT)]
+               )) / len(toks)
+             ELSE 0.0 END AS m
+      FROM t
+    )
+    SELECT doc_id, n AS n_tokens, round(m, 6) AS margin,
+           round(1.0 / (1.0 + exp(-m)), 6) AS prob
+    FROM s ORDER BY doc_id
+    """,
+)
+def q315_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier inference over documents
+    (operators/text.hashed_linear_score) — the CCNet-shape "quality
+    classifier" scoring pass of a corpus-filtering pipeline, as one
+    codegen'd scan: md5 token→bucket hashing, array-literal weight lookup,
+    mean pooling, sigmoid.  The fixture weight vector (32 buckets,
+    sin-derived literals formatted identically into both engines) stands
+    in for trained weights; the oracle replays the exact hash, lookup and
+    left-to-right float fold, so the probability matches to 6 decimals.
+    No shuffle, no explode, no Python — the 100 TB plan is the scan."""
+    from .operators.text import hashed_linear_score
+
+    d = table(spark, sf_dir, "documents")
+    out = hashed_linear_score(
+        d, "doc_id", "text", weights=_W315, bias=-0.1, salt="hls"
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("margin", 6).alias("margin"),
+        F.round("prob", 6).alias("prob"),
+    ).orderBy("doc_id")

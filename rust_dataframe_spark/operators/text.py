@@ -17,6 +17,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "simpson_diversity",
+    "hashed_linear_score",
     "STOPWORDS",
 ]
 
@@ -641,6 +642,68 @@ def temperature_mixture(
         / F.lit(float(1 << 32))
     )
     return df.join(F.broadcast(rates), source_col).filter(u < F.col("_rate")).drop("_rate")
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    weights: list[float],
+    bias: float = 0.0,
+    salt: str = "hls",
+) -> DataFrame:
+    """fastText-style linear text-classifier INFERENCE with the hashing
+    trick (Joulin et al. 2017; Weinberger et al. 2009) — the "quality
+    classifier" scoring step of CCNet-style corpus filtering, run as pure
+    whole-stage-codegen DataFrame code.
+
+    Each lowercased whitespace token hashes (md5, engine-replayable) into
+    one of ``len(weights)`` buckets; the document margin is ``bias +
+    mean(weights[bucket(t)])`` (fastText's mean-of-embeddings pooling for
+    a depth-0 model) and ``prob = sigmoid(margin)``.  Returns ``(id,
+    n_tokens, margin, prob)``.
+
+    Scale: ONE pass over the scan — the weight vector rides as an array
+    literal indexed by ``element_at`` inside an ``F.aggregate`` fold, so
+    there is no explode, no join, no shuffle, and no Python; scoring 100 TB
+    is embarrassingly parallel.  Weight vectors beyond literal size
+    (≳100k buckets) switch to the explode + broadcast-weight-table join
+    form — same answer, one extra shuffle on the doc id.  Training the
+    weights is out of scope by design (that's a GPU job); this is the
+    inference operator a curation pipeline actually runs at corpus scale.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty list (one per bucket)")
+    nb = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+
+    def bucket(t):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(t, F.lit("#" + salt))), 1, 8), 16, 10
+            ).cast("bigint"),
+            F.lit(nb),
+        )
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    ssum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(warr, (bucket(t) + 1).cast("int")),
+    )
+    n = F.size(toks)
+    margin = F.when(n > 0, F.lit(float(bias)) + ssum / n).otherwise(
+        F.lit(float(bias))
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        margin.alias("margin"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("prob"),
+    )
 
 
 def simpson_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -496,6 +496,42 @@ def test_bpe_merge_greedy_nonoverlap(spark):
     assert syms["aaa"] == ["aa", "a"]
 
 
+def test_hashed_linear_score_known_values(spark):
+    """Replay the md5 token->bucket hash + mean pooling in pure Python and
+    pin the operator's margin/prob against it."""
+    import hashlib
+
+    from rust_dataframe_spark.operators.text import hashed_linear_score
+
+    weights = [0.5, -0.25, 0.125, 1.0]
+    bias = 0.2
+
+    def bucket(tok):
+        return int(hashlib.md5((tok + "#hls").encode()).hexdigest()[:8], 16) % 4
+
+    text = "Alpha beta GAMMA"
+    toks = ["alpha", "beta", "gamma"]
+    margin = bias + sum(weights[bucket(t)] for t in toks) / 3
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    out = hashed_linear_score(
+        df, "doc_id", "text", weights=weights, bias=bias
+    ).collect()[0]
+    assert out["n_tokens"] == 3
+    assert out["margin"] == pytest.approx(margin, abs=1e-9)
+    assert out["prob"] == pytest.approx(1.0 / (1.0 + math.exp(-margin)), abs=1e-9)
+
+
+def test_hashed_linear_score_empty_and_validation(spark):
+    from rust_dataframe_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame([Row(doc_id=1, text="   ")])
+    out = hashed_linear_score(df, "doc_id", "text", weights=[1.0], bias=0.3).collect()[0]
+    assert out["n_tokens"] == 0
+    assert out["margin"] == pytest.approx(0.3)  # empty doc scores the bias
+    with pytest.raises(ValueError, match="non-empty"):
+        hashed_linear_score(df, "doc_id", "text", weights=[])
+
+
 def test_bpe_train_batched_matches_sequential(spark):
     """VERDICT r3 #2: the batched trainer (top-m disjoint merges per scan)
     must reproduce the sequential trainer's rule list on the fixture corpus
