@@ -3702,3 +3702,70 @@ def q315_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("margin", 6).alias("margin"),
         F.round("prob", 6).alias("prob"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q316: Bloom-screened decontamination (compact membership summary)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q316_bloom_decontaminate",
+    oracle="""
+    WITH bs AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1), i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS s
+      FROM documents WHERE doc_id < 10
+    ),
+    pos AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '#b'), 1, 8))::UBIGINT % 4096 AS BIGINT) AS p FROM bs
+      UNION SELECT DISTINCT CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '#b'), 9, 8))::UBIGINT % 4096 AS BIGINT) FROM bs
+      UNION SELECT DISTINCT CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '#b'), 17, 8))::UBIGINT % 4096 AS BIGINT) FROM bs
+    ),
+    bits AS (SELECT list(p ORDER BY p) AS bl FROM pos),
+    cs AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1), i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS s
+      FROM documents WHERE doc_id >= 10
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY 1),
+    probe AS (
+      SELECT doc_id, s,
+             list_contains(bl, CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '#b'), 1, 8))::UBIGINT % 4096 AS BIGINT))
+             AND list_contains(bl, CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '#b'), 9, 8))::UBIGINT % 4096 AS BIGINT))
+             AND list_contains(bl, CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '#b'), 17, 8))::UBIGINT % 4096 AS BIGINT)) AS pass
+      FROM cs CROSS JOIN bits
+    ),
+    flg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_flagged,
+             CAST(sum(CASE WHEN s IN (SELECT s FROM bs) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_true
+      FROM probe WHERE pass GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           f.n_flagged, f.n_true
+    FROM tot t JOIN flg f USING (doc_id)
+    ORDER BY doc_id
+""",
+)
+def q316_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened decontamination (operators/dedup.bloom_decontaminate)
+    — the at-scale form of the q96 contamination sweep: the benchmark's
+    5-gram shingle set reduces to a k=3 / m=4096 Bloom bitmap (<= 4096
+    integers broadcast once, vs broadcasting every exploded benchmark
+    shingle), corpus shingles probe it map-side with NO join, and the
+    exact shingle join verifies only the bloom-passing residue
+    (candidates-then-verify, the LSH discipline).  Per-doc audit output
+    quantifies the realized false-positive load (n_flagged - n_true);
+    true contamination can never be missed because a benchmark shingle
+    always passes its own Bloom positions.  Hash family: the md5-window
+    construction shared with q242/MinHash, replayed bit-for-bit in the
+    oracle."""
+    from .operators.dedup import bloom_decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= 10)
+    bench = d.filter(F.col("doc_id") < 10)
+    out = bloom_decontaminate(
+        corpus, bench, "doc_id", "text", "text", shingle_n=5, m=4096, k=3
+    )
+    return out.orderBy("doc_id")

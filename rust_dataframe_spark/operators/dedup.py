@@ -44,6 +44,7 @@ __all__ = [
     "dup_clusters_star",
     "keep_canonical",
     "decontaminate",
+    "bloom_decontaminate",
     "simhash",
     "repeated_ngram_spans",
     "blocked_weighted_jaccard",
@@ -467,6 +468,69 @@ def decontaminate(
         .agg(F.count_distinct("__s").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
         .select(F.col(id_col), F.col("__bid").alias("bench_id"), F.col("shared_ngrams"))
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str,
+    *,
+    shingle_n: int = 5,
+    m: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-screened decontamination — the at-scale form of
+    :func:`decontaminate` (the GPT-3/PaLM-style n-gram contamination sweep
+    run with a compact membership summary instead of a full shingle join).
+
+    :func:`decontaminate` broadcasts the benchmark's exploded shingles; for
+    a full eval SUITE (millions of distinct n-grams) that broadcast is tens
+    of MBs per executor and the join touches every corpus shingle.  Here
+    the benchmark reduces to a ≤``m``-integer Bloom bitmap
+    (operators/bloom.py: k md5-window hashes, same engine-replayable digest
+    family as MinHash): the corpus probe is a map-side array lookup with NO
+    join at all, and the exact shingle join runs only on the bloom-passing
+    residue — candidates-then-verify, the same discipline as LSH.
+
+    Returns per-doc audit rows ``(id, n_shingles, n_flagged, n_true)`` for
+    docs with any bloom-flagged shingle: ``n_flagged - n_true`` quantifies
+    the realized false-positive load (never hidden — the q242 audit
+    discipline).  True contamination is never missed: a shingle present in
+    the benchmark always passes its own Bloom positions.
+    """
+    bsh = benchmark.select(
+        F.explode(
+            F.array_distinct(shingle(F.col(bench_text_col), shingle_n))
+        ).alias("__s")
+    ).distinct()
+    from .bloom import bloom_bits, bloom_positions
+
+    bits = bloom_bits(bsh, "__s", m=m, k=k)
+    csh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle(F.col(text_col), shingle_n))).alias(
+            "__s"
+        ),
+    )
+    totals = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    probed = csh.crossJoin(F.broadcast(bits)).withColumn(
+        "__pos", bloom_positions(F.col("__s"), m, k)
+    )
+    passed = F.forall("__pos", lambda p: F.array_contains(F.col("bits"), p))
+    flagged = probed.filter(passed).drop("bits", "__pos")
+    truth = bsh.select(F.col("__s").alias("__bs"))
+    verified = flagged.join(
+        F.broadcast(truth), F.col("__s") == F.col("__bs"), "left"
+    )
+    per_doc = verified.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_flagged"),
+        F.sum(F.col("__bs").isNotNull().cast("int")).alias("n_true"),
+    )
+    return per_doc.join(totals, id_col).select(
+        F.col(id_col), "n_shingles", "n_flagged", "n_true"
     )
 
 

@@ -382,6 +382,49 @@ class TestDecontamination:
         assert out == []  # only one shared 5-gram => under min_shared
 
 
+class TestBloomDecontamination:
+    def test_true_contamination_never_missed_and_fp_audited(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (100, "alpha beta gamma delta epsilon zeta eta theta"),
+                (101, "totally unrelated words nothing shared here at all"),
+            ],
+            "doc_id bigint, text string",
+        )
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], "bench_id bigint, text string"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in dd.bloom_decontaminate(
+                corpus, bench, "doc_id", "text", "text", shingle_n=5, m=4096, k=3
+            ).collect()
+        }
+        # the genuinely contaminated doc is flagged with its true overlap
+        assert 100 in rows
+        r = rows[100]
+        assert r["n_shingles"] == 4  # 8 words -> 4 distinct 5-grams
+        assert r["n_true"] == 2  # same two shared windows as exact decontaminate
+        assert r["n_flagged"] >= r["n_true"]  # bloom may add fps, never misses
+        # the clean doc either doesn't appear or appears as pure false positives
+        if 101 in rows:
+            assert rows[101]["n_true"] == 0
+
+    def test_tiny_bitmap_still_exact_on_true_hits(self, spark):
+        # m=8 forces heavy fp collisions; n_true must stay exact regardless
+        corpus = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id bigint, text string",
+        )
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], "bench_id bigint, text string"
+        )
+        r = dd.bloom_decontaminate(
+            corpus, bench, "doc_id", "text", "text", shingle_n=5, m=8, k=3
+        ).collect()[0]
+        assert r["n_true"] == 2
+
+
 class TestPII:
     def test_scan_counts(self, spark):
         df = spark.createDataFrame(
