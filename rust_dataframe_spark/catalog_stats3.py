@@ -3769,3 +3769,67 @@ def q316_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, bench, "doc_id", "text", "text", shingle_n=5, m=4096, k=3
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q317: bigram language-model log-prob scoring (corpus-likelihood quality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q317_bigram_logprob",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id < 100
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(w) - 1, 0) + 1),
+               i -> {'a': w[i], 'b': w[i + 1]})) AS g
+      FROM base
+    ),
+    g2 AS (SELECT doc_id, g.a AS a, g.b AS b FROM grams),
+    unis AS (SELECT unnest(w) AS t FROM base),
+    c1 AS (SELECT t AS a, count(*) AS c1 FROM unis GROUP BY 1),
+    c2 AS (SELECT a, b, count(*) AS c2 FROM g2 GROUP BY 1, 2),
+    v AS (SELECT count(DISTINCT t) AS V FROM unis),
+    scored AS (
+      SELECT g2.doc_id,
+             ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.V)) AS lp
+      FROM g2 JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             avg(lp) AS alp
+      FROM scored GROUP BY 1
+    )
+    SELECT b.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           round(p.alp, 6) AS avg_logprob,
+           round(exp(-p.alp), 6) AS ppl
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q317_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-likelihood quality scoring (operators/text.bigram_logprob):
+    each document's average log-probability under the corpus's own add-1
+    smoothed bigram LM, plus perplexity — the KenLM-shape filter signal
+    (q208 surprisal is the unigram version; conditioning on the previous
+    word catches improbable transitions).  Two Heaps'-bounded count
+    tables, one n-gram-keyed join (AQE skew-split territory for
+    "of the"-class bigrams), V as a 1-row broadcast.  Restricted to
+    doc_id < 100 so the oracle's self-model matches exactly."""
+    from .operators.text import bigram_logprob
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = bigram_logprob(d, "doc_id", "text", alpha=1.0)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("ppl", 6).alias("ppl"),
+    ).orderBy("doc_id")

@@ -18,6 +18,7 @@ __all__ = [
     "fingerprint",
     "simpson_diversity",
     "hashed_linear_score",
+    "bigram_logprob",
     "STOPWORDS",
 ]
 
@@ -703,6 +704,87 @@ def hashed_linear_score(
         n.alias("n_tokens"),
         margin.alias("margin"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("prob"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document average log-probability under the corpus's own add-α
+    smoothed bigram language model — the KenLM-shape "does this text look
+    like the corpus" quality signal (CCNet filters on exactly this;
+    inverse_frequency_score is the unigram version, this conditions on the
+    previous word so boilerplate with plausible unigrams but improbable
+    transitions scores low).
+
+    Model: ``P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V)`` with V = distinct
+    unigram vocabulary size.  Returns ``(id, n_bigrams, avg_logprob,
+    ppl)`` with ``ppl = exp(-avg_logprob)``; single-word/empty docs carry
+    ``n_bigrams = 0`` and null score.
+
+    Scale: two count aggregates over the corpus (unigram and bigram tables
+    — Heaps'-bounded, far smaller than the corpus), one equi-join of the
+    per-doc bigram stream against each (shuffle keyed on the n-gram
+    strings; frequency skew on "of the"-class bigrams is exactly what AQE
+    skew-split handles), and V rides as a 1-row broadcast.  Everything is
+    codegen'd; no Python.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = df.select(F.col(id_col), toks.alias("__w"))
+    # upper bound clamped to >=1 so sequence never descends through index 0
+    # on 0/1-token docs; the slice then truncates those docs to zero pairs
+    pairs = F.slice(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("__w") - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at("__w", i).alias("a"),
+                F.element_at("__w", i + 1).alias("b"),
+            ),
+        ),
+        1,
+        F.greatest(F.size("__w") - 1, F.lit(0)),
+    )
+    grams = base.select(F.col(id_col), F.explode(pairs).alias("__g")).select(
+        F.col(id_col), F.col("__g.a").alias("a"), F.col("__g.b").alias("b")
+    )
+    unis = base.select(F.explode("__w").alias("t"))
+    c1 = unis.groupBy(F.col("t").alias("a")).agg(F.count(F.lit(1)).alias("c1"))
+    c2 = grams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = unis.agg(F.count_distinct("t").alias("__V"))
+    scored = (
+        grams.join(c2, ["a", "b"])
+        .join(c1, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("c2") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("__V"))
+            ).alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("__lp").alias("avg_logprob"),
+    )
+    # docs with <2 tokens never emit a bigram: surface them with n=0
+    all_ids = df.select(F.col(id_col)).distinct()
+    return (
+        all_ids.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            F.col("avg_logprob"),
+            F.exp(-F.col("avg_logprob")).alias("ppl"),
+        )
     )
 
 

@@ -521,6 +521,38 @@ def test_hashed_linear_score_known_values(spark):
     assert out["prob"] == pytest.approx(1.0 / (1.0 + math.exp(-margin)), abs=1e-9)
 
 
+def test_bigram_logprob_known_corpus(spark):
+    """Hand-computed add-1 bigram model on a 2-doc corpus."""
+    from rust_dataframe_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b"), Row(doc_id=2, text="a b c")]
+    )
+    # unigrams: a=3 b=3 c=1, V=3; bigrams: (a,b)=3, (b,a)=1, (b,c)=1
+    out = {r["doc_id"]: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    lp_ab = math.log((3 + 1) / (3 + 3))  # P(b|a)
+    lp_ba = math.log((1 + 1) / (3 + 3))  # P(a|b)
+    lp_bc = math.log((1 + 1) / (3 + 3))  # P(c|b)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx((2 * lp_ab + lp_ba) / 3, abs=1e-9)
+    assert out[2]["n_bigrams"] == 2
+    assert out[2]["avg_logprob"] == pytest.approx((lp_ab + lp_bc) / 2, abs=1e-9)
+    assert out[2]["ppl"] == pytest.approx(
+        math.exp(-(lp_ab + lp_bc) / 2), rel=1e-9
+    )
+
+
+def test_bigram_logprob_short_docs_surface_with_zero(spark):
+    from rust_dataframe_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="solo"), Row(doc_id=2, text="two words")]
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert out[1]["n_bigrams"] == 0 and out[1]["avg_logprob"] is None
+    assert out[2]["n_bigrams"] == 1
+
+
 def test_hashed_linear_score_empty_and_validation(spark):
     from rust_dataframe_spark.operators.text import hashed_linear_score
 
