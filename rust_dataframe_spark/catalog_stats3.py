@@ -3833,3 +3833,78 @@ def q317_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_logprob", 6).alias("avg_logprob"),
         F.round("ppl", 6).alias("ppl"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q318: set-containment join (subset-duplicate detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q318_containment_dedup",
+    oracle="""
+    WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    corpus AS (
+      SELECT s.doc_id,
+             CASE WHEN s.doc_id % 7 = 0 AND s.doc_id > 0
+                  THEN array_to_string((string_split(p.text, ' '))[1:12], ' ')
+                  ELSE s.text END AS text
+      FROM src s LEFT JOIN src p ON p.doc_id = s.doc_id - 1
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1) + 1),
+               i -> array_to_string((string_split(lower(text), ' '))[i:i+1], ' ')))
+               AS tk
+      FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(a.tk, x -> list_contains(b.tk, x))) * 1.0
+                 / len(a.tk), 6) AS containment
+    FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+    WHERE len(list_filter(a.tk, x -> list_contains(b.tk, x))) * 1.0
+          / len(a.tk) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def q318_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate detection via exact set-containment join
+    (operators/setjoin.prefix_containment_join): every 7th document is
+    deterministically replaced by a 12-word truncation of its predecessor
+    (the classic excerpt/truncation duplicate both engines construct
+    identically), and the bigram-shingle containment join finds exactly
+    the 8 excerpt→source pairs at containment >= 0.8 — pairs symmetric
+    Jaccard (q72/q249) scores near zero and MinHash banding under-recalls
+    by design (collision probability tracks Jaccard, not containment).
+    Candidates come from the rare-first prefix against a full shingle
+    inventory (complete by the PRETTI invariant); the oracle is the
+    brute-force ordered all-pairs on the same 60-doc corpus, which the
+    prefix filter must reproduce exactly."""
+    from .operators.dedup import shingle as _shingle
+    from .operators.setjoin import prefix_containment_join
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    pred = d.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("__ptext")
+    )
+    corpus = (
+        d.join(pred, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 7 == 0) & (F.col("doc_id") > 0),
+                F.array_join(F.slice(F.split(F.col("__ptext"), " "), 1, 12), " "),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    toks = corpus.select(
+        "doc_id",
+        F.array_distinct(_shingle(F.lower(F.col("text")), 2)).alias("tk"),
+    )
+    out = prefix_containment_join(toks, "doc_id", "tk", threshold=0.8)
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.round("containment", 6).alias("containment")
+    ).orderBy("id_a", "id_b")

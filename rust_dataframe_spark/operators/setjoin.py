@@ -33,7 +33,23 @@ from pyspark.sql import DataFrame, functions as F
 
 from .training import global_row_number
 
-__all__ = ["prefix_jaccard_join"]
+__all__ = ["prefix_jaccard_join", "prefix_containment_join"]
+
+
+def _ranked_docs(docs: DataFrame):
+    """(by_rank, prefix-ready) shared front half of the prefix-filter
+    joins: rare-first two-phase vocabulary rank, per-doc sorted rank
+    arrays.  Returns the ``(did, rks)`` frame."""
+    tok = docs.select("did", F.explode("toks").alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    # deterministic rare-first total order over the vocabulary — two-phase
+    # distributed rank, never a global single-partition window (VERDICT r3 #1)
+    ranked = global_row_number(vocab, ["cnt", "t"], out_col="rk").select("t", "rk")
+    return (
+        tok.join(ranked, "t")
+        .groupBy("did")
+        .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
+    )
 
 
 def prefix_jaccard_join(
@@ -50,18 +66,7 @@ def prefix_jaccard_join(
     ``(id_a, id_b, jaccard)``.
     """
     docs = df.select(F.col(id_col).alias("did"), F.col(tokens_col).alias("toks"))
-
-    tok = docs.select("did", F.explode("toks").alias("t"))
-    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    # deterministic rare-first total order over the vocabulary — two-phase
-    # distributed rank, never a global single-partition window (VERDICT r3 #1)
-    ranked = global_row_number(vocab, ["cnt", "t"], out_col="rk").select("t", "rk")
-
-    by_rank = (
-        tok.join(ranked, "t")
-        .groupBy("did")
-        .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
-    )
+    by_rank = _ranked_docs(docs)
     # prefix length |d| - ceil(t*|d|) + 1; the tiny epsilon keeps float
     # error from ever SHORTENING the prefix (longer prefix = more
     # candidates = still exact; shorter = false negatives)
@@ -93,4 +98,70 @@ def prefix_jaccard_join(
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prefix_containment_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    threshold: float,
+) -> DataFrame:
+    """All ORDERED pairs (id_a ≠ id_b) with ``containment(A→B) = |A∩B|/|A|
+    ≥ threshold`` — exact set-containment join, the asymmetric complement
+    of :func:`prefix_jaccard_join`.
+
+    Containment is what catches SUBSET duplicates — a truncated article, a
+    quoted excerpt, a doc embedded verbatim inside a larger one — which
+    symmetric Jaccard misses (a 10-line excerpt of a 1000-line doc has
+    Jaccard ≈ 0.01 but containment 1.0), and which MinHash band-LSH
+    under-recalls for the same reason (MinHash collision probability tracks
+    Jaccard, not containment).
+
+    Prefix invariant (PRETTI/PIEJoin family): if ``|A∩B| ≥ t·|A|`` then
+    ``|A\\B| ≤ |A|·(1-t)``, so A's rare-first prefix of length
+    ``|A| - ⌈t·|A|⌉ + 1`` (one more than A can afford to miss) must contain
+    at least one token of B.  Candidates therefore come from joining A's
+    PREFIX tokens against B's FULL token inventory — complete by
+    construction; verification computes exact containment on candidates
+    only.
+
+    Scale shape: same two-phase vocabulary rank as the Jaccard join (no
+    single-partition window); the B side is a full inverted index, so the
+    candidate join is shuffled on token rank with frequent-token skew —
+    rare-first prefixes keep the A side selective, AQE splits the hot
+    token lists.  Returns ``(id_a, id_b, containment)`` where A is the
+    (near-)contained side.
+    """
+    docs = df.select(F.col(id_col).alias("did"), F.col(tokens_col).alias("toks"))
+    by_rank = _ranked_docs(docs)
+    sized = by_rank.withColumn("sz", F.size("rks")).withColumn(
+        "plen",
+        F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)).cast("int")
+        + F.lit(1),
+    )
+    prefix = sized.select(
+        F.col("did").alias("id_a"),
+        F.explode(F.slice("rks", 1, F.col("plen"))).alias("prk"),
+    )
+    inventory = by_rank.select(
+        F.col("did").alias("id_b"), F.explode("rks").alias("prk")
+    )
+    cands = (
+        prefix.join(inventory, "prk")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = docs.select(F.col("did").alias("id_a"), F.col("toks").alias("ta"))
+    vb = docs.select(F.col("did").alias("id_b"), F.col("toks").alias("tb"))
+    cont = F.size(F.array_intersect("ta", "tb")) / F.size("ta")
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )

@@ -9,7 +9,10 @@ import pytest
 from pyspark.sql import Row, functions as F
 
 from rust_dataframe_spark.operators.experiments import cuped
-from rust_dataframe_spark.operators.setjoin import prefix_jaccard_join
+from rust_dataframe_spark.operators.setjoin import (
+    prefix_containment_join,
+    prefix_jaccard_join,
+)
 
 
 def test_cuped_perfect_covariate_kills_variance(spark):
@@ -101,3 +104,49 @@ def test_prefix_join_singleton_tokens(spark):
     df = spark.createDataFrame(docs, "id long, toks array<string>")
     rows = prefix_jaccard_join(df, "id", "toks", threshold=1.0).collect()
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# prefix_containment_join
+# ---------------------------------------------------------------------------
+
+
+def _brute_containment(docs, t):
+    out = set()
+    for ia, ta in docs:
+        for ib, tb in docs:
+            if ia == ib:
+                continue
+            sa, sb = set(ta), set(tb)
+            if len(sa & sb) / len(sa) >= t:
+                out.add((ia, ib))
+    return out
+
+
+@pytest.mark.parametrize("t", [0.5, 0.8, 1.0])
+def test_containment_join_matches_bruteforce(spark, t):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [
+        (i, sorted(set(rng.sample(vocab, rng.randint(2, 12)))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(docs, "id long, toks array<string>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_containment_join(df, "id", "toks", threshold=t).collect()
+    }
+    assert got == _brute_containment(docs, t)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """The motivating asymmetry: a small excerpt fully inside a big doc has
+    containment 1.0 but tiny Jaccard."""
+    big = [f"tok{i}" for i in range(40)]
+    docs = [(1, big[:4]), (2, big)]
+    df = spark.createDataFrame(docs, "id long, toks array<string>")
+    cont = prefix_containment_join(df, "id", "toks", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    # the symmetric join at the same bar finds nothing (Jaccard = 0.1)
+    assert prefix_jaccard_join(df, "id", "toks", threshold=0.9).count() == 0
