@@ -3908,3 +3908,52 @@ def q318_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id_a"), F.col("id_b"), F.round("containment", 6).alias("containment")
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q319: n-gram novelty screen (first-seen attribution)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q319_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             md5(unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+               i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' ')))))
+               AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    first AS (SELECT h, min(doc_id) AS first_id FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first.first_id = sh.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN first.first_id = sh.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM sh JOIN first USING (h)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q319_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty in ingestion order
+    (operators/text.ngram_novelty): the fraction of each doc's distinct
+    3-gram shingles the corpus sees first in that doc — 0 for a verbatim
+    recycle of earlier text, ~1 for fresh prose; the partial-recycling
+    price signal between exact dedup and pairwise Jaccard, computed with
+    no pair materialization.  The shuffle carries md5 digests (32 B),
+    never shingle text; first-seen is one partial-agg min per digest.
+    Conservation invariant: sum(n_novel) over the corpus == its distinct
+    digest count."""
+    from .operators.text import ngram_novelty
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = ngram_novelty(d, "doc_id", "text", n=3)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.round("novelty", 6).alias("novelty"),
+    ).orderBy("doc_id")

@@ -19,6 +19,7 @@ __all__ = [
     "simpson_diversity",
     "hashed_linear_score",
     "bigram_logprob",
+    "ngram_novelty",
     "STOPWORDS",
 ]
 
@@ -785,6 +786,51 @@ def bigram_logprob(
             F.col("avg_logprob"),
             F.exp(-F.col("avg_logprob")).alias("ppl"),
         )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against the rest of the corpus in
+    ``id_col`` (ingestion) order: what fraction of this doc's distinct
+    n-grams does the corpus see here FIRST?  A verbatim copy of an earlier
+    doc scores 0, fresh text scores ~1 — the curriculum/priority signal
+    between exact dedup (all-or-nothing) and near-dup Jaccard (pairwise):
+    it prices *partial* recycling per document without materializing any
+    pair.
+
+    Shape: explode distinct shingles → ``md5`` digest (the shuffle carries
+    32 B digests, never shingle text — operators/dedup.py discipline) →
+    ``min(id)`` per digest (first-seen owner, one partial-agg shuffle) →
+    join back, per-doc counts.  Returns ``(id, n_shingles, n_novel,
+    novelty)``.  Ties are exact: a shingle is novel only for the single
+    smallest id carrying it, so corpus-wide ``sum(n_novel)`` equals the
+    corpus's distinct-shingle count — a built-in conservation check.
+    """
+    from .dedup import shingle
+
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle(F.lower(F.col(text_col)), n))).alias(
+            "__s"
+        ),
+    ).select(F.col(id_col), F.md5("__s").alias("__h"))
+    first = sh.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    return (
+        sh.join(first, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__first") == F.col(id_col)).cast("int")).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn("novelty", F.col("n_novel") / F.col("n_shingles"))
     )
 
 

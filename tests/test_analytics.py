@@ -521,6 +521,33 @@ def test_hashed_linear_score_known_values(spark):
     assert out["prob"] == pytest.approx(1.0 / (1.0 + math.exp(-margin)), abs=1e-9)
 
 
+def test_ngram_novelty_copy_scores_zero_and_conserves(spark):
+    from rust_dataframe_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="alpha beta gamma delta"),  # verbatim copy
+            Row(doc_id=3, text="totally fresh words here"),
+            Row(doc_id=4, text="alpha beta gamma NEW tail words"),  # partial
+        ]
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, "doc_id", "text", n=3).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0  # every 3-gram first seen in doc 1
+    assert out[3]["novelty"] == 1.0
+    assert 0.0 < out[4]["novelty"] < 1.0  # recycled head, fresh tail
+    # conservation: sum of novel counts == corpus distinct-shingle count
+    from rust_dataframe_spark.operators.dedup import shingle
+
+    distinct_total = (
+        df.select(F.explode(F.array_distinct(shingle(F.lower("text"), 3))).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in out.values()) == distinct_total
+
+
 def test_bigram_logprob_known_corpus(spark):
     """Hand-computed add-1 bigram model on a 2-doc corpus."""
     from rust_dataframe_spark.operators.text import bigram_logprob
