@@ -93,6 +93,9 @@ HEADLINE = [
     "q288_auc",
     "q294_rolling_uniques",
     "q300_curation_pipeline",
+    # round-7 additions: classifier scoring + novelty screen
+    "q315_quality_classifier",
+    "q319_ngram_novelty",
 ]
 
 
