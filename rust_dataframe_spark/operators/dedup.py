@@ -85,14 +85,26 @@ def shingle(text_col, n: int = 3):
     )
 
 
-def minhash_signature(shingles_col, k: int = 16):
-    """k-element MinHash signature from salted md5 digests, one array pass.
+def minhash_signature(shingles_col, k: int = 16, *, hash_family: str = "md5"):
+    """k-element MinHash signature from salted digests, one array pass.
 
-    Hash family: slot i takes the 8-hex-char window ``(i%4)*8`` of
-    ``md5(shingle || '#' || i//4)`` (no salt for digest 0).  Disjoint 32-bit
-    windows of a crypto digest are independent uniform values, so each slot
-    is a valid permutation-min; sharing one digest across 4 slots cuts hash
-    work 4x versus one md5 per slot.
+    Hash family (``hash_family``):
+
+    * ``"md5"`` (default): slot i takes the 8-hex-char window ``(i%4)*8``
+      of ``md5(shingle || '#' || i//4)`` (no salt for digest 0).  Disjoint
+      32-bit windows of a crypto digest are independent uniform values, so
+      each slot is a valid permutation-min; sharing one digest across 4
+      slots cuts hash work 4x versus one md5 per slot.  md5 is the
+      ENGINE-REPLAYABLE choice — DuckDB recomputes the identical bits, so
+      every oracle in the LSH family stays a hash-exact check.
+    * ``"xxhash64"``: slot i = zero-padded hex of ``xxhash64(shingle, i)``
+      — Spark's non-cryptographic JVM hash, the PRODUCTION choice (md5
+      costs ~10 ns/byte; xxhash64 ~0.1).  String-min over the fixed-width
+      hex is a min over the unsigned reinterpretation — a valid uniform
+      permutation, just not one DuckDB can replay (no xxhash64 there), so
+      use it where throughput matters and the oracle gate doesn't apply.
+      Same signature schema (array<string>), so banding/verify downstream
+      is family-agnostic.  Measured at sf0.1: see SCALE.md.
 
     Execution shape: ONE ``transform`` maps each shingle to its k-window
     array, then ``aggregate`` + ``zip_with(least)`` folds the positional min —
@@ -107,30 +119,51 @@ def minhash_signature(shingles_col, k: int = 16):
     the identity for the fold; empty shingle arrays yield all-sentinel rows.
     """
 
-    def windows(s):
-        digests = [
-            F.md5(s) if j == 0 else F.md5(F.concat(s, F.lit(f"#{j}")))
-            for j in range((k + 3) // 4)
-        ]
-        return F.array(
-            *[F.substring(digests[i // 4], (i % 4) * 8 + 1, 8) for i in range(k)]
-        )
+    if hash_family == "md5":
+        slot_width = 8
+
+        def windows(s):
+            digests = [
+                F.md5(s) if j == 0 else F.md5(F.concat(s, F.lit(f"#{j}")))
+                for j in range((k + 3) // 4)
+            ]
+            return F.array(
+                *[
+                    F.substring(digests[i // 4], (i % 4) * 8 + 1, 8)
+                    for i in range(k)
+                ]
+            )
+
+    elif hash_family == "xxhash64":
+        slot_width = 16
+
+        def windows(s):
+            return F.array(
+                *[
+                    F.lpad(F.hex(F.xxhash64(s, F.lit(i))), 16, "0")
+                    for i in range(k)
+                ]
+            )
+
+    else:
+        raise ValueError(f"hash_family must be md5|xxhash64, got {hash_family!r}")
 
     return F.aggregate(
         F.transform(shingles_col, windows),
-        F.array_repeat(F.lit("~" * 8), k),
+        F.array_repeat(F.lit("~" * slot_width), k),
         lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
     )
 
 
 def minhash_signatures_df(
-    df: DataFrame, id_col: str, shingles_col: str, k: int = 16
+    df: DataFrame, id_col: str, shingles_col: str, k: int = 16, *, hash_family: str = "md5"
 ) -> DataFrame:
     """DataFrame-level convenience wrapper over ``minhash_signature``;
     returns (id, sig: array<string>).  Same hash family, same one-pass
     shuffle-free plan."""
     return df.select(
-        F.col(id_col), minhash_signature(F.col(shingles_col), k).alias("sig")
+        F.col(id_col),
+        minhash_signature(F.col(shingles_col), k, hash_family=hash_family).alias("sig")
     )
 
 

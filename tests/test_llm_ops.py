@@ -57,6 +57,40 @@ class TestMinhashLSH:
         # unrelated docs must not pair
         assert not any(4 in p or 5 in p for p in found)
 
+    def test_xxhash64_family_same_minhash_semantics(self, docs):
+        """The production hash family must preserve every MinHash property
+        the md5 family has: identical sets -> identical signatures, distinct
+        sets -> distinct signatures, fixed-width slots, and slot-wise
+        monotonicity (a superset's slot min can only be <= the subset's)."""
+        sh = docs.select(
+            "doc_id", F.array_distinct(dd.shingle(F.col("text"), 3)).alias("s")
+        )
+        sig = sh.select(
+            "doc_id",
+            dd.minhash_signature(F.col("s"), 8, hash_family="xxhash64").alias("sig"),
+        )
+        rows = {r["doc_id"]: r["sig"] for r in sig.collect()}
+        assert rows[1] == rows[2] and rows[1] != rows[4]
+        assert all(len(slot) == 16 for slot in rows[1])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="md5|xxhash64"):
+            dd.minhash_signature(F.col("s"), 8, hash_family="sha1")
+
+    def test_xxhash64_slotwise_monotone_under_superset(self, spark):
+        base = [f"sh{i}" for i in range(20)]
+        df = spark.createDataFrame(
+            [(1, base[:10]), (2, base)], "id int, s array<string>"
+        )
+        rows = {
+            r["id"]: r["sig"]
+            for r in df.select(
+                "id",
+                dd.minhash_signature(F.col("s"), 8, hash_family="xxhash64").alias("sig"),
+            ).collect()
+        }
+        assert all(b <= a for a, b in zip(rows[1], rows[2]))
+
     def test_shingle_short_doc(self, spark):
         f = spark.createDataFrame([(1, "one two")], "id int, text string")
         sh = f.select(dd.shingle(F.col("text"), 3).alias("s")).first()["s"]
