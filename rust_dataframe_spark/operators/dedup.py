@@ -219,6 +219,7 @@ def near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate detection.
 
@@ -259,7 +260,11 @@ def near_dup_pairs(
     # signatures (k hex strings/doc) — at 100 TB you checkpoint this table,
     # never the shingle sets.
     sh = rep_docs.select(F.col(id_col), shingle(F.col(text_col), shingle_n).alias("shingles"))
-    sig = persist_tracked(minhash_signatures_df(sh, id_col, "shingles", num_hashes))
+    sig = persist_tracked(
+        minhash_signatures_df(
+            sh, id_col, "shingles", num_hashes, hash_family=hash_family
+        )
+    )
     cands = lsh_candidate_pairs(sig, id_col, "sig", bands=bands, rows_per_band=rows_per_band)
 
     # 3. verify candidates only: join texts, recompute shingles per pair —
