@@ -3957,3 +3957,49 @@ def q319_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_novel").cast("bigint").alias("n_novel"),
         F.round("novelty", 6).alias("novelty"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q320: length-bucketed padding-efficiency audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q320_padding_efficiency",
+    oracle="""
+    WITH seqs AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n,
+             CASE WHEN len(string_split(text, ' ')) <= 16 THEN 16
+                  WHEN len(string_split(text, ' ')) <= 32 THEN 32
+                  WHEN len(string_split(text, ' ')) <= 64 THEN 64
+                  WHEN len(string_split(text, ' ')) <= 128 THEN 128
+                  ELSE NULL END AS bucket_cap
+      FROM documents
+    ),
+    g AS (SELECT max(n) AS gmax FROM seqs)
+    SELECT bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * bucket_cap - sum(n) AS BIGINT) AS bucket_padded,
+           CAST(count(*) * g.gmax - sum(n) AS BIGINT) AS naive_padded,
+           round(1.0 - (count(*) * bucket_cap - sum(n)) * 1.0
+                 / (count(*) * g.gmax - sum(n)), 6) AS saved_frac
+    FROM seqs CROSS JOIN g
+    GROUP BY bucket_cap, g.gmax ORDER BY bucket_cap
+    """,
+)
+def q320_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit (operators/training.padding_efficiency):
+    pad tokens are wasted FLOPs, and the saving from bucketing sequences by
+    length before batching — versus padding everything to the global max —
+    is exactly what this one-scan report quantifies per bucket
+    (boundaries 16/32/64/128 cover the fixture's 10-99-word docs).  One
+    codegen'd CASE + a #buckets-row aggregate; global max as a 1-row
+    broadcast; total-token conservation across boundary choices makes
+    boundary tuning a grid search over the same scan."""
+    from .operators.training import padding_efficiency
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    return padding_efficiency(d, "doc_id", "n_tok", [16, 32, 64, 128])

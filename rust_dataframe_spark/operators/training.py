@@ -35,6 +35,7 @@ __all__ = [
     "global_cumsum",
     "global_row_number",
     "pack_sequences",
+    "padding_efficiency",
     "semdedup",
     "kmeans",
     "kmeans_parallel_init",
@@ -568,4 +569,69 @@ def dsir_weights(
         "target_mass",
         "raw_mass",
         F.round(weight, 6).alias("weight"),
+    )
+
+
+def padding_efficiency(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    boundaries: list[int],
+) -> DataFrame:
+    """Length-bucketed batching audit — how many pad tokens does each
+    bucketing boundary set cost versus padding every sequence to the
+    global max?  The inference/training-throughput question behind
+    "bucket by length before batching" (pad tokens are pure wasted FLOPs;
+    a good boundary set typically reclaims most of them).
+
+    Each sequence pads up to the smallest boundary >= its length
+    (sequences longer than the last boundary are rejected with a clear
+    error — choose boundaries that cover the corpus).  Returns one row
+    per non-empty bucket: ``(bucket_cap, n_seqs, sum_tokens,
+    bucket_padded, naive_padded, saved_frac)`` where ``naive_padded``
+    pads the same sequences to the global max and ``saved_frac`` =
+    1 - bucket_padded/naive_padded.
+
+    Scale: one codegen'd CASE over the scan + a #buckets-row aggregate;
+    the global max rides as a 1-row broadcast.  The audit's total-token
+    conservation (Σ sum_tokens constant across boundary choices) makes
+    boundary tuning a cheap grid search over the same scan.
+    """
+    if not boundaries or sorted(boundaries) != list(boundaries):
+        raise ValueError("boundaries must be a non-empty ascending list")
+    n = F.col(n_tokens_col)
+    cap = None
+    for b in boundaries:
+        clause = (n <= b, F.lit(b))
+        cap = F.when(*clause) if cap is None else cap.when(*clause)
+    cap = cap.otherwise(F.lit(None))
+    seqs = df.select(F.col(id_col), n.alias("__n"), cap.alias("bucket_cap"))
+    # overflow guard: at 100 TB a silent drop is a data loss bug
+    overflow = seqs.filter(F.col("bucket_cap").isNull()).limit(1).count()
+    if overflow:
+        raise ValueError(
+            f"sequences longer than max boundary {boundaries[-1]} exist; "
+            "extend boundaries to cover the corpus"
+        )
+    gmax = seqs.agg(F.max("__n").alias("__gmax"))
+    return (
+        seqs.crossJoin(F.broadcast(gmax))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("__n").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.first("bucket_cap") - F.sum("__n")).alias(
+                "bucket_padded"
+            ),
+            (F.count(F.lit(1)) * F.first("__gmax") - F.sum("__n")).alias(
+                "naive_padded"
+            ),
+        )
+        .withColumn(
+            "saved_frac",
+            F.round(
+                1.0 - F.col("bucket_padded") / F.col("naive_padded"), 6
+            ),
+        )
+        .orderBy("bucket_cap")
     )

@@ -521,6 +521,26 @@ def test_hashed_linear_score_known_values(spark):
     assert out["prob"] == pytest.approx(1.0 / (1.0 + math.exp(-margin)), abs=1e-9)
 
 
+def test_padding_efficiency_known_values_and_overflow(spark):
+    from rust_dataframe_spark.operators.training import padding_efficiency
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 4), (3, 7), (4, 8)], "id int, n int"
+    )
+    rows = {r["bucket_cap"]: r for r in padding_efficiency(df, "id", "n", [4, 8]).collect()}
+    # bucket 4: seqs 3+4 -> padded 2*4-7=1; naive (gmax=8): 2*8-7=9
+    assert rows[4]["n_seqs"] == 2 and rows[4]["bucket_padded"] == 1
+    assert rows[4]["naive_padded"] == 9
+    assert rows[4]["saved_frac"] == pytest.approx(1 - 1 / 9, abs=1e-6)
+    # bucket 8: 7+8 -> padded 2*8-15=1 == naive -> saved 0
+    assert rows[8]["bucket_padded"] == rows[8]["naive_padded"] == 1
+    assert rows[8]["saved_frac"] == 0.0
+    with pytest.raises(ValueError, match="longer than max boundary"):
+        padding_efficiency(df, "id", "n", [4])
+    with pytest.raises(ValueError, match="ascending"):
+        padding_efficiency(df, "id", "n", [8, 4])
+
+
 def test_ngram_novelty_copy_scores_zero_and_conserves(spark):
     from rust_dataframe_spark.operators.text import ngram_novelty
 
