@@ -4003,3 +4003,61 @@ def q320_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
     )
     return padding_efficiency(d, "doc_id", "n_tok", [16, 32, 64, 128])
+
+
+# ---------------------------------------------------------------------------
+# q321: sorted-neighborhood blocking (record linkage)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q321_sorted_neighborhood",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part WHERE p_partkey <= 300
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             a.p_name AS key_a, b.p_name AS key_b
+      FROM ranked a JOIN ranked b
+        ON b.rn > a.rn AND b.rn <= a.rn + 3
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_filter(string_split(key_a, ' '),
+                                x -> list_contains(string_split(key_b, ' '), x)))
+             AS BIGINT) AS shared_words
+    FROM pairs
+    WHERE len(list_filter(string_split(key_a, ' '),
+                          x -> list_contains(string_split(key_b, ' '), x))) >= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q321_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record-linkage blocking
+    (operators/dedup.sorted_neighborhood_pairs): parts ordered by name,
+    candidates = every pair within a 4-wide sliding window, verified here
+    by full-name word overlap (the fixture's 2-word part names) — the near-miss pairs ("blush lavender
+    chiffon..." neighbors) that equality blocking on an exact key would
+    scatter into different blocks.  The global order is the two-phase
+    distributed rank (no single-partition window, same machinery as
+    q125/q249); the pair join is an integer-rank equi-join, uniform by
+    construction."""
+    from .operators.dedup import sorted_neighborhood_pairs
+
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    cands = sorted_neighborhood_pairs(p, "p_partkey", "p_name", window=4)
+    shared = F.size(
+        F.filter(
+            F.split(F.col("key_a"), " "),
+            lambda x: F.array_contains(F.split(F.col("key_b"), " "), x),
+        )
+    )
+    return (
+        cands.select(
+            F.col("id_a"), F.col("id_b"), shared.cast("bigint").alias("shared_words")
+        )
+        .filter(F.col("shared_words") >= 2)
+        .orderBy("id_a", "id_b")
+    )

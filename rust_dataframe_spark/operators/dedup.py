@@ -48,6 +48,7 @@ __all__ = [
     "simhash",
     "repeated_ngram_spans",
     "blocked_weighted_jaccard",
+    "sorted_neighborhood_pairs",
 ]
 
 
@@ -917,3 +918,52 @@ def blocked_weighted_jaccard(
         )
     )
     return out.filter(F.col("wjaccard") >= threshold)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    window: int,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): order records
+    by a blocking key and emit every pair within ``window`` positions —
+    the third classic candidate generator beside equality blocking
+    (:func:`blocked_weighted_jaccard`'s blocks) and LSH.  Equality blocking
+    misses near-misses that land in different blocks ("Jon"/"John");
+    sorting puts lexicographic near-misses ADJACENT, so a small window
+    catches them with O(n·window) candidates instead of O(n²).
+
+    Returns ``(id_a, id_b, key_a, key_b)`` — candidates for a downstream
+    exact verify (edit distance, Jaccard, ...), ordered pairs with
+    ``rank_a < rank_b``.
+
+    Scale: the global order comes from the two-phase
+    ``global_row_number`` (training.py) — no single-partition window; each
+    record then fans out to ``window - 1`` probe ranks and the pair join is
+    an equi-join on the integer rank, uniformly distributed by
+    construction (rank collisions are impossible).  Total cost: the rank's
+    two range-shuffles + one join shuffled on rank.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from .training import global_row_number
+
+    base = df.select(F.col(id_col), F.col(key_col))
+    ranked = global_row_number(base, [key_col, id_col], out_col="__rn")
+    probes = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col(key_col).alias("key_a"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(window - 1)), lambda i: F.col("__rn") + i
+            )
+        ).alias("__rn2"),
+    )
+    others = ranked.select(
+        F.col("__rn").alias("__rn2"),
+        F.col(id_col).alias("id_b"),
+        F.col(key_col).alias("key_b"),
+    )
+    return probes.join(others, "__rn2").select("id_a", "id_b", "key_a", "key_b")

@@ -459,6 +459,38 @@ class TestBloomDecontamination:
         assert r["n_true"] == 2
 
 
+class TestSortedNeighborhood:
+    def test_window_pairs_match_bruteforce(self, spark):
+        rows = [(i, f"name{(i * 7) % 10}{i % 3}") for i in range(30)]
+        df = spark.createDataFrame(rows, "id int, k string")
+        w = 4
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dd.sorted_neighborhood_pairs(df, "id", "k", window=w).collect()
+        }
+        ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+        expect = {
+            (ordered[i][0], ordered[j][0])
+            for i in range(len(ordered))
+            for j in range(i + 1, min(i + w, len(ordered)))
+        }
+        assert got == expect
+
+    def test_adjacent_near_misses_pair_where_blocking_would_split(self, spark):
+        df = spark.createDataFrame(
+            [(1, "jon smith"), (2, "john smith"), (3, "zz zz")], "id int, k string"
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dd.sorted_neighborhood_pairs(df, "id", "k", window=2).collect()
+        }
+        assert (2, 1) in got  # "john..." sorts right before "jon..."
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="window"):
+            dd.sorted_neighborhood_pairs(df, "id", "k", window=1)
+
+
 class TestPII:
     def test_scan_counts(self, spark):
         df = spark.createDataFrame(
