@@ -536,3 +536,32 @@ def test_dynamic_partition_pruning_active(spark):
     df = catalog.QUERIES["q280_dynamic_pruning"](spark, SF)
     plan = df._jdf.queryExecution().toString().lower()
     assert "dynamicpruning" in plan
+
+
+def test_q315_classifier_is_one_shuffle_free_scan(spark):
+    """The hashed linear classifier must stay a pure scan: weight lookup is
+    an array literal, pooling a per-row fold — zero exchanges."""
+    df = catalog.QUERIES["q315_quality_classifier"](spark, SF)
+    # the only allowed exchange is the final orderBy's range partitioning
+    plan = pi.physical_plan(df)
+    import re
+
+    n_ex = len(re.findall(r"Exchange", plan))
+    assert n_ex <= 1, plan  # just the presentation sort
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q318_containment_no_single_partition_window(spark):
+    df = catalog.QUERIES["q318_containment_dedup"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q321_sorted_neighborhood_no_single_partition_window(spark):
+    """The global blocking-key order must be the two-phase rank, never a
+    naive Window.orderBy over the corpus."""
+    df = catalog.QUERIES["q321_sorted_neighborhood"](spark, SF)
+    plan = pi.physical_plan(df)
+    assert "SinglePartition" not in plan
