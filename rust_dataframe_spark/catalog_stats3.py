@@ -4061,3 +4061,56 @@ def q321_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_words") >= 2)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q322: incremental novelty against a persisted first-seen index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q322_incremental_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             md5(unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+               i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' ')))))
+               AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    first AS (SELECT h, min(doc_id) AS first_id FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first.first_id = sh.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN first.first_id = sh.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM sh JOIN first USING (h)
+    WHERE sh.doc_id >= 100
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q322_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion-batch novelty
+    (operators/text.ngram_novelty_incremental): docs 0-99 stand in as the
+    already-indexed corpus (its first-seen digest index materialized by
+    ngram_digest_index — the persisted artifact a daily pipeline appends
+    to), docs 100-199 as today's batch; the batch probes the index with
+    one digest equi-join and the old corpus is never rescanned.  The
+    oracle is the BATCH novelty over the full union restricted to the new
+    docs — the parity the incremental decomposition must preserve
+    (first-seen attribution splits exactly across the index boundary)."""
+    from .operators.text import ngram_digest_index, ngram_novelty_incremental
+
+    d = table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 100)
+    new = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    idx = ngram_digest_index(old, "doc_id", "text", n=3)
+    per_doc, _delta = ngram_novelty_incremental(new, idx, "doc_id", "text", n=3)
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.round("novelty", 6).alias("novelty"),
+    ).orderBy("doc_id")

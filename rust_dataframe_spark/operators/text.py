@@ -20,6 +20,8 @@ __all__ = [
     "hashed_linear_score",
     "bigram_logprob",
     "ngram_novelty",
+    "ngram_digest_index",
+    "ngram_novelty_incremental",
     "STOPWORDS",
 ]
 
@@ -1041,3 +1043,79 @@ def bpe_apply(
     for a, b in merges:
         syms = apply_bpe_merge(syms, a, b)
     return words.select("w", "n", syms.alias("syms"))
+
+
+def ngram_digest_index(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3
+) -> DataFrame:
+    """First-seen digest index for :func:`ngram_novelty`: one ``(h,
+    first_id)`` row per distinct shingle digest in the corpus.  Materialize
+    ONCE (parquet, bucketed by ``h``) and score every future ingestion
+    batch against it with :func:`ngram_novelty_incremental` — O(batch)
+    daily instead of re-scanning the corpus (the same persisted-index
+    posture as dedup.lsh_band_index)."""
+    from .dedup import shingle
+
+    sh = df.select(
+        F.col(id_col).alias("__first"),
+        F.explode(F.array_distinct(shingle(F.lower(F.col(text_col)), n))).alias(
+            "__s"
+        ),
+    ).select(F.md5("__s").alias("h"), F.col("__first"))
+    return sh.groupBy("h").agg(F.min("__first").alias("first_id"))
+
+
+def ngram_novelty_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Novelty of a NEW ingestion batch against a persisted first-seen
+    index, plus the index delta to append — the incremental form of
+    :func:`ngram_novelty` for daily-append pipelines.
+
+    Returns ``(per_doc, index_delta)``: ``per_doc`` has the same
+    ``(id, n_shingles, n_novel, novelty)`` schema as the batch operator
+    and — provided batch ids sort after all indexed ids — EQUALS what the
+    batch operator would report for these docs on the full corpus
+    (parity-pinned in tests).  ``index_delta`` is the new ``(h,
+    first_id)`` rows; ``index.unionByName(delta)`` (or an append write) is
+    the next index.
+
+    Scale: the batch's digests probe the index with one equi-join on ``h``
+    (bucketed index → co-located probe, no index shuffle); everything else
+    is per-batch aggregates.  The old corpus is never rescanned.
+    """
+    from .dedup import shingle
+
+    sh = new_df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle(F.lower(F.col(text_col)), n))).alias(
+            "__s"
+        ),
+    ).select(F.col(id_col), F.md5("__s").alias("h"))
+    probed = sh.join(index.select("h", "first_id"), "h", "left")
+    batch_first = sh.groupBy("h").agg(F.min(id_col).alias("__bfirst"))
+    per_doc = (
+        probed.join(batch_first, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (
+                    F.col("first_id").isNull()
+                    & (F.col("__bfirst") == F.col(id_col))
+                ).cast("int")
+            ).alias("n_novel"),
+        )
+        .withColumn("novelty", F.col("n_novel") / F.col("n_shingles"))
+    )
+    delta = (
+        probed.filter(F.col("first_id").isNull())
+        .groupBy("h")
+        .agg(F.min(id_col).alias("first_id"))
+    )
+    return per_doc, delta

@@ -568,6 +568,47 @@ def test_ngram_novelty_copy_scores_zero_and_conserves(spark):
     assert sum(r["n_novel"] for r in out.values()) == distinct_total
 
 
+def test_incremental_novelty_matches_batch(spark):
+    """Index old corpus once, score a new batch incrementally — per-doc
+    results must equal the batch operator on the full corpus, and
+    index+delta must equal the full-corpus index."""
+    from rust_dataframe_spark.operators.text import (
+        ngram_digest_index,
+        ngram_novelty,
+        ngram_novelty_incremental,
+    )
+
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta"), Row(doc_id=2, text="x y z w")]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="alpha beta gamma delta"),  # full recycle
+            Row(doc_id=11, text="brand new words appear here"),
+            Row(doc_id=12, text="brand new words appear here"),  # copy within batch
+        ]
+    )
+    idx = ngram_digest_index(old, "doc_id", "text", n=3)
+    per_doc, delta = ngram_novelty_incremental(new, idx, "doc_id", "text", n=3)
+    got = {r["doc_id"]: r for r in per_doc.collect()}
+    full = {
+        r["doc_id"]: r
+        for r in ngram_novelty(old.unionByName(new), "doc_id", "text", n=3).collect()
+    }
+    for did in (10, 11, 12):
+        assert got[did]["n_shingles"] == full[did]["n_shingles"]
+        assert got[did]["n_novel"] == full[did]["n_novel"], did
+    assert got[10]["novelty"] == 0.0 and got[11]["novelty"] == 1.0
+    assert got[12]["novelty"] == 0.0  # within-batch copy attributes to 11
+    # index + delta == index over the full corpus
+    merged = {(r["h"], r["first_id"]) for r in idx.unionByName(delta).collect()}
+    full_idx = {
+        (r["h"], r["first_id"])
+        for r in ngram_digest_index(old.unionByName(new), "doc_id", "text", n=3).collect()
+    }
+    assert merged == full_idx
+
+
 def test_bigram_logprob_known_corpus(spark):
     """Hand-computed add-1 bigram model on a 2-doc corpus."""
     from rust_dataframe_spark.operators.text import bigram_logprob
