@@ -539,3 +539,33 @@ def test_streaming_countmin_incremental_merge(spark, events, tmp_path_factory):
         ).collect()
     }
     assert final == batch and len(final) > 0
+
+
+def test_streaming_quality_classifier_batch_parity(spark, tmp_path_factory):
+    """hashed_linear_score is stateless/narrow, so it must run UNCHANGED on a
+    streaming DataFrame with exact batch parity — the screen-while-ingesting
+    deployment of the quality classifier."""
+    from rust_dataframe_spark.operators.text import hashed_linear_score
+
+    p = str(tmp_path_factory.mktemp("clf") / "docs")
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "zeta")],
+        "doc_id int, text string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    weights = [0.5, -0.25, 0.125, 1.0]
+    batch = {
+        r["doc_id"]: (r["margin"], r["prob"])
+        for r in hashed_linear_score(
+            spark.read.parquet(p), "doc_id", "text", weights=weights, bias=0.1
+        ).collect()
+    }
+    schema = spark.read.parquet(p).schema
+    stream = spark.readStream.schema(schema).parquet(p)
+    out = st.run_available_now(
+        hashed_linear_score(stream, "doc_id", "text", weights=weights, bias=0.1),
+        "t_clf",
+        output_mode="append",
+    )
+    got = {r["doc_id"]: (r["margin"], r["prob"]) for r in out.collect()}
+    assert got == batch
