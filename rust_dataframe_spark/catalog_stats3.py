@@ -4114,3 +4114,69 @@ def q322_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_novel").cast("bigint").alias("n_novel"),
         F.round("novelty", 6).alias("novelty"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q323: data-mixture rate calculator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q323_mixture_rates",
+    oracle="""
+    WITH census AS (
+      SELECT source AS domain,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+      FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+      GROUP BY 1
+    ),
+    rated AS (
+      SELECT domain, avail,
+             CASE domain WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                         WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.05
+                         ELSE 0.0 END AS tshare
+      FROM census
+    ),
+    r2 AS (
+      SELECT domain, avail, tshare,
+             least(1.0, tshare * 3000.0 / avail) AS rate,
+             tshare * 3000.0 > avail AS epoch_capped,
+             CAST(floor(least(1.0, tshare * 3000.0 / avail) * avail) AS BIGINT)
+               AS sampled
+      FROM rated
+    )
+    SELECT domain, avail AS available_tokens,
+           CAST(round(tshare, 6) AS DOUBLE) AS target_share,
+           CAST(round(rate, 6) AS DOUBLE) AS rate,
+           sampled AS sampled_tokens,
+           CAST(round(sampled * 1.0 / sum(sampled) OVER (), 6) AS DOUBLE)
+             AS achieved_share,
+           epoch_capped
+    FROM r2 ORDER BY domain
+    """,
+)
+def q323_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rate calculator (operators/training.mixture_rates):
+    a DoReMi-style target weight vector (50/30/15/5 over four sources)
+    plus a 3000-token budget turn into the per-domain sampling rates
+    stratified_sample executes — with single-epoch caps surfaced as
+    ``epoch_capped`` (the 50%-weight domain can't fill its share from
+    ~1350 available tokens, so its rate pins at 1.0 and the achieved
+    shares shift; the calculator shows the shortfall instead of silently
+    upsampling).  Census = one groupBy over the corpus; everything else
+    is arithmetic over #domains rows + a 1-row broadcast."""
+    from .operators.training import mixture_rates
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    census = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+    )
+    return mixture_rates(
+        census,
+        "source",
+        "n_tokens",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src3": 0.05},
+        3000,
+    )

@@ -36,6 +36,7 @@ __all__ = [
     "global_row_number",
     "pack_sequences",
     "padding_efficiency",
+    "mixture_rates",
     "semdedup",
     "kmeans",
     "kmeans_parallel_init",
@@ -634,4 +635,76 @@ def padding_efficiency(
             ),
         )
         .orderBy("bucket_cap")
+    )
+
+
+def mixture_rates(
+    counts: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    target_weights: dict[str, float],
+    token_budget: int,
+) -> DataFrame:
+    """Turn a target domain mixture into executable per-domain sampling
+    rates — the calculator between "we want 30% code, 50% web, 20% books"
+    (a DoReMi/Pile-style weight vector) and the ``stratified_sample``
+    fractions that implement it.
+
+    For each domain: ``requested = budget · weight``; ``rate = min(1,
+    requested / available)`` — single-epoch cap, never upsampling by
+    repetition (epoch multipliers are a training-loop concern;
+    ``epoch_capped`` flags domains that can't meet their target so the
+    caller can renormalize or accept the shortfall).  Returns one row per
+    domain: ``(domain, available_tokens, target_share, rate,
+    sampled_tokens, achieved_share, epoch_capped)`` with achieved shares
+    computed over the actually-sampled total (they differ from targets
+    exactly when a domain caps).
+
+    Scale: ``counts`` is the per-domain token census (a handful of rows —
+    the output of one groupBy over the corpus); everything here is
+    arithmetic over it plus a 1-row broadcast of the sampled total.
+    Domains absent from ``target_weights`` get rate 0 (excluded), listed
+    with ``target_share`` 0 so exclusions are visible, not silent.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    total_w = sum(target_weights.values())
+    if total_w <= 0 or abs(total_w - 1.0) > 1e-6:
+        raise ValueError(f"target_weights must sum to 1, got {total_w}")
+    share = None
+    for name, w in target_weights.items():
+        clause = (F.col(domain_col) == name, F.lit(float(w)))
+        share = F.when(*clause) if share is None else share.when(*clause)
+    share = share.otherwise(F.lit(0.0))
+    base = counts.select(
+        F.col(domain_col).alias("domain"),
+        F.col(tokens_col).cast("bigint").alias("available_tokens"),
+        share.alias("target_share"),
+    )
+    requested = F.col("target_share") * F.lit(float(token_budget))
+    rated = base.select(
+        "domain",
+        "available_tokens",
+        "target_share",
+        F.least(F.lit(1.0), requested / F.col("available_tokens")).alias("rate"),
+        (requested > F.col("available_tokens")).alias("epoch_capped"),
+    ).withColumn(
+        "sampled_tokens",
+        F.floor(F.col("rate") * F.col("available_tokens")).cast("bigint"),
+    )
+    tot = rated.agg(F.sum("sampled_tokens").alias("__tot"))
+    return (
+        rated.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "available_tokens",
+            F.round("target_share", 6).alias("target_share"),
+            F.round("rate", 6).alias("rate"),
+            "sampled_tokens",
+            F.round(F.col("sampled_tokens") / F.col("__tot"), 6).alias(
+                "achieved_share"
+            ),
+            "epoch_capped",
+        )
+        .orderBy("domain")
     )

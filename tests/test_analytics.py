@@ -521,6 +521,34 @@ def test_hashed_linear_score_known_values(spark):
     assert out["prob"] == pytest.approx(1.0 / (1.0 + math.exp(-margin)), abs=1e-9)
 
 
+def test_mixture_rates_caps_and_conserves(spark):
+    from rust_dataframe_spark.operators.training import mixture_rates
+
+    census = spark.createDataFrame(
+        [("web", 1000), ("code", 100), ("books", 500)], "d string, t long"
+    )
+    rows = {
+        r["domain"]: r
+        for r in mixture_rates(
+            census, "d", "t", {"web": 0.5, "code": 0.5}, 400
+        ).collect()
+    }
+    # code wants 200 but has 100 -> capped at rate 1.0
+    assert rows["code"]["epoch_capped"] is True and rows["code"]["rate"] == 1.0
+    assert rows["code"]["sampled_tokens"] == 100
+    # web wants 200 of 1000 -> rate 0.2
+    assert rows["web"]["rate"] == pytest.approx(0.2)
+    assert rows["web"]["sampled_tokens"] == 200
+    # unlisted domain excluded but visible
+    assert rows["books"]["rate"] == 0.0 and rows["books"]["target_share"] == 0.0
+    # achieved shares renormalize over the sampled total (300)
+    assert rows["web"]["achieved_share"] == pytest.approx(200 / 300, abs=1e-6)
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_rates(census, "d", "t", {"web": 0.5}, 400)
+    with pytest.raises(ValueError, match="positive"):
+        mixture_rates(census, "d", "t", {"web": 1.0}, 0)
+
+
 def test_padding_efficiency_known_values_and_overflow(spark):
     from rust_dataframe_spark.operators.training import padding_efficiency
 
