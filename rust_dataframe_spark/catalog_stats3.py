@@ -4180,3 +4180,97 @@ def q323_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src3": 0.05},
         3000,
     )
+
+
+# ---------------------------------------------------------------------------
+# q324: Matryoshka truncation recall audit (coarse-to-fine ANN)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q324_mrl_truncation_audit",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+    tn AS (
+      SELECT vec_id,
+             list_transform(emb[1:8], x ->
+               x / sqrt(list_dot_product(emb[1:8], emb[1:8]))) AS t8,
+             emb
+      FROM e WHERE vec_id <> 0
+    ),
+    qn AS (
+      SELECT list_transform(qemb[1:8], x ->
+               x / sqrt(list_dot_product(qemb[1:8], qemb[1:8]))) AS qt8,
+             qemb
+      FROM q
+    ),
+    scored AS (
+      SELECT vec_id,
+             list_dot_product(t8, qt8) AS cos_trunc,
+             list_dot_product(emb, qemb)
+               / (sqrt(list_dot_product(emb, emb))
+                  * sqrt(list_dot_product(qemb, qemb))) AS cos_full
+      FROM tn, qn
+    ),
+    full_topk AS (
+      SELECT vec_id FROM scored ORDER BY cos_full DESC, vec_id LIMIT 10
+    )
+    SELECT s.vec_id, round(s.cos_trunc, 6) AS cos_trunc,
+           round(s.cos_full, 6) AS cos_full,
+           s.vec_id IN (SELECT vec_id FROM full_topk) AS in_full_topk
+    FROM scored s
+    ORDER BY s.cos_trunc DESC, s.vec_id LIMIT 10
+    """,
+)
+def q324_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall audit
+    (operators/similarity.truncate_normalize): the coarse pass of a
+    coarse-to-fine search ranks by 8-of-64-dim truncated-renormalized
+    cosine (8x less IO per vector), and each coarse top-10 row reports its
+    full-dim cosine plus whether it belongs to the TRUE full-dim top-10 —
+    recall measured inside the oracle gate, not assumed (the same
+    audit-first discipline as the Bloom q242/q316 and quantization q209
+    certificates).  All math is codegen'd array ops; both rankings plan as
+    TakeOrderedAndProject."""
+    from .operators.similarity import _dot, as_double, cosine, truncate_normalize
+
+    e = table(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding")
+    cand = truncate_normalize(
+        e.filter(F.col("vec_id") != 0), "embedding", 8, out_col="t8"
+    ).crossJoin(
+        F.broadcast(
+            truncate_normalize(qrow, "embedding", 8, out_col="qt8").select(
+                F.col("embedding").alias("qemb"), "qt8"
+            )
+        )
+    )
+    scored = cand.select(
+        "vec_id",
+        _dot(F.col("t8"), F.col("qt8")).alias("cos_trunc"),
+        cosine(as_double(F.col("embedding")), as_double(F.col("qemb"))).alias(
+            "cos_full"
+        ),
+    )
+    full_topk = (
+        scored.orderBy(F.col("cos_full").desc(), "vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("__fid"))
+    )
+    return (
+        scored.join(
+            F.broadcast(full_topk), scored["vec_id"] == F.col("__fid"), "left"
+        )
+        .select(
+            "vec_id",
+            F.round("cos_trunc", 6).alias("cos_trunc"),
+            F.round("cos_full", 6).alias("cos_full"),
+            F.col("__fid").isNotNull().alias("in_full_topk"),
+        )
+        .orderBy(F.col("cos_trunc").desc(), "vec_id")
+        .limit(10)
+    )

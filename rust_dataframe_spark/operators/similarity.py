@@ -42,6 +42,7 @@ __all__ = [
     "knn_join",
     "mean_pool",
     "quantized_cosine",
+    "truncate_normalize",
 ]
 
 
@@ -77,6 +78,23 @@ def cosine_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def truncate_normalize(df, vec_col: str, dim: int, *, out_col: str = "vec_t"):
+    """Matryoshka-style prefix truncation + L2 renormalization: keep the
+    first ``dim`` components and rescale to unit norm — the
+    Matryoshka-representation (MRL, arXiv:2205.13147) serving trick where
+    a prefix of a trained embedding is itself a usable lower-dim
+    embedding.  At 100 TB the payoff is IO and memory: an 8-of-64 prefix
+    scans 8x fewer bytes per vector for the coarse pass of a
+    coarse-to-fine search (truncated scan -> shortlist -> full-dim
+    re-rank), with recall quantified — never assumed — by the q324 audit.
+
+    Codegen'd slice + fold-norm + transform; no shuffle, no Python."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    v = F.slice(as_double(F.col(vec_col)), 1, dim)
+    return df.withColumn(out_col, F.transform(v, lambda x: x / _norm(v)))
 
 
 def srp_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

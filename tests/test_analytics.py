@@ -986,3 +986,13 @@ def test_segment_audio_empty_and_silent(spark):
          Row(doc_id=2, payload=bytearray(b""))]
     )
     assert segment_audio(df, energy_threshold=128).count() == 0
+
+
+def test_truncate_normalize_unit_norm_and_prefix(spark):
+    from rust_dataframe_spark.operators.similarity import truncate_normalize
+
+    df = spark.createDataFrame([(1, [3.0, 4.0, 100.0, 100.0])], "id int, v array<double>")
+    out = truncate_normalize(df, "v", 2, out_col="t").collect()[0]["t"]
+    assert out == pytest.approx([0.6, 0.8])  # 3-4-5 triangle, tail ignored
+    with pytest.raises(ValueError, match="dim"):
+        truncate_normalize(df, "v", 0)
