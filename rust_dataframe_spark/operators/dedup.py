@@ -545,7 +545,7 @@ def bloom_decontaminate(
             F.array_distinct(shingle(F.col(bench_text_col), shingle_n))
         ).alias("__s")
     ).distinct()
-    from .bloom import bloom_bits, bloom_positions
+    from .bloom import bloom_bits, bloom_probe
 
     bits = bloom_bits(bsh, "__s", m=m, k=k)
     csh = corpus.select(
@@ -555,11 +555,11 @@ def bloom_decontaminate(
         ),
     )
     totals = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    probed = csh.crossJoin(F.broadcast(bits)).withColumn(
-        "__pos", bloom_positions(F.col("__s"), m, k)
+    flagged = (
+        bloom_probe(csh, "__s", bits, m=m, k=k)
+        .filter(F.col("bloom_pass"))
+        .drop("bloom_pass")
     )
-    passed = F.forall("__pos", lambda p: F.array_contains(F.col("bits"), p))
-    flagged = probed.filter(passed).drop("bits", "__pos")
     truth = bsh.select(F.col("__s").alias("__bs"))
     verified = flagged.join(
         F.broadcast(truth), F.col("__s") == F.col("__bs"), "left"
