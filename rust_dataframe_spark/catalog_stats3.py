@@ -4274,3 +4274,77 @@ def q324_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_trunc").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q325: cross-split contamination (leakage) audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q325_split_leakage",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               / 4294967296.0 AS u
+      FROM documents WHERE doc_id < 150
+    ),
+    tr AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))))
+               AS s
+      FROM h WHERE u < 0.8
+    ),
+    te AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))))
+               AS s
+      FROM h WHERE u >= 0.8
+    ),
+    pairs AS (
+      SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+             count(DISTINCT te.s) AS shared
+      FROM te JOIN tr ON te.s = tr.s
+      GROUP BY 1, 2 HAVING count(DISTINCT te.s) >= 2
+    )
+    SELECT test_id,
+           CAST(count(*) AS BIGINT) AS n_train_matches,
+           CAST(max(shared) AS BIGINT) AS max_shared
+    FROM pairs GROUP BY 1 ORDER BY test_id
+    """,
+)
+def q325_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: after the deterministic 80/20 hash
+    split (q94's operator), which held-out docs share >= 2 distinct 3-gram
+    shingles with ANY training doc — and with how many?  Runs q96's
+    decontamination machinery with the TRAIN split as the corpus and the
+    TEST split as the benchmark: the eval-integrity report every training
+    run should publish beside its metrics (a held-out doc paraphrasing
+    training text inflates eval scores silently).  Hash split + shingle
+    join are both md5/string-exact in the oracle; at scale this is one
+    broadcast of the test side's shingles (the small split) against the
+    train stream — same shape and cost as q96."""
+    from .operators.dedup import decontaminate
+    from .operators.text import hash_split
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    split = hash_split(d, "doc_id", {"train": 0.8, "test": 0.2})
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    test = split.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_id"), "text"
+    )
+    pairs = decontaminate(
+        train, test, "doc_id", "text", "test_id", "text", shingle_n=3, min_shared=2
+    )
+    # decontaminate returns (corpus_id=doc_id, bench_id=test_id, shared)
+    return (
+        pairs.groupBy(F.col("bench_id").alias("test_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_train_matches"),
+            F.max("shared_ngrams").cast("bigint").alias("max_shared"),
+        )
+        .orderBy("test_id")
+    )
