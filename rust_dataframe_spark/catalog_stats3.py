@@ -1191,23 +1191,19 @@ def q277_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-gap audit: missing ranges in the purchase event-id sequence
     (first 50 gaps) — the data-completeness check for any
     supposed-to-be-contiguous id space (ingest offsets, CDC sequence
-    numbers, partition indexes).  Gaps-and-islands via one lead() over
-    the distinct keys; at 100 TB the distinct+sort shuffle is the cost,
-    and the practical form runs per partition-directory with boundary
-    stitching.  The fixture's purchase event-ids are a ~1-in-5 subset of
-    a dense sequence, so real gaps abound (this fixture's orderkeys are
-    contiguous, unlike dbgen's sparse ones — hence the event subset)."""
+    numbers, partition indexes).  Gaps-and-islands via the TWO-PHASE lead
+    (operators/temporal.sequence_gaps): range-partitioned per-partition
+    lead + O(partitions) boundary stitching — no single-partition window
+    over the distinct keys (plan_lint-clean); at 100 TB the same shape
+    runs per partition-directory.  The fixture's purchase event-ids are a
+    ~1-in-5 subset of a dense sequence, so real gaps abound (this
+    fixture's orderkeys are contiguous, unlike dbgen's sparse ones —
+    hence the event subset)."""
+    from .operators.temporal import sequence_gaps
+
     ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    k = ev.select(F.col("event_id").alias("id")).distinct()
-    w = Window.orderBy("id")
-    g = k.select("id", F.lead("id").over(w).alias("nxt"))
     return (
-        g.filter(F.col("nxt") - F.col("id") > 1)
-        .select(
-            (F.col("id") + 1).alias("gap_start"),
-            (F.col("nxt") - 1).alias("gap_end"),
-            (F.col("nxt") - F.col("id") - 1).cast("bigint").alias("gap_len"),
-        )
+        sequence_gaps(ev, "event_id")
         .orderBy("gap_start")
         .limit(50)
     )
@@ -2534,16 +2530,25 @@ def q298_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     share cut at 50%/80% — the inventory-management census behind "which
     20% of keys carry 80% of the value" (and, operationally, which keys
     deserve the hot-key treatment of operators/skew).  The input scan
-    collapses to per-supplier revenue BEFORE the ordered window, so the
-    single-partition cumsum runs over the supplier axis, never rows."""
+    collapses to per-supplier revenue BEFORE the ranking, and the running
+    share itself is the two-phase distributed global_cumsum (key-axis
+    cardinality is dim-bounded here but 10^8 at a web-scale key census —
+    no single-partition window either way; plan_lint-clean); the grand
+    total rides as a 1-row broadcast."""
+    from .operators.training import global_cumsum
+
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(F.sum("l_extendedprice").alias("r"))
-    wc = Window.orderBy(F.desc("r"), "l_suppkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    c = global_cumsum(
+        rev.withColumn("__negr", -F.col("r")),
+        ["__negr", "l_suppkey"],
+        "r",
+        out_col="__cum",
+        out_type=None,
     )
-    tot = Window.partitionBy()
-    ranked = rev.select(
-        "r", (F.sum("r").over(wc) / F.sum("r").over(tot)).alias("cum_share")
+    tot = rev.agg(F.sum("r").alias("__tot"))
+    ranked = c.crossJoin(F.broadcast(tot)).select(
+        "r", (F.col("__cum") / F.col("__tot")).alias("cum_share")
     )
     cls = ranked.select(
         F.when(F.col("cum_share") <= 0.5, "A")
@@ -2555,11 +2560,12 @@ def q298_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cls.groupBy("klass").agg(
         F.count(F.lit(1)).alias("n_suppliers"), F.sum("r").alias("sr")
     )
+    w3 = Window.partitionBy()  # 3-class census rows — bounded
     return (
         out.select(
             "klass",
             "n_suppliers",
-            F.round(F.col("sr") / F.sum("sr").over(tot), 6).alias(
+            F.round(F.col("sr") / F.sum("sr").over(w3), 6).alias(
                 "revenue_share"
             ),
         )

@@ -572,25 +572,24 @@ def q180_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch_shuffle_order): document order = sort by md5(id|salt|epoch) —
     different every epoch, bit-identical for the same epoch across runs/
     engines/cluster sizes, no rand() retry hazard.  The query shows two
-    epochs producing different (but each reproducible) orders; at scale the
-    sort is a repartitionByRange write, never a global driver sort (the
-    single-partition windows HERE are presentation of a 40-row result, not
-    the shuffle mechanism)."""
+    epochs producing different (but each reproducible) orders.  The global
+    positions come from the two-phase distributed rank
+    (training.global_row_number — repartitionByRange + per-partition
+    window + O(partitions) offsets), NOT a corpus-wide single-partition
+    window: the epoch-order materialization is itself the at-scale write
+    path (plan-linted by tools/plan_lint.py)."""
     d = table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
 
-    e1 = tr.epoch_shuffle_order(d, "doc_id", 1).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy("shuffle_key"))
-        .alias("pos1"),
-    )
-    e2 = tr.epoch_shuffle_order(d, "doc_id", 2).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy("shuffle_key"))
-        .alias("pos2"),
-    )
+    e1 = tr.global_row_number(
+        tr.epoch_shuffle_order(d, "doc_id", 1).select("doc_id", "shuffle_key"),
+        ["shuffle_key"],
+        out_col="pos1",
+    ).select("doc_id", "pos1")
+    e2 = tr.global_row_number(
+        tr.epoch_shuffle_order(d, "doc_id", 2).select("doc_id", "shuffle_key"),
+        ["shuffle_key"],
+        out_col="pos2",
+    ).select("doc_id", "pos2")
     return (
         e1.join(e2, "doc_id")
         .filter((F.col("pos1") <= 20) | (F.col("pos2") <= 20))

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "interval_overlap_join", "scd2_intervals", "forward_fill", "interpolate_linear", "ewma", "cusum", "holt_linear"]
+__all__ = ["asof_join", "range_join", "interval_overlap_join", "scd2_intervals", "forward_fill", "interpolate_linear", "ewma", "cusum", "holt_linear", "sequence_gaps"]
 
 
 def asof_join(
@@ -519,3 +519,53 @@ def interval_overlap_join(
         F.greatest(F.col(l_lo), F.col(rlo)) / bw
     ).cast("long") == F.col("__b")
     return lb.join(rb, "__b").filter(overlap & first_bucket).drop("__b")
+
+
+def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
+    """Missing ranges in a supposed-to-be-dense integer id sequence —
+    gaps-and-islands WITHOUT a single-partition window.
+
+    The naive form is ``lead(id) over (order by id)``: one task sees every
+    id.  Here: range-partition the distinct ids, run the lead per
+    partition (parallel), and stitch partition boundaries by joining each
+    partition's LAST id to the next non-empty partition's first id — an
+    O(partitions) driver-side map folded in as a literal CASE, exactly the
+    ``global_cumsum`` two-phase discipline.  Returns ``(gap_start,
+    gap_end, gap_len)``.
+
+    Shape: one range shuffle of the distinct ids + a per-partition window;
+    at 100 TB the practical deployment runs this per partition-directory
+    with the same boundary stitching across directories.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    k = df.select(F.col(id_col).alias("id")).distinct()
+    ranged = k.repartitionByRange(n, F.col("id")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    firsts = sorted(
+        ranged.groupBy("__pid").agg(F.min("id").alias("f")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    # next non-empty partition's first id, per present partition
+    nxt_first = {}
+    for i, r in enumerate(firsts):
+        nxt_first[r["__pid"]] = firsts[i + 1]["f"] if i + 1 < len(firsts) else None
+    case = None
+    for pid, val in nxt_first.items():
+        clause = (F.col("__pid") == pid, F.lit(val))
+        case = F.when(*clause) if case is None else case.when(*clause)
+    case = F.lit(None) if case is None else case
+    w = Window.partitionBy("__pid").orderBy("id")
+    g = ranged.withColumn("nxt", F.coalesce(F.lead("id").over(w), case))
+    return (
+        g.filter(F.col("nxt") - F.col("id") > 1)
+        .select(
+            (F.col("id") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("id") - 1).cast("bigint").alias("gap_len"),
+        )
+        .drop("__pid")
+    )

@@ -164,14 +164,16 @@ def global_row_number(
 
 def global_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     *,
     out_col: str = "cumsum",
     num_partitions: int | None = None,
+    out_type: str | None = "bigint",
 ) -> DataFrame:
-    """Inclusive running sum of ``value_col`` in global ``order_col`` order,
-    WITHOUT a single-partition window.
+    """Inclusive running sum of ``value_col`` in global ``order_col`` order
+    (a single column or a composite ascending key list), WITHOUT a
+    single-partition window.
 
     Plan shape: repartitionByRange(order) -> pid tag -> per-pid window cumsum
     (parallel across partitions) + one tiny driver aggregate of per-partition
@@ -182,10 +184,13 @@ def global_cumsum(
     tests/test_plans.py::test_pack_sequences_no_single_partition_window).
 
     ``order_col`` must be unique (it defines the concatenation order).
+    ``out_type`` casts the running sum (bigint default for token counts);
+    pass ``None`` to keep the natural sum type (e.g. double revenue).
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()
     )
     totals = sorted(
@@ -201,10 +206,11 @@ def global_cumsum(
         clause = (F.col("__pid") == pid, F.lit(val))
         off = F.when(*clause) if off is None else off.when(*clause)
     off = F.lit(0) if off is None else off.otherwise(F.lit(0))
-    w = Window.partitionBy("__pid").orderBy(order_col)
-    return ranged.withColumn(
-        out_col, (F.sum(F.col(value_col)).over(w) + off).cast("bigint")
-    ).drop("__pid")
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    run = F.sum(F.col(value_col)).over(w) + off
+    if out_type is not None:
+        run = run.cast(out_type)
+    return ranged.withColumn(out_col, run).drop("__pid")
 
 
 def pack_sequences(

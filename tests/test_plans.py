@@ -565,3 +565,33 @@ def test_q321_sorted_neighborhood_no_single_partition_window(spark):
     df = catalog.QUERIES["q321_sorted_neighborhood"](spark, SF)
     plan = pi.physical_plan(df)
     assert "SinglePartition" not in plan
+
+
+def test_sequence_gaps_two_phase_matches_naive(spark):
+    """Boundary stitching: gaps spanning range-partition boundaries must be
+    found — parity with the naive single-window form on a gappy id set."""
+    from rust_dataframe_spark.operators.temporal import sequence_gaps
+
+    ids = [i for i in range(1, 500) if i % 7 != 0 and i % 11 != 3]
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in sequence_gaps(df, "event_id").collect()
+    )
+    expect = []
+    s = sorted(ids)
+    for a, b in zip(s, s[1:]):
+        if b - a > 1:
+            expect.append((a + 1, b - 1, b - a - 1))
+    assert got == expect
+    plan = pi.physical_plan(sequence_gaps(df, "event_id"))
+    assert "SinglePartition" not in plan
+
+
+def test_catalog_wide_plan_lint_passes(spark):
+    """tools/plan_lint.py over every registered query: zero CartesianProduct,
+    zero unreviewed BroadcastNestedLoopJoin, zero unreviewed
+    SinglePartition-window funnels, zero plan-time errors."""
+    import tools.plan_lint as pl
+
+    assert pl.main() == 0

@@ -1,0 +1,171 @@
+"""Catalog-wide physical-plan linter: every registered query's plan, scanned
+for scale anti-patterns — the automated generalization of the hand-picked
+plan tests in tests/test_plans.py and the bench-only audit in EXPLAIN.md.
+
+Patterns flagged per query:
+
+* ``CartesianProduct`` — always wrong.
+* ``BroadcastNestedLoopJoin`` — wrong unless the broadcast side is a 1-row
+  scalar attachment (the repo's standard crossJoin(broadcast(1-row-agg))
+  shape).  Heuristic: BNLJ whose broadcast subtree contains an Aggregate
+  or a LocalTableScan of literals is counted as a scalar attachment;
+  anything else is listed for human review.
+* ``Exchange SinglePartition`` feeding a Window — the one-task funnel.
+  Bounded-by-construction windows (bin/day/band axes) still show the
+  pattern, so hits are LISTED with the query name for review rather than
+  hard-failed; the curated allowlist below records the reviewed-and-bounded
+  cases with the reason.
+
+Writes PLANLINT.md.  Usage: python tools/plan_lint.py [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rust_dataframe_spark import catalog
+from rust_dataframe_spark.context import get_spark
+from rust_dataframe_spark.operators import cache as opcache
+from rust_dataframe_spark.plans import inspect as pi
+
+SF = "/root/testdata/sf0.001"
+
+# Reviewed SinglePartition windows, each bounded by construction (axis size,
+# not corpus size).  A NEW query showing SinglePartition and not listed here
+# fails the lint.
+SINGLE_PARTITION_ALLOW: dict[str, str] = {
+    # bin/bucket/day/band axes — cardinality fixed by the query, not the data
+    "q23_hist": "window over the fixed histogram bin axis",
+    "q23b_hist_density": "window over the fixed histogram bin axis",
+    "q237_binned_auc": "cumulative over 1000 fixed score bins",
+    "q239_psi": "totals over the fixed bin axis",
+    "q240_psi_drift": "totals over the fixed bin axis",
+    "q247_equidepth_hist": "bucket presentation sort over 10 rows",
+    "q248_benford": "window over the 9-digit axis",
+    "q252_seasonal_anomaly": "seasonal index over 24 hour-of-day rows",
+    "q243_seasonal_index": "seasonal index over 24 hour-of-day rows",
+    "q261_reliability": "window over 10 calibration bins",
+    "q266_approx_pct_bound": "rank check over the 9 tested quantiles",
+    "q282_latency_quantiles": "window over the bounded quantile axis",
+    "q288_auc": "exact path: documented global rank; auto-degrades to the "
+    "binned form above the scale.py threshold",
+    "q294_rolling_uniques": "sketch union over the day axis",
+    "q295_time_to_convert": "presentation window over 2 cohorts",
+    "q309_mom_growth": "lag over the bounded month axis",
+    "q312_new_user_curve": "cumulative over the bounded day axis",
+    "q313_zipf_fit": "rank over the vocab-bounded frequency table subset",
+    "q324_mrl_truncation_audit": "top-10 presentation windows",
+    # reviewed in the round-4 lint sweep (2026-08-14)
+    "q53_window_ntile_cume": "demonstrates the reference's unpartitioned "
+    "window verbs themselves (§2.10 parity) — the op under test IS global",
+    "q133_tfidf": "rank over the bounded top-terms list",
+    "q171_pipeline_e2e": "bounded presentation list in the e2e demo",
+    "q205_rrf_fusion": "ranks over bounded top-k fusion input lists",
+    "q237_ks_test": "ECDF over <=1002 fixed value bins",
+    "q244_pareto_frontier": "running-min sweep over the <=50-value "
+    "distinct-size axis (input collapsed before the window)",
+    "q258_kaplan_meier": "survival product over the bounded event-time axis",
+    "q268_mixture_weights": "domain-axis arithmetic (handful of rows)",
+    "q271_ndcg": "rank windows over bounded per-query result lists",
+    "q298_abc_analysis": "3-row class-census share (running share itself is "
+    "the two-phase global_cumsum)",
+    "q299_mixture_sample": "domain-axis arithmetic (handful of rows)",
+    "q302_dead_letter": "verdict census over the fixed rule classes",
+}
+
+# Reviewed BroadcastNestedLoopJoins: every entry is either a deliberate
+# bounded brute-force baseline or a 1-row broadcast attachment the scalar
+# heuristic can't see.  A NEW BNLJ not listed here fails the lint.
+BNLJ_ALLOW: dict[str, str] = {
+    "q73_ngram_jaccard": "deliberate 40-doc brute-force baseline validating "
+    "the LSH path (docstring-gated)",
+    "q163_knn_join": "exact kNN: 8-query broadcast vs corpus — the exact-"
+    "verify counterpart of IVF/SRP (which is the corpus-sized-query path)",
+    "q164_hard_negatives": "same exact-kNN shape as q163 (small query side "
+    "broadcast by design)",
+    "q324_mrl_truncation_audit": "1-row query-vector broadcast attachment "
+    "(no Aggregate in the 1-row subtree, so the scalar heuristic misses it)",
+}
+
+
+def main() -> int:
+    only_fail = "--fail-only" in sys.argv
+    spark = get_spark("plan-lint")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    rows = []
+    n_cart = n_bnlj_review = n_sp_new = n_err = 0
+    names = sorted(catalog.QUERIES)
+    t0 = time.time()
+    for name in names:
+        try:
+            df = catalog.QUERIES[name](spark, SF)
+            plan = pi.physical_plan(df)
+        except Exception as e:  # plan-time failure is itself a finding
+            rows.append((name, f"ERR {type(e).__name__}: {str(e)[:80]}"))
+            n_err += 1
+            continue
+        finally:
+            opcache.release()
+        findings = []
+        if "CartesianProduct" in plan:
+            findings.append("CARTESIAN")
+            n_cart += 1
+        if "BroadcastNestedLoopJoin" in plan:
+            if name in BNLJ_ALLOW:
+                findings.append("bnlj-allowed")
+            elif "Aggregate" in plan or "LocalTableScan" in plan:
+                # scalar-attachment heuristic: BNLJ whose plan contains the
+                # 1-row aggregate it broadcasts (crossJoin(broadcast(agg)))
+                findings.append("bnlj-scalar-ok")
+            else:
+                findings.append("BNLJ-review")
+                n_bnlj_review += 1
+        if re.search(r"Exchange SinglePartition", plan) and "Window" in plan:
+            if name in SINGLE_PARTITION_ALLOW:
+                findings.append("sp-allowed")
+            else:
+                findings.append("SP-NEW")
+                n_sp_new += 1
+        if findings:
+            rows.append((name, " ".join(findings)))
+
+    lines = [
+        "# PLANLINT — catalog-wide physical-plan anti-pattern scan",
+        "",
+        f"{len(names)} queries planned at sf0.001; generated by tools/plan_lint.py "
+        f"in {time.time()-t0:.0f}s.  Hard findings: CARTESIAN={n_cart}, "
+        f"BNLJ-review={n_bnlj_review}, new-unreviewed-SinglePartition={n_sp_new}, "
+        f"plan-errors={n_err}.",
+        "",
+        "| query | finding |",
+        "|---|---|",
+    ]
+    for name, f in rows:
+        if only_fail and ("ok" in f or f == "sp-allowed"):
+            continue
+        note = SINGLE_PARTITION_ALLOW.get(name, "")
+        lines.append(f"| {name} | {f}{' — ' + note if note and 'sp-allowed' in f else ''} |")
+    lines.append("")
+    lines.append(
+        "`sp-allowed` rows are reviewed bounded-axis windows (reason inline); "
+        "`bnlj-scalar-ok` rows are 1-row scalar broadcast attachments.  Any "
+        "CARTESIAN / BNLJ-review / SP-NEW row is a lint failure."
+    )
+    out = "\n".join(lines) + "\n"
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANLINT.md"), "w") as fh:
+        fh.write(out)
+    print(out.splitlines()[2])
+    bad = n_cart + n_bnlj_review + n_sp_new + n_err
+    print(f"{'FAIL' if bad else 'PASS'}: {bad} hard findings")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
