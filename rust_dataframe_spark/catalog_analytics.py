@@ -1558,12 +1558,25 @@ def q225_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = h.select(
         F.col("doc_id").alias("id_b"), *[F.col(f"d{b}").alias(f"b{b}") for b in range(4)]
     )
-    band_eq = None
-    for b in range(4):
-        eq = F.col(f"a{b}") == F.col(f"b{b}")
-        band_eq = eq if band_eq is None else (band_eq | eq)
+    # candidates via banded EQUI-join: explode each row into (band, value)
+    # keys and hash-join on them — "shares ANY band" as a union of per-band
+    # equi-joins, NOT a join on an OR of equalities (which Spark can only
+    # plan as an all-pairs BroadcastNestedLoopJoin — the r5 lint caught
+    # exactly that shape here).  Same candidate set, shuffle-partitioned by
+    # (band, value) like every other LSH family in operators/dedup.py.
+    bands = h.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"d{b}") for b in range(4)])).alias(
+            "band", "val"
+        ),
+    )
     cand = (
-        a.join(x, (F.col("id_a") < F.col("id_b")) & band_eq)
+        bands.select(F.col("doc_id").alias("id_a"), "band", "val")
+        .join(
+            bands.select(F.col("doc_id").alias("id_b"), "band", "val"),
+            ["band", "val"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )

@@ -560,10 +560,16 @@ def bloom_decontaminate(
         .filter(F.col("bloom_pass"))
         .drop("bloom_pass")
     )
+    # Verify by SHUFFLE join on the shingle digest — no broadcast hint: the
+    # bitmap exists precisely so the full benchmark shingle set never ships
+    # to every executor, so re-broadcasting `truth` here (tens of MB for a
+    # real eval suite) would defeat it (ADVICE r4).  Both sides of this join
+    # are small relative to the corpus: the bloom-passing residue by
+    # construction, and benchmark shingles only partition-wise; AQE may
+    # still choose to broadcast at toy scale, which is fine — the point is
+    # not to FORCE it.
     truth = bsh.select(F.col("__s").alias("__bs"))
-    verified = flagged.join(
-        F.broadcast(truth), F.col("__s") == F.col("__bs"), "left"
-    )
+    verified = flagged.join(truth, F.col("__s") == F.col("__bs"), "left")
     per_doc = verified.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_flagged"),
         F.sum(F.col("__bs").isNotNull().cast("int")).alias("n_true"),

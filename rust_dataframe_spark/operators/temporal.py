@@ -536,14 +536,23 @@ def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
     Shape: one range shuffle of the distinct ids + a per-partition window;
     at 100 TB the practical deployment runs this per partition-directory
     with the same boundary stitching across directories.
+
+    Like ``global_cumsum``, the ranged frame is persisted before the
+    boundary collect so the stitch job and the output job read the same
+    materialized range exchange (boundary sampling is per physical plan;
+    two instantiations can disagree at scale — ADVICE r4).
     """
     from pyspark.sql import Window
+
+    from .cache import persist_tracked
 
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     k = df.select(F.col(id_col).alias("id")).distinct()
-    ranged = k.repartitionByRange(n, F.col("id")).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = persist_tracked(
+        k.repartitionByRange(n, F.col("id")).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     firsts = sorted(
         ranged.groupBy("__pid").agg(F.min("id").alias("f")).collect(),

@@ -136,12 +136,23 @@ def global_row_number(
 
     ``order_cols`` must be a unique composite key (ties would make the rank
     nondeterministic under either implementation).
+
+    The ranged frame is persisted (persist_tracked) BEFORE the counts
+    collect: repartitionByRange samples its boundaries per physical plan,
+    so running the stats job and the output job against two separate
+    instantiations of the exchange could yield DIFFERENT partition
+    boundaries once upstream exceeds the boundary sample size — the
+    __pid-keyed offsets would then be stitched onto the wrong partitioning
+    (silently wrong ranks at exactly the scale this primitive targets).
+    Caching pins one materialized shuffle that both jobs read (ADVICE r4).
     """
+    from .cache import persist_tracked
+
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(n, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = persist_tracked(
+        df.repartitionByRange(n, *cols).withColumn("__pid", F.spark_partition_id())
     )
     totals = sorted(
         ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("t")).collect(),
@@ -186,12 +197,20 @@ def global_cumsum(
     ``order_col`` must be unique (it defines the concatenation order).
     ``out_type`` casts the running sum (bigint default for token counts);
     pass ``None`` to keep the natural sum type (e.g. double revenue).
+
+    The ranged frame is persisted before the totals collect so the
+    boundary-stitching job and the output job read the SAME materialized
+    range exchange — see :func:`global_row_number` for why (ADVICE r4).
     """
+    from .cache import persist_tracked
+
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = persist_tracked(
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     totals = sorted(
         ranged.groupBy("__pid").agg(F.sum(F.col(value_col)).alias("t")).collect(),

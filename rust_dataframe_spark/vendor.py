@@ -35,9 +35,41 @@ def _importable() -> bool:
         return False
 
 
-#: scratch location for the patched copy (never inside the repo; rebuilt on
-#: demand, safe to delete)
-_VENDOR_CACHE = os.environ.get("SPARK_GRAFT_VENDOR_DIR", "/tmp/spark_graft_vendor")
+def _vendor_cache_dir() -> str | None:
+    """Per-user scratch location for the patched copy (never inside the
+    repo; rebuilt on demand, safe to delete).
+
+    Security (ADVICE r4): a fixed world-writable path like
+    ``/tmp/spark_graft_vendor`` lets another local user pre-plant a
+    malicious ``google/protobuf`` plus marker file and get code execution
+    in this process and every forked worker.  So: the cache lives under
+    the user's own cache root (``$XDG_CACHE_HOME`` / ``~/.cache``),
+    created 0700; an existing directory is REFUSED unless it is owned by
+    the current uid and not group/world-writable, falling back to a fresh
+    ``mkdtemp`` (0700 by construction) for this process.  An explicit
+    ``SPARK_GRAFT_VENDOR_DIR`` override is validated the same way.
+    """
+    import stat
+    import tempfile
+
+    cand = os.environ.get("SPARK_GRAFT_VENDOR_DIR") or os.path.join(
+        os.environ.get("XDG_CACHE_HOME")
+        or os.path.join(os.path.expanduser("~"), ".cache"),
+        "spark_graft_vendor",
+    )
+    try:
+        os.makedirs(cand, mode=0o700, exist_ok=True)
+        st = os.stat(cand)
+        if st.st_uid == os.getuid() and not (
+            st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)
+        ):
+            return cand
+    except OSError:
+        pass
+    try:
+        return tempfile.mkdtemp(prefix="spark_graft_vendor_")
+    except OSError:
+        return None
 
 _PATCH = """
 
@@ -59,7 +91,9 @@ def _build_vendored_copy(src_root: str) -> str | None:
     version gate patched out.  Returns the importable root or None."""
     import shutil
 
-    dst_root = _VENDOR_CACHE
+    dst_root = _vendor_cache_dir()
+    if dst_root is None:
+        return None
     pkg = os.path.join(dst_root, "google", "protobuf")
     marker = os.path.join(pkg, ".spark_graft_patched")
     if not os.path.exists(marker):

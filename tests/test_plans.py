@@ -588,6 +588,34 @@ def test_sequence_gaps_two_phase_matches_naive(spark):
     assert "SinglePartition" not in plan
 
 
+def test_two_phase_primitives_pin_the_range_exchange(spark):
+    """global_row_number / global_cumsum / sequence_gaps must read the SAME
+    materialized range exchange in both their jobs: repartitionByRange
+    samples boundaries per physical plan, so an un-persisted ranged frame
+    can land rows in different partitions between the offsets-collect job
+    and the output job once upstream exceeds the boundary sample — the
+    __pid-keyed offset CASE would then stitch onto the wrong partitioning
+    (ADVICE r4, HIGH).  Pin: the output plan scans the cache
+    (InMemoryTableScan), i.e. the frame the offsets were computed from."""
+    from rust_dataframe_spark.operators import temporal as tp
+    from rust_dataframe_spark.operators import training as tr
+    from rust_dataframe_spark.operators.cache import release
+
+    df = spark.range(1, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    for out in (
+        tr.global_row_number(df, ["k"]),
+        tr.global_cumsum(df, "k", "v"),
+        tp.sequence_gaps(df.filter(F.col("id") % 17 != 0), "k"),
+    ):
+        assert "InMemoryTableScan" in pi.physical_plan(out)
+    # correctness still holds through the cache
+    rn = {r["k"]: r["rn"] for r in tr.global_row_number(df, ["k"]).collect()}
+    assert rn == {k: k for k in range(1, 2000)}
+    release()
+
+
 def test_catalog_wide_plan_lint_passes(spark):
     """tools/plan_lint.py over every registered query: zero CartesianProduct,
     zero unreviewed BroadcastNestedLoopJoin, zero unreviewed

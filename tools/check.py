@@ -78,13 +78,28 @@ def main(argv):
     oracles = entry_mod.oracle_sql()
     sample_n = seed = None
     args = list(argv)
+
+    def take_int(flag):
+        i = args.index(flag)
+        if i + 1 >= len(args):
+            raise SystemExit(f"usage: {flag} <int> (missing value)")
+        try:
+            v = int(args[i + 1])
+        except ValueError:
+            raise SystemExit(
+                f"usage: {flag} <int> (got {args[i + 1]!r})"
+            ) from None
+        del args[i : i + 2]
+        return v
+
     while "--sample" in args or "--seed" in args:
         if "--sample" in args:
-            i = args.index("--sample")
-            sample_n = int(args[i + 1]); del args[i:i + 2]
+            sample_n = take_int("--sample")
         if "--seed" in args:
-            i = args.index("--seed")
-            seed = int(args[i + 1]); del args[i:i + 2]
+            seed = take_int("--seed")
+    unknown = [a for a in args if a.startswith("--")]
+    if unknown:
+        raise SystemExit(f"unknown flags: {unknown}; see module docstring")
     names = args or sorted(queries)
     if sample_n is not None:
         # deterministic seeded rotation over the catalog (VERDICT r3 #6):

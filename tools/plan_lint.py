@@ -90,7 +90,72 @@ BNLJ_ALLOW: dict[str, str] = {
     "broadcast by design)",
     "q324_mrl_truncation_audit": "1-row query-vector broadcast attachment "
     "(no Aggregate in the 1-row subtree, so the scalar heuristic misses it)",
+    # surfaced by the r5 subtree-scoped heuristic (the old whole-plan check
+    # classified these bnlj-scalar-ok); each reviewed as a BOUNDED-literal
+    # broadcast fan-out, not a corpus-vs-corpus nested loop:
+    "q17_join_cross": "deliberate 5x25 cross-join demo (§2.4 upside row); "
+    "docstring-gated to tiny dims",
+    "q274_backtest_folds": "4-row fold-spec literal broadcast against the "
+    "orders scan — fan-out bounded by the fold count",
+    "q297_consistent_hashing": "144-point hash-ring literal broadcast; "
+    "per-doc fan-out fixed at ring size by construction",
+    "q301_resample_ffill": "120-slot calendar-grid broadcast; grid = users "
+    "x slots is the query's stated output contract",
 }
+
+
+def _depth(line: str) -> int:
+    """Column where the node label starts in a Spark tree-string line.
+
+    Tree prefixes are built from ``' '``, ``':'``, ``'+'``, ``'-'``; the
+    label (possibly ``*(N)``-codegen-prefixed) starts at the first other
+    character.  Children of a node are exactly the following lines with a
+    strictly greater depth."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _subtree(lines: list[str], idx: int) -> list[str]:
+    """The node at ``lines[idx]`` plus all its descendants."""
+    d = _depth(lines[idx])
+    out = [lines[idx]]
+    for line in lines[idx + 1 :]:
+        if line.strip() and _depth(line) <= d:
+            break
+        out.append(line)
+    return out
+
+
+def bnlj_all_scalar(plan: str) -> bool:
+    """True iff EVERY BroadcastNestedLoopJoin in ``plan`` broadcasts a
+    scalar attachment: its broadcast child subtree (the shallowest
+    BroadcastExchange/BroadcastQueryStage under the BNLJ node — an
+    indentation-scoped parse, NOT the whole plan string) contains an
+    Aggregate or a LocalTableScan of literals.  A BNLJ with no resolvable
+    broadcast subtree (e.g. ReusedExchange) or a non-scalar one returns
+    False and must be allowlisted or fixed (ADVICE r4: the old whole-plan
+    check matched the HashAggregate present in nearly every query, so it
+    could never flag anything)."""
+    lines = plan.splitlines()
+    verdicts = []
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        sub = _subtree(lines, i)[1:]  # descendants only
+        bx = [
+            j
+            for j, sline in enumerate(sub)
+            if "BroadcastExchange" in sline or "BroadcastQueryStage" in sline
+        ]
+        if not bx:
+            verdicts.append(False)
+            continue
+        shallowest = min(bx, key=lambda j: _depth(sub[j]))
+        bsub = "\n".join(_subtree(sub, shallowest))
+        verdicts.append("Aggregate" in bsub or "LocalTableScan" in bsub)
+    return bool(verdicts) and all(verdicts)
 
 
 def main() -> int:
@@ -120,9 +185,9 @@ def main() -> int:
         if "BroadcastNestedLoopJoin" in plan:
             if name in BNLJ_ALLOW:
                 findings.append("bnlj-allowed")
-            elif "Aggregate" in plan or "LocalTableScan" in plan:
-                # scalar-attachment heuristic: BNLJ whose plan contains the
-                # 1-row aggregate it broadcasts (crossJoin(broadcast(agg)))
+            elif bnlj_all_scalar(plan):
+                # every BNLJ's own broadcast-child subtree is a 1-row
+                # aggregate / literal table (crossJoin(broadcast(agg)))
                 findings.append("bnlj-scalar-ok")
             else:
                 findings.append("BNLJ-review")
@@ -139,8 +204,8 @@ def main() -> int:
     lines = [
         "# PLANLINT — catalog-wide physical-plan anti-pattern scan",
         "",
-        f"{len(names)} queries planned at sf0.001; generated by tools/plan_lint.py "
-        f"in {time.time()-t0:.0f}s.  Hard findings: CARTESIAN={n_cart}, "
+        f"{len(names)} queries planned at sf0.001; generated by tools/plan_lint.py. "
+        f"Hard findings: CARTESIAN={n_cart}, "
         f"BNLJ-review={n_bnlj_review}, new-unreviewed-SinglePartition={n_sp_new}, "
         f"plan-errors={n_err}.",
         "",
@@ -162,6 +227,7 @@ def main() -> int:
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANLINT.md"), "w") as fh:
         fh.write(out)
     print(out.splitlines()[2])
+    print(f"planned {len(names)} queries in {time.time()-t0:.0f}s", file=sys.stderr)
     bad = n_cart + n_bnlj_review + n_sp_new + n_err
     print(f"{'FAIL' if bad else 'PASS'}: {bad} hard findings")
     return 1 if bad else 0
