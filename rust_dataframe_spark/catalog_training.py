@@ -179,6 +179,58 @@ def q127_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q326_span_excision",
+    oracle=f"""
+    WITH {_CORPUS_NEAR},
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+    g0 AS (SELECT doc_id, words,
+                  unnest(range(1, greatest(len(words) - 4, 0) + 1)) AS i
+           FROM w),
+    g AS (SELECT doc_id, i - 1 AS pos, array_to_string(words[i:i+4], ' ') AS ng
+          FROM g0),
+    shared AS (SELECT ng FROM g GROUP BY ng HAVING count(DISTINCT doc_id) >= 2),
+    isl AS (SELECT g.doc_id, g.pos,
+                   g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS k
+            FROM g JOIN shared USING (ng)),
+    sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+           FROM isl GROUP BY doc_id, k),
+    nsp AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+    wp AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM w),
+    wp2 AS (SELECT doc_id, i - 1 AS idx, words[i] AS word FROM wp),
+    m AS (SELECT wp2.doc_id, wp2.idx, wp2.word,
+                 EXISTS (SELECT 1 FROM sp
+                         WHERE sp.doc_id = wp2.doc_id
+                           AND wp2.idx BETWEEN sp.span_start AND sp.span_end) AS rm
+          FROM wp2)
+    SELECT m.doc_id,
+           coalesce(array_to_string(list(word ORDER BY idx) FILTER (WHERE NOT rm),
+                                    ' '), '') AS text,
+           CAST(coalesce(any_value(nsp.n_spans), 0) AS INT) AS n_spans,
+           CAST(sum(len(word)) AS BIGINT) AS chars_in,
+           CAST(coalesce(sum(len(word)) FILTER (WHERE NOT rm), 0) AS BIGINT)
+             AS chars_kept,
+           CAST(coalesce(sum(len(word)) FILTER (WHERE rm), 0) AS BIGINT)
+             AS chars_removed
+    FROM m LEFT JOIN nsp ON m.doc_id = nsp.doc_id
+    GROUP BY m.doc_id ORDER BY m.doc_id
+    """,
+)
+def q326_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with span REMOVAL (operators/dedup.
+    excise_repeated_spans) — the act half of q127's detect: every maximal
+    cross-document repeated span is cut out of every document and the
+    unique remainders reassemble in order (Lee et al.'s
+    deduplicate-text-datasets discipline, sharded).  The oracle replays
+    the full detect->excise pipeline in SQL; ``chars_kept +
+    chars_removed = chars_in`` is a conservation check computed from
+    complementary independent filters on both engines (also pinned in
+    tests/test_llm_ops.py)."""
+    corpus = _corpus_near(spark, sf_dir)
+    out = dd.excise_repeated_spans(corpus, "doc_id", "text", n=5, min_docs=2)
+    return out.orderBy("doc_id")
+
+
+@query(
     "q128_kmeans",
     oracle="""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

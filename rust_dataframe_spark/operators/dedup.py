@@ -643,6 +643,78 @@ def repeated_ngram_spans(
     )
 
 
+def excise_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document exact-substring dedup with span REMOVAL — the act
+    half of :func:`repeated_ngram_spans`'s detect (the Lee et al.
+    deduplicate-text-datasets shape: find substrings repeated across
+    documents, then EXCISE them, keeping each document's unique remainder).
+
+    The spans are the maximal (longest-match) merged islands from
+    :func:`repeated_ngram_spans` — word-coordinate, inclusive, disjoint per
+    document by construction.  Excision drops every word covered by any
+    span and reassembles the survivors in original order (the same
+    order-preserving rebuild as ``text.line_dedup``), all with JVM-side
+    array lambdas: spans aggregate to one array per doc, and one
+    ``filter(words, (w, i) -> no span covers i)`` pass rebuilds the text —
+    no Python, no per-word join.
+
+    Returns ``(id, text, n_spans, chars_in, chars_kept, chars_removed)``
+    for EVERY input document (zero-span docs pass through unchanged).
+    Char counts are word-chars (separators excluded) with ``chars_kept``
+    and ``chars_removed`` computed by INDEPENDENT complementary filters, so
+    ``chars_kept + chars_removed = chars_in`` is a real conservation check
+    on the excision partition, not an identity.
+
+    Scale: spans-per-doc is small (merged maximal runs), so the span array
+    broadcast along the doc join is bounded; the heavy lifting is the same
+    digest-keyed detection shuffle as repeated_ngram_spans, and the rebuild
+    is one equi-join on the doc id.
+    """
+    spans = repeated_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+    )
+    joined = df.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("__w"),
+        F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<span_start:int,span_end:int>>"),
+        ).alias("__spans"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+    )
+
+    def covered(i):
+        return F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        )
+
+    def chars(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        )
+
+    kept = F.filter(F.col("__w"), lambda w, i: ~covered(i))
+    removed = F.filter(F.col("__w"), lambda w, i: covered(i))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        "n_spans",
+        chars(F.col("__w")).alias("chars_in"),
+        chars(kept).alias("chars_kept"),
+        chars(removed).alias("chars_removed"),
+    )
+
+
 def dup_clusters_star(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", *, max_iter: int = 20
 ) -> DataFrame:

@@ -35,6 +35,44 @@ class TestExactDedup:
         assert out[3] == 1 and out[4] == 1
 
 
+class TestSpanExcision:
+    """excise_repeated_spans: the act half of repeated_ngram_spans —
+    cross-doc repeated spans cut out, unique remainders kept in order,
+    chars conserved (VERDICT r4 #4)."""
+
+    @pytest.fixture(scope="class")
+    def excised(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+        rows = [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight nine ten {shared} eleven twelve"),
+            (3, "totally unique document with no repeats at all whatsoever"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {
+            r["doc_id"]: r
+            for r in dd.excise_repeated_spans(
+                df, "doc_id", "text", n=5, min_docs=2
+            ).collect()
+        }
+
+    def test_excision_and_order(self, excised):
+        assert excised[1]["text"] == "one two three four five six"
+        assert excised[2]["text"] == "seven eight nine ten eleven twelve"
+        assert excised[3]["text"].startswith("totally unique")
+        assert excised[1]["n_spans"] == 1 and excised[3]["n_spans"] == 0
+
+    def test_chars_conserved(self, excised):
+        for r in excised.values():
+            assert r["chars_kept"] + r["chars_removed"] == r["chars_in"]
+        # doc 3 untouched: nothing removed
+        assert excised[3]["chars_removed"] == 0
+        # the shared 7-word span's chars really left docs 1 and 2
+        span_chars = len("alpha beta gamma delta epsilon zeta eta".replace(" ", ""))
+        assert excised[1]["chars_removed"] == span_chars
+        assert excised[2]["chars_removed"] == span_chars
+
+
 class TestMinhashLSH:
     def test_identical_docs_identical_signatures(self, docs):
         sh = docs.select(
