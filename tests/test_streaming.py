@@ -211,6 +211,80 @@ def test_stream_near_dup_across_batches(spark, tmp_path_factory):
     assert pairs == {(1, 2)}
 
 
+def _state_rows_per_batch(stream_df, name):
+    """Run availableNow and return numRowsTotal of the (single) state
+    operator for each micro-batch, in trigger order."""
+    import json as _json
+
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"{name} did not finish in 120s")
+    rows = []
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        ops = d.get("stateOperators") or []
+        if ops and d.get("numInputRows", 0) > 0:
+            rows.append(int(ops[0]["numRowsTotal"]))
+    return rows
+
+
+@pytest.mark.parametrize(
+    "provider",
+    [
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ],
+    ids=["hdfs-backed", "rocksdb"],
+)
+def test_stream_near_dup_state_rows_bounded(spark, tmp_path_factory, provider):
+    """VERDICT r4 #9 — stream_near_dup_candidates claims state bounded by
+    the distinct CONTENT seen (one row per occupied LSH bucket), not by
+    stream length: feed 4 micro-batches of the same 3 texts under fresh ids
+    and assert the state store's numRowsTotal goes flat after batch 1
+    (<= bands x distinct-texts) while candidate pairs keep accumulating.
+    Runs under both state-store providers (RocksDB is the 100 TB path)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different content about spark shuffles and parquet files",
+        "a third corpus document with its own unique shingle stream here",
+    ]
+    p = str(tmp_path_factory.mktemp(f"sndup_state_{provider[-20:]}") / "docs")
+    for b in range(4):
+        spark.createDataFrame(
+            [(100 * b + i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        ).coalesce(1).write.mode("overwrite" if b == 0 else "append").parquet(p)
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        schema = spark.read.parquet(p).schema
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p)
+        name = f"t_sndup_state_{'rocks' if 'RocksDB' in provider else 'hdfs'}"
+        per_batch = _state_rows_per_batch(st.stream_near_dup_candidates(stream), name)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    assert len(per_batch) == 4
+    # one state row per occupied bucket; identical content -> identical
+    # buckets -> FLAT after the first batch, bounded by bands * n_texts
+    assert per_batch[0] == per_batch[-1] <= 4 * len(texts)
+    assert all(n == per_batch[0] for n in per_batch)
+    # and the candidates really did accumulate across all batches: each text
+    # pairs every new id with every id seen before (3 texts x (1+2+3) pairs)
+    got = spark.table(name).select("id_a", "id_b").distinct().count()
+    assert got == 3 * 6
+
+
 def test_streaming_stratified_sample_equals_batch(spark, tmp_path_factory):
     """stratified_sample is a pure narrow filter, so the SAME operator runs
     unchanged on a stream, and streaming output == batch output on identical
