@@ -105,11 +105,33 @@ def main(argv):
         # deterministic seeded rotation over the catalog (VERDICT r3 #6):
         # the judge replays `python tools/check.py --sample N --seed R` and
         # gets the identical subset, so each round independently re-verifies
-        # a different slice of the queries the driver's 50-cap never reaches
+        # a different slice of the queries the driver's 50-cap never reaches.
+        # With a committed TOUCHED.txt (tools/update_touched.py — the census
+        # of queries some driver/sample run already verified), 60% of the
+        # budget goes to the NEVER-touched remainder first (VERDICT r4 #6),
+        # burning the untouched census down instead of re-rolling favorites.
+        # Determinism is preserved: the split is a pure function of
+        # (catalog, committed TOUCHED.txt, seed).
         import random as _random
 
         rng = _random.Random(seed if seed is not None else 0)
-        names = sorted(rng.sample(sorted(names), min(sample_n, len(names))))
+        pool = sorted(names)
+        touched_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "TOUCHED.txt"
+        )
+        picked: list[str] = []
+        if os.path.exists(touched_path):
+            with open(touched_path) as fh:
+                touched = {ln.strip() for ln in fh if ln.strip()}
+            untouched = [n for n in pool if n not in touched]
+            k_un = min(len(untouched), max(1, (sample_n * 6) // 10), sample_n)
+            picked = rng.sample(untouched, k_un)
+            rest_pool = [n for n in pool if n not in set(picked)]
+            picked += rng.sample(rest_pool, min(sample_n - k_un, len(rest_pool)))
+            print(f"# {k_un} of {len(picked)} drawn from the {len(untouched)}-query untouched census")
+        else:
+            picked = rng.sample(pool, min(sample_n, len(pool)))
+        names = sorted(picked)
         print(f"# sampled {len(names)} queries with seed={seed}")
     n_pass = n_fail = n_weak = 0
     record = {}
