@@ -366,11 +366,22 @@ def test_q171_pipeline_single_partition_only_for_scalars(spark):
     aggregates (corpus token total, min source chars — the identity-broadcast
     pattern); the budget stage's window must stay the distributed prefix sum
     and the corpus itself must never pass through a SinglePartition exchange."""
+    import re
+
     df = catalog.QUERIES["q171_pipeline_e2e"](spark, SF)
     lines = pi.physical_plan(df).splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
-            parent = lines[i - 1]
+            # AQE may interpose ShuffleQueryStage / AQEShuffleRead wrapper
+            # nodes between the exchange and its consuming aggregate — walk
+            # up past them to the real parent operator
+            j = i - 1
+            while j >= 0 and re.search(
+                r"QueryStage|AQEShuffleRead|InputAdapter|WholeStageCodegen",
+                lines[j],
+            ):
+                j -= 1
+            parent = lines[j] if j >= 0 else ""
             assert "HashAggregate(keys=[]" in parent, (
                 f"non-scalar SinglePartition exchange: {parent.strip()}"
             )
