@@ -507,6 +507,61 @@ def q83_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(pay, fake_decode=True).orderBy("doc_id")
 
 
+@query(
+    "q327_png_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (7 * doc_id) % 16 AS h
+               FROM documents WHERE doc_id < 200),
+    cx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+    cc AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM cx)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(3 * ((x + y + doc_id) % 256)) AS BIGINT) AS px_sum
+    FROM cc GROUP BY doc_id, w, h ORDER BY doc_id
+    """,
+)
+def q327_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, driver-checkable (operators/png.py — round 5's
+    pure-stdlib baseline-PNG codec): each doc synthesizes a real PNG
+    executor-side (dims and pixels are analytic functions of doc_id),
+    round-trips it through zlib IDAT encode -> decode -> unfilter, and
+    reports (width, height, px_sum) — the PIXEL CHECKSUM proves actual
+    byte-exact pixel decoding, not just header parsing, against the
+    DuckDB oracle's closed-form sum.  All work is Arrow-batched
+    mapInPandas on executors; the driver never sees image bytes.  The
+    five-filter decode matrix and corrupt/exotic rejection are unit-pinned
+    in tests/test_llm_ops.py::TestPngReal."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def gen_and_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.png import decode_png, encode_png
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "px_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 24, 8 + (7 * d) % 16
+                px = bytes(
+                    (x + y + d) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for _ in range(3)
+                )
+                ww, hh, _ch, out = decode_png(encode_png(w, h, px))
+                rows["doc_id"].append(d)
+                rows["width"].append(ww)
+                rows["height"].append(hh)
+                rows["px_sum"].append(sum(out))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen_and_decode, "doc_id bigint, width int, height int, px_sum bigint"
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (batch shape of the streaming ops, SURVEY §2.11)
 # ---------------------------------------------------------------------------
