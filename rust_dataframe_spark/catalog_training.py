@@ -231,6 +231,82 @@ def q326_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q328_cdc_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, 'zzp0 zzp1 zzp2 ' || text AS text
+      FROM documents WHERE doc_id < 20
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+    g0 AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM w),
+    g AS (SELECT doc_id, i - 1 AS pos, words[i] AS word FROM g0),
+    b AS (SELECT doc_id, pos, word,
+                 CASE WHEN ('0x' || substr(md5(word), 1, 8))::UBIGINT % 16 = 0
+                      THEN 1 ELSE 0 END AS bnd
+          FROM g),
+    cid AS (SELECT doc_id, pos, word,
+                   coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS chunk_id
+            FROM b),
+    chunks AS (SELECT doc_id, chunk_id,
+                      md5(array_to_string(list(word ORDER BY pos), ' ')) AS digest
+               FROM cid GROUP BY doc_id, chunk_id),
+    orig AS (SELECT DISTINCT digest FROM chunks WHERE doc_id < 100000),
+    copies AS (SELECT c.doc_id, c.digest,
+                      (o.digest IS NOT NULL)::INT AS shared
+               FROM chunks c LEFT JOIN orig o USING (digest)
+               WHERE c.doc_id >= 100000)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(shared) AS BIGINT) AS n_shared,
+           round(sum(shared) * 1.0 / count(*), 6) AS shared_frac
+    FROM copies GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q328_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/dedup.cdc_chunks) with the
+    SHIFT-RESISTANCE property proven on the data: copies of the first 20
+    docs get a 3-word prefix injected — every fixed-size block and every
+    whole-document hash now differs — yet the content-defined boundaries
+    re-align after the first chunk, so almost all of each copy's chunks
+    match an original chunk digest (``shared_frac`` near 1).  This is how
+    a re-crawled 100 TB corpus dedups against last month's snapshot at the
+    storage layer: chunk digests join; documents never compare.  Honest
+    edge: a doc shorter than one expected chunk (~16 words) has no interior
+    boundary, so its single polluted chunk shares nothing — CDC degrades
+    to whole-doc hashing below the chunk scale (visible as shared_frac=0
+    rows here).  Chunk rebuild is per-doc windowed; the cross-version
+    check is one digest semi-join."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") < 300)
+    shifted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("zzp0 zzp1 zzp2 "), F.col("text")).alias("text"),
+    )
+    ch = dd.cdc_chunks(base.unionByName(shifted), "doc_id", "text", avg_words=16)
+    orig = ch.filter(F.col("doc_id") < 100000).select("digest").distinct()
+    copies = ch.filter(F.col("doc_id") >= 100000).join(
+        orig.withColumn("__hit", F.lit(1)), "digest", "left"
+    )
+    return (
+        copies.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_chunks"), 6).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q128_kmeans",
     oracle="""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -47,6 +47,8 @@ __all__ = [
     "bloom_decontaminate",
     "simhash",
     "repeated_ngram_spans",
+    "excise_repeated_spans",
+    "cdc_chunks",
     "blocked_weighted_jaccard",
     "sorted_neighborhood_pairs",
 ]
@@ -712,6 +714,75 @@ def excise_repeated_spans(
         chars(F.col("__w")).alias("chars_in"),
         chars(kept).alias("chars_kept"),
         chars(removed).alias("chars_removed"),
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    avg_words: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (CDC) at word granularity — the
+    shift-resistant storage-dedup primitive (LBFS/rsync lineage: chunk
+    boundaries come from the CONTENT, so inserting a prefix re-aligns
+    after the first boundary, where fixed-size blocks would never match
+    again).  The training-data use: chunk-level dedup across re-crawled /
+    lightly-edited corpora where document-level hashes all differ but
+    most chunks are identical.
+
+    A boundary falls AFTER word ``w`` when ``uhash(w) % avg_words == 0``
+    (expected chunk length = ``avg_words`` words); a word's chunk index is
+    the count of boundaries strictly before it — a per-document running
+    sum (the window partitions by doc, the same bounded-axis discipline as
+    ``repeated_ngram_spans``' island merge).  Chunks rebuild in order via
+    the collect_list/array_sort pattern of ``text.line_dedup`` and ship
+    onward as md5 digests.
+
+    Returns one row per chunk: ``(id, chunk_id, digest, n_words,
+    n_chars)``.  Downstream: group by digest for the dedup census, join
+    digests across corpus versions for delta-sync estimates.
+
+    Scale: one narrow explode + one per-doc window + one (doc, chunk)
+    group — no cross-doc shuffle carries text; the digest group that
+    follows is the same 16 B/row shuffle as exact_dedup.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__w"),
+    )
+    bnd = (
+        F.conv(F.substring(F.md5(F.col("__w")), 1, 8), 16, 10).cast("bigint")
+        % avg_words
+        == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = words.withColumn(
+        "chunk_id", F.coalesce(F.sum(bnd).over(w), F.lit(0)).cast("int")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__w"))),
+                    lambda s: s["__w"],
+                ),
+                " ",
+            ).alias("__chunk")
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.md5(F.col("__chunk")).alias("digest"),
+            F.size(F.split(F.col("__chunk"), " ")).alias("n_words"),
+            F.length("__chunk").cast("bigint").alias("n_chars"),
+        )
     )
 
 

@@ -35,6 +35,41 @@ class TestExactDedup:
         assert out[3] == 1 and out[4] == 1
 
 
+class TestCdcChunks:
+    def test_reconstruction_and_shift_resistance(self, spark):
+        base = " ".join(f"tok{i * 37 % 211}" for i in range(200))
+        df = spark.createDataFrame(
+            [(1, base), (2, "prefix0 prefix1 prefix2 " + base)],
+            "doc_id bigint, text string",
+        )
+        ch = dd.cdc_chunks(df, "doc_id", "text", avg_words=16)
+        rows = ch.collect()
+        # chunks of each doc reassemble to the doc exactly (word-chars)
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        for did, text in [(1, base), (2, "prefix0 prefix1 prefix2 " + base)]:
+            got = sum(r["n_words"] for r in per_doc[did])
+            assert got == len(text.split(" "))
+        # shift resistance: most of doc 2's chunk digests match doc 1's
+        d1 = {r["digest"] for r in per_doc[1]}
+        shared = sum(1 for r in per_doc[2] if r["digest"] in d1)
+        assert shared >= len(per_doc[2]) - 2  # only the prefix chunk differs
+        assert shared >= 1
+
+    def test_determinism_under_repartition(self, spark):
+        base = " ".join(f"w{i % 97}x{i % 13}" for i in range(300))
+        df = spark.createDataFrame([(1, base)], "doc_id bigint, text string")
+        a = sorted(map(tuple, dd.cdc_chunks(df, "doc_id", "text").collect()))
+        b = sorted(
+            map(
+                tuple,
+                dd.cdc_chunks(df.repartition(8), "doc_id", "text").collect(),
+            )
+        )
+        assert a == b
+
+
 class TestSpanExcision:
     """excise_repeated_spans: the act half of repeated_ngram_spans —
     cross-doc repeated spans cut out, unique remainders kept in order,
