@@ -326,6 +326,80 @@ def q86_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q329_ivf_recall",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid,
+                 list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS cvn
+          FROM e WHERE vec_id < 8),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM e
+          WHERE vec_id BETWEEN 100 AND 105),
+    sims AS (SELECT e.vec_id, c.cid, e.emb,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        list_dot_product(emb, cvn) DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN c),
+    assign AS (SELECT vec_id, cid AS cell, emb FROM sims WHERE rn = 1),
+    pr AS (SELECT q.query_id, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.query_id ORDER BY
+                      round(list_dot_product(qv, cvn)
+                            / sqrt(list_dot_product(qv, qv)), 6) DESC,
+                      c.cid ASC) AS rn
+           FROM q CROSS JOIN c),
+    probe AS (SELECT query_id, qv, cid AS cell FROM pr WHERE rn <= 2),
+    ah AS (SELECT p.query_id, a.vec_id,
+                  round(list_dot_product(a.emb, p.qv)
+                        / (sqrt(list_dot_product(a.emb, a.emb))
+                           * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cs
+           FROM probe p JOIN assign a ON a.cell = p.cell
+           WHERE a.vec_id <> p.query_id),
+    atop AS (SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY cs DESC, vec_id) AS rk
+               FROM ah) WHERE rk <= 10),
+    eh AS (SELECT q.query_id, e.vec_id,
+                  round(list_dot_product(e.emb, q.qv)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs
+           FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id),
+    etop AS (SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY cs DESC, vec_id) AS rk
+               FROM eh) WHERE rk <= 10)
+    SELECT etop.query_id,
+           CAST(sum((a.vec_id IS NOT NULL)::INT) AS INT) AS n_hits,
+           round(sum((a.vec_id IS NOT NULL)::INT) / 10.0, 6) AS recall_at_k
+    FROM etop LEFT JOIN atop a
+      ON a.query_id = etop.query_id AND a.vec_id = etop.vec_id
+    GROUP BY etop.query_id ORDER BY etop.query_id
+    """,
+)
+def q329_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality CERTIFICATE: measured recall@10 of the IVF index
+    (operators/similarity.ivf_batch_topk — nprobe=2 of 8 cells, probe
+    choice in-plan per query) against the exact kNN ground truth
+    (knn_join), per query vector (operators/similarity.ann_recall).  The
+    q264/q266/q284 discipline applied to the ANN family: the approximation
+    ships WITH its measured quality on the same engine run, replayed
+    end-to-end by the oracle — assignment, probing, both top-10s, and the
+    recall join.  Both top-k frames are |queries| x k rows, so the
+    certificate costs nothing beyond the searches it audits."""
+    e = table(spark, sf_dir, "embeddings")
+    cent_rows = e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
+    ]
+    queries = e.filter(F.col("vec_id").between(100, 105))
+    approx = sim.ivf_batch_topk(
+        queries, e, "vec_id", "embedding", centroids, nprobe=2, k=10
+    )
+    exact = sim.knn_join(queries, e, "vec_id", "embedding", 10)
+    return sim.ann_recall(approx, exact, 10).orderBy("query_id")
+
+
+@query(
     "q59_scalar_misc",
     oracle="""
     WITH t AS (

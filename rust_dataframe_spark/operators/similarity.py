@@ -40,6 +40,8 @@ __all__ = [
     "pq_adc_topk",
     "quantize_int8",
     "knn_join",
+    "ivf_batch_topk",
+    "ann_recall",
     "mean_pool",
     "quantized_cosine",
     "truncate_normalize",
@@ -587,6 +589,95 @@ def knn_join(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(*out_cols)
+    )
+
+
+def ivf_batch_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Batch IVF search: :func:`ivf_topk` for a WHOLE query table in one
+    plan — probe-cell choice happens in-plan (each query ranks the
+    broadcast centroid literals, no driver loop), then only the probed
+    cells' vectors score.  Returns (query_id, rank, neighbor_id, cos_sim)
+    with the same round-6 + id tie-break determinism as :func:`knn_join`,
+    and the same self-exclusion, so the two are directly joinable for a
+    recall certificate (:func:`ann_recall`).
+
+    Scale: probe table = |queries| x nprobe rows (broadcast); the corpus
+    is filtered to probed cells by a broadcast hash join on ``cell``
+    before any scoring — vectors outside the probed cells are never
+    touched, which is the IVF contract.
+    """
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
+        "cid int, cv array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(cosine(F.col("__qv"), F.col("cv")), 6).desc(), F.col("cid")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", F.col("cid").alias("cell"))
+    )
+    assigned = ivf_assign(corpus, id_col, vec_col, centroids)
+    hits = assigned.join(F.broadcast(probe), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    sim = F.round(cosine(as_double(F.col(vec_col)), F.col("__qv")), 6)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        hits.withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", F.col(id_col).alias("neighbor_id"), "cos_sim"
+        )
+    )
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Recall@k certificate: fraction of each query's EXACT top-k that the
+    approximate index returned (the standard ANN quality metric, measured
+    on the engines' own outputs rather than asserted).  Inputs are two
+    (query_id, rank, neighbor_id, ...) frames with rank <= k (e.g.
+    :func:`ivf_batch_topk` vs :func:`knn_join`).  Returns (query_id,
+    n_hits, recall_at_k) per query.
+
+    Both sides are top-k-bounded (|queries| x k rows), so the join is
+    trivially small no matter the corpus size — certificates must stay
+    cheap or they don't get run (the q264/q266/q284 discipline).
+    """
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hits = e.join(a, ["query_id", "neighbor_id"], "left_semi")
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    base = e.select("query_id").distinct()
+    return (
+        base.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall_at_k"),
+        )
     )
 
 

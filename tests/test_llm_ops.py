@@ -180,6 +180,44 @@ class TestSimhash:
 
 
 class TestSimilarity:
+    def test_ivf_batch_matches_single_query_ivf(self, spark):
+        """ivf_batch_topk on a 1-row query table == ivf_topk for that query
+        (modulo ivf_topk including the query itself, which batch excludes)."""
+        rows = [(i, [float((i * 7 + d) % 5) for d in range(4)]) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        centroids = [(i, [float((i * 7 + d) % 5) for d in range(4)]) for i in range(3)]
+        qv = rows[9][1]
+        single = [
+            r["vec_id"]
+            for r in sim.ivf_topk(
+                df, "vec_id", "embedding", qv, centroids, nprobe=2, k=6
+            ).collect()
+            if r["vec_id"] != 9
+        ]
+        batch = (
+            sim.ivf_batch_topk(
+                df.filter(F.col("vec_id") == 9), df, "vec_id", "embedding",
+                centroids, nprobe=2, k=6,
+            )
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r["neighbor_id"] for r in batch][: len(single)] == single
+
+    def test_ann_recall_bounds(self, spark):
+        mk = lambda rows: spark.createDataFrame(
+            rows, "query_id bigint, rank int, neighbor_id bigint"
+        )
+        exact = mk([(1, r, 10 + r) for r in range(1, 4)] + [(2, r, 20 + r) for r in range(1, 4)])
+        perfect = sim.ann_recall(exact, exact, 3)
+        assert {(r["query_id"], r["recall_at_k"]) for r in perfect.collect()} == {
+            (1, 1.0), (2, 1.0)
+        }
+        disjoint = mk([(1, r, 90 + r) for r in range(1, 4)])
+        zero = sim.ann_recall(disjoint, exact, 3)
+        got = {r["query_id"]: (r["n_hits"], r["recall_at_k"]) for r in zero.collect()}
+        assert got == {1: (0, 0.0), 2: (0, 0.0)}
+
     def test_cosine_topk_self_first(self, spark):
         rows = [
             (0, [1.0, 0.0, 0.0]),
