@@ -101,6 +101,9 @@ BNLJ_ALLOW: dict[str, str] = {
     "per-doc fan-out fixed at ring size by construction",
     "q301_resample_ffill": "120-slot calendar-grid broadcast; grid = users "
     "x slots is the query's stated output contract",
+    "q329_ivf_recall": "exact-kNN ground-truth side broadcasts the 6-row "
+    "query batch (same shape as q163/q164); the IVF side under audit is "
+    "cell-pruned equi-joins",
 }
 
 
