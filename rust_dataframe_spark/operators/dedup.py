@@ -618,12 +618,22 @@ def repeated_ngram_spans(
     positions = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
         F.array().cast("array<int>")
     )
-    grams = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(positions, lambda i: F.array_join(F.slice(words, i, n), " "))
-        ).alias("pos", "__g"),
-    ).select(F.col(id_col), F.col("pos"), F.md5(F.col("__g")).alias("__h"))
+    # persist the exploded digests: both the document-frequency aggregate
+    # and the position join consume `grams`, and their shuffles carry
+    # different payloads (partial-agg rows vs (id, pos, digest) rows), so
+    # Catalyst cannot ReuseExchange — without the persist the O(total
+    # tokens) explode + md5 runs TWICE.  MEMORY_AND_DISK (persist default)
+    # keeps this safe when the gram table outgrows executor memory.
+    grams = persist_tracked(
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    positions, lambda i: F.array_join(F.slice(words, i, n), " ")
+                )
+            ).alias("pos", "__g"),
+        ).select(F.col(id_col), F.col("pos"), F.md5(F.col("__g")).alias("__h"))
+    )
 
     shared = (
         grams.groupBy("__h")
