@@ -96,6 +96,12 @@ HEADLINE = [
     # round-7 additions: classifier scoring + novelty screen
     "q315_quality_classifier",
     "q319_ngram_novelty",
+    # round-8 additions: span excision, real PNG decode, CDC dedup,
+    # ANN recall certificate
+    "q326_span_excision",
+    "q327_png_decode",
+    "q328_cdc_dedup",
+    "q329_ivf_recall",
 ]
 
 
