@@ -195,6 +195,97 @@ def q73_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q330_ORACLE = (
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' zzextra zzwords zztail' AS text
+      FROM documents WHERE doc_id < 20
+    ),
+    sh_t AS (SELECT doc_id, """
+    + _SH_SQL
+    + """ AS sh FROM corpus),
+    sig AS (SELECT doc_id, sh, """
+    + ", ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(16))
+    + " FROM sh_t), bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(mh{4*b} || '|' || mh{4*b+1} || '|' || mh{4*b+2} || '|' || mh{4*b+3}) AS bh "
+        "FROM sig"
+        for b in range(4)
+    )
+    + """),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+    SELECT CAST(nt AS BIGINT) AS n_true, CAST(nc AS BIGINT) AS n_cand,
+           CAST(nh AS BIGINT) AS n_hit,
+           round(nh * 1.0 / nc, 6) AS cand_precision,
+           round(nh * 1.0 / nt, 6) AS cand_recall
+    FROM (SELECT count(*) AS nt FROM truth),
+         (SELECT count(*) AS nc FROM cand),
+         (SELECT count(*) AS nh FROM truth t
+          JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    """
+)
+
+
+@query("q330_lsh_quality", oracle=_Q330_ORACLE)
+def q330_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-family quality CERTIFICATE (the q329 discipline applied to
+    MinHash-LSH): candidate precision AND recall of the 4x4-band LSH stage
+    measured against exact Jaccard >= 0.5 ground truth on a bounded 80-doc
+    corpus (60 bases + 20 tail-modified copies — the q72 fixture).  Recall
+    tells you what the banding misses (the silent failure mode of every
+    LSH deployment); precision tells you how much verify work the bands
+    buy.  Ground truth is the deliberate bounded all-pairs baseline (q73's
+    gating note applies: the unbounded form is the anti-pattern LSH
+    avoids); the three counts attach as 1-row scalar broadcasts."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") < 60)
+    mods = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzextra zzwords zztail")).alias("text"),
+    )
+    corpus = base.unionByName(mods)
+    sh = corpus.select(
+        "doc_id", F.array_distinct(dd.shingle(F.col("text"), 3)).alias("sh")
+    )
+    sig = sh.select("doc_id", dd.minhash_signature(F.col("sh"), 16).alias("sig"))
+    cand = dd.lsh_candidate_pairs(sig, "doc_id", "sig", bands=4, rows_per_band=4)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    nh = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("cand_precision"),
+            F.round(F.col("n_hit") / F.col("n_true"), 6).alias("cand_recall"),
+        )
+    )
+
+
 def _simhash_oracle() -> str:
     # one vote-sum per bit: s_j = sum over tokens of +-1 on bit j of the
     # little-endian first-8-bytes md5 (== DuckDB md5_number_upper)

@@ -104,6 +104,9 @@ BNLJ_ALLOW: dict[str, str] = {
     "q329_ivf_recall": "exact-kNN ground-truth side broadcasts the 6-row "
     "query batch (same shape as q163/q164); the IVF side under audit is "
     "cell-pruned equi-joins",
+    "q330_lsh_quality": "deliberate 80-doc bounded all-pairs ground truth "
+    "(q73's gating note) feeding the LSH precision/recall certificate; the "
+    "LSH stage under audit is band equi-joins",
 }
 
 
