@@ -310,3 +310,90 @@ def test_kaplan_meier_monotone_nonincreasing(spark, subjects):
     for r in rows:
         assert 0.0 <= r["survival"] <= prev + 1e-12
         prev = r["survival"]
+
+
+# PNG codec: pure-Python (no Spark job per example), so examples are cheap
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 10),
+    st.sampled_from([1, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_any_image(w, h, channels, seed):
+    """decode(encode(px)) == px for arbitrary dims/channels/pixel content —
+    the codec-level invariant behind the q327 pixel-checksum oracle."""
+    import hashlib
+
+    from rust_dataframe_spark.operators.png import decode_png, encode_png
+
+    n = w * h * channels
+    px = (hashlib.md5(f"{seed}".encode()).digest() * (n // 16 + 1))[:n]
+    got = decode_png(encode_png(w, h, px, channels=channels))
+    assert got == (w, h, channels, px)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 40).map(lambda i: f"w{i}"), min_size=0, max_size=60),
+        min_size=1,
+        max_size=4,
+    ),
+    st.sampled_from([4, 8, 16]),
+)
+def test_cdc_chunks_reconstruct_and_match_python(spark, docs, avg_words):
+    """cdc_chunks == a Python replay of the boundary rule for any corpus:
+    chunk word-counts reconstruct each doc, and every chunk digest matches
+    the locally-computed chunking (determinism + correctness in one)."""
+    import hashlib
+
+    from rust_dataframe_spark.operators import dedup as dd
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {}
+    for r in dd.cdc_chunks(df, "doc_id", "text", avg_words=avg_words).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["digest"]
+
+    for i, ws in enumerate(docs):
+        words = (" ".join(ws)).split(" ")  # empty doc -> [''] like Spark split
+        chunks, cur = [], []
+        for w_ in words:
+            cur.append(w_)
+            hv = int(hashlib.md5(w_.encode()).hexdigest()[:8], 16)
+            if hv % avg_words == 0:
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        want = {
+            cid: hashlib.md5(" ".join(c).encode()).hexdigest()
+            for cid, c in enumerate(chunks)
+        }
+        assert got.get(i, {}) == want, f"doc {i}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 12).map(lambda i: f"t{i}"), min_size=0, max_size=25),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_excision_conserves_chars_any_corpus(spark, docs):
+    """chars_kept + chars_removed == chars_in for ANY corpus, and a doc's
+    kept text is always a subsequence of its original words."""
+    from rust_dataframe_spark.operators import dedup as dd
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dd.excise_repeated_spans(df, "doc_id", "text", n=3, min_docs=2).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        assert r["chars_kept"] + r["chars_removed"] == r["chars_in"]
+        orig = rows[r["doc_id"]][1].split(" ")
+        kept = r["text"].split(" ") if r["text"] else []
+        it = iter(orig)
+        assert all(any(w == o for o in it) for w in kept), "not a subsequence"
