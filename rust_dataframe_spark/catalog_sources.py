@@ -173,13 +173,40 @@ def q122_arrow_ipc_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q331_avro_roundtrip", oracle=_RT_AGG)
+def q331_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container sink + source round-trip — NO spark-avro jar: the
+    pure-stdlib codec in sources/avro.py (public container spec: zigzag
+    varints, sync-delimited deflate blocks) behind the same executor-side
+    write / binaryFile+mapInArrow read shape as the Arrow-IPC pair (q122).
+    mapInArrow keeps float NULL and NaN distinct end-to-end (002.sql
+    semantics, test_sources.TestAvro).  The oracle aggregates the source
+    parquet — equality proves the round trip lossless."""
+    from .sources import avro as av
+
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _scratch("avro_supplier", sf_dir)
+    av.write_avro_dir(s.repartition(4), path)
+    back = av.read_avro_dir(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s_name").alias("n_names"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+        F.min("s_name").alias("min_name"),
+        F.max("s_suppkey").alias("max_key"),
+        F.sum("s_nationkey").cast("bigint").alias("nk_sum"),
+    )
+
+
 @query("q142_orc_roundtrip", oracle=_RT_AGG)
 def q142_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + source round-trip (sources/files.write_orc/read_orc):
     the second columnar format next to parquet — same pushdown/pruning
     posture (plan-tested in test_sources), schema travels in the file.
-    The avro format needs the external spark-avro jar (absent in this
-    container; documented in sources/files.read_orc)."""
+    The avro format's external spark-avro jar is absent, so avro is
+    covered by the stdlib container codec instead (q331, sources/avro.py)."""
     s = table(spark, sf_dir, "supplier")
     path = _scratch("orc_supplier", sf_dir)
     fs.write_orc(s, path)

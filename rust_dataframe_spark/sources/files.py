@@ -283,8 +283,8 @@ def read_xml(spark: SparkSession, path: str, *, row_tag: str = "row", schema: st
     """XML source (native in Spark 4 — the spark-xml package was merged
     upstream): one row per ``row_tag`` element, schema inferred or
     explicit.  Completes the text-format matrix next to csv/json/text;
-    Avro remains documented-unsupported here (external jar, absent in this
-    environment)."""
+    Avro is covered by the stdlib container codec in sources/avro.py
+    (the external spark-avro jar is absent in this environment)."""
     r = spark.read.format("xml").option("rowTag", row_tag)
     if schema:
         r = r.schema(schema)

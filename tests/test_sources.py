@@ -331,6 +331,100 @@ def _h2_available(spark) -> bool:
         return False
 
 
+class TestAvro:
+    """Pure-stdlib Avro container source/sink (sources/avro.py) — the
+    spark-avro module is absent (external jar), so the documented primitive
+    subset is implemented directly, PNG-codec style."""
+
+    SCHEMA = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": ["null", "double"]},
+            {"name": "d", "type": "boolean"},
+            {"name": "e", "type": ["null", "bytes"]},
+        ],
+    }
+
+    def test_codec_roundtrip_both_codecs(self):
+        import math
+
+        from rust_dataframe_spark.sources import avro as av
+
+        rows = [
+            {"a": 1, "b": "x", "c": 1.5, "d": True, "e": b"\x00\xffbin"},
+            {"a": -7, "b": None, "c": float("nan"), "d": False, "e": None},
+            {"a": 2**40, "b": "unicodé", "c": float("inf"), "d": True, "e": b""},
+            {"a": -(2**40), "b": "", "c": float("-inf"), "d": False, "e": b"z"},
+        ]
+        for codec in ("null", "deflate"):
+            _s, back = av.decode_records(
+                av.encode_records(self.SCHEMA, rows, codec=codec)
+            )
+            assert len(back) == 4
+            assert back[0] == rows[0] and back[3] == rows[3]
+            assert back[1]["b"] is None and math.isnan(back[1]["c"])
+            assert back[2]["a"] == 2**40 and back[2]["c"] == float("inf")
+
+    def test_multi_block_and_corruption_errors(self):
+        from rust_dataframe_spark.sources import avro as av
+
+        rows = [{"a": i, "b": f"s{i}", "c": float(i), "d": i % 2 == 0, "e": None}
+                for i in range(1000)]
+        blob = av.encode_records(self.SCHEMA, rows, block_records=128)
+        _s, back = av.decode_records(blob)
+        assert [r["a"] for r in back] == list(range(1000))
+        with pytest.raises(av.AvroError, match="magic"):
+            av.decode_records(b"NOTAVRO" + blob)
+        mangled = bytearray(blob)
+        mangled[-3] ^= 0xFF  # inside the trailing sync marker
+        with pytest.raises(av.AvroError, match="sync"):
+            av.decode_records(bytes(mangled))
+
+    def test_unsupported_schema_rejected(self, spark):
+        from rust_dataframe_spark.sources import avro as av
+
+        bad = {"type": "record", "name": "r",
+               "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]}
+        with pytest.raises(av.AvroError, match="unsupported"):
+            av.encode_records(bad, [])
+        from pyspark.sql.types import StructType
+
+        with pytest.raises(av.AvroError, match="subset"):
+            av.spark_schema_to_avro(StructType.fromDDL("arr array<int>"))
+
+    def test_spark_roundtrip_nan_inf_null_exact(self, spark, tmp_path):
+        """The 002.sql double-semantics fixture through the DISTRIBUTED
+        path: NaN, +-Inf, and NULL all survive distinctly (mapInArrow on
+        both sides — the pandas bridge would conflate NaN with null)."""
+        import math
+
+        from rust_dataframe_spark.sources import avro as av
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha", 1.25, True, bytearray(b"zz")),
+                (2, None, None, False, None),
+                (3, "gamma", float("nan"), True, bytearray(b"\x01")),
+                (4, "delta", float("inf"), False, None),
+                (5, "eps", float("-inf"), True, bytearray(b"")),
+            ],
+            "id long, name string, score double, flag boolean, blob binary",
+        )
+        p = str(tmp_path / "avro_rt")
+        n_files = av.write_avro_dir(df.repartition(3), p)
+        assert 1 <= n_files <= 3
+        back = {r["id"]: r for r in av.read_avro_dir(spark, p).collect()}
+        assert len(back) == 5
+        assert math.isnan(back[3]["score"])
+        assert back[2]["score"] is None and back[2]["name"] is None
+        assert back[4]["score"] == float("inf")
+        assert back[5]["score"] == float("-inf") and bytes(back[5]["blob"]) == b""
+        assert bytes(back[1]["blob"]) == b"zz" and back[1]["score"] == 1.25
+
+
 def _h2_jar_present() -> bool:
     """Static classpath scan (no JVM needed at collection time): is an H2
     jar anywhere Spark would load it from?"""
