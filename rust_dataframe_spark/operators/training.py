@@ -293,18 +293,31 @@ def semdedup(
     split; a degenerate mega-cell means the quantizer needs more centroids,
     which is a data-quality signal in itself.
     """
+    from .similarity import _dot
+
     assigned = ivf_assign(df, id_col, vec_col, centroids)
+    # norms computed ONCE PER ROW before the pair join: the naive
+    # cosine-per-pair recomputes both vectors' norm aggregates (a 64-dim
+    # fold + sqrt each) for EVERY pair — at sum(cell^2) pairs that triples
+    # the join's per-pair work.  The division-form comparison below is the
+    # byte-identical expression the oracle uses (dot / (na * nb) >= eps),
+    # just with the sqrt factors hoisted out of the pair loop.
     a = assigned.select(
-        F.col(id_col).alias("__ida"), F.col("cell"), as_double(F.col(vec_col)).alias("__va")
-    )
+        F.col(id_col).alias("__ida"),
+        F.col("cell"),
+        as_double(F.col(vec_col)).alias("__va"),
+    ).withColumn("__na", F.sqrt(_dot(F.col("__va"), F.col("__va"))))
     b = assigned.select(
         F.col(id_col).alias("__idb"),
         F.col("cell").alias("__cellb"),
         as_double(F.col(vec_col)).alias("__vb"),
-    )
+    ).withColumn("__nb", F.sqrt(_dot(F.col("__vb"), F.col("__vb"))))
     dropped = (
         a.join(b, (F.col("cell") == F.col("__cellb")) & (F.col("__idb") < F.col("__ida")))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= eps)
+        .filter(
+            _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            >= eps
+        )
         .select(F.col("__ida").alias(id_col))
         .distinct()
     )
