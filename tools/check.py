@@ -7,6 +7,9 @@ names, and exact canonicalized values (order-insensitive).  Usage:
     python tools/check.py [query_name ...]     # default: all
     python tools/check.py --sample 50 --seed 4 # seeded rotating spot-set
 
+Set ``CHECK_SF_DIR=/root/testdata/sf0.1`` to run the same gate at another
+scale factor (the round-5 closing evidence runs the FULL catalog at sf0.1 —
+10x the driver's gate — to catch any scale-sensitive divergence).
 Set ``CHECK_JSON_OUT=/path.json`` to also write a machine-readable record
 (same shape as the driver's CORRECTNESS files) — committed per round as
 CORRECTNESS_local_r*.json so the full catalog stays auditable beyond the
@@ -29,7 +32,7 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon_cell(v):
