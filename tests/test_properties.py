@@ -397,3 +397,46 @@ def test_excision_conserves_chars_any_corpus(spark, docs):
         kept = r["text"].split(" ") if r["text"] else []
         it = iter(orig)
         assert all(any(w == o for o in it) for w in kept), "not a subsequence"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**62), 2**62),
+            st.one_of(st.none(), st.text(max_size=8)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, width=64),
+                st.sampled_from([math.inf, -math.inf]),
+            ),
+            st.booleans(),
+            st.one_of(st.none(), st.binary(max_size=6)),
+        ),
+        max_size=25,
+    ),
+    st.sampled_from(["null", "deflate"]),
+    st.sampled_from([1, 7, 4096]),
+)
+def test_avro_container_roundtrip_any_rows(rows, codec, block):
+    """encode->decode identity for arbitrary primitive rows, both codecs,
+    any block size (multi-block files included).  NaN is covered by the
+    targeted TestAvro fixtures (NaN != NaN breaks dict equality here)."""
+    from rust_dataframe_spark.sources import avro as av
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": ["null", "double"]},
+            {"name": "d", "type": "boolean"},
+            {"name": "e", "type": ["null", "bytes"]},
+        ],
+    }
+    recs = [dict(zip("abcde", r)) for r in rows]
+    _s, back = av.decode_records(
+        av.encode_records(schema, recs, codec=codec, block_records=block)
+    )
+    assert back == recs
