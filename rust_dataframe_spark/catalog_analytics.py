@@ -322,7 +322,7 @@ def q205_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE user_id < 20
     )
     SELECT event_id, user_id, ts, value,
-           round(list_reduce(hist, (s, v) -> v * 0.25 + s * 0.75), 6) AS ewma
+           floor(list_reduce(hist, (s, v) -> v * 0.25 + s * 0.75) * 1000000) / 1000000 AS ewma
     FROM h ORDER BY user_id, ts, event_id
     """,
 )
@@ -763,7 +763,7 @@ def q212_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE user_id < 20
     )
     SELECT user_id, ts, value,
-           round(list_reduce(hist, (s, v) -> v * 0.25 + s * 0.75), 6) AS ewma
+           floor(list_reduce(hist, (s, v) -> v * 0.25 + s * 0.75) * 1000000) / 1000000 AS ewma
     FROM h ORDER BY user_id, ts
     """,
 )

@@ -101,21 +101,24 @@ def q61_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents)
     SELECT doc_id,
            list_has_any(words, ['spark', 'table', 'row', 'data'])           AS overlaps,
-           array_to_string(list_sort(list_distinct(
-               list_filter(words, x -> list_contains(['spark','table','row','data'], x)))), '|')
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(words, x -> list_contains(['spark','table','row','data'], x)))), '|'), '')
                                                                             AS inter,
-           array_to_string(list_sort(list_distinct(
-               list_filter(words, x -> NOT list_contains(['spark','table','row','data'], x)))), '|')
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(words, x -> NOT list_contains(['spark','table','row','data'], x)))), '|'), '')
                                                                             AS exc,
-           array_to_string(list_sort(list_distinct(
-               list_concat(words, ['spark','table','row','data']))), '|')   AS uni
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_concat(words, ['spark','table','row','data']))), '|'), '') AS uni
     FROM w WHERE doc_id < 100 ORDER BY doc_id
     """,
 )
 def q62_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_intersect/except/union/overlap (reference functions/array.rs:
     66-153, 356-399, stub 154-181).  Set-valued outputs are sorted+joined so
-    both engines hash identically despite unspecified set ordering."""
+    both engines hash identically despite unspecified set ordering.  The
+    oracle coalesces its joins to '': DuckDB's array_to_string([]) is NULL
+    while Spark's array_join([]) is '' — surfaced by the sf0.1 full-catalog
+    gate (the first zero-overlap doc appears only at that scale)."""
     d = table(spark, sf_dir, "documents")
     ref = F.array(*[F.lit(x) for x in ["spark", "table", "row", "data"]])
     words = F.array_distinct(F.split(F.col("text"), " "))

@@ -30,7 +30,7 @@ from .operators import text as tx
                FROM toks t JOIN vocab v USING (w) CROSS JOIN n)
     SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
            CAST(sum(surp) AS BIGINT) AS surprisal_milli,
-           round(sum(surp) * 1.0 / count(*) / 1000.0, 6) AS avg_surprisal
+           floor(sum(surp) * 1.0 / count(*) / 1000.0 * 1000000) / 1000000 AS avg_surprisal
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
 )

@@ -2312,7 +2312,8 @@ def q295_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     words AS (
       SELECT CAST(k // 64 AS BIGINT) AS w,
-             bit_or(1::BIGINT << CAST(k % 64 AS INT)) AS bits
+             bit_or(CASE WHEN k % 64 = 63 THEN -9223372036854775808
+                         ELSE 1::BIGINT << CAST(k % 64 AS INT) END) AS bits
       FROM build GROUP BY 1
     ),
     probe AS (
@@ -2337,7 +2338,9 @@ def q296_bitmap_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent true-join count), zero false positives, and the bitmap is
     domain/8 bytes regardless of build count.  Bloom when the key space is
     huge/sparse; bitmap when it's dense and bounded — the audit row states
-    which trade this is."""
+    which trade this is.  The oracle spells word-bit 63 as the sign-bit
+    literal: DuckDB range-checks ``1::BIGINT << 63`` (sf0.1 gate finding —
+    the supplier key domain first reaches bit 63 at that scale)."""
     s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 5 == 2)
     li = table(spark, sf_dir, "lineitem")
     build = s.select(F.col("s_suppkey").alias("k")).distinct()
@@ -3673,16 +3676,16 @@ _W315_SQL = "[" + ", ".join(f"{w:.6f}" for w in _W315) + "]"
     s AS (
       SELECT doc_id, len(toks) AS n,
              -0.1 + CASE WHEN len(toks) > 0 THEN
-               list_sum(list_transform(toks, x ->
+               list_reduce(list_concat([0.0::DOUBLE], list_transform(toks, x ->
                  ({_W315_SQL})[1 + CAST(
                    ('0x' || substr(md5(x || '#hls'), 1, 8))::UBIGINT % 32
                    AS INT)]
-               )) / len(toks)
+               )), (s, x) -> s + x) / len(toks)
              ELSE 0.0 END AS m
       FROM t
     )
-    SELECT doc_id, n AS n_tokens, round(m, 6) AS margin,
-           round(1.0 / (1.0 + exp(-m)), 6) AS prob
+    SELECT doc_id, n AS n_tokens, floor(m * 1000000) / 1000000 AS margin,
+           floor(1.0 / (1.0 + exp(-m)) * 1000000) / 1000000 AS prob
     FROM s ORDER BY doc_id
     """,
 )
@@ -3702,11 +3705,13 @@ def q315_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hashed_linear_score(
         d, "doc_id", "text", weights=_W315, bias=-0.1, salt="hls"
     )
+    # floor-at-6 on both engines (round() tie-breaks differ on .xxxxxx5 —
+    # sf0.1 gate finding; floor of the same double is engine-stable)
     return out.select(
         "doc_id",
         "n_tokens",
-        F.round("margin", 6).alias("margin"),
-        F.round("prob", 6).alias("prob"),
+        (F.floor(F.col("margin") * 1e6) / 1e6).alias("margin"),
+        (F.floor(F.col("prob") * 1e6) / 1e6).alias("prob"),
     ).orderBy("doc_id")
 
 

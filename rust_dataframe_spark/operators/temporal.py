@@ -364,7 +364,12 @@ def ewma(
         F.lit(None).cast("double"),
         lambda s, v: F.when(s.isNull(), v).otherwise(v * a + s * (F.lit(1.0) - a)),
     )
-    return df.withColumn(out_col, F.round(folded, 6))
+    # floor-at-6, NOT round-at-6: engines agree bit-for-bit on the folded
+    # double, but their round() tie-breaks differ (Spark HALF_UP on the
+    # decimal repr vs DuckDB) — at sf0.1 a value landing on x.xxxxx5 split
+    # them in the full-catalog gate.  floor of the same double is the same
+    # everywhere.
+    return df.withColumn(out_col, F.floor(folded * F.lit(1e6)) / F.lit(1e6))
 
 
 def cusum(

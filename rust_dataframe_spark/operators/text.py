@@ -433,9 +433,17 @@ def inverse_frequency_score(
         )
         .withColumn(
             "avg_surprisal",
-            F.round(
-                F.col("surprisal_milli") / F.col("n_tokens") / F.lit(float(scale)), 6
-            ),
+            # floor-at-6 instead of round: the integer ratio lands on
+            # .xxxxxx5 (e.g. 2406083/80/1000), where Spark's and DuckDB's
+            # round() tie-break differently; floor of the same double is
+            # engine-stable (sf0.1 gate finding)
+            F.floor(
+                F.col("surprisal_milli")
+                / F.col("n_tokens")
+                / F.lit(float(scale))
+                * F.lit(1e6)
+            )
+            / F.lit(1e6),
         )
     )
 

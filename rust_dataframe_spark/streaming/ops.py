@@ -430,24 +430,19 @@ def stream_ewma(
             y = x if y is None else x * a + y * one_minus_a
             out.append(y)
         state.update((float(y),))
-        # Match Spark's F.round / DuckDB's round exactly: both round HALF_UP
-        # on the SHORTEST decimal representation of the double (Java
-        # Double.toString semantics), not on its exact binary expansion.
-        # The dyadic recurrence (x*0.25 + y*0.75) lands on .xxxxxx5 shortest
-        # reprs routinely, where Python's banker's round() and exact-binary
-        # quantization both go the other way.
-        from decimal import ROUND_HALF_UP, Decimal
+        # floor-at-6 (math.floor(v*1e6)/1e6), matching the batch operator
+        # and the DuckDB oracle exactly: all three floor the SAME double,
+        # so there is no tie to break.  (The previous HALF_UP-on-shortest-
+        # repr dance matched Spark's F.round but still split from DuckDB's
+        # round on .xxxxxx5 values — caught by the sf0.1 full-catalog gate.)
+        import math
 
-        q6 = Decimal("0.000001")
         yield pd.DataFrame(
             {
                 key_col: rows[key_col].values,
                 ts_col: rows[ts_col].values,
                 value_col: vals.values,
-                "ewma": [
-                    float(Decimal(repr(float(v))).quantize(q6, rounding=ROUND_HALF_UP))
-                    for v in out
-                ],
+                "ewma": [math.floor(float(v) * 1e6) / 1e6 for v in out],
             }
         )
 

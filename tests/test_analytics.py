@@ -162,11 +162,14 @@ def test_ewma_matches_reference_recurrence(spark):
         r["ewma"]
         for r in ewma(df, "k", "t", "v", alpha=0.25).orderBy("t").collect()
     ]
-    # pandas ewm(adjust=False) recurrence
+    # pandas ewm(adjust=False) recurrence; floor-at-6 like the operator
+    # (engine-stable truncation, see temporal.ewma)
+    import math
+
     exp, y = [], None
     for x in vals:
         y = x if y is None else x * 0.25 + y * 0.75
-        exp.append(round(y, 6))
+        exp.append(math.floor(y * 1e6) / 1e6)
     assert out == exp
 
 

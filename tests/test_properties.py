@@ -183,7 +183,9 @@ def test_ewma_matches_python_recurrence(spark, xs, alpha):
         y = x if y is None else x * a + y * (1.0 - a)
         want.append(y)
     for g, w in zip(got, want):
-        assert abs(g - w) < 1e-6 + 1e-9 * abs(w)
+        # <=: the operator floor-truncates at 1e-6 (engine-stable output),
+        # so the gap can be exactly one quantum
+        assert abs(g - w) <= 1e-6 + 1e-9 * abs(w)
 
 
 @settings(max_examples=10, deadline=None)
