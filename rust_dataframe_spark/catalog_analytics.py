@@ -654,6 +654,92 @@ def q211_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q332: join-cardinality estimation from count-min sketches
+# ---------------------------------------------------------------------------
+
+_CMJ_DEPTH, _CMJ_WIDTH = 4, 4096
+
+
+def _cmj_oracle() -> str:
+    cell = "('0x' || substr(md5(k || '|cmj|{r}'), 1, 8))::UBIGINT % {w}"
+    arms_a = " UNION ALL ".join(
+        f"SELECT {r} AS row, {cell.format(r=r, w=_CMJ_WIDTH)} AS bucket FROM a"
+        for r in range(_CMJ_DEPTH)
+    )
+    arms_b = " UNION ALL ".join(
+        f"SELECT {r} AS row, {cell.format(r=r, w=_CMJ_WIDTH)} AS bucket FROM b"
+        for r in range(_CMJ_DEPTH)
+    )
+    return f"""
+    WITH a AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+    b AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+    ca AS (SELECT row, bucket, count(*) AS c FROM ({arms_a}) GROUP BY 1, 2),
+    cb AS (SELECT row, bucket, count(*) AS c FROM ({arms_b}) GROUP BY 1, 2),
+    ipr AS (SELECT ca.row, sum(ca.c * cb.c) AS ip
+            FROM ca JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket
+            GROUP BY ca.row),
+    est AS (SELECT CASE WHEN count(*) < {_CMJ_DEPTH} THEN 0
+                        ELSE min(ip) END AS est FROM ipr),
+    tru AS (SELECT count(*) AS n FROM a JOIN b USING (k)),
+    na AS (SELECT count(*) AS n FROM a),
+    nb AS (SELECT count(*) AS n FROM b)
+    SELECT CAST(tru.n AS BIGINT) AS n_true,
+           CAST(est.est AS BIGINT) AS n_est,
+           est.est >= tru.n AS overestimates,
+           est.est <= tru.n + 2.0 * na.n * nb.n / {_CMJ_WIDTH} AS bound_ok,
+           round((est.est - tru.n) * 1.0 / tru.n, 6) AS rel_err
+    FROM tru, est, na, nb
+    """
+
+
+@query("q332_join_cardinality", oracle=_cmj_oracle())
+def q332_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join
+    (operators/sketches.countmin_inner_product — the Cormode-Muthukrishnan
+    CM inner product): customer and orders each reduce to a 4x512 cell
+    table, and ``min_r sum_b A[r][b]*B[r][b]`` upper-bounds
+    ``|customer ⋈ orders|``.  This is the planner-side statistic a 100 TB
+    engine wants before committing to a join strategy — two few-KB
+    mergeable summaries answer it with ``true <= est <= true +
+    (2/width)*|A|*|B|`` (w.p. 1 - 2^-depth), no rescan of either table.
+    The audit row carries the exact join count (computed here only to
+    grade the estimate), both guarantee checks, and the realized relative
+    error; the oracle rebuilds both sketches cell-for-cell."""
+    from .operators.sketches import countmin_build, countmin_inner_product
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    sa = countmin_build(c, "k", depth=_CMJ_DEPTH, width=_CMJ_WIDTH, salt="cmj")
+    sb = countmin_build(o, "k", depth=_CMJ_DEPTH, width=_CMJ_WIDTH, salt="cmj")
+    est = countmin_inner_product(sa, sb, depth=_CMJ_DEPTH)
+    tru = c.join(o, "k").agg(F.count(F.lit(1)).alias("n_true"))
+    na = c.agg(F.count(F.lit(1)).alias("__na"))
+    nb = o.agg(F.count(F.lit(1)).alias("__nb"))
+    return (
+        tru.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("est").cast("bigint").alias("n_est"),
+            (F.col("est") >= F.col("n_true")).alias("overestimates"),
+            (
+                F.col("est")
+                <= F.col("n_true")
+                + F.lit(2.0) * F.col("__na") * F.col("__nb") / F.lit(_CMJ_WIDTH)
+            ).alias("bound_ok"),
+            F.round(
+                (F.col("est") - F.col("n_true")) / F.col("n_true"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q212: IVF-PQ — the composed ANN layout (cell pruning + code scan)
 # ---------------------------------------------------------------------------
 

@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["countmin_build", "countmin_merge", "countmin_lookup"]
+__all__ = [
+    "countmin_build",
+    "countmin_merge",
+    "countmin_lookup",
+    "countmin_inner_product",
+]
 
 
 def _cell(token_col, row: int, width: int, salt: str):
@@ -99,3 +104,37 @@ def countmin_lookup(
         F.col(term_col), F.coalesce(F.col("c"), F.lit(0)).alias("c")
     )
     return joined.groupBy(term_col).agg(F.min("c").alias("est"))
+
+
+def countmin_inner_product(a: DataFrame, b: DataFrame, *, depth: int = 4) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two count-min sketches — the
+    Cormode-Muthukrishnan inner product: ``est = min_r sum_b A[r][b] *
+    B[r][b]``.  Because every key adds its full count to one bucket per
+    row, ``true = sum_k cntA(k)*cntB(k) <= est`` always (collisions only
+    ADD), and ``est <= true + (2/width) * N_A * N_B`` with probability
+    ``1 - 2^-depth`` — a join-size upper bound from two few-KB summaries,
+    the statistic a 100 TB planner wants BEFORE committing to a join
+    strategy (broadcast vs shuffle vs refuse) without touching either
+    table again.
+
+    Both sketches must share (depth, width, salt); pass the same ``depth``
+    here — a sketch row with NO colliding buckets has inner product 0, and
+    since the cell tables are sparse that row is simply absent from the
+    join, so "fewer than depth rows present" means the estimate is 0.
+    Returns one row ``(est bigint)``.  Cost: the sparse cell tables join
+    on (row, bucket) — at most depth*width rows per side regardless of
+    data size."""
+    bb = b.select(
+        F.col("row"), F.col("bucket"), F.col("c").alias("__cb")
+    )
+    per_row = (
+        a.join(bb, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("c") * F.col("__cb")).alias("__ip"))
+    )
+    return per_row.agg(
+        F.when(F.count(F.lit(1)) < depth, F.lit(0))
+        .otherwise(F.coalesce(F.min("__ip"), F.lit(0)))
+        .cast("bigint")
+        .alias("est")
+    )

@@ -265,3 +265,38 @@ class TestUDTF:
         )
         assert [(r["pos"], r["ngram"]) for r in builtin] == [(p, g) for _, p, g in [
             (1, 0, "a b c"), (1, 1, "b c d"), (1, 2, "c d e")]]
+
+
+class TestCountminInnerProduct:
+    def test_upper_bounds_true_join_size(self, spark):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.operators.sketches import (
+            countmin_build,
+            countmin_inner_product,
+        )
+
+        a = spark.range(300).select((F.col("id") % 40).cast("string").alias("k"))
+        b = spark.range(500).select((F.col("id") % 25).cast("string").alias("k"))
+        sa = countmin_build(a, "k", depth=4, width=128, salt="t")
+        sb = countmin_build(b, "k", depth=4, width=128, salt="t")
+        est = countmin_inner_product(sa, sb, depth=4).collect()[0]["est"]
+        true = a.join(b, "k").count()
+        assert true <= est <= true + 2.0 / 128 * 300 * 500
+
+    def test_disjoint_keys_estimate_can_reach_zero(self, spark):
+        """If any sketch row has no colliding buckets the estimate is 0 —
+        the sparse-row rule (absent row != 'ignore row')."""
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.operators.sketches import (
+            countmin_build,
+            countmin_inner_product,
+        )
+
+        a = spark.createDataFrame([("ka",)], "k string")
+        b = spark.createDataFrame([("kb",)], "k string")
+        sa = countmin_build(a, "k", depth=4, width=4096, salt="t2")
+        sb = countmin_build(b, "k", depth=4, width=4096, salt="t2")
+        est = countmin_inner_product(sa, sb, depth=4).collect()[0]["est"]
+        assert est == 0  # single keys, wide table: some row must miss
