@@ -653,6 +653,92 @@ def q327_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "q333_wav_segments",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    fr AS (SELECT doc_id, unnest(range(0, 12)) AS f FROM d),
+    sm AS (SELECT doc_id, f, unnest(range(0, 128)) AS j FROM fr),
+    v AS (SELECT doc_id, f,
+                 CASE WHEN (f // 3) % 2 = 1
+                      THEN (((j * 2657 + doc_id * 7919) % 201) - 100) * 300
+                      ELSE ((j * 13 + doc_id) % 21) - 10 END AS amp
+          FROM sm),
+    e AS (SELECT doc_id, f, sum(abs(amp)) / 128.0 / 128.0 AS energy
+          FROM v GROUP BY doc_id, f),
+    isl AS (SELECT doc_id, f, energy,
+                   f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS k
+            FROM e WHERE energy >= 40),
+    seg AS (SELECT doc_id, min(f) AS start_frame, count(*) AS n_frames,
+                   floor(avg(energy) * 1000000) / 1000000 AS mean_energy
+            FROM isl GROUP BY doc_id, k),
+    keep AS (SELECT * FROM seg WHERE n_frames >= 2)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+                - 1 AS INT) AS seg_id,
+           CAST(start_frame AS INT) AS start_frame,
+           CAST(n_frames AS INT) AS n_frames,
+           mean_energy
+    FROM keep ORDER BY doc_id, seg_id
+    """,
+)
+def q333_wav_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, driver-checkable (operators/multimodal.decode_wav
+    — the stdlib RIFF/WAVE codec, round 5's audio analog of q327's PNG):
+    each doc synthesizes a real 16-bit PCM WAV executor-side whose
+    amplitudes are analytic functions of (doc_id, frame, sample), the
+    payload round-trips through the wave container, and
+    ``segment_audio(fake_decode=False)`` recovers the loud regions by
+    energy run-length.  The oracle replays amplitude synthesis, per-frame
+    energy (exact dyadic: integer |amp| sums over 128-sample frames scaled
+    by powers of two, so summation order cannot perturb it), the VAD
+    islands, and the min-frames rule.  The alternating quiet/loud layout
+    yields two 3-frame segments per document."""
+    from .operators.multimodal import segment_audio
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 40
+    )
+
+    def synth(batches):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                samples = []
+                for f in range(12):
+                    loud = (f // 3) % 2 == 1
+                    for j in range(128):
+                        if loud:
+                            samples.append((((j * 2657 + d * 7919) % 201) - 100) * 300)
+                        else:
+                            samples.append(((j * 13 + d) % 21) - 10)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+                ids.append(d)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    mm_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return segment_audio(
+        mm_df,
+        frame_bytes=128,
+        energy_threshold=40,
+        min_frames=2,
+        fake_decode=False,
+    ).orderBy("doc_id", "seg_id")
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (batch shape of the streaming ops, SURVEY §2.11)
 # ---------------------------------------------------------------------------

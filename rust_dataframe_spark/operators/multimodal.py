@@ -43,6 +43,7 @@ __all__ = [
     "extract_dhash",
     "resize_images",
     "sample_frames",
+    "decode_wav",
     "segment_audio",
 ]
 
@@ -312,6 +313,39 @@ def dhash_bands(payload_col):
     return bands
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL audio decode for RIFF/WAVE PCM payloads — pure stdlib (the
+    ``wave`` module + struct), the audio analog of the PNG codec: no
+    ffmpeg/soundfile needed for the overwhelmingly common container.
+
+    Returns ``(sample_rate, n_channels, sample_width, samples)`` where
+    ``samples`` are SIGNED mono amplitudes at native scale (channels
+    averaged): 8-bit PCM (unsigned on the wire, rebased to signed) and
+    16-bit PCM supported; 24/32-bit and float formats raise
+    NotImplementedError and fall to the documented fake."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            sw, nch, sr = w.getsampwidth(), w.getnchannels(), w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(f"not a decodable WAV payload: {e}") from None
+    if sw == 1:
+        samples = [b - 128 for b in raw]
+    elif sw == 2:
+        samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    else:
+        raise NotImplementedError(f"{8 * sw}-bit PCM unsupported (8/16 only)")
+    if nch > 1:
+        samples = [
+            sum(samples[i : i + nch]) // nch for i in range(0, len(samples), nch)
+        ]
+    return sr, nch, sw, samples
+
+
 def segment_audio(
     mm_df: DataFrame,
     *,
@@ -326,13 +360,16 @@ def segment_audio(
     mean_energy) — the speech/music region extraction step before an audio
     corpus is transcribed or embedded.
 
-    STUB decode (the multimodal policy): real PCM needs ffmpeg/soundfile,
-    absent here; the fake treats the payload BYTES as 8-bit samples, so
-    frame energy = mean byte value per ``frame_bytes`` window — a
-    deterministic stand-in with the identical Arrow-batched mapInPandas
-    shape, per-row fan-out (one row per SEGMENT), and run-length logic the
-    real decoder would drive.  Segments shorter than ``min_frames`` drop
-    (the VAD hangover rule).
+    REAL path (round 5): RIFF/WAVE PCM payloads decode for real via the
+    stdlib ``wave`` module (:func:`decode_wav` — 8/16-bit, mono-mixed)
+    with ``fake_decode=False``; ``frame_bytes`` then counts SAMPLES per
+    frame and energy is mean |amplitude| rescaled to 0..256 by a dyadic
+    factor (see ``_energies_real``).  Compressed formats (mp3/ogg) would
+    need ffmpeg and keep the documented fake: payload BYTES as 8-bit
+    samples, frame energy = mean byte value per ``frame_bytes`` window —
+    identical Arrow-batched mapInPandas shape, per-row fan-out (one row
+    per SEGMENT), and run-length logic on both paths.  Segments shorter
+    than ``min_frames`` drop (the VAD hangover rule).
     """
     out_schema = StructType(
         [
@@ -344,21 +381,38 @@ def segment_audio(
         ]
     )
 
+    def _energies_real(data: bytes) -> list[float]:
+        # REAL path (stdlib WAV decode): frames of ``frame_bytes`` SAMPLES;
+        # energy = mean |amplitude| rescaled to the fake's 0..256 domain by
+        # the dyadic factor 256 / 2^(bits-1) (so 16-bit divides by 128 and
+        # 8-bit multiplies by 2 — powers of two keep the value an exact
+        # dyadic double, which makes segment means order-independent and
+        # bit-replayable by the SQL oracle)
+        _sr, _nch, sw, samples = decode_wav(data)
+        scale = 256.0 / float(1 << (8 * sw - 1))
+        return [
+            sum(abs(v) for v in samples[i : i + frame_bytes])
+            / max(1, len(samples[i : i + frame_bytes]))
+            * scale
+            for i in range(0, len(samples), frame_bytes)
+        ]
+
     def _segment(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not fake_decode:  # pragma: no cover - real decoder absent here
-                raise NotImplementedError(
-                    "real PCM decode requires ffmpeg/soundfile (not in container)"
-                )
             rows = {k: [] for k in ("doc_id", "seg_id", "start_frame", "n_frames", "mean_energy")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
-                energies = [
-                    sum(data[i : i + frame_bytes]) / max(1, len(data[i : i + frame_bytes]))
-                    for i in range(0, len(data), frame_bytes)
-                ]
+                if not fake_decode:
+                    # RIFF/WAVE decodes for real; other formats raise (the
+                    # fake below remains the documented stand-in for them)
+                    energies = _energies_real(data)
+                else:
+                    energies = [
+                        sum(data[i : i + frame_bytes]) / max(1, len(data[i : i + frame_bytes]))
+                        for i in range(0, len(data), frame_bytes)
+                    ]
                 seg_id, start, acc = 0, None, []
                 for idx, e in enumerate(energies + [-1.0]):  # sentinel flushes
                     if e >= energy_threshold:
@@ -367,11 +421,17 @@ def segment_audio(
                         acc.append(e)
                     elif start is not None:
                         if len(acc) >= min_frames:
+                            import math
+
                             rows["doc_id"].append(doc_id)
                             rows["seg_id"].append(seg_id)
                             rows["start_frame"].append(start)
                             rows["n_frames"].append(len(acc))
-                            rows["mean_energy"].append(round(sum(acc) / len(acc), 6))
+                            # floor-at-6: engine-stable (round() tie-breaks
+                            # differ across engines — the repo convention)
+                            rows["mean_energy"].append(
+                                math.floor(sum(acc) / len(acc) * 1e6) / 1e6
+                            )
                             seg_id += 1
                         start, acc = None, []
             yield pd.DataFrame(rows)

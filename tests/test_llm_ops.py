@@ -35,6 +35,89 @@ class TestExactDedup:
         assert out[3] == 1 and out[4] == 1
 
 
+def _wav_bytes(samples, *, width=2, channels=1, rate=8000):
+    """A REAL RIFF/WAVE payload via the stdlib wave module (no binaries in
+    the repo), signed ints in; 8-bit rebased to unsigned on the wire."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 1:
+            w.writeframes(bytes((s + 128) & 0xFF for s in samples))
+        else:
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+class TestWavReal:
+    """Real audio decode (decode_wav + segment_audio fake_decode=False) —
+    the audio analog of TestPngReal."""
+
+    def test_decode_wav_16bit_and_8bit(self):
+        sam = [0, 1000, -1000, 32000, -32000]
+        sr, nch, sw, got = mm.decode_wav(_wav_bytes(sam))
+        assert (sr, nch, sw) == (8000, 1, 2) and got == sam
+        sam8 = [0, 10, -10, 127, -128]
+        _sr, _nch, sw8, got8 = mm.decode_wav(_wav_bytes(sam8, width=1))
+        assert sw8 == 1 and got8 == sam8
+
+    def test_decode_wav_stereo_mixes_and_rejects_exotic(self):
+        import struct
+
+        stereo = [100, 200, -100, -200]  # 2 frames of (L, R)
+        _sr, nch, _sw, got = mm.decode_wav(_wav_bytes(stereo, channels=2))
+        assert nch == 2 and got == [150, -150]
+        with pytest.raises(NotImplementedError):
+            mm.decode_wav(b"ID3\x03mp3-ish-bytes")
+        # 32-bit PCM container parses but the depth is unsupported
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(4)
+            w.setframerate(8000)
+            w.writeframes(struct.pack("<2i", 1, 2))
+        with pytest.raises(NotImplementedError, match="32-bit"):
+            mm.decode_wav(buf.getvalue())
+
+    def test_segment_audio_real_wav_finds_the_burst(self, spark):
+        """silence / loud burst / silence at 16-bit: exactly one segment,
+        located at the burst, energy near the burst's rescaled amplitude."""
+        frame = 128
+        silence = [0] * (frame * 3)
+        burst = [16000 if i % 2 == 0 else -16000 for i in range(frame * 4)]
+        payload = _wav_bytes(silence + burst + silence)
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id bigint, payload binary"
+        )
+        segs = mm.segment_audio(
+            df, frame_bytes=frame, energy_threshold=100, min_frames=2,
+            fake_decode=False,
+        ).collect()
+        assert len(segs) == 1
+        s = segs[0]
+        assert (s["start_frame"], s["n_frames"]) == (3, 4)
+        assert abs(s["mean_energy"] - 16000 / 128) < 1e-9
+
+    def test_segment_audio_fake_path_unchanged(self, spark):
+        """Non-WAV payloads keep the documented byte-energy stand-in."""
+        data = bytes([0] * 32 + [255] * 32 + [0] * 32)
+        df = spark.createDataFrame(
+            [(1, bytearray(data))], "doc_id bigint, payload binary"
+        )
+        segs = mm.segment_audio(
+            df, frame_bytes=16, energy_threshold=128, min_frames=2
+        ).collect()
+        assert len(segs) == 1 and segs[0]["n_frames"] == 2
+
+
 class TestCdcChunks:
     def test_reconstruction_and_shift_resistance(self, spark):
         base = " ".join(f"tok{i * 37 % 211}" for i in range(200))
