@@ -319,7 +319,7 @@ def test_kaplan_meier_monotone_nonincreasing(spark, subjects):
 @given(
     st.integers(1, 12),
     st.integers(1, 10),
-    st.sampled_from([1, 3, 4]),
+    st.sampled_from([1, 2, 3, 4]),
     st.integers(0, 2**32 - 1),
 )
 def test_png_roundtrip_any_image(w, h, channels, seed):
@@ -442,3 +442,43 @@ def test_avro_container_roundtrip_any_rows(rows, codec, block):
         av.encode_records(schema, recs, codec=codec, block_records=block)
     )
     assert back == recs
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+    st.sampled_from([1, 2]),
+    st.sampled_from([1, 2]),
+)
+def test_wav_decode_roundtrip_any_samples(samples, width, channels):
+    """decode_wav inverts the stdlib wave encoder for arbitrary PCM: 8-bit
+    samples clamp to their domain first; stereo interleaves then mixes back
+    to the per-frame channel average."""
+    import io
+    import struct
+    import wave
+
+    from rust_dataframe_spark.operators import multimodal as mm
+
+    if width == 1:
+        samples = [max(-128, min(127, s)) for s in samples]
+    if channels == 2 and len(samples) % 2 == 1:
+        samples = samples + [0]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(16000)
+        if width == 1:
+            w.writeframes(bytes((s + 128) & 0xFF for s in samples))
+        else:
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    sr, nch, sw, got = mm.decode_wav(buf.getvalue())
+    assert (sr, nch, sw) == (16000, channels, width)
+    if channels == 1:
+        assert got == samples
+    else:
+        want = [
+            sum(samples[i : i + 2]) // 2 for i in range(0, len(samples), 2)
+        ]
+        assert got == want
