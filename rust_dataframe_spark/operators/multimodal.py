@@ -10,8 +10,11 @@ Decode policy (updated round 5): baseline PNGs (8-bit gray/RGB/RGBA,
 non-interlaced) decode FOR REAL via the pure-stdlib codec in
 :mod:`operators.png` — ``decode_image``, ``resize_images(fake_decode=
 False)``, and ``extract_dhash`` all run on actual pixels with no PIL.
-Formats that genuinely need image/audio libraries absent from this
-container (JPEG, video, PCM audio) keep the documented stub: raise
+PCM audio (RIFF/WAVE) decodes via the stdlib ``wave`` module
+(:func:`decode_wav`), and animated GIFs decode via the pure-stdlib LZW
+codec in :mod:`operators.gif` (``sample_frames(fake_decode=False)``).
+Formats that genuinely need image/video libraries absent from this
+container (JPEG, MP4/WebM) keep the documented stub: raise
 NotImplementedError, or with ``fake=True`` a clearly-marked deterministic
 fake derives "features" from the bytes.  Everything around the decode —
 schema, batch iteration, UDF signature, partitioning — is identical on
@@ -242,10 +245,16 @@ def sample_frames(
     """Sample ``n_frames`` frames from each video payload — the 1->N batch
     shape (one input row yields several output rows inside one Arrow batch).
 
-    STUB decode (real path: pyav/ffmpeg seek + decode); the fake derives each
-    frame deterministically from (payload, frame_idx).  The partitioning
-    story survives the fake: output inherits the input's partitioning, so a
-    downstream per-frame feature stage needs no extra shuffle.
+    REAL path (``fake_decode=False``, round 5): animated GIFs decode via
+    the pure-stdlib LZW codec in :mod:`operators.gif` — frames are sampled
+    evenly across the animation (source index ``floor(i * total / n)``),
+    ``frame`` is the full RGB byte plane, and ``frame_ts_ms`` is the sum of
+    the Graphic Control Extension delays preceding the sampled frame.
+    Formats that genuinely need pyav/ffmpeg (MP4/WebM...) still raise, per
+    the module decode policy.  The fake derives each frame
+    deterministically from (payload, frame_idx).  The partitioning story
+    is identical on both paths: output inherits the input's partitioning,
+    so a downstream per-frame feature stage needs no extra shuffle.
     """
 
     def _sample(batches: Iterator) -> Iterator:
@@ -253,16 +262,38 @@ def sample_frames(
 
         import pandas as pd
 
+        from .gif import decode_gif, is_gif
+
         for pdf in batches:
-            if not fake_decode:  # pragma: no cover - real decoder absent here
-                raise NotImplementedError("frame sampling requires pyav/ffmpeg")
             ids, idxs, tss, frames = [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                for i in range(n_frames):
+                if fake_decode:
+                    for i in range(n_frames):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        tss.append(i * fps_ms)
+                        frames.append(
+                            hashlib.md5(bytes(p) + f"|f{i}".encode()).digest()
+                        )
+                    continue
+                if not is_gif(bytes(p[:6])):
+                    raise NotImplementedError(
+                        "non-GIF frame sampling requires pyav/ffmpeg"
+                    )
+                _w, _h, decoded = decode_gif(p)
+                total = len(decoded)
+                take = min(n_frames, total)
+                cum = 0
+                cum_ms = []
+                for delay, _rgb in decoded:
+                    cum_ms.append(cum)
+                    cum += delay
+                for i in range(take):
+                    src = (i * total) // take
                     ids.append(doc_id)
                     idxs.append(i)
-                    tss.append(i * fps_ms)
-                    frames.append(hashlib.md5(bytes(p) + f"|f{i}".encode()).digest())
+                    tss.append(cum_ms[src])
+                    frames.append(decoded[src][1])
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
             )

@@ -118,6 +118,90 @@ class TestWavReal:
         assert len(segs) == 1 and segs[0]["n_frames"] == 2
 
 
+class TestGifReal:
+    """Round-5 video-modality real path: the pure-stdlib animated-GIF codec
+    (operators/gif.py, genuine variable-width LZW) wired as
+    sample_frames' non-fake path — completes the PNG/WAV/GIF decode
+    matrix behind q327/q333/q334."""
+
+    @staticmethod
+    def _gif(w=10, h=6, nframes=5, delay_ms=40):
+        from rust_dataframe_spark.operators.gif import encode_gif
+
+        pal = [(i, 2 * i, 3 * i) for i in range(64)]
+        frames = [
+            bytes((x + 2 * y + 5 * f) % 64 for y in range(h) for x in range(w))
+            for f in range(nframes)
+        ]
+        return encode_gif(w, h, frames, pal, delay_ms=delay_ms), pal, frames
+
+    def test_lzw_dict_growth_and_reset(self):
+        """A 200x120 structured frame forces >4096 dictionary entries, so
+        the stream exercises width growth 7->12 bits AND a mid-stream
+        clear/reset; decode must still be byte-exact."""
+        from rust_dataframe_spark.operators.gif import decode_gif, encode_gif
+
+        w, h = 200, 120
+        pal = [(i, (2 * i) % 256, (3 * i) % 256) for i in range(256)]
+        fr = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+        gw, gh, out = decode_gif(encode_gif(w, h, [fr], pal))
+        assert (gw, gh) == (w, h)
+        assert out[0][1] == b"".join(bytes(pal[i]) for i in fr)
+
+    def test_rejects_malformed_and_exotic(self):
+        import struct
+
+        import pytest
+
+        from rust_dataframe_spark.operators.gif import GifError, decode_gif
+
+        for bad in (b"", b"GIF89a", b"\x89PNG\r\n\x1a\nxxxx"):
+            with pytest.raises(GifError):
+                decode_gif(bad)
+        data, _, _ = self._gif()
+        # corrupt a byte inside the LZW stream -> loud failure, not garbage
+        corrupt = bytearray(data)
+        corrupt[-10] ^= 0xFF
+        with pytest.raises(GifError):
+            decode_gif(bytes(corrupt))
+        # interlaced flag -> documented unsupported subset (locate the image
+        # descriptor by its full signature: 0x2C, left=top=0, w=h=4 — a bare
+        # 0x2C byte also occurs inside the color table)
+        hdr = bytearray(self._gif(w=4, h=4, nframes=1)[0])
+        img = hdr.index(
+            b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4), 13
+        )
+        hdr[img + 9] |= 0x40
+        with pytest.raises(GifError, match="interlaced"):
+            decode_gif(bytes(hdr))
+
+    def test_sample_frames_real_even_sampling_and_timestamps(self, spark):
+        """5-frame GIF sampled at n_frames=3 -> source frames 0,1,3 with
+        cumulative 40ms GCE delays; frame bytes are the real RGB planes."""
+        data, pal, frames = self._gif(nframes=5)
+        df = spark.createDataFrame(
+            [(7, bytearray(data))], "doc_id bigint, payload binary"
+        )
+        out = sorted(
+            mm.sample_frames(df, n_frames=3, fake_decode=False).collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        assert [r["frame_idx"] for r in out] == [0, 1, 2]
+        assert [r["frame_ts_ms"] for r in out] == [0, 40, 120]  # src 0,1,3
+        for r, src in zip(out, [0, 1, 3]):
+            assert bytes(r["frame"]) == b"".join(bytes(pal[i]) for i in frames[src])
+
+    def test_sample_frames_real_non_gif_raises(self, spark):
+        import pytest
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x00\x00\x00\x18ftypmp42----"))],
+            "doc_id bigint, payload binary",
+        )
+        with pytest.raises(Exception, match="pyav/ffmpeg"):
+            mm.sample_frames(df, n_frames=2, fake_decode=False).collect()
+
+
 class TestCdcChunks:
     def test_reconstruction_and_shift_resistance(self, spark):
         base = " ".join(f"tok{i * 37 % 211}" for i in range(200))

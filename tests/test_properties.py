@@ -335,6 +335,37 @@ def test_png_roundtrip_any_image(w, h, channels, seed):
     assert got == (w, h, channels, px)
 
 
+# GIF codec: pure-Python LZW, no Spark job per example
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 14),
+    st.integers(1, 10),
+    st.integers(1, 4),
+    st.sampled_from([2, 3, 4, 16, 64, 256]),
+    st.integers(0, 2**32 - 1),
+)
+def test_gif_roundtrip_any_animation(w, h, nframes, npal, seed):
+    """decode(encode(frames)) recovers every frame's exact RGB bytes for
+    arbitrary dims/frame-count/palette-size/pixel content — the LZW-level
+    invariant behind the q334 pixel-checksum oracle.  Palette sizes span
+    the full code-width range (2 colors -> 3-bit codes, 256 -> 9-bit)."""
+    import hashlib
+
+    from rust_dataframe_spark.operators.gif import decode_gif, encode_gif
+
+    pal = [(i % 256, (2 * i) % 256, (5 * i) % 256) for i in range(npal)]
+    n = w * h
+    frames = []
+    for f in range(nframes):
+        raw = (hashlib.md5(f"{seed}|{f}".encode()).digest() * (n // 16 + 1))[:n]
+        frames.append(bytes(b % npal for b in raw))
+    gw, gh, out = decode_gif(encode_gif(w, h, frames, pal, delay_ms=40))
+    assert (gw, gh) == (w, h) and len(out) == nframes
+    for fidx, (delay, rgb) in enumerate(out):
+        assert delay == 40
+        assert rgb == b"".join(bytes(pal[i]) for i in frames[fidx])
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
