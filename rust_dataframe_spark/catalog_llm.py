@@ -1286,3 +1286,250 @@ def q129_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4, threshold=0.8
     )
     return dd.dup_clusters_star(pairs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q335/q336: Unigram-LM tokenizer (SentencePiece family) — Viterbi + EM E-step
+# ---------------------------------------------------------------------------
+
+# Integer piece scores (len^2) keep Viterbi sums exact in both engines; the
+# corpus alphabet is a-z so single chars guarantee full coverage.
+_Q335_PIECES = [
+    *[chr(c) for c in range(ord("a"), ord("z") + 1)],
+    "ta", "ab", "le", "va", "al", "ue", "sc", "an", "lo", "fa", "st",
+    "pa", "ar", "ha", "sh", "me", "er", "ge", "ba", "tc", "li", "ne",
+    "so", "or", "wi", "nd", "ow", "ke", "ey", "gg", "ro",
+    "val", "tab", "sca", "par", "has", "mer", "bat", "spa", "lin",
+    "sor", "win", "dow", "agg", "row", "key",
+]
+_Q335_VOCAB = {p: float(len(p) * len(p)) for p in _Q335_PIECES}
+
+
+def _q335_oracle() -> str:
+    vals = ", ".join(f"('{p}', {int(s)})" for p, s in sorted(_Q335_VOCAB.items()))
+    return f"""
+    WITH RECURSIVE
+    vocab(p, sc) AS (SELECT * FROM (VALUES {vals})),
+    words AS (
+      SELECT doc_id, parts[o] AS w, o AS pos
+      FROM (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS o
+            FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents))),
+    dw AS (SELECT DISTINCT w FROM words),
+    dwp AS (SELECT w, unnest(range(1, length(w) + 1)) AS cpos FROM dw),
+    edges AS (
+      SELECT d.w, d.cpos, v.p AS piece, length(v.p) AS adv, v.sc
+      FROM dwp d JOIN vocab v ON substr(d.w, d.cpos, length(v.p)) = v.p
+      UNION ALL
+      SELECT w, cpos, '[UNK]', 1, -100 FROM dwp),
+    walk(w, cpos, toks, sc) AS (
+      SELECT w, 1, []::VARCHAR[], 0 FROM dw
+      UNION ALL
+      SELECT walk.w, walk.cpos + e.adv, list_append(walk.toks, e.piece),
+             walk.sc + e.sc
+      FROM walk JOIN edges e ON e.w = walk.w AND e.cpos = walk.cpos
+      WHERE walk.cpos <= length(walk.w)),
+    done AS (SELECT w, toks, sc FROM walk WHERE cpos = length(w) + 1),
+    best AS (
+      SELECT w, toks, sc,
+             row_number() OVER (PARTITION BY w ORDER BY sc DESC, toks ASC) AS rn
+      FROM done),
+    per_word AS (
+      SELECT ww.doc_id, ww.pos, b.toks, b.sc
+      FROM words ww JOIN best b ON b.w = ww.w AND b.rn = 1)
+    SELECT doc_id,
+           CAST(sum(len(toks)) AS BIGINT) AS n_pieces,
+           CAST(sum(len(list_filter(toks, t -> t = '[UNK]'))) AS BIGINT) AS n_unk,
+           CAST(sum(sc) AS BIGINT) AS score,
+           md5(string_agg(array_to_string(toks, '|'), '|' ORDER BY pos)) AS pieces_fp
+    FROM per_word GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("q335_unigram_tokenize", oracle=_q335_oracle())
+def q335_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenization
+    (operators/text.unigram_tokenize): Viterbi max-score segmentation over a
+    scored piece vocabulary — the third tokenizer family next to greedy
+    WordPiece (q162) and merge-list BPE (q200), and the one modern LLM
+    tokenizers actually use.  The oracle enumerates EVERY segmentation of
+    each distinct word as a recursive CTE (pieces <= 3 chars + UNK edges
+    bound the fan-out) and takes the argmax with the same
+    (score DESC, pieces ASC) tie-break, so the full Viterbi semantics — DP
+    optimality AND deterministic tie resolution — are value-checked via the
+    md5 piece-stream fingerprint.  Integer piece scores (len^2) keep sums
+    exact in both engines.  Scale: Viterbi runs once per DISTINCT word
+    (Heaps'-bounded), the corpus pays one broadcast join."""
+    d = table(spark, sf_dir, "documents")
+    toks = tx.unigram_tokenize(d, "doc_id", "text", _Q335_VOCAB)
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.sum(F.size("pieces")).cast("bigint").alias("n_pieces"),
+            F.sum(F.size(F.filter(F.col("pieces"), lambda t: t == "[UNK]")))
+            .cast("bigint")
+            .alias("n_unk"),
+            F.sum("score").cast("bigint").alias("score"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                        lambda s: F.array_join(s["pieces"], "|"),
+                    ),
+                    "|",
+                )
+            ).alias("pieces_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q336_WEIGHTS = {p: float(len(p) + 1) for p in _Q335_PIECES}
+
+
+def _q336_oracle() -> str:
+    vals = ", ".join(f"('{p}', {int(w)})" for p, w in sorted(_Q336_WEIGHTS.items()))
+    return f"""
+    WITH RECURSIVE
+    vocab(p, wt) AS (SELECT * FROM (VALUES {vals})),
+    words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w),
+    dw AS (SELECT DISTINCT w FROM words),
+    dwp AS (SELECT w, unnest(range(1, length(w) + 1)) AS cpos FROM dw),
+    edges AS (
+      SELECT d.w, d.cpos, v.p AS piece, length(v.p) AS adv, v.wt
+      FROM dwp d JOIN vocab v ON substr(d.w, d.cpos, length(v.p)) = v.p),
+    walk(w, cpos, toks, wt) AS (
+      SELECT w, 1, []::VARCHAR[], 1 FROM dw
+      UNION ALL
+      SELECT walk.w, walk.cpos + e.adv, list_append(walk.toks, e.piece),
+             walk.wt * e.wt
+      FROM walk JOIN edges e ON e.w = walk.w AND e.cpos = walk.cpos
+      WHERE walk.cpos <= length(walk.w)),
+    done AS (SELECT w, toks, wt FROM walk WHERE cpos = length(w) + 1),
+    z AS (SELECT w, CAST(sum(wt) AS BIGINT) AS z FROM done GROUP BY w),
+    occ AS (SELECT w, unnest(toks) AS piece, wt FROM done),
+    enum AS (SELECT w, piece, CAST(sum(wt) AS BIGINT) AS e_num
+             FROM occ GROUP BY w, piece)
+    SELECT f.w AS word, f.freq, e.piece, e.e_num, z.z,
+           CAST(e.e_num AS DOUBLE) / CAST(z.z AS DOUBLE) AS expected_count
+    FROM enum e JOIN z ON z.w = e.w JOIN freq f ON f.w = e.w
+    ORDER BY word, piece
+    """
+
+
+@query("q336_unigram_em_estep", oracle=_q336_oracle())
+def q336_unigram_em_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM E-step for Unigram-LM tokenizer training
+    (operators/text.unigram_expected_counts): forward-backward over each
+    distinct word's segmentation lattice with multiplicative piece weights,
+    yielding expected piece counts — the sufficient statistic SentencePiece's
+    M-step renormalizes.  The oracle brute-force enumerates every path with
+    its weight product and sums occurrence-weighted path weights; with
+    small-integer weights (len+1) both e_num and the partition function z
+    are integer-exact, so the forward-backward DP is checked EXACTLY (and
+    expected_count = e_num/z is a single engine-deterministic division).
+    Scale: per-DISTINCT-word DP (Heaps'-bounded) + one word-count
+    aggregation; a full EM round on 100 TB is one corpus scan."""
+    d = table(spark, sf_dir, "documents")
+    out = tx.unigram_expected_counts(d, "doc_id", "text", _Q336_WEIGHTS)
+    return out.orderBy("word", "piece")
+
+
+# ---------------------------------------------------------------------------
+# q337: Aho-Corasick multi-pattern blocklist scan
+# ---------------------------------------------------------------------------
+
+_Q337_PATTERNS = [
+    "a", "an", "scan", "ca", "val", "value", "alu", "tab", "table",
+    "able", "sort", "or", "row", "w", "indow", "art", "ast",
+]
+
+
+def _q337_oracle() -> str:
+    pats = ", ".join(f"'{p}'" for p in sorted(set(_Q337_PATTERNS)))
+    return f"""
+    WITH pats AS (SELECT unnest([{pats}]) AS p),
+    pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+            FROM documents)
+    SELECT doc_id, p AS pattern, CAST(count(*) AS BIGINT) AS n_matches
+    FROM pos, pats
+    WHERE substr(text, i, length(p)) = p
+    GROUP BY doc_id, p
+    ORDER BY doc_id, pattern
+    """
+
+
+@query("q337_aho_corasick", oracle=_q337_oracle())
+def q337_aho_corasick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern blocklist scan (operators/text.multi_pattern_scan):
+    Aho-Corasick counts OVERLAPPING occurrences of 17 patterns — chosen so
+    matches nest ('a' inside 'table' inside... plus suffix overlaps like
+    'value'/'alu') and the fail-link traversal is genuinely exercised — in
+    ONE pass per document.  The oracle checks every (position, pattern)
+    alignment by brute force, so the automaton's output links are verified
+    occurrence-exact.  Scale: O(chars) per doc regardless of pattern count
+    (the 10k-term PII/contamination blocklist case), automaton broadcast,
+    zero shuffle before the final per-doc aggregation."""
+    d = table(spark, sf_dir, "documents")
+    out = tx.multi_pattern_scan(d, "doc_id", "text", _Q337_PATTERNS)
+    return out.orderBy("doc_id", "pattern")
+
+
+# ---------------------------------------------------------------------------
+# q338: kernel two-sample drift on embeddings (quadratic-kernel MMD^2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q338_mmd_embedding_drift",
+    oracle="""
+    WITH q AS (
+      SELECT CASE WHEN label < 5 THEN 0 ELSE 1 END AS g,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 512) AS BIGINT)) AS qv
+      FROM embeddings),
+    pairs AS (
+      SELECT g, i.i AS i, j.j AS j, qv[i.i + 1] * qv[j.j + 1] AS prod
+      FROM q,
+           (SELECT unnest(range(0, 64)) AS i) i,
+           (SELECT unnest(range(0, 64)) AS j) j),
+    cells AS (
+      SELECT g, i, j, CAST(sum(prod) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY g, i, j),
+    ab AS (
+      SELECT a.i, a.j, a.n AS n_a, b.n AS n_b,
+             (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+              - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+             * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) AS d2
+      FROM cells a JOIN cells b ON a.i = b.i AND a.j = b.j
+      WHERE a.g = 0 AND b.g = 1)
+    SELECT CAST(i AS INT) AS i, n_a, n_b,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(d2 ORDER BY j)),
+                       (acc, x) -> acc + x) AS mmd_term
+    FROM ab GROUP BY i, n_a, n_b ORDER BY i
+    """,
+)
+def q338_mmd_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample drift on the embedding column
+    (operators/stats.mmd2_terms): quadratic-kernel MMD^2 between the
+    label<5 and label>=5 populations.  The V-statistic decomposes exactly —
+    MMD^2 = ||Ma - Mb||_F^2 over per-group second-moment matrices — so the
+    all-pairs kernel sum costs ONE moment aggregation per group and no
+    pairwise join (the drift counterpart of ks_2sample/psi for vector
+    columns).  Determinism: floor(x*512) quantization (power-of-two IEEE
+    scaling, zero rounding) makes moment sums integer-exact and
+    order-independent; the Frobenius fold is an ordered left fold replayed
+    by the oracle with the same seed.  Scale: mapInPandas integer einsum
+    reduces each Arrow batch to one 4096-cell partial — the only shuffle
+    carries n_partitions*2 tiny rows, vectors never shuffle."""
+    from .operators.stats import mmd2_terms
+
+    e = table(spark, sf_dir, "embeddings")
+    marked = e.select(
+        F.when(F.col("label") < 5, 0).otherwise(1).alias("split"), "embedding"
+    )
+    out = mmd2_terms(marked, "split", "embedding", 64, quant=512)
+    return out.select("i", "n_a", "n_b", "mmd_term").orderBy("i")

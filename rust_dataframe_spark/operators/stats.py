@@ -30,7 +30,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ks_2sample", "chi2_independence", "psi", "mad_outliers", "kaplan_meier"]
+__all__ = [
+    "ks_2sample",
+    "chi2_independence",
+    "psi",
+    "mad_outliers",
+    "kaplan_meier",
+    "mmd2_terms",
+]
 
 
 def _binned(value: Column, lo: float, hi: float, nbins: int) -> Column:
@@ -300,4 +307,113 @@ def kaplan_meier(
         F.when(hit_zero == 1, F.lit(0.0))
         .otherwise(F.exp(F.sum(safe_ln).over(surv_w)))
         .alias("survival"),
+    )
+
+
+def mmd2_terms(
+    df: DataFrame,
+    split_col: str,
+    vec_col: str,
+    dim: int,
+    *,
+    quant: int = 512,
+) -> DataFrame:
+    """Maximum Mean Discrepancy (quadratic-kernel MMD^2) between the two
+    embedding populations given by binary ``split_col`` — the kernel
+    two-sample drift test for EMBEDDING columns, completing the drift family
+    (ks_2sample/psi compare scalar scores; this compares distributions in
+    R^dim).  For the polynomial kernel k(x,y) = (x.y)^2 the V-statistic
+    decomposes exactly: MMD^2 = ||Mx - My||_F^2 where M_g[i][j] = mean over
+    group g of x_i * x_j — so the all-pairs kernel sum collapses to one
+    second-moment aggregation per group and NO pairwise join.
+
+    Determinism contract: vectors are quantized as floor(x * quant) with
+    ``quant`` a power of two (exact IEEE scaling, no rounding), so the
+    per-cell moment sums are integer-exact and order-independent; the final
+    per-row Frobenius fold runs left-to-right over the sorted column axis.
+    Every float op after the integer sums is a single exactly-rounded IEEE
+    op replayed identically by the DuckDB oracle.
+
+    Returns one row per vector row index i: (i, n_a, n_b, mmd_term) with
+    mmd_term = sum_j (Ma[i][j] - Mb[i][j])^2; total MMD^2 is their sum.
+
+    Scale design (the 100 TB story): a mapInPandas partial reduces each
+    Arrow batch to one (group, dim*dim int sums, count) row via an integer
+    einsum — executors reduce the full corpus map-side to n_partitions * 2
+    tiny rows; the only shuffle carries those partials.  Corpus vectors
+    never shuffle and nothing is ever collected.
+    """
+    import numpy as np  # noqa: F401 - fail fast on driver if absent
+
+    if quant & (quant - 1) or quant <= 0:
+        raise ValueError("quant must be a positive power of two (exact scaling)")
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(quant))).cast("long"),
+    )
+    base = df.select(F.col(split_col).cast("int").alias("g"), qv.alias("q"))
+
+    def _partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        sums: dict[int, "np.ndarray"] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("g"):
+                m = np.stack(sub["q"].to_numpy()).astype(np.int64)
+                if m.shape[1] != dim:
+                    raise ValueError(f"expected dim {dim}, got {m.shape[1]}")
+                s = (m.T @ m).reshape(-1)
+                if g in sums:
+                    sums[g] += s
+                    counts[g] += len(sub)
+                else:
+                    sums[g] = s
+                    counts[g] = len(sub)
+        if sums:
+            yield pd.DataFrame(
+                {
+                    "g": list(sums),
+                    "s": [sums[g].tolist() for g in sums],
+                    "n": [int(counts[g]) for g in sums],
+                }
+            )
+
+    parts = base.mapInPandas(_partial, "g int, s array<bigint>, n bigint")
+    cells = (
+        parts.select("g", "n", F.posexplode("s").alias("idx", "v"))
+        .groupBy("g", "idx")
+        .agg(F.sum("v").alias("s"), F.sum("n").alias("nn"))
+    )
+    a = cells.filter(F.col("g") == 0).select(
+        "idx", F.col("s").alias("sa"), F.col("nn").alias("na")
+    )
+    b = cells.filter(F.col("g") == 1).select(
+        "idx", F.col("s").alias("sb"), F.col("nn").alias("nb")
+    )
+    diff = (
+        a.join(b, "idx")
+        .select(
+            (F.col("idx") / dim).cast("int").alias("i"),
+            (F.col("idx") % dim).cast("int").alias("j"),
+            "na",
+            "nb",
+            (
+                (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"))
+                * (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"))
+            ).alias("d2"),
+        )
+    )
+    return diff.groupBy("i").agg(
+        F.first("na").alias("n_a"),
+        F.first("nb").alias("n_b"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "d2"))), lambda s: s["d2"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("mmd_term"),
     )

@@ -1127,3 +1127,273 @@ def ngram_novelty_incremental(
         .agg(F.min(id_col).alias("first_id"))
     )
     return per_doc, delta
+
+
+def unigram_tokenize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: dict[str, float],
+    *,
+    unk: str = "[UNK]",
+    unk_score: float = -100.0,
+    broadcast_words: bool = True,
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenization: per word, the Viterbi
+    max-score segmentation over a scored piece vocabulary — the third
+    tokenizer family after greedy WordPiece (wordpiece_tokenize) and merge-
+    list BPE (bpe_apply).  ``vocab`` maps piece -> additive score (log-prob);
+    every position also has an ``unk`` single-char edge at ``unk_score`` so
+    all words are segmentable.  Ties break on the lexicographically smallest
+    piece sequence, which is DP-consistent: two equal-score prefixes of the
+    same character span can never be tuple-prefixes of each other, so the
+    first differing piece is decided inside the prefix.
+
+    Returns (id, pos, word, pieces, score).
+
+    Scale design: identical to wordpiece_tokenize — Viterbi runs once per
+    DISTINCT word (Heaps'-law bounded, Arrow-batched Pandas UDF with the
+    vocabulary broadcast in the closure), and the corpus pays only a
+    broadcast word-keyed join.  Reference parity: the reference engine
+    (/root/reference) has no tokenizer surface; this is north-star scope
+    for LLM-corpus token accounting.
+    """
+    import pandas as pd
+
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    max_len = max(len(p) for p in vocab)
+
+    def _viterbi(w: str) -> tuple[list[str], float]:
+        n = len(w)
+        # best[i] = (score, pieces tuple) over segmentations of w[:i]
+        best: list[tuple[float, tuple[str, ...]] | None] = [None] * (n + 1)
+        best[0] = (0.0, ())
+        for i in range(1, n + 1):
+            cand: tuple[float, tuple[str, ...]] | None = None
+            for ln in range(1, min(max_len, i) + 1):
+                prev = best[i - ln]
+                if prev is None:
+                    continue
+                piece = w[i - ln : i]
+                sc = vocab.get(piece)
+                if sc is None:
+                    continue
+                c = (prev[0] + sc, prev[1] + (piece,))
+                if cand is None or c[0] > cand[0] or (c[0] == cand[0] and c[1] < cand[1]):
+                    cand = c
+            prev = best[i - 1]
+            if prev is not None:  # UNK fallback edge, one char
+                c = (prev[0] + unk_score, prev[1] + (unk,))
+                if cand is None or c[0] > cand[0] or (c[0] == cand[0] and c[1] < cand[1]):
+                    cand = c
+            best[i] = cand
+        sc, toks = best[n]  # type: ignore[misc]
+        return list(toks), sc
+
+    def _tok(s):
+        res = s.map(_viterbi)
+        return pd.DataFrame(
+            {"pieces": res.map(lambda t: t[0]), "score": res.map(lambda t: t[1])}
+        )
+
+    _tok.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    udf = F.pandas_udf(_tok, "struct<pieces: array<string>, score: double>")
+
+    words = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__w")
+    )
+    toked = words.select("__w").distinct().withColumn("__t", udf(F.col("__w")))
+    if broadcast_words:
+        toked = F.broadcast(toked)
+    return words.join(toked, "__w").select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("__w").alias("word"),
+        F.col("__t.pieces").alias("pieces"),
+        F.col("__t.score").alias("score"),
+    )
+
+
+def unigram_expected_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """EM E-step for Unigram-LM tokenizer training (forward-backward over the
+    per-word segmentation lattice): with path probability proportional to the
+    PRODUCT of its pieces' ``weights``, computes the expected number of
+    occurrences of each piece per distinct word — the sufficient statistic the
+    M-step renormalizes.  Words the vocabulary cannot segment (partition
+    function Z = 0) are omitted.
+
+    Returns (word, freq, piece, e_num, z, expected_count) where ``freq`` is
+    the word's corpus occurrence count, ``e_num = sum over paths of
+    path_weight * occurrences(piece)``, ``z = sum of path weights``, and
+    ``expected_count = e_num / z``.  With small-integer weights both sums are
+    integer-exact (the q336 oracle enumerates the same lattice), so the
+    division is engine-deterministic.
+
+    Scale design: the lattice DP is per-DISTINCT-word (Heaps'-bounded,
+    Arrow-batched); corpus frequencies come from one word-keyed aggregation.
+    A full EM iteration over a 100 TB corpus is therefore one distinct-word
+    scan + one tiny broadcast join, repeated per round.
+    """
+    import pandas as pd
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    max_len = max(len(p) for p in weights)
+
+    def _fb(w: str) -> tuple[list[str], list[float], float]:
+        n = len(w)
+        fwd = [0.0] * (n + 1)
+        fwd[0] = 1.0
+        for i in range(1, n + 1):
+            for ln in range(1, min(max_len, i) + 1):
+                wt = weights.get(w[i - ln : i])
+                if wt is not None and fwd[i - ln]:
+                    fwd[i] += fwd[i - ln] * wt
+        z = fwd[n]
+        if z == 0.0:
+            return [], [], 0.0
+        bwd = [0.0] * (n + 1)
+        bwd[n] = 1.0
+        for i in range(n - 1, -1, -1):
+            for ln in range(1, min(max_len, n - i) + 1):
+                wt = weights.get(w[i : i + ln])
+                if wt is not None and bwd[i + ln]:
+                    bwd[i] += wt * bwd[i + ln]
+        acc: dict[str, float] = {}
+        for i in range(n):
+            for ln in range(1, min(max_len, n - i) + 1):
+                p = w[i : i + ln]
+                wt = weights.get(p)
+                if wt is not None and fwd[i] and bwd[i + ln]:
+                    acc[p] = acc.get(p, 0.0) + fwd[i] * wt * bwd[i + ln]
+        pieces = sorted(acc)
+        return pieces, [acc[p] for p in pieces], z
+
+    def _udf(s):
+        res = s.map(_fb)
+        return pd.DataFrame(
+            {
+                "pieces": res.map(lambda t: t[0]),
+                "nums": res.map(lambda t: t[1]),
+                "z": res.map(lambda t: t[2]),
+            }
+        )
+
+    _udf.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    fb_udf = F.pandas_udf(
+        _udf, "struct<pieces: array<string>, nums: array<double>, z: double>"
+    )
+
+    freq = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    lat = freq.withColumn("__t", fb_udf(F.col("word"))).filter(
+        F.col("__t.z") > 0
+    )
+    return lat.select(
+        "word",
+        "freq",
+        F.explode(F.arrays_zip("__t.pieces", "__t.nums")).alias("__pz"),
+        F.col("__t.z").alias("__z"),
+    ).select(
+        "word",
+        "freq",
+        F.col("__pz.pieces").alias("piece"),
+        F.col("__pz.nums").cast("bigint").alias("e_num"),
+        F.col("__z").cast("bigint").alias("z"),
+        (F.col("__pz.nums") / F.col("__z")).alias("expected_count"),
+    )
+
+
+def multi_pattern_scan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: list[str],
+) -> DataFrame:
+    """Aho-Corasick multi-pattern scan: counts OVERLAPPING occurrences of
+    every pattern in each document in ONE left-to-right pass — O(len(text) +
+    matches) per document regardless of pattern-set size, vs O(len * n_pat)
+    for per-pattern search.  The blocklist/PII-term/contamination-marker scan
+    a curation pipeline runs with 10k+ patterns, where per-pattern passes are
+    the difference between 1 scan and 10,000 scans of 100 TB.
+
+    The automaton (goto/fail/output links) is built once on the driver from
+    the bounded pattern list and shipped in the UDF closure (broadcast);
+    matching is an Arrow-batched Pandas UDF — a per-character state walk is
+    non-decomposable into column algebra (same gating rationale as SimHash).
+    Returns (id, pattern, n_matches) with n_matches > 0 only.
+    """
+    import pandas as pd
+
+    pats = sorted(set(patterns))
+    if not pats or any(not p for p in pats):
+        raise ValueError("patterns must be non-empty strings")
+
+    # build: trie with goto, then BFS fail links; output = pattern indexes
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[int]] = [[]]
+    for pi, p in enumerate(pats):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(pi)
+    fail = [0] * len(goto)
+    queue = list(goto[0].values())
+    qi = 0
+    while qi < len(queue):
+        s = queue[qi]
+        qi += 1
+        for ch, t in goto[s].items():
+            queue.append(t)
+            f = fail[s]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
+            out[t] = out[t] + out[fail[t]]
+
+    def _scan_one(text: str) -> tuple[list[str], list[int]]:
+        counts = [0] * len(pats)
+        s = 0
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            for pi in out[s]:
+                counts[pi] += 1
+        hits = [i for i, c in enumerate(counts) if c]
+        return [pats[i] for i in hits], [counts[i] for i in hits]
+
+    def _scan(s):
+        res = s.map(_scan_one)
+        return pd.DataFrame(
+            {"pats": res.map(lambda t: t[0]), "counts": res.map(lambda t: t[1])}
+        )
+
+    _scan.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    udf = F.pandas_udf(_scan, "struct<pats: array<string>, counts: array<int>>")
+
+    hit = df.select(F.col(id_col), udf(F.col(text_col)).alias("__h"))
+    return hit.select(
+        F.col(id_col), F.explode(F.arrays_zip("__h.pats", "__h.counts")).alias("__m")
+    ).select(
+        F.col(id_col),
+        F.col("__m.pats").alias("pattern"),
+        F.col("__m.counts").cast("bigint").alias("n_matches"),
+    )

@@ -1488,3 +1488,194 @@ def test_temperature_mixture_alpha1_natural(spark):
     # equal masses at alpha=1 -> equal keep-rate ~= budget_frac for both
     for s in ("a", "b"):
         assert 0.25 * 500 < counts[s] < 0.55 * 500
+
+
+class TestUnigramLM:
+    """Round-5 tokenizer family #3: Unigram-LM Viterbi (q335) and the EM
+    E-step forward-backward (q336), both checked against brute-force path
+    enumeration here and via recursive-CTE oracles in the catalog."""
+
+    @staticmethod
+    def _enum_best(w, vocab, unk_score=-100.0):
+        max_len = max(len(p) for p in vocab)
+        results = []
+
+        def rec(i, toks, sc):
+            if i == len(w):
+                results.append((sc, tuple(toks)))
+                return
+            for ln in range(1, min(max_len, len(w) - i) + 1):
+                p = w[i : i + ln]
+                if p in vocab:
+                    rec(i + ln, toks + [p], sc + vocab[p])
+            rec(i + 1, toks + ["[UNK]"], sc + unk_score)
+
+        rec(0, [], 0.0)
+        return sorted(results, key=lambda t: (-t[0], t[1]))[0]
+
+    def test_viterbi_matches_enumeration(self, spark):
+        import random
+
+        rng = random.Random(42)
+        vocab = {c: 1.0 for c in "abcd"}
+        for _ in range(10):
+            p = "".join(rng.choice("abcd") for _ in range(rng.randint(2, 3)))
+            vocab[p] = float(rng.randint(1, 9))
+        words = [
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
+            for _ in range(25)
+        ]
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string"
+        )
+        got = {
+            r["word"]: (r["score"], tuple(r["pieces"]))
+            for r in tx.unigram_tokenize(df, "doc_id", "text", vocab).collect()
+        }
+        for w in set(words):
+            assert got[w] == self._enum_best(w, vocab), w
+
+    def test_tie_breaks_on_smallest_piece_sequence(self, spark):
+        # 'ab'(2) ties 'a'+'b'(1+1); ('a','b') < ('ab',) lexicographically
+        df = spark.createDataFrame([(1, "ab")], "doc_id bigint, text string")
+        vocab = {"ab": 2.0, "a": 1.0, "b": 1.0}
+        row = tx.unigram_tokenize(df, "doc_id", "text", vocab).collect()[0]
+        assert row["pieces"] == ["a", "b"] and row["score"] == 2.0
+
+    def test_unk_fallback(self, spark):
+        df = spark.createDataFrame([(1, "axa")], "doc_id bigint, text string")
+        row = tx.unigram_tokenize(df, "doc_id", "text", {"a": 1.0}).collect()[0]
+        assert row["pieces"] == ["a", "[UNK]", "a"]
+        assert row["score"] == 2.0 - 100.0
+
+    def test_expected_counts_match_enumeration(self, spark):
+        import random
+
+        rng = random.Random(7)
+        weights = {c: float(rng.randint(1, 4)) for c in "abc"}
+        for _ in range(6):
+            p = "".join(rng.choice("abc") for _ in range(rng.randint(2, 3)))
+            weights[p] = float(rng.randint(1, 4))
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+            for _ in range(15)
+        ]
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string"
+        )
+        out = tx.unigram_expected_counts(df, "doc_id", "text", weights).collect()
+        got = {(r["word"], r["piece"]): (r["e_num"], r["z"]) for r in out}
+
+        max_len = max(len(p) for p in weights)
+        for w in set(words):
+            paths = []
+
+            def rec(i, toks, wt):
+                if i == len(w):
+                    paths.append((wt, toks))
+                    return
+                for ln in range(1, min(max_len, len(w) - i) + 1):
+                    p = w[i : i + ln]
+                    if p in weights:
+                        rec(i + ln, toks + [p], wt * int(weights[p]))
+
+            rec(0, [], 1)
+            z = sum(p0 for p0, _ in paths)
+            acc: dict = {}
+            for p0, toks in paths:
+                for t in toks:
+                    acc[t] = acc.get(t, 0) + p0
+            for piece, num in acc.items():
+                assert got[(w, piece)] == (num, z), (w, piece)
+
+    def test_unsegmentable_word_omitted(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ab xy")], "doc_id bigint, text string"
+        )
+        out = tx.unigram_expected_counts(
+            df, "doc_id", "text", {"a": 1.0, "b": 2.0}
+        ).collect()
+        assert {r["word"] for r in out} == {"ab"}
+
+
+class TestAhoCorasick:
+    def test_counts_match_bruteforce(self, spark):
+        import random
+
+        rng = random.Random(3)
+        pats = sorted(
+            {
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 4)))
+                for _ in range(8)
+            }
+        )
+        texts = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(0, 80)))
+            for _ in range(20)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        got = {
+            (r["doc_id"], r["pattern"]): r["n_matches"]
+            for r in tx.multi_pattern_scan(df, "doc_id", "text", pats).collect()
+        }
+        for i, t in enumerate(texts):
+            for p in pats:
+                want = sum(
+                    1
+                    for k in range(len(t) - len(p) + 1)
+                    if t[k : k + len(p)] == p
+                )
+                assert got.get((i, p), 0) == want, (t, p)
+
+    def test_overlapping_matches_counted(self, spark):
+        df = spark.createDataFrame([(1, "aaaa")], "doc_id bigint, text string")
+        got = {
+            r["pattern"]: r["n_matches"]
+            for r in tx.multi_pattern_scan(df, "doc_id", "text", ["a", "aa", "aaa"]).collect()
+        }
+        assert got == {"a": 4, "aa": 3, "aaa": 2}
+
+
+class TestMmdDrift:
+    def test_identical_populations_give_zero(self, spark):
+        from rust_dataframe_spark.operators.stats import mmd2_terms
+
+        rows = [(g, [0.1 * k - 0.2 for k in range(4)]) for g in (0, 1) for _ in range(5)]
+        df = spark.createDataFrame(rows, "split int, embedding array<float>")
+        out = mmd2_terms(df, "split", "embedding", 4).collect()
+        assert len(out) == 4
+        assert all(r["mmd_term"] == 0.0 for r in out)
+        assert all(r["n_a"] == 5 and r["n_b"] == 5 for r in out)
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from rust_dataframe_spark.operators.stats import mmd2_terms
+
+        rng = np.random.default_rng(11)
+        xa = rng.uniform(-0.5, 0.5, size=(13, 6)).astype(np.float32)
+        xb = rng.uniform(-0.3, 0.7, size=(9, 6)).astype(np.float32)
+        rows = [(0, list(map(float, v))) for v in xa] + [
+            (1, list(map(float, v))) for v in xb
+        ]
+        df = spark.createDataFrame(rows, "split int, embedding array<float>")
+        got = {
+            r["i"]: r["mmd_term"]
+            for r in mmd2_terms(df, "split", "embedding", 6, quant=512).collect()
+        }
+        qa = np.floor(xa.astype(np.float64) * 512).astype(np.int64)
+        qb = np.floor(xb.astype(np.float64) * 512).astype(np.int64)
+        ma = (qa.T @ qa) / len(qa)
+        mb = (qb.T @ qb) / len(qb)
+        want = ((ma - mb) ** 2).sum(axis=1)
+        for i in range(6):
+            assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+    def test_rejects_non_power_of_two_quant(self, spark):
+        from rust_dataframe_spark.operators.stats import mmd2_terms
+
+        df = spark.createDataFrame([(0, [0.0])], "split int, embedding array<float>")
+        with pytest.raises(ValueError, match="power of two"):
+            mmd2_terms(df, "split", "embedding", 1, quant=500)
