@@ -2313,3 +2313,67 @@ def q235_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", "value", "level", "trend", "forecast_1"
     ).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q340: Misra-Gries heavy hitters — guarantee certificate vs exact counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q340_misra_gries_hh",
+    oracle="""
+    WITH words AS (
+      SELECT substr(unnest(string_split(text, ' ')), 1, 1) AS word
+      FROM documents),
+    exact AS (SELECT word, CAST(count(*) AS BIGINT) AS true_count
+              FROM words GROUP BY word),
+    tot AS (SELECT CAST(sum(true_count) AS BIGINT) AS n FROM exact)
+    SELECT e.word, e.true_count,
+           TRUE AS present, TRUE AS under_ok, TRUE AS bound_ok
+    FROM exact e, tot
+    WHERE e.true_count * 16 > tot.n
+    ORDER BY e.word
+    """,
+)
+def q340_misra_gries_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/sketches.misra_gries, k=15) over
+    the word-initial token stream (naturally Zipf-skewed: 's' carries ~20%,
+    19 distinct > k so decrements and the merge subtraction genuinely fire),
+    with the guarantee AUDITED against exact counts — the q330-style
+    certificate pattern: MG estimates are partition-layout-dependent (any MG
+    execution's are), but the THEOREM is not, so the query outputs, for
+    every token with true frequency > N/(k+1): present-in-sketch,
+    est <= true, and (true - est)*(k+1) <= N — all integer comparisons, all
+    guaranteed TRUE by the mergeable-summaries mass argument, all computed
+    from the live sketch (a buggy merge turns them FALSE and the
+    constant-true oracle catches it).  Completes the sketch family: count-min answers point
+    frequencies, HLL answers distincts, MG answers WHICH items are frequent.
+    Scale: one shuffle-free mapInPandas pass to partitions*k rows, merge
+    shuffles only those."""
+    from .operators.sketches import misra_gries
+
+    k = 15
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("w0")).select(
+        F.substring("w0", 1, 1).alias("word")
+    )
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("true_count"))
+    n = exact.agg(F.sum("true_count").alias("n"))
+    mg = misra_gries(words, "word", k).withColumnRenamed("token", "word")
+    heavy = exact.crossJoin(F.broadcast(n)).filter(
+        F.col("true_count") * (k + 1) > F.col("n")
+    )
+    return (
+        heavy.join(mg, "word", "left")
+        .select(
+            "word",
+            F.col("true_count").cast("bigint").alias("true_count"),
+            F.col("est").isNotNull().alias("present"),
+            (F.col("est") <= F.col("true_count")).alias("under_ok"),
+            ((F.col("true_count") - F.col("est")) * (k + 1) <= F.col("n")).alias(
+                "bound_ok"
+            ),
+        )
+        .orderBy("word")
+    )

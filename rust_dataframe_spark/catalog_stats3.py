@@ -4359,3 +4359,96 @@ def q325_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("test_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q339: isotonic calibration (PAVA fit via the minimax characterization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q339_isotonic_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#iso'), 1, 8))
+               ::UBIGINT / 4294967296.0 AS score,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#lbl'), 1, 8))
+               ::UBIGINT / 4294967296.0 AS coin
+      FROM events),
+    lab AS (
+      SELECT LEAST(GREATEST(CAST(floor((score - 0.0) / 0.1) AS INT), 0), 9) AS bin,
+             coin
+      FROM scored),
+    lab2 AS (
+      SELECT bin,
+             CASE WHEN coin < 0.2 + 0.05 * bin + 0.25 * (bin % 2)
+                  THEN 1 ELSE 0 END AS y
+      FROM lab),
+    bins AS (SELECT bin, CAST(sum(y) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+             FROM lab2 GROUP BY bin),
+    cums AS (SELECT bin, s, n,
+                    sum(s) OVER (ORDER BY bin) AS cs,
+                    sum(n) OVER (ORDER BY bin) AS cn
+             FROM bins),
+    pairs AS (
+      SELECT j.bin AS j, k.bin AS k,
+             CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg_jk
+      FROM cums j JOIN cums k ON j.bin <= k.bin),
+    im AS (
+      SELECT i.bin AS i, p.j, min(p.avg_jk) AS m
+      FROM bins i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+      GROUP BY i.bin, p.j),
+    iso AS (SELECT i, max(m) AS iso_rate FROM im GROUP BY i)
+    SELECT b.bin, b.n, CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS pos_rate,
+           iso.iso_rate
+    FROM bins b JOIN iso ON iso.i = b.bin ORDER BY bin
+    """,
+)
+def q339_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration fit (operators/stats.isotonic_calibrate) — the
+    PAVA step that turns q261's reliability DIAGNOSIS into a calibration
+    MAP: least-squares monotone positive-rate curve over 10 score bins, via
+    the minimax characterization iso[i] = max_{j<=i} min_{k>=i} avg(j..k).
+    The fixture's md5-coin label probability deliberately ZIG-ZAGS across
+    bins (0.2, 0.5, 0.3, 0.6, ...), so the pool-adjacent-violators pooling
+    genuinely fires and the oracle checks real pooling, not a pass-through.
+    Every interval average is one exact integer division; min/max over
+    those are engine-deterministic, so values match bit-for-bit.  Scale:
+    one map-side-combined aggregation to 10 rows; the O(bins^3) minimax
+    runs on the bounded bin axis (same policy as ks_2sample/q247)."""
+    from .operators.stats import isotonic_calibrate
+
+    ev = load_events(spark, sf_dir)
+
+    def _u(salt: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_id").cast("string"), F.lit(salt))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / 4294967296.0
+        )
+
+    scored = ev.select(_u("#iso").alias("score"), _u("#lbl").alias("coin"))
+    bin_i = F.least(
+        F.greatest(F.floor((F.col("score") - 0.0) / 0.1).cast("int"), F.lit(0)),
+        F.lit(9),
+    )
+    lab = scored.select(
+        "score",
+        F.when(
+            F.col("coin")
+            < 0.2 + 0.05 * bin_i.cast("double") + 0.25 * (bin_i % 2).cast("double"),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    out = isotonic_calibrate(lab, "score", "y", nbins=10, lo=0.0, hi=1.0)
+    return out.orderBy("bin")

@@ -27,6 +27,7 @@ __all__ = [
     "countmin_merge",
     "countmin_lookup",
     "countmin_inner_product",
+    "misra_gries",
 ]
 
 
@@ -137,4 +138,68 @@ def countmin_inner_product(a: DataFrame, b: DataFrame, *, depth: int = 4) -> Dat
         .otherwise(F.coalesce(F.min("__ip"), F.lit(0)))
         .cast("bigint")
         .alias("est")
+    )
+
+
+def misra_gries(df: DataFrame, token_col: str, k: int) -> DataFrame:
+    """Misra-Gries heavy-hitters summary of size <= k, distributed via the
+    mergeable-summaries construction: each partition streams its tokens
+    through a classic k-counter MG (decrement-all on overflow), then the
+    per-partition summaries merge in one shot — cell-wise sum, subtract the
+    (k+1)-th largest combined estimate, keep positive.  The mass argument
+    survives the one-shot P-way merge: every unit of undercount retires
+    k+1 units of token mass, so for every token
+
+        true - N/(k+1)  <=  est  <=  true
+
+    and any token with true frequency > N/(k+1) is GUARANTEED present —
+    the property q340's certificate audits against exact counts.
+
+    Returns (token, est) with at most k rows.  ``est`` values depend on
+    partition layout (any MG execution does); the two-sided bound above is
+    layout-independent, which is what callers should consume.
+
+    Scale shape: one mapInPandas pass (no shuffle) reduces the corpus to
+    <= partitions * k rows; the merge shuffles only those.  The
+    frequent-words / hot-key / trending-token screen for streams too large
+    to count exactly — and the summary is re-mergeable across days.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _partial(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for t in pdf[token_col]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"token": list(counters), "est": list(counters.values())}
+            )
+
+    parts = df.select(F.col(token_col).alias(token_col)).mapInPandas(
+        _partial, "token string, est bigint"
+    )
+    combined = parts.groupBy("token").agg(F.sum("est").alias("est"))
+    top = combined.orderBy(F.desc("est"), "token").limit(k + 1)
+    theta = top.agg(
+        F.when(F.count(F.lit(1)) == k + 1, F.min("est")).otherwise(0).alias("theta")
+    )
+    return (
+        combined.crossJoin(F.broadcast(theta))
+        .select("token", (F.col("est") - F.col("theta")).alias("est"))
+        .filter(F.col("est") > 0)
     )

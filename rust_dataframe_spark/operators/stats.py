@@ -37,6 +37,7 @@ __all__ = [
     "mad_outliers",
     "kaplan_meier",
     "mmd2_terms",
+    "isotonic_calibrate",
 ]
 
 
@@ -416,4 +417,81 @@ def mmd2_terms(
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("mmd_term"),
+    )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    nbins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Isotonic calibration (the PAVA fit q261's reliability diagram
+    diagnoses): bins ``score_col`` into ``nbins`` fixed-width bins and fits
+    the least-squares MONOTONE positive-rate curve over the bin axis, via
+    the closed-form minimax characterization of isotonic regression:
+
+        iso[i] = max_{j<=i} min_{k>=i} (sum of labels in bins j..k)
+                                       / (count in bins j..k)
+
+    Returns (bin, n, pos_rate, iso_rate) with iso_rate non-decreasing — the
+    calibration map a quality-classifier threshold policy applies.
+
+    Determinism: label sums/counts are integers, every interval average is
+    one exact-integer division, and min/max over deterministic doubles are
+    deterministic — the oracle replays identically.  Scale: the corpus pays
+    ONE map-side-combined aggregation to nbins rows; everything after
+    (cumsum window, interval self-join, minimax) runs on the bounded bin
+    axis (O(nbins^3) pairs, nbins<=~100), the same bounded-axis-window
+    policy as ks_2sample/q247.
+    """
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    width = (hi - lo) / nbins
+    b = F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+    bins = (
+        df.select(b.alias("bin"), F.col(label_col).cast("bigint").alias("y"))
+        .groupBy("bin")
+        .agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy().orderBy("bin")  # bounded axis: nbins rows
+    cums = bins.select(
+        "bin",
+        "s",
+        "n",
+        F.sum("s").over(w).alias("cs"),
+        F.sum("n").over(w).alias("cn"),
+    )
+    j = cums.select(
+        F.col("bin").alias("j"),
+        (F.col("cs") - F.col("s")).alias("cs_prev"),
+        (F.col("cn") - F.col("n")).alias("cn_prev"),
+    )
+    k = cums.select(F.col("bin").alias("k"), "cs", "cn")
+    pairs = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cs") - F.col("cs_prev")) / (F.col("cn") - F.col("cn_prev"))
+        ).alias("avg_jk"),
+    )
+    axis = bins.select(F.col("bin").alias("i"))
+    inner = (
+        axis.join(pairs, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    iso = inner.groupBy("i").agg(F.max("m").alias("iso_rate"))
+    return (
+        bins.join(iso, bins["bin"] == iso["i"])
+        .select(
+            "bin",
+            "n",
+            (F.col("s") / F.col("n")).alias("pos_rate"),
+            "iso_rate",
+        )
     )

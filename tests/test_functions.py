@@ -300,3 +300,61 @@ class TestCountminInnerProduct:
         sb = countmin_build(b, "k", depth=4, width=4096, salt="t2")
         est = countmin_inner_product(sa, sb, depth=4).collect()[0]["est"]
         assert est == 0  # single keys, wide table: some row must miss
+
+
+class TestMisraGries:
+    """Mergeable heavy-hitters summary (operators/sketches.misra_gries,
+    q340): the two-sided guarantee true - N/(k+1) <= est <= true must hold
+    for every token under ANY partition layout."""
+
+    @staticmethod
+    def _stream():
+        # Zipf-ish: token i appears 2^(9-i) times, i=0..9  (N=1023)
+        toks = []
+        for i in range(10):
+            toks.extend([f"t{i}"] * (1 << (9 - i)))
+        return toks
+
+    def _check_guarantee(self, spark, k, nparts):
+        from rust_dataframe_spark.operators.sketches import misra_gries
+
+        toks = self._stream()
+        n = len(toks)
+        df = spark.createDataFrame(
+            [(t,) for t in toks], "token string"
+        ).repartition(nparts)
+        est = {
+            r["token"]: r["est"] for r in misra_gries(df, "token", k).collect()
+        }
+        assert len(est) <= k
+        true = {t: toks.count(t) for t in set(toks)}
+        for t, c in true.items():
+            e = est.get(t, 0)
+            assert e <= c, (t, e, c)
+            assert (c - e) * (k + 1) <= n, (t, e, c)
+            if c * (k + 1) > n:
+                assert t in est, f"heavy hitter {t} missing at k={k}"
+
+    def test_guarantee_small_k_multi_partition(self, spark):
+        self._check_guarantee(spark, k=3, nparts=7)
+
+    def test_guarantee_k5_single_partition(self, spark):
+        self._check_guarantee(spark, k=5, nparts=1)
+
+    def test_exact_when_distinct_fits(self, spark):
+        from rust_dataframe_spark.operators.sketches import misra_gries
+
+        df = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2, "token string"
+        ).repartition(4)
+        est = {r["token"]: r["est"] for r in misra_gries(df, "token", 10).collect()}
+        assert est == {"a": 5, "b": 3, "c": 2}
+
+    def test_rejects_bad_k(self, spark):
+        import pytest
+
+        from rust_dataframe_spark.operators.sketches import misra_gries
+
+        df = spark.createDataFrame([("a",)], "token string")
+        with pytest.raises(ValueError, match="k must be"):
+            misra_gries(df, "token", 0)

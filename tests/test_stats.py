@@ -268,3 +268,76 @@ def test_bloom_bitmap_bounded_by_m(spark):
     bits = bloom_bits(build, "key", m=64, k=3).collect()[0]["bits"]
     assert len(bits) <= 64
     assert bits == sorted(bits)
+
+
+# --- isotonic calibration (q339) -------------------------------------------
+
+
+def _pava(values, weights):
+    """Classic stack-based pool-adjacent-violators, the textbook reference."""
+    blocks = [[v * w, w] for v, w in zip(values, weights)]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) > 1 and out[-2][0] / out[-2][1] >= out[-1][0] / out[-1][1]:
+            s, w = out.pop()
+            out[-1][0] += s
+            out[-1][1] += w
+    # expand back to per-input positions
+    expanded = []
+    i = 0
+    for s, w in out:
+        # w is the summed weight of pooled inputs; recover how many inputs
+        # were pooled by walking the original weights
+        acc = 0
+        cnt = 0
+        while acc < w - 1e-9:
+            acc += weights[i + cnt]
+            cnt += 1
+        expanded.extend([s / w] * cnt)
+        i += cnt
+    return expanded
+
+
+def test_isotonic_matches_stack_pava(spark):
+    import random
+
+    from rust_dataframe_spark.operators.stats import isotonic_calibrate
+
+    rng = random.Random(5)
+    for trial in range(3):
+        # build per-bin (positives, count) then expand to row-level labels
+        nb = 8
+        counts = [rng.randint(1, 6) for _ in range(nb)]
+        pos = [rng.randint(0, c) for c in counts]
+        rows = []
+        for b in range(nb):
+            center = (b + 0.5) / nb
+            for r in range(counts[b]):
+                rows.append((center, 1 if r < pos[b] else 0))
+        df = spark.createDataFrame(rows, "score double, y int")
+        got = {
+            r["bin"]: (r["n"], r["pos_rate"], r["iso_rate"])
+            for r in isotonic_calibrate(df, "score", "y", nbins=nb).collect()
+        }
+        want = _pava([p / c for p, c in zip(pos, counts)], counts)
+        for b in range(nb):
+            assert got[b][0] == counts[b]
+            assert got[b][1] == pos[b] / counts[b]
+            assert abs(got[b][2] - want[b]) < 1e-12, (trial, b, got[b], want[b])
+        # monotone non-decreasing
+        iso = [got[b][2] for b in range(nb)]
+        assert all(a <= b + 1e-15 for a, b in zip(iso, iso[1:]))
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    from rust_dataframe_spark.operators.stats import isotonic_calibrate
+
+    rows = []
+    for b, (c, p) in enumerate([(4, 0), (4, 1), (4, 2), (4, 4)]):
+        for r in range(c):
+            rows.append(((b + 0.5) / 4, 1 if r < p else 0))
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {r["bin"]: r for r in isotonic_calibrate(df, "score", "y", nbins=4).collect()}
+    for b in range(4):
+        assert out[b]["iso_rate"] == out[b]["pos_rate"]
