@@ -102,6 +102,16 @@ HEADLINE = [
     "q327_png_decode",
     "q328_cdc_dedup",
     "q329_ivf_recall",
+    # round-8 additions (cont.): GIF frame decode, Unigram-LM tokenizer + EM
+    # E-step,
+    # Aho-Corasick scan, MMD drift, isotonic calibration, MG heavy hitters
+    "q334_gif_frames",
+    "q335_unigram_tokenize",
+    "q336_unigram_em_estep",
+    "q337_aho_corasick",
+    "q338_mmd_embedding_drift",
+    "q339_isotonic_calibration",
+    "q340_misra_gries_hh",
 ]
 
 

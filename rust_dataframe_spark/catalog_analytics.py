@@ -2377,3 +2377,101 @@ def q340_misra_gries_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+# ---------------------------------------------------------------------------
+# q341: streaming Misra-Gries heavy hitters (bounded state, sharded)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q341_stream_heavy_hitters",
+    oracle="""
+    WITH words AS (
+      SELECT substr(unnest(string_split(text, ' ')), 1, 1) AS token
+      FROM documents),
+    sh AS (
+      SELECT token,
+             CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 4 AS INT) AS shard
+      FROM words),
+    exact AS (SELECT shard, token, CAST(count(*) AS BIGINT) AS true_count
+              FROM sh GROUP BY shard, token),
+    mass AS (SELECT shard, CAST(sum(true_count) AS BIGINT) AS ns
+             FROM exact GROUP BY shard)
+    SELECT e.shard, e.token, e.true_count,
+           TRUE AS present, TRUE AS under_ok, TRUE AS bound_ok
+    FROM exact e JOIN mass m ON m.shard = e.shard
+    WHERE e.true_count * 4 > m.ns
+    ORDER BY e.shard, e.token
+    """,
+)
+def q341_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q340's Misra-Gries summary as a REAL stateful Structured Streaming
+    query (streaming/ops.stream_heavy_hitters: tokens shard by md5,
+    applyInPandasWithState holds ONE k=3 counter summary per shard —
+    bounded bytes regardless of stream length).  Certificate semantics
+    match q340: per shard, every token with true count > N_shard/(k+1)
+    must be present in the final summary with true-N_shard/(k+1) <= est <=
+    true — integer comparisons, layout- and batch-boundary-independent,
+    computed from the live streaming state and compared to the constant-
+    true oracle over exact counts.  Sharding tightens the bound (N_shard <
+    N) and distributes the state store — the parallel-MG construction."""
+    import os
+
+    from .catalog_sources import _scratch
+    from .streaming import ops as st
+
+    k, nshards = 3, 4
+    path = _scratch("stream_documents", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "documents").write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = st.read_stream_parquet(spark, path, schema)
+    toks = stream.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w0")
+    ).select(F.substring("w0", 1, 1).alias("token"))
+    raw = st.run_available_now(
+        st.stream_heavy_hitters(toks, token_col="token", k=k, nshards=nshards),
+        "q341_sink",
+        output_mode="update",
+    )
+    # latest emission per shard (window over the tiny memory-sink table —
+    # bounded by shards * k rows per batch; a self-join would conflict on
+    # the sink view's attribute ids)
+    mg = (
+        raw.withColumn("__mx", F.max("ver").over(Window.partitionBy("shard")))
+        .filter(F.col("ver") == F.col("__mx"))
+        .select("shard", "token", "est")
+    )
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("w0")).select(
+        F.substring("w0", 1, 1).alias("token")
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+        % nshards
+    ).cast("int")
+    exact = (
+        words.select("token", shard.alias("shard"))
+        .groupBy("shard", "token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    mass = exact.groupBy("shard").agg(F.sum("true_count").alias("ns"))
+    heavy = exact.join(mass, "shard").filter(
+        F.col("true_count") * (k + 1) > F.col("ns")
+    )
+    return (
+        heavy.join(mg, ["shard", "token"], "left")
+        .select(
+            "shard",
+            "token",
+            F.col("true_count").cast("bigint").alias("true_count"),
+            F.col("est").isNotNull().alias("present"),
+            (F.col("est") <= F.col("true_count")).alias("under_ok"),
+            ((F.col("true_count") - F.col("est")) * (k + 1) <= F.col("ns")).alias(
+                "bound_ok"
+            ),
+        )
+        .orderBy("shard", "token")
+    )

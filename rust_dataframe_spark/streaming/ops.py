@@ -625,3 +625,79 @@ def stream_binned_histogram(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("win_start"), "bin", "n")
     )
+
+
+def stream_heavy_hitters(
+    tokens: DataFrame,
+    *,
+    token_col: str = "token",
+    k: int = 8,
+    nshards: int = 4,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters — the bounded-state streaming twin
+    of operators/sketches.misra_gries (q340): tokens shard by md5 hash, each
+    shard's state is ONE k-counter MG summary that folds every micro-batch
+    in sequence, so after any number of batches the per-shard guarantee
+
+        true - N_shard/(k+1)  <=  est  <=  true
+
+    holds over the shard's ENTIRE history (batch boundaries are invisible to
+    the fold).  State is <= k (token, count) pairs per shard — fixed bytes
+    regardless of stream length, the property the state-size test pins.
+
+    Emits the full current summary each batch as (shard, token, est, ver);
+    consumers take the max-``ver`` rows per shard for the latest summary.
+    Sharding by token hash both distributes state-store load AND tightens
+    the bound (N_shard < N), the standard parallel-MG construction.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if k < 1 or nshards < 1:
+        raise ValueError("need k >= 1 and nshards >= 1")
+    shard = (
+        F.conv(F.substring(F.md5(F.col(token_col)), 1, 8), 16, 10).cast("bigint")
+        % nshards
+    ).cast("int")
+    sharded = tokens.select(F.col(token_col).alias("token"), shard.alias("shard"))
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            toks, cnts, ver = state.get
+            counters = dict(zip(toks, cnts))
+        else:
+            counters, ver = {}, 0
+        for pdf in pdf_iter:
+            for t in pdf["token"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for key2 in counters:
+                        counters[key2] -= 1
+                        if counters[key2] == 0:
+                            dead.append(key2)
+                    for key2 in dead:
+                        del counters[key2]
+        ver += 1
+        state.update(
+            (list(counters), [int(c) for c in counters.values()], ver)
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counters),
+                "token": list(counters),
+                "est": [int(c) for c in counters.values()],
+                "ver": [ver] * len(counters),
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType="shard int, token string, est bigint, ver int",
+        stateStructType="tokens array<string>, counts array<bigint>, ver int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

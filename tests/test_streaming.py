@@ -643,3 +643,62 @@ def test_streaming_quality_classifier_batch_parity(spark, tmp_path_factory):
     )
     got = {r["doc_id"]: (r["margin"], r["prob"]) for r in out.collect()}
     assert got == batch
+
+
+def test_stream_heavy_hitters_guarantee_across_batches(spark, tmp_path_factory):
+    """stream_heavy_hitters (q341): the per-shard MG guarantee
+    true - N_shard/(k+1) <= est <= true must hold over the UNION of all
+    micro-batches (state carries the summary across batch boundaries), and
+    state stays <= k counters per shard regardless of stream length."""
+    p = str(tmp_path_factory.mktemp("shh") / "toks")
+    # 3 batches, skewed: token t0 dominates, t1..t5 tail
+    batches = []
+    for b in range(3):
+        toks = ["t0"] * 40 + [f"t{1 + (b + i) % 5}" for i in range(25)]
+        batches.append(toks)
+    for b, toks in enumerate(batches):
+        spark.createDataFrame([(t,) for t in toks], "token string").coalesce(
+            1
+        ).write.mode("overwrite" if b == 0 else "append").parquet(p)
+
+    schema = spark.read.parquet(p).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p)
+    out = st.run_available_now(
+        st.stream_heavy_hitters(stream, token_col="token", k=2, nshards=2),
+        "t_shh",
+        output_mode="update",
+    )
+    rows = out.collect()
+    # at most k rows per (shard, ver) emission
+    from collections import Counter
+
+    per_emit = Counter((r["shard"], r["ver"]) for r in rows)
+    assert all(c <= 2 for c in per_emit.values())
+    # final summary per shard = max-ver emission
+    import hashlib
+
+    final = {}
+    for r in rows:
+        cur = final.get(r["shard"])
+        if cur is None or r["ver"] > cur[0]:
+            final[r["shard"]] = (r["ver"], {})
+    for r in rows:
+        ver, d = final[r["shard"]]
+        if r["ver"] == ver:
+            d[r["token"]] = r["est"]
+
+    all_toks = [t for b in batches for t in b]
+    true = {t: all_toks.count(t) for t in set(all_toks)}
+
+    def shard_of(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 2
+
+    ns = {s: sum(c for t, c in true.items() if shard_of(t) == s) for s in (0, 1)}
+    k = 2
+    for t, c in true.items():
+        s = shard_of(t)
+        est = final.get(s, (0, {}))[1].get(t, 0)
+        assert est <= c, (t, est, c)
+        assert (c - est) * (k + 1) <= ns[s], (t, est, c, ns[s])
+        if c * (k + 1) > ns[s]:
+            assert est > 0, f"heavy hitter {t} missing from shard {s}"

@@ -50,6 +50,8 @@ SINGLE_PARTITION_ALLOW: dict[str, str] = {
     "q252_seasonal_anomaly": "seasonal index over 24 hour-of-day rows",
     "q243_seasonal_index": "seasonal index over 24 hour-of-day rows",
     "q261_reliability": "window over 10 calibration bins",
+    "q339_isotonic_calibration": "PAVA cumsum over 10 calibration bins "
+    "(the corpus is reduced to the bin axis before the window)",
     "q266_approx_pct_bound": "rank check over the 9 tested quantiles",
     "q282_latency_quantiles": "window over the bounded quantile axis",
     "q288_auc": "exact path: documented global rank; auto-degrades to the "
