@@ -1533,3 +1533,99 @@ def q338_mmd_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = mmd2_terms(marked, "split", "embedding", 64, quant=512)
     return out.select("i", "n_a", "n_b", "mmd_term").orderBy("i")
+
+
+# ---------------------------------------------------------------------------
+# q342: Johnson-Lindenstrauss projection + measured distortion certificate
+# ---------------------------------------------------------------------------
+
+_Q342_SIGNS = None
+
+
+def _q342_signs():
+    global _Q342_SIGNS
+    if _Q342_SIGNS is None:
+        from .operators.similarity import jl_signs
+
+        _Q342_SIGNS = jl_signs(64, 16, seed=7)
+    return _Q342_SIGNS
+
+
+def _q342_oracle() -> str:
+    signs = _q342_signs()
+
+    def fold(terms):  # explicit left-nested fold, matching F.aggregate
+        expr = "CAST(0.0 AS DOUBLE)"
+        for t in terms:
+            expr = f"({expr} + {t})"
+        return expr
+
+    comps = []
+    for j, row in enumerate(signs):
+        terms = [
+            f"e[{i + 1}] * CAST({row[i]:.1f} AS DOUBLE)" for i in range(64)
+        ]
+        comps.append(f"{fold(terms)} / 4.0 AS j{j}")
+    proj_cols = ",\n             ".join(comps)
+    d_orig = fold([f"(a.e[{i + 1}] - b.e[{i + 1}]) * (a.e[{i + 1}] - b.e[{i + 1}])" for i in range(64)])
+    d_proj = fold([f"(a.j{j} - b.j{j}) * (a.j{j} - b.j{j})" for j in range(16)])
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < 16),
+    proj AS (
+      SELECT vec_id, e,
+             {proj_cols}
+      FROM base)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {d_orig} AS d2_orig,
+           {d_proj} AS d2_proj,
+           {d_proj} / {d_orig} AS ratio
+    FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q342_jl_distortion", oracle=_q342_oracle())
+def q342_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64->16 projection
+    (operators/similarity.jl_project, Achlioptas ±1 signs) with its
+    distance-preservation MEASURED: all 120 pairs of a 16-vector sample get
+    (d2_orig, d2_proj, ratio) — the certificate form (q324/q329/q330
+    pattern) for the standard pre-ANN compression that works on ANY
+    embedding column (vs Matryoshka truncation, which needs MRL-trained
+    vectors).  Every output is a chain of ordered left folds and exact
+    scalings (sqrt(16) = 4), so the oracle — which replays the same literal
+    sign matrix in the same fold order — matches bit-for-bit with no
+    rounding.  Scale: the projection is codegen'd elementwise column math
+    (no UDF, no shuffle, 4x fewer vector bytes downstream); only the
+    bounded 16-vector audit sample is pair-joined."""
+    from .operators.similarity import as_double, jl_project
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
+    proj = jl_project(e, "embedding", _q342_signs(), out_col="y").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"), "y"
+    )
+
+    def d2(col_a, col_b):
+        return F.aggregate(
+            F.zip_with(col_a, col_b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    a = proj.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("y").alias("ya")
+    )
+    b = proj.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        d2(F.col("ea"), F.col("eb")).alias("d2_orig"),
+        d2(F.col("ya"), F.col("yb")).alias("d2_proj"),
+        (d2(F.col("ya"), F.col("yb")) / d2(F.col("ea"), F.col("eb"))).alias("ratio"),
+    ).orderBy("id_a", "id_b")

@@ -720,3 +720,50 @@ def mean_pool(
             ),
         )
     return pooled
+
+
+def jl_signs(dim: int, out_dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for the Johnson-Lindenstrauss transform
+    (Achlioptas 2001: Rademacher entries satisfy the JL lemma) — driver-side
+    constants like :func:`srp_planes`, regenerable anywhere from the seed and
+    embeddable as literals in an oracle."""
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def jl_project(
+    df,
+    vec_col: str,
+    signs: list[list[float]],
+    *,
+    out_col: str = "jl",
+):
+    """Johnson-Lindenstrauss random projection: y_j = dot(x, signs_j) /
+    sqrt(out_dim), compressing dim -> out_dim while preserving pairwise
+    Euclidean distances within (1±eps) whp — the q342 certificate MEASURES
+    the distortion instead of citing the lemma.
+
+    Complements Matryoshka truncation (truncate_normalize): MRL needs a
+    specially-trained embedding; JL works on ANY vector column, the standard
+    pre-ANN compression when re-training is off the table.  At 100 TB a
+    64->16 projection cuts vector bytes 4x for every downstream shuffle,
+    index, and scan.
+
+    Determinism contract: each output component is one ordered left fold
+    (F.aggregate over zip_with) divided by sqrt(out_dim); with out_dim a
+    perfect square the scale is exact, and a SQL oracle replaying the same
+    literal signs in the same fold order matches bit-for-bit.  Fully
+    codegen'd — no UDF, no shuffle, elementwise."""
+    out_dim = len(signs)
+    if out_dim < 1:
+        raise ValueError("signs must be non-empty")
+    v = as_double(F.col(vec_col))
+    scale = float(out_dim) ** 0.5
+    comps = [
+        (_dot(v, F.array(*[F.lit(c) for c in row])) / F.lit(scale)).alias(f"j{j}")
+        for j, row in enumerate(signs)
+    ]
+    return df.withColumn(out_col, F.array(*comps))

@@ -1679,3 +1679,43 @@ class TestMmdDrift:
         df = spark.createDataFrame([(0, [0.0])], "split int, embedding array<float>")
         with pytest.raises(ValueError, match="power of two"):
             mmd2_terms(df, "split", "embedding", 1, quant=500)
+
+
+class TestJlProjection:
+    def test_matches_numpy_and_preserves_distance_on_average(self, spark):
+        import numpy as np
+
+        from rust_dataframe_spark.operators.similarity import jl_project, jl_signs
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(20, 32)).astype(np.float32)
+        signs = jl_signs(32, 16, seed=11)
+        df = spark.createDataFrame(
+            [(i, list(map(float, v))) for i, v in enumerate(x)],
+            "vec_id int, embedding array<float>",
+        )
+        got = {
+            r["vec_id"]: np.array(r["y"])
+            for r in jl_project(df, "embedding", signs, out_col="y").collect()
+        }
+        s = np.array(signs)
+        want = (x.astype(np.float64) @ s.T) / np.sqrt(16.0)
+        for i in range(20):
+            assert np.allclose(got[i], want[i], rtol=1e-12), i
+        # distance preservation: mean pairwise ratio within 25% of 1
+        # (E[ratio] = 1 exactly for Rademacher projections)
+        ratios = []
+        for i in range(20):
+            for j in range(i + 1, 20):
+                ratios.append(
+                    np.sum((want[i] - want[j]) ** 2)
+                    / np.sum((x[i].astype(np.float64) - x[j]) ** 2)
+                )
+        assert 0.75 < float(np.mean(ratios)) < 1.25
+
+    def test_rejects_empty_signs(self, spark):
+        from rust_dataframe_spark.operators.similarity import jl_project
+
+        df = spark.createDataFrame([(1, [0.0])], "vec_id int, embedding array<float>")
+        with pytest.raises(ValueError, match="non-empty"):
+            jl_project(df, "embedding", [])
