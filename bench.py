@@ -112,6 +112,7 @@ HEADLINE = [
     "q338_mmd_embedding_drift",
     "q339_isotonic_calibration",
     "q340_misra_gries_hh",
+    "q342_jl_distortion",
 ]
 
 

@@ -92,6 +92,8 @@ BNLJ_ALLOW: dict[str, str] = {
     "broadcast by design)",
     "q324_mrl_truncation_audit": "1-row query-vector broadcast attachment "
     "(no Aggregate in the 1-row subtree, so the scalar heuristic misses it)",
+    "q342_jl_distortion": "bounded 16x16 audit pair-join (vec_id<16 both "
+    "sides, non-equi id_a<id_b); the projection under audit is elementwise",
     # surfaced by the r5 subtree-scoped heuristic (the old whole-plan check
     # classified these bnlj-scalar-ok); each reviewed as a BOUNDED-literal
     # broadcast fan-out, not a corpus-vs-corpus nested loop:
