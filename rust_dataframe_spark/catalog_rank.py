@@ -919,3 +919,137 @@ def q201_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q343: label propagation communities (deterministic synchronous LPA)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q343_label_propagation",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it FROM lineitem),
+    e AS (SELECT a.it AS u, c.it AS v
+          FROM b a JOIN b c ON a.g = c.g AND a.it < c.it
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (SELECT u AS s, v AS d FROM e UNION SELECT v AS s, u AS d FROM e),
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
+    c1 AS (SELECT y.s AS node, l.label, count(*) AS cnt
+           FROM sym y JOIN l0 l ON l.node = y.d GROUP BY 1, 2),
+    l1 AS (SELECT node, label FROM (
+             SELECT node, label, row_number() OVER
+                    (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+             FROM c1) WHERE rn = 1),
+    c2 AS (SELECT y.s AS node, l.label, count(*) AS cnt
+           FROM sym y JOIN l1 l ON l.node = y.d GROUP BY 1, 2),
+    l2 AS (SELECT node, label FROM (
+             SELECT node, label, row_number() OVER
+                    (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+             FROM c2) WHERE rn = 1),
+    c3 AS (SELECT y.s AS node, l.label, count(*) AS cnt
+           FROM sym y JOIN l2 l ON l.node = y.d GROUP BY 1, 2),
+    l3 AS (SELECT node, label FROM (
+             SELECT node, label, row_number() OVER
+                    (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+             FROM c3) WHERE rn = 1)
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
+    FROM l3 ORDER BY node
+    """,
+)
+def q343_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (operators/graph.
+    label_propagation) over the part co-purchase graph — community
+    detection between pairwise similarity and full connected components
+    (dup_clusters ignores edge multiplicity; LPA follows the plurality).
+    Graph: parts sharing an order, support >= 2 (cooccurrence_edges —
+    the support threshold is the densification sparsifier).  3 fixed
+    rounds, plurality with (count DESC, label ASC) total tie order, so
+    the answer is a pure function of the graph: the oracle replays the
+    identical three rounds as unrolled CTEs.  Scale: edges partitioned
+    by src once and persisted; each round moves only the O(nodes) label
+    table + a map-side-partial (node,label) count."""
+    from .operators.graph import cooccurrence_edges, label_propagation
+
+    li = table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    labels = label_propagation(edges, "u", "v", rounds=3)
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("community"),
+    ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q344: multi-seed shortest paths (Bellman-Ford rounds, min-plus semiring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q344_sssp",
+    oracle="""
+    WITH e0 AS (SELECT 'p' || CAST(l_partkey AS VARCHAR) AS s,
+                       's' || CAST(l_suppkey AS VARCHAR) AS d,
+                       min(l_extendedprice) AS w
+                FROM lineitem GROUP BY 1, 2),
+    sym AS (SELECT s, d, w FROM e0 UNION ALL SELECT d AS s, s AS d, w FROM e0),
+    d0 AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+                  CAST(0.0 AS DOUBLE) AS dist
+           FROM supplier WHERE s_suppkey % 29 = 1),
+    r1 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d0
+             UNION ALL
+             SELECT e.d AS node, d0.dist + e.w AS dist
+             FROM d0 JOIN sym e ON e.s = d0.node) GROUP BY 1),
+    r2 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM r1
+             UNION ALL
+             SELECT e.d AS node, r1.dist + e.w AS dist
+             FROM r1 JOIN sym e ON e.s = r1.node) GROUP BY 1),
+    r3 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM r2
+             UNION ALL
+             SELECT e.d AS node, r2.dist + e.w AS dist
+             FROM r2 JOIN sym e ON e.s = r2.node) GROUP BY 1),
+    r4 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM r3
+             UNION ALL
+             SELECT e.d AS node, r3.dist + e.w AS dist
+             FROM r3 JOIN sym e ON e.s = r3.node) GROUP BY 1)
+    SELECT node, floor(dist * 1000000) / 1000000 AS dist
+    FROM r4 ORDER BY node
+    """,
+)
+def q344_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-seed weighted shortest paths after 4 Bellman-Ford rounds
+    (operators/graph.sssp) over the bipartite part<->supplier graph
+    (edge weight = cheapest observed line price) — supply-chain blast
+    radius / cheapest-route queries.  The contract is round-exact (the
+    min over paths of <= 4 edges), so the oracle unrolls the identical
+    min-plus recurrence; each candidate distance is a fixed-order
+    left-fold of <= 4 additions and min() never reassociates, so the
+    doubles match bit-for-bit (floor-at-6 guards only the display).
+    Scale: edges hash-partitioned by src once + persisted, each round
+    one O(nodes) join + map-side min — the semiring iteration shape
+    shared with bfs_levels."""
+    from .operators.graph import sssp
+
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.groupBy(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("s"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("d"),
+    ).agg(F.min("l_extendedprice").alias("w"))
+    sym = e0.unionByName(
+        e0.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
+    )
+    seeds = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 29 == 1)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+        )
+    )
+    out = sssp(sym, "s", "d", "w", seeds=seeds, rounds=4)
+    return out.select(
+        "node", (F.floor(F.col("dist") * 1e6) / 1e6).alias("dist")
+    ).orderBy("node")

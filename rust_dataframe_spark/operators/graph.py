@@ -35,7 +35,14 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .cache import persist_tracked
 
-__all__ = ["pagerank", "cooccurrence_edges", "triangle_count", "bfs_levels"]
+__all__ = [
+    "pagerank",
+    "cooccurrence_edges",
+    "triangle_count",
+    "bfs_levels",
+    "label_propagation",
+    "sssp",
+]
 
 
 def pagerank(
@@ -322,3 +329,128 @@ def bfs_levels(
         if h % checkpoint_every == 0:
             dist = dist.localCheckpoint(eager=True)
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    rounds: int = 3,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node starts
+    as its own label; each round, a node adopts the label held by the
+    PLURALITY of its neighbors, ties broken toward the SMALLEST label —
+    the deterministic variant of Raghavan et al.'s LPA.  Communities over
+    co-occurrence graphs are the classic corpus-curation grouping step
+    (near-dup neighborhoods, topic clumps) between pairwise similarity
+    (dedup.lsh_candidate_pairs) and full connected components
+    (dedup.dup_clusters), which ignore edge multiplicity entirely.
+
+    Determinism: the random-order, random-tie-break LPA of the paper is
+    irreproducible on a cluster by design; this variant is synchronous
+    (all nodes update from the round-r snapshot) with a total tie order
+    (count DESC, label ASC), so the result after a FIXED number of rounds
+    is a pure function of the graph — engine- and partitioning-independent,
+    hence DuckDB-replayable round by round.  Callers pick ``rounds`` (LPA
+    plateaus in ~5 rounds on power-law graphs; it need not converge —
+    the fixed-round answer is the contract).
+
+    Scale per round: one edge-by-label equi-join (edges hash-partitioned by
+    ``src`` once, persisted, reused every round — only the O(nodes) label
+    table moves), one (node,label)-keyed count aggregate (map-side
+    partial), one max_by per node.  Isolated nodes never appear in the
+    symmetrized edge list and keep their own label via the left join.
+    Lineage is truncated on the ``pagerank`` cadence.
+    """
+    sym = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
+        )
+        .distinct()
+        .repartition(F.col("__s"))
+    )
+    sym = persist_tracked(sym)
+    nodes = sym.select(F.col("__s").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for r in range(1, rounds + 1):
+        neigh = sym.join(
+            labels.withColumnRenamed("node", "__d"), "__d"
+        ).select(F.col("__s").alias("node"), "label")
+        counted = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # plurality with (cnt DESC, label ASC) total order: max over a
+        # struct whose second field is the NEGATED label (numeric keys)
+        labels = counted.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
+            .getField("nl")
+            .alias("label")
+        ).select("node", (-F.col("label")).alias("label"))
+        if r % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    out = labels
+    sym.unpersist()
+    return out
+
+
+def sssp(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    *,
+    seeds: DataFrame,
+    rounds: int = 4,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Single-source (multi-seed) shortest paths, Bellman-Ford style: after
+    ``rounds`` relaxation rounds the result is EXACTLY the shortest
+    distance among paths of <= ``rounds`` edges from any seed — a
+    well-defined, engine-replayable contract whether or not the graph has
+    settled (run with rounds >= diameter for the fixed point).  Directed:
+    pass both orientations for an undirected walk.  Negative weights are
+    fine (no negative-cycle detection; the round bound caps blowup).
+
+    ``seeds`` is a one-column ``node`` DataFrame (distance 0 each).
+
+    Determinism with float weights: each candidate distance is a LEFT-FOLD
+    sum along one path (at most ``rounds`` additions, fixed order), and
+    min() over a fixed candidate set is order-independent, so the result
+    is bit-identical across engines — unlike a float *aggregate* there is
+    no partial-sum reassociation anywhere.
+
+    Scale per round (the min-plus semiring iteration): edges are
+    hash-partitioned by ``src`` once and persisted; each round joins the
+    O(nodes) distance table to them, min-aggregates dst-keyed candidates
+    map-side, and folds with the previous table.  Frontier-only
+    optimization (anti-join settled nodes) noted for huge graphs, as in
+    ``bfs_levels``.
+    """
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__d"),
+        F.col(weight).cast("double").alias("__w"),
+    ).repartition(F.col("__s"))
+    e = persist_tracked(e)
+    dist = seeds.select(
+        F.col("node"), F.lit(0.0).cast("double").alias("dist")
+    ).distinct()
+    for r in range(1, rounds + 1):
+        cand = (
+            dist.join(e, dist["node"] == e["__s"])
+            .select(
+                F.col("__d").alias("node"),
+                (F.col("dist") + F.col("__w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(cand).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+        if r % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+    out = dist
+    e.unpersist()
+    return out

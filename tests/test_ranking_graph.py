@@ -458,3 +458,59 @@ def test_max_concurrency_bucketed_matches_single_level(spark):
     bucketed = {r["g"]: r["max_concurrent"]
                 for r in max_concurrency(df, "g", "s", "e", bucket="day").collect()}
     assert flat == bucketed == {"a": 3, "b": 2}
+
+
+def test_label_propagation_two_communities(spark):
+    from rust_dataframe_spark.operators.graph import label_propagation
+
+    # two K4s bridged by one weak edge: plurality beats the bridge, so the
+    # communities stay separate (triangles are too sparse — there the
+    # all-count-1 tie-break drags the small label across the bridge)
+    k4a = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    k4b = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    edges = spark.createDataFrame(k4a + k4b + [(4, 10)], ["u", "v"])
+    lab = {r["node"]: r["label"]
+           for r in label_propagation(edges, rounds=4).collect()}
+    assert lab[1] == lab[2] == lab[3] == lab[4] == 1
+    assert lab[10] == lab[11] == lab[12] == lab[13] == 10
+
+
+def test_label_propagation_plurality_tiebreak(spark):
+    from rust_dataframe_spark.operators.graph import label_propagation
+
+    # star: center 5 sees neighbors {1, 2, 3} all count 1 -> smallest label
+    edges = spark.createDataFrame([(5, 1), (5, 2), (5, 3)], ["u", "v"])
+    lab = {r["node"]: r["label"]
+           for r in label_propagation(edges, rounds=1).collect()}
+    assert lab[5] == 1
+    # leaves each see only the center -> adopt 5
+    assert lab[1] == lab[2] == lab[3] == 5
+
+
+def test_sssp_known_path(spark):
+    from rust_dataframe_spark.operators.graph import sssp
+
+    # 1 -2.0-> 2 -3.0-> 3 ; 1 -10.0-> 3 ; directed
+    edges = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 3.0), (1, 3, 10.0)], ["src", "dst", "w"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    d = {r["node"]: r["dist"] for r in
+         sssp(edges, seeds=seeds, rounds=4).collect()}
+    assert d == {1: 0.0, 2: 2.0, 3: 5.0}
+    # round-bounded contract: with rounds=1 only direct edges relax
+    d1 = {r["node"]: r["dist"] for r in
+          sssp(edges, seeds=seeds, rounds=1).collect()}
+    assert d1 == {1: 0.0, 2: 2.0, 3: 10.0}
+
+
+def test_sssp_multi_seed_min(spark):
+    from rust_dataframe_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(1, 5, 4.0), (2, 5, 1.0), (5, 6, 1.0)], ["src", "dst", "w"]
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], ["node"])
+    d = {r["node"]: r["dist"] for r in
+         sssp(edges, seeds=seeds, rounds=3).collect()}
+    assert d[5] == 1.0 and d[6] == 2.0  # best seed wins
