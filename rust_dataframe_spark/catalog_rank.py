@@ -1053,3 +1053,51 @@ def q344_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "node", (F.floor(F.col("dist") * 1e6) / 1e6).alias("dist")
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q345: market-basket association rules (a-priori level 1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q345_assoc_rules",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT count(DISTINCT bk) AS n FROM b),
+    supp AS (SELECT it, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1),
+    freq AS (SELECT it, s FROM supp, n WHERE s >= n.n * 0.05),
+    kept AS (SELECT b.bk, b.it FROM b JOIN freq ON freq.it = b.it),
+    pairs AS (SELECT a.it AS u, c.it AS v, CAST(count(*) AS BIGINT) AS sn
+              FROM kept a JOIN kept c ON a.bk = c.bk AND a.it < c.it
+              GROUP BY 1, 2),
+    bo AS (SELECT u, v, sn FROM pairs UNION ALL SELECT v AS u, u AS v, sn FROM pairs)
+    SELECT bo.u AS antecedent, bo.v AS consequent, sn AS support_n,
+           sn / fa.s AS confidence,
+           (sn * n.n) / (fa.s * fb.s) AS lift
+    FROM bo JOIN freq fa ON fa.it = bo.u
+              JOIN freq fb ON fb.it = bo.v, n
+    ORDER BY antecedent, consequent
+    """,
+)
+def q345_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/ranking.association_rules)
+    over brand co-purchases: for each frequent-brand pair A -> B, support
+    count, confidence and lift.  The a-priori prune (items below 5%
+    support never reach pair enumeration) is the scale story — pair
+    blowup is (frequent-items-per-basket)^2; counts are integers and the
+    two ratios are single exactly-rounded IEEE divisions, so no rounding
+    is needed anywhere.  Frequent-item and support joins broadcast; N
+    rides as a 1-row broadcast."""
+    from .operators.ranking import association_rules
+
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part")
+    baskets = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("it")
+    )
+    out = association_rules(
+        baskets, "bk", "it", min_support_frac=0.05, min_confidence=0.0
+    )
+    return out.orderBy("antecedent", "consequent")

@@ -30,7 +30,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["tfidf_top_terms", "bm25_score", "posting_lists", "bigram_lift", "rrf_fuse"]
+__all__ = [
+    "tfidf_top_terms",
+    "bm25_score",
+    "posting_lists",
+    "bigram_lift",
+    "rrf_fuse",
+    "association_rules",
+]
 
 
 def _idf_ratio(n_col, df_col):
@@ -253,3 +260,75 @@ def rrf_fuse(
         F.round(score, 6).alias("rrf_score"),
         present.alias("n_lists"),
     ).orderBy(F.col("rrf_score").desc(), F.col(id_col))
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support_frac: float = 0.05,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) rows: for every
+    ordered pair of FREQUENT items ``A -> B`` co-occurring in at least one
+    basket, emit ``support_n`` (baskets with both), ``confidence``
+    (= support / baskets-with-A) and ``lift`` (= confidence / P(B)) —
+    the a-priori first level, which is where distributed basket analysis
+    earns its keep (deeper itemsets recurse on the same prune).
+
+    Scale (the a-priori prune IS the scale story): item supports are one
+    map-side-partial aggregate; only items with support >= ``min_support_
+    frac`` * N survive into pair enumeration, so the per-basket pair
+    blowup is (frequent-items-per-basket)², not (items-per-basket)² —
+    on heavy-tailed item distributions that is the difference between a
+    bounded explode and a combinatorial one.  The frequent-item set is
+    vocabulary-sized and broadcast into the basket scan; pair counts
+    combine map-side (cooccurrence_edges shape); supports join back
+    broadcast-ably.  N rides along as a 1-row broadcast, never a driver
+    round-trip.
+
+    Determinism: support counts are integers; confidence and lift are
+    single IEEE divisions of integer-valued doubles (one exactly-rounded
+    op each, identical on any engine — no float aggregation anywhere).
+    """
+    from .graph import cooccurrence_edges
+
+    b = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n = b.select(F.countDistinct("__b").alias("__n"))
+    supp = b.groupBy("__i").agg(F.count(F.lit(1)).cast("bigint").alias("__supp"))
+    freq = (
+        supp.crossJoin(F.broadcast(n))
+        .filter(F.col("__supp") >= F.col("__n") * F.lit(min_support_frac))
+        .select("__i", "__supp", "__n")
+    )
+    kept = b.join(F.broadcast(freq.select("__i")), "__i")
+    pairs = cooccurrence_edges(kept, "__b", "__i")
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "support"
+        )
+    )
+    sa = freq.select(
+        F.col("__i").alias("u"), F.col("__supp").alias("__sa"), "__n"
+    )
+    sb = freq.select(F.col("__i").alias("v"), F.col("__supp").alias("__sb"))
+    out = (
+        both.join(F.broadcast(sa), "u")
+        .join(F.broadcast(sb), "v")
+        .select(
+            F.col("u").alias("antecedent"),
+            F.col("v").alias("consequent"),
+            F.col("support").alias("support_n"),
+            (F.col("support").cast("double") / F.col("__sa")).alias("confidence"),
+            (
+                (F.col("support") * F.col("__n")).cast("double")
+                / (F.col("__sa") * F.col("__sb"))
+            ).alias("lift"),
+        )
+    )
+    if min_confidence > 0.0:
+        out = out.filter(F.col("confidence") >= F.lit(min_confidence))
+    return out

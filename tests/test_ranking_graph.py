@@ -514,3 +514,29 @@ def test_sssp_multi_seed_min(spark):
     d = {r["node"]: r["dist"] for r in
          sssp(edges, seeds=seeds, rounds=3).collect()}
     assert d[5] == 1.0 and d[6] == 2.0  # best seed wins
+
+
+def test_association_rules_known(spark):
+    from rust_dataframe_spark.operators.ranking import association_rules
+
+    # 4 baskets: a,b together in 2; c alone once; duplicate (1,a) row ignored
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (4, "c")]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    out = {(r["antecedent"], r["consequent"]):
+           (r["support_n"], r["confidence"], r["lift"])
+           for r in association_rules(df, "bk", "it",
+                                      min_support_frac=0.0).collect()}
+    # supp a=3, b=2, ab=2, N=4
+    assert out[("a", "b")] == (2, 2 / 3, (2 * 4) / (3 * 2))
+    assert out[("b", "a")] == (2, 1.0, (2 * 4) / (3 * 2))
+    assert ("a", "c") not in out  # never co-occur
+    # min_support prune: c (1/4 = 0.25) drops below 0.3 and with it
+    # any pair involving it; a,b survive
+    pruned = association_rules(df, "bk", "it", min_support_frac=0.3)
+    ants = {r["antecedent"] for r in pruned.collect()}
+    assert ants == {"a", "b"}
+    # min_confidence filter keeps only the b->a direction
+    conf = association_rules(df, "bk", "it", min_support_frac=0.0,
+                             min_confidence=0.9).collect()
+    assert [(r["antecedent"], r["consequent"]) for r in conf] == [("b", "a")]
