@@ -890,3 +890,125 @@ def q258_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_events",
         F.round("survival", 6).alias("survival"),
     ).orderBy("t")
+
+
+# ---------------------------------------------------------------------------
+# q346: top principal component by fixed-round power iteration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q346_power_iteration_pc",
+    oracle="""
+    WITH v AS MATERIALIZED (SELECT vec_id, (embedding[1:8])::DOUBLE[] AS e FROM embeddings),
+    ex AS MATERIALIZED (SELECT vec_id, unnest(e) AS xv, generate_subscripts(e, 1) - 1 AS k
+           FROM v),
+    g AS MATERIALIZED (SELECT a.k AS i, b.k AS j, sum(a.xv * b.xv) AS gv
+          FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+    m AS MATERIALIZED (SELECT k, avg(xv) AS mk, count(*) AS n FROM ex GROUP BY 1),
+    c AS MATERIALIZED (SELECT g.i, g.j,
+                 floor((gv / mi.n - mi.mk * mj.mk) * 1000000) / 1000000 AS c
+          FROM g JOIN m mi ON g.i = mi.k JOIN m mj ON g.j = mj.k),
+    x0 AS MATERIALIZED (SELECT DISTINCT i AS j, CAST(1.0 AS DOUBLE) AS x FROM c),
+    y1 AS MATERIALIZED (SELECT c.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(c.c * x0.x ORDER BY c.j)), (a, b) -> a + b) AS y
+           FROM c JOIN x0 ON x0.j = c.j GROUP BY c.i),
+    n1 AS MATERIALIZED (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(y ORDER BY i)), (a, b) -> a + b * b)) AS nrm FROM y1),
+    x1 AS MATERIALIZED (SELECT i AS j, y / nrm AS x FROM y1, n1),
+    y2 AS MATERIALIZED (SELECT c.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(c.c * x1.x ORDER BY c.j)), (a, b) -> a + b) AS y
+           FROM c JOIN x1 ON x1.j = c.j GROUP BY c.i),
+    n2 AS MATERIALIZED (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(y ORDER BY i)), (a, b) -> a + b * b)) AS nrm FROM y2),
+    x2 AS MATERIALIZED (SELECT i AS j, y / nrm AS x FROM y2, n2),
+    y3 AS MATERIALIZED (SELECT c.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(c.c * x2.x ORDER BY c.j)), (a, b) -> a + b) AS y
+           FROM c JOIN x2 ON x2.j = c.j GROUP BY c.i),
+    n3 AS MATERIALIZED (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(y ORDER BY i)), (a, b) -> a + b * b)) AS nrm FROM y3),
+    x3 AS MATERIALIZED (SELECT i AS j, y / nrm AS x FROM y3, n3),
+    y4 AS MATERIALIZED (SELECT c.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(c.c * x3.x ORDER BY c.j)), (a, b) -> a + b) AS y
+           FROM c JOIN x3 ON x3.j = c.j GROUP BY c.i),
+    n4 AS MATERIALIZED (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(y ORDER BY i)), (a, b) -> a + b * b)) AS nrm FROM y4),
+    x4 AS MATERIALIZED (SELECT i AS j, y / nrm AS x FROM y4, n4),
+    y5 AS MATERIALIZED (SELECT c.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(c.c * x4.x ORDER BY c.j)), (a, b) -> a + b) AS y
+           FROM c JOIN x4 ON x4.j = c.j GROUP BY c.i),
+    n5 AS MATERIALIZED (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(y ORDER BY i)), (a, b) -> a + b * b)) AS nrm FROM y5),
+    x5 AS MATERIALIZED (SELECT i AS j, y / nrm AS x FROM y5, n5),
+    yf AS MATERIALIZED (SELECT c.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(c.c * x5.x ORDER BY c.j)), (a, b) -> a + b) AS y
+           FROM c JOIN x5 ON x5.j = c.j GROUP BY c.i),
+    ray AS MATERIALIZED (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x5.x * yf.y ORDER BY yf.i)), (a, b) -> a + b) AS r
+            FROM yf JOIN x5 ON x5.j = yf.i),
+    tr AS MATERIALIZED (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(c ORDER BY i)), (a, b) -> a + b) AS t
+           FROM c WHERE i = j)
+    SELECT CAST(x5.j AS INT) AS i,
+           floor(x5.x * 1000000) / 1000000 AS comp,
+           floor(ray.r * 1000000) / 1000000 AS rayleigh,
+           floor(ray.r / tr.t * 1000000) / 1000000 AS var_frac
+    FROM x5, ray, tr ORDER BY i
+    """,
+)
+def q346_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding slice by 5 fixed power-
+    iteration rounds (operators/linalg.power_iteration) over the floor-
+    quantized covariance matrix (q255's reduction) — PCA without any
+    driver-side eigensolver: the matrix stays a d²-row frame, each round
+    is one broadcast join + d-row shuffle, and rounds are pure functions
+    of the quantized input, so the oracle unrolls the identical IEEE
+    path (ordered folds everywhere; floor-at-6 quantization makes the
+    cross-engine float-sum drift in the covariance irrelevant).  Also
+    emits the Rayleigh quotient (top eigenvalue estimate) and the
+    variance fraction it explains (vs the trace)."""
+    from .operators.linalg import (
+        covariance_matrix,
+        fold_ordered,
+        matvec_ordered,
+        power_iteration,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")).alias(
+            "e"
+        ),
+    )
+    # d² = 64 rows: ONE partition (a 32-way shuffle of 64 rows costs more
+    # in stage latency than it will ever buy), persisted once for the rounds
+    cq = covariance_matrix(e, "e").select(
+        "i", "j", (F.floor(F.col("cov") * 1e6) / 1e6).alias("cov")
+    )
+    cq = cq.coalesce(1).persist()
+    x = power_iteration(cq, iters=5)
+    c = cq.select("i", "j", F.col("cov").alias("c"))
+    yf = matvec_ordered(c, x.select(F.col("i").alias("j"), "x"))
+    ray = fold_ordered(
+        yf.join(x, "i").select("i", (F.col("x") * F.col("y")).alias("p")),
+        "i",
+        "p",
+        lambda a, v: a + v,
+    ).select(F.col("acc").alias("r"))
+    tr = fold_ordered(
+        c.filter(F.col("i") == F.col("j")).select("i", "c"),
+        "i",
+        "c",
+        lambda a, v: a + v,
+    ).select(F.col("acc").alias("t"))
+    return (
+        x.crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            (F.floor(F.col("x") * 1e6) / 1e6).alias("comp"),
+            (F.floor(F.col("r") * 1e6) / 1e6).alias("rayleigh"),
+            (F.floor(F.col("r") / F.col("t") * 1e6) / 1e6).alias("var_frac"),
+        )
+        .orderBy("i")
+    )

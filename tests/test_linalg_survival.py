@@ -335,3 +335,41 @@ def test_retract_emptied_key_drops(spark):
     full = agg_state(df, ["k"], "v")
     out = retract_agg_state(full, full, ["k"]).collect()
     assert out == []
+
+
+def test_power_iteration_known_matrix(spark):
+    from rust_dataframe_spark.operators.linalg import power_iteration
+
+    # diag(2, 1): from the all-ones start, after k rounds x = (2^k, 1)/norm
+    cov = spark.createDataFrame(
+        [(0, 0, 2.0), (0, 1, 0.0), (1, 0, 0.0), (1, 1, 1.0)], ["i", "j", "cov"]
+    )
+    x = {r["i"]: r["x"] for r in power_iteration(cov, iters=5).collect()}
+    import math
+
+    nrm = math.hypot(32.0, 1.0)
+    assert abs(x[0] - 32.0 / nrm) < 1e-12
+    assert abs(x[1] - 1.0 / nrm) < 1e-12
+
+
+def test_power_iteration_matches_numpy_top_eigvec(spark):
+    import numpy as np
+
+    from rust_dataframe_spark.operators.linalg import power_iteration
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(6, 6))
+    c = a @ a.T  # PSD with a clear top eigenvalue almost surely
+    rows = [(i, j, float(c[i, j])) for i in range(6) for j in range(6)]
+    cov = spark.createDataFrame(rows, ["i", "j", "cov"])
+    x = np.array(
+        [r["x"] for r in power_iteration(cov, iters=40).orderBy("i").collect()]
+    )
+    w, v = np.linalg.eigh(c)
+    top = v[:, -1]
+    if np.dot(top, x) < 0:
+        top = -top
+    assert np.allclose(x, top, atol=1e-6)
+
+    with __import__("pytest").raises(ValueError):
+        power_iteration(cov, iters=0)
