@@ -1629,3 +1629,87 @@ def q342_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2(F.col("ya"), F.col("yb")).alias("d2_proj"),
         (d2(F.col("ya"), F.col("yb")) / d2(F.col("ea"), F.col("eb"))).alias("ratio"),
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q347: MMR diversified re-ranking over the ANN shortlist
+# ---------------------------------------------------------------------------
+
+
+def _q347_oracle() -> str:
+    def _ssq(v):
+        return (
+            "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform({v}, x -> x * x)), (x, y) -> x + y))"
+        )
+
+    def _cos(a, b):
+        dot = (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+            "(x, y) -> x + y)"
+        )
+        return f"{dot} / ({_ssq(a)} * {_ssq(b)})"
+
+    rounds = []
+    prev = "s1"
+    for r in range(2, 6):
+        rounds.append(
+            f"""
+    p{r} AS MATERIALIZED (SELECT ca AS cid, max(sim) AS pen
+         FROM sims JOIN {prev} ON sims.cb = {prev}.cid GROUP BY 1),
+    sc{r} AS MATERIALIZED (SELECT s.vec_id AS cid,
+             CAST(0.7 AS DOUBLE) * s.rel
+             - (1 - CAST(0.7 AS DOUBLE)) * coalesce(p.pen, CAST(0 AS DOUBLE)) AS score
+         FROM short s LEFT JOIN p{r} p ON p.cid = s.vec_id
+         WHERE s.vec_id NOT IN (SELECT cid FROM {prev})),
+    pick{r} AS MATERIALIZED (SELECT cid, {r} AS rank, score FROM sc{r}
+         ORDER BY score DESC, cid LIMIT 1),
+    s{r} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{r})"""
+        )
+        prev = f"s{r}"
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS MATERIALIZED (
+      SELECT vec_id AS qid, e AS qv FROM v ORDER BY vec_id LIMIT 1),
+    rel0 AS MATERIALIZED (
+      SELECT vec_id, e, {_cos('qv', 'e')} AS rel
+      FROM v, q WHERE vec_id <> qid),
+    short AS MATERIALIZED (
+      SELECT * FROM rel0 ORDER BY rel DESC, vec_id LIMIT 20),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS ca, b.vec_id AS cb, {_cos('a.e', 'b.e')} AS sim
+      FROM short a JOIN short b ON a.vec_id <> b.vec_id),
+    s1 AS MATERIALIZED (
+      SELECT vec_id AS cid, 1 AS rank, rel AS score FROM short
+      ORDER BY rel DESC, vec_id LIMIT 1),{','.join(rounds)}
+    SELECT CAST(cid AS BIGINT) AS cid, CAST(rank AS INT) AS rank,
+           floor(score * 1000000) / 1000000 AS score
+    FROM s5 ORDER BY rank
+    """
+
+
+@query("q347_mmr_diversify", oracle=_q347_oracle())
+def q347_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (operators/similarity.mmr_select,
+    lambda=0.7, k=5) over the exact top-20 cosine shortlist for the
+    lowest-id query vector — the diversity-aware selection step after
+    ANN retrieval (RAG context assembly / diverse subset picks).  The
+    greedy rounds run as DataFrame ops on the one-partition shortlist
+    (the O(n^2) sim matrix exists only there; relevance against the
+    corpus is one broadcast-query scan, knn_join's shape).  Rounds are
+    bit-replayable: ordered-fold cosines, a total (score DESC, id ASC)
+    argmax, and the 1-lam constant evaluated as an IEEE subtraction on
+    both engines — the oracle unrolls the identical 5 picks."""
+    from .operators.similarity import mmr_select
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(1)
+    cands = emb.join(q.select("vec_id"), "vec_id", "left_anti")
+    out = mmr_select(cands, "vec_id", "embedding", q, k=5, lam=0.7, shortlist=20)
+    return out.select(
+        F.col("cid").cast("bigint").alias("cid"),
+        F.col("rank").cast("int").alias("rank"),
+        (F.floor(F.col("score") * 1e6) / 1e6).alias("score"),
+    ).orderBy("rank")

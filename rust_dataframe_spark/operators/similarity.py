@@ -45,6 +45,7 @@ __all__ = [
     "mean_pool",
     "quantized_cosine",
     "truncate_normalize",
+    "mmr_select",
 ]
 
 
@@ -767,3 +768,93 @@ def jl_project(
         for j, row in enumerate(signs)
     ]
     return df.withColumn(out_col, F.array(*comps))
+
+
+def mmr_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    *,
+    k: int = 5,
+    lam: float = 0.7,
+    shortlist: int = 20,
+):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    from a relevance-ranked shortlist, greedily pick ``k`` items maximizing
+    ``lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)`` — the
+    diversity-aware selection step after ANN retrieval (RAG context
+    assembly, diverse training-subset picks, dedup-aware search results).
+
+    Returns ``(cid, rank, score)``: pick order 1..k; rank-1 score is the
+    raw relevance (the greedy base case), later scores the MMR objective.
+
+    Scale: the O(n²) part runs only on the ``shortlist`` (the ANN
+    candidate set — n is a knob, not the corpus); relevance against the
+    full corpus is one broadcast-query scan, exactly knn_join's shape.
+    The k greedy rounds run as DataFrame ops on the one-partition
+    shortlist (no collect; lineage truncated per round since each round
+    references the previous selection twice).
+
+    Determinism: cosine is the ordered zip_with/fold (bit-stable), the
+    greedy argmax is totally ordered by (score DESC, id ASC), and
+    ``1 - lam`` is evaluated in IEEE double — the DuckDB oracle replays
+    rounds with ``(1 - CAST(lam AS DOUBLE))`` to hit the identical
+    constant (a DECIMAL 0.3 is a DIFFERENT double).
+    """
+    if k <= 0 or shortlist < k:
+        raise ValueError(f"need 0 < k <= shortlist, got k={k} shortlist={shortlist}")
+    cand = df.select(F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("v"))
+    q = query_df.select(as_double(F.col(vec_col)).alias("qv"))
+    rel = cand.crossJoin(F.broadcast(q)).select(
+        "cid", "v", cosine(F.col("qv"), F.col("v")).alias("rel")
+    )
+    short = (
+        rel.orderBy(F.col("rel").desc(), F.col("cid").asc())
+        .limit(shortlist)
+        .coalesce(1)
+        .persist()
+    )
+    a = short.select(F.col("cid").alias("ca"), F.col("v").alias("va"))
+    b = short.select(F.col("cid").alias("cb"), F.col("v").alias("vb"))
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("ca") != F.col("cb"))
+        .select("ca", "cb", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .persist()
+    )
+    sel = (
+        short.orderBy(F.col("rel").desc(), F.col("cid").asc())
+        .limit(1)
+        .select("cid", F.lit(1).alias("rank"), F.col("rel").alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, k + 1):
+        pen = (
+            sims.join(sel.select(F.col("cid").alias("cb")), "cb")
+            .groupBy(F.col("ca").alias("cid"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        scored = (
+            short.join(sel.select("cid"), "cid", "left_anti")
+            .join(pen, "cid", "left")
+            .select(
+                "cid",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - (F.lit(1.0) - F.lit(lam))
+                    * F.coalesce(F.col("pen"), F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+        pick = (
+            scored.orderBy(F.col("score").desc(), F.col("cid").asc())
+            .limit(1)
+            .withColumn("rank", F.lit(r))
+        )
+        sel = sel.unionByName(pick.select("cid", "rank", "score")).localCheckpoint(
+            eager=True
+        )
+    short.unpersist()
+    sims.unpersist()
+    return sel

@@ -1719,3 +1719,40 @@ class TestJlProjection:
         df = spark.createDataFrame([(1, [0.0])], "vec_id int, embedding array<float>")
         with pytest.raises(ValueError, match="non-empty"):
             jl_project(df, "embedding", [])
+
+
+def test_mmr_select_diversity_beats_pure_relevance(spark):
+    from rust_dataframe_spark.operators.similarity import mmr_select
+
+    # query (1,0); a-cluster hugs the query, b is farther but diverse.
+    # pure top-3 relevance = a1,a2,a3; at lam=0.3 the redundancy
+    # penalty (~1.0 within the cluster) outweighs the relevance gap (0.4)
+    # and MMR must swap the diverse point in.
+    rows = [
+        (1, [1.0, 0.01]), (2, [1.0, 0.02]), (3, [1.0, 0.03]),
+        (4, [0.6, 0.8]),
+    ]
+    cand = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    out = mmr_select(cand, "vec_id", "embedding", q, k=3, lam=0.3, shortlist=4)
+    picks = [r["cid"] for r in out.orderBy("rank").collect()]
+    assert picks[0] == 1          # closest to query picked first
+    assert 4 in picks             # the diverse point makes the cut
+    assert picks != [1, 2, 3]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        mmr_select(cand, "vec_id", "embedding", q, k=5, shortlist=3)
+
+
+def test_mmr_select_rank1_is_top_relevance_and_k_rows(spark):
+    from rust_dataframe_spark.operators.similarity import mmr_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.orderBy("vec_id").limit(1)
+    cand = emb.join(q.select("vec_id"), "vec_id", "left_anti")
+    out = mmr_select(cand, "vec_id", "embedding", q, k=4, shortlist=10).collect()
+    assert len(out) == 4
+    assert sorted(r["rank"] for r in out) == [1, 2, 3, 4]
+    assert len({r["cid"] for r in out}) == 4  # no repeats
