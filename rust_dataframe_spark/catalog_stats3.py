@@ -4452,3 +4452,261 @@ def q339_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = isotonic_calibrate(lab, "score", "y", nbins=10, lo=0.0, hi=1.0)
     return out.orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# q348: precision-recall threshold sweep + best-F1 pick
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q348_pr_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#score'), 1, 8))
+               ::UBIGINT / 4294967296.0
+             + CASE WHEN value > 50.0 THEN 0.15 ELSE 0.0 END AS score,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS label
+      FROM events
+    ),
+    grid AS (SELECT unnest(generate_series(0, 11)) / 10.0 AS t),
+    cells AS (
+      SELECT t,
+             CAST(sum(CASE WHEN score >= t AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN score >= t AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN score <  t AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored CROSS JOIN grid GROUP BY t
+    ),
+    m AS (
+      SELECT t, tp, fp, fn,
+             CASE WHEN tp + fp = 0 THEN NULL
+                  ELSE tp / (tp + fp) END AS precision,
+             CASE WHEN tp + fn = 0 THEN NULL
+                  ELSE tp / (tp + fn) END AS recall,
+             (2 * tp) / (2 * tp + fp + fn) AS f1
+      FROM cells
+    )
+    SELECT round(t, 1) AS t, tp, fp, fn,
+           floor(precision * 1000000) / 1000000 AS precision,
+           floor(recall * 1000000) / 1000000 AS recall,
+           floor(f1 * 1000000) / 1000000 AS f1,
+           f1 = max(f1) OVER () AS is_best
+    FROM m ORDER BY t
+    """,
+)
+def q348_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall threshold sweep with a best-F1 pick — the
+    operating-point companion to q288's AUC and q261's reliability
+    (pick the filter cutoff a curation classifier should actually run
+    at).  Same deterministic md5 score fixture as q288.  Shape: the
+    12-point threshold grid broadcasts into ONE corpus scan (every row
+    contributes to all thresholds; counts combine map-side into 12
+    groups), confusion cells are integers, and every metric is a single
+    IEEE division — floor-at-6 only for display.  The best-F1 flag is a
+    window max over the 12-row result, and NULL-guarded precision
+    documents the empty-prediction edge."""
+    ev = load_events(spark, sf_dir)
+    score = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#score"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 4294967296.0
+        + F.when(F.col("value") > 50.0, 0.15).otherwise(0.0)
+    )
+    scored = ev.select(
+        score.alias("score"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("label"),
+    )
+    grid = spark.range(0, 12).select((F.col("id") / 10.0).alias("t"))
+    cells = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when((F.col("score") >= F.col("t")) & (F.col("label") == 1), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("tp"),
+            F.sum(
+                F.when((F.col("score") >= F.col("t")) & (F.col("label") == 0), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("fp"),
+            F.sum(
+                F.when((F.col("score") < F.col("t")) & (F.col("label") == 1), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("fn"),
+        )
+    )
+    pp = F.col("tp") + F.col("fp")
+    p = F.col("tp") + F.col("fn")
+    m = cells.select(
+        "t",
+        "tp",
+        "fp",
+        "fn",
+        F.when(pp == 0, None)
+        .otherwise(F.col("tp").cast("double") / pp)
+        .alias("precision"),
+        F.when(p == 0, None)
+        .otherwise(F.col("tp").cast("double") / p)
+        .alias("recall"),
+        (
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+        ).alias("f1"),
+    )
+    w = Window.partitionBy()
+    return m.select(
+        F.round("t", 1).alias("t"),
+        "tp",
+        "fp",
+        "fn",
+        (F.floor(F.col("precision") * 1e6) / 1e6).alias("precision"),
+        (F.floor(F.col("recall") * 1e6) / 1e6).alias("recall"),
+        (F.floor(F.col("f1") * 1e6) / 1e6).alias("f1"),
+        (F.col("f1") == F.max("f1").over(w)).alias("is_best"),
+    ).orderBy("t")
+
+
+# ---------------------------------------------------------------------------
+# q349: difference-in-differences readout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q349_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id % 2 AS arm,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+             CAST(count(*) AS BIGINT) AS n, avg(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 1 AND post = 1 THEN y END) AS t_post,
+        max(CASE WHEN arm = 1 AND post = 0 THEN y END) AS t_pre,
+        max(CASE WHEN arm = 0 AND post = 1 THEN y END) AS c_post,
+        max(CASE WHEN arm = 0 AND post = 0 THEN y END) AS c_pre
+      FROM cells
+    )
+    SELECT CAST(c.arm AS BIGINT) AS arm, CAST(c.post AS INT) AS post, c.n,
+           round(c.y, 4) AS mean_value,
+           round((w.t_post - w.t_pre) - (w.c_post - w.c_pre), 4) AS did
+    FROM cells c, wide w ORDER BY arm, post
+    """,
+)
+def q349_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout — the quasi-experimental
+    complement of q245's CUPED (no covariate model, just the parallel-
+    trends contrast): arm = user_id mod 2, period split mid-January,
+    DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre) attached to
+    the four cell means.  One map-side-partial aggregate to 4 cells, a
+    1-row pivot broadcast back — nothing scales with data but the scan.
+    Rounded at 4 (float mean; the repo's cross-engine tolerance
+    convention for sum-order-dependent aggregates, as in q245)."""
+    ev = load_events(spark, sf_dir)
+    split = F.lit("2024-01-16").cast("timestamp")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("ts") >= split, 1).otherwise(0).alias("post"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.avg("value").alias("y"))
+    pick = lambda a, p: F.max(  # noqa: E731
+        F.when((F.col("arm") == a) & (F.col("post") == p), F.col("y"))
+    )
+    wide = cells.agg(
+        pick(1, 1).alias("t_post"),
+        pick(1, 0).alias("t_pre"),
+        pick(0, 1).alias("c_post"),
+        pick(0, 0).alias("c_pre"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(wide))
+        .select(
+            F.col("arm").cast("bigint").alias("arm"),
+            F.col("post").cast("int").alias("post"),
+            "n",
+            F.round("y", 4).alias("mean_value"),
+            F.round(
+                (F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre")),
+                4,
+            ).alias("did"),
+        )
+        .orderBy("arm", "post")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q350: winsorized / trimmed robust moments per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q350_winsorized_stats",
+    oracle="""
+    WITH cuts AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.05) AS lo,
+             quantile_cont(c_acctbal, 0.95) AS hi
+      FROM customer GROUP BY 1
+    ),
+    w AS (
+      SELECT c.c_mktsegment,
+             least(greatest(c.c_acctbal, lo), hi) AS wv,
+             CASE WHEN c.c_acctbal >= lo AND c.c_acctbal <= hi
+                  THEN c.c_acctbal END AS tv
+      FROM customer c JOIN cuts USING (c_mktsegment)
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(wv), 4) AS winsor_mean,
+           round(stddev_pop(wv), 4) AS winsor_std,
+           round(avg(tv), 4) AS trimmed_mean,
+           CAST(count(tv) AS BIGINT) AS n_kept
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def q350_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed robust moments per market segment — the
+    outlier-resistant mean/std between plain avg and q240's MAD family:
+    clamp (winsorize) account balances to the exact per-group [p05, p95]
+    band, and separately drop (trim) everything outside it.  Spark
+    percentile == DuckDB quantile_cont (same linear interpolation) keeps
+    the cut points bit-equal.  Shape: one exact-percentile aggregate per
+    group broadcast back onto the scan, then plain map-side-partial
+    moments — no sort, no window.  Above the scale.py threshold the
+    cuts would auto-degrade to percentile_approx exactly as q247 does
+    (same sketch, same error certificate)."""
+    c = table(spark, sf_dir, "customer")
+    cuts = c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.05)).alias("lo"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("hi"),
+    )
+    w = c.join(F.broadcast(cuts), "c_mktsegment").select(
+        "c_mktsegment",
+        F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi")).alias(
+            "wv"
+        ),
+        F.when(
+            (F.col("c_acctbal") >= F.col("lo"))
+            & (F.col("c_acctbal") <= F.col("hi")),
+            F.col("c_acctbal"),
+        ).alias("tv"),
+    )
+    return (
+        w.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("wv"), 4).alias("winsor_mean"),
+            F.round(F.stddev_pop("wv"), 4).alias("winsor_std"),
+            F.round(F.avg("tv"), 4).alias("trimmed_mean"),
+            F.count("tv").cast("bigint").alias("n_kept"),
+        )
+        .orderBy("c_mktsegment")
+    )
