@@ -1101,3 +1101,51 @@ def q345_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets, "bk", "it", min_support_frac=0.05, min_confidence=0.0
     )
     return out.orderBy("antecedent", "consequent")
+
+
+# ---------------------------------------------------------------------------
+# q351: k-core pruning of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q351_k_core",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it FROM lineitem),
+    e AS (SELECT a.it AS u, c.it AS v
+          FROM b a JOIN b c ON a.g = c.g AND a.it < c.it
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    s0 AS (SELECT u AS s, v AS d FROM e
+           UNION ALL SELECT v AS s, u AS d FROM e),
+    k1 AS (SELECT s FROM s0 GROUP BY s HAVING count(*) >= 3),
+    s1 AS (SELECT s0.s, s0.d FROM s0
+           JOIN k1 a ON a.s = s0.s JOIN k1 c ON c.s = s0.d),
+    k2 AS (SELECT s FROM s1 GROUP BY s HAVING count(*) >= 3),
+    s2 AS (SELECT s1.s, s1.d FROM s1
+           JOIN k2 a ON a.s = s1.s JOIN k2 c ON c.s = s1.d),
+    k3 AS (SELECT s FROM s2 GROUP BY s HAVING count(*) >= 3),
+    s3 AS (SELECT s2.s, s2.d FROM s2
+           JOIN k3 a ON a.s = s2.s JOIN k3 c ON c.s = s2.d),
+    k4 AS (SELECT s FROM s3 GROUP BY s HAVING count(*) >= 3),
+    s4 AS (SELECT s3.s, s3.d FROM s3
+           JOIN k4 a ON a.s = s3.s JOIN k4 c ON c.s = s3.d)
+    SELECT CAST(s AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
+    FROM s4 GROUP BY s ORDER BY node
+    """,
+)
+def q351_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph after 4 fixed pruning rounds
+    (operators/graph.k_core) — the densification filter separating
+    structural hubs from one-off co-occurrence noise before community /
+    triangle analytics (q343/q198 run better on the core).  Same graph
+    as q343; same round-exact contract as sssp/LPA, so the oracle
+    replays the peel rounds as unrolled CTEs.  Per round: one map-side
+    degree count + two node-keyed semi-joins."""
+    from .operators.graph import cooccurrence_edges, k_core
+
+    li = table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    out = k_core(edges, "u", "v", k=3, rounds=4)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"), "deg"
+    ).orderBy("node")

@@ -42,6 +42,7 @@ __all__ = [
     "bfs_levels",
     "label_propagation",
     "sssp",
+    "k_core",
 ]
 
 
@@ -454,3 +455,51 @@ def sssp(
     out = dist
     e.unpersist()
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    k: int = 3,
+    rounds: int = 4,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """k-core pruning: repeatedly delete nodes of degree < ``k`` (and their
+    edges) for a FIXED number of rounds; returns ``(node, deg)`` for the
+    survivors with their degree in the surviving subgraph.  The k-core is
+    the fixed point; a fixed ``rounds`` makes the intermediate result a
+    pure engine-replayable contract, exactly the ``sssp``/LPA discipline
+    (run with enough rounds to converge when the core itself is wanted —
+    peeling depth is usually small on heavy-tailed graphs).  Cores
+    separate structural hubs from one-off co-occurrence noise — the
+    densification filter between raw edges and community/triangle
+    analytics.
+
+    Takes canonical ``u < v`` undirected edges (cooccurrence_edges
+    output); symmetrizes internally.  Scale per round: one degree count
+    (map-side partial) + two semi-joins of the edge list against the
+    surviving-node table, all keyed by node; lineage truncated on the
+    usual cadence.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sym = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).unionByName(
+        edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
+    )
+    # each round references sym twice (degree count + semi-join), so the
+    # lazy tree doubles per round — truncate EVERY round (the edge set
+    # only shrinks; same 2^rounds analysis-cost guard as power_iteration)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = sym.groupBy("__s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("__s")
+        sym = sym.join(keep, "__s", "left_semi").join(
+            keep.withColumnRenamed("__s", "__d"), "__d", "left_semi"
+        )
+        sym = sym.localCheckpoint(eager=True)
+    return (
+        sym.groupBy(F.col("__s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )

@@ -540,3 +540,27 @@ def test_association_rules_known(spark):
     conf = association_rules(df, "bk", "it", min_support_frac=0.0,
                              min_confidence=0.9).collect()
     assert [(r["antecedent"], r["consequent"]) for r in conf] == [("b", "a")]
+
+
+def test_k_core_peels_tail(spark):
+    from rust_dataframe_spark.operators.graph import k_core
+
+    # K4 core plus a pendant chain: 2-core strips the chain, keeps K4
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6)]
+    edges = spark.createDataFrame(k4 + chain, ["u", "v"])
+    out = {r["node"]: r["deg"] for r in k_core(edges, k=2, rounds=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # degree AFTER pruning
+
+    # cascade: removing 6 (deg 1) leaves 5 at deg 1 -> next round removes it
+    one_round = {r["node"] for r in k_core(edges, k=2, rounds=1).collect()}
+    assert 5 in one_round and 6 not in one_round  # round-exact contract
+
+    # k=4: nothing in this graph survives
+    assert k_core(edges, k=4, rounds=3).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_core(edges, k=0)
