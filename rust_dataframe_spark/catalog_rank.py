@@ -14,7 +14,7 @@ the reference's frame-verb surface —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .catalog import load_events, query, table
 from .operators import ranking as rk
@@ -1149,3 +1149,95 @@ def q351_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").cast("bigint").alias("node"), "deg"
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q352: item-item collaborative filtering (cosine on co-purchase counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q352_item_item_cf",
+    oracle="""
+    WITH ui AS (SELECT DISTINCT o.o_custkey AS u, p.p_brand AS it
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN part p ON l.l_partkey = p.p_partkey),
+    supp AS (SELECT it, CAST(count(*) AS BIGINT) AS s FROM ui GROUP BY 1),
+    pairs AS (SELECT a.it AS u, c.it AS v, CAST(count(*) AS BIGINT) AS sn
+              FROM ui a JOIN ui c ON a.u = c.u AND a.it < c.it
+              GROUP BY 1, 2),
+    bo AS (SELECT u, v, sn FROM pairs UNION ALL SELECT v AS u, u AS v, sn FROM pairs),
+    scored AS (SELECT bo.u AS item, bo.v AS other, sn AS n_both,
+                      sn / sqrt(CAST(sa.s * sb.s AS DOUBLE)) AS cos_sim
+               FROM bo JOIN supp sa ON sa.it = bo.u
+                       JOIN supp sb ON sb.it = bo.v),
+    top AS (SELECT item, other, n_both, cos_sim,
+                   row_number() OVER (PARTITION BY item
+                                      ORDER BY cos_sim DESC, other ASC) AS rnk
+            FROM scored)
+    SELECT item, other, n_both,
+           floor(cos_sim * 1000000) / 1000000 AS cos_sim,
+           CAST(rnk AS INT) AS rnk
+    FROM top WHERE rnk <= 3 ORDER BY item, rnk
+    """,
+)
+def q352_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 most-similar brands per
+    brand by co-purchaser cosine (n_both / sqrt(n_a * n_b)) — the
+    neighborhood-method recommender primitive (Sarwar et al. 2001) on
+    the customer×brand interaction set.  Distinct (user, item) pairs
+    collapse multiplicity first (one map-side distinct); pair counts
+    reuse the cooccurrence single-shuffle shape; supports broadcast
+    back; cosine is one integer product + sqrt + division (bit-stable,
+    floor-at-6 for display).  The per-item top-3 is a bounded window
+    keyed BY item — partitioned, never global.  At 100 TB the same plan
+    holds with min-support pruning on the pair table (q345's a-priori
+    sparsifier) before the window."""
+    from .operators.graph import cooccurrence_edges
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    pt = table(spark, sf_dir, "part")
+    ui = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("it"))
+    )
+    supp = (
+        ui.distinct()
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    )
+    pairs = cooccurrence_edges(ui, "u", "it")
+    bo = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "support")
+    )
+    scored = (
+        bo.join(F.broadcast(supp.select(F.col("it").alias("u"), F.col("s").alias("sa"))), "u")
+        .join(F.broadcast(supp.select(F.col("it").alias("v"), F.col("s").alias("sb"))), "v")
+        .select(
+            F.col("u").alias("item"),
+            F.col("v").alias("other"),
+            F.col("support").alias("n_both"),
+            (
+                F.col("support")
+                / F.sqrt((F.col("sa") * F.col("sb")).cast("double"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cos_sim").desc(), F.col("other").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "item",
+            "other",
+            "n_both",
+            (F.floor(F.col("cos_sim") * 1e6) / 1e6).alias("cos_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("item", "rnk")
+    )

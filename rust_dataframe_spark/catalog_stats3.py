@@ -4710,3 +4710,166 @@ def q350_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q353: decision-stump split search (binned Gini)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q353_decision_stump",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS x, label % 2 AS y FROM embeddings
+    ),
+    bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM f),
+    binned AS (
+      SELECT least(15, CAST(floor((x - lo) / (hi - lo + 1e-12) * 16) AS INT))
+               AS bin, y
+      FROM f, bounds
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM binned GROUP BY 1
+    ),
+    grid AS (SELECT unnest(generate_series(1, 15)) AS s),
+    tot AS (SELECT sum(n) AS nt, sum(pos) AS pt FROM bins),
+    cells AS (
+      SELECT g.s,
+             CAST(coalesce(sum(CASE WHEN b.bin < g.s THEN b.n END), 0) AS BIGINT) AS nl,
+             CAST(coalesce(sum(CASE WHEN b.bin < g.s THEN b.pos END), 0) AS BIGINT) AS pos_l
+      FROM grid g CROSS JOIN bins b GROUP BY 1
+    ),
+    scored AS (
+      SELECT s, nl, nt - nl AS nr, pos_l, pt - pos_l AS pos_r,
+             CASE WHEN nl = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE 1 - ((pos_l / nl) * (pos_l / nl)
+                          + ((nl - pos_l) / nl) * ((nl - pos_l) / nl)) END AS gl,
+             CASE WHEN nt - nl = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE 1 - (((pt - pos_l) / (nt - nl)) * ((pt - pos_l) / (nt - nl))
+                          + (((nt - nl) - (pt - pos_l)) / (nt - nl))
+                          * (((nt - nl) - (pt - pos_l)) / (nt - nl))) END AS gr
+      FROM cells, tot
+    ),
+    wg AS (
+      SELECT s, nl, nr, pos_l, pos_r,
+             (nl * gl + nr * gr) / (nl + nr) AS gini
+      FROM scored
+    )
+    SELECT CAST(s AS INT) AS split_bin,
+           floor((lo + s * (hi - lo + 1e-12) / 16) * 1000000) / 1000000
+             AS threshold,
+           nl, nr, pos_l, pos_r,
+           floor(gini * 1000000) / 1000000 AS gini,
+           gini = min(gini) OVER () AS is_best
+    FROM wg, bounds ORDER BY split_bin
+    """,
+)
+def q353_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed decision-stump training: the best 1-D threshold split
+    of embedding dim 0 against the parity label, by weighted Gini over
+    16 equal-width bins — the weak-learner primitive under boosted
+    quality classifiers (and the q315 hashed-linear family's tree-side
+    counterpart).  The classic distributed-tree trick (approximate
+    split search on HISTOGRAMS, XGBoost/LightGBM-style): the corpus
+    reduces to 16 integer bin cells in one map-side-partial pass, and
+    the 15-candidate sweep runs on the bounded cell table — a tiny
+    grid×bins cross, never a re-scan per candidate.  All Gini inputs
+    are integers; every ratio is written with identical association on
+    both engines, so the floor-at-6 display values and the is-best
+    argmin flag replay exactly."""
+    f = table(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        (F.col("label") % 2).alias("y"),
+    )
+    bounds = f.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binned = f.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(15),
+            F.floor(
+                (F.col("x") - F.col("lo"))
+                / (F.col("hi") - F.col("lo") + F.lit(1e-12))
+                * 16
+            ).cast("int"),
+        ).alias("bin"),
+        "y",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    grid = spark.range(1, 16).select(F.col("id").alias("s"))
+    tot = bins.agg(
+        F.sum("n").alias("nt"), F.sum("pos").alias("pt")
+    )
+    cells = (
+        grid.crossJoin(F.broadcast(bins))
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("bin") < F.col("s"), F.col("n"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("nl"),
+            F.coalesce(
+                F.sum(F.when(F.col("bin") < F.col("s"), F.col("pos"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("pos_l"),
+        )
+    )
+    c = cells.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "nl",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        "pos_l",
+        (F.col("pt") - F.col("pos_l")).alias("pos_r"),
+    )
+
+    def _gini(pos, n):
+        p = pos.cast("double") / n
+        q = (n - pos).cast("double") / n
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - (p * p + q * q)
+        )
+
+    wg = c.select(
+        "s",
+        "nl",
+        "nr",
+        "pos_l",
+        "pos_r",
+        (
+            (
+                F.col("nl") * _gini(F.col("pos_l"), F.col("nl"))
+                + F.col("nr") * _gini(F.col("pos_r"), F.col("nr"))
+            )
+            / (F.col("nl") + F.col("nr"))
+        ).alias("gini"),
+    )
+    w = Window.partitionBy()
+    return (
+        wg.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("s").cast("int").alias("split_bin"),
+            (
+                F.floor(
+                    (
+                        F.col("lo")
+                        + F.col("s") * (F.col("hi") - F.col("lo") + F.lit(1e-12)) / 16
+                    )
+                    * 1e6
+                )
+                / 1e6
+            ).alias("threshold"),
+            "nl",
+            "nr",
+            "pos_l",
+            "pos_r",
+            (F.floor(F.col("gini") * 1e6) / 1e6).alias("gini"),
+            (F.col("gini") == F.min("gini").over(w)).alias("is_best"),
+        )
+        .orderBy("split_bin")
+    )

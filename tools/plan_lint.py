@@ -55,6 +55,8 @@ SINGLE_PARTITION_ALLOW: dict[str, str] = {
     "q266_approx_pct_bound": "rank check over the 9 tested quantiles",
     "q348_pr_curve": "best-F1 window max over the 12-row threshold grid "
     "(the corpus is reduced to the grid axis before the window)",
+    "q353_decision_stump": "argmin flag over the 15-row split-candidate "
+    "grid (the corpus is reduced to 16 histogram cells before the sweep)",
     "q282_latency_quantiles": "window over the bounded quantile axis",
     "q288_auc": "exact path: documented global rank; auto-degrades to the "
     "binned form above the scale.py threshold",
