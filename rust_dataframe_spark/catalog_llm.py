@@ -1713,3 +1713,83 @@ def q347_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         (F.floor(F.col("score") * 1e6) / 1e6).alias("score"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# q355: multinomial Naive Bayes language ID (train + apply + confusion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q355_naive_bayes_lid",
+    oracle="""
+    WITH tr AS MATERIALIZED (
+      SELECT lang AS l, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id % 5 <> 0),
+    nl AS MATERIALIZED (
+      SELECT l, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1),
+    cwl AS MATERIALIZED (
+      SELECT l, w, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+    vv AS MATERIALIZED (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS V FROM tr),
+    pri AS MATERIALIZED (
+      SELECT lang AS l, CAST(count(*) AS BIGINT) AS nd
+      FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+    tot AS MATERIALIZED (SELECT CAST(sum(nd) AS BIGINT) AS t FROM pri),
+    tt AS MATERIALIZED (
+      SELECT doc_id, tl, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, lang AS tl, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY 1, 2, 3),
+    terms AS MATERIALIZED (
+      SELECT tt.doc_id, tt.tl, nl.l AS cl, tt.w,
+             tt.cnt * ln((coalesce(cwl.c, 0) + 1) / (nl.n + vv.V)) AS p
+      FROM tt CROSS JOIN nl
+      LEFT JOIN cwl ON cwl.l = nl.l AND cwl.w = tt.w, vv),
+    folded AS MATERIALIZED (
+      SELECT doc_id, tl, cl,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY w)),
+                         (a, b) -> a + b) AS ll
+      FROM terms GROUP BY 1, 2, 3),
+    scored AS MATERIALIZED (
+      SELECT f.doc_id, f.tl, f.cl,
+             ln(CAST(pri.nd AS DOUBLE) / tot.t) + f.ll AS score
+      FROM folded f JOIN pri ON pri.l = f.cl, tot),
+    pick AS MATERIALIZED (
+      SELECT doc_id, tl, cl FROM (
+        SELECT doc_id, tl, cl,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cl ASC) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT tl AS true_lang, cl AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pick GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q355_naive_bayes_lid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language ID, trained on 80% of documents
+    and audited as a confusion matrix on the held-out 20%
+    (operators/text.multinomial_nb) — the generative classifier family
+    next to the hashed-linear scorer (q315) and the bigram LM (q317),
+    and the model-based upgrade of q79's stopword-vote language_id.
+    Laplace-smoothed word likelihoods + document-frequency priors,
+    argmax over the 5 language classes.  The model (vocab × classes) is
+    word-keyed and broadcast-joinable; scoring shuffles (doc, class)
+    partial scores, never text; the per-doc-class log-score is an
+    ordered word-fold so both engines walk identical IEEE paths into
+    the argmax."""
+    from .operators.text import multinomial_nb
+
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    out = multinomial_nb(
+        train, test, id_col="doc_id", label_col="lang", text_col="text"
+    )
+    return (
+        out.groupBy(
+            F.col("label").alias("true_lang"), F.col("pred").alias("pred_lang")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -4873,3 +4873,100 @@ def q353_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q354: split-conformal prediction intervals + coverage audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q354_conformal_interval",
+    oracle="""
+    WITH cal AS (
+      SELECT event_type, value FROM events WHERE user_id % 5 <> 0
+    ),
+    test AS (
+      SELECT event_type, value FROM events WHERE user_id % 5 = 0
+    ),
+    pred AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS yhat FROM cal GROUP BY 1
+    ),
+    resid AS (
+      SELECT c.event_type, abs(c.value - p.yhat) AS r
+      FROM cal c JOIN pred p USING (event_type)
+    ),
+    qhat AS (
+      SELECT event_type, quantile_cont(r, 0.9) AS q FROM resid GROUP BY 1
+    ),
+    cov AS (
+      SELECT t.event_type,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN abs(t.value - p.yhat) <= q.q
+                           THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      FROM test t JOIN pred p USING (event_type) JOIN qhat q USING (event_type)
+      GROUP BY 1
+    )
+    SELECT c.event_type,
+           round(p.yhat, 4) AS yhat,
+           round(q.q, 4) AS half_width,
+           c.n_test, c.covered,
+           c.covered / c.n_test AS coverage
+    FROM cov c JOIN pred p USING (event_type) JOIN qhat q USING (event_type)
+    ORDER BY c.event_type
+    """,
+)
+def q354_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with a held-out coverage audit
+    (Vovk/Lei-Wasserman shape, the distribution-free uncertainty wrapper
+    production scoring pipelines bolt onto any point predictor): the
+    calibration split (80% of users) fits a per-event-type median
+    predictor and takes the 0.9 quantile of absolute residuals as the
+    interval half-width; the disjoint test split then counts how often
+    the true value lands inside — coverage ≈ 0.9 by the conformal
+    guarantee.  Every statistic is an exact order-statistic (median /
+    quantile_cont interpolate SORTED values — multiset-deterministic,
+    no float-sum reassociation anywhere), so the boundary comparisons
+    replay bit-exactly and the coverage counts are integers.  Shape: two
+    per-type percentile aggregates broadcast onto the test scan; the
+    splits partition one table read."""
+    ev = load_events(spark, sf_dir)
+    cal = ev.filter(F.col("user_id") % 5 != 0).select("event_type", "value")
+    test = ev.filter(F.col("user_id") % 5 == 0).select("event_type", "value")
+    pred = cal.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("yhat")
+    )
+    resid = cal.join(F.broadcast(pred), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("yhat")).alias("r")
+    )
+    qhat = resid.groupBy("event_type").agg(
+        F.percentile("r", F.lit(0.9)).alias("q")
+    )
+    cov = (
+        test.join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("yhat")) <= F.col("q"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        cov.join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .select(
+            "event_type",
+            F.round("yhat", 4).alias("yhat"),
+            F.round("q", 4).alias("half_width"),
+            "n_test",
+            "covered",
+            (F.col("covered").cast("double") / F.col("n_test")).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )

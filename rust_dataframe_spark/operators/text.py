@@ -19,6 +19,7 @@ __all__ = [
     "simpson_diversity",
     "hashed_linear_score",
     "bigram_logprob",
+    "multinomial_nb",
     "ngram_novelty",
     "ngram_digest_index",
     "ngram_novelty_incremental",
@@ -1396,4 +1397,128 @@ def multi_pattern_scan(
         F.col(id_col),
         F.col("__m.pats").alias("pattern"),
         F.col("__m.counts").cast("bigint").alias("n_matches"),
+    )
+
+
+def multinomial_nb(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    id_col: str,
+    label_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Multinomial Naive Bayes, trained and applied in one lazy plan:
+    word-count likelihoods with Laplace smoothing, log-prior from class
+    document frequencies, argmax over classes — the classic generative
+    text classifier (language ID, topic routing, quality tiers), the
+    third family next to the hashed-linear discriminative scorer
+    (hashed_linear_score) and the bigram LM (bigram_logprob).
+
+    Returns ``(id, label, pred, score)``: the test row's true label, the
+    argmax class, and its log-score.
+
+    Scale: training is two token aggregates (class totals + per-(class,
+    word) counts, map-side partial) and a vocabulary count; the model is
+    vocabulary×classes-sized, joined word-keyed onto the test tokens
+    (broadcast for bounded vocabularies, plain shuffle join otherwise —
+    AQE decides).  Scoring shuffles (doc, class) partial scores, never
+    raw text.  Classes ride a small broadcast grid: cost is
+    O(test tokens × classes).
+
+    Determinism: per-(doc, class) log-score is an ORDERED fold over the
+    doc's distinct words (count × log-likelihood terms, word-sorted), and
+    the argmax is totally ordered by (score DESC, class ASC) — the
+    cross-engine discipline of mmr_select/power_iteration.  ``ln`` is
+    libm-identical to well under the score separation between classes
+    (round-6 display, the q313/q317 convention).
+    """
+    tr_tok = train.select(
+        F.col(label_col).alias("__l"),
+        F.explode(_WORDS(F.col(text_col))).alias("__w"),
+    )
+    n_l = tr_tok.groupBy("__l").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    c_wl = tr_tok.groupBy("__l", "__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    vocab = tr_tok.agg(F.countDistinct("__w").cast("bigint").alias("__V"))
+    pri = train.groupBy(F.col(label_col).alias("__l")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nd")
+    )
+    tot = pri.agg(F.sum("__nd").cast("bigint").alias("__t"))
+    te_tok = (
+        test.select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).alias("__true"),
+            F.explode(_WORDS(F.col(text_col))).alias("__w"),
+        )
+        .groupBy("__id", "__true", "__w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    )
+    grid = te_tok.crossJoin(
+        F.broadcast(n_l.select(F.col("__l").alias("__cl"), "__n"))
+    )
+    terms = (
+        grid.join(
+            c_wl.select(
+                F.col("__l").alias("__cl"), F.col("__w"), F.col("__c")
+            ),
+            ["__cl", "__w"],
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__id",
+            "__true",
+            "__cl",
+            "__w",
+            (
+                F.col("__cnt")
+                * F.log(
+                    (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(1))
+                    / (F.col("__n") + F.col("__V"))
+                )
+            ).alias("__p"),
+        )
+    )
+    folded = terms.groupBy("__id", "__true", "__cl").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__w"), F.col("__p").alias("p")))
+                ),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__ll")
+    )
+    scored = (
+        folded.join(
+            F.broadcast(pri.select(F.col("__l").alias("__cl"), "__nd")), "__cl"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__id",
+            "__true",
+            "__cl",
+            (
+                F.log(F.col("__nd").cast("double") / F.col("__t")) + F.col("__ll")
+            ).alias("__score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__score").desc(), F.col("__cl").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__id").alias("id"),
+            F.col("__true").alias("label"),
+            F.col("__cl").alias("pred"),
+            F.col("__score").alias("score"),
+        )
     )

@@ -1756,3 +1756,61 @@ def test_mmr_select_rank1_is_top_relevance_and_k_rows(spark):
     assert len(out) == 4
     assert sorted(r["rank"] for r in out) == [1, 2, 3, 4]
     assert len({r["cid"] for r in out}) == 4  # no repeats
+
+
+def test_multinomial_nb_separable_classes(spark):
+    from rust_dataframe_spark.operators.text import multinomial_nb
+
+    train = spark.createDataFrame(
+        [
+            (1, "spam", "buy cheap pills now"),
+            (2, "spam", "cheap pills buy buy"),
+            (3, "ham", "meeting notes for tuesday"),
+            (4, "ham", "notes about the meeting"),
+        ],
+        ["id", "y", "t"],
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "spam", "cheap pills"),
+            (11, "ham", "tuesday meeting"),
+            (12, "ham", "unseen words only zzz"),  # OOV -> prior decides? no:
+            # both classes have equal priors, smoothing symmetric; tie-break
+            # picks the alphabetically-first class deterministically
+        ],
+        ["id", "y", "t"],
+    )
+    out = {r["id"]: r["pred"] for r in multinomial_nb(
+        train, test, id_col="id", label_col="y", text_col="t").collect()}
+    assert out[10] == "spam"
+    assert out[11] == "ham"
+    assert out[12] == "ham"  # equal scores -> class ASC tie-break
+
+    # scores are finite log-probs
+    rows = multinomial_nb(
+        train, test, id_col="id", label_col="y", text_col="t").collect()
+    assert all(r["score"] < 0 for r in rows)
+
+
+def test_multinomial_nb_lid_accuracy_on_fixture(spark):
+    from pyspark.sql import functions as F
+
+    from rust_dataframe_spark.operators.text import multinomial_nb
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    out = multinomial_nb(
+        train, test, id_col="doc_id", label_col="lang", text_col="text"
+    )
+    agg = out.agg(
+        F.sum(F.when(F.col("label") == F.col("pred"), 1).otherwise(0)).alias("ok"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    # the synthetic corpus is mostly SHARED vocabulary with sparse
+    # language-specific tokens, so the majority-class prior dominates and
+    # absolute accuracy is modest — pin that NB still beats the 1/5 random
+    # baseline clearly (it does via the distinctive-token likelihoods; the
+    # separable-classes unit above pins the algorithm itself)
+    assert agg["n"] > 0
+    assert agg["ok"] / agg["n"] > 0.25
