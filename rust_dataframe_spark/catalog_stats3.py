@@ -4970,3 +4970,311 @@ def q354_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q356: mutual-information feature ranking (binned, vs label)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q356_mi_feature_rank",
+    oracle="""
+    WITH f AS (
+      SELECT u.k - 1 AS dim, CAST(u.x AS DOUBLE) AS x, label % 2 AS y
+      FROM (SELECT embedding, label,
+                   unnest(embedding[1:8]) AS x,
+                   generate_subscripts(embedding[1:8], 1) AS k
+            FROM embeddings) u
+    ),
+    bounds AS (
+      SELECT dim, min(x) AS lo, max(x) AS hi FROM f GROUP BY 1
+    ),
+    binned AS (
+      SELECT f.dim,
+             least(7, CAST(floor((x - lo) / (hi - lo + 1e-12) * 8) AS INT)) AS b,
+             y
+      FROM f JOIN bounds USING (dim)
+    ),
+    cells AS (
+      SELECT dim, b, y, CAST(count(*) AS BIGINT) AS n
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    margs AS (
+      SELECT dim, CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY 1
+    ),
+    mb AS (SELECT dim, b, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY 1, 2),
+    my AS (SELECT dim, y, CAST(sum(n) AS BIGINT) AS ny FROM cells GROUP BY 1, 2),
+    mi AS (
+      SELECT c.dim,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list((c.n / m.nt) * ln((c.n * m.nt) / (CAST(mb.nb AS DOUBLE) * my.ny))
+                    ORDER BY c.b, c.y)),
+               (a, v) -> a + v) AS mi_nats
+      FROM cells c
+      JOIN margs m USING (dim)
+      JOIN mb ON mb.dim = c.dim AND mb.b = c.b
+      JOIN my ON my.dim = c.dim AND my.y = c.y
+      GROUP BY c.dim
+    )
+    SELECT CAST(dim AS INT) AS dim, round(mi_nats, 6) AS mi_nats,
+           CAST(row_number() OVER (ORDER BY mi_nats DESC, dim ASC) AS INT)
+             AS rnk
+    FROM mi ORDER BY rnk
+    """,
+)
+def q356_mi_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking: I(dim_k; label) over 8
+    equal-width bins for each of the first 8 embedding dims — the
+    filter-method feature selector (sklearn's SelectKBest shape) that
+    complements q353's single-stump split search with an all-features
+    screen.  The corpus reduces to dim×bin×label integer cells in one
+    map-side-partial pass (one posexplode scan, grouped once); MI is an
+    ordered fold of (p log p-ratio) terms over the bounded 16-cell axis
+    per dim, so the only data-sized work is the scan.  All probabilities
+    are single IEEE divisions of integers; ln at round-6 is the
+    q313/q317 cross-engine convention; the rank is a window over 8
+    rows."""
+    f = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "xf"),
+            (F.col("label") % 2).alias("y"),
+        )
+        .select("dim", F.col("xf").cast("double").alias("x"), "y")
+    )
+    bounds = f.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binned = f.join(F.broadcast(bounds), "dim").select(
+        "dim",
+        F.least(
+            F.lit(7),
+            F.floor(
+                (F.col("x") - F.col("lo"))
+                / (F.col("hi") - F.col("lo") + F.lit(1e-12))
+                * 8
+            ).cast("int"),
+        ).alias("b"),
+        "y",
+    )
+    cells = binned.groupBy("dim", "b", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    margs = cells.groupBy("dim").agg(F.sum("n").cast("bigint").alias("nt"))
+    mb = cells.groupBy("dim", "b").agg(F.sum("n").cast("bigint").alias("nb"))
+    my = cells.groupBy("dim", "y").agg(F.sum("n").cast("bigint").alias("ny"))
+    terms = (
+        cells.join(F.broadcast(margs), "dim")
+        .join(F.broadcast(mb), ["dim", "b"])
+        .join(F.broadcast(my), ["dim", "y"])
+        .select(
+            "dim",
+            "b",
+            "y",
+            (
+                (F.col("n").cast("double") / F.col("nt"))
+                * F.log(
+                    (F.col("n") * F.col("nt"))
+                    / (F.col("nb").cast("double") * F.col("ny"))
+                )
+            ).alias("t"),
+        )
+    )
+    mi = terms.groupBy("dim").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("b"), F.col("y"), F.col("t").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("mi_nats")
+    )
+    w = Window.orderBy(F.col("mi_nats").desc(), F.col("dim").asc())
+    return mi.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round("mi_nats", 6).alias("mi_nats"),
+        F.row_number().over(w).cast("int").alias("rnk"),
+    ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# q357: Theil-Sen robust trend over the daily-revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q357_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             round(sum(value), 4) AS y
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.d - a.d) AS m
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    mhat AS (SELECT quantile_cont(m, 0.5) AS m FROM slopes),
+    bhat AS (
+      SELECT quantile_cont(y - mhat.m * d, 0.5) AS b0
+      FROM daily, mhat
+    )
+    SELECT round(mhat.m, 6) AS slope,
+           round(bhat.b0, 6) AS intercept,
+           CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST((SELECT count(*) FROM slopes) AS BIGINT) AS n_pairs
+    FROM mhat, bhat
+    """,
+)
+def q357_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of the daily-revenue series: the
+    median of all pairwise slopes, with the median-residual intercept —
+    the breakdown-resistant alternative to q202's least-squares
+    regression aggregates (one wild day cannot move it).  The all-pairs
+    step runs on the AGGREGATED day axis (the corpus reduces to ~31
+    daily rows first, so the pair join is axis-bounded, never
+    data-bounded — at any corpus size the series length is the knob);
+    both medians are exact order statistics, multiset-deterministic on
+    both engines.  Daily sums are rounded at 4 BEFORE the pair algebra
+    (the float-aggregate tolerance convention) so every slope is a
+    division of identical doubles."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    slopes = (
+        a.crossJoin(b)
+        .filter(F.col("db") > F.col("da"))
+        .select(
+            ((F.col("yb") - F.col("ya")) / (F.col("db") - F.col("da"))).alias("m")
+        )
+    )
+    mhat = slopes.agg(F.percentile("m", F.lit(0.5)).alias("m"))
+    bhat = (
+        daily.crossJoin(F.broadcast(mhat))
+        .agg(
+            F.percentile(F.col("y") - F.col("m") * F.col("d"), F.lit(0.5)).alias(
+                "b0"
+            )
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    n_pairs = slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return (
+        mhat.crossJoin(F.broadcast(bhat))
+        .crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            F.round("m", 6).alias("slope"),
+            F.round("b0", 6).alias("intercept"),
+            "n_days",
+            "n_pairs",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q358: two-feature closed-form OLS (normal equations via Cramer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q358_ols_two_features",
+    oracle="""
+    WITH o AS (
+      SELECT l_orderkey AS k,
+             CAST(sum(l_quantity) AS DOUBLE) AS x1,
+             CAST(count(*) AS DOUBLE) AS x2,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS y
+      FROM lineitem GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+             sum(x1 * x2) AS s12, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM o
+    ),
+    c AS (
+      SELECT n,
+             s11 - s1 * s1 / n AS a11,
+             s22 - s2 * s2 / n AS a22,
+             s12 - s1 * s2 / n AS a12,
+             s1y - s1 * sy / n AS b1,
+             s2y - s2 * sy / n AS b2,
+             s1 / n AS m1, s2 / n AS m2, sy / n AS my
+      FROM s
+    )
+    SELECT round((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12), 4) AS beta1,
+           round((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12), 4) AS beta2,
+           round(my - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * m1
+                    - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * m2,
+                 4) AS beta0,
+           CAST(n AS BIGINT) AS n
+    FROM c
+    """,
+)
+def q358_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature closed-form OLS — order revenue regressed on total
+    quantity and line count, solved by Cramer's rule on the centered
+    2x2 normal equations.  This is how multi-feature linear models
+    actually train at 100 TB: ONE pass of map-side-partial moment sums
+    (9 scalars regardless of row count; for d features it is
+    d(d+3)/2+1 — the Gram-reduction shape of q255), then closed-form
+    algebra on the 1-row result.  Extends q202's built-in single-
+    regressor aggregates to the multivariate case.  Round-6/4 display
+    is the float-aggregate tolerance convention (moment sums are
+    order-dependent; the determinant algebra is identical IEEE on both
+    engines given the same sums; round-4 absorbs the partial-sum drift,
+    which at these coefficient magnitudes exceeds 1e-6, as the sf-gate
+    measured)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum("l_quantity").cast("double").alias("x1"),
+        F.count(F.lit(1)).cast("double").alias("x2"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("y"),
+    )
+    s = o.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    c = s.select(
+        "n",
+        (F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")).alias("a11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")).alias("a22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")).alias("a12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")).alias("b1"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")).alias("b2"),
+        (F.col("s1") / F.col("n")).alias("m1"),
+        (F.col("s2") / F.col("n")).alias("m2"),
+        (F.col("sy") / F.col("n")).alias("my"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    beta1 = (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det
+    beta2 = (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / det
+    return c.select(
+        F.round(beta1, 4).alias("beta1"),
+        F.round(beta2, 4).alias("beta2"),
+        F.round(
+            F.col("my") - beta1 * F.col("m1") - beta2 * F.col("m2"), 4
+        ).alias("beta0"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -57,6 +57,8 @@ SINGLE_PARTITION_ALLOW: dict[str, str] = {
     "(the corpus is reduced to the grid axis before the window)",
     "q353_decision_stump": "argmin flag over the 15-row split-candidate "
     "grid (the corpus is reduced to 16 histogram cells before the sweep)",
+    "q356_mi_feature_rank": "rank over the 8-row feature axis (the corpus "
+    "is reduced to dim*bin*label cells before the window)",
     "q282_latency_quantiles": "window over the bounded quantile axis",
     "q288_auc": "exact path: documented global rank; auto-degrades to the "
     "binned form above the scale.py threshold",
