@@ -7,9 +7,9 @@ operators/dedup.lsh_band_index / incremental_near_dups) — the steps between
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .catalog import query, table
+from .catalog import load_events, query, table
 from .catalog_llm import _SH_SQL, _mh_sql
 from .operators import dedup as dd
 from .operators import text as tx
@@ -1022,3 +1022,80 @@ def q182_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_view_ts").cast("string").alias("first_view_ts"),
         "lag_us",
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q360: golden-record survivorship merge (field-level latest-non-null)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q360_golden_record",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id < 100
+    ),
+    latest AS (SELECT * FROM ranked WHERE rn = 1),
+    spans AS (
+      SELECT user_id, CAST(min(ts) AS VARCHAR) AS first_seen,
+             CAST(max(ts) AS VARCHAR) AS last_seen,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events WHERE user_id < 100 GROUP BY 1
+    )
+    SELECT s.user_id,
+           round(max(CASE WHEN l.event_type = 'click' THEN l.value END), 4)
+             AS last_click_value,
+           round(max(CASE WHEN l.event_type = 'view' THEN l.value END), 4)
+             AS last_view_value,
+           round(max(CASE WHEN l.event_type = 'purchase' THEN l.value END), 4)
+             AS last_purchase_value,
+           max(s.first_seen) AS first_seen,
+           max(s.last_seen) AS last_seen,
+           max(s.n_events) AS n_events
+    FROM spans s LEFT JOIN latest l ON l.user_id = s.user_id
+    GROUP BY s.user_id ORDER BY s.user_id
+    """,
+)
+def q360_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship merge — the field-level MDM step after
+    entity resolution (q253) and canonical-row picks (q138 takes ONE
+    row; this builds the BEST row): for each user, the most recent value
+    PER FIELD (event type), plus first/last-seen span and event count.
+    Survivorship rule = latest-by-(ts, event_id) per (entity, field) — a
+    keyed window (entity×field partitions, never global), then a pivot
+    to one row per entity.  Both engines replay the same total order, so
+    the merged record is deterministic — the property that makes
+    re-runs idempotent (q305's discipline) at the field level."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").cast("string").alias("first_seen"),
+        F.max("ts").cast("string").alias("last_seen"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    pick = lambda t: F.round(  # noqa: E731
+        F.max(F.when(F.col("event_type") == t, F.col("value"))), 4
+    )
+    return (
+        spans.join(latest, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            pick("click").alias("last_click_value"),
+            pick("view").alias("last_view_value"),
+            pick("purchase").alias("last_purchase_value"),
+            F.max("first_seen").alias("first_seen"),
+            F.max("last_seen").alias("last_seen"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

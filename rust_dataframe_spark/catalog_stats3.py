@@ -5278,3 +5278,66 @@ def q358_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("beta0"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q359: quantile treatment effects
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q359_quantile_treatment_effects",
+    oracle="""
+    WITH units AS (
+      SELECT user_id, user_id % 2 AS arm, round(sum(value), 4) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    qq AS (
+      SELECT quantile_cont(y, [0.1, 0.25, 0.5, 0.75, 0.9])
+               FILTER (arm = 1) AS qt,
+             quantile_cont(y, [0.1, 0.25, 0.5, 0.75, 0.9])
+               FILTER (arm = 0) AS qc
+      FROM units
+    ),
+    g AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q,
+                 generate_subscripts([0.1, 0.25, 0.5, 0.75, 0.9], 1) AS i)
+    SELECT CAST(g.q AS DOUBLE) AS q, round(qt[g.i], 4) AS y_treat, round(qc[g.i], 4) AS y_ctrl,
+           round(qt[g.i] - qc[g.i], 4) AS qte
+    FROM qq, g ORDER BY g.q
+    """,
+)
+def q359_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: per-quantile arm contrasts of the
+    user-level outcome — where an experiment readout goes when the mean
+    (q245/q349) hides distributional movement (heavy-tail gains, median
+    flat).  Per-user outcomes are rounded BEFORE the quantile (identical
+    multisets on both engines — the q357 discipline), and every quantile
+    is an exact order statistic; above the scale.py threshold they would
+    degrade to the percentile sketch with q266's error certificate.
+    Shape: one user rollup + one grouped percentile aggregate over the
+    5-point quantile grid — the grid rides the aggregate, not the data."""
+    ev = load_events(spark, sf_dir)
+    units = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.round(F.sum("value"), 4).alias("y")
+    )
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    qarr = F.array(*[F.lit(q) for q in qs])
+    agg = units.agg(
+        F.percentile(F.when(F.col("arm") == 1, F.col("y")), qarr).alias("qt"),
+        F.percentile(F.when(F.col("arm") == 0, F.col("y")), qarr).alias("qc"),
+    )
+    grid = spark.createDataFrame([(i, q) for i, q in enumerate(qs)], ["i", "q"])
+    return (
+        grid.crossJoin(F.broadcast(agg))
+        .select(
+            "q",
+            F.round(F.element_at("qt", (F.col("i") + 1).cast("int")), 4).alias("y_treat"),
+            F.round(F.element_at("qc", (F.col("i") + 1).cast("int")), 4).alias("y_ctrl"),
+            F.round(
+                F.element_at("qt", (F.col("i") + 1).cast("int"))
+                - F.element_at("qc", (F.col("i") + 1).cast("int")),
+                4,
+            ).alias("qte"),
+        )
+        .orderBy("q")
+    )
