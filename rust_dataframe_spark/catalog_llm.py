@@ -1793,3 +1793,225 @@ def q355_naive_bayes_lid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q361: embedding-space health audit (pairwise-cosine distribution)
+# ---------------------------------------------------------------------------
+
+
+def _q361_cos(a: str, b: str) -> str:
+    def ssq(v):
+        return (
+            "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform({v}, x -> x * x)), (x, y) -> x + y))"
+        )
+
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        "(x, y) -> x + y)"
+    )
+    return f"{dot} / ({ssq(a)} * {ssq(b)})"
+
+
+@query(
+    "q361_embedding_health",
+    oracle=f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    a AS (SELECT vec_id AS ia, e AS ea FROM v WHERE vec_id % 7 = 0),
+    b AS (SELECT vec_id AS ib, e AS eb FROM v WHERE vec_id % 7 = 3),
+    pairs AS MATERIALIZED (
+      SELECT {_q361_cos('ea', 'eb')} AS c FROM a CROSS JOIN b),
+    stats AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             round(avg(c), 4) AS mean_cos,
+             CAST(sum(CASE WHEN c > 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high
+      FROM pairs)
+    SELECT CAST(least(9, floor((c + 1) / 2 * 10)) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           max(s.n_pairs) AS n_pairs,
+           max(s.mean_cos) AS mean_cos,
+           max(s.n_high) / max(s.n_pairs) AS high_sim_share
+    FROM pairs, stats s GROUP BY 1 ORDER BY 1
+    """,
+)
+def q361_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health audit: the pairwise-cosine distribution over
+    a deterministic residue-class pair sample — the corpus-level check
+    that catches EMBEDDING COLLAPSE (mean cosine drifting toward 1,
+    mass piling into the top bin) before it silently breaks semantic
+    dedup (q126) and ANN recall (q329): a collapsed space makes
+    everything a near-dup.  10-bin histogram over [-1, 1] + mean cosine
+    + share above 0.9.  The pair set is two id-residue slices crossed
+    (bounded by the slice product, engine-replayable; at corpus scale
+    the slices are fixed-size stratified samples so the audit cost is
+    constant).  Cosines are ordered folds — identical doubles land in
+    identical bins, so the histogram is exact on both engines; only the
+    float MEAN carries the round-4 tolerance."""
+    from .operators.similarity import as_double, cosine
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    a = v.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("ia"), F.col("e").alias("ea")
+    )
+    b = v.filter(F.col("vec_id") % 7 == 3).select(
+        F.col("vec_id").alias("ib"), F.col("e").alias("eb")
+    )
+    pairs = a.crossJoin(b).select(cosine(F.col("ea"), F.col("eb")).alias("c"))
+    pairs = pairs.persist()
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("c"), 4).alias("mean_cos"),
+        F.sum(F.when(F.col("c") > 0.9, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .groupBy(
+            F.least(F.lit(9), F.floor((F.col("c") + 1) / 2 * 10))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("n_pairs").alias("n_pairs"),
+            F.max("mean_cos").alias("mean_cos"),
+            (F.max("n_high").cast("double") / F.max("n_pairs")).alias(
+                "high_sim_share"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q362: source-ablation (leave-one-out) mixture readout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q362_source_ablation",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(chars) AS BIGINT) AS ct
+      FROM per
+    )
+    SELECT source, n AS n_docs,
+           floor(CAST(ct AS DOUBLE) / nt * 1000000) / 1000000 AS mean_all,
+           floor(CAST(ct - chars AS DOUBLE) / (nt - n) * 1000000) / 1000000
+             AS mean_without,
+           floor((CAST(ct - chars AS DOUBLE) / (nt - n)
+                  - CAST(ct AS DOUBLE) / nt) * 1000000) / 1000000
+             AS loo_delta
+    FROM per, tot ORDER BY source
+    """,
+)
+def q362_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out source ablation: for every corpus source, the change
+    in the corpus mean document length if that source were dropped — the
+    cheapest data-valuation readout (which sources pull the quality
+    proxy up or down) that sits under the mixture-rate calculator
+    (q323): compute LOO deltas on a metric, then rebalance.  ONE
+    grouped aggregate gives per-source integer sums; the total is a
+    1-row broadcast; every LOO mean is closed-form integer algebra
+    ((ct-chars)/(nt-n)) — no second scan per source, which is the whole
+    trick (naive ablation re-scans the corpus |sources| times).  All
+    inputs are exact integers; floor-at-6 on the single-division
+    outputs."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("chars").cast("bigint").alias("ct"),
+    )
+    mean_all = F.col("ct").cast("double") / F.col("nt")
+    mean_wo = (F.col("ct") - F.col("chars")).cast("double") / (
+        F.col("nt") - F.col("n")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            (F.floor(mean_all * 1e6) / 1e6).alias("mean_all"),
+            (F.floor(mean_wo * 1e6) / 1e6).alias("mean_without"),
+            (F.floor((mean_wo - mean_all) * 1e6) / 1e6).alias("loo_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q363: LSH banding parameter planner (analytic S-curve certificate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q363_lsh_param_planner",
+    oracle="""
+    WITH grid AS (
+      SELECT b.b, r.r
+      FROM (SELECT unnest([4, 8, 16, 32]) AS b) b
+      CROSS JOIN (SELECT unnest([2, 4, 8]) AS r) r
+      WHERE b.b * r.r <= 128
+    )
+    SELECT CAST(b AS INT) AS bands, CAST(r AS INT) AS rows_per_band,
+           CAST(b * r AS INT) AS signature_len,
+           round(pow(1.0 / b, 1.0 / r), 6) AS s_star,
+           round(1 - pow(1 - pow(CAST(0.5 AS DOUBLE), r), b), 6) AS p_at_50,
+           round(1 - pow(1 - pow(CAST(0.7 AS DOUBLE), r), b), 6) AS p_at_70,
+           round(1 - pow(1 - pow(CAST(0.8 AS DOUBLE), r), b), 6) AS p_at_80,
+           round(1 - pow(1 - pow(CAST(0.9 AS DOUBLE), r), b), 6) AS p_at_90
+    FROM grid ORDER BY bands, rows_per_band
+    """,
+)
+def q363_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter planner: the analytic candidate-probability
+    S-curve 1-(1-s^r)^b over a (bands, rows) grid with the threshold
+    approximation s* = (1/b)^(1/r) — the DESIGN-side companion of
+    q330's MEASURED precision/recall certificate (q330 audits one
+    (b, r) choice against ground truth; this tabulates the curve that
+    picks the choice, MMDS §3.4 shape).  Pure bounded-grid scalar
+    algebra (pow at round-6, the ln convention); the data-sized cost of
+    acting on it lives in minhash_signature/lsh_candidate_pairs, whose
+    b and r arguments this query's rows parameterize."""
+    bs = spark.createDataFrame([(4,), (8,), (16,), (32,)], ["b"])
+    rs = spark.createDataFrame([(2,), (4,), (8,)], ["r"])
+    grid = (
+        bs.crossJoin(rs)
+        .filter(F.col("b") * F.col("r") <= 128)
+    )
+
+    def _p(s: float):
+        return F.round(
+            1
+            - F.pow(
+                1 - F.pow(F.lit(s).cast("double"), F.col("r")), F.col("b")
+            ),
+            6,
+        )
+
+    return grid.select(
+        F.col("b").cast("int").alias("bands"),
+        F.col("r").cast("int").alias("rows_per_band"),
+        (F.col("b") * F.col("r")).cast("int").alias("signature_len"),
+        F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 6).alias("s_star"),
+        _p(0.5).alias("p_at_50"),
+        _p(0.7).alias("p_at_70"),
+        _p(0.8).alias("p_at_80"),
+        _p(0.9).alias("p_at_90"),
+    ).orderBy("bands", "rows_per_band")

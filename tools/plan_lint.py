@@ -117,6 +117,11 @@ BNLJ_ALLOW: dict[str, str] = {
     "q330_lsh_quality": "deliberate 80-doc bounded all-pairs ground truth "
     "(q73's gating note) feeding the LSH precision/recall certificate; the "
     "LSH stage under audit is band equi-joins",
+    "q357_theil_sen": "pairwise-slope join on the AGGREGATED ~31-row day "
+    "axis (non-equi d<d'), axis-bounded by construction",
+    "q361_embedding_health": "bounded residue-slice pair sample (two 1/7 "
+    "id-slices crossed) — the audit's stated sampling design; fixed-size "
+    "strata at corpus scale",
 }
 
 
