@@ -1989,11 +1989,12 @@ def q363_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra (pow at round-6, the ln convention); the data-sized cost of
     acting on it lives in minhash_signature/lsh_candidate_pairs, whose
     b and r arguments this query's rows parameterize."""
-    bs = spark.createDataFrame([(4,), (8,), (16,), (32,)], ["b"])
-    rs = spark.createDataFrame([(2,), (4,), (8,)], ["r"])
-    grid = (
-        bs.crossJoin(rs)
-        .filter(F.col("b") * F.col("r") <= 128)
+    # the (b, r) grid is a bounded LITERAL — enumerate it driver-side
+    # rather than cross-joining two literal frames (a 4x3 CartesianProduct
+    # node that the catalog-wide plan lint would rightly have to allowlist)
+    grid = spark.createDataFrame(
+        [(b, r) for b in (4, 8, 16, 32) for r in (2, 4, 8) if b * r <= 128],
+        ["b", "r"],
     )
 
     def _p(s: float):

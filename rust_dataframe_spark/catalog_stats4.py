@@ -1,0 +1,423 @@
+"""Catalog round 5 (session 2): hypothesis-testing battery q364+.
+
+Chi-squared independence, one-way ANOVA, Mann-Whitney rank-sum,
+Benjamini-Hochberg FDR over a test family, and a deterministic
+permutation test — the experimentation-platform layer on top of the
+CUPED adjustment (q234/experiments.py) and diff-in-diff (q349).  The
+reference's aggregate surface stops at sum/avg/min/max
+(src/functions/aggregate.rs); this whole family is north-star scope.
+
+Determinism contract (see operators/hypothesis.py): counts and cent sums
+are exact int64, statistics are fixed scalar dags on those ints, the few
+genuine float folds run over SORTED bounded axes, and random draws are
+md5 coins — so every query here holds the exact value-hash gate, not a
+tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .catalog import load_events, query, table
+
+__all__: list[str] = []
+
+_CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# q364: chi-squared test of independence (lang x source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q364_chi2_independence",
+    oracle="""
+    WITH cell AS (
+      SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS n_a FROM cell GROUP BY 1),
+    cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS n_b FROM cell GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(DISTINCT a) AS BIGINT) AS ka,
+             CAST(count(DISTINCT b) AS BIGINT) AS kb
+      FROM cell
+    ),
+    c AS (
+      SELECT cell.a, cell.b, cell.n,
+             CAST(n_a * n_b AS DOUBLE) / nt AS e,
+             (cell.n - CAST(n_a * n_b AS DOUBLE) / nt)
+               * (cell.n - CAST(n_a * n_b AS DOUBLE) / nt)
+               / (CAST(n_a * n_b AS DOUBLE) / nt) AS contrib,
+             CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof
+      FROM cell JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+    ),
+    chi AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(contrib ORDER BY a, b)),
+                         (x, y) -> x + y) AS chi2
+      FROM c
+    )
+    SELECT a, b, n,
+           floor(e * 1e6) / 1e6 AS expected,
+           floor(contrib * 1e6) / 1e6 AS contrib,
+           floor(chi2 * 1e6) / 1e6 AS chi2,
+           dof
+    FROM c CROSS JOIN chi ORDER BY a, b
+    """,
+)
+def q364_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test of document language vs
+    source — "does this crawl source skew the language mix?", the
+    categorical-association audit a corpus-mixing pipeline runs before
+    trusting per-source quotas (q268's mixture weights assume the
+    answer).  operators/hypothesis.chi2_independence: one groupBy to the
+    bounded lang x source cell axis, marginals broadcast back, the chi2
+    sum an ordered fold over the sorted cell list — integer counts make
+    expected/contrib bit-identical cross-engine.  Scale: corpus scan is
+    one map-side-partial count; everything after is axis-sized."""
+    from .operators.hypothesis import chi2_independence
+
+    d = table(spark, sf_dir, "documents")
+    return chi2_independence(d, "lang", "source").orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# q365: one-way ANOVA (value by event_type)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q365_anova_oneway",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum({_CENTS}) AS BIGINT) AS s_g,
+             CAST(sum({_CENTS} * {_CENTS}) AS BIGINT) AS ss_g
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS nt,
+             CAST(sum(s_g) AS BIGINT) AS st,
+             CAST(sum(ss_g) AS BIGINT) AS sst,
+             CAST(count(*) AS BIGINT) AS k,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g
+                      ORDER BY grp)),
+               (x, y) -> x + y) AS between_raw
+      FROM g
+    )
+    SELECT grp, n_g AS n,
+           floor(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) / 100.0 * 1e6)
+             / 1e6 AS mean_value,
+           floor((between_raw - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+                 / 1e4 * 1e6) / 1e6 AS ss_between,
+           floor((CAST(sst AS DOUBLE) - between_raw) / 1e4 * 1e6) / 1e6
+             AS ss_within,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(nt - k AS BIGINT) AS df2,
+           floor(((between_raw - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+                  / (k - 1))
+                 / ((CAST(sst AS DOUBLE) - between_raw) / (nt - k))
+                 * 1e6) / 1e6 AS f_stat
+    FROM g CROSS JOIN tot ORDER BY grp
+    """,
+)
+def q365_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types — "do the
+    event-type populations share a mean?", the k-group generalization of
+    the two-arm readouts (q234/q349).  operators/hypothesis.anova_oneway:
+    per-group (n, sum, sum-of-squares) on EXACT integer cents in one
+    map-side-partial pass, sums-of-squares identities on those ints, the
+    single bounded cross-group fold sorted by group — F statistic
+    bit-identical across engines, no tolerance.  Scale: one scan; the
+    group axis (~5 event types) rides a scalar broadcast."""
+    from .operators.hypothesis import anova_oneway
+
+    ev = load_events(spark, sf_dir)
+    return anova_oneway(ev, "event_type", "value").orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# q366: Mann-Whitney U (rank-sum) between the two user-parity arms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q366_mann_whitney",
+    oracle=f"""
+    WITH v AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm,
+             {_CENTS} AS v
+      FROM events
+    ),
+    per AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(arm) AS BIGINT) AS cnt1
+      FROM v GROUP BY 1
+    ),
+    r AS (
+      SELECT v, cnt, cnt1,
+             CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS below_incl
+      FROM per
+    ),
+    ranked AS (
+      SELECT v, cnt, cnt1,
+             CAST(below_incl - cnt AS DOUBLE) + (cnt + 1) / 2.0 AS midrank
+      FROM r
+    ),
+    s AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt1) AS BIGINT) AS n1,
+             sum(cnt1 * midrank) AS r1,
+             sum(CAST(cnt AS DOUBLE) * cnt * cnt - CAST(cnt AS DOUBLE))
+               AS tie_term
+      FROM ranked
+    )
+    SELECT CAST(n - n1 AS BIGINT) AS n0,
+           n1,
+           r1 AS rank_sum_1,
+           r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 AS u1,
+           CAST(n - n1 AS DOUBLE) * n1
+             - (r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0) AS u0,
+           floor(((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
+                  - CAST(n - n1 AS DOUBLE) * n1 / 2.0)
+                 / sqrt(CAST(n - n1 AS DOUBLE) * n1 / 12.0
+                        * (CAST(n + 1 AS DOUBLE)
+                           - tie_term / (CAST(n AS DOUBLE) * (n - 1))))
+                 * 1e6) / 1e6 AS z_score
+    FROM s
+    """,
+)
+def q366_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the two user-parity arms of the events
+    value — the rank-based two-sample test that needs no normality
+    (heavy-tailed engagement metrics are the norm, not the exception).
+    operators/hypothesis.mann_whitney_u: mid-ranks per DISTINCT cents
+    value with the global prefix count on training.global_cumsum
+    (two-phase range partitioning — no single-partition window), and
+    every mid-rank an exact multiple of 0.5 so the rank sum is
+    order-independent by construction.  The z-score (tie-corrected) is
+    the one float output.  Scale: rank table is distinct-value sized,
+    not corpus sized."""
+    from .operators.hypothesis import mann_whitney_u
+
+    ev = load_events(spark, sf_dir)
+    return mann_whitney_u(ev, "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# q367: Benjamini-Hochberg FDR over the per-event-type mean-shift family
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA = 0.2
+
+
+@query(
+    "q367_bh_fdr",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum({_CENTS}) AS BIGINT) AS s_g
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS nt,
+             CAST(sum(s_g) AS BIGINT) AS st,
+             (SELECT CAST(sum({_CENTS} * {_CENTS}) AS BIGINT) FROM events)
+               AS sst,
+             CAST(count(*) AS BIGINT) AS m
+      FROM g
+    ),
+    z AS (
+      SELECT grp, n_g,
+             (CAST(s_g AS DOUBLE) / n_g - CAST(st AS DOUBLE) / nt)
+             / (sqrt((CAST(sst AS DOUBLE)
+                      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+                     / (nt - 1))
+                / sqrt(CAST(n_g AS DOUBLE))) AS z,
+             m
+      FROM g CROSS JOIN tot
+    ),
+    p AS (
+      SELECT grp, n_g, z, m, exp(-z * z / 2) AS p FROM z
+    ),
+    ranked AS (
+      SELECT grp, n_g, z, m, p,
+             CAST(row_number() OVER (ORDER BY p, grp) AS BIGINT) AS rnk
+      FROM p
+    ),
+    flagged AS (
+      SELECT *, p <= rnk * {_BH_ALPHA} / m AS passes FROM ranked
+    ),
+    cut AS (
+      SELECT coalesce(max(CASE WHEN passes THEN rnk END), 0) AS k_max
+      FROM flagged
+    )
+    SELECT grp, n_g AS n,
+           floor(z * 1e6) / 1e6 AS z_score,
+           floor(p * 1e6) / 1e6 AS p_surrogate,
+           rnk AS p_rank,
+           floor(rnk * {_BH_ALPHA} / m * 1e6) / 1e6 AS bh_critical,
+           rnk <= k_max AS rejected
+    FROM flagged CROSS JOIN cut ORDER BY rnk
+    """,
+)
+def q367_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the family of per-event-type
+    mean-shift tests — the multiplicity step every metrics platform needs
+    once it tests more than one hypothesis per release.  One z-score per
+    event type (exact integer cent sums; pooled sd), a documented
+    MONOTONE p-SURROGATE exp(-z^2/2) (rank-faithful to the true normal
+    tail, which neither engine exposes as a builtin erfc — only ORDER
+    matters to BH), then the step-up rule p_(i) <= i/m * alpha with all
+    i <= k_max rejected.  The ranking window runs on the bounded
+    event-type axis (~5 rows — PLANLINT sp-allowed).  Scale: one scan to
+    the group axis; everything after is axis-sized."""
+    ev = load_events(spark, sf_dir)
+    from .operators.hypothesis import cents
+
+    g = ev.select(
+        F.col("event_type").alias("grp"), cents(F.col("value")).alias("v")
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("v").cast("bigint").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("nt"),
+        F.sum("s_g").cast("bigint").alias("st"),
+        F.sum("ss_g").cast("bigint").alias("sst"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    sd_all = F.sqrt(
+        (
+            F.col("sst").cast("double")
+            - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt")
+        )
+        / (F.col("nt") - 1)
+    )
+    z = (
+        F.col("s_g").cast("double") / F.col("n_g")
+        - F.col("st").cast("double") / F.col("nt")
+    ) / (sd_all / F.sqrt(F.col("n_g").cast("double")))
+    zs = g.crossJoin(F.broadcast(tot)).select(
+        "grp", "n_g", z.alias("z"), F.col("m")
+    )
+    p = zs.select("grp", "n_g", "z", "m", F.exp(-F.col("z") * F.col("z") / 2).alias("p"))
+    w = Window.orderBy("p", "grp")
+    ranked = p.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    flagged = ranked.withColumn(
+        "passes", F.col("p") <= F.col("rnk") * _BH_ALPHA / F.col("m")
+    )
+    cut = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("passes"), F.col("rnk"))), F.lit(0)
+        ).alias("k_max")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(cut))
+        .select(
+            "grp",
+            F.col("n_g").alias("n"),
+            (F.floor(F.col("z") * 1e6) / 1e6).alias("z_score"),
+            (F.floor(F.col("p") * 1e6) / 1e6).alias("p_surrogate"),
+            F.col("rnk").alias("p_rank"),
+            (F.floor(F.col("rnk") * _BH_ALPHA / F.col("m") * 1e6) / 1e6).alias(
+                "bh_critical"
+            ),
+            (F.col("rnk") <= F.col("k_max")).alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q368: deterministic permutation test (md5 relabeling)
+# ---------------------------------------------------------------------------
+
+_PERM_R = 24
+
+
+def _perm_oracle() -> str:
+    u_cols = ", ".join(
+        f"CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#perm{b}'),"
+        f" 32, 1)) AS UBIGINT) % 2 AS a{b}"
+        for b in range(_PERM_R)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT {b} AS replica, a{b} AS parm, v FROM u" for b in range(_PERM_R)
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_id,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm,
+             {_CENTS} AS v
+      FROM events
+    ),
+    obs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(arm) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(v) AS BIGINT) AS s_all
+      FROM base
+    ),
+    u AS (SELECT event_id, v, {u_cols} FROM base),
+    r AS ({arms}),
+    per_rep AS (
+      SELECT replica,
+             CAST(sum(parm) AS BIGINT) AS pn1,
+             CAST(sum(CASE WHEN parm = 1 THEN v ELSE 0 END) AS BIGINT) AS ps1,
+             CAST(count(*) AS BIGINT) AS pn,
+             CAST(sum(v) AS BIGINT) AS ps
+      FROM r GROUP BY replica
+    ),
+    rep_stat AS (
+      SELECT replica,
+             abs(CAST(ps1 AS DOUBLE) / pn1
+                 - CAST(ps - ps1 AS DOUBLE) / (pn - pn1)) AS t
+      FROM per_rep
+    ),
+    tail AS (
+      SELECT CAST(count(*) AS BIGINT) AS r,
+             CAST(sum(CASE WHEN t >= (SELECT abs(CAST(s1 AS DOUBLE) / n1
+                                          - CAST(s_all - s1 AS DOUBLE)
+                                            / (n_all - n1)) FROM obs)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+      FROM rep_stat
+    )
+    SELECT CAST(n_all - n1 AS BIGINT) AS n0,
+           n1,
+           floor(abs(CAST(s1 AS DOUBLE) / n1
+                     - CAST(s_all - s1 AS DOUBLE) / (n_all - n1))
+                 / 100.0 * 1e6) / 1e6 AS obs_abs_diff,
+           r AS replicas,
+           n_ge AS n_as_extreme,
+           CAST(1 + n_ge AS DOUBLE) / (r + 1) AS p_value
+    FROM obs CROSS JOIN tail
+    """
+
+
+@query("q368_permutation_test", oracle=_perm_oracle())
+def q368_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design-based permutation test of the user-parity arm difference in
+    mean event value — the assumption-free companion of q366's rank test
+    and q227's bootstrap: relabel arms under H0, recompute the statistic,
+    read the tail.  operators/hypothesis.permutation_test: replica b's
+    labels are the low md5 bit of (event_id, b) — deterministic,
+    replayable, exchangeable under H0; each replica statistic is a ratio
+    of exact int64 cent sums, so tail comparisons are bit-deterministic
+    and the p-value is the exact rational (1 + #extreme)/(R + 1).
+    Scale: one explode to R=24 replicas combining map-side into R x 2
+    groups — shuffle payload O(R), not O(rows x R)."""
+    from .operators.hypothesis import permutation_test
+
+    ev = load_events(spark, sf_dir)
+    return permutation_test(
+        ev, "event_id", "user_id", "value", replicas=_PERM_R
+    )

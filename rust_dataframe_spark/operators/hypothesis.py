@@ -1,0 +1,378 @@
+"""Hypothesis-testing operators: chi-squared independence, one-way ANOVA,
+Mann-Whitney rank-sum, Benjamini-Hochberg FDR, and a deterministic
+permutation test.
+
+The classical battery a data/experimentation platform runs next to the
+CUPED adjustment (experiments.py) and the diff-in-diff readout (q349):
+is a categorical association real (chi2), do group means differ (ANOVA),
+do two arms differ without normality (Mann-Whitney), which of a family of
+tests survive multiplicity (BH), and what does a design-based null say
+(permutation).  The reference has no testing surface (its aggregates stop
+at min/max/sum, src/functions/aggregate.rs); this is north-star scope for
+a curation/experimentation engine.
+
+Cross-engine determinism (the repo's exact-hash gate discipline):
+
+* Counts are BIGINT; ``value`` is converted once to integer CENTS
+  (``round(value*100)``) so every sum / sum-of-squares is an EXACT int64
+  — immune to float summation order across engines and partitionings.
+* Statistics are then a fixed dag of scalar IEEE ops on those integers
+  (divisions, one sqrt/exp) — bit-identical on both engines; floor-at-6
+  only for display.
+* Where a sum of genuine doubles is unavoidable (chi2 cell
+  contributions), the cells are collapsed to the bounded category axis
+  and folded in sorted order (``array_sort(collect_list)`` /
+  ``list_reduce`` — the q317/q355 ordered-fold convention).
+* Random draws are md5 coins keyed on (row id, replica) — the q227
+  Poisson-bootstrap discipline: deterministic, replayable, no RNG state.
+
+Scale posture: every test is one or two map-side-partial aggregates over
+the fact table; group/cell axes are bounded (event types, languages,
+sources), so all joins are broadcast scalars or axis-sized.  Mann-Whitney
+needs a global rank over DISTINCT values — that rides
+:func:`training.global_cumsum` (two-phase range partition + O(partitions)
+driver prefix; no single-partition window).  The permutation test fans
+out R replicas by ``explode`` (shuffle payload = R x groups, not R x
+rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "cents",
+    "chi2_independence",
+    "anova_oneway",
+    "mann_whitney_u",
+    "permutation_test",
+]
+
+
+def cents(col: F.Column) -> F.Column:
+    """Exact integer cents of a 2-decimal DOUBLE column.
+
+    ``round`` (not floor/cast) because the stored double for e.g. 12.34 can
+    sit a few ulps below 1234/100; the nearest integer is always the true
+    cents value, and no 2-decimal amount lands on a .5 rounding boundary
+    after *100, so HALF_UP (Spark) vs HALF_EVEN (DuckDB ``round``) can
+    never disagree."""
+    return F.round(col * 100).cast("bigint")
+
+
+def chi2_independence(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two bounded
+    categorical columns.
+
+    Returns one row per observed (a, b) cell: ``n`` observed, ``expected``
+    = row_total*col_total/N, ``contrib`` = (O-E)^2/E, plus the table-wide
+    ``chi2`` statistic and ``dof`` attached to every row.
+
+    Exactness: totals are int64; ``expected`` and ``contrib`` are fixed
+    scalar dags on those ints; the chi2 SUM folds the bounded cell axis in
+    (a, b)-sorted order, so both engines walk the identical IEEE path.
+
+    Scale: one groupBy over the fact table to the cell axis; marginals are
+    axis-sized broadcasts; the fold runs on a collected axis-bounded array
+    (|a|x|b| cells, NOT corpus rows)."""
+    cell = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ra = cell.groupBy("a").agg(F.sum("n").cast("bigint").alias("n_a"))
+    cb = cell.groupBy("b").agg(F.sum("n").cast("bigint").alias("n_b"))
+    tot = cell.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.countDistinct("a").cast("bigint").alias("ka"),
+        F.countDistinct("b").cast("bigint").alias("kb"),
+    )
+    e = (F.col("n_a") * F.col("n_b")).cast("double") / F.col("nt")
+    c = (
+        cell.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n",
+            e.alias("e"),
+            ((F.col("n") - e) * (F.col("n") - e) / e).alias("contrib"),
+            ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("bigint").alias("dof"),
+        )
+    )
+    chi2 = c.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("a", "b", F.col("contrib").alias("v")))
+                ),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("chi2")
+    )
+    return c.crossJoin(F.broadcast(chi2)).select(
+        "a",
+        "b",
+        "n",
+        (F.floor(F.col("e") * 1e6) / 1e6).alias("expected"),
+        (F.floor(F.col("contrib") * 1e6) / 1e6).alias("contrib"),
+        (F.floor(F.col("chi2") * 1e6) / 1e6).alias("chi2"),
+        "dof",
+    )
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA over integer-cents values: per-group rows with the
+    table-wide F statistic attached.
+
+    Sums-of-squares identities on EXACT int64 cent sums (max |cents| ~5e4,
+    squares ~2.4e9, corpus sums far under 2^63):
+    ``SSB = sum_g s_g^2/n_g - S^2/N``, ``SSW = SS - sum_g s_g^2/n_g``,
+    ``F = (SSB/(k-1)) / (SSW/(N-k))``.  The only cross-group fold is over
+    the bounded group axis, sorted — ordered IEEE path on both engines.
+    One aggregate pass over the fact table; everything downstream is
+    axis-sized."""
+    g = df.select(
+        F.col(group_col).alias("grp"), cents(F.col(value_col)).alias("v")
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("v").cast("bigint").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("nt"),
+        F.sum("s_g").cast("bigint").alias("st"),
+        F.sum("ss_g").cast("bigint").alias("sst"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "grp",
+                            (
+                                F.col("s_g").cast("double")
+                                * F.col("s_g").cast("double")
+                                / F.col("n_g")
+                            ).alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("between_raw"),
+    )
+    ssb = F.col("between_raw") - (
+        F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt")
+    )
+    ssw = F.col("sst").cast("double") - F.col("between_raw")
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k")))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            F.col("n_g").alias("n"),
+            (
+                F.floor(F.col("s_g") / F.col("n_g").cast("double") / 100.0 * 1e6)
+                / 1e6
+            ).alias("mean_value"),
+            # cents^2 -> value^2: /1e4
+            (F.floor(ssb / 1e4 * 1e6) / 1e6).alias("ss_between"),
+            (F.floor(ssw / 1e4 * 1e6) / 1e6).alias("ss_within"),
+            (F.col("k") - 1).cast("bigint").alias("df1"),
+            (F.col("nt") - F.col("k")).cast("bigint").alias("df2"),
+            (F.floor(fstat * 1e6) / 1e6).alias("f_stat"),
+        )
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame, arm_col: str, value_col: str
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two arms, tie-corrected
+    mid-ranks, EXACT arithmetic end to end.
+
+    Mid-ranks are computed per DISTINCT cents value — ``rank(v) =
+    (#values < v) + (count(v)+1)/2`` — so the rank table is distinct-value
+    sized, and the global "#values < v" prefix rides
+    :func:`training.global_cumsum` (two-phase range partitioning; no
+    single-partition window).  Every mid-rank is an exact multiple of 0.5
+    and ``R1 = sum(cnt1*rank)`` stays on the 0.5 lattice far below 2^53,
+    so the sum is order-independent — bit-equal across engines by
+    construction, not by rounding.
+
+    Returns one row: arm sizes, rank sum ``r1``, ``u1``/``u0``
+    (``u1 + u0 == n0*n1`` pinned), and the tie-corrected normal z-score
+    (the one genuinely-float output, floor-at-6)."""
+    from .training import global_cumsum
+
+    v = df.select(
+        F.when(F.col(arm_col).cast("bigint") % 2 == 1, 1)
+        .otherwise(0)
+        .alias("arm"),
+        cents(F.col(value_col)).alias("v"),
+    )
+    per = v.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("arm").cast("bigint").alias("cnt1"),
+    )
+    c = global_cumsum(per, "v", "cnt", out_col="below_incl")
+    ranked = c.select(
+        "v",
+        "cnt",
+        "cnt1",
+        (
+            (F.col("below_incl") - F.col("cnt")).cast("double")
+            + (F.col("cnt") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    s = ranked.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("cnt1").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt1") * F.col("midrank")).alias("r1"),
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt").cast("double")
+        ).alias("tie_term"),
+    )
+    n0 = F.col("n") - F.col("n1")
+    u1 = F.col("r1") - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0
+    mu = n0.cast("double") * F.col("n1") / 2.0
+    var = (
+        n0.cast("double")
+        * F.col("n1")
+        / 12.0
+        * (
+            (F.col("n") + 1).cast("double")
+            - F.col("tie_term") / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+    )
+    z = (u1 - mu) / F.sqrt(var)
+    return s.select(
+        n0.alias("n0"),
+        F.col("n1").alias("n1"),
+        F.col("r1").alias("rank_sum_1"),
+        u1.alias("u1"),
+        (n0.cast("double") * F.col("n1") - u1).alias("u0"),
+        (F.floor(z * 1e6) / 1e6).alias("z_score"),
+    )
+
+
+def permutation_test(
+    df: DataFrame,
+    id_col: str,
+    arm_col: str,
+    value_col: str,
+    *,
+    replicas: int = 24,
+) -> DataFrame:
+    """Design-based permutation test of the two-arm mean difference with
+    deterministic md5 label reassignment (the q227 coin discipline:
+    replayable per (row, replica), no RNG state, no global pass).
+
+    Replica b flips each row's arm to the low bit of
+    ``md5(id || '#perm' || b)`` — an exchangeable relabeling under H0.
+    The statistic |mean1 - mean0| is a ratio of EXACT int64 cent sums per
+    replica, so every comparison against the observed statistic is
+    bit-deterministic, and the p-value is the exact rational
+    ``(1 + #{b : T_b >= T_obs}) / (R + 1)``.
+
+    Scale: one explode to R replicas combining map-side into R x 2 groups
+    — shuffle payload is O(R), not O(rows x R); the observed stat is a
+    second scalar aggregate of the same scan."""
+    base = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.when(F.col(arm_col).cast("bigint") % 2 == 1, 1)
+        .otherwise(0)
+        .alias("arm"),
+        cents(F.col(value_col)).alias("v"),
+    )
+    obs = base.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    obs_w = obs.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("s")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum("s").cast("bigint").alias("s_all"),
+    )
+    d_obs = F.abs(
+        F.col("s1").cast("double") / F.col("n1")
+        - (F.col("s_all") - F.col("s1")).cast("double")
+        / (F.col("n_all") - F.col("n1"))
+    )
+    reps = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("replica"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.col("id"), F.lit(f"#perm{b}"))),
+                            32,
+                            1,
+                        ),
+                        16,
+                        10,
+                    ).cast("int")
+                    % 2
+                ).alias("parm"),
+            )
+            for b in range(replicas)
+        ]
+    )
+    per_rep = (
+        base.select("v", F.explode(reps).alias("r"))
+        .select(F.col("r.replica").alias("replica"), F.col("r.parm").alias("parm"), "v")
+        .groupBy("replica")
+        .agg(
+            F.sum(F.when(F.col("parm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("pn1"),
+            F.sum(F.when(F.col("parm") == 1, F.col("v")).otherwise(0))
+            .cast("bigint")
+            .alias("ps1"),
+            F.count(F.lit(1)).cast("bigint").alias("pn"),
+            F.sum("v").cast("bigint").alias("ps"),
+        )
+    )
+    rep_stat = per_rep.select(
+        "replica",
+        F.abs(
+            F.col("ps1").cast("double") / F.col("pn1")
+            - (F.col("ps") - F.col("ps1")).cast("double")
+            / (F.col("pn") - F.col("pn1"))
+        ).alias("t"),
+    )
+    tail = (
+        rep_stat.crossJoin(F.broadcast(obs_w.select(d_obs.alias("t_obs"))))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("r"),
+            F.sum(F.when(F.col("t") >= F.col("t_obs"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ge"),
+        )
+    )
+    return (
+        obs_w.crossJoin(F.broadcast(tail))
+        .select(
+            (F.col("n_all") - F.col("n1")).alias("n0"),
+            F.col("n1").alias("n1"),
+            (F.floor(d_obs / 100.0 * 1e6) / 1e6).alias("obs_abs_diff"),
+            F.col("r").alias("replicas"),
+            F.col("n_ge").alias("n_as_extreme"),
+            ((F.lit(1) + F.col("n_ge")).cast("double") / (F.col("r") + 1)).alias(
+                "p_value"
+            ),
+        )
+    )

@@ -1,0 +1,166 @@
+"""Unit tests for operators/hypothesis.py: chi-squared independence,
+one-way ANOVA, Mann-Whitney rank-sum, and the deterministic permutation
+test — each against a small fixture with a hand-replayable statistic.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+
+def test_chi2_independent_uniform_is_zero(spark):
+    """A perfectly balanced 2x2 table has expected == observed: chi2 = 0."""
+    from rust_dataframe_spark.operators.hypothesis import chi2_independence
+
+    rows = [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(5)]
+    df = spark.createDataFrame(rows, "a0 string, b0 string")
+    out = chi2_independence(df, "a0", "b0").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n"] == 5
+        assert r["expected"] == 5.0
+        assert r["contrib"] == 0.0
+        assert r["chi2"] == 0.0
+        assert r["dof"] == 1
+
+
+def test_chi2_matches_textbook_formula(spark):
+    from rust_dataframe_spark.operators.hypothesis import chi2_independence
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(300):
+        a = rng.choice(["x", "y", "z"])
+        b = rng.choice(["u", "v"])
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, "a0 string, b0 string")
+    out = chi2_independence(df, "a0", "b0").collect()
+    # hand replay
+    from collections import Counter
+
+    cells = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    chi2 = 0.0
+    for (a, b) in sorted(cells):
+        e = ra[a] * cb[b] / n
+        chi2 += (cells[(a, b)] - e) ** 2 / e
+    want = math.floor(chi2 * 1e6) / 1e6
+    assert all(r["chi2"] == want for r in out)
+    assert all(r["dof"] == 2 for r in out)
+
+
+def test_anova_equal_groups_f_zero(spark):
+    """Identical group distributions with equal means: SSB = 0 so F = 0."""
+    from rust_dataframe_spark.operators.hypothesis import anova_oneway
+
+    rows = [(g, v) for g in ("a", "b") for v in (1.0, 2.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["grp"]: r for r in anova_oneway(df, "g", "v").collect()}
+    assert out["a"]["ss_between"] == 0.0
+    assert out["a"]["f_stat"] == 0.0
+    assert out["a"]["mean_value"] == 2.0
+    assert out["a"]["df1"] == 1 and out["a"]["df2"] == 4
+
+
+def test_anova_matches_scipy_style_replay(spark):
+    from rust_dataframe_spark.operators.hypothesis import anova_oneway
+
+    rng = random.Random(3)
+    data = {
+        "a": [round(rng.uniform(0, 10), 2) for _ in range(40)],
+        "b": [round(rng.uniform(2, 12), 2) for _ in range(55)],
+        "c": [round(rng.uniform(1, 9), 2) for _ in range(25)],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["grp"]: r for r in anova_oneway(df, "g", "v").collect()}
+    # hand replay in cents
+    cents = {g: [round(v * 100) for v in vs] for g, vs in data.items()}
+    nt = sum(len(v) for v in cents.values())
+    st = sum(sum(v) for v in cents.values())
+    sst = sum(x * x for v in cents.values() for x in v)
+    between_raw = sum(
+        (float(sum(v)) * sum(v)) / len(v) for _, v in sorted(cents.items())
+    )
+    ssb = between_raw - float(st) * st / nt
+    ssw = float(sst) - between_raw
+    k = 3
+    f = (ssb / (k - 1)) / (ssw / (nt - k))
+    assert out["a"]["f_stat"] == math.floor(f * 1e6) / 1e6
+    assert out["b"]["ss_within"] == math.floor(ssw / 1e4 * 1e6) / 1e6
+
+
+def test_mann_whitney_identical_arms_balanced(spark):
+    """Same values in both arms: U1 == U0 == n0*n1/2, z == 0."""
+    from rust_dataframe_spark.operators.hypothesis import mann_whitney_u
+
+    rows = [(arm, float(v)) for arm in (0, 1) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "u bigint, v double")
+    r = mann_whitney_u(df, "u", "v").collect()[0]
+    assert r["n0"] == 4 and r["n1"] == 4
+    assert r["u1"] == 8.0 and r["u0"] == 8.0
+    assert r["z_score"] == 0.0 or r["z_score"] == -0.0
+
+
+def test_mann_whitney_u_invariant_and_replay(spark):
+    from rust_dataframe_spark.operators.hypothesis import mann_whitney_u
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(0, 1), round(rng.uniform(0, 50), 2)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "u bigint, v double")
+    r = mann_whitney_u(df, "u", "v").collect()[0]
+    n0, n1 = r["n0"], r["n1"]
+    assert r["u1"] + r["u0"] == n0 * n1
+    # replay mid-ranks in pure python
+    vals = sorted(round(v * 100) for _, v in rows)
+    rank_of = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        rank_of[vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    r1 = sum(rank_of[round(v * 100)] for arm, v in rows if arm == 1)
+    assert r["rank_sum_1"] == r1
+    assert r["u1"] == r1 - n1 * (n1 + 1) / 2.0
+
+
+def test_permutation_null_is_uniformish_and_exact_p(spark):
+    """Under a true null (arm independent of value) the observed stat is
+    typically mid-tail; the p-value is the exact (1+k)/(R+1) rational."""
+    from rust_dataframe_spark.operators.hypothesis import permutation_test
+
+    rng = random.Random(2)
+    rows = [
+        (i, rng.randint(0, 1), round(rng.uniform(0, 10), 2))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, u bigint, v double")
+    r = permutation_test(df, "id", "u", "v", replicas=24).collect()[0]
+    assert r["replicas"] == 24
+    assert 0 <= r["n_as_extreme"] <= 24
+    assert r["p_value"] == (1 + r["n_as_extreme"]) / 25
+    assert r["n0"] + r["n1"] == 400
+
+
+def test_permutation_detects_planted_shift(spark):
+    """A large planted arm effect should beat every relabeled replica."""
+    from rust_dataframe_spark.operators.hypothesis import permutation_test
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(300):
+        arm = i % 2
+        v = rng.uniform(0, 1) + (100.0 if arm else 0.0)
+        rows.append((i, arm, round(v, 2)))
+    df = spark.createDataFrame(rows, "id bigint, u bigint, v double")
+    r = permutation_test(df, "id", "u", "v", replicas=24).collect()[0]
+    assert r["n_as_extreme"] == 0
+    assert r["p_value"] == 1 / 25
+    assert r["obs_abs_diff"] > 90

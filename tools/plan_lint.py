@@ -11,10 +11,13 @@ Patterns flagged per query:
   or a LocalTableScan of literals is counted as a scalar attachment;
   anything else is listed for human review.
 * ``Exchange SinglePartition`` feeding a Window — the one-task funnel.
-  Bounded-by-construction windows (bin/day/band axes) still show the
-  pattern, so hits are LISTED with the query name for review rather than
-  hard-failed; the curated allowlist below records the reviewed-and-bounded
-  cases with the reason.
+  Subtree-scoped (r5): a Window is flagged only when the shallowest
+  exchange among ITS OWN descendants is SinglePartition, so a scalar
+  aggregate elsewhere in the plan no longer taints a properly
+  hash-partitioned window.  Bounded-by-construction windows (bin/day/band
+  axes) still show the pattern, so hits are LISTED with the query name for
+  review rather than hard-failed; the curated allowlist below records the
+  reviewed-and-bounded cases with the reason.
 
 Writes PLANLINT.md.  Usage: python tools/plan_lint.py [--sf DIR]
 """
@@ -22,7 +25,6 @@ Writes PLANLINT.md.  Usage: python tools/plan_lint.py [--sf DIR]
 from __future__ import annotations
 
 import os
-import re
 import sys
 import time
 
@@ -60,6 +62,8 @@ SINGLE_PARTITION_ALLOW: dict[str, str] = {
     "q356_mi_feature_rank": "rank over the 8-row feature axis (the corpus "
     "is reduced to dim*bin*label cells before the window)",
     "q282_latency_quantiles": "window over the bounded quantile axis",
+    "q367_bh_fdr": "BH step-up rank over the bounded event-type test "
+    "family (~5 rows; the corpus is reduced to the group axis first)",
     "q288_auc": "exact path: documented global rank; auto-degrades to the "
     "binned form above the scale.py threshold",
     "q294_rolling_uniques": "sketch union over the day axis",
@@ -122,6 +126,10 @@ BNLJ_ALLOW: dict[str, str] = {
     "q361_embedding_health": "bounded residue-slice pair sample (two 1/7 "
     "id-slices crossed) — the audit's stated sampling design; fixed-size "
     "strata at corpus scale",
+    "q348_pr_curve": "12-row threshold-grid Range broadcast fan-out "
+    "(crossJoin(broadcast(spark.range(12))) — bounded by the grid literal; "
+    "the Range source is neither Aggregate nor LocalTableScan so the "
+    "scalar heuristic cannot see it)",
 }
 
 
@@ -179,6 +187,45 @@ def bnlj_all_scalar(plan: str) -> bool:
     return bool(verdicts) and all(verdicts)
 
 
+def window_on_single_partition(plan: str) -> bool:
+    """True iff some Window node in ``plan`` is actually FED by an
+    ``Exchange SinglePartition`` — the one-task funnel.  Subtree-scoped
+    like :func:`bnlj_all_scalar`: for each Window line, the shallowest
+    Exchange/ShuffleQueryStage among its descendants is the exchange that
+    partitions the window's input; only if that exchange is
+    SinglePartition is the window global.  (The old whole-plan
+    co-occurrence check flagged any query combining a scalar aggregate —
+    which legitimately plans Exchange SinglePartition — with a properly
+    hash-partitioned window, e.g. q355's per-doc argmax next to its
+    vocabulary-count scalar.)  A Window with no descendant exchange at
+    all (ReusedExchange/LocalTableScan input) is treated as global —
+    conservative, reviewable via the allowlist."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        stripped = line.lstrip(" :+-*(0123456789)")
+        # exact Window nodes only: WindowGroupLimit's map-side Partial node
+        # legitimately sits BELOW the exchange (no exchange in its subtree)
+        # and must not trip the no-exchange-is-global rule
+        if not (
+            stripped.startswith("Window [")
+            or stripped.startswith("WindowExec")
+            or stripped.startswith("RunningWindowFunction")
+        ):
+            continue
+        sub = _subtree(lines, i)[1:]
+        ex = [
+            j
+            for j, sline in enumerate(sub)
+            if "Exchange" in sline or "ShuffleQueryStage" in sline
+        ]
+        if not ex:
+            return True
+        shallowest = min(ex, key=lambda j: _depth(sub[j]))
+        if "SinglePartition" in sub[shallowest]:
+            return True
+    return False
+
+
 def main() -> int:
     only_fail = "--fail-only" in sys.argv
     spark = get_spark("plan-lint")
@@ -213,7 +260,7 @@ def main() -> int:
             else:
                 findings.append("BNLJ-review")
                 n_bnlj_review += 1
-        if re.search(r"Exchange SinglePartition", plan) and "Window" in plan:
+        if window_on_single_partition(plan):
             if name in SINGLE_PARTITION_ALLOW:
                 findings.append("sp-allowed")
             else:
