@@ -421,3 +421,165 @@ def q368_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return permutation_test(
         ev, "event_id", "user_id", "value", replicas=_PERM_R
     )
+
+
+# ---------------------------------------------------------------------------
+# q369: two-round gradient-boosted stumps on histogram cells
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q369_boosted_stumps",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+             CAST(embedding[2] AS DOUBLE) AS x2,
+             CAST(label % 2 AS BIGINT) AS y
+      FROM embeddings
+    ),
+    bounds AS (
+      SELECT min(x1) AS lo1, max(x1) AS hi1,
+             min(x2) AS lo2, max(x2) AS hi2
+      FROM f
+    ),
+    cells AS (
+      SELECT least(15, CAST(floor((x1 - lo1) / (hi1 - lo1 + 1e-12) * 16)
+                            AS INT)) AS b1,
+             least(15, CAST(floor((x2 - lo2) / (hi2 - lo2 + 1e-12) * 16)
+                            AS INT)) AS b2,
+             y, CAST(count(*) AS BIGINT) AS cnt
+      FROM f, bounds GROUP BY 1, 2, 3
+    ),
+    bins1 AS (
+      SELECT b1, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(y * cnt) AS BIGINT) AS sy
+      FROM cells GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(sy) AS BIGINT) AS syt
+      FROM bins1
+    ),
+    grid AS (SELECT unnest(generate_series(1, 15)) AS s),
+    sweep1 AS (
+      SELECT g.s,
+             CAST(coalesce(sum(CASE WHEN b.b1 < g.s THEN b.n END), 0)
+                  AS BIGINT) AS nl,
+             CAST(coalesce(sum(CASE WHEN b.b1 < g.s THEN b.sy END), 0)
+                  AS BIGINT) AS sl
+      FROM grid g CROSS JOIN bins1 b GROUP BY 1
+    ),
+    g1 AS (
+      SELECT s, nl, nt - nl AS nr, sl, syt - sl AS sr,
+             CASE WHEN nl = 0 OR nt - nl = 0 THEN -1.0
+                  ELSE CAST(sl AS DOUBLE) * sl / nl
+                       + CAST(syt - sl AS DOUBLE) * (syt - sl) / (nt - nl)
+             END AS gain
+      FROM sweep1, tot
+    ),
+    best1 AS (
+      SELECT s AS s1, nl AS nl1, nr AS nr1,
+             CAST(sl AS DOUBLE) / nl AS m1l,
+             CAST(sr AS DOUBLE) / nr AS m1r
+      FROM g1 ORDER BY gain DESC, s ASC LIMIT 1
+    ),
+    rc AS (
+      SELECT b2, leaf_l, y, CAST(sum(cnt) AS BIGINT) AS cnt, min(r) AS r
+      FROM (
+        SELECT c.b2, c.b1 < s1 AS leaf_l, c.y, c.cnt,
+               CAST(c.y AS DOUBLE)
+                 - (CASE WHEN c.b1 < s1 THEN m1l ELSE m1r END) AS r
+        FROM cells c, best1)
+      GROUP BY 1, 2, 3
+    ),
+    bins2 AS (
+      SELECT b2, CAST(sum(cnt) AS BIGINT) AS n,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(cnt * r ORDER BY leaf_l, y)),
+                         (a, b) -> a + b) AS sr2
+      FROM rc GROUP BY 1
+    ),
+    tot2 AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(sr2 ORDER BY b2)),
+                         (a, b) -> a + b) AS srt
+      FROM bins2
+    ),
+    sweep2 AS (
+      SELECT g.s,
+             CAST(coalesce(sum(CASE WHEN b.b2 < g.s THEN b.n END), 0)
+                  AS BIGINT) AS nl,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CASE WHEN b.b2 < g.s THEN b.sr2 ELSE 0.0 END
+                    ORDER BY b.b2)),
+               (a, b) -> a + b) AS sl
+      FROM grid g CROSS JOIN bins2 b GROUP BY 1
+    ),
+    g2 AS (
+      SELECT s, nl, nt - nl AS nr, sl, srt - sl AS sr,
+             CASE WHEN nl = 0 OR nt - nl = 0 THEN -1.0
+                  ELSE sl * sl / nl + (srt - sl) * (srt - sl) / (nt - nl)
+             END AS gain
+      FROM sweep2, tot2
+    ),
+    best2 AS (
+      SELECT s AS s2, nl AS nl2, nr AS nr2,
+             sl / nl AS m2l, sr / nr AS m2r
+      FROM g2 ORDER BY gain DESC, s ASC LIMIT 1
+    ),
+    sse AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(cnt * r1 * r1 ORDER BY b1, b2, y)), (a, b) -> a + b)
+               AS sse1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(cnt * r2 * r2 ORDER BY b1, b2, y)), (a, b) -> a + b)
+               AS sse2
+      FROM (
+        SELECT c.b1, c.b2, c.y, c.cnt,
+               CAST(c.y AS DOUBLE)
+                 - (CASE WHEN c.b1 < s1 THEN m1l ELSE m1r END) AS r1,
+               (CAST(c.y AS DOUBLE)
+                 - (CASE WHEN c.b1 < s1 THEN m1l ELSE m1r END))
+                 - (CASE WHEN c.b2 < s2 THEN m2l ELSE m2r END) AS r2
+        FROM cells c, best1, best2)
+    )
+    SELECT 1 AS round, 'x1' AS feature, CAST(s1 AS INT) AS split_bin,
+           floor((lo1 + s1 * (hi1 - lo1 + 1e-12) / 16) * 1e6) / 1e6
+             AS threshold,
+           nl1 AS n_left, nr1 AS n_right,
+           floor(m1l * 1e6) / 1e6 AS left_value,
+           floor(m1r * 1e6) / 1e6 AS right_value,
+           floor(sse1 * 1e6) / 1e6 AS sse_after
+    FROM best1, bounds, sse
+    UNION ALL
+    SELECT 2, 'x2', CAST(s2 AS INT),
+           floor((lo2 + s2 * (hi2 - lo2 + 1e-12) / 16) * 1e6) / 1e6,
+           nl2, nr2,
+           floor(m2l * 1e6) / 1e6, floor(m2r * 1e6) / 1e6,
+           floor(sse2 * 1e6) / 1e6
+    FROM best2, bounds, sse
+    ORDER BY round
+    """,
+)
+def q369_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of squared-loss gradient boosting with decision-stump
+    weak learners over embedding dims 1/2 vs the parity label — the
+    histogram-GBDT training pattern (XGBoost/LightGBM approximate split
+    finding) that q353's single stump grows into an actual boosting
+    step.  operators/boosting.boosted_stumps: ONE corpus pass builds the
+    joint (bin1, bin2, y) integer cell table (persisted, nbins^2 x 2
+    rows); both 15-candidate split sweeps, the residual bookkeeping and
+    the final SSE are bounded-axis algebra on those cells — no
+    per-round re-scan, which is precisely why this trains at 100 TB.
+    Round-2 residuals take only 4 distinct values, so every float sum is
+    an ordered fold over a sorted bounded list; split argmaxes are
+    max_by aggregates (1-row scalar broadcasts).  sse_after is pinned
+    non-increasing across rounds by the boosting contract."""
+    from .operators.boosting import boosted_stumps
+
+    e = table(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 1).cast("double").alias("x1"),
+        F.element_at("embedding", 2).cast("double").alias("x2"),
+        (F.col("label") % 2).alias("y"),
+    )
+    return boosted_stumps(e, "x1", "x2", "y", nbins=16)

@@ -164,3 +164,36 @@ def test_permutation_detects_planted_shift(spark):
     assert r["n_as_extreme"] == 0
     assert r["p_value"] == 1 / 25
     assert r["obs_abs_diff"] > 90
+
+
+def test_boosted_stumps_recovers_planted_splits(spark):
+    """y determined by x1 threshold with x2 refining one side: round 1
+    must split x1 near the planted threshold and SSE must not increase."""
+    from rust_dataframe_spark.operators.boosting import boosted_stumps
+
+    rows = []
+    for i in range(400):
+        x1 = (i % 100) / 100.0
+        x2 = ((i * 7) % 100) / 100.0
+        y = 1 if x1 >= 0.5 else (1 if x2 >= 0.75 and i % 3 == 0 else 0)
+        rows.append((x1, x2, y))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y bigint")
+    out = {r["round"]: r for r in boosted_stumps(df, "x1", "x2", "y").collect()}
+    assert out[1]["feature"] == "x1" and out[2]["feature"] == "x2"
+    assert abs(out[1]["threshold"] - 0.5) < 0.1
+    assert out[2]["sse_after"] <= out[1]["sse_after"] + 1e-9
+    assert out[1]["n_left"] + out[1]["n_right"] == 400
+
+
+def test_boosted_stumps_pure_split_zero_sse(spark):
+    """Perfectly separable on x1: round 1 reaches SSE 0 and round 2's
+    leaf corrections are 0."""
+    from rust_dataframe_spark.operators.boosting import boosted_stumps
+
+    rows = [(i / 100.0, (i * 3 % 100) / 100.0, 1 if i >= 50 else 0)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y bigint")
+    out = {r["round"]: r for r in boosted_stumps(df, "x1", "x2", "y").collect()}
+    assert out[1]["sse_after"] == 0.0
+    assert out[2]["sse_after"] == 0.0
+    assert out[1]["left_value"] == 0.0 and out[1]["right_value"] == 1.0
