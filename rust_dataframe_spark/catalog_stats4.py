@@ -583,3 +583,408 @@ def q369_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 2).alias("y"),
     )
     return boosted_stumps(e, "x1", "x2", "y", nbins=16)
+
+
+# ---------------------------------------------------------------------------
+# q370: simplified silhouette (centroid-based cluster-quality audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q370_silhouette",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    dims AS (SELECT label, vec_id, d.i AS dim, emb[d.i] AS v
+             FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d),
+    cent AS (SELECT label, dim, sum(v) / count(*) AS c
+             FROM dims GROUP BY label, dim),
+    cvec AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv
+             FROM cent GROUP BY label),
+    d2 AS (
+      SELECT e.vec_id, e.label, cv.clabel,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(list_zip(e.emb, cv.cv),
+                              p -> (p[1] - p[2]) * (p[1] - p[2]))),
+               (s, x) -> s + x)) AS dist
+      FROM e CROSS JOIN cvec cv
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             max(CASE WHEN label = clabel THEN dist END) AS a,
+             min(CASE WHEN label != clabel THEN dist END) AS b
+      FROM d2 GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT vec_id, label,
+             CASE WHEN greatest(a, b) = 0 THEN 0.0
+                  ELSE (b - a) / greatest(a, b) END AS sil
+      FROM ab
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           CAST(sum(CASE WHEN least(4, CAST(floor((sil + 1) / 2 * 5) AS INT))
+                         = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bin0,
+           CAST(sum(CASE WHEN least(4, CAST(floor((sil + 1) / 2 * 5) AS INT))
+                         = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bin1,
+           CAST(sum(CASE WHEN least(4, CAST(floor((sil + 1) / 2 * 5) AS INT))
+                         = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bin2,
+           CAST(sum(CASE WHEN least(4, CAST(floor((sil + 1) / 2 * 5) AS INT))
+                         = 3 THEN 1 ELSE 0 END) AS BIGINT) AS bin3,
+           CAST(sum(CASE WHEN least(4, CAST(floor((sil + 1) / 2 * 5) AS INT))
+                         = 4 THEN 1 ELSE 0 END) AS BIGINT) AS bin4
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+def q370_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette audit of the label
+    clustering in embedding space — a(i) = distance to the OWN label
+    centroid, b(i) = distance to the nearest OTHER centroid,
+    s = (b-a)/max(a,b) — the O(n*k) cluster-quality readout that
+    replaces the O(n^2) full silhouette at corpus scale (the k-means /
+    label-QA companion of q221's per-label outliers and q361's
+    collapse audit).  Centroids come from similarity.mean_pool (exact
+    float32-in-double sums — order-independent); distances are ordered
+    zip folds; the output is a 5-bin silhouette HISTOGRAM plus the
+    negative count per label — integer counts, so the gate is exact
+    (a per-label float MEAN of s would be partition-order-dependent).
+    Scale: one (label, dim) shuffle for centroids, then a k-row
+    centroid broadcast against the corpus — vectors never shuffle."""
+    from .operators.similarity import as_double, mean_pool
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    cents = mean_pool(e, "label", "emb").select(
+        F.col("label").alias("clabel"), F.col("pooled").alias("cv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("emb"), F.col("cv"), lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+    d2 = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", dist.alias("dist")
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("label") == F.col("clabel"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("label") != F.col("clabel"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    sil = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    sb = ab.select(
+        "label",
+        sil.alias("sil"),
+        F.least(F.lit(4), F.floor((sil + 1) / 2 * 5).cast("int")).alias("bin"),
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("sil") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative")]
+    aggs += [
+        F.sum(F.when(F.col("bin") == i, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"bin{i}")
+        for i in range(5)
+    ]
+    return sb.groupBy("label").agg(*aggs).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# q371: blocked edit-distance (Levenshtein) similarity join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q371_edit_distance_join",
+    oracle="""
+    WITH names AS (
+      SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1
+    ),
+    keyed AS (
+      SELECT nm, n_parts, split_part(nm, ' ', 2) AS blk, length(nm) AS ln
+      FROM names
+    )
+    SELECT a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS INT) AS edit_dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.nm < b.nm
+         AND abs(a.ln - b.ln) <= 2
+    WHERE levenshtein(a.nm, b.nm) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def q371_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate detection by edit distance with blocking — the
+    record-linkage primitive between exact dedup (q70, digest equality)
+    and token-set similarity (q249, Jaccard prefix join): catch
+    near-identical catalog names that differ by a typo.  Candidate-
+    then-verify discipline: (1) compare DISTINCT names, never part rows
+    (the exact_dedup per-distinct-content trick — the quadratic factor
+    is distinct-name block size, not corpus size); (2) block on the
+    noun token so only same-noun names ever meet; (3) a cheap
+    |length diff| <= 2 necessary-condition filter runs before the DP;
+    (4) the O(len^2) levenshtein kernel (JVM built-in, codegen'd) only
+    touches surviving candidates.  At 100 TB the block key generalizes
+    to any cheap canonical signature (sorted tokens, phonetic key,
+    length band).  Edit distances and counts are integers — exact."""
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("nm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    keyed = names.select(
+        "nm",
+        "n_parts",
+        F.split_part(F.col("nm"), F.lit(" "), F.lit(2)).alias("blk"),
+        F.length("nm").alias("ln"),
+    )
+    a = keyed.select(
+        F.col("nm").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+        F.col("blk"),
+        F.col("ln").alias("ln_a"),
+    )
+    b = keyed.select(
+        F.col("nm").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+        F.col("blk"),
+        F.col("ln").alias("ln_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= 2)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
+            "n_a",
+            "n_b",
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .orderBy("name_a", "name_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q372: offline changepoint scan over the day axis (mean-shift CUSUM-free)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q372_changepoint_scan",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s_d
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day, n_d, s_d,
+             CAST(sum(n_d) OVER (ORDER BY day) AS BIGINT) AS nb,
+             CAST(sum(s_d) OVER (ORDER BY day) AS BIGINT) AS sb,
+             CAST(sum(n_d) OVER () AS BIGINT) AS nt,
+             CAST(sum(s_d) OVER () AS BIGINT) AS st
+      FROM d
+    ),
+    t AS (
+      SELECT day, nb, nt - nb AS na,
+             CAST(sb AS DOUBLE) / nb / 100.0 AS mean_before,
+             CAST(st - sb AS DOUBLE) / (nt - nb) / 100.0 AS mean_after,
+             CASE WHEN nb = 0 OR nt - nb = 0 THEN -1.0
+                  ELSE abs(CAST(sb AS DOUBLE) / nb
+                           - CAST(st - sb AS DOUBLE) / (nt - nb))
+                       * sqrt(CAST(nb AS DOUBLE) * (nt - nb) / nt) / 100.0
+             END AS t_stat
+      FROM c
+    )
+    SELECT day, nb AS n_before, na AS n_after,
+           floor(mean_before * 1e6) / 1e6 AS mean_before,
+           floor(mean_after * 1e6) / 1e6 AS mean_after,
+           floor(t_stat * 1e6) / 1e6 AS t_stat,
+           t_stat = max(t_stat) OVER () AS is_best
+    FROM t WHERE na > 0
+    ORDER BY day
+    """,
+)
+def q372_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline single-changepoint scan: for every candidate day boundary,
+    the scaled mean-shift statistic |mean_before - mean_after| *
+    sqrt(nb*na/n) — the retrospective complement of q228's online CUSUM
+    (CUSUM alarms as data arrives; this localizes WHERE the level
+    shifted once the window is closed).  The corpus reduces to per-day
+    exact integer cent sums in one map-side-partial pass; the candidate
+    sweep is a cumulative over the bounded ~31-row day axis (PLANLINT
+    sp-allowed, the q312 convention), so every prefix mean is a ratio of
+    exact int64 sums — the argmax flag replays bit-identically.  Scale:
+    axis-sized after the first aggregate; at 100 TB the day axis is
+    still ~tens of rows."""
+    ev = load_events(spark, sf_dir)
+    from .operators.hypothesis import cents
+
+    d = ev.select(
+        F.col("ts").cast("date").alias("day"), cents(F.col("value")).alias("v")
+    ).groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("v").cast("bigint").alias("s_d"),
+    )
+    wc = Window.orderBy("day")
+    wall = Window.partitionBy()
+    c = d.select(
+        "day",
+        F.sum("n_d").over(wc).cast("bigint").alias("nb"),
+        F.sum("s_d").over(wc).cast("bigint").alias("sb"),
+        F.sum("n_d").over(wall).cast("bigint").alias("nt"),
+        F.sum("s_d").over(wall).cast("bigint").alias("st"),
+    )
+    na = F.col("nt") - F.col("nb")
+    t_stat = (
+        F.when((F.col("nb") == 0) | (na == 0), F.lit(-1.0))
+        .otherwise(
+            F.abs(
+                F.col("sb").cast("double") / F.col("nb")
+                - (F.col("st") - F.col("sb")).cast("double") / na
+            )
+            * F.sqrt(F.col("nb").cast("double") * na / F.col("nt"))
+            / 100.0
+        )
+    )
+    t = c.select(
+        "day",
+        F.col("nb").alias("n_before"),
+        na.alias("n_after"),
+        (
+            F.floor(F.col("sb").cast("double") / F.col("nb") / 100.0 * 1e6)
+            / 1e6
+        ).alias("mean_before"),
+        (
+            F.floor(
+                (F.col("st") - F.col("sb")).cast("double") / na / 100.0 * 1e6
+            )
+            / 1e6
+        ).alias("mean_after"),
+        t_stat.alias("t_raw"),
+    ).filter(F.col("n_after") > 0)
+    return t.select(
+        "day",
+        "n_before",
+        "n_after",
+        "mean_before",
+        "mean_after",
+        (F.floor(F.col("t_raw") * 1e6) / 1e6).alias("t_stat"),
+        (F.col("t_raw") == F.max("t_raw").over(wall)).alias("is_best"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q373: source-concentration audit (Herfindahl index per language)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q373_herfindahl",
+    oracle="""
+    WITH ls0 AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    ls AS (
+      SELECT lang, source, n,
+             CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_l
+      FROM ls0
+    ),
+    l AS (
+      SELECT lang, CAST(max(n_l) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list((CAST(n AS DOUBLE) / n_l) * (CAST(n AS DOUBLE) / n_l)
+                    ORDER BY source)),
+               (a, b) -> a + b) AS hhi
+      FROM ls GROUP BY lang
+    ),
+    top AS (
+      SELECT lang, source AS top_source, n AS top_n
+      FROM (SELECT lang, source, n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, source DESC) AS rn
+            FROM ls)
+      WHERE rn = 1
+    )
+    SELECT l.lang, n_docs, n_sources,
+           floor(hhi * 1e6) / 1e6 AS hhi,
+           top_source,
+           floor(CAST(top_n AS DOUBLE) / n_docs * 1e6) / 1e6 AS top_share
+    FROM l JOIN top USING (lang) ORDER BY lang
+    """,
+)
+def q373_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration audit per language: the Herfindahl-Hirschman
+    index of source shares plus the dominant source and its share — the
+    portfolio-risk readout for a training mix ("is my German data all
+    one crawl?") that complements q268's mixture weights and q362's
+    leave-one-out ablation: HHI near 1 means the LOO delta for the top
+    source IS the corpus.  One groupBy to the bounded (lang, source)
+    axis; shares are exact integer ratios; the HHI square-sum folds the
+    source axis in sorted order (exact-hash gate, no tolerance); the
+    top-source pick is a per-lang row_number window on the bounded cell
+    table.  Scale: axis-sized everything after one corpus scan."""
+    d = table(spark, sf_dir, "documents")
+    ls = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wl = Window.partitionBy("lang")
+    share = F.col("n").cast("double") / F.sum("n").over(wl)
+    shared = ls.select("lang", "source", "n", (share * share).alias("sh2"))
+    lagg = shared.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("source", F.col("sh2").alias("v")))
+                ),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("hhi"),
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("source").desc()
+    )
+    top = (
+        ls.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("top_source"), F.col("n").alias("top_n"))
+    )
+    return (
+        lagg.join(top, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_sources",
+            (F.floor(F.col("hhi") * 1e6) / 1e6).alias("hhi"),
+            "top_source",
+            (
+                F.floor(F.col("top_n").cast("double") / F.col("n_docs") * 1e6)
+                / 1e6
+            ).alias("top_share"),
+        )
+        .orderBy("lang")
+    )

@@ -64,6 +64,8 @@ SINGLE_PARTITION_ALLOW: dict[str, str] = {
     "q282_latency_quantiles": "window over the bounded quantile axis",
     "q367_bh_fdr": "BH step-up rank over the bounded event-type test "
     "family (~5 rows; the corpus is reduced to the group axis first)",
+    "q372_changepoint_scan": "cumulative + argmax over the bounded "
+    "~31-row day axis (corpus reduced to per-day integer cells first)",
     "q288_auc": "exact path: documented global rank; auto-degrades to the "
     "binned form above the scale.py threshold",
     "q294_rolling_uniques": "sketch union over the day axis",
