@@ -988,3 +988,85 @@ def q373_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q374: grid-bucketed DBSCAN over the embedding 2-D projection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q374_dbscan",
+    oracle="""
+    WITH RECURSIVE pts AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+      WHERE sqrt(pow(a.x - b.x, 2) + pow(a.y - b.y, 2)) < 0.02
+    ),
+    sym AS (SELECT id_a, id_b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT id_a AS pid, CAST(count(*) AS BIGINT) AS nb
+            FROM sym GROUP BY 1),
+    roles AS (
+      SELECT p.vec_id AS pid, coalesce(nb, 0) + 1 >= 5 AS is_core
+      FROM pts p LEFT JOIN deg ON p.vec_id = deg.pid
+    ),
+    core_edges AS (
+      SELECT id_a, id_b FROM pairs
+      WHERE id_a IN (SELECT pid FROM roles WHERE is_core)
+        AND id_b IN (SELECT pid FROM roles WHERE is_core)
+    ),
+    cedges AS (SELECT id_a AS a, id_b AS b FROM core_edges
+               UNION SELECT id_b, id_a FROM core_edges),
+    reach(a, b) AS (
+      SELECT DISTINCT a, a FROM cedges
+      UNION SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS pid, min(b) AS cluster_id FROM reach GROUP BY a),
+    core_labeled AS (
+      SELECT r.pid, CAST(coalesce(c.cluster_id, r.pid) AS BIGINT)
+               AS cluster_id
+      FROM roles r LEFT JOIN comp c USING (pid) WHERE r.is_core
+    ),
+    border AS (
+      SELECT r.pid, CAST(min(cl.cluster_id) AS BIGINT) AS cluster_id
+      FROM roles r JOIN sym s ON r.pid = s.id_a
+           JOIN core_labeled cl ON s.id_b = cl.pid
+      WHERE NOT r.is_core GROUP BY r.pid
+    )
+    SELECT pid AS id, 'core' AS role, cluster_id FROM core_labeled
+    UNION ALL SELECT pid, 'border', cluster_id FROM border
+    UNION ALL
+    SELECT r.pid, 'noise', CAST(NULL AS BIGINT) FROM roles r
+    WHERE NOT r.is_core AND r.pid NOT IN (SELECT pid FROM border)
+    ORDER BY id
+    """,
+)
+def q374_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering of the embedding (dim1, dim2)
+    projection, eps=0.02, minPts=5 — the arbitrary-shape/noise-aware
+    clustering family next to k-means (q166, centroid-convex) and the
+    label-driven audits (q370): find dense regions, label the sparse
+    rest as noise.  operators/spatial.dbscan composes two existing
+    scale primitives instead of porting the textbook recursion: the 3x3
+    grid-cell radius join supplies epsilon-neighborhoods (per-point cost
+    bounded by local density, AQE-splittable) and large-star/small-star
+    CC (dedup.dup_clusters_star) merges core points — a DBSCAN cluster
+    IS a connected component of cores plus borders.  Border points join
+    their MINIMUM core neighbor's cluster (plain DBSCAN is
+    order-dependent there; the min makes both engines agree exactly).
+    The oracle brute-forces neighborhoods and replays CC as a recursive
+    CTE (fine at 500 points; the operator is the scale path)."""
+    from .operators.spatial import dbscan
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    return dbscan(e, "vec_id", "x", "y", eps=0.02, min_pts=5).orderBy("id")

@@ -197,3 +197,46 @@ def test_boosted_stumps_pure_split_zero_sse(spark):
     assert out[1]["sse_after"] == 0.0
     assert out[2]["sse_after"] == 0.0
     assert out[1]["left_value"] == 0.0 and out[1]["right_value"] == 1.0
+
+
+def test_dbscan_two_blobs_and_noise(spark):
+    """Two well-separated dense blobs plus far-away isolated points:
+    blobs become two distinct clusters of cores, isolates are noise."""
+    from rust_dataframe_spark.operators.spatial import dbscan
+
+    rows = []
+    # blob A around (0, 0), blob B around (10, 10), 12 points each on a
+    # tight 0.01-spaced line; noise at (100, k)
+    for i in range(12):
+        rows.append((i, 0.0 + i * 0.01, 0.0))
+        rows.append((100 + i, 10.0 + i * 0.01, 10.0))
+    for k in range(3):
+        rows.append((900 + k, 100.0 + 10.0 * k, 0.0))
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    out = {r["id"]: r for r in
+           dbscan(df, "id", "x", "y", eps=0.05, min_pts=4).collect()}
+    assert len(out) == 27
+    a_cl = {out[i]["cluster_id"] for i in range(12)}
+    b_cl = {out[100 + i]["cluster_id"] for i in range(12)}
+    assert len(a_cl) == 1 and len(b_cl) == 1 and a_cl != b_cl
+    assert a_cl == {0} and b_cl == {100}  # min-id labeling
+    for k in range(3):
+        assert out[900 + k]["role"] == "noise"
+        assert out[900 + k]["cluster_id"] is None
+    # interior points are core; the two line endpoints have only 3
+    # strict-eps neighbors each at spacing 0.01/eps 0.05 -> still core
+    assert out[5]["role"] == "core"
+
+
+def test_dbscan_border_assignment_deterministic(spark):
+    """A point within eps of cores from one cluster but too sparse to be
+    core itself is labeled border with that cluster's id."""
+    from rust_dataframe_spark.operators.spatial import dbscan
+
+    rows = [(i, i * 0.01, 0.0) for i in range(6)]          # dense core line
+    rows.append((50, 6 * 0.01 + 0.03, 0.0))               # hangs off the end
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    out = {r["id"]: r for r in
+           dbscan(df, "id", "x", "y", eps=0.05, min_pts=4).collect()}
+    assert out[50]["role"] == "border"
+    assert out[50]["cluster_id"] == 0
