@@ -1070,3 +1070,241 @@ def q374_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 2).cast("double").alias("y"),
     )
     return dbscan(e, "vec_id", "x", "y", eps=0.02, min_pts=5).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# q375: SPRT sequential conversion-rate monitor over the day axis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q375_sprt_monitor",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k_d
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day,
+             CAST(sum(n_d) OVER (ORDER BY day) AS BIGINT) AS n_cum,
+             CAST(sum(k_d) OVER (ORDER BY day) AS BIGINT) AS k_cum
+      FROM d
+    ),
+    llr AS (
+      SELECT day, n_cum, k_cum,
+             k_cum * ln(0.55 / 0.45)
+               + (n_cum - k_cum) * ln(0.45 / 0.55) AS llr
+      FROM c
+    ),
+    dec AS (
+      SELECT *,
+             CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+                  WHEN llr <= -ln(19.0) THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM llr
+    ),
+    firstx AS (
+      SELECT min(day) AS d0 FROM dec WHERE decision != 'continue'
+    )
+    SELECT day, n_cum, k_cum,
+           floor(llr * 1e6) / 1e6 AS llr,
+           decision,
+           (decision != 'continue' AND day = d0) AS is_decision_day
+    FROM dec CROSS JOIN firstx ORDER BY day
+    """,
+)
+def q375_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential monitor of the conversion rate (value > 50):
+    H0 p=0.45 vs H1 p=0.55, alpha=beta=0.05 — the always-valid
+    stop-early readout a metrics platform runs DAILY instead of waiting
+    for the fixed-horizon tests (q365-q368): cross ln(19) accept H1,
+    cross -ln(19) accept H0, else keep collecting.  The corpus reduces
+    to per-day integer (n, conversions) cells; the LLR is
+    k*ln(p1/p0) + (n-k)*ln((1-p1)/(1-p0)) on exact cumulative int64
+    counts — two products and a sum per day, bit-identical cross-engine
+    (the ln convention).  First-crossing flag via min-day over the
+    bounded day axis (PLANLINT sp-allowed).  Note 1-p1 = p0 here so the
+    two log terms are symmetric — the classic balanced design."""
+    ev = load_events(spark, sf_dir)
+    d = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("k"),
+    ).groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("k").cast("bigint").alias("k_d"),
+    )
+    wc = Window.orderBy("day")
+    c = d.select(
+        "day",
+        F.sum("n_d").over(wc).cast("bigint").alias("n_cum"),
+        F.sum("k_d").over(wc).cast("bigint").alias("k_cum"),
+    )
+    llr = (
+        F.col("k_cum") * F.log(F.lit(0.55) / F.lit(0.45))
+        + (F.col("n_cum") - F.col("k_cum")) * F.log(F.lit(0.45) / F.lit(0.55))
+    )
+    a_bound = F.log(F.lit(19.0))
+    dec = c.select(
+        "day",
+        "n_cum",
+        "k_cum",
+        llr.alias("llr_raw"),
+        F.when(llr >= a_bound, F.lit("accept_h1"))
+        .when(llr <= -a_bound, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+    firstx = dec.filter(F.col("decision") != "continue").agg(
+        F.min("day").alias("d0")
+    )
+    return (
+        dec.crossJoin(F.broadcast(firstx))
+        .select(
+            "day",
+            "n_cum",
+            "k_cum",
+            (F.floor(F.col("llr_raw") * 1e6) / 1e6).alias("llr"),
+            "decision",
+            (
+                (F.col("decision") != "continue")
+                & (F.col("day") == F.col("d0"))
+            ).alias("is_decision_day"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q376: jackknife (leave-one-source-out) variance of the corpus mean
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q376_jackknife",
+    oracle="""
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(n_chars) AS BIGINT) AS s_g
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS nt, CAST(sum(s_g) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS gk
+      FROM g
+    ),
+    theta AS (
+      SELECT source, n_g,
+             CAST(st - s_g AS DOUBLE) / (nt - n_g) AS theta_i
+      FROM g CROSS JOIN tot
+    ),
+    jbar AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(theta_i ORDER BY source)),
+                         (a, b) -> a + b)
+             / (SELECT gk FROM tot) AS theta_bar
+      FROM theta
+    ),
+    var_j AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list((theta_i - theta_bar) * (theta_i - theta_bar)
+                    ORDER BY source)),
+               (a, b) -> a + b)
+             * (SELECT gk - 1 FROM tot) / (SELECT gk FROM tot) AS v
+      FROM theta CROSS JOIN jbar
+    )
+    SELECT source, n_g AS n_docs,
+           floor(theta_i * 1e6) / 1e6 AS loo_mean_chars,
+           floor((theta_i - theta_bar) * 1e6) / 1e6 AS dev_from_jack_mean,
+           floor(sqrt(v) * 1e6) / 1e6 AS jackknife_se
+    FROM theta CROSS JOIN jbar CROSS JOIN var_j
+    ORDER BY source
+    """,
+)
+def q376_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife over sources: the variance certificate
+    for q362's leave-one-out ablation — q362 reports each source's LOO
+    delta; this turns the same g leave-one-out estimates into a standard
+    error, var_jack = (g-1)/g * sum((theta_i - theta_bar)^2), the honest
+    uncertainty on the corpus mean chars-per-doc under source-level
+    dependence (documents within a crawl source are NOT iid, so the iid
+    SE lies; the grouped jackknife doesn't).  All theta_i are ratios of
+    exact int64 sums; the two cross-source folds run sorted (bounded
+    source axis) — exact-hash green.  Scale: one corpus scan to the
+    source axis, then axis-sized scalar algebra."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("n_chars").cast("bigint").alias("s_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("nt"),
+        F.sum("s_g").cast("bigint").alias("st"),
+        F.count(F.lit(1)).cast("bigint").alias("gk"),
+    )
+    theta = g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_g",
+        "gk",
+        (
+            (F.col("st") - F.col("s_g")).cast("double")
+            / (F.col("nt") - F.col("n_g"))
+        ).alias("theta_i"),
+    )
+    jbar = theta.agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("source", F.col("theta_i").alias("v"))
+                        )
+                    ),
+                    lambda s: s["v"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / F.max("gk")
+        ).alias("theta_bar")
+    )
+    dev = theta.crossJoin(F.broadcast(jbar))
+    var_j = dev.agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "source",
+                                (
+                                    (F.col("theta_i") - F.col("theta_bar"))
+                                    * (F.col("theta_i") - F.col("theta_bar"))
+                                ).alias("v"),
+                            )
+                        )
+                    ),
+                    lambda s: s["v"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            * (F.max("gk") - 1)
+            / F.max("gk")
+        ).alias("v")
+    )
+    return (
+        dev.crossJoin(F.broadcast(var_j))
+        .select(
+            "source",
+            F.col("n_g").alias("n_docs"),
+            (F.floor(F.col("theta_i") * 1e6) / 1e6).alias("loo_mean_chars"),
+            (
+                F.floor((F.col("theta_i") - F.col("theta_bar")) * 1e6) / 1e6
+            ).alias("dev_from_jack_mean"),
+            (F.floor(F.sqrt(F.col("v")) * 1e6) / 1e6).alias("jackknife_se"),
+        )
+        .orderBy("source")
+    )

@@ -66,6 +66,8 @@ SINGLE_PARTITION_ALLOW: dict[str, str] = {
     "family (~5 rows; the corpus is reduced to the group axis first)",
     "q372_changepoint_scan": "cumulative + argmax over the bounded "
     "~31-row day axis (corpus reduced to per-day integer cells first)",
+    "q375_sprt_monitor": "LLR cumulative over the bounded day axis "
+    "(corpus reduced to per-day integer cells first)",
     "q288_auc": "exact path: documented global rank; auto-degrades to the "
     "binned form above the scale.py threshold",
     "q294_rolling_uniques": "sketch union over the day axis",
