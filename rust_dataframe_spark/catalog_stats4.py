@@ -1308,3 +1308,66 @@ def q376_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q377: exact 1-Wasserstein + KS between the two arms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q377_wasserstein",
+    oracle=f"""
+    WITH v AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm,
+             {_CENTS} AS v
+      FROM events
+    ),
+    per AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(arm) AS BIGINT) AS cnt1
+      FROM v GROUP BY 1
+    ),
+    c AS (
+      SELECT v, cnt - cnt1 AS cnt0, cnt1,
+             CAST(sum(cnt - cnt1) OVER (ORDER BY v) AS BIGINT) AS cum0,
+             CAST(sum(cnt1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+             lead(v) OVER (ORDER BY v) AS next_v
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt - cnt1) AS BIGINT) AS n0,
+             CAST(sum(cnt1) AS BIGINT) AS n1
+      FROM per
+    ),
+    s AS (
+      SELECT CAST(sum(abs(cum0 * n1 - cum1 * n0)
+                       * coalesce(next_v - v, 0)) AS BIGINT) AS w1num,
+             CAST(max(abs(cum0 * n1 - cum1 * n0)) AS BIGINT) AS ksnum
+      FROM c CROSS JOIN tot
+    )
+    SELECT n0, n1,
+           floor(CAST(w1num AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1)
+                 / 100.0 * 1e6) / 1e6 AS w1,
+           floor(CAST(ksnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1)
+                 * 1e6) / 1e6 AS ks_stat
+    FROM s CROSS JOIN tot
+    """,
+)
+def q377_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact earth-mover (1-Wasserstein) distance plus the KS statistic
+    between the user-parity arms' value distributions — the
+    transport-cost member of the drift family (PSI q239 counts bin
+    moves; KS q237 takes the worst CDF gap; W1 weighs HOW FAR the mass
+    traveled, the metric that actually orders 'small shift everywhere'
+    vs 'one bin teleported').  operators/hypothesis.wasserstein_ks: on
+    the cent lattice both statistics have EXACT int64 numerators
+    (|cum0*n1 - cum1*n0|, summed times integer gaps), so no float fold
+    discipline is needed at all.  The distinct-value axis is bounded by
+    value RANGE, not corpus size; cumulatives and the next-value lookup
+    ride the two-phase global_cumsum / global_row_number primitives —
+    no single-partition window."""
+    ev = load_events(spark, sf_dir)
+    from .operators.hypothesis import wasserstein_ks
+
+    return wasserstein_ks(ev, "user_id", "value")

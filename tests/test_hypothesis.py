@@ -240,3 +240,34 @@ def test_dbscan_border_assignment_deterministic(spark):
            dbscan(df, "id", "x", "y", eps=0.05, min_pts=4).collect()}
     assert out[50]["role"] == "border"
     assert out[50]["cluster_id"] == 0
+
+
+def test_wasserstein_identical_arms_zero(spark):
+    from rust_dataframe_spark.operators.hypothesis import wasserstein_ks
+
+    rows = [(arm, float(v)) for arm in (0, 1) for v in (1, 2, 3, 7)]
+    df = spark.createDataFrame(rows, "u bigint, v double")
+    r = wasserstein_ks(df, "u", "v").collect()[0]
+    assert r["w1"] == 0.0 and r["ks_stat"] == 0.0
+
+
+def test_wasserstein_known_shift(spark):
+    """Arm 1 = arm 0 shifted by +2.0: W1 == 2.0 exactly, KS == 1 when
+    supports are disjoint."""
+    from rust_dataframe_spark.operators.hypothesis import wasserstein_ks
+
+    rows = [(0, float(v)) for v in (1, 2, 3)] + [
+        (1, float(v) + 10.0) for v in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "u bigint, v double")
+    r = wasserstein_ks(df, "u", "v").collect()[0]
+    assert r["w1"] == 10.0
+    assert r["ks_stat"] == 1.0
+    # partial overlap: arm1 = arm0 + 1 on {1,2,3} -> W1 = 1
+    rows2 = [(0, float(v)) for v in (1, 2, 3)] + [
+        (1, float(v) + 1.0) for v in (1, 2, 3)
+    ]
+    r2 = wasserstein_ks(
+        spark.createDataFrame(rows2, "u bigint, v double"), "u", "v"
+    ).collect()[0]
+    assert r2["w1"] == 1.0
