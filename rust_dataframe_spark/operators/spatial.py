@@ -117,77 +117,110 @@ def dbscan(
       cross-engine exact gate).
     * **noise** — neither; ``cluster_id`` NULL.
 
-    Returns ``(id, role, cluster_id)``.  Scale: one grid equi-join for
-    neighbors (AQE-splittable on hot cells), integer degree counts,
-    CC over the core subgraph only (edges bounded by true near-pairs,
-    the same graph LSH dedup clusters), one broadcast-friendly label
-    join back to borders.
+    Returns ``(id, role, cluster_id)``.
+
+    Scale — **coincident points collapse FIRST** (the dedup family's
+    per-distinct-content discipline): the grid join, degrees, and CC all
+    run on DISTINCT coordinates carrying an integer multiplicity, with
+    the representative id = min point id per coordinate.  Density is the
+    WEIGHTED degree (own multiplicity + neighbor multiplicities), which
+    is exactly DBSCAN's point count within eps.  This is what keeps the
+    epsilon graph bounded when the corpus carries heavy duplication:
+    n copies of a point contribute n to every neighbor's density but
+    ZERO extra edges — without the collapse, duplicated regions square
+    the edge count (measured: the 50x replicated SCALE run OOMs the CC
+    stage), with it the edge set saturates at the distinct-coordinate
+    graph.  Everything else: one grid equi-join (AQE-splittable on hot
+    cells), integer degree sums, CC over core coordinates only, one
+    join on (x, y) to expand labels back to points.
     """
+    from .cache import persist_tracked
     from .dedup import dup_clusters_star
 
-    pairs = grid_neighbor_pairs(df, id_col, x_col, y_col, radius=eps).select(
-        "id_a", "id_b"
+    coords = persist_tracked(
+        df.groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y")).agg(
+            F.min(F.col(id_col)).alias("rep"),
+            F.count(F.lit(1)).cast("bigint").alias("w"),
+        )
     )
-    from .cache import persist_tracked
-
-    pairs = persist_tracked(pairs)
+    pairs = persist_tracked(
+        grid_neighbor_pairs(
+            coords.select("rep", F.col("__x").alias("x"), F.col("__y").alias("y")),
+            "rep",
+            "x",
+            "y",
+            radius=eps,
+        ).select(F.col("id_a").alias("ra"), F.col("id_b").alias("rb"))
+    )
     sym = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        pairs.select(F.col("rb").alias("ra"), F.col("ra").alias("rb"))
     )
-    deg = sym.groupBy(F.col("id_a").alias("pid")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("nb")
+    wmap = coords.select(F.col("rep").alias("rb"), F.col("w").alias("w_nb"))
+    degw = sym.join(wmap, "rb").groupBy(F.col("ra").alias("rep")).agg(
+        F.sum("w_nb").cast("bigint").alias("nb_w")
     )
-    pts = df.select(F.col(id_col).alias("pid"))
     roles = persist_tracked(
-        pts.join(deg, "pid", "left").select(
-            "pid",
-            ((F.coalesce(F.col("nb"), F.lit(0)) + 1) >= min_pts).alias(
+        coords.join(degw, "rep", "left").select(
+            "__x",
+            "__y",
+            "rep",
+            ((F.col("w") + F.coalesce(F.col("nb_w"), F.lit(0))) >= min_pts).alias(
                 "is_core"
             ),
         )
     )
-    core_ids = roles.filter("is_core").select(F.col("pid").alias("cid"))
+    core_ids = roles.filter("is_core").select(F.col("rep").alias("cid"))
     core_edges = (
-        pairs.join(core_ids, pairs.id_a == core_ids.cid)
+        pairs.join(core_ids, pairs.ra == core_ids.cid)
         .drop("cid")
-        .join(core_ids, pairs.id_b == core_ids.cid)
+        .join(core_ids, pairs.rb == core_ids.cid)
         .drop("cid")
     )
-    comp = dup_clusters_star(core_edges, "id_a", "id_b").select(
-        F.col("doc_id").alias("pid"), "cluster_id"
+    comp = dup_clusters_star(core_edges, "ra", "rb").select(
+        F.col("doc_id").alias("rep"), "cluster_id"
     )
-    # isolated cores (density from non-core neighbors only) root themselves
+    # isolated cores (density from multiplicity / non-core neighbors only)
     core_labeled = (
         roles.filter("is_core")
-        .join(comp, "pid", "left")
+        .join(comp, "rep", "left")
         .select(
-            "pid",
-            F.coalesce(F.col("cluster_id"), F.col("pid")).alias("cluster_id"),
+            "__x",
+            "__y",
+            "rep",
+            F.coalesce(F.col("cluster_id"), F.col("rep")).alias("cluster_id"),
         )
     )
     border = (
         roles.filter(~F.col("is_core"))
-        .join(sym, roles.pid == sym.id_a)
+        .join(sym, roles.rep == sym.ra)
         .join(
             core_labeled.select(
-                F.col("pid").alias("npid"), F.col("cluster_id").alias("ncl")
+                F.col("rep").alias("rb2"), F.col("cluster_id").alias("ncl")
             ),
-            F.col("id_b") == F.col("npid"),
+            F.col("rb") == F.col("rb2"),
         )
-        .groupBy(roles.pid)
+        .groupBy("__x", "__y")
         .agg(F.min("ncl").alias("cluster_id"))
     )
     out_core = core_labeled.select(
-        "pid", F.lit("core").alias("role"), "cluster_id"
+        "__x", "__y", F.lit("core").alias("role"), "cluster_id"
     )
-    out_border = border.select("pid", F.lit("border").alias("role"), "cluster_id")
+    out_border = border.select(
+        "__x", "__y", F.lit("border").alias("role"), "cluster_id"
+    )
     out_noise = (
         roles.filter(~F.col("is_core"))
-        .join(border.select("pid"), "pid", "left_anti")
-        .select("pid", F.lit("noise").alias("role"), F.lit(None).cast("bigint").alias("cluster_id"))
+        .join(border.select("__x", "__y"), ["__x", "__y"], "left_anti")
+        .select(
+            "__x",
+            "__y",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("bigint").alias("cluster_id"),
+        )
     )
+    labels = out_core.unionByName(out_border).unionByName(out_noise)
     return (
-        out_core.unionByName(out_border)
-        .unionByName(out_noise)
-        .select(F.col("pid").alias("id"), "role", "cluster_id")
+        df.select(F.col(id_col).alias("id"), F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .join(labels, ["__x", "__y"])
+        .select("id", "role", "cluster_id")
     )
