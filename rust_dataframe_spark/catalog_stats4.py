@@ -1371,3 +1371,202 @@ def q377_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.hypothesis import wasserstein_ks
 
     return wasserstein_ks(ev, "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# q378: AMS second-frequency-moment sketch with exact-error audit
+# ---------------------------------------------------------------------------
+
+_AMS_K = 16
+
+
+def _ams_oracle() -> str:
+    signs = ", ".join(
+        f"CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#s{j}'),"
+        f" 32, 1)) AS UBIGINT) % 2 AS BIGINT) * 2 - 1 AS s{j}"
+        for j in range(_AMS_K)
+    )
+    ests = ", ".join(
+        f"CAST(sum(s{j} * f) AS BIGINT) AS z{j}" for j in range(_AMS_K)
+    )
+    sq = ", ".join(f"z{j} * z{j}" for j in range(_AMS_K))
+    return f"""
+    WITH f AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS f
+      FROM events GROUP BY 1
+    ),
+    s AS (SELECT user_id, f, {signs} FROM f),
+    z AS (
+      SELECT CAST(sum(f) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(f * f) AS BIGINT) AS f2_exact,
+             {ests}
+      FROM s
+    ),
+    m AS (
+      SELECT n_events, n_users, f2_exact,
+             list_sort([{sq}]) AS sq
+      FROM z
+    )
+    SELECT n_events, n_users, f2_exact,
+           (CAST(sq[{_AMS_K // 2}] AS DOUBLE)
+            + CAST(sq[{_AMS_K // 2 + 1}] AS DOUBLE)) / 2.0 AS f2_est,
+           floor(abs((CAST(sq[{_AMS_K // 2}] AS DOUBLE)
+                      + CAST(sq[{_AMS_K // 2 + 1}] AS DOUBLE)) / 2.0
+                     - f2_exact)
+                 / f2_exact * 1e6) / 1e6 AS rel_err
+    FROM m
+    """
+
+
+@query("q378_ams_f2_sketch", oracle=_ams_oracle())
+def q378_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch of the
+    per-user event counts, with the exact F2 computed alongside as an
+    in-query error audit — completing the sketch shelf (HLL
+    cardinality, count-min point queries q332, Misra-Gries heavy
+    hitters q340, Bloom membership q242): F2 = sum f_u^2 is the
+    self-join size / skew indicator, and the AMS estimator is its
+    mergeable one-pass form.  Each of the 16 estimators is
+    (sum_u s_j(u) * f_u)^2 with s_j the +-1 md5 coin — EXACT int64 all
+    the way (signs are ints, counts are ints), so even the median (mean
+    of the two middle order statistics, a .5-lattice value) replays
+    bit-identically; the only division is the relative-error display.
+    Scale: one groupBy to per-user counts, then a single 16-sum
+    aggregate — map-side partial, O(1) rows out; the estimator sums are
+    exactly what you'd merge across partitions/streams."""
+    ev = load_events(spark, sf_dir)
+    f = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+
+    def sign(j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"), F.lit(f"#s{j}")
+                        )
+                    ),
+                    32,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ) * 2 - 1
+
+    z = f.agg(
+        F.sum("f").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact"),
+        *[
+            F.sum(sign(j) * F.col("f")).cast("bigint").alias(f"z{j}")
+            for j in range(_AMS_K)
+        ],
+    )
+    sq = F.array_sort(
+        F.array(*[F.col(f"z{j}") * F.col(f"z{j}") for j in range(_AMS_K)])
+    )
+    est = (
+        F.element_at(sq, _AMS_K // 2).cast("double")
+        + F.element_at(sq, _AMS_K // 2 + 1).cast("double")
+    ) / 2.0
+    return z.select(
+        "n_events",
+        "n_users",
+        "f2_exact",
+        est.alias("f2_est"),
+        (
+            F.floor(
+                F.abs(est - F.col("f2_exact")) / F.col("f2_exact") * 1e6
+            )
+            / 1e6
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q379: SPRT monitor fed by a REAL streaming aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q379_stream_sprt",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k_d
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day,
+             CAST(sum(n_d) OVER (ORDER BY day) AS BIGINT) AS n_cum,
+             CAST(sum(k_d) OVER (ORDER BY day) AS BIGINT) AS k_cum
+      FROM d
+    )
+    SELECT day, n_cum, k_cum,
+           floor((k_cum * ln(0.55 / 0.45)
+                  + (n_cum - k_cum) * ln(0.45 / 0.55)) * 1e6) / 1e6 AS llr,
+           CASE WHEN k_cum * ln(0.55 / 0.45)
+                     + (n_cum - k_cum) * ln(0.45 / 0.55) >= ln(19.0)
+                THEN 'accept_h1'
+                WHEN k_cum * ln(0.55 / 0.45)
+                     + (n_cum - k_cum) * ln(0.45 / 0.55) <= -ln(19.0)
+                THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM c ORDER BY day
+    """,
+)
+def q379_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q375's SPRT monitor with its data-reduction stage executed as a
+    REAL Structured Streaming query: readStream -> watermark -> per-day
+    (trials, conversions) aggregation -> availableNow into a memory
+    sink; the LLR walk and Wald decisions then run on the bounded
+    day-axis sink output.  This is the deployment shape of sequential
+    testing — the stream maintains ONLY per-day integer cells in state
+    (bounded by the day axis, trimmed by the watermark), and the
+    O(days) decision algebra replays identically every trigger.
+    Batch parity is the oracle: the same SQL that checks q375's
+    fixed-horizon cells checks the streaming cells — exact, because
+    the state is integer counts."""
+    from .streaming import ops as st
+
+    from .catalog_rank import _stream_events
+
+    stream = _stream_events(spark, sf_dir)
+    per_day = (
+        stream.withWatermark("ts", "48 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_d"),
+            F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("k_d"),
+        )
+        .select(F.col("w.start").cast("date").alias("day"), "n_d", "k_d")
+    )
+    cells = st.run_available_now(per_day, "q379_sink")
+    wc = Window.orderBy("day")
+    c = cells.select(
+        "day",
+        F.sum("n_d").over(wc).cast("bigint").alias("n_cum"),
+        F.sum("k_d").over(wc).cast("bigint").alias("k_cum"),
+    )
+    llr = (
+        F.col("k_cum") * F.log(F.lit(0.55) / F.lit(0.45))
+        + (F.col("n_cum") - F.col("k_cum")) * F.log(F.lit(0.45) / F.lit(0.55))
+    )
+    a_bound = F.log(F.lit(19.0))
+    return c.select(
+        "day",
+        "n_cum",
+        "k_cum",
+        (F.floor(llr * 1e6) / 1e6).alias("llr"),
+        F.when(llr >= a_bound, F.lit("accept_h1"))
+        .when(llr <= -a_bound, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("day")

@@ -68,6 +68,8 @@ SINGLE_PARTITION_ALLOW: dict[str, str] = {
     "~31-row day axis (corpus reduced to per-day integer cells first)",
     "q375_sprt_monitor": "LLR cumulative over the bounded day axis "
     "(corpus reduced to per-day integer cells first)",
+    "q379_stream_sprt": "LLR cumulative over the bounded day axis "
+    "(the streaming sink already reduced the corpus to per-day cells)",
     "q288_auc": "exact path: documented global rank; auto-degrades to the "
     "binned form above the scale.py threshold",
     "q294_rolling_uniques": "sketch union over the day axis",
