@@ -1570,3 +1570,74 @@ def q379_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q380: small-file compaction planner (bin packing on the manifest)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q380_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT CAST(o_orderkey // 1000 AS BIGINT) AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT file_id, n_rows,
+             CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, file_id ASC)
+                  AS BIGINT) AS cum
+      FROM files
+    ),
+    plan AS (
+      SELECT file_id, n_rows,
+             CAST(floor((cum - n_rows) / 2000) AS BIGINT) AS bin
+      FROM c
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           floor(CAST(sum(n_rows) AS DOUBLE) / 2000 * 1e6) / 1e6
+             AS fill_ratio,
+           CAST(min(file_id) AS BIGINT) AS first_file,
+           CAST(max(file_id) AS BIGINT) AS last_file
+    FROM plan GROUP BY bin ORDER BY bin
+    """,
+)
+def q380_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (OPTIMIZE) planning: pack a file manifest
+    into rewrite bins of ~2000 rows each — the operational companion of
+    the manifest/skipping family (q220 builds the per-file stats, q304
+    does write-audit-publish; this plans the rewrite that keeps scan
+    parallelism healthy once streaming ingestion fragments a table).
+    operators/layout.compaction_plan: next-fit over (size DESC, file)
+    with the bin boundary as a floor of the GLOBAL prefix sum — the
+    prefix rides the two-phase global_cumsum, so planning a
+    million-file manifest never single-tasks.  The manifest here is
+    data-derived (orders keyspace chunks as 'files', row counts as
+    sizes) so the plan is engine-replayable; tests feed the same
+    operator the real build_manifest output.  All integers; bins
+    overflow by at most one straddling file (the Delta OPTIMIZE
+    guarantee)."""
+    from .operators.layout import compaction_plan
+
+    o = table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        (F.col("o_orderkey") / 1000).cast("bigint").alias("file_id")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    plan = compaction_plan(files, "file_id", "n_rows", target=2000)
+    return (
+        plan.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("size").cast("bigint").alias("rows_total"),
+            (
+                F.floor(F.sum("size").cast("double") / 2000 * 1e6) / 1e6
+            ).alias("fill_ratio"),
+            F.min("file").cast("bigint").alias("first_file"),
+            F.max("file").cast("bigint").alias("last_file"),
+        )
+        .orderBy("bin")
+    )

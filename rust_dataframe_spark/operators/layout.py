@@ -174,3 +174,46 @@ def compact_files(
         "files_after": int(audit["files"]),
         "rows": int(audit["rows"]),
     }
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    file_col: str,
+    size_col: str,
+    *,
+    target: int,
+) -> DataFrame:
+    """Small-file compaction planner: assign every file in a manifest to a
+    rewrite bin of roughly ``target`` size — the OPTIMIZE/bin-packing step
+    a table format runs when streaming ingestion has littered a partition
+    with kilobyte files (the #1 operational scan-killer at 100 TB: file
+    open cost dominates, scan parallelism collapses to file count).
+
+    Strategy: next-fit over the (size DESC, file ASC) order — sort-by-size
+    keeps big files from fragmenting many bins (the "decreasing" half of
+    FFD); the sequential fill is ``bin = floor(exclusive_prefix / target)``
+    on the GLOBAL prefix sum of sizes, which rides
+    :func:`training.global_cumsum` (two-phase range partitioning — the
+    planner itself never funnels the manifest through one task, so it
+    holds at millions of files).  A file straddling a boundary joins the
+    bin where it starts; bins therefore overflow by at most one file —
+    the same guarantee Delta's OPTIMIZE greedy packer gives.
+
+    Returns per-file ``(file, size, bin)``, deterministic for a given
+    manifest (ties broken on file name).  Integer arithmetic throughout.
+    """
+    from .training import global_cumsum
+
+    m = manifest.select(
+        F.col(file_col).alias("file"),
+        F.col(size_col).cast("bigint").alias("size"),
+        (-F.col(size_col)).cast("bigint").alias("__neg"),
+    )
+    c = global_cumsum(m, ["__neg", "file"], "size", out_col="__cum")
+    return c.select(
+        "file",
+        "size",
+        F.floor((F.col("__cum") - F.col("size")) / F.lit(target))
+        .cast("bigint")
+        .alias("bin"),
+    )
