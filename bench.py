@@ -113,6 +113,13 @@ HEADLINE = [
     "q339_isotonic_calibration",
     "q340_misra_gries_hh",
     "q342_jl_distortion",
+    # round-5 session-2 additions: hypothesis battery flagships, histogram
+    # GBDT, density clustering, transport drift
+    "q366_mann_whitney",
+    "q368_permutation_test",
+    "q369_boosted_stumps",
+    "q374_dbscan",
+    "q377_wasserstein",
 ]
 
 

@@ -634,3 +634,57 @@ def test_catalog_wide_plan_lint_passes(spark):
     import tools.plan_lint as pl
 
     assert pl.main() == 0
+
+
+def test_q369_boosted_stumps_single_data_pass(spark):
+    """The GBDT claim, pinned: the corpus is read into the histogram cells
+    ONCE (persisted InMemoryRelation) — both split sweeps, the residual
+    bookkeeping and the SSE reuse the cells; no per-round re-scan and no
+    CartesianProduct anywhere."""
+    from rust_dataframe_spark.operators import cache as oc
+
+    df = catalog.QUERIES["q369_boosted_stumps"](spark, SF)
+    plan = pi.physical_plan(df)
+    oc.release()
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # the persisted cell table
+
+
+def test_q374_dbscan_no_cartesian_and_collapsed_coords(spark):
+    """DBSCAN's scale claims, pinned: the epsilon join is an equi-join on
+    grid cells (no CartesianProduct / no BroadcastNestedLoopJoin over the
+    corpus), and the pipeline aggregates to DISTINCT coordinates before
+    the grid join (the coincident-point collapse that keeps the 50x
+    replicated run alive)."""
+    from rust_dataframe_spark.operators import cache as oc
+
+    df = catalog.QUERIES["q374_dbscan"](spark, SF)
+    plan = pi.physical_plan(df)
+    oc.release()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q377_wasserstein_no_single_partition_window(spark):
+    """W1/KS ride the two-phase primitives: no Window fed by an
+    Exchange SinglePartition (the distinct-value axis is range
+    partitioned; per-partition windows + driver boundary stitch)."""
+    import tools.plan_lint as pl
+    from rust_dataframe_spark.operators import cache as oc
+
+    df = catalog.QUERIES["q377_wasserstein"](spark, SF)
+    plan = pi.physical_plan(df)
+    oc.release()
+    assert not pl.window_on_single_partition(plan)
+
+
+def test_q366_mann_whitney_no_single_partition_window(spark):
+    """The global mid-rank prefix is the two-phase global_cumsum — never a
+    naive Window.orderBy over the corpus."""
+    import tools.plan_lint as pl
+    from rust_dataframe_spark.operators import cache as oc
+
+    df = catalog.QUERIES["q366_mann_whitney"](spark, SF)
+    plan = pi.physical_plan(df)
+    oc.release()
+    assert not pl.window_on_single_partition(plan)
