@@ -1641,3 +1641,256 @@ def q380_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q381: Platt scaling (3 Newton steps on calibration-bin cells)
+# ---------------------------------------------------------------------------
+
+
+def _sig(z):
+    return 1.0 / (1.0 + F.exp(-z))
+
+
+def _platt_fold(expr_alias: str, value):
+    """Ordered fold of `value` over the 10 bins (sorted by bin)."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bin", value.alias("v")))),
+            lambda s: s["v"],
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    ).alias(expr_alias)
+
+
+def _platt_newton_sql(i: int) -> str:
+    """One Newton step in DuckDB SQL: state{i} -> state{i+1}."""
+    p = f"1.0 / (1.0 + exp(-(a * x + b)))"
+    return f"""
+    g{i} AS (
+      SELECT a, b,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(n * ({p} - y) * x ORDER BY bin)), (u, v) -> u + v) AS g1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(n * ({p} - y) ORDER BY bin)), (u, v) -> u + v) AS g2,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(n * {p} * (1 - {p}) * x * x ORDER BY bin)),
+               (u, v) -> u + v) AS h11,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(n * {p} * (1 - {p}) * x ORDER BY bin)),
+               (u, v) -> u + v) AS h12,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(n * {p} * (1 - {p}) ORDER BY bin)), (u, v) -> u + v) AS h22
+      FROM cells CROSS JOIN state{i} GROUP BY a, b
+    ),
+    state{i + 1} AS (
+      SELECT a - (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12) AS a,
+             b - (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12) AS b
+      FROM g{i}
+    )"""
+
+
+def _platt_oracle() -> str:
+    steps = ",".join(_platt_newton_sql(i) for i in range(3))
+    return f"""
+    WITH scored AS (
+      SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#score'),
+                   1, 8)) AS UBIGINT) / 4294967296.0
+             + CASE WHEN value > 50.0 THEN 0.15 ELSE 0.0 END AS score,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS label
+      FROM events
+    ),
+    cells AS (
+      SELECT least(9, CAST(floor(score / 1.15 * 10) AS INT)) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos,
+             (least(9, CAST(floor(score / 1.15 * 10) AS INT)) + 0.5) / 10.0
+               * 1.15 AS x,
+             CAST(sum(label) AS DOUBLE) / count(*) AS y
+      FROM scored GROUP BY 1
+    ),
+    state0 AS (SELECT CAST(1.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b),
+    {steps}
+    SELECT bin, n, pos,
+           floor(x * 1e6) / 1e6 AS bin_center,
+           floor(y * 1e6) / 1e6 AS pos_rate,
+           floor((1.0 / (1.0 + exp(-(a * x + b)))) * 1e6) / 1e6
+             AS platt_rate,
+           floor(a * 1e6) / 1e6 AS platt_a,
+           floor(b * 1e6) / 1e6 AS platt_b
+    FROM cells CROSS JOIN state3 ORDER BY bin
+    """
+
+
+@query("q381_platt_scaling", oracle=_platt_oracle())
+def q381_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling — fit sigma(a*score + b) to the classifier's
+    calibration bins by three unrolled Newton steps — the PARAMETRIC
+    calibrator next to q339's isotonic (PAVA) and q261's reliability
+    diagram: two parameters instead of a step function, monotone by
+    construction, stable on few positives.  The distributed-training
+    pattern mirrors q369's GBDT: the corpus reduces ONCE to 10 integer
+    calibration cells (q288's md5 score fixture), and every Newton
+    iteration is gradient/Hessian folds over the SORTED bounded bin
+    axis with a 2x2 Cramer solve — a 1-row state frame joined back by
+    scalar broadcast, three lazy stages, no driver loop, no re-scan.
+    Exact-hash green: cells are integers, folds are ordered, the solve
+    is a fixed scalar dag."""
+    ev = load_events(spark, sf_dir)
+    score = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#score"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 4294967296.0
+        + F.when(F.col("value") > 50.0, 0.15).otherwise(0.0)
+    )
+    scored = ev.select(
+        score.alias("score"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("label"),
+    )
+    binc = F.least(F.lit(9), F.floor(F.col("score") / 1.15 * 10).cast("int"))
+    cells = (
+        scored.select(binc.alias("bin"), "label")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            "pos",
+            ((F.col("bin") + 0.5) / 10.0 * 1.15).alias("x"),
+            (F.col("pos").cast("double") / F.col("n")).alias("y"),
+        )
+    )
+    from .operators.cache import persist_tracked
+
+    cells = persist_tracked(cells)
+    state = cells.sparkSession.range(1).select(
+        F.lit(1.0).alias("a"), F.lit(0.0).alias("b")
+    )
+    for _ in range(3):
+        p = _sig(F.col("a") * F.col("x") + F.col("b"))
+        g = (
+            cells.crossJoin(F.broadcast(state))
+            .groupBy("a", "b")
+            .agg(
+                _platt_fold("g1", F.col("n") * (p - F.col("y")) * F.col("x")),
+                _platt_fold("g2", F.col("n") * (p - F.col("y"))),
+                _platt_fold(
+                    "h11", F.col("n") * p * (1 - p) * F.col("x") * F.col("x")
+                ),
+                _platt_fold("h12", F.col("n") * p * (1 - p) * F.col("x")),
+                _platt_fold("h22", F.col("n") * p * (1 - p)),
+            )
+        )
+        det = F.col("h11") * F.col("h22") - F.col("h12") * F.col("h12")
+        state = g.select(
+            (
+                F.col("a")
+                - (F.col("h22") * F.col("g1") - F.col("h12") * F.col("g2")) / det
+            ).alias("a"),
+            (
+                F.col("b")
+                - (F.col("h11") * F.col("g2") - F.col("h12") * F.col("g1")) / det
+            ).alias("b"),
+        )
+    fitted = _sig(F.col("a") * F.col("x") + F.col("b"))
+    return (
+        cells.crossJoin(F.broadcast(state))
+        .select(
+            "bin",
+            "n",
+            "pos",
+            (F.floor(F.col("x") * 1e6) / 1e6).alias("bin_center"),
+            (F.floor(F.col("y") * 1e6) / 1e6).alias("pos_rate"),
+            (F.floor(fitted * 1e6) / 1e6).alias("platt_rate"),
+            (F.floor(F.col("a") * 1e6) / 1e6).alias("platt_a"),
+            (F.floor(F.col("b") * 1e6) / 1e6).alias("platt_b"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q382: sample-size / power calculator from measured variance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q382_power_analysis",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({_CENTS}) AS BIGINT) AS s,
+             CAST(sum({_CENTS} * {_CENTS}) AS BIGINT) AS ss
+      FROM events
+    ),
+    sd AS (
+      SELECT n, s,
+             sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+               AS sd_c
+      FROM m
+    ),
+    grid AS (SELECT CAST(unnest([0.01, 0.02, 0.05, 0.10, 0.20]) AS DOUBLE) AS rel_effect)
+    SELECT rel_effect,
+           floor(sd_c / 100.0 * 1e6) / 1e6 AS sd_value,
+           floor(rel_effect * (CAST(s AS DOUBLE) / n) / 100.0 * 1e6) / 1e6
+             AS abs_effect,
+           CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                     * (sd_c * sd_c)
+                     / ((rel_effect * (CAST(s AS DOUBLE) / n))
+                        * (rel_effect * (CAST(s AS DOUBLE) / n))))
+                AS BIGINT) AS n_per_arm
+    FROM sd CROSS JOIN grid ORDER BY rel_effect
+    """,
+)
+def q382_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size planning from MEASURED variance: for a grid of relative
+    effect sizes, the per-arm n needed at alpha=0.05 (two-sided),
+    power=0.80 — n = 2(z_a + z_b)^2 sd^2 / delta^2 — the experiment-
+    design front door to the testing battery (q365-q368 tell you what
+    happened; this tells you how long to run the next one, with sd taken
+    from THIS corpus, not a guess).  Variance comes from exact integer
+    cent sums in one pass; the grid is a 5-row literal; z constants are
+    shared literals.  All axis-sized after one scan."""
+    ev = load_events(spark, sf_dir)
+    from .operators.hypothesis import cents
+
+    m = ev.select(cents(F.col("value")).alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+    )
+    sd_c = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    grid = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.05,), (0.10,), (0.20,)], ["rel_effect"]
+    )
+    zsum = 1.959964 + 0.841621
+    eff = F.col("rel_effect") * (F.col("s").cast("double") / F.col("n"))
+    return (
+        grid.crossJoin(F.broadcast(m))
+        .select(
+            "rel_effect",
+            (F.floor(sd_c / 100.0 * 1e6) / 1e6).alias("sd_value"),
+            (F.floor(eff / 100.0 * 1e6) / 1e6).alias("abs_effect"),
+            F.ceil(2.0 * zsum * zsum * (sd_c * sd_c) / (eff * eff))
+            .cast("bigint")
+            .alias("n_per_arm"),
+        )
+        .orderBy("rel_effect")
+    )
