@@ -1894,3 +1894,206 @@ def q382_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_effect")
     )
+
+
+# ---------------------------------------------------------------------------
+# q383: IPW + stratified ATE under planted confounding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q383_ipw_ate",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(sum({_CENTS}) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    x AS (
+      SELECT user_id, y,
+             CASE WHEN n_ev < 60 THEN 0 WHEN n_ev < 73 THEN 1 ELSE 2 END
+               AS stratum,
+             CASE WHEN n_ev < 60 THEN 0.2 WHEN n_ev < 73 THEN 0.5
+                  ELSE 0.8 END AS p
+      FROM u
+    ),
+    t AS (
+      SELECT *,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                        || '#treat'), 1, 8)) AS UBIGINT) / 4294967296.0 < p
+                  THEN 1 ELSE 0 END AS treat
+      FROM x
+    ),
+    s AS (
+      SELECT stratum, max(p) AS p,
+             CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(treat) AS BIGINT) AS nt_s,
+             CAST(sum(treat * y) AS BIGINT) AS yt_s,
+             CAST(sum((1 - treat) * y) AS BIGINT) AS yc_s
+      FROM t GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(sum(n_s) AS BIGINT) AS n,
+             CAST(sum(nt_s) AS BIGINT) AS nt,
+             CAST(sum(yt_s) AS BIGINT) AS yt,
+             CAST(sum(yc_s) AS BIGINT) AS yc,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list((CAST(n_s AS DOUBLE) / (SELECT sum(n_s) FROM s))
+                    * (CAST(yt_s AS DOUBLE) / nt_s
+                       - CAST(yc_s AS DOUBLE) / (n_s - nt_s))
+                    ORDER BY stratum)), (a, b) -> a + b) AS strat_ate_c,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(yt_s AS DOUBLE) / p ORDER BY stratum)),
+               (a, b) -> a + b) AS ipw_yt,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(nt_s AS DOUBLE) / p ORDER BY stratum)),
+               (a, b) -> a + b) AS ipw_nt,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(yc_s AS DOUBLE) / (1 - p) ORDER BY stratum)),
+               (a, b) -> a + b) AS ipw_yc,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(n_s - nt_s AS DOUBLE) / (1 - p) ORDER BY stratum)),
+               (a, b) -> a + b) AS ipw_nc
+      FROM s
+    )
+    SELECT s.stratum, s.n_s, s.nt_s,
+           floor(s.p * 1e6) / 1e6 AS propensity,
+           floor(CAST(s.yt_s AS DOUBLE) / s.nt_s / 100.0 * 1e6) / 1e6
+             AS mean_y_treated,
+           floor(CAST(s.yc_s AS DOUBLE) / (s.n_s - s.nt_s) / 100.0 * 1e6)
+             / 1e6 AS mean_y_control,
+           floor((CAST(yt AS DOUBLE) / nt - CAST(yc AS DOUBLE) / (n - nt))
+                 / 100.0 * 1e6) / 1e6 AS naive_diff,
+           floor((ipw_yt / ipw_nt - ipw_yc / ipw_nc) / 100.0 * 1e6) / 1e6
+             AS ipw_ate,
+           floor(strat_ate_c / 100.0 * 1e6) / 1e6 AS stratified_ate
+    FROM s CROSS JOIN agg ORDER BY s.stratum
+    """,
+)
+def q383_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity weighting + stratification under PLANTED
+    confounding — the observational-causal member of the experimentation
+    family (q234 CUPED and q349 DiD assume clean assignment; this is
+    what you run when assignment wasn't random): treatment probability
+    rises with user activity (0.2/0.5/0.8 by activity stratum, md5
+    coin), outcome is total user spend — so the NAIVE treated-control
+    difference is strongly positive by construction while the true
+    effect is exactly zero (treatment never touches outcomes).  The
+    readout shows naive_diff biased and both the Hajek IPW estimate
+    (known propensities) and the stratified ATE collapsing toward zero
+    — the textbook deconfounding demo, engine-replayable.  All
+    estimators are built from per-stratum exact int64 (y, n) sums with
+    sorted folds over the 3-stratum axis; one corpus scan to user
+    level, then axis-sized algebra."""
+    ev = load_events(spark, sf_dir)
+    from .operators.hypothesis import cents
+
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.sum(cents(F.col("value"))).cast("bigint").alias("y"),
+    )
+    stratum = (
+        F.when(F.col("n_ev") < 60, 0).when(F.col("n_ev") < 73, 1).otherwise(2)
+    )
+    p = (
+        F.when(F.col("n_ev") < 60, 0.2)
+        .when(F.col("n_ev") < 73, 0.5)
+        .otherwise(0.8)
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#treat"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 4294967296.0
+    )
+    t = u.select(
+        "y",
+        stratum.alias("stratum"),
+        p.alias("p"),
+        F.when(coin < p, 1).otherwise(0).alias("treat"),
+    )
+    s = t.groupBy("stratum").agg(
+        F.max("p").alias("p"),
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("treat").cast("bigint").alias("nt_s"),
+        F.sum(F.col("treat") * F.col("y")).cast("bigint").alias("yt_s"),
+        F.sum((1 - F.col("treat")) * F.col("y")).cast("bigint").alias("yc_s"),
+    )
+    from .operators.cache import persist_tracked
+
+    s = persist_tracked(s)
+
+    def fold(alias, value):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("stratum", value.alias("v")))),
+                lambda r: r["v"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias(alias)
+
+    ntot = s.agg(F.sum("n_s").cast("bigint").alias("n_all"))
+    s2 = s.crossJoin(F.broadcast(ntot))
+    agg = s2.agg(
+        F.max("n_all").alias("n"),
+        F.sum("nt_s").cast("bigint").alias("nt"),
+        F.sum("yt_s").cast("bigint").alias("yt"),
+        F.sum("yc_s").cast("bigint").alias("yc"),
+        fold(
+            "strat_ate_c",
+            (F.col("n_s").cast("double") / F.col("n_all"))
+            * (
+                F.col("yt_s").cast("double") / F.col("nt_s")
+                - F.col("yc_s").cast("double") / (F.col("n_s") - F.col("nt_s"))
+            ),
+        ),
+        fold("ipw_yt", F.col("yt_s").cast("double") / F.col("p")),
+        fold("ipw_nt", F.col("nt_s").cast("double") / F.col("p")),
+        fold("ipw_yc", F.col("yc_s").cast("double") / (1 - F.col("p"))),
+        fold(
+            "ipw_nc",
+            (F.col("n_s") - F.col("nt_s")).cast("double") / (1 - F.col("p")),
+        ),
+    )
+    naive = (
+        F.col("yt").cast("double") / F.col("nt")
+        - F.col("yc").cast("double") / (F.col("n") - F.col("nt"))
+    )
+    ipw = F.col("ipw_yt") / F.col("ipw_nt") - F.col("ipw_yc") / F.col("ipw_nc")
+    return (
+        s.crossJoin(F.broadcast(agg))
+        .select(
+            "stratum",
+            "n_s",
+            "nt_s",
+            (F.floor(F.col("p") * 1e6) / 1e6).alias("propensity"),
+            (
+                F.floor(
+                    F.col("yt_s").cast("double") / F.col("nt_s") / 100.0 * 1e6
+                )
+                / 1e6
+            ).alias("mean_y_treated"),
+            (
+                F.floor(
+                    F.col("yc_s").cast("double")
+                    / (F.col("n_s") - F.col("nt_s"))
+                    / 100.0
+                    * 1e6
+                )
+                / 1e6
+            ).alias("mean_y_control"),
+            (F.floor(naive / 100.0 * 1e6) / 1e6).alias("naive_diff"),
+            (F.floor(ipw / 100.0 * 1e6) / 1e6).alias("ipw_ate"),
+            (F.floor(F.col("strat_ate_c") / 100.0 * 1e6) / 1e6).alias(
+                "stratified_ate"
+            ),
+        )
+        .orderBy("stratum")
+    )
