@@ -513,3 +513,66 @@ def test_wav_decode_roundtrip_any_samples(samples, width, channels):
             sum(samples[i : i + 2]) // 2 for i in range(0, len(samples), 2)
         ]
         assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 300)),
+        min_size=4,
+        max_size=25,
+    ).filter(lambda xs: len({a for a, _ in xs}) == 2)
+)
+def test_wasserstein_matches_brute_force(spark, rows):
+    """wasserstein_ks == the O(n log n) single-machine W1 (sorted CDF
+    integral) and KS == max CDF gap, for any two-arm integer sample."""
+    from rust_dataframe_spark.operators.hypothesis import wasserstein_ks
+
+    df = spark.createDataFrame(
+        [(a, v / 100.0) for a, v in rows], "u bigint, v double"
+    )
+    r = wasserstein_ks(df, "u", "v").collect()[0]
+    a0 = sorted(v for a, v in rows if a == 0)
+    a1 = sorted(v for a, v in rows if a == 1)
+    xs = sorted({v for _, v in rows})
+    w1 = ks = 0.0
+    import bisect
+
+    for i, x in enumerate(xs):
+        f0 = bisect.bisect_right(a0, x) / len(a0)
+        f1 = bisect.bisect_right(a1, x) / len(a1)
+        ks = max(ks, abs(f0 - f1))
+        if i + 1 < len(xs):
+            w1 += abs(f0 - f1) * (xs[i + 1] - x)
+    assert abs(r["w1"] - w1 / 100.0) < 2e-6
+    assert abs(r["ks_stat"] - ks) < 2e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=20),
+    st.integers(100, 1000),
+)
+def test_compaction_plan_invariants(spark, sizes, target):
+    """Any manifest: every file in exactly one bin, sizes conserved, and
+    the full plan replays the next-fit prefix-floor contract.  (Bin ids
+    may legitimately SKIP when one file exceeds the target — it straddles
+    whole bins; only the exact replay below is the invariant.)"""
+    from rust_dataframe_spark.operators.layout import compaction_plan
+
+    df = spark.createDataFrame(
+        [(f"f{i:03d}", s) for i, s in enumerate(sizes)], "f string, sz bigint"
+    )
+    out = compaction_plan(df, "f", "sz", target=target).collect()
+    assert len(out) == len(sizes)
+    assert sum(r["size"] for r in out) == sum(sizes)
+    # replay next-fit on (size desc, name asc)
+    order = sorted(enumerate(sizes), key=lambda t: (-t[1], f"f{t[0]:03d}"))
+    cum = 0
+    for (i, s), r in zip(
+        order,
+        sorted(out, key=lambda r: (-r["size"], r["file"])),
+    ):
+        assert r["file"] == f"f{i:03d}"
+        assert r["bin"] == cum // target
+        cum += s
