@@ -2097,3 +2097,325 @@ def q383_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# q384: Cochran-Mantel-Haenszel stratified association test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q384_cmh_test",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type AS stratum,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1p,
+             CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np1,
+             CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 50.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n11
+      FROM events GROUP BY 1
+    ),
+    agg AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(n11 - CAST(n1p * np1 AS DOUBLE) / n ORDER BY stratum)),
+               (a, b) -> a + b) AS dev,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(n1p AS DOUBLE) * (n - n1p) * np1 * (n - np1)
+                    / (CAST(n AS DOUBLE) * n * (n - 1)) ORDER BY stratum)),
+               (a, b) -> a + b) AS var
+      FROM s
+    )
+    SELECT stratum, n, n1p, np1, n11,
+           floor(CAST(n1p * np1 AS DOUBLE) / n * 1e6) / 1e6 AS expected,
+           floor(dev * dev / var * 1e6) / 1e6 AS cmh_stat,
+           CAST(1 AS BIGINT) AS dof
+    FROM s CROSS JOIN agg ORDER BY stratum
+    """,
+)
+def q384_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test: does the user-parity arm associate
+    with conversion AFTER controlling for event type — the
+    stratified-association complement of q364 (which would confound if
+    conversion base rates differ by type) and the TEST-side companion of
+    q383's IPW estimation (same stratify-then-pool logic, continuity
+    correction omitted and documented).  Per-stratum 2x2 integer cells
+    from one scan; CMH = (sum(n11 - E_s))^2 / sum(V_s) with both
+    cross-stratum folds sorted — exact-hash green.  Scale: corpus to
+    the ~5-stratum axis in one map-side-partial pass."""
+    ev = load_events(spark, sf_dir)
+    s = ev.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1p"),
+        F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("np1"),
+        F.sum(
+            F.when((F.col("user_id") % 2 == 1) & (F.col("value") > 50.0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n11"),
+    )
+    from .operators.cache import persist_tracked
+
+    s = persist_tracked(s)
+
+    def fold(alias, value):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("stratum", value.alias("v")))
+                ),
+                lambda r: r["v"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias(alias)
+
+    e_s = (F.col("n1p") * F.col("np1")).cast("double") / F.col("n")
+    v_s = (
+        F.col("n1p").cast("double")
+        * (F.col("n") - F.col("n1p"))
+        * F.col("np1")
+        * (F.col("n") - F.col("np1"))
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    )
+    agg = s.agg(
+        fold("dev", F.col("n11") - e_s), fold("var", v_s)
+    )
+    return (
+        s.crossJoin(F.broadcast(agg))
+        .select(
+            "stratum",
+            "n",
+            "n1p",
+            "np1",
+            "n11",
+            (F.floor(e_s * 1e6) / 1e6).alias("expected"),
+            (
+                F.floor(F.col("dev") * F.col("dev") / F.col("var") * 1e6) / 1e6
+            ).alias("cmh_stat"),
+            F.lit(1).cast("bigint").alias("dof"),
+        )
+        .orderBy("stratum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q385: McNemar's paired test between two deterministic quality rules
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q385_mcnemar",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id,
+             n_chars >= 500 AS rule_len,
+             len(string_split(text, ' ')) >= 80 AS rule_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN rule_len AND rule_tok THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_pass,
+             CAST(sum(CASE WHEN NOT rule_len AND NOT rule_tok THEN 1
+                           ELSE 0 END) AS BIGINT) AS both_fail,
+             CAST(sum(CASE WHEN rule_len AND NOT rule_tok THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT rule_len AND rule_tok THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM r
+    )
+    SELECT n, both_pass, both_fail, b, c,
+           CASE WHEN b + c = 0 THEN 0.0
+                ELSE floor(CAST((b - c) * (b - c) AS DOUBLE) / (b + c) * 1e6)
+                     / 1e6 END AS mcnemar_chi2
+    FROM c
+    """,
+)
+def q385_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED binary verdicts — do two quality filters
+    (char-length vs token-count) disagree systematically on the same
+    documents?  The right test when comparing two classifiers on one
+    corpus (a two-sample chi2 ignores the pairing and loses power):
+    only the DISCORDANT counts b, c matter, chi2 = (b-c)^2/(b+c),
+    continuity correction omitted and documented.  One scan to four
+    integer cells; the statistic is a fixed dag — exact-hash green.
+    Swap in any two of the repo's deterministic classifiers (q315
+    hashed-linear, q317 bigram-LM, q355 NB) for the same readout."""
+    d = table(spark, sf_dir, "documents")
+    r = d.select(
+        (F.col("n_chars") >= 500).alias("rule_len"),
+        (F.size(F.split(F.col("text"), " ")) >= 80).alias("rule_tok"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("rule_len") & F.col("rule_tok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("both_pass"),
+        F.sum(F.when(~F.col("rule_len") & ~F.col("rule_tok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("both_fail"),
+        F.sum(F.when(F.col("rule_len") & ~F.col("rule_tok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("rule_len") & F.col("rule_tok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    stat = F.when(F.col("b") + F.col("c") == 0, F.lit(0.0)).otherwise(
+        F.floor(
+            ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c")))
+            .cast("double")
+            / (F.col("b") + F.col("c"))
+            * 1e6
+        )
+        / 1e6
+    )
+    return c.select(
+        "n", "both_pass", "both_fail", "b", "c", stat.alias("mcnemar_chi2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q386: Cohen's kappa of the stopword-vote LID against gold labels
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q386_cohens_kappa",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS uw
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+        len(list_filter(uw, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x))) AS s_en,
+        len(list_filter(uw, x -> list_contains(['der','die','das','und','ist','von','zu','mit','den','ein'], x))) AS s_de,
+        len(list_filter(uw, x -> list_contains(['le','la','les','de','et','un','une','est','pour','dans'], x))) AS s_fr,
+        len(list_filter(uw, x -> list_contains(['el','la','los','de','y','un','una','es','para','en'], x))) AS s_es,
+        len(list_filter(uw, x -> list_contains(['的','是','了','在','和','有','我','不','人','这'], x))) AS s_zh
+      FROM t
+    ), p AS (
+      SELECT lang AS gold,
+             CASE WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                  ELSE 'de' END AS pred
+      FROM s
+    ),
+    cell AS (
+      SELECT gold, pred, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN gold = pred THEN n ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM cell
+    ),
+    marg AS (
+      SELECT coalesce(g.gold, pr.pred) AS cls,
+             coalesce(g.ng, 0) AS ng, coalesce(pr.np, 0) AS np
+      FROM (SELECT gold, CAST(sum(n) AS BIGINT) AS ng FROM cell GROUP BY 1) g
+      FULL OUTER JOIN
+           (SELECT pred, CAST(sum(n) AS BIGINT) AS np FROM cell GROUP BY 1) pr
+        ON g.gold = pr.pred
+    ),
+    pe AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(ng AS DOUBLE) * np ORDER BY cls)),
+               (a, b) -> a + b) AS pe_num
+      FROM marg
+    )
+    SELECT cell.gold, cell.pred, cell.n,
+           floor(CAST(agree AS DOUBLE) / nt * 1e6) / 1e6 AS po,
+           floor(pe_num / (CAST(nt AS DOUBLE) * nt) * 1e6) / 1e6 AS pe,
+           floor((CAST(agree AS DOUBLE) / nt
+                  - pe_num / (CAST(nt AS DOUBLE) * nt))
+                 / (1 - pe_num / (CAST(nt AS DOUBLE) * nt)) * 1e6) / 1e6
+             AS kappa
+    FROM cell CROSS JOIN m CROSS JOIN pe ORDER BY gold, pred
+    """,
+)
+def q386_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the stopword-vote language classifier (q79,
+    operators/text.language_id) against the gold ``lang`` labels —
+    chance-corrected agreement, the honest upgrade of raw accuracy when
+    class priors are skewed (a majority-class guesser scores high
+    accuracy but kappa ~ 0).  The full confusion matrix rides one
+    groupBy; po is the integer agreement ratio, pe the sorted fold of
+    marginal products over the bounded class axis, kappa a fixed scalar
+    dag — exact-hash green.  Scale: one corpus scan to the k x k
+    confusion cells (k = 5 languages); marginals and folds are
+    axis-sized."""
+    from .operators import text as tx
+
+    d = table(spark, sf_dir, "documents")
+    pred = tx.language_id(d, "doc_id", "text").select(
+        "doc_id", F.col("pred_lang").alias("pred")
+    )
+    p = d.select("doc_id", F.col("lang").alias("gold")).join(pred, "doc_id")
+    cell = p.groupBy("gold", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from .operators.cache import persist_tracked
+
+    cell = persist_tracked(cell)
+    m = cell.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("gold") == F.col("pred"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    g = cell.groupBy("gold").agg(F.sum("n").cast("bigint").alias("ng"))
+    pr = cell.groupBy("pred").agg(F.sum("n").cast("bigint").alias("np"))
+    marg = (
+        g.join(pr, g.gold == pr.pred, "full")
+        .select(
+            F.coalesce(F.col("gold"), F.col("pred")).alias("cls"),
+            F.coalesce(F.col("ng"), F.lit(0)).alias("ng"),
+            F.coalesce(F.col("np"), F.lit(0)).alias("np"),
+        )
+    )
+    pe = marg.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "cls",
+                            (F.col("ng").cast("double") * F.col("np")).alias(
+                                "v"
+                            ),
+                        )
+                    )
+                ),
+                lambda r: r["v"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("pe_num")
+    )
+    po = F.col("agree").cast("double") / F.col("nt")
+    pev = F.col("pe_num") / (F.col("nt").cast("double") * F.col("nt"))
+    return (
+        cell.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            "gold",
+            "pred",
+            "n",
+            (F.floor(po * 1e6) / 1e6).alias("po"),
+            (F.floor(pev * 1e6) / 1e6).alias("pe"),
+            (F.floor((po - pev) / (1 - pev) * 1e6) / 1e6).alias("kappa"),
+        )
+        .orderBy("gold", "pred")
+    )
