@@ -33,9 +33,15 @@ _CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
 @query(
     "q364_chi2_independence",
     oracle="""
-    WITH cell AS (
+    WITH obs AS (
       SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
       FROM documents GROUP BY 1, 2
+    ),
+    cell AS (
+      SELECT da.a, db.b, CAST(coalesce(obs.n, 0) AS BIGINT) AS n
+      FROM (SELECT DISTINCT a FROM obs) da
+      CROSS JOIN (SELECT DISTINCT b FROM obs) db
+      LEFT JOIN obs ON obs.a = da.a AND obs.b = db.b
     ),
     ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS n_a FROM cell GROUP BY 1),
     cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS n_b FROM cell GROUP BY 1),
@@ -74,10 +80,12 @@ def q364_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     categorical-association audit a corpus-mixing pipeline runs before
     trusting per-source quotas (q268's mixture weights assume the
     answer).  operators/hypothesis.chi2_independence: one groupBy to the
-    bounded lang x source cell axis, marginals broadcast back, the chi2
-    sum an ordered fold over the sorted cell list — integer counts make
-    expected/contrib bit-identical cross-engine.  Scale: corpus scan is
-    one map-side-partial count; everything after is axis-sized."""
+    bounded lang x source cell axis DENSIFIED to the full ka x kb grid
+    (zero-count cells contribute exactly E — Pearson chi2 is understated
+    without them), marginals broadcast back, the chi2 sum an ordered fold
+    over the sorted cell list — integer counts make expected/contrib
+    bit-identical cross-engine.  Scale: corpus scan is one
+    map-side-partial count; everything after is axis-sized."""
     from .operators.hypothesis import chi2_independence
 
     d = table(spark, sf_dir, "documents")
@@ -244,8 +252,18 @@ _BH_ALPHA = 0.2
              m
       FROM g CROSS JOIN tot
     ),
+    xt AS (
+      SELECT grp, n_g, z, m,
+             abs(z) / sqrt(2.0) AS x,
+             1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+      FROM z
+    ),
     p AS (
-      SELECT grp, n_g, z, m, exp(-z * z / 2) AS p FROM z
+      SELECT grp, n_g, z, m,
+             t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                 + t * (-1.453152027 + t * 1.061405429)))) * exp(-x * x)
+               AS p
+      FROM xt
     ),
     ranked AS (
       SELECT grp, n_g, z, m, p,
@@ -261,7 +279,7 @@ _BH_ALPHA = 0.2
     )
     SELECT grp, n_g AS n,
            floor(z * 1e6) / 1e6 AS z_score,
-           floor(p * 1e6) / 1e6 AS p_surrogate,
+           floor(p * 1e6) / 1e6 AS p_value,
            rnk AS p_rank,
            floor(rnk * {_BH_ALPHA} / m * 1e6) / 1e6 AS bh_critical,
            rnk <= k_max AS rejected
@@ -272,13 +290,16 @@ def q367_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg FDR control over the family of per-event-type
     mean-shift tests — the multiplicity step every metrics platform needs
     once it tests more than one hypothesis per release.  One z-score per
-    event type (exact integer cent sums; pooled sd), a documented
-    MONOTONE p-SURROGATE exp(-z^2/2) (rank-faithful to the true normal
-    tail, which neither engine exposes as a builtin erfc — only ORDER
-    matters to BH), then the step-up rule p_(i) <= i/m * alpha with all
-    i <= k_max rejected.  The ranking window runs on the bounded
-    event-type axis (~5 rows — PLANLINT sp-allowed).  Scale: one scan to
-    the group axis; everything after is axis-sized."""
+    event type (exact integer cent sums; pooled sd), the TRUE two-sided
+    normal p-value p = erfc(|z|/sqrt(2)) computed via the
+    Abramowitz-Stegun 7.1.26 rational approximation (max abs error
+    1.5e-7 — far below any BH threshold gap here, so the alpha=0.2 level
+    is meaningful; neither engine exposes a builtin erfc, and the
+    identical scalar dag keeps the exact-hash gate), then the step-up
+    rule p_(i) <= i/m * alpha with all i <= k_max rejected.  The ranking
+    window runs on the bounded event-type axis (~5 rows — PLANLINT
+    sp-allowed).  Scale: one scan to the group axis; everything after is
+    axis-sized."""
     ev = load_events(spark, sf_dir)
     from .operators.hypothesis import cents
 
@@ -309,7 +330,28 @@ def q367_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     zs = g.crossJoin(F.broadcast(tot)).select(
         "grp", "n_g", z.alias("z"), F.col("m")
     )
-    p = zs.select("grp", "n_g", "z", "m", F.exp(-F.col("z") * F.col("z") / 2).alias("p"))
+    # true two-sided normal tail: p = erfc(|z|/sqrt(2)), A&S 7.1.26
+    # (identical scalar dag to the DuckDB oracle — one exp, rest IEEE
+    # add/mul/div, so the exact-hash gate still holds)
+    x = F.abs(F.col("z")) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    erfc = (
+        t
+        * (
+            F.lit(0.254829592)
+            + t
+            * (
+                F.lit(-0.284496736)
+                + t
+                * (
+                    F.lit(1.421413741)
+                    + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+                )
+            )
+        )
+        * F.exp(-x * x)
+    )
+    p = zs.select("grp", "n_g", "z", "m", erfc.alias("p"))
     w = Window.orderBy("p", "grp")
     ranked = p.withColumn("rnk", F.row_number().over(w).cast("bigint"))
     flagged = ranked.withColumn(
@@ -326,7 +368,7 @@ def q367_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grp",
             F.col("n_g").alias("n"),
             (F.floor(F.col("z") * 1e6) / 1e6).alias("z_score"),
-            (F.floor(F.col("p") * 1e6) / 1e6).alias("p_surrogate"),
+            (F.floor(F.col("p") * 1e6) / 1e6).alias("p_value"),
             F.col("rnk").alias("p_rank"),
             (F.floor(F.col("rnk") * _BH_ALPHA / F.col("m") * 1e6) / 1e6).alias(
                 "bh_critical"
@@ -379,15 +421,19 @@ def _perm_oracle() -> str:
     ),
     rep_stat AS (
       SELECT replica,
-             abs(CAST(ps1 AS DOUBLE) / pn1
-                 - CAST(ps - ps1 AS DOUBLE) / (pn - pn1)) AS t
+             (pn1 = 0 OR pn1 = pn) AS degenerate,
+             CASE WHEN pn1 > 0 AND pn1 < pn
+                  THEN abs(CAST(ps1 AS DOUBLE) / pn1
+                           - CAST(ps - ps1 AS DOUBLE) / (pn - pn1))
+             END AS t
       FROM per_rep
     ),
     tail AS (
       SELECT CAST(count(*) AS BIGINT) AS r,
-             CAST(sum(CASE WHEN t >= (SELECT abs(CAST(s1 AS DOUBLE) / n1
-                                          - CAST(s_all - s1 AS DOUBLE)
-                                            / (n_all - n1)) FROM obs)
+             CAST(sum(CASE WHEN degenerate
+                           OR t >= (SELECT abs(CAST(s1 AS DOUBLE) / n1
+                                        - CAST(s_all - s1 AS DOUBLE)
+                                          / (n_all - n1)) FROM obs)
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
       FROM rep_stat
     )
@@ -405,16 +451,21 @@ def _perm_oracle() -> str:
 
 @query("q368_permutation_test", oracle=_perm_oracle())
 def q368_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Design-based permutation test of the user-parity arm difference in
-    mean event value — the assumption-free companion of q366's rank test
-    and q227's bootstrap: relabel arms under H0, recompute the statistic,
-    read the tail.  operators/hypothesis.permutation_test: replica b's
-    labels are the low md5 bit of (event_id, b) — deterministic,
-    replayable, exchangeable under H0; each replica statistic is a ratio
-    of exact int64 cent sums, so tail comparisons are bit-deterministic
-    and the p-value is the exact rational (1 + #extreme)/(R + 1).
-    Scale: one explode to R=24 replicas combining map-side into R x 2
-    groups — shuffle payload O(R), not O(rows x R)."""
+    """Design-based BERNOULLI RANDOMIZATION test of the user-parity arm
+    difference in mean event value — the assumption-free companion of
+    q366's rank test and q227's bootstrap: relabel arms under H0,
+    recompute the statistic, read the tail.
+    operators/hypothesis.permutation_test: replica b's labels are the
+    low md5 bit of (event_id, b) — an independent fair coin per row
+    (iid-assignment null, Binomial(n, 1/2) arm sizes — the null a
+    hash-split design actually draws from; NOT a fixed-margin label
+    permutation), deterministic and replayable; a degenerate one-arm
+    replica counts as extreme (conservative).  Each replica statistic is
+    a ratio of exact int64 cent sums, so tail comparisons are
+    bit-deterministic and the p-value is the exact rational
+    (1 + #extreme)/(R + 1).  Scale: one explode to R=24 replicas
+    combining map-side into R x 2 groups — shuffle payload O(R), not
+    O(rows x R)."""
     from .operators.hypothesis import permutation_test
 
     ev = load_events(spark, sf_dir)

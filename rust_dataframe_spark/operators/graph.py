@@ -358,13 +358,31 @@ def label_propagation(
     plateaus in ~5 rounds on power-law graphs; it need not converge —
     the fixed-round answer is the contract).
 
+    Node ids must be NUMERIC: the (cnt DESC, label ASC) tie-break rides a
+    single struct-max whose second field is the NEGATED label, which only
+    orders correctly for numeric keys — a non-numeric id column raises
+    ``TypeError`` up front (hash string ids to int64 first, e.g.
+    ``xxhash64``).  The node set is derived from the edge list, so every
+    edge endpoint gets a label each round (a node whose neighbors tie
+    plurality with its own old label resolves by smallest label);
+    zero-degree nodes do not appear in the edge list and are absent from
+    the output — callers wanting them union the isolated set back with
+    ``label = node``.
+
     Scale per round: one edge-by-label equi-join (edges hash-partitioned by
     ``src`` once, persisted, reused every round — only the O(nodes) label
     table moves), one (node,label)-keyed count aggregate (map-side
-    partial), one max_by per node.  Isolated nodes never appear in the
-    symmetrized edge list and keep their own label via the left join.
-    Lineage is truncated on the ``pagerank`` cadence.
+    partial), one max_by per node.  Lineage is truncated on the
+    ``pagerank`` cadence.
     """
+    _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    src_type = dict(edges.dtypes)[src]
+    if not (src_type in _NUMERIC or src_type.startswith("decimal")):
+        raise TypeError(
+            f"label_propagation needs numeric node ids (the negated-label "
+            f"plurality tie-break does not order strings); got {src}: "
+            f"{src_type} — hash to int64 first (e.g. F.xxhash64)."
+        )
     sym = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .unionByName(

@@ -67,20 +67,35 @@ def chi2_independence(
     """Pearson chi-squared test of independence between two bounded
     categorical columns.
 
-    Returns one row per observed (a, b) cell: ``n`` observed, ``expected``
-    = row_total*col_total/N, ``contrib`` = (O-E)^2/E, plus the table-wide
-    ``chi2`` statistic and ``dof`` attached to every row.
+    Returns one row per cell of the DENSE ka x kb grid (distinct-a cross
+    distinct-b — zero-count cells included, their contribution is exactly
+    ``E``): ``n`` observed, ``expected`` = row_total*col_total/N,
+    ``contrib`` = (O-E)^2/E, plus the table-wide ``chi2`` statistic and
+    ``dof`` attached to every row.  Densification matters: Pearson chi2
+    sums (O-E)^2/E over EVERY grid cell, so dropping absent (a, b)
+    combinations would understate the statistic whenever a combination
+    never co-occurs.
 
     Exactness: totals are int64; ``expected`` and ``contrib`` are fixed
     scalar dags on those ints; the chi2 SUM folds the bounded cell axis in
     (a, b)-sorted order, so both engines walk the identical IEEE path.
 
-    Scale: one groupBy over the fact table to the cell axis; marginals are
-    axis-sized broadcasts; the fold runs on a collected axis-bounded array
-    (|a|x|b| cells, NOT corpus rows)."""
-    cell = df.groupBy(
+    Scale: one groupBy over the fact table to the cell axis; the dense
+    grid is an axis-cross-axis broadcast (|a|x|b| cells, NOT corpus rows);
+    marginals are axis-sized broadcasts; the fold runs on a collected
+    axis-bounded array."""
+    obs = df.groupBy(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cell = (
+        obs.select("a")
+        .distinct()
+        .crossJoin(F.broadcast(obs.select("b").distinct()))
+        .join(obs, ["a", "b"], "left")
+        .select(
+            "a", "b", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+        )
+    )
     ra = cell.groupBy("a").agg(F.sum("n").cast("bigint").alias("n_a"))
     cb = cell.groupBy("b").agg(F.sum("n").cast("bigint").alias("n_b"))
     tot = cell.agg(
@@ -272,12 +287,23 @@ def permutation_test(
     *,
     replicas: int = 24,
 ) -> DataFrame:
-    """Design-based permutation test of the two-arm mean difference with
-    deterministic md5 label reassignment (the q227 coin discipline:
-    replayable per (row, replica), no RNG state, no global pass).
+    """Design-based BERNOULLI RANDOMIZATION test of the two-arm mean
+    difference with deterministic md5 label reassignment (the q227 coin
+    discipline: replayable per (row, replica), no RNG state, no global
+    pass).
 
-    Replica b flips each row's arm to the low bit of
-    ``md5(id || '#perm' || b)`` — an exchangeable relabeling under H0.
+    NOTE on the null: replica b flips each row's arm to the low bit of
+    ``md5(id || '#perm' || b)`` — an INDEPENDENT fair coin per row, so
+    replica arm sizes are Binomial(n, 1/2) rather than fixed at the
+    observed (n0, n1).  This is a randomization test under an
+    iid-assignment null (the design actually used by hash-based traffic
+    splits, q94), NOT a label permutation with fixed margins; for
+    moderate n the two nulls give near-identical tails, and the iid form
+    needs no global shuffle.  A degenerate replica (all rows land in one
+    arm — probability 2^-(n-1), only material on tiny inputs) has no
+    defined mean difference and is counted AS EXTREME, the conservative
+    choice, so degenerate replicas can never shrink the tail count.
+
     The statistic |mean1 - mean0| is a ratio of EXACT int64 cent sums per
     replica, so every comparison against the observed statistic is
     bit-deterministic, and the p-value is the exact rational
@@ -349,17 +375,27 @@ def permutation_test(
     )
     rep_stat = per_rep.select(
         "replica",
-        F.abs(
-            F.col("ps1").cast("double") / F.col("pn1")
-            - (F.col("ps") - F.col("ps1")).cast("double")
-            / (F.col("pn") - F.col("pn1"))
+        ((F.col("pn1") == 0) | (F.col("pn1") == F.col("pn"))).alias("degenerate"),
+        F.when(
+            (F.col("pn1") > 0) & (F.col("pn1") < F.col("pn")),
+            F.abs(
+                F.col("ps1").cast("double") / F.col("pn1")
+                - (F.col("ps") - F.col("ps1")).cast("double")
+                / (F.col("pn") - F.col("pn1"))
+            ),
         ).alias("t"),
     )
+    # degenerate replicas count as extreme (conservative): a one-arm
+    # replica has no defined statistic and must not shrink the tail
     tail = (
         rep_stat.crossJoin(F.broadcast(obs_w.select(d_obs.alias("t_obs"))))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("r"),
-            F.sum(F.when(F.col("t") >= F.col("t_obs"), 1).otherwise(0))
+            F.sum(
+                F.when(
+                    F.col("degenerate") | (F.col("t") >= F.col("t_obs")), 1
+                ).otherwise(0)
+            )
             .cast("bigint")
             .alias("n_ge"),
         )

@@ -111,8 +111,9 @@ def dbscan(
 
     * **core**  — at least ``min_pts`` points within eps (self included);
       carries ``cluster_id`` = min core id of its component.
-    * **border** — non-core with >= 1 core neighbor; joins its MINIMUM
-      core neighbor's cluster (deterministic tie-break — plain DBSCAN
+    * **border** — non-core with >= 1 core neighbor; takes the MINIMUM
+      CLUSTER ID over its core neighbors' clusters (a deterministic
+      tie-break — NOT "the cluster of the min-id neighbor"; plain DBSCAN
       leaves border assignment order-dependent, which would break the
       cross-engine exact gate).
     * **noise** — neither; ``cluster_id`` NULL.

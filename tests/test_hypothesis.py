@@ -52,6 +52,37 @@ def test_chi2_matches_textbook_formula(spark):
     assert all(r["dof"] == 2 for r in out)
 
 
+def test_chi2_empty_cell_contributes_expected(spark):
+    """A never-observed (a, b) combination must still appear in the dense
+    grid with n=0 and contrib == expected — Pearson chi2 sums (0-E)^2/E = E
+    over empty cells, so omitting them understates the statistic."""
+    from rust_dataframe_spark.operators.hypothesis import chi2_independence
+
+    # (x,u) x3, (x,v) x1, (y,u) x2 — (y,v) never observed
+    rows = [("x", "u")] * 3 + [("x", "v")] + [("y", "u")] * 2
+    df = spark.createDataFrame(rows, "a0 string, b0 string")
+    out = {(r["a"], r["b"]): r for r in chi2_independence(df, "a0", "b0").collect()}
+    assert set(out) == {("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")}
+    empty = out[("y", "v")]
+    assert empty["n"] == 0
+    e_yv = 2 * 1 / 6  # row_total(y)=2, col_total(v)=1, N=6
+    assert empty["expected"] == math.floor(e_yv * 1e6) / 1e6
+    assert empty["contrib"] == empty["expected"]  # (0-E)^2/E = E
+    # full-grid replay
+    ra = {"x": 4, "y": 2}
+    cb = {"u": 5, "v": 1}
+    chi2 = 0.0
+    from collections import Counter
+
+    cells = Counter(rows)
+    for a in ("x", "y"):
+        for b in ("u", "v"):
+            e = ra[a] * cb[b] / 6
+            chi2 += (cells.get((a, b), 0) - e) ** 2 / e
+    want = math.floor(chi2 * 1e6) / 1e6
+    assert all(r["chi2"] == want for r in out.values())
+
+
 def test_anova_equal_groups_f_zero(spark):
     """Identical group distributions with equal means: SSB = 0 so F = 0."""
     from rust_dataframe_spark.operators.hypothesis import anova_oneway
