@@ -123,6 +123,39 @@ HEADLINE = [
 ]
 
 
+def _other_spark_jvms() -> int:
+    """Count Spark JVMs on this machine that do NOT belong to this bench
+    process (solo-guard, VERDICT r5 #7): two rounds running, the driver's
+    single-pass bench recorded 1.5-2x spikes on queries whose clean-room
+    medians improved — contention from the audit suite sharing the box.
+    Recording the contention state INTO the JSON makes a noisy record
+    self-describing instead of a silent outlier.
+
+    Implementation: procfs scan for java processes with spark on the
+    command line whose parent is not us (our own local[N] JVM is a direct
+    child).  Best-effort — any procfs error counts zero."""
+    me = os.getpid()
+    n = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ")
+                if b"java" not in cmd or b"spark" not in cmd.lower():
+                    continue
+                with open(f"/proc/{pid}/stat") as f:
+                    ppid = int(f.read().split(")")[-1].split()[1])
+                if ppid != me:
+                    n += 1
+            except OSError:
+                continue
+    except OSError:
+        pass
+    return n
+
+
 def main() -> None:
     reps = 1
     if "--reps" in sys.argv:
@@ -135,6 +168,7 @@ def main() -> None:
             raise SystemExit(f"usage: --reps <int> (got {sys.argv[i+1]!r})") from None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    jvms_before = _other_spark_jvms()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -175,6 +209,9 @@ def main() -> None:
     }
     if reps > 1:
         out["reps"] = reps
+    jvms_after = _other_spark_jvms()
+    out["other_spark_jvms"] = max(jvms_before, jvms_after)
+    out["contended"] = out["other_spark_jvms"] > 0
     print(json.dumps(out))
 
 
