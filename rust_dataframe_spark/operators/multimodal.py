@@ -6,15 +6,17 @@ partition by a content-addressable key, and run decode / feature-extraction /
 resize / frame-sampling as Arrow-batched Pandas UDFs over ``mapInPandas`` —
 the bytes never round-trip through Python row objects, only Arrow buffers.
 
-Decode policy (updated round 5): baseline PNGs (8-bit gray/RGB/RGBA,
+Decode policy (updated round 6): baseline PNGs (8-bit gray/RGB/RGBA,
 non-interlaced) decode FOR REAL via the pure-stdlib codec in
-:mod:`operators.png` — ``decode_image``, ``resize_images(fake_decode=
-False)``, and ``extract_dhash`` all run on actual pixels with no PIL.
-PCM audio (RIFF/WAVE) decodes via the stdlib ``wave`` module
-(:func:`decode_wav`), and animated GIFs decode via the pure-stdlib LZW
-codec in :mod:`operators.gif` (``sample_frames(fake_decode=False)``).
-Formats that genuinely need image/video libraries absent from this
-container (JPEG, MP4/WebM) keep the documented stub: raise
+:mod:`operators.png`, and baseline sequential JPEGs (SOF0, 8-bit,
+gray/YCbCr, 4:4:4/4:2:2/4:2:0) via :mod:`operators.jpeg` —
+``decode_image``, ``resize_images(fake_decode=False)``, and
+``extract_dhash`` all run on actual pixels with no PIL.  PCM audio
+(RIFF/WAVE) decodes via the stdlib ``wave`` module (:func:`decode_wav`),
+and animated GIFs decode via the pure-stdlib LZW codec in
+:mod:`operators.gif` (``sample_frames(fake_decode=False)``).  Formats
+that genuinely need media libraries absent from this container
+(progressive JPEG, MP3/OGG, MP4/WebM) keep the documented stub: raise
 NotImplementedError, or with ``fake=True`` a clearly-marked deterministic
 fake derives "features" from the bytes.  Everything around the decode —
 schema, batch iteration, UDF signature, partitioning — is identical on
@@ -83,14 +85,15 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    REAL path: baseline PNGs (8-bit gray/RGB/RGBA, non-interlaced) decode
-    for real via the pure-stdlib codec in :mod:`operators.png` — no PIL
-    needed.  Payloads outside that subset (JPEG, 16-bit/interlaced PNG, or
-    the synthetic text-derived payloads the test tables use) fall back to
-    the documented deterministic fake when ``fake=True``, else raise —
-    PIL/opencv would be needed for those formats and are absent in this
-    container.
+    REAL paths: baseline PNGs (8-bit gray/RGB/RGBA, non-interlaced) via
+    the pure-stdlib codec in :mod:`operators.png`, and baseline
+    sequential JPEGs (SOF0, 8-bit, 4:4:4/4:2:2/4:2:0) via
+    :mod:`operators.jpeg` — no PIL needed.  Payloads outside those
+    subsets (progressive JPEG, 16-bit/interlaced PNG, or the synthetic
+    text-derived payloads the test tables use) fall back to the
+    documented deterministic fake when ``fake=True``, else raise.
     """
+    from .jpeg import JpegError, decode_jpeg, is_jpeg
     from .png import PngError, decode_png, is_png
 
     if is_png(bytes(payload[:8])):
@@ -100,10 +103,17 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
         except PngError:
             if not fake:
                 raise
+    elif is_jpeg(bytes(payload[:2])):
+        try:
+            w, h, _ch, _px = decode_jpeg(payload)
+            return w, h
+        except JpegError:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
-            "non-PNG image decoding requires PIL/opencv; not available in "
-            "this environment (baseline PNG decodes for real)"
+            "image decoding beyond baseline PNG/JPEG requires PIL/opencv; "
+            "not available in this environment"
         )
     n = len(payload)
     return (n % 1920) + 1, (n % 1080) + 1
@@ -205,20 +215,31 @@ DHASH_SCHEMA = StructType(
 
 
 def extract_dhash(mm_df: DataFrame) -> DataFrame:
-    """REAL perceptual dHash over PNG payloads — Arrow-batched mapInPandas
-    running the pure-stdlib decode (operators/png.dhash_bands_real) on each
-    payload, emitting the same four 16-bit bands as the codegen stand-in
-    :func:`dhash_bands`, so the banded-candidate + Hamming-verify pipeline
-    (q225's shape) runs unchanged on real pixels.  Decoding happens on
+    """REAL perceptual dHash over PNG *or JPEG* payloads — Arrow-batched
+    mapInPandas dispatching per payload on container magic to the
+    pure-stdlib decoder (operators/png or operators/jpeg), emitting the
+    same four 16-bit bands as the codegen stand-in :func:`dhash_bands`,
+    so the banded-candidate + Hamming-verify pipeline (q225's shape) runs
+    unchanged on real pixels of either container.  Decoding happens on
     executors; the driver never sees a pixel."""
 
     def _dh(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from rust_dataframe_spark.operators.png import dhash_bands_real
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg, is_jpeg
+        from rust_dataframe_spark.operators.png import (
+            dhash_bands_real,
+            gray_9x8,
+            pack_dhash_bands,
+        )
+
+        def one(p: bytes):
+            if is_jpeg(p[:2]):
+                return pack_dhash_bands(gray_9x8(*decode_jpeg(p)))
+            return dhash_bands_real(p)
 
         for pdf in batches:
-            bands = [dhash_bands_real(bytes(p)) for p in pdf["payload"]]
+            bands = [one(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -26,7 +26,14 @@ from __future__ import annotations
 import struct
 import zlib
 
-__all__ = ["PngError", "decode_png", "encode_png", "gray_9x8", "dhash_bands_real"]
+__all__ = [
+    "PngError",
+    "decode_png",
+    "encode_png",
+    "gray_9x8",
+    "pack_dhash_bands",
+    "dhash_bands_real",
+]
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # samples per pixel by PNG color type
@@ -179,13 +186,11 @@ def gray_9x8(width: int, height: int, channels: int, pixels: bytes) -> list[int]
     return grid
 
 
-def dhash_bands_real(payload: bytes) -> tuple[int, int, int, int]:
-    """Real-pixel dHash of a PNG payload as four 16-bit bands — the same
-    band-packing contract as ``multimodal.dhash_bands`` (bit l of band b
-    compares grid pixel (2b + l//8, l%8) with its right neighbor), so the
-    banded-candidate + Hamming-verify pipeline downstream is unchanged when
-    this replaces the md5 stand-in."""
-    grid = gray_9x8(*decode_png(payload))
+def pack_dhash_bands(grid: list[int]) -> tuple[int, int, int, int]:
+    """Pack a 9x8 grayscale grid into four 16-bit dHash bands — the
+    band-packing contract shared with ``multimodal.dhash_bands`` (bit l of
+    band b compares grid pixel (2b + l//8, l%8) with its right neighbor),
+    decoder-agnostic so the PNG and JPEG real paths emit identical shapes."""
     bands = []
     for b in range(4):
         val = 0
@@ -195,3 +200,10 @@ def dhash_bands_real(payload: bytes) -> tuple[int, int, int, int]:
                 val |= 1 << l
         bands.append(val)
     return tuple(bands)
+
+
+def dhash_bands_real(payload: bytes) -> tuple[int, int, int, int]:
+    """Real-pixel dHash of a PNG payload as four 16-bit bands, so the
+    banded-candidate + Hamming-verify pipeline downstream is unchanged when
+    this replaces the md5 stand-in."""
+    return pack_dhash_bands(gray_9x8(*decode_png(payload)))

@@ -1814,3 +1814,126 @@ def test_multinomial_nb_lid_accuracy_on_fixture(spark):
     # separable-classes unit above pins the algorithm itself)
     assert agg["n"] > 0
     assert agg["ok"] / agg["n"] > 0.25
+
+
+class TestJpegReal:
+    """Round 6: real baseline-JPEG decode end-to-end, no PIL — the
+    pure-stdlib codec (operators/jpeg.py) wired as decode_image's and
+    extract_dhash's non-fake path, closing the last image fake-decode
+    surface (progressive/12-bit/CMYK still raise and fall to the fake)."""
+
+    def test_block_constant_gray_roundtrips_exactly(self):
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        w, h = 24, 16
+        px = bytes(
+            (7 + 17 * (x // 8) + 29 * (y // 8)) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        assert decode_jpeg(encode_jpeg(w, h, px, channels=1)) == (w, h, 1, px)
+
+    def test_gradient_gray_quant1_is_near_lossless(self):
+        # non-constant content exercises the AC run/size path; with the
+        # all-ones quant table the only error is coefficient rounding,
+        # bounded well under 2 gray levels
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        w, h = 40, 24
+        px = bytes((3 * x + 5 * y) % 256 for y in range(h) for x in range(w))
+        _, _, _, out = decode_jpeg(encode_jpeg(w, h, px, channels=1))
+        assert max(abs(a - b) for a, b in zip(out, px)) <= 2
+
+    def test_rgb_444_and_420_roundtrip_smooth(self):
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        w, h = 24, 16
+        px = bytes(
+            min(255, 40 + 3 * x + 2 * y + 20 * c)
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        ww, hh, ch, out = decode_jpeg(encode_jpeg(w, h, px, channels=3))
+        assert (ww, hh, ch) == (w, h, 3)
+        assert max(abs(a - b) for a, b in zip(out, px)) <= 2
+        ww, hh, ch, out = decode_jpeg(
+            encode_jpeg(w, h, px, channels=3, subsample=True)
+        )
+        assert (ww, hh, ch) == (w, h, 3)
+        # 4:2:0 adds chroma averaging error on smooth content, still tight
+        assert max(abs(a - b) for a, b in zip(out, px)) <= 4
+
+    def test_odd_dims_pad_and_coarse_quant(self):
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        px = bytes((x + y) % 256 for y in range(13) for x in range(11))
+        ww, hh, _ch, out = decode_jpeg(encode_jpeg(11, 13, px, quant=8))
+        assert (ww, hh) == (11, 13)
+        assert max(abs(a - b) for a, b in zip(out, px)) <= 8
+
+    def test_rejects_corrupt_and_exotic(self):
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators.jpeg import (
+            JpegError,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        with _pytest.raises(JpegError):
+            decode_jpeg(b"\x89PNG\r\n\x1a\n not a jpeg")
+        good = encode_jpeg(8, 8, bytes(64))
+        with _pytest.raises(JpegError):
+            decode_jpeg(good[:20])  # truncated mid-segment
+        progressive = bytearray(good)
+        sof_at = progressive.find(b"\xff\xc0")
+        progressive[sof_at + 1] = 0xC2  # flip SOF0 -> SOF2
+        with _pytest.raises(JpegError):
+            decode_jpeg(bytes(progressive))
+
+    def test_decode_image_and_dhash_dispatch_jpeg(self, spark):
+        """Real-bytes dHash over JPEG payloads through the full Spark
+        pipeline: two visually-identical JPEGs share all four bands; a
+        very different image does not share all of them."""
+        from pyspark.sql.types import (
+            BinaryType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from rust_dataframe_spark.operators.jpeg import encode_jpeg
+        from rust_dataframe_spark.operators.multimodal import (
+            decode_image,
+            extract_dhash,
+        )
+
+        w, h = 32, 32
+        smooth = bytes(
+            min(255, 30 + 4 * x + 2 * y) for y in range(h) for x in range(w)
+        )
+        # same image, one gray level brighter: dHash (a difference hash)
+        # is invariant to the constant offset
+        smooth2 = bytes(min(255, v + 1) for v in smooth)
+        inverted = bytes(255 - v for v in smooth)
+        pays = [
+            encode_jpeg(w, h, smooth),
+            encode_jpeg(w, h, smooth2),
+            encode_jpeg(w, h, inverted),
+        ]
+        assert decode_image(pays[0]) == (w, h)
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(pays)],
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+        rows = {r["doc_id"]: r for r in extract_dhash(df).collect()}
+        same = sum(rows[0][f"d{b}"] == rows[1][f"d{b}"] for b in range(4))
+        diff = sum(rows[0][f"d{b}"] == rows[2][f"d{b}"] for b in range(4))
+        assert same == 4
+        assert diff < 4
