@@ -80,3 +80,100 @@ def q387_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         gen_and_decode, "doc_id bigint, width int, height int, px_sum bigint"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q388: metadata-filtered IVF ANN with measured filtered-recall certificate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q388_filtered_ann",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid,
+                 list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS cvn
+          FROM e WHERE vec_id < 8),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM e
+          WHERE vec_id BETWEEN 100 AND 105),
+    f AS (SELECT vec_id, emb FROM e WHERE label = 1),
+    sims AS (SELECT f.vec_id, c.cid, f.emb,
+                    row_number() OVER (PARTITION BY f.vec_id ORDER BY
+                        list_dot_product(emb, cvn) DESC, c.cid ASC) AS rn
+             FROM f CROSS JOIN c),
+    assign AS (SELECT vec_id, cid AS cell, emb FROM sims WHERE rn = 1),
+    pr AS (SELECT q.query_id, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.query_id ORDER BY
+                      round(list_dot_product(qv, cvn)
+                            / sqrt(list_dot_product(qv, qv)), 6) DESC,
+                      c.cid ASC) AS rn
+           FROM q CROSS JOIN c),
+    probe AS (SELECT query_id, qv, cid AS cell FROM pr WHERE rn <= 2),
+    ah AS (SELECT p.query_id, a.vec_id,
+                  round(list_dot_product(a.emb, p.qv)
+                        / (sqrt(list_dot_product(a.emb, a.emb))
+                           * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cs
+           FROM probe p JOIN assign a ON a.cell = p.cell
+           WHERE a.vec_id <> p.query_id),
+    atop AS (SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY cs DESC, vec_id) AS rk
+               FROM ah) WHERE rk <= 10),
+    eh AS (SELECT q.query_id, f.vec_id,
+                  round(list_dot_product(f.emb, q.qv)
+                        / (sqrt(list_dot_product(f.emb, f.emb))
+                           * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs
+           FROM q CROSS JOIN f WHERE f.vec_id <> q.query_id),
+    etop AS (SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY cs DESC, vec_id) AS rk
+               FROM eh) WHERE rk <= 10)
+    SELECT etop.query_id,
+           CAST(sum((a.vec_id IS NOT NULL)::INT) AS INT) AS n_hits,
+           round(sum((a.vec_id IS NOT NULL)::INT) / 10.0, 6) AS recall_at_k
+    FROM etop LEFT JOIN atop a
+      ON a.query_id = etop.query_id AND a.vec_id = etop.vec_id
+    GROUP BY etop.query_id ORDER BY etop.query_id
+    """,
+)
+def q388_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search with its measured quality — the
+    production retrieval shape "top-k similar WHERE label = 1"
+    (operators/similarity.ivf_filtered_batch_topk): PRE-FILTER semantics
+    (the predicate restricts the corpus before cell assignment and the
+    probe join, so k is filled with qualifying neighbors — post-filtering
+    an unfiltered top-k under-fills whenever the filter is selective),
+    with the filter pushed into the parquet scan BELOW the candidate
+    join (plan-pinned in tests/test_plans.py).  The certificate is
+    recall@10 against the exact FILTERED kNN (knn_join on the same
+    filtered corpus) per query — q329's discipline extended to the
+    filtered case, where fixed-nprobe recall genuinely degrades with
+    selectivity (the auto_widen compensation is unit-tested).  Oracle
+    replays assignment, probing, both filtered top-10s, and the recall
+    join."""
+    from .operators import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    cent_rows = e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
+    ]
+    queries = e.filter(F.col("vec_id").between(100, 105))
+    approx = sim.ivf_filtered_batch_topk(
+        queries,
+        e,
+        "vec_id",
+        "embedding",
+        centroids,
+        predicate=F.col("label") == 1,
+        nprobe=2,
+        k=10,
+    )
+    exact = sim.knn_join(
+        queries, e.filter(F.col("label") == 1), "vec_id", "embedding", 10
+    )
+    return sim.ann_recall(approx, exact, 10).orderBy("query_id")

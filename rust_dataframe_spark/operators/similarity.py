@@ -41,6 +41,7 @@ __all__ = [
     "quantize_int8",
     "knn_join",
     "ivf_batch_topk",
+    "ivf_filtered_batch_topk",
     "ann_recall",
     "mean_pool",
     "quantized_cosine",
@@ -650,6 +651,56 @@ def ivf_batch_topk(
         .select(
             "query_id", "rank", F.col(id_col).alias("neighbor_id"), "cos_sim"
         )
+    )
+
+
+def ivf_filtered_batch_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    predicate,
+    nprobe: int = 2,
+    k: int = 10,
+    auto_widen: bool = False,
+) -> DataFrame:
+    """Metadata-FILTERED IVF search — the real production vector-retrieval
+    shape ("top-k similar WHERE lang = 'en' AND ts > X"): PRE-FILTER
+    semantics, the predicate restricts the corpus BEFORE cell assignment
+    and the probe join, so every returned neighbor satisfies it and the
+    top-k is the true filtered top-k of the probed cells (post-filtering
+    an unfiltered top-k would under-fill k whenever the filter is
+    selective — the classic filtered-ANN bug).
+
+    Scale: ``predicate`` lands directly on the corpus scan, where Catalyst
+    pushes it into the parquet reader (PushedFilters — plan-pinned in
+    tests/test_plans.py) BELOW the candidate join: vectors failing the
+    filter are never decoded, assigned, or shuffled.  With ``cell`` as a
+    partition column the probe join prunes partitions of the FILTERED
+    scan, compounding the two skips.
+
+    Recall caveat + ``auto_widen``: a selective filter thins every probed
+    cell, so fixed nprobe recall degrades as selectivity drops.  With
+    ``auto_widen=True`` the probe width scales by the measured
+    selectivity — nprobe_eff = min(|cells|, ceil(nprobe / s)) where
+    s = |filtered| / |corpus| (two metadata-cheap counts) — the standard
+    filtered-search compensation.  Either way, ship a measured recall
+    certificate against the exact FILTERED kNN (:func:`ann_recall` —
+    q388's discipline, mirroring q329's unfiltered one)."""
+    import math
+
+    filtered = corpus.filter(predicate)
+    eff = nprobe
+    if auto_widen:
+        n_all = corpus.count()
+        n_keep = filtered.count()
+        if n_keep == 0:
+            raise ValueError("predicate filters out the whole corpus")
+        eff = min(len(centroids), math.ceil(nprobe * n_all / n_keep))
+    return ivf_batch_topk(
+        queries, filtered, id_col, vec_col, centroids, nprobe=eff, k=k
     )
 
 

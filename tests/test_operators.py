@@ -142,3 +142,83 @@ class TestCogroupAttribution:
         assert rows[1]["lag_us"] == 50 * 1000000  # purchase at 90 is BEFORE the view
         assert rows[2]["n_purchases"] == 0 and rows[2]["lag_us"] is None
         assert rows[3]["n_views"] == 0 and rows[3]["lag_us"] is None
+
+
+class TestFilteredAnn:
+    """Round 6: metadata-filtered IVF (pre-filter semantics + auto_widen)."""
+
+    def _fixture(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = []
+        for i in range(120):
+            vec = [rng.uniform(-1, 1) for _ in range(8)]
+            rows.append((i, vec, i % 3))
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int"
+        )
+
+    def test_prefilter_neighbors_all_satisfy_predicate(self, spark):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.operators import similarity as sim
+
+        e = self._fixture(spark)
+        cent = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in e.filter("vec_id < 4").collect()
+        ]
+        queries = e.filter("vec_id >= 110")
+        out = sim.ivf_filtered_batch_topk(
+            queries, e, "vec_id", "embedding", cent,
+            predicate=F.col("label") == 1, nprobe=2, k=5,
+        )
+        labels = {
+            r["label"]
+            for r in out.join(
+                e.select(F.col("vec_id").alias("neighbor_id"), "label"),
+                "neighbor_id",
+            ).collect()
+        }
+        assert labels == {1}
+
+    def test_auto_widen_scales_probe_width_and_recall(self, spark):
+        """With a 1/3-selective filter, auto_widen triples the probe width;
+        recall vs the exact filtered kNN must not DECREASE, and with the
+        widened probe covering all 4 cells it is exactly 1.0."""
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.operators import similarity as sim
+
+        e = self._fixture(spark)
+        cent = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in e.filter("vec_id < 4").collect()
+        ]
+        queries = e.filter("vec_id >= 115")
+        pred = F.col("label") == 1
+        exact = sim.knn_join(queries, e.filter(pred), "vec_id", "embedding", 5)
+        wide = sim.ivf_filtered_batch_topk(
+            queries, e, "vec_id", "embedding", cent,
+            predicate=pred, nprobe=2, k=5, auto_widen=True,
+        )
+        # selectivity ~1/3 -> ceil(2 * 3) = 6, capped at the 4 cells: probes
+        # everything, so the approx equals the exact filtered kNN
+        rec = sim.ann_recall(wide, exact, 5).collect()
+        assert all(r["recall_at_k"] == 1.0 for r in rec)
+
+    def test_empty_filter_raises(self, spark):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.operators import similarity as sim
+
+        e = self._fixture(spark)
+        cent = [(0, [1.0] * 8)]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="whole corpus"):
+            sim.ivf_filtered_batch_topk(
+                e.limit(2), e, "vec_id", "embedding", cent,
+                predicate=F.col("label") == 99, auto_widen=True,
+            )

@@ -688,3 +688,11 @@ def test_q366_mann_whitney_no_single_partition_window(spark):
     plan = pi.physical_plan(df)
     oc.release()
     assert not pl.window_on_single_partition(plan)
+
+
+def test_filtered_ann_predicate_pushed_below_candidate_join(spark):
+    """q388: the metadata predicate must reach the corpus parquet scan
+    (PushedFilters), i.e. sit BELOW the probe/candidate join — vectors
+    failing the filter are never decoded or shuffled."""
+    df = catalog.QUERIES["q388_filtered_ann"](spark, SF)
+    assert "label" in pi.pushed_filters(df)
