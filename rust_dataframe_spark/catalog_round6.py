@@ -177,3 +177,115 @@ def q388_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, e.filter(F.col("label") == 1), "vec_id", "embedding", 10
     )
     return sim.ann_recall(approx, exact, 10).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# q389: schema-evolution ingestion across parquet vintages (audited migration)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q389_schema_evolution",
+    oracle="""
+    WITH n1 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 0),
+    n2 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 1),
+    pub AS (SELECT count(*) AS n_published,
+                   sum(o_orderkey * 3 + o_custkey) AS key_checksum,
+                   (SELECT n FROM n1) AS n_unknown_priority
+            FROM orders),
+    a AS (
+      SELECT * FROM (VALUES
+        ('v1', 'cust_key',     'rename',      'o_custkey'),
+        ('v1', 'o_orderkey',   'widen',       'int->bigint'),
+        ('v1', 'o_totalprice', 'widen',       'float->double'),
+        ('v1', 'priority',     'backfill',    '''UNKNOWN'''),
+        ('v2', '*',            'passthrough', '')
+      ) AS t(vintage, col, action, detail)
+    )
+    SELECT a.vintage, a.col AS "column", a.action, a.detail,
+           CAST(CASE WHEN a.vintage = 'v1' THEN (SELECT n FROM n1)
+                     ELSE (SELECT n FROM n2) END AS BIGINT) AS n_affected,
+           CAST(pub.n_published AS BIGINT) AS n_published,
+           CAST(pub.key_checksum AS BIGINT) AS key_checksum,
+           CAST(pub.n_unknown_priority AS BIGINT) AS n_unknown_priority
+    FROM a CROSS JOIN pub
+    ORDER BY vintage, "column", action
+    """,
+)
+def q389_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingestion (operators/evolution.py): the table directory
+    holds TWO real parquet vintages of orders — v1 predates the rename
+    (``cust_key``), carries narrowed types (int orderkey, float price),
+    and lacks the ``priority`` column; v2 is current.  ``mergeSchema``
+    cannot read this (conflicting primitive types fail with
+    CANNOT_MERGE_SCHEMAS — only added columns merge), so ``read_evolved``
+    migrates each vintage to the target schema (rename + cast-widen +
+    literal backfill, all pure codegen projections) and unions by name,
+    emitting an AUDIT row per action with affected counts.  The unified
+    frame is then WAP-published (q304's staging->audit->promote) and the
+    published files re-read for the totals attached to every audit row:
+    row count, an exact integer key checksum, and the backfilled-priority
+    count (= |v1|, proving the default landed in the published bytes).
+    Oracle replays the vintage split, the audit table, and the published
+    totals straight from orders."""
+    import os
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .operators.evolution import read_evolved
+
+    o = table(spark, sf_dir, "orders")
+    base = _scratch("schema_evo", sf_dir)
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_totalprice").cast("float").alias("o_totalprice"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    v1.write.parquet(f"{base}/v1")
+    v2.write.parquet(f"{base}/v2")
+
+    target = {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_totalprice": "double",
+        "priority": "string",
+    }
+    unified, audit = read_evolved(
+        spark,
+        {"v1": f"{base}/v1", "v2": f"{base}/v2"},
+        target,
+        renames={"v1": {"cust_key": "o_custkey"}},
+        backfills={"priority": "UNKNOWN"},
+    )
+    # WAP gate (q304's pattern): no null keys may reach the live path
+    staging, live = f"{base}/staging", f"{base}/live"
+    unified.write.parquet(staging)
+    staged = spark.read.parquet(staging)
+    bad = staged.filter(
+        F.col("o_custkey").isNull() | F.col("priority").isNull()
+    ).count()
+    if bad == 0:
+        os.replace(staging, live)
+    pub = (
+        spark.read.parquet(live)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_published"),
+            F.sum(F.col("o_orderkey") * 3 + F.col("o_custkey"))
+            .cast("bigint")
+            .alias("key_checksum"),
+            F.sum((F.col("priority") == "UNKNOWN").cast("bigint"))
+            .cast("bigint")
+            .alias("n_unknown_priority"),
+        )
+    )
+    return audit.crossJoin(F.broadcast(pub)).orderBy(
+        "vintage", "column", "action"
+    )

@@ -222,3 +222,58 @@ class TestFilteredAnn:
                 e.limit(2), e, "vec_id", "embedding", cent,
                 predicate=F.col("label") == 99, auto_widen=True,
             )
+
+
+class TestSchemaEvolution:
+    """Round 6: audited migration across drifted parquet vintages."""
+
+    def test_migrate_rename_widen_backfill_drop(self, spark):
+        from rust_dataframe_spark.operators.evolution import migrate_schema
+
+        old = spark.createDataFrame(
+            [(1, 10, 1.5, "junk")],
+            "k int, ck bigint, v float, legacy string",
+        )
+        target = {"k": "bigint", "o_ck": "bigint", "v": "double", "p": "string"}
+        m, a = migrate_schema(
+            old, target, renames={"ck": "o_ck"}, backfills={"p": "X"},
+            vintage="v1",
+        )
+        assert dict(m.dtypes) == target
+        row = m.collect()[0]
+        assert (row["k"], row["o_ck"], row["p"]) == (1, 10, "X")
+        acts = {(r["column"], r["action"]) for r in a.collect()}
+        assert acts == {
+            ("ck", "rename"), ("k", "widen"), ("v", "widen"),
+            ("p", "backfill"), ("legacy", "drop"),
+        }
+        assert all(r["n_affected"] == 1 for r in a.collect())
+
+    def test_missing_column_without_backfill_refuses(self, spark):
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators.evolution import migrate_schema
+
+        old = spark.createDataFrame([(1,)], "k int")
+        with _pytest.raises(ValueError, match="refusing to invent nulls"):
+            migrate_schema(old, {"k": "int", "absent": "string"})
+
+    def test_read_evolved_unions_real_parquet_vintages(self, spark, tmp_path):
+        from rust_dataframe_spark.operators.evolution import read_evolved
+
+        v1 = spark.createDataFrame([(1, "a")], "k int, name string")
+        v2 = spark.createDataFrame([(2, "b", 9.0)], "k bigint, name string, score double")
+        v1.write.parquet(str(tmp_path / "v1"))
+        v2.write.parquet(str(tmp_path / "v2"))
+        target = {"k": "bigint", "name": "string", "score": "double"}
+        uni, audit = read_evolved(
+            spark,
+            {"v1": str(tmp_path / "v1"), "v2": str(tmp_path / "v2")},
+            target,
+            backfills={"score": -1.0},
+        )
+        rows = {r["k"]: r for r in uni.collect()}
+        assert rows[1]["score"] == -1.0 and rows[2]["score"] == 9.0
+        assert dict(uni.dtypes) == target
+        vs = {r["vintage"] for r in audit.collect()}
+        assert vs == {"v1", "v2"}
