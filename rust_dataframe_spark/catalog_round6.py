@@ -289,3 +289,136 @@ def q389_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.crossJoin(F.broadcast(pub)).orderBy(
         "vintage", "column", "action"
     )
+
+
+# ---------------------------------------------------------------------------
+# q390: Spearman rank correlation (exact integer double-ranks)
+# ---------------------------------------------------------------------------
+
+_CENTS_Q = "CAST(round(l_quantity * 100, 0) AS BIGINT)"
+_CENTS_P = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+
+
+@query(
+    "q390_spearman",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT {_CENTS_Q} AS vx, {_CENTS_P} AS vy FROM lineitem
+    ),
+    px AS (SELECT vx, CAST(count(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1),
+    rx AS (SELECT vx,
+                  CAST(2 * (sum(cnt) OVER (ORDER BY vx) - cnt) + cnt + 1
+                       AS BIGINT) AS rxr
+           FROM px),
+    py AS (SELECT vy, CAST(count(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1),
+    ry AS (SELECT vy,
+                  CAST(2 * (sum(cnt) OVER (ORDER BY vy) - cnt) + cnt + 1
+                       AS BIGINT) AS ryr
+           FROM py),
+    j AS (SELECT rxr, ryr FROM rows_ JOIN rx USING (vx) JOIN ry USING (vy)),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(rxr) AS BIGINT) AS sx,
+                 CAST(sum(ryr) AS BIGINT) AS sy,
+                 CAST(sum(rxr * rxr) AS BIGINT) AS sxx,
+                 CAST(sum(ryr * ryr) AS BIGINT) AS syy,
+                 CAST(sum(rxr * ryr) AS BIGINT) AS sxy
+          FROM j)
+    SELECT n,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 * 1e6) / 1e6 AS rho
+    FROM s
+    """,
+)
+def q390_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of lineitem quantity vs extended price —
+    the monotone-association readout robust to the price distribution's
+    shape (Pearson answers "linear?", Spearman answers "monotone?", the
+    right question for skewed commerce metrics).
+    operators/hypothesis.spearman_rho: mid-ranks per DISTINCT cents value
+    carried as integer DOUBLE-RANKS so all five accumulations are exact
+    int64 (no float-lattice ceiling at sf0.1 — the 0.5-lattice double
+    approach stops being order-independent past ~10^6 rank-squared
+    products); prefix counts ride training.global_cumsum, rows join their
+    ranks back by value on distinct-axis-sized sides.  One float dag at
+    the end.  Scale: rank tables are distinct-value sized; sums promote
+    to decimal(38,0) past ~10^6 rows per the docstring."""
+    from .operators.hypothesis import spearman_rho
+
+    li = table(spark, sf_dir, "lineitem")
+    return spearman_rho(li, "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# q391: Kruskal-Wallis H (k-group rank test)
+# ---------------------------------------------------------------------------
+
+_CENTS_V = "CAST(round(value * 100, 0) AS BIGINT)"
+
+
+@query(
+    "q391_kruskal_wallis",
+    oracle=f"""
+    WITH gv AS (
+      SELECT event_type AS grp, {_CENTS_V} AS v,
+             CAST(count(*) AS BIGINT) AS cnt_gv
+      FROM events GROUP BY 1, 2
+    ),
+    per AS (SELECT v, CAST(sum(cnt_gv) AS BIGINT) AS cnt FROM gv GROUP BY 1),
+    ranked AS (
+      SELECT v, cnt,
+             CAST(2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1
+                  AS BIGINT) AS r2
+      FROM per
+    ),
+    g AS (
+      SELECT grp, CAST(sum(cnt_gv) AS BIGINT) AS n_g,
+             CAST(sum(cnt_gv * r2) AS BIGINT) AS r2_g
+      FROM gv JOIN ranked USING (v) GROUP BY grp
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS k,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list((r2_g / 2.0) * (r2_g / 2.0) / n_g ORDER BY grp)),
+               (x, y) -> x + y) AS sum_r2n
+      FROM g
+    ),
+    ties AS (
+      SELECT sum(CAST(cnt AS DOUBLE) * cnt * cnt - CAST(cnt AS DOUBLE))
+               AS tie_term
+      FROM ranked
+    )
+    SELECT grp, n_g AS n,
+           r2_g / 2.0 AS rank_sum,
+           floor(r2_g / 2.0 / n_g * 1e6) / 1e6 AS mean_rank,
+           floor((12.0 / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) + 1.0))
+                  * sum_r2n - 3.0 * (CAST(nt AS DOUBLE) + 1.0)) * 1e6) / 1e6
+             AS h_stat,
+           floor((12.0 / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) + 1.0))
+                  * sum_r2n - 3.0 * (CAST(nt AS DOUBLE) + 1.0))
+                 / (1.0 - tie_term
+                    / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                       * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE)))
+                 * 1e6) / 1e6 AS h_corrected,
+           CAST(k - 1 AS BIGINT) AS dof
+    FROM g CROSS JOIN tot CROSS JOIN ties ORDER BY grp
+    """,
+)
+def q391_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across event types — "does ANY event type's value
+    distribution sit higher?", the k-group rank test completing the
+    battery between Mann-Whitney (q366, k=2) and one-way ANOVA (q365,
+    which assumes finite-variance normality these engagement values
+    don't have).  operators/hypothesis.kruskal_wallis: integer
+    double-ranks (exact int64 rank sums, no float-lattice ceiling),
+    prefix counts on training.global_cumsum, tie-corrected H with the
+    R_g^2/n_g fold over the SORTED bounded group axis.  Scale: one scan
+    to the (group, value) axis; rank table distinct-value sized."""
+    from .catalog import load_events
+    from .operators.hypothesis import kruskal_wallis
+
+    ev = load_events(spark, sf_dir)
+    return kruskal_wallis(ev, "event_type", "value").orderBy("grp")

@@ -45,6 +45,8 @@ __all__ = [
     "chi2_independence",
     "anova_oneway",
     "mann_whitney_u",
+    "kruskal_wallis",
+    "spearman_rho",
     "permutation_test",
     "wasserstein_ks",
 ]
@@ -276,6 +278,163 @@ def mann_whitney_u(
         u1.alias("u1"),
         (n0.cast("double") * F.col("n1") - u1).alias("u0"),
         (F.floor(z * 1e6) / 1e6).alias("z_score"),
+    )
+
+
+def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group extension of Mann-Whitney
+    (does ANY group's value distribution sit higher?), the rank-based
+    counterpart of :func:`anova_oneway` when normality is off the table.
+
+    Exactness upgrade over :func:`mann_whitney_u`'s 0.5-lattice doubles:
+    ranks are carried as INTEGER DOUBLE-RANKS ``2*midrank = 2*(#below) +
+    cnt + 1`` (always an integer), so per-group rank sums accumulate as
+    EXACT int64 — order-independent with no float-lattice ceiling until
+    the sums themselves overflow (~10^9 rows at 10^9 distinct values;
+    past that promote the sums to decimal(38,0) on both engines).  The
+    mid-rank prefix rides :func:`training.global_cumsum` (two-phase range
+    partitioning — no single-partition window).  ``H = 12/(N(N+1)) *
+    sum_g R_g^2/n_g - 3(N+1)`` with ``R_g = r2_g/2``, tie-corrected by
+    ``1 - sum(t^3-t)/(N^3-N)``; the one cross-group float fold
+    (R_g^2/n_g) runs over the SORTED bounded group axis — the
+    ordered-fold convention.
+
+    Returns one row per group (n, rank_sum, mean_rank) with the
+    table-wide h_stat, h_corrected, dof attached.  Scale: one scan to the
+    (group, value) axis; rank table is distinct-value sized; everything
+    downstream is axis-bounded."""
+    from .training import global_cumsum
+
+    gv = df.select(
+        F.col(group_col).alias("grp"), cents(F.col(value_col)).alias("v")
+    ).groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_gv"))
+    per_v = gv.groupBy("v").agg(F.sum("cnt_gv").cast("bigint").alias("cnt"))
+    ranked = global_cumsum(per_v, "v", "cnt", out_col="below_incl").select(
+        "v",
+        "cnt",
+        # integer double-rank: 2*(below) + cnt + 1 == 2*midrank
+        (
+            2 * (F.col("below_incl") - F.col("cnt")) + F.col("cnt") + 1
+        ).cast("bigint").alias("r2"),
+    )
+    g = (
+        gv.join(ranked.select("v", "r2"), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt_gv").cast("bigint").alias("n_g"),
+            F.sum(F.col("cnt_gv") * F.col("r2")).cast("bigint").alias("r2_g"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "grp",
+                            (
+                                (F.col("r2_g") / 2.0)
+                                * (F.col("r2_g") / 2.0)
+                                / F.col("n_g")
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_r2n"),
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt").cast("double")
+        ).alias("tie_term")
+    )
+    nt = F.col("nt").cast("double")
+    h = 12.0 / (nt * (nt + 1.0)) * F.col("sum_r2n") - 3.0 * (nt + 1.0)
+    corr = 1.0 - F.col("tie_term") / (nt * nt * nt - nt)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "grp",
+            F.col("n_g").alias("n"),
+            (F.col("r2_g") / 2.0).alias("rank_sum"),
+            (F.floor(F.col("r2_g") / 2.0 / F.col("n_g") * 1e6) / 1e6).alias(
+                "mean_rank"
+            ),
+            (F.floor(h * 1e6) / 1e6).alias("h_stat"),
+            (F.floor(h / corr * 1e6) / 1e6).alias("h_corrected"),
+            (F.col("k") - 1).cast("bigint").alias("dof"),
+        )
+    )
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation — Pearson correlation of tie-corrected
+    mid-ranks, with every accumulation EXACT int64: ranks are carried as
+    integer DOUBLE-RANKS (2*midrank = 2*(#below) + cnt + 1, always an
+    integer — the factor 2 cancels out of the correlation), so the five
+    sums (S2x, S2y, S2xx, S2yy, S2xy) are order-independent BIGINT sums,
+    not float folds.  Overflow bound: S2xy <= 4*N^3 must fit int64 —
+    safe to ~10^6 rows per call at full distinct ranks (test SFs) and far
+    beyond under ties; at lake scale promote the five sums to
+    decimal(38,0) on both engines (still exact, still order-free).
+
+    Rank tables are DISTINCT-cents sized per axis (the Mann-Whitney
+    discipline, :func:`training.global_cumsum` for the prefix — no
+    single-partition window); rows join their two ranks back by value
+    (distinct-axis-sized join sides), then one aggregate produces the
+    five sums and the final scalar dag computes
+    ``rho = (N*Sxy - Sx*Sy) / sqrt((N*Sxx - Sx^2) * (N*Syy - Sy^2))``
+    in double (deterministic: fixed op order on exact integer inputs).
+
+    Returns one row: ``(n, rho)`` (floor-at-6)."""
+    from .training import global_cumsum
+
+    def rank_table(col: str):
+        per = (
+            df.select(cents(F.col(col)).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        c = global_cumsum(per, "v", "cnt", out_col="below_incl")
+        return c.select(
+            "v",
+            (
+                2 * (F.col("below_incl") - F.col("cnt")) + F.col("cnt") + 1
+            ).cast("bigint").alias("r2"),
+        )
+
+    rx = rank_table(x_col).select(
+        F.col("v").alias("__vx"), F.col("r2").alias("__rx")
+    )
+    ry = rank_table(y_col).select(
+        F.col("v").alias("__vy"), F.col("r2").alias("__ry")
+    )
+    rows = df.select(
+        cents(F.col(x_col)).alias("__vx"), cents(F.col(y_col)).alias("__vy")
+    )
+    j = rows.join(rx, "__vx").join(ry, "__vy")
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__rx").cast("bigint").alias("sx"),
+        F.sum("__ry").cast("bigint").alias("sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).cast("bigint").alias("syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    rho = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        "n", (F.floor(rho * 1e6) / 1e6).alias("rho")
     )
 
 

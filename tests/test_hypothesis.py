@@ -340,3 +340,85 @@ def test_compaction_plan_on_real_manifest(spark, tmp_path):
     # here all bins except the final one must be >= 100)
     bins = sorted(per_bin)
     assert all(per_bin[b] >= 100 for b in bins[:-1])
+
+
+def test_kruskal_wallis_identical_groups_h_zero(spark):
+    """k identical group distributions: every group's mean rank equals the
+    grand mean rank, so H = 0."""
+    from rust_dataframe_spark.operators.hypothesis import kruskal_wallis
+
+    rows = [(g, v) for g in ("a", "b", "c") for v in (1.0, 2.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = kruskal_wallis(df, "g", "v").collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n"] == 3
+        assert r["h_stat"] == 0.0
+        assert r["dof"] == 2
+
+
+def test_kruskal_wallis_matches_scipy_formula_by_hand(spark):
+    from rust_dataframe_spark.operators.hypothesis import kruskal_wallis
+
+    data = {"a": [1.2, 3.4, 5.6, 2.2], "b": [7.7, 8.8, 2.2], "c": [0.5, 9.9]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["grp"]: r for r in kruskal_wallis(df, "g", "v").collect()}
+    # hand replay with scipy's definition (mid-ranks, tie correction)
+    allv = sorted(v for vs in data.values() for v in vs)
+    def midrank(v):
+        lo = sum(1 for x in allv if x < v)
+        c = sum(1 for x in allv if x == v)
+        return lo + (c + 1) / 2
+    n = len(allv)
+    h = 12 / (n * (n + 1)) * sum(
+        sum(midrank(v) for v in vs) ** 2 / len(vs) for vs in data.values()
+    ) - 3 * (n + 1)
+    from collections import Counter
+    tie = sum(c**3 - c for c in Counter(allv).values())
+    hc = h / (1 - tie / (n**3 - n))
+    assert out["a"]["h_stat"] == math.floor(h * 1e6) / 1e6
+    assert out["a"]["h_corrected"] == math.floor(hc * 1e6) / 1e6
+    assert out["b"]["rank_sum"] == sum(midrank(v) for v in data["b"])
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    from rust_dataframe_spark.operators.hypothesis import spearman_rho
+
+    rows = [(float(i), float(i * i)) for i in range(1, 30)]  # nonlinear, monotone
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = spearman_rho(df, "x", "y").collect()[0]
+    assert out["n"] == 29
+    assert out["rho"] == 1.0 or out["rho"] == 0.999999  # floor-at-6 of 1.0
+
+
+def test_spearman_reversed_is_minus_one_and_ties_by_hand(spark):
+    import statistics
+
+    from rust_dataframe_spark.operators.hypothesis import spearman_rho
+
+    rows = [(float(i), float(30 - i)) for i in range(1, 30)]
+    out = spearman_rho(
+        spark.createDataFrame(rows, "x double, y double"), "x", "y"
+    ).collect()[0]
+    assert out["rho"] == -1.0
+    # ties: hand-replay pearson-of-midranks
+    data = [(1.0, 2.0), (1.0, 3.0), (2.0, 2.0), (3.0, 5.0), (3.0, 4.0)]
+    def midranks(vals):
+        s = sorted(vals)
+        return [
+            sum(1 for x in s if x < v) + (sum(1 for x in s if x == v) + 1) / 2
+            for v in vals
+        ]
+    xs = midranks([x for x, _ in data])
+    ys = midranks([y for _, y in data])
+    mx, my = statistics.mean(xs), statistics.mean(ys)
+    num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in xs) * sum((b - my) ** 2 for b in ys)
+    )
+    want = math.floor(num / den * 1e6) / 1e6
+    out2 = spearman_rho(
+        spark.createDataFrame(data, "x double, y double"), "x", "y"
+    ).collect()[0]
+    assert out2["rho"] == want
