@@ -120,6 +120,13 @@ HEADLINE = [
     "q369_boosted_stumps",
     "q374_dbscan",
     "q377_wasserstein",
+    # round-6 additions: real JPEG decode, filtered ANN, schema evolution,
+    # rank-test completions
+    "q387_jpeg_decode",
+    "q388_filtered_ann",
+    "q389_schema_evolution",
+    "q390_spearman",
+    "q391_kruskal_wallis",
 ]
 
 
