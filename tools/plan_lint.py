@@ -124,6 +124,10 @@ BNLJ_ALLOW: dict[str, str] = {
     "q329_ivf_recall": "exact-kNN ground-truth side broadcasts the 6-row "
     "query batch (same shape as q163/q164); the IVF side under audit is "
     "cell-pruned equi-joins",
+    "q388_filtered_ann": "q329's exact shape on the FILTERED corpus: the "
+    "ground-truth knn_join broadcasts the 6-row query batch; the filtered "
+    "IVF side under audit is predicate-pushed cell-pruned equi-joins "
+    "(PushedFilters plan-pinned in tests/test_plans.py)",
     "q330_lsh_quality": "deliberate 80-doc bounded all-pairs ground truth "
     "(q73's gating note) feeding the LSH precision/recall certificate; the "
     "LSH stage under audit is band equi-joins",
