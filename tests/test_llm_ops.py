@@ -585,9 +585,16 @@ class TestPngReal:
         png = _gradient_png(40, 24)
         assert mm.decode_image(png) == (40, 24)  # REAL, no fake flag needed
         assert mm.decode_image(png, fake=True) == (40, 24)  # real wins over fake
-        with pytest.raises(NotImplementedError):
-            mm.decode_image(b"\xff\xd8jpeg-ish")  # exotic format, no fake
+        # round 6: JPEG magic now routes to the real codec — a malformed
+        # jpeg-ish payload raises the precise JpegError (the PngError
+        # convention), not NotImplementedError
+        from rust_dataframe_spark.operators.jpeg import JpegError
+
+        with pytest.raises(JpegError):
+            mm.decode_image(b"\xff\xd8jpeg-ish")  # corrupt JPEG, no fake
         assert mm.decode_image(b"\xff\xd8jpeg-ish", fake=True) == (11, 11)
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"GIF89a-or-unknown")  # non-PNG/JPEG, no fake
 
     def test_extract_features_on_real_pngs(self, spark):
         pngs = [(1, _gradient_png(64, 64)), (2, _gradient_png(32, 16))]
