@@ -422,3 +422,287 @@ def q391_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     return kruskal_wallis(ev, "event_type", "value").orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# q392: Unigram-LM EM M-step (renormalized next-round piece probabilities)
+# ---------------------------------------------------------------------------
+
+
+def _q392_oracle() -> str:
+    from .catalog_llm import _Q336_WEIGHTS
+
+    vals = ", ".join(
+        f"('{p}', {int(w)})" for p, w in sorted(_Q336_WEIGHTS.items())
+    )
+    return f"""
+    WITH RECURSIVE
+    vocab(p, wt) AS (SELECT * FROM (VALUES {vals})),
+    words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w),
+    dw AS (SELECT DISTINCT w FROM words),
+    dwp AS (SELECT w, unnest(range(1, length(w) + 1)) AS cpos FROM dw),
+    edges AS (
+      SELECT d.w, d.cpos, v.p AS piece, length(v.p) AS adv, v.wt
+      FROM dwp d JOIN vocab v ON substr(d.w, d.cpos, length(v.p)) = v.p),
+    walk(w, cpos, toks, wt) AS (
+      SELECT w, 1, []::VARCHAR[], 1 FROM dw
+      UNION ALL
+      SELECT walk.w, walk.cpos + e.adv, list_append(walk.toks, e.piece),
+             walk.wt * e.wt
+      FROM walk JOIN edges e ON e.w = walk.w AND e.cpos = walk.cpos
+      WHERE walk.cpos <= length(walk.w)),
+    done AS (SELECT w, toks, wt FROM walk WHERE cpos = length(w) + 1),
+    z AS (SELECT w, CAST(sum(wt) AS BIGINT) AS z FROM done GROUP BY w),
+    occ AS (SELECT w, unnest(toks) AS piece, wt FROM done),
+    enum AS (SELECT w, piece, CAST(sum(wt) AS BIGINT) AS e_num
+             FROM occ GROUP BY w, piece),
+    contrib AS (
+      SELECT e.piece, e.w AS word,
+             CAST(e.e_num AS DOUBLE) / CAST(z.z AS DOUBLE) * f.freq AS c
+      FROM enum e JOIN z ON z.w = e.w JOIN freq f ON f.w = e.w),
+    per_piece AS (
+      SELECT piece,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(c ORDER BY word)),
+                         (a, b) -> a + b) AS te
+      FROM contrib GROUP BY piece),
+    tot AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(te ORDER BY piece)),
+                         (a, b) -> a + b) AS gt
+      FROM per_piece)
+    SELECT piece,
+           floor(te * 1e6) / 1e6 AS total_expected,
+           floor(te / gt * 1e6) / 1e6 AS new_prob
+    FROM per_piece CROSS JOIN tot ORDER BY piece
+    """
+
+
+@query("q392_unigram_m_step", oracle=_q392_oracle())
+def q392_unigram_m_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM M-step for Unigram-LM (SentencePiece-style) tokenizer training
+    (operators/text.unigram_m_step) — completes the training round q336's
+    E-step started: corpus-weighted expected piece counts renormalize
+    into the next round's piece probabilities.  Each word's
+    expected_count is one exact int64/int64 division (the q336 regime);
+    the two genuinely-float accumulations (per-piece over words, grand
+    total over pieces) run as ORDERED folds, so the exact-hash gate
+    holds end to end.  EM monotonicity (corpus likelihood non-decreasing
+    under the renormalized probs) is pinned against an independent
+    pure-python EM replay in tests.  Scale: one distinct-word lattice DP
+    (Heaps-bounded) + vocabulary-axis algebra — a full EM round on
+    100 TB is one corpus scan per iteration."""
+    from .catalog_llm import _Q336_WEIGHTS
+    from .operators import text as tx
+
+    d = table(spark, sf_dir, "documents")
+    expected = tx.unigram_expected_counts(d, "doc_id", "text", _Q336_WEIGHTS)
+    return tx.unigram_m_step(expected)
+
+
+# ---------------------------------------------------------------------------
+# q393: Fleiss' kappa across three deterministic raters
+# ---------------------------------------------------------------------------
+
+_ROTATE = (
+    "CASE {g} WHEN 'de' THEN 'en' WHEN 'en' THEN 'es' WHEN 'es' THEN 'fr' "
+    "WHEN 'fr' THEN 'zh' ELSE 'de' END"
+)
+
+
+@query(
+    "q393_fleiss_kappa",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS uw
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+        len(list_filter(uw, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x))) AS s_en,
+        len(list_filter(uw, x -> list_contains(['der','die','das','und','ist','von','zu','mit','den','ein'], x))) AS s_de,
+        len(list_filter(uw, x -> list_contains(['le','la','les','de','et','un','une','est','pour','dans'], x))) AS s_fr,
+        len(list_filter(uw, x -> list_contains(['el','la','los','de','y','un','una','es','para','en'], x))) AS s_es,
+        len(list_filter(uw, x -> list_contains(['的','是','了','在','和','有','我','不','人','这'], x))) AS s_zh
+      FROM t
+    ), lid AS (
+      SELECT doc_id,
+             CASE WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                  ELSE 'de' END AS cat
+      FROM s
+    ), r3 AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#r3'), 32, 1)) AS UBIGINT) < 4
+                  THEN {_ROTATE.format(g='lang')} ELSE lang END AS cat
+      FROM documents
+    ), assign AS (
+      SELECT doc_id, lang AS cat FROM documents
+      UNION ALL SELECT doc_id, cat FROM lid
+      UNION ALL SELECT doc_id, cat FROM r3
+    ), cell AS (
+      SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS nij
+      FROM assign GROUP BY 1, 2
+    ), per_item AS (
+      SELECT doc_id, CAST(sum(nij) AS BIGINT) AS n_r,
+             CAST(sum(nij * nij) AS BIGINT) AS sq
+      FROM cell GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(sq) AS BIGINT) AS sq_sum,
+             CAST(sum(CASE WHEN n_r <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bad_items
+      FROM per_item
+    ), cats AS (
+      SELECT cat, CAST(sum(nij) AS BIGINT) AS c_j FROM cell GROUP BY 1
+    ), pe AS (
+      SELECT CAST(sum(c_j * c_j) AS BIGINT) AS c2_sum FROM cats
+    )
+    SELECT cat AS category, c_j AS n_assigned,
+           floor(c_j / (CAST(n_items AS DOUBLE) * 3.0) * 1e6) / 1e6 AS p_cat,
+           floor((CAST(sq_sum AS DOUBLE) - 3.0 * n_items)
+                 / (3.0 * 2.0 * n_items) * 1e6) / 1e6 AS p_bar,
+           floor(CAST(c2_sum AS DOUBLE)
+                 / ((CAST(n_items AS DOUBLE) * 3.0)
+                    * (CAST(n_items AS DOUBLE) * 3.0)) * 1e6) / 1e6 AS p_e,
+           floor(((CAST(sq_sum AS DOUBLE) - 3.0 * n_items)
+                  / (3.0 * 2.0 * n_items)
+                  - CAST(c2_sum AS DOUBLE)
+                    / ((CAST(n_items AS DOUBLE) * 3.0)
+                       * (CAST(n_items AS DOUBLE) * 3.0)))
+                 / (1.0 - CAST(c2_sum AS DOUBLE)
+                    / ((CAST(n_items AS DOUBLE) * 3.0)
+                       * (CAST(n_items AS DOUBLE) * 3.0))) * 1e6) / 1e6
+             AS fleiss_kappa,
+           n_items, bad_items
+    FROM cats CROSS JOIN tot CROSS JOIN pe ORDER BY category
+    """,
+)
+def q393_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE deterministic raters of document
+    language — gold labels, the stopword-vote LID (q79/q386's
+    classifier), and an md5-perturbed gold (25% of docs rotated to the
+    next language, the reproducible stand-in for a noisy third
+    annotator) — the multi-rater agreement readout an annotation
+    pipeline checks before trusting majority-vote labels (Cohen's kappa
+    only handles rater PAIRS).  operators/hypothesis.fleiss_kappa:
+    per-item category counts, P_bar and P_e both on exact int64
+    numerators (sum n_ij^2 and sum c_j^2 — no float fold anywhere), the
+    kappa a fixed scalar dag.  The in-plan bad_items column certifies
+    every item saw exactly 3 assignments.  Scale: one groupBy to
+    (item, category) cells; item- and category-axis aggregates."""
+    from .operators.hypothesis import fleiss_kappa
+    from .operators import text as tx
+
+    d = table(spark, sf_dir, "documents")
+    gold = d.select("doc_id", F.col("lang").alias("cat"))
+    lid = tx.language_id(d, "doc_id", "text").select(
+        "doc_id", F.col("pred_lang").alias("cat")
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#r3"))), 32, 1
+        ),
+        16,
+        10,
+    ).cast("int")
+    rot = (
+        F.when(F.col("lang") == "de", "en")
+        .when(F.col("lang") == "en", "es")
+        .when(F.col("lang") == "es", "fr")
+        .when(F.col("lang") == "fr", "zh")
+        .otherwise("de")
+    )
+    r3 = d.select(
+        "doc_id", F.when(coin < 4, rot).otherwise(F.col("lang")).alias("cat")
+    )
+    assign = gold.unionByName(lid).unionByName(r3)
+    return fleiss_kappa(assign, "doc_id", "cat", 3)
+
+
+# ---------------------------------------------------------------------------
+# q394: O'Brien-Fleming group-sequential monitor (K=4 calendar looks)
+# ---------------------------------------------------------------------------
+
+_OBF_CUTS = ["2024-01-08", "2024-01-15", "2024-01-22", "2024-01-31"]
+
+
+def _q394_oracle() -> str:
+    look_rows = " UNION ALL ".join(
+        f"SELECT {i + 1} AS look, DATE '{c}' AS cutoff"
+        for i, c in enumerate(_OBF_CUTS)
+    )
+    return f"""
+    WITH looks AS ({look_rows}),
+    base AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm,
+             CAST(round(value * 100, 0) AS BIGINT) AS v,
+             CAST(ts AS DATE) AS d
+      FROM events
+    ),
+    g AS (
+      SELECT l.look,
+             CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(arm) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(v) AS BIGINT) AS st,
+             CAST(sum(v * v) AS BIGINT) AS sst
+      FROM base JOIN looks l ON base.d <= l.cutoff
+      GROUP BY l.look
+    ),
+    zt AS (
+      SELECT look, nt - n1 AS n0, n1,
+             (CAST(s1 AS DOUBLE) / n1
+              - CAST(st - s1 AS DOUBLE) / (nt - n1))
+             / (sqrt((CAST(sst AS DOUBLE)
+                      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+                     / (nt - 1))
+                * sqrt(1.0 / (nt - n1) + 1.0 / n1)) AS z,
+             2.024 * sqrt(4.0 / CAST(look AS DOUBLE)) AS boundary
+      FROM g
+    ),
+    flagged AS (
+      SELECT look, n0, n1,
+             floor(z * 1e6) / 1e6 AS z_score,
+             floor(boundary * 1e6) / 1e6 AS boundary,
+             abs(z) >= boundary AS crossed
+      FROM zt
+    ),
+    fc AS (
+      SELECT CAST(coalesce(min(CASE WHEN crossed THEN look END), 0) AS BIGINT)
+               AS first_crossing
+      FROM flagged
+    )
+    SELECT f.look,
+           ['{_OBF_CUTS[0]}', '{_OBF_CUTS[1]}', '{_OBF_CUTS[2]}',
+            '{_OBF_CUTS[3]}'][f.look] AS cutoff,
+           CAST(f.n0 AS BIGINT) AS n0, f.n1, f.z_score, f.boundary,
+           f.crossed, fc.first_crossing
+    FROM flagged f CROSS JOIN fc ORDER BY f.look
+    """
+
+
+@query("q394_group_sequential_obf", oracle=_q394_oracle())
+def q394_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential experiment monitor at K=4
+    pre-registered weekly calendar looks — the alpha-spending companion
+    of the SPRT monitor (q375): boundaries c_k = 2.024*sqrt(4/k) (the
+    classic OBF 1979 two-sided alpha=0.05, K=4 constants: 4.048, 2.862,
+    2.337, 2.024) are nearly uncrossable at week 1 and relax to ~z_0.975
+    by the final look, so an experiment can stop early only for an
+    overwhelming effect while preserving overall alpha.
+    operators/hypothesis.group_sequential_obf: ONE corpus scan — each
+    event explodes to the looks containing it (map-side combined into
+    K x 2 groups), cumulative cent sums exact int64, per-look z the
+    pooled-sd scalar dag.  Scale: shuffle payload is K x 2 groups, not
+    rows x K."""
+    from .catalog import load_events
+    from .operators.hypothesis import group_sequential_obf
+
+    ev = load_events(spark, sf_dir)
+    return group_sequential_obf(
+        ev, "user_id", "value", "ts", _OBF_CUTS, z_base=2.024
+    )

@@ -47,6 +47,8 @@ __all__ = [
     "mann_whitney_u",
     "kruskal_wallis",
     "spearman_rho",
+    "fleiss_kappa",
+    "group_sequential_obf",
     "permutation_test",
     "wasserstein_ks",
 ]
@@ -374,6 +376,72 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
+def fleiss_kappa(
+    assignments: DataFrame, item_col: str, cat_col: str, n_raters: int
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED number of
+    raters per item (the multi-rater generalization of Cohen's kappa,
+    q386): the annotation-QA statistic a labeling pipeline reads before
+    trusting majority-vote labels.  ``assignments`` holds one row per
+    (item, rater assignment): exactly ``n_raters`` rows per item.
+
+    Entirely integer-exact until the final scalar dag: with n_ij = raters
+    assigning item i to category j,
+    ``P_bar = (sum_ij n_ij^2 - n*N) / (n(n-1)N)`` has an exact int64
+    numerator, and ``P_e = sum_j c_j^2 / (nN)^2`` where ``c_j = sum_i
+    n_ij`` is column totals — c_j^2 sums are exact int64 over the bounded
+    category axis, so no float fold is needed anywhere.
+    ``kappa = (P_bar - P_e) / (1 - P_e)``.
+
+    Returns one row per category (category, n_assigned, p_cat) with the
+    table-wide p_bar, p_e, fleiss_kappa, n_items attached.  Raises
+    upstream of any shuffle if some item has a wrong rater count (the
+    count is asserted in-plan via a filter + scalar check).  Scale: one
+    groupBy to the (item, category) cells, one item-axis aggregate, one
+    category-axis aggregate."""
+    cell = assignments.groupBy(
+        F.col(item_col).alias("item"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    per_item = cell.groupBy("item").agg(
+        F.sum("nij").cast("bigint").alias("n_r"),
+        F.sum(F.col("nij") * F.col("nij")).cast("bigint").alias("sq"),
+    )
+    tot = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("sq").cast("bigint").alias("sq_sum"),
+        F.sum(
+            F.when(F.col("n_r") != n_raters, 1).otherwise(0)
+        ).cast("bigint").alias("bad_items"),
+    )
+    cats = cell.groupBy("cat").agg(F.sum("nij").cast("bigint").alias("c_j"))
+    pe_num = cats.agg(
+        F.sum(F.col("c_j") * F.col("c_j")).cast("bigint").alias("c2_sum")
+    )
+    n = float(n_raters)
+    nN = F.col("n_items").cast("double") * n
+    p_bar = (
+        F.col("sq_sum").cast("double") - n * F.col("n_items")
+    ) / (n * (n - 1.0) * F.col("n_items"))
+    p_e = F.col("c2_sum").cast("double") / (nN * nN)
+    return (
+        cats.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pe_num))
+        .select(
+            F.col("cat").alias("category"),
+            F.col("c_j").alias("n_assigned"),
+            (F.floor(F.col("c_j") / nN * 1e6) / 1e6).alias("p_cat"),
+            (F.floor(p_bar * 1e6) / 1e6).alias("p_bar"),
+            (F.floor(p_e * 1e6) / 1e6).alias("p_e"),
+            (F.floor((p_bar - p_e) / (1.0 - p_e) * 1e6) / 1e6).alias(
+                "fleiss_kappa"
+            ),
+            F.col("n_items"),
+            F.col("bad_items"),
+        )
+        .orderBy("category")
+    )
+
+
 def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Spearman rank correlation — Pearson correlation of tie-corrected
     mid-ranks, with every accumulation EXACT int64: ranks are carried as
@@ -571,6 +639,112 @@ def permutation_test(
                 "p_value"
             ),
         )
+    )
+
+
+def group_sequential_obf(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    ts_col: str,
+    cutoffs: list[str],
+    *,
+    z_base: float = 2.024,
+) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitoring — the calendar-look
+    counterpart of the SPRT (q375): at each pre-registered interim look k
+    of K, compare the cumulative two-arm z against the OBF boundary
+    ``c_k = z_base * sqrt(K / k)`` (very conservative early, ~z_base at
+    the final look — the shape that lets an experiment stop early for a
+    huge effect without inflating overall alpha).  ``z_base = 2.024`` is
+    the classic O'Brien & Fleming (1979) two-sided alpha=0.05, K=4
+    constant; pass the table value for other (K, alpha).
+
+    ``cutoffs`` are 'YYYY-MM-DD' look boundaries (look k = rows with
+    date(ts) <= cutoffs[k-1]).  One corpus scan: each row explodes to
+    the looks that include it (<= K copies, combined map-side into
+    K x 2 groups), cumulative cent sums stay exact int64, and each
+    look's z is the pooled-sd scalar dag on those ints.
+
+    Returns one row per look: (look, cutoff, n0, n1, z_score, boundary,
+    crossed) with the table-wide first_crossing attached (0 = never)."""
+    k_total = len(cutoffs)
+    if k_total < 1:
+        raise ValueError("need at least one cutoff")
+    d = F.to_date(F.col(ts_col))
+    looks = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).alias("look"),
+                    F.when(d <= F.lit(c).cast("date"), 1)
+                    .otherwise(0)
+                    .alias("inc"),
+                )
+                for i, c in enumerate(cutoffs)
+            ]
+        ),
+        lambda s: s["inc"] == 1,
+    )
+    base = df.select(
+        F.when(F.col(arm_col).cast("bigint") % 2 == 1, 1)
+        .otherwise(0)
+        .alias("arm"),
+        cents(F.col(value_col)).alias("v"),
+        F.explode(looks).alias("lk"),
+    ).select("arm", "v", F.col("lk.look").alias("look"))
+    g = base.groupBy("look").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum("arm").cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum("v").cast("bigint").alias("st"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sst"),
+    )
+    n0 = F.col("nt") - F.col("n1")
+    mean1 = F.col("s1").cast("double") / F.col("n1")
+    mean0 = (F.col("st") - F.col("s1")).cast("double") / n0
+    sd = F.sqrt(
+        (
+            F.col("sst").cast("double")
+            - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt")
+        )
+        / (F.col("nt") - 1)
+    )
+    z = (mean1 - mean0) / (sd * F.sqrt(1.0 / n0 + 1.0 / F.col("n1")))
+    boundary = F.lit(z_base) * F.sqrt(
+        F.lit(float(k_total)) / F.col("look").cast("double")
+    )
+    looks_z = g.select(
+        "look",
+        n0.alias("n0"),
+        "n1",
+        (F.floor(z * 1e6) / 1e6).alias("z_score"),
+        (F.floor(boundary * 1e6) / 1e6).alias("boundary"),
+        (F.abs(z) >= boundary).alias("crossed"),
+    )
+    first = looks_z.agg(
+        F.coalesce(
+            F.min(F.when(F.col("crossed"), F.col("look"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("first_crossing")
+    )
+    cut_map = F.array(*[F.lit(c) for c in cutoffs])
+    return (
+        looks_z.crossJoin(F.broadcast(first))
+        .select(
+            "look",
+            F.element_at(cut_map, F.col("look").cast("int")).alias("cutoff"),
+            "n0",
+            "n1",
+            "z_score",
+            "boundary",
+            "crossed",
+            "first_crossing",
+        )
+        .orderBy("look")
     )
 
 

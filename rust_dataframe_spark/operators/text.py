@@ -1316,6 +1316,62 @@ def unigram_expected_counts(
     )
 
 
+def unigram_m_step(expected: DataFrame) -> DataFrame:
+    """EM M-step for Unigram-LM tokenizer training: renormalize the
+    corpus-weighted expected piece counts from
+    :func:`unigram_expected_counts` into the next round's piece
+    probabilities — ``new_prob(p) = E[p] / sum_q E[q]`` with
+    ``E[p] = sum_words freq(word) * expected_count(word, p)``.
+
+    Float discipline: each word's ``expected_count`` is one exact
+    division (e_num/z, both int64 under the small-integer weight regime),
+    but the cross-word accumulation is a genuine float sum — so both the
+    per-piece total and the grand total run as ORDERED folds (word-sorted
+    / piece-sorted ``collect_list`` — the q317/q355 convention), keeping
+    the exact-hash gate.  Per-piece list sizes are distinct-word bounded
+    (Heaps); the piece axis is vocabulary-sized.
+
+    Returns (piece, total_expected, new_prob) floor-at-6, one row per
+    piece with nonzero expectation.  EM monotonicity (corpus likelihood
+    non-decreasing under the renormalized probs) is pinned in
+    tests/test_llm_ops.py::TestUnigramMStep against an independent pure-
+    python EM replay."""
+    contrib = expected.select(
+        "piece",
+        "word",
+        (F.col("expected_count") * F.col("freq")).alias("c"),
+    )
+    per_piece = contrib.groupBy("piece").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word", F.col("c").alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("te")
+    )
+    tot = per_piece.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("piece", F.col("te").alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("gt")
+    )
+    return (
+        per_piece.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            (F.floor(F.col("te") * 1e6) / 1e6).alias("total_expected"),
+            (F.floor(F.col("te") / F.col("gt") * 1e6) / 1e6).alias("new_prob"),
+        )
+        .orderBy("piece")
+    )
+
+
 def multi_pattern_scan(
     df: DataFrame,
     id_col: str,

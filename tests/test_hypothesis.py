@@ -422,3 +422,95 @@ def test_spearman_reversed_is_minus_one_and_ties_by_hand(spark):
         spark.createDataFrame(data, "x double, y double"), "x", "y"
     ).collect()[0]
     assert out2["rho"] == want
+
+
+def test_fleiss_kappa_perfect_agreement_is_one(spark):
+    from rust_dataframe_spark.operators.hypothesis import fleiss_kappa
+
+    rows = [(i, c) for i in range(10) for c in ["x" if i < 6 else "y"] * 3]
+    df = spark.createDataFrame(rows, "item bigint, cat string")
+    out = fleiss_kappa(df, "item", "cat", 3).collect()
+    assert all(r["p_bar"] == 1.0 for r in out)
+    assert all(r["fleiss_kappa"] == 1.0 or r["fleiss_kappa"] == 0.999999 for r in out)
+    assert all(r["bad_items"] == 0 for r in out)
+
+
+def test_fleiss_kappa_matches_textbook_replay(spark):
+    """Hand-replay of the Wikipedia-convention Fleiss computation on a
+    small 3-rater fixture with disagreement."""
+    from collections import Counter
+
+    from rust_dataframe_spark.operators.hypothesis import fleiss_kappa
+
+    votes = {
+        0: ["a", "a", "b"], 1: ["b", "b", "b"], 2: ["a", "c", "c"],
+        3: ["c", "c", "c"], 4: ["a", "b", "c"], 5: ["a", "a", "a"],
+    }
+    rows = [(i, c) for i, cs in votes.items() for c in cs]
+    df = spark.createDataFrame(rows, "item bigint, cat string")
+    out = {r["category"]: r for r in fleiss_kappa(df, "item", "cat", 3).collect()}
+    n, N = 3, len(votes)
+    p_bar = sum(
+        (sum(v * v for v in Counter(cs).values()) - n) / (n * (n - 1))
+        for cs in votes.values()
+    ) / N
+    cj = Counter(c for cs in votes.values() for c in cs)
+    p_e = sum((v / (n * N)) ** 2 for v in cj.values())
+    kappa = (p_bar - p_e) / (1 - p_e)
+    got = out["a"]
+    assert got["p_bar"] == math.floor(p_bar * 1e6) / 1e6
+    assert got["p_e"] == math.floor(p_e * 1e6) / 1e6
+    assert got["fleiss_kappa"] == math.floor(kappa * 1e6) / 1e6
+    assert got["n_items"] == N and got["bad_items"] == 0
+    assert out["b"]["n_assigned"] == cj["b"]
+
+
+def test_obf_planted_effect_crosses_late_not_early(spark):
+    """A moderate planted shift: the week-1 OBF boundary (4.048) holds,
+    the final boundary (2.024) is crossed — the early-stop conservatism
+    that IS the OBF design."""
+    import datetime
+
+    from rust_dataframe_spark.operators.hypothesis import group_sequential_obf
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(800):
+        arm = i % 2
+        day = datetime.datetime(2024, 1, 1 + (i * 29 // 800))
+        # shift sized to land z ~ 2.5 at full sample
+        v = rng.gauss(10.0, 2.0) + (0.36 if arm else 0.0)
+        rows.append((i, day, round(v, 2)))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = {
+        r["look"]: r
+        for r in group_sequential_obf(
+            df, "user_id", "value", "ts",
+            ["2024-01-08", "2024-01-15", "2024-01-22", "2024-01-31"],
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["boundary"] > 4.0 and out[4]["boundary"] < 2.1
+    assert not out[1]["crossed"]
+    assert out[4]["crossed"]
+    assert out[4]["first_crossing"] >= 2
+
+
+def test_obf_null_never_crosses(spark):
+    import datetime
+
+    from rust_dataframe_spark.operators.hypothesis import group_sequential_obf
+
+    rng = random.Random(4)
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + (i * 29 // 400)),
+         round(rng.gauss(5, 1), 2))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = group_sequential_obf(
+        df, "user_id", "value", "ts",
+        ["2024-01-08", "2024-01-15", "2024-01-22", "2024-01-31"],
+    ).collect()
+    assert all(not r["crossed"] for r in out)
+    assert all(r["first_crossing"] == 0 for r in out)

@@ -1944,3 +1944,74 @@ class TestJpegReal:
         diff = sum(rows[0][f"d{b}"] == rows[2][f"d{b}"] for b in range(4))
         assert same == 4
         assert diff < 4
+
+
+class TestUnigramMStep:
+    """Round 6: EM M-step renormalization + monotonicity vs a pure-python
+    independent EM replay."""
+
+    def _fixture(self, spark):
+        rows = [(1, "ab ab ba"), (2, "ab bb"), (3, "ba ba ab a")]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_m_step_matches_pure_python_em(self, spark):
+        import math
+        from collections import Counter
+
+        from rust_dataframe_spark.operators.text import (
+            unigram_expected_counts,
+            unigram_m_step,
+        )
+
+        weights = {"a": 2.0, "b": 3.0, "ab": 5.0, "ba": 4.0, "bb": 7.0}
+        df = self._fixture(spark)
+        exp = unigram_expected_counts(df, "doc_id", "text", weights)
+        out = {r["piece"]: r for r in unigram_m_step(exp).collect()}
+
+        # independent replay: enumerate segmentations per word
+        def paths(w):
+            if not w:
+                return [((), 1.0)]
+            res = []
+            for ln in (1, 2):
+                if ln > len(w):
+                    break
+                p = w[:ln]
+                if p in weights:
+                    for toks, wt in paths(w[ln:]):
+                        res.append(((p,) + toks, weights[p] * wt))
+            return res
+
+        freqs = Counter(
+            w for _, t in [(1, "ab ab ba"), (2, "ab bb"), (3, "ba ba ab a")]
+            for w in t.split()
+        )
+        totals = Counter()
+        for w, f in freqs.items():
+            ps = paths(w)
+            z = sum(wt for _, wt in ps)
+            for toks, wt in ps:
+                for p in toks:
+                    totals[p] += f * wt / z
+        gt = sum(totals.values())
+        for p, te in totals.items():
+            assert out[p]["total_expected"] == math.floor(te * 1e6) / 1e6
+            assert out[p]["new_prob"] == math.floor(te / gt * 1e6) / 1e6
+
+        # EM monotonicity: corpus log-likelihood under the renormalized
+        # probs must not decrease vs the old normalized weights
+        def loglik(probs):
+            ll = 0.0
+            for w, f in freqs.items():
+                z = 0.0
+                for toks, _ in paths(w):
+                    z += math.prod(probs[p] for p in toks)
+                ll += f * math.log(z)
+            return ll
+
+        wsum = sum(weights.values())
+        old_probs = {p: v / wsum for p, v in weights.items()}
+        new_probs = {p: totals[p] / gt for p in weights if p in totals}
+        # pieces with zero expectation drop out; fixture uses all pieces
+        assert set(new_probs) == set(weights)
+        assert loglik(new_probs) >= loglik(old_probs) - 1e-12
