@@ -127,6 +127,9 @@ HEADLINE = [
     "q389_schema_evolution",
     "q390_spearman",
     "q391_kruskal_wallis",
+    "q392_unigram_m_step",
+    "q393_fleiss_kappa",
+    "q394_group_sequential_obf",
 ]
 
 
