@@ -243,6 +243,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             prec, h, w, nf = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise JpegError(f"{prec}-bit precision unsupported (8 only)")
+            if w == 0 or h == 0:
+                raise JpegError("zero-dimension frame")
             if nf not in (1, 3):
                 raise JpegError(f"{nf}-component images unsupported (1 or 3)")
             comps = []

@@ -576,3 +576,59 @@ def test_compaction_plan_invariants(spark, sizes, target):
         assert r["file"] == f"f{i:03d}"
         assert r["bin"] == cum // target
         cum += s
+
+
+class TestJpegProperties:
+    """Property-based round-trip laws for the pure-stdlib JPEG codec
+    (operators/jpeg.py) — the fuzz layer above TestJpegReal's fixtures."""
+
+    @given(
+        w=st.integers(min_value=1, max_value=33),
+        h=st.integers(min_value=1, max_value=33),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_gray_quant1_roundtrip_error_bounded(self, w, h, seed):
+        import random as _r
+
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        rng = _r.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        ww, hh, ch, out = decode_jpeg(encode_jpeg(w, h, px, channels=1))
+        assert (ww, hh, ch) == (w, h, 1)
+        # quant=1: the only error is FDCT/IDCT float rounding + coefficient
+        # rounding — bounded far below the 8 gray levels asserted here even
+        # for adversarial noise images
+        assert max(abs(a - b) for a, b in zip(out, px)) <= 8
+
+    @given(
+        w=st.integers(min_value=8, max_value=24),
+        h=st.integers(min_value=8, max_value=24),
+        quant=st.integers(min_value=1, max_value=32),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_decode_never_crashes_and_dims_exact(self, w, h, quant, seed):
+        import random as _r
+
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        rng = _r.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        sub = bool(seed % 2)
+        ww, hh, ch, out = decode_jpeg(
+            encode_jpeg(w, h, px, channels=3, quant=quant, subsample=sub)
+        )
+        assert (ww, hh, ch) == (w, h, 3)
+        assert len(out) == w * h * 3
+
+    @given(data=st.binary(min_size=0, max_size=64))
+    @settings(max_examples=50, deadline=None)
+    def test_arbitrary_bytes_raise_jpeg_error_not_crash(self, data):
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators.jpeg import JpegError, decode_jpeg
+
+        with _pytest.raises(JpegError):
+            decode_jpeg(b"\xff\xd8" + data)
