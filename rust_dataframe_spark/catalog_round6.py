@@ -397,12 +397,17 @@ _CENTS_V = "CAST(round(value * 100, 0) AS BIGINT)"
            floor((12.0 / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) + 1.0))
                   * sum_r2n - 3.0 * (CAST(nt AS DOUBLE) + 1.0)) * 1e6) / 1e6
              AS h_stat,
-           floor((12.0 / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) + 1.0))
-                  * sum_r2n - 3.0 * (CAST(nt AS DOUBLE) + 1.0))
-                 / (1.0 - tie_term
-                    / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
-                       * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE)))
-                 * 1e6) / 1e6 AS h_corrected,
+           CASE WHEN 1.0 - tie_term
+                       / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                          * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE)) <> 0.0
+                THEN floor((12.0 / (CAST(nt AS DOUBLE)
+                                    * (CAST(nt AS DOUBLE) + 1.0))
+                            * sum_r2n - 3.0 * (CAST(nt AS DOUBLE) + 1.0))
+                           / (1.0 - tie_term
+                              / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                                 * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE)))
+                           * 1e6) / 1e6
+           END AS h_corrected,
            CAST(k - 1 AS BIGINT) AS dof
     FROM g CROSS JOIN tot CROSS JOIN ties ORDER BY grp
     """,
@@ -658,8 +663,10 @@ def _q394_oracle() -> str:
              (CAST(s1 AS DOUBLE) / n1
               - CAST(st - s1 AS DOUBLE) / (nt - n1))
              / (sqrt((CAST(sst AS DOUBLE)
-                      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
-                     / (nt - 1))
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1
+                      - CAST(st - s1 AS DOUBLE) * CAST(st - s1 AS DOUBLE)
+                        / (nt - n1))
+                     / (nt - 2))
                 * sqrt(1.0 / (nt - n1) + 1.0 / n1)) AS z,
              2.024 * sqrt(4.0 / CAST(look AS DOUBLE)) AS boundary
       FROM g

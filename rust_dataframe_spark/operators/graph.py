@@ -376,13 +376,15 @@ def label_propagation(
     ``pagerank`` cadence.
     """
     _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
-    src_type = dict(edges.dtypes)[src]
-    if not (src_type in _NUMERIC or src_type.startswith("decimal")):
-        raise TypeError(
-            f"label_propagation needs numeric node ids (the negated-label "
-            f"plurality tie-break does not order strings); got {src}: "
-            f"{src_type} — hash to int64 first (e.g. F.xxhash64)."
-        )
+    dtypes = dict(edges.dtypes)
+    for col in (src, dst):
+        col_type = dtypes[col]
+        if not (col_type in _NUMERIC or col_type.startswith("decimal")):
+            raise TypeError(
+                f"label_propagation needs numeric node ids (the negated-label "
+                f"plurality tie-break does not order strings); got {col}: "
+                f"{col_type} — hash to int64 first (e.g. F.xxhash64)."
+            )
     sym = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .unionByName(

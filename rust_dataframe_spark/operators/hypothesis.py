@@ -88,9 +88,15 @@ def chi2_independence(
     grid is an axis-cross-axis broadcast (|a|x|b| cells, NOT corpus rows);
     marginals are axis-sized broadcasts; the fold runs on a collected
     axis-bounded array."""
-    obs = df.groupBy(
-        F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from .cache import persist_tracked
+
+    # obs feeds the two distinct-axis projections AND the left join — persist
+    # so the corpus groupBy cannot re-execute when exchange reuse misses
+    obs = persist_tracked(
+        df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+    )
     cell = (
         obs.select("a")
         .distinct()
@@ -370,7 +376,12 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
                 "mean_rank"
             ),
             (F.floor(h * 1e6) / 1e6).alias("h_stat"),
-            (F.floor(h / corr * 1e6) / 1e6).alias("h_corrected"),
+            # all-identical values make the tie correction exactly 0
+            # (tie_term == N^3 - N); h/0 would be NaN in Spark but engine-
+            # dependent elsewhere — emit a deliberate NULL on both engines
+            F.when(corr != 0.0, F.floor(h / corr * 1e6) / 1e6).alias(
+                "h_corrected"
+            ),
             (F.col("k") - 1).cast("bigint").alias("dof"),
         )
     )
@@ -394,17 +405,39 @@ def fleiss_kappa(
     ``kappa = (P_bar - P_e) / (1 - P_e)``.
 
     Returns one row per category (category, n_assigned, p_cat) with the
-    table-wide p_bar, p_e, fleiss_kappa, n_items attached.  Raises
-    upstream of any shuffle if some item has a wrong rater count (the
-    count is asserted in-plan via a filter + scalar check).  Scale: one
-    groupBy to the (item, category) cells, one item-axis aggregate, one
-    category-axis aggregate."""
+    table-wide p_bar, p_e, fleiss_kappa, n_items attached.  An in-plan
+    ``assert_true`` fails the job at execution time if any item has a
+    rater count other than ``n_raters`` (a wrong count would silently
+    corrupt both P_bar and P_e); the ``bad_items`` output column is the
+    belt-and-braces certificate (always 0 when the job completes).
+    Scale: one groupBy to the (item, category) cells, one item-axis
+    aggregate, one category-axis aggregate."""
     cell = assignments.groupBy(
         F.col(item_col).alias("item"), F.col(cat_col).alias("cat")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
     per_item = cell.groupBy("item").agg(
         F.sum("nij").cast("bigint").alias("n_r"),
         F.sum(F.col("nij") * F.col("nij")).cast("bigint").alias("sq"),
+    ).select(
+        "item",
+        "n_r",
+        # the assert rides INSIDE the sq column (null + sq on success) so
+        # column pruning cannot optimize it away; it fails the job at
+        # execution time on any wrong rater count
+        (
+            F.col("sq")
+            + F.coalesce(
+                F.assert_true(
+                    F.col("n_r") == n_raters,
+                    F.concat(
+                        F.lit("fleiss_kappa: item "),
+                        F.col("item").cast("string"),
+                        F.lit(f" has rater count != {n_raters}"),
+                    ),
+                ).cast("bigint"),
+                F.lit(0),
+            )
+        ).alias("sq"),
     )
     tot = per_item.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
@@ -660,17 +693,25 @@ def group_sequential_obf(
     the classic O'Brien & Fleming (1979) two-sided alpha=0.05, K=4
     constant; pass the table value for other (K, alpha).
 
-    ``cutoffs`` are 'YYYY-MM-DD' look boundaries (look k = rows with
-    date(ts) <= cutoffs[k-1]).  One corpus scan: each row explodes to
-    the looks that include it (<= K copies, combined map-side into
-    K x 2 groups), cumulative cent sums stay exact int64, and each
-    look's z is the pooled-sd scalar dag on those ints.
+    ``cutoffs`` are 'YYYY-MM-DD' look boundaries, required STRICTLY
+    ASCENDING (look k = rows with date(ts) <= cutoffs[k-1]; unsorted
+    cutoffs would hand the full sample to the strictest early boundary,
+    inverting the alpha spending — rejected up front).  One corpus scan:
+    each row explodes to the looks that include it (<= K copies,
+    combined map-side into K x 2 groups), cumulative cent sums stay
+    exact int64, and each look's z uses the WITHIN-ARM pooled sd
+    (nt - 2 dof) scalar dag on those ints.
 
     Returns one row per look: (look, cutoff, n0, n1, z_score, boundary,
     crossed) with the table-wide first_crossing attached (0 = never)."""
     k_total = len(cutoffs)
     if k_total < 1:
         raise ValueError("need at least one cutoff")
+    if any(a >= b for a, b in zip(cutoffs, cutoffs[1:])):
+        raise ValueError(
+            f"cutoffs must be strictly ascending (look k must accrue the "
+            f"k-th information fraction); got {cutoffs}"
+        )
     d = F.to_date(F.col(ts_col))
     looks = F.filter(
         F.array(
@@ -703,14 +744,20 @@ def group_sequential_obf(
         F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sst"),
     )
     n0 = F.col("nt") - F.col("n1")
+    s0 = F.col("st") - F.col("s1")
     mean1 = F.col("s1").cast("double") / F.col("n1")
-    mean0 = (F.col("st") - F.col("s1")).cast("double") / n0
+    mean0 = s0.cast("double") / n0
+    # WITHIN-ARM pooled sd (nt - 2 dof): the combined-sample sd would
+    # include the between-arm gap d^2/4 in the denominator and deflate z
+    # by exactly the effect the monitor exists to detect
     sd = F.sqrt(
         (
             F.col("sst").cast("double")
-            - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+            / F.col("n1")
+            - s0.cast("double") * s0.cast("double") / n0
         )
-        / (F.col("nt") - 1)
+        / (F.col("nt") - 2)
     )
     z = (mean1 - mean0) / (sd * F.sqrt(1.0 / n0 + 1.0 / F.col("n1")))
     boundary = F.lit(z_base) * F.sqrt(

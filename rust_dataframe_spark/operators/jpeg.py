@@ -205,16 +205,26 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (W, H, comps) with comps = [(cid, h, v, tq)]
     restart_interval = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
-        if marker == 0xD8:  # stray SOI
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (stray SOI, TEM, RSTn): no length field
             pos += 2
             continue
         if marker == 0xD9:  # EOI before SOS
             raise JpegError("EOI before scan data")
+        if pos + 4 > len(data):
+            raise JpegError("truncated marker segment header")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if seglen < 2:
+            raise JpegError("invalid segment length")
         body = data[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
             raise JpegError("truncated segment")
@@ -240,6 +250,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 htables[(tc, th)] = _build_huff(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both sequential 8-bit ok)
+            if len(body) < 6:
+                raise JpegError("short SOF segment")
             prec, h, w, nf = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise JpegError(f"{prec}-bit precision unsupported (8 only)")
@@ -247,6 +259,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegError("zero-dimension frame")
             if nf not in (1, 3):
                 raise JpegError(f"{nf}-component images unsupported (1 or 3)")
+            if len(body) < 6 + 3 * nf:
+                raise JpegError("short SOF component list")
             comps = []
             for i in range(nf):
                 cid = body[6 + 3 * i]
@@ -258,11 +272,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError("non-baseline SOF (progressive/lossless/arithmetic)")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JpegError("short DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise JpegError("SOS before SOF")
+            if len(body) < 1:
+                raise JpegError("short SOS segment")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise JpegError("short SOS component list")
             scan = []  # (comp_idx, dc_table, ac_table)
             comp_ids = [c[0] for c in frame[2]]
             for i in range(ns):

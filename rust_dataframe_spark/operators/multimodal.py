@@ -151,8 +151,11 @@ def resize_images(
 ) -> DataFrame:
     """Resize every image payload to (width, height) — Arrow-batched, 1:1.
 
-    STUB decode/encode (real path: PIL/opencv decode -> resize -> re-encode);
-    the fake emits a deterministic payload (md5 of input ++ target dims) so
+    REAL path (``fake_decode=False``): baseline PNG and baseline JPEG
+    payloads decode, nearest-neighbor resample, and re-encode in their own
+    container via the pure-stdlib codecs (operators/png, operators/jpeg);
+    anything else raises (PngError/JpegError/NotImplementedError).  The
+    fake emits a deterministic payload (md5 of input ++ target dims) so
     tests can assert the plumbing: schema preserved, meta dims updated,
     payload replaced, row count unchanged.
     """
@@ -166,10 +169,19 @@ def resize_images(
     )
 
     def _resize_real(p: bytes) -> bytes:
-        # nearest-neighbor resample + re-encode, all stdlib (operators/png)
+        # nearest-neighbor resample + re-encode, all stdlib — dispatch on
+        # container magic (PNG stays PNG, JPEG stays JPEG at quant=1)
+        from rust_dataframe_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            is_jpeg,
+        )
         from rust_dataframe_spark.operators.png import decode_png, encode_png
 
-        w0, h0, ch, px = decode_png(p)
+        if is_jpeg(p[:2]):
+            w0, h0, ch, px = decode_jpeg(p)
+        else:
+            w0, h0, ch, px = decode_png(p)
         out = bytearray(width * height * ch)
         for y in range(height):
             sy = min(h0 - 1, y * h0 // height)
@@ -178,6 +190,10 @@ def resize_images(
                 src = (sy * w0 + sx) * ch
                 dst = (y * width + x) * ch
                 out[dst : dst + ch] = px[src : src + ch]
+        if is_jpeg(p[:2]):
+            if ch not in (1, 3):  # gray+alpha/RGBA never come from JPEG
+                raise NotImplementedError("unexpected JPEG channel count")
+            return encode_jpeg(width, height, bytes(out), channels=ch)
         return encode_png(width, height, bytes(out), channels=ch)
 
     def _resize(batches: Iterator) -> Iterator:

@@ -514,3 +514,40 @@ def test_obf_null_never_crosses(spark):
     ).collect()
     assert all(not r["crossed"] for r in out)
     assert all(r["first_crossing"] == 0 for r in out)
+
+
+def test_obf_rejects_unsorted_cutoffs(spark):
+    import pytest as _pytest
+
+    from rust_dataframe_spark.operators.hypothesis import group_sequential_obf
+
+    df = spark.createDataFrame([(1, None, 1.0)], "user_id bigint, ts timestamp, value double")
+    with _pytest.raises(ValueError, match="strictly ascending"):
+        group_sequential_obf(
+            df, "user_id", "value", "ts", ["2024-01-31", "2024-01-08"]
+        )
+
+
+def test_kruskal_all_identical_values_h_corrected_null(spark):
+    """Every value identical: tie correction is exactly 0 — h_corrected is
+    a deliberate NULL (not NaN) on both engines; h_stat is 0."""
+    from rust_dataframe_spark.operators.hypothesis import kruskal_wallis
+
+    rows = [(g, 5.0) for g in ("a", "b", "c") for _ in range(4)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = kruskal_wallis(df, "g", "v").collect()
+    assert all(r["h_stat"] == 0.0 for r in out)
+    assert all(r["h_corrected"] is None for r in out)
+
+
+def test_fleiss_wrong_rater_count_fails_loudly(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from rust_dataframe_spark.operators.hypothesis import fleiss_kappa
+
+    rows = [(0, "a"), (0, "b"), (0, "a"), (1, "a"), (1, "a")]  # item 1: 2 raters
+    df = spark.createDataFrame(rows, "item bigint, cat string")
+    with _pytest.raises(Exception) as ei:
+        fleiss_kappa(df, "item", "cat", 3).collect()
+    assert "rater count" in str(ei.value)

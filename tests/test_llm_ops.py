@@ -2015,3 +2015,53 @@ class TestUnigramMStep:
         # pieces with zero expectation drop out; fixture uses all pieces
         assert set(new_probs) == set(weights)
         assert loglik(new_probs) >= loglik(old_probs) - 1e-12
+
+
+class TestJpegRobustness:
+    """Round-6 review fixes: malformed segments raise JpegError (never
+    IndexError/struct.error), fill bytes are spec-legal, JPEG resize is
+    real."""
+
+    def test_short_segment_bodies_raise_jpeg_error(self):
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators.jpeg import JpegError, decode_jpeg
+
+        for blob in (
+            b"\xff\xd8\xff\xc0\x00\x02\xff\xd9",        # SOF with empty body
+            b"\xff\xd8\xff\xc0\x00\x04\x08\x00\xff\xd9",  # SOF body too short
+            b"\xff\xd8\xff\xdd\x00\x03\x01\xff\xd9",    # short DRI
+            b"\xff\xd8\xff\xda\x00\x02\xff\xd9",        # SOS with empty body
+        ):
+            with _pytest.raises(JpegError):
+                decode_jpeg(blob)
+
+    def test_fill_bytes_before_markers_decode_fine(self):
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        px = bytes((x + y) % 256 for y in range(8) for x in range(8))
+        good = encode_jpeg(8, 8, px)
+        # inject T.81 B.1.1.2 fill bytes before the SOF marker
+        sof = good.find(b"\xff\xc0")
+        padded = good[:sof] + b"\xff\xff\xff" + good[sof:]
+        assert decode_jpeg(padded) == decode_jpeg(good)
+
+    def test_resize_real_jpeg_payload(self, spark):
+        from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg, encode_jpeg
+        from rust_dataframe_spark.operators.multimodal import resize_images
+
+        w, h = 16, 16
+        px = bytes(min(255, 30 + 5 * x + 3 * y) for y in range(h) for x in range(w))
+        df = spark.createDataFrame(
+            [(1, encode_jpeg(w, h, px))],
+            StructType([StructField("doc_id", LongType()), StructField("payload", BinaryType())]),
+        )
+        out = resize_images(df, width=8, height=8, fake_decode=False).collect()[0]
+        ww, hh, ch, rp = decode_jpeg(bytes(out["payload"]))
+        assert (ww, hh, ch) == (8, 8, 1)
+        assert (out["width"], out["height"]) == (8, 8)
+        # nearest-neighbor of a smooth ramp: decoded pixels near source grid
+        src = px[(1 * w + 1)]  # sampled top-left region value
+        assert abs(rp[0] - px[0]) <= 6
