@@ -142,9 +142,30 @@ def _other_spark_jvms() -> int:
     self-describing instead of a silent outlier.
 
     Implementation: procfs scan for java processes with spark on the
-    command line whose parent is not us (our own local[N] JVM is a direct
-    child).  Best-effort — any procfs error counts zero."""
+    command line that are not DESCENDANTS of this process (round-6 ADVICE:
+    the bench's own driver JVM may be launched through a non-exec
+    spark-submit wrapper or an intermediate shell, so a direct-child ppid
+    check would count our own JVM and stamp contended=true on clean solo
+    runs — walk each candidate's ancestor chain up to pid 1 instead).
+    Best-effort — any procfs error counts zero."""
     me = os.getpid()
+
+    def _ppid(pid: int) -> int:
+        with open(f"/proc/{pid}/stat") as f:
+            return int(f.read().split(")")[-1].split()[1])
+
+    def _is_descendant(pid: int) -> bool:
+        seen = 0
+        while pid > 1 and seen < 64:  # cycle/typo guard
+            if pid == me:
+                return True
+            try:
+                pid = _ppid(pid)
+            except OSError:
+                return False
+            seen += 1
+        return False
+
     n = 0
     try:
         for pid in os.listdir("/proc"):
@@ -155,9 +176,7 @@ def _other_spark_jvms() -> int:
                     cmd = f.read().replace(b"\0", b" ")
                 if b"java" not in cmd or b"spark" not in cmd.lower():
                     continue
-                with open(f"/proc/{pid}/stat") as f:
-                    ppid = int(f.read().split(")")[-1].split()[1])
-                if ppid != me:
+                if not _is_descendant(int(pid)):
                     n += 1
             except OSError:
                 continue
@@ -222,7 +241,34 @@ def main() -> None:
     jvms_after = _other_spark_jvms()
     out["other_spark_jvms"] = max(jvms_before, jvms_after)
     out["contended"] = out["other_spark_jvms"] > 0
-    print(json.dumps(out))
+
+    # VERDICT r6 #6: the driver's stdout capture window is ~2000 bytes and
+    # BENCH_r05/r06 both landed with parsed=null because the one JSON line
+    # outgrew it.  Two defenses: (a) the FULL record always goes to a
+    # compact summary file the judge can read directly; (b) the printed
+    # line is shrunk deterministically — if the full dict exceeds the
+    # budget, the FASTEST queries are moved out of the inline "queries"
+    # dict (the slow ones are the perf signal) and the line stamps how
+    # many were omitted plus the file that has them all.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SUMMARY.json"), "w") as f:
+            json.dump(out, f, separators=(",", ":"))
+    except OSError:
+        pass  # read-only checkout: the printed line is still authoritative
+    budget = 1900
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > budget:
+        slow_first = sorted(timings, key=lambda n: -timings[n])
+        pruned = dict(out)
+        keep = dict.fromkeys(slow_first)
+        while len(line) > budget and keep:
+            keep.popitem()  # drop the current fastest retained query
+            pruned["queries"] = {n: timings[n] for n in keep}
+            pruned["queries_omitted"] = len(timings) - len(keep)
+            pruned["detail"] = "BENCH_SUMMARY.json"
+            line = json.dumps(pruned, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -649,34 +649,48 @@ def _q394_oracle() -> str:
       FROM events
     ),
     g AS (
+      /* LEFT JOIN the looks axis (round-6 ADVICE mirror): a look whose
+         cutoff precedes all data still emits a row (all-zero counts) */
       SELECT l.look,
-             CAST(count(*) AS BIGINT) AS nt,
-             CAST(sum(arm) AS BIGINT) AS n1,
-             CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
-             CAST(sum(v) AS BIGINT) AS st,
-             CAST(sum(v * v) AS BIGINT) AS sst
-      FROM base JOIN looks l ON base.d <= l.cutoff
+             CAST(count(base.d) AS BIGINT) AS nt,
+             CAST(coalesce(sum(arm), 0) AS BIGINT) AS n1,
+             CAST(coalesce(sum(CASE WHEN arm = 1 THEN v ELSE 0 END), 0)
+                  AS BIGINT) AS s1,
+             CAST(coalesce(sum(v), 0) AS BIGINT) AS st,
+             CAST(coalesce(sum(v * v), 0) AS BIGINT) AS sst
+      FROM looks l LEFT JOIN base ON base.d <= l.cutoff
       GROUP BY l.look
     ),
     zt AS (
-      SELECT look, nt - n1 AS n0, n1,
-             (CAST(s1 AS DOUBLE) / n1
-              - CAST(st - s1 AS DOUBLE) / (nt - n1))
-             / (sqrt((CAST(sst AS DOUBLE)
-                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1
-                      - CAST(st - s1 AS DOUBLE) * CAST(st - s1 AS DOUBLE)
-                        / (nt - n1))
-                     / (nt - 2))
-                * sqrt(1.0 / (nt - n1) + 1.0 / n1)) AS z,
+      SELECT look, nt - n1 AS n0, n1, nt, s1, st,
+             CAST(sst AS DOUBLE)
+               - CASE WHEN n1 > 0
+                      THEN CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1
+                      ELSE 0 END
+               - CASE WHEN nt - n1 > 0
+                      THEN CAST(st - s1 AS DOUBLE) * CAST(st - s1 AS DOUBLE)
+                           / (nt - n1)
+                      ELSE 0 END AS varnum,
              2.024 * sqrt(4.0 / CAST(look AS DOUBLE)) AS boundary
       FROM g
+    ),
+    zt2 AS (
+      /* degenerate-look guard mirror: z defined only with both arms
+         populated, nt > 2, positive within-arm variance */
+      SELECT look, n0, n1, boundary,
+             n0 > 0 AND n1 > 0 AND nt > 2 AND varnum > 0 AS ok,
+             CASE WHEN n0 > 0 AND n1 > 0 AND nt > 2 AND varnum > 0 THEN
+               (CAST(s1 AS DOUBLE) / n1 - CAST(st - s1 AS DOUBLE) / n0)
+               / (sqrt(varnum / (nt - 2)) * sqrt(1.0 / n0 + 1.0 / n1))
+             END AS z
+      FROM zt
     ),
     flagged AS (
       SELECT look, n0, n1,
              floor(z * 1e6) / 1e6 AS z_score,
              floor(boundary * 1e6) / 1e6 AS boundary,
-             abs(z) >= boundary AS crossed
-      FROM zt
+             CASE WHEN ok THEN abs(z) >= boundary ELSE false END AS crossed
+      FROM zt2
     ),
     fc AS (
       SELECT CAST(coalesce(min(CASE WHEN crossed THEN look END), 0) AS BIGINT)

@@ -132,12 +132,15 @@ def q237_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     t  AS (SELECT sum(o) AS n FROM cells),
     j  AS (SELECT coalesce(cells.o, 0) AS o, rn, cn, n
            FROM rm CROSS JOIN cm
-           LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+           LEFT JOIN cells ON cells.r IS NOT DISTINCT FROM rm.r
+                          AND cells.c IS NOT DISTINCT FROM cm.c
            CROSS JOIN t),
     a  AS (SELECT sum(pow(o - rn * cn / n, 2) / (rn * cn / n)) AS chi2,
                   max(n) AS n
            FROM j),
-    d  AS (SELECT count(DISTINCT r) AS nr, count(DISTINCT c) AS nc FROM cells)
+    d  AS (SELECT count(DISTINCT r) + max(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS nr,
+                  count(DISTINCT c) + max(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS nc
+           FROM cells)
     SELECT round(chi2, 6) AS chi2,
            CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
            round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 6) AS cramers_v,

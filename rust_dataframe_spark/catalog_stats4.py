@@ -38,27 +38,36 @@ _CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
       FROM documents GROUP BY 1, 2
     ),
     cell AS (
+      /* null-safe densification (round-6 ADVICE): NULL categories are
+         real grid levels, kept by IS NOT DISTINCT FROM + window marginals */
       SELECT da.a, db.b, CAST(coalesce(obs.n, 0) AS BIGINT) AS n
       FROM (SELECT DISTINCT a FROM obs) da
       CROSS JOIN (SELECT DISTINCT b FROM obs) db
-      LEFT JOIN obs ON obs.a = da.a AND obs.b = db.b
+      LEFT JOIN obs ON obs.a IS NOT DISTINCT FROM da.a
+                   AND obs.b IS NOT DISTINCT FROM db.b
     ),
-    ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS n_a FROM cell GROUP BY 1),
-    cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS n_b FROM cell GROUP BY 1),
+    m AS (
+      SELECT a, b, n,
+             CAST(sum(n) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+             CAST(sum(n) OVER (PARTITION BY b) AS BIGINT) AS n_b
+      FROM cell
+    ),
     tot AS (
       SELECT CAST(sum(n) AS BIGINT) AS nt,
-             CAST(count(DISTINCT a) AS BIGINT) AS ka,
-             CAST(count(DISTINCT b) AS BIGINT) AS kb
+             CAST(count(DISTINCT a)
+                  + max(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+             CAST(count(DISTINCT b)
+                  + max(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kb
       FROM cell
     ),
     c AS (
-      SELECT cell.a, cell.b, cell.n,
+      SELECT m.a, m.b, m.n,
              CAST(n_a * n_b AS DOUBLE) / nt AS e,
-             (cell.n - CAST(n_a * n_b AS DOUBLE) / nt)
-               * (cell.n - CAST(n_a * n_b AS DOUBLE) / nt)
+             (m.n - CAST(n_a * n_b AS DOUBLE) / nt)
+               * (m.n - CAST(n_a * n_b AS DOUBLE) / nt)
                / (CAST(n_a * n_b AS DOUBLE) / nt) AS contrib,
              CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof
-      FROM cell JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+      FROM m CROSS JOIN tot
     ),
     chi AS (
       SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),

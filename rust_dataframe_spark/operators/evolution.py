@@ -62,6 +62,16 @@ def migrate_schema(
     cur = df
     for old, new in sorted(renames.items()):
         if old in cur.columns:
+            if new in cur.columns:
+                # round-6 ADVICE: renaming onto an existing column would
+                # create duplicate names and surface later as an opaque
+                # ambiguous-reference AnalysisException — fail the
+                # migration up front with the actual conflict instead
+                raise ValueError(
+                    f"vintage {vintage}: rename {old!r} -> {new!r} collides "
+                    f"with an existing column {new!r} — drop or rename the "
+                    f"conflicting column first"
+                )
             cur = cur.withColumnRenamed(old, new)
             actions.append((old, "rename", new))
     have = dict(cur.dtypes)

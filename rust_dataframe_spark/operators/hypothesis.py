@@ -84,10 +84,20 @@ def chi2_independence(
     scalar dags on those ints; the chi2 SUM folds the bounded cell axis in
     (a, b)-sorted order, so both engines walk the identical IEEE path.
 
+    NULL categories are REAL categories (round-6 ADVICE): the grid join
+    is null-safe (``eqNullSafe``) and the marginals ride window
+    partitions (which group NULL keys together), so an observed cell with
+    a NULL ``a`` or ``b`` keeps its count in N, the marginals, and the
+    statistic instead of being silently dropped by a null-unsafe equi
+    join; ``ka``/``kb`` count the NULL level explicitly (``count
+    distinct`` alone would skip it).
+
     Scale: one groupBy over the fact table to the cell axis; the dense
     grid is an axis-cross-axis broadcast (|a|x|b| cells, NOT corpus rows);
-    marginals are axis-sized broadcasts; the fold runs on a collected
-    axis-bounded array."""
+    marginals are windows over the axis-sized cell table; the fold runs
+    on a collected axis-bounded array."""
+    from pyspark.sql import Window
+
     from .cache import persist_tracked
 
     # obs feeds the two distinct-axis projections AND the left join — persist
@@ -97,26 +107,48 @@ def chi2_independence(
             F.count(F.lit(1)).cast("bigint").alias("n")
         )
     )
-    cell = (
+    grid = (
         obs.select("a")
         .distinct()
         .crossJoin(F.broadcast(obs.select("b").distinct()))
-        .join(obs, ["a", "b"], "left")
+    )
+    cell = (
+        grid.alias("g")
+        .join(
+            obs.alias("o"),
+            F.col("g.a").eqNullSafe(F.col("o.a"))
+            & F.col("g.b").eqNullSafe(F.col("o.b")),
+            "left",
+        )
         .select(
-            "a", "b", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+            F.col("g.a").alias("a"),
+            F.col("g.b").alias("b"),
+            F.coalesce(F.col("o.n"), F.lit(0)).cast("bigint").alias("n"),
         )
     )
-    ra = cell.groupBy("a").agg(F.sum("n").cast("bigint").alias("n_a"))
-    cb = cell.groupBy("b").agg(F.sum("n").cast("bigint").alias("n_b"))
     tot = cell.agg(
         F.sum("n").cast("bigint").alias("nt"),
-        F.countDistinct("a").cast("bigint").alias("ka"),
-        F.countDistinct("b").cast("bigint").alias("kb"),
+        (
+            F.countDistinct("a")
+            + F.max(F.when(F.col("a").isNull(), 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("ka"),
+        (
+            F.countDistinct("b")
+            + F.max(F.when(F.col("b").isNull(), 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("kb"),
     )
     e = (F.col("n_a") * F.col("n_b")).cast("double") / F.col("nt")
     c = (
-        cell.join(F.broadcast(ra), "a")
-        .join(F.broadcast(cb), "b")
+        cell.withColumn(
+            "n_a", F.sum("n").over(Window.partitionBy("a")).cast("bigint")
+        )
+        .withColumn(
+            "n_b", F.sum("n").over(Window.partitionBy("b")).cast("bigint")
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "a",
@@ -702,8 +734,14 @@ def group_sequential_obf(
     exact int64, and each look's z uses the WITHIN-ARM pooled sd
     (nt - 2 dof) scalar dag on those ints.
 
-    Returns one row per look: (look, cutoff, n0, n1, z_score, boundary,
-    crossed) with the table-wide first_crossing attached (0 = never)."""
+    Returns one row per look — INCLUDING looks whose cutoff precedes all
+    data (the looks axis is left-joined, round-6 ADVICE): a degenerate
+    look (no rows, a one-arm look, nt <= 2, or zero within-arm variance)
+    reports ``z_score`` NULL and ``crossed`` false — no statistic is
+    defined, so it cannot cross — instead of a divide-by-zero NULL
+    ``crossed`` or a silently missing row.  (look, cutoff, n0, n1,
+    z_score, boundary, crossed) with the table-wide first_crossing
+    attached (0 = never)."""
     k_total = len(cutoffs)
     if k_total < 1:
         raise ValueError("need at least one cutoff")
@@ -743,6 +781,18 @@ def group_sequential_obf(
         F.sum("v").cast("bigint").alias("st"),
         F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sst"),
     )
+    # left-join the pre-registered looks axis (K literal rows) so every
+    # look appears even when its cutoff precedes all data
+    axis = df.sparkSession.range(1, k_total + 1).select(
+        F.col("id").cast("int").alias("look")
+    )
+    g = axis.join(g, "look", "left").select(
+        "look",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in ("nt", "n1", "s1", "st", "sst")
+        ],
+    )
     n0 = F.col("nt") - F.col("n1")
     s0 = F.col("st") - F.col("s1")
     mean1 = F.col("s1").cast("double") / F.col("n1")
@@ -763,13 +813,22 @@ def group_sequential_obf(
     boundary = F.lit(z_base) * F.sqrt(
         F.lit(float(k_total)) / F.col("look").cast("double")
     )
+    # degenerate-look guard (round-6 ADVICE): the z statistic needs both
+    # arms populated, nt > 2 dof, and positive within-arm variance; a
+    # degenerate look has no defined statistic -> z NULL, crossed false
+    ok = (
+        (n0 > 0)
+        & (F.col("n1") > 0)
+        & (F.col("nt") > 2)
+        & (sd > 0)
+    )
     looks_z = g.select(
         "look",
         n0.alias("n0"),
         "n1",
-        (F.floor(z * 1e6) / 1e6).alias("z_score"),
+        F.when(ok, F.floor(z * 1e6) / 1e6).alias("z_score"),
         (F.floor(boundary * 1e6) / 1e6).alias("boundary"),
-        (F.abs(z) >= boundary).alias("crossed"),
+        F.when(ok, F.abs(z) >= boundary).otherwise(F.lit(False)).alias("crossed"),
     )
     first = looks_z.agg(
         F.coalesce(

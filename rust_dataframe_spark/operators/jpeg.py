@@ -166,11 +166,20 @@ class _BitReader:
                 return table[(length, code)]
         raise JpegError("invalid Huffman code in entropy data")
 
-    def restart(self) -> None:
-        """Byte-align and consume an RSTn marker (T.81 F.2.2.5)."""
+    def restart(self, expected: int) -> None:
+        """Byte-align and consume the RSTn marker whose index is
+        ``expected`` (mod 8, T.81 F.2.2.5).  RSTm markers cycle m = 0..7;
+        a dropped or duplicated restart interval therefore shows up as an
+        index mismatch — raise :class:`JpegError` instead of silently
+        resynchronizing to the wrong interval and decoding misaligned
+        pixels (round-6 ADVICE; matches the parser's fail-loud posture).
+        The forward scan is bounded to a few padding bytes: between the
+        end of an entropy segment and its RSTn only 0xFF fill bytes are
+        legal (B.2.4.x)."""
         self.buf = 0
         self.nbits = 0
         self.marker_hit = False
+        skipped = 0
         while (
             self.pos + 1 < len(self.data)
             and not (
@@ -179,8 +188,20 @@ class _BitReader:
             )
         ):
             self.pos += 1
+            skipped += 1
+            if skipped > 8:
+                raise JpegError(
+                    "restart marker not found within padding bounds "
+                    "(corrupt entropy segment)"
+                )
         if self.pos + 1 >= len(self.data):
             raise JpegError("missing restart marker")
+        got = self.data[self.pos + 1] - 0xD0
+        if got != expected % 8:
+            raise JpegError(
+                f"restart marker out of sequence: expected RST{expected % 8}, "
+                f"got RST{got} (dropped or duplicated restart interval)"
+            )
         self.pos += 2
 
 
@@ -325,7 +346,7 @@ def _decode_scan(
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.restart()
+                r.restart(mcu_count // restart_interval - 1)
                 preds = [0] * len(comps)
             for ci, td, ta in scan:
                 cid, ch, cv, tq = comps[ci]
@@ -508,12 +529,16 @@ def encode_jpeg(
     channels: int = 1,
     quant: int = 1,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal baseline JPEG encoder: uniform quant table of ``quant``,
     flat canonical Huffman tables, interleaved single scan.  ``channels``
     1 (gray) or 3 (RGB; JFIF BT.601 to YCbCr); ``subsample=True`` emits
     4:2:0 (2x2 averaged chroma) so decoders' upsampling path is
-    exercised.  With ``quant=1`` a block-constant grayscale image
+    exercised.  ``restart_interval > 0`` emits a DRI segment and RSTn
+    markers every that-many MCUs (T.81 B.2.4.4) with the mandated DC
+    predictor reset — the fixture path for the decoder's restart-index
+    validation.  With ``quant=1`` a block-constant grayscale image
     round-trips pixel-exactly (see module docstring)."""
     if channels not in (1, 3):
         raise JpegError(f"channels must be 1 or 3, got {channels}")
@@ -521,6 +546,8 @@ def encode_jpeg(
         raise JpegError("pixel buffer size mismatch")
     if quant < 1 or quant > 255:
         raise JpegError("quant must be 1..255")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise JpegError("restart_interval must be 0..65535")
     qt = [quant] * 64
     # build component planes
     if channels == 1:
@@ -578,6 +605,8 @@ def encode_jpeg(
     out += _seg(0xC0, sof)
     out += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(planes)])
     for ci in range(len(planes)):
         sos += bytes([ci + 1, 0x00])
@@ -586,8 +615,19 @@ def encode_jpeg(
     # interleaved entropy scan
     bw = _BitWriter()
     preds = [0] * len(planes)
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # byte-align (1-padding), emit RSTn with n cycling mod 8,
+                # reset DC predictors — mirror of _BitReader.restart
+                out += bw.flush()
+                bw = _BitWriter()
+                out += bytes(
+                    [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
+                )
+                preds = [0] * len(planes)
+            mcu_count += 1
             for ci, (sh, sv) in enumerate(samp):
                 pw, ph = dims[ci]
                 for by in range(sv):

@@ -120,11 +120,27 @@ def chi2_independence(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     n = cells.groupBy().agg(F.sum("o").alias("n"))
     # complete the table: a (row, col) pair with zero observations still
     # contributes (0 - e)^2 / e — the margin cross-product supplies the
-    # missing cells (all post-scan, all bounded by category counts)
+    # missing cells (all post-scan, all bounded by category counts).
+    # NULL categories are real categories: the join back to cells is
+    # null-safe (a plain ["r","c"] join would zero out a NULL-keyed
+    # observed cell while its count stays in the margins, corrupting chi2),
+    # and nr/nc count the NULL level explicitly.
     full = (
         rm.crossJoin(cm)
-        .join(cells, ["r", "c"], "left")
-        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .alias("m")
+        .join(
+            cells.alias("x"),
+            F.col("m.r").eqNullSafe(F.col("x.r"))
+            & F.col("m.c").eqNullSafe(F.col("x.c")),
+            "left",
+        )
+        .select(
+            F.col("m.r").alias("r"),
+            F.col("m.c").alias("c"),
+            F.col("m.rn").alias("rn"),
+            F.col("m.cn").alias("cn"),
+            F.coalesce(F.col("x.o"), F.lit(0)).alias("o"),
+        )
     )
     j = full.crossJoin(F.broadcast(n))
     term = (F.col("o") - F.col("rn") * F.col("cn") / F.col("n")) ** 2 / (
@@ -132,8 +148,14 @@ def chi2_independence(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     )
     agg = j.groupBy().agg(
         F.sum(term).alias("chi2"),
-        F.count_distinct("r").alias("nr"),
-        F.count_distinct("c").alias("nc"),
+        (
+            F.count_distinct("r")
+            + F.max(F.when(F.col("r").isNull(), 1).otherwise(0))
+        ).alias("nr"),
+        (
+            F.count_distinct("c")
+            + F.max(F.when(F.col("c").isNull(), 1).otherwise(0))
+        ).alias("nc"),
         F.max("n").alias("n"),
     )
     return agg.select(

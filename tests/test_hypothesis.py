@@ -83,6 +83,48 @@ def test_chi2_empty_cell_contributes_expected(spark):
     assert all(r["chi2"] == want for r in out.values())
 
 
+def test_chi2_null_category_is_a_real_level(spark):
+    """Round-6 ADVICE regression: an observed cell with a NULL category
+    must keep its count in N, the marginals, and the statistic (the old
+    null-unsafe densification join dropped it, zeroing the cell while the
+    grid row got expected=0 and contrib 0/0 -> table-wide chi2 NULL)."""
+    from rust_dataframe_spark.operators.hypothesis import chi2_independence
+
+    rows = (
+        [("x", "u")] * 3
+        + [("x", "v")] * 2
+        + [(None, "u")] * 4  # NULL a-category, must not vanish
+        + [("y", None)] * 2  # NULL b-category
+        + [("y", "v")] * 1
+    )
+    df = spark.createDataFrame(rows, "a0 string, b0 string")
+    out = {(r["a"], r["b"]): r for r in chi2_independence(df, "a0", "b0").collect()}
+    # dense grid: 3 a-levels (x, y, NULL) x 3 b-levels (u, v, NULL)
+    assert len(out) == 9
+    assert out[(None, "u")]["n"] == 4
+    assert out[("y", None)]["n"] == 2
+    # N conserved: sum of grid n equals the input row count
+    assert sum(r["n"] for r in out.values()) == len(rows)
+    # dof counts the NULL levels: (3-1)*(3-1) = 4
+    assert all(r["dof"] == 4 for r in out.values())
+    # table-wide chi2 is defined (the old code propagated NULL here)
+    assert all(r["chi2"] is not None for r in out.values())
+    # hand replay over the 3x3 grid with None as an ordinary level
+    from collections import Counter
+
+    cells = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    chi2 = 0.0
+    for a in ("x", "y", None):
+        for b in ("u", "v", None):
+            e = ra[a] * cb[b] / n
+            chi2 += (cells.get((a, b), 0) - e) ** 2 / e
+    want = math.floor(chi2 * 1e6) / 1e6
+    assert all(r["chi2"] == want for r in out.values())
+
+
 def test_anova_equal_groups_f_zero(spark):
     """Identical group distributions with equal means: SSB = 0 so F = 0."""
     from rust_dataframe_spark.operators.hypothesis import anova_oneway
@@ -526,6 +568,46 @@ def test_obf_rejects_unsorted_cutoffs(spark):
         group_sequential_obf(
             df, "user_id", "value", "ts", ["2024-01-31", "2024-01-08"]
         )
+
+
+def test_obf_degenerate_looks_guarded(spark):
+    """Round-6 ADVICE regression: (a) a look whose cutoff precedes all
+    data still emits its row (looks axis left-joined) with z NULL and
+    crossed FALSE; (b) a one-arm look (n0=0 or n1=0) and an nt<=2 look
+    get the same guard instead of a divide-by-zero NULL crossed."""
+    import datetime
+
+    from rust_dataframe_spark.operators.hypothesis import group_sequential_obf
+
+    # all data lands after look 1; look 2 has a single row (nt<=2);
+    # look 3 is one-arm only (all odd user_ids); look 4 has both arms
+    rows = [
+        (1, datetime.datetime(2024, 1, 10), 5.0),   # odd -> arm 1
+        (3, datetime.datetime(2024, 1, 18), 6.0),
+        (5, datetime.datetime(2024, 1, 19), 7.5),
+        (2, datetime.datetime(2024, 1, 25), 4.0),   # even -> arm 0
+        (4, datetime.datetime(2024, 1, 26), 6.5),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = {
+        r["look"]: r
+        for r in group_sequential_obf(
+            df, "user_id", "value", "ts",
+            ["2024-01-08", "2024-01-15", "2024-01-22", "2024-01-31"],
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # every pre-registered look appears
+    # look 1: empty
+    assert out[1]["n0"] == 0 and out[1]["n1"] == 0
+    # look 2: single row; look 3: one-arm
+    assert out[3]["n0"] == 0 and out[3]["n1"] == 3
+    for k in (1, 2, 3):
+        assert out[k]["z_score"] is None
+        assert out[k]["crossed"] is False
+    # look 4 has both arms and nt=5 > 2: statistic defined
+    assert out[4]["z_score"] is not None
+    assert out[4]["crossed"] in (True, False)
+    assert all(r["boundary"] is not None for r in out.values())
 
 
 def test_kruskal_all_identical_values_h_corrected_null(spark):

@@ -1879,6 +1879,47 @@ class TestJpegReal:
         assert (ww, hh) == (11, 13)
         assert max(abs(a - b) for a, b in zip(out, px)) <= 8
 
+    def test_restart_intervals_roundtrip_and_validate_sequence(self):
+        """DRI/RSTn path (round-6 ADVICE): restart markers must cycle
+        RST0..RST7 in order; a round-trip through intervals that force
+        multiple marker cycles stays near-lossless, and a tampered marker
+        index raises JpegError instead of silently resyncing to the wrong
+        interval."""
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators.jpeg import (
+            JpegError,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        w, h = 40, 24  # 5x3 = 15 MCUs gray
+        px = bytes((3 * x + 5 * y) % 256 for y in range(h) for x in range(w))
+        for interval in (1, 2, 7):  # interval 1 -> 14 markers, wraps mod 8
+            _, _, _, out = decode_jpeg(
+                encode_jpeg(w, h, px, channels=1, restart_interval=interval)
+            )
+            assert max(abs(a - b) for a, b in zip(out, px)) <= 2
+        # 4:2:0 color with restarts: DC predictor reset per component
+        px3 = bytes(
+            min(255, 40 + 3 * x + 2 * y + 20 * c)
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        _, _, _, out3 = decode_jpeg(
+            encode_jpeg(w, h, px3, channels=3, subsample=True, restart_interval=3)
+        )
+        assert max(abs(a - b) for a, b in zip(out3, px3)) <= 4
+        # tamper the first RST0 into RST5: out-of-sequence must fail loud
+        enc = bytearray(encode_jpeg(w, h, px, channels=1, restart_interval=2))
+        for i in range(len(enc) - 1):
+            if enc[i] == 0xFF and enc[i + 1] == 0xD0:
+                enc[i + 1] = 0xD5
+                break
+        with _pytest.raises(JpegError, match="out of sequence"):
+            decode_jpeg(bytes(enc))
+
     def test_rejects_corrupt_and_exotic(self):
         import pytest as _pytest
 

@@ -258,6 +258,18 @@ class TestSchemaEvolution:
         with _pytest.raises(ValueError, match="refusing to invent nulls"):
             migrate_schema(old, {"k": "int", "absent": "string"})
 
+    def test_rename_onto_existing_column_refuses(self, spark):
+        """Round-6 ADVICE regression: a rename colliding with an existing
+        column must raise a clear migration error up front, not surface
+        later as an ambiguous-reference AnalysisException."""
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators.evolution import migrate_schema
+
+        old = spark.createDataFrame([(1, 2)], "a int, b int")
+        with _pytest.raises(ValueError, match="collides with an existing column"):
+            migrate_schema(old, {"b": "int"}, renames={"a": "b"}, vintage="v1")
+
     def test_read_evolved_unions_real_parquet_vintages(self, spark, tmp_path):
         from rust_dataframe_spark.operators.evolution import read_evolved
 

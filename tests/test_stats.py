@@ -108,6 +108,37 @@ def test_chi2_matches_scipy_formula_by_hand(spark):
     assert out["chi2"] == pytest.approx(expected, rel=1e-12)
 
 
+def test_chi2_null_category_kept(spark):
+    """Round-6 ADVICE class regression (stats variant): a NULL-keyed
+    observed cell must not be zeroed by a null-unsafe join back to the
+    margin cross-product, and nr/nc must count the NULL level."""
+    rows = (
+        [Row(r="a", c="p")] * 10
+        + [Row(r="a", c="q")] * 5
+        + [Row(r=None, c="p")] * 8  # NULL row-category
+        + [Row(r="b", c=None)] * 4  # NULL col-category
+        + [Row(r="b", c="q")] * 3
+    )
+    out = chi2_independence(spark.createDataFrame(rows), "r", "c").collect()[0]
+    assert out["n"] == 30
+    # 3 row levels (a, b, NULL) x 3 col levels (p, q, NULL)
+    assert out["dof"] == 4
+    # hand replay with None as an ordinary level
+    from collections import Counter
+
+    data = [(x["r"], x["c"]) for x in rows]
+    cells = Counter(data)
+    rm = Counter(r for r, _ in data)
+    cm = Counter(c for _, c in data)
+    n = len(data)
+    want = sum(
+        (cells.get((r, c), 0) - rm[r] * cm[c] / n) ** 2 / (rm[r] * cm[c] / n)
+        for r in rm
+        for c in cm
+    )
+    assert out["chi2"] == pytest.approx(want, rel=1e-12)
+
+
 # ---------------------------------------------------------------------------
 # psi
 # ---------------------------------------------------------------------------
