@@ -35,9 +35,17 @@ writer.rs:469-517).  Derby deviation: DOUBLE NaN/±Infinity rejected
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession, functions as F
 
-__all__ = ["SqlDatabase", "read_table", "read_query", "read_partitioned", "write_table"]
+__all__ = [
+    "SqlDatabase",
+    "read_table",
+    "read_query",
+    "read_partitioned",
+    "write_table",
+    "encode_jdbc_carriers",
+    "decode_jdbc_carriers",
+]
 
 
 class SqlDatabase:
@@ -163,3 +171,73 @@ def write_table(
         .mode("overwrite" if overwrite else "append")
         .save()
     )
+
+
+def encode_jdbc_carriers(df: DataFrame) -> tuple[DataFrame, dict[str, str]]:
+    """Encode columns Spark's JDBC writer rejects (TIME, INTERVAL — the
+    reference's time/interval type rows, io/sql/postgres/reader.rs:245,
+    252-254, 309) into EXACT same-information carrier columns, returning
+    ``(encoded_df, spec)`` where ``spec`` maps column name -> original
+    Spark type string for :func:`decode_jdbc_carriers`.
+
+    Carriers (all lossless at microsecond precision, the reference's
+    resolution — Time64(us)/IntervalDayTime):
+
+    ==========================  =============================================
+    Spark type                  JDBC carrier
+    ==========================  =============================================
+    time(p)                     VARCHAR ``HH:MM:SS[.ffffff]`` (string cast)
+    interval year to month      INT total months (integral cast, T.81 of the
+                                SQL spec: YM intervals ARE a month count)
+    interval day to second      TIMESTAMP = epoch + interval (JDBC carries
+                                timestamps at exact microseconds)
+    ==========================  =============================================
+
+    Every other type in the reference's matrix (bool, char(1), varchar,
+    text, date, smallint, int, bigint, bytea, real, double, numeric,
+    timestamp[tz], uuid-as-binary) passes through Spark's JDBC writer
+    natively — see tests/test_sources.py::TestJdbcTypeMatrixDerby for the
+    live per-row round-trip."""
+    spec: dict[str, str] = {}
+    out = df
+    for field in df.schema.fields:
+        t = field.dataType.simpleString()
+        c = field.name
+        if t.startswith("time("):
+            out = out.withColumn(c, F.col(c).cast("string"))
+            spec[c] = t
+        elif t == "interval year to month":
+            out = out.withColumn(c, F.col(c).cast("int"))
+            spec[c] = t
+        elif t == "interval day to second":
+            out = out.withColumn(
+                c, F.expr(f"TIMESTAMP'1970-01-01 00:00:00' + `{c}`")
+            )
+            spec[c] = t
+    return out, spec
+
+
+def decode_jdbc_carriers(df: DataFrame, spec: dict[str, str]) -> DataFrame:
+    """Reverse :func:`encode_jdbc_carriers` after a JDBC read: restore the
+    original Spark types from their carrier columns.
+
+    PySpark limitation, documented: a restored ``interval year to month``
+    column computes correctly JVM-side (filters, comparisons, casts) but
+    ``.collect()`` raises ``NOT_IMPLEMENTED: YearMonthIntervalType
+    .fromInternal`` in this PySpark build — assert its VALUES via
+    ``CAST(col AS STRING)`` (exact, e.g. ``INTERVAL '1-10' YEAR TO
+    MONTH``) or ``CAST(col AS INT)`` months.  Same for ``time(p)``: the
+    TIME literal/type exists but string->TIME cast is not yet wired
+    (UNSUPPORTED_TIME_TYPE), so the carrier string IS the restored form
+    until the cast lands; it is exact to the microsecond."""
+    out = df
+    for c, t in spec.items():
+        if t.startswith("time("):
+            continue  # exact string form retained (see docstring)
+        if t == "interval year to month":
+            out = out.withColumn(c, F.col(c).cast(t))
+        elif t == "interval day to second":
+            out = out.withColumn(
+                c, F.col(c) - F.expr("TIMESTAMP'1970-01-01 00:00:00'")
+            )
+    return out
