@@ -130,6 +130,8 @@ HEADLINE = [
     "q392_unigram_m_step",
     "q393_fleiss_kappa",
     "q394_group_sequential_obf",
+    # round-7 additions: progressive JPEG, EM training loop
+    "q395_progressive_jpeg",
 ]
 
 

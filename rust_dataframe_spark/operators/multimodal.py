@@ -8,15 +8,16 @@ the bytes never round-trip through Python row objects, only Arrow buffers.
 
 Decode policy (updated round 6): baseline PNGs (8-bit gray/RGB/RGBA,
 non-interlaced) decode FOR REAL via the pure-stdlib codec in
-:mod:`operators.png`, and baseline sequential JPEGs (SOF0, 8-bit,
-gray/YCbCr, 4:4:4/4:2:2/4:2:0) via :mod:`operators.jpeg` —
-``decode_image``, ``resize_images(fake_decode=False)``, and
-``extract_dhash`` all run on actual pixels with no PIL.  PCM audio
-(RIFF/WAVE) decodes via the stdlib ``wave`` module (:func:`decode_wav`),
-and animated GIFs decode via the pure-stdlib LZW codec in
-:mod:`operators.gif` (``sample_frames(fake_decode=False)``).  Formats
-that genuinely need media libraries absent from this container
-(progressive JPEG, MP3/OGG, MP4/WebM) keep the documented stub: raise
+:mod:`operators.png`, and JPEGs — baseline sequential (SOF0) AND
+progressive (SOF2, round 7), 8-bit, gray/YCbCr, 4:4:4/4:2:2/4:2:0 —
+via :mod:`operators.jpeg`: ``decode_image``,
+``resize_images(fake_decode=False)``, and ``extract_dhash`` all run on
+actual pixels with no PIL.  PCM audio (RIFF/WAVE) decodes via the
+stdlib ``wave`` module (:func:`decode_wav`), and animated GIFs decode
+via the pure-stdlib LZW codec in :mod:`operators.gif`
+(``sample_frames(fake_decode=False)``).  Formats that genuinely need
+media libraries absent from this container (arithmetic/12-bit/
+hierarchical JPEG, MP3/OGG, MP4/WebM) keep the documented stub: raise
 NotImplementedError, or with ``fake=True`` a clearly-marked deterministic
 fake derives "features" from the bytes.  Everything around the decode —
 schema, batch iteration, UDF signature, partitioning — is identical on
@@ -86,11 +87,11 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
     REAL paths: baseline PNGs (8-bit gray/RGB/RGBA, non-interlaced) via
-    the pure-stdlib codec in :mod:`operators.png`, and baseline
-    sequential JPEGs (SOF0, 8-bit, 4:4:4/4:2:2/4:2:0) via
+    the pure-stdlib codec in :mod:`operators.png`, and sequential
+    (SOF0) or progressive (SOF2) JPEGs (8-bit, 4:4:4/4:2:2/4:2:0) via
     :mod:`operators.jpeg` — no PIL needed.  Payloads outside those
-    subsets (progressive JPEG, 16-bit/interlaced PNG, or the synthetic
-    text-derived payloads the test tables use) fall back to the
+    subsets (arithmetic/12-bit JPEG, 16-bit/interlaced PNG, or the
+    synthetic text-derived payloads the test tables use) fall back to the
     documented deterministic fake when ``fake=True``, else raise.
     """
     from .jpeg import JpegError, decode_jpeg, is_jpeg

@@ -1940,6 +1940,89 @@ class TestJpegReal:
         with _pytest.raises(JpegError):
             decode_jpeg(bytes(progressive))
 
+    def test_progressive_block_constant_roundtrips_exactly(self):
+        """SOF2 (round 7): the DC Al=1 -> refinement ladder restores full
+        DC precision, so block-constant gray is pixel-exact — the q395
+        oracle's closed form."""
+        from rust_dataframe_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        w, h = 24, 16
+        px = bytes(
+            (7 + 17 * (x // 8) + 29 * (y // 8)) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        assert decode_jpeg(encode_jpeg_progressive(w, h, px, channels=1)) == (
+            w, h, 1, px,
+        )
+
+    def test_progressive_equals_baseline_decode_on_every_path(self):
+        """The multi-scan coefficient accumulation must land on the SAME
+        quantized coefficients as the single-scan baseline encoder, so the
+        decoded pixels are bit-identical between the two containers —
+        checked over gradient, random-coarse-quant (exercises EOB runs,
+        ZRL, AC refinement correction bits), 4:4:4 and 4:2:0 color, and
+        odd non-MCU-aligned dims."""
+        import random as _random
+
+        from rust_dataframe_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        w, h = 40, 24
+        grad = bytes((3 * x + 5 * y) % 256 for y in range(h) for x in range(w))
+        rng = _random.Random(1)
+        noise = bytes(rng.randrange(256) for _ in range(w * h))
+        color = bytes(
+            min(255, 40 + 3 * x + 2 * y + 20 * c)
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        odd = bytes((x + y) % 256 for y in range(13) for x in range(11))
+        cases = [
+            (w, h, grad, dict(channels=1)),
+            (w, h, noise, dict(channels=1, quant=4)),
+            (w, h, color, dict(channels=3)),
+            (w, h, color, dict(channels=3, subsample=True)),
+            (11, 13, odd, dict(quant=8)),
+        ]
+        for ww, hh, px, kw in cases:
+            prog = decode_jpeg(encode_jpeg_progressive(ww, hh, px, **kw))
+            base = decode_jpeg(encode_jpeg(ww, hh, px, **kw))
+            assert prog == base, kw
+
+    def test_progressive_rejects_malformed_scan_headers(self):
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators.jpeg import (
+            JpegError,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        # a baseline stream relabeled SOF2 has an illegal progressive scan
+        # header (Ss=0, Se=63) — must fail loud, not decode garbage
+        relabeled = bytearray(encode_jpeg(8, 8, bytes(64)))
+        relabeled[relabeled.find(b"\xff\xc0") + 1] = 0xC2
+        with _pytest.raises(JpegError, match="Se=0"):
+            decode_jpeg(bytes(relabeled))
+
+    def test_decode_image_dispatches_progressive(self):
+        """multimodal.decode_image's JPEG branch now covers SOF2 — the
+        fake-decode fallback surface shrinks to arithmetic/12-bit/
+        hierarchical JPEG + video/mp3."""
+        from rust_dataframe_spark.operators import multimodal as mm
+        from rust_dataframe_spark.operators.jpeg import encode_jpeg_progressive
+
+        px = bytes((x + y) % 256 for y in range(16) for x in range(24))
+        assert mm.decode_image(encode_jpeg_progressive(24, 16, px)) == (24, 16)
+
     def test_decode_image_and_dhash_dispatch_jpeg(self, spark):
         """Real-bytes dHash over JPEG payloads through the full Spark
         pipeline: two visually-identical JPEGs share all four bands; a

@@ -632,3 +632,30 @@ class TestJpegProperties:
 
         with _pytest.raises(JpegError):
             decode_jpeg(b"\xff\xd8" + data)
+
+    @given(
+        w=st.integers(min_value=1, max_value=33),
+        h=st.integers(min_value=1, max_value=33),
+        quant=st.sampled_from([1, 3, 8]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_progressive_decode_equals_baseline_decode(self, w, h, quant, seed):
+        """Round 7 law: the 7-scan SOF2 script carries the SAME quantized
+        coefficients as the baseline single scan, so both containers must
+        decode bit-identically for any content/dims/quant."""
+        import random as _r
+
+        from rust_dataframe_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = _r.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(w, h, px, channels=1, quant=quant)
+        )
+        base = decode_jpeg(encode_jpeg(w, h, px, channels=1, quant=quant))
+        assert prog == base
