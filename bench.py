@@ -132,6 +132,7 @@ HEADLINE = [
     "q394_group_sequential_obf",
     # round-7 additions: progressive JPEG, EM training loop
     "q395_progressive_jpeg",
+    "q396_unigram_em",
 ]
 
 

@@ -1372,6 +1372,207 @@ def unigram_m_step(expected: DataFrame) -> DataFrame:
     )
 
 
+def unigram_corpus_ll(
+    df: DataFrame, id_col: str, text_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Corpus log-likelihood of a Unigram-LM vocabulary with INTEGER
+    weights, engine-deterministically: per distinct word a
+    piece-count-marginalized lattice DP computes ``z_k`` = the exact
+    integer sum of weight-products over segmentations with exactly k
+    pieces; the normalized word likelihood is then
+    ``z'_w = sum_k z_k / W^k`` with ``W = sum of all weights`` (k
+    ascending — a bounded ordered fold), and
+    ``LL = sum_w freq_w * ln(z'_w)`` as an ordered word fold.  Every
+    float enters in a fixed order on both engines, so the floor-at-6
+    result is exact-hash stable (the q317 log-sum convention).
+    Unsegmentable words (z = 0) are excluded from the sum on both
+    engines (documented: their likelihood is -inf; the EM loop treats
+    vocabulary coverage separately).
+
+    One row out: (ll, n_words, w_norm).  Scale: one corpus scan to
+    (word, freq), lattice per DISTINCT word, word-axis fold."""
+    import pandas as pd
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 or float(w) != float(int(w)) for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    max_len = max(len(p) for p in weights)
+    w_norm = float(sum(int(w) for w in weights.values()))
+
+    def _zk(w: str) -> list[float]:
+        n = len(w)
+        # fwd[i][k]: integer sum of weight products reaching position i
+        # with k pieces (exact in double below 2^53 — guarded)
+        fwd = [[0.0] * (n + 1) for _ in range(n + 1)]
+        fwd[0][0] = 1.0
+        for i in range(1, n + 1):
+            for ln in range(1, min(max_len, i) + 1):
+                wt = weights.get(w[i - ln : i])
+                if wt is None:
+                    continue
+                prev = fwd[i - ln]
+                cur = fwd[i]
+                for k in range(i):
+                    if prev[k]:
+                        cur[k + 1] += prev[k] * wt
+                        if cur[k + 1] > 2**53:
+                            raise ValueError(
+                                "lattice sum exceeds exact-double range; "
+                                "lower quant_scale"
+                            )
+        return fwd[n][1:]
+
+    def _udf(s):
+        return pd.Series(s.map(_zk))
+
+    _udf.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    zk_udf = F.pandas_udf(_udf, "array<double>")
+
+    freq = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    per_word = freq.withColumn("__zk", zk_udf(F.col("word"))).select(
+        "word",
+        "freq",
+        F.aggregate(
+            F.zip_with(
+                F.col("__zk"),
+                F.sequence(F.lit(1), F.size("__zk")),
+                lambda z, k: z / F.pow(F.lit(w_norm), k.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("zp"),
+    ).filter(F.col("zp") > 0)
+    return per_word.agg(
+        F.floor(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "word",
+                                (F.col("freq") * F.log(F.col("zp"))).alias("v"),
+                            )
+                        )
+                    ),
+                    lambda s: s["v"],
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            * 1e6
+        ).alias("__llx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    ).select(
+        (F.col("__llx") / 1e6).alias("ll"),
+        "n_words",
+        F.lit(w_norm).alias("w_norm"),
+    )
+
+
+def unigram_em(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    init_weights: dict[str, float],
+    iters: int,
+    *,
+    quant_scale: int = 32,
+    tol: float | None = None,
+) -> DataFrame:
+    """Quantized Unigram-LM EM trained to ``iters`` rounds — the composed
+    loop over :func:`unigram_expected_counts` (E) and
+    :func:`unigram_m_step` (M) that q336/q392 pin one step of
+    (VERDICT r6 #7).
+
+    The loop discipline, in order of what matters at 100 TB:
+
+    * **Integer-exact every round.** After each M-step the renormalized
+      probabilities are QUANTIZED back to the integer grid
+      ``wt = floor(new_prob * quant_scale + 0.5)`` (identical double ops
+      on both engines; pieces hitting 0 drop out — the SentencePiece
+      pruning analogue).  Quantization is what keeps round r+1's lattice
+      in the exact-int regime — bit-identical cross-engine, immune to
+      float-sum order — at the documented cost of probability resolution
+      ``1/quant_scale``.  The E-step lattice guard raises if
+      ``quant_scale`` is too large for the corpus word length (sums must
+      stay under 2^53).
+    * **Per-round lineage truncation** (the q346 power-iteration
+      discipline): the M-step's vocabulary axis — bounded, Heaps-law —
+      is collected each round and round r+1's plan starts from literals,
+      so plan depth stays O(1) in ``iters`` instead of nesting ``iters``
+      corpus scans.
+    * **Likelihood ledger.** Each round records the corpus
+      log-likelihood of its INPUT weights (:func:`unigram_corpus_ll`).
+      For exact EM, LL(theta_{r+1}) >= LL(theta_r) is the EM theorem; the
+      quantized ladder tracks it up to O(1/quant_scale) perturbation —
+      the monotonicity certificate is asserted (with the quantization
+      slack documented) in tests/test_llm_ops.py and holds on the
+      catalog corpus.
+
+    ``tol``: early-stop when max |new_prob - prev round's new_prob| <=
+    tol (checked on the floored probs, engine-deterministic).
+
+    Returns one row per (round, piece): (round, piece, total_expected,
+    new_prob, wt_next, ll_in, n_rounds) where ``wt_next`` is the
+    quantized weight fed to round round+1 (0 = pruned) and ``ll_in`` is
+    the round's input-weight corpus LL.  Scale: each round is one
+    corpus scan to (word, freq) + per-distinct-word lattices + vocab-axis
+    algebra; rounds are strictly sequential (EM is inherently
+    iterative)."""
+    import math as _math
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if quant_scale < 2:
+        raise ValueError("quant_scale must be >= 2")
+    spark = df.sparkSession
+    weights = {p: float(int(w)) for p, w in init_weights.items()}
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("init_weights must be positive integers")
+    out_rows: list[tuple] = []
+    prev_probs: dict[str, float] = {}
+    n_rounds = 0
+    for r in range(1, iters + 1):
+        n_rounds = r
+        ll_in = unigram_corpus_ll(df, id_col, text_col, weights).collect()[0][
+            "ll"
+        ]
+        expected = unigram_expected_counts(df, id_col, text_col, weights)
+        m_rows = unigram_m_step(expected).collect()  # vocab-sized
+        next_weights: dict[str, float] = {}
+        probs: dict[str, float] = {}
+        for row in m_rows:
+            piece, te, np_ = row["piece"], row["total_expected"], row["new_prob"]
+            probs[piece] = np_
+            wt = int(_math.floor(np_ * quant_scale + 0.5))
+            if wt > 0:
+                next_weights[piece] = float(wt)
+            out_rows.append((r, piece, te, np_, wt, ll_in))
+        if not next_weights:
+            raise ValueError("every piece quantized to zero; raise quant_scale")
+        converged = (
+            tol is not None
+            and prev_probs
+            and all(
+                abs(probs.get(p, 0.0) - prev_probs.get(p, 0.0)) <= tol
+                for p in set(probs) | set(prev_probs)
+            )
+        )
+        weights, prev_probs = next_weights, probs
+        if converged:
+            break
+    return spark.createDataFrame(
+        [row + (n_rounds,) for row in out_rows],
+        "round int, piece string, total_expected double, new_prob double,"
+        " wt_next int, ll_in double, n_rounds int",
+    ).orderBy("round", "piece")
+
+
 def multi_pattern_scan(
     df: DataFrame,
     id_col: str,

@@ -2189,3 +2189,79 @@ class TestJpegRobustness:
         # nearest-neighbor of a smooth ramp: decoded pixels near source grid
         src = px[(1 * w + 1)]  # sampled top-left region value
         assert abs(rp[0] - px[0]) <= 6
+
+
+class TestUnigramEmLoop:
+    """Round 7: the composed quantized EM loop (operators/text.unigram_em)
+    — likelihood monotonicity, pruning, early stop, and guards."""
+
+    def test_ll_ledger_monotone_on_corpus(self, spark, sf_dir):
+        """EM theorem certificate: ll_in is non-decreasing across rounds
+        (quantization slack is O(1/quant_scale); at scale 32 on this
+        corpus the increase is strict for the first rounds)."""
+        from rust_dataframe_spark import catalog  # noqa: F401 (import order)
+        from rust_dataframe_spark.catalog_llm import _Q336_WEIGHTS
+        from rust_dataframe_spark.operators import text as tx
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = tx.unigram_em(d, "doc_id", "text", _Q336_WEIGHTS, 3, quant_scale=32)
+        lls = [
+            ll
+            for _r, ll in sorted(
+                {(row["round"], row["ll_in"]) for row in out.collect()}
+            )
+        ]
+        assert len(lls) == 3
+        assert all(b >= a for a, b in zip(lls, lls[1:]))
+        assert lls[1] > lls[0]  # the first M-step is a real improvement
+
+    def test_quantization_prunes_and_matches_mstep(self, spark, sf_dir):
+        """Round 1 rows must agree exactly with a standalone E+M replay,
+        and wt_next must be the documented floor(p*scale + 0.5) grid."""
+        import math
+
+        from rust_dataframe_spark import catalog  # noqa: F401 (import order)
+        from rust_dataframe_spark.catalog_llm import _Q336_WEIGHTS
+        from rust_dataframe_spark.operators import text as tx
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = tx.unigram_em(d, "doc_id", "text", _Q336_WEIGHTS, 1, quant_scale=32)
+        got = {r["piece"]: r for r in out.collect()}
+        exp = tx.unigram_m_step(
+            tx.unigram_expected_counts(d, "doc_id", "text", _Q336_WEIGHTS)
+        ).collect()
+        assert len(got) == len(exp)
+        for r in exp:
+            g = got[r["piece"]]
+            assert g["total_expected"] == r["total_expected"]
+            assert g["new_prob"] == r["new_prob"]
+            assert g["wt_next"] == int(math.floor(r["new_prob"] * 32 + 0.5))
+        assert any(g["wt_next"] == 0 for g in got.values())  # real pruning
+        assert any(g["wt_next"] > 0 for g in got.values())
+
+    def test_early_stop_on_tol(self, spark):
+        """A corpus the vocabulary segments uniquely converges after one
+        update — round 3 never runs when tol is satisfied."""
+        from rust_dataframe_spark.operators import text as tx
+
+        d = spark.createDataFrame(
+            [(1, "ab ab ab"), (2, "ab cd")], "doc_id bigint, text string"
+        )
+        out = tx.unigram_em(
+            d, "doc_id", "text", {"ab": 2.0, "cd": 3.0}, 5, quant_scale=32,
+            tol=1e-9,
+        )
+        rows = out.collect()
+        assert rows[0]["n_rounds"] < 5
+        assert max(r["round"] for r in rows) == rows[0]["n_rounds"]
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators import text as tx
+
+        d = spark.createDataFrame([(1, "ab")], "doc_id bigint, text string")
+        with _pytest.raises(ValueError, match="iters"):
+            tx.unigram_em(d, "doc_id", "text", {"ab": 1.0}, 0)
+        with _pytest.raises(ValueError, match="positive integers"):
+            tx.unigram_corpus_ll(d, "doc_id", "text", {"ab": 1.5})
