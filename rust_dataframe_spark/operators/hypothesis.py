@@ -249,8 +249,59 @@ def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
+#: Row-count gate above which the rank family's exact integer sums promote
+#: to decimal(38,0) automatically (VERDICT r6 #8).  Sized to the tightest
+#: overflow bound in the family: spearman's S2xy <= 4N^3 must stay inside
+#: int64/2^53, which fails first around N ~ 1.3e6 — so the default trips
+#: at 1e6 with margin.  Both paths are EXACT (decimal sums are exact and
+#: order-free; the final scalar dags cast to double identically), so the
+#: promotion changes no floored output — only the overflow ceiling.
+DECIMAL_ROWS_ENV = "SPARK_GRAFT_RANK_DECIMAL_ROWS"
+DEFAULT_DECIMAL_ROWS = 1_000_000
+
+_PROMOTE_COUNT_CACHE: dict[str, bool] = {}
+
+
+def _decimal_promote(df: DataFrame, override: bool | None) -> bool:
+    """Auto decision for the decimal-sum promotion: explicit override wins;
+    otherwise one row-count job (cached per logical plan within the
+    session — the scale.py count-cache discipline) against the
+    ``SPARK_GRAFT_RANK_DECIMAL_ROWS`` gate."""
+    if override is not None:
+        return bool(override)
+    import hashlib
+    import os
+
+    gate = int(os.environ.get(DECIMAL_ROWS_ENV, DEFAULT_DECIMAL_ROWS))
+    try:
+        key = hashlib.md5(
+            df._jdf.queryExecution().logical().toString().encode()
+        ).hexdigest() + f"@{gate}"
+    except Exception:
+        key = None
+    if key is not None and key in _PROMOTE_COUNT_CACHE:
+        return _PROMOTE_COUNT_CACHE[key]
+    result = df.count() > gate
+    if key is not None:
+        _PROMOTE_COUNT_CACHE[key] = result
+    return result
+
+
+def _exact_sum(col, promoted: bool):
+    """Order-independent EXACT sum of an integer column: bigint below the
+    promotion gate, decimal(38,0) above (still exact, still order-free —
+    the int64 ceiling moves to 10^38)."""
+    if promoted:
+        return F.sum(col.cast("decimal(38,0)"))
+    return F.sum(col).cast("bigint")
+
+
 def mann_whitney_u(
-    df: DataFrame, arm_col: str, value_col: str
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    *,
+    decimal_sums: bool | None = None,
 ) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) between two arms, tie-corrected
     mid-ranks, EXACT arithmetic end to end.
@@ -259,16 +310,25 @@ def mann_whitney_u(
     (#values < v) + (count(v)+1)/2`` — so the rank table is distinct-value
     sized, and the global "#values < v" prefix rides
     :func:`training.global_cumsum` (two-phase range partitioning; no
-    single-partition window).  Every mid-rank is an exact multiple of 0.5
-    and ``R1 = sum(cnt1*rank)`` stays on the 0.5 lattice far below 2^53,
-    so the sum is order-independent — bit-equal across engines by
+    single-partition window).  Ranks are carried as INTEGER DOUBLE-RANKS
+    (2*midrank, always an int), so ``R1 = sum(cnt1*r2)/2`` accumulates as
+    an exact integer sum — order-independent, bit-equal across engines by
     construction, not by rounding.
+
+    AUTOMATIC decimal promotion (VERDICT r6 #8): above
+    ``SPARK_GRAFT_RANK_DECIMAL_ROWS`` rows (default 1e6; or forced via
+    ``decimal_sums=True/False``) the integer sums run as decimal(38,0) —
+    still exact, still order-free — so the exactness claim holds at
+    sf10+ without caller action; both paths produce identical floored
+    output below the overflow ceiling (property-pinned in
+    tests/test_hypothesis.py).
 
     Returns one row: arm sizes, rank sum ``r1``, ``u1``/``u0``
     (``u1 + u0 == n0*n1`` pinned), and the tie-corrected normal z-score
     (the one genuinely-float output, floor-at-6)."""
     from .training import global_cumsum
 
+    promoted = _decimal_promote(df, decimal_sums)
     v = df.select(
         F.when(F.col(arm_col).cast("bigint") % 2 == 1, 1)
         .otherwise(0)
@@ -284,19 +344,24 @@ def mann_whitney_u(
         "v",
         "cnt",
         "cnt1",
+        # integer double-rank: 2*(below) + cnt + 1 == 2*midrank
         (
-            (F.col("below_incl") - F.col("cnt")).cast("double")
-            + (F.col("cnt") + 1) / 2.0
-        ).alias("midrank"),
+            2 * (F.col("below_incl") - F.col("cnt")) + F.col("cnt") + 1
+        ).cast("bigint").alias("r2"),
     )
     s = ranked.agg(
         F.sum("cnt").cast("bigint").alias("n"),
         F.sum("cnt1").cast("bigint").alias("n1"),
-        F.sum(F.col("cnt1") * F.col("midrank")).alias("r1"),
-        F.sum(
-            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
-            - F.col("cnt").cast("double")
-        ).alias("tie_term"),
+        _exact_sum(F.col("cnt1") * F.col("r2"), promoted).alias("r2_1"),
+        _exact_sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"),
+            promoted,
+        ).alias("tie_i"),
+    ).select(
+        "n",
+        "n1",
+        (F.col("r2_1").cast("double") / 2.0).alias("r1"),
+        F.col("tie_i").cast("double").alias("tie_term"),
     )
     n0 = F.col("n") - F.col("n1")
     u1 = F.col("r1") - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0
@@ -321,17 +386,24 @@ def mann_whitney_u(
     )
 
 
-def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    decimal_sums: bool | None = None,
+) -> DataFrame:
     """Kruskal-Wallis H test — the k-group extension of Mann-Whitney
     (does ANY group's value distribution sit higher?), the rank-based
     counterpart of :func:`anova_oneway` when normality is off the table.
 
-    Exactness upgrade over :func:`mann_whitney_u`'s 0.5-lattice doubles:
-    ranks are carried as INTEGER DOUBLE-RANKS ``2*midrank = 2*(#below) +
+    Ranks are carried as INTEGER DOUBLE-RANKS ``2*midrank = 2*(#below) +
     cnt + 1`` (always an integer), so per-group rank sums accumulate as
-    EXACT int64 — order-independent with no float-lattice ceiling until
-    the sums themselves overflow (~10^9 rows at 10^9 distinct values;
-    past that promote the sums to decimal(38,0) on both engines).  The
+    EXACT int64 — order-independent, and above the
+    ``SPARK_GRAFT_RANK_DECIMAL_ROWS`` gate (default 1e6, or
+    ``decimal_sums=True``) they promote AUTOMATICALLY to decimal(38,0)
+    on both engines (still exact, still order-free — the ceiling moves
+    to 10^38; VERDICT r6 #8, parity property-pinned in tests).  The
     mid-rank prefix rides :func:`training.global_cumsum` (two-phase range
     partitioning — no single-partition window).  ``H = 12/(N(N+1)) *
     sum_g R_g^2/n_g - 3(N+1)`` with ``R_g = r2_g/2``, tie-corrected by
@@ -345,6 +417,7 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     downstream is axis-bounded."""
     from .training import global_cumsum
 
+    promoted = _decimal_promote(df, decimal_sums)
     gv = df.select(
         F.col(group_col).alias("grp"), cents(F.col(value_col)).alias("v")
     ).groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_gv"))
@@ -362,8 +435,9 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         .groupBy("grp")
         .agg(
             F.sum("cnt_gv").cast("bigint").alias("n_g"),
-            F.sum(F.col("cnt_gv") * F.col("r2")).cast("bigint").alias("r2_g"),
+            _exact_sum(F.col("cnt_gv") * F.col("r2"), promoted).alias("__r2g"),
         )
+        .select("grp", "n_g", F.col("__r2g").cast("double").alias("r2_gd"))
     )
     tot = g.agg(
         F.sum("n_g").cast("bigint").alias("nt"),
@@ -375,8 +449,8 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
                         F.struct(
                             "grp",
                             (
-                                (F.col("r2_g") / 2.0)
-                                * (F.col("r2_g") / 2.0)
+                                (F.col("r2_gd") / 2.0)
+                                * (F.col("r2_gd") / 2.0)
                                 / F.col("n_g")
                             ).alias("t"),
                         )
@@ -403,8 +477,8 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         .select(
             "grp",
             F.col("n_g").alias("n"),
-            (F.col("r2_g") / 2.0).alias("rank_sum"),
-            (F.floor(F.col("r2_g") / 2.0 / F.col("n_g") * 1e6) / 1e6).alias(
+            (F.col("r2_gd") / 2.0).alias("rank_sum"),
+            (F.floor(F.col("r2_gd") / 2.0 / F.col("n_g") * 1e6) / 1e6).alias(
                 "mean_rank"
             ),
             (F.floor(h * 1e6) / 1e6).alias("h_stat"),
@@ -507,16 +581,25 @@ def fleiss_kappa(
     )
 
 
-def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    decimal_sums: bool | None = None,
+) -> DataFrame:
     """Spearman rank correlation — Pearson correlation of tie-corrected
     mid-ranks, with every accumulation EXACT int64: ranks are carried as
     integer DOUBLE-RANKS (2*midrank = 2*(#below) + cnt + 1, always an
     integer — the factor 2 cancels out of the correlation), so the five
     sums (S2x, S2y, S2xx, S2yy, S2xy) are order-independent BIGINT sums,
     not float folds.  Overflow bound: S2xy <= 4*N^3 must fit int64 —
-    safe to ~10^6 rows per call at full distinct ranks (test SFs) and far
-    beyond under ties; at lake scale promote the five sums to
-    decimal(38,0) on both engines (still exact, still order-free).
+    which fails first around N ~ 1.3e6 at full distinct ranks, so above
+    the ``SPARK_GRAFT_RANK_DECIMAL_ROWS`` gate (default 1e6; or
+    ``decimal_sums=True``) the five sums promote AUTOMATICALLY to
+    decimal(38,0) on both engines — still exact, still order-free, no
+    caller action (VERDICT r6 #8; path parity property-pinned in
+    tests/test_hypothesis.py).
 
     Rank tables are DISTINCT-cents sized per axis (the Mann-Whitney
     discipline, :func:`training.global_cumsum` for the prefix — no
@@ -528,6 +611,8 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
 
     Returns one row: ``(n, rho)`` (floor-at-6)."""
     from .training import global_cumsum
+
+    promoted = _decimal_promote(df, decimal_sums)
 
     def rank_table(col: str):
         per = (
@@ -555,16 +640,25 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     j = rows.join(rx, "__vx").join(ry, "__vy")
     s = j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("__rx").cast("bigint").alias("sx"),
-        F.sum("__ry").cast("bigint").alias("sy"),
-        F.sum(F.col("__rx") * F.col("__rx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("__ry") * F.col("__ry")).cast("bigint").alias("syy"),
-        F.sum(F.col("__rx") * F.col("__ry")).cast("bigint").alias("sxy"),
+        _exact_sum(F.col("__rx"), promoted).alias("sx"),
+        _exact_sum(F.col("__ry"), promoted).alias("sy"),
+        _exact_sum(F.col("__rx") * F.col("__rx"), promoted).alias("sxx"),
+        _exact_sum(F.col("__ry") * F.col("__ry"), promoted).alias("syy"),
+        _exact_sum(F.col("__rx") * F.col("__ry"), promoted).alias("sxy"),
     )
     n = F.col("n").cast("double")
-    rho = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
-        (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-        * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    rho = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.sqrt(
+        (
+            n * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            n * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
     )
     return s.select(
         "n", (F.floor(rho * 1e6) / 1e6).alias("rho")
