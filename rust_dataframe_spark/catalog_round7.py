@@ -201,3 +201,105 @@ def q396_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return tx.unigram_em(d, "doc_id", "text", _Q336_WEIGHTS, 2, quant_scale=32)
+
+
+# ---------------------------------------------------------------------------
+# q397: real AVI/MJPEG video frame-sampling with closed-form pixel checksum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q397_avi_frames",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      8 * (1 + doc_id % 3) AS w,
+                      8 * (1 + (doc_id // 3) % 2) AS h,
+                      3 + doc_id % 4 AS total
+               FROM documents WHERE doc_id < 40),
+    s AS (SELECT doc_id, w, h, total, unnest(range(0, 3)) AS frame_idx
+          FROM d),
+    src AS (SELECT doc_id, w, h, frame_idx,
+                   (frame_idx * total) // 3 AS sf
+            FROM s),
+    bx AS (SELECT doc_id, w, h, frame_idx, sf,
+                  unnest(range(0, w // 8)) AS bx
+           FROM src),
+    b AS (SELECT doc_id, h, frame_idx, sf, bx,
+                 unnest(range(0, h // 8)) AS by
+          FROM bx)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(40 * sf AS BIGINT) AS frame_ts_ms,
+           CAST(sum(64 * ((doc_id + 17 * bx + 29 * by + 31 * sf) % 256))
+                AS BIGINT) AS px_sum
+    FROM b GROUP BY doc_id, frame_idx, sf ORDER BY doc_id, frame_idx
+    """,
+)
+def q397_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-video frame sampling (operators/avi.py — round 7's
+    pure-stdlib RIFF/AVI parser over the q387 JPEG codec): each doc
+    synthesizes a genuine multi-frame MJPEG AVI executor-side (every
+    ``00dc`` chunk is a complete block-constant baseline JPEG; dims and
+    frame count are analytic in doc_id), and
+    ``sample_frames(fake_decode=False)`` — now format-dispatching — takes
+    3 frames evenly across the clip.  Two things the GIF twin (q334)
+    cannot show: (a) the container parse is byte-slicing and ONLY the 3
+    sampled frames run the JPEG decoder (O(sampled) vs LZW's O(total) —
+    the property that matters when clips are long), and (b) the idx1
+    index is validated against the movi chunk walk, so a desynchronized
+    container fails loud instead of sampling wrong frames.  frame_ts_ms
+    replays dwMicroSecPerFrame (40 ms/frame); the per-frame pixel
+    checksum is exact because block-constant JPEG round-trips bit-exactly
+    (q387 discipline).  Completes the real-decode matrix row for video:
+    GIF + AVI/MJPEG real, MP4/WebM documented fallback.  All decode work
+    is Arrow-batched mapInPandas on executors; the driver never sees
+    frame bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators import multimodal as mm
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 40
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.avi import encode_avi
+        from rust_dataframe_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (1 + d % 3), 8 * (1 + (d // 3) % 2)
+                total = 3 + d % 4
+                frames = [
+                    encode_jpeg(
+                        w,
+                        h,
+                        bytes(
+                            (d + 17 * (x // 8) + 29 * (y // 8) + 31 * f) % 256
+                            for y in range(h)
+                            for x in range(w)
+                        ),
+                        channels=1,
+                    )
+                    for f in range(total)
+                ]
+                ids.append(d)
+                payloads.append(encode_avi(w, h, frames, usec_per_frame=40_000))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    mm_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    sampled = mm.sample_frames(mm_df, n_frames=3, fake_decode=False)
+
+    @pandas_udf("bigint")
+    def byte_sum(s):
+        return s.apply(lambda b: sum(b))
+
+    return sampled.select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts_ms",
+        byte_sum("frame").alias("px_sum"),
+    ).orderBy("doc_id", "frame_idx")

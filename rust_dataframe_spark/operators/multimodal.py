@@ -13,9 +13,12 @@ progressive (SOF2, round 7), 8-bit, gray/YCbCr, 4:4:4/4:2:2/4:2:0 —
 via :mod:`operators.jpeg`: ``decode_image``,
 ``resize_images(fake_decode=False)``, and ``extract_dhash`` all run on
 actual pixels with no PIL.  PCM audio (RIFF/WAVE) decodes via the
-stdlib ``wave`` module (:func:`decode_wav`), and animated GIFs decode
-via the pure-stdlib LZW codec in :mod:`operators.gif`
-(``sample_frames(fake_decode=False)``).  Formats that genuinely need
+stdlib ``wave`` module (:func:`decode_wav`), and VIDEO decodes for real
+on two containers: animated GIFs via the pure-stdlib LZW codec in
+:mod:`operators.gif`, and (round 7) AVI wrapping MJPEG or
+uncompressed-DIB streams via :mod:`operators.avi` — independent frame
+chunks mean ``sample_frames(fake_decode=False)`` decodes ONLY the
+sampled frames.  Formats that genuinely need
 media libraries absent from this container (arithmetic/12-bit/
 hierarchical JPEG, MP3/OGG, MP4/WebM) keep the documented stub: raise
 NotImplementedError, or with ``fake=True`` a clearly-marked deterministic
@@ -283,16 +286,22 @@ def sample_frames(
     """Sample ``n_frames`` frames from each video payload — the 1->N batch
     shape (one input row yields several output rows inside one Arrow batch).
 
-    REAL path (``fake_decode=False``, round 5): animated GIFs decode via
-    the pure-stdlib LZW codec in :mod:`operators.gif` — frames are sampled
-    evenly across the animation (source index ``floor(i * total / n)``),
-    ``frame`` is the full RGB byte plane, and ``frame_ts_ms`` is the sum of
-    the Graphic Control Extension delays preceding the sampled frame.
-    Formats that genuinely need pyav/ffmpeg (MP4/WebM...) still raise, per
-    the module decode policy.  The fake derives each frame
-    deterministically from (payload, frame_idx).  The partitioning story
-    is identical on both paths: output inherits the input's partitioning,
-    so a downstream per-frame feature stage needs no extra shuffle.
+    REAL paths (``fake_decode=False``): animated GIFs decode via the
+    pure-stdlib LZW codec in :mod:`operators.gif` (round 5), and AVI
+    containers wrapping MJPEG or uncompressed-DIB streams via
+    :mod:`operators.avi` + :mod:`operators.jpeg` (round 7) — frames are
+    sampled evenly across the clip (source index ``floor(i * total /
+    n)``), ``frame`` is the full decoded pixel plane, and ``frame_ts_ms``
+    replays the container's timing (GIF: Graphic Control Extension delay
+    accumulation; AVI: ``src * usec_per_frame / 1000``).  The AVI path is
+    the scale-relevant one: frames are independent chunks behind an
+    index, so only the SAMPLED frames are decoded — O(sampled), where
+    GIF's sequential LZW is O(total).  Formats that genuinely need
+    pyav/ffmpeg (MP4/WebM...) still raise, per the module decode policy.
+    The fake derives each frame deterministically from (payload,
+    frame_idx).  The partitioning story is identical on all paths: output
+    inherits the input's partitioning, so a downstream per-frame feature
+    stage needs no extra shuffle.
     """
 
     def _sample(batches: Iterator) -> Iterator:
@@ -300,6 +309,7 @@ def sample_frames(
 
         import pandas as pd
 
+        from .avi import decode_avi, decode_avi_frame, is_avi
         from .gif import decode_gif, is_gif
 
         for pdf in batches:
@@ -314,9 +324,21 @@ def sample_frames(
                             hashlib.md5(bytes(p) + f"|f{i}".encode()).digest()
                         )
                     continue
+                if is_avi(bytes(p[:12])):
+                    w, h, usec, comp, raw = decode_avi(p)
+                    total = len(raw)
+                    take = min(n_frames, total)
+                    for i in range(take):
+                        src = (i * total) // take
+                        _ch, plane = decode_avi_frame(comp, w, h, raw[src])
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        tss.append((src * usec) // 1000)
+                        frames.append(plane)
+                    continue
                 if not is_gif(bytes(p[:6])):
                     raise NotImplementedError(
-                        "non-GIF frame sampling requires pyav/ffmpeg"
+                        "non-GIF/AVI frame sampling requires pyav/ffmpeg"
                     )
                 _w, _h, decoded = decode_gif(p)
                 total = len(decoded)
