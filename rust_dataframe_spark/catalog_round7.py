@@ -303,3 +303,59 @@ def q397_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_ts_ms",
         byte_sum("frame").alias("px_sum"),
     ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# q398: no-split sequence packing (harmonic size classes) with waste audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q398_no_split_packing",
+    oracle="""
+    WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+               FROM documents),
+    k AS (SELECT doc_id, n, CAST(128 // n AS INT) AS class_k FROM d),
+    r AS (SELECT doc_id, n, class_k,
+                 row_number() OVER (PARTITION BY class_k
+                                    ORDER BY n DESC, doc_id) AS rk
+          FROM k),
+    b AS (SELECT class_k, CAST((rk - 1) // class_k AS BIGINT) AS bin_idx, n
+          FROM r)
+    SELECT class_k, bin_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS tokens,
+           CAST(128 - sum(n) AS BIGINT) AS waste
+    FROM b GROUP BY class_k, bin_idx ORDER BY class_k, bin_idx
+    """,
+)
+def q398_no_split_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT sequence packing (sample packing) into context_len=128
+    training bins via operators/training.pack_bins_harmonic — the
+    document-boundary-preserving complement of q125's concat-and-chunk:
+    no document ever crosses a bin, so no cross-document attention
+    contamination, at the cost of padding waste the per-bin ``waste``
+    column audits (the harmonic size-class scheme carries Lee & Lee's
+    published 1.691 asymptotic bound; the measured ratio vs the
+    ceil(total/context) lower bound is pytest-pinned).  The assignment is
+    pure rank arithmetic — class k = context//len holds exactly k docs
+    per bin, rank-in-class = distinct-length cum-count + within-length
+    row_number — so DuckDB replays it bit-for-bit: bin populations,
+    token sums, and waste all match exactly.  Scale: one (class, len)
+    count shuffle + an axis-bounded rank table; windows partition by
+    (class, len), never a global funnel."""
+    from .operators.training import pack_bins_harmonic
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    packed = pack_bins_harmonic(d, "doc_id", "n", 128)
+    return (
+        packed.groupBy("class_k", "bin_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("tokens"),
+            (F.lit(128) - F.sum("n")).cast("bigint").alias("waste"),
+        )
+        .orderBy("class_k", "bin_idx")
+    )

@@ -35,6 +35,7 @@ __all__ = [
     "global_cumsum",
     "global_row_number",
     "pack_sequences",
+    "pack_bins_harmonic",
     "padding_efficiency",
     "mixture_rates",
     "semdedup",
@@ -746,3 +747,103 @@ def mixture_rates(
         )
         .orderBy("domain")
     )
+
+
+def pack_bins_harmonic(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    context_len: int,
+    *,
+    oversize: str = "error",
+) -> DataFrame:
+    """NO-SPLIT sequence packing (sample packing): assign each document to
+    a fixed-``context_len`` training bin WITHOUT ever splitting a document
+    across bins — the packing real LLM trainers use when cross-document
+    attention contamination matters, complementing :func:`pack_sequences`
+    (concat-and-chunk, which splits).
+
+    Algorithm: the HARMONIC size-class scheme (Lee & Lee, JACM 1985 — a
+    published online bin-packing algorithm with a 1.691 asymptotic
+    competitive ratio).  Class ``k = context_len // len`` is exactly the
+    number of such documents that fit one bin, so within a class the
+    packing is trivially optimal-per-bin: global rank r (by len DESC,
+    id ASC — deterministic) lands in ``bin_idx = (r - 1) // k``.  No
+    cross-class interaction means no sequential first-fit state — the
+    whole assignment is two axis-bounded rank tables plus elementwise
+    arithmetic, trivially distributed AND replayable in SQL.
+
+    Scale shape (the q390 rank discipline): per-(class, len) counts
+    shuffle once; the cum-longer table is DISTINCT-(class, len)-sized
+    (axis-bounded — lengths are bounded by context_len); within-(class,
+    len) order is a window over (class, len) partitions — granular, never
+    a single-partition funnel.
+
+    Returns the input plus ``class_k``, ``rank_in_class``, ``bin_idx``
+    (bin identity = (class_k, bin_idx)) and ``bin_waste_share`` is left
+    to callers (waste = context_len - sum(len) per bin).
+
+    ``oversize``: documents with ``len > context_len`` (class 0) cannot
+    pack.  ``"error"`` (default) fail-louds with a count; ``"truncate"``
+    gives each its own bin with ``class_k = 0``, ``truncated = true``
+    (callers clip the text), mirroring real pipelines' truncation policy.
+    Non-positive lengths always raise — a zero-length doc in a packing
+    stage is an upstream bug, not a packing decision.
+    """
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    if oversize not in ("error", "truncate"):
+        raise ValueError(f"oversize must be 'error'|'truncate', got {oversize!r}")
+    base = df.withColumn(
+        "class_k", F.floor(F.lit(context_len) / F.col(n_tokens_col)).cast("int")
+    )
+    bad = base.agg(
+        F.sum(F.when(F.col(n_tokens_col) <= 0, 1).otherwise(0)).alias("nonpos"),
+        F.sum(F.when(F.col(n_tokens_col) > context_len, 1).otherwise(0)).alias(
+            "over"
+        ),
+    ).collect()[0]
+    if (bad["nonpos"] or 0) > 0:
+        raise ValueError(
+            f"pack_bins_harmonic: {bad['nonpos']} documents with non-positive "
+            f"{n_tokens_col} — filter or fix upstream"
+        )
+    if oversize == "error" and (bad["over"] or 0) > 0:
+        raise ValueError(
+            f"pack_bins_harmonic: {bad['over']} documents exceed "
+            f"context_len={context_len}; pass oversize='truncate' to give "
+            f"each its own truncated bin"
+        )
+    # exclusive count of strictly-longer docs within the class: the
+    # distinct-(class, len) axis table, windowed per class over len DESC
+    counts = base.groupBy("class_k", F.col(n_tokens_col).alias("__len")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    wlen = Window.partitionBy("class_k").orderBy(F.col("__len").desc())
+    longer = counts.withColumn(
+        "__cum_longer",
+        (F.sum("__n").over(wlen) - F.col("__n")).cast("bigint"),
+    ).select("class_k", "__len", "__cum_longer")
+    wid = Window.partitionBy("class_k", F.col(n_tokens_col)).orderBy(
+        F.col(id_col)
+    )
+    ranked = (
+        base.withColumn("__rn", F.row_number().over(wid).cast("bigint"))
+        .join(
+            longer,
+            (base["class_k"] == longer["class_k"])
+            & (F.col(n_tokens_col) == F.col("__len")),
+        )
+        .drop(longer["class_k"])
+        .withColumn("rank_in_class", F.col("__cum_longer") + F.col("__rn"))
+    )
+    out = ranked.withColumn(
+        "bin_idx",
+        F.when(
+            F.col("class_k") >= 1,
+            F.floor((F.col("rank_in_class") - 1) / F.col("class_k")),
+        ).otherwise(F.col("rank_in_class") - 1).cast("bigint"),
+    ).drop("__len", "__cum_longer", "__rn")
+    if oversize == "truncate":
+        out = out.withColumn("truncated", F.col("class_k") == 0)
+    return out

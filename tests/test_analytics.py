@@ -999,3 +999,62 @@ def test_truncate_normalize_unit_norm_and_prefix(spark):
     assert out == pytest.approx([0.6, 0.8])  # 3-4-5 triangle, tail ignored
     with pytest.raises(ValueError, match="dim"):
         truncate_normalize(df, "v", 0)
+
+
+class TestPackBinsHarmonic:
+    """No-split sample packing (round 7): harmonic size-class assignment,
+    python-replay exactness, capacity/waste invariants, the Lee & Lee
+    ratio bound, and both oversize policies."""
+
+    def test_replay_capacity_and_ratio_bound(self, spark):
+        import math
+        import random
+        from collections import defaultdict
+
+        from rust_dataframe_spark.operators.training import pack_bins_harmonic
+
+        random.seed(7)
+        C = 64
+        rows = [(i, random.randint(1, C)) for i in range(500)]
+        out = pack_bins_harmonic(
+            spark.createDataFrame(rows, "id bigint, n int"), "id", "n", C
+        ).collect()
+        byclass = defaultdict(list)
+        for i, n in rows:
+            byclass[C // n].append((n, i))
+        exp = {}
+        for k, items in byclass.items():
+            items.sort(key=lambda t: (-t[0], t[1]))
+            for r, (n, i) in enumerate(items, 1):
+                exp[i] = (k, r, (r - 1) // k)
+        assert all(
+            (r["class_k"], r["rank_in_class"], r["bin_idx"]) == exp[r["id"]]
+            for r in out
+        )
+        bins = defaultdict(int)
+        for r in out:
+            bins[(r["class_k"], r["bin_idx"])] += r["n"]
+        assert max(bins.values()) <= C  # never overfull
+        lb = math.ceil(sum(n for _, n in rows) / C)
+        # harmonic guarantee: asymptotically 1.691*OPT; finite-n slack is
+        # at most one open bin per class
+        assert len(bins) <= 1.691 * lb + len(byclass)
+
+    def test_oversize_policies_and_nonpositive(self, spark):
+        import pytest
+
+        from rust_dataframe_spark.operators.training import pack_bins_harmonic
+
+        df = spark.createDataFrame([(1, 99), (2, 10)], "id bigint, n int")
+        with pytest.raises(ValueError, match="exceed context_len"):
+            pack_bins_harmonic(df, "id", "n", 64).collect()
+        t = {r["id"]: r for r in
+             pack_bins_harmonic(df, "id", "n", 64,
+                                oversize="truncate").collect()}
+        assert t[1]["class_k"] == 0 and t[1]["truncated"]
+        assert t[2]["class_k"] == 6 and not t[2]["truncated"]
+        with pytest.raises(ValueError, match="non-positive"):
+            pack_bins_harmonic(
+                spark.createDataFrame([(1, 0)], "id bigint, n int"),
+                "id", "n", 64,
+            ).collect()
