@@ -359,3 +359,97 @@ def q398_no_split_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("class_k", "bin_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q399: G.711 telephony audio decode (u-law/A-law) with closed-form oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q399_g711_audio",
+    oracle="""
+    WITH d AS (SELECT doc_id, 200 + doc_id % 50 AS n,
+                      doc_id % 2 = 0 AS is_ulaw
+               FROM documents WHERE doc_id < 60),
+    i AS (SELECT doc_id, n, is_ulaw, unnest(range(0, n)) AS idx FROM d),
+    b AS (SELECT doc_id, n, is_ulaw,
+                 (doc_id * 7 + idx * 13) % 256 AS byte
+          FROM i),
+    u AS (SELECT doc_id, n, is_ulaw, byte,
+                 xor(byte, 255) AS c, xor(byte, 85) AS a
+          FROM b),
+    v AS (SELECT doc_id, n, is_ulaw,
+                 CASE WHEN is_ulaw THEN
+                   CASE WHEN c >= 128 THEN
+                     -((((c % 16) * 8 + 132) << ((c // 16) % 8)) - 132)
+                   ELSE
+                     ((((c % 16) * 8 + 132) << ((c // 16) % 8)) - 132)
+                   END
+                 ELSE
+                   CASE WHEN a >= 128 THEN
+                     CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                          ELSE ((a % 16) * 16 + 264) << ((a // 16) % 8 - 1)
+                     END
+                   ELSE
+                     -(CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                            ELSE ((a % 16) * 16 + 264) << ((a // 16) % 8 - 1)
+                       END)
+                   END
+                 END AS val
+          FROM u)
+    SELECT doc_id,
+           CASE WHEN is_ulaw THEN 'ulaw' ELSE 'alaw' END AS fmt,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(val) AS BIGINT) AS s_sum,
+           CAST(sum(abs(val)) AS BIGINT) AS s_abs
+    FROM v GROUP BY doc_id, is_ulaw ORDER BY doc_id
+    """,
+)
+def q399_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL telephony-audio decode (operators/wave_ext.py — round 7's
+    extended RIFF/WAVE matrix): each doc synthesizes a genuine G.711
+    WAV (u-law for even doc_ids, A-law for odd; sample bytes analytic in
+    doc_id), and ``multimodal.decode_wav`` — the audio modality's public
+    path — expands the companded bytes to 16-bit linear through the
+    closed-form ITU expansion (pinned byte-for-byte against the stdlib
+    ``audioop`` ITU tables in tests/test_llm_ops.py::TestWaveExt).  The
+    DuckDB oracle replays the SAME expansion as integer CASE/shift
+    algebra, so the signed sample sum (sign conventions differ between
+    the two laws — bit 7 means negative in u-law, positive in A-law) and
+    the absolute sum both match exactly.  Shrinks the non-PCM-audio
+    fallback to ADPCM/MP3/OGG; 24/32-bit and float32 PCM ride the same
+    module (TestWaveExt).  All decode is Arrow-batched mapInPandas on
+    executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.multimodal import decode_wav
+        from rust_dataframe_spark.operators.wave_ext import encode_wav_raw
+
+        for pdf in batches:
+            rows = {"doc_id": [], "fmt": [], "n_samples": [],
+                    "s_sum": [], "s_abs": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 200 + d % 50
+                raw = bytes((d * 7 + i * 13) % 256 for i in range(n))
+                tag, fmt = (7, "ulaw") if d % 2 == 0 else (6, "alaw")
+                _sr, _ch, _sw, s = decode_wav(
+                    encode_wav_raw(tag, 8, 8000, 1, raw)
+                )
+                rows["doc_id"].append(d)
+                rows["fmt"].append(fmt)
+                rows["n_samples"].append(len(s))
+                rows["s_sum"].append(sum(s))
+                rows["s_abs"].append(sum(abs(x) for x in s))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, fmt string, n_samples bigint, s_sum bigint, s_abs bigint",
+    ).orderBy("doc_id")

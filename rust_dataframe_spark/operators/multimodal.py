@@ -13,14 +13,16 @@ progressive (SOF2, round 7), 8-bit, gray/YCbCr, 4:4:4/4:2:2/4:2:0 —
 via :mod:`operators.jpeg`: ``decode_image``,
 ``resize_images(fake_decode=False)``, and ``extract_dhash`` all run on
 actual pixels with no PIL.  PCM audio (RIFF/WAVE) decodes via the
-stdlib ``wave`` module (:func:`decode_wav`), and VIDEO decodes for real
+stdlib ``wave`` module plus the round-7 extended matrix in
+:mod:`operators.wave_ext` — 24/32-bit PCM, float32, and ITU G.711
+u-law/A-law telephony expansion (:func:`decode_wav`) — and VIDEO decodes for real
 on two containers: animated GIFs via the pure-stdlib LZW codec in
 :mod:`operators.gif`, and (round 7) AVI wrapping MJPEG or
 uncompressed-DIB streams via :mod:`operators.avi` — independent frame
 chunks mean ``sample_frames(fake_decode=False)`` decodes ONLY the
 sampled frames.  Formats that genuinely need
 media libraries absent from this container (arithmetic/12-bit/
-hierarchical JPEG, MP3/OGG, MP4/WebM) keep the documented stub: raise
+hierarchical JPEG, MP3/OGG/ADPCM, MP4/WebM) keep the documented stub: raise
 NotImplementedError, or with ``fake=True`` a clearly-marked deterministic
 fake derives "features" from the bytes.  Everything around the decode —
 schema, batch iteration, UDF signature, partitioning — is identical on
@@ -411,8 +413,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
 
     Returns ``(sample_rate, n_channels, sample_width, samples)`` where
     ``samples`` are SIGNED mono amplitudes at native scale (channels
-    averaged): 8-bit PCM (unsigned on the wire, rebased to signed) and
-    16-bit PCM supported; 24/32-bit and float formats raise
+    averaged): 8/16-bit PCM via the stdlib ``wave`` module, and (round 7,
+    :mod:`operators.wave_ext`) 24/32-bit PCM, float32, and ITU G.711
+    u-law/A-law telephony WAVs — the G.711 bytes expand to 16-bit linear
+    (``sample_width`` reported as 2).  ADPCM / MP3-in-WAV still raise
     NotImplementedError and fall to the documented fake."""
     import io
     import struct
@@ -423,13 +427,38 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
             sw, nch, sr = w.getsampwidth(), w.getnchannels(), w.getframerate()
             raw = w.readframes(w.getnframes())
     except (wave.Error, EOFError) as e:
-        raise NotImplementedError(f"not a decodable WAV payload: {e}") from None
+        from .wave_ext import WaveExtError, decode_wav_ext
+
+        try:
+            sr, nch, name, samples = decode_wav_ext(payload)
+        except WaveExtError:
+            raise NotImplementedError(
+                f"not a decodable WAV payload: {e}"
+            ) from None
+        sw = {"pcm8": 1, "pcm16": 2, "pcm24": 3, "pcm32": 4,
+              "float32": 4, "ulaw": 2, "alaw": 2}[name]
+        if nch > 1:
+            samples = [
+                sum(samples[i:i + nch]) // nch
+                if name != "float32"
+                else sum(samples[i:i + nch]) / nch
+                for i in range(0, len(samples), nch)
+            ]
+        return sr, nch, sw, samples
     if sw == 1:
         samples = [b - 128 for b in raw]
     elif sw == 2:
         samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
     else:
-        raise NotImplementedError(f"{8 * sw}-bit PCM unsupported (8/16 only)")
+        from .wave_ext import decode_wav_ext
+
+        sr, nch, _name, samples = decode_wav_ext(payload)
+        if nch > 1:
+            samples = [
+                sum(samples[i:i + nch]) // nch
+                for i in range(0, len(samples), nch)
+            ]
+        return sr, nch, sw, samples
     if nch > 1:
         samples = [
             sum(samples[i : i + nch]) // nch for i in range(0, len(samples), nch)

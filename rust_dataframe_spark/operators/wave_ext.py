@@ -1,0 +1,148 @@
+"""Extended RIFF/WAVE decode — the non-PCM / wide-PCM formats the stdlib
+``wave`` module refuses, closing most of the remaining "non-PCM audio"
+fallback in the multimodal decode policy.
+
+Formats (all public: RIFF/WAVE format registry + ITU-T G.711):
+
+* tag 1  PCM       — 8 (unsigned->signed), 16, 24 (3-byte LE), 32 bit
+* tag 3  IEEE float — float32
+* tag 6  G.711 A-law — expanded to 13-bit-magnitude linear (16-bit carrier)
+* tag 7  G.711 u-law — expanded to 14-bit-magnitude linear (16-bit carrier)
+* tag 0xFFFE EXTENSIBLE — SubFormat GUID's leading tag, same matrix
+
+The G.711 expansions are closed-form (u-law: complement, then
+``((mant*8 + 0x84) << exp) - 0x84`` with bit-7 sign; A-law: XOR 0x55,
+``mant*16 + 8`` at exp 0 else ``(mant*16 + 0x108) << (exp-1)``, bit 7
+POSITIVE) — verified byte-for-byte against the stdlib ``audioop`` ITU
+tables in tests, and simple enough that a SQL oracle replays them exactly
+(q399).  MP3/OGG and ADPCM remain documented NotImplementedError gates.
+
+Container parsing reuses the fail-loud RIFF chunk walker from
+:mod:`operators.avi` — WAVE and AVI are the same chunk grammar.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .avi import AviError, _iter_chunks
+
+__all__ = [
+    "WaveExtError",
+    "ULAW_TO_LIN",
+    "ALAW_TO_LIN",
+    "encode_wav_raw",
+    "decode_wav_ext",
+]
+
+
+class WaveExtError(ValueError):
+    """Malformed or unsupported WAVE container."""
+
+
+def _ulaw(b: int) -> int:
+    c = (~b) & 0xFF
+    exp = (c >> 4) & 7
+    mant = c & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return -mag if (c & 0x80) else mag
+
+
+def _alaw(b: int) -> int:
+    a = b ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return mag if (a & 0x80) else -mag
+
+
+ULAW_TO_LIN = tuple(_ulaw(b) for b in range(256))
+ALAW_TO_LIN = tuple(_alaw(b) for b in range(256))
+
+_PCM, _FLOAT, _ALAW_TAG, _ULAW_TAG, _EXT = 1, 3, 6, 7, 0xFFFE
+
+
+def encode_wav_raw(
+    fmt_tag: int,
+    bits: int,
+    sample_rate: int,
+    channels: int,
+    frames: bytes,
+) -> bytes:
+    """Wrap pre-encoded sample bytes in a RIFF/WAVE container (fixture
+    builder — the byte stream itself is the caller's, e.g. analytic
+    G.711 bytes or packed PCM frames)."""
+    block = channels * ((bits + 7) // 8)
+    fmt = struct.pack(
+        "<HHIIHH",
+        fmt_tag, channels, sample_rate, sample_rate * block, block, bits,
+    )
+    def chunk(ckid: bytes, p: bytes) -> bytes:
+        return ckid + struct.pack("<I", len(p)) + p + (b"\x00" if len(p) % 2 else b"")
+    body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", frames)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ext(payload: bytes):
+    """Decode a RIFF/WAVE payload across the extended format matrix.
+
+    Returns ``(sample_rate, channels, fmt_name, samples)`` with
+    ``samples`` interleaved: ints at native scale for PCM (8-bit rebased
+    to signed) and for G.711 (expanded 16-bit linear), Python floats for
+    float32.  Fail-loud on malformed containers; NotImplementedError on
+    format tags outside the matrix (ADPCM, MP3-in-WAV...).
+    """
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WaveExtError("not a RIFF/WAVE payload")
+    end = min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
+    fmt = frames = None
+    try:
+        for ckid, ps, sz in _iter_chunks(data, 12, end):
+            if ckid == b"fmt " and fmt is None:
+                if sz < 16:
+                    raise WaveExtError("fmt chunk too short")
+                fmt = struct.unpack_from("<HHIIHH", data, ps)
+                if fmt[0] == _EXT:
+                    if sz < 26:
+                        raise WaveExtError("EXTENSIBLE fmt missing SubFormat")
+                    sub = struct.unpack_from("<H", data, ps + 24)[0]
+                    fmt = (sub,) + fmt[1:]
+            elif ckid == b"data" and frames is None:
+                frames = data[ps:ps + sz]
+    except AviError as e:
+        raise WaveExtError(str(e)) from None
+    if fmt is None or frames is None:
+        raise WaveExtError("missing fmt or data chunk")
+    tag, channels, rate, _bps, _block, bits = fmt
+    if tag == _PCM:
+        if bits == 8:
+            name, samples = "pcm8", [b - 128 for b in frames]
+        elif bits == 16:
+            name = "pcm16"
+            samples = list(struct.unpack(f"<{len(frames) // 2}h", frames))
+        elif bits == 24:
+            name = "pcm24"
+            samples = [
+                int.from_bytes(frames[i:i + 3], "little", signed=True)
+                for i in range(0, len(frames) - len(frames) % 3, 3)
+            ]
+        elif bits == 32:
+            name = "pcm32"
+            samples = list(struct.unpack(f"<{len(frames) // 4}i", frames))
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM")
+    elif tag == _FLOAT:
+        if bits != 32:
+            raise NotImplementedError(f"{bits}-bit float WAV (32 only)")
+        name = "float32"
+        samples = list(struct.unpack(f"<{len(frames) // 4}f", frames))
+    elif tag == _ULAW_TAG:
+        name, samples = "ulaw", [ULAW_TO_LIN[b] for b in frames]
+    elif tag == _ALAW_TAG:
+        name, samples = "alaw", [ALAW_TO_LIN[b] for b in frames]
+    else:
+        raise NotImplementedError(
+            f"WAVE format tag {tag} (ADPCM/MP3-in-WAV...) needs ffmpeg"
+        )
+    return rate, channels, name, samples

@@ -74,7 +74,8 @@ class TestWavReal:
         assert nch == 2 and got == [150, -150]
         with pytest.raises(NotImplementedError):
             mm.decode_wav(b"ID3\x03mp3-ish-bytes")
-        # 32-bit PCM container parses but the depth is unsupported
+        # 32-bit PCM: pre-round-7 this depth raised; it now decodes for
+        # real through operators/wave_ext (TestWaveExt pins the matrix)
         import io
         import wave
 
@@ -84,8 +85,8 @@ class TestWavReal:
             w.setsampwidth(4)
             w.setframerate(8000)
             w.writeframes(struct.pack("<2i", 1, 2))
-        with pytest.raises(NotImplementedError, match="32-bit"):
-            mm.decode_wav(buf.getvalue())
+        _sr, _nch, sw, s = mm.decode_wav(buf.getvalue())
+        assert sw == 4 and s == [1, 2]
 
     def test_segment_audio_real_wav_finds_the_burst(self, spark):
         """silence / loud burst / silence at 16-bit: exactly one segment,
@@ -2380,3 +2381,83 @@ class TestAviReal:
         assert [bytes(r["frame"]) for r in rows] == [
             planes[0], planes[2], planes[4]
         ]
+
+
+class TestWaveExt:
+    """Round-7 extended RIFF/WAVE matrix (operators/wave_ext.py): G.711
+    u-law/A-law expansion pinned byte-for-byte against the stdlib
+    audioop ITU tables, 24/32-bit + float32 PCM, EXTENSIBLE SubFormat
+    dispatch, and the decode_wav front-door integration behind q399."""
+
+    def test_g711_tables_match_itu_audioop(self):
+        import struct
+        import warnings
+
+        from rust_dataframe_spark.operators.wave_ext import (
+            ALAW_TO_LIN,
+            ULAW_TO_LIN,
+        )
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+        raw = bytes(range(256))
+        assert list(ULAW_TO_LIN) == list(
+            struct.unpack("<256h", audioop.ulaw2lin(raw, 2))
+        )
+        assert list(ALAW_TO_LIN) == list(
+            struct.unpack("<256h", audioop.alaw2lin(raw, 2))
+        )
+
+    def test_pcm_wide_and_float_round_trip(self):
+        import struct
+
+        from rust_dataframe_spark.operators.multimodal import decode_wav
+        from rust_dataframe_spark.operators.wave_ext import encode_wav_raw
+
+        vals = [(-(2 ** 23)) + i * 77_777 for i in range(50)]
+        frames = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+        sr, ch, sw, s = decode_wav(encode_wav_raw(1, 24, 16_000, 1, frames))
+        assert (sr, ch, sw) == (16_000, 1, 3) and s == vals
+        v32 = [(-(2 ** 31)) + i * 9_999_991 for i in range(40)]
+        _, _, sw32, s32 = decode_wav(
+            encode_wav_raw(1, 32, 8_000, 1, struct.pack("<40i", *v32))
+        )
+        assert sw32 == 4 and s32 == v32
+        fl = [0.5, -0.5, 1.0, 1.0, -1.0, 0.0]
+        sr4, ch4, sw4, s4 = decode_wav(
+            encode_wav_raw(3, 32, 44_100, 2, struct.pack("<6f", *fl))
+        )
+        # stereo averaged to mono, float path
+        assert (sr4, ch4, sw4) == (44_100, 2, 4) and s4 == [0.0, 1.0, -0.5]
+
+    def test_extensible_subformat_and_gates(self):
+        import struct
+
+        import pytest
+
+        from rust_dataframe_spark.operators.wave_ext import (
+            WaveExtError,
+            decode_wav_ext,
+            encode_wav_raw,
+        )
+
+        raw = bytes((7 * i + 13) % 256 for i in range(300))
+        ext = struct.pack(
+            "<HHIIHHHHIH", 0xFFFE, 1, 8000, 8000, 1, 8, 22, 8, 0, 7
+        ) + b"\x00" * 14
+
+        def chunk(ckid, p):
+            return ckid + struct.pack("<I", len(p)) + p + (
+                b"\x00" if len(p) % 2 else b""
+            )
+
+        body = b"WAVE" + chunk(b"fmt ", ext) + chunk(b"data", raw)
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        assert decode_wav_ext(wav)[2] == "ulaw"
+        with pytest.raises(WaveExtError):
+            decode_wav_ext(b"RIFF\x04\x00\x00\x00AVI ")
+        with pytest.raises(WaveExtError):  # truncated data chunk
+            decode_wav_ext(wav[: len(wav) - 40])
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            decode_wav_ext(encode_wav_raw(2, 4, 8000, 1, raw))  # ADPCM
