@@ -130,9 +130,13 @@ HEADLINE = [
     "q392_unigram_m_step",
     "q393_fleiss_kappa",
     "q394_group_sequential_obf",
-    # round-7 additions: progressive JPEG, EM training loop
+    # round-7 additions: progressive JPEG, EM training loop, AVI video,
+    # no-split packing, G.711 audio
     "q395_progressive_jpeg",
     "q396_unigram_em",
+    "q397_avi_frames",
+    "q398_no_split_packing",
+    "q399_g711_audio",
 ]
 
 

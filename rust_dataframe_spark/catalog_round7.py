@@ -453,3 +453,113 @@ def q399_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode,
         "doc_id bigint, fmt string, n_samples bigint, s_sum bigint, s_abs bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q400: IMA ADPCM audio decode — recursive-CTE state-machine oracle
+# ---------------------------------------------------------------------------
+
+
+def _q400_oracle() -> str:
+    """The DuckDB oracle replays the IMA ADPCM decoder's integer state
+    machine (operators/wave_ext.ima_adpcm_step) as a recursive CTE: the
+    step table is spliced as literals, the nibble stream is analytic in
+    (doc_id, step), and predictor/index clamps are GREATEST/LEAST."""
+    from .operators.wave_ext import IMA_STEP_TABLE
+
+    steps = ", ".join(f"({i}, {s})" for i, s in enumerate(IMA_STEP_TABLE))
+    nib = (
+        "(CASE WHEN w.s % 2 = 0 "
+        "THEN ((d.doc_id * 11 + (w.s // 2) * 17) % 256) % 16 "
+        "ELSE ((d.doc_id * 11 + (w.s // 2) * 17) % 256) // 16 END)"
+    )
+    return f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, 60 + doc_id % 20 AS m,
+                 ((doc_id * 997) % 4001) - 2000 AS p0,
+                 doc_id % 89 AS i0
+          FROM documents WHERE doc_id < 30),
+    st(i, step) AS (SELECT * FROM (VALUES {steps})),
+    walk(doc_id, s, pred, idx) AS (
+      SELECT doc_id, 0, p0, i0 FROM d
+      UNION ALL
+      SELECT doc_id, s + 1,
+             GREATEST(-32768, LEAST(32767,
+               CASE WHEN nib >= 8 THEN pred - diff
+                    ELSE pred + diff END)),
+             GREATEST(0, LEAST(88, idx +
+               CASE WHEN nib % 8 < 4 THEN -1
+                    ELSE 2 * (nib % 8 - 3) END))
+      FROM (
+        SELECT w.doc_id, w.s, w.pred, w.idx,
+               {nib} AS nib,
+               st.step // 8
+                 + CASE WHEN {nib} % 8 >= 4 THEN st.step ELSE 0 END
+                 + CASE WHEN {nib} % 4 >= 2 THEN st.step // 2 ELSE 0 END
+                 + CASE WHEN {nib} % 2 = 1 THEN st.step // 4 ELSE 0 END
+                 AS diff
+        FROM walk w
+        JOIN d USING (doc_id)
+        JOIN st ON st.i = w.idx
+        WHERE w.s < 2 * d.m
+      )
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(pred) AS BIGINT) AS s_sum,
+           CAST(sum(abs(pred)) AS BIGINT) AS s_abs
+    FROM walk GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("q400_ima_adpcm", oracle=_q400_oracle())
+def q400_ima_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL adaptive-codec audio decode (operators/wave_ext.py round-7
+    matrix, tag 0x11): each doc synthesizes a genuine mono IMA/DVI ADPCM
+    WAV — block header carries an analytic initial predictor/step-index,
+    data nibbles are analytic in doc_id — and ``multimodal.decode_wav``
+    expands them through the table-driven 4-bit state machine (RFC 3551
+    section 4.5.1: shift-and-add diff, +-32768 predictor clamp, 0..88
+    index clamp).  The DuckDB oracle replays the ENTIRE state machine as
+    a recursive CTE over the spliced step table, so every predictor
+    sample matches exactly — the strongest possible cross-engine check
+    for a sequential codec (no checksum shortcut: the signed sum pins
+    sign handling, the abs sum pins magnitudes).  Audio fallback is now
+    MP3/OGG/MS-ADPCM only.  Decode is Arrow-batched mapInPandas on
+    executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 30
+    )
+
+    def synth_decode(batches):
+        import struct as st
+
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.multimodal import decode_wav
+        from rust_dataframe_spark.operators.wave_ext import encode_wav_raw
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_samples": [], "s_sum": [], "s_abs": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = 60 + d % 20
+                p0 = ((d * 997) % 4001) - 2000
+                i0 = d % 89
+                block = st.pack("<hBB", p0, i0, 0) + bytes(
+                    (d * 11 + j * 17) % 256 for j in range(m)
+                )
+                _sr, _ch, _sw, s = decode_wav(
+                    encode_wav_raw(0x11, 4, 8000, 1, block,
+                                   block_align=len(block))
+                )
+                rows["doc_id"].append(d)
+                rows["n_samples"].append(len(s))
+                rows["s_sum"].append(sum(s))
+                rows["s_abs"].append(sum(abs(x) for x in s))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, n_samples bigint, s_sum bigint, s_abs bigint",
+    ).orderBy("doc_id")

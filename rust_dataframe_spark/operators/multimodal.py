@@ -22,7 +22,7 @@ uncompressed-DIB streams via :mod:`operators.avi` — independent frame
 chunks mean ``sample_frames(fake_decode=False)`` decodes ONLY the
 sampled frames.  Formats that genuinely need
 media libraries absent from this container (arithmetic/12-bit/
-hierarchical JPEG, MP3/OGG/ADPCM, MP4/WebM) keep the documented stub: raise
+hierarchical JPEG, MP3/OGG/MS-ADPCM, MP4/WebM) keep the documented stub: raise
 NotImplementedError, or with ``fake=True`` a clearly-marked deterministic
 fake derives "features" from the bytes.  Everything around the decode —
 schema, batch iteration, UDF signature, partitioning — is identical on
@@ -415,7 +415,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     ``samples`` are SIGNED mono amplitudes at native scale (channels
     averaged): 8/16-bit PCM via the stdlib ``wave`` module, and (round 7,
     :mod:`operators.wave_ext`) 24/32-bit PCM, float32, and ITU G.711
-    u-law/A-law telephony WAVs — the G.711 bytes expand to 16-bit linear
+    u-law/A-law telephony WAVs plus mono IMA/DVI ADPCM blocks — companded/adaptive bytes expand to 16-bit linear
     (``sample_width`` reported as 2).  ADPCM / MP3-in-WAV still raise
     NotImplementedError and fall to the documented fake."""
     import io
@@ -436,7 +436,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
                 f"not a decodable WAV payload: {e}"
             ) from None
         sw = {"pcm8": 1, "pcm16": 2, "pcm24": 3, "pcm32": 4,
-              "float32": 4, "ulaw": 2, "alaw": 2}[name]
+              "float32": 4, "ulaw": 2, "alaw": 2, "ima_adpcm": 2}[name]
         if nch > 1:
             samples = [
                 sum(samples[i:i + nch]) // nch

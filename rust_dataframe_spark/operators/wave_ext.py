@@ -8,6 +8,8 @@ Formats (all public: RIFF/WAVE format registry + ITU-T G.711):
 * tag 3  IEEE float — float32
 * tag 6  G.711 A-law — expanded to 13-bit-magnitude linear (16-bit carrier)
 * tag 7  G.711 u-law — expanded to 14-bit-magnitude linear (16-bit carrier)
+* tag 0x11 IMA/DVI ADPCM (mono) — block-header predictor + table-driven
+  4-bit state machine, pure integer (RFC 3551 section 4.5.1)
 * tag 0xFFFE EXTENSIBLE — SubFormat GUID's leading tag, same matrix
 
 The G.711 expansions are closed-form (u-law: complement, then
@@ -15,7 +17,7 @@ The G.711 expansions are closed-form (u-law: complement, then
 ``mant*16 + 8`` at exp 0 else ``(mant*16 + 0x108) << (exp-1)``, bit 7
 POSITIVE) — verified byte-for-byte against the stdlib ``audioop`` ITU
 tables in tests, and simple enough that a SQL oracle replays them exactly
-(q399).  MP3/OGG and ADPCM remain documented NotImplementedError gates.
+(q399).  MP3/OGG and MS-ADPCM remain documented NotImplementedError gates.
 
 Container parsing reuses the fail-loud RIFF chunk walker from
 :mod:`operators.avi` — WAVE and AVI are the same chunk grammar.
@@ -33,6 +35,9 @@ __all__ = [
     "ALAW_TO_LIN",
     "encode_wav_raw",
     "decode_wav_ext",
+    "ima_adpcm_step",
+    "IMA_STEP_TABLE",
+    "IMA_INDEX_TABLE",
 ]
 
 
@@ -60,6 +65,64 @@ ULAW_TO_LIN = tuple(_ulaw(b) for b in range(256))
 ALAW_TO_LIN = tuple(_alaw(b) for b in range(256))
 
 _PCM, _FLOAT, _ALAW_TAG, _ULAW_TAG, _EXT = 1, 3, 6, 7, 0xFFFE
+_IMA_ADPCM = 0x11
+
+# IMA/DVI ADPCM tables (public IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility", also RFC 3551 section 4.5.1)
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_step(predictor: int, index: int, nibble: int):
+    """One IMA ADPCM decode step: ``(new_predictor, new_index)``.
+
+    Pure integer arithmetic (shift-and-add diff, table-driven step
+    adaptation, clamps) — the exact update a SQL recursive CTE replays in
+    the q400 oracle."""
+    step = IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 8:
+        predictor -= diff
+    else:
+        predictor += diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + IMA_INDEX_TABLE[nibble & 7]))
+    return predictor, index
+
+
+def _decode_ima_mono(frames: bytes, block_align: int) -> list[int]:
+    """Decode mono IMA ADPCM WAV blocks: per block a 4-byte header
+    (int16 initial predictor emitted as the first sample, uint8 step
+    index, reserved), then low-nibble-first data bytes."""
+    if block_align < 4:
+        raise WaveExtError(f"IMA ADPCM block_align {block_align} < 4")
+    out: list[int] = []
+    for bs in range(0, len(frames) - len(frames) % block_align, block_align):
+        block = frames[bs:bs + block_align]
+        predictor = struct.unpack_from("<h", block, 0)[0]
+        index = block[2]
+        if index > 88:
+            raise WaveExtError(f"IMA ADPCM step index {index} > 88")
+        out.append(predictor)
+        for byte in block[4:]:
+            for nibble in (byte & 0x0F, byte >> 4):  # low nibble first
+                predictor, index = ima_adpcm_step(predictor, index, nibble)
+                out.append(predictor)
+    return out
 
 
 def encode_wav_raw(
@@ -68,11 +131,15 @@ def encode_wav_raw(
     sample_rate: int,
     channels: int,
     frames: bytes,
+    *,
+    block_align: int | None = None,
 ) -> bytes:
     """Wrap pre-encoded sample bytes in a RIFF/WAVE container (fixture
     builder — the byte stream itself is the caller's, e.g. analytic
-    G.711 bytes or packed PCM frames)."""
-    block = channels * ((bits + 7) // 8)
+    G.711 bytes or packed PCM frames).  ``block_align`` overrides the
+    per-sample default for block codecs (IMA ADPCM: header + data bytes
+    per block)."""
+    block = block_align or channels * ((bits + 7) // 8)
     fmt = struct.pack(
         "<HHIIHH",
         fmt_tag, channels, sample_rate, sample_rate * block, block, bits,
@@ -90,7 +157,7 @@ def decode_wav_ext(payload: bytes):
     ``samples`` interleaved: ints at native scale for PCM (8-bit rebased
     to signed) and for G.711 (expanded 16-bit linear), Python floats for
     float32.  Fail-loud on malformed containers; NotImplementedError on
-    format tags outside the matrix (ADPCM, MP3-in-WAV...).
+    format tags outside the matrix (MS-ADPCM, MP3-in-WAV...).
     """
     data = bytes(payload)
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -141,8 +208,12 @@ def decode_wav_ext(payload: bytes):
         name, samples = "ulaw", [ULAW_TO_LIN[b] for b in frames]
     elif tag == _ALAW_TAG:
         name, samples = "alaw", [ALAW_TO_LIN[b] for b in frames]
+    elif tag == _IMA_ADPCM:
+        if channels != 1:
+            raise NotImplementedError("IMA ADPCM: mono only here")
+        name, samples = "ima_adpcm", _decode_ima_mono(frames, _block)
     else:
         raise NotImplementedError(
-            f"WAVE format tag {tag} (ADPCM/MP3-in-WAV...) needs ffmpeg"
+            f"WAVE format tag {tag} (MS-ADPCM/MP3-in-WAV...) needs ffmpeg"
         )
     return rate, channels, name, samples

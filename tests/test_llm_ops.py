@@ -2461,3 +2461,75 @@ class TestWaveExt:
             decode_wav_ext(wav[: len(wav) - 40])
         with pytest.raises(NotImplementedError, match="ffmpeg"):
             decode_wav_ext(encode_wav_raw(2, 4, 8000, 1, raw))  # ADPCM
+
+
+class TestImaAdpcm:
+    """IMA/DVI ADPCM (round 7, wave_ext tag 0x11): state-machine decode
+    with predictor/index clamps, multi-block containers, and the
+    decode_wav front door behind q400."""
+
+    def test_clamps_saturate_not_wrap(self):
+        from rust_dataframe_spark.operators.wave_ext import ima_adpcm_step
+
+        # max step, repeated +max nibble (7): predictor saturates at 32767
+        pred, idx = 30_000, 88
+        for _ in range(5):
+            pred, idx = ima_adpcm_step(pred, idx, 7)
+        assert pred == 32_767 and idx == 88  # index clamped at 88 too
+        # and the mirror: nibble 15 (sign bit + 7) drives to -32768
+        pred, idx = -30_000, 88
+        for _ in range(5):
+            pred, idx = ima_adpcm_step(pred, idx, 15)
+        assert pred == -32_768
+        # index floor: small nibbles at index 0 stay at 0
+        _, idx0 = ima_adpcm_step(0, 0, 1)
+        assert idx0 == 0
+
+    def test_container_decode_matches_step_replay(self):
+        import struct
+
+        from rust_dataframe_spark.operators.multimodal import decode_wav
+        from rust_dataframe_spark.operators.wave_ext import (
+            decode_wav_ext,
+            encode_wav_raw,
+            ima_adpcm_step,
+        )
+
+        d, m = 5, 65
+        p0, i0 = ((d * 997) % 4001) - 2000, d % 89
+        data = bytes((d * 11 + j * 17) % 256 for j in range(m))
+        block = struct.pack("<hBB", p0, i0, 0) + data
+        wav = encode_wav_raw(0x11, 4, 8000, 1, block + block,
+                             block_align=len(block))
+        sr, ch, name, s = decode_wav_ext(wav)
+        assert (sr, ch, name) == (8000, 1, "ima_adpcm")
+        pred, idx, exp = p0, i0, [p0]
+        for b in data:
+            for nib in (b & 0x0F, b >> 4):  # low nibble first
+                pred, idx = ima_adpcm_step(pred, idx, nib)
+                exp.append(pred)
+        assert s == exp + exp  # two blocks, state resets per block
+        _, _, sw, s2 = decode_wav(wav)  # front door, 16-bit carrier
+        assert sw == 2 and s2 == exp + exp
+
+    def test_bad_block_geometry_and_index_fail_loud(self):
+        import struct
+
+        import pytest
+
+        from rust_dataframe_spark.operators.wave_ext import (
+            WaveExtError,
+            decode_wav_ext,
+            encode_wav_raw,
+        )
+
+        block = struct.pack("<hBB", 0, 99, 0) + b"\x00" * 8  # index 99 > 88
+        with pytest.raises(WaveExtError, match="> 88"):
+            decode_wav_ext(encode_wav_raw(0x11, 4, 8000, 1, block,
+                                          block_align=len(block)))
+        with pytest.raises(WaveExtError, match="block_align"):
+            decode_wav_ext(encode_wav_raw(0x11, 4, 8000, 1, b"\x00\x00",
+                                          block_align=2))
+        with pytest.raises(NotImplementedError, match="mono"):
+            decode_wav_ext(encode_wav_raw(0x11, 4, 8000, 2, block,
+                                          block_align=len(block)))
