@@ -563,3 +563,118 @@ def q400_ima_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode,
         "doc_id bigint, n_samples bigint, s_sum bigint, s_abs bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q401: full PNG format matrix decode with placement-pinning checksums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q401_png_matrix",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 5 AS arm,
+                      5 + doc_id % 12 AS w,
+                      4 + (doc_id // 3) % 9 AS h
+               FROM documents WHERE doc_id < 80),
+    xs AS (SELECT doc_id, arm, w, h, unnest(range(0, w)) AS x FROM d),
+    ys AS (SELECT doc_id, arm, w, h, x, unnest(range(0, h)) AS y FROM xs),
+    cs AS (SELECT doc_id, arm, w, h, x, y, unnest(range(0, 3)) AS c
+           FROM ys),
+    px AS (
+      SELECT doc_id, w, h, 1 AS ch, (y * w + x) AS pos,
+             ((x + y + doc_id) % 2) * 255 AS v
+      FROM ys WHERE arm = 0
+      UNION ALL
+      SELECT doc_id, w, h, 1, (y * w + x),
+             ((x * 3 + y * 2 + doc_id) % 16) * 17
+      FROM ys WHERE arm = 1
+      UNION ALL
+      SELECT doc_id, w, h, 1, (y * w + x),
+             ((x * 257 + y * 93 + doc_id * 11) % 65536) // 256
+      FROM ys WHERE arm = 2
+      UNION ALL
+      SELECT doc_id, w, h, 3, (y * w + x) * 3 + c,
+             (((x + 2 * y + doc_id) % 16)
+              * (CASE c WHEN 0 THEN 3 WHEN 1 THEN 5 ELSE 7 END)) % 256
+      FROM cs WHERE arm = 3
+      UNION ALL
+      SELECT doc_id, w, h, 3, (y * w + x) * 3 + c,
+             (x * 5 + y * 7 + c * 11 + doc_id) % 256
+      FROM cs WHERE arm = 4
+    )
+    SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           CAST(max(ch) AS INT) AS channels,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(v * pos) AS BIGINT) AS px_wsum
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q401_png_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL PNG format-matrix decode, driver-checkable (operators/png.py
+    round-7 completion: all five color types, bit depths 1/2/4/8/16,
+    Adam7 interlace): five arms by doc_id — 1-bit gray Adam7, 4-bit gray
+    sequential, 16-bit gray Adam7, 4-bit PALETTE Adam7 (PLTE lookup),
+    8-bit RGB Adam7 — each synthesized as a real zlib/CRC container
+    executor-side and decoded back.  Beyond q327 (which pinned the 8-bit
+    sequential core), the POSITION-WEIGHTED checksum ``px_wsum = sum(v *
+    linear_position)`` pins Adam7 DEINTERLACING itself: a sub-image
+    placed at the wrong origin or stride matches px_sum but not px_wsum.
+    Expansion laws replayed by the oracle: sub-byte bit replication
+    ``v*255//(2^d-1)``, 16-bit high byte, palette triple ``(3i,5i,7i) %
+    256``.  The pure-python parity law interlaced==sequential over the
+    whole matrix is pytest-pinned (TestPngMatrix).  All decode is
+    Arrow-batched mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 80
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.png import decode_png, encode_png
+
+        pal = bytes(
+            b for i in range(16)
+            for b in ((i * 3) % 256, (i * 5) % 256, (i * 7) % 256)
+        )
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "channels": [],
+                    "px_sum": [], "px_wsum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                arm, w, h = d % 5, 5 + d % 12, 4 + (d // 3) % 9
+                if arm == 0:
+                    vals = [(x + y + d) % 2 for y in range(h) for x in range(w)]
+                    p = encode_png(w, h, vals, channels=1, depth=1, interlace=1)
+                elif arm == 1:
+                    vals = [(x * 3 + y * 2 + d) % 16
+                            for y in range(h) for x in range(w)]
+                    p = encode_png(w, h, vals, channels=1, depth=4)
+                elif arm == 2:
+                    vals = [(x * 257 + y * 93 + d * 11) % 65536
+                            for y in range(h) for x in range(w)]
+                    p = encode_png(w, h, vals, channels=1, depth=16, interlace=1)
+                elif arm == 3:
+                    vals = [(x + 2 * y + d) % 16
+                            for y in range(h) for x in range(w)]
+                    p = encode_png(w, h, vals, palette=pal, depth=4, interlace=1)
+                else:
+                    vals = [(x * 5 + y * 7 + c * 11 + d) % 256
+                            for y in range(h) for x in range(w)
+                            for c in range(3)]
+                    p = encode_png(w, h, vals, channels=3, interlace=1)
+                ww, hh, ch, out = decode_png(p)
+                rows["doc_id"].append(d)
+                rows["width"].append(ww)
+                rows["height"].append(hh)
+                rows["channels"].append(ch)
+                rows["px_sum"].append(sum(out))
+                rows["px_wsum"].append(sum(v * i for i, v in enumerate(out)))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, width int, height int, channels int, "
+        "px_sum bigint, px_wsum bigint",
+    ).orderBy("doc_id")

@@ -6,8 +6,9 @@ partition by a content-addressable key, and run decode / feature-extraction /
 resize / frame-sampling as Arrow-batched Pandas UDFs over ``mapInPandas`` —
 the bytes never round-trip through Python row objects, only Arrow buffers.
 
-Decode policy (updated round 6): baseline PNGs (8-bit gray/RGB/RGBA,
-non-interlaced) decode FOR REAL via the pure-stdlib codec in
+Decode policy (updated round 7): PNGs decode FOR REAL across the FULL
+format matrix (all five color types incl. palette+tRNS, bit depths
+1/2/4/8/16, Adam7 interlace) via the pure-stdlib codec in
 :mod:`operators.png`, and JPEGs — baseline sequential (SOF0) AND
 progressive (SOF2, round 7), 8-bit, gray/YCbCr, 4:4:4/4:2:2/4:2:0 —
 via :mod:`operators.jpeg`: ``decode_image``,
@@ -91,13 +92,14 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    REAL paths: baseline PNGs (8-bit gray/RGB/RGBA, non-interlaced) via
-    the pure-stdlib codec in :mod:`operators.png`, and sequential
+    REAL paths: PNGs across the full format matrix (round 7 — all five
+    color types incl. palette+tRNS, depths 1/2/4/8/16, Adam7 interlace)
+    via the pure-stdlib codec in :mod:`operators.png`, and sequential
     (SOF0) or progressive (SOF2) JPEGs (8-bit, 4:4:4/4:2:2/4:2:0) via
     :mod:`operators.jpeg` — no PIL needed.  Payloads outside those
-    subsets (arithmetic/12-bit JPEG, 16-bit/interlaced PNG, or the
-    synthetic text-derived payloads the test tables use) fall back to the
-    documented deterministic fake when ``fake=True``, else raise.
+    subsets (arithmetic/12-bit JPEG, or the synthetic text-derived
+    payloads the test tables use) fall back to the documented
+    deterministic fake when ``fake=True``, else raise.
     """
     from .jpeg import JpegError, decode_jpeg, is_jpeg
     from .png import PngError, decode_png, is_png

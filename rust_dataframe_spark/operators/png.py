@@ -4,11 +4,15 @@ multimodal pipeline.
 The container has no PIL/opencv, but PNG's baseline format needs neither:
 chunks are length/type/data/CRC32 frames, pixel data is zlib-compressed
 scanlines with five per-line predictive filters (None/Sub/Up/Average/Paeth,
-RFC 2083 §6).  This module implements exactly that subset — 8-bit,
-non-interlaced, color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) —
-which covers the overwhelming majority of real-world PNGs.  Exotic inputs
-(16-bit, paletted, Adam7-interlaced, other formats entirely) still raise,
-and the multimodal layer falls back to its documented deterministic fake.
+RFC 2083 §6).  Round 7 completes the format matrix: ALL five color types
+(0 gray, 2 RGB, 3 palette via PLTE (+tRNS alpha), 4 gray+alpha, 6 RGBA),
+ALL legal bit depths (1/2/4/8/16 where the spec allows them), and Adam7
+interlacing (seven filtered sub-images deinterlaced by the standard
+origin/stride grid).  Output is always 8-bit expanded: palette indices
+resolve through PLTE, sub-byte gray scales by bit replication
+(``v * 255 // (2^d - 1)``), 16-bit takes the high byte.  Truly malformed
+input still raises and the multimodal layer falls back to its documented
+deterministic fake.
 
 Also provides a minimal encoder (filter 0 scanlines) so tests can
 synthesize REAL byte-accurate PNGs deterministically instead of checking
@@ -36,14 +40,30 @@ __all__ = [
 ]
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
-# samples per pixel by PNG color type
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# samples per pixel by PNG color type (3 = palette: one index per pixel)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 class PngError(ValueError):
-    """Raised for malformed input or a PNG variant outside the supported
-    subset (16-bit / paletted / interlaced) — callers fall back to the
+    """Raised for malformed input (bad CRC, truncated chunks, illegal
+    depth/color combos, geometry mismatches) — callers fall back to the
     documented fake-decode stand-in."""
+
+
+# legal bit depths per color type (PNG spec table 11.1)
+_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+# Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def is_png(data: bytes) -> bool:
@@ -60,19 +80,70 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline PNG to ``(width, height, channels, pixels)``.
+def _unfilter(raw: bytes, base: int, hp: int, stride: int, bpp: int):
+    """Unfilter ``hp`` scanlines of ``stride`` bytes starting at ``raw[base]``
+    (each prefixed by its filter-type byte); yields the reconstructed
+    lines.  ``bpp`` is the filter byte distance (bytes per complete pixel,
+    min 1 — RFC 2083 §6.2)."""
+    prev = bytes(stride)
+    for row in range(hp):
+        rb = base + row * (stride + 1)
+        ftype = raw[rb]
+        line = bytearray(raw[rb + 1 : rb + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise PngError(f"unknown scanline filter {ftype}")
+        prev = line
+        yield line
 
-    ``pixels`` is ``height * width * channels`` bytes, row-major, 8 bits per
-    sample.  Raises :class:`PngError` for anything outside the supported
-    subset; chunk CRCs are verified (a corrupt payload should fail loudly,
-    not decode to garbage that poisons downstream perceptual hashes).
+
+def _line_samples(line: bytes, n: int, depth: int) -> list[int]:
+    """Unpack the first ``n`` samples of a scanline at ``depth`` bits
+    (MSB-first within a byte, per spec)."""
+    if depth == 8:
+        return list(line[:n])
+    if depth == 16:
+        return [(line[2 * i] << 8) | line[2 * i + 1] for i in range(n)]
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    return [
+        (line[i // per] >> (8 - depth * (i % per + 1))) & mask
+        for i in range(n)
+    ]
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to ``(width, height, channels, pixels)``.
+
+    ``pixels`` is ``height * width * channels`` bytes, row-major, 8 bits
+    per sample after expansion: palette (type 3) resolves through PLTE
+    (3 channels, or 4 when a tRNS chunk supplies alpha), sub-byte gray
+    scales by bit replication (``v * 255 // (2^d - 1)``), 16-bit samples
+    take the high byte.  Interlace 1 (Adam7) deinterlaces the seven
+    filtered sub-images.  Raises :class:`PngError` for malformed input;
+    chunk CRCs are verified (a corrupt payload should fail loudly, not
+    decode to garbage that poisons downstream perceptual hashes).
     """
     data = bytes(data)
     if not is_png(data):
         raise PngError("not a PNG (bad signature)")
     pos, w = 8, None
     idat = bytearray()
+    plte = trns = None
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
@@ -84,54 +155,79 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
         if ctype == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8:
-                raise PngError(f"unsupported bit depth {depth} (8 only)")
-            if color not in _CHANNELS:
-                raise PngError(f"unsupported color type {color} (0/2/4/6 only)")
-            if interlace != 0:
-                raise PngError("Adam7 interlacing unsupported")
+            if color not in _LEGAL_DEPTHS:
+                raise PngError(f"unsupported color type {color}")
+            if depth not in _LEGAL_DEPTHS[color]:
+                raise PngError(f"illegal bit depth {depth} for color type {color}")
+            if interlace not in (0, 1):
+                raise PngError(f"unknown interlace method {interlace}")
             if comp != 0 or filt != 0:
                 raise PngError("nonstandard compression/filter method")
+            if w == 0 or h == 0:
+                raise PngError("zero-dimension image")
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0:
+                raise PngError("PLTE length not a multiple of 3")
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
             break
     if w is None:
         raise PngError("missing IHDR")
-    ch = _CHANNELS[color]
+    if color == 3 and plte is None:
+        raise PngError("palette image missing PLTE")
+    ch_raw = _CHANNELS[color]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}") from None
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+
+    # raw samples at native depth, full grid
+    samples = [0] * (h * w * ch_raw)
+    passes = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7
+    bits_pp = ch_raw * depth
+    bpp = max(1, bits_pp // 8)
+    base = 0
+    for x0, y0, dx, dy in passes:
+        wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+        hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if wp == 0 or hp == 0:
+            continue
+        stride = (wp * bits_pp + 7) // 8
+        if base + hp * (stride + 1) > len(raw):
+            raise PngError("decompressed size mismatch")
+        for r, line in enumerate(_unfilter(raw, base, hp, stride, bpp)):
+            vals = _line_samples(line, wp * ch_raw, depth)
+            y = y0 + r * dy
+            for i in range(wp):
+                o = (y * w + (x0 + i * dx)) * ch_raw
+                samples[o : o + ch_raw] = vals[i * ch_raw : (i + 1) * ch_raw]
+        base += hp * (stride + 1)
+    if base != len(raw):
         raise PngError("decompressed size mismatch")
-    out = bytearray(h * stride)
-    prev = bytes(stride)
-    for row in range(h):
-        base = row * (stride + 1)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif ftype != 0:
-            raise PngError(f"unknown scanline filter {ftype}")
-        out[row * stride : (row + 1) * stride] = line
-        prev = line
-    return w, h, ch, bytes(out)
+
+    # expand to 8-bit output channels
+    if color == 3:
+        n_pal = len(plte) // 3
+        ch_out = 4 if trns is not None else 3
+        out = bytearray(h * w * ch_out)
+        for i, idx in enumerate(samples):
+            if idx >= n_pal:
+                raise PngError(f"palette index {idx} beyond PLTE size {n_pal}")
+            o = i * ch_out
+            out[o : o + 3] = plte[3 * idx : 3 * idx + 3]
+            if ch_out == 4:
+                out[o + 3] = trns[idx] if idx < len(trns) else 255
+        return w, h, ch_out, bytes(out)
+    if depth == 16:
+        return w, h, ch_raw, bytes(v >> 8 for v in samples)
+    if depth < 8:
+        maxv = (1 << depth) - 1
+        return w, h, ch_raw, bytes(v * 255 // maxv for v in samples)
+    return w, h, ch_raw, bytes(samples)
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:
@@ -143,29 +239,78 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int, pixels: bytes, *, channels: int = 3) -> bytes:
-    """Minimal PNG encoder: 8-bit, filter-0 scanlines, one IDAT.
+def encode_png(
+    width: int,
+    height: int,
+    pixels,
+    *,
+    channels: int = 3,
+    depth: int = 8,
+    palette: bytes | None = None,
+    trns: bytes | None = None,
+    interlace: int = 0,
+) -> bytes:
+    """PNG encoder across the format matrix: filter-0 scanlines, one IDAT.
 
-    ``pixels`` must be ``height * width * channels`` bytes.  Used by tests
-    to build REAL decodable payloads deterministically (no binaries in the
-    repo) and as the re-encode half of :func:`multimodal.resize_images`'s
-    real path."""
-    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
-    if color is None:
-        raise PngError(f"channels must be 1/2/3/4, got {channels}")
-    if len(pixels) != width * height * channels:
+    Default call (8-bit, truecolor/gray by ``channels``) is byte-stable
+    with the round-6 encoder.  ``palette`` switches to color type 3
+    (``pixels`` are per-pixel indices; optional ``trns`` alpha bytes);
+    ``depth`` packs 1/2/4-bit samples MSB-first or emits 16-bit
+    (``pixels`` then an int sequence, each sample < 2^depth);
+    ``interlace=1`` splits into the seven Adam7 filtered sub-images.
+    Used by tests/catalog to build REAL decodable payloads
+    deterministically (no binaries in the repo) and as the re-encode half
+    of :func:`multimodal.resize_images`'s real path."""
+    if palette is not None:
+        color, ch = 3, 1
+        if len(palette) % 3 or not palette:
+            raise PngError("palette must be non-empty RGB triples")
+        if depth not in (1, 2, 4, 8):
+            raise PngError(f"illegal palette depth {depth}")
+    else:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+        ch = channels
+        if color is None:
+            raise PngError(f"channels must be 1/2/3/4, got {channels}")
+        if depth not in _LEGAL_DEPTHS[color]:
+            raise PngError(f"illegal bit depth {depth} for color type {color}")
+    if len(pixels) != width * height * ch:
         raise PngError("pixel buffer size mismatch")
-    stride = width * channels
-    raw = b"".join(
-        b"\x00" + bytes(pixels[r * stride : (r + 1) * stride]) for r in range(height)
-    )
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
-    return (
-        _SIGNATURE
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw, 6))
-        + _chunk(b"IEND", b"")
-    )
+    if any(v >> depth for v in pixels):
+        raise PngError(f"sample exceeds {depth}-bit range")
+
+    def pack_line(vals) -> bytes:
+        if depth == 8:
+            return bytes(vals)
+        if depth == 16:
+            return b"".join(struct.pack(">H", v) for v in vals)
+        per = 8 // depth
+        line = bytearray((len(vals) + per - 1) // per)
+        for i, v in enumerate(vals):
+            line[i // per] |= v << (8 - depth * (i % per + 1))
+        return bytes(line)
+
+    passes = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        wp = (width - x0 + dx - 1) // dx if width > x0 else 0
+        hp = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if wp == 0 or hp == 0:
+            continue
+        for r in range(hp):
+            y = y0 + r * dy
+            vals = []
+            for i in range(wp):
+                o = (y * width + (x0 + i * dx)) * ch
+                vals.extend(pixels[o : o + ch])
+            raw += b"\x00" + pack_line(vals)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, interlace)
+    out = _SIGNATURE + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", bytes(palette))
+        if trns is not None:
+            out += _chunk(b"tRNS", bytes(trns))
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + _chunk(b"IEND", b"")
 
 
 def gray_9x8(width: int, height: int, channels: int, pixels: bytes) -> list[int]:

@@ -579,7 +579,10 @@ class TestPngReal:
         interlaced[29:33] = struct.pack(
             ">I", _z.crc32(bytes(interlaced[12:29])) & 0xFFFFFFFF
         )
-        with pytest.raises(PngError, match="interlac"):
+        # round 7: Adam7 is now SUPPORTED — relabeling a sequential stream
+        # as interlaced must still fail loud (pass geometry mismatch),
+        # never silently misplace pixels
+        with pytest.raises(PngError, match="size mismatch"):
             decode_png(bytes(interlaced))
 
     def test_decode_image_real_path_and_fallback(self):
@@ -2533,3 +2536,85 @@ class TestImaAdpcm:
         with pytest.raises(NotImplementedError, match="mono"):
             decode_wav_ext(encode_wav_raw(0x11, 4, 8000, 2, block,
                                           block_align=len(block)))
+
+
+class TestPngMatrix:
+    """Round-7 PNG format-matrix completion (operators/png.py): palette +
+    tRNS, bit depths 1/2/4/8/16, Adam7 interlace — round-trip exactness,
+    the interlaced==sequential parity law, and fail-loud geometry."""
+
+    def test_depth_expansion_round_trips(self):
+        from rust_dataframe_spark.operators.png import decode_png, encode_png
+
+        for d in (1, 2, 4):
+            w, h, maxv = 11, 5, (1 << d) - 1
+            vals = [(x * 3 + y) % (maxv + 1) for y in range(h) for x in range(w)]
+            W, H, C, out = decode_png(encode_png(w, h, vals, channels=1, depth=d))
+            assert (W, H, C) == (w, h, 1)
+            assert list(out) == [v * 255 // maxv for v in vals]
+        v16 = [(i * 9973) % 65536 for i in range(24)]
+        _, _, _, out16 = decode_png(encode_png(6, 4, v16, channels=1, depth=16))
+        assert list(out16) == [v >> 8 for v in v16]
+
+    def test_palette_with_and_without_trns(self):
+        from rust_dataframe_spark.operators.png import decode_png, encode_png
+
+        pal = bytes(
+            b for i in range(16)
+            for b in ((i * 3) % 256, (i * 5) % 256, (i * 7) % 256)
+        )
+        idxs = [(x + 2 * y) % 16 for y in range(6) for x in range(9)]
+        for d in (1, 2, 4, 8):
+            n = min(16, 1 << d)
+            iv = [i % n for i in idxs]
+            _, _, C, out = decode_png(encode_png(9, 6, iv, palette=pal, depth=d))
+            assert C == 3
+            assert bytes(out) == bytes(
+                b for i in iv for b in pal[3 * i:3 * i + 3]
+            )
+        trns = bytes([255, 128, 0])
+        _, _, C4, out4 = decode_png(
+            encode_png(9, 6, idxs, palette=pal, depth=8, trns=trns)
+        )
+        assert C4 == 4
+        for k, i in enumerate(idxs):
+            assert out4[4 * k + 3] == (trns[i] if i < 3 else 255)
+
+    def test_adam7_parity_law_full_matrix(self):
+        """Interlaced decode == sequential decode for every (channels,
+        depth) combo incl. palette, on odd dims that exercise ragged and
+        empty passes."""
+        from rust_dataframe_spark.operators.png import decode_png, encode_png
+
+        combos = [(1, 1), (1, 2), (1, 4), (1, 8), (1, 16),
+                  (2, 8), (3, 8), (3, 16), (4, 8), (4, 16)]
+        for chs, d in combos:
+            w, h, maxv = 17, 11, (1 << d) - 1
+            vals = [(i * 37 + chs) % (maxv + 1) for i in range(w * h * chs)]
+            a = decode_png(encode_png(w, h, vals, channels=chs, depth=d))
+            b = decode_png(
+                encode_png(w, h, vals, channels=chs, depth=d, interlace=1)
+            )
+            assert a == b, (chs, d)
+        for w, h in [(1, 1), (2, 2), (3, 1), (1, 5), (8, 8)]:
+            vals = [(i * 5) % 256 for i in range(w * h)]
+            assert decode_png(encode_png(w, h, vals, channels=1)) == decode_png(
+                encode_png(w, h, vals, channels=1, interlace=1)
+            ), (w, h)
+
+    def test_fail_loud_matrix(self):
+        import pytest
+
+        from rust_dataframe_spark.operators.png import (
+            PngError,
+            decode_png,
+            encode_png,
+        )
+
+        pal9 = bytes(range(9))
+        with pytest.raises(PngError, match="beyond PLTE"):
+            decode_png(encode_png(4, 4, [5] * 16, palette=pal9, depth=8))
+        with pytest.raises(PngError, match="illegal bit depth"):
+            encode_png(4, 4, [0] * 48, channels=3, depth=4)
+        with pytest.raises(PngError, match="range"):
+            encode_png(4, 4, [2] * 16, channels=1, depth=1)
