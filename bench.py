@@ -137,6 +137,9 @@ HEADLINE = [
     "q397_avi_frames",
     "q398_no_split_packing",
     "q399_g711_audio",
+    "q400_ima_adpcm",
+    "q401_png_matrix",
+    "q402_ms_adpcm",
 ]
 
 

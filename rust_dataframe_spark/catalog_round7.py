@@ -678,3 +678,126 @@ def q401_png_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, width int, height int, channels int, "
         "px_sum bigint, px_wsum bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q402: MS-ADPCM audio decode — recursive-CTE oracle with 3-variable state
+# ---------------------------------------------------------------------------
+
+
+def _q402_oracle() -> str:
+    """Recursive-CTE replay of the MS-ADPCM decoder (wave_ext.msadpcm_step):
+    3-variable state (s1, s2, delta), spliced coefficient/adaptation
+    tables, and floor(x/256.0) for the C arithmetic shift (DuckDB's //
+    truncates toward zero on negatives, Python's >> floors)."""
+    from .operators.wave_ext import MSADPCM_ADAPT, MSADPCM_COEFS
+
+    coefs = ", ".join(f"({i}, {c1}, {c2})" for i, (c1, c2) in enumerate(MSADPCM_COEFS))
+    adapt = ", ".join(f"({n}, {a})" for n, a in enumerate(MSADPCM_ADAPT))
+    nib = (
+        "(CASE WHEN w.s % 2 = 0 "
+        "THEN ((d.doc_id * 11 + (w.s // 2) * 29) % 256) // 16 "
+        "ELSE ((d.doc_id * 11 + (w.s // 2) * 29) % 256) % 16 END)"
+    )
+    return f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, 50 + doc_id % 20 AS m,
+                 doc_id % 7 AS pidx,
+                 16 + (doc_id * 13) % 1000 AS delta0,
+                 ((doc_id * 131) % 30001) - 15000 AS s1_0,
+                 ((doc_id * 373) % 30001) - 15000 AS s2_0
+          FROM documents WHERE doc_id < 30),
+    co(i, c1, c2) AS (SELECT * FROM (VALUES {coefs})),
+    ad(n, a) AS (SELECT * FROM (VALUES {adapt})),
+    walk(doc_id, s, s1, s2, delta) AS (
+      SELECT doc_id, 0, s1_0, s2_0, delta0 FROM d
+      UNION ALL
+      SELECT doc_id, s + 1,
+             GREATEST(-32768, LEAST(32767,
+               CAST(floor((s1 * c1 + s2 * c2) / 256.0) AS BIGINT)
+               + (CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END) * delta)),
+             s1,
+             GREATEST(16, LEAST(8388607, (a * delta) // 256))
+      FROM (
+        SELECT w.doc_id, w.s, w.s1, w.s2, w.delta,
+               co.c1, co.c2, {nib} AS nib, ad.a
+        FROM walk w
+        JOIN d USING (doc_id)
+        JOIN co ON co.i = d.pidx
+        JOIN ad ON ad.n = {nib}
+        WHERE w.s < 2 * d.m
+      )
+    ),
+    emitted AS (
+      SELECT doc_id, s2_0 AS v FROM d
+      UNION ALL
+      SELECT doc_id, s1_0 FROM d
+      UNION ALL
+      SELECT doc_id, s1 FROM walk WHERE s >= 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS s_sum,
+           CAST(sum(abs(v)) AS BIGINT) AS s_abs
+    FROM emitted GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("q402_ms_adpcm", oracle=_q402_oracle())
+def q402_ms_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MS-ADPCM audio decode (operators/wave_ext.py tag 0x02 — the
+    second adaptive WAV codec beside q400's IMA): 7 fixed predictor
+    coefficient pairs, adaptive delta via the 16-entry table, header
+    samples emitted oldest-first.  Each doc synthesizes a one-block mono
+    MS-ADPCM WAV with analytic header state (predictor index, initial
+    delta/samples) and analytic high-nibble-first data; the oracle
+    replays the FULL 3-variable state machine (s1, s2, delta) as a
+    recursive CTE over the spliced coefficient/adaptation tables, with
+    ``floor(x/256.0)`` standing in for C's arithmetic right-shift
+    (DuckDB ``//`` truncates toward zero, Python ``>>`` floors — the
+    docstring-level difference that would silently corrupt negative
+    predictions).  With q399+q400+q402, every common WAV format tag
+    (PCM 8/16/24/32, float32, G.711 both laws, both ADPCMs) decodes for
+    real; the audio gate is MP3/OGG — true DSP codecs.  Decode is
+    Arrow-batched mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 30
+    )
+
+    def synth_decode(batches):
+        import struct as st
+
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.multimodal import decode_wav
+        from rust_dataframe_spark.operators.wave_ext import encode_wav_raw
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_samples": [], "s_sum": [], "s_abs": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = 50 + d % 20
+                block = (
+                    bytes([d % 7])
+                    + st.pack(
+                        "<hhh",
+                        16 + (d * 13) % 1000,
+                        ((d * 131) % 30001) - 15000,
+                        ((d * 373) % 30001) - 15000,
+                    )
+                    + bytes((d * 11 + j * 29) % 256 for j in range(m))
+                )
+                _sr, _ch, _sw, s = decode_wav(
+                    encode_wav_raw(0x02, 4, 8000, 1, block,
+                                   block_align=len(block))
+                )
+                rows["doc_id"].append(d)
+                rows["n_samples"].append(len(s))
+                rows["s_sum"].append(sum(s))
+                rows["s_abs"].append(sum(abs(x) for x in s))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, n_samples bigint, s_sum bigint, s_abs bigint",
+    ).orderBy("doc_id")

@@ -438,7 +438,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
                 f"not a decodable WAV payload: {e}"
             ) from None
         sw = {"pcm8": 1, "pcm16": 2, "pcm24": 3, "pcm32": 4,
-              "float32": 4, "ulaw": 2, "alaw": 2, "ima_adpcm": 2}[name]
+              "float32": 4, "ulaw": 2, "alaw": 2, "ima_adpcm": 2,
+              "ms_adpcm": 2}[name]
         if nch > 1:
             samples = [
                 sum(samples[i:i + nch]) // nch

@@ -10,6 +10,8 @@ Formats (all public: RIFF/WAVE format registry + ITU-T G.711):
 * tag 7  G.711 u-law — expanded to 14-bit-magnitude linear (16-bit carrier)
 * tag 0x11 IMA/DVI ADPCM (mono) — block-header predictor + table-driven
   4-bit state machine, pure integer (RFC 3551 section 4.5.1)
+* tag 0x02 MS-ADPCM (mono) — 7 fixed predictor pairs + adaptive delta,
+  pure integer (Microsoft WAVE_FORMAT_ADPCM spec / RFC 2361 registry)
 * tag 0xFFFE EXTENSIBLE — SubFormat GUID's leading tag, same matrix
 
 The G.711 expansions are closed-form (u-law: complement, then
@@ -17,7 +19,7 @@ The G.711 expansions are closed-form (u-law: complement, then
 ``mant*16 + 8`` at exp 0 else ``(mant*16 + 0x108) << (exp-1)``, bit 7
 POSITIVE) — verified byte-for-byte against the stdlib ``audioop`` ITU
 tables in tests, and simple enough that a SQL oracle replays them exactly
-(q399).  MP3/OGG and MS-ADPCM remain documented NotImplementedError gates.
+(q399).  MP3/OGG (true DSP codecs) remain the only documented gates.
 
 Container parsing reuses the fail-loud RIFF chunk walker from
 :mod:`operators.avi` — WAVE and AVI are the same chunk grammar.
@@ -38,6 +40,9 @@ __all__ = [
     "ima_adpcm_step",
     "IMA_STEP_TABLE",
     "IMA_INDEX_TABLE",
+    "msadpcm_step",
+    "MSADPCM_COEFS",
+    "MSADPCM_ADAPT",
 ]
 
 
@@ -66,6 +71,7 @@ ALAW_TO_LIN = tuple(_alaw(b) for b in range(256))
 
 _PCM, _FLOAT, _ALAW_TAG, _ULAW_TAG, _EXT = 1, 3, 6, 7, 0xFFFE
 _IMA_ADPCM = 0x11
+_MS_ADPCM = 0x02
 
 # IMA/DVI ADPCM tables (public IMA "Recommended Practices for Enhancing
 # Digital Audio Compatibility", also RFC 3551 section 4.5.1)
@@ -125,6 +131,67 @@ def _decode_ima_mono(frames: bytes, block_align: int) -> list[int]:
     return out
 
 
+# MS-ADPCM fixed tables (public Microsoft WAVE_FORMAT_ADPCM spec / RFC 2361
+# registry; the 7 standard predictor coefficient pairs + nibble adaptation)
+MSADPCM_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+MSADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def msadpcm_step(s1: int, s2: int, delta: int, c1: int, c2: int, nibble: int):
+    """One MS-ADPCM decode step: ``(new_sample, new_delta)``.
+
+    ``predicted = (s1*c1 + s2*c2) >> 8`` (arithmetic shift = floor),
+    ``new = clamp(predicted + signed_nibble * delta)``,
+    ``delta' = clamp(16, (adapt[nibble] * delta) >> 8, 2^23 - 1)`` — pure
+    integer, so a SQL recursive CTE replays it exactly (q402 oracle).
+
+    The upper delta clamp is a documented deviation the SPEC leaves
+    undefined: the adaptation recurrence has no ceiling, so an
+    adversarial (non-encoder-produced) nibble stream grows delta
+    geometrically — measured 1.7e20 on an analytic fixture — which is
+    undefined-behavior territory for every int32-carrying C
+    implementation.  Encoder-produced streams keep delta near the 16-bit
+    residue scale (< 2^17), so 2^23 - 1 is unreachable in legitimate
+    data; clamping there makes the decoder total on all inputs instead
+    of silently wrapping."""
+    signed = nibble - 16 if nibble >= 8 else nibble
+    predicted = (s1 * c1 + s2 * c2) >> 8
+    new = max(-32768, min(32767, predicted + signed * delta))
+    return new, max(16, min(0x7FFFFF, (MSADPCM_ADAPT[nibble] * delta) >> 8))
+
+
+def _decode_msadpcm_mono(frames: bytes, block_align: int) -> list[int]:
+    """Decode mono MS-ADPCM blocks: 7-byte header (predictor index,
+    int16 initial delta, int16 sample1, int16 sample2 — emitted oldest
+    first: sample2 then sample1), then high-nibble-first data bytes."""
+    if block_align < 7:
+        raise WaveExtError(f"MS-ADPCM block_align {block_align} < 7")
+    out: list[int] = []
+    for bs in range(0, len(frames) - len(frames) % block_align, block_align):
+        block = frames[bs:bs + block_align]
+        pred_idx = block[0]
+        if pred_idx >= len(MSADPCM_COEFS):
+            raise WaveExtError(f"MS-ADPCM predictor index {pred_idx} > 6")
+        c1, c2 = MSADPCM_COEFS[pred_idx]
+        delta, s1, s2 = struct.unpack_from("<hhh", block, 1)
+        if delta < 16:
+            delta = 16
+        out.append(s2)
+        out.append(s1)
+        for byte in block[7:]:
+            for nibble in (byte >> 4, byte & 0x0F):  # high nibble first
+                new, delta = msadpcm_step(s1, s2, delta, c1, c2, nibble)
+                s2, s1 = s1, new
+                out.append(new)
+    return out
+
+
 def encode_wav_raw(
     fmt_tag: int,
     bits: int,
@@ -157,7 +224,7 @@ def decode_wav_ext(payload: bytes):
     ``samples`` interleaved: ints at native scale for PCM (8-bit rebased
     to signed) and for G.711 (expanded 16-bit linear), Python floats for
     float32.  Fail-loud on malformed containers; NotImplementedError on
-    format tags outside the matrix (MS-ADPCM, MP3-in-WAV...).
+    format tags outside the matrix (MP3-in-WAV, GSM...).
     """
     data = bytes(payload)
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -212,8 +279,12 @@ def decode_wav_ext(payload: bytes):
         if channels != 1:
             raise NotImplementedError("IMA ADPCM: mono only here")
         name, samples = "ima_adpcm", _decode_ima_mono(frames, _block)
+    elif tag == _MS_ADPCM:
+        if channels != 1:
+            raise NotImplementedError("MS-ADPCM: mono only here")
+        name, samples = "ms_adpcm", _decode_msadpcm_mono(frames, _block)
     else:
         raise NotImplementedError(
-            f"WAVE format tag {tag} (MS-ADPCM/MP3-in-WAV...) needs ffmpeg"
+            f"WAVE format tag {tag} (MP3-in-WAV, GSM...) needs ffmpeg"
         )
     return rate, channels, name, samples

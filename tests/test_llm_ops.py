@@ -2463,7 +2463,7 @@ class TestWaveExt:
         with pytest.raises(WaveExtError):  # truncated data chunk
             decode_wav_ext(wav[: len(wav) - 40])
         with pytest.raises(NotImplementedError, match="ffmpeg"):
-            decode_wav_ext(encode_wav_raw(2, 4, 8000, 1, raw))  # ADPCM
+            decode_wav_ext(encode_wav_raw(0x55, 0, 8000, 1, raw))  # MP3-in-WAV
 
 
 class TestImaAdpcm:
@@ -2618,3 +2618,76 @@ class TestPngMatrix:
             encode_png(4, 4, [0] * 48, channels=3, depth=4)
         with pytest.raises(PngError, match="range"):
             encode_png(4, 4, [2] * 16, channels=1, depth=1)
+
+
+class TestMsAdpcm:
+    """MS-ADPCM (round 7, wave_ext tag 0x02): 7-coefficient prediction +
+    adaptive delta with the documented 2^23-1 anti-blowup clamp, header
+    samples oldest-first, front door behind q402."""
+
+    def test_container_decode_matches_step_replay(self):
+        import struct
+
+        from rust_dataframe_spark.operators.multimodal import decode_wav
+        from rust_dataframe_spark.operators.wave_ext import (
+            MSADPCM_COEFS,
+            decode_wav_ext,
+            encode_wav_raw,
+            msadpcm_step,
+        )
+
+        d, m = 9, 55
+        pidx = d % 7
+        delta0 = 16 + (d * 13) % 1000
+        s1_0 = ((d * 131) % 30001) - 15000
+        s2_0 = ((d * 373) % 30001) - 15000
+        data = bytes((d * 11 + j * 29) % 256 for j in range(m))
+        block = bytes([pidx]) + struct.pack("<hhh", delta0, s1_0, s2_0) + data
+        wav = encode_wav_raw(2, 4, 8000, 1, block, block_align=len(block))
+        sr, ch, name, s = decode_wav_ext(wav)
+        assert (sr, ch, name) == (8000, 1, "ms_adpcm")
+        c1, c2 = MSADPCM_COEFS[pidx]
+        s1, s2, delta = s1_0, s2_0, delta0
+        exp = [s2_0, s1_0]
+        for b in data:
+            for n in (b >> 4, b & 0x0F):  # high nibble first
+                new, delta = msadpcm_step(s1, s2, delta, c1, c2, n)
+                s2, s1 = s1, new
+                exp.append(new)
+        assert s == exp
+        _, _, sw, s_front = decode_wav(wav)
+        assert sw == 2 and s_front == exp
+
+    def test_delta_clamp_keeps_state_bounded(self):
+        """All-nibble-8 (adaptation 768 = x3/step) is the worst
+        adversarial stream: without the documented 2^23-1 clamp delta
+        grows geometrically past every integer carrier; with it the
+        decoder is total and delta saturates."""
+        from rust_dataframe_spark.operators.wave_ext import msadpcm_step
+
+        s1, s2, delta = 0, 0, 32767
+        for _ in range(100):
+            new, delta = msadpcm_step(s1, s2, delta, 256, 0, 8)
+            s2, s1 = s1, new
+            assert delta <= 0x7FFFFF
+            assert -32768 <= new <= 32767
+        assert delta == 0x7FFFFF  # saturated, not wrapped
+
+    def test_bad_predictor_and_geometry_fail_loud(self):
+        import struct
+
+        import pytest
+
+        from rust_dataframe_spark.operators.wave_ext import (
+            WaveExtError,
+            decode_wav_ext,
+            encode_wav_raw,
+        )
+
+        block = bytes([7]) + struct.pack("<hhh", 16, 0, 0) + b"\x00" * 8
+        with pytest.raises(WaveExtError, match="> 6"):
+            decode_wav_ext(encode_wav_raw(2, 4, 8000, 1, block,
+                                          block_align=len(block)))
+        with pytest.raises(WaveExtError, match="block_align"):
+            decode_wav_ext(encode_wav_raw(2, 4, 8000, 1, b"\x00" * 4,
+                                          block_align=4))
