@@ -8,11 +8,11 @@ stream packed LSB-first into 255-byte sub-blocks, and animation timing
 rides in Graphic Control Extension blocks (delay in centiseconds).  This
 module implements exactly that — a real LZW decompressor (variable code
 width 3..12 bits, clear/EOI codes, dictionary growth and reset) and a
-real LZW compressor for the encoder — for the non-interlaced, full-frame
-subset.  Interlaced or partial-frame (left/top offset, sub-rectangle)
-images raise :class:`GifError`, and the multimodal layer falls back to
-its documented deterministic fake, mirroring the PNG policy
-(operators/png.py).
+real LZW compressor for the encoder — for the full-frame subset,
+interlaced (round 7: appendix-E four-pass row reorder) or sequential.
+Partial-frame images (left/top offset, sub-rectangle compositing) raise
+:class:`GifError`, and the multimodal layer falls back to its documented
+deterministic fake, mirroring the PNG policy (operators/png.py).
 
 The encoder exists so tests and catalog queries can synthesize REAL
 byte-accurate animated GIFs deterministically on executors instead of
@@ -41,7 +41,7 @@ _MAX_CODE_WIDTH = 12
 
 class GifError(ValueError):
     """Raised for malformed input or a GIF variant outside the supported
-    subset (interlaced / partial-frame) — callers fall back to the
+    subset (partial-frame compositing) — callers fall back to the
     documented fake-decode stand-in."""
 
 
@@ -188,7 +188,7 @@ def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
     frame is ``(delay_ms, rgb_bytes)`` with ``rgb_bytes`` of length
     ``width * height * 3`` (palette applied, row-major).
 
-    Supported subset: non-interlaced, full-frame images (left=top=0 and
+    Supported subset: full-frame images, interlaced or not (left=top=0 and
     frame dims equal to the logical screen), global and/or local color
     tables.  Transparency/disposal compositing is out of scope — each
     frame stands alone, which is exactly what the frame-sampling operator
@@ -247,8 +247,6 @@ def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
             raise GifError(f"unknown block 0x{block:02x}")
         left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if ipacked & 0x40:
-            raise GifError("interlaced GIF not supported")
         if left or top or w != sw or h != sh:
             raise GifError("partial-frame GIF not supported")
         table = global_table
@@ -265,6 +263,16 @@ def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
         pos += 1
         lzw, pos = read_subblocks(pos)
         idx = _lzw_decode(min_code_size, lzw, w * h)
+        if ipacked & 0x40:
+            # GIF89a appendix E interlace: rows arrive in four passes
+            # (8k, 8k+4, 4k+2, 2k+1); reorder to top-down
+            deint = bytearray(w * h)
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, h, step):
+                    deint[y * w : (y + 1) * w] = idx[src : src + w]
+                    src += w
+            idx = bytes(deint)
         ntab = len(table)
         rgb = bytearray(w * h * 3)
         for i, v in enumerate(idx):
@@ -288,10 +296,14 @@ def encode_gif(
     palette: list[tuple[int, int, int]],
     *,
     delay_ms: int = 40,
+    interlace: bool = False,
 ) -> bytes:
     """Encode palette-index frames (each ``width*height`` bytes of indices
     into ``palette``) as a real animated GIF89a with genuine LZW streams.
-    Palette is padded to the next power of two (2..256 entries)."""
+    Palette is padded to the next power of two (2..256 entries).
+    ``interlace=True`` writes rows in the four-pass appendix-E order and
+    sets the image-descriptor flag (round 7 — fixture path for the
+    decoder's deinterlacer)."""
     if not frames:
         raise GifError("need at least one frame")
     n = len(palette)
@@ -315,8 +327,16 @@ def encode_gif(
         if max(idx) >= size:
             raise GifError("index outside palette")
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+        )
         out.append(min_code)
+        if interlace:
+            rows = bytearray()
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, height, step):
+                    rows += idx[y * width : (y + 1) * width]
+            idx = bytes(rows)
         lzw = _lzw_encode(min_code, bytes(idx))
         for off in range(0, len(lzw), 255):
             chunk = lzw[off : off + 255]

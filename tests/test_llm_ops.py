@@ -165,16 +165,29 @@ class TestGifReal:
         corrupt[-10] ^= 0xFF
         with pytest.raises(GifError):
             decode_gif(bytes(corrupt))
-        # interlaced flag -> documented unsupported subset (locate the image
-        # descriptor by its full signature: 0x2C, left=top=0, w=h=4 — a bare
-        # 0x2C byte also occurs inside the color table)
+        # interlace is SUPPORTED since round 7 — relabeling a sequential
+        # stream as interlaced decodes (pixel count unchanged) but with
+        # rows four-pass-reordered; the parity law below pins the real
+        # interlaced path (locate the image descriptor by full signature:
+        # 0x2C, left=top=0, w=h=4 — a bare 0x2C also occurs in the table)
+        from rust_dataframe_spark.operators.gif import encode_gif
+
         hdr = bytearray(self._gif(w=4, h=4, nframes=1)[0])
         img = hdr.index(
             b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4), 13
         )
         hdr[img + 9] |= 0x40
-        with pytest.raises(GifError, match="interlaced"):
-            decode_gif(bytes(hdr))
+        relabeled = decode_gif(bytes(hdr))
+        assert len(relabeled[2][0][1]) == 4 * 4 * 3
+        # parity law: interlaced encode+decode == sequential encode+decode
+        pal = [(i, 2 * i, 3 * i) for i in range(64)]
+        for w, h in [(10, 6), (7, 11), (1, 1), (5, 2)]:
+            fr = [bytes((x + 2 * y + 5 * f) % 64
+                        for y in range(h) for x in range(w))
+                  for f in range(3)]
+            assert decode_gif(encode_gif(w, h, fr, pal)) == decode_gif(
+                encode_gif(w, h, fr, pal, interlace=True)
+            ), (w, h)
 
     def test_sample_frames_real_even_sampling_and_timestamps(self, spark):
         """5-frame GIF sampled at n_frames=3 -> source frames 0,1,3 with
