@@ -140,6 +140,7 @@ HEADLINE = [
     "q400_ima_adpcm",
     "q401_png_matrix",
     "q402_ms_adpcm",
+    "q403_kneser_ney",
 ]
 
 

@@ -801,3 +801,76 @@ def q402_ms_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode,
         "doc_id bigint, n_samples bigint, s_sum bigint, s_abs bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q403: Kneser-Ney smoothed LM perplexity (the real CCNet filter smoothing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q403_kneser_ney",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id < 100
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(w) - 1, 0) + 1),
+               i -> {'a': w[i], 'b': w[i + 1]})) AS g
+      FROM base
+    ),
+    g2 AS (SELECT doc_id, g.a AS a, g.b AS b FROM grams),
+    c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM g2 GROUP BY 1, 2),
+    ctx AS (SELECT a, CAST(sum(c2) AS BIGINT) AS ctx,
+                   CAST(count(*) AS BIGINT) AS n1f
+            FROM c2 GROUP BY 1),
+    bwd AS (SELECT b, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS N FROM c2),
+    scored AS (
+      SELECT g2.doc_id,
+             ln(CAST(greatest(4 * c2.c2 - 3, 0) * nt.N
+                     + 3 * ctx.n1f * bwd.n1b AS DOUBLE)
+                / CAST(4 * ctx.ctx * nt.N AS DOUBLE)) AS lp
+      FROM g2 JOIN c2 USING (a, b) JOIN ctx USING (a) JOIN bwd USING (b)
+      CROSS JOIN nt
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, avg(lp) AS alp
+      FROM scored GROUP BY 1
+    )
+    SELECT b.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           round(p.alp, 6) AS avg_logprob,
+           round(exp(-p.alp), 6) AS ppl
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q403_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED KNESER-NEY perplexity filter (operators/text.
+    kneser_ney_logprob) — the published smoothing the real CCNet/KenLM
+    quality filters use, completing the LM-scoring family: q208 unigram
+    surprisal -> q317 add-1 bigram -> KN bigram (absolute discount D=3/4
+    kept RATIONAL so the per-bigram probability numerator is exact int64
+    in both engines; ln + avg + round(6) is the one float step, the q317
+    discipline).  The backoff mass goes to the CONTINUATION distribution
+    (how many contexts a word follows), which is what separates fluent
+    text from stitched boilerplate with locally-plausible bigrams.
+    Model tables: bigram counts + two distinct-continuation aggregates
+    over the SAME persisted bigram table + a 1-row N broadcast — all
+    Heaps'-bounded, no second corpus scan.  Restricted to doc_id < 100
+    so the oracle's self-model matches exactly."""
+    from .operators.text import kneser_ney_logprob
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = kneser_ney_logprob(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("ppl", 6).alias("ppl"),
+    ).orderBy("doc_id")

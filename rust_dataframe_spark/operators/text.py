@@ -19,6 +19,7 @@ __all__ = [
     "simpson_diversity",
     "hashed_linear_score",
     "bigram_logprob",
+    "kneser_ney_logprob",
     "multinomial_nb",
     "ngram_novelty",
     "ngram_digest_index",
@@ -797,6 +798,98 @@ def bigram_logprob(
             F.col("avg_logprob"),
             F.exp(-F.col("avg_logprob")).alias("ppl"),
         )
+    )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document average log-probability under the corpus's own
+    INTERPOLATED KNESER-NEY smoothed bigram LM — the smoothing the real
+    CCNet/KenLM perplexity filters use (add-α, :func:`bigram_logprob`,
+    over-penalizes frequent-word contexts; KN discounts mass per observed
+    bigram TYPE and backs off to the continuation distribution "how many
+    contexts does w2 follow", the published fix — Kneser & Ney 1995,
+    Chen & Goodman 1999).
+
+    Model, with the standard discount D = 3/4 kept RATIONAL so both
+    engines compute the identical integer numerator::
+
+        P(b|a) = (max(c(a,b) - D, 0) + D * n1+(a,·) * n1+(·,b)/N) / c(a,·)
+               = (max(4*c2 - 3, 0) * N + 3 * n1f(a) * n1b(b))
+                 / (4 * ctx(a) * N)                       # exact int64
+
+    where ``c(a,·)`` is the left-context total, ``n1+(a,·)`` / ``n1+(·,b)``
+    the forward/backward distinct-continuation counts, and N the number of
+    distinct bigram types.  One float expression at the end (ln of the
+    int64 ratio), per-doc ``avg`` rounded by the caller — the q317
+    discipline.  Returns ``(id, n_bigrams, avg_logprob, ppl)``.
+
+    Scale: every model table is (gram, count)-keyed and Heaps'-bounded —
+    bigram counts, two distinct-continuation aggregates over the SAME
+    bigram table (no second corpus scan), N as a 1-row broadcast; scoring
+    is one equi-join of the per-doc bigram stream (AQE skew-split on
+    "of the"-class keys), identical plan shape to bigram_logprob.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = df.select(F.col(id_col), toks.alias("__w"))
+    pairs = F.slice(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("__w") - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at("__w", i).alias("a"),
+                F.element_at("__w", i + 1).alias("b"),
+            ),
+        ),
+        1,
+        F.greatest(F.size("__w") - 1, F.lit(0)),
+    )
+    grams = base.select(F.col(id_col), F.explode(pairs).alias("__g")).select(
+        F.col(id_col), F.col("__g.a").alias("a"), F.col("__g.b").alias("b")
+    )
+    from .cache import persist_tracked
+
+    c2 = persist_tracked(
+        grams.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    ctx = c2.groupBy("a").agg(
+        F.sum("c2").cast("bigint").alias("ctx"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    bwd = c2.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    ntypes = c2.agg(F.count(F.lit(1)).cast("bigint").alias("__N"))
+    scored = (
+        grams.join(c2, ["a", "b"])
+        .join(ctx, "a")
+        .join(bwd, "b")
+        .crossJoin(F.broadcast(ntypes))
+        .select(
+            F.col(id_col),
+            F.log(
+                (
+                    F.greatest(4 * F.col("c2") - 3, F.lit(0)) * F.col("__N")
+                    + 3 * F.col("n1f") * F.col("n1b")
+                ).cast("double")
+                / (4 * F.col("ctx") * F.col("__N")).cast("double")
+            ).alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("__lp").alias("avg_logprob"),
+    )
+    all_ids = df.select(F.col(id_col)).distinct()
+    return all_ids.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias(
+            "n_bigrams"
+        ),
+        F.col("avg_logprob"),
+        F.exp(-F.col("avg_logprob")).alias("ppl"),
     )
 
 

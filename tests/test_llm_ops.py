@@ -2704,3 +2704,89 @@ class TestMsAdpcm:
         with pytest.raises(WaveExtError, match="block_align"):
             decode_wav_ext(encode_wav_raw(2, 4, 8000, 1, b"\x00" * 4,
                                           block_align=4))
+
+
+class TestKneserNey:
+    """Interpolated Kneser-Ney bigram LM (round 7, q403): exact-rational
+    discount arithmetic, the normalization invariant, and degenerate
+    docs."""
+
+    def test_matches_exact_fraction_replay(self, spark):
+        import math
+        from collections import Counter
+
+        from rust_dataframe_spark.operators.text import kneser_ney_logprob
+
+        docs = [(1, "a b a b a c"), (2, "b a c a"), (3, "solo"),
+                (4, "c c c b")]
+        out = {r["doc_id"]: r for r in kneser_ney_logprob(
+            spark.createDataFrame(docs, "doc_id bigint, text string"),
+            "doc_id", "text").collect()}
+        toks = {i: t.split() for i, t in docs}
+        c2 = Counter(
+            (w[j], w[j + 1]) for w in toks.values() for j in range(len(w) - 1)
+        )
+        ctx = Counter()
+        n1f = Counter()
+        n1b = Counter()
+        for (a, b), c in c2.items():
+            ctx[a] += c
+            n1f[a] += 1
+            n1b[b] += 1
+        N = len(c2)
+        for i, w in toks.items():
+            lps = []
+            for j in range(len(w) - 1):
+                a, b = w[j], w[j + 1]
+                num = max(4 * c2[(a, b)] - 3, 0) * N + 3 * n1f[a] * n1b[b]
+                lps.append(math.log(num / (4 * ctx[a] * N)))
+            if not lps:
+                assert out[i]["n_bigrams"] == 0
+                assert out[i]["avg_logprob"] is None
+                continue
+            assert out[i]["n_bigrams"] == len(lps)
+            assert abs(out[i]["avg_logprob"] - sum(lps) / len(lps)) < 1e-12
+
+    def test_normalization_invariant_exact(self):
+        """The defining interpolated-KN property: for every context a,
+        sum over the WHOLE continuation vocabulary of P(b|a) == 1 —
+        verified in exact Fractions (discount mass D per observed type
+        exactly re-enters through the continuation distribution)."""
+        from collections import Counter
+        from fractions import Fraction
+
+        w = "a b a b a c b b a c a b c a".split()
+        c2 = Counter((w[j], w[j + 1]) for j in range(len(w) - 1))
+        ctx = Counter()
+        n1f = Counter()
+        n1b = Counter()
+        for (a, b), c in c2.items():
+            ctx[a] += c
+            n1f[a] += 1
+            n1b[b] += 1
+        N = len(c2)
+        D = Fraction(3, 4)
+        cont_vocab = set(n1b)
+        for a in ctx:
+            total = sum(
+                (Fraction(max(c2.get((a, b), 0) - D, 0))
+                 + D * n1f[a] * Fraction(n1b[b], N)) / ctx[a]
+                for b in cont_vocab
+            )
+            assert total == 1, (a, total)
+
+    def test_kn_discount_beats_add1_on_frequent_contexts(self, spark):
+        """The motivating behavior: after a frequent context word, an
+        often-seen continuation keeps more probability under KN than
+        under add-1 (which flattens toward 1/V)."""
+        from rust_dataframe_spark.operators.text import (
+            bigram_logprob,
+            kneser_ney_logprob,
+        )
+
+        text = " ".join(["the cat"] * 20 + ["the dog"] * 2
+                        + [f"w{i} x{i}" for i in range(30)])
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        kn = kneser_ney_logprob(df, "doc_id", "text").collect()[0]
+        a1 = bigram_logprob(df, "doc_id", "text").collect()[0]
+        assert kn["avg_logprob"] > a1["avg_logprob"]
