@@ -141,6 +141,7 @@ HEADLINE = [
     "q401_png_matrix",
     "q402_ms_adpcm",
     "q403_kneser_ney",
+    "q404_bradley_terry",
 ]
 
 

@@ -874,3 +874,116 @@ def q403_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_logprob", 6).alias("avg_logprob"),
         F.round("ppl", 6).alias("ppl"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q404: Bradley-Terry preference aggregation (RLHF reward-data shape)
+# ---------------------------------------------------------------------------
+
+
+def _q404_oracle() -> str:
+    """2-round unrolled MM replay: per-round CTE macro with the same
+    ordered folds (opponent-id denominator, item-id normalizer,
+    pair-key likelihood ledger) and floor(x*S+0.5) grid quantization as
+    operators/ranking.bradley_terry."""
+    S = 1 << 20
+
+    def rnd(r: int, prev: str) -> str:
+        return f"""
+    both{r} AS (SELECT pt.i, pt.j, pt.n, pt.w, a.q AS qi, b.q AS qj
+                FROM pt JOIN {prev} a ON a.item = pt.i
+                        JOIN {prev} b ON b.item = pt.j),
+    ll{r} AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(w * ln(CAST(qi AS DOUBLE) / CAST(qi + qj AS DOUBLE))
+                      + (n - w) * ln(CAST(qj AS DOUBLE) / CAST(qi + qj AS DOUBLE))
+                      ORDER BY concat(i, '#', j))), (x, y) -> x + y) AS ll
+              FROM both{r}),
+    sym{r} AS (SELECT i AS item, j AS opp,
+                      CAST(n AS DOUBLE) * {S}.0 / CAST(qi + qj AS DOUBLE) AS t
+               FROM both{r}
+               UNION ALL
+               SELECT j, i, CAST(n AS DOUBLE) * {S}.0 / CAST(qi + qj AS DOUBLE)
+               FROM both{r}),
+    dens{r} AS (SELECT item, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(t ORDER BY opp)), (x, y) -> x + y) AS D
+                FROM sym{r} GROUP BY item),
+    raw{r} AS (SELECT d.item, CAST(wins.W AS DOUBLE) / d.D AS raw
+               FROM dens{r} d JOIN wins USING (item)),
+    nrm{r} AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(raw ORDER BY item)), (x, y) -> x + y) AS nm
+               FROM raw{r}),
+    pi{r} AS (SELECT item, GREATEST(1, CAST(floor(raw / (SELECT nm FROM nrm{r})
+                 * {S} + 0.5) AS BIGINT)) AS q
+              FROM raw{r})"""
+
+    return f"""
+    WITH p0 AS (SELECT doc_id, doc_id % 20 AS a,
+                       (doc_id // 20 + doc_id + 1) % 20 AS b
+                FROM documents WHERE doc_id < 400),
+    cmp AS (SELECT a, b,
+                   CASE WHEN (doc_id * 7919 + 13) % (a + b + 2) <= a
+                        THEN a ELSE b END AS wnr
+            FROM p0 WHERE a <> b),
+    pt AS (SELECT least(a, b) AS i, greatest(a, b) AS j,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum((wnr = least(a, b))::INT) AS BIGINT) AS w
+           FROM cmp GROUP BY 1, 2),
+    wins AS (SELECT item, CAST(sum(wn) AS BIGINT) AS W FROM (
+               SELECT i AS item, w AS wn FROM pt
+               UNION ALL SELECT j, n - w FROM pt) GROUP BY 1),
+    pi0 AS (SELECT item, CAST({S} AS BIGINT) AS q FROM wins),
+    {rnd(1, 'pi0')},
+    {rnd(2, 'pi1')}
+    SELECT 1 AS round, item, q AS strength_q,
+           round((SELECT ll FROM ll1), 6) AS ll_in, 2 AS n_rounds FROM pi1
+    UNION ALL
+    SELECT 2, item, q, round((SELECT ll FROM ll2), 6), 2 FROM pi2
+    ORDER BY round, item
+    """
+
+
+@query("q404_bradley_terry", oracle=_q404_oracle())
+def q404_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference aggregation (operators/ranking.
+    bradley_terry) — the RLHF/eval step that turns pairwise preferences
+    into per-item strengths, run 2 MM rounds so the oracle can unroll:
+    Hunter's MM update with integer-grid quantization every round (the
+    q396 EM discipline — within a round every float is a ratio of int64s
+    folded in a defined order), a per-round corpus LOG-LIKELIHOOD ledger
+    (MM monotonicity, pinned in tests up to the documented quantization
+    slack), per-round lineage truncation on the item axis (plan depth
+    O(1) in rounds, kmeans-centroid collect discipline).  The fixture
+    derives 380 deterministic comparisons over 20 items from doc_id
+    alone (strength-correlated: P(a wins) ~ (a+1)/(a+b+2), BT's own
+    generative form), so the fitted strengths must recover the item
+    ordering — asserted in tests.  Scale: the comparison corpus reduces
+    FIRST to the (i, j, n, w) pair table; each round is one pair-vs-item
+    join + grouped ordered folds."""
+    from .operators.ranking import bradley_terry
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    cmp = d.select(
+        (F.col("doc_id") % 20).alias("a"),
+        ((F.col("doc_id") / 20).cast("long") + F.col("doc_id") + 1).alias("__t"),
+        F.col("doc_id"),
+    ).select(
+        "a",
+        (F.col("__t") % 20).alias("b"),
+        "doc_id",
+    ).filter(F.col("a") != F.col("b")).select(
+        F.when(
+            (F.col("doc_id") * 7919 + 13) % (F.col("a") + F.col("b") + 2)
+            <= F.col("a"),
+            F.col("a"),
+        ).otherwise(F.col("b")).alias("winner"),
+        F.when(
+            (F.col("doc_id") * 7919 + 13) % (F.col("a") + F.col("b") + 2)
+            <= F.col("a"),
+            F.col("b"),
+        ).otherwise(F.col("a")).alias("loser"),
+    )
+    out = bradley_terry(cmp, "winner", "loser", iters=2, quant_scale=1 << 20)
+    return out.select(
+        "round", "item", "strength_q", F.round("ll_in", 6).alias("ll_in"),
+        "n_rounds",
+    ).orderBy("round", "item")

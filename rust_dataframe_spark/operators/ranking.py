@@ -37,6 +37,7 @@ __all__ = [
     "bigram_lift",
     "rrf_fuse",
     "association_rules",
+    "bradley_terry",
 ]
 
 
@@ -332,3 +333,158 @@ def association_rules(
     if min_confidence > 0.0:
         out = out.filter(F.col("confidence") >= F.lit(min_confidence))
     return out
+
+
+def bradley_terry(
+    pairs: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    *,
+    iters: int = 2,
+    quant_scale: int = 1 << 20,
+) -> DataFrame:
+    """Bradley-Terry preference aggregation by Hunter's MM algorithm —
+    the RLHF/eval-pipeline step that turns pairwise human (or judge)
+    preferences into per-item strengths, with the quantized fixed-round
+    discipline of the Unigram-EM loop (q396) so a SQL oracle replays
+    every round bit-for-bit.
+
+    Model: P(i beats j) = pi_i / (pi_i + pi_j).  MM update (Hunter 2004,
+    "MM algorithms for generalized Bradley-Terry models" — monotone in
+    the likelihood):
+
+        pi_i' = W_i / sum_{j ~ i} n_ij / (pi_i + pi_j)
+
+    then normalized to sum 1 and QUANTIZED to an integer grid
+    (``floor(p * quant_scale + 0.5)``, min 1), which is what pins the
+    cross-engine float path: within a round every float is a ratio of
+    int64s folded in a DEFINED order (per-item denominator folds over
+    opponent id; the normalizer and the likelihood ledger fold over item
+    / pair id) — no reassociation anywhere.
+
+    Returns one row per (round, item): ``strength_q`` (the quantized
+    strength AFTER the round), ``ll_in`` (corpus log-likelihood of the
+    ENTERING strengths — the monotonicity ledger: non-decreasing across
+    rounds up to the documented quantization slack) and ``n_rounds``.
+
+    Contract: every item must win at least once (W_i = 0 drives pi_i to
+    0 where the model degenerates) — raises ValueError otherwise, listing
+    offenders.  Scale: the comparison stream reduces FIRST to the
+    (i, j, n, w) distinct-pair table and the item axis (both
+    Heaps-bounded: items are models/policies/documents being ranked, not
+    the corpus); each round is one join of the pair table against the
+    item axis + grouped ordered folds.  The per-round ``collect()`` is
+    item-axis-sized — the kmeans-centroid discipline — and doubles as
+    lineage truncation, so plan depth is O(1) in ``iters``.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    S = int(quant_scale)
+    canon = pairs.select(
+        F.least(F.col(winner_col), F.col(loser_col)).alias("i"),
+        F.greatest(F.col(winner_col), F.col(loser_col)).alias("j"),
+        (F.col(winner_col) == F.least(F.col(winner_col), F.col(loser_col)))
+        .cast("long")
+        .alias("__iwin"),
+    ).filter(F.col("i") != F.col("j"))
+    from .cache import persist_tracked
+
+    pair_tab = persist_tracked(
+        canon.groupBy("i", "j").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__iwin").cast("bigint").alias("w"),
+        )
+    )
+    spark = pairs.sparkSession
+    wins_rows = (
+        pair_tab.select(F.col("i").alias("item"), F.col("w").alias("wn"))
+        .unionByName(
+            pair_tab.select(
+                F.col("j").alias("item"), (F.col("n") - F.col("w")).alias("wn")
+            )
+        )
+        .groupBy("item")
+        .agg(F.sum("wn").cast("bigint").alias("W"))
+        .collect()
+    )
+    items = sorted(r["item"] for r in wins_rows)
+    wins = {r["item"]: r["W"] for r in wins_rows}
+    zero = [it for it in items if wins[it] == 0]
+    if zero:
+        raise ValueError(
+            f"bradley_terry: items with zero wins degenerate the model: "
+            f"{zero[:10]} — drop them or add pseudo-comparisons"
+        )
+    add = lambda a, b: a + b  # noqa: E731
+
+    cur = {it: S for it in items}  # uniform start on the grid
+    out_rows = []
+    for rnd in range(1, iters + 1):
+        pi = spark.createDataFrame(
+            [(it, int(q)) for it, q in sorted(cur.items())], "item bigint, q bigint"
+        )
+        both = (
+            pair_tab.join(pi.select(F.col("item").alias("i"), F.col("q").alias("qi")), "i")
+            .join(pi.select(F.col("item").alias("j"), F.col("q").alias("qj")), "j")
+        )
+        # monotonicity ledger on the ENTERING grid strengths
+        ll_in = (
+            both.select(
+                F.concat_ws("#", F.col("i"), F.col("j")).alias("k"),
+                (
+                    F.col("w")
+                    * F.log(F.col("qi").cast("double") / (F.col("qi") + F.col("qj")).cast("double"))
+                    + (F.col("n") - F.col("w"))
+                    * F.log(F.col("qj").cast("double") / (F.col("qi") + F.col("qj")).cast("double"))
+                ).alias("v"),
+            )
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "v"))),
+                        lambda s: s["v"],
+                    ),
+                    F.lit(0.0),
+                    add,
+                ).alias("ll")
+            )
+            .collect()[0]["ll"]
+        )
+        # per-item denominator: grouped ordered fold over opponent id
+        sym = both.select(
+            F.col("i").alias("item"), F.col("j").alias("opp"),
+            (F.col("n").cast("double") * F.lit(float(S)) / (F.col("qi") + F.col("qj")).cast("double")).alias("t"),
+        ).unionByName(
+            both.select(
+                F.col("j").alias("item"), F.col("i").alias("opp"),
+                (F.col("n").cast("double") * F.lit(float(S)) / (F.col("qi") + F.col("qj")).cast("double")).alias("t"),
+            )
+        )
+        dens = {
+            r["item"]: r["D"]
+            for r in sym.groupBy("item")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("opp", "t"))),
+                        lambda s: s["t"],
+                    ),
+                    F.lit(0.0),
+                    add,
+                ).alias("D")
+            )
+            .collect()
+        }
+        raw = {it: wins[it] / dens[it] for it in items}
+        norm = 0.0
+        for it in items:  # ordered fold over item id (driver-side, defined order)
+            norm += raw[it]
+        cur = {
+            it: max(1, int((raw[it] / norm) * S + 0.5)) for it in items
+        }
+        for it in items:
+            out_rows.append((rnd, it, cur[it], float(ll_in), iters))
+    return spark.createDataFrame(
+        out_rows,
+        "round int, item bigint, strength_q bigint, ll_in double, n_rounds int",
+    ).orderBy("round", "item")

@@ -1058,3 +1058,59 @@ class TestPackBinsHarmonic:
                 spark.createDataFrame([(1, 0)], "id bigint, n int"),
                 "id", "n", 64,
             ).collect()
+
+
+class TestBradleyTerry:
+    """Bradley-Terry MM aggregation (round 7, q404): exact 2-item MLE in
+    one round, likelihood monotonicity, ordering recovery, zero-win
+    contract."""
+
+    def test_two_item_mle_exact_in_one_round(self, spark):
+        from rust_dataframe_spark.operators.ranking import bradley_terry
+
+        rows = [(0, 1)] * 3 + [(1, 0)]  # A beats B 3:1
+        df = spark.createDataFrame(rows, "winner bigint, loser bigint")
+        out = {(r["round"], r["item"]): r for r in
+               bradley_terry(df, "winner", "loser", iters=2,
+                             quant_scale=1 << 20).collect()}
+        S = 1 << 20
+        # W_A/D_A = 1.5, W_B/D_B = 0.5 -> normalized (3/4, 1/4): the exact
+        # 2-item MLE lands in ONE MM round and round 2 is a fixed point
+        assert out[(1, 0)]["strength_q"] == int(0.75 * S + 0.5)
+        assert out[(1, 1)]["strength_q"] == int(0.25 * S + 0.5)
+        assert out[(2, 0)]["strength_q"] == out[(1, 0)]["strength_q"]
+        # ledger: round-2 entering likelihood (at the MLE) beats round 1's
+        # (uniform start)
+        assert out[(2, 0)]["ll_in"] > out[(1, 0)]["ll_in"]
+
+    def test_monotone_likelihood_and_ordering_recovery(self, spark):
+        from rust_dataframe_spark.operators.ranking import bradley_terry
+
+        rows = []
+        for d in range(400):
+            a, b = d % 20, (d // 20 + d + 1) % 20
+            if a == b:
+                continue
+            r = (d * 7919 + 13) % (a + b + 2)
+            rows.append((a, b) if r <= a else (b, a))
+        df = spark.createDataFrame(rows, "winner bigint, loser bigint")
+        out = bradley_terry(df, "winner", "loser", iters=3,
+                            quant_scale=1 << 20).collect()
+        lls = sorted({r["round"]: r["ll_in"] for r in out}.items())
+        for (r1, l1), (r2, l2) in zip(lls, lls[1:]):
+            assert l2 >= l1 - 1e-6, (r1, l1, r2, l2)  # MM monotone (quant slack)
+        final = {r["item"]: r["strength_q"] for r in out if r["round"] == 3}
+        top5 = sorted(final, key=final.get, reverse=True)[:5]
+        bot5 = sorted(final, key=final.get)[:5]
+        # fixture strengths rise with item index: P(a wins) ~ (a+1)/(a+b+2)
+        assert sum(top5) / 5 > sum(bot5) / 5 + 5
+
+    def test_zero_win_item_fails_loud(self, spark):
+        import pytest
+
+        from rust_dataframe_spark.operators.ranking import bradley_terry
+
+        df = spark.createDataFrame([(0, 1), (0, 2), (2, 1)],
+                                   "winner bigint, loser bigint")
+        with pytest.raises(ValueError, match="zero wins"):
+            bradley_terry(df, "winner", "loser").collect()
