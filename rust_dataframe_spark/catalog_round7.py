@@ -844,8 +844,8 @@ def q402_ms_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.doc_id,
            COALESCE(p.n_bigrams, 0) AS n_bigrams,
-           round(p.alp, 6) AS avg_logprob,
-           round(exp(-p.alp), 6) AS ppl
+           floor(p.alp * 1000000) / 1000000 AS avg_logprob,
+           floor(exp(-p.alp) * 1000000) / 1000000 AS ppl
     FROM base b LEFT JOIN per_doc p USING (doc_id)
     ORDER BY doc_id
     """,
@@ -868,11 +868,13 @@ def q403_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     out = kneser_ney_logprob(d, "doc_id", "text")
+    # floor-at-6 on both engines (round() tie-breaks differ on .xxxxxx5 —
+    # the repo convention for float-pinned outputs)
     return out.select(
         "doc_id",
         "n_bigrams",
-        F.round("avg_logprob", 6).alias("avg_logprob"),
-        F.round("ppl", 6).alias("ppl"),
+        (F.floor(F.col("avg_logprob") * 1e6) / 1e6).alias("avg_logprob"),
+        (F.floor(F.col("ppl") * 1e6) / 1e6).alias("ppl"),
     ).orderBy("doc_id")
 
 
@@ -935,9 +937,11 @@ def _q404_oracle() -> str:
     {rnd(1, 'pi0')},
     {rnd(2, 'pi1')}
     SELECT 1 AS round, item, q AS strength_q,
-           round((SELECT ll FROM ll1), 6) AS ll_in, 2 AS n_rounds FROM pi1
+           floor((SELECT ll FROM ll1) * 1000000) / 1000000 AS ll_in,
+           2 AS n_rounds FROM pi1
     UNION ALL
-    SELECT 2, item, q, round((SELECT ll FROM ll2), 6), 2 FROM pi2
+    SELECT 2, item, q, floor((SELECT ll FROM ll2) * 1000000) / 1000000, 2
+    FROM pi2
     ORDER BY round, item
     """
 
@@ -983,7 +987,9 @@ def q404_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("a")).alias("loser"),
     )
     out = bradley_terry(cmp, "winner", "loser", iters=2, quant_scale=1 << 20)
+    # floor-at-6, the repo's engine-stable float-pinning convention
     return out.select(
-        "round", "item", "strength_q", F.round("ll_in", 6).alias("ll_in"),
+        "round", "item", "strength_q",
+        (F.floor(F.col("ll_in") * 1e6) / 1e6).alias("ll_in"),
         "n_rounds",
     ).orderBy("round", "item")

@@ -15,15 +15,16 @@ via :mod:`operators.jpeg`: ``decode_image``,
 ``resize_images(fake_decode=False)``, and ``extract_dhash`` all run on
 actual pixels with no PIL.  PCM audio (RIFF/WAVE) decodes via the
 stdlib ``wave`` module plus the round-7 extended matrix in
-:mod:`operators.wave_ext` — 24/32-bit PCM, float32, and ITU G.711
-u-law/A-law telephony expansion (:func:`decode_wav`) — and VIDEO decodes for real
+:mod:`operators.wave_ext` — 24/32-bit PCM, float32 (rescaled to the
+16-bit linear carrier), ITU G.711 u-law/A-law, and both mono ADPCMs
+(IMA/DVI and MS — :func:`decode_wav`) — and VIDEO decodes for real
 on two containers: animated GIFs via the pure-stdlib LZW codec in
 :mod:`operators.gif`, and (round 7) AVI wrapping MJPEG or
 uncompressed-DIB streams via :mod:`operators.avi` — independent frame
 chunks mean ``sample_frames(fake_decode=False)`` decodes ONLY the
 sampled frames.  Formats that genuinely need
 media libraries absent from this container (arithmetic/12-bit/
-hierarchical JPEG, MP3/OGG/MS-ADPCM, MP4/WebM) keep the documented stub: raise
+hierarchical JPEG, MP3/OGG, MP4/WebM) keep the documented stub: raise
 NotImplementedError, or with ``fake=True`` a clearly-marked deterministic
 fake derives "features" from the bytes.  Everything around the decode —
 schema, batch iteration, UDF signature, partitioning — is identical on
@@ -414,54 +415,57 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     ffmpeg/soundfile needed for the overwhelmingly common container.
 
     Returns ``(sample_rate, n_channels, sample_width, samples)`` where
-    ``samples`` are SIGNED mono amplitudes at native scale (channels
-    averaged): 8/16-bit PCM via the stdlib ``wave`` module, and (round 7,
-    :mod:`operators.wave_ext`) 24/32-bit PCM, float32, and ITU G.711
-    u-law/A-law telephony WAVs plus mono IMA/DVI ADPCM blocks — companded/adaptive bytes expand to 16-bit linear
-    (``sample_width`` reported as 2).  ADPCM / MP3-in-WAV still raise
-    NotImplementedError and fall to the documented fake."""
+    ``samples`` are SIGNED INTEGER mono amplitudes (channels averaged) at
+    the scale ``2^(8*sample_width - 1)`` — the invariant every caller's
+    energy/rescale math relies on: 8/16-bit PCM via the stdlib ``wave``
+    module, and (round 7, :mod:`operators.wave_ext`) 24/32-bit PCM at
+    native scale, ITU G.711 u-law/A-law and mono IMA/DVI + MS ADPCM
+    expanded to 16-bit linear (``sample_width`` 2), and IEEE float32
+    RESCALED to the 16-bit linear carrier (``round(v * 32767)``,
+    ``sample_width`` 2) so the scale invariant holds — returning |v|<=1.0
+    floats with sw=4 would silently zero downstream energies.  Only
+    MP3/OGG-in-WAV (true DSP codecs) still raise NotImplementedError and
+    fall to the documented fake; malformed containers raise the same way
+    (fail-loud contract is NotImplementedError on both branches)."""
     import io
     import struct
     import wave
+
+    from .wave_ext import WaveExtError, decode_wav_ext
+
+    def _ext(reason: Exception | None):
+        try:
+            sr, nch, name, samples = decode_wav_ext(payload)
+        except WaveExtError as we:
+            raise NotImplementedError(
+                f"not a decodable WAV payload: {reason or we}"
+            ) from None
+        if name == "float32":
+            samples = [
+                max(-32767, min(32767, int(round(v * 32767)))) for v in samples
+            ]
+        sw = {"pcm8": 1, "pcm16": 2, "pcm24": 3, "pcm32": 4,
+              "float32": 2, "ulaw": 2, "alaw": 2, "ima_adpcm": 2,
+              "ms_adpcm": 2}[name]
+        if nch > 1:
+            samples = [
+                sum(samples[i:i + nch]) // nch
+                for i in range(0, len(samples), nch)
+            ]
+        return sr, nch, sw, samples
 
     try:
         with wave.open(io.BytesIO(bytes(payload))) as w:
             sw, nch, sr = w.getsampwidth(), w.getnchannels(), w.getframerate()
             raw = w.readframes(w.getnframes())
     except (wave.Error, EOFError) as e:
-        from .wave_ext import WaveExtError, decode_wav_ext
-
-        try:
-            sr, nch, name, samples = decode_wav_ext(payload)
-        except WaveExtError:
-            raise NotImplementedError(
-                f"not a decodable WAV payload: {e}"
-            ) from None
-        sw = {"pcm8": 1, "pcm16": 2, "pcm24": 3, "pcm32": 4,
-              "float32": 4, "ulaw": 2, "alaw": 2, "ima_adpcm": 2,
-              "ms_adpcm": 2}[name]
-        if nch > 1:
-            samples = [
-                sum(samples[i:i + nch]) // nch
-                if name != "float32"
-                else sum(samples[i:i + nch]) / nch
-                for i in range(0, len(samples), nch)
-            ]
-        return sr, nch, sw, samples
+        return _ext(e)
     if sw == 1:
         samples = [b - 128 for b in raw]
     elif sw == 2:
         samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
     else:
-        from .wave_ext import decode_wav_ext
-
-        sr, nch, _name, samples = decode_wav_ext(payload)
-        if nch > 1:
-            samples = [
-                sum(samples[i:i + nch]) // nch
-                for i in range(0, len(samples), nch)
-            ]
-        return sr, nch, sw, samples
+        return _ext(None)  # 24/32-bit: same guarded extended path
     if nch > 1:
         samples = [
             sum(samples[i : i + nch]) // nch for i in range(0, len(samples), nch)

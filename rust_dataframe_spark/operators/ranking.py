@@ -380,6 +380,7 @@ def bradley_terry(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     S = int(quant_scale)
+    item_type = dict(pairs.dtypes)[winner_col]  # items may be ids OR names
     canon = pairs.select(
         F.least(F.col(winner_col), F.col(loser_col)).alias("i"),
         F.greatest(F.col(winner_col), F.col(loser_col)).alias("j"),
@@ -421,7 +422,8 @@ def bradley_terry(
     out_rows = []
     for rnd in range(1, iters + 1):
         pi = spark.createDataFrame(
-            [(it, int(q)) for it, q in sorted(cur.items())], "item bigint, q bigint"
+            [(it, int(q)) for it, q in sorted(cur.items())],
+            f"item {item_type}, q bigint",
         )
         both = (
             pair_tab.join(pi.select(F.col("item").alias("i"), F.col("q").alias("qi")), "i")
@@ -486,5 +488,6 @@ def bradley_terry(
             out_rows.append((rnd, it, cur[it], float(ll_in), iters))
     return spark.createDataFrame(
         out_rows,
-        "round int, item bigint, strength_q bigint, ll_in double, n_rounds int",
+        f"round int, item {item_type}, strength_q bigint, ll_in double, "
+        "n_rounds int",
     ).orderBy("round", "item")

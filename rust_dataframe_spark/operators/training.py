@@ -797,11 +797,22 @@ def pack_bins_harmonic(
     base = df.withColumn(
         "class_k", F.floor(F.lit(context_len) / F.col(n_tokens_col)).cast("int")
     )
-    bad = base.agg(
-        F.sum(F.when(F.col(n_tokens_col) <= 0, 1).otherwise(0)).alias("nonpos"),
-        F.sum(F.when(F.col(n_tokens_col) > context_len, 1).otherwise(0)).alias(
-            "over"
+    # the distinct-(class, len) axis table drives BOTH the fail-loud
+    # validation and the rank arithmetic — one corpus scan, persisted
+    from .cache import persist_tracked
+
+    counts = persist_tracked(
+        base.groupBy("class_k", F.col(n_tokens_col).alias("__len")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n")
+        )
+    )
+    bad = counts.agg(
+        F.sum(F.when(F.col("__len") <= 0, F.col("__n")).otherwise(0)).alias(
+            "nonpos"
         ),
+        F.sum(
+            F.when(F.col("__len") > context_len, F.col("__n")).otherwise(0)
+        ).alias("over"),
     ).collect()[0]
     if (bad["nonpos"] or 0) > 0:
         raise ValueError(
@@ -814,11 +825,6 @@ def pack_bins_harmonic(
             f"context_len={context_len}; pass oversize='truncate' to give "
             f"each its own truncated bin"
         )
-    # exclusive count of strictly-longer docs within the class: the
-    # distinct-(class, len) axis table, windowed per class over len DESC
-    counts = base.groupBy("class_k", F.col(n_tokens_col).alias("__len")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n")
-    )
     wlen = Window.partitionBy("class_k").orderBy(F.col("__len").desc())
     longer = counts.withColumn(
         "__cum_longer",

@@ -206,14 +206,14 @@ def encode_wav_raw(
     G.711 bytes or packed PCM frames).  ``block_align`` overrides the
     per-sample default for block codecs (IMA ADPCM: header + data bytes
     per block)."""
+    from .avi import _chunk  # same even-padded RIFF chunk grammar as AVI
+
     block = block_align or channels * ((bits + 7) // 8)
     fmt = struct.pack(
         "<HHIIHH",
         fmt_tag, channels, sample_rate, sample_rate * block, block, bits,
     )
-    def chunk(ckid: bytes, p: bytes) -> bytes:
-        return ckid + struct.pack("<I", len(p)) + p + (b"\x00" if len(p) % 2 else b"")
-    body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", frames)
+    body = b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"data", frames)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

@@ -1114,3 +1114,17 @@ class TestBradleyTerry:
                                    "winner bigint, loser bigint")
         with pytest.raises(ValueError, match="zero wins"):
             bradley_terry(df, "winner", "loser").collect()
+
+
+def test_bradley_terry_string_items(spark):
+    """Items are often model NAMES, not ids — the schema must follow the
+    input column type (round-7 review finding)."""
+    from rust_dataframe_spark.operators.ranking import bradley_terry
+
+    rows = [("gpt", "llama")] * 3 + [("llama", "gpt"), ("gpt", "claude"),
+                                     ("claude", "llama")]
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = bradley_terry(df, "winner", "loser", iters=2).collect()
+    assert {r["item"] for r in out} == {"gpt", "llama", "claude"}
+    final = {r["item"]: r["strength_q"] for r in out if r["round"] == 2}
+    assert final["gpt"] > final["llama"]

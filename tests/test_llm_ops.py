@@ -2444,8 +2444,17 @@ class TestWaveExt:
         sr4, ch4, sw4, s4 = decode_wav(
             encode_wav_raw(3, 32, 44_100, 2, struct.pack("<6f", *fl))
         )
-        # stereo averaged to mono, float path
-        assert (sr4, ch4, sw4) == (44_100, 2, 4) and s4 == [0.0, 1.0, -0.5]
+        # float32 rescales to the 16-bit linear carrier (sw=2) BEFORE the
+        # stereo mono-mix, so the scale invariant 2^(8*sw-1) holds and
+        # downstream energy math (segment_audio) sees real magnitudes
+        assert (sr4, ch4, sw4) == (44_100, 2, 2)
+        assert s4 == [0, 32767, -16384]
+        # raw low-level API still returns native floats
+        from rust_dataframe_spark.operators.wave_ext import decode_wav_ext
+
+        assert decode_wav_ext(
+            encode_wav_raw(3, 32, 8000, 1, struct.pack("<2f", 0.25, -1.0))
+        )[3] == [0.25, -1.0]
 
     def test_extensible_subformat_and_gates(self):
         import struct
