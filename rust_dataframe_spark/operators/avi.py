@@ -118,15 +118,21 @@ def encode_avi(
         len(stored), 0, 1, max_bytes,  # total, initial, streams, sugg buf
         width, height, 0, 0, 0, 0,
     )
+    # full 56-byte AVISTREAMHEADER (ADVICE r7: the old 52-byte payload left
+    # a stray trailing dword where external parsers expect rcFrame by
+    # offset): fccType fccHandler dwFlags wPriority wLanguage
+    # dwInitialFrames dwScale dwRate dwStart dwLength
+    # dwSuggestedBufferSize dwQuality dwSampleSize rcFrame{4 shorts}
     strh = (
         b"vids"
         + (compression if compression == b"MJPG" else b"DIB ")
         + struct.pack(
-            "<IHHIIIIIIIII",
+            "<IHHIIIIIIII",
             0, 0, 0, 0,              # flags, prio, lang, initial
             usec_per_frame, 1_000_000,  # scale, rate -> fps = rate/scale
-            0, len(stored), max_bytes, 0xFFFFFFFF, 0, 0,
+            0, len(stored), max_bytes, 0xFFFFFFFF, 0,
         )
+        + struct.pack("<4h", 0, 0, width, height)  # rcFrame
     )
     strf = struct.pack(
         "<IiiHHIIiiII",
@@ -227,7 +233,12 @@ def decode_avi(data: bytes):
                     else b"00"
                 cnt = 0
                 for off in range(0, sz - sz % 16, 16):
-                    if data[ps + off:ps + off + 2] == want:
+                    ent = data[ps + off:ps + off + 4]
+                    # count only FRAME entries for the video stream: a
+                    # valid container may also index non-frame chunk kinds
+                    # (e.g. '00pc' palette changes) for the same stream
+                    # number — those are not movi video frames (ADVICE r7)
+                    if ent[:2] == want and ent[2:4] in (b"dc", b"db"):
                         cnt += 1
                 idx_count = cnt
             elif in_movi and len(ckid) == 4 and ckid[2:4] in (b"dc", b"db"):

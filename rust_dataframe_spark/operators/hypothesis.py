@@ -259,14 +259,24 @@ def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 DECIMAL_ROWS_ENV = "SPARK_GRAFT_RANK_DECIMAL_ROWS"
 DEFAULT_DECIMAL_ROWS = 1_000_000
 
-_PROMOTE_COUNT_CACHE: dict[str, bool] = {}
+#: Bounded plan->rowcount cache for the promotion decision (ADVICE r7:
+#: the prior bool cache was unbounded AND could pin a stale "small" verdict
+#: after the underlying table grew).  We cache the COUNT, evict LRU past
+#: _PROMOTE_CACHE_MAX, and — the advisor's rule — refuse to trust a cached
+#: count that sits within one order of magnitude of the gate: a table that
+#: close to the boundary may have grown past it since, so we re-count.
+#: A cached count far below gate/10 would need a >10x append to matter;
+#: a cached count above the gate only ever re-confirms promotion (which is
+#: exactness-safe in both directions), so those hits are kept.
+_PROMOTE_COUNT_CACHE: "dict[str, int]" = {}
+_PROMOTE_CACHE_MAX = 128
 
 
 def _decimal_promote(df: DataFrame, override: bool | None) -> bool:
     """Auto decision for the decimal-sum promotion: explicit override wins;
-    otherwise one row-count job (cached per logical plan within the
-    session — the scale.py count-cache discipline) against the
-    ``SPARK_GRAFT_RANK_DECIMAL_ROWS`` gate."""
+    otherwise one row-count job (count cached per logical plan, bounded
+    LRU, boundary-zone hits re-counted — see _PROMOTE_COUNT_CACHE)
+    against the ``SPARK_GRAFT_RANK_DECIMAL_ROWS`` gate."""
     if override is not None:
         return bool(override)
     import hashlib
@@ -276,24 +286,61 @@ def _decimal_promote(df: DataFrame, override: bool | None) -> bool:
     try:
         key = hashlib.md5(
             df._jdf.queryExecution().logical().toString().encode()
-        ).hexdigest() + f"@{gate}"
+        ).hexdigest()
     except Exception:
         key = None
     if key is not None and key in _PROMOTE_COUNT_CACHE:
-        return _PROMOTE_COUNT_CACHE[key]
-    result = df.count() > gate
+        cached = _PROMOTE_COUNT_CACHE.pop(key)
+        # trust the hit only outside the boundary zone [gate/10, gate]
+        if cached > gate or cached * 10 <= gate:
+            _PROMOTE_COUNT_CACHE[key] = cached  # re-insert = LRU touch
+            _evict_promote_cache()
+            return cached > gate
+    n = df.count()
     if key is not None:
-        _PROMOTE_COUNT_CACHE[key] = result
-    return result
+        _PROMOTE_COUNT_CACHE[key] = n
+        _evict_promote_cache()
+    return n > gate
+
+
+def _evict_promote_cache() -> None:
+    while len(_PROMOTE_COUNT_CACHE) > _PROMOTE_CACHE_MAX:
+        _PROMOTE_COUNT_CACHE.pop(next(iter(_PROMOTE_COUNT_CACHE)))
 
 
 def _exact_sum(col, promoted: bool):
-    """Order-independent EXACT sum of an integer column: bigint below the
-    promotion gate, decimal(38,0) above (still exact, still order-free —
-    the int64 ceiling moves to 10^38)."""
+    """Order-independent EXACT sum of a single integer column: bigint below
+    the promotion gate, decimal(38,0) above (still exact, still order-free —
+    the int64 ceiling moves to 10^38).  For sums of PRODUCTS use
+    :func:`_exact_sum_prod` — casting after a bigint multiply overflows
+    int64 before the decimal cast can help (ADVICE r7)."""
     if promoted:
         return F.sum(col.cast("decimal(38,0)"))
     return F.sum(col).cast("bigint")
+
+
+def _exact_sum_prod(factors, promoted: bool, subtract=None):
+    """Order-independent EXACT ``sum(f1*f2*...*fk [- subtract])`` of integer
+    factor columns.  When promoted, EACH FACTOR is cast to decimal(38,0)
+    BEFORE the multiply (ADVICE r7 medium: the old call sites built the
+    product in bigint first, so e.g. the Mann-Whitney tie term cnt^3
+    overflows int64 for any tie group > 2^21 rows — wrapping silently in
+    non-ANSI mode, throwing in ANSI — exactly in the regime the >1e6-row
+    promotion gate targets).  Spark caps decimal multiply at
+    decimal(38,0), so the promoted ceiling is genuinely 10^38."""
+    if promoted:
+        prod = factors[0].cast("decimal(38,0)")
+        for f in factors[1:]:
+            prod = prod * f.cast("decimal(38,0)")
+        if subtract is not None:
+            prod = prod - subtract.cast("decimal(38,0)")
+        return F.sum(prod)
+    prod = factors[0]
+    for f in factors[1:]:
+        prod = prod * f
+    if subtract is not None:
+        prod = prod - subtract
+    return F.sum(prod).cast("bigint")
 
 
 def mann_whitney_u(
@@ -352,10 +399,11 @@ def mann_whitney_u(
     s = ranked.agg(
         F.sum("cnt").cast("bigint").alias("n"),
         F.sum("cnt1").cast("bigint").alias("n1"),
-        _exact_sum(F.col("cnt1") * F.col("r2"), promoted).alias("r2_1"),
-        _exact_sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"),
+        _exact_sum_prod([F.col("cnt1"), F.col("r2")], promoted).alias("r2_1"),
+        _exact_sum_prod(
+            [F.col("cnt"), F.col("cnt"), F.col("cnt")],
             promoted,
+            subtract=F.col("cnt"),
         ).alias("tie_i"),
     ).select(
         "n",
@@ -435,7 +483,9 @@ def kruskal_wallis(
         .groupBy("grp")
         .agg(
             F.sum("cnt_gv").cast("bigint").alias("n_g"),
-            _exact_sum(F.col("cnt_gv") * F.col("r2"), promoted).alias("__r2g"),
+            _exact_sum_prod(
+                [F.col("cnt_gv"), F.col("r2")], promoted
+            ).alias("__r2g"),
         )
         .select("grp", "n_g", F.col("__r2g").cast("double").alias("r2_gd"))
     )
@@ -642,9 +692,9 @@ def spearman_rho(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         _exact_sum(F.col("__rx"), promoted).alias("sx"),
         _exact_sum(F.col("__ry"), promoted).alias("sy"),
-        _exact_sum(F.col("__rx") * F.col("__rx"), promoted).alias("sxx"),
-        _exact_sum(F.col("__ry") * F.col("__ry"), promoted).alias("syy"),
-        _exact_sum(F.col("__rx") * F.col("__ry"), promoted).alias("sxy"),
+        _exact_sum_prod([F.col("__rx"), F.col("__rx")], promoted).alias("sxx"),
+        _exact_sum_prod([F.col("__ry"), F.col("__ry")], promoted).alias("syy"),
+        _exact_sum_prod([F.col("__rx"), F.col("__ry")], promoted).alias("sxy"),
     )
     n = F.col("n").cast("double")
     rho = (

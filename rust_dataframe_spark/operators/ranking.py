@@ -335,6 +335,15 @@ def association_rules(
     return out
 
 
+#: Fail-loud budget on the item axis bradley_terry collects per round
+#: (VERDICT r7 #5 — the dbscan max_candidate_pairs discipline applied to
+#: driver-side collects): the axis is models/policies being ranked, so
+#: 1e6 is generous; a corpus-sized axis means the caller pointed the
+#: operator at document ids and must hear about it before the driver OOMs.
+BT_MAX_ITEMS_ENV = "SPARK_GRAFT_BT_MAX_ITEMS"
+BT_DEFAULT_MAX_ITEMS = 1_000_000
+
+
 def bradley_terry(
     pairs: DataFrame,
     winner_col: str,
@@ -369,17 +378,35 @@ def bradley_terry(
 
     Contract: every item must win at least once (W_i = 0 drives pi_i to
     0 where the model degenerates) — raises ValueError otherwise, listing
-    offenders.  Scale: the comparison stream reduces FIRST to the
-    (i, j, n, w) distinct-pair table and the item axis (both
-    Heaps-bounded: items are models/policies/documents being ranked, not
-    the corpus); each round is one join of the pair table against the
-    item axis + grouped ordered folds.  The per-round ``collect()`` is
-    item-axis-sized — the kmeans-centroid discipline — and doubles as
-    lineage truncation, so plan depth is O(1) in ``iters``.
+    offenders.  NULL winners/losers also raise (ADVICE r7: they would
+    otherwise vanish silently through the i != j filter, letting an item
+    that appears only in NULL-partner rows bypass the zero-wins check).
+    Scale: the comparison stream reduces FIRST to the (i, j, n, w)
+    distinct-pair table and the item axis (both Heaps-bounded: items are
+    models/policies being ranked, not the corpus); each round is one join
+    of the pair table against the item axis + grouped ordered folds.  The
+    per-round ``collect()`` is item-axis-sized — the kmeans-centroid
+    discipline — and FAIL-LOUD BUDGETED (VERDICT r7 #5, the dbscan
+    ``max_candidate_pairs`` discipline): the item axis is counted before
+    round 1 and anything above ``SPARK_GRAFT_BT_MAX_ITEMS`` (default 1e6)
+    raises instead of OOMing the driver silently-late — a user pointing
+    ``winner_col`` at document ids gets a contract violation, not a hang.
+    Plan depth is O(1) in ``iters`` (per-round lineage truncation).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     S = int(quant_scale)
+    nulls = pairs.agg(
+        F.sum(F.col(winner_col).isNull().cast("bigint")).alias("nw"),
+        F.sum(F.col(loser_col).isNull().cast("bigint")).alias("nl"),
+    ).collect()[0]
+    if (nulls["nw"] or 0) > 0 or (nulls["nl"] or 0) > 0:
+        raise ValueError(
+            f"bradley_terry: NULL items in the pair stream "
+            f"({nulls['nw']} NULL {winner_col}, {nulls['nl']} NULL "
+            f"{loser_col}) — a comparison with an unknown side carries no "
+            f"preference information; filter them explicitly upstream"
+        )
     item_type = dict(pairs.dtypes)[winner_col]  # items may be ids OR names
     canon = pairs.select(
         F.least(F.col(winner_col), F.col(loser_col)).alias("i"),
@@ -397,7 +424,7 @@ def bradley_terry(
         )
     )
     spark = pairs.sparkSession
-    wins_rows = (
+    wins_df = (
         pair_tab.select(F.col("i").alias("item"), F.col("w").alias("wn"))
         .unionByName(
             pair_tab.select(
@@ -406,8 +433,22 @@ def bradley_terry(
         )
         .groupBy("item")
         .agg(F.sum("wn").cast("bigint").alias("W"))
-        .collect()
     )
+    import os
+
+    axis_budget = int(
+        os.environ.get(BT_MAX_ITEMS_ENV, BT_DEFAULT_MAX_ITEMS)
+    )
+    n_items = wins_df.count()
+    if n_items > axis_budget:
+        raise ValueError(
+            f"bradley_terry: item axis has {n_items} distinct items, over "
+            f"the {axis_budget} driver-collect budget "
+            f"({BT_MAX_ITEMS_ENV}) — the per-round collect is sized by the "
+            f"entities being RANKED (models/policies), not the corpus; "
+            f"a corpus-sized axis would OOM the driver"
+        )
+    wins_rows = wins_df.collect()
     items = sorted(r["item"] for r in wins_rows)
     wins = {r["item"]: r["W"] for r in wins_rows}
     zero = [it for it in items if wins[it] == 0]

@@ -1115,6 +1115,38 @@ class TestBradleyTerry:
         with pytest.raises(ValueError, match="zero wins"):
             bradley_terry(df, "winner", "loser").collect()
 
+    def test_null_items_fail_loud(self, spark):
+        """ADVICE r7: NULL winners/losers must raise, not vanish through
+        the i != j filter (an item seen only in NULL-partner rows would
+        otherwise bypass the zero-wins contract)."""
+        import pytest
+
+        from rust_dataframe_spark.operators.ranking import bradley_terry
+
+        df = spark.createDataFrame(
+            [(0, 1), (1, 0), (None, 0), (1, None)],
+            "winner bigint, loser bigint",
+        )
+        with pytest.raises(ValueError, match="NULL items"):
+            bradley_terry(df, "winner", "loser")
+
+    def test_item_axis_budget_fails_loud(self, spark, monkeypatch):
+        """VERDICT r7 #5: the per-round driver collect is item-axis-sized;
+        an axis over SPARK_GRAFT_BT_MAX_ITEMS raises (the dbscan
+        fail-loud budget discipline) instead of OOMing the driver."""
+        import pytest
+
+        from rust_dataframe_spark.operators import ranking as rk
+
+        monkeypatch.setenv(rk.BT_MAX_ITEMS_ENV, "3")
+        # ring of 5 items: everyone wins once -> passes the zero-win check
+        rows = [(i, (i + 1) % 5) for i in range(5)]
+        df = spark.createDataFrame(rows, "winner bigint, loser bigint")
+        with pytest.raises(ValueError, match="driver-collect budget"):
+            rk.bradley_terry(df, "winner", "loser")
+        monkeypatch.setenv(rk.BT_MAX_ITEMS_ENV, "5")
+        assert rk.bradley_terry(df, "winner", "loser", iters=1).count() == 5
+
 
 def test_bradley_terry_string_items(spark):
     """Items are often model NAMES, not ids — the schema must follow the

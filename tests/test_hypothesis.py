@@ -716,3 +716,94 @@ class TestDecimalPromotion:
         want = hy.spearman_rho(df, "value", "y", decimal_sums=False).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
         hy._PROMOTE_COUNT_CACHE.clear()
+
+    def test_promoted_tie_term_survives_int64_overflow(self, spark):
+        """ADVICE r7 (medium): the tie term cnt^3 must be built as a
+        decimal product, not a bigint product later cast — a tie group of
+        2.2M rows makes cnt^3 ~ 1.06e19 > int64 max, so the old
+        cast-after-multiply path wraps (non-ANSI) or throws (ANSI).  The
+        fixed path must complete AND match the Python-exact statistic."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.operators.hypothesis import mann_whitney_u
+
+        BIG = 2_200_000  # > 2^21 = 2,097,152 -> cnt^3 overflows int64
+        N = BIG + 200
+        df = (
+            spark.range(N)
+            .select(
+                (F.col("id") % 2).alias("arm_raw"),
+                F.when(F.col("id") < BIG, 0.0)
+                .when(F.col("id") < BIG + 100, 1.0)
+                .otherwise(2.0)
+                .alias("value"),
+                F.col("id"),
+            )
+            .select(F.col("id").alias("user_id"), "value")
+        )
+        got = mann_whitney_u(df, "user_id", "value", decimal_sums=True).collect()
+        assert len(got) == 1
+        row = got[0]
+
+        # Python-exact replay of the engine's formulas (int arithmetic)
+        groups = []  # (v, cnt, cnt1) in value order; arm = id % 2 == 1
+        for lo, hi, v in ((0, BIG, 0.0), (BIG, BIG + 100, 1.0), (BIG + 100, N, 2.0)):
+            cnt = hi - lo
+            cnt1 = hi // 2 - lo // 2  # count of odd ids in [lo, hi)
+            groups.append((v, cnt, cnt1))
+        below = 0
+        r2_1 = 0
+        tie = 0
+        n = n1 = 0
+        for v, cnt, cnt1 in groups:
+            r2 = 2 * below + cnt + 1
+            r2_1 += cnt1 * r2
+            tie += cnt * cnt * cnt - cnt
+            below += cnt
+            n += cnt
+            n1 += cnt1
+        n0 = n - n1
+        r1 = r2_1 / 2.0
+        u1 = r1 - n1 * (n1 + 1) / 2.0
+        mu = n0 * n1 / 2.0
+        var = n0 * n1 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+        z = (u1 - mu) / math.sqrt(var)
+        assert row["n0"] == n0 and row["n1"] == n1
+        assert row["u1"] == u1
+        assert row["z_score"] == math.floor(z * 1e6) / 1e6
+
+    def test_promote_cache_is_bounded_and_recounts_boundary_zone(
+        self, spark, monkeypatch
+    ):
+        """ADVICE r7 (low): the plan->count cache is LRU-bounded and a hit
+        whose cached count sits within 10x of the gate is NOT trusted (the
+        table may have grown past the gate since) — it re-counts."""
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.operators import hypothesis as hy
+
+        monkeypatch.setenv(hy.DECIMAL_ROWS_ENV, "1000")
+        hy._PROMOTE_COUNT_CACHE.clear()
+        df = spark.range(50).select(F.col("id").alias("x"))
+        assert hy._decimal_promote(df, None) is False
+        assert list(hy._PROMOTE_COUNT_CACHE.values()) == [50]
+        key = next(iter(hy._PROMOTE_COUNT_CACHE))
+        # far-zone hit (50*10 <= 1000): trusted, no recount
+        hy._PROMOTE_COUNT_CACHE[key] = 3
+        assert hy._decimal_promote(df, None) is False
+        assert hy._PROMOTE_COUNT_CACHE[key] == 3  # untouched -> cache hit
+        # boundary-zone poison (200 in (gate/10, gate]): must re-count
+        hy._PROMOTE_COUNT_CACHE[key] = 200
+        assert hy._decimal_promote(df, None) is False
+        assert hy._PROMOTE_COUNT_CACHE[key] == 50  # replaced by a fresh count
+        # above-gate hit: trusted (promotion is exactness-safe)
+        hy._PROMOTE_COUNT_CACHE[key] = 10_000
+        assert hy._decimal_promote(df, None) is True
+        # eviction bound
+        for i in range(150):
+            hy._PROMOTE_COUNT_CACHE[f"fake{i}"] = 1
+        hy._decimal_promote(df, None)
+        assert len(hy._PROMOTE_COUNT_CACHE) <= hy._PROMOTE_CACHE_MAX
+        hy._PROMOTE_COUNT_CACHE.clear()

@@ -2369,6 +2369,41 @@ class TestAviReal:
         with pytest.raises(NotImplementedError, match="pyav/ffmpeg"):
             decode_avi(bytes(bad2))
 
+    def test_idx1_tolerates_nonframe_entries_for_video_stream(self):
+        """ADVICE r7: a valid container may index non-frame chunk kinds
+        (e.g. '00pc' palette change) for the video stream — those must not
+        count toward the frame total and trip the desync check."""
+        import struct
+
+        from rust_dataframe_spark.operators.avi import decode_avi
+
+        avi, planes = self._mjpeg_avi()
+        # splice one '00pc' entry into idx1 (16-byte entries); grow sizes
+        i = avi.rfind(b"idx1")
+        old_sz = struct.unpack_from("<I", avi, i + 4)[0]
+        entry = b"00pc" + struct.pack("<III", 0, 4, 0)
+        patched = bytearray(
+            avi[: i + 8] + entry + avi[i + 8 :]
+        )
+        struct.pack_into("<I", patched, i + 4, old_sz + 16)
+        struct.pack_into(
+            "<I", patched, 4, struct.unpack_from("<I", patched, 4)[0] + 16
+        )
+        w, h, usec, comp, raw = decode_avi(bytes(patched))
+        assert len(raw) == len(planes)
+
+    def test_strh_is_full_56_byte_avistreamheader(self):
+        """ADVICE r7: emit the canonical 56-byte AVISTREAMHEADER (with
+        rcFrame), not a 52-byte payload with a stray trailing dword."""
+        import struct
+
+        avi, _ = self._mjpeg_avi(w=16, h=8)
+        i = avi.find(b"strh")
+        sz = struct.unpack_from("<I", avi, i + 4)[0]
+        assert sz == 56
+        # rcFrame = (0, 0, width, height) at offset 48 of the payload
+        assert struct.unpack_from("<4h", avi, i + 8 + 48) == (0, 0, 16, 8)
+
     def test_sample_frames_real_path_decodes_only_sampled(self, spark):
         """sample_frames over an AVI payload: correct even sampling,
         container timing, and the O(sampled) property — a frame NOT
