@@ -160,3 +160,270 @@ def q405_gif_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_ts_ms",
         byte_sum("frame").alias("px_sum"),
     ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# q406: STEREO IMA ADPCM — channel-axis recursive-CTE state-machine oracle
+# ---------------------------------------------------------------------------
+
+
+def _q406_oracle() -> str:
+    """q400's recursive-CTE replay of ima_adpcm_step, extended with a
+    CHANNEL AXIS (VERDICT r7 #2): the walk is keyed (doc_id, channel),
+    each channel carrying its own (predictor, index) state seeded from
+    the per-channel block header, and the nibble stream is analytic in
+    (doc_id, channel, step) — exactly the bytes the Spark fixture packs
+    into the 4-byte-word channel interleave."""
+    from .operators.wave_ext import IMA_STEP_TABLE
+
+    steps = ", ".join(f"({i}, {s})" for i, s in enumerate(IMA_STEP_TABLE))
+    nib = (
+        "(CASE WHEN w.s % 2 = 0 "
+        "THEN ((b.doc_id * 11 + 29 * b.c + (w.s // 2) * 17) % 256) % 16 "
+        "ELSE ((b.doc_id * 11 + 29 * b.c + (w.s // 2) * 17) % 256) // 16 END)"
+    )
+    return f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+    b AS (SELECT doc_id, unnest(range(0, 2)) AS c FROM d),
+    base AS (SELECT doc_id, c, 16 + 8 * (doc_id % 3) AS m,
+                    ((doc_id * 997 + 501 * c) % 4001) - 2000 AS p0,
+                    (doc_id + 37 * c) % 89 AS i0
+             FROM b),
+    st(i, step) AS (SELECT * FROM (VALUES {steps})),
+    walk(doc_id, c, s, pred, idx) AS (
+      SELECT doc_id, c, 0, p0, i0 FROM base
+      UNION ALL
+      SELECT doc_id, c, s + 1,
+             GREATEST(-32768, LEAST(32767,
+               CASE WHEN nib >= 8 THEN pred - diff
+                    ELSE pred + diff END)),
+             GREATEST(0, LEAST(88, idx +
+               CASE WHEN nib % 8 < 4 THEN -1
+                    ELSE 2 * (nib % 8 - 3) END))
+      FROM (
+        SELECT w.doc_id, b.c, w.s, w.pred, w.idx,
+               {nib} AS nib,
+               st.step // 8
+                 + CASE WHEN {nib} % 8 >= 4 THEN st.step ELSE 0 END
+                 + CASE WHEN {nib} % 4 >= 2 THEN st.step // 2 ELSE 0 END
+                 + CASE WHEN {nib} % 2 = 1 THEN st.step // 4 ELSE 0 END
+                 AS diff
+        FROM walk w
+        JOIN base b ON b.doc_id = w.doc_id AND b.c = w.c
+        JOIN st ON st.i = w.idx
+        WHERE w.s < 2 * b.m
+      )
+    )
+    SELECT doc_id, CAST(c AS INT) AS channel,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(pred) AS BIGINT) AS s_sum,
+           CAST(sum(abs(pred)) AS BIGINT) AS s_abs
+    FROM walk GROUP BY doc_id, c ORDER BY doc_id, channel
+    """
+
+
+@query("q406_stereo_ima_adpcm", oracle=_q406_oracle())
+def q406_stereo_ima_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO IMA ADPCM decode (VERDICT r7 #2 — closes the multichannel
+    WAV gate): each doc synthesizes a genuine 2-channel IMA/DVI ADPCM
+    block — per-channel 4-byte headers with analytic initial
+    predictor/step-index, then data bytes interleaved as 4-byte words
+    per channel (the Microsoft/IMA multichannel layout) — and
+    ``decode_wav_ext`` runs TWO independent table-driven state machines,
+    re-interleaving by sample time.  The query de-interleaves the output
+    back to per-channel streams and reports per-(doc, channel) sums, so
+    the oracle's channel-axis recursive CTE pins BOTH the per-channel
+    state machines and the word-interleave demux exactly (a swapped or
+    desynced channel flips s_sum between channels).  Decode is
+    Arrow-batched mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 24
+    )
+
+    def synth_decode(batches):
+        import struct as st
+
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.wave_ext import (
+            decode_wav_ext,
+            encode_wav_raw,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "channel": [], "n_samples": [],
+                    "s_sum": [], "s_abs": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = 16 + 8 * (d % 3)
+                chan_bytes = [
+                    bytes((d * 11 + 29 * c + 17 * j) % 256 for j in range(m))
+                    for c in range(2)
+                ]
+                hdr = b"".join(
+                    st.pack(
+                        "<hBB",
+                        ((d * 997 + 501 * c) % 4001) - 2000,
+                        (d + 37 * c) % 89,
+                        0,
+                    )
+                    for c in range(2)
+                )
+                body = bytearray()
+                for w in range(m // 4):
+                    for c in range(2):
+                        body += chan_bytes[c][4 * w:4 * w + 4]
+                block = hdr + bytes(body)
+                _sr, _ch, _name, s = decode_wav_ext(
+                    encode_wav_raw(0x11, 4, 8000, 2, block,
+                                   block_align=len(block))
+                )
+                for c in range(2):
+                    sc = s[c::2]
+                    rows["doc_id"].append(d)
+                    rows["channel"].append(c)
+                    rows["n_samples"].append(len(sc))
+                    rows["s_sum"].append(sum(sc))
+                    rows["s_abs"].append(sum(abs(x) for x in sc))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, channel int, n_samples bigint, s_sum bigint, "
+        "s_abs bigint",
+    ).orderBy("doc_id", "channel")
+
+
+# ---------------------------------------------------------------------------
+# q407: STEREO MS-ADPCM — channel-axis 3-variable recursive-CTE oracle
+# ---------------------------------------------------------------------------
+
+
+def _q407_oracle() -> str:
+    """q402's recursive-CTE replay of msadpcm_step with a CHANNEL AXIS:
+    nibbles rotate across channels (high nibble of byte t -> channel 0's
+    t-th step, low nibble -> channel 1's), each channel carrying its own
+    (s1, s2, delta) state seeded from the per-channel header fields.
+    floor(x/256.0) stands in for C's arithmetic shift as in q402."""
+    from .operators.wave_ext import MSADPCM_ADAPT, MSADPCM_COEFS
+
+    coefs = ", ".join(
+        f"({i}, {c1}, {c2})" for i, (c1, c2) in enumerate(MSADPCM_COEFS)
+    )
+    adapt = ", ".join(f"({n}, {a})" for n, a in enumerate(MSADPCM_ADAPT))
+    nib = (
+        "(CASE WHEN b.c = 0 "
+        "THEN ((b.doc_id * 11 + w.s * 29) % 256) // 16 "
+        "ELSE ((b.doc_id * 11 + w.s * 29) % 256) % 16 END)"
+    )
+    return f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+    b0 AS (SELECT doc_id, unnest(range(0, 2)) AS c FROM d),
+    base AS (SELECT doc_id, c, 40 + doc_id % 16 AS m,
+                    (doc_id + 3 * c) % 7 AS pidx,
+                    16 + (doc_id * 13 + 7 * c) % 1000 AS delta0,
+                    ((doc_id * 131 + 17 * c) % 30001) - 15000 AS s1_0,
+                    ((doc_id * 373 + 41 * c) % 30001) - 15000 AS s2_0
+             FROM b0),
+    co(i, c1, c2) AS (SELECT * FROM (VALUES {coefs})),
+    ad(n, a) AS (SELECT * FROM (VALUES {adapt})),
+    walk(doc_id, c, s, s1, s2, delta) AS (
+      SELECT doc_id, c, 0, s1_0, s2_0, delta0 FROM base
+      UNION ALL
+      SELECT doc_id, c, s + 1,
+             GREATEST(-32768, LEAST(32767,
+               CAST(floor((s1 * c1 + s2 * c2) / 256.0) AS BIGINT)
+               + (CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END) * delta)),
+             s1,
+             GREATEST(16, LEAST(8388607, (a * delta) // 256))
+      FROM (
+        SELECT w.doc_id, b.c, w.s, w.s1, w.s2, w.delta,
+               co.c1, co.c2, {nib} AS nib, ad.a
+        FROM walk w
+        JOIN base b ON b.doc_id = w.doc_id AND b.c = w.c
+        JOIN co ON co.i = b.pidx
+        JOIN ad ON ad.n = {nib}
+        WHERE w.s < b.m
+      )
+    ),
+    emitted AS (
+      SELECT doc_id, c, s2_0 AS v FROM base
+      UNION ALL
+      SELECT doc_id, c, s1_0 FROM base
+      UNION ALL
+      SELECT doc_id, c, s1 FROM walk WHERE s >= 1
+    )
+    SELECT doc_id, CAST(c AS INT) AS channel,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS s_sum,
+           CAST(sum(abs(v)) AS BIGINT) AS s_abs
+    FROM emitted GROUP BY doc_id, c ORDER BY doc_id, channel
+    """
+
+
+@query("q407_stereo_ms_adpcm", oracle=_q407_oracle())
+def q407_stereo_ms_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO MS-ADPCM decode (VERDICT r7 #2): each doc synthesizes a
+    2-channel MS-ADPCM block — per-channel header fields in the
+    Microsoft WAVE_FORMAT_ADPCM channel-major order (predictor indices,
+    deltas, sample1s, sample2s), then analytic data bytes whose nibbles
+    ROTATE across channels (high nibble -> channel 0, low -> channel 1)
+    — and ``decode_wav_ext`` runs two independent 3-variable (s1, s2,
+    delta) machines.  Per-(doc, channel) sums pin both machines and the
+    nibble rotation against the oracle's channel-axis recursive CTE.
+    Decode is Arrow-batched mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 24
+    )
+
+    def synth_decode(batches):
+        import struct as st
+
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.wave_ext import (
+            decode_wav_ext,
+            encode_wav_raw,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "channel": [], "n_samples": [],
+                    "s_sum": [], "s_abs": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = 40 + d % 16
+                hdr = (
+                    bytes([(d + 3 * c) % 7 for c in range(2)])
+                    + st.pack("<hh", *[
+                        16 + (d * 13 + 7 * c) % 1000 for c in range(2)
+                    ])
+                    + st.pack("<hh", *[
+                        ((d * 131 + 17 * c) % 30001) - 15000 for c in range(2)
+                    ])
+                    + st.pack("<hh", *[
+                        ((d * 373 + 41 * c) % 30001) - 15000 for c in range(2)
+                    ])
+                )
+                block = hdr + bytes(
+                    (d * 11 + j * 29) % 256 for j in range(m)
+                )
+                _sr, _ch, _name, s = decode_wav_ext(
+                    encode_wav_raw(0x02, 4, 8000, 2, block,
+                                   block_align=len(block))
+                )
+                for c in range(2):
+                    sc = s[c::2]
+                    rows["doc_id"].append(d)
+                    rows["channel"].append(c)
+                    rows["n_samples"].append(len(sc))
+                    rows["s_sum"].append(sum(sc))
+                    rows["s_abs"].append(sum(abs(x) for x in sc))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, channel int, n_samples bigint, s_sum bigint, "
+        "s_abs bigint",
+    ).orderBy("doc_id", "channel")

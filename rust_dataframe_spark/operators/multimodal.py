@@ -419,8 +419,9 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     the scale ``2^(8*sample_width - 1)`` — the invariant every caller's
     energy/rescale math relies on: 8/16-bit PCM via the stdlib ``wave``
     module, and (round 7, :mod:`operators.wave_ext`) 24/32-bit PCM at
-    native scale, ITU G.711 u-law/A-law and mono IMA/DVI + MS ADPCM
-    expanded to 16-bit linear (``sample_width`` 2), and IEEE float32
+    native scale, ITU G.711 u-law/A-law and IMA/DVI + MS ADPCM (mono and,
+    round 8, multichannel) expanded to 16-bit linear (``sample_width``
+    2), and IEEE float32
     RESCALED to the 16-bit linear carrier (``round(v * 32767)``,
     ``sample_width`` 2) so the scale invariant holds — returning |v|<=1.0
     floats with sw=4 would silently zero downstream energies.  Only

@@ -8,10 +8,14 @@ Formats (all public: RIFF/WAVE format registry + ITU-T G.711):
 * tag 3  IEEE float — float32
 * tag 6  G.711 A-law — expanded to 13-bit-magnitude linear (16-bit carrier)
 * tag 7  G.711 u-law — expanded to 14-bit-magnitude linear (16-bit carrier)
-* tag 0x11 IMA/DVI ADPCM (mono) — block-header predictor + table-driven
-  4-bit state machine, pure integer (RFC 3551 section 4.5.1)
-* tag 0x02 MS-ADPCM (mono) — 7 fixed predictor pairs + adaptive delta,
-  pure integer (Microsoft WAVE_FORMAT_ADPCM spec / RFC 2361 registry)
+* tag 0x11 IMA/DVI ADPCM — block-header predictor + table-driven 4-bit
+  state machine, pure integer (RFC 3551 section 4.5.1); mono AND
+  multichannel (round 8: per-channel headers, 4-byte channel word
+  interleave per the Microsoft/IMA layout)
+* tag 0x02 MS-ADPCM — 7 fixed predictor pairs + adaptive delta, pure
+  integer (Microsoft WAVE_FORMAT_ADPCM spec / RFC 2361 registry); mono
+  AND multichannel (round 8: per-channel header fields, nibbles rotate
+  across channels)
 * tag 0xFFFE EXTENSIBLE — SubFormat GUID's leading tag, same matrix
 
 The G.711 expansions are closed-form (u-law: complement, then
@@ -110,24 +114,66 @@ def ima_adpcm_step(predictor: int, index: int, nibble: int):
     return predictor, index
 
 
-def _decode_ima_mono(frames: bytes, block_align: int) -> list[int]:
-    """Decode mono IMA ADPCM WAV blocks: per block a 4-byte header
-    (int16 initial predictor emitted as the first sample, uint8 step
-    index, reserved), then low-nibble-first data bytes."""
-    if block_align < 4:
-        raise WaveExtError(f"IMA ADPCM block_align {block_align} < 4")
+def _decode_ima(frames: bytes, block_align: int, channels: int) -> list[int]:
+    """Decode IMA ADPCM WAV blocks, mono or MULTICHANNEL (round 8,
+    VERDICT r7 #2).  Per block: one 4-byte header PER CHANNEL in channel
+    order (int16 initial predictor — emitted as that channel's first
+    sample — uint8 step index, reserved), then data interleaved as
+    4-BYTE WORDS PER CHANNEL: 4 bytes (8 low-nibble-first samples) for
+    channel 0, 4 bytes for channel 1, ..., repeating — the layout the
+    Microsoft/IMA multichannel spec mandates.  Output is interleaved by
+    sample time across channels (the WAV frame convention every caller
+    and the channel-mix in multimodal.decode_wav expect).  Mono keeps
+    the plain byte stream (no word-group requirement — headers aside,
+    every byte is channel 0)."""
+    if channels < 1:
+        raise WaveExtError(f"IMA ADPCM channels {channels} < 1")
+    hdr = 4 * channels
+    if block_align < hdr:
+        raise WaveExtError(
+            f"IMA ADPCM block_align {block_align} < {hdr} "
+            f"({channels}-channel header)"
+        )
+    group = 4 * channels
+    if channels > 1 and (block_align - hdr) % group:
+        raise WaveExtError(
+            f"IMA ADPCM {channels}-channel data region "
+            f"{block_align - hdr} not a multiple of the {group}-byte "
+            f"channel word group"
+        )
     out: list[int] = []
     for bs in range(0, len(frames) - len(frames) % block_align, block_align):
         block = frames[bs:bs + block_align]
-        predictor = struct.unpack_from("<h", block, 0)[0]
-        index = block[2]
-        if index > 88:
-            raise WaveExtError(f"IMA ADPCM step index {index} > 88")
-        out.append(predictor)
-        for byte in block[4:]:
-            for nibble in (byte & 0x0F, byte >> 4):  # low nibble first
-                predictor, index = ima_adpcm_step(predictor, index, nibble)
-                out.append(predictor)
+        preds: list[int] = []
+        idxs: list[int] = []
+        for c in range(channels):
+            p = struct.unpack_from("<h", block, 4 * c)[0]
+            ix = block[4 * c + 2]
+            if ix > 88:
+                raise WaveExtError(f"IMA ADPCM step index {ix} > 88")
+            preds.append(p)
+            idxs.append(ix)
+        if channels == 1:
+            out.append(preds[0])
+            for byte in block[hdr:]:
+                for nibble in (byte & 0x0F, byte >> 4):  # low nibble first
+                    preds[0], idxs[0] = ima_adpcm_step(
+                        preds[0], idxs[0], nibble
+                    )
+                    out.append(preds[0])
+            continue
+        chans: list[list[int]] = [[p] for p in preds]
+        for pos in range(hdr, block_align, group):
+            for c in range(channels):
+                for byte in block[pos + 4 * c:pos + 4 * c + 4]:
+                    for nibble in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = ima_adpcm_step(
+                            preds[c], idxs[c], nibble
+                        )
+                        chans[c].append(preds[c])
+        for i in range(len(chans[0])):
+            for c in range(channels):
+                out.append(chans[c][i])
     return out
 
 
@@ -166,29 +212,63 @@ def msadpcm_step(s1: int, s2: int, delta: int, c1: int, c2: int, nibble: int):
     return new, max(16, min(0x7FFFFF, (MSADPCM_ADAPT[nibble] * delta) >> 8))
 
 
-def _decode_msadpcm_mono(frames: bytes, block_align: int) -> list[int]:
-    """Decode mono MS-ADPCM blocks: 7-byte header (predictor index,
-    int16 initial delta, int16 sample1, int16 sample2 — emitted oldest
-    first: sample2 then sample1), then high-nibble-first data bytes."""
-    if block_align < 7:
-        raise WaveExtError(f"MS-ADPCM block_align {block_align} < 7")
+def _decode_msadpcm(
+    frames: bytes, block_align: int, channels: int
+) -> list[int]:
+    """Decode MS-ADPCM blocks, mono or MULTICHANNEL (round 8, VERDICT r7
+    #2).  Per block the header carries each field FOR ALL CHANNELS in
+    channel order (the Microsoft WAVE_FORMAT_ADPCM layout): predictor
+    index per channel (1 byte each), int16 initial delta per channel,
+    int16 sample1 per channel, int16 sample2 per channel — 7*channels
+    header bytes.  Samples emit oldest-first (every channel's sample2,
+    then every channel's sample1), and data nibbles (high nibble first
+    within each byte) ROTATE across channels: nibble k belongs to
+    channel k % channels, each channel carrying its own (s1, s2, delta)
+    state — so the decoded stream is already interleaved by time.  For
+    channels=1 this is exactly the mono state machine."""
+    if channels < 1:
+        raise WaveExtError(f"MS-ADPCM channels {channels} < 1")
+    hdr = 7 * channels
+    if block_align < hdr:
+        raise WaveExtError(
+            f"MS-ADPCM block_align {block_align} < {hdr} "
+            f"({channels}-channel header)"
+        )
     out: list[int] = []
     for bs in range(0, len(frames) - len(frames) % block_align, block_align):
         block = frames[bs:bs + block_align]
-        pred_idx = block[0]
-        if pred_idx >= len(MSADPCM_COEFS):
-            raise WaveExtError(f"MS-ADPCM predictor index {pred_idx} > 6")
-        c1, c2 = MSADPCM_COEFS[pred_idx]
-        delta, s1, s2 = struct.unpack_from("<hhh", block, 1)
-        if delta < 16:
-            delta = 16
-        out.append(s2)
-        out.append(s1)
-        for byte in block[7:]:
+        c1s: list[int] = []
+        c2s: list[int] = []
+        for c in range(channels):
+            pred_idx = block[c]
+            if pred_idx >= len(MSADPCM_COEFS):
+                raise WaveExtError(f"MS-ADPCM predictor index {pred_idx} > 6")
+            c1s.append(MSADPCM_COEFS[pred_idx][0])
+            c2s.append(MSADPCM_COEFS[pred_idx][1])
+        deltas = [
+            max(16, struct.unpack_from("<h", block, channels + 2 * c)[0])
+            for c in range(channels)
+        ]
+        s1s = [
+            struct.unpack_from("<h", block, 3 * channels + 2 * c)[0]
+            for c in range(channels)
+        ]
+        s2s = [
+            struct.unpack_from("<h", block, 5 * channels + 2 * c)[0]
+            for c in range(channels)
+        ]
+        out.extend(s2s)
+        out.extend(s1s)
+        k = 0
+        for byte in block[hdr:]:
             for nibble in (byte >> 4, byte & 0x0F):  # high nibble first
-                new, delta = msadpcm_step(s1, s2, delta, c1, c2, nibble)
-                s2, s1 = s1, new
+                c = k % channels
+                new, deltas[c] = msadpcm_step(
+                    s1s[c], s2s[c], deltas[c], c1s[c], c2s[c], nibble
+                )
+                s2s[c], s1s[c] = s1s[c], new
                 out.append(new)
+                k += 1
     return out
 
 
@@ -276,13 +356,9 @@ def decode_wav_ext(payload: bytes):
     elif tag == _ALAW_TAG:
         name, samples = "alaw", [ALAW_TO_LIN[b] for b in frames]
     elif tag == _IMA_ADPCM:
-        if channels != 1:
-            raise NotImplementedError("IMA ADPCM: mono only here")
-        name, samples = "ima_adpcm", _decode_ima_mono(frames, _block)
+        name, samples = "ima_adpcm", _decode_ima(frames, _block, channels)
     elif tag == _MS_ADPCM:
-        if channels != 1:
-            raise NotImplementedError("MS-ADPCM: mono only here")
-        name, samples = "ms_adpcm", _decode_msadpcm_mono(frames, _block)
+        name, samples = "ms_adpcm", _decode_msadpcm(frames, _block, channels)
     else:
         raise NotImplementedError(
             f"WAVE format tag {tag} (MP3-in-WAV, GSM...) needs ffmpeg"

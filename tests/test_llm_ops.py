@@ -2714,9 +2714,98 @@ class TestImaAdpcm:
         with pytest.raises(WaveExtError, match="block_align"):
             decode_wav_ext(encode_wav_raw(0x11, 4, 8000, 1, b"\x00\x00",
                                           block_align=2))
-        with pytest.raises(NotImplementedError, match="mono"):
-            decode_wav_ext(encode_wav_raw(0x11, 4, 8000, 2, block,
-                                          block_align=len(block)))
+        # stereo block whose data region is not a whole 8-byte word group
+        stereo_bad = struct.pack("<hBB", 0, 0, 0) * 2 + b"\x00" * 4
+        with pytest.raises(WaveExtError, match="word group"):
+            decode_wav_ext(encode_wav_raw(0x11, 4, 8000, 2, stereo_bad,
+                                          block_align=len(stereo_bad)))
+
+    def test_ima_stereo_interleaves_independent_channel_machines(self):
+        """Round 8 (VERDICT r7 #2): stereo IMA ADPCM — per-channel 4-byte
+        headers, then 4-byte data words alternating channels (8 samples
+        per word).  The stereo decode must equal the interleave of the
+        two channels decoded independently as mono streams."""
+        import struct
+
+        from rust_dataframe_spark.operators.multimodal import decode_wav
+        from rust_dataframe_spark.operators.wave_ext import (
+            decode_wav_ext,
+            encode_wav_raw,
+        )
+
+        def mono_wav(p0, i0, data):
+            block = struct.pack("<hBB", p0, i0, 0) + data
+            return encode_wav_raw(0x11, 4, 8000, 1, block,
+                                  block_align=len(block))
+
+        da = bytes((7 + 11 * j) % 256 for j in range(16))   # 4 words
+        db = bytes((201 + 53 * j) % 256 for j in range(16))
+        pa, ia, pb, ib = -1500, 20, 900, 70
+        _, _, _, sa = decode_wav_ext(mono_wav(pa, ia, da))
+        _, _, _, sb = decode_wav_ext(mono_wav(pb, ib, db))
+        # build the stereo block: hdrA + hdrB + word-interleaved data
+        hdr = struct.pack("<hBB", pa, ia, 0) + struct.pack("<hBB", pb, ib, 0)
+        body = bytearray()
+        for w in range(4):
+            body += da[4 * w:4 * w + 4]
+            body += db[4 * w:4 * w + 4]
+        block = hdr + bytes(body)
+        wav = encode_wav_raw(0x11, 4, 8000, 2, block, block_align=len(block))
+        sr, ch, name, s = decode_wav_ext(wav)
+        assert (sr, ch, name) == (8000, 2, "ima_adpcm")
+        expect = [v for pair in zip(sa, sb) for v in pair]
+        assert s == expect
+        # front door mixes the two channels (floor-average)
+        _, nch, sw, mixed = decode_wav(wav)
+        assert (nch, sw) == (2, 2)
+        assert mixed == [(a + b) // 2 for a, b in zip(sa, sb)]
+
+    def test_msadpcm_stereo_rotates_nibbles_across_channels(self):
+        """Round 8: stereo MS-ADPCM — header fields per channel, nibbles
+        rotate across channels with per-channel (s1, s2, delta) state.
+        Must equal two independent mono machines interleaved."""
+        import struct
+
+        from rust_dataframe_spark.operators.wave_ext import (
+            MSADPCM_COEFS,
+            decode_wav_ext,
+            encode_wav_raw,
+            msadpcm_step,
+        )
+
+        nibsA = [(3 + 5 * j) % 16 for j in range(12)]
+        nibsB = [(9 + 7 * j) % 16 for j in range(12)]
+
+        def ref(pred_idx, delta, s1, s2, nibs):
+            c1, c2 = MSADPCM_COEFS[pred_idx]
+            delta = max(16, delta)
+            out = [s2, s1]
+            for nb in nibs:
+                new, delta = msadpcm_step(s1, s2, delta, c1, c2, nb)
+                s2, s1 = s1, new
+                out.append(new)
+            return out
+
+        ra = ref(1, 40, 120, -80, nibsA)
+        rb = ref(4, 25, -300, 55, nibsB)
+        hdr = (
+            bytes([1, 4])
+            + struct.pack("<hh", 40, 25)      # deltas per channel
+            + struct.pack("<hh", 120, -300)   # sample1 per channel
+            + struct.pack("<hh", -80, 55)     # sample2 per channel
+        )
+        # interleave nibbles A,B,A,B... high nibble first within a byte
+        inter = [v for pair in zip(nibsA, nibsB) for v in pair]
+        body = bytes(
+            (inter[2 * i] << 4) | inter[2 * i + 1]
+            for i in range(len(inter) // 2)
+        )
+        block = hdr + body
+        wav = encode_wav_raw(0x02, 4, 8000, 2, block, block_align=len(block))
+        sr, ch, name, s = decode_wav_ext(wav)
+        assert (sr, ch, name) == (8000, 2, "ms_adpcm")
+        expect = [v for pair in zip(ra, rb) for v in pair]
+        assert s == expect
 
 
 class TestPngMatrix:
