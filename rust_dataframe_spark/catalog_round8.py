@@ -510,3 +510,73 @@ def q408_pgcopy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey bigint, o_custkey bigint, status string, odate date, "
         "cents bigint",
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q409: arithmetic-coded (SOF9) JPEG round-trip, closed-form pixel checksum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q409_arithmetic_jpeg",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      8 * (1 + doc_id % 3) AS w,
+                      8 * (1 + (doc_id // 3) % 3) AS h
+               FROM documents WHERE doc_id < 200),
+    bx AS (SELECT doc_id, w, h, unnest(range(0, w // 8)) AS bx FROM d),
+    b AS (SELECT doc_id, w, h, bx, unnest(range(0, h // 8)) AS by FROM bx)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(64 * ((doc_id + 17 * bx + 29 * by) % 256)) AS BIGINT)
+             AS px_sum
+    FROM b GROUP BY doc_id, w, h ORDER BY doc_id
+    """,
+)
+def q409_arithmetic_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-coded JPEG decode (VERDICT r7 #4 — T.81 Annex D
+    QM-coder + Annex F sequential model, operators/jpeg_arith.py): each
+    doc synthesizes a BLOCK-CONSTANT grayscale image, encodes it through
+    the SOF9 path (adaptive binary arithmetic entropy coding with DC
+    conditioning contexts, AC per-index bin ladders, the fixed sign bin,
+    carry propagation and FF-00 stuffing), decodes the real arithmetic
+    byte stream back via decode_jpeg's SOF9 dispatch, and reports the
+    decoded pixel checksum — the q387/q395 closed form (block-constant
+    content is DC-only and exact at quant=1).  General content, color,
+    and 4:2:0 are equality-pinned against the Huffman decoder in
+    tests/test_llm_ops.py::TestJpegArithmetic (same DCT pipeline,
+    different entropy coder => identical pixels).  All work is
+    Arrow-batched mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def gen_and_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg
+        from rust_dataframe_spark.operators.jpeg_arith import (
+            encode_jpeg_arithmetic,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "px_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (1 + d % 3), 8 * (1 + (d // 3) % 3)
+                px = bytes(
+                    (d + 17 * (x // 8) + 29 * (y // 8)) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                ww, hh, _ch, out = decode_jpeg(
+                    encode_jpeg_arithmetic(w, h, px, channels=1)
+                )
+                rows["doc_id"].append(d)
+                rows["width"].append(ww)
+                rows["height"].append(hh)
+                rows["px_sum"].append(sum(out))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen_and_decode, "doc_id bigint, width int, height int, px_sum bigint"
+    ).orderBy("doc_id")

@@ -61,9 +61,11 @@ __all__ = [
 
 
 class JpegError(ValueError):
-    """Raised for malformed input or a JPEG variant outside the supported
-    baseline subset (progressive / 12-bit / arithmetic / CMYK) — callers
-    fall back to the documented fake-decode stand-in."""
+    """Raised for malformed input or a JPEG variant outside the
+    supported subset (12-bit / hierarchical / progressive-arithmetic /
+    CMYK) — callers fall back to the documented fake-decode stand-in.
+    Sequential arithmetic (SOF9) decodes for real since round 8
+    (operators/jpeg_arith.py)."""
 
 
 def is_jpeg(data: bytes) -> bool:
@@ -241,6 +243,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (W, H, comps) with comps = [(cid, h, v, tq)]
     progressive = False
+    arithmetic = False
+    dac: dict[tuple[int, int], int] = {}  # (class, table) -> conditioning
     restart_interval = 0
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -286,8 +290,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     raise JpegError("short DHT")
                 htables[(tc, th)] = _build_huff(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 sequential, SOF2 progressive, SOF9 sequential
+            # arithmetic (round 8, operators/jpeg_arith.py)
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
             if len(body) < 6:
                 raise JpegError("short SOF segment")
             prec, h, w, nf = body[0], *struct.unpack(">HH", body[1:5]), body[5]
@@ -307,8 +314,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 if not (1 <= hv >> 4 <= 2 and 1 <= hv & 0x0F <= 2):
                     raise JpegError("sampling factors beyond 2 unsupported")
             frame = (w, h, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError("unsupported SOF (lossless/arithmetic/hierarchical)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(
+                "unsupported SOF (lossless/progressive-arithmetic/"
+                "hierarchical)"
+            )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            p = 0
+            while p + 2 <= len(body):
+                dac[(body[p] >> 4, body[p] & 0x0F)] = body[p + 1]
+                p += 2
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise JpegError("short DRI segment")
@@ -336,6 +351,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 scan.append((comp_ids.index(cs), tdta >> 4, tdta & 0x0F))
             if ns != len(comp_ids):
                 raise JpegError("non-interleaved multi-scan unsupported")
+            if arithmetic:
+                from .jpeg_arith import decode_scan_arith
+
+                return decode_scan_arith(
+                    data, pos + 2 + seglen, frame, scan, qtables, dac,
+                    restart_interval,
+                )
             return _decode_scan(
                 data, pos + 2 + seglen, frame, scan, qtables, htables,
                 restart_interval,

@@ -23,8 +23,8 @@ on two containers: animated GIFs via the pure-stdlib LZW codec in
 uncompressed-DIB streams via :mod:`operators.avi` — independent frame
 chunks mean ``sample_frames(fake_decode=False)`` decodes ONLY the
 sampled frames.  Formats that genuinely need
-media libraries absent from this container (arithmetic/12-bit/
-hierarchical JPEG, MP3/OGG, MP4/WebM) keep the documented stub: raise
+media libraries absent from this container (12-bit/hierarchical
+JPEG, MP3/OGG, MP4/WebM) keep the documented stub: raise
 NotImplementedError, or with ``fake=True`` a clearly-marked deterministic
 fake derives "features" from the bytes.  Everything around the decode —
 schema, batch iteration, UDF signature, partitioning — is identical on
@@ -96,9 +96,10 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     REAL paths: PNGs across the full format matrix (round 7 — all five
     color types incl. palette+tRNS, depths 1/2/4/8/16, Adam7 interlace)
     via the pure-stdlib codec in :mod:`operators.png`, and sequential
-    (SOF0) or progressive (SOF2) JPEGs (8-bit, 4:4:4/4:2:2/4:2:0) via
-    :mod:`operators.jpeg` — no PIL needed.  Payloads outside those
-    subsets (arithmetic/12-bit JPEG, or the synthetic text-derived
+    (SOF0), progressive (SOF2) or arithmetic-coded (SOF9, round 8)
+    JPEGs (8-bit, 4:4:4/4:2:2/4:2:0) via :mod:`operators.jpeg` +
+    :mod:`operators.jpeg_arith` — no PIL needed.  Payloads outside those
+    subsets (12-bit JPEG, or the synthetic text-derived
     payloads the test tables use) fall back to the documented
     deterministic fake when ``fake=True``, else raise.
     """

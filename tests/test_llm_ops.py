@@ -3047,3 +3047,135 @@ class TestKneserNey:
         kn = kneser_ney_logprob(df, "doc_id", "text").collect()[0]
         a1 = bigram_logprob(df, "doc_id", "text").collect()[0]
         assert kn["avg_logprob"] > a1["avg_logprob"]
+
+
+class TestJpegArithmetic:
+    """Round 8 (VERDICT r7 #4): arithmetic-coded sequential JPEG (SOF9) —
+    the T.81 Annex D QM-coder + Annex F statistical model in
+    operators/jpeg_arith.py, dispatched from decode_jpeg."""
+
+    def test_qm_coder_randomized_round_trip(self):
+        """Encoder and decoder are exact inverses over randomized bit
+        streams and shared adaptive bins — including heavily biased
+        streams (deep MPS adaptation) and carry/stuffing edge paths."""
+        import random
+
+        from rust_dataframe_spark.operators.jpeg_arith import (
+            FIXED_BIN,
+            ArithDecoder,
+            ArithEncoder,
+        )
+
+        rng = random.Random(42)
+        for trial in range(40):
+            nbins = rng.randint(1, 20)
+            n = rng.randint(1, 800)
+            seq = [(rng.randrange(nbins), rng.randint(0, 1)) for _ in range(n)]
+            if trial % 3 == 0:  # biased: drives states deep into the table
+                seq = [(b, 1 if rng.random() < 0.95 else 0) for b, _ in seq]
+            enc = ArithEncoder()
+            st = bytearray(nbins)
+            for b, bit in seq:
+                enc.encode(st, b, bit)
+            blob = enc.flush()
+            dec = ArithDecoder(blob + b"\xff\xd9", 0)
+            st2 = bytearray(nbins)
+            for b, bit in seq:
+                assert dec.decode(st2, b) == bit
+            assert st == st2  # adaptation trajectories agree bin-for-bin
+        # the sign bin never adapts
+        enc = ArithEncoder()
+        fx = bytearray([FIXED_BIN << 1])
+        bits = [rng.randint(0, 1) for _ in range(500)]
+        for b in bits:
+            enc.encode(fx, 0, b)
+        assert fx[0] == FIXED_BIN << 1
+        dec = ArithDecoder(enc.flush() + b"\xff\xd9", 0)
+        fx2 = bytearray([FIXED_BIN << 1])
+        assert [dec.decode(fx2, 0) for _ in bits] == bits
+
+    def test_block_constant_pixel_exact(self):
+        """quant=1 block-constant grayscale round-trips EXACTLY through
+        the SOF9 path (the q387/q395 discipline behind q409)."""
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg
+        from rust_dataframe_spark.operators.jpeg_arith import (
+            encode_jpeg_arithmetic,
+        )
+
+        for w, h, salt in [(8, 8, 0), (32, 16, 3), (24, 24, 9)]:
+            px = bytes(
+                (13 + 17 * (x // 8) + 31 * (y // 8) + 5 * salt) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            assert decode_jpeg(encode_jpeg_arithmetic(w, h, px)) == (
+                w, h, 1, px
+            )
+
+    def test_arithmetic_equals_huffman_parity_law(self):
+        """Same DCT/quant pipeline, different entropy coder: decoded
+        pixels must be IDENTICAL to the baseline Huffman path — gray
+        (odd dims incl. edge replication), color, and 4:2:0."""
+        from rust_dataframe_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from rust_dataframe_spark.operators.jpeg_arith import (
+            encode_jpeg_arithmetic,
+        )
+
+        for w, h in [(5, 25), (30, 7), (17, 11)]:
+            px = bytes(
+                (x * 7 + y * 13) % 256 for y in range(h) for x in range(w)
+            )
+            assert decode_jpeg(
+                encode_jpeg_arithmetic(w, h, px, channels=1)
+            ) == decode_jpeg(encode_jpeg(w, h, px, channels=1)), (w, h)
+        w, h = 19, 13
+        rgb = bytes(
+            (x * 5 + y * 7 + c * 11) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        for ss in (False, True):
+            assert decode_jpeg(
+                encode_jpeg_arithmetic(w, h, rgb, channels=3, subsample=ss)
+            ) == decode_jpeg(encode_jpeg(w, h, rgb, channels=3, subsample=ss))
+
+    def test_dac_conditioning_and_fail_loud(self):
+        import struct
+
+        import pytest
+
+        from rust_dataframe_spark.operators.jpeg import (
+            JpegError,
+            decode_jpeg,
+        )
+        from rust_dataframe_spark.operators.jpeg_arith import (
+            encode_jpeg_arithmetic,
+        )
+
+        px = bytes((11 + 3 * (x // 8)) % 256 for _y in range(8) for x in range(16))
+        blob = encode_jpeg_arithmetic(16, 8, px)
+        # the stream carries an explicit DAC segment with the defaults
+        i = blob.find(b"\xff\xcc")
+        assert i > 0
+        assert blob[i + 4 : i + 8] == bytes([0x00, 0x10, 0x10, 5])
+        # corrupt DC conditioning to L > U: fail loud
+        bad = bytearray(blob)
+        bad[i + 5] = 0x05  # U=0, L=5
+        with pytest.raises(JpegError, match="conditioning"):
+            decode_jpeg(bytes(bad))
+        # progressive-arithmetic (SOF10) stays a documented gate
+        bad2 = bytearray(blob)
+        j = bad2.index(b"\xff\xc9")
+        bad2[j + 1] = 0xCA
+        with pytest.raises(JpegError, match="unsupported SOF"):
+            decode_jpeg(bytes(bad2))
+        # truncating the entropy segment feeds zeros (T.81 F.2.2.5) —
+        # decode completes (garbage pixels) or fails loud, never hangs
+        try:
+            decode_jpeg(blob[: len(blob) // 2] + b"\xff\xd9")
+        except JpegError:
+            pass
