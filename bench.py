@@ -142,6 +142,14 @@ HEADLINE = [
     "q402_ms_adpcm",
     "q403_kneser_ney",
     "q404_bradley_terry",
+    # round-8 additions: GIF disposal compositing, stereo ADPCM, COPY
+    # BINARY round-trip, arithmetic JPEG, EM early-stop
+    "q405_gif_composite",
+    "q406_stereo_ima_adpcm",
+    "q407_stereo_ms_adpcm",
+    "q408_pgcopy_roundtrip",
+    "q409_arithmetic_jpeg",
+    "q410_unigram_em_earlystop",
 ]
 
 
@@ -272,8 +280,34 @@ def main() -> None:
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > budget:
         slow_first = sorted(timings, key=lambda n: -timings[n])
+        # VERDICT r7 #6: ROTATE the omitted set round-to-round — queries
+        # missing from the latest committed driver record (BENCH_r{N}.json)
+        # get top retention priority this round, so every headline query
+        # appears in a driver-visible record within ~2 rounds; slow-first
+        # fills the remaining slots (the perf signal).
+        prev_missing: list[str] = []
+        try:
+            import glob as _glob
+
+            recs = sorted(
+                _glob.glob(
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_r[0-9]*.json",
+                    )
+                )
+            )
+            if recs:
+                with open(recs[-1]) as f:
+                    rec = json.load(f)
+                # driver records wrap the printed line under "parsed"
+                parsed = rec.get("parsed") or rec
+                prev_q = set(parsed.get("queries") or {})
+                prev_missing = [n for n in timings if n not in prev_q]
+        except Exception:
+            prev_missing = []
         pruned = dict(out)
-        keep = dict.fromkeys(slow_first)
+        keep = dict.fromkeys(prev_missing + slow_first)
         while len(line) > budget and keep:
             keep.popitem()  # drop the current fastest retained query
             pruned["queries"] = {n: timings[n] for n in keep}

@@ -94,20 +94,14 @@ def q395_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q396_oracle() -> str:
-    from .catalog_llm import _Q336_WEIGHTS
-
-    vals = ", ".join(
-        f"('{p}', {int(w)})" for p, w in sorted(_Q336_WEIGHTS.items())
-    )
-    w1 = float(sum(int(w) for w in _Q336_WEIGHTS.values()))
-
-    def walk_block(n: str, vocab: str) -> str:
-        """One round's lattice replay: recursive path walk -> z, per-k z,
-        normalized word likelihood, ll, expected counts, M-step folds,
-        quantization — the SQL mirror of unigram_expected_counts +
-        unigram_m_step + unigram_corpus_ll + the wt quantizer."""
-        return f"""
+def _unigram_walk_block(n: str, vocab: str) -> str:
+    """One round's lattice replay: recursive path walk -> z, per-k z,
+    normalized word likelihood, ll, expected counts, M-step folds,
+    quantization — the SQL mirror of unigram_expected_counts +
+    unigram_m_step + unigram_corpus_ll + the wt quantizer.  Shared by
+    the q396 (iters-bounded) and q410 (tol early-stop) oracles; expects
+    CTEs ``words``/``freq``/``dw``/``dwp`` and ``wn{n}`` in scope."""
+    return f"""
     e{n} AS (
       SELECT d.w, d.cpos, v.p AS piece, length(v.p) AS adv, v.wt
       FROM dwp d JOIN {vocab} v ON substr(d.w, d.cpos, length(v.p)) = v.p),
@@ -154,6 +148,16 @@ def _q396_oracle() -> str:
                     CAST(floor(floor(te / gt * 1e6) / 1e6 * 32 + 0.5) AS INT)
                       AS wt_next
              FROM pp{n} CROSS JOIN t{n})"""
+
+
+def _q396_oracle() -> str:
+    from .catalog_llm import _Q336_WEIGHTS
+
+    vals = ", ".join(
+        f"('{p}', {int(w)})" for p, w in sorted(_Q336_WEIGHTS.items())
+    )
+    w1 = float(sum(int(w) for w in _Q336_WEIGHTS.values()))
+    walk_block = _unigram_walk_block
 
     return f"""
     WITH RECURSIVE

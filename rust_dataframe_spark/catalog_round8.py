@@ -580,3 +580,74 @@ def q409_arithmetic_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         gen_and_decode, "doc_id bigint, width int, height int, px_sum bigint"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q410: unigram-EM tol early-stop, oracle-visible (VERDICT r7 #7)
+# ---------------------------------------------------------------------------
+
+#: Unambiguous-vocabulary fixture: with vocab {ab, c} every corpus word
+#: has EXACTLY ONE segmentation, so expected counts do not depend on the
+#: weights and the EM map reaches its fixed point after round 1 — round
+#: 2's probabilities equal round 1's bit-for-bit, the tol test fires,
+#: and the run stops at n_rounds=2 with iters=5.  The oracle replays the
+#: two executed rounds (shared lattice machinery with q396) and emits
+#: n_rounds=2: had the engine NOT early-stopped, rounds 3-5 would appear
+#: and the row count/hash would mismatch — the convergence path itself
+#: is what the gate pins.
+_Q410_WEIGHTS = {"ab": 3.0, "c": 1.0}
+_Q410_CORPUS = (
+    "CASE doc_id % 4 WHEN 0 THEN 'abc' WHEN 1 THEN 'cabab' "
+    "WHEN 2 THEN 'ccc' ELSE 'abcc' END"
+)
+
+
+def _q410_oracle() -> str:
+    from .catalog_round7 import _unigram_walk_block
+
+    vals = ", ".join(
+        f"('{p}', {int(w)})" for p, w in sorted(_Q410_WEIGHTS.items())
+    )
+    w1 = float(sum(int(w) for w in _Q410_WEIGHTS.values()))
+    return f"""
+    WITH RECURSIVE
+    v1(p, wt) AS (SELECT * FROM (VALUES {vals})),
+    wn1 AS (SELECT CAST({w1!r} AS DOUBLE) AS wn),
+    words AS (SELECT {_Q410_CORPUS} AS w FROM documents WHERE doc_id < 60),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w),
+    dw AS (SELECT DISTINCT w FROM words),
+    dwp AS (SELECT w, unnest(range(1, length(w) + 1)) AS cpos FROM dw),
+    {_unigram_walk_block('1', 'v1')},
+    v2 AS (SELECT piece AS p, CAST(wt_next AS BIGINT) AS wt FROM q1
+           WHERE wt_next >= 1),
+    wn2 AS (SELECT CAST(sum(wt) AS DOUBLE) AS wn FROM v2),
+    {_unigram_walk_block('2', 'v2')}
+    SELECT 1 AS round, piece, total_expected, new_prob, wt_next,
+           (SELECT ll FROM ll1) AS ll_in, 2 AS n_rounds FROM q1
+    UNION ALL
+    SELECT 2, piece, total_expected, new_prob, wt_next,
+           (SELECT ll FROM ll2), 2 FROM q2
+    ORDER BY round, piece
+    """
+
+
+@query("q410_unigram_em_earlystop", oracle=_q410_oracle())
+def q410_unigram_em_earlystop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-EM ``tol`` EARLY-STOP, oracle-visible (VERDICT r7 #7 —
+    round 7 pinned only iters-bounded runs; the convergence path had a
+    unit test but no catalog gate).  The corpus is segmentation-UNIQUE
+    under the vocab (see _Q410_WEIGHTS note), so the EM map is at its
+    fixed point after round 1: round 2 reproduces round 1's
+    probabilities bit-for-bit, ``max |p_r - p_(r-1)| <= tol`` fires, and
+    ``unigram_em(iters=5, tol=1e-9)`` returns n_rounds=2 — which the
+    oracle asserts structurally by replaying exactly two rounds (any
+    missed early-stop emits rounds 3-5 and fails the row/hash compare).
+    """
+    from .operators import text as tx
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select(
+        "doc_id", F.expr(_Q410_CORPUS).alias("text")
+    )
+    return tx.unigram_em(
+        d, "doc_id", "text", _Q410_WEIGHTS, 5, quant_scale=32, tol=1e-9
+    )
