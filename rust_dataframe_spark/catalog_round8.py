@@ -651,3 +651,155 @@ def q410_unigram_em_earlystop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_em(
         d, "doc_id", "text", _Q410_WEIGHTS, 5, quant_scale=32, tol=1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# q411: LOSSLESS JPEG (SOF3) — exact sample-sum oracle, all 7 predictors
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q411_lossless_jpeg",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      6 + doc_id % 11 AS w,
+                      5 + (3 * doc_id) % 9 AS h,
+                      1 + doc_id % 7 AS pred
+               FROM documents WHERE doc_id < 140),
+    cx AS (SELECT doc_id, w, h, pred, unnest(range(0, w)) AS x FROM d),
+    cc AS (SELECT doc_id, w, h, pred, x, unnest(range(0, h)) AS y FROM cx)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(pred AS INT) AS predictor,
+           CAST(sum((doc_id * 7 + 13 * x + 29 * y + (x * y) % 5) % 4096)
+                AS BIGINT) AS s_sum
+    FROM cc GROUP BY doc_id, w, h, pred ORDER BY doc_id
+    """,
+)
+def q411_lossless_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS JPEG decode (round 8 — T.81 Annex H SOF3 predictive
+    coding, operators/jpeg_lossless.py; what DNG raw and DICOM corpora
+    actually carry): each doc synthesizes a 12-bit grayscale sample
+    grid analytic in doc_id, encodes it with predictor ``1 + doc % 7``
+    (so all seven Annex H predictors are exercised across the corpus),
+    decodes through decode_jpeg_ext's SOF3 dispatch, and reports the
+    EXACT decoded sample sum — lossless means the oracle needs no
+    block-constant trick: it just re-sums the closed-form samples.
+    Boundary prediction rules (first row Ra, first column Rb, corner
+    default 1 << (P-1)), the modulo-2^16 reconstruction, and the
+    SSSS<=16 ladder are all on the line: any divergence shifts s_sum.
+    Arrow-batched mapInPandas on executors; the driver never sees
+    sample bytes."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 140
+    )
+
+    def gen_and_decode(batches):
+        import struct as st
+
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg_ext
+        from rust_dataframe_spark.operators.jpeg_lossless import (
+            encode_jpeg_lossless,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "predictor": [], "s_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 6 + d % 11, 5 + (3 * d) % 9
+                pred = 1 + d % 7
+                px = [
+                    (d * 7 + 13 * x + 29 * y + (x * y) % 5) % 4096
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                blob = encode_jpeg_lossless(
+                    w, h, px, precision=12, predictor=pred
+                )
+                ww, hh, _ch, depth, out = decode_jpeg_ext(blob)
+                assert depth == 12
+                vals = st.unpack(f"<{ww * hh}H", out)
+                rows["doc_id"].append(d)
+                rows["width"].append(ww)
+                rows["height"].append(hh)
+                rows["predictor"].append(pred)
+                rows["s_sum"].append(sum(vals))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen_and_decode,
+        "doc_id bigint, width int, height int, predictor int, s_sum bigint",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q412: 12-BIT extended sequential JPEG (SOF1) — closed-form pixel checksum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q412_jpeg_12bit",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      8 * (1 + doc_id % 3) AS w,
+                      8 * (1 + (doc_id // 3) % 3) AS h
+               FROM documents WHERE doc_id < 160),
+    bx AS (SELECT doc_id, w, h, unnest(range(0, w // 8)) AS bx FROM d),
+    b AS (SELECT doc_id, w, h, bx, unnest(range(0, h // 8)) AS by FROM bx)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(64 * ((31 * doc_id + 173 * bx + 419 * by) % 4096))
+                AS BIGINT) AS px_sum
+    FROM b GROUP BY doc_id, w, h ORDER BY doc_id
+    """,
+)
+def q412_jpeg_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-BIT extended sequential JPEG decode (round 8 — SOF1 with Pq=1
+    16-bit DQT, level shift 2048, the extended Table F.1 Huffman
+    ladders; the medical/scientific-imaging precision): block-constant
+    12-bit grayscale at quant=1 round-trips EXACTLY (the q387/q409
+    closed form lifted to 12 bits — the FDCT of a constant block is
+    DC-only and the 2048 level shift cancels), so the decoded pixel
+    checksum is a closed-form function of the synthesis params.
+    General-content bounded error and the 16-bit-DQT parse are pinned
+    in tests/test_llm_ops.py::TestJpeg12Bit.  Arrow-batched mapInPandas
+    on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 160
+    )
+
+    def gen_and_decode(batches):
+        import struct as st
+
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.jpeg import (
+            decode_jpeg_ext,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "px_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (1 + d % 3), 8 * (1 + (d // 3) % 3)
+                px = [
+                    (31 * d + 173 * (x // 8) + 419 * (y // 8)) % 4096
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                ww, hh, _ch, depth, out = decode_jpeg_ext(
+                    encode_jpeg(w, h, px, channels=1, precision=12)
+                )
+                assert depth == 12
+                vals = st.unpack(f"<{ww * hh}H", out)
+                rows["doc_id"].append(d)
+                rows["width"].append(ww)
+                rows["height"].append(hh)
+                rows["px_sum"].append(sum(vals))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen_and_decode, "doc_id bigint, width int, height int, px_sum bigint"
+    ).orderBy("doc_id")

@@ -54,6 +54,7 @@ import struct
 __all__ = [
     "JpegError",
     "decode_jpeg",
+    "decode_jpeg_ext",
     "encode_jpeg",
     "encode_jpeg_progressive",
     "is_jpeg",
@@ -62,10 +63,12 @@ __all__ = [
 
 class JpegError(ValueError):
     """Raised for malformed input or a JPEG variant outside the
-    supported subset (12-bit / hierarchical / progressive-arithmetic /
-    CMYK) — callers fall back to the documented fake-decode stand-in.
-    Sequential arithmetic (SOF9) decodes for real since round 8
-    (operators/jpeg_arith.py)."""
+    supported subset (hierarchical / progressive-arithmetic / CMYK) —
+    callers fall back to the documented fake-decode stand-in.
+    Sequential arithmetic (SOF9, operators/jpeg_arith.py), 12-bit
+    extended sequential (SOF1 via :func:`decode_jpeg_ext`), and
+    lossless (SOF3, operators/jpeg_lossless.py) decode for real since
+    round 8."""
 
 
 def is_jpeg(data: bytes) -> bool:
@@ -229,12 +232,36 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG to ``(width, height, channels, pixels)``.
+    """Decode a JPEG to ``(width, height, channels, pixels)``.
 
     ``pixels`` is ``height * width * channels`` bytes, row-major
-    (channels = 1 gray or 3 RGB via JFIF BT.601).  Raises
-    :class:`JpegError` for anything outside baseline sequential 8-bit.
+    (channels = 1 gray or 3 RGB via JFIF BT.601).  This entry keeps the
+    historical 8-bit byte contract: 12/16-bit frames (SOF1 12-bit,
+    SOF3 lossless at precision > 8) decode for real but must go through
+    :func:`decode_jpeg_ext`, which returns the sample depth; asking this
+    function for them raises :class:`JpegError` rather than silently
+    truncating 16-bit samples to bytes.
     """
+    w, h, nch, depth, px = decode_jpeg_ext(data)
+    if depth != 8:
+        raise JpegError(
+            f"{depth}-bit samples: use decode_jpeg_ext (8-bit byte "
+            "contract would truncate)"
+        )
+    return w, h, nch, px
+
+
+def decode_jpeg_ext(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """Decode a JPEG to ``(width, height, channels, depth, pixels)``.
+
+    ``depth`` is the sample precision (8, 12, or the SOF3 lossless
+    precision 2..16); ``pixels`` is one byte per sample for depth <= 8,
+    else little-endian uint16 per sample.  Dispatches baseline (SOF0),
+    extended sequential Huffman at 8 and 12 bits (SOF1), progressive
+    (SOF2), sequential arithmetic (SOF9 via jpeg_arith), and lossless
+    (SOF3 via jpeg_lossless).  Raises :class:`JpegError` for the
+    remaining gates (hierarchical, progressive/lossless arithmetic,
+    CMYK)."""
     data = bytes(data)
     if not is_jpeg(data):
         raise JpegError("not a JPEG (bad SOI)")
@@ -242,8 +269,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (W, H, comps) with comps = [(cid, h, v, tq)]
+    prec = 8
     progressive = False
     arithmetic = False
+    lossless = False
     dac: dict[tuple[int, int], int] = {}  # (class, table) -> conditioning
     restart_interval = 0
     while pos + 2 <= len(data):
@@ -269,16 +298,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         body = data[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
             raise JpegError("truncated segment")
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0: 8-bit entries, Pq=1: 16-bit)
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0x0F
-                if pq != 0:
-                    raise JpegError("16-bit quant tables unsupported (8-bit only)")
-                qtables[tq] = list(body[p + 1 : p + 65])
+                if pq == 0:
+                    qtables[tq] = list(body[p + 1 : p + 65])
+                    p += 65
+                elif pq == 1:
+                    raw = body[p + 1 : p + 129]
+                    qtables[tq] = [
+                        (raw[i] << 8) | raw[i + 1]
+                        for i in range(0, len(raw) - 1, 2)
+                    ]
+                    p += 129
+                else:
+                    raise JpegError(f"invalid DQT precision {pq}")
                 if len(qtables[tq]) != 64:
                     raise JpegError("short DQT")
-                p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p + 17 <= len(body):
@@ -290,19 +327,41 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     raise JpegError("short DHT")
                 htables[(tc, th)] = _build_huff(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 sequential, SOF2 progressive, SOF9 sequential
-            # arithmetic (round 8, operators/jpeg_arith.py)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+            # SOF0/1 sequential (SOF1 also at 12-bit, round 8), SOF2
+            # progressive, SOF3 lossless (round 8,
+            # operators/jpeg_lossless.py), SOF9 sequential arithmetic
+            # (operators/jpeg_arith.py)
             progressive = marker == 0xC2
             arithmetic = marker == 0xC9
+            lossless = marker == 0xC3
             if len(body) < 6:
                 raise JpegError("short SOF segment")
             prec, h, w, nf = body[0], *struct.unpack(">HH", body[1:5]), body[5]
-            if prec != 8:
-                raise JpegError(f"{prec}-bit precision unsupported (8 only)")
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise JpegError(f"lossless precision {prec} out of 2..16")
+            elif prec == 12:
+                if marker != 0xC1:
+                    raise JpegError(
+                        "12-bit precision only supported for extended "
+                        "sequential Huffman (SOF1)"
+                    )
+            elif prec != 8:
+                raise JpegError(
+                    f"{prec}-bit precision unsupported for this process"
+                )
             if w == 0 or h == 0:
                 raise JpegError("zero-dimension frame")
-            if nf not in (1, 3):
+            if lossless:
+                if not 1 <= nf <= 4:
+                    raise JpegError("lossless frames support 1..4 components")
+            elif prec == 12:
+                if nf != 1:
+                    raise JpegError(
+                        "12-bit DCT decode is grayscale-only (1 component)"
+                    )
+            elif nf not in (1, 3):
                 raise JpegError(f"{nf}-component images unsupported (1 or 3)")
             if len(body) < 6 + 3 * nf:
                 raise JpegError("short SOF component list")
@@ -311,13 +370,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cid = body[6 + 3 * i]
                 hv = body[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
-                if not (1 <= hv >> 4 <= 2 and 1 <= hv & 0x0F <= 2):
+                if lossless:
+                    if hv != 0x11:
+                        raise JpegError(
+                            "subsampled lossless unsupported (1x1 only)"
+                        )
+                elif not (1 <= hv >> 4 <= 2 and 1 <= hv & 0x0F <= 2):
                     raise JpegError("sampling factors beyond 2 unsupported")
             frame = (w, h, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(
-                "unsupported SOF (lossless/progressive-arithmetic/"
-                "hierarchical)"
+                "unsupported SOF (progressive/lossless-arithmetic or "
+                "hierarchical differential)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
             p = 0
@@ -334,9 +398,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if progressive:
                 # the progressive loop owns the rest of the stream (scans
                 # interleave with DHT/DQT/DRI segments until EOI)
-                return _decode_progressive(
+                w, h, nch, px = _decode_progressive(
                     data, pos, frame, qtables, htables, restart_interval
                 )
+                return w, h, nch, 8, px
             if len(body) < 1:
                 raise JpegError("short SOS segment")
             ns = body[0]
@@ -349,18 +414,36 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 if cs not in comp_ids:
                     raise JpegError("scan references unknown component")
                 scan.append((comp_ids.index(cs), tdta >> 4, tdta & 0x0F))
+            if lossless:
+                if len(body) < 4 + 2 * ns:
+                    raise JpegError("short lossless SOS tail")
+                ss = body[1 + 2 * ns]
+                al = body[3 + 2 * ns] & 0x0F
+                from .jpeg_lossless import decode_scan_lossless
+
+                w, h, nch, depth, samples = decode_scan_lossless(
+                    data, pos + 2 + seglen, frame,
+                    [(ci, td) for ci, td, _ta in scan], htables,
+                    prec, ss, al, restart_interval,
+                )
+                if depth <= 8:
+                    return w, h, nch, depth, bytes(samples)
+                return w, h, nch, depth, struct.pack(
+                    f"<{len(samples)}H", *samples
+                )
             if ns != len(comp_ids):
                 raise JpegError("non-interleaved multi-scan unsupported")
             if arithmetic:
                 from .jpeg_arith import decode_scan_arith
 
-                return decode_scan_arith(
+                w, h, nch, px = decode_scan_arith(
                     data, pos + 2 + seglen, frame, scan, qtables, dac,
                     restart_interval,
                 )
+                return w, h, nch, 8, px
             return _decode_scan(
                 data, pos + 2 + seglen, frame, scan, qtables, htables,
-                restart_interval,
+                restart_interval, prec,
             )
         # APPn / COM / others: skip
         pos += 2 + seglen
@@ -375,16 +458,20 @@ def _decode_scan(
     qtables: dict[int, list[int]],
     htables: dict,
     restart_interval: int,
-) -> tuple[int, int, int, bytes]:
+    prec: int = 8,
+) -> tuple[int, int, int, int, bytes]:
     w, h, comps = frame
+    level = 1 << (prec - 1)
+    maxval = (1 << prec) - 1
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component padded planes
+    # per-component padded planes (list-of-int for deep precisions)
     planes = []
     for cid, ch, cv, tq in comps:
-        planes.append(bytearray(mcux * ch * 8 * mcuy * cv * 8))
+        n = mcux * ch * 8 * mcuy * cv * 8
+        planes.append(bytearray(n) if prec == 8 else [0] * n)
     r = _BitReader(data, pos)
     preds = [0] * len(comps)
     mcu_count = 0
@@ -431,10 +518,20 @@ def _decode_scan(
                         for yy in range(8):
                             row = (oy + yy) * pw + ox
                             for xx in range(8):
-                                v = int(round(px[yy * 8 + xx])) + 128
-                                plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+                                v = int(round(px[yy * 8 + xx])) + level
+                                plane[row + xx] = (
+                                    0 if v < 0 else (maxval if v > maxval else v)
+                                )
             mcu_count += 1
-    return _assemble(w, h, comps, planes, mcux, hmax, vmax)
+    if prec == 8:
+        w2, h2, nch, out = _assemble(w, h, comps, planes, mcux, hmax, vmax)
+        return w2, h2, nch, 8, out
+    # deep (12-bit) path: grayscale-only (enforced at SOF), crop the
+    # padded plane and emit little-endian uint16 samples
+    pw = mcux * comps[0][1] * 8
+    plane = planes[0]
+    vals = [plane[y * pw + x] for y in range(h) for x in range(w)]
+    return w, h, 1, prec, struct.pack(f"<{len(vals)}H", *vals)
 
 
 def _assemble(
@@ -852,6 +949,18 @@ def _encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]
 _DC_CODES = _encode_codes(_DC_BITS, _DC_VALS)
 _AC_CODES = _encode_codes(_AC_BITS, _AC_VALS)
 
+# 12-bit process tables (T.81 Table F.1 extends the ladders: DC SSSS
+# 0..15, AC SSSS 1..14).  Flat-length canonical again: DC 16 categories
+# at 5 bits, AC 226 symbols (EOB + ZRL + 16 runs x 14 sizes) at 8 bits.
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_DC12_VALS = list(range(16))
+_AC12_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
+_AC12_BITS = [0] * 7 + [len(_AC12_VALS)] + [0] * 8
+_DC12_CODES = _encode_codes(_DC12_BITS, _DC12_VALS)
+_AC12_CODES = _encode_codes(_AC12_BITS, _AC12_VALS)
+
 
 class _BitWriter:
     def __init__(self) -> None:
@@ -885,13 +994,20 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def _encode_block(
-    bw: _BitWriter, block: list[float], qt: list[int], pred: int
+    bw: _BitWriter,
+    block: list[float],
+    qt: list[int],
+    pred: int,
+    dc_codes: dict | None = None,
+    ac_codes: dict | None = None,
 ) -> int:
+    dc_codes = _DC_CODES if dc_codes is None else dc_codes
+    ac_codes = _AC_CODES if ac_codes is None else ac_codes
     coef = _fdct2(block)
     zz = [int(round(coef[_ZIGZAG[k]] / qt[k])) for k in range(64)]
     diff = zz[0] - pred
     t = _size_cat(diff)
-    bw.put(*_DC_CODES[t])
+    bw.put(*dc_codes[t])
     if t:
         bw.put(t, diff if diff >= 0 else diff + (1 << t) - 1)
     run = 0
@@ -900,20 +1016,20 @@ def _encode_block(
             run += 1
             continue
         while run > 15:
-            bw.put(*_AC_CODES[0xF0])  # ZRL
+            bw.put(*ac_codes[0xF0])  # ZRL
             run -= 16
         s = _size_cat(zz[k])
-        bw.put(*_AC_CODES[(run << 4) | s])
+        bw.put(*ac_codes[(run << 4) | s])
         v = zz[k]
         bw.put(s, v if v >= 0 else v + (1 << s) - 1)
         run = 0
     if run:
-        bw.put(*_AC_CODES[0x00])  # EOB
+        bw.put(*ac_codes[0x00])  # EOB
     return zz[0]
 
 
 def _plane_blocks(
-    plane: list[int], pw: int, ph: int, ox: int, oy: int
+    plane: list[int], pw: int, ph: int, ox: int, oy: int, level: float = 128.0
 ) -> list[float]:
     """8x8 block at (ox, oy) with edge replication, level-shifted."""
     blk = [0.0] * 64
@@ -921,7 +1037,7 @@ def _plane_blocks(
         sy = min(ph - 1, oy + y)
         for x in range(8):
             sx = min(pw - 1, ox + x)
-            blk[y * 8 + x] = plane[sy * pw + sx] - 128.0
+            blk[y * 8 + x] = plane[sy * pw + sx] - level
     return blk
 
 
@@ -966,12 +1082,13 @@ def _build_component_planes(
 def encode_jpeg(
     width: int,
     height: int,
-    pixels: bytes,
+    pixels,
     *,
     channels: int = 1,
     quant: int = 1,
     subsample: bool = False,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Minimal baseline JPEG encoder: uniform quant table of ``quant``,
     flat canonical Huffman tables, interleaved single scan.  ``channels``
@@ -981,15 +1098,30 @@ def encode_jpeg(
     markers every that-many MCUs (T.81 B.2.4.4) with the mandated DC
     predictor reset — the fixture path for the decoder's restart-index
     validation.  With ``quant=1`` a block-constant grayscale image
-    round-trips pixel-exactly (see module docstring)."""
+    round-trips pixel-exactly (see module docstring).
+
+    ``precision=12`` (round 8) emits the EXTENDED SEQUENTIAL process
+    (SOF1, T.81 12-bit): grayscale only, ``pixels`` a sequence of ints
+    in 0..4095, level shift 2048, Pq=1 16-bit DQT, and the extended
+    Table F.1 code ladders (DC SSSS to 15, AC SSSS to 14).  The
+    block-constant exactness contract carries over unchanged at
+    quant=1 (decode via :func:`decode_jpeg_ext`)."""
+    if precision not in (8, 12):
+        raise JpegError("precision must be 8 or 12")
+    if precision == 12 and channels != 1:
+        raise JpegError("12-bit encode is grayscale-only")
     if channels not in (1, 3):
         raise JpegError(f"channels must be 1 or 3, got {channels}")
     if len(pixels) != width * height * channels:
         raise JpegError("pixel buffer size mismatch")
-    if quant < 1 or quant > 255:
-        raise JpegError("quant must be 1..255")
+    if quant < 1 or quant > (255 if precision == 8 else 65535):
+        raise JpegError("quant out of range for DQT precision")
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise JpegError("restart_interval must be 0..65535")
+    if precision == 12:
+        for v in pixels:
+            if not 0 <= int(v) <= 4095:
+                raise JpegError(f"sample {v} out of range for 12-bit")
     qt = [quant] * 64
     planes, samp = _build_component_planes(
         width, height, pixels, channels, subsample
@@ -1008,13 +1140,25 @@ def encode_jpeg(
     out += _seg(
         0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     )
-    out += _seg(0xDB, bytes([0x00]) + bytes(qt))
-    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([len(planes)])
+    if precision == 8:
+        out += _seg(0xDB, bytes([0x00]) + bytes(qt))
+    else:
+        out += _seg(
+            0xDB, bytes([0x10]) + b"".join(struct.pack(">H", q) for q in qt)
+        )
+    sof = bytes([precision]) + struct.pack(">HH", height, width)
+    sof += bytes([len(planes)])
     for ci, (sh, sv) in enumerate(samp):
         sof += bytes([ci + 1, (sh << 4) | sv, 0])
-    out += _seg(0xC0, sof)
-    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
-    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xC0 if precision == 8 else 0xC1, sof)
+    if precision == 8:
+        dc_codes, ac_codes = _DC_CODES, _AC_CODES
+        out += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    else:
+        dc_codes, ac_codes = _DC12_CODES, _AC12_CODES
+        out += _seg(0xC4, bytes([0x00]) + bytes(_DC12_BITS) + bytes(_DC12_VALS))
+        out += _seg(0xC4, bytes([0x10]) + bytes(_AC12_BITS) + bytes(_AC12_VALS))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(planes)])
@@ -1043,9 +1187,13 @@ def encode_jpeg(
                 for by in range(sv):
                     for bx in range(sh):
                         blk = _plane_blocks(
-                            planes[ci], pw, ph, (mx * sh + bx) * 8, (my * sv + by) * 8
+                            planes[ci], pw, ph, (mx * sh + bx) * 8,
+                            (my * sv + by) * 8,
+                            float(1 << (precision - 1)),
                         )
-                        preds[ci] = _encode_block(bw, blk, qt, preds[ci])
+                        preds[ci] = _encode_block(
+                            bw, blk, qt, preds[ci], dc_codes, ac_codes
+                        )
     out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)

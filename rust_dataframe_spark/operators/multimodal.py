@@ -23,8 +23,9 @@ on two containers: animated GIFs via the pure-stdlib LZW codec in
 uncompressed-DIB streams via :mod:`operators.avi` — independent frame
 chunks mean ``sample_frames(fake_decode=False)`` decodes ONLY the
 sampled frames.  Formats that genuinely need
-media libraries absent from this container (12-bit/hierarchical
-JPEG, MP3/OGG, MP4/WebM) keep the documented stub: raise
+media libraries absent from this container (hierarchical
+JPEG, MP3/OGG audio decode, non-MJPEG MP4/WebM codecs) keep the
+documented stub: raise
 NotImplementedError, or with ``fake=True`` a clearly-marked deterministic
 fake derives "features" from the bytes.  Everything around the decode —
 schema, batch iteration, UDF signature, partitioning — is identical on
@@ -96,14 +97,15 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     REAL paths: PNGs across the full format matrix (round 7 — all five
     color types incl. palette+tRNS, depths 1/2/4/8/16, Adam7 interlace)
     via the pure-stdlib codec in :mod:`operators.png`, and sequential
-    (SOF0), progressive (SOF2) or arithmetic-coded (SOF9, round 8)
-    JPEGs (8-bit, 4:4:4/4:2:2/4:2:0) via :mod:`operators.jpeg` +
-    :mod:`operators.jpeg_arith` — no PIL needed.  Payloads outside those
-    subsets (12-bit JPEG, or the synthetic text-derived
+    (SOF0), progressive (SOF2), arithmetic-coded (SOF9, round 8),
+    12-bit extended-sequential (SOF1) and LOSSLESS (SOF3, round 8)
+    JPEGs via :mod:`operators.jpeg` + :mod:`operators.jpeg_arith` +
+    :mod:`operators.jpeg_lossless` — no PIL needed.  Payloads outside
+    those subsets (hierarchical JPEG, or the synthetic text-derived
     payloads the test tables use) fall back to the documented
     deterministic fake when ``fake=True``, else raise.
     """
-    from .jpeg import JpegError, decode_jpeg, is_jpeg
+    from .jpeg import JpegError, decode_jpeg_ext, is_jpeg
     from .png import PngError, decode_png, is_png
 
     if is_png(bytes(payload[:8])):
@@ -115,7 +117,7 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
                 raise
     elif is_jpeg(bytes(payload[:2])):
         try:
-            w, h, _ch, _px = decode_jpeg(payload)
+            w, h, _ch, _depth, _px = decode_jpeg_ext(payload)
             return w, h
         except JpegError:
             if not fake:

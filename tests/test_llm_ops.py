@@ -3179,3 +3179,183 @@ class TestJpegArithmetic:
             decode_jpeg(blob[: len(blob) // 2] + b"\xff\xd9")
         except JpegError:
             pass
+
+
+class TestJpegLossless:
+    """Round 8: lossless JPEG (SOF3, T.81 Annex H) in
+    operators/jpeg_lossless.py, dispatched from decode_jpeg_ext —
+    EXACT round-trip, every predictor, precisions 2..16."""
+
+    def test_all_predictors_exact_8bit(self):
+        import random
+
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg
+        from rust_dataframe_spark.operators.jpeg_lossless import (
+            encode_jpeg_lossless,
+        )
+
+        rng = random.Random(7)
+        for pred in range(1, 8):
+            w, h = 17, 11
+            px = [rng.randrange(256) for _ in range(w * h)]
+            blob = encode_jpeg_lossless(w, h, px, predictor=pred)
+            ww, hh, ch, out = decode_jpeg(blob)
+            assert (ww, hh, ch) == (w, h, 1)
+            assert list(out) == px
+
+    def test_deep_precisions_and_channels(self):
+        import random
+        import struct
+
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg_ext
+        from rust_dataframe_spark.operators.jpeg_lossless import (
+            encode_jpeg_lossless,
+        )
+
+        rng = random.Random(11)
+        for prec, nch, pred in [(2, 1, 1), (12, 1, 4), (16, 3, 5),
+                                (10, 2, 7), (16, 1, 2)]:
+            w, h = 9, 6
+            top = (1 << prec) - 1
+            px = [rng.randint(0, top) for _ in range(w * h * nch)]
+            blob = encode_jpeg_lossless(
+                w, h, px, channels=nch, precision=prec, predictor=pred
+            )
+            ww, hh, ch, depth, out = decode_jpeg_ext(blob)
+            assert (ww, hh, ch, depth) == (w, h, nch, prec)
+            if prec <= 8:
+                assert list(out) == px
+            else:
+                assert list(struct.unpack(f"<{w * h * nch}H", out)) == px
+
+    def test_point_transform(self):
+        """Decoded output is the Pt-truncated domain shifted back up
+        (Annex H point transform semantics)."""
+        import random
+        import struct
+
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg_ext
+        from rust_dataframe_spark.operators.jpeg_lossless import (
+            encode_jpeg_lossless,
+        )
+
+        rng = random.Random(3)
+        w, h = 8, 8
+        px = [rng.randrange(4096) for _ in range(w * h)]
+        blob = encode_jpeg_lossless(
+            w, h, px, precision=12, predictor=6, point_transform=3
+        )
+        _, _, _, depth, out = decode_jpeg_ext(blob)
+        vals = list(struct.unpack(f"<{w * h}H", out))
+        assert vals == [(v >> 3) << 3 for v in px]
+
+    def test_ssss16_large_diff_path(self):
+        """A sample stream engineered to produce the lossless-only
+        SSSS=16 (diff exactly 32768 mod 2^16) code round-trips."""
+        import struct
+
+        from rust_dataframe_spark.operators.jpeg import decode_jpeg_ext
+        from rust_dataframe_spark.operators.jpeg_lossless import (
+            encode_jpeg_lossless,
+        )
+
+        # first sample predicted with 1 << 15; value 0 gives diff -32768
+        # == 32768 mod 2^16 -> the SSSS=16 code with no appended bits
+        px = [0, 32768, 0, 32768, 65535, 1, 32769, 2]
+        blob = encode_jpeg_lossless(4, 2, px, precision=16, predictor=1)
+        _, _, _, _, out = decode_jpeg_ext(blob)
+        assert list(struct.unpack("<8H", out)) == px
+
+    def test_fail_loud_contracts(self):
+        import pytest
+
+        from rust_dataframe_spark.operators.jpeg import JpegError, decode_jpeg
+        from rust_dataframe_spark.operators.jpeg_lossless import (
+            encode_jpeg_lossless,
+        )
+
+        with pytest.raises(JpegError):
+            encode_jpeg_lossless(4, 2, [0] * 8, predictor=0)
+        with pytest.raises(JpegError):
+            encode_jpeg_lossless(4, 2, [0] * 8, precision=17)
+        with pytest.raises(JpegError):
+            encode_jpeg_lossless(2, 2, [256, 0, 0, 0], precision=8)
+        # deep samples through the byte-contract entry raise
+        blob = encode_jpeg_lossless(2, 2, [0, 1, 2, 3], precision=12)
+        with pytest.raises(JpegError, match="decode_jpeg_ext"):
+            decode_jpeg(blob)
+
+
+class TestJpeg12Bit:
+    """Round 8: 12-bit extended sequential (SOF1) — Pq=1 DQT, level
+    shift 2048, extended F.1 ladders; decode via decode_jpeg_ext."""
+
+    def test_block_constant_exact(self):
+        import struct
+
+        from rust_dataframe_spark.operators.jpeg import (
+            decode_jpeg_ext,
+            encode_jpeg,
+        )
+
+        w, h = 24, 16
+        px = [
+            (100 + 137 * ((x // 8) + 3 * (y // 8))) % 4096
+            for y in range(h)
+            for x in range(w)
+        ]
+        ww, hh, ch, depth, out = decode_jpeg_ext(
+            encode_jpeg(w, h, px, channels=1, precision=12)
+        )
+        assert (ww, hh, ch, depth) == (w, h, 1, 12)
+        assert list(struct.unpack(f"<{w * h}H", out)) == px
+
+    def test_general_content_bounded_error(self):
+        import random
+        import struct
+
+        from rust_dataframe_spark.operators.jpeg import (
+            decode_jpeg_ext,
+            encode_jpeg,
+        )
+
+        rng = random.Random(5)
+        w, h = 16, 16
+        px = [rng.randrange(4096) for _ in range(w * h)]
+        _, _, _, _, out = decode_jpeg_ext(
+            encode_jpeg(w, h, px, channels=1, precision=12)
+        )
+        vals = struct.unpack(f"<{w * h}H", out)
+        assert max(abs(a - b) for a, b in zip(vals, px)) <= 16
+
+    def test_16bit_dqt_parsed(self):
+        """quant values beyond 255 force Pq=1 16-bit DQT entries and
+        decode applies them (coarse quantization shows up as larger
+        reconstruction error, never a parse failure)."""
+        import struct
+
+        from rust_dataframe_spark.operators.jpeg import (
+            decode_jpeg_ext,
+            encode_jpeg,
+        )
+
+        w, h = 8, 8
+        px = [2048 + ((x * 64 + y * 32) % 1024) for y in range(h) for x in range(w)]
+        _, _, _, depth, out = decode_jpeg_ext(
+            encode_jpeg(w, h, px, channels=1, precision=12, quant=300)
+        )
+        assert depth == 12
+        vals = struct.unpack(f"<{w * h}H", out)
+        assert all(0 <= v <= 4095 for v in vals)
+
+    def test_contracts(self):
+        import pytest
+
+        from rust_dataframe_spark.operators.jpeg import JpegError, encode_jpeg
+
+        with pytest.raises(JpegError):
+            encode_jpeg(2, 2, [0] * 12, channels=3, precision=12)
+        with pytest.raises(JpegError):
+            encode_jpeg(2, 2, [4096, 0, 0, 0], channels=1, precision=12)
+        with pytest.raises(JpegError):
+            encode_jpeg(2, 2, [0] * 4, channels=1, precision=10)
