@@ -803,3 +803,91 @@ def q412_jpeg_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         gen_and_decode, "doc_id bigint, width int, height int, px_sum bigint"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q413: FLAC round-trip — exact per-(doc, channel) sample-sum oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q413_flac_roundtrip",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      200 + (doc_id % 5) * 50 AS m,
+                      CAST(doc_id % 2 AS INT) + 1 AS nch
+               FROM documents WHERE doc_id < 48),
+    ch AS (SELECT doc_id, m, nch, unnest(range(0, nch)) AS c FROM d),
+    i AS (SELECT doc_id, m, nch, c, unnest(range(0, m)) AS i FROM ch),
+    v AS (SELECT doc_id, nch, c,
+                 CASE WHEN c = 0
+                   THEN ((doc_id * 31 + i * 17 + (i * i) % 13) % 4001) - 2000
+                   ELSE ((doc_id * 53 + i * 29) % 4001) - 2000
+                 END AS s
+          FROM i)
+    SELECT doc_id, CAST(c AS INT) AS channel,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS s_sum,
+           CAST(sum(abs(s)) AS BIGINT) AS s_abs
+    FROM v GROUP BY doc_id, c ORDER BY doc_id, channel
+    """,
+)
+def q413_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC round-trip (round 8 — operators/flac.py, the lossless audio
+    format real corpora carry next to WAV): each doc synthesizes an
+    analytic 16-bit sample stream (mono for even docs; stereo with
+    MID/SIDE decorrelation for odd docs), encodes it into a multi-frame
+    FLAC stream (block_size=192 so frame headers, CRC-8/16 chains and
+    the UTF-8 frame numbering are all exercised), decodes it back with
+    MD5 verification, and reports EXACT per-(doc, channel) sums —
+    lossless, so the oracle just replays the closed-form synth.  Any
+    drift in Rice coding, fixed-predictor reconstruction, stereo
+    algebra, or CRC handling flips s_sum/s_abs.  Arrow-batched
+    mapInPandas on executors; the driver never sees sample bytes."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "channel": [], "n_samples": [],
+                    "s_sum": [], "s_abs": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = 200 + (d % 5) * 50
+                nch = 1 + d % 2
+                left = [
+                    ((d * 31 + i * 17 + (i * i) % 13) % 4001) - 2000
+                    for i in range(m)
+                ]
+                if nch == 2:
+                    right = [((d * 53 + i * 29) % 4001) - 2000 for i in range(m)]
+                    inter = [v for p in zip(left, right) for v in p]
+                else:
+                    inter = left
+                blob = encode_flac(
+                    16000, nch, 16, inter, block_size=192,
+                    mid_side=(nch == 2),
+                )
+                _r, _ch, _b, out = decode_flac(blob)
+                for c in range(nch):
+                    sc = out[c::nch]
+                    rows["doc_id"].append(d)
+                    rows["channel"].append(c)
+                    rows["n_samples"].append(len(sc))
+                    rows["s_sum"].append(sum(sc))
+                    rows["s_abs"].append(sum(abs(x) for x in sc))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, channel int, n_samples bigint, s_sum bigint, "
+        "s_abs bigint",
+    ).orderBy("doc_id", "channel")

@@ -58,6 +58,7 @@ __all__ = [
     "resize_images",
     "sample_frames",
     "decode_wav",
+    "decode_audio",
     "segment_audio",
 ]
 
@@ -477,6 +478,33 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     return sr, nch, sw, samples
 
 
+def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Container-dispatching audio decode: RIFF/WAVE via
+    :func:`decode_wav`, FLAC (round 8, :mod:`operators.flac` — Rice-
+    coded LPC, CRC-8/16 + MD5 enforced, EXACT) by magic.  Same contract
+    as decode_wav: ``(sample_rate, n_channels, sample_width, samples)``
+    with mono-mixed signed samples at scale ``2^(8*sample_width - 1)``
+    — FLAC depths that are not byte multiples (12/20-bit) are shifted
+    left to the next byte width so the dyadic energy rescale in
+    ``segment_audio`` stays exact.  MP3/OGG payloads still raise
+    NotImplementedError (true DSP codecs; documented gate)."""
+    from .flac import decode_flac, is_flac
+
+    if is_flac(bytes(payload[:4])):
+        _sr, nch, bps, inter = decode_flac(payload)
+        sw = (bps + 7) // 8
+        shift = 8 * sw - bps
+        if shift:
+            inter = [v << shift for v in inter]
+        if nch > 1:
+            inter = [
+                sum(inter[i : i + nch]) // nch
+                for i in range(0, len(inter), nch)
+            ]
+        return _sr, nch, sw, inter
+    return decode_wav(payload)
+
+
 def segment_audio(
     mm_df: DataFrame,
     *,
@@ -492,10 +520,11 @@ def segment_audio(
     corpus is transcribed or embedded.
 
     REAL path (round 5): RIFF/WAVE PCM payloads decode for real via the
-    stdlib ``wave`` module (:func:`decode_wav` — 8/16-bit, mono-mixed)
+    stdlib ``wave`` module (:func:`decode_wav` — 8/16-bit, mono-mixed),
+    and round 8 adds FLAC via :func:`decode_audio`'s magic dispatch,
     with ``fake_decode=False``; ``frame_bytes`` then counts SAMPLES per
     frame and energy is mean |amplitude| rescaled to 0..256 by a dyadic
-    factor (see ``_energies_real``).  Compressed formats (mp3/ogg) would
+    factor (see ``_energies_real``).  Lossy DSP formats (mp3/ogg) would
     need ffmpeg and keep the documented fake: payload BYTES as 8-bit
     samples, frame energy = mean byte value per ``frame_bytes`` window —
     identical Arrow-batched mapInPandas shape, per-row fan-out (one row
@@ -519,7 +548,7 @@ def segment_audio(
         # 8-bit multiplies by 2 — powers of two keep the value an exact
         # dyadic double, which makes segment means order-independent and
         # bit-replayable by the SQL oracle)
-        _sr, _nch, sw, samples = decode_wav(data)
+        _sr, _nch, sw, samples = decode_audio(data)
         scale = 256.0 / float(1 << (8 * sw - 1))
         return [
             sum(abs(v) for v in samples[i : i + frame_bytes])

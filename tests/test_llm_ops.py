@@ -3359,3 +3359,162 @@ class TestJpeg12Bit:
             encode_jpeg(2, 2, [4096, 0, 0, 0], channels=1, precision=12)
         with pytest.raises(JpegError):
             encode_jpeg(2, 2, [0] * 4, channels=1, precision=10)
+
+
+class TestFlac:
+    """Round 8: pure-stdlib FLAC codec (operators/flac.py) — lossless,
+    CRC-8/16 + STREAMINFO MD5 enforced, exact round-trip."""
+
+    def test_round_trip_matrix(self):
+        import math
+        import random
+
+        from rust_dataframe_spark.operators.flac import decode_flac, encode_flac
+
+        rng = random.Random(9)
+        cases = [
+            ("random16", 1, 16, [rng.randint(-32768, 32767) for _ in range(900)]),
+            ("smooth16", 1, 16, [int(9000 * math.sin(i / 17)) for i in range(4000)]),
+            ("const", 1, 16, [-777] * 500),
+            ("ramp8", 1, 8, [(i % 200) - 100 for i in range(600)]),
+            ("deep24", 1, 24, [rng.randint(-(1 << 23), (1 << 23) - 1) for _ in range(300)]),
+        ]
+        for name, nch, bps, s in cases:
+            for bsz in (192, 4096):
+                r, ch, b, out = decode_flac(
+                    encode_flac(44100, nch, bps, s, block_size=bsz)
+                )
+                assert (r, ch, b) == (44100, nch, bps)
+                assert out == s, name
+
+    def test_stereo_mid_side(self):
+        import math
+
+        from rust_dataframe_spark.operators.flac import decode_flac, encode_flac
+
+        ls = [int(5000 * math.sin(i / 11)) for i in range(2500)]
+        rs = [int(5000 * math.sin(i / 11 + 0.2)) + (i % 7) - 3 for i in range(2500)]
+        inter = [v for p in zip(ls, rs) for v in p]
+        for ms in (False, True):
+            _, ch, _, out = decode_flac(
+                encode_flac(8000, 2, 16, inter, block_size=1152, mid_side=ms)
+            )
+            assert ch == 2 and out == inter
+
+    def test_crc_and_md5_fail_loud(self):
+        import pytest
+
+        from rust_dataframe_spark.operators.flac import (
+            FlacError,
+            decode_flac,
+            encode_flac,
+        )
+
+        blob = bytearray(encode_flac(8000, 1, 16, list(range(-200, 200))))
+        bad = bytearray(blob)
+        bad[-1] ^= 0x55  # frame CRC-16
+        with pytest.raises(FlacError, match="CRC-16"):
+            decode_flac(bytes(bad))
+        bad = bytearray(blob)
+        bad[10] ^= 0x01  # STREAMINFO -> MD5 mismatch path is caught by
+        # framestream checks first only if structure breaks; flip MD5 itself
+        bad = bytearray(blob)
+        bad[4 + 4 + 18] ^= 0xFF  # first MD5 byte inside STREAMINFO
+        with pytest.raises(FlacError, match="MD5"):
+            decode_flac(bytes(bad))
+
+    def test_lpc_rice2_escape_wasted_handbuilt(self):
+        """Hand-built single-frame stream exercising the decoder paths
+        the fixture encoder never emits: LPC order 2, rice2 (method 1)
+        residual with partition order 1, one ESCAPE partition (raw
+        5-bit residuals), and a wasted-bits subframe prefix."""
+        import struct
+
+        from rust_dataframe_spark.operators.flac import (
+            _BitW,
+            _crc8,
+            _crc16,
+            _md5_of,
+            decode_flac,
+        )
+
+        n, bps = 16, 16
+        # all-even samples so wasted=1 is legitimate
+        s = [4, 8, 10, 14, 12, 10, 8, 10, 14, 18, 20, 18, 14, 12, 10, 8]
+        half = [v >> 1 for v in s]  # stored domain (wasted=1)
+        order, shift, coefs = 2, 1, [3, -1]
+        res = []
+        for i in range(order, n):
+            pred = (coefs[0] * half[i - 1] + coefs[1] * half[i - 2]) >> shift
+            res.append(half[i] - pred)
+        # STREAMINFO
+        si = _BitW()
+        si.write(16, n); si.write(16, n)
+        si.write(24, 0); si.write(24, 0)
+        si.write(20, 8000); si.write(3, 0); si.write(5, bps - 1)
+        si.write(36, n)
+        body = si.bytes() + _md5_of(s, 1, bps)
+        out = bytearray(b"fLaC")
+        out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+        # frame header
+        hdr = _BitW()
+        hdr.write(14, 0x3FFE); hdr.write(1, 0); hdr.write(1, 0)
+        hdr.write(4, 6)   # 8-bit blocksize-1 at end
+        hdr.write(4, 0)   # rate from streaminfo
+        hdr.write(4, 0)   # 1 channel
+        hdr.write(3, 4)   # 16-bit
+        hdr.write(1, 0)
+        hdr.write(8, 0)   # frame number 0 (utf8 1-byte)
+        hdr.write(8, n - 1)
+        hdr.align()
+        hb = bytearray(hdr.bytes()); hb.append(_crc8(bytes(hb)))
+        # subframe: LPC order 2 (type 32 + order - 1), wasted=1
+        bw = _BitW()
+        bw.write(1, 0)
+        bw.write(6, 32 + order - 1)
+        bw.write(1, 1)   # wasted flag
+        bw.write(1, 1)   # unary 0 -> wasted = 1
+        eff = bps - 1
+        for v in half[:order]:
+            bw.write(eff, v)
+        bw.write(4, 3)    # precision-1 = 3 -> 4-bit coefs
+        bw.write(5, shift)
+        for c in coefs:
+            bw.write(4, c)
+        # residual: method 1 (rice2), partition order 1 -> 2 partitions
+        bw.write(2, 1)
+        bw.write(4, 1)
+        # partition 0: n/2 - order = 6 residuals, rice2 param 2
+        bw.write(5, 2)
+        for v in res[:6]:
+            u = (v << 1) if v >= 0 else (((-v) << 1) - 1)
+            q = u >> 2
+            bw.write(q + 1, 1)
+            bw.write(2, u & 3)
+        # partition 1: 8 residuals, ESCAPE with 5 raw bits
+        bw.write(5, 31)
+        bw.write(5, 5)
+        for v in res[6:]:
+            bw.write(5, v & 31)
+        bw.align()
+        frame = bytes(hb) + bw.bytes()
+        out += frame + struct.pack(">H", _crc16(frame))
+        r, ch, b, dec = decode_flac(bytes(out))
+        assert (r, ch, b) == (8000, 1, 16)
+        assert dec == s
+
+    def test_decode_audio_dispatch(self):
+        """multimodal.decode_audio routes FLAC by magic and keeps the
+        sample-scale invariant (12-bit shifts to the 16-bit carrier)."""
+        from rust_dataframe_spark.operators.flac import encode_flac
+        from rust_dataframe_spark.operators.multimodal import decode_audio
+
+        s = [(i % 401) - 200 for i in range(500)]
+        sr, nch, sw, mono = decode_audio(encode_flac(16000, 1, 12, s))
+        assert (sr, nch, sw) == (16000, 1, 2)
+        assert mono == [v << 4 for v in s]
+        # stereo mixes to mono like decode_wav does
+        inter = [v for p in zip(s, [x + 2 for x in s]) for v in p]
+        _, nch2, _, mono2 = decode_audio(encode_flac(16000, 2, 16, inter))
+        assert nch2 == 2
+        assert mono2 == [(a + a + 2) // 2 for a in s]
