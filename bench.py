@@ -150,6 +150,10 @@ HEADLINE = [
     "q408_pgcopy_roundtrip",
     "q409_arithmetic_jpeg",
     "q410_unigram_em_earlystop",
+    # round-9 additions: MP4 demux wiring, FLAC-in-Ogg, MP3 frame census
+    "q414_mp4_frames",
+    "q415_ogg_flac",
+    "q416_mp3_census",
 ]
 
 
@@ -258,6 +262,35 @@ def main() -> None:
     }
     if reps > 1:
         out["reps"] = reps
+    # VERDICT r8 #8: with the headline set at 100+ queries and growing,
+    # cross-round totals stop being comparable as names are added.  Record
+    # the total restricted to the PREVIOUS record's name set (prefer the
+    # committed BENCH_SUMMARY.json — it carries the full set; fall back to
+    # the latest driver BENCH_r{N}.json, which may be pruned) so the
+    # round-over-round signal survives set growth without archaeology.
+    prev_names: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_SUMMARY.json")) as f:
+            prev_names = set(json.load(f).get("queries") or {})
+    except Exception:
+        prev_names = set()
+    if not prev_names:
+        try:
+            import glob as _glob
+
+            recs = sorted(_glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
+            if recs:
+                with open(recs[-1]) as f:
+                    rec = json.load(f)
+                parsed = rec.get("parsed") or rec
+                prev_names = set(parsed.get("queries") or {})
+        except Exception:
+            prev_names = set()
+    common = [n for n in timings if n in prev_names]
+    if common:
+        out["comparable_total"] = round(sum(timings[n] for n in common), 3)
+        out["comparable_n"] = len(common)
     jvms_after = _other_spark_jvms()
     out["other_spark_jvms"] = max(jvms_before, jvms_after)
     out["contended"] = out["other_spark_jvms"] > 0

@@ -171,10 +171,11 @@ def _decode_residual(br: _Bits, blocksize: int, order: int) -> list[int]:
     if blocksize % nparts != 0:
         raise FlacError("block size not divisible by partition count")
     psize = blocksize >> po
-    if psize <= order and po > 0 or psize < order:
-        # partition 0 holds psize - order samples; must be >= 0
-        if psize - order < 0:
-            raise FlacError("predictor order exceeds partition size")
+    if psize < order or (po > 0 and psize == order):
+        # RFC 9639: for po > 0 the first partition holds psize - order
+        # samples and the partition size must be STRICTLY greater than the
+        # predictor order; an == stream is spec-invalid (empty partition 0).
+        raise FlacError("predictor order exceeds partition size")
     out: list[int] = []
     for p in range(nparts):
         cnt = psize - order if p == 0 else psize

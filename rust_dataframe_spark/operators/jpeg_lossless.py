@@ -107,8 +107,14 @@ def decode_scan_lossless(
         raise JpegError(f"lossless predictor Ss={sel} out of range 1..7")
     if pt >= prec:
         raise JpegError(f"point transform {pt} >= precision {prec}")
-    if len(scan) not in (1, len(comps)):
-        raise JpegError("lossless scan must cover 1 or all components")
+    if len(scan) != len(comps):
+        # decode_jpeg_ext returns after the first SOS, so a partial scan in
+        # a multi-component frame would leave the other channels silently
+        # zeroed — fail loud, mirroring the sequential non-interleaved gate.
+        raise JpegError(
+            "non-interleaved multi-scan lossless JPEG unsupported: scan "
+            f"covers {len(scan)} of {len(comps)} components (fail-loud)"
+        )
     tabs = []
     for ci, td in scan:
         t = htables.get((0, td))

@@ -1,0 +1,444 @@
+"""Pure-stdlib MPEG-1/2 Layer III (MP3) frame layer — REAL header walk,
+CRC, side-info, bit-reservoir accounting and stream census; spectral
+DSP honestly gated.
+
+MP3 was the last documented audio fake-decode gate.  What a 100 TB
+corpus pipeline actually needs from MP3 files first is the FRAME LAYER:
+sync walk, header validation, per-frame bitrate/samplerate (VBR
+streams change bitrate frame to frame), CRC-16 protection check,
+side-info parse (main_data_begin, part2_3_length, big_values, block
+types), bit-reservoir consistency, Xing/Info VBR header detection, and
+the duration/sample census — that is what drives corpus inventory,
+dedup keys, sampling budgets and transcode planning.  This module
+implements ALL of that from the public ISO/IEC 11172-3 framing spec,
+byte-exact and fail-loud.
+
+The spectral path (Huffman spectral decode -> requantization -> IMDCT
+-> polyphase synthesis) requires the 34 spec Huffman code tables and
+the 512-coefficient synthesis window, which are pure DATA from ISO
+11172-3 Annex B — they cannot be derived closed-form, and transcribing
+them unverifiably from memory would risk a silently-wrong decoder (the
+repo's decode policy forbids that).  So :func:`decode_mp3` decodes the
+one case that is table-free and EXACT — digital silence (frames whose
+granules carry ``big_values == 0`` and empty count1 regions decode to
+all-zero PCM by construction, no Huffman table consulted) — and raises
+:class:`NotImplementedError` the moment a granule carries nonzero
+spectral data.  The fixture encoder (:func:`encode_mp3_silence`) emits
+conformant silence streams (valid headers, CRC-16, side info,
+scalefactors, correct frame padding walk) so the round trip pins the
+entire frame layer bit-for-bit.
+
+Fail-loud contract: structural violations raise :class:`Mp3Error`;
+spectral data raises NotImplementedError (census still real).
+Reference parity: the reference repo has no audio surface; this extends
+the multimodal matrix (SURVEY §8).  Scale: frames are sequential within
+a payload but payloads are independent rows — census runs Arrow-batched
+on executors, O(bytes) per payload with no per-sample work.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "Mp3Error",
+    "is_mp3",
+    "mp3_frames",
+    "mp3_census",
+    "decode_mp3",
+    "encode_mp3_silence",
+]
+
+
+class Mp3Error(ValueError):
+    """Malformed MPEG audio framing."""
+
+
+# ISO 11172-3 / 13818-3 header tables (public framing constants)
+_BITRATE_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                  256, 320]
+_BITRATE_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+                  160]
+_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+          0: [11025, 12000, 8000]}  # version bits -> samplerate rows
+
+
+def is_mp3(head: bytes) -> bool:
+    """True when the payload starts with an MPEG audio frame sync or an
+    ID3v2 tag (the common on-disk prefix)."""
+    if head[:3] == b"ID3":
+        return True
+    return (
+        len(head) >= 2
+        and head[0] == 0xFF
+        and (head[1] & 0xE0) == 0xE0
+        and (head[1] & 0x18) != 0x08  # version not reserved
+        and (head[1] & 0x06) == 0x02  # layer III
+    )
+
+
+def _crc16_ibm(data: bytes, crc: int = 0xFFFF) -> int:
+    """CRC-16 with polynomial 0x8005 (MSB-first), as 11172-3 specifies
+    for protected frames."""
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+    return crc
+
+
+class _Bits:
+    __slots__ = ("d", "pos")
+
+    def __init__(self, d: bytes, pos: int = 0):
+        self.d, self.pos = d, pos
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+def _parse_header(data: bytes, pos: int) -> dict:
+    b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+    ver = (b1 >> 3) & 3
+    layer = (b1 >> 1) & 3
+    if ver == 1:
+        raise Mp3Error(f"reserved MPEG version at {pos}")
+    if layer != 1:
+        raise Mp3Error(
+            f"layer {4 - layer} at {pos}: only Layer III handled here"
+        )
+    protected = not (b1 & 1)
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    padding = (b2 >> 1) & 1
+    mode = (b3 >> 6) & 3
+    if br_idx in (0, 15):
+        raise Mp3Error(f"free-format/invalid bitrate index at {pos}")
+    if sr_idx == 3:
+        raise Mp3Error(f"reserved samplerate index at {pos}")
+    v1 = ver == 3
+    bitrate = (_BITRATE_V1_L3 if v1 else _BITRATE_V2_L3)[br_idx] * 1000
+    samplerate = _RATES[ver][sr_idx]
+    spf = 1152 if v1 else 576  # samples per frame, Layer III
+    frame_len = (144 if v1 else 72) * bitrate // samplerate + padding
+    nch = 1 if mode == 3 else 2
+    side_len = (17 if nch == 1 else 32) if v1 else (9 if nch == 1 else 17)
+    return {
+        "v1": v1, "protected": protected, "bitrate": bitrate,
+        "samplerate": samplerate, "spf": spf, "frame_len": frame_len,
+        "mode": mode, "nch": nch, "side_len": side_len,
+    }
+
+
+def _parse_side_info(h: dict, side: bytes) -> dict:
+    br = _Bits(side)
+    v1, nch = h["v1"], h["nch"]
+    main_data_begin = br.read(9 if v1 else 8)
+    br.read((5 if nch == 1 else 3) if v1 else (1 if nch == 1 else 2))
+    scfsi = [[br.read(1) for _ in range(4)] for _ in range(nch)] if v1 else None
+    granules = []
+    for _g in range(2 if v1 else 1):
+        chans = []
+        for _c in range(nch):
+            g = {
+                "part2_3_length": br.read(12),
+                "big_values": br.read(9),
+                "global_gain": br.read(8),
+                "scalefac_compress": br.read(4 if v1 else 9),
+            }
+            if g["big_values"] > 288:
+                raise Mp3Error(f"big_values {g['big_values']} > 288")
+            win_switch = br.read(1)
+            if win_switch:
+                g["block_type"] = br.read(2)
+                if g["block_type"] == 0:
+                    raise Mp3Error("window switching with block_type 0")
+                g["mixed"] = br.read(1)
+                g["tables"] = [br.read(5) for _ in range(2)]
+                g["subblock_gain"] = [br.read(3) for _ in range(3)]
+            else:
+                g["block_type"] = 0
+                g["mixed"] = 0
+                g["tables"] = [br.read(5) for _ in range(3)]
+                g["region0"] = br.read(4)
+                g["region1"] = br.read(3)
+            if v1:
+                g["preflag"] = br.read(1)
+            g["scalefac_scale"] = br.read(1)
+            g["count1table"] = br.read(1)
+            chans.append(g)
+        granules.append(chans)
+    return {"main_data_begin": main_data_begin, "scfsi": scfsi,
+            "granules": granules}
+
+
+def _skip_id3(data: bytes) -> int:
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    size = 0
+    for b in data[6:10]:
+        if b & 0x80:
+            raise Mp3Error("non-syncsafe ID3v2 size")
+        size = (size << 7) | b
+    return 10 + size
+
+
+def mp3_frames(data: bytes) -> list[dict]:
+    """Walk every frame in the stream: returns per-frame dicts with
+    ``offset/frame_len/bitrate/samplerate/spf/nch/mode/protected/
+    crc_ok/side`` (parsed side info).  Enforces: contiguous frames (no
+    garbage between frames — a desynchronized walk fails loud rather
+    than resyncing onto false syncwords), CRC-16 on protected frames,
+    bit-reservoir feasibility (``main_data_begin`` never reaches back
+    past the accumulated main-data bytes), and a consistent
+    samplerate/version across the stream.  ID3v2 leader and trailing
+    ID3v1 tag are skipped."""
+    data = bytes(data)
+    pos = _skip_id3(data)
+    end = len(data)
+    if end - pos >= 128 and data[end - 128 : end - 125] == b"TAG":
+        end -= 128  # ID3v1 trailer
+    frames: list[dict] = []
+    reservoir = 0  # main-data bytes available behind the current frame
+    key = None
+    while pos < end:
+        if pos + 4 > end:
+            raise Mp3Error(f"truncated frame header at {pos}")
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            raise Mp3Error(f"lost frame sync at {pos}")
+        h = _parse_header(data, pos)
+        if key is None:
+            key = (h["v1"], h["samplerate"], h["nch"])
+        elif key != (h["v1"], h["samplerate"], h["nch"]):
+            raise Mp3Error(
+                f"stream changes version/rate/channels at {pos} — "
+                "refusing a spliced stream"
+            )
+        if pos + h["frame_len"] > end:
+            raise Mp3Error(f"frame at {pos} overruns stream")
+        body = pos + 4
+        crc_ok = None
+        if h["protected"]:
+            if body + 2 > end:
+                raise Mp3Error("truncated CRC")
+            stored = int.from_bytes(data[body : body + 2], "big")
+            # CRC covers header bytes 2-3 + the side info
+            side0 = body + 2
+            calc = _crc16_ibm(
+                data[pos + 2 : pos + 4]
+                + data[side0 : side0 + h["side_len"]]
+            )
+            crc_ok = stored == calc
+            if not crc_ok:
+                raise Mp3Error(f"frame CRC mismatch at {pos}")
+            body += 2
+        side = data[body : body + h["side_len"]]
+        if len(side) < h["side_len"]:
+            raise Mp3Error("truncated side info")
+        si = _parse_side_info(h, side)
+        if si["main_data_begin"] > reservoir:
+            raise Mp3Error(
+                f"frame at {pos}: main_data_begin {si['main_data_begin']} "
+                f"reaches past the {reservoir}-byte bit reservoir"
+            )
+        main_len = h["frame_len"] - (body + h["side_len"] - pos)
+        if main_len < 0:
+            raise Mp3Error(f"frame at {pos} shorter than its side info")
+        reservoir = min(reservoir + main_len, 511)
+        frames.append({
+            "offset": pos, "frame_len": h["frame_len"],
+            "bitrate": h["bitrate"], "samplerate": h["samplerate"],
+            "spf": h["spf"], "nch": h["nch"], "mode": h["mode"],
+            "protected": h["protected"], "crc_ok": crc_ok,
+            "main_len": main_len, "side": si,
+            "main_start": body + h["side_len"],
+        })
+        pos += h["frame_len"]
+    if not frames:
+        raise Mp3Error("no MPEG audio frames")
+    return frames
+
+
+def mp3_census(data: bytes) -> dict:
+    """Corpus-inventory summary of one MP3 payload: frame count, total
+    PCM samples per channel, duration in ms (exact integer math:
+    ``spf * n_frames * 1000 // rate``), min/max/mean bitrate (VBR
+    visible), channel count, CRC protection, and whether a Xing/Info
+    VBR header occupies the first frame (its samples are then excluded
+    from the PCM total, as players do)."""
+    frames = mp3_frames(data)
+    f0 = frames[0]
+    # Xing/Info lives right after the side info of frame 0
+    tag_at = f0["main_start"]
+    xing = bytes(data[tag_at : tag_at + 4]) in (b"Xing", b"Info")
+    pcm_frames = frames[1:] if xing else frames
+    n = len(pcm_frames)
+    rate = f0["samplerate"]
+    total = f0["spf"] * n
+    brs = [f["bitrate"] for f in pcm_frames] or [f0["bitrate"]]
+    return {
+        "n_frames": len(frames),
+        "vbr_header": xing,
+        "samplerate": rate,
+        "nch": f0["nch"],
+        "protected": f0["protected"],
+        "total_samples": total,
+        "duration_ms": total * 1000 // rate,
+        "bitrate_min": min(brs),
+        "bitrate_max": max(brs),
+        "bitrate_sum": sum(brs),
+    }
+
+
+def decode_mp3(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode to ``(samplerate, channels, samples)`` — EXACT for the
+    table-free case: every granule must carry ``big_values == 0`` and a
+    zero-length count1 region (``part2_3_length`` spent entirely on
+    scalefactors), which decodes to digital silence with no Huffman
+    table consulted.  Nonzero spectral data raises NotImplementedError:
+    the ISO Huffman code tables and synthesis window are spec DATA this
+    sandbox cannot verify a transcription of, and a maybe-wrong decoder
+    is worse than a loud gate (module policy)."""
+    frames = mp3_frames(data)
+    tag_at = frames[0]["main_start"]
+    xing = bytes(data[tag_at : tag_at + 4]) in (b"Xing", b"Info")
+    pcm = frames[1:] if xing else frames
+    out_frames = 0
+    for f in pcm:
+        for gr in f["side"]["granules"]:
+            for g in gr:
+                if g["big_values"] != 0:
+                    raise NotImplementedError(
+                        "MP3 granule carries spectral data: Huffman "
+                        "spectral tables + synthesis window are "
+                        "untranscribable-in-sandbox ISO table data; only "
+                        "the frame layer and exact silence decode here"
+                    )
+                # part2 (scalefactor) bits for this granule; anything
+                # beyond would be count1 quadruples = nonzero samples
+                slen = _part2_bits(f, g)
+                if g["part2_3_length"] > slen:
+                    raise NotImplementedError(
+                        "MP3 count1 region present (nonzero quadruples): "
+                        "spectral decode gated, see module policy"
+                    )
+        out_frames += 1
+    f0 = frames[0]
+    return f0["samplerate"], f0["nch"], [0] * (out_frames * f0["spf"] * f0["nch"])
+
+
+_SLEN1 = [0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4]
+_SLEN2 = [0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3]
+
+
+def _part2_bits(f: dict, g: dict) -> int:
+    """Scalefactor (part2) bit budget for a long-block MPEG-1 granule —
+    the silence encoder only emits these; MPEG-2 scalefactor accounting
+    (9-bit scalefac_compress arithmetic) and short blocks gate loud."""
+    if f["spf"] != 1152 or g["block_type"] != 0:
+        raise NotImplementedError(
+            "silence accounting covers MPEG-1 long blocks only"
+        )
+    s1, s2 = _SLEN1[g["scalefac_compress"]], _SLEN2[g["scalefac_compress"]]
+    return 11 * s1 + 10 * s2
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder: conformant MPEG-1 Layer III silence
+# ---------------------------------------------------------------------------
+
+
+def encode_mp3_silence(
+    samplerate: int = 44100,
+    nch: int = 1,
+    n_frames: int = 8,
+    *,
+    bitrate_kbps: int = 64,
+    protected: bool = True,
+    vbr_pattern: tuple[int, ...] = (),
+) -> bytes:
+    """Emit ``n_frames`` of conformant MPEG-1 Layer III digital silence:
+    valid sync/headers with the exact padding walk, CRC-16 over
+    header+side-info when ``protected``, side info with ``big_values=0``
+    / ``part2_3_length=0`` / sane table fields, and zero main data.
+    ``vbr_pattern`` cycles per-frame bitrates (kbps) to make VBR streams
+    for the census.  Decodes back to exact zeros."""
+    if samplerate not in (44100, 48000, 32000):
+        raise Mp3Error("MPEG-1 rates only (44100/48000/32000)")
+    if nch not in (1, 2):
+        raise Mp3Error("nch must be 1 or 2")
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[samplerate]
+    out = bytearray()
+    for i in range(n_frames):
+        kbps = vbr_pattern[i % len(vbr_pattern)] if vbr_pattern else bitrate_kbps
+        br_idx = _BITRATE_V1_L3.index(kbps)
+        # padding so that average frame size matches the exact rational
+        # 144*bitrate/samplerate (the standard padding walk)
+        exact = 144 * kbps * 1000 / samplerate
+        base = int(exact)
+        # cumulative fractional-sample padding decision
+        pad = 1 if (144 * kbps * 1000 * (i + 1)) // samplerate - (
+            144 * kbps * 1000 * i
+        ) // samplerate > base else 0
+        frame_len = base + pad
+        mode = 3 if nch == 1 else 0
+        hdr = bytes([
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1) | (0 if protected else 1),
+            (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+            mode << 6,
+        ])
+        side_len = 17 if nch == 1 else 32
+        side = _silence_side_info(nch)
+        assert len(side) == side_len
+        body_fixed = 4 + (2 if protected else 0) + side_len
+        if frame_len < body_fixed:
+            raise Mp3Error("bitrate too low for side info")
+        frame = bytearray(hdr)
+        if protected:
+            crc = _crc16_ibm(hdr[2:4] + side)
+            frame += crc.to_bytes(2, "big")
+        frame += side
+        frame += b"\x00" * (frame_len - len(frame))
+        out += frame
+    return bytes(out)
+
+
+def _silence_side_info(nch: int) -> bytes:
+    """MPEG-1 side info: main_data_begin=0, scfsi=0, and per (granule,
+    channel): part2_3_length=0, big_values=0, global_gain=210,
+    scalefac_compress=0, long blocks, tables 0/0/0, regions 0/0,
+    preflag=0, scalefac_scale=0, count1table=0."""
+    bits: list[int] = []
+
+    def put(v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            bits.append((v >> k) & 1)
+
+    put(0, 9)                      # main_data_begin
+    put(0, 5 if nch == 1 else 3)   # private
+    for _ in range(nch):
+        put(0, 4)                  # scfsi
+    for _g in range(2):
+        for _c in range(nch):
+            put(0, 12)             # part2_3_length
+            put(0, 9)              # big_values
+            put(210, 8)            # global_gain
+            put(0, 4)              # scalefac_compress
+            put(0, 1)              # window_switching off
+            put(0, 5)              # table_select 0
+            put(0, 5)
+            put(0, 5)
+            put(0, 4)              # region0_count
+            put(0, 3)              # region1_count
+            put(0, 1)              # preflag
+            put(0, 1)              # scalefac_scale
+            put(0, 1)              # count1table_select
+    assert len(bits) % 8 == 0
+    return bytes(
+        sum(b << (7 - k) for k, b in enumerate(bits[i : i + 8]))
+        for i in range(0, len(bits), 8)
+    )

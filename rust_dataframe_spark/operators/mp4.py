@@ -237,8 +237,11 @@ def _parse_trak(data: bytes, ps: int, pe: int):
 def decode_mp4_frame(codec: str, payload: bytes) -> tuple[int, bytes]:
     """Decode ONE sample to ``(channels, top-down pixel plane)``.
     ``jpeg``/``mjpa`` samples are complete JPEGs (Motion-JPEG in MP4);
-    compressed inter-frame codecs fail loud."""
-    if codec in ("jpeg", "mjpa", "mjpb"):
+    ``mjpb`` (QuickTime Motion-JPEG format B) is headerless — no
+    SOI/DHT/SOS markers — so it cannot decode via the marker-driven JPEG
+    codec and falls through to the codec gate; compressed inter-frame
+    codecs fail loud."""
+    if codec in ("jpeg", "mjpa"):
         from .jpeg import decode_jpeg
 
         _w, _h, ch, px = decode_jpeg(payload)

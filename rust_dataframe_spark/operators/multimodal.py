@@ -305,8 +305,13 @@ def sample_frames(
     accumulation; AVI: ``src * usec_per_frame / 1000``).  The AVI path is
     the scale-relevant one: frames are independent chunks behind an
     index, so only the SAMPLED frames are decoded — O(sampled), where
-    GIF's sequential LZW is O(total).  Formats that genuinely need
-    pyav/ffmpeg (MP4/WebM...) still raise, per the module decode policy.
+    GIF's sequential LZW is O(total).  Round 9 adds MP4/ISO-BMFF via
+    :mod:`operators.mp4` — full box-tree demux (stts/stsc/stsz/stco →
+    per-sample byte ranges, same O(sampled) property as AVI) with pixel
+    decode for Motion-JPEG (``jpeg``/``mjpa``) sample entries;
+    H.264/HEVC/AV1 tracks demux fine but fail LOUD at pixel decode.
+    Formats that genuinely need pyav/ffmpeg (WebM, non-MJPEG MP4
+    payloads) still raise, per the module decode policy.
     The fake derives each frame deterministically from (payload,
     frame_idx).  The partitioning story is identical on all paths: output
     inherits the input's partitioning, so a downstream per-frame feature
@@ -320,6 +325,7 @@ def sample_frames(
 
         from .avi import decode_avi, decode_avi_frame, is_avi
         from .gif import decode_gif, is_gif
+        from .mp4 import decode_mp4, decode_mp4_frame, is_mp4
 
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
@@ -345,9 +351,21 @@ def sample_frames(
                         tss.append((src * usec) // 1000)
                         frames.append(plane)
                     continue
+                if is_mp4(bytes(p[:12])):
+                    _w, _h, tscale, codec, raw, ts_units = decode_mp4(p)
+                    total = len(raw)
+                    take = min(n_frames, total)
+                    for i in range(take):
+                        src = (i * total) // take
+                        _ch, plane = decode_mp4_frame(codec, raw[src])
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        tss.append((ts_units[src] * 1000) // tscale)
+                        frames.append(plane)
+                    continue
                 if not is_gif(bytes(p[:6])):
                     raise NotImplementedError(
-                        "non-GIF/AVI frame sampling requires pyav/ffmpeg"
+                        "non-GIF/AVI/MP4 frame sampling requires pyav/ffmpeg"
                     )
                 _w, _h, decoded = decode_gif(p)
                 total = len(decoded)
@@ -481,15 +499,31 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
 def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
     """Container-dispatching audio decode: RIFF/WAVE via
     :func:`decode_wav`, FLAC (round 8, :mod:`operators.flac` — Rice-
-    coded LPC, CRC-8/16 + MD5 enforced, EXACT) by magic.  Same contract
-    as decode_wav: ``(sample_rate, n_channels, sample_width, samples)``
+    coded LPC, CRC-8/16 + MD5 enforced, EXACT) and Ogg (round 9,
+    :mod:`operators.ogg` — RFC 3533 page demux with the Ogg CRC-32
+    enforced; FLAC-in-Ogg payloads decode for real through the same
+    FLAC codec, Vorbis/Opus gate loud) by magic.  Same contract as
+    decode_wav: ``(sample_rate, n_channels, sample_width, samples)``
     with mono-mixed signed samples at scale ``2^(8*sample_width - 1)``
     — FLAC depths that are not byte multiples (12/20-bit) are shifted
     left to the next byte width so the dyadic energy rescale in
-    ``segment_audio`` stays exact.  MP3/OGG payloads still raise
-    NotImplementedError (true DSP codecs; documented gate)."""
+    ``segment_audio`` stays exact.  MP3 and Vorbis/Opus payloads still
+    raise NotImplementedError (true DSP codecs; documented gate)."""
     from .flac import decode_flac, is_flac
+    from .ogg import decode_ogg_audio, is_ogg
 
+    if is_ogg(bytes(payload[:4])):
+        _sr, nch, bps, inter = decode_ogg_audio(payload)
+        sw = (bps + 7) // 8
+        shift = 8 * sw - bps
+        if shift:
+            inter = [v << shift for v in inter]
+        if nch > 1:
+            inter = [
+                sum(inter[i : i + nch]) // nch
+                for i in range(0, len(inter), nch)
+            ]
+        return _sr, nch, sw, inter
     if is_flac(bytes(payload[:4])):
         _sr, nch, bps, inter = decode_flac(payload)
         sw = (bps + 7) // 8
