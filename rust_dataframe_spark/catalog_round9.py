@@ -321,3 +321,208 @@ def q416_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_samples bigint, duration_ms bigint, br_min bigint, "
         "br_max bigint, br_sum bigint, pcm_abs_sum bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q417: baseline TIFF matrix — byte-position-weighted checksum oracle
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id): w = 6 + d%7, h = 5 + (d//2)%5, gray plane
+# v(x,y) = (d + 3x + 5y) % 256; compression cycles none/LZW+predictor2/
+# PackBits by d%3, byte order flips by d%2, 3-row strips.  The decoded
+# plane's position-weighted checksum sum((1 + y*w + x) * v) pins row order
+# and strip reassembly, not just the value multiset.
+
+
+@query(
+    "q417_tiff_matrix",
+    oracle="""
+    WITH d AS (SELECT doc_id, 6 + doc_id % 7 AS w, 5 + (doc_id // 2) % 5 AS h
+               FROM documents WHERE doc_id < 40),
+    gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+    g AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM gx),
+    v AS (SELECT doc_id, w, h,
+                 (doc_id + 3 * x + 5 * y) % 256 AS v,
+                 1 + y * w + x AS wt
+          FROM g)
+    SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(wt * v) AS BIGINT) AS px_wsum
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q417_tiff_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF decode matrix (round 9 — operators/tiff.py, the
+    scanned-document format): each doc synthesizes an analytic gray
+    plane, encodes it as a conformant multi-strip TIFF cycling the
+    compression matrix (none / LZW with horizontal-differencing
+    predictor 2 / PackBits by doc parity classes) AND the byte order
+    (II/MM), then decodes through the full IFD walk + strip reassembly.
+    TIFF-LZW's early code-width change is pinned by a hand-built
+    code-level vector in tests; here the position-weighted checksum
+    (weight 1 + y*w + x per pixel) catches any strip mis-assembly or
+    row-order drift that a plain sum would miss (the q401 PNG-matrix
+    discipline).  Tiled TIFF / planar-2 / CCITT gate loud.
+    Arrow-batched mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 40
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "channels": [],
+                    "px_sum": [], "px_wsum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 6 + d % 7, 5 + (d // 2) % 5
+                plane = bytes(
+                    (d + 3 * x + 5 * y) % 256
+                    for y in range(h) for x in range(w)
+                )
+                comp = (1, 5, 32773)[d % 3]
+                blob = encode_tiff(
+                    w, h, 1, plane,
+                    compression=comp,
+                    predictor=2 if comp == 5 else 1,
+                    rows_per_strip=3,
+                    big_endian=bool(d % 2),
+                )
+                W, H, C, px = decode_tiff(blob)
+                rows["doc_id"].append(d)
+                rows["width"].append(W)
+                rows["height"].append(H)
+                rows["channels"].append(C)
+                rows["px_sum"].append(sum(px))
+                rows["px_wsum"].append(
+                    sum((1 + k) * v for k, v in enumerate(px))
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, width int, height int, channels int, "
+        "px_sum bigint, px_wsum bigint",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q418: BMP matrix — 24-bit / gray-palette / color-palette / RLE8
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id): w = 6 + d%6, h = 4 + (d//3)%4.  Mode d%3:
+#   0: 24-bit BI_RGB, byte (i,c) = (d + 7i + 29c) % 256, channels 3
+#   1: 8-bit grayscale-identity palette, idx(x,y) = (d + x + 2y) % 256,
+#      decoder collapses to 1 channel
+#   2: 8-bit 16-color palette, idx = (x + y + d) % 16, entry i =
+#      ((7i)%256, (5i)%256, (3i)%256), channels 3
+# Weighted checksum over the decoded plane BYTES (weight 1 + byte index)
+# pins channel interleave and row order.
+
+
+@query(
+    "q418_bmp_matrix",
+    oracle="""
+    WITH d AS (SELECT doc_id, 6 + doc_id % 6 AS w, 4 + (doc_id // 3) % 4 AS h,
+                      doc_id % 3 AS mode
+               FROM documents WHERE doc_id < 42),
+    gx AS (SELECT doc_id, w, h, mode, unnest(range(0, w)) AS x FROM d),
+    g AS (SELECT doc_id, w, h, mode, x, unnest(range(0, h)) AS y FROM gx),
+    c AS (SELECT doc_id, w, h, mode, x, y, unnest(range(0, 3)) AS ch
+          FROM g WHERE mode IN (0, 2)
+          UNION ALL
+          SELECT doc_id, w, h, mode, x, y, 0 AS ch FROM g WHERE mode = 1),
+    v AS (SELECT doc_id, w, h, mode,
+                 CASE mode
+                   WHEN 0 THEN (doc_id + 7 * (y * w + x) + 29 * ch) % 256
+                   WHEN 1 THEN (doc_id + x + 2 * y) % 256
+                   ELSE (((x + y + doc_id) % 16)
+                         * (CASE ch WHEN 0 THEN 7 WHEN 1 THEN 5 ELSE 3 END))
+                        % 256
+                 END AS v,
+                 CASE WHEN mode = 1 THEN 1 + (y * w + x)
+                      ELSE 1 + 3 * (y * w + x) + ch END AS wt
+          FROM c)
+    SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           CAST(CASE WHEN max(mode) = 1 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(wt * v) AS BIGINT) AS px_wsum
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q418_bmp_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP decode matrix (round 9 — operators/bmp.py, the standalone-file
+    twin of the AVI DIB frame path): 24-bit BI_RGB, 8-bit
+    grayscale-identity palette (decoder proves the palette is gray and
+    collapses to 1 channel) and 8-bit 16-color palette, all bottom-up
+    with 4-byte row padding — the decoder unflips to the top-down RGB
+    contract shared by every image codec in the package.  The
+    byte-position-weighted checksum pins the unflip and the BGR->RGB
+    swizzle (a flipped or swizzled decode changes px_wsum but can leave
+    px_sum intact).  RLE8/top-down/32-bit paths are pinned in
+    tests/test_tiff_bmp.py; BI_RLE4 and OS/2 headers gate loud.
+    Arrow-batched mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 42
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.bmp import (
+            decode_bmp,
+            encode_bmp,
+            encode_bmp8,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "channels": [],
+                    "px_sum": [], "px_wsum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 6 + d % 6, 4 + (d // 3) % 4
+                mode = d % 3
+                if mode == 0:
+                    plane = bytes(
+                        (d + 7 * i + 29 * c) % 256
+                        for i in range(w * h) for c in range(3)
+                    )
+                    blob = encode_bmp(w, h, plane)
+                elif mode == 1:
+                    idx = bytes(
+                        (d + x + 2 * y) % 256
+                        for y in range(h) for x in range(w)
+                    )
+                    blob = encode_bmp8(
+                        w, h, idx, [(i, i, i) for i in range(256)]
+                    )
+                else:
+                    idx = bytes(
+                        (x + y + d) % 16 for y in range(h) for x in range(w)
+                    )
+                    pal = [((7 * i) % 256, (5 * i) % 256, (3 * i) % 256)
+                           for i in range(16)]
+                    blob = encode_bmp8(w, h, idx, pal)
+                W, H, C, px = decode_bmp(blob)
+                rows["doc_id"].append(d)
+                rows["width"].append(W)
+                rows["height"].append(H)
+                rows["channels"].append(C)
+                rows["px_sum"].append(sum(px))
+                rows["px_wsum"].append(
+                    sum((1 + k) * v for k, v in enumerate(px))
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, width int, height int, channels int, "
+        "px_sum bigint, px_wsum bigint",
+    ).orderBy("doc_id")

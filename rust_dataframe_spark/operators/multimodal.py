@@ -101,13 +101,19 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     (SOF0), progressive (SOF2), arithmetic-coded (SOF9, round 8),
     12-bit extended-sequential (SOF1) and LOSSLESS (SOF3, round 8)
     JPEGs via :mod:`operators.jpeg` + :mod:`operators.jpeg_arith` +
-    :mod:`operators.jpeg_lossless` — no PIL needed.  Payloads outside
-    those subsets (hierarchical JPEG, or the synthetic text-derived
-    payloads the test tables use) fall back to the documented
-    deterministic fake when ``fake=True``, else raise.
+    :mod:`operators.jpeg_lossless`, baseline TIFF (round 9 — both byte
+    orders, strips, PackBits/LZW+predictor, palette/gray/RGB/bilevel,
+    multi-page) via :mod:`operators.tiff`, and BMP (round 9 — 1/4/8-bit
+    palette, 24/32-bit, RLE8, top-down/bottom-up) via
+    :mod:`operators.bmp` — no PIL needed.  Payloads outside those
+    subsets (hierarchical JPEG, tiled TIFF, or the synthetic
+    text-derived payloads the test tables use) fall back to the
+    documented deterministic fake when ``fake=True``, else raise.
     """
+    from .bmp import BmpError, decode_bmp, is_bmp
     from .jpeg import JpegError, decode_jpeg_ext, is_jpeg
     from .png import PngError, decode_png, is_png
+    from .tiff import TiffError, decode_tiff, is_tiff
 
     if is_png(bytes(payload[:8])):
         try:
@@ -123,9 +129,23 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
         except JpegError:
             if not fake:
                 raise
+    elif is_tiff(bytes(payload[:4])):
+        try:
+            w, h, _ch, _px = decode_tiff(payload)
+            return w, h
+        except TiffError:
+            if not fake:
+                raise
+    elif is_bmp(bytes(payload[:2])):
+        try:
+            w, h, _ch, _px = decode_bmp(payload)
+            return w, h
+        except BmpError:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
-            "image decoding beyond baseline PNG/JPEG requires PIL/opencv; "
+            "image decoding beyond PNG/JPEG/TIFF/BMP requires PIL/opencv; "
             "not available in this environment"
         )
     n = len(payload)
