@@ -526,3 +526,99 @@ def q418_bmp_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, width int, height int, channels int, "
         "px_sum bigint, px_wsum bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q419: Matroska/WebM V_MJPEG frame sampling — closed-form checksum oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q419_mkv_frames",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      8 * (1 + (doc_id // 2) % 4) AS w,
+                      8 * (1 + doc_id % 3) AS h,
+                      3 + doc_id % 5 AS total
+               FROM documents WHERE doc_id < 40),
+    s AS (SELECT doc_id, w, h, total, unnest(range(0, 3)) AS frame_idx
+          FROM d),
+    src AS (SELECT doc_id, w, h, frame_idx,
+                   (frame_idx * total) // 3 AS sf
+            FROM s),
+    bx AS (SELECT doc_id, w, h, frame_idx, sf,
+                  unnest(range(0, w // 8)) AS bx
+           FROM src),
+    b AS (SELECT doc_id, h, frame_idx, sf, bx,
+                 unnest(range(0, h // 8)) AS by
+          FROM bx)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(30 * sf AS BIGINT) AS frame_ts_ms,
+           CAST(sum(64 * ((doc_id + 13 * bx + 17 * by + 41 * sf) % 256))
+                AS BIGINT) AS px_sum
+    FROM b GROUP BY doc_id, frame_idx, sf ORDER BY doc_id, frame_idx
+    """,
+)
+def q419_mkv_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM frame sampling (round 9 — operators/mkv.py, the
+    RFC 8794 EBML element walk): each doc synthesizes a conformant
+    Matroska file with a V_MJPEG video track (block-constant baseline
+    JPEG blocks; clusters of 2 SimpleBlocks whose CLUSTER timestamp
+    advances while the block-relative signed-16-bit timestamp covers the
+    within-cluster offset — so frame_ts_ms only comes out right if the
+    two-level timestamp reassembly is correct), and ``sample_frames(
+    fake_decode=False)`` — now MKV-dispatching — takes 3 frames evenly.
+    Completes the container matrix: GIF, AVI, MP4, MKV/WebM all demux
+    real with O(sampled) pixel decode; VP8/VP9/AV1 payloads gate loud,
+    laced blocks are refused rather than half-parsed.  Arrow-batched
+    mapInPandas on executors; the driver never sees frame bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators import multimodal as mm
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 40
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.jpeg import encode_jpeg
+        from rust_dataframe_spark.operators.mkv import encode_mkv
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (1 + (d // 2) % 4), 8 * (1 + d % 3)
+                total = 3 + d % 5
+                frames = [
+                    encode_jpeg(
+                        w,
+                        h,
+                        bytes(
+                            (d + 13 * (x // 8) + 17 * (y // 8) + 41 * f) % 256
+                            for y in range(h)
+                            for x in range(w)
+                        ),
+                        channels=1,
+                    )
+                    for f in range(total)
+                ]
+                ids.append(d)
+                payloads.append(encode_mkv(w, h, frames, frame_ms=30))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    mm_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    sampled = mm.sample_frames(mm_df, n_frames=3, fake_decode=False)
+
+    @pandas_udf("bigint")
+    def byte_sum(s):
+        return s.apply(lambda b: sum(b))
+
+    return sampled.select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts_ms",
+        byte_sum("frame").alias("px_sum"),
+    ).orderBy("doc_id", "frame_idx")

@@ -1,0 +1,306 @@
+"""Pure-stdlib Matroska/WebM (EBML) container demux — REAL element-tree
+walk + Motion-JPEG decode, completing the video container matrix
+(GIF, AVI, MP4 — and now MKV/WebM, the crawl-era streaming container).
+
+EBML (RFC 8794) is a public structure: variable-length element IDs
+(1-4 bytes, leading-length marker retained) and data sizes (1-8 bytes,
+marker stripped), nested master elements.  This module walks the tree
+for real: EBML header (DocType matroska/webm enforced), Segment ->
+Info (TimestampScale, default 1,000,000 ns/tick), Tracks -> the first
+video TrackEntry (TrackNumber, CodecID, PixelWidth/PixelHeight),
+Clusters -> per-cluster Timestamp + SimpleBlock / BlockGroup>Block
+frame extraction with the block's own track vint + signed 16-bit
+relative timestamp.  Like AVI/MP4, blocks are independent byte ranges:
+frame sampling decodes only the sampled frames — O(sampled).
+
+Pixel path: ``V_MJPEG`` tracks decode via the repo's own
+:mod:`operators.jpeg` (each block a complete baseline JPEG).
+VP8/VP9/AV1/H.264 tracks demux fine (codec, dims, timestamps, sizes)
+and fail LOUD at pixel decode; block LACING (Xiph/fixed/EBML) is
+refused loudly rather than half-parsed — Motion-JPEG muxers do not
+lace, and a silently mis-laced frame boundary would corrupt payloads.
+
+Fail-loud contract: structural violations raise :class:`MkvError`;
+undecodable codecs raise NotImplementedError.  The encoder half
+(:func:`encode_mkv`) emits a conformant minimal Matroska file with a
+V_MJPEG video track, 2 blocks per cluster (so cluster-relative
+timestamp reassembly is genuinely exercised) for byte-real fixtures.
+
+Reference parity: the reference repo has no video surface; this
+extends the multimodal matrix (SURVEY §8).
+"""
+
+from __future__ import annotations
+
+__all__ = ["MkvError", "is_mkv", "decode_mkv", "decode_mkv_frame",
+           "encode_mkv"]
+
+
+class MkvError(ValueError):
+    """Malformed or unsupported EBML/Matroska structure."""
+
+
+def is_mkv(head: bytes) -> bool:
+    return head[:4] == b"\x1aE\xdf\xa3"
+
+
+# ---------------------------------------------------------------------------
+# EBML primitives
+# ---------------------------------------------------------------------------
+
+
+def _read_vint(data: bytes, pos: int, *, keep_marker: bool) -> tuple[int, int]:
+    """Read an EBML variable-length integer; returns (value, new_pos)."""
+    if pos >= len(data):
+        raise MkvError(f"truncated vint at {pos}")
+    first = data[pos]
+    if first == 0:
+        raise MkvError(f"invalid vint leading byte 0 at {pos}")
+    length = 9 - first.bit_length()
+    if pos + length > len(data):
+        raise MkvError(f"truncated {length}-byte vint at {pos}")
+    v = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    return v, pos + length
+
+
+def _iter_elements(data: bytes, start: int, end: int):
+    """Yield (element_id, payload_start, payload_end) over siblings."""
+    pos = start
+    while pos < end:
+        eid, pos = _read_vint(data, pos, keep_marker=True)
+        size, pos = _read_vint(data, pos, keep_marker=False)
+        if pos + size > end:
+            raise MkvError(
+                f"element {eid:#x} size {size} overruns parent at {pos}"
+            )
+        yield eid, pos, pos + size
+        pos += size
+
+
+def _find(data: bytes, start: int, end: int, eid: int):
+    for e, ps, pe in _iter_elements(data, start, end):
+        if e == eid:
+            return ps, pe
+    return None
+
+
+def _uint(data: bytes, ps: int, pe: int) -> int:
+    v = 0
+    for b in data[ps:pe]:
+        v = (v << 8) | b
+    return v
+
+
+# Matroska element IDs (public registry)
+_EBML = 0x1A45DFA3
+_DOCTYPE = 0x4282
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TS_SCALE = 0x2AD7B1
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_NUM = 0xD7
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_VIDEO = 0xE0
+_PIX_W = 0xB0
+_PIX_H = 0xBA
+_CLUSTER = 0x1F43B675
+_CLUSTER_TS = 0xE7
+_SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+
+
+def decode_mkv(data: bytes):
+    """Demux: returns ``(width, height, codec_id, frames, ts_ms)`` for
+    the first video track — ``frames`` raw block payloads, ``ts_ms``
+    their absolute timestamps (cluster timestamp + block relative,
+    scaled by TimestampScale).  Pure byte-slicing; no pixel work."""
+    data = bytes(data)
+    if not is_mkv(data):
+        raise MkvError("no EBML signature")
+    hdr = _find(data, 0, len(data), _EBML)
+    if hdr is None:
+        raise MkvError("missing EBML header element")
+    dt = _find(data, hdr[0], hdr[1], _DOCTYPE)
+    doctype = data[dt[0] : dt[1]].rstrip(b"\x00") if dt else b"matroska"
+    if doctype not in (b"matroska", b"webm"):
+        raise MkvError(f"unknown DocType {doctype!r}")
+    seg = _find(data, hdr[1], len(data), _SEGMENT)
+    if seg is None:
+        raise MkvError("missing Segment")
+    s0, s1 = seg
+    # Info -> timestamp scale (ns per tick)
+    scale = 1_000_000
+    info = _find(data, s0, s1, _INFO)
+    if info is not None:
+        ts = _find(data, info[0], info[1], _TS_SCALE)
+        if ts is not None:
+            scale = _uint(data, ts[0], ts[1])
+            if scale == 0:
+                raise MkvError("TimestampScale 0")
+    # Tracks -> first video track
+    tracks = _find(data, s0, s1, _TRACKS)
+    if tracks is None:
+        raise MkvError("missing Tracks")
+    tnum = codec = width = height = None
+    for eid, ps, pe in _iter_elements(data, tracks[0], tracks[1]):
+        if eid != _TRACK_ENTRY:
+            continue
+        fields = {e: (a, b) for e, a, b in _iter_elements(data, ps, pe)}
+        if _TRACK_TYPE in fields and _uint(data, *fields[_TRACK_TYPE]) != 1:
+            continue
+        if _TRACK_NUM not in fields or _CODEC_ID not in fields:
+            raise MkvError("video TrackEntry missing number/codec")
+        tnum = _uint(data, *fields[_TRACK_NUM])
+        codec = data[fields[_CODEC_ID][0] : fields[_CODEC_ID][1]].rstrip(
+            b"\x00"
+        ).decode("latin-1")
+        if _VIDEO in fields:
+            va, vb = fields[_VIDEO]
+            pw = _find(data, va, vb, _PIX_W)
+            ph = _find(data, va, vb, _PIX_H)
+            width = _uint(data, *pw) if pw else None
+            height = _uint(data, *ph) if ph else None
+        break
+    if tnum is None:
+        raise MkvError("no video track")
+    frames: list[bytes] = []
+    ts_ms: list[int] = []
+    for eid, ps, pe in _iter_elements(data, s0, s1):
+        if eid != _CLUSTER:
+            continue
+        cts = 0
+        for e2, a, b in _iter_elements(data, ps, pe):
+            if e2 == _CLUSTER_TS:
+                cts = _uint(data, a, b)
+            elif e2 in (_SIMPLE_BLOCK, _BLOCK_GROUP):
+                if e2 == _BLOCK_GROUP:
+                    blk = _find(data, a, b, _BLOCK)
+                    if blk is None:
+                        raise MkvError("BlockGroup without Block")
+                    a, b = blk
+                bt, p = _read_vint(data, a, keep_marker=False)
+                if p + 3 > b:
+                    raise MkvError("truncated block header")
+                rel = int.from_bytes(data[p : p + 2], "big", signed=True)
+                flags = data[p + 2]
+                if flags & 0x06:
+                    raise MkvError(
+                        "laced block refused (Xiph/fixed/EBML lacing "
+                        "unimplemented; a mis-laced boundary would corrupt "
+                        "frames — fail-loud)"
+                    )
+                if bt != tnum:
+                    continue
+                frames.append(data[p + 3 : b])
+                ts_ms.append((cts + rel) * scale // 1_000_000)
+    if not frames:
+        raise MkvError("video track carries no blocks")
+    return width, height, codec, frames, ts_ms
+
+
+def decode_mkv_frame(codec: str, payload: bytes) -> tuple[int, bytes]:
+    """Decode ONE block to ``(channels, top-down pixel plane)`` —
+    V_MJPEG only; compressed inter-frame codecs fail loud."""
+    if codec == "V_MJPEG":
+        from .jpeg import decode_jpeg
+
+        _w, _h, ch, px = decode_jpeg(payload)
+        return ch, px
+    raise NotImplementedError(
+        f"MKV codec {codec!r} needs a DSP video decoder; only V_MJPEG "
+        "decodes here (demux/metadata still real)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture half)
+# ---------------------------------------------------------------------------
+
+
+def _enc_vint_marker(eid: int) -> bytes:
+    """Element IDs are stored verbatim (marker included)."""
+    n = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(n, "big")
+
+
+def _enc_size(v: int) -> bytes:
+    for length in range(1, 9):
+        if v < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | v).to_bytes(length, "big")
+    raise MkvError("size too large")
+
+
+def _el(eid: int, payload: bytes) -> bytes:
+    return _enc_vint_marker(eid) + _enc_size(len(payload)) + payload
+
+
+def _el_uint(eid: int, v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return _el(eid, v.to_bytes(n, "big"))
+
+
+def encode_mkv(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    *,
+    frame_ms: int = 40,
+    codec: str = "V_MJPEG",
+) -> bytes:
+    """Minimal conformant Matroska: EBML header (DocType matroska),
+    Segment with Info (default TimestampScale), one V_MJPEG video
+    track, clusters of 2 SimpleBlocks whose cluster timestamp advances
+    so relative-timestamp reassembly is exercised."""
+    if not frames:
+        raise MkvError("need at least one frame")
+    ebml = _el(
+        _EBML,
+        _el_uint(0x4286, 1)          # EBMLVersion
+        + _el_uint(0x42F7, 1)        # EBMLReadVersion
+        + _el_uint(0x42F2, 4)        # EBMLMaxIDLength
+        + _el_uint(0x42F3, 8)        # EBMLMaxSizeLength
+        + _el(_DOCTYPE, b"matroska")
+        + _el_uint(0x4287, 4)        # DocTypeVersion
+        + _el_uint(0x4285, 2),       # DocTypeReadVersion
+    )
+    info = _el(
+        _INFO,
+        _el_uint(_TS_SCALE, 1_000_000)
+        + _el(0x4D80, b"rust-dataframe-spark")   # MuxingApp
+        + _el(0x5741, b"rust-dataframe-spark"),  # WritingApp
+    )
+    track = _el(
+        _TRACKS,
+        _el(
+            _TRACK_ENTRY,
+            _el_uint(_TRACK_NUM, 1)
+            + _el_uint(0x73C5, 1)        # TrackUID
+            + _el_uint(_TRACK_TYPE, 1)   # video
+            + _el(_CODEC_ID, codec.encode("latin-1"))
+            + _el(
+                _VIDEO,
+                _el_uint(_PIX_W, width) + _el_uint(_PIX_H, height),
+            ),
+        ),
+    )
+    clusters = b""
+    for ci in range(0, len(frames), 2):
+        cts = ci * frame_ms
+        body = _el_uint(_CLUSTER_TS, cts)
+        for k, f in enumerate(frames[ci : ci + 2]):
+            rel = k * frame_ms
+            body += _el(
+                _SIMPLE_BLOCK,
+                b"\x81"  # track 1 vint
+                + rel.to_bytes(2, "big", signed=True)
+                + b"\x80"  # keyframe flag, no lacing
+                + f,
+            )
+        clusters += _el(_CLUSTER, body)
+    segment = _el(_SEGMENT, info + track + clusters)
+    return ebml + segment

@@ -329,9 +329,12 @@ def sample_frames(
     :mod:`operators.mp4` — full box-tree demux (stts/stsc/stsz/stco →
     per-sample byte ranges, same O(sampled) property as AVI) with pixel
     decode for Motion-JPEG (``jpeg``/``mjpa``) sample entries;
-    H.264/HEVC/AV1 tracks demux fine but fail LOUD at pixel decode.
-    Formats that genuinely need pyav/ffmpeg (WebM, non-MJPEG MP4
-    payloads) still raise, per the module decode policy.
+    H.264/HEVC/AV1 tracks demux fine but fail LOUD at pixel decode —
+    and Matroska/WebM via :mod:`operators.mkv` (EBML element walk,
+    cluster-relative block timestamps, V_MJPEG pixels; VP8/VP9/AV1 gate
+    loud at pixels, laced blocks refused).  Payloads that genuinely
+    need pyav/ffmpeg (VP8/VP9/H.264 bitstreams) still raise, per the
+    module decode policy.
     The fake derives each frame deterministically from (payload,
     frame_idx).  The partitioning story is identical on all paths: output
     inherits the input's partitioning, so a downstream per-frame feature
@@ -345,6 +348,7 @@ def sample_frames(
 
         from .avi import decode_avi, decode_avi_frame, is_avi
         from .gif import decode_gif, is_gif
+        from .mkv import decode_mkv, decode_mkv_frame, is_mkv
         from .mp4 import decode_mp4, decode_mp4_frame, is_mp4
 
         for pdf in batches:
@@ -383,9 +387,22 @@ def sample_frames(
                         tss.append((ts_units[src] * 1000) // tscale)
                         frames.append(plane)
                     continue
+                if is_mkv(bytes(p[:4])):
+                    _w, _h, codec, raw, tms = decode_mkv(p)
+                    total = len(raw)
+                    take = min(n_frames, total)
+                    for i in range(take):
+                        src = (i * total) // take
+                        _ch, plane = decode_mkv_frame(codec, raw[src])
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        tss.append(tms[src])
+                        frames.append(plane)
+                    continue
                 if not is_gif(bytes(p[:6])):
                     raise NotImplementedError(
-                        "non-GIF/AVI/MP4 frame sampling requires pyav/ffmpeg"
+                        "non-GIF/AVI/MP4/MKV frame sampling requires "
+                        "pyav/ffmpeg"
                     )
                 _w, _h, decoded = decode_gif(p)
                 total = len(decoded)
