@@ -735,3 +735,193 @@ def q420_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "rec_idx", "warc_type", "target_uri", "http_status",
         "title", "n_tokens",
     ).orderBy("doc_id", "rec_idx")
+
+
+# ---------------------------------------------------------------------------
+# q421: archive member explode — tar / tar.gz / zip / bare-bz2 matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q421_archive_explode",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 4 AS mode, 2 + doc_id % 3 AS m
+               FROM documents WHERE doc_id < 60),
+    files AS (SELECT doc_id, mode, unnest(range(0, m)) AS k FROM d
+              WHERE mode < 3),
+    rows1 AS (SELECT doc_id, CAST(k AS INT) AS member_idx,
+                     'f' || k || '.txt' AS path,
+                     CAST(10 + doc_id + k AS BIGINT) AS n_bytes
+              FROM files),
+    rows2 AS (SELECT doc_id, CAST(0 AS INT) AS member_idx, '' AS path,
+                     CAST(10 + doc_id AS BIGINT) AS n_bytes
+              FROM d WHERE mode = 3)
+    SELECT * FROM (SELECT * FROM rows1 UNION ALL SELECT * FROM rows2)
+    ORDER BY doc_id, member_idx
+    """,
+)
+def q421_archive_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive member explode (round 9 — operators/archive.py): each doc
+    synthesizes a dump archive cycling the container matrix — plain tar,
+    tar.gz (outer gzip peeled then the ustar magic re-sniffed), zip, and
+    a bare bz2-compressed single document (decompress-only path, member
+    path '') — and :func:`explode_archive` yields one row per member
+    with path and size.  Detection is by MAGIC, not filename (crawled
+    payloads lie about names); directory entries are skipped; corrupt
+    streams and unknown magics fail loud.  This is the front door for
+    tar-based (arXiv), zip-based (books) and bz2-based (Wikipedia)
+    document dumps — the stage before any LID/quality/dedup runs.  The
+    oracle replays member layout and sizes closed-form.  1->N
+    mapInPandas, partition-preserving, executor-side."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+
+    def synth(batches):
+        import bz2
+        import gzip
+        import io
+        import tarfile
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                mode = d % 4
+                if mode == 3:
+                    blob = bz2.compress(b"x" * (10 + d))
+                else:
+                    m = 2 + d % 3
+                    members = [
+                        (f"f{k}.txt", b"x" * (10 + d + k)) for k in range(m)
+                    ]
+                    if mode == 2:
+                        zb = io.BytesIO()
+                        with zipfile.ZipFile(zb, "w") as zf:
+                            for name, body in members:
+                                zf.writestr(name, body)
+                        blob = zb.getvalue()
+                    else:
+                        tb = io.BytesIO()
+                        with tarfile.open(fileobj=tb, mode="w") as tf:
+                            for name, body in members:
+                                ti = tarfile.TarInfo(name)
+                                ti.size = len(body)
+                                tf.addfile(ti, io.BytesIO(body))
+                        blob = tb.getvalue()
+                        if mode == 1:
+                            blob = gzip.compress(blob, mtime=0)
+                ids.append(d)
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    mm_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    from .operators.archive import explode_archive
+
+    return explode_archive(mm_df).select(
+        "doc_id", "member_idx", "path", "n_bytes"
+    ).orderBy("doc_id", "member_idx")
+
+
+# ---------------------------------------------------------------------------
+# q422: EPUB spine-ordered chapter text extraction
+# ---------------------------------------------------------------------------
+#
+# The spine REVERSES the zip member order, so chapter_idx only comes out
+# right if the OPF spine is genuinely walked (zip order would flip it).
+
+
+@query(
+    "q422_epub_text",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS r
+               FROM documents WHERE doc_id < 48),
+    ch AS (SELECT doc_id, r, unnest(range(0, r)) AS ci FROM d),
+    m AS (SELECT doc_id, CAST(ci AS INT) AS chapter_idx,
+                 r - 1 - ci AS k
+          FROM ch)
+    SELECT doc_id, chapter_idx,
+           'ch' || k || '.xhtml' AS href,
+           'C' || k AS title,
+           CAST(3 + (doc_id + k) % 5 AS INT) AS n_tokens
+    FROM m ORDER BY doc_id, chapter_idx
+    """,
+)
+def q422_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB chapter extraction (round 9 — operators/archive.py +
+    operators/warc.extract_text_html; EPUB is a zip with an OPF
+    package): each doc synthesizes a conformant EPUB whose OPF SPINE
+    lists chapters in REVERSE zip order — the query's chapter_idx is
+    only correct if META-INF/container.xml -> rootfile -> OPF manifest
+    -> spine is genuinely walked (a zip-order shortcut flips every
+    chapter).  Chapter text runs the same stdlib HTML extractor as the
+    WARC path; missing container/OPF/spine entries fail loud.  The
+    oracle replays hrefs, titles and whitespace token counts
+    closed-form.  Books corpora arrive exactly like this."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth_extract(batches):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.archive import epub_chapters
+
+        for pdf in batches:
+            rows = {"doc_id": [], "chapter_idx": [], "href": [],
+                    "title": [], "n_tokens": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                r = 2 + d % 3
+                eb = io.BytesIO()
+                with zipfile.ZipFile(eb, "w") as zf:
+                    zf.writestr("mimetype", "application/epub+zip")
+                    zf.writestr(
+                        "META-INF/container.xml",
+                        '<?xml version="1.0"?><container xmlns="urn:oasis:'
+                        'names:tc:opendocument:xmlns:container"><rootfiles>'
+                        '<rootfile full-path="OEBPS/content.opf" media-type='
+                        '"application/oebps-package+xml"/></rootfiles>'
+                        "</container>",
+                    )
+                    manifest = "".join(
+                        f'<item id="c{k}" href="ch{k}.xhtml"/>'
+                        for k in range(r)
+                    )
+                    spine = "".join(
+                        f'<itemref idref="c{k}"/>'
+                        for k in range(r - 1, -1, -1)
+                    )
+                    zf.writestr(
+                        "OEBPS/content.opf",
+                        '<?xml version="1.0"?><package xmlns="http://www.'
+                        f'idpf.org/2007/opf"><manifest>{manifest}</manifest>'
+                        f"<spine>{spine}</spine></package>",
+                    )
+                    for k in range(r):
+                        n = 3 + (d + k) % 5
+                        words = " ".join(f"w{i}" for i in range(n))
+                        zf.writestr(
+                            f"OEBPS/ch{k}.xhtml",
+                            f"<html><head><title>C{k}</title></head>"
+                            f"<body><p>{words}</p></body></html>",
+                        )
+                for ci, href, title, text in epub_chapters(eb.getvalue()):
+                    rows["doc_id"].append(d)
+                    rows["chapter_idx"].append(ci)
+                    rows["href"].append(href)
+                    rows["title"].append(title)
+                    rows["n_tokens"].append(len(text.split()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_extract,
+        "doc_id bigint, chapter_idx int, href string, title string, "
+        "n_tokens int",
+    ).orderBy("doc_id", "chapter_idx")
