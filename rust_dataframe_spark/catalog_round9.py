@@ -925,3 +925,121 @@ def q422_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, chapter_idx int, href string, title string, "
         "n_tokens int",
     ).orderBy("doc_id", "chapter_idx")
+
+
+# ---------------------------------------------------------------------------
+# q423: subtitle parse + cue-to-frame range-join alignment
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id < 60): even docs emit WebVTT, odd docs SRT
+# (same logical cues, both parsers exercised); cue k of n = 3 + d%4
+# covers [1000k + 100(d%3), +800); frames sit at t_j = 700j, j < 5.
+# Alignment is a plain doc-equi + range-predicate join — the DataFrame
+# layer plans it (SortMergeJoin on doc_id), not the parser.
+
+
+@query(
+    "q423_subtitle_align",
+    oracle="""
+    WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS n, 100 * (doc_id % 3) AS off
+               FROM documents WHERE doc_id < 60),
+    g AS (SELECT doc_id, n, off, unnest(range(0, 5)) AS j FROM d),
+    k AS (SELECT doc_id, n, off, j, 700 * j AS t, unnest(range(0, n)) AS k
+          FROM g),
+    hit AS (SELECT doc_id, j, t, k,
+                   CAST(2 + (doc_id + k) % 3 AS INT) AS nw
+            FROM k
+            WHERE 1000 * k + off <= t AND t < 1000 * k + off + 800)
+    SELECT g.doc_id AS doc_id, CAST(g.j AS INT) AS frame_idx,
+           CAST(700 * g.j AS BIGINT) AS frame_ts_ms,
+           CAST(hit.k AS INT) AS cue_idx,
+           hit.nw AS cue_words
+    FROM g LEFT JOIN hit ON g.doc_id = hit.doc_id AND g.j = hit.j
+    ORDER BY g.doc_id, frame_idx
+    """,
+)
+def q423_subtitle_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle parsing + frame alignment (round 9 —
+    operators/subtitles.py): even docs synthesize WebVTT (signature
+    line, NOTE block skipped, optional-hour dot timestamps, cue ids),
+    odd docs SubRip (comma timestamps, validated increasing cue
+    numbers) with identical logical cues — both parsers must agree with
+    the same closed-form law.  Cues explode 1->N executor-side, then
+    cue-to-frame alignment (the ASR/video-text weak-supervision step)
+    is a plain doc-equi + range-predicate LEFT join the DataFrame layer
+    plans as a SortMergeJoin on doc_id — deliberately NOT hidden inside
+    the parser, so Catalyst sees it (100 TB posture: the join
+    partitions on doc_id; no all-pairs, no BNLJ — the equi key is
+    present).  Frames between cues come back NULL (the oracle's LEFT
+    JOIN replays that too)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, off = 3 + d % 4, 100 * (d % 3)
+                def ts(ms, vtt):
+                    h, r = divmod(ms, 3600000)
+                    m, r = divmod(r, 60000)
+                    s, ms2 = divmod(r, 1000)
+                    sep = "." if vtt else ","
+                    return f"{h:02d}:{m:02d}:{s:02d}{sep}{ms2:03d}"
+                cues = []
+                for k in range(n):
+                    s0 = 1000 * k + off
+                    words = " ".join(
+                        f"w{i}" for i in range(2 + (d + k) % 3)
+                    )
+                    cues.append((s0, s0 + 800, words))
+                if d % 2 == 0:
+                    blocks = ["WEBVTT", "", "NOTE synthetic fixture", ""]
+                    for k, (s0, e0, words) in enumerate(cues):
+                        blocks += [f"cue-{k}",
+                                   f"{ts(s0, True)} --> {ts(e0, True)}",
+                                   words, ""]
+                    txt = "\n".join(blocks)
+                else:
+                    blocks = []
+                    for k, (s0, e0, words) in enumerate(cues):
+                        blocks += [str(k + 1),
+                                   f"{ts(s0, False)} --> {ts(e0, False)}",
+                                   words, ""]
+                    txt = "\n".join(blocks)
+                ids.append(d)
+                payloads.append(txt.encode())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    mm_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    from .operators.subtitles import subtitle_cues
+
+    cues = subtitle_cues(mm_df).select(
+        F.col("doc_id").alias("c_doc"), "cue_idx", "start_ms", "end_ms",
+        F.col("n_words").alias("cue_words"),
+    )
+    grid = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("frame_idx"),
+    ).withColumn("frame_ts_ms", (F.col("frame_idx") * 700).cast("bigint"))
+    return (
+        grid.join(
+            cues,
+            (grid.doc_id == cues.c_doc)
+            & (cues.start_ms <= grid.frame_ts_ms)
+            & (grid.frame_ts_ms < cues.end_ms),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            "frame_ts_ms",
+            F.col("cue_idx").cast("int").alias("cue_idx"),
+            F.col("cue_words").cast("int").alias("cue_words"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
