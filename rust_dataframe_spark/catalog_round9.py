@@ -1043,3 +1043,118 @@ def q423_subtitle_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q424: hierarchical JPEG (T.81 Annex K) — SQL replays the upsample law
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id < 36): full dims w = 16*(1 + d%3),
+# h = 16*(1 + (d//3)%2); half image block-constant hl(i,j) =
+# (60 + d + 10*(i//8) + 20*(j//8)) % 200 at half resolution; diff
+# block-constant dv = ((d + 5*(x//8) + 3*(y//8)) % 81) - 40 at full
+# resolution.  Decode = clamp(upsample_2x(half) + diff, 0, 255) where
+# upsample is the spec filter out[2i]=in[i], out[2i+1]=(in[i]+in[i+1]+1)
+# >>1 with edge replication, horizontal THEN vertical — the oracle
+# replays all four parity cases per pixel, so an interpolation or
+# ordering bug flips the weighted checksum.
+
+
+@query(
+    "q424_hierarchical_jpeg",
+    oracle="""
+    WITH d AS (SELECT doc_id, 16 * (1 + doc_id % 3) AS w,
+                      16 * (1 + (doc_id // 3) % 2) AS h
+               FROM documents WHERE doc_id < 36),
+    gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+    g AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM gx),
+    c AS (SELECT doc_id, w, h, x, y,
+                 x // 2 AS i, y // 2 AS j,
+                 least(x // 2 + 1, w // 2 - 1) AS i2,
+                 least(y // 2 + 1, h // 2 - 1) AS j2
+          FROM g),
+    hlv AS (SELECT doc_id, w, h, x, y,
+                   (60 + doc_id + 10 * (i // 8) + 20 * (j // 8)) % 200 AS a,
+                   (60 + doc_id + 10 * (i2 // 8) + 20 * (j // 8)) % 200 AS b,
+                   (60 + doc_id + 10 * (i // 8) + 20 * (j2 // 8)) % 200 AS cc,
+                   (60 + doc_id + 10 * (i2 // 8) + 20 * (j2 // 8)) % 200 AS e
+            FROM c),
+    up AS (SELECT doc_id, w, h, x, y,
+                  CASE
+                    WHEN x % 2 = 0 AND y % 2 = 0 THEN a
+                    WHEN x % 2 = 1 AND y % 2 = 0 THEN (a + b + 1) // 2
+                    WHEN x % 2 = 0 AND y % 2 = 1 THEN (a + cc + 1) // 2
+                    ELSE ((a + b + 1) // 2 + (cc + e + 1) // 2 + 1) // 2
+                  END AS u
+           FROM hlv),
+    fin AS (SELECT doc_id, w, h, x, y,
+                   least(255, greatest(0,
+                     u + ((doc_id + 5 * (x // 8) + 3 * (y // 8)) % 81) - 40
+                   )) AS v
+            FROM up)
+    SELECT doc_id, CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum((1 + y * w + x) * v) AS BIGINT) AS px_wsum
+    FROM fin GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q424_hierarchical_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical JPEG decode (round 9 — operators/jpeg_hier.py, T.81
+    Annex K, the LAST JPEG mode gate): each doc synthesizes a 2-level
+    DHP pyramid — SOF0 half-resolution frame, EXP(1,1) reference
+    expansion, SOF5 differential frame (no level shift, DC prediction
+    over the 16-category ladder the DHT declares) — and decodes through
+    the full Annex-K chain: DHP dims enforced, the spec interpolation
+    filter (out[2i]=in[i], out[2i+1]=(in[i]+in[i+1]+1)>>1, horizontal
+    then vertical, edge replication), differential add + clamp.  The
+    oracle REPLAYS THE UPSAMPLE LAW per pixel (all four x/y parity
+    cases), so interpolation rounding, axis ordering, or clamp drift
+    flips the position-weighted checksum — this is not a round-trip
+    test that shared helpers could cancel out of.  With SOF0/1/2/3/5/9
+    real, the remaining JPEG gates are the arithmetic/progressive
+    differential hybrids (SOF6/7/13-15), which real corpora do not
+    carry.  Arrow-batched mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 36
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.jpeg_hier import (
+            decode_jpeg_hier,
+            encode_jpeg_hier,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "px_sum": [], "px_wsum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 * (1 + d % 3), 16 * (1 + (d // 3) % 2)
+                hw, hh = w // 2, h // 2
+                half = [
+                    (60 + d + 10 * (x // 8) + 20 * (y // 8)) % 200
+                    for y in range(hh) for x in range(hw)
+                ]
+                diff = [
+                    ((d + 5 * (x // 8) + 3 * (y // 8)) % 81) - 40
+                    for y in range(h) for x in range(w)
+                ]
+                blob = encode_jpeg_hier(w, h, half, diff)
+                W, H, _c, _depth, px = decode_jpeg_hier(blob)
+                rows["doc_id"].append(d)
+                rows["width"].append(W)
+                rows["height"].append(H)
+                rows["px_sum"].append(sum(px))
+                rows["px_wsum"].append(
+                    sum((1 + k) * v for k, v in enumerate(px))
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, width int, height int, px_sum bigint, "
+        "px_wsum bigint",
+    ).orderBy("doc_id")

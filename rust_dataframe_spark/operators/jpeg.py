@@ -378,10 +378,14 @@ def decode_jpeg_ext(data: bytes) -> tuple[int, int, int, int, bytes]:
                 elif not (1 <= hv >> 4 <= 2 and 1 <= hv & 0x0F <= 2):
                     raise JpegError("sampling factors beyond 2 unsupported")
             frame = (w, h, comps)
+        elif marker == 0xDE:  # DHP: hierarchical pyramid (round 9)
+            from .jpeg_hier import decode_jpeg_hier
+
+            return decode_jpeg_hier(data)
         elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(
                 "unsupported SOF (progressive/lossless-arithmetic or "
-                "hierarchical differential)"
+                "hierarchical differential outside a DHP pyramid)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
             p = 0
