@@ -1158,3 +1158,165 @@ def q424_hierarchical_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, width int, height int, px_sum bigint, "
         "px_wsum bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q425: RFC 9309 robots.txt filtering — group selection + longest match
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id < 48): the '*' group disallows /p{a}
+# (a = d%4) but allows the longer /p{a}/ok, and disallows /q; docs with
+# d%3 == 0 ALSO carry a 'trainbot' group (only rule: disallow /p{b},
+# b = (d+1)%4, crawl-delay 1.5) — RFC group selection means the agent
+# "trainbot-1.0" must then use ONLY that group, flipping both which
+# prefix is blocked and whether the /ok carve-out exists.
+
+
+@query(
+    "q425_robots_filter",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 4 AS a, (doc_id + 1) % 4 AS b,
+                      doc_id % 3 = 0 AS specific
+               FROM documents WHERE doc_id < 48),
+    u AS (SELECT doc_id, a, b, specific, unnest(range(0, 10)) AS ui FROM d),
+    m AS (SELECT doc_id, a, b, specific, ui,
+                 CASE WHEN ui < 8 THEN '/p' || (ui // 2) ||
+                          CASE WHEN ui % 2 = 1 THEN '/ok/x' ELSE '' END
+                      WHEN ui = 8 THEN '/q/doc' ELSE '/r' END AS url,
+                 CASE WHEN ui < 8 THEN ui // 2 ELSE -1 END AS pi,
+                 ui % 2 AS sub
+          FROM u)
+    SELECT doc_id, url,
+           CAST(CASE
+             WHEN specific THEN CASE WHEN pi = b THEN 0 ELSE 1 END
+             WHEN pi = a AND sub = 0 THEN 0
+             WHEN ui = 8 THEN 0
+             ELSE 1
+           END AS INT) AS allowed,
+           CASE WHEN specific THEN 1.5 ELSE NULL END AS crawl_delay
+    FROM m ORDER BY doc_id, url
+    """,
+)
+def q425_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl filtering (round 9 — operators/crawl.py, RFC
+    9309 semantics, NOT urllib.robotparser's pre-RFC ones): each doc
+    synthesizes a robots.txt whose '*' group blocks one analytic prefix
+    with a longer Allow carve-out, and every third doc adds a
+    'trainbot' group — the agent "trainbot-1.0" must select it by
+    longest-prefix agent-token match and then use ONLY its rules (the
+    carve-out disappears, the blocked prefix moves).  Longest-matching
+    rule wins, Allow wins ties, unmatched paths are allowed,
+    crawl-delay is surfaced per group.  This is the compliance step
+    between a WARC dump and a training corpus; the oracle replays group
+    selection and prefix matching closed-form.  Per-row string work,
+    vectorized, no shuffle."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth_eval(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.crawl import (
+            parse_robots,
+            robots_allowed,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "url": [], "allowed": [],
+                    "crawl_delay": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                a, b = d % 4, (d + 1) % 4
+                txt = (
+                    f"User-agent: *\nDisallow: /p{a}\n"
+                    f"Allow: /p{a}/ok\nDisallow: /q\n"
+                )
+                if d % 3 == 0:
+                    txt += (
+                        "\nUser-agent: trainbot\n"
+                        f"Disallow: /p{b}\nCrawl-delay: 1.5\n"
+                    )
+                groups = parse_robots(txt)
+                urls = [
+                    f"/p{i}{'/ok/x' if s else ''}"
+                    for i in range(4) for s in (0, 1)
+                ] + ["/q/doc", "/r"]
+                for url in urls:
+                    ok, delay = robots_allowed(groups, "trainbot-1.0", url)
+                    rows["doc_id"].append(d)
+                    rows["url"].append(url)
+                    rows["allowed"].append(int(ok))
+                    rows["crawl_delay"].append(delay)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_eval,
+        "doc_id bigint, url string, allowed int, crawl_delay double",
+    ).orderBy("doc_id", "url")
+
+
+# ---------------------------------------------------------------------------
+# q426: URL canonicalization — the crawl-frontier dedup key
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q426_url_canonical",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 6 AS v
+               FROM documents WHERE doc_id < 60)
+    SELECT doc_id,
+           CASE v
+             WHEN 0 THEN 'http://www.example' || doc_id || '.com/a/c?a=1&x=2'
+             WHEN 1 THEN 'https://host' || doc_id || '.net/~user/file'
+             WHEN 2 THEN 'http://h' || doc_id || '.org/'
+             WHEN 3 THEN 'http://h' || doc_id ||
+                         '.org:8080/p/%2Fq/%E2%82%AC'
+             WHEN 4 THEN 'https://a' || doc_id || '.b/zA'
+             ELSE 'http://u' || doc_id || '.v/p?a=1&b=2&c=3'
+           END AS canon
+    FROM d ORDER BY doc_id
+    """,
+)
+def q426_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (round 9 — operators/crawl.canonicalize_url,
+    the crawl-frontier dedup key): six messy-URL families — uppercase
+    scheme/host + default port + dot segments + fragment, %7E->~
+    unreserved decode, bare host -> '/', non-default port with reserved
+    %2F kept encoded but hex uppercased + UTF-8 octets uppercased,
+    trailing-dot host + nested ../ resolution + %41->A, and query
+    parameter sort with %33->3 — each canonicalizes to a closed-form
+    string the oracle states literally.  Reserved delimiters stay
+    percent-encoded (decoding %2F would change path structure);
+    fragments always drop; query sort is the documented dedup-policy
+    knob.  Per-row string work, vectorized, no shuffle."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+
+    def synth_canon(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.crawl import canonicalize_url
+
+        for pdf in batches:
+            rows = {"doc_id": [], "canon": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 6
+                url = [
+                    f"HTTP://WWW.Example{d}.COM:80/a/./b/../c?x=2&a=1#f",
+                    f"https://Host{d}.net:443/%7Euser/file",
+                    f"http://h{d}.org",
+                    f"http://h{d}.org:8080/p/%2fq/%e2%82%ac",
+                    f"https://a{d}.b./x/y/../../z%41",
+                    f"http://u{d}.v/p?b=2&a=1&c=%33",
+                ][v]
+                rows["doc_id"].append(d)
+                rows["canon"].append(canonicalize_url(url))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_canon, "doc_id bigint, canon string"
+    ).orderBy("doc_id")
