@@ -150,10 +150,24 @@ HEADLINE = [
     "q408_pgcopy_roundtrip",
     "q409_arithmetic_jpeg",
     "q410_unigram_em_earlystop",
-    # round-9 additions: MP4 demux wiring, FLAC-in-Ogg, MP3 frame census
+    # round-9 additions: MP4 demux wiring, FLAC-in-Ogg, MP3 frame census,
+    # TIFF/BMP matrices, MKV demux, WARC/archive/EPUB ingestion,
+    # subtitles, hierarchical JPEG, robots/URL crawl policy
     "q414_mp4_frames",
     "q415_ogg_flac",
     "q416_mp3_census",
+    "q417_tiff_matrix",
+    "q418_bmp_matrix",
+    "q419_mkv_frames",
+    "q420_warc_extract",
+    "q421_archive_explode",
+    "q422_epub_text",
+    "q423_subtitle_align",
+    "q424_hierarchical_jpeg",
+    "q425_robots_filter",
+    "q426_url_canonical",
+    "q427_exif_orientation",
+    "q428_pnm_matrix",
 ]
 
 

@@ -1320,3 +1320,229 @@ def q426_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         synth_canon, "doc_id bigint, canon string"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q427: EXIF orientation correction — all 8 transforms, both byte orders
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q427_exif_orientation",
+    oracle="""
+    WITH d AS (SELECT doc_id, 8 * (2 + doc_id % 3) AS w,
+                      8 * (1 + (doc_id // 2) % 3) AS h,
+                      1 + doc_id % 8 AS o
+               FROM documents WHERE doc_id < 48),
+    dims AS (SELECT doc_id, w, h, o,
+                    CASE WHEN o >= 5 THEN h ELSE w END AS ow,
+                    CASE WHEN o >= 5 THEN w ELSE h END AS oh
+             FROM d),
+    gx AS (SELECT doc_id, w, h, o, ow, oh, unnest(range(0, ow)) AS ox
+           FROM dims),
+    g AS (SELECT doc_id, w, h, o, ow, ox, unnest(range(0, oh)) AS oy
+          FROM gx),
+    src AS (SELECT doc_id, w, h, o, ow, ox, oy,
+                   CASE o
+                     WHEN 1 THEN ox WHEN 2 THEN w - 1 - ox
+                     WHEN 3 THEN w - 1 - ox WHEN 4 THEN ox
+                     WHEN 5 THEN oy WHEN 6 THEN oy
+                     WHEN 7 THEN w - 1 - oy ELSE w - 1 - oy
+                   END AS sx,
+                   CASE o
+                     WHEN 1 THEN oy WHEN 2 THEN oy
+                     WHEN 3 THEN h - 1 - oy WHEN 4 THEN h - 1 - oy
+                     WHEN 5 THEN ox WHEN 6 THEN h - 1 - ox
+                     WHEN 7 THEN h - 1 - ox ELSE ox
+                   END AS sy
+            FROM g),
+    v AS (SELECT doc_id, o, ow, ox, oy,
+                 (doc_id + 9 * (sx // 8) + 21 * (sy // 8)) % 256 AS v
+          FROM src)
+    SELECT doc_id, CAST(max(o) AS INT) AS orientation,
+           CAST(max(ow) AS INT) AS out_w,
+           CAST(count(*) / max(ow) AS INT) AS out_h,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum((1 + oy * ow + ox) * v) AS BIGINT) AS px_wsum
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q427_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF orientation correction (round 9 — operators/exif.py, the
+    highest-frequency real-corpus image fix): each doc synthesizes a
+    block-constant JPEG, splices a hand-built conformant APP1 Exif
+    segment (byte order alternating II/MM, IFD0 Make/Orientation/
+    DateTime + Exif sub-IFD DateTimeOriginal — read back through the
+    round-9 TIFF IFD walker), decodes the pixels (the JPEG decoder
+    skips APP1), and applies the tagged orientation — all EIGHT
+    transforms exercised across docs (identity, flips, rotations,
+    transpose, transverse), dims swapping for the transposing four.
+    px_sum is transform-invariant (a mass check); px_wsum over the
+    ORIENTED plane pins the exact index shuffle — the oracle replays
+    the source-pixel mapping per orientation case.  A pipeline that
+    ignores this tag trains on rotated images; one that applies it
+    wrong flips them.  Arrow-batched mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth_orient(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.exif import (
+            apply_orientation,
+            embed_exif,
+            parse_exif,
+        )
+        from rust_dataframe_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "orientation": [], "out_w": [],
+                    "out_h": [], "px_sum": [], "px_wsum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (2 + d % 3), 8 * (1 + (d // 2) % 3)
+                o = 1 + d % 8
+                plane = bytes(
+                    (d + 9 * (x // 8) + 21 * (y // 8)) % 256
+                    for y in range(h) for x in range(w)
+                )
+                blob = embed_exif(
+                    encode_jpeg(w, h, plane, channels=1),
+                    orientation=o, big_endian=bool(d % 2),
+                )
+                meta = parse_exif(blob)
+                W, H, C, px = decode_jpeg(blob)
+                ow, oh, out = apply_orientation(
+                    W, H, C, px, meta["orientation"]
+                )
+                rows["doc_id"].append(d)
+                rows["orientation"].append(meta["orientation"])
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+                rows["px_sum"].append(sum(out))
+                rows["px_wsum"].append(
+                    sum((1 + k) * v for k, v in enumerate(out))
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_orient,
+        "doc_id bigint, orientation int, out_w int, out_h int, "
+        "px_sum bigint, px_wsum bigint",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q428: netpbm matrix — P1..P6 with byte-position-weighted checksums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q428_pnm_matrix",
+    oracle="""
+    WITH d AS (SELECT doc_id, 5 + doc_id % 6 AS w, 4 + (doc_id // 2) % 4 AS h,
+                      doc_id % 6 AS kind
+               FROM documents WHERE doc_id < 60),
+    gx AS (SELECT doc_id, w, h, kind, unnest(range(0, w)) AS x FROM d),
+    g AS (SELECT doc_id, w, h, kind, x, unnest(range(0, h)) AS y FROM gx),
+    c AS (SELECT doc_id, w, h, kind, x, y, unnest(range(0, 3)) AS ch
+          FROM g WHERE kind IN (1, 3)
+          UNION ALL
+          SELECT doc_id, w, h, kind, x, y, 0 AS ch FROM g
+          WHERE kind NOT IN (1, 3)),
+    v AS (SELECT doc_id, w, kind, x, y, ch,
+                 CASE
+                   WHEN kind >= 4 THEN 255 * (1 - (x + y + doc_id) % 2)
+                   WHEN kind IN (1, 3)
+                     THEN (doc_id + 3 * x + 5 * y + 17 * ch) % 256
+                   ELSE (doc_id + 3 * x + 5 * y) % 256
+                 END AS v,
+                 CASE WHEN kind IN (1, 3)
+                      THEN 1 + 3 * (y * w + x) + ch
+                      ELSE 1 + y * w + x END AS wt
+          FROM c)
+    SELECT doc_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(CASE WHEN max(kind) IN (1, 3) THEN 3 ELSE 1 END AS INT)
+               AS channels,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(wt * v) AS BIGINT) AS px_wsum
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q428_pnm_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netpbm decode matrix (round 9 — operators/pnm.py, the raw
+    interchange format ML tooling moves uncompressed pixels in): the
+    kind axis cycles P2/P3 (ASCII gray/RGB), P5/P6 (binary), and P1/P4
+    (ASCII/binary bitmaps, where spec 1 = BLACK so the value law is
+    255*(1-bit)); headers carry comments; the byte-position-weighted
+    checksum pins raster order and channel interleave.  Oversize
+    samples, truncated rasters and non-65535 wide maxvals gate loud.
+    kind map: 0->P2 1->P3 2->P5 3->P6 4->P1 5->P4.  Arrow-batched
+    mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.pnm import (
+            decode_pnm,
+            encode_pnm,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "channels": [],
+                    "px_sum": [], "px_wsum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 6, 4 + (d // 2) % 4
+                kind = d % 6
+                if kind >= 4:
+                    bits = [(x + y + d) % 2 for y in range(h)
+                            for x in range(w)]
+                    if kind == 4:  # P1 ASCII, with a comment
+                        body = "\n".join(
+                            "".join(str(b) for b in bits[y * w:(y + 1) * w])
+                            for y in range(h)
+                        )
+                        blob = f"P1\n# bitmap\n{w} {h}\n{body}\n".encode()
+                    else:  # P4 packed rows
+                        rowsb = bytearray()
+                        for y in range(h):
+                            acc = 0
+                            for x in range(w):
+                                acc = (acc << 1) | bits[y * w + x]
+                            acc <<= (8 - w % 8) % 8
+                            rowsb += acc.to_bytes((w + 7) // 8, "big")
+                        blob = f"P4\n{w} {h}\n".encode() + bytes(rowsb)
+                else:
+                    nch = 3 if kind in (1, 3) else 1
+                    px = bytes(
+                        (d + 3 * x + 5 * y + 17 * c) % 256
+                        for y in range(h) for x in range(w)
+                        for c in range(nch)
+                    )
+                    blob = encode_pnm(
+                        w, h, nch, px, ascii_mode=(kind < 2)
+                    )
+                W, _H, C, out = decode_pnm(blob)
+                rows["doc_id"].append(d)
+                rows["width"].append(W)
+                rows["channels"].append(C)
+                rows["px_sum"].append(sum(out))
+                rows["px_wsum"].append(
+                    sum((1 + k) * v for k, v in enumerate(out))
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, width int, channels int, px_sum bigint, "
+        "px_wsum bigint",
+    ).orderBy("doc_id")

@@ -113,6 +113,7 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     from .bmp import BmpError, decode_bmp, is_bmp
     from .jpeg import JpegError, decode_jpeg_ext, is_jpeg
     from .png import PngError, decode_png, is_png
+    from .pnm import PnmError, decode_pnm, is_pnm
     from .tiff import TiffError, decode_tiff, is_tiff
 
     if is_png(bytes(payload[:8])):
@@ -143,10 +144,17 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
         except BmpError:
             if not fake:
                 raise
+    elif is_pnm(bytes(payload[:2])):
+        try:
+            w, h, _ch, _px = decode_pnm(payload)
+            return w, h
+        except PnmError:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
-            "image decoding beyond PNG/JPEG/TIFF/BMP requires PIL/opencv; "
-            "not available in this environment"
+            "image decoding beyond PNG/JPEG/TIFF/BMP/PNM requires "
+            "PIL/opencv; not available in this environment"
         )
     n = len(payload)
     return (n % 1920) + 1, (n % 1080) + 1
