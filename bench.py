@@ -168,6 +168,7 @@ HEADLINE = [
     "q426_url_canonical",
     "q427_exif_orientation",
     "q428_pnm_matrix",
+    "q429_wiki_extract",
 ]
 
 

@@ -1546,3 +1546,99 @@ def q428_pnm_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, width int, channels int, px_sum bigint, "
         "px_wsum bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q429: MediaWiki dump extraction + wikitext cleaning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q429_wiki_extract",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS p
+               FROM documents WHERE doc_id < 48),
+    art AS (SELECT doc_id, p, unnest(range(0, p)) AS j FROM d),
+    arows AS (SELECT doc_id, CAST(j AS INT) AS page_idx,
+                     'Art ' || doc_id || '-' || j AS title,
+                     CAST(0 AS INT) AS ns, CAST(0 AS INT) AS is_redirect,
+                     CAST(3 + 4 + (doc_id + j) % 5 AS INT) AS n_tokens
+              FROM art),
+    rrows AS (SELECT doc_id, CAST(p AS INT) AS page_idx,
+                     'Redir ' || doc_id AS title,
+                     CAST(0 AS INT) AS ns, CAST(1 AS INT) AS is_redirect,
+                     CAST(3 AS INT) AS n_tokens
+              FROM d),
+    trows AS (SELECT doc_id, CAST(p + 1 AS INT) AS page_idx,
+                     'Talk:Art ' || doc_id AS title,
+                     CAST(1 AS INT) AS ns, CAST(0 AS INT) AS is_redirect,
+                     CAST(2 AS INT) AS n_tokens
+              FROM d)
+    SELECT * FROM (
+      SELECT * FROM arows UNION ALL SELECT * FROM rrows
+      UNION ALL SELECT * FROM trows
+    ) ORDER BY doc_id, page_idx
+    """,
+)
+def q429_wiki_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWiki dump ingestion (round 9 — operators/wikitext.py, the
+    Wikipedia shape every LLM corpus carries): each doc synthesizes a
+    namespaced ``<mediawiki>`` export — article pages whose wikitext
+    exercises bold quotes, nested templates, piped links and refs;
+    a redirect page (flagged, not dropped — policy belongs in a WHERE);
+    a Talk-namespace page — and :func:`wiki_pages` explodes it 1->N
+    with cleaned text and whitespace token counts.  Cleaning is
+    rule-ordered and closed-form (innermost-first template removal,
+    caption-dropping media links, label-keeping piped links, heading
+    unwrap), so the oracle replays exact token counts; malformed
+    exports (no revision text, bad XML) fail loud.  Per-page string
+    work, vectorized, no shuffle — dump shards are the parallel axis."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                p = 2 + d % 3
+                pages = []
+                for j in range(p):
+                    n = 4 + (d + j) % 5
+                    words = " ".join(f"w{k}" for k in range(n))
+                    body = (
+                        f"'''A{j}''' {{{{tmpl{{{{inner}}}}}}}} is "
+                        f"[[x|linked]] {words}<ref>z</ref>"
+                    )
+                    pages.append(
+                        f"<page><title>Art {d}-{j}</title><ns>0</ns>"
+                        f"<revision><text>{body}</text></revision></page>"
+                    )
+                pages.append(
+                    f"<page><title>Redir {d}</title><ns>0</ns>"
+                    f'<redirect title="Art {d}-0"/>'
+                    f"<revision><text>#REDIRECT [[Art {d}-0]]</text>"
+                    f"</revision></page>"
+                )
+                pages.append(
+                    f"<page><title>Talk:Art {d}</title><ns>1</ns>"
+                    f"<revision><text>talk page</text></revision></page>"
+                )
+                xml = (
+                    '<mediawiki xmlns="http://www.mediawiki.org/xml/'
+                    'export-0.10/"><siteinfo><sitename>W</sitename>'
+                    f"</siteinfo>{''.join(pages)}</mediawiki>"
+                )
+                ids.append(d)
+                payloads.append(xml.encode())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    mm_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    from .operators.wikitext import wiki_pages
+
+    return wiki_pages(mm_df).select(
+        "doc_id", "page_idx", "title", "ns", "is_redirect", "n_tokens"
+    ).orderBy("doc_id", "page_idx")
