@@ -169,6 +169,9 @@ HEADLINE = [
     "q427_exif_orientation",
     "q428_pnm_matrix",
     "q429_wiki_extract",
+    "q430_id3_tags",
+    "q431_ipynb_cells",
+    "q432_license_lang",
 ]
 
 

@@ -1642,3 +1642,245 @@ def q429_wiki_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wiki_pages(mm_df).select(
         "doc_id", "page_idx", "title", "ns", "is_redirect", "n_tokens"
     ).orderBy("doc_id", "page_idx")
+
+
+# ---------------------------------------------------------------------------
+# q430: ID3v2 tag extraction over MP3 payloads
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q430_id3_tags",
+    oracle="""
+    WITH d AS (SELECT doc_id, 3 + doc_id % 2 AS v
+               FROM documents WHERE doc_id < 60)
+    SELECT doc_id,
+           CAST(v AS INT) AS id3_version,
+           'Track ' || doc_id || ' é中' AS title,
+           'Artist ' || (doc_id % 7) AS artist,
+           'Album ' || (doc_id % 5) AS album,
+           CAST(2000 + doc_id % 26 AS INT) AS year,
+           CAST(6 + doc_id % 5 AS BIGINT) AS n_frames
+    FROM d ORDER BY doc_id
+    """,
+)
+def q430_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 tag extraction (round 9 — operators/mp3.parse_id3v2, the
+    metadata layer every real MP3 carries in front of its frames): each
+    doc synthesizes a tagged silence stream — v2.3 with UTF-16 text
+    frames for odd docs, v2.4 with syncsafe frame sizes and UTF-8 for
+    even docs; titles carry non-latin codepoints so the encoding path
+    is genuinely exercised — then reads back title/artist/album/year
+    AND re-censuses the audio frames behind the tag (the tag skip and
+    the frame walk must agree about where audio starts).  Unsupported
+    versions/unsync flags/overrunning frames fail loud.  The oracle
+    states the expected strings closed-form.  Per-payload executor
+    work, vectorized, no shuffle."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+
+    def synth_tags(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.mp3 import (
+            encode_id3v2,
+            encode_mp3_silence,
+            mp3_census,
+            parse_id3v2,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "id3_version": [], "title": [],
+                    "artist": [], "album": [], "year": [], "n_frames": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = 3 + d % 2
+                fields = {
+                    "title": f"Track {d} é中",
+                    "artist": f"Artist {d % 7}",
+                    "album": f"Album {d % 5}",
+                    "year": str(2000 + d % 26),
+                }
+                blob = encode_id3v2(fields, version=v) + encode_mp3_silence(
+                    44100, 1, 6 + d % 5
+                )
+                tags = parse_id3v2(blob)
+                c = mp3_census(blob)
+                rows["doc_id"].append(d)
+                rows["id3_version"].append(v)
+                rows["title"].append(tags["title"])
+                rows["artist"].append(tags["artist"])
+                rows["album"].append(tags["album"])
+                rows["year"].append(int(tags["year"]))
+                rows["n_frames"].append(c["n_frames"])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_tags,
+        "doc_id bigint, id3_version int, title string, artist string, "
+        "album string, year int, n_frames bigint",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q431: Jupyter notebook cell extraction (outputs dropped)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q431_ipynb_cells",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS m
+               FROM documents WHERE doc_id < 60),
+    p AS (SELECT doc_id, m, unnest(range(0, m)) AS j FROM d),
+    md AS (SELECT doc_id, CAST(2 * j AS INT) AS cell_idx,
+                  'markdown' AS cell_type, CAST(1 AS INT) AS n_lines,
+                  CAST(NULL AS INT) AS execution_count,
+                  CAST(0 AS INT) AS n_outputs
+           FROM p),
+    cd AS (SELECT doc_id, CAST(2 * j + 1 AS INT) AS cell_idx,
+                  'code' AS cell_type,
+                  CAST(1 + (doc_id + j) % 4 AS INT) AS n_lines,
+                  CAST(j + 1 AS INT) AS execution_count,
+                  CAST(j % 3 AS INT) AS n_outputs
+           FROM p)
+    SELECT * FROM (SELECT * FROM md UNION ALL SELECT * FROM cd)
+    ORDER BY doc_id, cell_idx
+    """,
+)
+def q431_ipynb_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter notebook ingestion (round 9 — operators/code_corpus.py,
+    the code-corpus shape notebooks arrive in): each doc synthesizes an
+    nbformat-4 notebook alternating markdown and code cells (list AND
+    string source forms, execution counts, output lists) and explodes
+    it 1->N with OUTPUTS DROPPED — notebook outputs are where megabytes
+    of base64 images and leaked data hide, and training on them is a
+    known corpus defect; n_outputs is kept as the audit column.
+    nbformat-3 and malformed JSON fail loud.  The oracle replays cell
+    layout, line counts and execution counts closed-form."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+
+    def synth(batches):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cells = []
+                for j in range(2 + d % 3):
+                    cells.append({
+                        "cell_type": "markdown",
+                        "source": [f"# H{j}"],
+                    })
+                    n = 1 + (d + j) % 4
+                    src = "".join(f"x{k} = {k}\n" for k in range(n))
+                    cells.append({
+                        "cell_type": "code",
+                        "source": src if j % 2 else list(
+                            src.splitlines(keepends=True)
+                        ),
+                        "execution_count": j + 1,
+                        "outputs": [{"output_type": "stream"}] * (j % 3),
+                    })
+                nb = {"nbformat": 4, "nbformat_minor": 5,
+                      "metadata": {}, "cells": cells}
+                ids.append(d)
+                payloads.append(_json.dumps(nb).encode())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    mm_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    from .operators.code_corpus import ipynb_cells
+
+    return ipynb_cells(mm_df).select(
+        "doc_id", "cell_idx", "cell_type", "n_lines", "execution_count",
+        "n_outputs",
+    ).orderBy("doc_id", "cell_idx")
+
+
+# ---------------------------------------------------------------------------
+# q432: license + source-language triage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q432_license_lang",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 6 AS v
+               FROM documents WHERE doc_id < 60)
+    SELECT doc_id,
+           CASE v WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+                WHEN 2 THEN 'BSD-3-Clause' WHEN 3 THEN 'GPL-2.0'
+                WHEN 4 THEN NULL ELSE 'MIT' END AS license_id,
+           CASE v WHEN 0 THEN 'spdx' WHEN 4 THEN NULL
+                ELSE 'phrase' END AS method,
+           CASE v WHEN 0 THEN 'python' WHEN 1 THEN 'javascript'
+                WHEN 2 THEN 'rust' WHEN 3 THEN 'shell'
+                WHEN 4 THEN 'go' ELSE 'javascript' END AS lang
+    FROM d ORDER BY doc_id
+    """,
+)
+def q432_license_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License + source-language triage (round 9 —
+    operators/code_corpus.detect_license/detect_source_lang, the first
+    filter a The-Stack-style code corpus runs): six file families —
+    SPDX declaration (exact id, preferred over any phrase), Apache/BSD/
+    GPL/MIT distinctive-phrase bodies (BSD 2-vs-3 split on the
+    no-endorsement clause, GPL versioned by the version sentence), a
+    license-free file (NULL — absence is data, guessing would poison a
+    license-filtered corpus), and an extension-less script identified
+    by shebang.  The oracle states expected ids/methods/langs
+    closed-form.  Per-file string work, vectorized, no shuffle."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+
+    def synth_detect(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.code_corpus import (
+            detect_license,
+            detect_source_lang,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "license_id": [], "method": [],
+                    "lang": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 6
+                path, text = [
+                    ("pkg/a.py",
+                     "# SPDX-License-Identifier: MIT\nimport os\n"),
+                    ("web/b.js",
+                     "// Licensed under the Apache License, Version 2.0\n"
+                     "let x = 1;\n"),
+                    ("src/c.rs",
+                     "// Redistribution and use in source and binary "
+                     "forms, with or without modification...\n"
+                     "// Neither the name of the org...\nfn main() {}\n"),
+                    ("tools/run",
+                     "#!/bin/bash\n# GNU General Public License, "
+                     "version 2\necho hi\n"),
+                    ("cmd/d.go", "package main\n"),
+                    ("scripts/e.runner",
+                     "#!/usr/bin/env node\n/* Permission is hereby "
+                     "granted, free of charge, to any person */\n"),
+                ][v]
+                lic, method = detect_license(text)
+                lang = detect_source_lang(path, text)
+                rows["doc_id"].append(d)
+                rows["license_id"].append(lic)
+                rows["method"].append(method)
+                rows["lang"].append(lang)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_detect,
+        "doc_id bigint, license_id string, method string, lang string",
+    ).orderBy("doc_id")

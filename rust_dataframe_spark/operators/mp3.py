@@ -45,6 +45,8 @@ __all__ = [
     "mp3_census",
     "decode_mp3",
     "encode_mp3_silence",
+    "parse_id3v2",
+    "encode_id3v2",
 ]
 
 
@@ -442,3 +444,112 @@ def _silence_side_info(nch: int) -> bytes:
         sum(b << (7 - k) for k, b in enumerate(bits[i : i + 8]))
         for i in range(0, len(bits), 8)
     )
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 tag frames (metadata layer over the same payloads)
+# ---------------------------------------------------------------------------
+
+_ID3_TEXT = {
+    "TIT2": "title", "TPE1": "artist", "TALB": "album", "TYER": "year",
+    "TDRC": "year", "TCON": "genre", "TRCK": "track", "TLAN": "language",
+}
+
+
+def parse_id3v2(data: bytes) -> dict:
+    """Parse the leading ID3v2.3/2.4 tag's text frames into
+    ``{title, artist, album, year, genre, track, language}`` (missing
+    frames absent).  Text encodings 0 (latin-1), 1 (UTF-16 w/ BOM),
+    2 (UTF-16BE) and 3 (UTF-8) all decode; v2.4 syncsafe frame sizes
+    honored; unknown/binary frames (APIC...) are skipped by size.
+    No tag returns ``{}``; a malformed tag raises :class:`Mp3Error`
+    (corrupt metadata should not be silently dropped)."""
+    data = bytes(data)
+    if data[:3] != b"ID3":
+        return {}
+    ver = data[3]
+    if ver not in (3, 4):
+        raise Mp3Error(f"ID3v2.{ver} unsupported (2.3/2.4 only)")
+    flags = data[5]
+    if flags & 0x80:
+        raise Mp3Error("unsynchronized ID3v2 tag unsupported (fail-loud)")
+    size = 0
+    for b in data[6:10]:
+        if b & 0x80:
+            raise Mp3Error("non-syncsafe ID3v2 size")
+        size = (size << 7) | b
+    end = 10 + size
+    pos = 10
+    if flags & 0x40:  # extended header: skip by its own size field
+        if ver == 4:
+            ext = 0
+            for b in data[10:14]:
+                ext = (ext << 7) | b
+        else:
+            ext = int.from_bytes(data[10:14], "big") + 4
+        pos += ext
+    out: dict = {}
+    while pos + 10 <= end:
+        fid = data[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            raise Mp3Error(f"bad ID3 frame id {fid!r} at {pos}")
+        raw = data[pos + 4 : pos + 8]
+        if ver == 4:
+            fsize = 0
+            for b in raw:
+                if b & 0x80:
+                    raise Mp3Error("non-syncsafe v2.4 frame size")
+                fsize = (fsize << 7) | b
+        else:
+            fsize = int.from_bytes(raw, "big")
+        body = data[pos + 10 : pos + 10 + fsize]
+        if len(body) < fsize:
+            raise Mp3Error(f"ID3 frame {fid!r} overruns tag")
+        name = _ID3_TEXT.get(fid.decode("latin-1"))
+        if name and fsize >= 1:
+            enc = body[0]
+            payload = body[1:]
+            try:
+                if enc == 0:
+                    txt = payload.decode("latin-1")
+                elif enc == 1:
+                    txt = payload.decode("utf-16")
+                elif enc == 2:
+                    txt = payload.decode("utf-16-be")
+                elif enc == 3:
+                    txt = payload.decode("utf-8")
+                else:
+                    raise Mp3Error(f"ID3 text encoding {enc} invalid")
+            except UnicodeDecodeError as e:
+                raise Mp3Error(f"undecodable ID3 frame {fid!r}: {e}") from e
+            out[name] = txt.rstrip("\x00")
+        pos += 10 + fsize
+    return out
+
+
+def encode_id3v2(fields: dict, *, version: int = 3) -> bytes:
+    """Fixture half: a conformant ID3v2.3/2.4 tag with UTF-8 (v2.4) or
+    UTF-16 (v2.3) text frames for the given field dict."""
+    rev = {v: k for k, v in _ID3_TEXT.items() if k != "TDRC"}
+    frames = bytearray()
+    for name, val in fields.items():
+        fid = rev[name].encode()
+        if version == 4:
+            body = b"\x03" + val.encode("utf-8")
+        else:
+            body = b"\x01" + val.encode("utf-16")
+        n = len(body)
+        if version == 4:
+            raw = bytes(
+                (n >> s) & 0x7F for s in (21, 14, 7, 0)
+            )
+        else:
+            raw = n.to_bytes(4, "big")
+        frames += fid + raw + b"\x00\x00" + body
+    size = len(frames)
+    hdr = b"ID3" + bytes([version, 0, 0]) + bytes(
+        (size >> s) & 0x7F for s in (21, 14, 7, 0)
+    )
+    return hdr + bytes(frames)

@@ -122,3 +122,56 @@ class TestMp3FrameLayer:
         assert not is_mp3(b"fLaC")
         with pytest.raises(Mp3Error):
             mp3_frames(b"\x00" * 64)
+
+
+class TestId3v2:
+    FIELDS = {"title": "Song é中", "artist": "Band", "album": "LP",
+              "year": "2026", "track": "3/12"}
+
+    def test_both_versions_all_encodings(self):
+        from rust_dataframe_spark.operators.mp3 import (
+            encode_id3v2,
+            parse_id3v2,
+        )
+
+        for v in (3, 4):  # v2.3 UTF-16, v2.4 UTF-8 + syncsafe sizes
+            assert parse_id3v2(encode_id3v2(self.FIELDS, version=v)) == (
+                self.FIELDS
+            )
+
+    def test_tag_skip_agrees_with_frame_walk(self):
+        from rust_dataframe_spark.operators.mp3 import (
+            encode_id3v2,
+            encode_mp3_silence,
+            mp3_census,
+            parse_id3v2,
+        )
+
+        blob = encode_id3v2(self.FIELDS) + encode_mp3_silence(44100, 1, 4)
+        assert mp3_census(blob)["n_frames"] == 4
+        assert parse_id3v2(blob)["artist"] == "Band"
+
+    def test_absent_tag_is_empty(self):
+        from rust_dataframe_spark.operators.mp3 import (
+            encode_mp3_silence,
+            parse_id3v2,
+        )
+
+        assert parse_id3v2(encode_mp3_silence(44100, 1, 2)) == {}
+
+    def test_gates(self):
+        from rust_dataframe_spark.operators.mp3 import (
+            encode_id3v2,
+            parse_id3v2,
+        )
+
+        with pytest.raises(Mp3Error, match="2.3/2.4"):
+            parse_id3v2(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+        tag = bytearray(encode_id3v2({"title": "x"}))
+        tag[5] |= 0x80  # unsynchronization flag
+        with pytest.raises(Mp3Error, match="unsynchronized"):
+            parse_id3v2(bytes(tag))
+        tag2 = bytearray(encode_id3v2({"title": "x"}))
+        tag2[14] = 0xFF  # frame size overruns tag
+        with pytest.raises(Mp3Error, match="overruns|bad ID3"):
+            parse_id3v2(bytes(tag2))
