@@ -172,6 +172,8 @@ HEADLINE = [
     "q430_id3_tags",
     "q431_ipynb_cells",
     "q432_license_lang",
+    "q433_chat_turns",
+    "q434_schema_filter",
 ]
 
 

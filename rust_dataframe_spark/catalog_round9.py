@@ -1884,3 +1884,202 @@ def q432_license_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_detect,
         "doc_id bigint, license_id string, method string, lang string",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q433: chat-transcript validation + turn explode (the RLHF/SFT shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q433_chat_turns",
+    oracle="""
+    WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS k, doc_id % 4 AS bad,
+                      doc_id % 12 AS bv
+               FROM documents WHERE doc_id < 60),
+    valid AS (SELECT doc_id, k FROM d WHERE bad <> 3),
+    sys AS (SELECT doc_id, CAST(0 AS INT) AS turn_idx,
+                   'system' AS role, CAST(2 AS INT) AS n_words,
+                   CAST(1 AS INT) AS valid, CAST(NULL AS VARCHAR) AS defect
+            FROM valid),
+    pair AS (SELECT doc_id, k, unnest(range(0, k)) AS j FROM valid),
+    usr AS (SELECT doc_id, CAST(1 + 2 * j AS INT) AS turn_idx,
+                   'user' AS role,
+                   CAST(2 + (doc_id + j) % 3 AS INT) AS n_words,
+                   CAST(1 AS INT) AS valid, CAST(NULL AS VARCHAR) AS defect
+            FROM pair),
+    asst AS (SELECT doc_id, CAST(2 + 2 * j AS INT) AS turn_idx,
+                    'assistant' AS role,
+                    CAST(3 + (doc_id + j) % 4 AS INT) AS n_words,
+                    CAST(1 AS INT) AS valid, CAST(NULL AS VARCHAR) AS defect
+             FROM pair),
+    badrows AS (SELECT doc_id, CAST(-1 AS INT) AS turn_idx,
+                       CAST(NULL AS VARCHAR) AS role,
+                       CAST(NULL AS INT) AS n_words,
+                       CAST(0 AS INT) AS valid,
+                       CASE bv
+                         WHEN 3 THEN 'transcript ends on a user turn (no target)'
+                         WHEN 7 THEN 'turn 1 role ''tool'' not in whitelist'
+                         ELSE 'alternation break at turn 1: got ''user'', want ''assistant'''
+                       END AS defect
+                FROM d WHERE bad = 3)
+    SELECT * FROM (
+      SELECT * FROM sys UNION ALL SELECT * FROM usr
+      UNION ALL SELECT * FROM asst UNION ALL SELECT * FROM badrows
+    ) ORDER BY doc_id, turn_idx
+    """,
+)
+def q433_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-transcript ingestion (round 9 — operators/chat.py, the
+    RLHF/SFT data shape): three of four docs synthesize valid
+    conversations (system prompt + 1-3 strictly alternating user/
+    assistant pairs) exploded 1->N with per-turn word counts; every
+    fourth doc carries one of three structural defects — ends-on-user
+    (no training target), a non-whitelisted role, an alternation break
+    — and yields a single QUARANTINE row whose defect message the
+    oracle matches VERBATIM (quarantine, don't die: corpus passes keep
+    running, filtering is an explicit WHERE on the valid column).
+    Rendering + assistant-content loss spans are pinned in pytest
+    (span arithmetic is exact by construction).  Per-row JSON work,
+    vectorized, no shuffle."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+
+    def synth(batches):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = 1 + d % 3
+                if d % 4 == 3:
+                    bv = d % 12
+                    if bv == 3:
+                        turns = [
+                            {"role": "user", "content": "question one"},
+                        ]
+                    elif bv == 7:
+                        turns = [
+                            {"role": "user", "content": "q"},
+                            {"role": "tool", "content": "x"},
+                        ]
+                    else:
+                        turns = [
+                            {"role": "user", "content": "q"},
+                            {"role": "user", "content": "again"},
+                        ]
+                else:
+                    turns = [{"role": "system", "content": "be nice"}]
+                    for j in range(k):
+                        uw = 2 + (d + j) % 3
+                        aw = 3 + (d + j) % 4
+                        turns.append({
+                            "role": "user",
+                            "content": " ".join(
+                                f"u{j}w{x}" for x in range(uw)
+                            ),
+                        })
+                        turns.append({
+                            "role": "assistant",
+                            "content": " ".join(
+                                f"a{j}w{x}" for x in range(aw)
+                            ),
+                        })
+                ids.append(d)
+                payloads.append(_json.dumps(turns).encode())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    mm_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    from .operators.chat import chat_turns
+
+    return chat_turns(mm_df).select(
+        "doc_id", "turn_idx", "role", "n_words", "valid", "defect"
+    ).orderBy("doc_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------------
+# q434: JSON-Schema filtering for function-calling data
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q434_schema_filter",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 5 AS v
+               FROM documents WHERE doc_id < 60)
+    SELECT doc_id,
+           CAST(CASE v WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                WHEN 3 THEN 1 ELSE 2 END AS INT) AS n_violations,
+           CASE v WHEN 0 THEN NULL
+                WHEN 1 THEN '$.name'
+                WHEN 2 THEN '$.args.limit'
+                WHEN 3 THEN '$.args'
+                ELSE '$.args.tags' END AS first_path
+    FROM d ORDER BY doc_id
+    """,
+)
+def q434_schema_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Schema filtering (round 9 — operators/jsonschema.py, the
+    structured-output / function-calling data-quality gate): a fixed
+    tool-call schema (typed properties, required, pattern, numeric
+    ranges, item bounds, enum, additionalProperties: false) validates
+    five payload families — valid; pattern violation; out-of-range +
+    refused extra property; missing required; overlong array + enum
+    miss (with the bool-is-not-int pitfall handled: JSON true never
+    equals enum 1).  Violations come back as (json_path, message)
+    verdict ROWS, not exceptions; unsupported composition keywords
+    ($ref/anyOf/...) in a schema raise SchemaError — a validator that
+    silently ignores a constraint passes garbage.  The oracle replays
+    violation counts and first paths closed-form."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+
+    def synth_validate(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.jsonschema import validate_json
+
+        schema = {
+            "type": "object",
+            "required": ["name", "args"],
+            "additionalProperties": False,
+            "properties": {
+                "name": {"type": "string", "minLength": 1,
+                         "pattern": "^[a-z_]+$"},
+                "args": {"type": "object", "properties": {
+                    "limit": {"type": "integer", "minimum": 1,
+                              "maximum": 100},
+                    "tags": {"type": "array",
+                             "items": {"type": "string"}, "maxItems": 3},
+                    "mode": {"enum": ["fast", "slow"]},
+                }},
+            },
+        }
+        payloads = [
+            {"name": "get_docs", "args": {"limit": 5, "tags": ["a"],
+                                          "mode": "fast"}},
+            {"name": "Bad Name!", "args": {"limit": 5}},
+            {"name": "ok_name", "args": {"limit": 0}, "extra": 1},
+            {"name": "ok_name"},
+            {"name": "ok_name",
+             "args": {"tags": ["a", "b", "c", "d"], "mode": True}},
+        ]
+        for pdf in batches:
+            rows = {"doc_id": [], "n_violations": [], "first_path": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                errs = validate_json(payloads[d % 5], schema)
+                rows["doc_id"].append(d)
+                rows["n_violations"].append(len(errs))
+                rows["first_path"].append(errs[0][0] if errs else None)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_validate,
+        "doc_id bigint, n_violations int, first_path string",
+    ).orderBy("doc_id")
