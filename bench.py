@@ -174,6 +174,7 @@ HEADLINE = [
     "q432_license_lang",
     "q433_chat_turns",
     "q434_schema_filter",
+    "q435_mbox_extract",
 ]
 
 

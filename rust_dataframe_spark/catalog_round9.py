@@ -2083,3 +2083,96 @@ def q434_schema_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_validate,
         "doc_id bigint, n_violations int, first_path string",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q435: mbox/MIME mailing-list extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q435_mbox_extract",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS m
+               FROM documents WHERE doc_id < 48),
+    p AS (SELECT doc_id, unnest(range(0, m)) AS i FROM d)
+    SELECT doc_id, CAST(i AS INT) AS msg_idx,
+           'Msg ' || doc_id || '-' || i AS subject,
+           'u' || i || '@ex' || doc_id || '.org' AS sender,
+           CAST(i % 2 AS INT) AS n_attachments,
+           CAST(4 + (doc_id + i) % 5 AS INT) AS n_tokens
+    FROM p ORDER BY doc_id, msg_idx
+    """,
+)
+def q435_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mailing-list archive ingestion (round 9 — operators/mail.py, the
+    mbox corpus shape): each doc synthesizes an mboxrd archive — even
+    messages plain text/plain with a signature block below ``-- `` and
+    a ``>From`` stuffed line; odd messages MIME multipart with a
+    quoted-printable text part carrying a quoted reply block (with its
+    ``wrote:`` attribution) plus a base64 PDF attachment — and explodes
+    it 1->N: stdlib-email MIME walk with transfer decoding, text/plain
+    leaves only (html-only mail gates loud), quote/attribution/
+    signature stripping (the dedup-critical cleanup: quoted text
+    re-counts the parent message).  The oracle replays subjects,
+    senders, attachment counts and post-strip token counts closed-form.
+    Per-message string work, vectorized, no shuffle."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                msgs = []
+                for i in range(2 + d % 3):
+                    n = 4 + (d + i) % 5
+                    words = " ".join(f"w{k}" for k in range(n))
+                    hdr = (
+                        f"From u{i}@ex{d}.org Mon Jan  5 10:0{i}:00 2026\n"
+                        f"From: u{i}@ex{d}.org\n"
+                        f"Subject: Msg {d}-{i}\n"
+                        f"Message-ID: <m{d}.{i}@ex.org>\n"
+                    )
+                    if i % 2 == 0:
+                        # the >From stuffed line sits below the sig marker
+                        # so mboxrd unstuffing is exercised without
+                        # touching the post-strip token law
+                        body = (
+                            "Content-Type: text/plain; charset=utf-8\n\n"
+                            f"{words}\n-- \nsig line\n>From stuffed\n"
+                        )
+                    else:
+                        body = (
+                            "MIME-Version: 1.0\n"
+                            'Content-Type: multipart/mixed; boundary="BB"\n'
+                            "\n--BB\n"
+                            "Content-Type: text/plain; charset=utf-8\n"
+                            "Content-Transfer-Encoding: quoted-printable\n"
+                            "\n"
+                            "someone wrote:\n> quoted line\n> more quote\n"
+                            f"{words}\n"
+                            "--BB\n"
+                            "Content-Type: application/pdf\n"
+                            "Content-Transfer-Encoding: base64\n"
+                            'Content-Disposition: attachment; '
+                            'filename="x.pdf"\n'
+                            "\nUERG\n"
+                            "--BB--\n"
+                        )
+                    msgs.append(hdr + body)
+                ids.append(d)
+                payloads.append("\n".join(msgs).encode())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    mm_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    from .operators.mail import mbox_messages
+
+    return mbox_messages(mm_df).select(
+        "doc_id", "msg_idx", "subject", "sender", "n_attachments",
+        "n_tokens",
+    ).orderBy("doc_id", "msg_idx")
