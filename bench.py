@@ -175,6 +175,7 @@ HEADLINE = [
     "q433_chat_turns",
     "q434_schema_filter",
     "q435_mbox_extract",
+    "q436_pdf_extract",
 ]
 
 

@@ -2176,3 +2176,76 @@ def q435_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "msg_idx", "subject", "sender", "n_attachments",
         "n_tokens",
     ).orderBy("doc_id", "msg_idx")
+
+
+# ---------------------------------------------------------------------------
+# q436: PDF text extraction — both file layouts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q436_pdf_extract",
+    oracle="""
+    WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS p
+               FROM documents WHERE doc_id < 48),
+    pg AS (SELECT doc_id, unnest(range(0, p)) AS i FROM d),
+    ln AS (SELECT doc_id, i, 2 + (doc_id + i) % 3 AS l FROM pg),
+    li AS (SELECT doc_id, i, l, unnest(range(0, l)) AS j FROM ln)
+    SELECT doc_id, CAST(i AS INT) AS page_idx,
+           CAST(max(l) AS INT) AS n_lines,
+           CAST(sum(3 + (doc_id + i + j) % 4) AS BIGINT) AS n_tokens
+    FROM li GROUP BY doc_id, i ORDER BY doc_id, page_idx
+    """,
+)
+def q436_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (round 9 — operators/pdf.py, the
+    papers-corpus front door, pure stdlib): each doc synthesizes a
+    multi-page PDF with Flate-compressed content streams — even docs in
+    the CLASSIC layout (xref table + trailer), odd docs in the MODERN
+    one (catalog/pages/page objects inside a compressed /ObjStm, xref
+    as a /XRef stream with PNG Up predictor and /W field widths) — and
+    extracts per-page text through the full chain: xref resolution,
+    lazy indirect-reference resolution, page-tree walk with /Count
+    validation, zlib + predictor decode, content-stream tokenization
+    (literal-string escapes included), BT/ET + Td/TD/T* line heuristics
+    and Tj/TJ shows.  CID/Type0 two-byte text and non-Flate filters
+    gate loud.  The oracle replays per-page line and token counts
+    closed-form.  Per-payload executor work; a PDF is one row."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.pdf import encode_pdf
+
+        for pdf_b in batches:
+            ids, payloads = [], []
+            for d in pdf_b["doc_id"]:
+                d = int(d)
+                pages = []
+                for i in range(1 + d % 3):
+                    lines = []
+                    for j in range(2 + (d + i) % 3):
+                        n = 3 + (d + i + j) % 4
+                        lines.append(
+                            " ".join(f"p{i}l{j}w{k}" for k in range(n))
+                        )
+                    pages.append(lines)
+                ids.append(d)
+                payloads.append(
+                    encode_pdf(pages, xref_stream=bool(d % 2))
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    mm_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    from .operators.pdf import pdf_pages
+
+    out = pdf_pages(mm_df)
+    return out.select(
+        "doc_id",
+        "page_idx",
+        (F.size(F.split(F.col("text"), "\n"))).cast("int").alias("n_lines"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id", "page_idx")
