@@ -176,6 +176,7 @@ HEADLINE = [
     "q434_schema_filter",
     "q435_mbox_extract",
     "q436_pdf_extract",
+    "q437_bitext_align",
 ]
 
 

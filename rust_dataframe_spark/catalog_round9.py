@@ -2249,3 +2249,93 @@ def q436_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.split(F.col("text"), "\n"))).cast("int").alias("n_lines"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
     ).orderBy("doc_id", "page_idx")
+
+
+# ---------------------------------------------------------------------------
+# q437: Gale-Church bitext alignment — planted-optimum oracle
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id < 48): base lengths L(i) = 20 + 10*((d+i)%5);
+# K = 5 + d%3; plant position p = d % (K-2).  Even docs plant a 2-1 (two
+# sources, one merged target of exactly summed length — delta 0, so the
+# planted path wins by the penalty margin); odd docs plant the mirror 1-2.
+# All other positions are exact 1-1.  The DP genuinely runs; the oracle
+# states the known optimum.
+
+
+@query(
+    "q437_bitext_align",
+    oracle="""
+    WITH d AS (SELECT doc_id, 5 + doc_id % 3 AS k, doc_id % 2 AS par
+               FROM documents WHERE doc_id < 48),
+    dd AS (SELECT doc_id, k, par, doc_id % (k - 2) AS p FROM d),
+    a AS (SELECT doc_id, k, par, p, unnest(range(0, k - 1)) AS ai FROM dd),
+    r AS (SELECT doc_id, CAST(ai AS INT) AS align_idx,
+                 CAST(CASE WHEN ai < p THEN ai
+                      WHEN ai = p THEN p
+                      WHEN par = 0 THEN ai + 1 ELSE ai END AS INT)
+                     AS src_start,
+                 CAST(CASE WHEN ai = p AND par = 0 THEN 2 ELSE 1 END AS INT)
+                     AS src_count,
+                 CAST(CASE WHEN ai < p THEN ai
+                      WHEN ai = p THEN p
+                      WHEN par = 1 THEN ai + 1 ELSE ai END AS INT)
+                     AS tgt_start,
+                 CAST(CASE WHEN ai = p AND par = 1 THEN 2 ELSE 1 END AS INT)
+                     AS tgt_count,
+                 CAST(CASE WHEN ai = p
+                      THEN 40 + 10 * ((doc_id + p) % 5)
+                           + 10 * ((doc_id + p + 1) % 5)
+                      WHEN ai < p THEN 20 + 10 * ((doc_id + ai) % 5)
+                      ELSE 20 + 10 * ((doc_id + ai + 1) % 5) END AS BIGINT)
+                     AS pair_len
+          FROM a)
+    SELECT doc_id, align_idx, src_start, src_count, tgt_start, tgt_count,
+           pair_len AS src_len, pair_len AS tgt_len
+    FROM r ORDER BY doc_id, align_idx
+    """,
+)
+def q437_bitext_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gale-Church sentence alignment (round 9 — operators/bitext.py,
+    the bitext step for translation corpora): each doc synthesizes a
+    source/target sentence-length pair with one PLANTED merge — even
+    docs a 2-1 (two sources to one exactly-summed target), odd docs the
+    mirror 1-2 — amid exact 1-1 matches; the published DP (centinat
+    match costs via the erf normal tail + the paper's type penalties)
+    genuinely runs on executors and must recover the planted optimum,
+    which the oracle states closed-form (any drift in the cost model,
+    move set, tie-breaking or backtrace changes some row).  The DP is
+    O(n*m) per document pair but pairs are independent rows (no
+    shuffle), with a fail-loud max_cells guard carrying the published
+    paragraph-pre-segmentation discipline for book-length inputs."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "src_lens": [], "tgt_lens": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = 5 + d % 3
+                p = d % (k - 2)
+                L = [20 + 10 * ((d + i) % 5) for i in range(k)]
+                if d % 2 == 0:  # 2-1: K sources, K-1 targets
+                    src = L
+                    tgt = L[:p] + [L[p] + L[p + 1]] + L[p + 2 :]
+                else:  # 1-2: K-1 sources, K targets
+                    src = L[:p] + [L[p] + L[p + 1]] + L[p + 2 :]
+                    tgt = L
+                rows["doc_id"].append(d)
+                rows["src_lens"].append(src)
+                rows["tgt_lens"].append(tgt)
+            yield pd.DataFrame(rows)
+
+    pairs = docs.mapInPandas(
+        synth, "doc_id bigint, src_lens array<int>, tgt_lens array<int>"
+    )
+    from .operators.bitext import align_pairs
+
+    return align_pairs(pairs).orderBy("doc_id", "align_idx")
