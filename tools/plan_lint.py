@@ -19,7 +19,8 @@ Patterns flagged per query:
   review rather than hard-failed; the curated allowlist below records the
   reviewed-and-bounded cases with the reason.
 
-Writes PLANLINT.md.  Usage: python tools/plan_lint.py [--sf DIR]
+Writes PLANLINT.md (or appends with --only).  Usage:
+python tools/plan_lint.py [--sf DIR] [--only qA qB ...]
 """
 
 from __future__ import annotations
@@ -245,6 +246,11 @@ def main() -> int:
     rows = []
     n_cart = n_bnlj_review = n_sp_new = n_err = 0
     names = sorted(catalog.QUERIES)
+    only: list[str] = []
+    if "--only" in sys.argv:
+        only = [a for a in sys.argv[sys.argv.index("--only") + 1 :]
+                if not a.startswith("-")]
+        names = [n for n in names if n in only]
     t0 = time.time()
     for name in names:
         try:
@@ -302,7 +308,10 @@ def main() -> int:
         "CARTESIAN / BNLJ-review / SP-NEW row is a lint failure."
     )
     out = "\n".join(lines) + "\n"
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANLINT.md"), "w") as fh:
+    mode = "a" if only else "w"
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANLINT.md"), mode) as fh:
+        if only:
+            fh.write(f"\n## Incremental lint ({len(names)} queries)\n\n")
         fh.write(out)
     print(out.splitlines()[2])
     print(f"planned {len(names)} queries in {time.time()-t0:.0f}s", file=sys.stderr)
