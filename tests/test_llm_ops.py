@@ -332,12 +332,22 @@ class TestGifReal:
     def test_sample_frames_real_non_gif_raises(self, spark):
         import pytest
 
+        # an unknown container (no GIF/AVI/MP4/MKV magic) hits the
+        # documented pyav/ffmpeg gate...
         df = spark.createDataFrame(
-            [(1, bytearray(b"\x00\x00\x00\x18ftypmp42----"))],
+            [(1, bytearray(b"FLV\x01\x05----------"))],
             "doc_id bigint, payload binary",
         )
         with pytest.raises(Exception, match="pyav/ffmpeg"):
             mm.sample_frames(df, n_frames=2, fake_decode=False).collect()
+        # ...while a TRUNCATED MP4 (round 9: MP4 demuxes for real now)
+        # fails loud structurally instead of being faked or skipped
+        df2 = spark.createDataFrame(
+            [(1, bytearray(b"\x00\x00\x00\x18ftypmp42----"))],
+            "doc_id bigint, payload binary",
+        )
+        with pytest.raises(Exception, match="moov|truncated|overruns"):
+            mm.sample_frames(df2, n_frames=2, fake_decode=False).collect()
 
 
 class TestCdcChunks:
