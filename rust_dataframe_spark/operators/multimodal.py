@@ -552,11 +552,23 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
     with mono-mixed signed samples at scale ``2^(8*sample_width - 1)``
     — FLAC depths that are not byte multiples (12/20-bit) are shifted
     left to the next byte width so the dyadic energy rescale in
-    ``segment_audio`` stays exact.  MP3 and Vorbis/Opus payloads still
-    raise NotImplementedError (true DSP codecs; documented gate)."""
+    ``segment_audio`` stays exact.  MP3 (round 9, :mod:`operators.mp3`)
+    dispatches too: the frame layer parses for real and digital silence
+    decodes EXACT; nonzero spectral data raises (the ISO Huffman/window
+    tables are unverifiable in-sandbox), as do Vorbis/Opus payloads
+    (true DSP codecs; documented gates)."""
     from .flac import decode_flac, is_flac
+    from .mp3 import decode_mp3, is_mp3
     from .ogg import decode_ogg_audio, is_ogg
 
+    if is_mp3(bytes(payload[:4])):
+        sr, nch, samples = decode_mp3(payload)
+        if nch > 1:
+            samples = [
+                sum(samples[i : i + nch]) // nch
+                for i in range(0, len(samples), nch)
+            ]
+        return sr, nch, 2, samples
     if is_ogg(bytes(payload[:4])):
         _sr, nch, bps, inter = decode_ogg_audio(payload)
         sw = (bps + 7) // 8
