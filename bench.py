@@ -177,6 +177,7 @@ HEADLINE = [
     "q435_mbox_extract",
     "q436_pdf_extract",
     "q437_bitext_align",
+    "q438_image_transcode",
 ]
 
 

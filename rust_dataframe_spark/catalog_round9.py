@@ -2339,3 +2339,99 @@ def q437_bitext_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bitext import align_pairs
 
     return align_pairs(pairs).orderBy("doc_id", "align_idx")
+
+
+# ---------------------------------------------------------------------------
+# q438: image transcode-to-PNG — the corpus homogenization pass
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q438_image_transcode",
+    oracle="""
+    WITH d AS (SELECT doc_id, 8 * (2 + doc_id % 2) AS w,
+                      8 * (1 + (doc_id // 2) % 2) AS h,
+                      doc_id % 4 AS f
+               FROM documents WHERE doc_id < 48),
+    bx AS (SELECT doc_id, w, h, f, unnest(range(0, w // 8)) AS bx FROM d),
+    b AS (SELECT doc_id, w, h, f, bx, unnest(range(0, h // 8)) AS by
+          FROM bx),
+    px AS (SELECT doc_id, w, h, f, bx, by,
+                  (doc_id + 11 * bx + 23 * by) % 256 AS v
+           FROM b),
+    cell AS (SELECT doc_id, w, h, f, v,
+                    64 AS n,
+                    bx, by
+             FROM px),
+    expand_x AS (SELECT doc_id, w, h, f, v, by,
+                        8 * bx + unnest(range(0, 8)) AS x
+                 FROM cell),
+    g AS (SELECT doc_id, w, h, f, v,
+                 x, 8 * by + unnest(range(0, 8)) AS y
+          FROM expand_x)
+    SELECT doc_id,
+           CASE f WHEN 0 THEN 'bmp' WHEN 1 THEN 'tiff' WHEN 2 THEN 'pnm'
+                ELSE 'jpeg' END AS src_format,
+           CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum((1 + y * w + x) * v) AS BIGINT) AS px_wsum
+    FROM g GROUP BY doc_id, f ORDER BY doc_id
+    """,
+)
+def q438_image_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image transcode-to-PNG (round 9 — multimodal.transcode_to_png,
+    the corpus homogenization pass before perceptual hashing/packing):
+    each doc synthesizes the SAME analytic block-constant gray plane in
+    a format cycling BMP (grayscale-identity palette — the decoder
+    proves grayness and collapses to one channel) / TIFF (LZW) / PNM
+    (binary P5) / JPEG (block-constant = bit-exact), decodes by magic
+    through the unified pixel contract, re-encodes with the repo's PNG
+    encoder, decodes the PNG BACK and compares in-operator (any drift
+    in any of the five codecs raises).  The oracle replays the plane
+    checksum closed-form — identical for all four formats, which is
+    the point: after this pass the corpus is format-homogeneous.
+    Arrow-batched mapInPandas; pixels never leave executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.bmp import encode_bmp8
+        from rust_dataframe_spark.operators.jpeg import encode_jpeg
+        from rust_dataframe_spark.operators.pnm import encode_pnm
+        from rust_dataframe_spark.operators.tiff import encode_tiff
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (2 + d % 2), 8 * (1 + (d // 2) % 2)
+                plane = bytes(
+                    (d + 11 * (x // 8) + 23 * (y // 8)) % 256
+                    for y in range(h) for x in range(w)
+                )
+                f = d % 4
+                if f == 0:
+                    blob = encode_bmp8(
+                        w, h, plane, [(i, i, i) for i in range(256)]
+                    )
+                elif f == 1:
+                    blob = encode_tiff(w, h, 1, plane, compression=5)
+                elif f == 2:
+                    blob = encode_pnm(w, h, 1, plane)
+                else:
+                    blob = encode_jpeg(w, h, plane, channels=1)
+                ids.append(d)
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    mm_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    from .operators import multimodal as mm
+
+    return mm.transcode_to_png(mm_df).select(
+        "doc_id", "src_format", "width", "height", "channels",
+        "px_sum", "px_wsum",
+    ).orderBy("doc_id")

@@ -57,6 +57,8 @@ __all__ = [
     "extract_dhash",
     "resize_images",
     "sample_frames",
+    "decode_image_pixels",
+    "transcode_to_png",
     "decode_wav",
     "decode_audio",
     "segment_audio",
@@ -688,3 +690,87 @@ def segment_audio(
             yield pd.DataFrame(rows)
 
     return mm_df.select("doc_id", "payload").mapInPandas(_segment, schema=out_schema)
+
+
+def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full-pixel unified image decode by magic: PNG / JPEG (all five
+    real SOF modes incl. hierarchical) / TIFF / BMP / PNM -> ``(w, h,
+    channels, pixels)`` top-down interleaved 8-bit.  The shared
+    contract every per-format codec already honors; unknown magic
+    raises (round 9)."""
+    from .bmp import decode_bmp, is_bmp
+    from .jpeg import decode_jpeg, is_jpeg
+    from .png import decode_png, is_png
+    from .pnm import decode_pnm, is_pnm
+    from .tiff import decode_tiff, is_tiff
+
+    head = bytes(payload[:8])
+    if is_png(head):
+        return decode_png(payload)
+    if is_jpeg(head[:2]):
+        return decode_jpeg(payload)
+    if is_tiff(head[:4]):
+        return decode_tiff(payload)
+    if is_bmp(head[:2]):
+        return decode_bmp(payload)
+    if is_pnm(head[:2]):
+        return decode_pnm(payload)
+    raise NotImplementedError(
+        "image transcode beyond PNG/JPEG/TIFF/BMP/PNM requires PIL"
+    )
+
+
+def transcode_to_png(mm_df: DataFrame) -> DataFrame:
+    """Normalize every image payload to canonical PNG (round 9) — the
+    corpus-homogenization step before perceptual hashing / packing:
+    decode by magic through :func:`decode_image_pixels`, re-encode with
+    the repo's own PNG encoder.  Output carries the source format tag,
+    dims/channels, the PNG bytes, and a decoded-back byte checksum so
+    a round-trip drift in ANY of the five decoders or the PNG encoder
+    is visible in-plan.  Arrow-batched on executors; lossless for every
+    supported source except general (non-block-constant) JPEG, which is
+    decoded pixels re-encoded losslessly (the decode itself is the only
+    lossy step, as with any JPEG consumer)."""
+
+    def _transcode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .png import decode_png, encode_png
+
+        for pdf in batches:
+            rows = {"doc_id": [], "src_format": [], "width": [],
+                    "height": [], "channels": [], "png": [],
+                    "px_sum": [], "px_wsum": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                fmt = (
+                    "png" if p[:8].startswith(b"\x89PNG") else
+                    "jpeg" if p[:2] == b"\xff\xd8" else
+                    "tiff" if p[:4] in (b"II*\x00", b"MM\x00*") else
+                    "bmp" if p[:2] == b"BM" else
+                    "pnm"
+                )
+                w, h, ch, px = decode_image_pixels(p)
+                png = encode_png(w, h, px, channels=ch)
+                w2, h2, c2, px2 = decode_png(png)
+                if (w2, h2, c2, bytes(px2)) != (w, h, ch, bytes(px)):
+                    raise ValueError(
+                        "PNG transcode round-trip drift (fail-loud)"
+                    )
+                rows["doc_id"].append(doc_id)
+                rows["src_format"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["png"].append(png)
+                rows["px_sum"].append(sum(px2))
+                rows["px_wsum"].append(
+                    sum((1 + k) * v for k, v in enumerate(px2))
+                )
+            yield pd.DataFrame(rows)
+
+    return mm_df.mapInPandas(
+        _transcode,
+        "doc_id bigint, src_format string, width int, height int, "
+        "channels int, png binary, px_sum bigint, px_wsum bigint",
+    )
