@@ -223,6 +223,10 @@ def decode_jpeg_hier(data: bytes) -> tuple[int, int, int, int, bytes]:
                 bits = list(data[at + 1 : at + 17])
                 n = sum(bits)
                 vals = list(data[at + 17 : at + 17 + n])
+                if len(vals) < n or at + 17 + n > pos + ln:
+                    raise JpegError(
+                        "DHT declares more codes than the segment carries"
+                    )
                 hts[(tc, th)] = _build_huff(bits, vals)
                 at += 17 + n
         elif marker in (0xC0, 0xC1, 0xC5):

@@ -315,7 +315,11 @@ class _Pdf:
                 ent = self.d[lx.pos : lx.pos + 18]
                 off, _gen, typ = ent[:10], ent[11:16], ent[17:18]
                 lx.pos += 18
+                if typ not in (b"n", b"f"):
+                    raise PdfError(f"bad xref entry type {typ!r}")
                 if typ == b"n":
+                    if not off.isdigit():
+                        raise PdfError(f"non-numeric xref offset {off!r}")
                     self.offsets.setdefault(first + k, int(off))
 
     def _xref_stream(self, pos: int) -> int:
@@ -324,10 +328,14 @@ class _Pdf:
         if d.get("/Type") != "/XRef":
             raise PdfError("startxref points at a non-XRef object")
         data = self._decode_stream(d, raw)
-        w = d["/W"]
-        if not isinstance(w, list) or len(w) != 3:
+        w = d.get("/W")
+        if not isinstance(w, list) or len(w) != 3 or not all(
+            isinstance(x, int) for x in w
+        ):
             raise PdfError("bad /W in xref stream")
         w0, w1, w2 = (int(x) for x in w)
+        if "/Size" not in d or not isinstance(d["/Size"], int):
+            raise PdfError("xref stream missing integer /Size")
         size = int(d["/Size"])
         index = d.get("/Index", [0, size])
         rw = w0 + w1 + w2
