@@ -178,6 +178,7 @@ HEADLINE = [
     "q436_pdf_extract",
     "q437_bitext_align",
     "q438_image_transcode",
+    "q439_aiff_au",
 ]
 
 

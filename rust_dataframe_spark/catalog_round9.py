@@ -2435,3 +2435,105 @@ def q438_image_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "src_format", "width", "height", "channels",
         "px_sum", "px_wsum",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q439: AIFF / AU audio containers — exact sums incl. the 80-bit rate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q439_aiff_au",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 3 AS c, 150 + doc_id % 50 AS n
+               FROM documents WHERE doc_id < 60),
+    i AS (SELECT doc_id, c, n, unnest(range(0, n)) AS idx FROM d),
+    v AS (SELECT doc_id, c, n,
+                 CASE WHEN c < 2
+                   THEN ((doc_id * 31 + idx * 17) % 4001) - 2000
+                 ELSE
+                   CASE WHEN xor((doc_id * 7 + idx * 13) % 256, 255) >= 128
+                     THEN -((((xor((doc_id * 7 + idx * 13) % 256, 255) % 16)
+                              * 8 + 132)
+                             << ((xor((doc_id * 7 + idx * 13) % 256, 255)
+                                  // 16) % 8)) - 132)
+                     ELSE ((((xor((doc_id * 7 + idx * 13) % 256, 255) % 16)
+                             * 8 + 132)
+                            << ((xor((doc_id * 7 + idx * 13) % 256, 255)
+                                 // 16) % 8)) - 132)
+                   END
+                 END AS s
+          FROM i)
+    SELECT doc_id,
+           CASE c WHEN 0 THEN 'aiff' WHEN 1 THEN 'au_pcm'
+                ELSE 'au_ulaw' END AS container,
+           CAST(CASE c WHEN 0 THEN 11025 WHEN 1 THEN 22050 ELSE 8000 END
+                AS INT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS s_sum,
+           CAST(sum(abs(s)) AS BIGINT) AS s_abs
+    FROM v GROUP BY doc_id, c ORDER BY doc_id
+    """,
+)
+def q439_aiff_au(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFF + AU audio containers (round 9 — operators/aiff_au.py, the
+    last classic PCM containers after WAV/FLAC/Ogg/MP3): the container
+    axis cycles AIFF (big-endian PCM16 with the format's 80-bit
+    extended-precision sample rate parsed EXACTLY — 11025 survives the
+    round trip, which a float cast gets right but a naive integer field
+    cannot carry at all), AU linear PCM16, and AU G.711 u-law expanded
+    through the same ITU tables as the WAV path — the oracle replays
+    the u-law expansion closed-form (the q399 integer-shift formula)
+    and the PCM laws directly.  COMM/SSND frame-count desync and
+    unsupported AU encodings gate loud.  Arrow-batched mapInPandas."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.aiff_au import (
+            decode_aiff,
+            decode_au,
+            encode_aiff,
+            encode_au,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "container": [], "sample_rate": [],
+                    "n_samples": [], "s_sum": [], "s_abs": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c = d % 3
+                n = 150 + d % 50
+                if c < 2:
+                    samples = [
+                        ((d * 31 + i * 17) % 4001) - 2000 for i in range(n)
+                    ]
+                    if c == 0:
+                        blob = encode_aiff(11025, 1, 16, samples)
+                        rate, _nch, _sw, out = decode_aiff(blob)
+                        name = "aiff"
+                    else:
+                        blob = encode_au(22050, 1, samples, encoding=3)
+                        rate, _nch, _sw, out = decode_au(blob)
+                        name = "au_pcm"
+                else:
+                    codes = [(d * 7 + i * 13) % 256 for i in range(n)]
+                    blob = encode_au(8000, 1, codes, encoding=1)
+                    rate, _nch, _sw, out = decode_au(blob)
+                    name = "au_ulaw"
+                rows["doc_id"].append(d)
+                rows["container"].append(name)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(out))
+                rows["s_sum"].append(sum(out))
+                rows["s_abs"].append(sum(abs(v) for v in out))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, container string, sample_rate int, "
+        "n_samples bigint, s_sum bigint, s_abs bigint",
+    ).orderBy("doc_id")

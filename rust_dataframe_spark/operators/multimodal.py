@@ -559,10 +559,20 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
     decodes EXACT; nonzero spectral data raises (the ISO Huffman/window
     tables are unverifiable in-sandbox), as do Vorbis/Opus payloads
     (true DSP codecs; documented gates)."""
+    from .aiff_au import decode_aiff, decode_au, is_aiff, is_au
     from .flac import decode_flac, is_flac
     from .mp3 import decode_mp3, is_mp3
     from .ogg import decode_ogg_audio, is_ogg
 
+    if is_aiff(bytes(payload[:12])) or is_au(bytes(payload[:4])):
+        fn = decode_aiff if is_aiff(bytes(payload[:12])) else decode_au
+        sr, nch, sw, inter = fn(payload)
+        if nch > 1:
+            inter = [
+                sum(inter[i : i + nch]) // nch
+                for i in range(0, len(inter), nch)
+            ]
+        return sr, nch, sw, inter
     if is_mp3(bytes(payload[:4])):
         sr, nch, samples = decode_mp3(payload)
         if nch > 1:
