@@ -179,6 +179,7 @@ HEADLINE = [
     "q437_bitext_align",
     "q438_image_transcode",
     "q439_aiff_au",
+    "q440_csv_quarantine",
 ]
 
 

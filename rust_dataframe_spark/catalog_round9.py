@@ -2537,3 +2537,76 @@ def q439_aiff_au(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, container string, sample_rate int, "
         "n_samples bigint, s_sum bigint, s_abs bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q440: CSV quarantine read — Spark-native PERMISSIVE + corrupt-record col
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q440_csv_quarantine",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    m AS (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS bad_cols,
+                 CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END AS bad_type
+          FROM d)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN bad_cols = 1 OR bad_type = 1 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_quarantined,
+           CAST(sum(CASE WHEN bad_cols = 0 AND bad_type = 0 THEN doc_id
+                    ELSE 0 END) AS BIGINT) AS id_sum_clean
+    FROM m
+    """,
+)
+def q440_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV quarantine ingestion (round 9 — the Spark-NATIVE malformed-row
+    pattern, no Python in the hot path): the fixture writes a CSV shard
+    with planted defects — every 7th-ish row has a missing column,
+    every 11th-ish a non-numeric value in an int field — and reads it
+    back with the typed schema in PERMISSIVE mode plus
+    ``columnNameOfCorruptRecord``: malformed rows land intact in the
+    quarantine column instead of killing the read (FAILFAST) or
+    silently vanishing (DROPMALFORMED — the worst option, documented
+    here by its absence).  The aggregate reports total/quarantined/
+    clean-sum; the oracle replays the planted defect law.  This is the
+    ingest shape for the long tail of messy delimited shards at 100 TB:
+    the read stays a JVM-side vectorized CSV scan and the quarantine is
+    a plain column filter afterwards."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="q440_csv_")
+    path = os.path.join(d, "shard.csv")
+    with open(path, "w") as f:
+        for i in range(200):
+            if i % 7 == 3:
+                f.write(f"{i},onlyonecol\n")  # missing third column
+            elif i % 11 == 5:
+                f.write(f"{i},name{i},not_an_int\n")  # type defect
+            else:
+                f.write(f"{i},name{i},{i * 10}\n")
+    df = spark.read.csv(
+        path,
+        schema="doc_id long, name string, score long, _corrupt string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    # Catalyst column pruning would drop `score` from the scan under the
+    # aggregate — and an unparsed column can never mark a row corrupt, so
+    # the quarantine silently empties.  The documented remedy (Spark CSV
+    # docs) is to materialize the FULL-row parse before referencing the
+    # corrupt column: cache() here (the shard is one file); at corpus
+    # scale the same pattern persists the quarantine split once and
+    # filters from it.
+    df = df.cache()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_quarantined"),
+        F.sum(
+            F.when(F.col("_corrupt").isNull(), F.col("doc_id")).otherwise(0)
+        ).cast("long").alias("id_sum_clean"),
+    )
