@@ -1,0 +1,234 @@
+"""Catalog round 9 (continuation): TIFF gate closures + CCITT fax.
+
+q441 exercises the four TIFF organizations that were documented gates
+until this session — tiled layout, planar configuration 2, 16-bit
+samples, float32 SampleFormat — and q442 the CCITT Group 3/4 fax
+compressions (TIFF 6.0 compressions 2/3/4) through
+``operators/ccitt.py``.  Both follow the q417 discipline: analytic
+fixture planes regenerated exactly by the DuckDB oracle, decoded
+through the full byte-real encode->decode path on executors, pinned by
+position-weighted checksums that catch tile/plane/strip mis-assembly
+(not just the value multiset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import query, table
+
+__all__: list[str] = []
+
+
+# ---------------------------------------------------------------------------
+# q441: TIFF extended-organization matrix (tiles / planar-2 / 16-bit / f32)
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id): w = 6 + d%7, h = 5 + (d//2)%5, byte order
+# flips with d%2.  Mode d%4:
+#   0: tiled RGB-8 (tile 4x3, LZW + predictor 2), byte (i,c) =
+#      (d + 7i + 29c) % 256 at pixel i = y*w + x
+#   1: planar-2 RGB-8 (PackBits, 2-row strips), same byte formula
+#   2: 16-bit gray (uncompressed), v16 = (31d + 17x + 257y) % 65536,
+#      decoded byte = v16 >> 8
+#   3: float32 gray, k = (d + 11x + 13y) % 256 stored as k/255,
+#      decoded byte = k
+# Weighted checksum over the decoded byte plane (weight 1 + byte index)
+# pins tile placement, plane interleave and row order.
+
+
+@query(
+    "q441_tiff_ext_matrix",
+    oracle="""
+    WITH d AS (SELECT doc_id, 6 + doc_id % 7 AS w, 5 + (doc_id // 2) % 5 AS h,
+                      doc_id % 4 AS mode
+               FROM documents WHERE doc_id < 48),
+    gx AS (SELECT doc_id, w, h, mode, unnest(range(0, w)) AS x FROM d),
+    g AS (SELECT doc_id, w, h, mode, x, unnest(range(0, h)) AS y FROM gx),
+    rgbc AS (SELECT doc_id, w, h, mode, x, y, unnest(range(0, 3)) AS c
+             FROM g WHERE mode < 2),
+    rgb AS (SELECT doc_id, w, h, mode,
+                   (doc_id + 7 * (y * w + x) + 29 * c) % 256 AS v,
+                   1 + 3 * (y * w + x) + c AS wt
+            FROM rgbc),
+    gray AS (SELECT doc_id, w, h, mode,
+                    CASE WHEN mode = 2
+                         THEN ((31 * doc_id + 17 * x + 257 * y) % 65536) // 256
+                         ELSE (doc_id + 11 * x + 13 * y) % 256 END AS v,
+                    1 + y * w + x AS wt
+             FROM g WHERE mode >= 2),
+    allv AS (SELECT * FROM rgb UNION ALL SELECT * FROM gray)
+    SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           CAST(CASE WHEN max(mode) < 2 THEN 3 ELSE 1 END AS INT) AS channels,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(wt * v) AS BIGINT) AS px_wsum
+    FROM allv GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q441_tiff_ext_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF extended organizations (round-9 continuation —
+    operators/tiff.py gate closures): each doc synthesizes an analytic
+    plane and pushes it through one of the four previously-gated
+    layouts — tiled (edge-tile crop + per-tile predictor), planar
+    configuration 2 (plane-major strips re-interleaved), 16-bit samples
+    (both byte orders, ``>> 8`` byte contract) and float32 SampleFormat
+    (clamped [0,1] -> round(v*255)) — then decodes through the full IFD
+    walk.  The position-weighted checksum catches any tile placement or
+    plane-interleave drift a plain sum would miss.  Arrow-batched
+    mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "channels": [],
+                    "px_sum": [], "px_wsum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 6 + d % 7, 5 + (d // 2) % 5
+                mode = d % 4
+                be = bool(d % 2)
+                if mode in (0, 1):
+                    px = bytes(
+                        (d + 7 * (y * w + x) + 29 * c) % 256
+                        for y in range(h) for x in range(w)
+                        for c in range(3)
+                    )
+                    if mode == 0:
+                        blob = encode_tiff(
+                            w, h, 3, px, tile=(4, 3), compression=5,
+                            predictor=2, big_endian=be,
+                        )
+                    else:
+                        blob = encode_tiff(
+                            w, h, 3, px, planar=2, compression=32773,
+                            rows_per_strip=2, big_endian=be,
+                        )
+                elif mode == 2:
+                    vals = [
+                        (31 * d + 17 * x + 257 * y) % 65536
+                        for y in range(h) for x in range(w)
+                    ]
+                    blob = encode_tiff(
+                        w, h, 1, vals, bits=16, big_endian=be
+                    )
+                else:
+                    ks = [
+                        (d + 11 * x + 13 * y) % 256
+                        for y in range(h) for x in range(w)
+                    ]
+                    blob = encode_tiff(
+                        w, h, 1, [k / 255 for k in ks],
+                        sample_format=3, big_endian=be,
+                    )
+                W, H, C, out = decode_tiff(blob)
+                rows["doc_id"].append(d)
+                rows["width"].append(W)
+                rows["height"].append(H)
+                rows["channels"].append(C)
+                rows["px_sum"].append(sum(out))
+                rows["px_wsum"].append(
+                    sum((1 + k) * v for k, v in enumerate(out))
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, width int, height int, channels int, "
+        "px_sum bigint, px_wsum bigint",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q442: CCITT fax matrix (MH / G3-1D / G3-2D / G4 in TIFF)
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id): w = 11 + d%13, h = 6 + d%5; pixel (x,y)
+# is black iff (3x + 5y + d) % 11 < 4 (run-structured, exercises pass/
+# vertical/horizontal modes).  Compression cycles d%4: MH(2) / G3 1D(3) /
+# G3 2D(3 + T4Options bit 0) / G4(4); 3-row strips so multi-strip CCITT
+# (per-strip reference reset) is genuinely exercised.  Photometric 0:
+# black decodes to gray 0, white to 255.
+
+
+@query(
+    "q442_ccitt_fax",
+    oracle="""
+    WITH d AS (SELECT doc_id, 11 + doc_id % 13 AS w, 6 + doc_id % 5 AS h
+               FROM documents WHERE doc_id < 48),
+    gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+    g AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM gx),
+    v AS (SELECT doc_id, w, h,
+                 CASE WHEN (3 * x + 5 * y + doc_id) % 11 < 4
+                      THEN 0 ELSE 255 END AS v,
+                 CASE WHEN (3 * x + 5 * y + doc_id) % 11 < 4
+                      THEN 1 ELSE 0 END AS blk,
+                 1 + y * w + x AS wt
+          FROM g)
+    SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           CAST(sum(blk) AS BIGINT) AS n_black,
+           CAST(sum(wt * v) AS BIGINT) AS px_wsum
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q442_ccitt_fax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCITT Group 3/4 fax decode inside TIFF (round-9 continuation —
+    operators/ccitt.py, ITU-T T.4/T.6): each doc rasterizes an analytic
+    bilevel page, encodes it with the compression the doc class selects
+    (Modified Huffman RLE / G3 1D with EOLs / G3 2D with tag bits / G4
+    MMR) in 3-row strips, and decodes through the TIFF IFD walk.  The
+    code tables are additionally pinned against spec-published
+    codewords in tests; here the weighted checksum over the decoded
+    gray plane pins run reconstruction and strip boundaries.
+    Arrow-batched mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "n_black": [], "px_wsum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 11 + d % 13, 6 + d % 5
+                px = bytes(
+                    0 if (3 * x + 5 * y + d) % 11 < 4 else 255
+                    for y in range(h) for x in range(w)
+                )
+                comp = (2, 3, 3, 4)[d % 4]
+                blob = encode_tiff(
+                    w, h, 1, px, compression=comp,
+                    t4_2d=(d % 4 == 2), rows_per_strip=3,
+                    big_endian=bool(d % 2),
+                )
+                W, H, C, out = decode_tiff(blob)
+                rows["doc_id"].append(d)
+                rows["width"].append(W)
+                rows["height"].append(H)
+                rows["n_black"].append(sum(1 for v in out if v == 0))
+                rows["px_wsum"].append(
+                    sum((1 + k) * v for k, v in enumerate(out))
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, width int, height int, "
+        "n_black bigint, px_wsum bigint",
+    ).orderBy("doc_id")

@@ -11,8 +11,17 @@ codes with the spec's EARLY code-width change at table size 2^n - 1,
 Clear=256/EOI=257, 12-bit cap) with horizontal-differencing Predictor 2;
 photometrics 0 (WhiteIsZero, inverted), 1 (BlackIsZero), 2 (RGB) and 3
 (palette, 16-bit ColorMap words scaled >>8); bit depths 1 and 8 per
-sample.  Honest gates (raise loud): tiles, planar configuration 2,
-16-bit samples, CCITT/JPEG-in-TIFF compressions, float sample formats.
+sample.  Round-9 continuation closes the previously-documented gates:
+**tiled** organization (TileWidth/TileLength/TileOffsets/TileByteCounts,
+edge-tile crop), **planar configuration 2** (plane-major strip tables,
+per-plane predictor, interleave on output), **16-bit samples** (both
+byte orders, output scaled ``>> 8`` to the byte contract — documented
+precision drop), **float SampleFormat 3** (32-bit IEEE gray, clamped
+[0,1] → ``round(v*255)``), and the **CCITT fax compressions** 2
+(Modified Huffman RLE, byte-aligned rows), 3 (Group 3 T.4, 1D and —
+via T4Options bit 0 — 2D) and 4 (Group 4 T.6 MMR) through
+``operators/ccitt.py``.  Remaining honest gates (raise loud):
+JPEG-in-TIFF (6/7), planar tiles, predictor 3, uncompressed-mode CCITT.
 
 Output contract matches the other image codecs: ``(width, height,
 channels, pixels)`` — top-down row-major interleaved, 1-bit expanded to
@@ -282,14 +291,36 @@ def tiff_pages(data: bytes) -> list[tuple[int, int]]:
     return out
 
 
+def _unpack_bytes(
+    raw: bytes, comp: int, want: int, where: str
+) -> bytes:
+    """Byte-oriented decompression (compressions 1/5/32773) to exactly
+    ``want`` bytes."""
+    if comp == 1:
+        if len(raw) < want:
+            raise TiffError(f"{where} shorter than its rows")
+        return raw[:want]
+    if comp == 32773:
+        return packbits_decode(raw, want)
+    return lzw_decode(raw, want)
+
+
+def _undiff(strip: bytes, nrows: int, row_bytes: int, stride: int) -> bytes:
+    """Predictor 2 (horizontal differencing) inverse, 8-bit samples."""
+    s = bytearray(strip)
+    for r in range(nrows):
+        base = r * row_bytes
+        for x in range(stride, row_bytes):
+            s[base + x] = (s[base + x] + s[base + x - stride]) & 0xFF
+    return bytes(s)
+
+
 def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
     data = bytes(data)
     e, offs = _ifd_offsets(data)
     if not 0 <= page < len(offs):
         raise TiffError(f"page {page} out of range ({len(offs)} pages)")
     ifd, _ = _read_ifd(data, offs[page], e)
-    if 322 in ifd or 323 in ifd:
-        raise TiffError("tiled TIFF unsupported (fail-loud)")
     w = ifd.get(256, [0])[0]
     h = ifd.get(257, [0])[0]
     if not w or not h:
@@ -303,73 +334,186 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
     planar = ifd.get(284, [1])[0]
     pred = ifd.get(317, [1])[0]
     fmt = ifd.get(339, [1])
-    if planar != 1:
-        raise TiffError("planar configuration 2 unsupported (fail-loud)")
-    if any(f != 1 for f in fmt):
-        raise TiffError("non-uint SampleFormat unsupported (fail-loud)")
+    tiled = 322 in ifd or 323 in ifd
     if len(bits) != spp:
         if len(bits) == 1:
             bits = bits * spp
         else:
             raise TiffError("BitsPerSample count != SamplesPerPixel")
-    if comp not in (1, 5, 32773):
-        raise TiffError(
-            f"compression {comp} unsupported (CCITT/JPEG-in-TIFF gate)"
-        )
+    if planar not in (1, 2):
+        raise TiffError(f"planar configuration {planar} unsupported")
     if pred not in (1, 2):
         raise TiffError(f"predictor {pred} unsupported")
     if pred == 2 and any(b != 8 for b in bits):
         raise TiffError("predictor 2 requires 8-bit samples")
-    if set(bits) == {1} and spp == 1:
-        depth1 = True
-    elif set(bits) == {8}:
-        depth1 = False
-    else:
-        raise TiffError(f"bit depths {bits} unsupported (1 or 8 only)")
-    if photo == 2 and spp < 3:
-        raise TiffError("RGB photometric with <3 samples")
-    if photo == 3 and (spp != 1 or depth1):
-        raise TiffError("palette photometric requires one 8-bit sample")
     if photo not in (0, 1, 2, 3):
         raise TiffError(f"photometric {photo} unsupported")
-    offsets = ifd.get(273)
-    counts = ifd.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise TiffError("missing/mismatched strip tables")
-    rps = ifd.get(278, [h])[0] or h
-    row_bytes = (w * spp * bits[0] + 7) // 8
-    rows_done = 0
-    raster = bytearray()
-    for si, (so, sc) in enumerate(zip(offsets, counts)):
-        nrows = min(rps, h - rows_done)
-        if nrows <= 0:
-            raise TiffError("more strips than rows")
-        if so + sc > len(data):
-            raise TiffError(f"strip {si} overruns file")
-        raw = data[so : so + sc]
-        want = row_bytes * nrows
-        if comp == 1:
-            if len(raw) < want:
-                raise TiffError(f"strip {si} shorter than its rows")
-            strip = raw[:want]
-        elif comp == 32773:
-            strip = packbits_decode(raw, want)
+    if photo == 2 and spp < 3:
+        raise TiffError("RGB photometric with <3 samples")
+
+    # --- sample-format / depth classes ------------------------------------
+    if set(fmt) == {3}:
+        if set(bits) != {32} or spp != 1:
+            raise TiffError("float TIFF: only 32-bit single-sample gray")
+        depth = "f32"
+    elif set(fmt) <= {1, 2} and all(f == 1 for f in fmt):
+        if set(bits) == {1} and spp == 1:
+            depth = "1"
+        elif set(bits) == {8}:
+            depth = "8"
+        elif set(bits) == {16}:
+            depth = "16"
         else:
-            strip = lzw_decode(raw, want)
-        if pred == 2:
-            strip = bytearray(strip)
-            for r in range(nrows):
-                base = r * row_bytes
-                for x in range(spp, row_bytes):
-                    strip[base + x] = (
-                        strip[base + x] + strip[base + x - spp]
-                    ) & 0xFF
-            strip = bytes(strip)
-        raster += strip
-        rows_done += nrows
-    if rows_done != h:
-        raise TiffError(f"strips cover {rows_done} rows, want {h}")
-    if depth1:
+            raise TiffError(f"bit depths {bits} unsupported (1/8/16)")
+    else:
+        raise TiffError(f"SampleFormat {fmt} unsupported (uint/float32)")
+    if photo == 3 and (spp != 1 or depth != "8"):
+        raise TiffError("palette photometric requires one 8-bit sample")
+    bps = {"1": 0, "8": 1, "16": 2, "f32": 4}[depth]
+
+    # --- CCITT fax compressions (2 = MH, 3 = G3, 4 = G4) -------------------
+    if comp in (2, 3, 4):
+        from .ccitt import decode_g3, decode_g4, decode_mh
+
+        if depth != "1":
+            raise TiffError("CCITT compression requires 1-bit samples")
+        if photo not in (0, 1):
+            raise TiffError("CCITT compression requires bilevel photometric")
+        if planar != 1 or tiled:
+            raise TiffError("CCITT tiles/planar unsupported (fail-loud)")
+        t4opts = ifd.get(292, [0])[0]
+        t6opts = ifd.get(293, [0])[0]
+        if (comp == 3 and t4opts & 2) or (comp == 4 and t6opts & 2):
+            raise TiffError("uncompressed-mode CCITT unsupported (fail-loud)")
+        offsets = ifd.get(273)
+        counts = ifd.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("missing/mismatched strip tables")
+        rps = ifd.get(278, [h])[0] or h
+        rows_done = 0
+        bit_plane = bytearray()
+        for si, (so, sc) in enumerate(zip(offsets, counts)):
+            nrows = min(rps, h - rows_done)
+            if nrows <= 0:
+                raise TiffError("more strips than rows")
+            if so + sc > len(data):
+                raise TiffError(f"strip {si} overruns file")
+            raw = data[so : so + sc]
+            if comp == 2:
+                bit_plane += decode_mh(raw, w, nrows)
+            elif comp == 3:
+                bit_plane += decode_g3(
+                    raw, w, nrows, two_d=bool(t4opts & 1)
+                )
+            else:
+                bit_plane += decode_g4(raw, w, nrows)
+            rows_done += nrows
+        if rows_done != h:
+            raise TiffError(f"strips cover {rows_done} rows, want {h}")
+        # fax bit 1 = black = TIFF sample value 1
+        out = bytes(
+            255 * (1 - b) if photo == 0 else 255 * b for b in bit_plane
+        )
+        return w, h, 1, out
+
+    if comp not in (1, 5, 32773):
+        raise TiffError(f"compression {comp} unsupported (JPEG-in-TIFF gate)")
+
+    # --- raster assembly: tiles or strips, chunky or planar ----------------
+    if tiled:
+        if planar != 1:
+            raise TiffError("planar tiles unsupported (fail-loud)")
+        if depth == "1":
+            raise TiffError("1-bit tiles unsupported (fail-loud)")
+        tw = ifd.get(322, [0])[0]
+        th = ifd.get(323, [0])[0]
+        toffs = ifd.get(324)
+        tcnts = ifd.get(325)
+        if not tw or not th or not toffs or not tcnts:
+            raise TiffError("missing tile tables")
+        if len(toffs) != len(tcnts):
+            raise TiffError("TileOffsets/TileByteCounts length mismatch")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(toffs) != across * down:
+            raise TiffError(
+                f"{len(toffs)} tiles, want {across}x{down}"
+            )
+        row_bytes = w * spp * bps
+        tile_row_bytes = tw * spp * bps
+        raster = bytearray(row_bytes * h)
+        for ti, (to, tc) in enumerate(zip(toffs, tcnts)):
+            if to + tc > len(data):
+                raise TiffError(f"tile {ti} overruns file")
+            tile = _unpack_bytes(
+                data[to : to + tc], comp, tile_row_bytes * th, f"tile {ti}"
+            )
+            if pred == 2:
+                tile = _undiff(tile, th, tile_row_bytes, spp)
+            ty, tx = divmod(ti, across)
+            x0 = tx * tw
+            y0 = ty * th
+            ncols = min(tw, w - x0) * spp * bps
+            for r in range(min(th, h - y0)):
+                dst = (y0 + r) * row_bytes + x0 * spp * bps
+                src = r * tile_row_bytes
+                raster[dst : dst + ncols] = tile[src : src + ncols]
+        raster = bytes(raster)
+    else:
+        offsets = ifd.get(273)
+        counts = ifd.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("missing/mismatched strip tables")
+        rps = ifd.get(278, [h])[0] or h
+        spl = (h + rps - 1) // rps  # strips per plane
+        nplanes = spp if planar == 2 else 1
+        plane_spp = 1 if planar == 2 else spp
+        if len(offsets) != spl * nplanes:
+            raise TiffError(
+                f"{len(offsets)} strips, want {spl} x {nplanes} planes"
+            )
+        if depth == "1":
+            row_bytes = (w * plane_spp + 7) // 8
+        else:
+            row_bytes = w * plane_spp * bps
+        planes: list[bytes] = []
+        for p in range(nplanes):
+            rows_done = 0
+            plane = bytearray()
+            for si in range(spl):
+                so = offsets[p * spl + si]
+                sc = counts[p * spl + si]
+                nrows = min(rps, h - rows_done)
+                if nrows <= 0:
+                    raise TiffError("more strips than rows")
+                if so + sc > len(data):
+                    raise TiffError(f"strip {p}/{si} overruns file")
+                strip = _unpack_bytes(
+                    data[so : so + sc], comp, row_bytes * nrows,
+                    f"strip {p}/{si}",
+                )
+                if pred == 2:
+                    strip = _undiff(strip, nrows, row_bytes, plane_spp)
+                plane += strip
+                rows_done += nrows
+            if rows_done != h:
+                raise TiffError(f"strips cover {rows_done} rows, want {h}")
+            planes.append(bytes(plane))
+        if nplanes == 1:
+            raster = planes[0]
+        else:
+            # interleave plane-major samples back to chunky
+            raster = bytearray(w * h * spp * bps)
+            for p, plane in enumerate(planes):
+                for px in range(w * h):
+                    raster[
+                        (px * spp + p) * bps : (px * spp + p) * bps + bps
+                    ] = plane[px * bps : (px + 1) * bps]
+            raster = bytes(raster)
+
+    # --- sample conversion to the byte contract ----------------------------
+    if depth == "1":
+        row_bytes = (w + 7) // 8
         out = bytearray(w * h)
         for y in range(h):
             base = y * row_bytes
@@ -380,6 +524,18 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
                     255 * (1 - bit) if photo == 0 else 255 * bit
                 )
         return w, h, 1, bytes(out)
+    if depth == "f32":
+        vals = struct.unpack(e + f"{w * h}f", raster)
+        out = bytearray(
+            int(min(max(v, 0.0), 1.0) * 255 + 0.5) for v in vals
+        )
+        if photo == 0:
+            out = bytearray(255 - v for v in out)
+        return w, h, 1, bytes(out)
+    if depth == "16":
+        n = w * h * spp
+        vals = struct.unpack(e + f"{n}H", raster)
+        raster = bytes(v >> 8 for v in vals)
     if photo == 3:
         cmap = ifd.get(320)
         if not cmap or len(cmap) != 3 * 256:
@@ -407,49 +563,170 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
 # ---------------------------------------------------------------------------
 
 
+def _byte_compress(strip: bytes, compression: int) -> bytes:
+    if compression == 5:
+        return lzw_encode(strip)
+    if compression == 32773:
+        return packbits_encode(strip)
+    return strip
+
+
 def encode_tiff(
     w: int,
     h: int,
     channels: int,
-    pixels: bytes,
+    pixels,
     *,
     compression: int = 1,
     predictor: int = 1,
     rows_per_strip: int = 0,
     big_endian: bool = False,
     pages: list[tuple[int, int, int, bytes]] | None = None,
+    tile: tuple[int, int] | None = None,
+    planar: int = 1,
+    bits: int = 8,
+    sample_format: int = 1,
+    t4_2d: bool = False,
 ) -> bytes:
-    """Conformant gray-8 / RGB-8 TIFF: multi-strip, compression in
-    {1, 5, 32773}, optional predictor 2 under LZW, either byte order,
-    optional extra ``pages`` (same tuple shape) chained as IFDs."""
+    """Conformant TIFF fixture encoder.  Base surface: gray-8 / RGB-8
+    multi-strip with compression in {1, 5, 32773} and optional
+    predictor 2, either byte order, extra ``pages`` chained as IFDs.
+    Extensions (first image only; mutually exclusive where noted):
+    ``tile=(tw, th)`` tiled layout (chunky only, edge tiles zero-padded);
+    ``planar=2`` plane-major strips; ``bits=16`` with ``pixels`` a
+    sequence of uint16 sample values; ``sample_format=3`` 32-bit float
+    gray with ``pixels`` a sequence of floats; ``compression`` 2/3/4
+    CCITT bilevel (``pixels`` gray bytes restricted to {0, 255},
+    photometric 0, BitsPerSample 1, ``t4_2d`` sets T4Options bit 0)."""
+    special = (
+        compression in (2, 3, 4)
+        or tile is not None
+        or planar == 2
+        or bits == 16
+        or sample_format == 3
+    )
+    if special and pages:
+        raise TiffError("encoder: extra pages only with the base surface")
     imgs = [(w, h, channels, pixels)] + list(pages or [])
     e = ">" if big_endian else "<"
     blob = bytearray(b"MM\x00*" if big_endian else b"II*\x00")
     blob += b"\x00\x00\x00\x00"  # first IFD offset patched below
     ifd_ptr_at = 4
-    for (pw, ph, pc, px) in imgs:
+    for img_i, (pw, ph, pc, px) in enumerate(imgs):
+        ccitt = compression in (2, 3, 4) and img_i == 0
+        f32 = sample_format == 3 and img_i == 0
+        b16 = bits == 16 and img_i == 0
+        use_tile = tile if img_i == 0 else None
+        use_planar = planar if img_i == 0 else 1
         if pc not in (1, 3) or len(px) != pw * ph * pc:
             raise TiffError("encoder: bad plane")
-        rps = rows_per_strip or ph
-        row_bytes = pw * pc
-        strips: list[bytes] = []
-        y = 0
-        while y < ph:
-            nrows = min(rps, ph - y)
-            strip = bytes(px[y * row_bytes : (y + nrows) * row_bytes])
-            if predictor == 2:
-                s = bytearray(strip)
-                for r in range(nrows):
-                    base = r * row_bytes
-                    for x in range(row_bytes - 1, pc - 1, -1):
-                        s[base + x] = (s[base + x] - s[base + x - pc]) & 0xFF
-                strip = bytes(s)
-            if compression == 5:
-                strip = lzw_encode(strip)
-            elif compression == 32773:
-                strip = packbits_encode(strip)
-            strips.append(strip)
-            y += nrows
+        if f32:
+            if pc != 1 or compression != 1:
+                raise TiffError("encoder: float gray, compression 1 only")
+            raw = struct.pack(e + f"{pw * ph}f", *px)
+        elif b16:
+            if compression == 5 or predictor == 2:
+                raise TiffError("encoder: 16-bit with LZW/predictor")
+            raw = struct.pack(e + f"{pw * ph * pc}H", *px)
+        else:
+            raw = bytes(px)
+        bps = 4 if f32 else (2 if b16 else 1)
+
+        tags: list[tuple[int, int, int, int]] = []
+        extra: list[tuple[int, int, list[int]]] = []
+
+        if ccitt:
+            from .ccitt import encode_g3, encode_g4, encode_mh
+
+            if pc != 1 or f32 or b16 or use_tile or use_planar != 1:
+                raise TiffError("encoder: CCITT is bilevel gray strips")
+            if any(v not in (0, 255) for v in raw):
+                raise TiffError("encoder: CCITT pixels must be 0/255")
+            # photometric 0 (WhiteIsZero): gray 0 -> sample 1 -> fax black
+            bil = bytes(1 if v == 0 else 0 for v in raw)
+            rps = rows_per_strip or ph
+            strips = []
+            y = 0
+            while y < ph:
+                nrows = min(rps, ph - y)
+                seg = bil[y * pw : (y + nrows) * pw]
+                if compression == 2:
+                    strips.append(encode_mh(seg, pw, nrows))
+                elif compression == 3:
+                    strips.append(encode_g3(seg, pw, nrows, two_d=t4_2d))
+                else:
+                    strips.append(encode_g4(seg, pw, nrows))
+                y += nrows
+            if compression == 3:
+                extra.append((292, 4, [1 if t4_2d else 0]))
+            elif compression == 4:
+                extra.append((293, 4, [0]))
+        elif use_tile:
+            tw, th = use_tile
+            if use_planar != 1:
+                raise TiffError("encoder: planar tiles unsupported")
+            if f32 or b16 or compression not in (1, 5, 32773):
+                raise TiffError("encoder: tiles are 8-bit byte-compressed")
+            across = (pw + tw - 1) // tw
+            down = (ph + th - 1) // th
+            tile_row_bytes = tw * pc
+            strips = []
+            for ty in range(down):
+                for tx in range(across):
+                    t = bytearray(tile_row_bytes * th)
+                    ncols = min(tw, pw - tx * tw) * pc
+                    for r in range(min(th, ph - ty * th)):
+                        src = ((ty * th + r) * pw + tx * tw) * pc
+                        t[r * tile_row_bytes : r * tile_row_bytes + ncols] = (
+                            raw[src : src + ncols]
+                        )
+                    t = bytes(t)
+                    if predictor == 2:
+                        s = bytearray(t)
+                        for r in range(th):
+                            base = r * tile_row_bytes
+                            for x in range(tile_row_bytes - 1, pc - 1, -1):
+                                s[base + x] = (
+                                    s[base + x] - s[base + x - pc]
+                                ) & 0xFF
+                        t = bytes(s)
+                    strips.append(_byte_compress(t, compression))
+        else:
+            rps = rows_per_strip or ph
+            plane_pc = 1 if use_planar == 2 else pc
+            row_bytes = pw * plane_pc * bps
+            strips = []
+            nplanes = pc if use_planar == 2 else 1
+            for p in range(nplanes):
+                if nplanes == 1:
+                    plane = raw
+                else:
+                    plane = bytes(
+                        b
+                        for i in range(pw * ph)
+                        for b in raw[
+                            (i * pc + p) * bps : (i * pc + p) * bps + bps
+                        ]
+                    )
+                y = 0
+                while y < ph:
+                    nrows = min(rps, ph - y)
+                    strip = bytes(
+                        plane[y * row_bytes : (y + nrows) * row_bytes]
+                    )
+                    if predictor == 2:
+                        s = bytearray(strip)
+                        for r in range(nrows):
+                            base = r * row_bytes
+                            for x in range(
+                                row_bytes - 1, plane_pc - 1, -1
+                            ):
+                                s[base + x] = (
+                                    s[base + x] - s[base + x - plane_pc]
+                                ) & 0xFF
+                        strip = bytes(s)
+                    strips.append(_byte_compress(strip, compression))
+                    y += nrows
         soffs = []
         for s in strips:
             soffs.append(len(blob))
@@ -470,23 +747,38 @@ def encode_tiff(
             blob.extend(struct.pack(e + f"{len(vals)}{fmt}", *vals))
             return typ, len(vals), at
 
-        tags: list[tuple[int, int, int, int]] = []
-
         def tag(t: int, typ: int, vals: list[int]) -> None:
             ty, cnt, v = arr(vals, typ)
             tags.append((t, ty, cnt, v))
 
         tag(256, 4, [pw])
         tag(257, 4, [ph])
-        tag(258, 3, [8] * pc)
+        if ccitt:
+            tag(258, 3, [1])
+        elif f32:
+            tag(258, 3, [32])
+            tag(339, 3, [3])
+        else:
+            tag(258, 3, [16 if b16 else 8] * pc)
         tag(259, 3, [compression])
-        tag(262, 3, [1 if pc == 1 else 2])
-        tag(273, 4, soffs)
+        tag(262, 3, [0 if ccitt else (1 if pc == 1 else 2)])
         tag(277, 3, [pc])
-        tag(278, 4, [rps])
-        tag(279, 4, [len(s) for s in strips])
+        if use_tile:
+            tw, th = use_tile
+            tag(322, 4, [tw])
+            tag(323, 4, [th])
+            tag(324, 4, soffs)
+            tag(325, 4, [len(s) for s in strips])
+        else:
+            tag(273, 4, soffs)
+            tag(278, 4, [rps])
+            tag(279, 4, [len(s) for s in strips])
+        if use_planar == 2:
+            tag(284, 3, [2])
         if predictor == 2:
             tag(317, 3, [2])
+        for t, typ, vals in extra:
+            tag(t, typ, vals)
         tags.sort()
         ifd_at = len(blob)
         struct.pack_into(e + "I", blob, ifd_ptr_at, ifd_at)

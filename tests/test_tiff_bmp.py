@@ -156,14 +156,21 @@ class TestTiffReal:
         t = bytearray(encode_tiff(self.W, self.H, 1, gray))
         with pytest.raises(TiffError, match="magic"):
             decode_tiff(b"ABCD" + bytes(t[4:]))
-        # retag compression to CCITT G4 (4)
+        # retag compression to CCITT G4 (4): since round 9 this is a real
+        # decode path, so an 8-bit-sample file must fail its precondition
         bad = _patch_short_tag(bytes(t), 259, 4)
-        with pytest.raises(TiffError, match="compression 4"):
+        with pytest.raises(TiffError, match="CCITT.*1-bit"):
             decode_tiff(bad)
-        # planar config 2
-        bad = _add_short_tag_variant(bytes(t), 284, 2)
+        # retag to JPEG-in-TIFF (6): still an honest gate
+        bad = _patch_short_tag(bytes(t), 259, 6)
+        with pytest.raises(TiffError, match="compression 6"):
+            decode_tiff(bad)
+        # planar config 2 on a 3-sample image: the strip table no longer
+        # covers spp planes -> loud mismatch (planar 2 itself is real now)
+        rgb = encode_tiff(self.W, self.H, 3, bytes(self.W * self.H * 3))
+        bad = _add_short_tag_variant(bytes(rgb), 284, 2)
         if bad is not None:
-            with pytest.raises(TiffError, match="planar"):
+            with pytest.raises(TiffError, match="strips, want"):
                 decode_tiff(bad)
 
     def test_strip_overrun_fails_loud(self):
