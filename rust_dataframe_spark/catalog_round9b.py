@@ -232,3 +232,140 @@ def q442_ccitt_fax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, width int, height int, "
         "n_black bigint, px_wsum bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q443: APNG compositing matrix — all dispose/blend ops, closed-form law
+# ---------------------------------------------------------------------------
+#
+# Fixture geometry (analytic in doc_id, replayed exactly by the oracle):
+# canvas W = 9 + d%6, H = 8 + (d//2)%5, three vertical bands of width
+# bw = W // 3 (leftover columns x >= 3*bw are never patched).  Frames:
+#   f0: full-canvas base, rgb c = (d + 2x + 3y + 11c) % 256, opaque,
+#       blend SOURCE, dispose NONE
+#   f1: band-1 patch (d + 5x + 7y + 13c) % 256 opaque, SOURCE,
+#       dispose BACKGROUND -> band 1 is transparent black from f2 on
+#   f2: band-2 patch (d + 4x + 9y + 17c) % 256, alpha 255 iff
+#       (x + y + d) % 3 != 0 else 0, blend OVER (holes show base
+#       through), dispose PREVIOUS -> band 2 reverts to base at f3
+#   f3: band-0 patch (d + 6x + 8y + 19c) % 256 opaque, OVER, NONE
+# Composited-canvas law per (frame, pixel, channel): band 1 shows patch1
+# at f1 then transparent; band 2 shows masked patch2 only at f2; band 0
+# shows patch3 only at f3; alpha is 255 everywhere except disposed
+# band 1.  Weighted checksum (1 + RGBA byte index) pins placement.
+
+
+@query(
+    "q443_apng_composite",
+    oracle="""
+    WITH d AS (SELECT doc_id, 9 + doc_id % 6 AS w, 8 + (doc_id // 2) % 5 AS h,
+                      (9 + doc_id % 6) // 3 AS bw
+               FROM documents WHERE doc_id < 40),
+    fr AS (SELECT doc_id, w, h, bw, unnest(range(0, 4)) AS f FROM d),
+    cx AS (SELECT doc_id, w, h, bw, f, unnest(range(0, w)) AS x FROM fr),
+    cy AS (SELECT doc_id, w, bw, f, x, unnest(range(0, h)) AS y FROM cx),
+    cc AS (SELECT doc_id, w, bw, f, x, y, unnest(range(0, 4)) AS c FROM cy),
+    px AS (SELECT doc_id, f,
+                  CASE WHEN x < 3 * bw THEN x // bw ELSE -1 END AS band,
+                  x, y, c, w
+           FROM cc),
+    v AS (SELECT doc_id, f,
+                 CASE
+                   WHEN c = 3 THEN
+                     CASE WHEN f >= 2 AND band = 1 THEN 0 ELSE 255 END
+                   WHEN f >= 2 AND band = 1 THEN 0
+                   WHEN f = 1 AND band = 1
+                     THEN (doc_id + 5 * x + 7 * y + 13 * c) % 256
+                   WHEN f = 2 AND band = 2 AND (x + y + doc_id) % 3 <> 0
+                     THEN (doc_id + 4 * x + 9 * y + 17 * c) % 256
+                   WHEN f = 3 AND band = 0
+                     THEN (doc_id + 6 * x + 8 * y + 19 * c) % 256
+                   ELSE (doc_id + 2 * x + 3 * y + 11 * c) % 256
+                 END AS v,
+                 1 + 4 * (y * w + x) + c AS wt
+          FROM px)
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(wt * v) AS BIGINT) AS px_wsum
+    FROM v GROUP BY doc_id, f ORDER BY doc_id, frame_idx
+    """,
+)
+def q443_apng_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APNG animation decode + compositing (round-9 continuation —
+    operators/apng.py): each doc synthesizes a 4-frame delta APNG
+    executor-side — opaque base, a SOURCE band patch disposed to
+    BACKGROUND, an OVER band patch with transparent holes disposed to
+    PREVIOUS, and a final OVER patch — exercising both blend ops, all
+    three dispose ops and the fdAT sequence walk.  Frames decode by
+    reassembling standalone PNGs through the round-9 PNG codec, so the
+    full filter/deflate surface is under test too.  The per-frame
+    weighted RGBA checksum pins the compositing law against the
+    oracle's closed form.  Arrow-batched mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 40
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.apng import (
+            apng_frames,
+            encode_apng,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "px_sum": [],
+                    "px_wsum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                W, H = 9 + d % 6, 8 + (d // 2) % 5
+                bw = W // 3
+
+                def plane(x0, wd, rgb, alpha=None):
+                    out = bytearray()
+                    for y in range(H):
+                        for x in range(x0, x0 + wd):
+                            for c in range(3):
+                                out.append(rgb(x, y, c))
+                            out.append(
+                                255 if alpha is None else alpha(x, y)
+                            )
+                    return bytes(out)
+
+                base = plane(0, W, lambda x, y, c:
+                             (d + 2 * x + 3 * y + 11 * c) % 256)
+                p1 = plane(bw, bw, lambda x, y, c:
+                           (d + 5 * x + 7 * y + 13 * c) % 256)
+                p2 = plane(2 * bw, bw, lambda x, y, c:
+                           (d + 4 * x + 9 * y + 17 * c) % 256,
+                           alpha=lambda x, y:
+                           255 if (x + y + d) % 3 != 0 else 0)
+                p3 = plane(0, bw, lambda x, y, c:
+                           (d + 6 * x + 8 * y + 19 * c) % 256)
+                blob = encode_apng(
+                    W, H,
+                    [
+                        {"rgba": base},
+                        {"rgba": p1, "x": bw, "y": 0, "w": bw, "h": H,
+                         "blend": 0, "dispose": 1},
+                        {"rgba": p2, "x": 2 * bw, "y": 0, "w": bw,
+                         "h": H, "blend": 1, "dispose": 2},
+                        {"rgba": p3, "x": 0, "y": 0, "w": bw, "h": H,
+                         "blend": 1, "dispose": 0},
+                    ],
+                )
+                _, _, frames = apng_frames(blob)
+                for fr in frames:
+                    rgba = fr["rgba"]
+                    rows["doc_id"].append(d)
+                    rows["frame_idx"].append(fr["frame_idx"])
+                    rows["px_sum"].append(sum(rgba))
+                    rows["px_wsum"].append(
+                        sum((1 + k) * v for k, v in enumerate(rgba))
+                    )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, frame_idx int, px_sum bigint, px_wsum bigint",
+    ).orderBy("doc_id", "frame_idx")
