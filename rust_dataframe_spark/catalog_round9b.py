@@ -369,3 +369,94 @@ def q443_apng_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode,
         "doc_id bigint, frame_idx int, px_sum bigint, px_wsum bigint",
     ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# q444: zstd / lz4 corpus-shard ingestion through the archive front door
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id): each doc packs three text members
+# part-0/1/2.txt into a tar; member m's text is the pattern
+# 'w{d}m{m} ' repeated 20 + d%11 times (repetitive on purpose — the
+# encoder must produce REAL matches/sequences, not stored blocks).  The
+# tar is compressed with Zstandard (even docs) or an LZ4 frame (odd
+# docs) and re-ingested via archive_members' magic sniff + outer-peel.
+# The md5 over each member's recovered text is the exact content pin.
+
+
+@query(
+    "q444_zstd_lz4_shards",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+    m AS (SELECT doc_id, unnest(range(0, 3)) AS member_idx FROM d),
+    t AS (SELECT doc_id, member_idx,
+                 repeat('w' || CAST(doc_id AS VARCHAR) || 'm'
+                        || CAST(member_idx AS VARCHAR) || ' ',
+                        CAST(20 + doc_id % 11 AS INT)) AS txt
+          FROM m)
+    SELECT doc_id, CAST(member_idx AS INT) AS member_idx,
+           'part-' || CAST(member_idx AS VARCHAR) || '.txt' AS member_path,
+           CAST(length(txt) AS BIGINT) AS n_bytes,
+           md5(txt) AS content_md5
+    FROM t ORDER BY doc_id, member_idx
+    """,
+)
+def q444_zstd_lz4_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstandard + LZ4 corpus-shard ingestion (round-9 continuation —
+    operators/zstd.py, operators/lz4.py, RFC 8878 + the LZ4 frame
+    spec): each doc packs an analytic three-member text tar, compresses
+    it with the parity-selected codec (REAL FSE/Huffman-coded zstd
+    blocks with XXH64 content checksum / hash-matched LZ4 frames with
+    XXH32), and re-ingests through archive_members' magic sniff and
+    outer-compression peel.  FSE tables ride in-stream (writeNCount /
+    readNCount twins); the encode side uses exact decode-table
+    inversion, so every decoded byte crossed the real entropy coder.
+    md5 per member pins content exactly.  Arrow-batched mapInPandas on
+    executors; decompression is per-payload executor work at 100 TB."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth_ingest(batches):
+        import hashlib
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.archive import archive_members
+        from rust_dataframe_spark.operators.lz4 import lz4_frame_compress
+        from rust_dataframe_spark.operators.zstd import zstd_compress
+
+        for pdf in batches:
+            rows = {"doc_id": [], "member_idx": [], "member_path": [],
+                    "n_bytes": [], "content_md5": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    for m in range(3):
+                        body = (f"w{d}m{m} " * (20 + d % 11)).encode()
+                        ti = tarfile.TarInfo(f"part-{m}.txt")
+                        ti.size = len(body)
+                        tf.addfile(ti, io.BytesIO(body))
+                tar = buf.getvalue()
+                blob = (
+                    zstd_compress(tar) if d % 2 == 0
+                    else lz4_frame_compress(tar)
+                )
+                for m, (path, body) in enumerate(archive_members(blob)):
+                    rows["doc_id"].append(d)
+                    rows["member_idx"].append(m)
+                    rows["member_path"].append(path)
+                    rows["n_bytes"].append(len(body))
+                    rows["content_md5"].append(
+                        hashlib.md5(body).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_ingest,
+        "doc_id bigint, member_idx int, member_path string, "
+        "n_bytes bigint, content_md5 string",
+    ).orderBy("doc_id", "member_idx")

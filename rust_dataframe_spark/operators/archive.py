@@ -49,7 +49,8 @@ class ArchiveError(ValueError):
 
 
 def detect_archive(head: bytes, *, at257: bytes = b"") -> str | None:
-    """Magic-sniff: 'zip' | 'tar' | 'gzip' | 'bz2' | 'xz' | None."""
+    """Magic-sniff: 'zip' | 'tar' | 'gzip' | 'bz2' | 'xz' | 'zstd' |
+    'lz4' | None."""
     if head[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
         return "zip"
     if head[:2] == b"\x1f\x8b":
@@ -58,6 +59,10 @@ def detect_archive(head: bytes, *, at257: bytes = b"") -> str | None:
         return "bz2"
     if head[:6] == b"\xfd7zXZ\x00":
         return "xz"
+    if head[:4] == b"\x28\xb5\x2f\xfd":
+        return "zstd"
+    if head[:4] == b"\x04\x22\x4d\x18":
+        return "lz4"
     if at257[:5] == b"ustar":
         return "tar"
     return None
@@ -74,6 +79,14 @@ def _decompress(kind: str, data: bytes) -> bytes:
             import bz2
 
             return bz2.decompress(data)
+        if kind == "zstd":
+            from .zstd import zstd_decompress
+
+            return zstd_decompress(data)
+        if kind == "lz4":
+            from .lz4 import lz4_frame_decompress
+
+            return lz4_frame_decompress(data)
         import lzma
 
         return lzma.decompress(data)
@@ -87,7 +100,7 @@ def archive_members(data: bytes) -> list[tuple[str, bytes]]:
     kind = detect_archive(data[:8], at257=data[257:262])
     if kind is None:
         raise ArchiveError("unknown archive magic")
-    if kind in ("gzip", "bz2", "xz"):
+    if kind in ("gzip", "bz2", "xz", "zstd", "lz4"):
         inner = _decompress(kind, data)
         ik = detect_archive(inner[:8], at257=inner[257:262])
         if ik in ("zip", "tar"):

@@ -1,0 +1,1134 @@
+"""Pure-stdlib Zstandard codec (RFC 8878) — the compression modern
+corpus distributions actually ship (Common Crawl WET ``.zst``, OSCAR,
+RedPajama shards).
+
+Decode surface:
+
+* frame parsing: magic, frame-header descriptor, window descriptor,
+  single-segment, frame content size (all four widths), multi-frame
+  concatenation, skippable frames, **XXH64 content checksum enforced**
+  (low 32 bits, via ``operators/xxhash.py`` whose XXH64 is pinned
+  against Spark's JVM ``xxhash64``);
+* blocks: raw / RLE / compressed, block-size vs window validation;
+* literals: raw / RLE / Huffman-compressed (1-stream and 4-stream with
+  the jump table), **direct-represented weights** (header >= 128) with
+  the implied-last-weight completion rule, treeless blocks reusing the
+  frame's previous table, exact-stream-consumption check per stream;
+* sequences: RLE / FSE_Compressed / Repeat symbol-compression modes
+  with the full ``FSE_readNCount`` normalized-count bitstream (repeat-
+  zero flags, threshold descent, the -1 "less than one" probability),
+  the spread-and-assign FSE decode-table construction, backward
+  bitstream with sentinel bit, the published LL/ML/OF code baselines +
+  extra bits, and the complete repeat-offset history semantics
+  (3-deep, the ``literals_length == 0`` shift, ``rep1 - 1``);
+* sequence execution against the in-frame window.
+
+Honest gates (raise loud, documented): the **predefined** FSE
+distributions for LL/OF/ML (RFC tables of memorized constants that
+cannot be independently cross-checked in this container — a wrong
+table would decode plausible garbage, so refusing is the only safe
+behaviour) and **FSE-compressed Huffman weights** (same reasoning);
+dictionaries (``Dictionary_ID != 0``).
+
+The encoder half emits conformant frames the decoder fully covers:
+greedy hash-matched sequences, FSE-described tables written with the
+``writeNCount`` twin, encode-side FSE via exact decode-table inversion
+(for each symbol the decoder's per-state ranges partition the state
+space, so the backward-induction encoder is total), Huffman literals
+with direct weights (1 and 4 streams), RLE mode when a code is
+constant, and real repeat-offset usage.  Everything round-trips
+byte-real compressed streams — not stored blocks.
+
+Reference parity: the reference repo has no compression surface; this
+extends the archive front door (SURVEY §8).  Scale: decode is
+per-payload executor work, O(bytes), no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .xxhash import xxh64
+
+__all__ = [
+    "ZstdError",
+    "is_zstd_frame",
+    "zstd_decompress",
+    "zstd_compress",
+]
+
+_MAGIC = 0xFD2FB528
+_SKIP_LO, _SKIP_HI = 0x184D2A50, 0x184D2A5F
+
+
+class ZstdError(ValueError):
+    """Malformed or unsupported Zstandard stream."""
+
+
+def is_zstd_frame(head: bytes) -> bool:
+    return (
+        len(head) >= 4
+        and struct.unpack_from("<I", head)[0] in
+        (_MAGIC, *range(_SKIP_LO, _SKIP_HI + 1))
+    )
+
+
+# ---------------------------------------------------------------------------
+# bitstream primitives
+# ---------------------------------------------------------------------------
+
+
+class _BackBits:
+    """Zstd backward bitstream: bytes hold a little-endian integer whose
+    highest set bit is the padding sentinel; fields are read top-down."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data:
+            raise ZstdError("empty bitstream")
+        self.v = int.from_bytes(data, "little")
+        if self.v == 0:
+            raise ZstdError("bitstream missing sentinel bit")
+        self.pos = self.v.bit_length() - 1  # bits below the sentinel
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.pos -= n
+        if self.pos >= 0:
+            return (self.v >> self.pos) & ((1 << n) - 1)
+        # over-read past the start pads zeros at the low end (legal for
+        # the final Huffman symbols; callers check exact consumption)
+        avail = self.pos + n
+        got = self.v & ((1 << avail) - 1) if avail > 0 else 0
+        return got << (n - avail if avail > 0 else n)
+
+    def peek(self, n: int) -> int:
+        pos = self.pos - n
+        if pos >= 0:
+            return (self.v >> pos) & ((1 << n) - 1)
+        avail = pos + n
+        got = self.v & ((1 << avail) - 1) if avail > 0 else 0
+        return got << (n - avail if avail > 0 else n)
+
+    def skip(self, n: int) -> None:
+        self.pos -= n
+
+
+class _FwdBits:
+    """Forward LSB-first bitstream (FSE table descriptions)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        for k in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ZstdError("table description overruns its bytes")
+            out |= ((self.data[byte] >> (self.pos & 7)) & 1) << k
+            self.pos += 1
+        return out
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+class _FwdAcc:
+    """Encoder twin of _BackBits: fields appended here are read back by
+    the decoder in the same order."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if value >> nbits:
+            raise ZstdError("encoder: field overflows its width")
+        self.acc = (self.acc << nbits) | value
+        self.n += nbits
+
+    def bytes(self) -> bytes:
+        v = (1 << self.n) | self.acc  # sentinel
+        return v.to_bytes((self.n + 8) // 8, "little")
+
+
+class _LsbAcc:
+    """Forward LSB-first bit writer (FSE table descriptions)."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def put(self, value: int, nbits: int) -> None:
+        for k in range(nbits):
+            self.bits.append((value >> k) & 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# FSE: normalized-count description, decode table, encode inversion
+# ---------------------------------------------------------------------------
+
+
+def fse_read_ncount(
+    bits: _FwdBits, max_symbol: int, max_accuracy: int
+) -> tuple[list[int], int]:
+    """``FSE_readNCount``: returns (normalized counts, accuracy_log)."""
+    al = bits.read(4) + 5
+    if al > max_accuracy:
+        raise ZstdError(f"accuracy log {al} exceeds max {max_accuracy}")
+    remaining = (1 << al) + 1
+    threshold = 1 << al
+    nb_bits = al + 1
+    counts: list[int] = []
+    previous0 = False
+    while remaining > 1 and len(counts) <= max_symbol:
+        if previous0:
+            # repeat-zero flags: 2-bit runs, value 3 continues the run
+            while True:
+                rep = bits.read(2)
+                counts.extend([0] * rep)
+                if rep != 3:
+                    break
+            previous0 = False
+            if len(counts) > max_symbol + 1:
+                raise ZstdError("zero-run overruns symbol range")
+            continue
+        # values [0, max_) fit in nb_bits-1; the rest take the extra bit
+        # and fold the unused range back (FSE_readNCount)
+        max_ = (2 * threshold - 1) - remaining
+        low = bits.read(nb_bits - 1)
+        if low < max_:
+            count = low
+        else:
+            full = low | (bits.read(1) << (nb_bits - 1))
+            if full >= threshold:
+                full -= max_
+            count = full
+        count -= 1  # 0 means probability -1 ("less than one")
+        remaining -= -count if count < 0 else count
+        counts.append(count)
+        previous0 = count == 0
+        while remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ZstdError("normalized counts do not sum to the table size")
+    return counts, al
+
+
+def fse_write_ncount(
+    counts: list[int], al: int
+) -> bytes:
+    """``FSE_writeNCount`` twin of :func:`fse_read_ncount`."""
+    while counts and counts[-1] == 0:
+        counts = counts[:-1]  # absent trailing symbols need no field
+    w = _LsbAcc()
+    w.put(al - 5, 4)
+    remaining = (1 << al) + 1
+    threshold = 1 << al
+    nb_bits = al + 1
+    i = 0
+    while i < len(counts):
+        if remaining <= 1:
+            raise ZstdError("encoder: counts exceed table size")
+        count = counts[i]
+        max_ = (2 * threshold - 1) - remaining
+        value = count + 1
+        if value < 0 or value > remaining + 1:
+            raise ZstdError("encoder: count out of range")
+        if value < max_:
+            w.put(value, nb_bits - 1)
+        else:
+            enc = value if value < threshold else value + max_
+            w.put(enc & (threshold - 1), nb_bits - 1)
+            w.put(enc >> (nb_bits - 1), 1)
+        remaining -= -count if count < 0 else count
+        i += 1
+        while remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+        if count == 0 and remaining > 1:
+            # repeat-zero flags for the following zeros (a 0 flag field
+            # is still required when the run is empty)
+            run = 0
+            while i < len(counts) and counts[i] == 0:
+                run += 1
+                i += 1
+            while run >= 3:
+                w.put(3, 2)
+                run -= 3
+            w.put(run, 2)
+    if remaining != 1:
+        raise ZstdError("encoder: counts do not sum to table size")
+    return w.bytes()
+
+
+class _FseTable:
+    __slots__ = ("al", "symbols", "nbits", "base")
+
+    def __init__(self, counts: list[int], al: int) -> None:
+        size = 1 << al
+        self.al = al
+        symbols = [0] * size
+        high = size - 1
+        # prob -1 symbols: one cell each from the top, ascending symbol
+        for s, c in enumerate(counts):
+            if c == -1:
+                symbols[high] = s
+                high -= 1
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, c in enumerate(counts):
+            for _ in range(max(c, 0)):
+                symbols[pos] = s
+                pos = (pos + step) & mask
+                while pos > high:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ZstdError("FSE spread did not return to origin")
+        nxt = [1 if c == -1 else c for c in counts]
+        self.symbols = symbols
+        self.nbits = [0] * size
+        self.base = [0] * size
+        for u in range(size):
+            s = symbols[u]
+            ns = nxt[s]
+            nxt[s] += 1
+            nb = al - (ns.bit_length() - 1)
+            self.nbits[u] = nb
+            self.base[u] = (ns << nb) - size
+
+    def invert(self) -> dict[int, list[tuple[int, int]]]:
+        """Per symbol: target-state -> (source-state, bits) map.  For
+        each symbol the per-state ranges [base, base + 2^nbits)
+        partition the whole state space, so lookup is total."""
+        size = 1 << self.al
+        inv: dict[int, list] = {}
+        for st in range(size):
+            s = self.symbols[st]
+            m = inv.setdefault(s, [None] * size)
+            for t in range(self.base[st], self.base[st] + (1 << self.nbits[st])):
+                m[t] = (st, self.nbits[st])
+        return inv
+
+
+# ---------------------------------------------------------------------------
+# sequence code tables (RFC 8878 §3.1.1.3.2.1)
+# ---------------------------------------------------------------------------
+
+_LL_BASE = list(range(16)) + [
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536,
+]
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11,
+                       12, 13, 14, 15, 16]
+_ML_BASE = list(range(3, 35)) + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+                       11, 12, 13, 14, 15, 16]
+_MAX_LL_AL, _MAX_OF_AL, _MAX_ML_AL = 9, 8, 9
+
+
+def _ll_code(ll: int) -> int:
+    if ll < 16:
+        return ll
+    for c in range(len(_LL_BASE) - 1, 15, -1):
+        if ll >= _LL_BASE[c]:
+            return c
+    raise ZstdError("unreachable ll code")
+
+
+def _ml_code(ml: int) -> int:
+    if ml < 3:
+        raise ZstdError("match length < 3")
+    if ml < 35:
+        return ml - 3
+    for c in range(len(_ML_BASE) - 1, 31, -1):
+        if ml >= _ML_BASE[c]:
+            return c
+    raise ZstdError("unreachable ml code")
+
+
+# ---------------------------------------------------------------------------
+# Huffman literals
+# ---------------------------------------------------------------------------
+
+
+class _HufTable:
+    __slots__ = ("maxbits", "table")
+
+    def __init__(self, weights: list[int]) -> None:
+        total = sum(1 << (w - 1) for w in weights if w > 0)
+        if total == 0:
+            raise ZstdError("Huffman weights all zero")
+        # table size is the power of two STRICTLY greater than the
+        # explicit total: the implied last symbol needs weight >= 1
+        size = 1 << total.bit_length()
+        rest = size - total
+        if rest <= 0 or rest & (rest - 1):
+            raise ZstdError("Huffman weights do not leave a power-of-two "
+                            "remainder for the implied last symbol")
+        weights = weights + [rest.bit_length()]  # implied last weight
+        maxbits = size.bit_length() - 1
+        if maxbits > 11:
+            raise ZstdError(f"Huffman max bits {maxbits} > 11")
+        table: list[tuple[int, int]] = [None] * (1 << maxbits)
+        pos = 0
+        for w in range(1, maxbits + 1):
+            for sym, sw in enumerate(weights):
+                if sw == w:
+                    span = 1 << (w - 1)
+                    nb = maxbits + 1 - w
+                    for k in range(pos, pos + span):
+                        table[k] = (sym, nb)
+                    pos += span
+        if pos != 1 << maxbits:
+            raise ZstdError("Huffman table incomplete")
+        self.maxbits = maxbits
+        self.table = table
+
+    def codes(self) -> dict[int, tuple[int, int]]:
+        """symbol -> (code, nbits) as the backward stream carries them."""
+        out = {}
+        pos = 0
+        # ranges were filled in the same order as __init__
+        seen = set()
+        k = 0
+        while k < len(self.table):
+            sym, nb = self.table[k]
+            if sym in seen:
+                raise ZstdError("non-contiguous Huffman range")
+            seen.add(sym)
+            span = 1 << (self.maxbits - nb)
+            out[sym] = (k >> (self.maxbits - nb), nb)
+            k += span
+        return out
+
+
+def _huf_decode_stream(
+    data: bytes, table: _HufTable, want: int
+) -> bytes:
+    bits = _BackBits(data)
+    out = bytearray()
+    while len(out) < want:
+        idx = bits.peek(table.maxbits)
+        sym, nb = table.table[idx]
+        bits.skip(nb)
+        if bits.pos < 0:
+            raise ZstdError("Huffman stream under-runs its bytes")
+        out.append(sym)
+    if bits.pos != 0:
+        raise ZstdError(
+            f"Huffman stream not fully consumed ({bits.pos} bits left)"
+        )
+    return bytes(out)
+
+
+def _read_huf_weights(data: bytes) -> tuple[list[int], int]:
+    """Huffman tree description: returns (weights, bytes consumed)."""
+    if not data:
+        raise ZstdError("empty Huffman description")
+    hdr = data[0]
+    if hdr < 128:
+        raise ZstdError(
+            "FSE-compressed Huffman weights unsupported (fail-loud: the "
+            "interleaved-state termination rule cannot be independently "
+            "cross-checked in this container)"
+        )
+    n = hdr - 127
+    nbytes = (n + 1) // 2
+    if 1 + nbytes > len(data):
+        raise ZstdError("truncated direct Huffman weights")
+    weights = []
+    for i in range(n):
+        b = data[1 + (i >> 1)]
+        weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+    return weights, 1 + nbytes
+
+
+def _write_huf_weights(weights: list[int]) -> bytes:
+    n = len(weights)
+    if not 1 <= n <= 128:
+        raise ZstdError("encoder: direct weights need 1..128 entries")
+    out = bytearray([127 + n])
+    for i in range(0, n, 2):
+        hi = weights[i] << 4
+        lo = weights[i + 1] if i + 1 < n else 0
+        out.append(hi | lo)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _parse_literals(
+    block: bytes, ctx: dict
+) -> tuple[bytes, int]:
+    """Returns (literals, bytes consumed from block)."""
+    if not block:
+        raise ZstdError("empty compressed block")
+    b0 = block[0]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # raw / RLE
+        if sf in (0, 2):
+            regen = b0 >> 3
+            hsz = 1
+        elif sf == 1:
+            if len(block) < 2:
+                raise ZstdError("truncated literals header")
+            regen = (b0 >> 4) | (block[1] << 4)
+            hsz = 2
+        else:
+            if len(block) < 3:
+                raise ZstdError("truncated literals header")
+            regen = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            hsz = 3
+        if ltype == 0:
+            if hsz + regen > len(block):
+                raise ZstdError("raw literals overrun block")
+            return block[hsz : hsz + regen], hsz + regen
+        if hsz + 1 > len(block):
+            raise ZstdError("RLE literals missing byte")
+        return bytes([block[hsz]]) * regen, hsz + 1
+    # compressed (2) / treeless (3)
+    if sf == 0:
+        nstreams, hsz = 1, 3
+        rbits = 10
+    elif sf == 1:
+        nstreams, hsz = 4, 3
+        rbits = 10
+    elif sf == 2:
+        nstreams, hsz = 4, 4
+        rbits = 14
+    else:
+        nstreams, hsz = 4, 5
+        rbits = 18
+    if len(block) < hsz:
+        raise ZstdError("truncated literals header")
+    val = int.from_bytes(block[:hsz], "little")
+    regen = (val >> 4) & ((1 << rbits) - 1)
+    comp = val >> (4 + rbits)
+    if hsz + comp > len(block):
+        raise ZstdError("compressed literals overrun block")
+    payload = block[hsz : hsz + comp]
+    if ltype == 2:
+        weights, consumed = _read_huf_weights(payload)
+        ctx["huf"] = _HufTable(weights)
+        payload = payload[consumed:]
+    elif ctx.get("huf") is None:
+        raise ZstdError("treeless literals with no previous Huffman table")
+    table = ctx["huf"]
+    if nstreams == 1:
+        return _huf_decode_stream(payload, table, regen), hsz + comp
+    if len(payload) < 6:
+        raise ZstdError("missing 4-stream jump table")
+    s1, s2, s3 = struct.unpack_from("<HHH", payload)
+    sizes = [s1, s2, s3, len(payload) - 6 - s1 - s2 - s3]
+    if sizes[3] <= 0:
+        raise ZstdError("jump table overruns the literals payload")
+    r = (regen + 3) // 4
+    wants = [r, r, r, regen - 3 * r]
+    if wants[3] < 0:
+        raise ZstdError("regenerated size smaller than 3 streams")
+    out = bytearray()
+    at = 6
+    for sz, want in zip(sizes, wants):
+        out += _huf_decode_stream(payload[at : at + sz], table, want)
+        at += sz
+    return bytes(out), hsz + comp
+
+
+def _seq_table(
+    mode: int, block: bytes, pos: int, ctx: dict, key: str,
+    max_sym: int, max_al: int,
+) -> tuple[_FseTable | tuple, int]:
+    """Returns (table-or-RLE marker, new pos)."""
+    if mode == 0:
+        raise ZstdError(
+            "predefined FSE distributions unsupported (fail-loud: the "
+            "RFC constants cannot be independently cross-checked in "
+            "this container; a wrong table decodes plausible garbage)"
+        )
+    if mode == 1:  # RLE: one byte symbol, zero-bit table
+        if pos >= len(block):
+            raise ZstdError("truncated RLE symbol")
+        sym = block[pos]
+        if sym > max_sym:
+            raise ZstdError(f"RLE symbol {sym} out of range")
+        ctx[key] = ("rle", sym)
+        return ctx[key], pos + 1
+    if mode == 2:
+        bits = _FwdBits(block[pos:])
+        counts, al = fse_read_ncount(bits, max_sym, max_al)
+        tab = _FseTable(counts, al)
+        ctx[key] = tab
+        return tab, pos + bits.bytes_consumed()
+    if ctx.get(key) is None:
+        raise ZstdError("Repeat mode with no previous table")
+    return ctx[key], pos
+
+
+def _decode_block(block: bytes, ctx: dict, out: bytearray, window: int) -> None:
+    literals, pos = _parse_literals(block, ctx)
+    if pos >= len(block):
+        raise ZstdError("block missing sequences section")
+    b0 = block[pos]
+    if b0 < 128:
+        nseq = b0
+        pos += 1
+    elif b0 < 255:
+        if pos + 2 > len(block):
+            raise ZstdError("truncated sequence count")
+        nseq = ((b0 - 128) << 8) + block[pos + 1]
+        pos += 2
+    else:
+        if pos + 3 > len(block):
+            raise ZstdError("truncated sequence count")
+        nseq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
+        pos += 3
+    if nseq == 0:
+        if pos != len(block):
+            raise ZstdError("trailing bytes after empty sequences section")
+        out += literals
+        return
+    if pos >= len(block):
+        raise ZstdError("missing symbol-compression modes")
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ZstdError("reserved symbol-compression-mode bits set")
+    ll_tab, pos = _seq_table(
+        (modes >> 6) & 3, block, pos, ctx, "ll", 35, _MAX_LL_AL
+    )
+    of_tab, pos = _seq_table(
+        (modes >> 4) & 3, block, pos, ctx, "of", 31, _MAX_OF_AL
+    )
+    ml_tab, pos = _seq_table(
+        (modes >> 2) & 3, block, pos, ctx, "ml", 52, _MAX_ML_AL
+    )
+    bits = _BackBits(block[pos:])
+
+    def init_state(tab):
+        if isinstance(tab, tuple):
+            return tab[1]
+        return bits.read(tab.al)
+
+    def symbol(tab, state):
+        if isinstance(tab, tuple):
+            return tab[1]
+        return tab.symbols[state]
+
+    def update(tab, state):
+        if isinstance(tab, tuple):
+            return state
+        nb = tab.nbits[state]
+        return tab.base[state] + bits.read(nb)
+
+    ll_state = init_state(ll_tab)
+    of_state = init_state(of_tab)
+    ml_state = init_state(ml_tab)
+    lit_at = 0
+    reps = ctx["reps"]
+    for i in range(nseq):
+        of_code = symbol(of_tab, of_state)
+        ml_code = symbol(ml_tab, ml_state)
+        ll_code = symbol(ll_tab, ll_state)
+        if of_code > 31:
+            raise ZstdError("offset code out of range")
+        offset_value = (1 << of_code) + bits.read(of_code)
+        ml = _ML_BASE[ml_code] + bits.read(_ML_BITS[ml_code])
+        ll = _LL_BASE[ll_code] + bits.read(_LL_BITS[ll_code])
+        if bits.pos < 0:
+            raise ZstdError("sequence bitstream under-runs its bytes")
+        # repeat-offset semantics
+        if offset_value > 3:
+            offset = offset_value - 3
+            reps[2] = reps[1]
+            reps[1] = reps[0]
+            reps[0] = offset
+        else:
+            idx = offset_value - 1
+            if ll == 0:
+                idx += 1
+            if idx == 0:
+                offset = reps[0]
+            elif idx == 1:
+                offset = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            elif idx == 2:
+                offset = reps[2]
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            else:  # ll == 0 and offset_value == 3
+                offset = reps[0] - 1
+                if offset <= 0:
+                    raise ZstdError("repeat offset underflow")
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+        if lit_at + ll > len(literals):
+            raise ZstdError("literal run overruns literals section")
+        out += literals[lit_at : lit_at + ll]
+        lit_at += ll
+        if offset > len(out) or offset > window:
+            raise ZstdError(
+                f"match offset {offset} beyond window ({len(out)} decoded)"
+            )
+        base = len(out) - offset
+        for k in range(ml):
+            out.append(out[base + k])
+        if i + 1 < nseq:
+            ll_state = update(ll_tab, ll_state)
+            ml_state = update(ml_tab, ml_state)
+            of_state = update(of_tab, of_state)
+    if bits.pos != 0:
+        raise ZstdError(
+            f"sequence bitstream not fully consumed ({bits.pos} bits left)"
+        )
+    out += literals[lit_at:]
+
+
+def zstd_decompress(data: bytes) -> bytes:
+    """Decode a (possibly multi-frame) Zstandard payload."""
+    data = bytes(data)
+    out = bytearray()
+    pos = 0
+    saw_frame = False
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ZstdError("truncated frame magic")
+        (magic,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if _SKIP_LO <= magic <= _SKIP_HI:
+            if pos + 4 > len(data):
+                raise ZstdError("truncated skippable-frame size")
+            (sz,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            if pos + sz > len(data):
+                raise ZstdError("skippable frame overruns payload")
+            pos += sz
+            continue
+        if magic != _MAGIC:
+            raise ZstdError(f"bad magic {magic:#x} (not a zstd frame)")
+        saw_frame = True
+        if pos >= len(data):
+            raise ZstdError("truncated frame header descriptor")
+        fhd = data[pos]
+        pos += 1
+        if fhd & 0x08:
+            raise ZstdError("reserved frame-header bit set")
+        single = bool(fhd & 0x20)
+        checksum = bool(fhd & 0x04)
+        did_code = fhd & 3
+        fcs_code = fhd >> 6
+        window = None
+        if not single:
+            if pos >= len(data):
+                raise ZstdError("truncated window descriptor")
+            wd = data[pos]
+            pos += 1
+            exp = wd >> 3
+            if 10 + exp > 41:
+                raise ZstdError("window size out of spec")
+            base = 1 << (10 + exp)
+            window = base + (base // 8) * (wd & 7)
+        did_size = (0, 1, 2, 4)[did_code]
+        if did_size:
+            if pos + did_size > len(data):
+                raise ZstdError("truncated dictionary id")
+            did = int.from_bytes(data[pos : pos + did_size], "little")
+            pos += did_size
+            if did:
+                raise ZstdError(
+                    f"dictionary {did} required (unsupported, fail-loud)"
+                )
+        fcs = None
+        fcs_size = (1 if single else 0, 2, 4, 8)[fcs_code]
+        if fcs_size:
+            if pos + fcs_size > len(data):
+                raise ZstdError("truncated frame content size")
+            fcs = int.from_bytes(data[pos : pos + fcs_size], "little")
+            if fcs_size == 2:
+                fcs += 256
+            pos += fcs_size
+        if single:
+            if fcs is None:
+                raise ZstdError("single-segment frame missing content size")
+            window = fcs
+        frame_out = bytearray()
+        ctx = {"reps": [1, 4, 8], "huf": None, "ll": None, "of": None,
+               "ml": None}
+        block_max = min(window if window else 1 << 17, 1 << 17)
+        while True:
+            if pos + 3 > len(data):
+                raise ZstdError("truncated block header")
+            hdr = int.from_bytes(data[pos : pos + 3], "little")
+            pos += 3
+            last = hdr & 1
+            btype = (hdr >> 1) & 3
+            bsize = hdr >> 3
+            if btype == 3:
+                raise ZstdError("reserved block type")
+            if btype == 1:  # RLE
+                if pos >= len(data):
+                    raise ZstdError("truncated RLE block")
+                if bsize > block_max:
+                    raise ZstdError("RLE block exceeds block max")
+                frame_out += bytes([data[pos]]) * bsize
+                pos += 1
+            else:
+                if bsize > (1 << 17):
+                    raise ZstdError("block exceeds the 128 KB format cap")
+                if pos + bsize > len(data):
+                    raise ZstdError("block overruns payload")
+                body = data[pos : pos + bsize]
+                pos += bsize
+                if btype == 0:
+                    frame_out += body
+                else:
+                    before = len(frame_out)
+                    _decode_block(
+                        body, ctx, frame_out,
+                        window if window else len(frame_out) + (1 << 17),
+                    )
+                    if len(frame_out) - before > max(block_max, 1 << 17):
+                        raise ZstdError(
+                            "block regenerates beyond Block_Maximum_Size"
+                        )
+            if last:
+                break
+        if fcs is not None and len(frame_out) != fcs:
+            raise ZstdError(
+                f"frame content size {fcs} != decoded {len(frame_out)}"
+            )
+        if checksum:
+            if pos + 4 > len(data):
+                raise ZstdError("truncated content checksum")
+            (want,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            got = xxh64(bytes(frame_out)) & 0xFFFFFFFF
+            if got != want:
+                raise ZstdError(
+                    f"content checksum mismatch: {got:#x} != {want:#x}"
+                )
+        out += frame_out
+    if not saw_frame:
+        raise ZstdError("payload contains no zstd frame")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture half)
+# ---------------------------------------------------------------------------
+
+
+def _huf_build(freqs: dict[int, int]) -> dict[int, int] | None:
+    """Byte -> code length, depth-capped at 11; None when Huffman coding
+    is not applicable (single symbol / too deep / high alphabet)."""
+    import heapq
+    import itertools
+
+    if len(freqs) < 2:
+        return None
+    if max(freqs) > 128:
+        return None  # direct weights carry at most 128 explicit entries
+    heap = [(f, i, [s]) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in freqs}
+    cnt = itertools.count(len(heap))
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, next(cnt), s1 + s2))
+    if max(depth.values()) > 11:
+        return None
+    return depth
+
+
+def _encode_literals(lits: bytes) -> bytes:
+    """Literals section: Huffman-compressed when it wins, else raw."""
+
+    def raw() -> bytes:
+        n = len(lits)
+        if n < 32:
+            return bytes([n << 3]) + lits  # 1-byte header, SF 00
+        if n < 4096:
+            v = (n << 4) | 0b0100  # SF 01, type raw
+            return struct.pack("<H", v) + lits
+        v = (n << 4) | 0b1100  # SF 11
+        return struct.pack("<I", v)[:3] + lits
+
+    n = len(lits)
+    if n and lits.count(lits[0]) == n:
+        if n < 32:
+            return bytes([(n << 3) | 1]) + lits[:1]
+        if n < 4096:
+            return struct.pack("<H", (n << 4) | 0b0101) + lits[:1]
+        return struct.pack("<I", (n << 4) | 0b1101)[:3] + lits[:1]
+    if n < 64:
+        return raw()
+    freqs: dict[int, int] = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    depth = _huf_build(freqs)
+    if depth is None:
+        return raw()
+    maxbits = max(depth.values())
+    weights = [0] * 256
+    for s, nb in depth.items():
+        weights[s] = maxbits + 1 - nb
+    last = max(freqs)
+    try:
+        tab = _HufTable(weights[:last])
+    except ZstdError:
+        return raw()
+    codes = tab.codes()
+    desc = _write_huf_weights(weights[:last])
+
+    def enc_stream(part: bytes) -> bytes:
+        acc = _FwdAcc()
+        for b in part:
+            c, nb = codes[b]
+            acc.put(c, nb)
+        return acc.bytes()
+
+    if n < 256:
+        payload = desc + enc_stream(lits)
+        comp = len(payload)
+        if comp >= n:
+            return raw()
+        v = (n << 4) | (comp << 14) << 0
+        hdr = struct.pack("<I", (comp << 14) | (n << 4) | 0b0010)[:3]
+        return hdr + payload
+    r = (n + 3) // 4
+    parts = [lits[0:r], lits[r : 2 * r], lits[2 * r : 3 * r], lits[3 * r :]]
+    streams = [enc_stream(p) for p in parts]
+    payload = (
+        desc
+        + struct.pack("<HHH", len(streams[0]), len(streams[1]),
+                      len(streams[2]))
+        + b"".join(streams)
+    )
+    comp = len(payload)
+    if comp >= n:
+        return raw()
+    if n < 16384 and comp < 16384:
+        hdr = struct.pack("<I", (comp << 18) | (n << 4) | 0b1010)
+        return hdr + payload
+    hdr = struct.pack("<Q", (comp << 22) | (n << 4) | 0b1110)[:5]
+    return hdr + payload
+
+
+def _normalize(freqs: list[int], al: int) -> list[int]:
+    total = sum(freqs)
+    size = 1 << al
+    raw = [f * size / total for f in freqs]
+    counts = [max(1, int(r)) if f else 0 for f, r in zip(freqs, raw)]
+    diff = size - sum(counts)
+    order = sorted(
+        range(len(freqs)), key=lambda i: raw[i] - int(raw[i]), reverse=True
+    )
+    k = 0
+    while diff != 0:
+        i = order[k % len(order)]
+        if freqs[i]:
+            if diff > 0:
+                counts[i] += 1
+                diff -= 1
+            elif counts[i] > 1:
+                counts[i] -= 1
+                diff += 1
+        k += 1
+        if k > 100000:
+            raise ZstdError("encoder: normalization did not converge")
+    return counts
+
+
+class _FseChannel:
+    """One of LL/OF/ML: RLE when constant, FSE-described otherwise."""
+
+    def __init__(self, codes: list[int], max_sym: int, max_al: int) -> None:
+        self.codes = codes
+        if len(set(codes)) == 1:
+            self.mode = 1
+            self.sym = codes[0]
+            self.desc = bytes([codes[0]])
+            return
+        self.mode = 2
+        freqs = [0] * (max(codes) + 1)
+        for c in codes:
+            freqs[c] += 1
+        nz = sum(1 for f in freqs if f)
+        al = min(max_al, max(5, (nz - 1).bit_length() + 2))
+        counts = _normalize(freqs, al)
+        self.tab = _FseTable(counts, al)
+        self.inv = self.tab.invert()
+        self.desc = fse_write_ncount(counts, al)
+        # backward induction for the state chain
+        n = len(codes)
+        chain = [0] * n
+        chain[-1] = next(
+            s for s in range(1 << al) if self.tab.symbols[s] == codes[-1]
+        )
+        for i in range(n - 2, -1, -1):
+            src, _nb = self.inv[codes[i]][chain[i + 1]]
+            chain[i] = src
+        self.chain = chain
+
+    def init_bits(self, acc: _FwdAcc) -> None:
+        if self.mode == 2:
+            acc.put(self.chain[0], self.tab.al)
+
+    def update_bits(self, acc: _FwdAcc, i: int) -> None:
+        if self.mode == 2:
+            st = self.chain[i]
+            acc.put(
+                self.chain[i + 1] - self.tab.base[st], self.tab.nbits[st]
+            )
+
+
+def _encode_block(
+    chunk: bytes, sequences: list[tuple[int, int, int]], lits: bytes,
+    reps: list[int],
+) -> bytes:
+    """One compressed-block body: literals section + sequences section.
+    ``sequences`` are (literal_length, offset, match_length) with real
+    offsets; repeat-offset value 1 is emitted when offset == rep1 and
+    ll > 0 (history mirrored from the decoder's rules)."""
+    out = bytearray(_encode_literals(lits))
+    nseq = len(sequences)
+    if nseq < 128:
+        out.append(nseq)
+    elif nseq < 0x7F00:
+        out += bytes([(nseq >> 8) + 128, nseq & 0xFF])
+    else:
+        out += bytes([255, nseq & 0xFF, (nseq >> 8) - 0x7F])
+    if not nseq:
+        return bytes(out)
+    ll_codes, of_codes, ml_codes, extras = [], [], [], []
+    for ll, off, ml in sequences:
+        if off == reps[0] and ll > 0:
+            offset_value = 1
+        else:
+            offset_value = off + 3
+            reps[2] = reps[1]
+            reps[1] = reps[0]
+            reps[0] = off
+        of_code = offset_value.bit_length() - 1
+        ll_c = _ll_code(ll)
+        ml_c = _ml_code(ml)
+        ll_codes.append(ll_c)
+        of_codes.append(of_code)
+        ml_codes.append(ml_c)
+        extras.append(
+            (
+                (offset_value - (1 << of_code), of_code),
+                (ml - _ML_BASE[ml_c], _ML_BITS[ml_c]),
+                (ll - _LL_BASE[ll_c], _LL_BITS[ll_c]),
+            )
+        )
+    ll_ch = _FseChannel(ll_codes, 35, _MAX_LL_AL)
+    of_ch = _FseChannel(of_codes, 31, _MAX_OF_AL)
+    ml_ch = _FseChannel(ml_codes, 52, _MAX_ML_AL)
+    out.append((ll_ch.mode << 6) | (of_ch.mode << 4) | (ml_ch.mode << 2))
+    out += ll_ch.desc + of_ch.desc + ml_ch.desc
+    acc = _FwdAcc()
+    ll_ch.init_bits(acc)
+    of_ch.init_bits(acc)
+    ml_ch.init_bits(acc)
+    for i, (of_x, ml_x, ll_x) in enumerate(extras):
+        acc.put(*of_x)
+        acc.put(*ml_x)
+        acc.put(*ll_x)
+        if i + 1 < nseq:
+            ll_ch.update_bits(acc, i)
+            ml_ch.update_bits(acc, i)
+            of_ch.update_bits(acc, i)
+    out += acc.bytes()
+    return bytes(out)
+
+
+def zstd_compress(data: bytes, *, block_size: int = 1 << 16) -> bytes:
+    """Single-segment frame with content size + XXH64 checksum; greedy
+    hash-matched compressed blocks (raw/RLE blocks when they win)."""
+    data = bytes(data)
+    n = len(data)
+    out = bytearray(struct.pack("<I", _MAGIC))
+    if n <= 255:
+        fhd = 0x20 | 0x04 | (0 << 6)
+        fcs = struct.pack("<B", n)
+    elif n <= 65535 + 256:
+        fhd = 0x20 | 0x04 | (1 << 6)
+        fcs = struct.pack("<H", n - 256)
+    else:
+        fhd = 0x20 | 0x04 | (2 << 6)
+        fcs = struct.pack("<I", n)
+    out.append(fhd)
+    out += fcs
+
+    # global greedy matcher (window = whole content: single-segment)
+    table: dict[bytes, int] = {}
+    chunks: list[tuple[list, bytes, bytes]] = []
+    at = 0
+    while at < n or (n == 0 and not chunks):
+        end = min(at + block_size, n)
+        seqs: list[tuple[int, int, int]] = []
+        lits = bytearray()
+        anchor = at
+        i = at
+        while i + 4 <= end:
+            key = data[i : i + 4]
+            cand = table.get(key)
+            table[key] = i
+            if cand is not None and data[cand : cand + 4] == key:
+                ml = 4
+                maxml = end - i
+                while ml < maxml and data[cand + ml] == data[i + ml]:
+                    ml += 1
+                seqs.append((i - anchor, i - cand, ml))
+                lits += data[anchor:i]
+                i += ml
+                anchor = i
+                continue
+            i += 1
+        lits += data[anchor:end]
+        chunks.append((seqs, bytes(lits), data[at:end]))
+        at = end
+        if n == 0:
+            break
+
+    reps = [1, 4, 8]
+    for ci, (seqs, lits, chunk) in enumerate(chunks):
+        last = 1 if ci == len(chunks) - 1 else 0
+        if chunk and chunk.count(chunk[0]) == len(chunk):
+            out += struct.pack("<I", (len(chunk) << 3) | (1 << 1) | last)[:3]
+            out.append(chunk[0])
+            continue
+        body = _encode_block(chunk, seqs, lits, reps)
+        if len(body) >= len(chunk):
+            out += struct.pack("<I", (len(chunk) << 3) | (0 << 1) | last)[:3]
+            out += chunk
+        else:
+            out += struct.pack("<I", (len(body) << 3) | (2 << 1) | last)[:3]
+            out += body
+    if not chunks:  # empty content: one empty raw last block
+        out += struct.pack("<I", 1)[:3]
+    out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)

@@ -1,0 +1,372 @@
+"""Zstandard / LZ4 / xxHash codec tests (operators/zstd.py, lz4.py,
+xxhash.py) behind q444: FSE normalized-count bitstream, decode-table
+inversion, Huffman literals, hand-built decoder-only streams (repeat-
+offset history, treeless literals, Repeat sequence mode), frame-level
+validation, the loud gates, and the JVM cross-check of XXH64 against
+Spark SQL's ``xxhash64``."""
+
+import random
+import struct
+
+import pytest
+
+from rust_dataframe_spark.operators.lz4 import (
+    Lz4Error,
+    lz4_block_compress,
+    lz4_block_decompress,
+    lz4_frame_compress,
+    lz4_frame_decompress,
+)
+from rust_dataframe_spark.operators.xxhash import xxh32, xxh64
+from rust_dataframe_spark.operators.zstd import (
+    ZstdError,
+    _BackBits,
+    _FseChannel,
+    _FwdAcc,
+    _FwdBits,
+    _HufTable,
+    fse_read_ncount,
+    fse_write_ncount,
+    zstd_compress,
+    zstd_decompress,
+)
+
+
+class TestXxhash:
+    def test_spec_empty_pins(self):
+        # published known-answer digests
+        assert xxh32(b"") == 0x02CC5D05
+        assert xxh64(b"") == 0xEF46DB3751D8E999
+
+    def test_seed_changes_digest(self):
+        assert xxh32(b"abc", 1) != xxh32(b"abc", 2)
+        assert xxh64(b"abc", 1) != xxh64(b"abc", 2)
+
+    def test_jvm_agreement(self, spark):
+        """Spark SQL's xxhash64 (seed 42) is an independent JVM
+        implementation of the same spec — the strong cross-check."""
+        from pyspark.sql import functions as F
+
+        rng = random.Random(3)
+        payloads = [
+            bytes(rng.randrange(256) for _ in range(n))
+            for n in (0, 1, 3, 4, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 100)
+        ]
+        df = spark.createDataFrame([(p,) for p in payloads], "b binary")
+        got = [r["h"] for r in df.select(F.xxhash64("b").alias("h")).collect()]
+        for p, h in zip(payloads, got):
+            mine = xxh64(p, seed=42)
+            if mine >= 1 << 63:
+                mine -= 1 << 64
+            assert mine == h, len(p)
+
+
+class TestLz4:
+    def test_hand_block_vector(self):
+        # token 0x40: 4 literals, ml 0+4; offset 4 -> "abcd" doubled
+        assert lz4_block_decompress(b"\x40abcd\x04\x00", 8) == b"abcdabcd"
+
+    def test_overlap_copy(self):
+        # 1 literal "a", offset 1, ml 4+3=7 -> "a" * 8
+        assert lz4_block_decompress(b"\x13a\x01\x00", 8) == b"a" * 8
+
+    def test_zero_offset_loud(self):
+        with pytest.raises(Lz4Error, match="zero"):
+            lz4_block_decompress(b"\x13a\x00\x00", 8)
+
+    def test_offset_beyond_window_loud(self):
+        with pytest.raises(Lz4Error, match="beyond"):
+            lz4_block_decompress(b"\x13a\x09\x00", 8)
+
+    def test_roundtrip_matrix(self):
+        rng = random.Random(7)
+        for n in (0, 1, 12, 13, 100, 5000):
+            for style in range(3):
+                if style == 0:
+                    data = bytes(rng.randrange(256) for _ in range(n))
+                elif style == 1:
+                    data = (b"spark and parquet " * (n // 18 + 1))[:n]
+                else:
+                    data = bytes(n)
+                assert lz4_block_decompress(
+                    lz4_block_compress(data), n
+                ) == data
+                assert lz4_frame_decompress(
+                    lz4_frame_compress(data, block_checksum=True)
+                ) == data
+
+    def test_compression_is_real(self):
+        data = b"the quick brown fox " * 500
+        assert len(lz4_block_compress(data)) < len(data) // 5
+
+    def test_frame_corruption_loud(self):
+        blob = bytearray(lz4_frame_compress(b"corpus shard " * 300))
+        blob[40] ^= 0x55
+        with pytest.raises(Lz4Error):
+            lz4_frame_decompress(bytes(blob))
+
+    def test_header_checksum_loud(self):
+        blob = bytearray(lz4_frame_compress(b"x"))
+        blob[4] ^= 0x10  # flip a descriptor bit (block checksum flag)
+        with pytest.raises(Lz4Error, match="checksum|reserved"):
+            lz4_frame_decompress(bytes(blob))
+
+
+class TestFseCore:
+    def test_ncount_roundtrip_with_minus_one(self):
+        counts = [10, -1, 0, 0, 5, 0, 16]  # sums to 31 + 1 slot = 2^5
+        assert sum(max(c, 0) for c in counts) + 1 == 32
+        desc = fse_write_ncount(list(counts), 5)
+        got, al = fse_read_ncount(_FwdBits(desc), 52, 9)
+        assert al == 5 and got == counts
+
+    def test_ncount_zero_runs(self):
+        counts = [4] + [0] * 11 + [4, 0, 0, 0, 0, 0, 0, 24]
+        assert sum(max(c, 0) for c in counts) == 32
+        desc = fse_write_ncount(list(counts), 5)
+        got, _ = fse_read_ncount(_FwdBits(desc), 52, 9)
+        assert got == counts
+
+    def test_bad_sum_loud(self):
+        desc = fse_write_ncount([16, 16], 5)
+        # truncate: remaining never reaches 1
+        with pytest.raises(ZstdError):
+            fse_read_ncount(_FwdBits(desc[:1]), 52, 9)
+
+    def test_accuracy_cap_loud(self):
+        desc = fse_write_ncount([256, 256], 9)
+        with pytest.raises(ZstdError, match="accuracy"):
+            fse_read_ncount(_FwdBits(desc), 52, 8)
+
+
+def _raw_lits(lits: bytes) -> bytes:
+    assert len(lits) < 32
+    return bytes([len(lits) << 3]) + lits
+
+
+def _rle_seq_block(lits: bytes, ll_code: int, of_code: int, ml_code: int,
+                   extra_bits: list[tuple[int, int]]) -> bytes:
+    """One-sequence compressed block with RLE modes on every channel."""
+    body = bytearray(_raw_lits(lits))
+    body.append(1)  # one sequence
+    body.append((1 << 6) | (1 << 4) | (1 << 2))
+    body += bytes([ll_code, of_code, ml_code])
+    acc = _FwdAcc()
+    for val, nb in extra_bits:
+        acc.put(val, nb)
+    body += acc.bytes()
+    return bytes(body)
+
+
+def _frame(blocks: list[bytes], content: bytes) -> bytes:
+    out = bytearray(struct.pack("<I", 0xFD2FB528))
+    out.append(0x20 | 0x04)  # single segment + checksum, 1-byte FCS
+    out.append(len(content))
+    for i, b in enumerate(blocks):
+        last = 1 if i == len(blocks) - 1 else 0
+        out += struct.pack("<I", (len(b) << 3) | (2 << 1) | last)[:3]
+        out += b
+    out += struct.pack("<I", xxh64(content) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+class TestZstdHandStreams:
+    def test_repeat_offset_history_semantics(self):
+        """Five hand-built one-sequence blocks walking every branch of
+        the repeat-offset rules (RFC 8878 §3.1.1.5): real offset, rep1
+        reuse, the ll==0 index shift to rep2/rep3, and rep1 - 1."""
+        expect = b"abcabcabcaabcabcaxycax"
+        blocks = [
+            # ll=3 "abc", offset_value 6 (real offset 3), ml=3
+            _rle_seq_block(b"abc", 3, 2, 0, [(2, 2)]),
+            # ll=1 "a", offset_value 1 -> rep1 (3), ml=3
+            _rle_seq_block(b"a", 1, 0, 0, []),
+            # ll=0, offset_value 2 -> (shifted) rep3 = 4, ml=4
+            _rle_seq_block(b"", 0, 1, 1, [(0, 1)]),
+            # ll=0, offset_value 3 -> rep1 - 1 = 3, ml=3
+            _rle_seq_block(b"", 0, 1, 0, [(1, 1)]),
+            # ll=2 "xy", offset_value 2 -> rep2 = 4, ml=3
+            _rle_seq_block(b"xy", 2, 1, 0, [(0, 1)]),
+        ]
+        assert zstd_decompress(_frame(blocks, expect)) == expect
+
+    def test_repeat_offset_underflow_loud(self):
+        # rep1 starts at 1; ll==0 + offset_value 3 -> rep1-1 == 0
+        blocks = [_rle_seq_block(b"", 0, 1, 0, [(1, 1)])]
+        with pytest.raises(ZstdError, match="underflow|window"):
+            zstd_decompress(_frame(blocks, b"xxx"))
+
+    def test_treeless_literals_reuse_table(self):
+        lits = b"aabbbbccccdddd"
+        # weights a:1 b:1 c:2 -> total 4 of size 8 -> implied d weight 3
+        weights = [0] * 100  # symbols 0..99, explicit up to 'c'(99)
+        weights[97] = 1
+        weights[98] = 1
+        weights[99] = 2  # d (100) implied
+        tab = _HufTable(weights[:100])
+        codes = tab.codes()
+
+        def stream(part):
+            acc = _FwdAcc()
+            for b in part:
+                acc.put(*codes[b])
+            return acc.bytes()
+
+        from rust_dataframe_spark.operators.zstd import _write_huf_weights
+
+        desc = _write_huf_weights(weights[:100])
+        s1 = stream(lits)
+        # block 1: type 2 (with tree), 1 stream, SF 00
+        comp1 = desc + s1
+        h1 = struct.pack("<I", (len(comp1) << 14) | (len(lits) << 4) | 0b0010)[:3]
+        b1 = h1 + comp1 + b"\x00"  # zero sequences
+        # block 2: type 3 (treeless), reuses block 1's table
+        lits2 = b"ddddccbbba"
+        s2 = stream(lits2)
+        h2 = struct.pack("<I", (len(s2) << 14) | (len(lits2) << 4) | 0b0011)[:3]
+        b2 = h2 + s2 + b"\x00"
+        content = lits + lits2
+        assert zstd_decompress(_frame([b1, b2], content)) == content
+
+    def test_treeless_without_table_loud(self):
+        s = b"\x05"  # arbitrary
+        h = struct.pack("<I", (len(s) << 14) | (3 << 4) | 0b0011)[:3]
+        with pytest.raises(ZstdError, match="treeless"):
+            zstd_decompress(_frame([h + s + b"\x00"], b"abc"))
+
+    def test_repeat_sequence_mode_reuses_fse_table(self):
+        codes = [3, 5, 3, 5]
+        ch = _FseChannel(codes, 35, 9)  # mode 2 table for ll
+        # block 1: FSE ll + RLE of/ml; block 2: Repeat ll + RLE of/ml
+        def block(lits, lls, mode_ll, ll_desc):
+            body = bytearray(_raw_lits(lits))
+            body.append(2)  # two sequences
+            body.append((mode_ll << 6) | (1 << 4) | (1 << 2))
+            body += ll_desc + bytes([2, 0])  # of RLE code 2, ml RLE 0
+            # chains for this block's two ll codes
+            inv = ch.inv
+            tab = ch.tab
+            chain1 = next(
+                s for s in range(1 << tab.al) if tab.symbols[s] == lls[1]
+            )
+            chain0, _ = inv[lls[0]][chain1]
+            acc = _FwdAcc()
+            acc.put(chain0, tab.al)  # ll init state
+            # seq 1: of extra (code 2 -> 2 bits, value 0 -> offset 4)...
+            # offsets must stay inside the window; use value 2 -> off 6-?
+            # keep it simple: offset_value = 4+3 = 7? window grows per ll
+            acc.put(3, 2)  # offset_value 4+3=7 -> offset 4
+            # ml code 0 -> ml 3, no bits; ll extra none (codes < 16)
+            # update ll state for seq 2
+            acc.put(chain1 - tab.base[chain0], tab.nbits[chain0])
+            acc.put(3, 2)  # seq 2 same offset
+            body += acc.bytes()
+            return bytes(body)
+
+        # construct content by executing by hand:
+        # b1: lits "abcdefgh": seq1 ll=3 -> "abc" + off4? needs 4 history
+        # simpler to just let the decoder validate structure: execute
+        # with python mirror
+        def mirror(out, lits, lls):
+            at = 0
+            reps_local = mirror.reps
+            for ll in lls:
+                out += lits[at : at + ll]
+                at += ll
+                off = 4
+                reps_local[2] = reps_local[1]
+                reps_local[1] = reps_local[0]
+                reps_local[0] = off
+                base = len(out) - off
+                for k in range(3):
+                    out.append(out[base + k])
+            out += lits[at:]
+            return out
+
+        mirror.reps = [1, 4, 8]
+        out = bytearray()
+        out = mirror(out, b"abcdefgh", [5, 3])  # first ll >= offset 4
+        out = mirror(out, b"ijklmnop", [3, 5])
+        content = bytes(out)
+        b1 = block(b"abcdefgh", [5, 3], 2, ch.desc)
+        b2 = block(b"ijklmnop", [3, 5], 3, b"")
+        assert zstd_decompress(_frame([b1, b2], content)) == content
+
+    def test_predefined_mode_gate(self):
+        body = bytearray(_raw_lits(b"abc"))
+        body.append(1)
+        body.append(0)  # all modes predefined
+        body += b"\x01"
+        with pytest.raises(ZstdError, match="predefined"):
+            zstd_decompress(_frame([bytes(body)], b"abc"))
+
+    def test_fse_weights_gate(self):
+        payload = b"\x10" + bytes(16)  # header < 128 -> FSE weights
+        h = struct.pack("<I", (len(payload) << 14) | (8 << 4) | 0b0010)[:3]
+        with pytest.raises(ZstdError, match="FSE-compressed Huffman"):
+            zstd_decompress(_frame([h + payload + b"\x00"], b"x" * 8))
+
+
+class TestZstdFrames:
+    def test_roundtrip_matrix(self):
+        rng = random.Random(11)
+        for n in (0, 1, 31, 64, 255, 256, 300, 4096, 70000):
+            for style in range(4):
+                if style == 0:
+                    data = bytes(rng.randrange(256) for _ in range(n))
+                elif style == 1:
+                    data = (b"zstandard shards everywhere " * (n // 28 + 1))[:n]
+                elif style == 2:
+                    data = bytes(n)
+                else:
+                    data = bytes(rng.randrange(3) for _ in range(n))
+                assert zstd_decompress(zstd_compress(data)) == data, (n, style)
+
+    def test_compression_is_real(self):
+        data = (b"common crawl web text with natural repetition " * 400)
+        assert len(zstd_compress(data)) < len(data) // 5
+
+    def test_multi_frame_and_skippable(self):
+        a = zstd_compress(b"first frame ")
+        skip = struct.pack("<II", 0x184D2A53, 5) + b"MAGIC"
+        b = zstd_compress(b"second frame")
+        assert zstd_decompress(a + skip + b) == b"first frame second frame"
+
+    def test_rle_block(self):
+        data = b"\x55" * 9000  # whole chunk constant -> RLE block
+        blob = zstd_compress(data)
+        assert len(blob) < 30
+        assert zstd_decompress(blob) == data
+
+    def test_checksum_enforced(self):
+        blob = bytearray(zstd_compress(b"payload " * 100))
+        blob[-9] ^= 1  # flip a content byte near the end
+        with pytest.raises(ZstdError):
+            zstd_decompress(bytes(blob))
+
+    def test_content_size_mismatch_loud(self):
+        blob = bytearray(zstd_compress(b"abcdef"))
+        blob[5] = 99  # 1-byte FCS field
+        with pytest.raises(ZstdError, match="content size|checksum"):
+            zstd_decompress(bytes(blob))
+
+    def test_dictionary_gate(self):
+        out = bytearray(struct.pack("<I", 0xFD2FB528))
+        out.append(0x20 | 0x01)  # single segment + 1-byte dict id
+        out.append(7)  # dict id 7... order: window absent, did, fcs
+        out.append(3)  # fcs = 3
+        with pytest.raises(ZstdError, match="dictionary"):
+            zstd_decompress(bytes(out) + b"\x00" * 8)
+
+    def test_bad_magic_loud(self):
+        with pytest.raises(ZstdError, match="magic"):
+            zstd_decompress(b"\x00\x00\x00\x00rest")
+
+    def test_repeat_offsets_exercised_by_encoder(self):
+        # periodic data makes the same offset recur -> offset_value 1
+        data = (b"abcdefgh" * 600)
+        blob = zstd_compress(data)
+        assert zstd_decompress(blob) == data
+        # the repeat path produced of_code 0 somewhere: frame is smaller
+        # than one with all real offsets would be (structural smoke)
+        assert len(blob) < 200
