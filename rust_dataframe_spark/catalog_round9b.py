@@ -460,3 +460,170 @@ def q444_zstd_lz4_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, member_idx int, member_path string, "
         "n_bytes bigint, content_md5 string",
     ).orderBy("doc_id", "member_idx")
+
+
+# ---------------------------------------------------------------------------
+# q445: protobuf wire-format log ingestion
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id): each doc is one proto3 log record —
+# uint64 id = 1000d + 7, string name = 'doc-{d}', packed repeated
+# sint64 scores = [d - 3, 2d, -d] (zigzag on the wire), nested meta
+# {lang by d%3, double quality = d/4}, bool flag = d%2 — encoded to
+# canonical wire bytes and decoded back through the schema layer.
+
+
+@query(
+    "q445_protobuf_logs",
+    oracle="""
+    SELECT doc_id,
+           CAST(1000 * doc_id + 7 AS BIGINT) AS rec_id,
+           'doc-' || CAST(doc_id AS VARCHAR) AS name,
+           CAST(3 AS INT) AS n_scores,
+           CAST((doc_id - 3) + 2 * doc_id - doc_id AS BIGINT) AS scores_sum,
+           CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                ELSE 'fr' END AS lang,
+           CAST(doc_id AS DOUBLE) / 4 AS quality,
+           CAST(doc_id % 2 = 1 AS BOOLEAN) AS flag
+    FROM documents WHERE doc_id < 48 ORDER BY doc_id
+    """,
+)
+def q445_protobuf_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol Buffers wire-format ingestion (round-9 continuation —
+    operators/protowire.py, the proto3 encoding spec): each doc encodes
+    an analytic log record to canonical wire bytes (base-128 varints,
+    ZigZag sint64 in a packed LEN field, nested message, last-wins
+    merge semantics) and decodes it back through the schema-driven
+    layer.  The tag-walk hand vectors from the published encoding doc
+    (08 96 01 et al.) are pinned in tests; here the closed-form oracle
+    pins every typed value end-to-end.  Arrow-batched mapInPandas on
+    executors — the shape of a 100 TB binary-log ingestion pass."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.protowire import (
+            decode_message,
+            encode_message,
+        )
+
+        schema = {
+            1: ("id", "uint64"),
+            2: ("name", "string"),
+            3: ("scores", "sint64", "repeated"),
+            4: ("meta", {1: ("lang", "string"), 2: ("quality", "double")}),
+            5: ("flag", "bool"),
+        }
+        for pdf in batches:
+            rows = {"doc_id": [], "rec_id": [], "name": [],
+                    "n_scores": [], "scores_sum": [], "lang": [],
+                    "quality": [], "flag": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                vals = {
+                    "id": 1000 * d + 7,
+                    "name": f"doc-{d}",
+                    "scores": [d - 3, 2 * d, -d],
+                    "meta": {"lang": ("en", "de", "fr")[d % 3],
+                             "quality": d / 4},
+                    "flag": bool(d % 2),
+                }
+                m = decode_message(encode_message(vals, schema), schema)
+                rows["doc_id"].append(d)
+                rows["rec_id"].append(m["id"])
+                rows["name"].append(m["name"])
+                rows["n_scores"].append(len(m["scores"]))
+                rows["scores_sum"].append(sum(m["scores"]))
+                rows["lang"].append(m["meta"]["lang"])
+                rows["quality"].append(m["meta"]["quality"])
+                rows["flag"].append(m["flag"])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, rec_id bigint, name string, n_scores int, "
+        "scores_sum bigint, lang string, quality double, flag boolean",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q446: MessagePack event-log ingestion
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id): each doc is one msgpack event —
+# {"user": {"id": d, "lang": by d%3}, "items": [d, d+1, ... d + d%7 - 1]
+# (d%7 entries), "score": double d/8, "tags": ["t0".."t{d%4}"],
+# "blob": bytes of length 5 + d%9} — canonically encoded and decoded.
+
+
+@query(
+    "q446_msgpack_events",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 7 AS ni, 1 + doc_id % 4 AS nt,
+                      5 + doc_id % 9 AS nb
+               FROM documents WHERE doc_id < 48)
+    SELECT doc_id,
+           CAST(doc_id AS BIGINT) AS user_id,
+           CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                ELSE 'fr' END AS lang,
+           CAST(ni AS INT) AS n_items,
+           CAST(ni * doc_id + ni * (ni - 1) / 2 AS BIGINT) AS items_sum,
+           CAST(doc_id AS DOUBLE) / 8 AS score,
+           CAST(nt AS INT) AS n_tags,
+           CAST(nb AS INT) AS blob_len
+    FROM d ORDER BY doc_id
+    """,
+)
+def q446_msgpack_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack event ingestion (round-9 continuation —
+    operators/msgpack_codec.py, the published msgpack spec): each doc
+    canonically encodes an analytic nested event (fixmap/fixarray/
+    fixstr forms, bin payload, float64 score) and decodes it back
+    through the strict decoder (trailing bytes, 0xC1, truncation all
+    raise).  The spec's canonical-form hand vectors are pinned in
+    tests; the closed-form oracle pins every extracted value.
+    Arrow-batched mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.msgpack_codec import (
+            msgpack_dumps,
+            msgpack_loads,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "user_id": [], "lang": [],
+                    "n_items": [], "items_sum": [], "score": [],
+                    "n_tags": [], "blob_len": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ev = {
+                    "user": {"id": d, "lang": ("en", "de", "fr")[d % 3]},
+                    "items": [d + k for k in range(d % 7)],
+                    "score": d / 8,
+                    "tags": [f"t{k}" for k in range(1 + d % 4)],
+                    "blob": bytes((d + k) % 256 for k in range(5 + d % 9)),
+                }
+                m = msgpack_loads(msgpack_dumps(ev))
+                rows["doc_id"].append(d)
+                rows["user_id"].append(m["user"]["id"])
+                rows["lang"].append(m["user"]["lang"])
+                rows["n_items"].append(len(m["items"]))
+                rows["items_sum"].append(sum(m["items"]))
+                rows["score"].append(m["score"])
+                rows["n_tags"].append(len(m["tags"]))
+                rows["blob_len"].append(len(m["blob"]))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, user_id bigint, lang string, n_items int, "
+        "items_sum bigint, score double, n_tags int, blob_len int",
+    ).orderBy("doc_id")
