@@ -627,3 +627,51 @@ def q446_msgpack_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, user_id bigint, lang string, n_items int, "
         "items_sum bigint, score double, n_tags int, blob_len int",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q447: Avro snappy-codec round trip (the Hadoop-default block codec)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q447_avro_snappy",
+    oracle="""
+    SELECT count(*)                       AS n_rows,
+           count(s_name)                  AS n_names,
+           round(sum(s_acctbal), 2)       AS bal_sum,
+           min(s_name)                    AS min_name,
+           max(s_suppkey)                 AS max_key,
+           sum(s_nationkey)               AS nk_sum
+    FROM supplier
+    """,
+)
+def q447_avro_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container round trip under the SNAPPY codec (round-9
+    continuation — operators/snappy.py behind sources/avro.py): the
+    q331 sink/source shape, but every block now crosses the pure-stdlib
+    Snappy block codec (hash-matched copy elements, not stored
+    literals) with the Avro-spec big-endian CRC-32 of the uncompressed
+    block verified on read.  Snappy is the Hadoop-default block codec,
+    so this closes the most common real-world Avro ingestion gate.
+    Executor-side mapInArrow write/read; the oracle aggregates the
+    source parquet — equality proves the round trip lossless."""
+    import os as _os
+
+    from .catalog_sources import _scratch
+    from .sources import avro as av
+
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _scratch("avro_snappy_supplier", sf_dir)
+    av.write_avro_dir(s.repartition(4), path, codec="snappy")
+    back = av.read_avro_dir(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s_name").alias("n_names"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+        F.min("s_name").alias("min_name"),
+        F.max("s_suppkey").alias("max_key"),
+        F.sum("s_nationkey").alias("nk_sum"),
+    )

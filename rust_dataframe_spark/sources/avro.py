@@ -174,7 +174,7 @@ def encode_records(
 ) -> bytes:
     """Encode dict-rows into one Avro Object Container File (bytes)."""
     fields = _validate_schema(schema)
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise AvroError(f"unsupported codec {codec!r}")
     out = bytearray()
     out += _MAGIC
@@ -195,7 +195,18 @@ def encode_records(
         for rec in block:
             for name, typ in fields:
                 _write_value(body, typ, rec.get(name))
-        data = zlib.compress(bytes(body), 6)[2:-4] if codec == "deflate" else bytes(body)
+        if codec == "deflate":
+            data = zlib.compress(bytes(body), 6)[2:-4]
+        elif codec == "snappy":
+            # Avro spec: snappy block + 4-byte big-endian CRC-32 of the
+            # UNCOMPRESSED data
+            from ..operators.snappy import snappy_compress
+
+            data = snappy_compress(bytes(body)) + struct.pack(
+                ">I", zlib.crc32(bytes(body)) & 0xFFFFFFFF
+            )
+        else:
+            data = bytes(body)
         out += _zigzag_encode(len(block))
         out += _zigzag_encode(len(data))
         out += data
@@ -232,7 +243,7 @@ def decode_records(data: bytes) -> tuple[dict, list[dict]]:
     except (KeyError, ValueError) as e:
         raise AvroError(f"bad avro.schema metadata: {e}") from None
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise AvroError(f"unsupported codec {codec!r}")
     fields = _validate_schema(schema)
     sync = bytes(buf[pos : pos + 16])
@@ -245,6 +256,18 @@ def decode_records(data: bytes) -> tuple[dict, list[dict]]:
         pos += size
         if codec == "deflate":
             raw = zlib.decompress(raw, wbits=-15)
+        elif codec == "snappy":
+            from ..operators.snappy import SnappyError, snappy_uncompress
+
+            if len(raw) < 4:
+                raise AvroError("snappy block missing its CRC-32")
+            want = struct.unpack(">I", raw[-4:])[0]
+            try:
+                raw = snappy_uncompress(raw[:-4])
+            except SnappyError as e:
+                raise AvroError(f"corrupt snappy block: {e}") from None
+            if zlib.crc32(raw) & 0xFFFFFFFF != want:
+                raise AvroError("snappy block CRC-32 mismatch")
         bpos, bbuf = 0, memoryview(raw)
         for _ in range(count):
             rec = {}
