@@ -675,3 +675,87 @@ def q447_avro_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_suppkey").alias("max_key"),
         F.sum("s_nationkey").alias("nk_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q448: CBOR event-record ingestion (RFC 8949)
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id): each doc canonically encodes
+# {"rec": {"id": d, "kind": by d%3}, "vals": [d, 2d, ... (1 + d%5
+# entries)], "ratio": d/16 (half/single/double preferred-width path),
+# "payload": bytes of length 3 + d%6, "big": 2^64 + d (bignum tag 2)}
+# and decodes it back through the strict decoder.
+
+
+@query(
+    "q448_cbor_events",
+    oracle="""
+    WITH d AS (SELECT doc_id, 1 + doc_id % 5 AS nv, 3 + doc_id % 6 AS nb
+               FROM documents WHERE doc_id < 48)
+    SELECT doc_id,
+           CAST(doc_id AS BIGINT) AS rec_id,
+           CASE doc_id % 3 WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                ELSE 'scroll' END AS kind,
+           CAST(nv AS INT) AS n_vals,
+           CAST(doc_id * nv * (nv + 1) / 2 AS BIGINT) AS vals_sum,
+           CAST(doc_id AS DOUBLE) / 16 AS ratio,
+           CAST(nb AS INT) AS payload_len,
+           CAST(doc_id AS BIGINT) AS big_minus_2_64
+    FROM d ORDER BY doc_id
+    """,
+)
+def q448_cbor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBOR event ingestion (round-9 continuation — operators/cbor.py,
+    RFC 8949): each doc canonically encodes an analytic nested event
+    (preferred serialization: smallest int widths, shortest round-
+    tripping float, definite lengths; a beyond-uint64 bignum rides tag
+    2) and decodes it back through the strict decoder (trailing bytes,
+    stray break, reserved ai, non-UTF-8 all raise).  The RFC's Appendix
+    A vector matrix is pinned verbatim in tests; the closed-form oracle
+    pins every extracted value.  Arrow-batched mapInPandas on
+    executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.cbor import (
+            cbor_dumps,
+            cbor_loads,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "rec_id": [], "kind": [], "n_vals": [],
+                    "vals_sum": [], "ratio": [], "payload_len": [],
+                    "big_minus_2_64": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ev = {
+                    "rec": {"id": d,
+                            "kind": ("click", "view", "scroll")[d % 3]},
+                    "vals": [d * (k + 1) for k in range(1 + d % 5)],
+                    "ratio": d / 16,
+                    "payload": bytes((d + k) % 256
+                                     for k in range(3 + d % 6)),
+                    "big": (1 << 64) + d,
+                }
+                m = cbor_loads(cbor_dumps(ev))
+                rows["doc_id"].append(d)
+                rows["rec_id"].append(m["rec"]["id"])
+                rows["kind"].append(m["rec"]["kind"])
+                rows["n_vals"].append(len(m["vals"]))
+                rows["vals_sum"].append(sum(m["vals"]))
+                rows["ratio"].append(m["ratio"])
+                rows["payload_len"].append(len(m["payload"]))
+                rows["big_minus_2_64"].append(m["big"] - (1 << 64))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, rec_id bigint, kind string, n_vals int, "
+        "vals_sum bigint, ratio double, payload_len int, "
+        "big_minus_2_64 bigint",
+    ).orderBy("doc_id")
