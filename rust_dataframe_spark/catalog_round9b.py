@@ -759,3 +759,88 @@ def q448_cbor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vals_sum bigint, ratio double, payload_len int, "
         "big_minus_2_64 bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q449: JPEG-in-TIFF (compression 7) — the scanned-photo TIFF flavour
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id): w = 8*(1 + d%4), h = 24, 8-row strips
+# (one JPEG stream per strip, MCU-aligned); 8x8 block (bx, by) is the
+# constant (d + 19bx + 23by) % 256 — block-constant baseline JPEG with
+# quant=1 round-trips pixel-exactly (q387).  Odd docs move the shared
+# DQT/DHT into the JPEGTables tag (abbreviated per-strip streams).
+
+
+@query(
+    "q449_jpeg_in_tiff",
+    oracle="""
+    WITH d AS (SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 24 AS h
+               FROM documents WHERE doc_id < 40),
+    bx AS (SELECT doc_id, w, h, unnest(range(0, w // 8)) AS bx FROM d),
+    b AS (SELECT doc_id, w, h, bx, unnest(range(0, 3)) AS by FROM bx),
+    v AS (SELECT doc_id, w, h,
+                 (doc_id + 19 * bx + 23 * by) % 256 AS v,
+                 bx, by
+          FROM b)
+    SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           CAST(sum(64 * v) AS BIGINT) AS px_sum,
+           CAST(sum(v * (bx + 8 * by + 1)) AS BIGINT) AS blk_wsum
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q449_jpeg_in_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-style JPEG-in-TIFF (round-9 continuation — TIFF compression
+    7 through the full baseline JPEG codec): each doc encodes an
+    analytic block-constant gray plane as one JPEG stream per 8-row
+    strip, odd docs with the shared DQT/DHT hoisted into the JPEGTables
+    tag (abbreviated streams spliced back after each strip's SOI), and
+    decodes through the IFD walk + per-strip JPEG decode with dims
+    enforcement.  Block-constant + quant=1 makes the lossy codec
+    pixel-exact, so the closed-form oracle pins content; the
+    block-weighted checksum pins strip order.  Arrow-batched
+    mapInPandas on executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 40
+    )
+
+    def synth_decode(batches):
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "px_sum": [], "blk_wsum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (1 + d % 4), 24
+                px = bytes(
+                    (d + 19 * (x // 8) + 23 * (y // 8)) % 256
+                    for y in range(h) for x in range(w)
+                )
+                blob = encode_tiff(
+                    w, h, 1, px, compression=7, rows_per_strip=8,
+                    jpeg_tables=bool(d % 2), big_endian=bool(d % 2),
+                )
+                W, H, C, out = decode_tiff(blob)
+                blk = 0
+                for by in range(H // 8):
+                    for bx in range(W // 8):
+                        v = out[(by * 8) * W + bx * 8]
+                        blk += v * (bx + 8 * by + 1)
+                rows["doc_id"].append(d)
+                rows["width"].append(W)
+                rows["height"].append(H)
+                rows["px_sum"].append(sum(out))
+                rows["blk_wsum"].append(blk)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, width int, height int, "
+        "px_sum bigint, blk_wsum bigint",
+    ).orderBy("doc_id")

@@ -346,7 +346,7 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
         raise TiffError(f"predictor {pred} unsupported")
     if pred == 2 and any(b != 8 for b in bits):
         raise TiffError("predictor 2 requires 8-bit samples")
-    if photo not in (0, 1, 2, 3):
+    if photo not in (0, 1, 2, 3) and not (photo == 6 and comp == 7):
         raise TiffError(f"photometric {photo} unsupported")
     if photo == 2 and spp < 3:
         raise TiffError("RGB photometric with <3 samples")
@@ -416,8 +416,70 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
         )
         return w, h, 1, out
 
+    # --- new-style JPEG-in-TIFF (compression 7) ----------------------------
+    if comp == 7:
+        from .jpeg import JpegError, decode_jpeg
+
+        if depth != "8":
+            raise TiffError("JPEG-in-TIFF requires 8-bit samples")
+        if photo not in (1, 2, 6):
+            raise TiffError(
+                f"JPEG-in-TIFF photometric {photo} unsupported"
+            )
+        if planar != 1 or tiled:
+            raise TiffError("JPEG tiles/planar unsupported (fail-loud)")
+        tables = ifd.get(347)
+        tbytes = bytes(tables) if tables else b""
+        if tbytes and (
+            tbytes[:2] != b"\xff\xd8" or tbytes[-2:] != b"\xff\xd9"
+        ):
+            raise TiffError("JPEGTables is not an abbreviated stream")
+        offsets = ifd.get(273)
+        counts = ifd.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("missing/mismatched strip tables")
+        rps = ifd.get(278, [h])[0] or h
+        rows_done = 0
+        raster = bytearray()
+        out_ch = None
+        for si, (so, sc) in enumerate(zip(offsets, counts)):
+            nrows = min(rps, h - rows_done)
+            if nrows <= 0:
+                raise TiffError("more strips than rows")
+            if so + sc > len(data):
+                raise TiffError(f"strip {si} overruns file")
+            stream = data[so : so + sc]
+            if stream[:2] != b"\xff\xd8":
+                raise TiffError(f"strip {si} does not start with SOI")
+            if tbytes:
+                # abbreviated strip: splice the shared DQT/DHT segments
+                # in right after the strip's SOI (T.81 abbreviated
+                # format; later in-strip tables legally override)
+                stream = stream[:2] + tbytes[2:-2] + stream[2:]
+            try:
+                jw, jh, jch, px = decode_jpeg(stream)
+            except JpegError as e:
+                raise TiffError(f"strip {si} JPEG: {e}") from None
+            if (jw, jh) != (w, nrows):
+                raise TiffError(
+                    f"strip {si} JPEG dims {jw}x{jh}, want {w}x{nrows}"
+                )
+            if out_ch is None:
+                out_ch = jch
+                if jch != spp:
+                    raise TiffError(
+                        f"JPEG channels {jch} != SamplesPerPixel {spp}"
+                    )
+            elif jch != out_ch:
+                raise TiffError("strips disagree on channel count")
+            raster += px
+            rows_done += nrows
+        if rows_done != h:
+            raise TiffError(f"strips cover {rows_done} rows, want {h}")
+        return w, h, out_ch, bytes(raster)
+
     if comp not in (1, 5, 32773):
-        raise TiffError(f"compression {comp} unsupported (JPEG-in-TIFF gate)")
+        raise TiffError(f"compression {comp} unsupported (OJPEG gate)")
 
     # --- raster assembly: tiles or strips, chunky or planar ----------------
     if tiled:
@@ -563,6 +625,43 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
 # ---------------------------------------------------------------------------
 
 
+def _split_jpeg_tables(strips: list[bytes]) -> tuple[bytes, list[bytes]]:
+    """Extract the shared DQT/DHT segments out of per-strip JPEG streams
+    into one abbreviated JPEGTables stream (SOI + tables + EOI), leaving
+    the strips abbreviated.  All strips must carry identical tables."""
+    tables: bytes | None = None
+    out: list[bytes] = []
+    for stream in strips:
+        if stream[:2] != b"\xff\xd8":
+            raise TiffError("JPEG strip missing SOI")
+        segs = bytearray()
+        kept = bytearray(b"\xff\xd8")
+        pos = 2
+        while pos + 4 <= len(stream):
+            if stream[pos] != 0xFF:
+                raise TiffError("JPEG marker desync in tables split")
+            marker = stream[pos + 1]
+            (ln,) = struct.unpack_from(">H", stream, pos + 2)
+            seg = stream[pos : pos + 2 + ln]
+            pos += 2 + ln
+            if marker in (0xDB, 0xC4):  # DQT / DHT
+                segs += seg
+            else:
+                kept += seg
+            if marker == 0xDA:  # SOS: rest is entropy data + EOI
+                kept += stream[pos:]
+                break
+        this = bytes(b"\xff\xd8" + segs + b"\xff\xd9")
+        if tables is None:
+            tables = this
+        elif tables != this:
+            raise TiffError("strips disagree on JPEG tables")
+        out.append(bytes(kept))
+    if tables is None:
+        raise TiffError("no strips to split tables from")
+    return tables, out
+
+
 def _byte_compress(strip: bytes, compression: int) -> bytes:
     if compression == 5:
         return lzw_encode(strip)
@@ -587,6 +686,7 @@ def encode_tiff(
     bits: int = 8,
     sample_format: int = 1,
     t4_2d: bool = False,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Conformant TIFF fixture encoder.  Base surface: gray-8 / RGB-8
     multi-strip with compression in {1, 5, 32773} and optional
@@ -599,7 +699,7 @@ def encode_tiff(
     CCITT bilevel (``pixels`` gray bytes restricted to {0, 255},
     photometric 0, BitsPerSample 1, ``t4_2d`` sets T4Options bit 0)."""
     special = (
-        compression in (2, 3, 4)
+        compression in (2, 3, 4, 7)
         or tile is not None
         or planar == 2
         or bits == 16
@@ -614,6 +714,7 @@ def encode_tiff(
     ifd_ptr_at = 4
     for img_i, (pw, ph, pc, px) in enumerate(imgs):
         ccitt = compression in (2, 3, 4) and img_i == 0
+        injpeg = compression == 7 and img_i == 0
         f32 = sample_format == 3 and img_i == 0
         b16 = bits == 16 and img_i == 0
         use_tile = tile if img_i == 0 else None
@@ -661,6 +762,28 @@ def encode_tiff(
                 extra.append((292, 4, [1 if t4_2d else 0]))
             elif compression == 4:
                 extra.append((293, 4, [0]))
+        elif injpeg:
+            from .jpeg import encode_jpeg
+
+            if pc not in (1, 3) or f32 or b16 or use_tile or use_planar != 1:
+                raise TiffError("encoder: JPEG-in-TIFF is 8-bit strips")
+            rps = rows_per_strip or ph
+            strips = []
+            y = 0
+            row_bytes = pw * pc
+            while y < ph:
+                nrows = min(rps, ph - y)
+                strips.append(
+                    encode_jpeg(
+                        pw, nrows,
+                        raw[y * row_bytes : (y + nrows) * row_bytes],
+                        channels=pc, quant=1,
+                    )
+                )
+                y += nrows
+            if jpeg_tables:
+                tbl, strips = _split_jpeg_tables(strips)
+                extra.append((347, 1, list(tbl)))
         elif use_tile:
             tw, th = use_tile
             if use_planar != 1:
@@ -738,7 +861,7 @@ def encode_tiff(
             """Return (type, count, value-or-offset), spilling >4-byte
             arrays into the blob."""
             size = _TYPE_SIZE[typ] * len(vals)
-            fmt = {3: "H", 4: "I"}[typ]
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
             if size <= 4:
                 raw = struct.pack(e + f"{len(vals)}{fmt}", *vals)
                 raw += b"\x00" * (4 - len(raw))
@@ -761,7 +884,12 @@ def encode_tiff(
         else:
             tag(258, 3, [16 if b16 else 8] * pc)
         tag(259, 3, [compression])
-        tag(262, 3, [0 if ccitt else (1 if pc == 1 else 2)])
+        if ccitt:
+            tag(262, 3, [0])
+        elif injpeg and pc == 3:
+            tag(262, 3, [6])  # YCbCr: the JPEG stream owns the transform
+        else:
+            tag(262, 3, [1 if pc == 1 else 2])
         tag(277, 3, [pc])
         if use_tile:
             tw, th = use_tile

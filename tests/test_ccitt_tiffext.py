@@ -232,3 +232,62 @@ class TestTiffExtensions:
         with pytest.raises(TiffError, match="extra pages"):
             encode_tiff(2, 2, 1, [0] * 4, bits=16,
                         pages=[(1, 1, 1, b"\x00")])
+
+
+class TestJpegInTiff:
+    """Compression 7 (new-style JPEG) with and without the shared
+    JPEGTables tag — block-constant gray with quant=1 round-trips
+    pixel-exactly (the q387 discipline)."""
+
+    def _plane(self, d, w, h):
+        return bytes(
+            (d + 19 * (x // 8) + 23 * (y // 8)) % 256
+            for y in range(h) for x in range(w)
+        )
+
+    def test_exact_roundtrip_both_table_layouts(self):
+        for d in range(6):
+            w, h = 8 * (1 + d % 4), 24
+            px = self._plane(d, w, h)
+            for jt in (False, True):
+                blob = encode_tiff(
+                    w, h, 1, px, compression=7, rows_per_strip=8,
+                    jpeg_tables=jt, big_endian=bool(d % 2),
+                )
+                assert decode_tiff(blob) == (w, h, 1, px), (d, jt)
+
+    def test_rgb_ycbcr_path(self):
+        w, h = 16, 16
+        rgb = bytes(((3 * i + c * 40) % 256)
+                    for i in range(w * h) for c in range(3))
+        blob = encode_tiff(w, h, 3, rgb, compression=7, rows_per_strip=8)
+        W, H, C, out = decode_tiff(blob)
+        assert (W, H, C) == (w, h, 3)
+        err = sum(abs(a - b) for a, b in zip(out, rgb)) / len(rgb)
+        assert err < 3.0  # lossy but close (quant=1)
+
+    def test_bad_jpegtables_loud(self):
+        blob = bytearray(encode_tiff(8, 8, 1, bytes(64), compression=7,
+                                     jpeg_tables=True))
+        off = struct.unpack_from("<I", blob, 4)[0]
+        n = struct.unpack_from("<H", blob, off)[0]
+        for i in range(n):
+            at = off + 2 + 12 * i
+            if struct.unpack_from("<H", blob, at)[0] == 347:
+                voff = struct.unpack_from("<I", blob, at + 8)[0]
+                blob[voff] = 0x00
+        with pytest.raises(TiffError, match="abbreviated"):
+            decode_tiff(bytes(blob))
+
+    def test_strip_dims_enforced(self):
+        # retag RowsPerStrip so strip JPEG dims no longer match
+        blob = bytearray(encode_tiff(8, 24, 1, self._plane(0, 8, 24),
+                                     compression=7, rows_per_strip=8))
+        off = struct.unpack_from("<I", blob, 4)[0]
+        n = struct.unpack_from("<H", blob, off)[0]
+        for i in range(n):
+            at = off + 2 + 12 * i
+            if struct.unpack_from("<H", blob, at)[0] == 278:
+                struct.pack_into("<I", blob, at + 8, 12)
+        with pytest.raises(TiffError):
+            decode_tiff(bytes(blob))
