@@ -844,3 +844,117 @@ def q449_jpeg_in_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, width int, height int, "
         "px_sum bigint, blk_wsum bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q450: SQLite artifact ingestion (real-engine bytes, pure-stdlib parse)
+# ---------------------------------------------------------------------------
+#
+# Fixture: each doc builds a REAL SQLite database with the bundled
+# engine (sqlite3 + Connection.serialize) holding 40 + d%20 analytic
+# rows — id INTEGER PRIMARY KEY (rowid alias), name text, val integer
+# (sign-alternating so 1..6-byte twos-complement widths all appear),
+# ratio real, tag nullable — and the pure-stdlib parser walks the
+# b-tree back.  The decoder is thus pinned against the reference
+# implementation's bytes, not an encoder twin.
+
+
+@query(
+    "q450_sqlite_ingest",
+    oracle="""
+    WITH d AS (SELECT doc_id, 40 + doc_id % 20 AS n
+               FROM documents WHERE doc_id < 48),
+    r AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    v AS (SELECT doc_id, n, i,
+                 CASE WHEN i % 2 = 0 THEN (doc_id + i) * 1000000
+                      ELSE -(doc_id + i) * 1000000 END AS val,
+                 CASE WHEN i % 4 = 0 THEN NULL
+                      ELSE 't' || CAST(i % 7 AS VARCHAR) END AS tag
+          FROM r)
+    SELECT doc_id, CAST(max(n) AS INT) AS n_rows,
+           CAST(sum(1 + i) AS BIGINT) AS id_sum,
+           CAST(sum(val) AS BIGINT) AS val_sum,
+           CAST(sum(CASE WHEN tag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_tags,
+           CAST(count(DISTINCT tag) AS BIGINT) AS n_distinct_tags,
+           CAST(sum(length('name-' || CAST(i AS VARCHAR))) AS BIGINT)
+               AS name_chars
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q450_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite artifact ingestion (round-9 continuation —
+    operators/sqlite_reader.py, the published SQLite file format):
+    each doc materializes an analytic table through the BUNDLED REAL
+    SQLite engine and the pure-stdlib parser walks the header, table
+    b-tree (interior + leaf pages), record serial types (all int
+    widths via sign-alternating millions, text, real, NULL) and the
+    INTEGER-PRIMARY-KEY rowid-alias rule back out.  Unlike the
+    encoder-twin codecs, the fixture bytes here are third-party:
+    agreement pins the parser against the reference implementation.
+    Arrow-batched mapInPandas on executors — the shape of exploding
+    scraped .sqlite/.db artifacts at corpus scale."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth_ingest(batches):
+        import sqlite3
+
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.sqlite_reader import (
+            sqlite_read_table,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_rows": [], "id_sum": [],
+                    "val_sum": [], "n_null_tags": [],
+                    "n_distinct_tags": [], "name_chars": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 40 + d % 20
+                conn = sqlite3.connect(":memory:")
+                cur = conn.cursor()
+                cur.execute(
+                    "CREATE TABLE docs (id INTEGER PRIMARY KEY, "
+                    "name TEXT, val INTEGER, ratio REAL, tag TEXT)"
+                )
+                cur.executemany(
+                    "INSERT INTO docs (name, val, ratio, tag) "
+                    "VALUES (?,?,?,?)",
+                    [
+                        (
+                            f"name-{i}",
+                            (d + i) * 1000000 * (1 if i % 2 == 0 else -1),
+                            i / 4,
+                            None if i % 4 == 0 else f"t{i % 7}",
+                        )
+                        for i in range(n)
+                    ],
+                )
+                conn.commit()
+                blob = bytes(conn.serialize())
+                conn.close()
+                cols, recs = sqlite_read_table(blob, "docs")
+                assert cols == ["id", "name", "val", "ratio", "tag"]
+                rows["doc_id"].append(d)
+                rows["n_rows"].append(len(recs))
+                rows["id_sum"].append(sum(r[0] for r in recs))
+                rows["val_sum"].append(sum(r[2] for r in recs))
+                rows["n_null_tags"].append(
+                    sum(1 for r in recs if r[4] is None)
+                )
+                rows["n_distinct_tags"].append(
+                    len({r[4] for r in recs if r[4] is not None})
+                )
+                rows["name_chars"].append(
+                    sum(len(r[1]) for r in recs)
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_ingest,
+        "doc_id bigint, n_rows int, id_sum bigint, val_sum bigint, "
+        "n_null_tags bigint, n_distinct_tags bigint, name_chars bigint",
+    ).orderBy("doc_id")

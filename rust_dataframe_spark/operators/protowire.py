@@ -207,7 +207,15 @@ def decode_message(data: bytes, schema: dict) -> dict:
         if kind in ("string", "bytes"):
             if wt != 2:
                 raise ProtoError(f"field {field}: {kind} needs LEN")
-            val = raw.decode("utf-8") if kind == "string" else raw
+            if kind == "string":
+                try:
+                    val = raw.decode("utf-8")
+                except UnicodeDecodeError as e:
+                    raise ProtoError(
+                        f"field {field}: invalid UTF-8 string: {e}"
+                    ) from None
+            else:
+                val = raw
             if repeated:
                 msg.setdefault(name, []).append(val)
             else:

@@ -260,6 +260,8 @@ def _ifd_offsets(data: bytes) -> tuple[str, list[int]]:
     data = bytes(data)
     if not is_tiff(data):
         raise TiffError("bad magic (not a TIFF)")
+    if len(data) < 8:
+        raise TiffError("truncated TIFF header")
     e = "<" if data[:2] == b"II" else ">"
     off = struct.unpack_from(e + "I", data, 4)[0]
     offs = []
@@ -373,7 +375,7 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
 
     # --- CCITT fax compressions (2 = MH, 3 = G3, 4 = G4) -------------------
     if comp in (2, 3, 4):
-        from .ccitt import decode_g3, decode_g4, decode_mh
+        from .ccitt import CcittError, decode_g3, decode_g4, decode_mh
 
         if depth != "1":
             raise TiffError("CCITT compression requires 1-bit samples")
@@ -399,14 +401,17 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
             if so + sc > len(data):
                 raise TiffError(f"strip {si} overruns file")
             raw = data[so : so + sc]
-            if comp == 2:
-                bit_plane += decode_mh(raw, w, nrows)
-            elif comp == 3:
-                bit_plane += decode_g3(
-                    raw, w, nrows, two_d=bool(t4opts & 1)
-                )
-            else:
-                bit_plane += decode_g4(raw, w, nrows)
+            try:
+                if comp == 2:
+                    bit_plane += decode_mh(raw, w, nrows)
+                elif comp == 3:
+                    bit_plane += decode_g3(
+                        raw, w, nrows, two_d=bool(t4opts & 1)
+                    )
+                else:
+                    bit_plane += decode_g4(raw, w, nrows)
+            except CcittError as e:
+                raise TiffError(f"strip {si} CCITT: {e}") from None
             rows_done += nrows
         if rows_done != h:
             raise TiffError(f"strips cover {rows_done} rows, want {h}")
