@@ -180,6 +180,18 @@ HEADLINE = [
     "q438_image_transcode",
     "q439_aiff_au",
     "q440_csv_quarantine",
+    # round-9 continuation: TIFF/CCITT/APNG/compression/serialization/
+    # SQLite ingestion surface
+    "q441_tiff_ext_matrix",
+    "q442_ccitt_fax",
+    "q443_apng_composite",
+    "q444_zstd_lz4_shards",
+    "q445_protobuf_logs",
+    "q446_msgpack_events",
+    "q447_avro_snappy",
+    "q448_cbor_events",
+    "q449_jpeg_in_tiff",
+    "q450_sqlite_ingest",
 ]
 
 

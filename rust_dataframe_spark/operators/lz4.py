@@ -56,10 +56,15 @@ def is_lz4_frame(head: bytes) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def lz4_block_decompress(data: bytes, expect: int | None = None) -> bytes:
+def lz4_block_decompress(
+    data: bytes, expect: int | None = None, *, max_size: int | None = None
+) -> bytes:
     """Decode one LZ4 block.  ``expect`` (when known from the frame)
-    bounds and validates the output size."""
+    bounds and validates the output size; ``max_size`` caps growth for
+    frame blocks whose exact size is unknown (a corrupt block must not
+    amplify into hundreds of MB before any check fires)."""
     data = bytes(data)
+    cap = expect if expect is not None else max_size
     out = bytearray()
     pos = 0
     n = len(data)
@@ -104,8 +109,8 @@ def lz4_block_decompress(data: bytes, expect: int | None = None) -> bytes:
                 ml += b
                 if b != 255:
                     break
-        if expect is not None and len(out) + ml > expect:
-            raise Lz4Error("block inflates beyond declared size")
+        if cap is not None and len(out) + ml > cap:
+            raise Lz4Error("block inflates beyond its size bound")
         base = len(out) - off
         for i in range(ml):  # overlap-safe
             out.append(out[base + i])
@@ -250,7 +255,10 @@ def lz4_frame_decompress(data: bytes) -> bytes:
         if stored:
             out += block
         else:
-            out += lz4_block_decompress(block)
+            dec = lz4_block_decompress(block, max_size=bmax)
+            if len(dec) > bmax:
+                raise Lz4Error("block decompresses beyond block max")
+            out += dec
     if c_checksum:
         if pos + 4 > len(data):
             raise Lz4Error("truncated content checksum")

@@ -230,9 +230,12 @@ def _read_ifd(data: bytes, off: int, e: str) -> tuple[dict, int]:
     for _ in range(n):
         tag, typ = struct.unpack_from(e + "HH", data, pos)
         cnt = struct.unpack_from(e + "I", data, pos + 4)[0]
-        if typ not in _TYPE_SIZE:
+        if typ not in _TYPE_SIZE or cnt == 0:
+            # unknown types are skippable per spec; a zero-count entry
+            # is malformed — treating it as absent keeps every
+            # .get(tag, [default])[0] consumer safe
             pos += 12
-            continue  # unknown types are skippable per spec
+            continue
         size = _TYPE_SIZE[typ] * cnt
         voff = (
             pos + 8
@@ -327,6 +330,13 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
     h = ifd.get(257, [0])[0]
     if not w or not h:
         raise TiffError("missing/zero dimensions")
+    # sanity bound (TIFF carries no header checksum, so a flipped dims
+    # byte must not drive 100s-of-MB row allocations): 128k per axis /
+    # 64M px total covers any real scanned page with headroom
+    if w > 1 << 17 or h > 1 << 17 or w * h > 1 << 26:
+        raise TiffError(
+            f"implausible dimensions {w}x{h} (corrupt IFD guard)"
+        )
     spp = ifd.get(277, [1])[0]
     bits = ifd.get(258, [1])
     comp = ifd.get(259, [1])[0]
@@ -593,8 +603,11 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
         return w, h, 1, bytes(out)
     if depth == "f32":
         vals = struct.unpack(e + f"{w * h}f", raster)
+        # NaN is a legitimate nodata value in float rasters: map to 0
+        # (min/max would propagate it into int() and crash)
         out = bytearray(
-            int(min(max(v, 0.0), 1.0) * 255 + 0.5) for v in vals
+            0 if v != v else int(min(max(v, 0.0), 1.0) * 255 + 0.5)
+            for v in vals
         )
         if photo == 0:
             out = bytearray(255 - v for v in out)

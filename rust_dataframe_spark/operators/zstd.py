@@ -582,7 +582,11 @@ def _seq_table(
 
 
 def _decode_block(block: bytes, ctx: dict, out: bytearray, window: int) -> None:
+    block_max = 1 << 17  # the format's hard 128 KB regeneration ceiling
+    start_len = len(out)
     literals, pos = _parse_literals(block, ctx)
+    if len(literals) > block_max:
+        raise ZstdError("literals regenerate beyond Block_Maximum_Size")
     if pos >= len(block):
         raise ZstdError("block missing sequences section")
     b0 = block[pos]
@@ -683,6 +687,12 @@ def _decode_block(block: bytes, ctx: dict, out: bytearray, window: int) -> None:
                 reps[0] = offset
         if lit_at + ll > len(literals):
             raise ZstdError("literal run overruns literals section")
+        # in-loop cap: a corrupt stream must not regenerate hundreds of
+        # MB byte-by-byte before the post-hoc size check fires
+        if len(out) - start_len + ll + ml > block_max:
+            raise ZstdError(
+                "block regenerates beyond Block_Maximum_Size"
+            )
         out += literals[lit_at : lit_at + ll]
         lit_at += ll
         if offset > len(out) or offset > window:
