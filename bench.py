@@ -192,6 +192,7 @@ HEADLINE = [
     "q448_cbor_events",
     "q449_jpeg_in_tiff",
     "q450_sqlite_ingest",
+    "q451_delta_log",
 ]
 
 

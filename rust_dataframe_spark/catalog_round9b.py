@@ -958,3 +958,100 @@ def q450_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_rows int, id_sum bigint, val_sum bigint, "
         "n_null_tags bigint, n_distinct_tags bigint, name_chars bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q451: Delta Lake log round trip — commit replay, overwrite, time travel
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): commit 0 writes ids 0..29 partitioned by
+# p = id % 3; commit 1 appends ids 100..108 (same law); commit 2
+# dynamic-partition-OVERWRITES p=1 with ids 900..903; a checkpoint
+# collapses the log; commit 3 appends id 5000 at p=2.  The output is
+# the per-partition (snapshot, p) algebra at BOTH the latest version
+# (post-overwrite, post-checkpoint — exercises checkpoint bootstrap)
+# and time-travel version 1 (pre-overwrite), which the oracle replays
+# from the same commit law with range() arithmetic.
+
+
+@query(
+    "q451_delta_log",
+    oracle="""
+    WITH c0 AS (SELECT unnest(range(0, 30)) AS id),
+    c1 AS (SELECT 100 + unnest(range(0, 9)) AS id),
+    c2 AS (SELECT 900 + unnest(range(0, 4)) AS id),
+    v1 AS (SELECT id, id % 3 AS p FROM c0
+           UNION ALL SELECT id, id % 3 AS p FROM c1),
+    latest AS (SELECT id, p FROM v1 WHERE p <> 1
+               UNION ALL SELECT id, 1 AS p FROM c2
+               UNION ALL SELECT 5000 AS id, 2 AS p),
+    snaps AS (SELECT 'latest' AS snap, p, id FROM latest
+              UNION ALL SELECT 'v1' AS snap, p, id FROM v1)
+    SELECT snap, CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum
+    FROM snaps GROUP BY snap, p ORDER BY snap, p
+    """,
+)
+def q451_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake transaction-log round trip (round-9 continuation —
+    sources/delta.py, the PUBLIC delta.io protocol, no delta-jar):
+    builds a partitioned table through four commits including a
+    dynamic-partition overwrite (remove actions) and a parquet
+    checkpoint, then reads BOTH the latest snapshot (bootstrapping from
+    the checkpoint + JSON tail) and time-travel version 1
+    (pre-overwrite).  Partition values are re-injected via ONE
+    distributed parquet scan + an input_file_name broadcast-map join —
+    no per-partition union chain, the shape that holds at 100 TB.
+    Deletion-vector / column-mapping tables gate loudly."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.delta import (
+        read_delta,
+        write_delta_checkpoint,
+        write_delta_commit,
+    )
+
+    path = _scratch("delta_table", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta_commit(
+        spark, path,
+        spark.range(30).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        ),
+        partition_by=["p"],
+    )
+    write_delta_commit(
+        spark, path,
+        spark.range(100, 109).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        ),
+        partition_by=["p"],
+    )
+    write_delta_commit(
+        spark, path,
+        spark.range(900, 904).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(1).cast("int").alias("p"),
+        ),
+        partition_by=["p"], replace_partitions=True,
+    )
+    write_delta_checkpoint(spark, path)
+    write_delta_commit(
+        spark, path,
+        spark.createDataFrame([(5000, 2)], "id int, p int"),
+        partition_by=["p"],
+    )
+    latest = read_delta(spark, path).withColumn("snap", F.lit("latest"))
+    v1 = read_delta(spark, path, version=1).withColumn(
+        "snap", F.lit("v1")
+    )
+    return (
+        latest.unionByName(v1)
+        .groupBy("snap", "p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
+        .orderBy("snap", "p")
+    )
