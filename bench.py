@@ -193,6 +193,7 @@ HEADLINE = [
     "q449_jpeg_in_tiff",
     "q450_sqlite_ingest",
     "q451_delta_log",
+    "q452_iceberg_table",
 ]
 
 

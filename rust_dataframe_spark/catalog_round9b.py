@@ -1055,3 +1055,84 @@ def q451_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
         .orderBy("snap", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q452: Iceberg snapshot round trip — manifest walk, overwrite, time travel
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form, the q451 shape with p = id % 3 throughout):
+# snapshot A writes ids 0..29; snapshot B appends ids 100..108;
+# snapshot C dynamic-partition-overwrites p=1 with ids 900..903.  The
+# output is the per-partition algebra at the CURRENT snapshot and at
+# time-travel snapshot B, replayed by the oracle with range arithmetic.
+
+
+@query(
+    "q452_iceberg_table",
+    oracle="""
+    WITH c0 AS (SELECT unnest(range(0, 30)) AS id),
+    c1 AS (SELECT 100 + unnest(range(0, 9)) AS id),
+    c2 AS (SELECT 900 + unnest(range(0, 4)) AS id),
+    sb AS (SELECT id, id % 3 AS p FROM c0
+           UNION ALL SELECT id, id % 3 AS p FROM c1),
+    cur AS (SELECT id, p FROM sb WHERE p <> 1
+            UNION ALL SELECT id, 1 AS p FROM c2),
+    snaps AS (SELECT 'current' AS snap, p, id FROM cur
+              UNION ALL SELECT 'prev' AS snap, p, id FROM sb)
+    SELECT snap, CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum
+    FROM snaps GROUP BY snap, p ORDER BY snap, p
+    """,
+)
+def q452_iceberg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Iceberg snapshot round trip (round-9 continuation —
+    sources/iceberg.py, the public table spec, no iceberg-runtime):
+    three snapshots (append, append, dynamic-partition overwrite), the
+    manifest-list -> manifest walk running through the repo's own
+    nested-Avro codec, identity-partition values re-injected via one
+    distributed scan + input_file_name broadcast-map join, and
+    snapshot-id time travel back to the pre-overwrite census.  Delete
+    manifests / v2 delete files / non-identity transforms gate loudly."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.iceberg import read_iceberg, write_iceberg_commit
+
+    path = _scratch("iceberg_table", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_commit(
+        spark, path,
+        spark.range(30).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        ),
+        partition_by=["p"],
+    )
+    s_prev = write_iceberg_commit(
+        spark, path,
+        spark.range(100, 109).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        ),
+        partition_by=["p"],
+    )
+    write_iceberg_commit(
+        spark, path,
+        spark.range(900, 904).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(1).cast("int").alias("p"),
+        ),
+        partition_by=["p"], replace_partitions=True,
+    )
+    cur = read_iceberg(spark, path).withColumn("snap", F.lit("current"))
+    prev = read_iceberg(spark, path, snapshot_id=s_prev).withColumn(
+        "snap", F.lit("prev")
+    )
+    return (
+        cur.unionByName(prev)
+        .groupBy("snap", "p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
+        .orderBy("snap", "p")
+    )

@@ -91,12 +91,39 @@ def _zigzag_decode(buf: memoryview, pos: int) -> tuple[int, int]:
 
 
 def _write_value(out: bytearray, typ, v) -> None:
-    if isinstance(typ, list):  # ["null", prim]
+    if isinstance(typ, list):  # ["null", T]
         if v is None:
             out += _zigzag_encode(0)
             return
         out += _zigzag_encode(1)
         typ = typ[1]
+    if isinstance(typ, dict):
+        kind = typ.get("type")
+        if kind == "record":
+            if v is None:
+                raise AvroError("record value is None outside a union")
+            for f in typ["fields"]:
+                _write_value(out, f["type"], (v or {}).get(f["name"]))
+            return
+        if kind == "array":
+            items = list(v or [])
+            if items:
+                out += _zigzag_encode(len(items))
+                for it in items:
+                    _write_value(out, typ["items"], it)
+            out += _zigzag_encode(0)
+            return
+        if kind == "map":
+            pairs = dict(v or {})
+            if pairs:
+                out += _zigzag_encode(len(pairs))
+                for k, mv in pairs.items():
+                    raw = str(k).encode("utf-8")
+                    out += _zigzag_encode(len(raw)) + raw
+                    _write_value(out, typ["values"], mv)
+            out += _zigzag_encode(0)
+            return
+        raise AvroError(f"unsupported complex type {kind!r}")
     if typ == "null":
         return
     if typ == "boolean":
@@ -120,11 +147,49 @@ def _write_value(out: bytearray, typ, v) -> None:
 def _read_value(buf: memoryview, pos: int, typ):
     if isinstance(typ, list):
         idx, pos = _zigzag_decode(buf, pos)
-        if idx == 0:
-            return None, pos
-        if idx != 1:
+        if not 0 <= idx < len(typ):
             raise AvroError(f"union branch {idx} out of range")
-        typ = typ[1]
+        typ = typ[idx]
+    if isinstance(typ, dict):
+        kind = typ.get("type")
+        if kind == "record":
+            rec = {}
+            for f in typ["fields"]:
+                rec[f["name"]], pos = _read_value(buf, pos, f["type"])
+            return rec, pos
+        if kind == "array":
+            out = []
+            while True:
+                n, pos = _zigzag_decode(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:  # block with byte size (skippable variant)
+                    n = -n
+                    _sz, pos = _zigzag_decode(buf, pos)
+                for _ in range(n):
+                    v, pos = _read_value(buf, pos, typ["items"])
+                    out.append(v)
+        if kind == "map":
+            out = {}
+            while True:
+                n, pos = _zigzag_decode(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _sz, pos = _zigzag_decode(buf, pos)
+                for _ in range(n):
+                    kn, pos = _zigzag_decode(buf, pos)
+                    if kn < 0 or pos + kn > len(buf):
+                        raise AvroError("truncated map key")
+                    key = bytes(buf[pos : pos + kn]).decode("utf-8")
+                    pos += kn
+                    out[key], pos = _read_value(buf, pos, typ["values"])
+        # a named-type wrapper like {"type": "string", ...} degrades to
+        # its primitive; fixed/enum stay loud
+        if isinstance(kind, str) and kind in _PRIMS:
+            return _read_value(buf, pos, kind)
+        raise AvroError(f"unsupported complex type {kind!r}")
     if typ == "null":
         return None, pos
     if typ == "boolean":
@@ -146,23 +211,44 @@ def _read_value(buf: memoryview, pos: int, typ):
     raise AvroError(f"unsupported type {typ!r}")
 
 
+def _check_type(t) -> None:
+    """Recursive schema validation (round-9 continuation: records,
+    arrays and maps joined the primitive + ['null', T] surface so the
+    Iceberg manifest schemas fit)."""
+    if isinstance(t, str):
+        if t not in _PRIMS:
+            raise AvroError(f"unsupported field type {t!r}")
+        return
+    if isinstance(t, list):
+        if len(t) != 2 or t[0] != "null":
+            raise AvroError(f"unsupported union {t!r} (only ['null', T])")
+        _check_type(t[1])
+        return
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "record":
+            for f in t.get("fields", []):
+                _check_type(f["type"])
+            return
+        if kind == "array":
+            _check_type(t["items"])
+            return
+        if kind == "map":
+            _check_type(t["values"])
+            return
+        if isinstance(kind, str) and kind in _PRIMS:
+            return  # annotated primitive (logicalType etc.)
+        raise AvroError(f"unsupported complex type {kind!r}")
+    raise AvroError(f"unsupported field type {t!r}")
+
+
 def _validate_schema(schema: dict) -> list[tuple[str, object]]:
     if schema.get("type") != "record" or "fields" not in schema:
         raise AvroError("schema must be a record")
     fields = []
     for f in schema["fields"]:
-        t = f["type"]
-        if isinstance(t, list):
-            if (
-                len(t) != 2
-                or t[0] != "null"
-                or not isinstance(t[1], str)
-                or t[1] not in _PRIMS
-            ):
-                raise AvroError(f"unsupported union {t!r} (only ['null', prim])")
-        elif not isinstance(t, str) or t not in _PRIMS:
-            raise AvroError(f"unsupported field type {t!r}")
-        fields.append((f["name"], t))
+        _check_type(f["type"])
+        fields.append((f["name"], f["type"]))
     return fields
 
 

@@ -1,0 +1,476 @@
+"""Apache Iceberg table reader/writer over the PUBLIC table spec
+(iceberg.apache.org/spec) — no iceberg-runtime jar.
+
+An Iceberg table is parquet data files + a ``metadata/`` directory:
+``vN.metadata.json`` (schemas, partition specs, snapshot list,
+current-snapshot-id, ``version-hint.text`` pointer), per-snapshot
+**manifest lists** (Avro) naming **manifests** (Avro) whose entries
+carry ``data_file`` records — file path, format, a typed ``partition``
+record, row counts.  Unlike Delta's log replay, an Iceberg snapshot is
+self-contained: the manifest list IS the complete file census.
+
+Reader surface:
+
+* metadata resolution via ``version-hint.text`` (falling back to the
+  highest ``vN``), ``format-version`` gate (> 2 fails loud);
+* snapshot selection: current or explicit ``snapshot_id=`` time travel;
+* manifest-list -> manifest walk through the repo's own pure-stdlib
+  Avro codec (nested records/arrays/maps landed for exactly this);
+* entry filtering: ``status == 2`` (deleted) rows drop, delete
+  manifests (``content == 1``) and v2 delete files gate loudly —
+  reading a table with row-level deletes as if they were plain data
+  would be silently wrong;
+* identity-transform partition values re-injected through the same
+  one-scan ``input_file_name`` broadcast-map join as the Delta reader
+  (no per-partition unions); non-identity transforms (bucket/truncate/
+  days) gate loudly because their values are lossy.
+
+The writer half emits spec-shaped tables (each commit writes the data
+files in ONE ``partitionBy`` job, one full-rewrite manifest carrying
+live entries as EXISTING + new as ADDED, a manifest list, and the next
+``vN.metadata.json``) so fixtures are protocol-real, and
+dynamic-partition overwrite drops the replaced partitions' entries.
+
+Reference parity: lakehouse-era extension of SURVEY §2.1's table
+sources, next to sources/delta.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .avro import decode_records, encode_records
+
+__all__ = [
+    "IcebergError",
+    "read_iceberg",
+    "iceberg_snapshot_files",
+    "write_iceberg_commit",
+]
+
+
+class IcebergError(ValueError):
+    """Malformed or unsupported Iceberg table."""
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
+    return {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "partition",
+                        "fields": [
+                            {"name": n, "type": ["null", t]}
+                            for n, t in part_fields
+                        ],
+                    }},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            }},
+        ],
+    }
+
+
+def _load_metadata(path: str) -> tuple[dict, int]:
+    mdir = os.path.join(path, "metadata")
+    if not os.path.isdir(mdir):
+        raise IcebergError(f"not an Iceberg table: no metadata/ in {path}")
+    version = None
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint, encoding="utf-8") as fh:
+            version = int(fh.read().strip())
+    else:
+        vs = [
+            int(n[1:].split(".")[0])
+            for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".metadata.json")
+        ]
+        if not vs:
+            raise IcebergError("no vN.metadata.json files")
+        version = max(vs)
+    mpath = os.path.join(mdir, f"v{version}.metadata.json")
+    if not os.path.exists(mpath):
+        raise IcebergError(f"version hint points at missing v{version}")
+    with open(mpath, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    fv = meta.get("format-version", 1)
+    if fv > 2:
+        raise IcebergError(
+            f"format-version {fv} unsupported (fail-loud)"
+        )
+    return meta, version
+
+
+def _schema_fields(meta: dict) -> dict[int, tuple[str, str]]:
+    """field-id -> (name, primitive type)."""
+    schema = None
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                schema = s
+                break
+    if schema is None:
+        schema = meta.get("schema")
+    if schema is None:
+        raise IcebergError("metadata carries no schema")
+    out = {}
+    for f in schema.get("fields", []):
+        if not isinstance(f.get("type"), str):
+            raise IcebergError(
+                f"nested column {f.get('name')!r} unsupported"
+            )
+        out[f["id"]] = (f["name"], f["type"])
+    return out
+
+
+def _partition_fields(meta: dict) -> list[tuple[str, str, str]]:
+    """[(partition field name, source column name, iceberg type)] for
+    the current spec; non-identity transforms gate."""
+    spec = None
+    if "partition-specs" in meta:
+        sid = meta.get("default-spec-id", 0)
+        for s in meta["partition-specs"]:
+            if s.get("spec-id") == sid:
+                spec = s.get("fields", [])
+                break
+    if spec is None:
+        spec = meta.get("partition-spec", [])
+    cols = _schema_fields(meta)
+    out = []
+    for f in spec or []:
+        if f.get("transform") != "identity":
+            raise IcebergError(
+                f"partition transform {f.get('transform')!r} unsupported "
+                "(identity only — bucket/truncate/days values are lossy)"
+            )
+        src = cols.get(f.get("source-id"))
+        if src is None:
+            raise IcebergError(
+                f"partition source-id {f.get('source-id')} not in schema"
+            )
+        out.append((f["name"], src[0], src[1]))
+    return out
+
+
+_ICE_TO_SPARK = {
+    "int": "int", "long": "bigint", "string": "string",
+    "boolean": "boolean", "float": "float", "double": "double",
+    "date": "date",
+}
+
+
+def iceberg_snapshot_files(
+    path: str, *, snapshot_id: int | None = None
+) -> tuple[dict, list[dict]]:
+    """Returns (metadata json, live data_file dicts) for the chosen
+    snapshot."""
+    meta, _v = _load_metadata(path)
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        return meta, []
+    want = snapshot_id if snapshot_id is not None else meta.get(
+        "current-snapshot-id"
+    )
+    snap = next(
+        (s for s in snaps if s.get("snapshot-id") == want), None
+    )
+    if snap is None:
+        raise IcebergError(f"snapshot {want} not in metadata")
+    ml_path = snap.get("manifest-list")
+    if not ml_path:
+        raise IcebergError("snapshot carries no manifest-list")
+    ml_path = _localize(path, ml_path)
+    with open(ml_path, "rb") as fh:
+        _s, manifests = decode_records(fh.read())
+    files: list[dict] = []
+    for m in manifests:
+        if m.get("content", 0) == 1:
+            raise IcebergError(
+                "delete manifests unsupported (fail-loud: row-level "
+                "deletes would read back as live rows)"
+            )
+        man_path = _localize(path, m["manifest_path"])
+        with open(man_path, "rb") as fh:
+            _s2, entries = decode_records(fh.read())
+        for e in entries:
+            if e.get("status") == 2:
+                continue  # deleted
+            df_ = e.get("data_file") or {}
+            if df_.get("content", 0) != 0:
+                raise IcebergError(
+                    "v2 delete files unsupported (fail-loud)"
+                )
+            if df_.get("file_format", "PARQUET").upper() != "PARQUET":
+                raise IcebergError(
+                    f"file format {df_.get('file_format')!r} unsupported"
+                )
+            files.append(df_)
+    return meta, files
+
+
+def _localize(table_path: str, p: str) -> str:
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    if not os.path.isabs(p):
+        p = os.path.join(table_path, p)
+    return p
+
+
+def read_iceberg(
+    spark: SparkSession, path: str, *, snapshot_id: int | None = None
+) -> DataFrame:
+    """One-scan snapshot read with identity-partition re-injection."""
+    meta, files = iceberg_snapshot_files(path, snapshot_id=snapshot_id)
+    parts = _partition_fields(meta)
+    if not files:
+        cols = _schema_fields(meta)
+        ddl = ", ".join(
+            f"`{n}` {_ICE_TO_SPARK.get(t, 'string')}"
+            for n, t in cols.values()
+        )
+        return spark.createDataFrame([], ddl)
+    paths = [_localize(path, f["file_path"]) for f in files]
+    df = spark.read.parquet(*paths)
+    if not parts:
+        return df
+    rows = []
+    for f, p in zip(files, paths):
+        pv = f.get("partition") or {}
+        rows.append(
+            (os.path.abspath(p),
+             *[str(pv.get(name)) for name, _src, _t in parts])
+        )
+    map_df = spark.createDataFrame(
+        rows,
+        ["__ice_file"] + [f"__pv_{src}" for _n, src, _t in parts],
+    )
+    out = (
+        df.withColumn(
+            "__ice_file",
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+        )
+        .join(F.broadcast(map_df), "__ice_file", "left")
+        .drop("__ice_file")
+    )
+    for _name, src, t in parts:
+        spark_t = _ICE_TO_SPARK.get(t)
+        if spark_t is None:
+            raise IcebergError(f"partition type {t!r} unsupported")
+        out = out.withColumn(
+            src, F.col(f"__pv_{src}").cast(spark_t)
+        ).drop(f"__pv_{src}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# writer (fixture half + usable sink)
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_ICE = {
+    "int": "int", "bigint": "long", "string": "string",
+    "boolean": "boolean", "float": "float", "double": "double",
+}
+
+
+def write_iceberg_commit(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    partition_by: list[str] | None = None,
+    replace_partitions: bool = False,
+) -> int:
+    """Append ``df`` as one Iceberg snapshot.  Each commit: one
+    ``partitionBy`` write job, one full-rewrite manifest (live entries
+    EXISTING + new ADDED), one manifest list, the next metadata json.
+    Returns the new snapshot id."""
+    import shutil
+
+    partition_by = list(partition_by or [])
+    mdir = os.path.join(path, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    try:
+        meta, version = _load_metadata(path)
+    except IcebergError:
+        meta, version = None, 0
+    ts = int(time.time() * 1000)
+    if meta is None:
+        fields = []
+        for i, f in enumerate(df.schema.fields, start=1):
+            t = _SPARK_TO_ICE.get(f.dataType.simpleString())
+            if t is None:
+                raise IcebergError(
+                    f"writer: column type {f.dataType.simpleString()!r}"
+                )
+            fields.append({"id": i, "name": f.name, "required": False,
+                           "type": t})
+        by_name = {f["name"]: f["id"] for f in fields}
+        spec_fields = [
+            {"name": c, "transform": "identity",
+             "source-id": by_name[c], "field-id": 1000 + k}
+            for k, c in enumerate(partition_by)
+        ]
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": path,
+            "last-updated-ms": ts,
+            "last-column-id": len(fields),
+            "schemas": [{"schema-id": 0, "type": "struct",
+                         "fields": fields}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
+            "snapshots": [],
+            "current-snapshot-id": -1,
+        }
+    parts_meta = _partition_fields(meta)
+    if [p[1] for p in parts_meta] != partition_by:
+        raise IcebergError(
+            "writer: partition_by does not match the table spec"
+        )
+    part_types = [(name, typ) for name, _src, typ in parts_meta]
+
+    # live entries (for carry-forward / overwrite)
+    live: list[dict] = []
+    if meta.get("current-snapshot-id", -1) != -1 and meta["snapshots"]:
+        _m, live = iceberg_snapshot_files(path)
+
+    # one distributed write
+    tmp = os.path.join(path, f"_tmp_ice_{uuid.uuid4().hex[:8]}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    if partition_by:
+        counts = {
+            tuple(str(r[c]) for c in partition_by): r["cnt"]
+            for r in df.groupBy(*partition_by).agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).collect()
+        }
+        tuples = sorted(counts)
+    else:
+        counts = {(): df.count()}
+        tuples = [()]
+
+    snapshot_id = ts * 1000 + version  # unique, monotone enough
+    entries: list[dict] = []
+    doomed = set(tuples) if replace_partitions else set()
+    for d in live:
+        pv = d.get("partition") or {}
+        key = tuple(str(pv.get(name)) for name, _s, _t in parts_meta)
+        if partition_by and key in doomed:
+            continue  # dynamic-partition overwrite drops these
+        entries.append({"status": 0, "snapshot_id": snapshot_id,
+                        "data_file": d})
+
+    data_dir = os.path.join(path, "data")
+    for pt in tuples:
+        sub = "/".join(f"{c}={v}" for c, v in zip(partition_by, pt))
+        src_dir = os.path.join(tmp, sub) if sub else tmp
+        files = sorted(
+            n for n in os.listdir(src_dir) if n.endswith(".parquet")
+        )
+        full_dir = os.path.join(data_dir, sub) if sub else data_dir
+        os.makedirs(full_dir, exist_ok=True)
+        for k, part in enumerate(files):
+            fname = (
+                f"{snapshot_id}-{k:03d}-{uuid.uuid4().hex[:10]}.parquet"
+            )
+            final = os.path.join(full_dir, fname)
+            os.replace(os.path.join(src_dir, part), final)
+            pv = {}
+            for (name, _src, typ), v in zip(parts_meta, pt):
+                pv[name] = int(v) if typ in ("int", "long") else v
+            entries.append({
+                "status": 1, "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": final,
+                    "file_format": "PARQUET",
+                    "partition": pv,
+                    "record_count": int(
+                        counts[pt] if len(files) == 1 else -1
+                    ),
+                    "file_size_in_bytes": os.path.getsize(final),
+                },
+            })
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    man_schema = _manifest_schema(
+        [(name, "int" if typ in ("int", "long") else "string")
+         for name, typ in part_types]
+    )
+    # normalize carried-forward partitions to the manifest schema types
+    for e in entries:
+        pv = e["data_file"].get("partition") or {}
+        e["data_file"]["partition"] = {
+            name: (int(pv[name]) if pv.get(name) is not None
+                   and typ in ("int", "long") else pv.get(name))
+            for name, _src, typ in parts_meta
+        }
+    man_name = f"{uuid.uuid4().hex}-m0.avro"
+    man_path = os.path.join(mdir, man_name)
+    with open(man_path, "wb") as fh:
+        fh.write(encode_records(man_schema, entries, codec="deflate"))
+    ml_name = f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
+    ml_path = os.path.join(mdir, ml_name)
+    with open(ml_path, "wb") as fh:
+        fh.write(encode_records(
+            _MANIFEST_LIST_SCHEMA,
+            [{"manifest_path": man_path,
+              "manifest_length": os.path.getsize(man_path),
+              "partition_spec_id": 0, "content": 0,
+              "added_snapshot_id": snapshot_id}],
+            codec="deflate",
+        ))
+    meta = dict(meta)
+    meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": ts,
+        "manifest-list": ml_path,
+        "summary": {"operation": (
+            "overwrite" if replace_partitions else "append"
+        )},
+    }]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = ts
+    new_version = version + 1
+    with open(os.path.join(mdir, f"v{new_version}.metadata.json"),
+              "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w",
+              encoding="utf-8") as fh:
+        fh.write(str(new_version))
+    return snapshot_id

@@ -1,0 +1,150 @@
+"""Iceberg table reader/writer tests (sources/iceberg.py) behind q452:
+metadata resolution, manifest-list/manifest walk through the nested
+Avro codec, snapshot time travel, dynamic-partition overwrite,
+partition re-injection, the row-level-delete and transform gates."""
+
+import json
+import os
+
+import pytest
+
+from rust_dataframe_spark.sources.iceberg import (
+    IcebergError,
+    iceberg_snapshot_files,
+    read_iceberg,
+    write_iceberg_commit,
+)
+
+
+@pytest.fixture()
+def table_path(tmp_path):
+    return str(tmp_path / "ice")
+
+
+def _seed(spark, path):
+    from pyspark.sql import functions as F
+
+    s0 = write_iceberg_commit(
+        spark, path,
+        spark.range(30).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        ),
+        partition_by=["p"],
+    )
+    s1 = write_iceberg_commit(
+        spark, path,
+        spark.range(100, 109).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        ),
+        partition_by=["p"],
+    )
+    s2 = write_iceberg_commit(
+        spark, path,
+        spark.range(900, 904).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(1).cast("int").alias("p"),
+        ),
+        partition_by=["p"], replace_partitions=True,
+    )
+    return s0, s1, s2
+
+
+class TestIceberg:
+    def test_snapshot_partition_reinjection(self, spark, table_path):
+        from pyspark.sql import functions as F
+
+        _seed(spark, table_path)
+        snap = read_iceberg(spark, table_path)
+        agg = {
+            r["p"]: (r["n"], r["s"])
+            for r in snap.groupBy("p").agg(
+                F.count("*").alias("n"), F.sum("id").alias("s")
+            ).collect()
+        }
+        assert agg == {0: (13, 450), 1: (4, 3606), 2: (13, 467)}
+
+    def test_time_travel_by_snapshot_id(self, spark, table_path):
+        _s0, s1, _s2 = _seed(spark, table_path)
+        old = read_iceberg(spark, table_path, snapshot_id=s1)
+        assert old.count() == 39
+        assert old.filter("p = 1").count() == 13
+
+    def test_unknown_snapshot_loud(self, spark, table_path):
+        _seed(spark, table_path)
+        with pytest.raises(IcebergError, match="not in metadata"):
+            read_iceberg(spark, table_path, snapshot_id=42)
+
+    def test_unpartitioned(self, spark, table_path):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        write_iceberg_commit(spark, table_path, df)
+        got = read_iceberg(spark, table_path).orderBy("id").collect()
+        assert [(r["id"], r["s"]) for r in got] == [(1, "a"), (2, "b")]
+
+    def test_delete_manifest_gate(self, spark, table_path):
+        _seed(spark, table_path)
+        # patch the manifest list: flip content to 1 (delete manifest)
+        from rust_dataframe_spark.sources.avro import (
+            decode_records,
+            encode_records,
+        )
+
+        meta, version = None, None
+        mdir = os.path.join(table_path, "metadata")
+        with open(os.path.join(mdir, "version-hint.text")) as fh:
+            version = int(fh.read())
+        with open(os.path.join(mdir, f"v{version}.metadata.json")) as fh:
+            meta = json.load(fh)
+        ml = next(
+            s["manifest-list"] for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        with open(ml, "rb") as fh:
+            schema, rows = decode_records(fh.read())
+        for r in rows:
+            r["content"] = 1
+        with open(ml, "wb") as fh:
+            fh.write(encode_records(schema, rows))
+        with pytest.raises(IcebergError, match="delete manifests"):
+            read_iceberg(spark, table_path)
+
+    def test_transform_gate(self, spark, table_path):
+        _seed(spark, table_path)
+        mdir = os.path.join(table_path, "metadata")
+        with open(os.path.join(mdir, "version-hint.text")) as fh:
+            version = int(fh.read())
+        mp = os.path.join(mdir, f"v{version}.metadata.json")
+        with open(mp) as fh:
+            meta = json.load(fh)
+        meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+        with open(mp, "w") as fh:
+            json.dump(meta, fh)
+        with pytest.raises(IcebergError, match="transform"):
+            read_iceberg(spark, table_path)
+
+    def test_format_version_gate(self, spark, table_path):
+        _seed(spark, table_path)
+        mdir = os.path.join(table_path, "metadata")
+        with open(os.path.join(mdir, "version-hint.text")) as fh:
+            version = int(fh.read())
+        mp = os.path.join(mdir, f"v{version}.metadata.json")
+        with open(mp) as fh:
+            meta = json.load(fh)
+        meta["format-version"] = 3
+        with open(mp, "w") as fh:
+            json.dump(meta, fh)
+        with pytest.raises(IcebergError, match="format-version"):
+            read_iceberg(spark, table_path)
+
+    def test_not_a_table(self, spark, tmp_path):
+        with pytest.raises(IcebergError, match="metadata"):
+            read_iceberg(spark, str(tmp_path))
+
+    def test_live_census_has_counts(self, spark, table_path):
+        _seed(spark, table_path)
+        _meta, files = iceberg_snapshot_files(table_path)
+        assert files and all(
+            f["file_format"] == "PARQUET" and f["file_size_in_bytes"] > 0
+            for f in files
+        )

@@ -552,8 +552,17 @@ class TestAvro:
     def test_unsupported_schema_rejected(self, spark):
         from rust_dataframe_spark.sources import avro as av
 
+        # maps/records/arrays are REAL since the round-9 continuation
+        # (Iceberg manifests need them) — the remaining honest gates are
+        # named types (fixed/enum) and non-null-first unions
+        ok = {"type": "record", "name": "r",
+              "fields": [{"name": "m",
+                          "type": {"type": "map", "values": "long"}}]}
+        av.encode_records(ok, [{"m": {"a": 1}}])
         bad = {"type": "record", "name": "r",
-               "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]}
+               "fields": [{"name": "f",
+                           "type": {"type": "fixed", "name": "x",
+                                    "size": 4}}]}
         with pytest.raises(av.AvroError, match="unsupported"):
             av.encode_records(bad, [])
         from pyspark.sql.types import StructType
