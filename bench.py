@@ -194,6 +194,7 @@ HEADLINE = [
     "q450_sqlite_ingest",
     "q451_delta_log",
     "q452_iceberg_table",
+    "q453_hudi_table",
 ]
 
 

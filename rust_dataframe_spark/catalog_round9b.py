@@ -1136,3 +1136,89 @@ def q452_iceberg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
         .orderBy("snap", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q453: Hudi COW snapshot round trip — file slices, upsert, time travel
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form, one file group per partition per commit via
+# repartition on p): instant A writes ids 0..29 (p = id % 3); instant B
+# appends ids 100..108 (new file groups); instant C UPSERTS partition
+# p=1's instant-A file group with ids 900..903 (a new file VERSION of
+# the same group — the copy-on-write shape).  Current snapshot: p1 =
+# instant-B group + upserted group; as-of B: the pre-upsert census.
+
+
+@query(
+    "q453_hudi_table",
+    oracle="""
+    WITH c0 AS (SELECT unnest(range(0, 30)) AS id),
+    c1 AS (SELECT 100 + unnest(range(0, 9)) AS id),
+    c2 AS (SELECT 900 + unnest(range(0, 4)) AS id),
+    pre AS (SELECT id, id % 3 AS p FROM c0
+            UNION ALL SELECT id, id % 3 AS p FROM c1),
+    cur AS (SELECT id, p FROM pre WHERE p <> 1 OR id >= 100
+            UNION ALL SELECT id, 1 AS p FROM c2),
+    snaps AS (SELECT 'current' AS snap, p, id FROM cur
+              UNION ALL SELECT 'asof' AS snap, p, id FROM pre)
+    SELECT snap, CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum
+    FROM snaps GROUP BY snap, p ORDER BY snap, p
+    """,
+)
+def q453_hudi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Hudi copy-on-write snapshot round trip (round-9
+    continuation — sources/hudi.py, the public timeline/layout, no
+    hudi bundle): three instants (two appends, then an UPSERT that
+    writes a new VERSION of one partition's file group), file-slice
+    resolution keeping the newest version per (partition, fileId) at
+    the queried instant, hive-path partition re-injection via the
+    one-scan broadcast join, and as-of time travel to the pre-upsert
+    census.  Merge-on-read timelines and log files gate loudly."""
+    import os as _os
+    import re as _re
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.hudi import (
+        hudi_snapshot_files,
+        read_hudi,
+        write_hudi_commit,
+    )
+
+    path = _scratch("hudi_table", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    df0 = spark.range(30).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 3).cast("int").alias("p"),
+    ).repartition(F.col("p"))
+    t0 = write_hudi_commit(spark, path, df0, partition_by=["p"])
+    df1 = spark.range(100, 109).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 3).cast("int").alias("p"),
+    ).repartition(F.col("p"))
+    t1 = write_hudi_commit(spark, path, df1, partition_by=["p"])
+    fid = None
+    for part, f in hudi_snapshot_files(path):
+        name = _os.path.basename(f)
+        if part == "p=1" and name.endswith(f"_{t0}.parquet"):
+            fid = _re.match(r"^([0-9a-f-]+)_", name).group(1)
+    write_hudi_commit(
+        spark, path,
+        spark.createDataFrame([(900 + i, 1) for i in range(4)],
+                              "id int, p int"),
+        partition_by=["p"], upsert_into={"p=1": fid},
+    )
+    cur = read_hudi(spark, path).withColumn("snap", F.lit("current"))
+    asof = read_hudi(spark, path, as_of=t1).withColumn(
+        "snap", F.lit("asof")
+    )
+    return (
+        cur.unionByName(asof)
+        .select("snap", F.col("p").cast("int").alias("p"), "id")
+        .groupBy("snap", "p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
+        .orderBy("snap", "p")
+    )
