@@ -195,6 +195,7 @@ HEADLINE = [
     "q451_delta_log",
     "q452_iceberg_table",
     "q453_hudi_table",
+    "q454_feed_discovery",
 ]
 
 

@@ -1222,3 +1222,157 @@ def q453_hudi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
         .orderBy("snap", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q454: sitemap + RSS frontier discovery — the crawl-policy layer's
+# discovery half (pairs with q425 robots / q426 canonicalization)
+# ---------------------------------------------------------------------------
+#
+# Fixture (analytic in doc_id): even docs synthesize a sitemaps.org
+# urlset with 5 + d%6 entries (url k dated iff k%2==0 with lastmod =
+# 2024-01-01 + (d+k)%28 days; priority (k%10)/10 iff k%3==0),
+# gzip-wrapped when d%4==0; odd docs an RSS 2.0 channel with 3 + d%4
+# items whose pubDates are RFC-822 renderings of
+# 1709546400000 + k*3600000 ms.  The parsers recover every value.
+
+
+@query(
+    "q454_feed_discovery",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 2 = 0 THEN 5 + doc_id % 6
+                           ELSE 3 + doc_id % 4 END AS n
+               FROM documents WHERE doc_id < 48),
+    e AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM d),
+    sm AS (SELECT doc_id, n, k,
+                  CASE WHEN k % 2 = 0 THEN
+                    (1704067200 + ((doc_id + k) % 28) * 86400) * 1000
+                  END AS lastmod_ms,
+                  CASE WHEN k % 3 = 0 THEN k % 10 END AS prio10
+           FROM e WHERE doc_id % 2 = 0),
+    rss AS (SELECT doc_id, n, k,
+                   1709546400000 + k * 3600000 AS pub_ms
+            FROM e WHERE doc_id % 2 = 1),
+    agg AS (
+      SELECT doc_id, 'sitemap' AS fmt, CAST(max(n) AS INT) AS n_entries,
+             CAST(count(lastmod_ms) AS INT) AS n_dated,
+             CAST(coalesce(sum(lastmod_ms), 0) AS BIGINT) AS dated_ms_sum,
+             CAST(coalesce(sum(prio10), 0) AS BIGINT) AS prio10_sum
+      FROM sm GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id, 'rss' AS fmt, CAST(max(n) AS INT) AS n_entries,
+             CAST(count(pub_ms) AS INT) AS n_dated,
+             CAST(sum(pub_ms) AS BIGINT) AS dated_ms_sum,
+             CAST(0 AS BIGINT) AS prio10_sum
+      FROM rss GROUP BY doc_id)
+    SELECT * FROM agg ORDER BY doc_id
+    """,
+)
+def q454_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap + RSS frontier discovery (round-9 continuation —
+    operators/feeds.py): even docs synthesize a sitemaps.org urlset
+    (W3C date-only lastmods, priorities, gzip wrap by doc class), odd
+    docs an RSS 2.0 channel with RFC-822 pubDates, and the stdlib-XML
+    parsers (entity-expansion guard on) recover every timestamp and
+    priority the closed-form oracle replays.  Discovery output is what
+    feeds q426's canonicalization and q425's robots gate — the full
+    crawl-frontier pipeline.  Arrow-batched mapInPandas on
+    executors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 48
+    )
+
+    def synth_parse(batches):
+        import email.utils as eut
+        import gzip as gz
+        from datetime import datetime, timezone
+
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.feeds import (
+            parse_feed,
+            parse_sitemap,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "fmt": [], "n_entries": [],
+                    "n_dated": [], "dated_ms_sum": [], "prio10_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    n = 5 + d % 6
+                    parts = []
+                    for k in range(n):
+                        fields = [f"<loc>https://ex{d}.com/p/{k}</loc>"]
+                        if k % 2 == 0:
+                            days = (d + k) % 28
+                            dt = datetime.fromtimestamp(
+                                1704067200 + days * 86400, timezone.utc
+                            )
+                            fields.append(
+                                f"<lastmod>{dt:%Y-%m-%d}</lastmod>"
+                            )
+                        if k % 3 == 0:
+                            fields.append(
+                                f"<priority>{(k % 10) / 10:.1f}"
+                                "</priority>"
+                            )
+                        parts.append(
+                            "<url>" + "".join(fields) + "</url>"
+                        )
+                    xml = (
+                        '<urlset xmlns="http://www.sitemaps.org/'
+                        'schemas/sitemap/0.9">' + "".join(parts)
+                        + "</urlset>"
+                    ).encode()
+                    if d % 4 == 0:
+                        xml = gz.compress(xml)
+                    ents = parse_sitemap(xml)
+                    dated = [e["lastmod_ms"] for e in ents
+                             if e["lastmod_ms"] is not None]
+                    prios = [e["priority"] for e in ents
+                             if e["priority"] is not None]
+                    rows["doc_id"].append(d)
+                    rows["fmt"].append("sitemap")
+                    rows["n_entries"].append(len(ents))
+                    rows["n_dated"].append(len(dated))
+                    rows["dated_ms_sum"].append(sum(dated))
+                    rows["prio10_sum"].append(
+                        int(round(sum(prios) * 10))
+                    )
+                else:
+                    n = 3 + d % 4
+                    items = []
+                    for k in range(n):
+                        ms = 1709546400000 + k * 3600000
+                        dt = datetime.fromtimestamp(
+                            ms / 1000, timezone.utc
+                        )
+                        items.append(
+                            f"<item><guid>g{d}-{k}</guid>"
+                            f"<link>https://ex{d}.com/p/{k}</link>"
+                            f"<pubDate>{eut.format_datetime(dt)}"
+                            "</pubDate></item>"
+                        )
+                    xml = (
+                        '<rss version="2.0"><channel><title>'
+                        f"f{d}</title>" + "".join(items)
+                        + "</channel></rss>"
+                    ).encode()
+                    f = parse_feed(xml)
+                    pubs = [e["published_ms"] for e in f["entries"]]
+                    assert all(p is not None for p in pubs)
+                    rows["doc_id"].append(d)
+                    rows["fmt"].append("rss")
+                    rows["n_entries"].append(len(f["entries"]))
+                    rows["n_dated"].append(len(pubs))
+                    rows["dated_ms_sum"].append(sum(pubs))
+                    rows["prio10_sum"].append(0)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth_parse,
+        "doc_id bigint, fmt string, n_entries int, n_dated int, "
+        "dated_ms_sum bigint, prio10_sum bigint",
+    ).orderBy("doc_id")
