@@ -67,7 +67,11 @@ def _text(data: bytes) -> bytes:
 
 
 def _parse_xml(data: bytes) -> ET.Element:
-    if b"<!DOCTYPE" in data[:4096] or b"<!ENTITY" in data[:4096]:
+    # Full-payload scan (not a prefix): a >4 KB comment before the
+    # DOCTYPE would bypass a prefix-only check.  The payload is
+    # already fully in memory and capped at _MAX_BYTES, so this is
+    # one linear pass, not a fetch.
+    if b"<!DOCTYPE" in data or b"<!ENTITY" in data:
         raise FeedError(
             "DTD/entity declarations refused (entity-expansion guard)"
         )

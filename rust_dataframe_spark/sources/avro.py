@@ -166,6 +166,16 @@ def _read_value(buf: memoryview, pos: int, typ):
                 if n < 0:  # block with byte size (skippable variant)
                     n = -n
                     _sz, pos = _zigzag_decode(buf, pos)
+                # Amplification bound: a crafted block can declare a
+                # huge count of zero-byte items ('null' type) and loop
+                # unboundedly.  Every honest non-null item consumes at
+                # least one byte, and a null-typed collection larger
+                # than the whole buffer is pathological — fail loud.
+                if len(out) + n > len(buf) + 16:
+                    raise AvroError(
+                        "array block count exceeds buffer-derived "
+                        "ceiling (decode-amplification guard)"
+                    )
                 for _ in range(n):
                     v, pos = _read_value(buf, pos, typ["items"])
                     out.append(v)
@@ -178,6 +188,11 @@ def _read_value(buf: memoryview, pos: int, typ):
                 if n < 0:
                     n = -n
                     _sz, pos = _zigzag_decode(buf, pos)
+                if len(out) + n > len(buf) + 16:
+                    raise AvroError(
+                        "map block count exceeds buffer-derived "
+                        "ceiling (decode-amplification guard)"
+                    )
                 for _ in range(n):
                     kn, pos = _zigzag_decode(buf, pos)
                     if kn < 0 or pos + kn > len(buf):

@@ -45,9 +45,13 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from .lakehouse_util import attach_file_values
 
 __all__ = [
     "DeltaError",
@@ -86,21 +90,63 @@ def _list_log(path: str) -> tuple[list[int], list[int]]:
     return sorted(commits), sorted(checkpoints)
 
 
+# File-axis budget for the snapshot's live-file list: the list is
+# collected to the driver (it has to be — it parameterizes the one
+# distributed scan), so it is bounded loudly, mirroring the
+# Bradley-Terry item-axis discipline (operators/ranking.py:440).
+# Measured (tools/scale_lakehouse.py): ~0.8 KB/entry collected, so
+# the default caps driver memory near 800 MB; raise it explicitly
+# for genuinely larger tables.
+_MAX_LIVE_FILES = 1_000_000
+
+# Reader features this reader actually implements.  minReaderVersion 2
+# IS the column-mapping protocol version (PROTOCOL.md: reader version
+# 2 = column mapping); version 3 tables list explicit readerFeatures.
+_SUPPORTED_READER_FEATURES = {"columnMapping"}
+
+
 def _check_protocol(proto: dict) -> None:
-    if proto.get("minReaderVersion", 1) > 1:
-        feats = proto.get("readerFeatures", [])
+    mrv = proto.get("minReaderVersion", 1)
+    if mrv <= 1:
+        return
+    if mrv == 2:
+        feats = {"columnMapping"}
+    else:
+        feats = set(proto.get("readerFeatures") or [])
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if unsupported:
         raise DeltaError(
-            f"reader version {proto.get('minReaderVersion')} with "
-            f"features {feats} unsupported (fail-loud: deletion "
-            "vectors / column mapping would decode silently wrong)"
+            f"reader version {mrv} with features {sorted(unsupported)} "
+            "unsupported (fail-loud: deletion vectors / v2 checkpoints "
+            "would decode silently wrong)"
         )
 
 
+def _decode_path(p: str) -> str:
+    """Delta percent-encodes add/remove paths (PROTOCOL.md: path is a
+    URL-encoded relative path); partition values with spaces/specials
+    yield %XX sequences that must be decoded before touching the FS."""
+    return urllib.parse.unquote(p)
+
+
 def delta_snapshot_files(
-    spark: SparkSession, path: str, *, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    max_live_files: int = _MAX_LIVE_FILES,
 ) -> tuple[dict, list[dict]]:
     """Replay the log.  Returns ``(metaData, live_add_actions)`` at the
-    requested (or latest) version."""
+    requested (or latest) version.
+
+    Scale posture: checkpoint replay is DISTRIBUTED — the checkpoint
+    parquet (file-axis: one row per live file, 10^5–10^7 at 100 TB) is
+    reconciled as a DataFrame (adds anti-joined against remove
+    tombstones, metaData/protocol rows filtered out row-axis-tiny) and
+    only the final live-file ``(path, partitionValues, size)`` list is
+    collected, under a loud ``max_live_files`` budget.  The JSON tail
+    between checkpoint and snapshot is commit-axis-bounded (checkpoint
+    cadence, ~10 commits) and stays driver-side."""
     commits, checkpoints = _list_log(path)
     latest = max(commits + checkpoints)
     want = latest if version is None else version
@@ -117,22 +163,77 @@ def delta_snapshot_files(
         cp_path = os.path.join(
             path, _LOG, f"{cp:020d}.checkpoint.parquet"
         )
-        for row in spark.read.parquet(cp_path).collect():
-            d = row.asDict(recursive=True)
-            if d.get("add") and d["add"].get("path"):
-                live[d["add"]["path"]] = d["add"]
-            elif d.get("remove") and d["remove"].get("path"):
-                live.pop(d["remove"]["path"], None)
-            elif d.get("metaData") and d["metaData"].get("id"):
-                meta = d["metaData"]
+        cp_df = spark.read.parquet(cp_path)
+        cols = set(cp_df.columns)
+        if "metaData" in cols:
+            metas = (
+                cp_df.where(F.col("metaData.id").isNotNull())
+                .select("metaData")
+                .collect()
+            )
+            if metas:
+                meta = metas[-1]["metaData"].asDict(recursive=True)
                 if isinstance(meta.get("partitionColumns"), str):
                     meta["partitionColumns"] = json.loads(
                         meta["partitionColumns"]
                     )
-            elif d.get("protocol") and d["protocol"].get(
-                "minReaderVersion"
-            ) is not None:
-                _check_protocol(d["protocol"])
+                if isinstance(meta.get("configuration"), str):
+                    meta["configuration"] = json.loads(
+                        meta["configuration"]
+                    )
+        if "protocol" in cols:
+            for row in (
+                cp_df.where(
+                    F.col("protocol.minReaderVersion").isNotNull()
+                )
+                .select("protocol")
+                .collect()
+            ):
+                _check_protocol(row["protocol"].asDict(recursive=True))
+        if "add" in cols:
+            add_fields = {
+                f.name for f in cp_df.schema["add"].dataType.fields
+            }
+            sel = [F.col("add.path").alias("path")]
+            sel.append(
+                F.col("add.partitionValues").alias("partitionValues")
+                if "partitionValues" in add_fields
+                else F.lit(None).cast("map<string,string>").alias(
+                    "partitionValues"
+                )
+            )
+            sel.append(
+                F.col("add.size").alias("size")
+                if "size" in add_fields
+                else F.lit(None).cast("bigint").alias("size")
+            )
+            adds = cp_df.where(F.col("add.path").isNotNull()).select(
+                *sel
+            )
+            if "remove" in cols:
+                removes = cp_df.where(
+                    F.col("remove.path").isNotNull()
+                ).select(F.col("remove.path").alias("path"))
+                adds = adds.join(removes, "path", "left_anti")
+            # one bounded job: limit(budget+1) instead of count+collect
+            rows = (
+                adds.dropDuplicates(["path"])
+                .limit(max_live_files + 1)
+                .collect()
+            )
+            if len(rows) > max_live_files:
+                raise DeltaError(
+                    f"checkpoint {cp} holds more than "
+                    f"{max_live_files} live files — refusing the "
+                    "driver-side file list (raise max_live_files "
+                    "explicitly to proceed)"
+                )
+            for r in rows:
+                live[r["path"]] = {
+                    "path": r["path"],
+                    "partitionValues": dict(r["partitionValues"] or {}),
+                    "size": r["size"],
+                }
         start = cp + 1
     for v in range(start, want + 1):
         if v not in commits:
@@ -160,57 +261,110 @@ def delta_snapshot_files(
                 # txn / commitInfo / cdc are read-irrelevant
     if meta is None:
         raise DeltaError("log replay found no metaData action")
+    if len(live) > max_live_files:
+        raise DeltaError(
+            f"snapshot resolves to more than {max_live_files} live "
+            "files (raise max_live_files explicitly to proceed)"
+        )
     return meta, list(live.values())
 
 
+def _schema_struct(meta: dict) -> StructType:
+    """metaData.schemaString is Spark StructType JSON verbatim
+    (PROTOCOL.md 'Schema Serialization Format')."""
+    return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def _column_mapping(meta: dict) -> dict[str, str] | None:
+    """physical parquet name -> logical name, or None when the table
+    has no column mapping.  'name' mode only; 'id' mode (parquet
+    field-id resolution) gates loudly."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("none", ""):
+        return None
+    if mode != "name":
+        raise DeltaError(
+            f"column mapping mode {mode!r} unsupported ('name' only — "
+            "'id' mode needs parquet field-id resolution)"
+        )
+    out: dict[str, str] = {}
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        md = f.get("metadata") or {}
+        phys = md.get("delta.columnMapping.physicalName")
+        if not phys:
+            raise DeltaError(
+                f"column mapping mode 'name' but field {f['name']!r} "
+                "carries no physicalName"
+            )
+        out[phys] = f["name"]
+    return out
+
+
 def read_delta(
-    spark: SparkSession, path: str, *, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    max_live_files: int = _MAX_LIVE_FILES,
 ) -> DataFrame:
-    """One-scan snapshot read with partition-value re-injection."""
-    meta, adds = delta_snapshot_files(spark, path, version=version)
+    """One-scan snapshot read with partition-value re-injection and
+    column-mapping ('name' mode) physical->logical renames."""
+    meta, adds = delta_snapshot_files(
+        spark, path, version=version, max_live_files=max_live_files
+    )
     part_cols = meta.get("partitionColumns") or []
-    schema = json.loads(meta["schemaString"])
+    struct = _schema_struct(meta)
     type_by_name = {
-        f["name"]: f["type"] for f in schema.get("fields", [])
+        f.name: f.dataType.simpleString() for f in struct.fields
     }
+    mapping = _column_mapping(meta)  # physical -> logical, or None
     if not adds:
-        # empty snapshot: derive an empty frame from the schema
-        cols = [f["name"] for f in schema.get("fields", [])]
-        return spark.createDataFrame(
-            [], ", ".join(f"`{c}` string" for c in cols)
-        ).limit(0)
-    files = [os.path.join(path, a["path"]) for a in adds]
+        # empty snapshot: typed empty frame from metaData.schemaString
+        # (every-column-string would break downstream casts/joins)
+        return spark.createDataFrame([], struct)
+    files = [
+        os.path.join(path, _decode_path(a["path"])) for a in adds
+    ]
     df = spark.read.parquet(*files)
+    if mapping:
+        unknown = [c for c in df.columns if c not in mapping]
+        if unknown:
+            raise DeltaError(
+                f"column mapping: physical columns {unknown} not in "
+                "metaData.schemaString"
+            )
+        df = df.select(
+            *[F.col(f"`{c}`").alias(mapping[c]) for c in df.columns]
+        )
     if not part_cols:
         return df
-    # file -> partition values map, broadcast-joined on input_file_name
-    rows = []
-    for a in adds:
-        pv = a.get("partitionValues") or {}
-        missing = [c for c in part_cols if c not in pv]
-        if missing:
-            raise DeltaError(
-                f"add {a['path']}: partitionValues missing {missing}"
-            )
-        rows.append(
-            (os.path.abspath(os.path.join(path, a["path"])),
-             *[pv[c] for c in part_cols])
-        )
-    map_df = spark.createDataFrame(
-        rows, ["__delta_file"] + [f"__pv_{c}" for c in part_cols]
+    # file -> partition values map, broadcast-joined on input_file_name.
+    # Under column mapping, partitionValues keys are PHYSICAL names
+    # (PROTOCOL.md writer requirements) while partitionColumns are
+    # logical — translate per column.
+    logical_to_phys = (
+        {v: k for k, v in mapping.items()} if mapping else {}
     )
-    out = (
-        df.withColumn(
-            "__delta_file",
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
-        )
-        .join(F.broadcast(map_df), "__delta_file", "left")
-        .drop("__delta_file")
+    file_to_vals = []
+    for a, f in zip(adds, files):
+        pv = a.get("partitionValues") or {}
+        vals = []
+        for c in part_cols:
+            k = logical_to_phys.get(c, c)
+            if k not in pv:
+                raise DeltaError(
+                    f"add {a['path']}: partitionValues missing {k!r}"
+                )
+            vals.append(pv[k])
+        file_to_vals.append((os.path.abspath(f), vals))
+    out = attach_file_values(
+        df, spark, file_to_vals, part_cols,
+        err_cls=DeltaError, tag="delta",
     )
     for c in part_cols:
         typ = type_by_name.get(c, "string")
-        if not isinstance(typ, str):
-            raise DeltaError(f"complex partition column {c} unsupported")
         out = out.withColumn(c, F.col(f"__pv_{c}").cast(typ)).drop(
             f"__pv_{c}"
         )
@@ -222,6 +376,22 @@ def read_delta(
 # ---------------------------------------------------------------------------
 
 
+def _commit0_meta(spark: SparkSession, path: str) -> dict:
+    """Current metaData for the writer: commit 0 fast path, full
+    replay fallback (commit 0 may be checkpointed away)."""
+    c0 = os.path.join(path, _LOG, _commit_name(0))
+    if os.path.exists(c0):
+        with open(c0, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        return a["metaData"]
+    meta, _adds = delta_snapshot_files(spark, path)
+    return meta
+
+
 def write_delta_commit(
     spark: SparkSession,
     path: str,
@@ -229,11 +399,17 @@ def write_delta_commit(
     *,
     partition_by: list[str] | None = None,
     replace_partitions: bool = False,
+    column_mapping: bool = False,
 ) -> int:
     """Append ``df`` as one Delta commit (commit 0 also writes
     metaData + protocol).  With ``replace_partitions`` the commit
     first removes every live file whose partitionValues match a
-    partition present in ``df`` (dynamic-partition overwrite)."""
+    partition present in ``df`` (dynamic-partition overwrite).
+    ``column_mapping=True`` on commit 0 creates the table in column
+    mapping 'name' mode: parquet files carry generated physical
+    column names, the schemaString annotates each field with
+    ``delta.columnMapping.physicalName``, and partitionValues are
+    keyed by physical name (PROTOCOL.md writer requirements)."""
     partition_by = list(partition_by or [])
     log = os.path.join(path, _LOG)
     os.makedirs(log, exist_ok=True)
@@ -245,33 +421,70 @@ def write_delta_commit(
     version = max(commits + checkpoints, default=-1) + 1
     actions: list[dict] = []
     ts = int(time.time() * 1000)
+    phys_of: dict[str, str] = {}  # logical -> physical (mapping mode)
     if version == 0:
+        if column_mapping:
+            phys_of = {
+                f.name: "col-" + uuid.uuid5(
+                    uuid.NAMESPACE_URL, f"delta-cm/{f.name}"
+                ).hex[:16]
+                for f in df.schema.fields
+            }
         schema = {
             "type": "struct",
             "fields": [
-                {"name": f.name, "type": f.dataType.simpleString(),
-                 "nullable": True, "metadata": {}}
-                for f in df.schema.fields
+                # jsonValue() = protocol type names ("integer", not
+                # the DDL "int") so schemaString parses as Spark JSON
+                {"name": f.name, "type": f.dataType.jsonValue(),
+                 "nullable": True,
+                 "metadata": (
+                     {"delta.columnMapping.id": i + 1,
+                      "delta.columnMapping.physicalName":
+                          phys_of[f.name]}
+                     if phys_of else {}
+                 )}
+                for i, f in enumerate(df.schema.fields)
             ],
         }
-        actions.append({"protocol": {"minReaderVersion": 1,
-                                     "minWriterVersion": 2}})
+        proto = (
+            {"minReaderVersion": 2, "minWriterVersion": 5}
+            if column_mapping
+            else {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+        conf = (
+            {"delta.columnMapping.mode": "name",
+             "delta.columnMapping.maxColumnId":
+                 str(len(df.schema.fields))}
+            if column_mapping else {}
+        )
+        actions.append({"protocol": proto})
         actions.append({
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(schema),
                 "partitionColumns": partition_by,
-                "configuration": {},
+                "configuration": conf,
                 "createdTime": ts,
             }
         })
+    else:
+        mapping = _column_mapping(_commit0_meta(spark, path))
+        if mapping:
+            phys_of = {v: k for k, v in mapping.items()}
     # ONE distributed write (hive layout via partitionBy) + ONE count
     # job per commit — not a job per partition
+    phys = [phys_of.get(c, c) for c in partition_by]
+    out_df = df
+    if phys_of:
+        out_df = df.select(
+            *[F.col(f"`{c}`").alias(phys_of.get(c, c))
+              for c in df.columns]
+        )
     tmp = os.path.join(path, f"_tmp_commit_{uuid.uuid4().hex[:8]}")
-    writer = df.write.mode("overwrite")
+    writer = out_df.write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        writer = writer.partitionBy(*phys)
     writer.parquet(tmp)
     if partition_by:
         counts = {
@@ -289,18 +502,36 @@ def write_delta_commit(
         doomed = set(parts)
         for a in adds:
             pv = a.get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in partition_by)
+            key = tuple(pv.get(c) for c in phys)
             if key in doomed:
                 actions.append({
                     "remove": {"path": a["path"],
                                "deletionTimestamp": ts,
                                "dataChange": True}
                 })
+    # Spark Hive-escapes special chars in partition dir names
+    # ('%' -> '%25', ':' -> '%3A', ...); discover the on-disk dirs and
+    # map them back to values instead of predicting the escaping.
+    dir_of: dict[tuple, str] = {(): ""}
+    if partition_by:
+        dir_of = {}
+        for root, dirs, _files in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            segs = [] if rel == "." else rel.split(os.sep)
+            if len(segs) == len(phys) and all(
+                "=" in s for s in segs
+            ):
+                vals = tuple(
+                    urllib.parse.unquote(s.split("=", 1)[1])
+                    for s in segs
+                )
+                dir_of[vals] = "/".join(segs)
+                dirs[:] = []
     for pt in parts:
-        sub = "/".join(f"{c}={v}" for c, v in zip(partition_by, pt))
+        if pt not in dir_of:
+            raise DeltaError(f"writer: partition dir for {pt!r} missing")
+        sub = dir_of[pt]
         src_dir = os.path.join(tmp, sub) if sub else tmp
-        if not os.path.isdir(src_dir):
-            raise DeltaError(f"writer: partition dir {sub!r} missing")
         files = sorted(
             n for n in os.listdir(src_dir) if n.endswith(".parquet")
         )
@@ -317,9 +548,13 @@ def write_delta_commit(
             os.replace(os.path.join(src_dir, part),
                        os.path.join(full_dir, fname))
             add = {
-                "path": rel.replace(os.sep, "/"),
+                # protocol: path is URL-encoded ('=' stays literal in
+                # hive-style dirs, matching real writers' output)
+                "path": urllib.parse.quote(
+                    rel.replace(os.sep, "/"), safe="/="
+                ),
                 "partitionValues": {
-                    c: v for c, v in zip(partition_by, pt)
+                    c: v for c, v in zip(phys, pt)
                 },
                 "size": os.path.getsize(os.path.join(full_dir, fname)),
                 "modificationTime": ts,
@@ -351,12 +586,21 @@ def write_delta_checkpoint(spark: SparkSession, path: str) -> int:
     meta_row["partitionColumns"] = json.dumps(
         meta.get("partitionColumns") or []
     )
+    # configuration must survive checkpointing: dropping it would
+    # silently strip column-mapping mode from a bootstrapped snapshot
+    meta_row["configuration"] = json.dumps(
+        meta.get("configuration") or {}
+    )
     rows.append({"add": None, "remove": None,
                  "metaData": meta_row,
                  "protocol": None})
+    proto = (
+        {"minReaderVersion": 2, "minWriterVersion": 5}
+        if _column_mapping(meta)
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
     rows.append({"add": None, "remove": None, "metaData": None,
-                 "protocol": {"minReaderVersion": 1,
-                              "minWriterVersion": 2}})
+                 "protocol": proto})
     import pandas as pd
 
     pdf = pd.DataFrame({"json": [json.dumps(r) for r in rows]})
@@ -370,7 +614,8 @@ def write_delta_checkpoint(spark: SparkSession, path: str) -> int:
             "remove struct<path:string,deletionTimestamp:bigint,"
             "dataChange:boolean>, "
             "metaData struct<id:string,schemaString:string,"
-            "partitionColumns:string,createdTime:bigint>, "
+            "partitionColumns:string,configuration:string,"
+            "createdTime:bigint>, "
             "protocol struct<minReaderVersion:int,minWriterVersion:int>",
         ).alias("a")
     ).select("a.*")

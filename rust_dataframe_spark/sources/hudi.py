@@ -47,6 +47,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .lakehouse_util import attach_file_values
+
 __all__ = [
     "HudiError",
     "read_hudi",
@@ -102,6 +104,12 @@ def hudi_snapshot_files(
     if not usable:
         raise HudiError(f"no completed instant at or before {as_of}")
     cutoff = usable[-1][0]
+    # Membership, not just <= cutoff: a file written by a FAILED or
+    # still-inflight commit whose ts sits below a later completed
+    # instant is NOT live (real Hudi's file-system view admits only
+    # files whose instant is in the completed timeline).  Such files
+    # are skipped, mirroring Hudi's ignore-pending semantics.
+    completed_ts = {t for t, _k in usable}
     replaced: set[tuple[str, str]] = set()
     for ts, kind in usable:
         if kind == "replacecommit":
@@ -131,8 +139,8 @@ def hudi_snapshot_files(
                     "fileId_writeToken_instant naming scheme"
                 )
             ts = int(m.group("ts"))
-            if ts > cutoff:
-                continue  # newer than the asked instant / uncommitted
+            if ts > cutoff or ts not in completed_ts:
+                continue  # newer than asked instant, or uncommitted
             fid = m.group("fid")
             if (part, fid) in replaced:
                 continue
@@ -170,24 +178,17 @@ def read_hudi(
     df = spark.read.parquet(*[f for _p, f in files])
     if not part_cols:
         return df
-    rows = []
+    file_to_vals = []
     for part, f in files:
         vals = dict(
             seg.split("=", 1) for seg in part.split("/") if "=" in seg
         )
-        rows.append(
-            (os.path.abspath(f), *[vals[c] for c in part_cols])
+        file_to_vals.append(
+            (os.path.abspath(f), [vals[c] for c in part_cols])
         )
-    map_df = spark.createDataFrame(
-        rows, ["__hudi_file"] + [f"__pv_{c}" for c in part_cols]
-    )
-    out = (
-        df.withColumn(
-            "__hudi_file",
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
-        )
-        .join(F.broadcast(map_df), "__hudi_file", "left")
-        .drop("__hudi_file")
+    out = attach_file_values(
+        df, spark, file_to_vals, part_cols,
+        err_cls=HudiError, tag="hudi",
     )
     for c in part_cols:
         out = out.withColumn(c, F.col(f"__pv_{c}")).drop(f"__pv_{c}")

@@ -45,6 +45,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .avro import decode_records, encode_records
+from .lakehouse_util import attach_file_values
 
 __all__ = [
     "IcebergError",
@@ -263,24 +264,15 @@ def read_iceberg(
     df = spark.read.parquet(*paths)
     if not parts:
         return df
-    rows = []
-    for f, p in zip(files, paths):
-        pv = f.get("partition") or {}
-        rows.append(
-            (os.path.abspath(p),
-             *[str(pv.get(name)) for name, _src, _t in parts])
-        )
-    map_df = spark.createDataFrame(
-        rows,
-        ["__ice_file"] + [f"__pv_{src}" for _n, src, _t in parts],
-    )
-    out = (
-        df.withColumn(
-            "__ice_file",
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
-        )
-        .join(F.broadcast(map_df), "__ice_file", "left")
-        .drop("__ice_file")
+    file_to_vals = [
+        (os.path.abspath(p),
+         [str((f.get("partition") or {}).get(name))
+          for name, _src, _t in parts])
+        for f, p in zip(files, paths)
+    ]
+    out = attach_file_values(
+        df, spark, file_to_vals, [src for _n, src, _t in parts],
+        err_cls=IcebergError, tag="ice",
     )
     for _name, src, t in parts:
         spark_t = _ICE_TO_SPARK.get(t)

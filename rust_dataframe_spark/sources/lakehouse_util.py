@@ -1,0 +1,61 @@
+"""Shared lakehouse-reader helper: re-inject per-file metadata
+(partition values) over ONE distributed scan.
+
+All three lakehouse readers (sources/delta.py, iceberg.py, hudi.py)
+read every live data file in a single ``spark.read.parquet`` scan and
+join the per-file partition values back via ``input_file_name()`` with
+a broadcast map — no per-partition union chains, scale-safe at 100 TB.
+
+Join key subtlety: ``input_file_name()`` returns a percent-encoded
+URI (``file:///…/p=a%20b/part-….parquet``), while the reader holds
+decoded filesystem paths, and the two encodings (Hadoop ``Path.toUri``
+vs ``urllib.quote``) don't agree on every character.  Rather than
+re-implement Hadoop's escaping, the join key is the part-file
+BASENAME: every lakehouse writer (Delta/Iceberg/Hudi, Spark's own
+committers) embeds a UUID in the file name, so basenames are unique
+per table and URI-safe ASCII.  Uniqueness is verified loudly before
+the join — a duplicate basename falls back to nothing silently wrong.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def attach_file_values(
+    df: DataFrame,
+    spark,
+    file_to_vals: list[tuple[str, list]],
+    value_cols: list[str],
+    *,
+    err_cls: type[Exception],
+    tag: str,
+) -> DataFrame:
+    """Broadcast-join ``value_cols`` onto ``df`` keyed by the source
+    file of each row.  ``file_to_vals`` is ``[(abs file path,
+    [values...]), ...]`` — one entry per live data file."""
+    rows = []
+    seen: dict[str, str] = {}
+    for path, vals in file_to_vals:
+        base = os.path.basename(path)
+        if base in seen and seen[base] != path:
+            raise err_cls(
+                f"{tag}: duplicate data-file basename {base!r} "
+                "(file-map join would be ambiguous)"
+            )
+        seen[base] = path
+        rows.append((base, *vals))
+    key = f"__{tag}_file"
+    map_df = spark.createDataFrame(
+        rows, [key] + [f"__pv_{c}" for c in value_cols]
+    )
+    return (
+        df.withColumn(
+            key,
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .join(F.broadcast(map_df), key, "left")
+        .drop(key)
+    )

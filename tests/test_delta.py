@@ -126,3 +126,102 @@ class TestDelta:
             assert set(a["partitionValues"]) == {"p"}
             if "stats" in a:  # exact only for one-file partitions
                 assert json.loads(a["stats"])["numRecords"] >= 1
+
+    # ---- round-10 additions --------------------------------------
+
+    def test_empty_snapshot_keeps_schema_types(self, spark, tmp_path):
+        # metaData-only commit 0 (protocol-legal empty table): dtypes
+        # must come from schemaString, not default to string
+        path = str(tmp_path / "empty_dt")
+        log = os.path.join(path, "_delta_log")
+        os.makedirs(log)
+        schema = {"type": "struct", "fields": [
+            {"name": "id", "type": "integer", "nullable": True,
+             "metadata": {}},
+            {"name": "w", "type": "double", "nullable": True,
+             "metadata": {}},
+        ]}
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+            fh.write(json.dumps({"metaData": {
+                "id": "t", "format": {"provider": "parquet"},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [], "configuration": {}}}) + "\n")
+        df = read_delta(spark, path)
+        assert df.count() == 0
+        assert [f.dataType.simpleString() for f in df.schema.fields] \
+            == ["int", "double"]
+
+    def test_percent_encoded_paths_round_trip(self, spark, tmp_path):
+        # partition values with spaces/specials percent-encode in
+        # add.path per the protocol and must decode on read
+        path = str(tmp_path / "enc_dt")
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "c%d"), (3, "a b")], "id int, p string"
+        )
+        write_delta_commit(spark, path, df, partition_by=["p"])
+        _meta, adds = delta_snapshot_files(spark, path)
+        assert any("%20" in a["path"] for a in adds)
+        got = {(r["id"], r["p"]) for r in read_delta(spark, path).collect()}
+        assert got == {(1, "a b"), (2, "c%d"), (3, "a b")}
+
+    def test_max_live_files_budget_raises(self, spark, table_path):
+        _seed(spark, table_path)
+        with pytest.raises(DeltaError, match="live"):
+            delta_snapshot_files(spark, table_path, max_live_files=1)
+        # checkpoint-bootstrapped path hits the same loud budget
+        write_delta_checkpoint(spark, table_path)
+        with pytest.raises(DeltaError, match="live"):
+            delta_snapshot_files(spark, table_path, max_live_files=1)
+
+    def test_column_mapping_name_mode(self, spark, tmp_path):
+        path = str(tmp_path / "cm_dt")
+        df = spark.createDataFrame(
+            [(i, f"n{i}", i % 2) for i in range(10)],
+            "id int, name string, p int",
+        )
+        write_delta_commit(spark, path, df, partition_by=["p"],
+                           column_mapping=True)
+        snap = read_delta(spark, path)
+        assert set(snap.columns) == {"id", "name", "p"}
+        assert dict(snap.dtypes)["p"] == "int"
+        assert snap.count() == 10
+        assert {r["p"] for r in snap.select("p").distinct().collect()} \
+            == {0, 1}
+        # physical names on disk, logical only in schemaString
+        meta, adds = delta_snapshot_files(spark, path)
+        assert all(a["path"].startswith("col-") for a in adds)
+        import pyarrow.parquet as pq
+        phys_cols = pq.read_schema(
+            os.path.join(path, *adds[0]["path"].split("/"))).names
+        assert all(c.startswith("col-") for c in phys_cols)
+        # second commit on a mapped table keeps physical names
+        df2 = spark.createDataFrame(
+            [(100, "x", 0)], "id int, name string, p int")
+        write_delta_commit(spark, path, df2, partition_by=["p"])
+        assert read_delta(spark, path).count() == 11
+        # checkpoint must carry configuration -> mapping survives
+        write_delta_checkpoint(spark, path)
+        snap2 = read_delta(spark, path)
+        assert set(snap2.columns) == {"id", "name", "p"}
+        assert snap2.count() == 11
+
+    def test_column_mapping_id_mode_gates(self, spark, tmp_path):
+        path = str(tmp_path / "cmid_dt")
+        df = spark.createDataFrame([(1,)], "id int")
+        write_delta_commit(spark, path, df, column_mapping=True)
+        # flip the mode to 'id' in commit 0's metaData
+        log = os.path.join(path, "_delta_log")
+        c0 = os.path.join(log, f"{0:020d}.json")
+        lines = open(c0).read().splitlines()
+        out = []
+        for ln in lines:
+            a = json.loads(ln)
+            if "metaData" in a:
+                a["metaData"]["configuration"][
+                    "delta.columnMapping.mode"] = "id"
+            out.append(json.dumps(a))
+        open(c0, "w").write("\n".join(out) + "\n")
+        with pytest.raises(DeltaError, match="'id' mode"):
+            read_delta(spark, path)

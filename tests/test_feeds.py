@@ -98,3 +98,16 @@ class TestFeeds:
                 b"<rss><channel><item><title>x</title></item>"
                 b"</channel></rss>"
             )
+
+    def test_doctype_after_big_comment_refused(self):
+        # a >4 KB comment before <!DOCTYPE> must not bypass the
+        # entity-expansion guard (full-payload scan, not a prefix)
+        payload = (
+            b"<?xml version='1.0'?><!-- " + b"x" * 8192 + b" -->\n"
+            b"<!DOCTYPE urlset [<!ENTITY a 'b'>]>\n"
+            b"<urlset xmlns='http://www.sitemaps.org/schemas/"
+            b"sitemap/0.9'><url><loc>http://e.com/&a;</loc></url>"
+            b"</urlset>"
+        )
+        with pytest.raises(FeedError, match="entity-expansion"):
+            parse_sitemap(payload)

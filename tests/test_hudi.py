@@ -119,3 +119,27 @@ class TestHudi:
     def test_not_a_table(self, spark, tmp_path):
         with pytest.raises(HudiError, match="hoodie"):
             read_hudi(spark, str(tmp_path))
+
+    def test_uncommitted_file_below_cutoff_ignored(
+        self, spark, table_path
+    ):
+        # a data file written by a FAILED commit whose ts sits between
+        # two completed instants is not live (timeline membership, not
+        # just ts <= cutoff)
+        import shutil
+        import uuid
+
+        t0, t1 = _seed(spark, table_path)
+        assert t0 < t1 - 1
+        part_dir = os.path.join(table_path, "p=1")
+        donor = next(
+            n for n in os.listdir(part_dir) if n.endswith(".parquet")
+        )
+        orphan_ts = t1 - 1  # below cutoff, NOT a completed instant
+        orphan = f"{uuid.uuid4()}_0-9-0_{orphan_ts}.parquet"
+        shutil.copy(os.path.join(part_dir, donor),
+                    os.path.join(part_dir, orphan))
+        assert read_hudi(spark, table_path).count() == 39
+        live = {os.path.basename(f) for _p, f in
+                hudi_snapshot_files(table_path)}
+        assert orphan not in live

@@ -1160,3 +1160,27 @@ class TestCopyBinary:
             from decimal import Decimal as D
 
             assert g["amt"] is not None and D(g["amt"]) == w["amt"]
+
+
+class TestAvroAmplificationGuard:
+    def test_null_item_array_count_bounded(self):
+        # a crafted block declaring a huge count of zero-byte ('null')
+        # items must raise, not loop appending millions of Nones
+        import pytest as _pytest
+
+        from rust_dataframe_spark.sources import avro as av
+
+        buf = memoryview(bytes(av._zigzag_encode(50_000_000)))
+        with _pytest.raises(av.AvroError, match="amplification"):
+            av._read_value(buf, 0, {"type": "array", "items": "null"})
+
+    def test_null_value_map_count_bounded(self):
+        import pytest as _pytest
+
+        from rust_dataframe_spark.sources import avro as av
+
+        buf = memoryview(bytes(av._zigzag_encode(50_000_000)))
+        with _pytest.raises(av.AvroError, match="amplification"):
+            av._read_value(
+                buf, 0, {"type": "map", "values": "null"}
+            )
