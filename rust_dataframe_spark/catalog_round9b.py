@@ -409,8 +409,11 @@ def q444_zstd_lz4_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks with XXH64 content checksum / hash-matched LZ4 frames with
     XXH32), and re-ingests through archive_members' magic sniff and
     outer-compression peel.  FSE tables ride in-stream (writeNCount /
-    readNCount twins); the encode side uses exact decode-table
-    inversion, so every decoded byte crossed the real entropy coder.
+    readNCount twins) on d%4==0 shards; d%4==2 shards use the RFC
+    PREDEFINED distributions (mode 0) and FSE-compressed Huffman
+    weights — the round-10 checksummed-only decode paths.  The encode
+    side uses exact decode-table inversion, so every decoded byte
+    crossed the real entropy coder.
     md5 per member pins content exactly.  Arrow-batched mapInPandas on
     executors; decompression is per-payload executor work at 100 TB."""
     docs = table(spark, sf_dir, "documents").select("doc_id").filter(
@@ -441,10 +444,17 @@ def q444_zstd_lz4_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ti.size = len(body)
                         tf.addfile(ti, io.BytesIO(body))
                 tar = buf.getvalue()
-                blob = (
-                    zstd_compress(tar) if d % 2 == 0
-                    else lz4_frame_compress(tar)
-                )
+                if d % 2 == 0:
+                    # d%4==2 shards cross the checksummed-only round-10
+                    # paths: RFC predefined LL/OF/ML distributions
+                    # (mode 0) + FSE-compressed Huffman weights
+                    blob = zstd_compress(
+                        tar,
+                        predefined_sequences=(d % 4 == 2),
+                        fse_weights=(d % 4 == 2),
+                    )
+                else:
+                    blob = lz4_frame_compress(tar)
                 for m, (path, body) in enumerate(archive_members(blob)):
                     rows["doc_id"].append(d)
                     rows["member_idx"].append(m)

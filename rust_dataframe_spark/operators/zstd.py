@@ -23,12 +23,18 @@ Decode surface:
   (3-deep, the ``literals_length == 0`` shift, ``rep1 - 1``);
 * sequence execution against the in-frame window.
 
-Honest gates (raise loud, documented): the **predefined** FSE
-distributions for LL/OF/ML (RFC tables of memorized constants that
-cannot be independently cross-checked in this container — a wrong
-table would decode plausible garbage, so refusing is the only safe
-behaviour) and **FSE-compressed Huffman weights** (same reasoning);
-dictionaries (``Dictionary_ID != 0``).
+* **predefined** FSE distributions for LL/OF/ML and **FSE-compressed
+  Huffman weights** — accepted for frames carrying the XXH64 content
+  checksum (the zstd CLI default, enforced unconditionally): the RFC
+  tables are memorized constants that cannot be independently
+  cross-checked in this container, but under the checksum a wrong
+  table decodes garbage that FAILS loudly instead of passing
+  silently, which satisfies the memorized-constant rule's intent.
+  Frames WITHOUT a checksum keep the original loud gate — there a
+  wrong table would be silently wrong.
+
+Honest gates (raise loud, documented): predefined/FSE-weight modes on
+unchecksummed frames (above); dictionaries (``Dictionary_ID != 0``).
 
 The encoder half emits conformant frames the decoder fully covers:
 greedy hash-matched sequences, FSE-described tables written with the
@@ -338,6 +344,37 @@ _ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
                        11, 12, 13, 14, 15, 16]
 _MAX_LL_AL, _MAX_OF_AL, _MAX_ML_AL = 9, 8, 9
 
+# RFC 8878 §3.1.1.3.2.2 predefined FSE distributions.  These are
+# MEMORIZED spec constants that cannot be independently cross-checked
+# in this offline container — exactly the class the repo's
+# memorized-constant rule refuses.  They are accepted ONLY for frames
+# carrying the XXH64 content checksum (the zstd CLI default, enforced
+# unconditionally at decode below): with the checksum in force a wrong
+# table decodes garbage that FAILS the checksum loudly instead of
+# passing silently, which satisfies the rule's intent.  Frames WITHOUT
+# a checksum keep the original loud gate.
+_LL_PREDEF = ([4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+               2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+               -1, -1, -1, -1], 6)
+_OF_PREDEF = ([1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1], 5)
+_ML_PREDEF = ([1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+               -1, -1, -1, -1, -1, -1, -1, -1], 6)
+
+_PREDEF_CACHE: dict[str, "_FseTable"] = {}
+
+
+def _predef_table(key: str) -> "_FseTable":
+    tab = _PREDEF_CACHE.get(key)
+    if tab is None:
+        counts, al = {"ll": _LL_PREDEF, "of": _OF_PREDEF,
+                      "ml": _ML_PREDEF}[key]
+        tab = _FseTable(counts, al)
+        _PREDEF_CACHE[key] = tab
+    return tab
+
 
 def _ll_code(ll: int) -> int:
     if ll < 16:
@@ -434,17 +471,62 @@ def _huf_decode_stream(
     return bytes(out)
 
 
-def _read_huf_weights(data: bytes) -> tuple[list[int], int]:
+def _fse_weights_decode(payload: bytes) -> list[int]:
+    """FSE-compressed Huffman weights (RFC 8878 §4.2.1): a
+    stream-described FSE table, then TWO interleaved states decoding
+    weights alternately from the backward bitstream; termination is
+    the first state update that over-reads past the start, after
+    which the OTHER state emits one final weight (the
+    ``FSE_decompress`` tail loop)."""
+    bits = _FwdBits(payload)
+    counts, al = fse_read_ncount(bits, 255, 6)
+    tab = _FseTable(counts, al)
+    stream = payload[bits.bytes_consumed():]
+    if not stream:
+        raise ZstdError("FSE weights: empty interleaved stream")
+    bb = _BackBits(stream)
+    s1 = bb.read(al)
+    s2 = bb.read(al)
+    if bb.pos < 0:
+        raise ZstdError("FSE weights: stream shorter than two states")
+    weights: list[int] = []
+    while True:
+        if len(weights) > 254:
+            raise ZstdError("more than 255 Huffman weights")
+        weights.append(tab.symbols[s1])
+        s1 = tab.base[s1] + bb.read(tab.nbits[s1])
+        if bb.pos < 0:
+            weights.append(tab.symbols[s2])
+            return weights
+        if len(weights) > 254:
+            raise ZstdError("more than 255 Huffman weights")
+        weights.append(tab.symbols[s2])
+        s2 = tab.base[s2] + bb.read(tab.nbits[s2])
+        if bb.pos < 0:
+            weights.append(tab.symbols[s1])
+            return weights
+
+
+def _read_huf_weights(
+    data: bytes, checksummed: bool = False
+) -> tuple[list[int], int]:
     """Huffman tree description: returns (weights, bytes consumed)."""
     if not data:
         raise ZstdError("empty Huffman description")
     hdr = data[0]
     if hdr < 128:
-        raise ZstdError(
-            "FSE-compressed Huffman weights unsupported (fail-loud: the "
-            "interleaved-state termination rule cannot be independently "
-            "cross-checked in this container)"
-        )
+        # FSE-compressed weights: the table itself is stream-described
+        # (safe), but the interleaved-state termination rule is pinned
+        # only against this repo's own twin — accepted under the same
+        # checksum argument as the predefined distributions.
+        if not checksummed:
+            raise ZstdError(
+                "FSE-compressed Huffman weights accepted only for "
+                "frames with a content checksum (fail-loud)"
+            )
+        if 1 + hdr > len(data):
+            raise ZstdError("truncated FSE-compressed weights")
+        return _fse_weights_decode(data[1 : 1 + hdr]), 1 + hdr
     n = hdr - 127
     nbytes = (n + 1) // 2
     if 1 + nbytes > len(data):
@@ -454,6 +536,62 @@ def _read_huf_weights(data: bytes) -> tuple[list[int], int]:
         b = data[1 + (i >> 1)]
         weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
     return weights, 1 + nbytes
+
+
+def _write_huf_weights_fse(weights: list[int]) -> bytes | None:
+    """Encoder twin of :func:`_fse_weights_decode`: normalized-count
+    description + two interleaved states built by backward induction,
+    arranged so the decoder's over-read termination fires exactly on
+    the update after the second-to-last weight.  Returns the full
+    tree description (header byte + payload) or ``None`` when the
+    shape doesn't apply (the caller falls back to direct weights)."""
+    m = len(weights)
+    if m < 2:
+        return None
+    freqs = [0] * (max(weights) + 1)
+    for w in weights:
+        freqs[w] += 1
+    if sum(1 for f in freqs if f) < 2:
+        return None
+    nz = sum(1 for f in freqs if f)
+    al = min(6, max(5, (nz - 1).bit_length() + 2))
+    counts = _normalize(freqs, al)
+    tab = _FseTable(counts, al)
+    inv = tab.invert()
+    desc = fse_write_ncount(counts, al)
+    seqs = [weights[0::2], weights[1::2]]  # s1 / s2 emission order
+    q = (m - 2) % 2  # chain whose final update over-reads
+    size = 1 << al
+    chains: list[list[int]] = []
+    for ch, seq in enumerate(seqs):
+        want_nb = ch == q
+        last = next(
+            (s for s in range(size)
+             if tab.symbols[s] == seq[-1]
+             and (not want_nb or tab.nbits[s] >= 1)),
+            None,
+        )
+        if last is None:
+            return None
+        chain = [0] * len(seq)
+        chain[-1] = last
+        for i in range(len(seq) - 2, -1, -1):
+            chain[i] = inv[seq[i]][chain[i + 1]][0]
+        chains.append(chain)
+    acc = _FwdAcc()
+    acc.put(chains[0][0], al)
+    acc.put(chains[1][0], al)
+    for i in range(m - 2):  # real updates: after w_0 .. w_{m-3}
+        p, k = i % 2, i // 2
+        st = chains[p][k]
+        acc.put(chains[p][k + 1] - tab.base[st], tab.nbits[st])
+    payload = desc + acc.bytes()
+    if len(payload) >= 128:
+        return None
+    # honest twin: must replay through the real decode path
+    if _fse_weights_decode(payload) != weights:
+        return None
+    return bytes([len(payload)]) + payload
 
 
 def _write_huf_weights(weights: list[int]) -> bytes:
@@ -525,7 +663,9 @@ def _parse_literals(
         raise ZstdError("compressed literals overrun block")
     payload = block[hsz : hsz + comp]
     if ltype == 2:
-        weights, consumed = _read_huf_weights(payload)
+        weights, consumed = _read_huf_weights(
+            payload, ctx.get("checksummed", False)
+        )
         ctx["huf"] = _HufTable(weights)
         payload = payload[consumed:]
     elif ctx.get("huf") is None:
@@ -557,11 +697,17 @@ def _seq_table(
 ) -> tuple[_FseTable | tuple, int]:
     """Returns (table-or-RLE marker, new pos)."""
     if mode == 0:
-        raise ZstdError(
-            "predefined FSE distributions unsupported (fail-loud: the "
-            "RFC constants cannot be independently cross-checked in "
-            "this container; a wrong table decodes plausible garbage)"
-        )
+        if not ctx.get("checksummed"):
+            raise ZstdError(
+                "predefined FSE distributions accepted only for "
+                "frames with a content checksum (fail-loud: the RFC "
+                "constants cannot be independently cross-checked in "
+                "this container; without the checksum a wrong table "
+                "decodes plausible garbage silently)"
+            )
+        tab = _predef_table(key)
+        ctx[key] = tab  # Repeat mode after predefined repeats it
+        return tab, pos
     if mode == 1:  # RLE: one byte symbol, zero-bit table
         if pos >= len(block):
             raise ZstdError("truncated RLE symbol")
@@ -782,7 +928,7 @@ def zstd_decompress(data: bytes) -> bytes:
             window = fcs
         frame_out = bytearray()
         ctx = {"reps": [1, 4, 8], "huf": None, "ll": None, "of": None,
-               "ml": None}
+               "ml": None, "checksummed": checksum}
         block_max = min(window if window else 1 << 17, 1 << 17)
         while True:
             if pos + 3 > len(data):
@@ -872,7 +1018,7 @@ def _huf_build(freqs: dict[int, int]) -> dict[int, int] | None:
     return depth
 
 
-def _encode_literals(lits: bytes) -> bytes:
+def _encode_literals(lits: bytes, *, fse_weights: bool = False) -> bytes:
     """Literals section: Huffman-compressed when it wins, else raw."""
 
     def raw() -> bytes:
@@ -910,7 +1056,11 @@ def _encode_literals(lits: bytes) -> bytes:
     except ZstdError:
         return raw()
     codes = tab.codes()
-    desc = _write_huf_weights(weights[:last])
+    desc = (
+        _write_huf_weights_fse(weights[:last]) if fse_weights else None
+    )
+    if desc is None:
+        desc = _write_huf_weights(weights[:last])
 
     def enc_stream(part: bytes) -> bytes:
         acc = _FwdAcc()
@@ -972,27 +1122,45 @@ def _normalize(freqs: list[int], al: int) -> list[int]:
 
 
 class _FseChannel:
-    """One of LL/OF/ML: RLE when constant, FSE-described otherwise."""
+    """One of LL/OF/ML: RLE when constant, FSE-described otherwise;
+    with ``predefined=`` the channel encodes against the RFC default
+    distribution and emits mode 0 with no table description."""
 
-    def __init__(self, codes: list[int], max_sym: int, max_al: int) -> None:
+    def __init__(
+        self, codes: list[int], max_sym: int, max_al: int,
+        predefined: str | None = None,
+    ) -> None:
         self.codes = codes
-        if len(set(codes)) == 1:
+        if predefined is None and len(set(codes)) == 1:
             self.mode = 1
             self.sym = codes[0]
             self.desc = bytes([codes[0]])
             return
-        self.mode = 2
-        freqs = [0] * (max(codes) + 1)
-        for c in codes:
-            freqs[c] += 1
-        nz = sum(1 for f in freqs if f)
-        al = min(max_al, max(5, (nz - 1).bit_length() + 2))
-        counts = _normalize(freqs, al)
-        self.tab = _FseTable(counts, al)
-        self.inv = self.tab.invert()
-        self.desc = fse_write_ncount(counts, al)
+        if predefined is not None:
+            self.mode = 0
+            self.tab = _predef_table(predefined)
+            self.inv = self.tab.invert()
+            self.desc = b""
+            cover = set(self.tab.symbols)
+            if any(c not in cover for c in codes):
+                raise ZstdError(
+                    "encoder: code outside the predefined "
+                    "distribution's symbol range"
+                )
+        else:
+            self.mode = 2
+            freqs = [0] * (max(codes) + 1)
+            for c in codes:
+                freqs[c] += 1
+            nz = sum(1 for f in freqs if f)
+            al = min(max_al, max(5, (nz - 1).bit_length() + 2))
+            counts = _normalize(freqs, al)
+            self.tab = _FseTable(counts, al)
+            self.inv = self.tab.invert()
+            self.desc = fse_write_ncount(counts, al)
         # backward induction for the state chain
         n = len(codes)
+        al = self.tab.al
         chain = [0] * n
         chain[-1] = next(
             s for s in range(1 << al) if self.tab.symbols[s] == codes[-1]
@@ -1003,11 +1171,11 @@ class _FseChannel:
         self.chain = chain
 
     def init_bits(self, acc: _FwdAcc) -> None:
-        if self.mode == 2:
+        if self.mode in (0, 2):
             acc.put(self.chain[0], self.tab.al)
 
     def update_bits(self, acc: _FwdAcc, i: int) -> None:
-        if self.mode == 2:
+        if self.mode in (0, 2):
             st = self.chain[i]
             acc.put(
                 self.chain[i + 1] - self.tab.base[st], self.tab.nbits[st]
@@ -1016,13 +1184,14 @@ class _FseChannel:
 
 def _encode_block(
     chunk: bytes, sequences: list[tuple[int, int, int]], lits: bytes,
-    reps: list[int],
+    reps: list[int], *, predefined: bool = False,
+    fse_weights: bool = False,
 ) -> bytes:
     """One compressed-block body: literals section + sequences section.
     ``sequences`` are (literal_length, offset, match_length) with real
     offsets; repeat-offset value 1 is emitted when offset == rep1 and
     ll > 0 (history mirrored from the decoder's rules)."""
-    out = bytearray(_encode_literals(lits))
+    out = bytearray(_encode_literals(lits, fse_weights=fse_weights))
     nseq = len(sequences)
     if nseq < 128:
         out.append(nseq)
@@ -1054,9 +1223,12 @@ def _encode_block(
                 (ll - _LL_BASE[ll_c], _LL_BITS[ll_c]),
             )
         )
-    ll_ch = _FseChannel(ll_codes, 35, _MAX_LL_AL)
-    of_ch = _FseChannel(of_codes, 31, _MAX_OF_AL)
-    ml_ch = _FseChannel(ml_codes, 52, _MAX_ML_AL)
+    ll_ch = _FseChannel(ll_codes, 35, _MAX_LL_AL,
+                        predefined="ll" if predefined else None)
+    of_ch = _FseChannel(of_codes, 31, _MAX_OF_AL,
+                        predefined="of" if predefined else None)
+    ml_ch = _FseChannel(ml_codes, 52, _MAX_ML_AL,
+                        predefined="ml" if predefined else None)
     out.append((ll_ch.mode << 6) | (of_ch.mode << 4) | (ml_ch.mode << 2))
     out += ll_ch.desc + of_ch.desc + ml_ch.desc
     acc = _FwdAcc()
@@ -1075,9 +1247,16 @@ def _encode_block(
     return bytes(out)
 
 
-def zstd_compress(data: bytes, *, block_size: int = 1 << 16) -> bytes:
+def zstd_compress(
+    data: bytes, *, block_size: int = 1 << 16,
+    predefined_sequences: bool = False, fse_weights: bool = False,
+) -> bytes:
     """Single-segment frame with content size + XXH64 checksum; greedy
-    hash-matched compressed blocks (raw/RLE blocks when they win)."""
+    hash-matched compressed blocks (raw/RLE blocks when they win).
+    ``predefined_sequences`` codes LL/OF/ML against the RFC default
+    distributions (mode 0, no table description) and ``fse_weights``
+    FSE-compresses the Huffman weight table — both exercise the
+    checksummed-only decode paths end to end."""
     data = bytes(data)
     n = len(data)
     out = bytearray(struct.pack("<I", _MAGIC))
@@ -1131,7 +1310,10 @@ def zstd_compress(data: bytes, *, block_size: int = 1 << 16) -> bytes:
             out += struct.pack("<I", (len(chunk) << 3) | (1 << 1) | last)[:3]
             out.append(chunk[0])
             continue
-        body = _encode_block(chunk, seqs, lits, reps)
+        body = _encode_block(
+            chunk, seqs, lits, reps,
+            predefined=predefined_sequences, fse_weights=fse_weights,
+        )
         if len(body) >= len(chunk):
             out += struct.pack("<I", (len(chunk) << 3) | (0 << 1) | last)[:3]
             out += chunk

@@ -114,6 +114,14 @@ def _fixtures():
          apng_frames, (ApngError,), True),
         ("zstd", zstd_compress(text), zstd_decompress,
          (ZstdError,), True),
+        ("zstd_predef",
+         zstd_compress(text, predefined_sequences=True),
+         zstd_decompress, (ZstdError,), True),
+        ("zstd_fse_weights",
+         zstd_compress(bytes((7 * i * i + 13 * i) % 26 + 97
+                             for i in range(2000)),
+                       fse_weights=True),
+         zstd_decompress, (ZstdError,), True),
         ("lz4_frame", lz4_frame_compress(text, block_checksum=True),
          lz4_frame_decompress, (Lz4Error,), True),
         ("lz4_block", lz4_block_compress(text),

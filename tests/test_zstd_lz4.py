@@ -292,19 +292,27 @@ class TestZstdHandStreams:
         b2 = block(b"ijklmnop", [3, 5], 3, b"")
         assert zstd_decompress(_frame([b1, b2], content)) == content
 
-    def test_predefined_mode_gate(self):
+    def test_predefined_mode_gate_without_checksum(self):
+        # round 10: predefined mode is ACCEPTED for checksummed frames
+        # (see TestPredefinedAndFseWeights); without the checksum the
+        # loud gate stays, because a wrong memorized table would be
+        # silently wrong
         body = bytearray(_raw_lits(b"abc"))
         body.append(1)
         body.append(0)  # all modes predefined
         body += b"\x01"
+        frame = bytearray(_frame([bytes(body)], b"abc"))
+        frame[4] &= ~0x04  # clear the checksum flag
         with pytest.raises(ZstdError, match="predefined"):
-            zstd_decompress(_frame([bytes(body)], b"abc"))
+            zstd_decompress(bytes(frame[:-4]))
 
-    def test_fse_weights_gate(self):
+    def test_fse_weights_gate_without_checksum(self):
         payload = b"\x10" + bytes(16)  # header < 128 -> FSE weights
         h = struct.pack("<I", (len(payload) << 14) | (8 << 4) | 0b0010)[:3]
+        frame = bytearray(_frame([h + payload + b"\x00"], b"x" * 8))
+        frame[4] &= ~0x04
         with pytest.raises(ZstdError, match="FSE-compressed Huffman"):
-            zstd_decompress(_frame([h + payload + b"\x00"], b"x" * 8))
+            zstd_decompress(bytes(frame[:-4]))
 
 
 class TestZstdFrames:
@@ -370,3 +378,96 @@ class TestZstdFrames:
         # the repeat path produced of_code 0 somewhere: frame is smaller
         # than one with all real offsets would be (structural smoke)
         assert len(blob) < 200
+
+
+class TestPredefinedAndFseWeights:
+    """Round-10 checksummed-only decode paths: RFC predefined LL/OF/ML
+    distributions (mode 0) and FSE-compressed Huffman weights."""
+
+    def _diverse(self, n=3000, seed=3):
+        rng = random.Random(seed)
+        return bytes(rng.choices(b"abcdefghijklmnop", k=n))
+
+    def test_predefined_round_trip(self):
+        for data in (b"hello world " * 200,
+                     b"the quick brown fox. " * 400,
+                     self._diverse()):
+            blob = zstd_compress(data, predefined_sequences=True)
+            assert zstd_decompress(blob) == data
+
+    def test_fse_weights_round_trip(self):
+        data = self._diverse()
+        blob = zstd_compress(data, fse_weights=True)
+        assert zstd_decompress(blob) == data
+
+    def test_fse_weights_path_actually_fires(self):
+        from rust_dataframe_spark.operators import zstd as Z
+
+        calls = []
+        orig = Z._fse_weights_decode
+        Z._fse_weights_decode = lambda p: (calls.append(1) or orig(p))
+        try:
+            data = self._diverse()
+            assert zstd_decompress(
+                zstd_compress(data, fse_weights=True)
+            ) == data
+        finally:
+            Z._fse_weights_decode = orig
+        assert calls, "no FSE-compressed weight table was decoded"
+
+    def test_predefined_unchecksummed_gates(self):
+        blob = bytearray(
+            zstd_compress(b"hello world " * 200,
+                          predefined_sequences=True)
+        )
+        blob[4] &= ~0x04  # clear the checksum flag
+        with pytest.raises(ZstdError, match="content checksum"):
+            zstd_decompress(bytes(blob[:-4]))
+
+    def test_fse_weights_unchecksummed_gates(self):
+        blob = bytearray(
+            zstd_compress(self._diverse(), fse_weights=True)
+        )
+        blob[4] &= ~0x04
+        with pytest.raises(ZstdError, match="content checksum"):
+            zstd_decompress(bytes(blob[:-4]))
+
+    def test_wrong_table_fails_checksum_loudly(self):
+        # the safety argument itself: decode a predefined-mode frame
+        # against a PERTURBED predefined table -> checksum must fire
+        from rust_dataframe_spark.operators import zstd as Z
+
+        blob = zstd_compress(b"variety pack 0123456789 " * 150,
+                             predefined_sequences=True)
+        try:
+            for key, (counts, al) in (("ll", Z._LL_PREDEF),
+                                      ("of", Z._OF_PREDEF),
+                                      ("ml", Z._ML_PREDEF)):
+                # rotate the distribution (sum stays legal, every
+                # state's symbol assignment moves)
+                bad = counts[1:] + counts[:1]
+                Z._PREDEF_CACHE[key] = Z._FseTable(bad, al)
+            with pytest.raises(ZstdError):
+                Z.zstd_decompress(blob)
+        finally:
+            Z._PREDEF_CACHE.clear()
+
+    def test_fse_weights_twin_standalone(self):
+        from rust_dataframe_spark.operators.zstd import (
+            _fse_weights_decode,
+            _write_huf_weights_fse,
+        )
+
+        for ws in ([3, 2, 2, 1, 1, 1, 0, 2, 3, 1, 2, 2, 1, 1],
+                   [1, 2], [4, 4, 4, 3, 3, 2, 2, 2, 1, 1, 0, 0, 1]):
+            enc = _write_huf_weights_fse(ws)
+            if enc is None:
+                continue
+            assert _fse_weights_decode(enc[1 : 1 + enc[0]]) == ws
+
+    def test_predefined_repeat_mode_chain(self):
+        # multi-block frame: block 2 may use Repeat after predefined;
+        # round-trip across block boundaries is the pin
+        data = (b"abcdefgh12345 " * 3000)  # > one 64 KB block
+        blob = zstd_compress(data, predefined_sequences=True)
+        assert zstd_decompress(blob) == data
