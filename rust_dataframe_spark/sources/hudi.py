@@ -24,14 +24,21 @@ Reader surface:
   the hive path through the same input_file_name broadcast join as
   the Delta/Iceberg readers, so tables written without the meta
   columns still read correctly;
-* loud gates: merge-on-read tables (``.deltacommit`` instants or log
-  files present — replaying those as parquet-only would silently drop
-  updates), unfinished-only timelines, filename-shape violations.
+* **merge-on-read** (round 10): tables typed MERGE_ON_READ in
+  hoodie.properties read through :func:`read_hudi_mor` — base slices
+  resolve as above, then HoodieLogFormat log files replay per file
+  group on EXECUTORS (``mapInPandas`` over the group->log listing;
+  Avro data blocks upsert by record key, delete blocks drop keys,
+  rollback command blocks void their target instant, per-block
+  completed-timeline + as-of admission), newest action per (group,
+  key) winning via one window; a ``.deltacommit`` timeline on a
+  COPY_ON_WRITE table still gates loudly.
 
 The writer half emits the layout for fixtures and as a usable sink:
 each commit writes hive-partitioned parquet with conformant filenames
 and a ``<ts>.commit`` JSON instant; upserts come from writing a new
-file version into an existing file group (same fileId, newer instant).
+file version into an existing file group (same fileId, newer instant);
+:func:`write_hudi_log_commit` appends MOR log files + deltacommits.
 
 Reference parity: third member of the lakehouse trio next to
 sources/delta.py and sources/iceberg.py (SURVEY §2.1 extension).
@@ -52,8 +59,13 @@ from .lakehouse_util import attach_file_values
 __all__ = [
     "HudiError",
     "read_hudi",
+    "read_hudi_mor",
     "hudi_snapshot_files",
     "write_hudi_commit",
+    "write_hudi_log_commit",
+    "write_hudi_rollback_block",
+    "encode_log_block",
+    "iter_log_blocks",
 ]
 
 
@@ -66,18 +78,35 @@ _FILE_RE = re.compile(
 )
 
 
-def _timeline(path: str) -> list[tuple[int, str]]:
+def _props(path: str) -> dict[str, str]:
+    p = os.path.join(path, ".hoodie", "hoodie.properties")
+    out: dict[str, str] = {}
+    if os.path.exists(p):
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith("#") and "=" in line:
+                    k, v = line.split("=", 1)
+                    out[k] = v
+    return out
+
+
+def _timeline(path: str, *, mor_ok: bool = False) -> list[tuple[int, str]]:
     hoodie = os.path.join(path, ".hoodie")
     if not os.path.isdir(hoodie):
         raise HudiError(f"not a Hudi table: no .hoodie under {path}")
     completed: list[tuple[int, str]] = []
     for name in os.listdir(hoodie):
-        if name.endswith(".deltacommit"):
+        if name.endswith(".deltacommit") and not mor_ok:
             raise HudiError(
-                "merge-on-read timeline (.deltacommit) unsupported "
-                "(fail-loud: log files would be silently dropped)"
+                "merge-on-read timeline (.deltacommit) on a "
+                "copy-on-write table (fail-loud: log files would be "
+                "silently dropped)"
             )
-        for suffix in (".commit", ".replacecommit"):
+        suffixes = (".commit", ".replacecommit")
+        if mor_ok:
+            suffixes = suffixes + (".deltacommit",)
+        for suffix in suffixes:
             if name.endswith(suffix):
                 stem = name[: -len(suffix)]
                 if stem.isdigit():
@@ -95,11 +124,13 @@ def _read_instant(path: str, ts: int, kind: str) -> dict:
 
 
 def hudi_snapshot_files(
-    path: str, *, as_of: int | None = None
+    path: str, *, as_of: int | None = None, mor_ok: bool = False
 ) -> list[tuple[str, str]]:
-    """Live file slices at the latest (or ``as_of``) completed instant.
-    Returns ``[(relative partition path, absolute file path), ...]``."""
-    instants = _timeline(path)
+    """Live BASE file slices at the latest (or ``as_of``) completed
+    instant.  Returns ``[(relative partition path, absolute file
+    path), ...]``.  ``mor_ok`` admits merge-on-read timelines (the MOR
+    reader overlays log files on top of these base slices)."""
+    instants = _timeline(path, mor_ok=mor_ok)
     usable = [t for t in instants if as_of is None or t[0] <= as_of]
     if not usable:
         raise HudiError(f"no completed instant at or before {as_of}")
@@ -167,31 +198,47 @@ def _partition_cols(files: list[tuple[str, str]]) -> list[str]:
 
 
 def read_hudi(
-    spark: SparkSession, path: str, *, as_of: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    as_of: int | None = None,
+    _mor_base: bool = False,
 ) -> DataFrame:
     """Snapshot (or time-travel) read with hive-path partition values
-    re-injected via the one-scan broadcast join."""
-    files = hudi_snapshot_files(path, as_of=as_of)
+    re-injected via the one-scan broadcast join.  MERGE_ON_READ tables
+    (hoodie.properties table type) dispatch to :func:`read_hudi_mor`;
+    ``_mor_base`` is its internal hook returning the bare base-slice
+    scan plus a ``__hudi_fid`` file-group column."""
+    is_mor = _props(path).get("hoodie.table.type") == "MERGE_ON_READ"
+    if is_mor and not _mor_base:
+        return read_hudi_mor(spark, path, as_of=as_of)
+    files = hudi_snapshot_files(path, as_of=as_of, mor_ok=is_mor)
     if not files:
         raise HudiError("snapshot resolves to zero file slices")
     part_cols = _partition_cols(files)
     df = spark.read.parquet(*[f for _p, f in files])
-    if not part_cols:
+    if not part_cols and not _mor_base:
         return df
     file_to_vals = []
+    extra = ["hudi_fid"] if _mor_base else []
     for part, f in files:
         vals = dict(
             seg.split("=", 1) for seg in part.split("/") if "=" in seg
         )
-        file_to_vals.append(
-            (os.path.abspath(f), [vals[c] for c in part_cols])
-        )
+        row = [vals[c] for c in part_cols]
+        if _mor_base:
+            row.append(
+                _FILE_RE.match(os.path.basename(f)).group("fid")
+            )
+        file_to_vals.append((os.path.abspath(f), row))
     out = attach_file_values(
-        df, spark, file_to_vals, part_cols,
+        df, spark, file_to_vals, part_cols + extra,
         err_cls=HudiError, tag="hudi",
     )
     for c in part_cols:
         out = out.withColumn(c, F.col(f"__pv_{c}")).drop(f"__pv_{c}")
+    if _mor_base:
+        out = out.withColumnRenamed("__pv_hudi_fid", "__hudi_fid")
     return out
 
 
@@ -207,12 +254,18 @@ def write_hudi_commit(
     *,
     partition_by: list[str] | None = None,
     upsert_into: dict[str, str] | None = None,
+    table_type: str = "COPY_ON_WRITE",
+    record_key: str | None = None,
 ) -> int:
-    """Append ``df`` as one COW commit.  ``upsert_into`` maps a hive
-    partition path to an EXISTING fileId: that partition's rows become
-    a NEW VERSION of that file group (the copy-on-write update shape);
-    everything else lands in fresh file groups.  Returns the instant
-    timestamp."""
+    """Append ``df`` as one base-file commit.  ``upsert_into`` maps a
+    hive partition path to an EXISTING fileId: that partition's rows
+    become a NEW VERSION of that file group (the copy-on-write update
+    shape); everything else lands in fresh file groups.  On table
+    creation ``table_type`` may be ``MERGE_ON_READ`` (base commits on
+    a MOR table model compactions; log writes come from
+    :func:`write_hudi_log_commit`) and ``record_key`` names the
+    hoodie.table.recordkey.fields column MOR merging keys on.
+    Returns the instant timestamp."""
     import shutil
 
     partition_by = list(partition_by or [])
@@ -220,12 +273,19 @@ def write_hudi_commit(
     os.makedirs(hoodie, exist_ok=True)
     props = os.path.join(hoodie, "hoodie.properties")
     if not os.path.exists(props):
+        if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+            raise HudiError(f"unknown table type {table_type!r}")
         with open(props, "w", encoding="utf-8") as fh:
             fh.write("hoodie.table.name=fixture\n"
-                     "hoodie.table.type=COPY_ON_WRITE\n")
+                     f"hoodie.table.type={table_type}\n")
+            if record_key:
+                fh.write(
+                    f"hoodie.table.recordkey.fields={record_key}\n"
+                )
+    is_mor = _props(path).get("hoodie.table.type") == "MERGE_ON_READ"
     prev = []
     try:
-        prev = _timeline(path)
+        prev = _timeline(path, mor_ok=is_mor)
     except HudiError:
         pass
     ts = int(time.time() * 1000)
@@ -270,4 +330,446 @@ def write_hudi_commit(
                        p: [{"path": n} for n in ns]
                        for p, ns in written.items()
                    }}, fh)
+    return ts
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read: HoodieLogFormat block codec + log-merged snapshot read
+# ---------------------------------------------------------------------------
+#
+# Log-file layout per the public HoodieLogFormat (format version 1):
+# each block is  MAGIC "#HUDI#" | block size (int64 BE, bytes after
+# this field through the trailing total-size) | log format version
+# (int32 BE = 1) | block type ordinal (int32 BE) | header map | content
+# length (int64 BE) | content | footer map | total block size (int64
+# BE, whole block incl. magic).  Maps serialize as int32 count then
+# per entry int32 key-ordinal + int32 byte length + utf8 value.
+# Block-type ordinals follow the published HoodieLogBlockType enum
+# order (COMMAND=0, DELETE=1, CORRUPT=2, AVRO_DATA=3); header-key
+# ordinals the HeaderMetadataType order (INSTANT_TIME=0,
+# TARGET_INSTANT_TIME=1, SCHEMA=2, COMMAND_BLOCK_TYPE=3).  Avro data
+# blocks carry int32 content-version + int32 record count + per record
+# int32 length + one Avro datum (schema rides in the SCHEMA header);
+# delete blocks the same framing with {recordKey, partitionPath}
+# datums — a documented simplification of Hudi's HoodieDeleteRecord
+# envelope (this writer is the only in-container generator, so the
+# framing is pinned by the reader/writer twin plus the q456 oracle,
+# not against foreign bytes).
+
+_LOG_MAGIC = b"#HUDI#"
+_BLK_COMMAND, _BLK_DELETE, _BLK_CORRUPT, _BLK_AVRO = 0, 1, 2, 3
+_HDR_INSTANT, _HDR_TARGET, _HDR_SCHEMA, _HDR_CMDTYPE = 0, 1, 2, 3
+
+_LOG_RE = re.compile(
+    r"^\.(?P<fid>[0-9a-f-]+)_(?P<base>\d+)\.log\.(?P<ver>\d+)"
+    r"_(?P<token>[\w-]+)$"
+)
+
+
+def _enc_map(m: dict[int, str]) -> bytes:
+    import struct
+
+    out = struct.pack(">i", len(m))
+    for k in sorted(m):
+        raw = m[k].encode("utf-8")
+        out += struct.pack(">ii", k, len(raw)) + raw
+    return out
+
+
+def _dec_map(buf: bytes, pos: int) -> tuple[dict[int, str], int]:
+    import struct
+
+    (n,) = struct.unpack_from(">i", buf, pos)
+    pos += 4
+    if n < 0 or n > 64:
+        raise HudiError("log block map count out of range")
+    out: dict[int, str] = {}
+    for _ in range(n):
+        k, ln = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        if ln < 0 or pos + ln > len(buf):
+            raise HudiError("truncated log block map entry")
+        out[k] = buf[pos : pos + ln].decode("utf-8")
+        pos += ln
+    return out, pos
+
+
+def encode_log_block(
+    block_type: int, header: dict[int, str], content: bytes,
+    footer: dict[int, str] | None = None,
+) -> bytes:
+    import struct
+
+    body = (
+        struct.pack(">i", 1)
+        + struct.pack(">i", block_type)
+        + _enc_map(header)
+        + struct.pack(">q", len(content))
+        + content
+        + _enc_map(footer or {})
+    )
+    # block size counts bytes after its own field through the trailing
+    # total-size long; total size counts the whole block incl. magic
+    total = len(_LOG_MAGIC) + 8 + len(body) + 8
+    return (
+        _LOG_MAGIC + struct.pack(">q", len(body) + 8) + body
+        + struct.pack(">q", total)
+    )
+
+
+def iter_log_blocks(data: bytes):
+    """Yields ``(block_type, header, content)`` per block; validates
+    magic and both size fields."""
+    import struct
+
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 6] != _LOG_MAGIC:
+            raise HudiError("log block missing #HUDI# magic")
+        start = pos
+        pos += 6
+        (bsize,) = struct.unpack_from(">q", data, pos)
+        pos += 8
+        if bsize < 24 or pos + bsize > len(data):
+            raise HudiError("log block size out of range")
+        ver, btype = struct.unpack_from(">ii", data, pos)
+        pos += 8
+        if ver != 1:
+            raise HudiError(f"log format version {ver} unsupported")
+        header, pos = _dec_map(data, pos)
+        (clen,) = struct.unpack_from(">q", data, pos)
+        pos += 8
+        if clen < 0 or pos + clen > len(data):
+            raise HudiError("log block content overruns file")
+        content = data[pos : pos + clen]
+        pos += clen
+        _footer, pos = _dec_map(data, pos)
+        (total,) = struct.unpack_from(">q", data, pos)
+        pos += 8
+        if total != pos - start:
+            raise HudiError("log block total-size mismatch")
+        yield btype, header, content
+
+
+def _enc_datums(schema: dict, records: list[dict]) -> bytes:
+    import struct
+
+    from .avro import _write_value
+
+    out = bytearray(struct.pack(">ii", 3, len(records)))
+    for rec in records:
+        buf = bytearray()
+        _write_value(buf, schema, rec)
+        out += struct.pack(">i", len(buf)) + bytes(buf)
+    return bytes(out)
+
+
+def _dec_datums(content: bytes, schema: dict) -> list[dict]:
+    import struct
+
+    from .avro import _read_value
+
+    if len(content) < 8:
+        raise HudiError("truncated data block content")
+    _ver, n = struct.unpack_from(">ii", content, 0)
+    pos = 8
+    if n < 0 or n > len(content):
+        raise HudiError("data block record count out of range")
+    out = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from(">i", content, pos)
+        pos += 4
+        if ln < 0 or pos + ln > len(content):
+            raise HudiError("truncated data block record")
+        rec, _p = _read_value(memoryview(content)[pos : pos + ln], 0,
+                              schema)
+        out.append(rec)
+        pos += ln
+    return out
+
+
+_DELETE_SCHEMA = {
+    "type": "record", "name": "hudi_delete",
+    "fields": [
+        {"name": "recordKey", "type": "string"},
+        {"name": "partitionPath", "type": "string"},
+    ],
+}
+
+
+def _group_logs(path: str) -> dict[tuple[str, str, int], list[str]]:
+    """(partition, fileId, baseInstant) -> ordered absolute log
+    paths (by log version)."""
+    out: dict[tuple[str, str, int], list[tuple[int, str]]] = {}
+    for root, _dirs, files in os.walk(path):
+        rel_root = os.path.relpath(root, path)
+        if rel_root.startswith(".hoodie") or "_tmp" in rel_root:
+            continue
+        part = "" if rel_root == "." else rel_root.replace(os.sep, "/")
+        for name in files:
+            m = _LOG_RE.match(name)
+            if m:
+                key = (part, m.group("fid"), int(m.group("base")))
+                out.setdefault(key, []).append(
+                    (int(m.group("ver")), os.path.join(root, name))
+                )
+    return {
+        k: [p for _v, p in sorted(v)] for k, v in out.items()
+    }
+
+
+def read_hudi_mor(
+    spark: SparkSession, path: str, *, as_of: int | None = None
+) -> DataFrame:
+    """Merge-on-read snapshot: ONE distributed base-file scan overlaid
+    with executor-side log replay.  Log files are decoded per FILE
+    GROUP inside ``mapInPandas`` (ordered block walk, rollback command
+    blocks dropping their target instants, completed-timeline + as-of
+    admission per block); the newest surviving action per (file group,
+    record key) wins; deletes anti-join base rows out, upserts replace
+    them.  Driver holds only the group->log-paths listing (file-group
+    axis), never record payloads."""
+    import json as _json
+
+    props = _props(path)
+    rk = props.get("hoodie.table.recordkey.fields")
+    if not rk:
+        raise HudiError(
+            "merge-on-read needs hoodie.table.recordkey.fields"
+        )
+    instants = _timeline(path, mor_ok=True)
+    usable = [t for t in instants if as_of is None or t[0] <= as_of]
+    if not usable:
+        raise HudiError(f"no completed instant at or before {as_of}")
+    cutoff = usable[-1][0]
+    completed = sorted(t for t, _k in usable)
+    base = read_hudi(spark, path, as_of=as_of, _mor_base=True)
+    slices = hudi_snapshot_files(path, as_of=as_of, mor_ok=True)
+    base_of: dict[tuple[str, str], int] = {}
+    for part, f in slices:
+        m = _FILE_RE.match(os.path.basename(f))
+        base_of[(part, m.group("fid"))] = int(m.group("ts"))
+    groups = _group_logs(path)
+    rows = []
+    for (part, fid, base_ts), paths in sorted(groups.items()):
+        # logs attach to the CURRENT base slice of their file group
+        if base_of.get((part, fid)) != base_ts:
+            continue  # logs of an obsolete/compacted slice
+        rows.append((fid, _json.dumps(paths)))
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in base.schema.fields
+        if f.name != "__hudi_fid"
+    )
+    if not rows:
+        return base.drop("__hudi_fid")
+    logs_in = spark.createDataFrame(rows, "fid string, paths string")
+
+    def replay(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"fid": [], "key": [], "instant": [], "seq": [],
+                   "is_delete": [], "payload": []}
+            for fid, paths_json in zip(pdf["fid"], pdf["paths"]):
+                seq = 0
+                rollbacks: set[int] = set()
+                events = []
+                for p in _json.loads(paths_json):
+                    with open(p, "rb") as fh:
+                        data = fh.read()
+                    for btype, header, content in iter_log_blocks(data):
+                        if btype == _BLK_COMMAND:
+                            tgt = header.get(_HDR_TARGET)
+                            if tgt:
+                                rollbacks.add(int(tgt))
+                            continue
+                        if btype == _BLK_CORRUPT:
+                            continue
+                        instant = int(header.get(_HDR_INSTANT, "0"))
+                        if instant not in completed or instant > cutoff:
+                            continue
+                        if btype == _BLK_AVRO:
+                            sch = _json.loads(header[_HDR_SCHEMA])
+                            for rec in _dec_datums(content, sch):
+                                events.append(
+                                    (str(rec[rk]), instant, seq,
+                                     False, _json.dumps(rec))
+                                )
+                                seq += 1
+                        elif btype == _BLK_DELETE:
+                            for rec in _dec_datums(
+                                content, _DELETE_SCHEMA
+                            ):
+                                events.append(
+                                    (rec["recordKey"], instant, seq,
+                                     True, None)
+                                )
+                                seq += 1
+                        else:
+                            raise HudiError(
+                                f"log block type {btype} unsupported"
+                            )
+                for key, instant, seq_, is_del, payload in events:
+                    if instant in rollbacks:
+                        continue
+                    out["fid"].append(fid)
+                    out["key"].append(key)
+                    out["instant"].append(instant)
+                    out["seq"].append(seq_)
+                    out["is_delete"].append(is_del)
+                    out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    events = logs_in.mapInPandas(
+        replay,
+        "fid string, key string, instant bigint, seq bigint, "
+        "is_delete boolean, payload string",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fid", "key").orderBy(
+        F.desc("instant"), F.desc("seq")
+    )
+    latest = (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    touched = latest.select("fid", "key")
+    survivors = base.join(
+        touched.withColumnRenamed("key", "__hudi_key"),
+        (base["__hudi_fid"] == touched["fid"])
+        & (F.col(rk).cast("string") == F.col("__hudi_key")),
+        "left_anti",
+    ).drop("__hudi_fid")
+    upserts = (
+        latest.where(~F.col("is_delete"))
+        .select(F.from_json("payload", schema_ddl).alias("r"))
+        .select("r.*")
+    )
+    return survivors.unionByName(upserts)
+
+
+def write_hudi_log_commit(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame | None = None,
+    *,
+    deletes: list[tuple[str, str]] | None = None,
+) -> int:
+    """Append one MERGE_ON_READ deltacommit: per affected file group a
+    new ``.{fileId}_{baseInstant}.log.{version}_{token}`` file holding
+    an Avro data block (upserts, full rows, schema in the SCHEMA
+    header) and/or a delete block; plus a ``<ts>.deltacommit``
+    instant.  ``updates`` rows route to their partition's file group
+    by the hive partition columns; ``deletes`` is ``[(hive partition
+    path, record key), ...]``.  Returns the instant timestamp."""
+    props = _props(path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiError("log commits need a MERGE_ON_READ table")
+    rk = props.get("hoodie.table.recordkey.fields")
+    if not rk:
+        raise HudiError("hoodie.table.recordkey.fields not set")
+    slices = hudi_snapshot_files(path, mor_ok=True)
+    part_cols = _partition_cols(slices)
+    group_of: dict[str, tuple[str, int, str]] = {}
+    for part, f in slices:
+        m = _FILE_RE.match(os.path.basename(f))
+        if part in group_of:
+            raise HudiError(
+                f"partition {part!r} holds multiple file groups; the "
+                "log writer routes per partition (fixture shape)"
+            )
+        group_of[part] = (m.group("fid"), int(m.group("ts")),
+                          os.path.dirname(f))
+    prev = _timeline(path, mor_ok=True)
+    ts = int(time.time() * 1000)
+    if prev and ts <= prev[-1][0]:
+        ts = prev[-1][0] + 1
+
+    per_part: dict[str, dict] = {}
+    avro_schema = None
+    if updates is not None:
+        from .avro import spark_schema_to_avro
+
+        avro_schema = spark_schema_to_avro(updates.schema, "hudi_rec")
+        for r in updates.collect():
+            rec = r.asDict(recursive=True)
+            part = "/".join(
+                f"{c}={rec[c]}" for c in part_cols
+            ) if part_cols else ""
+            per_part.setdefault(part, {"ups": [], "dels": []})[
+                "ups"
+            ].append(rec)
+    for part, key in deletes or []:
+        per_part.setdefault(part, {"ups": [], "dels": []})[
+            "dels"
+        ].append(key)
+
+    groups = _group_logs(path)
+    for part, actions in sorted(per_part.items()):
+        if part not in group_of:
+            raise HudiError(
+                f"no base file group in partition {part!r} to log "
+                "against"
+            )
+        fid, base_ts, dirpath = group_of[part]
+        version = len(groups.get((part, fid, base_ts), [])) + 1
+        blocks = bytearray()
+        if actions["ups"]:
+            blocks += encode_log_block(
+                _BLK_AVRO,
+                {_HDR_INSTANT: str(ts),
+                 _HDR_SCHEMA: json.dumps(avro_schema)},
+                _enc_datums(avro_schema, actions["ups"]),
+            )
+        if actions["dels"]:
+            blocks += encode_log_block(
+                _BLK_DELETE,
+                {_HDR_INSTANT: str(ts)},
+                _enc_datums(
+                    _DELETE_SCHEMA,
+                    [{"recordKey": str(k), "partitionPath": part}
+                     for k in actions["dels"]],
+                ),
+            )
+        name = f".{fid}_{base_ts}.log.{version}_0-0-0"
+        with open(os.path.join(dirpath, name), "wb") as fh:
+            fh.write(bytes(blocks))
+    with open(os.path.join(path, ".hoodie", f"{ts}.deltacommit"),
+              "w", encoding="utf-8") as fh:
+        json.dump({"operationType": "UPSERT"}, fh)
+    return ts
+
+
+def write_hudi_rollback_block(
+    spark: SparkSession, path: str, target_instant: int
+) -> int:
+    """Append a COMMAND (rollback) block targeting ``target_instant``
+    to every live file group's log stream — the reader must then drop
+    that instant's log records even though its deltacommit file
+    remains on the timeline."""
+    if _props(path).get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiError("rollback blocks need a MERGE_ON_READ table")
+    slices = hudi_snapshot_files(path, mor_ok=True)
+    groups = _group_logs(path)
+    prev = _timeline(path, mor_ok=True)
+    ts = max(prev[-1][0] + 1, int(time.time() * 1000))
+    block = encode_log_block(
+        _BLK_COMMAND,
+        {_HDR_INSTANT: str(ts), _HDR_TARGET: str(target_instant),
+         _HDR_CMDTYPE: "0"},
+        b"",
+    )
+    for part, f in slices:
+        m = _FILE_RE.match(os.path.basename(f))
+        fid, base_ts = m.group("fid"), int(m.group("ts"))
+        existing = groups.get((part, fid, base_ts), [])
+        if not existing:
+            continue  # no log stream to roll back in this group
+        version = len(existing) + 1
+        name = f".{fid}_{base_ts}.log.{version}_0-0-0"
+        with open(os.path.join(os.path.dirname(f), name), "wb") as fh:
+            fh.write(block)
     return ts

@@ -16,10 +16,14 @@ Reader surface:
 * snapshot selection: current or explicit ``snapshot_id=`` time travel;
 * manifest-list -> manifest walk through the repo's own pure-stdlib
   Avro codec (nested records/arrays/maps landed for exactly this);
-* entry filtering: ``status == 2`` (deleted) rows drop, delete
-  manifests (``content == 1``) and v2 delete files gate loudly —
-  reading a table with row-level deletes as if they were plain data
-  would be silently wrong;
+* entry filtering: ``status == 2`` (deleted) rows drop;
+* **format-v2 POSITION deletes** (round 10): delete manifests walk
+  like data manifests, their ``(file_path, pos)`` parquet tombstones
+  apply as ONE broadcast anti-join on ``(data-file basename,
+  _metadata.row_index)`` — path identity makes sequence-number
+  scoping unnecessary (data files are immutable and paths never
+  reused), no per-file loops; EQUALITY deletes (``content == 2``)
+  gate loudly, as they do need sequence-number scoping;
 * identity-transform partition values re-injected through the same
   one-scan ``input_file_name`` broadcast-map join as the Delta reader
   (no per-partition unions); non-identity transforms (bucket/truncate/
@@ -52,6 +56,7 @@ __all__ = [
     "read_iceberg",
     "iceberg_snapshot_files",
     "write_iceberg_commit",
+    "write_iceberg_position_deletes",
 ]
 
 
@@ -188,18 +193,9 @@ _ICE_TO_SPARK = {
 }
 
 
-def iceberg_snapshot_files(
-    path: str, *, snapshot_id: int | None = None
-) -> tuple[dict, list[dict]]:
-    """Returns (metadata json, live data_file dicts) for the chosen
-    snapshot."""
-    meta, _v = _load_metadata(path)
+def _snapshot_manifest_entries(path: str, meta: dict, want) -> list[dict]:
+    """Decoded manifest-list entries for the chosen snapshot."""
     snaps = meta.get("snapshots") or []
-    if not snaps:
-        return meta, []
-    want = snapshot_id if snapshot_id is not None else meta.get(
-        "current-snapshot-id"
-    )
     snap = next(
         (s for s in snaps if s.get("snapshot-id") == want), None
     )
@@ -208,16 +204,36 @@ def iceberg_snapshot_files(
     ml_path = snap.get("manifest-list")
     if not ml_path:
         raise IcebergError("snapshot carries no manifest-list")
-    ml_path = _localize(path, ml_path)
-    with open(ml_path, "rb") as fh:
+    with open(_localize(path, ml_path), "rb") as fh:
         _s, manifests = decode_records(fh.read())
+    return manifests
+
+
+def iceberg_snapshot_files(
+    path: str,
+    *,
+    snapshot_id: int | None = None,
+    with_deletes: bool = False,
+) -> tuple[dict, list[dict]] | tuple[dict, list[dict], list[dict]]:
+    """Returns ``(metadata json, live data_file dicts)`` for the
+    chosen snapshot — or, with ``with_deletes=True``, a 3-tuple whose
+    last element is the live POSITION-delete file dicts (format v2).
+    Without the flag a table carrying delete files raises loudly
+    rather than reading deleted rows back as live.  Equality deletes
+    (content == 2) always gate: applying them needs sequence-number
+    scoping this reader does not implement."""
+    meta, _v = _load_metadata(path)
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        return (meta, [], []) if with_deletes else (meta, [])
+    want = snapshot_id if snapshot_id is not None else meta.get(
+        "current-snapshot-id"
+    )
+    manifests = _snapshot_manifest_entries(path, meta, want)
     files: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
-        if m.get("content", 0) == 1:
-            raise IcebergError(
-                "delete manifests unsupported (fail-loud: row-level "
-                "deletes would read back as live rows)"
-            )
+        man_content = m.get("content", 0)
         man_path = _localize(path, m["manifest_path"])
         with open(man_path, "rb") as fh:
             _s2, entries = decode_records(fh.read())
@@ -225,16 +241,35 @@ def iceberg_snapshot_files(
             if e.get("status") == 2:
                 continue  # deleted
             df_ = e.get("data_file") or {}
-            if df_.get("content", 0) != 0:
-                raise IcebergError(
-                    "v2 delete files unsupported (fail-loud)"
-                )
+            content = df_.get("content", 0)
             if df_.get("file_format", "PARQUET").upper() != "PARQUET":
                 raise IcebergError(
                     f"file format {df_.get('file_format')!r} unsupported"
                 )
-            files.append(df_)
-    return meta, files
+            if man_content == 0:
+                if content != 0:
+                    raise IcebergError(
+                        "delete file inside a data manifest (malformed)"
+                    )
+                files.append(df_)
+            else:
+                if content == 2:
+                    raise IcebergError(
+                        "equality deletes unsupported (fail-loud: "
+                        "applying them needs sequence-number scoping)"
+                    )
+                if content != 1:
+                    raise IcebergError(
+                        "data file inside a delete manifest (malformed)"
+                    )
+                deletes.append(df_)
+    if deletes and not with_deletes:
+        raise IcebergError(
+            "table carries position-delete files; use the snapshot "
+            "reader (read_iceberg applies them) — ignoring them would "
+            "read deleted rows back as live"
+        )
+    return (meta, files, deletes) if with_deletes else (meta, files)
 
 
 def _localize(table_path: str, p: str) -> str:
@@ -250,8 +285,17 @@ def _localize(table_path: str, p: str) -> str:
 def read_iceberg(
     spark: SparkSession, path: str, *, snapshot_id: int | None = None
 ) -> DataFrame:
-    """One-scan snapshot read with identity-partition re-injection."""
-    meta, files = iceberg_snapshot_files(path, snapshot_id=snapshot_id)
+    """One-scan snapshot read with identity-partition re-injection and
+    format-v2 POSITION deletes applied as a broadcast anti-join on
+    ``(data-file basename, _metadata.row_index)``.  Path identity
+    makes sequence-number scoping unnecessary for position deletes:
+    Iceberg data files are immutable and never reuse a path (compaction
+    rewrites under new paths), so a (path, pos) tombstone can never
+    hit a row it wasn't written against.  Equality deletes DO need
+    sequence numbers and stay gated loudly."""
+    meta, files, deletes = iceberg_snapshot_files(
+        path, snapshot_id=snapshot_id, with_deletes=True
+    )
     parts = _partition_fields(meta)
     if not files:
         cols = _schema_fields(meta)
@@ -262,26 +306,48 @@ def read_iceberg(
         return spark.createDataFrame([], ddl)
     paths = [_localize(path, f["file_path"]) for f in files]
     df = spark.read.parquet(*paths)
-    if not parts:
+    if not deletes and not parts:
         return df
-    file_to_vals = [
-        (os.path.abspath(p),
-         [str((f.get("partition") or {}).get(name))
-          for name, _src, _t in parts])
-        for f, p in zip(files, paths)
+    # basename + row position must be captured ON THE SCAN: after the
+    # anti-join, input_file_name()/_metadata would be ambiguous
+    sel = [F.col(c) for c in df.columns] + [
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+            "__ice_base"
+        )
     ]
-    out = attach_file_values(
-        df, spark, file_to_vals, [src for _n, src, _t in parts],
-        err_cls=IcebergError, tag="ice",
-    )
-    for _name, src, t in parts:
-        spark_t = _ICE_TO_SPARK.get(t)
-        if spark_t is None:
-            raise IcebergError(f"partition type {t!r} unsupported")
-        out = out.withColumn(
-            src, F.col(f"__pv_{src}").cast(spark_t)
-        ).drop(f"__pv_{src}")
-    return out
+    if deletes:
+        sel.append(F.col("_metadata.row_index").alias("__ice_pos"))
+    df = df.select(*sel)
+    if deletes:
+        dpaths = [_localize(path, d["file_path"]) for d in deletes]
+        ddf = spark.read.parquet(*dpaths).select(
+            F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
+                "__ice_base"
+            ),
+            F.col("pos").cast("bigint").alias("__ice_pos"),
+        )
+        df = df.join(
+            F.broadcast(ddf), ["__ice_base", "__ice_pos"], "left_anti"
+        ).drop("__ice_pos")
+    if parts:
+        file_to_vals = [
+            (os.path.abspath(p),
+             [str((f.get("partition") or {}).get(name))
+              for name, _src, _t in parts])
+            for f, p in zip(files, paths)
+        ]
+        df = attach_file_values(
+            df, spark, file_to_vals, [src for _n, src, _t in parts],
+            err_cls=IcebergError, tag="ice", key_col="__ice_base",
+        )
+        for _name, src, t in parts:
+            spark_t = _ICE_TO_SPARK.get(t)
+            if spark_t is None:
+                raise IcebergError(f"partition type {t!r} unsupported")
+            df = df.withColumn(
+                src, F.col(f"__pv_{src}").cast(spark_t)
+            ).drop(f"__pv_{src}")
+    return df.drop("__ice_base")
 
 
 # ---------------------------------------------------------------------------
@@ -353,10 +419,21 @@ def write_iceberg_commit(
         )
     part_types = [(name, typ) for name, _src, typ in parts_meta]
 
-    # live entries (for carry-forward / overwrite)
+    # live entries (for carry-forward / overwrite); prior DELETE
+    # manifests carry forward untouched — their (path, pos) tombstones
+    # stay valid because carried data files keep their paths
     live: list[dict] = []
+    carry_deletes: list[dict] = []
     if meta.get("current-snapshot-id", -1) != -1 and meta["snapshots"]:
-        _m, live = iceberg_snapshot_files(path)
+        _m, live, _dels = iceberg_snapshot_files(
+            path, with_deletes=True
+        )
+        carry_deletes = [
+            m for m in _snapshot_manifest_entries(
+                path, meta, meta["current-snapshot-id"]
+            )
+            if m.get("content", 0) == 1
+        ]
 
     # one distributed write
     tmp = os.path.join(path, f"_tmp_ice_{uuid.uuid4().hex[:8]}")
@@ -444,7 +521,11 @@ def write_iceberg_commit(
             [{"manifest_path": man_path,
               "manifest_length": os.path.getsize(man_path),
               "partition_spec_id": 0, "content": 0,
-              "added_snapshot_id": snapshot_id}],
+              "added_snapshot_id": snapshot_id}]
+            + [{k: m[k] for k in ("manifest_path", "manifest_length",
+                                  "partition_spec_id", "content",
+                                  "added_snapshot_id")}
+               for m in carry_deletes],
             codec="deflate",
         ))
     meta = dict(meta)
@@ -455,6 +536,98 @@ def write_iceberg_commit(
         "summary": {"operation": (
             "overwrite" if replace_partitions else "append"
         )},
+    }]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = ts
+    new_version = version + 1
+    with open(os.path.join(mdir, f"v{new_version}.metadata.json"),
+              "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w",
+              encoding="utf-8") as fh:
+        fh.write(str(new_version))
+    return snapshot_id
+
+
+def write_iceberg_position_deletes(
+    spark: SparkSession, path: str, deletes: list[tuple[str, int]]
+) -> int:
+    """Append one POSITION-delete snapshot (format v2): a delete
+    parquet with the spec's ``(file_path, pos)`` columns, a delete
+    manifest (``content == 1``), and a manifest list carrying every
+    prior manifest forward unchanged.  ``deletes`` holds
+    ``(data file path as recorded in its manifest, row position)``
+    pairs.  Returns the new snapshot id."""
+    import shutil
+
+    meta, version = _load_metadata(path)
+    if meta.get("current-snapshot-id", -1) == -1:
+        raise IcebergError("position deletes need an existing snapshot")
+    if not deletes:
+        raise IcebergError("empty delete set")
+    parts_meta = _partition_fields(meta)
+    mdir = os.path.join(path, "metadata")
+    ts = int(time.time() * 1000)
+    snapshot_id = ts * 1000 + version
+    ddf = spark.createDataFrame(
+        [(p, int(pos)) for p, pos in deletes],
+        "file_path string, pos bigint",
+    )
+    tmp = os.path.join(path, f"_tmp_del_{uuid.uuid4().hex[:8]}")
+    ddf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    part = next(
+        n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet")
+    )
+    fname = f"delete-{snapshot_id}-{uuid.uuid4().hex[:10]}.parquet"
+    final = os.path.join(data_dir, fname)
+    os.replace(os.path.join(tmp, part), final)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    man_schema = _manifest_schema(
+        [(name, "int" if typ in ("int", "long") else "string")
+         for name, _src, typ in parts_meta]
+    )
+    entry = {
+        "status": 1, "snapshot_id": snapshot_id,
+        "data_file": {
+            "content": 1,
+            "file_path": final,
+            "file_format": "PARQUET",
+            "partition": {name: None for name, _s, _t in parts_meta},
+            "record_count": len(deletes),
+            "file_size_in_bytes": os.path.getsize(final),
+        },
+    }
+    man_name = f"{uuid.uuid4().hex}-d0.avro"
+    man_path = os.path.join(mdir, man_name)
+    with open(man_path, "wb") as fh:
+        fh.write(encode_records(man_schema, [entry], codec="deflate"))
+    prior = _snapshot_manifest_entries(
+        path, meta, meta["current-snapshot-id"]
+    )
+    ml_name = f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
+    ml_path = os.path.join(mdir, ml_name)
+    with open(ml_path, "wb") as fh:
+        fh.write(encode_records(
+            _MANIFEST_LIST_SCHEMA,
+            [{k: m[k] for k in ("manifest_path", "manifest_length",
+                                "partition_spec_id", "content",
+                                "added_snapshot_id")}
+             for m in prior]
+            + [{"manifest_path": man_path,
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": 0, "content": 1,
+                "added_snapshot_id": snapshot_id}],
+            codec="deflate",
+        ))
+    meta = dict(meta)
+    meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": ts,
+        "manifest-list": ml_path,
+        "summary": {"operation": "delete"},
     }]
     meta["current-snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = ts

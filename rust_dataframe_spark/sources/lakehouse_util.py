@@ -32,10 +32,14 @@ def attach_file_values(
     *,
     err_cls: type[Exception],
     tag: str,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Broadcast-join ``value_cols`` onto ``df`` keyed by the source
     file of each row.  ``file_to_vals`` is ``[(abs file path,
-    [values...]), ...]`` — one entry per live data file."""
+    [values...]), ...]`` — one entry per live data file.  With
+    ``key_col`` the basename was already computed into that column
+    (needed when a join sits between the scan and this call, where
+    ``input_file_name()`` would be ambiguous); the column is kept."""
     rows = []
     seen: dict[str, str] = {}
     for path, vals in file_to_vals:
@@ -47,15 +51,13 @@ def attach_file_values(
             )
         seen[base] = path
         rows.append((base, *vals))
-    key = f"__{tag}_file"
+    key = key_col or f"__{tag}_file"
     map_df = spark.createDataFrame(
         rows, [key] + [f"__pv_{c}" for c in value_cols]
     )
-    return (
-        df.withColumn(
-            key,
-            F.element_at(F.split(F.input_file_name(), "/"), -1),
+    if key_col is None:
+        df = df.withColumn(
+            key, F.element_at(F.split(F.input_file_name(), "/"), -1)
         )
-        .join(F.broadcast(map_df), key, "left")
-        .drop(key)
-    )
+    out = df.join(F.broadcast(map_df), key, "left")
+    return out if key_col else out.drop(key)

@@ -143,3 +143,133 @@ class TestHudi:
         live = {os.path.basename(f) for _p, f in
                 hudi_snapshot_files(table_path)}
         assert orphan not in live
+
+
+class TestHudiMor:
+    """Round-10 merge-on-read: HoodieLogFormat block codec + log
+    replay (upsert / delete / rollback / as-of)."""
+
+    def _seed_mor(self, spark, path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.hudi import (
+            write_hudi_commit,
+            write_hudi_log_commit,
+        )
+
+        base = spark.range(30).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 10).cast("int").alias("v"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        ).repartition(F.col("p"))
+        t0 = write_hudi_commit(
+            spark, path, base, partition_by=["p"],
+            table_type="MERGE_ON_READ", record_key="id",
+        )
+        ups = spark.createDataFrame(
+            [(3, 333, 0), (4, 444, 1)], "id int, v int, p int"
+        )
+        t1 = write_hudi_log_commit(
+            spark, path, ups, deletes=[("p=2", "5")]
+        )
+        return t0, t1
+
+    def test_upsert_delete_replay(self, spark, table_path):
+        self._seed_mor(spark, table_path)
+        got = {r["id"]: r["v"]
+               for r in read_hudi(spark, table_path).collect()}
+        assert len(got) == 29
+        assert got[3] == 333 and got[4] == 444 and 5 not in got
+        assert got[6] == 60  # untouched rows keep base values
+
+    def test_as_of_before_logs(self, spark, table_path):
+        t0, _t1 = self._seed_mor(spark, table_path)
+        pre = {r["id"]: r["v"]
+               for r in read_hudi(spark, table_path, as_of=t0).collect()}
+        assert len(pre) == 30 and pre[3] == 30 and 5 in pre
+
+    def test_newest_wins_and_rollback(self, spark, table_path):
+        from rust_dataframe_spark.sources.hudi import (
+            write_hudi_log_commit,
+            write_hudi_rollback_block,
+        )
+
+        self._seed_mor(spark, table_path)
+        t2 = write_hudi_log_commit(
+            spark, table_path,
+            spark.createDataFrame([(3, 999, 0)], "id int, v int, p int"),
+        )
+        got = {r["id"]: r["v"]
+               for r in read_hudi(spark, table_path).collect()}
+        assert got[3] == 999
+        write_hudi_rollback_block(spark, table_path, t2)
+        got2 = {r["id"]: r["v"]
+                for r in read_hudi(spark, table_path).collect()}
+        assert got2[3] == 333  # rolled back to the t1 upsert
+
+    def test_uncommitted_log_instant_ignored(self, spark, table_path):
+        import os as _os
+
+        self._seed_mor(spark, table_path)
+        # forge a log commit then delete its deltacommit: blocks with
+        # that instant must not apply (completed-timeline admission)
+        from rust_dataframe_spark.sources.hudi import (
+            write_hudi_log_commit,
+        )
+
+        t2 = write_hudi_log_commit(
+            spark, table_path,
+            spark.createDataFrame([(6, 666, 0)], "id int, v int, p int"),
+        )
+        _os.remove(_os.path.join(table_path, ".hoodie",
+                                 f"{t2}.deltacommit"))
+        got = {r["id"]: r["v"]
+               for r in read_hudi(spark, table_path).collect()}
+        assert got[6] == 60
+
+    def test_log_block_codec_round_trip(self):
+        from rust_dataframe_spark.sources.hudi import (
+            encode_log_block,
+            iter_log_blocks,
+        )
+
+        blob = (
+            encode_log_block(3, {0: "123", 2: "{}"}, b"payload")
+            + encode_log_block(1, {0: "124"}, b"del")
+        )
+        blocks = list(iter_log_blocks(blob))
+        assert [(t, h[0], c) for t, h, c in blocks] == [
+            (3, "123", b"payload"), (1, "124", b"del"),
+        ]
+
+    def test_log_block_corruption_loud(self):
+        from rust_dataframe_spark.sources.hudi import (
+            encode_log_block,
+            iter_log_blocks,
+        )
+
+        blob = bytearray(encode_log_block(3, {0: "1"}, b"x" * 40))
+        blob[3] ^= 0xFF  # magic
+        with pytest.raises(HudiError, match="magic"):
+            list(iter_log_blocks(bytes(blob)))
+        blob2 = bytearray(encode_log_block(3, {0: "1"}, b"x" * 40))
+        blob2[-1] ^= 0x01  # trailing total-size
+        with pytest.raises(HudiError, match="total-size"):
+            list(iter_log_blocks(bytes(blob2)))
+        with pytest.raises(HudiError):
+            list(iter_log_blocks(
+                encode_log_block(3, {0: "1"}, b"x" * 40)[:-20]
+            ))
+
+    def test_cow_table_rejects_log_commit(self, spark, table_path):
+        from rust_dataframe_spark.sources.hudi import (
+            write_hudi_log_commit,
+        )
+
+        _seed(spark, table_path)  # COW
+        with pytest.raises(HudiError, match="MERGE_ON_READ"):
+            write_hudi_log_commit(
+                spark, table_path,
+                spark.createDataFrame([(1, 1, 0)],
+                                      "id int, v int, p int"),
+            )

@@ -106,7 +106,9 @@ class TestIceberg:
             r["content"] = 1
         with open(ml, "wb") as fh:
             fh.write(encode_records(schema, rows))
-        with pytest.raises(IcebergError, match="delete manifests"):
+        # round 10: delete manifests now WALK; a data entry inside one
+        # is malformed and stays loud
+        with pytest.raises(IcebergError, match="delete manifest"):
             read_iceberg(spark, table_path)
 
     def test_transform_gate(self, spark, table_path):
@@ -148,3 +150,120 @@ class TestIceberg:
             f["file_format"] == "PARQUET" and f["file_size_in_bytes"] > 0
             for f in files
         )
+
+    # ---- round-10: format-v2 position deletes --------------------
+
+    def _seed_with_deletes(self, spark, path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_snapshot_files,
+            write_iceberg_commit,
+            write_iceberg_position_deletes,
+        )
+
+        write_iceberg_commit(
+            spark, path,
+            spark.range(30).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 3).cast("int").alias("p"),
+            ),
+            partition_by=["p"],
+        )
+        _m, files = iceberg_snapshot_files(path)
+        doomed = [
+            (r["f"], r["pos"])
+            for r in spark.read.parquet(
+                *[f["file_path"] for f in files]
+            ).select(
+                "id",
+                F.regexp_replace(
+                    F.input_file_name(), "^file:/+", "/"
+                ).alias("f"),
+                F.col("_metadata.row_index").alias("pos"),
+            ).where(F.col("id") % 7 == 3).collect()
+        ]
+        return write_iceberg_position_deletes(spark, path, doomed)
+
+    def test_position_deletes_applied(self, spark, table_path):
+        self._seed_with_deletes(spark, table_path)
+        got = sorted(
+            r["id"] for r in read_iceberg(spark, table_path).collect()
+        )
+        assert got == [i for i in range(30) if i % 7 != 3]
+
+    def test_position_delete_time_travel(self, spark, table_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_snapshot_files,
+        )
+
+        self._seed_with_deletes(spark, table_path)
+        meta, _f, _d = iceberg_snapshot_files(
+            table_path, with_deletes=True
+        )
+        first = meta["snapshots"][0]["snapshot-id"]
+        pre = sorted(
+            r["id"] for r in
+            read_iceberg(spark, table_path, snapshot_id=first).collect()
+        )
+        assert pre == list(range(30))
+
+    def test_snapshot_files_without_flag_gates(self, spark, table_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_snapshot_files,
+        )
+
+        self._seed_with_deletes(spark, table_path)
+        with pytest.raises(IcebergError, match="position-delete"):
+            iceberg_snapshot_files(table_path)
+
+    def test_append_after_delete_carries_tombstones(
+        self, spark, table_path
+    ):
+        from rust_dataframe_spark.sources.iceberg import (
+            write_iceberg_commit,
+        )
+
+        self._seed_with_deletes(spark, table_path)
+        write_iceberg_commit(
+            spark, table_path,
+            spark.createDataFrame([(500, 2)], "id int, p int"),
+            partition_by=["p"],
+        )
+        got = sorted(
+            r["id"] for r in read_iceberg(spark, table_path).collect()
+        )
+        assert got == [i for i in range(30) if i % 7 != 3] + [500]
+        # partition re-injection survives the anti-join
+        pv = {
+            r["p"]: r["count"]
+            for r in read_iceberg(spark, table_path)
+            .groupBy("p").count().collect()
+        }
+        assert sum(pv.values()) == 27 and set(pv) == {0, 1, 2}
+
+    def test_equality_deletes_gate(self, spark, table_path):
+        import json as _json
+        import os as _os
+
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_snapshot_files,
+        )
+
+        self._seed_with_deletes(spark, table_path)
+        # flip the delete file's content field to 2 (equality delete)
+        mdir = _os.path.join(table_path, "metadata")
+        from rust_dataframe_spark.sources.avro import (
+            decode_records, encode_records,
+        )
+        for name in _os.listdir(mdir):
+            if name.endswith("-d0.avro"):
+                with open(_os.path.join(mdir, name), "rb") as fh:
+                    schema, recs = decode_records(fh.read())
+                recs[0]["data_file"]["content"] = 2
+                with open(_os.path.join(mdir, name), "wb") as fh:
+                    fh.write(encode_records(schema, recs,
+                                            codec="deflate"))
+        with pytest.raises(IcebergError, match="quality deletes"):
+            iceberg_snapshot_files(table_path, with_deletes=True)
+        del _json
