@@ -289,3 +289,115 @@ def q458_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
         .orderBy("snap", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q457: Ogg Vorbis decode — codebook/floor/residue/IMDCT end to end
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form, margin-verified): doc d < 16 encodes 3 blocks
+# of blocksize 256, channels 2, with integer MDCT coefficients
+# c(d,b,ch,k) = ((7d + 13b + 29ch + 11k) % 31) - 15 through the REAL
+# Vorbis path (stream-described codebooks, flat unit floor1, residue
+# type 2, Ogg pages with CRCs).  Decode = windowed IMDCT overlap-add
+# of exactly those integers, so the oracle replays the same analytic
+# sum: y(b,j) = sum_k c*cos(pi/512 (2j+1+128)(2k+1)), window
+# w(i) = sin(pi/2 sin^2((i+0.5)/128 pi/2)), segment m sample i =
+# w(127-i) y(m-1, 128+i) + w(i) y(m, i).  Samples quantize as
+# floor(s*1000 + 0.5) — the fixture's minimum distance to a rounding
+# boundary is 2.8e-5 (unit-tested), five orders above the ~1e-12
+# float64 summation-order difference between numpy and DuckDB, so the
+# integer features are engine-exact.  Feature: per (doc, channel) the
+# position-weighted sum of quantized samples (pins order AND values).
+
+
+@query(
+    "q457_vorbis_decode",
+    oracle="""
+    WITH d AS (SELECT unnest(range(0, 16)) AS doc_id),
+    chn AS (SELECT doc_id, unnest(range(0, 2)) AS channel FROM d),
+    bj AS (SELECT doc_id, channel, b.b, j.j
+           FROM chn, (SELECT unnest(range(0, 3)) AS b) b,
+                (SELECT unnest(range(0, 256)) AS j) j),
+    y AS (SELECT doc_id, channel, b, j,
+                 SUM((((7*doc_id + 13*b + 29*channel + 11*k.k) % 31)
+                      - 15)
+                     * cos(pi()/512 * (2*j + 1 + 128) * (2*k.k + 1)))
+                 AS v
+          FROM bj, (SELECT unnest(range(0, 128)) AS k) k
+          GROUP BY doc_id, channel, b, j),
+    seg AS (SELECT doc_id, channel, m.m, i.i,
+                   (m.m - 1) * 128 + i.i AS n
+            FROM chn, (SELECT 1 AS m UNION ALL SELECT 2) m,
+                 (SELECT unnest(range(0, 128)) AS i) i),
+    s AS (SELECT seg.doc_id, seg.channel, seg.n,
+                 sin(pi()/2 * pow(sin((127 - seg.i + 0.5)/128
+                                      * pi()/2), 2)) * yp.v
+                 + sin(pi()/2 * pow(sin((seg.i + 0.5)/128
+                                        * pi()/2), 2)) * yc.v
+                 AS sample
+          FROM seg
+          JOIN y yp ON yp.doc_id = seg.doc_id
+                   AND yp.channel = seg.channel
+                   AND yp.b = seg.m - 1 AND yp.j = 128 + seg.i
+          JOIN y yc ON yc.doc_id = seg.doc_id
+                   AND yc.channel = seg.channel
+                   AND yc.b = seg.m AND yc.j = seg.i)
+    SELECT doc_id, CAST(channel AS INT) AS channel,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(SUM((n + 1) * CAST(FLOOR(sample * 1000 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS qsum
+    FROM s GROUP BY doc_id, channel ORDER BY doc_id, channel
+    """,
+)
+def q457_vorbis_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg Vorbis decode (round 10 — operators/vorbis.py, the Vorbis I
+    spec): stream-described codebooks (canonical lowest-codeword
+    Huffman, VQ lattice lookup), floor1 synthesis, residue-2 partition
+    decode, square-polar uncoupling, IMDCT + Vorbis window + centered
+    overlap-add — implementable under the memorized-constant rule
+    because every entropy table rides in the setup header.  Fixtures
+    cross the REAL encode->Ogg->decode path on executors
+    (Arrow-batched mapInPandas); the oracle replays the analytic
+    windowed-IMDCT algebra and the integer quantization is
+    margin-verified engine-exact."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 16
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from rust_dataframe_spark.operators.vorbis import (
+            decode_vorbis,
+            encode_vorbis,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "channel": [], "n_samples": [],
+                    "qsum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                blocks = [
+                    [[((7 * d + 13 * b + 29 * c + 11 * k) % 31) - 15
+                      for k in range(128)]
+                     for c in range(2)]
+                    for b in range(3)
+                ]
+                blob = encode_vorbis(8000, 2, blocks, blocksize=256)
+                _r, _nch, samples = decode_vorbis(blob)
+                for c in range(2):
+                    s = np.asarray(samples[c])
+                    q = np.floor(s * 1000 + 0.5).astype(np.int64)
+                    n = np.arange(len(q), dtype=np.int64)
+                    rows["doc_id"].append(d)
+                    rows["channel"].append(c)
+                    rows["n_samples"].append(len(q))
+                    rows["qsum"].append(int(((n + 1) * q).sum()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth,
+        "doc_id bigint, channel int, n_samples bigint, qsum bigint",
+    ).orderBy("doc_id", "channel")

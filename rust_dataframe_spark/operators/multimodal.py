@@ -549,7 +549,9 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
     coded LPC, CRC-8/16 + MD5 enforced, EXACT) and Ogg (round 9,
     :mod:`operators.ogg` — RFC 3533 page demux with the Ogg CRC-32
     enforced; FLAC-in-Ogg payloads decode for real through the same
-    FLAC codec, Vorbis/Opus gate loud) by magic.  Same contract as
+    FLAC codec, VORBIS decodes for real since round 10 through
+    :mod:`operators.vorbis` — stream-described codebooks, floor1,
+    residue, IMDCT — quantized to 16-bit; Opus gates loud) by magic.  Same contract as
     decode_wav: ``(sample_rate, n_channels, sample_width, samples)``
     with mono-mixed signed samples at scale ``2^(8*sample_width - 1)``
     — FLAC depths that are not byte multiples (12/20-bit) are shifted
@@ -557,8 +559,8 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
     ``segment_audio`` stays exact.  MP3 (round 9, :mod:`operators.mp3`)
     dispatches too: the frame layer parses for real and digital silence
     decodes EXACT; nonzero spectral data raises (the ISO Huffman/window
-    tables are unverifiable in-sandbox), as do Vorbis/Opus payloads
-    (true DSP codecs; documented gates)."""
+    tables are unverifiable in-sandbox), as do Opus payloads
+    (SILK/CELT; documented gate)."""
     from .aiff_au import decode_aiff, decode_au, is_aiff, is_au
     from .flac import decode_flac, is_flac
     from .mp3 import decode_mp3, is_mp3

@@ -201,10 +201,21 @@ def decode_ogg_audio(data: bytes, *, verify_md5: bool = True):
         except FlacError as e:
             raise OggError(f"mapped FLAC stream invalid: {e}") from e
     if p0[:7] == b"\x01vorbis":
-        raise NotImplementedError(
-            "Ogg Vorbis payload needs an MDCT decoder; only FLAC-in-Ogg "
-            "decodes here (page demux/metadata still real)"
-        )
+        # round 10: real Vorbis decode (operators/vorbis.py — every
+        # entropy table is stream-described, so no memorized-constant
+        # gate applies); floats quantize to 16-bit PCM
+        import math as _math
+
+        from .vorbis import decode_vorbis
+
+        rate, nch, chans = decode_vorbis(data)
+        n = len(chans[0]) if chans else 0
+        inter = []
+        for i in range(n):
+            for c in range(nch):
+                v = int(_math.floor(chans[c][i] * 32767.0 + 0.5))
+                inter.append(max(-32768, min(32767, v)))
+        return rate, nch, 16, inter
     if p0[:8] == b"OpusHead":
         raise NotImplementedError(
             "Ogg Opus payload needs a SILK/CELT decoder; only FLAC-in-Ogg "

@@ -59,6 +59,8 @@ from rust_dataframe_spark.operators.tiff import (
     decode_tiff,
     encode_tiff,
 )
+from rust_dataframe_spark.operators import vorbis as _vorbis
+from rust_dataframe_spark.operators.ogg import OggError as _OggError
 from rust_dataframe_spark.operators.zstd import (
     ZstdError,
     zstd_compress,
@@ -112,6 +114,15 @@ def _fixtures():
               "dispose": 2, "blend": 1},
          ]),
          apng_frames, (ApngError,), True),
+        ("vorbis",
+         _vorbis.encode_vorbis(
+             8000, 2,
+             [[[((7 + 13 * b + 29 * c + 11 * k) % 31) - 15
+                for k in range(128)] for c in range(2)]
+              for b in range(3)],
+         ),
+         _vorbis.decode_vorbis,
+         (_vorbis.VorbisError, _OggError), True),
         ("zstd", zstd_compress(text), zstd_decompress,
          (ZstdError,), True),
         ("zstd_predef",
