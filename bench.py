@@ -25,8 +25,19 @@ from rust_dataframe_spark.context import get_spark
 
 # Headline set: the scan/agg/join/sort/window spine plus extension operators.
 # Kept in sync with catalog as operators land.
-HEADLINE = [
-    # TPC-H-ish spine
+# Headline policy (BASELINE.md, round 10): the CORE set is STABLE —
+# the scan/agg/join/sort/window spine, the TPC-H suite, and one
+# representative per operator family (dedup, ANN, text, stats, EM,
+# training-data ops, lakehouse, one codec rep per media family).  The
+# per-query regression signal lives here and names are only ADDED for
+# genuinely new families.  Bounded-fixture format-matrix queries sit
+# in ROTATION_POOL: each round benches a deterministic 8-name slice
+# (keyed by ROUND), so every codec re-benches periodically while the
+# recorded core stays comparable round over round — regressions in
+# rotated-out codecs are caught by pytest + local 3-rep records.
+ROUND = 10
+
+CORE = [
     "q01_pricing_summary",
     "q02_select_filter_project",
     "q06_revenue_forecast",
@@ -38,7 +49,6 @@ HEADLINE = [
     "q104_tpch_q18",
     "q169_tpch_q10",
     "q170_tpch_q7",
-    # round 4: the completed TPC-H suite's heavy shapes
     "q183_tpch_q2",
     "q185_tpch_q8",
     "q186_tpch_q9",
@@ -51,7 +61,6 @@ HEADLINE = [
     "q26_stats_corr",
     "q31_topk",
     "q33_sort_nulls",
-    # window / array / event
     "q52_window_running",
     "q55_scalar_math2",
     "q57_json",
@@ -60,7 +69,6 @@ HEADLINE = [
     "q85_sessionization",
     "q87_asof_join",
     "q88_range_join",
-    # LLM-pipeline extensions
     "q70_exact_dedup",
     "q72_lsh_near_dup",
     "q75_embedding_topk",
@@ -71,8 +79,6 @@ HEADLINE = [
     "q80_fingerprint",
     "q94_hash_split",
     "q95_repetition",
-    # round 5: analytics depth (regr aggs, DSIR, PQ-ANN, blocking verify,
-    # multi-probe LSH)
     "q202_regression_agg",
     "q203_dsir_weights",
     "q204_pq_adc",
@@ -83,29 +89,20 @@ HEADLINE = [
     "q223_table_fingerprint",
     "q226_rag_e2e",
     "q227_poisson_bootstrap",
-    # round-6 additions: robust stats / runtime filter / exact set-sim join
     "q240_mad_outliers",
     "q242_bloom_semijoin",
     "q247_equidepth_hist",
     "q249_prefix_setjoin",
-    # round-6 final: sketch rollups + ML eval
     "q285_hll_merge",
     "q288_auc",
     "q294_rolling_uniques",
     "q300_curation_pipeline",
-    # round-7 additions: classifier scoring + novelty screen
     "q315_quality_classifier",
     "q319_ngram_novelty",
-    # round-8 additions: span excision, real PNG decode, CDC dedup,
-    # ANN recall certificate
     "q326_span_excision",
     "q327_png_decode",
     "q328_cdc_dedup",
     "q329_ivf_recall",
-    # round-8 additions (cont.): GIF frame decode, Unigram-LM tokenizer + EM
-    # E-step,
-    # Aho-Corasick scan, MMD drift, isotonic calibration, MG heavy hitters
-    "q334_gif_frames",
     "q335_unigram_tokenize",
     "q336_unigram_em_estep",
     "q337_aho_corasick",
@@ -113,15 +110,11 @@ HEADLINE = [
     "q339_isotonic_calibration",
     "q340_misra_gries_hh",
     "q342_jl_distortion",
-    # round-5 session-2 additions: hypothesis battery flagships, histogram
-    # GBDT, density clustering, transport drift
     "q366_mann_whitney",
     "q368_permutation_test",
     "q369_boosted_stumps",
     "q374_dbscan",
     "q377_wasserstein",
-    # round-6 additions: real JPEG decode, filtered ANN, schema evolution,
-    # rank-test completions
     "q387_jpeg_decode",
     "q388_filtered_ann",
     "q389_schema_evolution",
@@ -130,37 +123,44 @@ HEADLINE = [
     "q392_unigram_m_step",
     "q393_fleiss_kappa",
     "q394_group_sequential_obf",
-    # round-7 additions: progressive JPEG, EM training loop, AVI video,
-    # no-split packing, G.711 audio
-    "q395_progressive_jpeg",
     "q396_unigram_em",
     "q397_avi_frames",
     "q398_no_split_packing",
     "q399_g711_audio",
+    "q403_kneser_ney",
+    "q404_bradley_terry",
+    "q410_unigram_em_earlystop",
+    "q420_warc_extract",
+    "q421_archive_explode",
+    "q444_zstd_lz4_shards",
+    "q445_protobuf_logs",
+    "q451_delta_log",
+    "q452_iceberg_table",
+    "q453_hudi_table",
+    "q454_feed_discovery",
+    "q455_iceberg_pos_deletes",
+    "q456_hudi_mor_log",
+    "q457_vorbis_decode",
+    "q458_delta_column_mapping",
+]
+
+ROTATION_POOL = [
+    "q334_gif_frames",
+    "q395_progressive_jpeg",
     "q400_ima_adpcm",
     "q401_png_matrix",
     "q402_ms_adpcm",
-    "q403_kneser_ney",
-    "q404_bradley_terry",
-    # round-8 additions: GIF disposal compositing, stereo ADPCM, COPY
-    # BINARY round-trip, arithmetic JPEG, EM early-stop
     "q405_gif_composite",
     "q406_stereo_ima_adpcm",
     "q407_stereo_ms_adpcm",
     "q408_pgcopy_roundtrip",
     "q409_arithmetic_jpeg",
-    "q410_unigram_em_earlystop",
-    # round-9 additions: MP4 demux wiring, FLAC-in-Ogg, MP3 frame census,
-    # TIFF/BMP matrices, MKV demux, WARC/archive/EPUB ingestion,
-    # subtitles, hierarchical JPEG, robots/URL crawl policy
     "q414_mp4_frames",
     "q415_ogg_flac",
     "q416_mp3_census",
     "q417_tiff_matrix",
     "q418_bmp_matrix",
     "q419_mkv_frames",
-    "q420_warc_extract",
-    "q421_archive_explode",
     "q422_epub_text",
     "q423_subtitle_align",
     "q424_hierarchical_jpeg",
@@ -180,23 +180,19 @@ HEADLINE = [
     "q438_image_transcode",
     "q439_aiff_au",
     "q440_csv_quarantine",
-    # round-9 continuation: TIFF/CCITT/APNG/compression/serialization/
-    # SQLite ingestion surface
     "q441_tiff_ext_matrix",
     "q442_ccitt_fax",
     "q443_apng_composite",
-    "q444_zstd_lz4_shards",
-    "q445_protobuf_logs",
     "q446_msgpack_events",
     "q447_avro_snappy",
     "q448_cbor_events",
     "q449_jpeg_in_tiff",
     "q450_sqlite_ingest",
-    "q451_delta_log",
-    "q452_iceberg_table",
-    "q453_hudi_table",
-    "q454_feed_discovery",
 ]
+
+_rot = [ROTATION_POOL[(ROUND * 8 + i) % len(ROTATION_POOL)]
+        for i in range(8)]
+HEADLINE = CORE + _rot
 
 
 def _other_spark_jvms() -> int:
@@ -301,6 +297,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # the stable comparable core (BASELINE.md policy): totals over
+        # CORE survive both set growth and codec rotation
+        "core_total": round(
+            sum(t for n, t in timings.items() if n in set(CORE)), 3
+        ),
+        "rotation": _rot,
     }
     if reps > 1:
         out["reps"] = reps

@@ -401,3 +401,111 @@ def q457_vorbis_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth,
         "doc_id bigint, channel int, n_samples bigint, qsum bigint",
     ).orderBy("doc_id", "channel")
+
+
+# ---------------------------------------------------------------------------
+# q459: Delta deletion vectors — roaring-bitmap row tombstones
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): commit 0 writes ids 0..29 (p = id % 3);
+# commit 1 appends ids 100..108; commit 2 deletion-vector-deletes
+# every row with id % 7 == 3 (positions harvested from a
+# _metadata.row_index scan, serialized as a portable RoaringBitmapArray
+# with CRC-32 per the protocol, the add actions re-added with DV
+# descriptors and the protocol upgraded to reader 3 + deletionVectors);
+# a CHECKPOINT then collapses the log (DV descriptors must survive
+# it).  Output: per-partition census at the latest snapshot (DVs
+# applied, read through the checkpoint) and at pre-delete version 1.
+
+
+@query(
+    "q459_delta_deletion_vectors",
+    oracle="""
+    WITH c0 AS (SELECT unnest(range(0, 30)) AS id),
+    c1 AS (SELECT 100 + unnest(range(0, 9)) AS id),
+    v1 AS (SELECT id, id % 3 AS p FROM c0
+           UNION ALL SELECT id, id % 3 AS p FROM c1),
+    cur AS (SELECT id, p FROM v1 WHERE id % 7 <> 3),
+    snaps AS (SELECT 'latest' AS snap, p, id FROM cur
+              UNION ALL SELECT 'v1' AS snap, p, id FROM v1)
+    SELECT snap, CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum
+    FROM snaps GROUP BY snap, p ORDER BY snap, p
+    """,
+)
+def q459_delta_deletion_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta deletion vectors (round 10 — sources/delta.py +
+    operators/roaring.py, PROTOCOL.md 'Deletion Vectors' over the
+    public RoaringFormatSpec): row tombstones ride as portable
+    roaring bitmaps (array/bitmap/run containers, 64-bit bucket
+    wrapper, CRC-32 + cardinality enforced), decode on EXECUTORS via
+    mapInPandas over the per-file descriptors, and apply as ONE
+    anti-join on (data-file basename, _metadata.row_index) — the same
+    shape as Iceberg position deletes (q455).  Descriptors survive
+    checkpoint bootstrap; time travel to the pre-delete version still
+    sees every row."""
+    import os
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.delta import (
+        delta_snapshot_files,
+        read_delta,
+        write_delta_checkpoint,
+        write_delta_commit,
+        write_delta_delete_rows,
+    )
+
+    path = _scratch("delta_dv", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta_commit(
+        spark, path,
+        spark.range(30).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        ),
+        partition_by=["p"],
+    )
+    write_delta_commit(
+        spark, path,
+        spark.range(100, 109).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        ),
+        partition_by=["p"],
+    )
+    _m, adds = delta_snapshot_files(spark, path)
+    by_base = {os.path.basename(a["path"]): a["path"] for a in adds}
+    doomed: dict[str, list[int]] = {}
+    for r in (
+        spark.read.parquet(
+            *[os.path.join(path, a["path"]) for a in adds]
+        )
+        .select(
+            "id",
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                "b"
+            ),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .where(F.col("id") % 7 == 3)
+        .collect()
+    ):
+        doomed.setdefault(by_base[r["b"]], []).append(r["pos"])
+    write_delta_delete_rows(spark, path, doomed)
+    write_delta_checkpoint(spark, path)
+    latest = read_delta(spark, path).withColumn(
+        "snap", F.lit("latest")
+    )
+    v1 = read_delta(spark, path, version=1).withColumn(
+        "snap", F.lit("v1")
+    )
+    return (
+        latest.unionByName(v1)
+        .groupBy("snap", "p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
+        .orderBy("snap", "p")
+    )

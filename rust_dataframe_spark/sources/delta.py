@@ -23,9 +23,16 @@ Reader surface:
   ``spark.read.parquet`` scan and joins the per-file partition values
   back over ``input_file_name()`` with a broadcast map — one
   distributed scan, no per-partition union chain, scale-safe at 100 TB;
-* loud gates: ``minReaderVersion > 1`` / reader features (deletion
-  vectors, column mapping), missing metaData, overlapping add+remove
-  anomalies, checkpoint/schema desync.
+* **column mapping** 'name' mode (round 10): physical parquet names
+  rename to logical per ``delta.columnMapping.physicalName``, with
+  physically-keyed partitionValues translated per column;
+* **deletion vectors** (round 10): roaring-bitmap row tombstones
+  (operators/roaring.py) decode on EXECUTORS from inline ('i'),
+  path ('p') and uuid ('u') storage, CRC-32 + cardinality enforced,
+  and apply as one anti-join on (file basename, _metadata.row_index);
+* loud gates: unknown reader features (v2 checkpoints, type
+  widening...), column-mapping 'id' mode, missing metaData, log gaps,
+  checkpoint/schema desync.
 
 The writer half produces conformant commits (metaData/protocol on
 commit 0, add actions with partitionValues and stats row counts,
@@ -59,6 +66,7 @@ __all__ = [
     "delta_snapshot_files",
     "write_delta_commit",
     "write_delta_checkpoint",
+    "write_delta_delete_rows",
 ]
 
 
@@ -102,7 +110,48 @@ _MAX_LIVE_FILES = 1_000_000
 # Reader features this reader actually implements.  minReaderVersion 2
 # IS the column-mapping protocol version (PROTOCOL.md: reader version
 # 2 = column mapping); version 3 tables list explicit readerFeatures.
-_SUPPORTED_READER_FEATURES = {"columnMapping"}
+# deletionVectors landed in round 10 (roaring-bitmap row tombstones,
+# operators/roaring.py).
+_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
+
+# ZeroMQ Z85 alphabet (PUBLIC spec, rfc.zeromq.org/spec/32) — Delta
+# encodes inline DVs and DV-file UUIDs with it.
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INV = {c: i for i, c in enumerate(_Z85)}
+
+
+def _z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise DeltaError("z85 payload length not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for ch in s[i : i + 5]:
+            v = _Z85_INV.get(ch)
+            if v is None:
+                raise DeltaError(f"invalid z85 character {ch!r}")
+            acc = acc * 85 + v
+        if acc >> 32:
+            raise DeltaError("z85 group overflows 32 bits")
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _z85_encode(b: bytes) -> str:
+    if len(b) % 4:
+        raise DeltaError("z85 encode needs a multiple of 4 bytes")
+    out = []
+    for i in range(0, len(b), 4):
+        acc = int.from_bytes(b[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85[acc % 85])
+            acc //= 85
+        out += reversed(chunk)
+    return "".join(out)
 
 
 def _check_protocol(proto: dict) -> None:
@@ -127,6 +176,65 @@ def _decode_path(p: str) -> str:
     URL-encoded relative path); partition values with spaces/specials
     yield %XX sequences that must be decoded before touching the FS."""
     return urllib.parse.unquote(p)
+
+
+def _read_dv_positions(dv: dict, table_path: str) -> list[int]:
+    """Decode one deletionVector descriptor to its deleted row
+    positions (PROTOCOL.md 'Deletion Vectors'): storageType 'i' holds
+    the z85-encoded bitmap inline; 'p' an absolute DV-file path; 'u' a
+    '<prefix><z85 uuid>' whose file is
+    ``<prefix>/deletion_vector_<uuid>.bin`` under the table root.  DV
+    files carry a 1-byte format version, then per DV a big-endian
+    length, the RoaringBitmapArray payload and a CRC-32 — length,
+    checksum and declared cardinality are all enforced."""
+    import struct as _struct
+    import zlib
+
+    from ..operators.roaring import roaring64_decode
+
+    st = dv.get("storageType")
+    if st == "i":
+        vals = roaring64_decode(_z85_decode(dv["pathOrInlineDv"]))
+    elif st in ("p", "u"):
+        if st == "p":
+            fpath = dv["pathOrInlineDv"]
+        else:
+            enc = dv["pathOrInlineDv"]
+            if len(enc) < 20:
+                raise DeltaError("u-storage DV id shorter than a uuid")
+            prefix, tail = enc[:-20], enc[-20:]
+            uu = uuid.UUID(bytes=_z85_decode(tail))
+            fpath = os.path.join(
+                table_path, prefix, f"deletion_vector_{uu}.bin"
+            ) if prefix else os.path.join(
+                table_path, f"deletion_vector_{uu}.bin"
+            )
+        with open(fpath, "rb") as fh:
+            blob = fh.read()
+        if not blob or blob[0] != 1:
+            raise DeltaError("DV file format version != 1")
+        offset = int(dv.get("offset") or 0)
+        size = int(dv["sizeInBytes"])
+        if offset + 8 + size > len(blob):
+            raise DeltaError("DV offset/size overruns the file")
+        (dlen,) = _struct.unpack_from(">I", blob, offset)
+        if dlen != size:
+            raise DeltaError(
+                f"DV length field {dlen} != descriptor size {size}"
+            )
+        data = blob[offset + 4 : offset + 4 + size]
+        (crc,) = _struct.unpack_from(">I", blob, offset + 4 + size)
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise DeltaError("DV checksum mismatch")
+        vals = roaring64_decode(data)
+    else:
+        raise DeltaError(f"DV storage type {st!r} unsupported")
+    card = dv.get("cardinality")
+    if card is not None and int(card) != len(vals):
+        raise DeltaError(
+            f"DV cardinality {card} != decoded {len(vals)}"
+        )
+    return vals
 
 
 def delta_snapshot_files(
@@ -207,6 +315,15 @@ def delta_snapshot_files(
                 if "size" in add_fields
                 else F.lit(None).cast("bigint").alias("size")
             )
+            dv_ddl = (
+                "struct<storageType:string,pathOrInlineDv:string,"
+                "offset:int,sizeInBytes:int,cardinality:bigint>"
+            )
+            sel.append(
+                F.col("add.deletionVector").alias("deletionVector")
+                if "deletionVector" in add_fields
+                else F.lit(None).cast(dv_ddl).alias("deletionVector")
+            )
             adds = cp_df.where(F.col("add.path").isNotNull()).select(
                 *sel
             )
@@ -233,6 +350,10 @@ def delta_snapshot_files(
                     "path": r["path"],
                     "partitionValues": dict(r["partitionValues"] or {}),
                     "size": r["size"],
+                    "deletionVector": (
+                        r["deletionVector"].asDict()
+                        if r["deletionVector"] is not None else None
+                    ),
                 }
         start = cp + 1
     for v in range(start, want + 1):
@@ -327,48 +448,101 @@ def read_delta(
     files = [
         os.path.join(path, _decode_path(a["path"])) for a in adds
     ]
+    dvs = [
+        (os.path.basename(f), json.dumps(a["deletionVector"]))
+        for a, f in zip(adds, files)
+        if a.get("deletionVector")
+        and a["deletionVector"].get("storageType")
+    ]
     df = spark.read.parquet(*files)
+    need_key = bool(part_cols) or bool(dvs)
+    sel = [F.col(f"`{c}`") for c in df.columns]
+    if need_key:
+        # basename + row position captured ON THE SCAN (after a join
+        # input_file_name/_metadata would be ambiguous)
+        sel.append(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                "__delta_base"
+            )
+        )
+    if dvs:
+        sel.append(F.col("_metadata.row_index").alias("__delta_pos"))
+    df = df.select(*sel)
     if mapping:
-        unknown = [c for c in df.columns if c not in mapping]
+        data_cols = [
+            c for c in df.columns
+            if c not in ("__delta_base", "__delta_pos")
+        ]
+        unknown = [c for c in data_cols if c not in mapping]
         if unknown:
             raise DeltaError(
                 f"column mapping: physical columns {unknown} not in "
                 "metaData.schemaString"
             )
         df = df.select(
-            *[F.col(f"`{c}`").alias(mapping[c]) for c in df.columns]
+            *[F.col(f"`{c}`").alias(mapping[c]) for c in data_cols],
+            *[F.col(c) for c in df.columns if c not in data_cols],
         )
-    if not part_cols:
-        return df
-    # file -> partition values map, broadcast-joined on input_file_name.
-    # Under column mapping, partitionValues keys are PHYSICAL names
-    # (PROTOCOL.md writer requirements) while partitionColumns are
-    # logical — translate per column.
-    logical_to_phys = (
-        {v: k for k, v in mapping.items()} if mapping else {}
-    )
-    file_to_vals = []
-    for a, f in zip(adds, files):
-        pv = a.get("partitionValues") or {}
-        vals = []
+    if dvs:
+        # deletion vectors: decode roaring tombstones on EXECUTORS
+        # (mapInPandas over the per-file descriptors), anti-join on
+        # (basename, row position) — the Iceberg-position-delete shape
+        table_path = os.path.abspath(path)
+        desc_df = spark.createDataFrame(
+            dvs, "__delta_base string, dv string"
+        )
+
+        def expand(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = {"__delta_base": [], "__delta_pos": []}
+                for base, dvj in zip(pdf["__delta_base"], pdf["dv"]):
+                    for p in _read_dv_positions(
+                        json.loads(dvj), table_path
+                    ):
+                        rows["__delta_base"].append(base)
+                        rows["__delta_pos"].append(p)
+                yield pd.DataFrame(rows)
+
+        del_df = desc_df.mapInPandas(
+            expand, "__delta_base string, __delta_pos bigint"
+        )
+        df = df.join(
+            del_df, ["__delta_base", "__delta_pos"], "left_anti"
+        ).drop("__delta_pos")
+    if part_cols:
+        # file -> partition values map, broadcast-joined on the scan
+        # basename.  Under column mapping, partitionValues keys are
+        # PHYSICAL names (PROTOCOL.md writer requirements) while
+        # partitionColumns are logical — translate per column.
+        logical_to_phys = (
+            {v: k for k, v in mapping.items()} if mapping else {}
+        )
+        file_to_vals = []
+        for a, f in zip(adds, files):
+            pv = a.get("partitionValues") or {}
+            vals = []
+            for c in part_cols:
+                k = logical_to_phys.get(c, c)
+                if k not in pv:
+                    raise DeltaError(
+                        f"add {a['path']}: partitionValues missing {k!r}"
+                    )
+                vals.append(pv[k])
+            file_to_vals.append((os.path.abspath(f), vals))
+        df = attach_file_values(
+            df, spark, file_to_vals, part_cols,
+            err_cls=DeltaError, tag="delta", key_col="__delta_base",
+        )
         for c in part_cols:
-            k = logical_to_phys.get(c, c)
-            if k not in pv:
-                raise DeltaError(
-                    f"add {a['path']}: partitionValues missing {k!r}"
-                )
-            vals.append(pv[k])
-        file_to_vals.append((os.path.abspath(f), vals))
-    out = attach_file_values(
-        df, spark, file_to_vals, part_cols,
-        err_cls=DeltaError, tag="delta",
-    )
-    for c in part_cols:
-        typ = type_by_name.get(c, "string")
-        out = out.withColumn(c, F.col(f"__pv_{c}").cast(typ)).drop(
-            f"__pv_{c}"
-        )
-    return out
+            typ = type_by_name.get(c, "string")
+            df = df.withColumn(
+                c, F.col(f"__pv_{c}").cast(typ)
+            ).drop(f"__pv_{c}")
+    if need_key:
+        df = df.drop("__delta_base")
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -610,7 +784,9 @@ def write_delta_checkpoint(spark: SparkSession, path: str) -> int:
             "json",
             "add struct<path:string,partitionValues:map<string,string>,"
             "size:bigint,modificationTime:bigint,dataChange:boolean,"
-            "stats:string>, "
+            "stats:string,deletionVector:struct<storageType:string,"
+            "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
+            "cardinality:bigint>>, "
             "remove struct<path:string,deletionTimestamp:bigint,"
             "dataChange:boolean>, "
             "metaData struct<id:string,schemaString:string,"
@@ -631,4 +807,83 @@ def write_delta_checkpoint(spark: SparkSession, path: str) -> int:
     with open(os.path.join(path, _LOG, "_last_checkpoint"), "w",
               encoding="utf-8") as fh:
         fh.write(json.dumps({"version": version, "size": len(rows)}))
+    return version
+
+
+def write_delta_delete_rows(
+    spark: SparkSession,
+    path: str,
+    deletes: dict[str, list[int]],
+) -> int:
+    """Append one deletion-vector commit: ``deletes`` maps an add
+    action's (encoded) relative path to row positions to tombstone.
+    Per target the commit removes the old add and re-adds the SAME
+    data file with a deletionVector descriptor (storageType 'p')
+    pointing into one shared DV file (1-byte version, then per DV a
+    big-endian length + RoaringBitmapArray payload + CRC-32).  The
+    commit also upgrades the protocol to reader 3 / writer 7 with the
+    deletionVectors feature.  Returns the commit version."""
+    import struct as _struct
+    import zlib
+
+    from ..operators.roaring import roaring64_encode
+
+    if not deletes:
+        raise DeltaError("empty delete set")
+    meta, adds = delta_snapshot_files(spark, path)
+    by_path = {a["path"]: a for a in adds}
+    commits, checkpoints = _list_log(path)
+    version = max(commits + checkpoints) + 1
+    ts = int(time.time() * 1000)
+    dv_file = os.path.join(
+        path, f"deletion_vector_{uuid.uuid4()}.bin"
+    )
+    blob = bytearray(b"\x01")
+    actions: list[dict] = []
+    feats = ["deletionVectors"]
+    if _column_mapping(meta):
+        feats.append("columnMapping")
+    actions.append({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": sorted(feats),
+        "writerFeatures": sorted(feats),
+    }})
+    for rel, positions in sorted(deletes.items()):
+        a = by_path.get(rel)
+        if a is None:
+            raise DeltaError(f"no live add action for {rel!r}")
+        if a.get("deletionVector"):
+            raise DeltaError(
+                f"{rel!r} already carries a DV (merge unsupported — "
+                "delete against the merged positions instead)"
+            )
+        vals = sorted({int(p) for p in positions})
+        if not vals:
+            raise DeltaError(f"empty position list for {rel!r}")
+        data = roaring64_encode(vals)
+        offset = len(blob)
+        blob += _struct.pack(">I", len(data)) + data
+        blob += _struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        actions.append({"remove": {
+            "path": rel, "deletionTimestamp": ts, "dataChange": True,
+        }})
+        new_add = {
+            k: v for k, v in a.items() if k != "deletionVector"
+        }
+        new_add["dataChange"] = True
+        new_add["modificationTime"] = ts
+        new_add["deletionVector"] = {
+            "storageType": "p",
+            "pathOrInlineDv": os.path.abspath(dv_file),
+            "offset": offset,
+            "sizeInBytes": len(data),
+            "cardinality": len(vals),
+        }
+        actions.append({"add": new_add})
+    with open(dv_file, "wb") as fh:
+        fh.write(bytes(blob))
+    with open(os.path.join(path, _LOG, _commit_name(version)), "w",
+              encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
     return version

@@ -105,12 +105,17 @@ class TestOggFlac:
         with pytest.raises(OggError, match="EOS|mid-packet"):
             decode_ogg_packets(ogg[:first_end])
 
-    def test_vorbis_and_opus_gate(self):
-        # hand-lace a single BOS+EOS page around a Vorbis id packet
+    def test_vorbis_dispatches_and_opus_gates(self):
+        # round 10: Vorbis decodes for real (a bare id packet with a
+        # zero version but no setup headers raises the TYPED Vorbis
+        # error); Opus keeps its loud gate
         from rust_dataframe_spark.operators.ogg import _crc32_ogg
+        from rust_dataframe_spark.operators.vorbis import VorbisError
 
-        for ident, name in ((b"\x01vorbis" + b"\x00" * 23, "Vorbis"),
-                            (b"OpusHead" + b"\x00" * 11, "Opus")):
+        for ident, exc, pat in (
+            (b"\x01vorbis" + b"\x00" * 23, VorbisError, "header"),
+            (b"OpusHead" + b"\x00" * 11, NotImplementedError, "Opus"),
+        ):
             page = bytearray(
                 b"OggS\x00\x06"
                 + struct.pack("<q", 0)
@@ -119,7 +124,7 @@ class TestOggFlac:
                 + ident
             )
             page[22:26] = struct.pack("<I", _crc32_ogg(bytes(page)))
-            with pytest.raises(NotImplementedError, match=name):
+            with pytest.raises(exc, match=pat):
                 decode_ogg_audio(bytes(page))
 
     def test_not_ogg_fails_loud(self):
