@@ -123,13 +123,21 @@ def _read_instant(path: str, ts: int, kind: str) -> dict:
     return json.loads(raw) if raw else {}
 
 
+# File-axis budget for the driver-side slice listing (path strings,
+# ~150 B/entry -> the default caps near 300 MB), mirroring the Delta
+# max_live_files discipline; raise explicitly for larger tables.
+_MAX_FILES = 2_000_000
+
+
 def hudi_snapshot_files(
-    path: str, *, as_of: int | None = None, mor_ok: bool = False
+    path: str, *, as_of: int | None = None, mor_ok: bool = False,
+    max_files: int = _MAX_FILES,
 ) -> list[tuple[str, str]]:
     """Live BASE file slices at the latest (or ``as_of``) completed
     instant.  Returns ``[(relative partition path, absolute file
     path), ...]``.  ``mor_ok`` admits merge-on-read timelines (the MOR
-    reader overlays log files on top of these base slices)."""
+    reader overlays log files on top of these base slices); the
+    listing is bounded by the loud ``max_files`` budget."""
     instants = _timeline(path, mor_ok=mor_ok)
     usable = [t for t in instants if as_of is None or t[0] <= as_of]
     if not usable:
@@ -179,6 +187,11 @@ def hudi_snapshot_files(
             cand = (ts, part, os.path.join(root, name))
             if key not in best or cand[0] > best[key][0]:
                 best[key] = cand
+            if len(best) > max_files:
+                raise HudiError(
+                    f"table exceeds {max_files} file slices (raise "
+                    "max_files explicitly to proceed)"
+                )
     return [(p, f) for _ts, p, f in sorted(best.values())]
 
 

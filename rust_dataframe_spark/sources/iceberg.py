@@ -209,11 +209,69 @@ def _snapshot_manifest_entries(path: str, meta: dict, want) -> list[dict]:
     return manifests
 
 
+# File-axis budget for the live-entry list collected to the driver
+# (it parameterizes the one distributed scan) — the Delta
+# max_live_files discipline (sources/delta.py) applied to manifests.
+_MAX_LIVE_FILES = 1_000_000
+
+# Manifest-count threshold above which the manifest WALK itself is
+# distributed: each manifest decodes on an executor (the repo's own
+# pure-Python Avro codec ships fine in a closure) and only the
+# (status, content, file_path, partition, ...) tuples return.  Below
+# it, driver-side decode is faster than a Spark job round trip.
+_DISTRIBUTE_MANIFESTS_FROM = 64
+
+
+def _decode_manifest_entries(man_path: str) -> list[dict]:
+    with open(man_path, "rb") as fh:
+        _s, entries = decode_records(fh.read())
+    return entries
+
+
+def _walk_manifests(
+    manifests: list[dict], path: str, spark=None
+) -> list[tuple[int, list[dict]]]:
+    """[(manifest content flag, decoded entries), ...] — distributed
+    via mapInPandas when the manifest list is large and a live
+    SparkSession is available."""
+    jobs = [
+        (m.get("content", 0), _localize(path, m["manifest_path"]))
+        for m in manifests
+    ]
+    if spark is None or len(jobs) < _DISTRIBUTE_MANIFESTS_FROM:
+        return [(c, _decode_manifest_entries(p)) for c, p in jobs]
+    import json as _json
+
+    jdf = spark.createDataFrame(jobs, "content int, man_path string")
+
+    def work(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"content": [], "entries": []}
+            for c, p in zip(pdf["content"], pdf["man_path"]):
+                rows["content"].append(int(c))
+                rows["entries"].append(
+                    _json.dumps(_decode_manifest_entries(p))
+                )
+            yield pd.DataFrame(rows)
+
+    out = [
+        (r["content"], _json.loads(r["entries"]))
+        for r in jdf.mapInPandas(
+            work, "content int, entries string"
+        ).collect()
+    ]
+    return out
+
+
 def iceberg_snapshot_files(
     path: str,
     *,
     snapshot_id: int | None = None,
     with_deletes: bool = False,
+    max_live_files: int = _MAX_LIVE_FILES,
+    spark=None,
 ) -> tuple[dict, list[dict]] | tuple[dict, list[dict], list[dict]]:
     """Returns ``(metadata json, live data_file dicts)`` for the
     chosen snapshot — or, with ``with_deletes=True``, a 3-tuple whose
@@ -221,7 +279,10 @@ def iceberg_snapshot_files(
     Without the flag a table carrying delete files raises loudly
     rather than reading deleted rows back as live.  Equality deletes
     (content == 2) always gate: applying them needs sequence-number
-    scoping this reader does not implement."""
+    scoping this reader does not implement.  Passing ``spark``
+    distributes the manifest decode for large manifest lists; the
+    final live list is bounded by the loud ``max_live_files``
+    budget either way."""
     meta, _v = _load_metadata(path)
     snaps = meta.get("snapshots") or []
     if not snaps:
@@ -232,11 +293,12 @@ def iceberg_snapshot_files(
     manifests = _snapshot_manifest_entries(path, meta, want)
     files: list[dict] = []
     deletes: list[dict] = []
-    for m in manifests:
-        man_content = m.get("content", 0)
-        man_path = _localize(path, m["manifest_path"])
-        with open(man_path, "rb") as fh:
-            _s2, entries = decode_records(fh.read())
+    for man_content, entries in _walk_manifests(manifests, path, spark):
+        if len(files) + len(entries) > max_live_files:
+            raise IcebergError(
+                f"snapshot exceeds {max_live_files} manifest entries "
+                "(raise max_live_files explicitly to proceed)"
+            )
         for e in entries:
             if e.get("status") == 2:
                 continue  # deleted
@@ -294,7 +356,7 @@ def read_iceberg(
     hit a row it wasn't written against.  Equality deletes DO need
     sequence numbers and stay gated loudly."""
     meta, files, deletes = iceberg_snapshot_files(
-        path, snapshot_id=snapshot_id, with_deletes=True
+        path, snapshot_id=snapshot_id, with_deletes=True, spark=spark
     )
     parts = _partition_fields(meta)
     if not files:
@@ -426,7 +488,7 @@ def write_iceberg_commit(
     carry_deletes: list[dict] = []
     if meta.get("current-snapshot-id", -1) != -1 and meta["snapshots"]:
         _m, live, _dels = iceberg_snapshot_files(
-            path, with_deletes=True
+            path, with_deletes=True, spark=spark
         )
         carry_deletes = [
             m for m in _snapshot_manifest_entries(

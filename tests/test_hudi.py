@@ -273,3 +273,8 @@ class TestHudiMor:
                 spark.createDataFrame([(1, 1, 0)],
                                       "id int, v int, p int"),
             )
+
+    def test_max_files_budget(self, spark, table_path):
+        _seed(spark, table_path)
+        with pytest.raises(HudiError, match="max_files"):
+            hudi_snapshot_files(table_path, max_files=1)

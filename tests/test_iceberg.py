@@ -267,3 +267,31 @@ class TestIceberg:
         with pytest.raises(IcebergError, match="quality deletes"):
             iceberg_snapshot_files(table_path, with_deletes=True)
         del _json
+
+    def test_max_live_files_budget(self, spark, table_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_snapshot_files,
+        )
+
+        _seed(spark, table_path)
+        with pytest.raises(IcebergError, match="max_live_files"):
+            iceberg_snapshot_files(table_path, max_live_files=1)
+
+    def test_distributed_manifest_walk_matches_driver_walk(
+        self, spark, tmp_path
+    ):
+        # force the mapInPandas path by dropping the threshold; the
+        # decoded entry set must be identical to the driver-side walk
+        from rust_dataframe_spark.sources import iceberg as I
+
+        path = str(tmp_path / "ice_dist")
+        _seed(spark, path)
+        _m, a = I.iceberg_snapshot_files(path)
+        old = I._DISTRIBUTE_MANIFESTS_FROM
+        I._DISTRIBUTE_MANIFESTS_FROM = 0
+        try:
+            _m2, b = I.iceberg_snapshot_files(path, spark=spark)
+        finally:
+            I._DISTRIBUTE_MANIFESTS_FROM = old
+        key = lambda d: d["file_path"]  # noqa: E731
+        assert sorted(a, key=key) == sorted(b, key=key)

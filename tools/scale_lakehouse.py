@@ -127,6 +127,75 @@ def _fabricate(spark, path: str, n_files: int) -> None:
     shutil.rmtree(tmp)
 
 
+def _fabricate_iceberg(path: str, n_files: int, n_manifests: int) -> None:
+    """Spec-shaped metadata with n_files entries spread over
+    n_manifests manifest Avro files (no real parquet — metadata axis)."""
+    from rust_dataframe_spark.sources.avro import encode_records
+    from rust_dataframe_spark.sources.iceberg import (
+        _MANIFEST_LIST_SCHEMA, _manifest_schema,
+    )
+
+    mdir = os.path.join(path, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    man_schema = _manifest_schema([("p", "int")])
+    ml_entries = []
+    per = (n_files + n_manifests - 1) // n_manifests
+    k = 0
+    for mi in range(n_manifests):
+        entries = []
+        for _ in range(min(per, n_files - k)):
+            entries.append({
+                "status": 1, "snapshot_id": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.join(
+                        path, "data", f"p={k % 32}",
+                        f"f{k:07d}.parquet",
+                    ),
+                    "file_format": "PARQUET",
+                    "partition": {"p": k % 32},
+                    "record_count": 10,
+                    "file_size_in_bytes": 1024,
+                },
+            })
+            k += 1
+        man_path = os.path.join(mdir, f"m{mi:05d}.avro")
+        with open(man_path, "wb") as fh:
+            fh.write(encode_records(man_schema, entries,
+                                    codec="deflate"))
+        ml_entries.append({
+            "manifest_path": man_path,
+            "manifest_length": os.path.getsize(man_path),
+            "partition_spec_id": 0, "content": 0,
+            "added_snapshot_id": 1,
+        })
+    ml_path = os.path.join(mdir, "snap-1.avro")
+    with open(ml_path, "wb") as fh:
+        fh.write(encode_records(_MANIFEST_LIST_SCHEMA, ml_entries,
+                                codec="deflate"))
+    meta = {
+        "format-version": 2, "table-uuid": "scale", "location": path,
+        "last-updated-ms": 0, "last-column-id": 2,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "int"},
+            {"id": 2, "name": "p", "required": False, "type": "int"},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "p", "transform": "identity", "source-id": 2,
+             "field-id": 1000},
+        ]}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+                       "manifest-list": ml_path, "summary": {}}],
+        "current-snapshot-id": 1,
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+
 def main() -> None:
     from rust_dataframe_spark.sources.delta import (
         DeltaError, delta_snapshot_files,
@@ -159,6 +228,41 @@ def main() -> None:
         finally:
             shutil.rmtree(path, ignore_errors=True)
     print(json.dumps({"metric": "delta_metadata_replay", "rows": out}))
+
+    from rust_dataframe_spark.sources.iceberg import (
+        IcebergError, iceberg_snapshot_files,
+    )
+
+    out2 = []
+    for n in (100, 1_000, 10_000, 100_000):
+        path = tempfile.mkdtemp(prefix=f"ice{n}_")
+        try:
+            # >=128 manifests for the big sizes so the distributed
+            # walk path (mapInPandas decode) is what gets measured
+            n_man = 1 if n <= 1_000 else 128
+            _fabricate_iceberg(path, n, n_man)
+            rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            t0 = time.time()
+            _meta, files = iceberg_snapshot_files(path, spark=spark)
+            wall = time.time() - t0
+            rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            assert len(files) == n, (len(files), n)
+            try:
+                iceberg_snapshot_files(
+                    path, spark=spark, max_live_files=n - 1
+                )
+                raise AssertionError("budget guard did not raise")
+            except IcebergError:
+                pass
+            out2.append({
+                "files": n, "manifests": n_man,
+                "wall_s": round(wall, 3),
+                "driver_rss_delta_kb": rss1 - rss0,
+            })
+            print(json.dumps(out2[-1]))
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+    print(json.dumps({"metric": "iceberg_manifest_walk", "rows": out2}))
 
 
 if __name__ == "__main__":
