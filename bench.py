@@ -142,6 +142,8 @@ CORE = [
     "q456_hudi_mor_log",
     "q457_vorbis_decode",
     "q458_delta_column_mapping",
+    "q459_delta_deletion_vectors",
+    "q460_iceberg_eq_deletes",
 ]
 
 ROTATION_POOL = [

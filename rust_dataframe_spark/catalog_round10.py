@@ -509,3 +509,83 @@ def q459_delta_deletion_vectors(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
         .orderBy("snap", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q460: Iceberg v2 equality deletes — sequence-number-scoped anti-join
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): snapshot A (seq 1) writes ids 0..29
+# (p = id % 3); snapshot B (seq 2) EQUALITY-deletes keys id in
+# {3, 10, 17, 24}; snapshot C (seq 3) re-appends id 3 (p=0) — the
+# re-appended key has data seq 3 > delete seq 2, so the spec's
+# temporal scoping keeps it while the seq-1 original stays dead.
+# Output: per-partition census at the current snapshot and at
+# pre-delete snapshot A.
+
+
+@query(
+    "q460_iceberg_eq_deletes",
+    oracle="""
+    WITH c0 AS (SELECT unnest(range(0, 30)) AS id),
+    pre AS (SELECT id, id % 3 AS p FROM c0),
+    cur AS (SELECT id, p FROM pre WHERE id NOT IN (3, 10, 17, 24)
+            UNION ALL SELECT 3 AS id, 0 AS p),
+    snaps AS (SELECT 'current' AS snap, p, id FROM cur
+              UNION ALL SELECT 'pre' AS snap, p, id FROM pre)
+    SELECT snap, CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum
+    FROM snaps GROUP BY snap, p ORDER BY snap, p
+    """,
+)
+def q460_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg format-v2 EQUALITY deletes (round 10 —
+    sources/iceberg.py, the public table spec): delete files carry
+    equality-column values plus a sequence number; a data row dies
+    when a delete row with a STRICTLY newer sequence number matches
+    it null-safely on the equality columns — one broadcast anti-join
+    per delete group, with data-file sequence numbers attached via
+    the basename broadcast map.  The fixture pins the temporal
+    semantics: a key re-appended AFTER its equality delete survives
+    while the older copy stays dead.  This closes the last Iceberg
+    row-level-delete gate (q455 covered position deletes)."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.iceberg import (
+        read_iceberg,
+        write_iceberg_commit,
+        write_iceberg_equality_deletes,
+    )
+
+    path = _scratch("iceberg_eqdel", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    s_pre = write_iceberg_commit(
+        spark, path,
+        spark.range(30).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        ),
+        partition_by=["p"],
+    )
+    write_iceberg_equality_deletes(
+        spark, path,
+        spark.createDataFrame([(3,), (10,), (17,), (24,)], "id int"),
+        ["id"],
+    )
+    write_iceberg_commit(
+        spark, path,
+        spark.createDataFrame([(3, 0)], "id int, p int"),
+        partition_by=["p"],
+    )
+    cur = read_iceberg(spark, path).withColumn("snap", F.lit("current"))
+    pre = read_iceberg(spark, path, snapshot_id=s_pre).withColumn(
+        "snap", F.lit("pre")
+    )
+    return (
+        cur.unionByName(pre)
+        .groupBy("snap", "p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
+        .orderBy("snap", "p")
+    )

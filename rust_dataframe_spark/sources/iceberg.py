@@ -22,8 +22,14 @@ Reader surface:
   apply as ONE broadcast anti-join on ``(data-file basename,
   _metadata.row_index)`` — path identity makes sequence-number
   scoping unnecessary (data files are immutable and paths never
-  reused), no per-file loops; EQUALITY deletes (``content == 2``)
-  gate loudly, as they do need sequence-number scoping;
+  reused), no per-file loops;
+* **format-v2 EQUALITY deletes** (round 10): full sequence-number
+  scoping — data files take their data sequence number (entry value
+  or manifest inheritance), every equality-delete group applies as a
+  broadcast anti-join with null-safe key equality AND ``delete seq >
+  data seq``, so keys re-appended after the delete survive (the
+  spec's temporal semantics); writers stamp ``last-sequence-number``
+  / snapshot / manifest / entry sequence numbers throughout;
 * identity-transform partition values re-injected through the same
   one-scan ``input_file_name`` broadcast-map join as the Delta reader
   (no per-partition unions); non-identity transforms (bucket/truncate/
@@ -57,6 +63,7 @@ __all__ = [
     "iceberg_snapshot_files",
     "write_iceberg_commit",
     "write_iceberg_position_deletes",
+    "write_iceberg_equality_deletes",
 ]
 
 
@@ -71,9 +78,18 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "added_snapshot_id", "type": "long"},
     ],
 }
+
+_ML_KEYS = ("manifest_path", "manifest_length", "partition_spec_id",
+            "content", "sequence_number", "added_snapshot_id")
+
+
+def _ml_entry(m: dict) -> dict:
+    return {k: m.get(k) if k == "sequence_number" else m[k]
+            for k in _ML_KEYS}
 
 
 def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
@@ -82,6 +98,7 @@ def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
         "fields": [
             {"name": "status", "type": "int"},
             {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
             {"name": "data_file", "type": {
                 "type": "record", "name": "data_file",
                 "fields": [
@@ -97,6 +114,9 @@ def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
                     }},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array",
+                                       "items": "int"}]},
                 ],
             }},
         ],
@@ -230,36 +250,43 @@ def _decode_manifest_entries(man_path: str) -> list[dict]:
 
 def _walk_manifests(
     manifests: list[dict], path: str, spark=None
-) -> list[tuple[int, list[dict]]]:
-    """[(manifest content flag, decoded entries), ...] — distributed
-    via mapInPandas when the manifest list is large and a live
-    SparkSession is available."""
+) -> list[tuple[int, int, list[dict]]]:
+    """[(manifest content flag, manifest sequence number, decoded
+    entries), ...] — distributed via mapInPandas when the manifest
+    list is large and a live SparkSession is available."""
     jobs = [
-        (m.get("content", 0), _localize(path, m["manifest_path"]))
+        (m.get("content", 0), int(m.get("sequence_number") or 0),
+         _localize(path, m["manifest_path"]))
         for m in manifests
     ]
     if spark is None or len(jobs) < _DISTRIBUTE_MANIFESTS_FROM:
-        return [(c, _decode_manifest_entries(p)) for c, p in jobs]
+        return [
+            (c, s, _decode_manifest_entries(p)) for c, s, p in jobs
+        ]
     import json as _json
 
-    jdf = spark.createDataFrame(jobs, "content int, man_path string")
+    jdf = spark.createDataFrame(
+        jobs, "content int, seq bigint, man_path string"
+    )
 
     def work(batches):
         import pandas as pd
 
         for pdf in batches:
-            rows = {"content": [], "entries": []}
-            for c, p in zip(pdf["content"], pdf["man_path"]):
+            rows = {"content": [], "seq": [], "entries": []}
+            for c, s, p in zip(pdf["content"], pdf["seq"],
+                               pdf["man_path"]):
                 rows["content"].append(int(c))
+                rows["seq"].append(int(s))
                 rows["entries"].append(
                     _json.dumps(_decode_manifest_entries(p))
                 )
             yield pd.DataFrame(rows)
 
     out = [
-        (r["content"], _json.loads(r["entries"]))
+        (r["content"], r["seq"], _json.loads(r["entries"]))
         for r in jdf.mapInPandas(
-            work, "content int, entries string"
+            work, "content int, seq bigint, entries string"
         ).collect()
     ]
     return out
@@ -293,7 +320,9 @@ def iceberg_snapshot_files(
     manifests = _snapshot_manifest_entries(path, meta, want)
     files: list[dict] = []
     deletes: list[dict] = []
-    for man_content, entries in _walk_manifests(manifests, path, spark):
+    for man_content, man_seq, entries in _walk_manifests(
+        manifests, path, spark
+    ):
         if len(files) + len(entries) > max_live_files:
             raise IcebergError(
                 f"snapshot exceeds {max_live_files} manifest entries "
@@ -302,12 +331,16 @@ def iceberg_snapshot_files(
         for e in entries:
             if e.get("status") == 2:
                 continue  # deleted
-            df_ = e.get("data_file") or {}
+            df_ = dict(e.get("data_file") or {})
             content = df_.get("content", 0)
             if df_.get("file_format", "PARQUET").upper() != "PARQUET":
                 raise IcebergError(
                     f"file format {df_.get('file_format')!r} unsupported"
                 )
+            # v2 sequence inheritance: a null entry seq takes the
+            # manifest's; absent everywhere (v1 fixtures) -> 0
+            seq = e.get("sequence_number")
+            df_["_data_seq"] = int(seq) if seq is not None else man_seq
             if man_content == 0:
                 if content != 0:
                     raise IcebergError(
@@ -316,18 +349,18 @@ def iceberg_snapshot_files(
                 files.append(df_)
             else:
                 if content == 2:
-                    raise IcebergError(
-                        "equality deletes unsupported (fail-loud: "
-                        "applying them needs sequence-number scoping)"
-                    )
-                if content != 1:
+                    if not df_.get("equality_ids"):
+                        raise IcebergError(
+                            "equality delete without equality_ids"
+                        )
+                elif content != 1:
                     raise IcebergError(
                         "data file inside a delete manifest (malformed)"
                     )
                 deletes.append(df_)
     if deletes and not with_deletes:
         raise IcebergError(
-            "table carries position-delete files; use the snapshot "
+            "table carries row-level delete files; use the snapshot "
             "reader (read_iceberg applies them) — ignoring them would "
             "read deleted rows back as live"
         )
@@ -367,6 +400,8 @@ def read_iceberg(
         )
         return spark.createDataFrame([], ddl)
     paths = [_localize(path, f["file_path"]) for f in files]
+    pos_dels = [d for d in deletes if d.get("content") == 1]
+    eq_dels = [d for d in deletes if d.get("content") == 2]
     df = spark.read.parquet(*paths)
     if not deletes and not parts:
         return df
@@ -377,11 +412,11 @@ def read_iceberg(
             "__ice_base"
         )
     ]
-    if deletes:
+    if pos_dels:
         sel.append(F.col("_metadata.row_index").alias("__ice_pos"))
     df = df.select(*sel)
-    if deletes:
-        dpaths = [_localize(path, d["file_path"]) for d in deletes]
+    if pos_dels:
+        dpaths = [_localize(path, d["file_path"]) for d in pos_dels]
         ddf = spark.read.parquet(*dpaths).select(
             F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
                 "__ice_base"
@@ -391,6 +426,60 @@ def read_iceberg(
         df = df.join(
             F.broadcast(ddf), ["__ice_base", "__ice_pos"], "left_anti"
         ).drop("__ice_pos")
+    if eq_dels:
+        # EQUALITY deletes (v2): a row dies when an equality-delete
+        # row with a STRICTLY NEWER sequence number matches it
+        # null-safely on the delete file's equality columns.  Data
+        # rows take their file's data sequence number via the same
+        # basename broadcast map; each delete group is one broadcast
+        # anti-join.
+        from functools import reduce as _reduce
+
+        id2col = {
+            fid: nm for fid, (nm, _t) in _schema_fields(meta).items()
+        }
+        df = attach_file_values(
+            df, spark,
+            [(os.path.abspath(p), [int(f["_data_seq"])])
+             for f, p in zip(files, paths)],
+            ["data_seq"],
+            err_cls=IcebergError, tag="iceseq", key_col="__ice_base",
+        )
+        groups: dict[tuple, list[dict]] = {}
+        for d in eq_dels:
+            groups.setdefault(
+                tuple(sorted(d["equality_ids"])), []
+            ).append(d)
+        for ids, ds in sorted(groups.items()):
+            try:
+                cols = [id2col[i] for i in ids]
+            except KeyError as e:
+                raise IcebergError(
+                    f"equality_ids reference unknown field {e}"
+                ) from None
+            dpaths = [_localize(path, d["file_path"]) for d in ds]
+            ddf = spark.read.parquet(*dpaths).select(
+                *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("__eq_base"),
+            )
+            smap = spark.createDataFrame(
+                [(os.path.basename(p), int(d["_data_seq"]))
+                 for d, p in zip(ds, dpaths)],
+                "__eq_base string, __eq_seq bigint",
+            )
+            ddf = ddf.join(F.broadcast(smap), "__eq_base").drop(
+                "__eq_base"
+            )
+            cond = _reduce(
+                lambda a, b: a & b,
+                [F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                 for c in cols]
+                + [F.col("__eq_seq") > F.col("__pv_data_seq")],
+            )
+            df = df.join(F.broadcast(ddf), cond, "left_anti")
+        df = df.drop("__pv_data_seq")
     if parts:
         file_to_vals = [
             (os.path.abspath(p),
@@ -516,6 +605,7 @@ def write_iceberg_commit(
         tuples = [()]
 
     snapshot_id = ts * 1000 + version  # unique, monotone enough
+    seq = int(meta.get("last-sequence-number") or 0) + 1
     entries: list[dict] = []
     doomed = set(tuples) if replace_partitions else set()
     for d in live:
@@ -523,7 +613,9 @@ def write_iceberg_commit(
         key = tuple(str(pv.get(name)) for name, _s, _t in parts_meta)
         if partition_by and key in doomed:
             continue  # dynamic-partition overwrite drops these
+        # EXISTING entries keep their ORIGINAL data sequence number
         entries.append({"status": 0, "snapshot_id": snapshot_id,
+                        "sequence_number": int(d.get("_data_seq") or 0),
                         "data_file": d})
 
     data_dir = os.path.join(path, "data")
@@ -546,6 +638,7 @@ def write_iceberg_commit(
                 pv[name] = int(v) if typ in ("int", "long") else v
             entries.append({
                 "status": 1, "snapshot_id": snapshot_id,
+                "sequence_number": seq,
                 "data_file": {
                     "content": 0,
                     "file_path": final,
@@ -565,6 +658,9 @@ def write_iceberg_commit(
     )
     # normalize carried-forward partitions to the manifest schema types
     for e in entries:
+        e["data_file"].pop("_data_seq", None)
+        e["data_file"].setdefault("equality_ids", None)
+        e.setdefault("sequence_number", None)
         pv = e["data_file"].get("partition") or {}
         e["data_file"]["partition"] = {
             name: (int(pv[name]) if pv.get(name) is not None
@@ -583,23 +679,23 @@ def write_iceberg_commit(
             [{"manifest_path": man_path,
               "manifest_length": os.path.getsize(man_path),
               "partition_spec_id": 0, "content": 0,
+              "sequence_number": seq,
               "added_snapshot_id": snapshot_id}]
-            + [{k: m[k] for k in ("manifest_path", "manifest_length",
-                                  "partition_spec_id", "content",
-                                  "added_snapshot_id")}
-               for m in carry_deletes],
+            + [_ml_entry(m) for m in carry_deletes],
             codec="deflate",
         ))
     meta = dict(meta)
     meta["snapshots"] = list(meta.get("snapshots") or []) + [{
         "snapshot-id": snapshot_id,
         "timestamp-ms": ts,
+        "sequence-number": seq,
         "manifest-list": ml_path,
         "summary": {"operation": (
             "overwrite" if replace_partitions else "append"
         )},
     }]
     meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = ts
     new_version = version + 1
     with open(os.path.join(mdir, f"v{new_version}.metadata.json"),
@@ -627,6 +723,7 @@ def write_iceberg_position_deletes(
         raise IcebergError("position deletes need an existing snapshot")
     if not deletes:
         raise IcebergError("empty delete set")
+    seq = int(meta.get("last-sequence-number") or 0) + 1
     parts_meta = _partition_fields(meta)
     mdir = os.path.join(path, "metadata")
     ts = int(time.time() * 1000)
@@ -653,6 +750,7 @@ def write_iceberg_position_deletes(
     )
     entry = {
         "status": 1, "snapshot_id": snapshot_id,
+        "sequence_number": seq,
         "data_file": {
             "content": 1,
             "file_path": final,
@@ -660,6 +758,7 @@ def write_iceberg_position_deletes(
             "partition": {name: None for name, _s, _t in parts_meta},
             "record_count": len(deletes),
             "file_size_in_bytes": os.path.getsize(final),
+            "equality_ids": None,
         },
     }
     man_name = f"{uuid.uuid4().hex}-d0.avro"
@@ -674,13 +773,11 @@ def write_iceberg_position_deletes(
     with open(ml_path, "wb") as fh:
         fh.write(encode_records(
             _MANIFEST_LIST_SCHEMA,
-            [{k: m[k] for k in ("manifest_path", "manifest_length",
-                                "partition_spec_id", "content",
-                                "added_snapshot_id")}
-             for m in prior]
+            [_ml_entry(m) for m in prior]
             + [{"manifest_path": man_path,
                 "manifest_length": os.path.getsize(man_path),
                 "partition_spec_id": 0, "content": 1,
+                "sequence_number": seq,
                 "added_snapshot_id": snapshot_id}],
             codec="deflate",
         ))
@@ -688,10 +785,118 @@ def write_iceberg_position_deletes(
     meta["snapshots"] = list(meta.get("snapshots") or []) + [{
         "snapshot-id": snapshot_id,
         "timestamp-ms": ts,
+        "sequence-number": seq,
         "manifest-list": ml_path,
         "summary": {"operation": "delete"},
     }]
     meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = ts
+    new_version = version + 1
+    with open(os.path.join(mdir, f"v{new_version}.metadata.json"),
+              "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w",
+              encoding="utf-8") as fh:
+        fh.write(str(new_version))
+    return snapshot_id
+
+
+def write_iceberg_equality_deletes(
+    spark: SparkSession,
+    path: str,
+    values: DataFrame,
+    equality_cols: list[str],
+) -> int:
+    """Append one EQUALITY-delete snapshot (format v2): ``values``
+    holds one row per deleted key over ``equality_cols``; the delete
+    file's manifest entry carries ``equality_ids`` and the NEW
+    sequence number, so it tombstones every matching row in data
+    files with a strictly older data sequence number — rows appended
+    AFTER this delete are untouched (the spec's temporal scoping).
+    Returns the new snapshot id."""
+    import shutil
+
+    meta, version = _load_metadata(path)
+    if meta.get("current-snapshot-id", -1) == -1:
+        raise IcebergError("equality deletes need an existing snapshot")
+    if not equality_cols:
+        raise IcebergError("equality_cols must be non-empty")
+    name_to_id = {
+        nm: fid for fid, (nm, _t) in _schema_fields(meta).items()
+    }
+    try:
+        eq_ids = sorted(name_to_id[c] for c in equality_cols)
+    except KeyError as e:
+        raise IcebergError(
+            f"equality column {e} not in the table schema"
+        ) from None
+    parts_meta = _partition_fields(meta)
+    mdir = os.path.join(path, "metadata")
+    ts = int(time.time() * 1000)
+    snapshot_id = ts * 1000 + version
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    tmp = os.path.join(path, f"_tmp_eqdel_{uuid.uuid4().hex[:8]}")
+    values.select(*equality_cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    part = next(
+        n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet")
+    )
+    fname = f"eqdelete-{snapshot_id}-{uuid.uuid4().hex[:10]}.parquet"
+    final = os.path.join(data_dir, fname)
+    os.replace(os.path.join(tmp, part), final)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    man_schema = _manifest_schema(
+        [(name, "int" if typ in ("int", "long") else "string")
+         for name, _src, typ in parts_meta]
+    )
+    entry = {
+        "status": 1, "snapshot_id": snapshot_id,
+        "sequence_number": seq,
+        "data_file": {
+            "content": 2,
+            "file_path": final,
+            "file_format": "PARQUET",
+            "partition": {name: None for name, _s, _t in parts_meta},
+            "record_count": values.count(),
+            "file_size_in_bytes": os.path.getsize(final),
+            "equality_ids": eq_ids,
+        },
+    }
+    man_name = f"{uuid.uuid4().hex}-e0.avro"
+    man_path = os.path.join(mdir, man_name)
+    with open(man_path, "wb") as fh:
+        fh.write(encode_records(man_schema, [entry], codec="deflate"))
+    prior = _snapshot_manifest_entries(
+        path, meta, meta["current-snapshot-id"]
+    )
+    ml_name = f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
+    ml_path = os.path.join(mdir, ml_name)
+    with open(ml_path, "wb") as fh:
+        fh.write(encode_records(
+            _MANIFEST_LIST_SCHEMA,
+            [_ml_entry(m) for m in prior]
+            + [{"manifest_path": man_path,
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": 0, "content": 1,
+                "sequence_number": seq,
+                "added_snapshot_id": snapshot_id}],
+            codec="deflate",
+        ))
+    meta = dict(meta)
+    meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": ts,
+        "sequence-number": seq,
+        "manifest-list": ml_path,
+        "summary": {"operation": "delete"},
+    }]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = ts
     new_version = version + 1
     with open(os.path.join(mdir, f"v{new_version}.metadata.json"),

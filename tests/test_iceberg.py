@@ -214,7 +214,7 @@ class TestIceberg:
         )
 
         self._seed_with_deletes(spark, table_path)
-        with pytest.raises(IcebergError, match="position-delete"):
+        with pytest.raises(IcebergError, match="row-level delete"):
             iceberg_snapshot_files(table_path)
 
     def test_append_after_delete_carries_tombstones(
@@ -251,7 +251,9 @@ class TestIceberg:
         )
 
         self._seed_with_deletes(spark, table_path)
-        # flip the delete file's content field to 2 (equality delete)
+        # flip the delete file's content to 2: an equality delete
+        # WITHOUT equality_ids is malformed and must stay loud (real
+        # equality deletes are covered by the round-10b block below)
         mdir = _os.path.join(table_path, "metadata")
         from rust_dataframe_spark.sources.avro import (
             decode_records, encode_records,
@@ -264,7 +266,7 @@ class TestIceberg:
                 with open(_os.path.join(mdir, name), "wb") as fh:
                     fh.write(encode_records(schema, recs,
                                             codec="deflate"))
-        with pytest.raises(IcebergError, match="quality deletes"):
+        with pytest.raises(IcebergError, match="equality_ids"):
             iceberg_snapshot_files(table_path, with_deletes=True)
         del _json
 
@@ -295,3 +297,73 @@ class TestIceberg:
             I._DISTRIBUTE_MANIFESTS_FROM = old
         key = lambda d: d["file_path"]  # noqa: E731
         assert sorted(a, key=key) == sorted(b, key=key)
+
+    # ---- round-10b: equality deletes -----------------------------
+
+    def _seed_eq(self, spark, path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.iceberg import (
+            write_iceberg_commit,
+            write_iceberg_equality_deletes,
+        )
+
+        s0 = write_iceberg_commit(
+            spark, path,
+            spark.range(30).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 3).cast("int").alias("p"),
+            ),
+            partition_by=["p"],
+        )
+        write_iceberg_equality_deletes(
+            spark, path,
+            spark.createDataFrame([(3,), (10,), (17,)], "id int"),
+            ["id"],
+        )
+        return s0
+
+    def test_equality_deletes_applied(self, spark, table_path):
+        self._seed_eq(spark, table_path)
+        got = sorted(
+            r["id"] for r in read_iceberg(spark, table_path).collect()
+        )
+        assert got == [i for i in range(30) if i not in (3, 10, 17)]
+
+    def test_equality_delete_temporal_scoping(self, spark, table_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            write_iceberg_commit,
+        )
+
+        self._seed_eq(spark, table_path)
+        # re-append key 3 AFTER the delete: newer data seq -> survives
+        write_iceberg_commit(
+            spark, table_path,
+            spark.createDataFrame([(3, 0)], "id int, p int"),
+            partition_by=["p"],
+        )
+        got = sorted(
+            r["id"] for r in read_iceberg(spark, table_path).collect()
+        )
+        assert got.count(3) == 1
+        assert 10 not in got and 17 not in got
+
+    def test_equality_delete_time_travel(self, spark, table_path):
+        s0 = self._seed_eq(spark, table_path)
+        pre = sorted(
+            r["id"] for r in
+            read_iceberg(spark, table_path, snapshot_id=s0).collect()
+        )
+        assert pre == list(range(30))
+
+    def test_equality_unknown_column_loud(self, spark, table_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            write_iceberg_equality_deletes,
+        )
+
+        _seed(spark, table_path)
+        with pytest.raises(IcebergError, match="not in the table"):
+            write_iceberg_equality_deletes(
+                spark, table_path,
+                spark.createDataFrame([(1,)], "nope int"), ["nope"],
+            )
