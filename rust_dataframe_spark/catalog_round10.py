@@ -56,7 +56,7 @@ def q455_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers needed (data-file paths are immutable and never reused, so
     a position tombstone cannot hit a row it wasn't written against).
     Time travel to the pre-delete snapshot still sees every row.
-    Equality deletes stay gated loudly."""
+    Equality deletes are covered by q460."""
     import shutil
 
     from .catalog_sources import _scratch
@@ -123,8 +123,11 @@ def q455_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 7 and 14.  Deltacommit C upserts id 0 to v = 7777, then a rollback
 # COMMAND block voids instant C — so the current snapshot equals the
 # post-B state, pinning all four block semantics (data, delete,
-# command, per-block instant admission).  Output: per-partition
-# (n, v_sum) at the current snapshot and at as_of = A.
+# command, per-block instant admission), then COMPACTION folds the
+# surviving actions into new base versions (the current read is of
+# the compacted table; the as-of read still merges the logs).
+# Output: per-partition (n, v_sum) at the current snapshot and at
+# as_of = A.
 
 
 @query(
@@ -157,6 +160,7 @@ def q456_hudi_mor_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog_sources import _scratch
     from .sources.hudi import (
+        compact_hudi,
         read_hudi,
         write_hudi_commit,
         write_hudi_log_commit,
@@ -187,6 +191,11 @@ def q456_hudi_mor_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(0, 7777, 0)], "id int, v int, p int"),
     )
     write_hudi_rollback_block(spark, path, t2)
+    # compaction folds the surviving log actions into new base file
+    # versions — the CURRENT snapshot below reads the compacted table,
+    # so the oracle also pins compaction's read-invisibility; the
+    # as-of read predates it and still merges the original logs
+    compact_hudi(spark, path)
     cur = read_hudi(spark, path).withColumn("snap", F.lit("current"))
     pre = read_hudi(spark, path, as_of=t0).withColumn(
         "snap", F.lit("base")

@@ -64,6 +64,7 @@ __all__ = [
     "write_hudi_commit",
     "write_hudi_log_commit",
     "write_hudi_rollback_block",
+    "compact_hudi",
     "encode_log_block",
     "iter_log_blocks",
 ]
@@ -786,3 +787,28 @@ def write_hudi_rollback_block(
         with open(os.path.join(os.path.dirname(f), name), "wb") as fh:
             fh.write(block)
     return ts
+
+
+def compact_hudi(spark: SparkSession, path: str) -> int:
+    """MOR compaction: merge every file group's base + log stream into
+    a NEW base file version (same fileId, new ``.commit`` instant —
+    compactions are commit instants on a MOR timeline).  The old log
+    files become orphans automatically: they name the OLD base instant
+    and the reader only applies logs whose base instant matches the
+    group's current slice, while ``as_of`` reads before the compaction
+    instant still merge them.  Returns the compaction instant."""
+    if _props(path).get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiError("compaction applies to MERGE_ON_READ tables")
+    slices = hudi_snapshot_files(path, mor_ok=True)
+    part_cols = _partition_cols(slices)
+    upsert_into: dict[str, str] = {}
+    for part, f in slices:
+        m = _FILE_RE.match(os.path.basename(f))
+        upsert_into[part] = m.group("fid")
+    merged = read_hudi_mor(spark, path)
+    if part_cols:
+        merged = merged.repartition(*[F.col(c) for c in part_cols])
+    return write_hudi_commit(
+        spark, path, merged,
+        partition_by=part_cols, upsert_into=upsert_into,
+    )

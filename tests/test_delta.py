@@ -361,3 +361,55 @@ class TestDelta:
                   read_delta(spark, path, version=0).collect()}
         after = {r["id"] for r in read_delta(spark, path).collect()}
         assert len(before) - len(after) == 2
+
+    def test_u_storage_dv(self, spark, tmp_path):
+        # storageType 'u': pathOrInlineDv = <prefix><z85(uuid)>, file
+        # at <table>/<prefix>deletion_vector_<uuid>.bin
+        import glob as _glob
+        import struct as _struct
+        import uuid as _uuid
+        import zlib as _zlib
+
+        from pyspark.sql import functions as F
+        from rust_dataframe_spark.operators.roaring import (
+            roaring64_encode,
+        )
+        from rust_dataframe_spark.sources.delta import (
+            _z85_encode,
+            delta_snapshot_files,
+        )
+
+        path = str(tmp_path / "dvu")
+        df = spark.range(10).select(
+            F.col("id").cast("int").alias("id")
+        ).coalesce(1)
+        write_delta_commit(spark, path, df)
+        _m, adds = delta_snapshot_files(spark, path)
+        data = roaring64_encode([2, 4, 6])
+        uu = _uuid.uuid4()
+        blob = (b"\x01" + _struct.pack(">I", len(data)) + data
+                + _struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF))
+        open(os.path.join(path, f"deletion_vector_{uu}.bin"),
+             "wb").write(blob)
+        a = adds[0]
+        log = os.path.join(path, "_delta_log")
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}}) + "\n")
+            fh.write(json.dumps({"remove": {
+                "path": a["path"], "dataChange": True}}) + "\n")
+            add = dict(a)
+            add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": _z85_encode(uu.bytes),
+                "offset": 1, "sizeInBytes": len(data),
+                "cardinality": 3,
+            }
+            fh.write(json.dumps({"add": add}) + "\n")
+        got = sorted(
+            r["id"] for r in read_delta(spark, path).collect()
+        )
+        assert len(got) == 7
+        del _glob

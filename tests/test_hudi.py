@@ -278,3 +278,36 @@ class TestHudiMor:
         _seed(spark, table_path)
         with pytest.raises(HudiError, match="max_files"):
             hudi_snapshot_files(table_path, max_files=1)
+
+    def test_compaction_orphans_logs_and_preserves_history(
+        self, spark, table_path
+    ):
+        from rust_dataframe_spark.sources.hudi import compact_hudi
+
+        _t0, t1 = self._seed_mor(spark, table_path)
+        before = {r["id"]: r["v"]
+                  for r in read_hudi(spark, table_path).collect()}
+        tc = compact_hudi(spark, table_path)
+        after = {r["id"]: r["v"]
+                 for r in read_hudi(spark, table_path).collect()}
+        assert after == before  # compaction is read-invisible
+        # as-of BEFORE compaction still merges the (old) logs
+        asof = {r["id"]: r["v"]
+                for r in read_hudi(spark, table_path,
+                                   as_of=t1).collect()}
+        assert asof == before
+        # new log commits attach to the NEW base slices
+        from rust_dataframe_spark.sources.hudi import (
+            write_hudi_log_commit,
+        )
+
+        write_hudi_log_commit(
+            spark, table_path,
+            spark.createDataFrame([(6, 606, 0)],
+                                  "id int, v int, p int"),
+        )
+        final = {r["id"]: r["v"]
+                 for r in read_hudi(spark, table_path).collect()}
+        assert final[6] == 606
+        assert final[3] == 333  # pre-compaction upsert still visible
+        del tc
