@@ -30,10 +30,12 @@ Reader surface:
   data seq``, so keys re-appended after the delete survive (the
   spec's temporal semantics); writers stamp ``last-sequence-number``
   / snapshot / manifest / entry sequence numbers throughout;
-* identity-transform partition values re-injected through the same
-  one-scan ``input_file_name`` broadcast-map join as the Delta reader
-  (no per-partition unions); non-identity transforms (bucket/truncate/
-  days) gate loudly because their values are lossy.
+* partition columns: source columns already present in the data
+  files (the Iceberg norm) read straight through — including tables
+  partitioned with bucket/truncate/days transforms; only an ABSENT
+  identity column re-injects via the one-scan ``input_file_name``
+  broadcast-map join (no per-partition unions), and an absent
+  TRANSFORMED column gates loudly because its values are lossy.
 
 The writer half emits spec-shaped tables (each commit writes the data
 files in ONE ``partitionBy`` job, one full-rewrite manifest carrying
@@ -177,9 +179,16 @@ def _schema_fields(meta: dict) -> dict[int, tuple[str, str]]:
     return out
 
 
-def _partition_fields(meta: dict) -> list[tuple[str, str, str]]:
-    """[(partition field name, source column name, iceberg type)] for
-    the current spec; non-identity transforms gate."""
+def _partition_fields(
+    meta: dict, *, allow_transforms: bool = False
+) -> list[tuple[str, str, str, str]]:
+    """[(partition field name, source column name, iceberg type,
+    transform)] for the current spec.  Non-identity transforms
+    (bucket/truncate/days — lossy, values unrecoverable from the
+    partition tuple) raise unless ``allow_transforms``; the READ path
+    allows them when the data files themselves carry the source
+    columns (the Iceberg norm — unlike hive layouts, Iceberg parquet
+    stores every column in-file)."""
     spec = None
     if "partition-specs" in meta:
         sid = meta.get("default-spec-id", 0)
@@ -192,9 +201,10 @@ def _partition_fields(meta: dict) -> list[tuple[str, str, str]]:
     cols = _schema_fields(meta)
     out = []
     for f in spec or []:
-        if f.get("transform") != "identity":
+        tr = f.get("transform", "identity")
+        if tr != "identity" and not allow_transforms:
             raise IcebergError(
-                f"partition transform {f.get('transform')!r} unsupported "
+                f"partition transform {tr!r} unsupported here "
                 "(identity only — bucket/truncate/days values are lossy)"
             )
         src = cols.get(f.get("source-id"))
@@ -202,7 +212,7 @@ def _partition_fields(meta: dict) -> list[tuple[str, str, str]]:
             raise IcebergError(
                 f"partition source-id {f.get('source-id')} not in schema"
             )
-        out.append((f["name"], src[0], src[1]))
+        out.append((f["name"], src[0], src[1], tr))
     return out
 
 
@@ -391,7 +401,7 @@ def read_iceberg(
     meta, files, deletes = iceberg_snapshot_files(
         path, snapshot_id=snapshot_id, with_deletes=True, spark=spark
     )
-    parts = _partition_fields(meta)
+    parts = _partition_fields(meta, allow_transforms=True)
     if not files:
         cols = _schema_fields(meta)
         ddl = ", ".join(
@@ -403,6 +413,20 @@ def read_iceberg(
     pos_dels = [d for d in deletes if d.get("content") == 1]
     eq_dels = [d for d in deletes if d.get("content") == 2]
     df = spark.read.parquet(*paths)
+    # source columns already present in the data files (the Iceberg
+    # norm) need no re-injection; only absent IDENTITY columns can be
+    # re-derived from partition tuples — an absent TRANSFORMED column
+    # is lossy and gates loudly
+    scan_cols = set(df.columns)
+    inject = [p for p in parts if p[1] not in scan_cols]
+    lossy = [p for p in inject if p[3] != "identity"]
+    if lossy:
+        raise IcebergError(
+            f"partition column {lossy[0][1]!r} with transform "
+            f"{lossy[0][3]!r} is absent from the data files — its "
+            "values are unrecoverable (fail-loud)"
+        )
+    parts = inject
     if not deletes and not parts:
         return df
     # basename + row position must be captured ON THE SCAN: after the
@@ -484,14 +508,15 @@ def read_iceberg(
         file_to_vals = [
             (os.path.abspath(p),
              [str((f.get("partition") or {}).get(name))
-              for name, _src, _t in parts])
+              for name, _src, _t, _tr in parts])
             for f, p in zip(files, paths)
         ]
         df = attach_file_values(
-            df, spark, file_to_vals, [src for _n, src, _t in parts],
+            df, spark, file_to_vals,
+            [src for _n, src, _t, _tr in parts],
             err_cls=IcebergError, tag="ice", key_col="__ice_base",
         )
-        for _name, src, t in parts:
+        for _name, src, t, _tr in parts:
             spark_t = _ICE_TO_SPARK.get(t)
             if spark_t is None:
                 raise IcebergError(f"partition type {t!r} unsupported")
@@ -568,7 +593,7 @@ def write_iceberg_commit(
         raise IcebergError(
             "writer: partition_by does not match the table spec"
         )
-    part_types = [(name, typ) for name, _src, typ in parts_meta]
+    part_types = [(name, typ) for name, _src, typ, _tr in parts_meta]
 
     # live entries (for carry-forward / overwrite); prior DELETE
     # manifests carry forward untouched — their (path, pos) tombstones
@@ -610,7 +635,7 @@ def write_iceberg_commit(
     doomed = set(tuples) if replace_partitions else set()
     for d in live:
         pv = d.get("partition") or {}
-        key = tuple(str(pv.get(name)) for name, _s, _t in parts_meta)
+        key = tuple(str(pv.get(name)) for name, _s, _t, _tr in parts_meta)
         if partition_by and key in doomed:
             continue  # dynamic-partition overwrite drops these
         # EXISTING entries keep their ORIGINAL data sequence number
@@ -634,7 +659,7 @@ def write_iceberg_commit(
             final = os.path.join(full_dir, fname)
             os.replace(os.path.join(src_dir, part), final)
             pv = {}
-            for (name, _src, typ), v in zip(parts_meta, pt):
+            for (name, _src, typ, _tr), v in zip(parts_meta, pt):
                 pv[name] = int(v) if typ in ("int", "long") else v
             entries.append({
                 "status": 1, "snapshot_id": snapshot_id,
@@ -665,7 +690,7 @@ def write_iceberg_commit(
         e["data_file"]["partition"] = {
             name: (int(pv[name]) if pv.get(name) is not None
                    and typ in ("int", "long") else pv.get(name))
-            for name, _src, typ in parts_meta
+            for name, _src, typ, _tr in parts_meta
         }
     man_name = f"{uuid.uuid4().hex}-m0.avro"
     man_path = os.path.join(mdir, man_name)
@@ -746,7 +771,7 @@ def write_iceberg_position_deletes(
 
     man_schema = _manifest_schema(
         [(name, "int" if typ in ("int", "long") else "string")
-         for name, _src, typ in parts_meta]
+         for name, _src, typ, _tr in parts_meta]
     )
     entry = {
         "status": 1, "snapshot_id": snapshot_id,
@@ -755,7 +780,7 @@ def write_iceberg_position_deletes(
             "content": 1,
             "file_path": final,
             "file_format": "PARQUET",
-            "partition": {name: None for name, _s, _t in parts_meta},
+            "partition": {name: None for name, _s, _t, _tr in parts_meta},
             "record_count": len(deletes),
             "file_size_in_bytes": os.path.getsize(final),
             "equality_ids": None,
@@ -852,7 +877,7 @@ def write_iceberg_equality_deletes(
 
     man_schema = _manifest_schema(
         [(name, "int" if typ in ("int", "long") else "string")
-         for name, _src, typ in parts_meta]
+         for name, _src, typ, _tr in parts_meta]
     )
     entry = {
         "status": 1, "snapshot_id": snapshot_id,
@@ -861,7 +886,7 @@ def write_iceberg_equality_deletes(
             "content": 2,
             "file_path": final,
             "file_format": "PARQUET",
-            "partition": {name: None for name, _s, _t in parts_meta},
+            "partition": {name: None for name, _s, _t, _tr in parts_meta},
             "record_count": values.count(),
             "file_size_in_bytes": os.path.getsize(final),
             "equality_ids": eq_ids,

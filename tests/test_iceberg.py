@@ -367,3 +367,56 @@ class TestIceberg:
                 spark, table_path,
                 spark.createDataFrame([(1,)], "nope int"), ["nope"],
             )
+
+    # ---- round-10c: transformed partitions read when in-file -------
+
+    def test_bucket_transform_reads_when_column_in_file(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "ice_bucket")
+        # unpartitioned write: data files carry EVERY column
+        write_iceberg_commit(
+            spark, path,
+            spark.range(20).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 5).cast("int").alias("p"),
+            ),
+        )
+        # retrofit a bucket[4] partition spec over column p
+        mdir = os.path.join(path, "metadata")
+        with open(os.path.join(mdir, "version-hint.text")) as fh:
+            v = int(fh.read())
+        mp = os.path.join(mdir, f"v{v}.metadata.json")
+        with open(mp) as fh:
+            meta = json.load(fh)
+        meta["partition-specs"][0]["fields"] = [{
+            "name": "p_bucket", "transform": "bucket[4]",
+            "source-id": 2, "field-id": 1000,
+        }]
+        with open(mp, "w") as fh:
+            json.dump(meta, fh)
+        got = read_iceberg(spark, path)
+        assert got.count() == 20
+        assert {r["p"] for r in got.select("p").distinct().collect()} \
+            == {0, 1, 2, 3, 4}
+
+    def test_transform_still_gates_when_column_absent(
+        self, spark, table_path
+    ):
+        # our writer's hive layout DROPS partition columns from files,
+        # so a transformed spec cannot be re-derived -> loud
+        _seed(spark, table_path)
+        mdir = os.path.join(table_path, "metadata")
+        with open(os.path.join(mdir, "version-hint.text")) as fh:
+            v = int(fh.read())
+        mp = os.path.join(mdir, f"v{v}.metadata.json")
+        with open(mp) as fh:
+            meta = json.load(fh)
+        meta["partition-specs"][0]["fields"][0]["transform"] = \
+            "truncate[2]"
+        with open(mp, "w") as fh:
+            json.dump(meta, fh)
+        with pytest.raises(IcebergError, match="unrecoverable"):
+            read_iceberg(spark, table_path).collect()
