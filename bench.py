@@ -144,6 +144,7 @@ CORE = [
     "q458_delta_column_mapping",
     "q459_delta_deletion_vectors",
     "q460_iceberg_eq_deletes",
+    "q461_delta_checkpoint_formats",
 ]
 
 ROTATION_POOL = [

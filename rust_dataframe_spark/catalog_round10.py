@@ -598,3 +598,91 @@ def q460_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
         .orderBy("snap", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q461: Delta checkpoint formats — multi-part + V2 (uuid/sidecar)
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): TWO tables with identical content (ids 0..29,
+# p = id % 3, plus an appended id 100 in p=1), one checkpointed in the
+# MULTI-PART classic scheme (n.checkpoint.<part>.<parts>.parquet, file
+# actions split across parts), one in the V2 scheme
+# (n.checkpoint.<uuid>.parquet top level carrying checkpointMetadata +
+# a sidecar reference; file actions in _delta_log/_sidecars/).  The
+# pre-checkpoint JSON commits are DELETED, so the reads below resolve
+# from the checkpoints alone; a post-checkpoint commit (id 200, p=2)
+# proves tail replay on top.  Output: per (style, p) census.
+
+
+@query(
+    "q461_delta_checkpoint_formats",
+    oracle="""
+    WITH c0 AS (SELECT unnest(range(0, 30)) AS id),
+    rows_ AS (SELECT id, id % 3 AS p FROM c0
+              UNION ALL SELECT 100 AS id, 1 AS p
+              UNION ALL SELECT 200 AS id, 2 AS p),
+    styles AS (SELECT 'multipart' AS style UNION ALL SELECT 'v2')
+    SELECT style, CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum
+    FROM styles, rows_ GROUP BY style, p ORDER BY style, p
+    """,
+)
+def q461_delta_checkpoint_formats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta checkpoint naming schemes beyond the classic single file
+    (round 10 — sources/delta.py, PROTOCOL.md 'Checkpoint Naming
+    Scheme'): MULTI-PART checkpoints (completeness of the part set
+    enforced loudly) and V2 checkpoints (uuid-named top level with
+    checkpointMetadata + sidecar actions; file actions in
+    _delta_log/_sidecars parquet; the v2Checkpoint reader feature is
+    accepted; JSON top levels parse too).  The fixture deletes every
+    pre-checkpoint commit so snapshot resolution genuinely bootstraps
+    from each format, then replays a JSON tail on top."""
+    import os
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.delta import (
+        read_delta,
+        write_delta_checkpoint,
+        write_delta_commit,
+    )
+
+    outs = []
+    for style in ("multipart", "v2"):
+        path = _scratch(f"delta_cp_{style}", sf_dir)
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta_commit(
+            spark, path,
+            spark.range(30).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 3).cast("int").alias("p"),
+            ),
+            partition_by=["p"],
+        )
+        write_delta_commit(
+            spark, path,
+            spark.createDataFrame([(100, 1)], "id int, p int"),
+            partition_by=["p"],
+        )
+        write_delta_checkpoint(spark, path, style=style)
+        log = os.path.join(path, "_delta_log")
+        for v in (0, 1):
+            os.remove(os.path.join(log, f"{v:020d}.json"))
+        write_delta_commit(
+            spark, path,
+            spark.createDataFrame([(200, 2)], "id int, p int"),
+            partition_by=["p"],
+        )
+        outs.append(
+            read_delta(spark, path).withColumn("style", F.lit(style))
+        )
+    return (
+        outs[0].unionByName(outs[1])
+        .groupBy("style", "p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
+        .orderBy("style", "p")
+    )

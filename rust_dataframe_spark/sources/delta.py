@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import urllib.parse
@@ -81,21 +82,65 @@ def _commit_name(version: int) -> str:
     return f"{version:020d}.json"
 
 
+# PROTOCOL.md "Checkpoint Naming Scheme": classic
+# n.checkpoint.parquet; multi-part n.checkpoint.<part>.<parts>.parquet;
+# V2 n.checkpoint.<uuid>.{parquet,json} (+ sidecar files under
+# _delta_log/_sidecars/).
+_CP_MULTI = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+_CP_V2 = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(parquet|json)$"
+)
+
+
+def _checkpoint_files(path: str) -> dict[int, list[str]]:
+    """checkpoint version -> ordered absolute file paths (one for
+    classic/V2, all parts for multi-part; completeness enforced)."""
+    log = os.path.join(path, _LOG)
+    out: dict[int, list[str]] = {}
+    multi: dict[int, dict[int, tuple[int, str]]] = {}
+    for name in os.listdir(log):
+        full = os.path.join(log, name)
+        if name.endswith(".checkpoint.parquet") and name[:20].isdigit():
+            out[int(name[:20])] = [full]
+            continue
+        m = _CP_MULTI.match(name)
+        if m:
+            v, part, parts = (int(m.group(1)), int(m.group(2)),
+                              int(m.group(3)))
+            multi.setdefault(v, {})[part] = (parts, full)
+            continue
+        m = _CP_V2.match(name)
+        if m:
+            out[int(m.group(1))] = [full]
+    for v, parts_map in multi.items():
+        n_parts = {n for n, _f in parts_map.values()}
+        if len(n_parts) != 1 or set(parts_map) != set(
+            range(1, next(iter(n_parts)) + 1)
+        ):
+            raise DeltaError(
+                f"multi-part checkpoint {v} is incomplete "
+                f"(have parts {sorted(parts_map)})"
+            )
+        out[v] = [parts_map[i][1] for i in sorted(parts_map)]
+    return out
+
+
 def _list_log(path: str) -> tuple[list[int], list[int]]:
     """Sorted (json commit versions, checkpoint versions)."""
     log = os.path.join(path, _LOG)
     if not os.path.isdir(log):
         raise DeltaError(f"not a Delta table: no {_LOG} under {path}")
     commits = []
-    checkpoints = []
     for name in os.listdir(log):
-        if name.endswith(".json") and name[:20].isdigit():
+        if (name.endswith(".json") and name[:20].isdigit()
+                and ".checkpoint." not in name):
             commits.append(int(name[:20]))
-        elif name.endswith(".checkpoint.parquet") and name[:20].isdigit():
-            checkpoints.append(int(name[:20]))
+    checkpoints = sorted(_checkpoint_files(path))
     if not commits and not checkpoints:
         raise DeltaError("empty _delta_log")
-    return sorted(commits), sorted(checkpoints)
+    return sorted(commits), checkpoints
 
 
 # File-axis budget for the snapshot's live-file list: the list is
@@ -112,7 +157,9 @@ _MAX_LIVE_FILES = 1_000_000
 # 2 = column mapping); version 3 tables list explicit readerFeatures.
 # deletionVectors landed in round 10 (roaring-bitmap row tombstones,
 # operators/roaring.py).
-_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping", "deletionVectors", "v2Checkpoint",
+}
 
 # ZeroMQ Z85 alphabet (PUBLIC spec, rfc.zeromq.org/spec/32) — Delta
 # encodes inline DVs and DV-file UUIDs with it.
@@ -268,69 +315,135 @@ def delta_snapshot_files(
     cps = [c for c in checkpoints if c <= want]
     if cps:
         cp = max(cps)
-        cp_path = os.path.join(
-            path, _LOG, f"{cp:020d}.checkpoint.parquet"
+        cp_paths = _checkpoint_files(path)[cp]
+        sidecar_dir = os.path.join(path, _LOG, "_sidecars")
+        parquet_groups: list[list[str]] = []
+        if len(cp_paths) == 1 and cp_paths[0].endswith(".json"):
+            # V2 JSON top level: small (metaData/protocol/sidecar
+            # actions + possibly a few inline file actions) — parse
+            # driver-side; heavy file actions live in parquet sidecars
+            sidecars: list[str] = []
+            with open(cp_paths[0], encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        meta = a["metaData"]
+                    elif "protocol" in a:
+                        _check_protocol(a["protocol"])
+                    elif "sidecar" in a:
+                        p = a["sidecar"]["path"]
+                        sidecars.append(
+                            p if os.path.isabs(p)
+                            else os.path.join(sidecar_dir, p)
+                        )
+                    elif "add" in a:
+                        live[a["add"]["path"]] = a["add"]
+                    elif "remove" in a:
+                        live.pop(a["remove"].get("path"), None)
+                    # checkpointMetadata / txn are read-irrelevant
+            if sidecars:
+                parquet_groups.append(sidecars)
+        else:
+            parquet_groups.append(cp_paths)
+
+        adds_parts = []
+        removes_parts = []
+        dv_ddl = (
+            "struct<storageType:string,pathOrInlineDv:string,"
+            "offset:int,sizeInBytes:int,cardinality:bigint>"
         )
-        cp_df = spark.read.parquet(cp_path)
-        cols = set(cp_df.columns)
-        if "metaData" in cols:
-            metas = (
-                cp_df.where(F.col("metaData.id").isNotNull())
-                .select("metaData")
-                .collect()
-            )
-            if metas:
-                meta = metas[-1]["metaData"].asDict(recursive=True)
-                if isinstance(meta.get("partitionColumns"), str):
-                    meta["partitionColumns"] = json.loads(
-                        meta["partitionColumns"]
+        first = True
+        while parquet_groups:
+            gpaths = parquet_groups.pop(0)
+            cp_df = spark.read.parquet(*gpaths)
+            cols = set(cp_df.columns)
+            if first and "sidecar" in cols:
+                # V2 parquet top level: pull its sidecar references
+                side = []
+                for r in (
+                    cp_df.where(F.col("sidecar.path").isNotNull())
+                    .select("sidecar.path")
+                    .collect()
+                ):
+                    p = r["path"]
+                    side.append(
+                        p if os.path.isabs(p)
+                        else os.path.join(sidecar_dir, p)
                     )
-                if isinstance(meta.get("configuration"), str):
-                    meta["configuration"] = json.loads(
-                        meta["configuration"]
+                if side:
+                    parquet_groups.append(side)
+            first = False
+            if "metaData" in cols:
+                metas = (
+                    cp_df.where(F.col("metaData.id").isNotNull())
+                    .select("metaData")
+                    .collect()
+                )
+                if metas:
+                    meta = metas[-1]["metaData"].asDict(recursive=True)
+                    if isinstance(meta.get("partitionColumns"), str):
+                        meta["partitionColumns"] = json.loads(
+                            meta["partitionColumns"]
+                        )
+                    if isinstance(meta.get("configuration"), str):
+                        meta["configuration"] = json.loads(
+                            meta["configuration"]
+                        )
+            if "protocol" in cols:
+                for row in (
+                    cp_df.where(
+                        F.col("protocol.minReaderVersion").isNotNull()
                     )
-        if "protocol" in cols:
-            for row in (
-                cp_df.where(
-                    F.col("protocol.minReaderVersion").isNotNull()
+                    .select("protocol")
+                    .collect()
+                ):
+                    _check_protocol(
+                        row["protocol"].asDict(recursive=True)
+                    )
+            if "add" in cols:
+                add_fields = {
+                    f.name for f in cp_df.schema["add"].dataType.fields
+                }
+                sel = [F.col("add.path").alias("path")]
+                sel.append(
+                    F.col("add.partitionValues").alias(
+                        "partitionValues"
+                    )
+                    if "partitionValues" in add_fields
+                    else F.lit(None).cast("map<string,string>").alias(
+                        "partitionValues"
+                    )
                 )
-                .select("protocol")
-                .collect()
-            ):
-                _check_protocol(row["protocol"].asDict(recursive=True))
-        if "add" in cols:
-            add_fields = {
-                f.name for f in cp_df.schema["add"].dataType.fields
-            }
-            sel = [F.col("add.path").alias("path")]
-            sel.append(
-                F.col("add.partitionValues").alias("partitionValues")
-                if "partitionValues" in add_fields
-                else F.lit(None).cast("map<string,string>").alias(
-                    "partitionValues"
+                sel.append(
+                    F.col("add.size").alias("size")
+                    if "size" in add_fields
+                    else F.lit(None).cast("bigint").alias("size")
                 )
-            )
-            sel.append(
-                F.col("add.size").alias("size")
-                if "size" in add_fields
-                else F.lit(None).cast("bigint").alias("size")
-            )
-            dv_ddl = (
-                "struct<storageType:string,pathOrInlineDv:string,"
-                "offset:int,sizeInBytes:int,cardinality:bigint>"
-            )
-            sel.append(
-                F.col("add.deletionVector").alias("deletionVector")
-                if "deletionVector" in add_fields
-                else F.lit(None).cast(dv_ddl).alias("deletionVector")
-            )
-            adds = cp_df.where(F.col("add.path").isNotNull()).select(
-                *sel
-            )
+                sel.append(
+                    F.col("add.deletionVector").alias("deletionVector")
+                    if "deletionVector" in add_fields
+                    else F.lit(None).cast(dv_ddl).alias(
+                        "deletionVector"
+                    )
+                )
+                adds_parts.append(
+                    cp_df.where(F.col("add.path").isNotNull()).select(
+                        *sel
+                    )
+                )
             if "remove" in cols:
-                removes = cp_df.where(
-                    F.col("remove.path").isNotNull()
-                ).select(F.col("remove.path").alias("path"))
+                removes_parts.append(
+                    cp_df.where(F.col("remove.path").isNotNull())
+                    .select(F.col("remove.path").alias("path"))
+                )
+        if adds_parts:
+            adds = adds_parts[0]
+            for extra in adds_parts[1:]:
+                adds = adds.unionByName(extra)
+            for removes in removes_parts:
                 adds = adds.join(removes, "path", "left_anti")
             # one bounded job: limit(budget+1) instead of count+collect
             rows = (
@@ -746,13 +859,57 @@ def write_delta_commit(
     return version
 
 
-def write_delta_checkpoint(spark: SparkSession, path: str) -> int:
-    """Collapse the current snapshot into a checkpoint parquet at the
-    latest version (plus ``_last_checkpoint``)."""
+_CP_DDL = (
+    "add struct<path:string,partitionValues:map<string,string>,"
+    "size:bigint,modificationTime:bigint,dataChange:boolean,"
+    "stats:string,deletionVector:struct<storageType:string,"
+    "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
+    "cardinality:bigint>>, "
+    "remove struct<path:string,deletionTimestamp:bigint,"
+    "dataChange:boolean>, "
+    "metaData struct<id:string,schemaString:string,"
+    "partitionColumns:string,configuration:string,"
+    "createdTime:bigint>, "
+    "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>,writerFeatures:array<string>>"
+)
+_CP_V2_DDL = _CP_DDL + (
+    ", checkpointMetadata struct<version:bigint>"
+    ", sidecar struct<path:string,sizeInBytes:bigint>"
+)
+
+
+def _write_cp_parquet(spark, path, rows, ddl, out_path) -> None:
+    import pandas as pd
+
+    pdf = pd.DataFrame({"json": [json.dumps(r) for r in rows]})
+    parsed = spark.createDataFrame(pdf).select(
+        F.from_json("json", ddl).alias("a")
+    ).select("a.*")
+    cp_tmp = os.path.join(path, _LOG, f"_cp_tmp_{uuid.uuid4().hex[:8]}")
+    parsed.coalesce(1).write.mode("overwrite").parquet(cp_tmp)
+    part = [n for n in os.listdir(cp_tmp) if n.endswith(".parquet")]
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    os.replace(os.path.join(cp_tmp, part[0]), out_path)
+    for leftover in os.listdir(cp_tmp):
+        os.remove(os.path.join(cp_tmp, leftover))
+    os.rmdir(cp_tmp)
+
+
+def write_delta_checkpoint(
+    spark: SparkSession, path: str, *, style: str = "classic"
+) -> int:
+    """Collapse the current snapshot into a checkpoint at the latest
+    version (plus ``_last_checkpoint``).  ``style``: ``classic`` (one
+    ``n.checkpoint.parquet``), ``multipart``
+    (``n.checkpoint.<part>.<parts>.parquet`` — the file actions split
+    across two parts), or ``v2`` (``n.checkpoint.<uuid>.parquet`` top
+    level carrying checkpointMetadata/metaData/protocol + a sidecar
+    reference; the file actions in ``_sidecars/<uuid>.parquet``)."""
     commits, checkpoints = _list_log(path)
     version = max(commits + checkpoints)
     meta, adds = delta_snapshot_files(spark, path)
-    rows = [
+    add_rows = [
         {"add": a, "remove": None, "metaData": None, "protocol": None}
         for a in adds
     ]
@@ -765,48 +922,69 @@ def write_delta_checkpoint(spark: SparkSession, path: str) -> int:
     meta_row["configuration"] = json.dumps(
         meta.get("configuration") or {}
     )
-    rows.append({"add": None, "remove": None,
-                 "metaData": meta_row,
-                 "protocol": None})
-    proto = (
-        {"minReaderVersion": 2, "minWriterVersion": 5}
-        if _column_mapping(meta)
-        else {"minReaderVersion": 1, "minWriterVersion": 2}
-    )
-    rows.append({"add": None, "remove": None, "metaData": None,
-                 "protocol": proto})
-    import pandas as pd
-
-    pdf = pd.DataFrame({"json": [json.dumps(r) for r in rows]})
-    sdf = spark.createDataFrame(pdf)
-    parsed = sdf.select(
-        F.from_json(
-            "json",
-            "add struct<path:string,partitionValues:map<string,string>,"
-            "size:bigint,modificationTime:bigint,dataChange:boolean,"
-            "stats:string,deletionVector:struct<storageType:string,"
-            "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
-            "cardinality:bigint>>, "
-            "remove struct<path:string,deletionTimestamp:bigint,"
-            "dataChange:boolean>, "
-            "metaData struct<id:string,schemaString:string,"
-            "partitionColumns:string,configuration:string,"
-            "createdTime:bigint>, "
-            "protocol struct<minReaderVersion:int,minWriterVersion:int>",
-        ).alias("a")
-    ).select("a.*")
-    cp_tmp = os.path.join(path, _LOG, f"_cp_tmp_{uuid.uuid4().hex[:8]}")
-    parsed.coalesce(1).write.mode("overwrite").parquet(cp_tmp)
-    part = [n for n in os.listdir(cp_tmp) if n.endswith(".parquet")]
-    cp_name = f"{version:020d}.checkpoint.parquet"
-    os.replace(os.path.join(cp_tmp, part[0]),
-               os.path.join(path, _LOG, cp_name))
-    for leftover in os.listdir(cp_tmp):
-        os.remove(os.path.join(cp_tmp, leftover))
-    os.rmdir(cp_tmp)
-    with open(os.path.join(path, _LOG, "_last_checkpoint"), "w",
+    feats = []
+    if _column_mapping(meta):
+        feats.append("columnMapping")
+    if any(a.get("deletionVector") for a in adds):
+        feats.append("deletionVectors")
+    if "deletionVectors" in feats:
+        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": feats, "writerFeatures": feats}
+    elif feats:
+        proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+    else:
+        proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    head_rows = [
+        {"add": None, "remove": None, "metaData": meta_row,
+         "protocol": None},
+        {"add": None, "remove": None, "metaData": None,
+         "protocol": proto},
+    ]
+    log = os.path.join(path, _LOG)
+    last = {"version": version, "size": len(add_rows) + 2}
+    if style == "classic":
+        _write_cp_parquet(
+            spark, path, add_rows + head_rows, _CP_DDL,
+            os.path.join(log, f"{version:020d}.checkpoint.parquet"),
+        )
+    elif style == "multipart":
+        half = max(1, len(add_rows) // 2)
+        parts = [add_rows[:half] + head_rows, add_rows[half:]]
+        for i, rows in enumerate(parts, start=1):
+            _write_cp_parquet(
+                spark, path, rows, _CP_DDL,
+                os.path.join(
+                    log,
+                    f"{version:020d}.checkpoint."
+                    f"{i:010d}.{len(parts):010d}.parquet",
+                ),
+            )
+        last["parts"] = len(parts)
+    elif style == "v2":
+        side_name = f"{uuid.uuid4()}.parquet"
+        side_path = os.path.join(log, "_sidecars", side_name)
+        _write_cp_parquet(spark, path, add_rows, _CP_DDL, side_path)
+        top = [
+            {"checkpointMetadata": {"version": version}},
+            {"sidecar": {
+                "path": side_name,
+                "sizeInBytes": os.path.getsize(side_path),
+            }},
+        ] + [
+            {**r, "checkpointMetadata": None, "sidecar": None}
+            for r in head_rows
+        ]
+        _write_cp_parquet(
+            spark, path, top, _CP_V2_DDL,
+            os.path.join(
+                log, f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+            ),
+        )
+    else:
+        raise DeltaError(f"unknown checkpoint style {style!r}")
+    with open(os.path.join(log, "_last_checkpoint"), "w",
               encoding="utf-8") as fh:
-        fh.write(json.dumps({"version": version, "size": len(rows)}))
+        fh.write(json.dumps(last))
     return version
 
 

@@ -307,9 +307,10 @@ class TestDelta:
         with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
             fh.write(json.dumps({"protocol": {
                 "minReaderVersion": 3,
-                "readerFeatures": ["v2Checkpoint"],
+                # v2Checkpoint is SUPPORTED since round 10
+                "readerFeatures": ["timestampNtz"],
             }}) + "\n")
-        with pytest.raises(DeltaError, match="v2Checkpoint"):
+        with pytest.raises(DeltaError, match="timestampNtz"):
             read_delta(spark, table_path)
 
     def test_inline_dv_storage(self, spark, tmp_path):
@@ -413,3 +414,99 @@ class TestDelta:
         )
         assert len(got) == 7
         del _glob
+
+    # ---- round-10d: checkpoint formats ---------------------------
+
+    @pytest.mark.parametrize("style", ["multipart", "v2"])
+    def test_checkpoint_styles_bootstrap(self, spark, tmp_path, style):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / f"cp_{style}")
+        df = spark.range(30).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        )
+        write_delta_commit(spark, path, df, partition_by=["p"])
+        write_delta_checkpoint(spark, path, style=style)
+        log = os.path.join(path, "_delta_log")
+        os.remove(os.path.join(log, f"{0:020d}.json"))
+        write_delta_commit(
+            spark, path,
+            spark.createDataFrame([(200, 2)], "id int, p int"),
+            partition_by=["p"],
+        )
+        got = sorted(
+            r["id"] for r in read_delta(spark, path).collect()
+        )
+        assert got == list(range(30)) + [200]
+
+    def test_v2_json_top_level(self, spark, tmp_path):
+        # hand-build the V2 JSON top-level variant our writer doesn't
+        # emit: metaData/protocol/sidecar actions in a .json file
+        import glob as _glob
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "cp_v2json")
+        df = spark.range(12).select(
+            F.col("id").cast("int").alias("id")
+        )
+        write_delta_commit(spark, path, df)
+        write_delta_checkpoint(spark, path, style="v2")
+        log = os.path.join(path, "_delta_log")
+        # convert: read the parquet top level's sidecar + meta into
+        # a JSON top level alongside (replacing the parquet one)
+        top = _glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))
+        assert len(top) == 1
+        side = _glob.glob(os.path.join(log, "_sidecars", "*.parquet"))
+        assert len(side) == 1
+        with open(os.path.join(log, f"{0:020d}.json")) as fh:
+            metaData = next(
+                json.loads(ln)["metaData"] for ln in fh
+                if "metaData" in ln
+            )
+        os.remove(top[0])
+        jname = f"{0:020d}.checkpoint.{_uuid.uuid4()}.json"
+        with open(os.path.join(log, jname), "w") as fh:
+            fh.write(json.dumps(
+                {"checkpointMetadata": {"version": 0}}) + "\n")
+            fh.write(json.dumps({"metaData": metaData}) + "\n")
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"]}}) + "\n")
+            fh.write(json.dumps({"sidecar": {
+                "path": os.path.basename(side[0]),
+                "sizeInBytes": os.path.getsize(side[0])}}) + "\n")
+        os.remove(os.path.join(log, f"{0:020d}.json"))
+        got = sorted(
+            r["id"] for r in read_delta(spark, path).collect()
+        )
+        assert got == list(range(12))
+
+    def test_incomplete_multipart_loud(self, spark, tmp_path):
+        import glob as _glob
+
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "cp_frag")
+        write_delta_commit(
+            spark, path,
+            spark.range(10).select(F.col("id").cast("int").alias("id")),
+        )
+        write_delta_checkpoint(spark, path, style="multipart")
+        part = sorted(_glob.glob(os.path.join(
+            path, "_delta_log", "*.checkpoint.0000000002.*.parquet"
+        )))[0]
+        os.remove(part)
+        with pytest.raises(DeltaError, match="incomplete"):
+            read_delta(spark, path)
+
+    def test_dv_table_checkpoints_v2(self, spark, table_path):
+        self._seed_dv(spark, table_path)
+        write_delta_checkpoint(spark, table_path, style="v2")
+        got = sorted(
+            r["id"] for r in read_delta(spark, table_path).collect()
+        )
+        assert got == [i for i in range(30) if i % 7 != 3]
