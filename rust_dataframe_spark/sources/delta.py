@@ -59,7 +59,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
-from .lakehouse_util import attach_file_values
+from .lakehouse_util import assert_unique_basenames, attach_file_values
 
 __all__ = [
     "DeltaError",
@@ -207,8 +207,17 @@ def _check_protocol(proto: dict) -> None:
         return
     if mrv == 2:
         feats = {"columnMapping"}
-    else:
+    elif mrv == 3:
         feats = set(proto.get("readerFeatures") or [])
+    else:
+        # version 3 is the highest whose semantics this reader knows;
+        # a future version may carry non-feature-listed obligations,
+        # so an empty/supported feature list is NOT a pass
+        raise DeltaError(
+            f"minReaderVersion {mrv} unsupported (this reader knows "
+            "versions 1-3; higher versions may carry semantics beyond "
+            "the readerFeatures list — fail-loud)"
+        )
     unsupported = feats - _SUPPORTED_READER_FEATURES
     if unsupported:
         raise DeltaError(
@@ -569,6 +578,11 @@ def read_delta(
     ]
     df = spark.read.parquet(*files)
     need_key = bool(part_cols) or bool(dvs)
+    if need_key:
+        # the DV anti-join below keys on basename without passing
+        # through attach_file_values' own check — enforce uniqueness
+        # here so an ambiguous basename never tombstones silently
+        assert_unique_basenames(files, err_cls=DeltaError, tag="delta")
     sel = [F.col(f"`{c}`") for c in df.columns]
     if need_key:
         # basename + row position captured ON THE SCAN (after a join
@@ -927,7 +941,12 @@ def write_delta_checkpoint(
         feats.append("columnMapping")
     if any(a.get("deletionVector") for a in adds):
         feats.append("deletionVectors")
-    if "deletionVectors" in feats:
+    if style == "v2":
+        # the spec requires tables with V2 checkpoints to carry the
+        # v2Checkpoint table feature — declare it so foreign readers
+        # see a protocol-conformant table
+        feats = sorted(set(feats) | {"v2Checkpoint"})
+    if "deletionVectors" in feats or "v2Checkpoint" in feats:
         proto = {"minReaderVersion": 3, "minWriterVersion": 7,
                  "readerFeatures": feats, "writerFeatures": feats}
     elif feats:

@@ -57,7 +57,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .avro import decode_records, encode_records
-from .lakehouse_util import attach_file_values
+from .lakehouse_util import assert_unique_basenames, attach_file_values
 
 __all__ = [
     "IcebergError",
@@ -314,9 +314,11 @@ def iceberg_snapshot_files(
     chosen snapshot — or, with ``with_deletes=True``, a 3-tuple whose
     last element is the live POSITION-delete file dicts (format v2).
     Without the flag a table carrying delete files raises loudly
-    rather than reading deleted rows back as live.  Equality deletes
-    (content == 2) always gate: applying them needs sequence-number
-    scoping this reader does not implement.  Passing ``spark``
+    rather than reading deleted rows back as live.  With the flag the
+    delete list carries BOTH position (content == 1) and equality
+    (content == 2) delete files; ``read_iceberg`` applies both —
+    equality deletes with full sequence-number scoping.  Passing
+    ``spark``
     distributes the manifest decode for large manifest lists; the
     final live list is bounded by the loud ``max_live_files``
     budget either way."""
@@ -429,6 +431,10 @@ def read_iceberg(
     parts = inject
     if not deletes and not parts:
         return df
+    # every remaining path joins on the scan basename — enforce
+    # uniqueness even when attach_file_values (which checks itself)
+    # is never reached (pure pos/eq-delete tables, no partitions)
+    assert_unique_basenames(paths, err_cls=IcebergError, tag="iceberg")
     # basename + row position must be captured ON THE SCAN: after the
     # anti-join, input_file_name()/_metadata would be ambiguous
     sel = [F.col(c) for c in df.columns] + [

@@ -24,6 +24,28 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 
+def assert_unique_basenames(
+    paths: list[str], *, err_cls: type[Exception], tag: str
+) -> None:
+    """Loud duplicate-basename check for any basename-keyed join.
+
+    ``attach_file_values`` performs this check itself, but the
+    position-delete / deletion-vector anti-joins key on the scan
+    basename WITHOUT going through it — an unpartitioned table with
+    two live files sharing a basename in different directories would
+    otherwise tombstone rows in the wrong file silently."""
+    seen: dict[str, str] = {}
+    for path in paths:
+        base = os.path.basename(path)
+        if base in seen and seen[base] != path:
+            raise err_cls(
+                f"{tag}: duplicate data-file basename {base!r} "
+                "(basename-keyed row-level-delete join would be "
+                "ambiguous)"
+            )
+        seen[base] = path
+
+
 def attach_file_values(
     df: DataFrame,
     spark,

@@ -1,0 +1,221 @@
+"""Round-11 lakehouse hardening tests (ADVICE round-10 findings):
+duplicate-basename loudness on the row-level-delete join paths,
+minReaderVersion > 3 gate, V2 checkpoints declaring the v2Checkpoint
+table feature."""
+
+import json
+import os
+
+import pytest
+
+from rust_dataframe_spark.sources.delta import (
+    DeltaError,
+    read_delta,
+    write_delta_commit,
+    write_delta_checkpoint,
+)
+from rust_dataframe_spark.sources.iceberg import IcebergError, read_iceberg
+from rust_dataframe_spark.sources.lakehouse_util import (
+    assert_unique_basenames,
+)
+
+
+class TestUniqueBasenames:
+    def test_helper_accepts_unique_and_repeated_same_path(self):
+        assert_unique_basenames(
+            ["/a/x.parquet", "/b/y.parquet", "/a/x.parquet"],
+            err_cls=ValueError, tag="t",
+        )
+
+    def test_helper_rejects_duplicate(self):
+        with pytest.raises(ValueError, match="duplicate data-file"):
+            assert_unique_basenames(
+                ["/a/x.parquet", "/b/x.parquet"],
+                err_cls=ValueError, tag="t",
+            )
+
+    def test_delta_duplicate_basename_loud(self, spark, tmp_path):
+        # hand-written log: two add actions whose RELATIVE paths share
+        # a basename across partition dirs — the delete/partition join
+        # keys on basename, so this must refuse before reading wrong
+        path = str(tmp_path / "dup")
+        os.makedirs(os.path.join(path, "_delta_log"))
+        one = spark.createDataFrame([(1, "a")], "id int, p string")
+        two = spark.createDataFrame([(2, "b")], "id int, p string")
+        for sub, df in (("p=a", one), ("p=b", two)):
+            tmp = os.path.join(path, "_t")
+            df.drop("p").coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                n for n in os.listdir(tmp) if n.endswith(".parquet")
+            )
+            os.makedirs(os.path.join(path, sub), exist_ok=True)
+            os.replace(
+                os.path.join(tmp, part),
+                os.path.join(path, sub, "part-0.parquet"),
+            )
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "integer", "nullable": True,
+                 "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {
+                "id": "t", "schemaString": json.dumps(schema),
+                "partitionColumns": ["p"], "configuration": {},
+                "format": {"provider": "parquet"},
+            }},
+            {"add": {"path": "p=a/part-0.parquet",
+                     "partitionValues": {"p": "a"}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "p=b/part-0.parquet",
+                     "partitionValues": {"p": "b"}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ]
+        with open(os.path.join(path, "_delta_log",
+                               f"{0:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        with pytest.raises(DeltaError, match="duplicate data-file"):
+            read_delta(spark, path).collect()
+
+    def test_iceberg_duplicate_basename_loud(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # pure pos-delete table (no partitions) — the path the ADVICE
+        # finding named: attach_file_values is never reached, so the
+        # new explicit check must fire
+        import rust_dataframe_spark.sources.iceberg as ice
+
+        d1 = str(tmp_path / "a")
+        d2 = str(tmp_path / "b")
+        for d, v in ((d1, 1), (d2, 2)):
+            spark.createDataFrame(
+                [(v,)], "id int"
+            ).coalesce(1).write.parquet(d)
+        p1 = os.path.join(
+            d1, next(n for n in os.listdir(d1) if n.endswith(".parquet"))
+        )
+        base = os.path.basename(p1)
+        p2 = os.path.join(d2, base)
+        os.replace(
+            os.path.join(
+                d2, next(n for n in os.listdir(d2)
+                         if n.endswith(".parquet"))
+            ),
+            p2,
+        )
+        dpath = str(tmp_path / "del")
+        spark.createDataFrame(
+            [(p1, 0)], "file_path string, pos bigint"
+        ).coalesce(1).write.parquet(dpath)
+        dfile = os.path.join(
+            dpath,
+            next(n for n in os.listdir(dpath) if n.endswith(".parquet")),
+        )
+        meta = {
+            "format-version": 2,
+            "schemas": [{"schema-id": 0, "fields": [
+                {"id": 1, "name": "id", "type": "int"},
+            ]}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+        }
+        files = [
+            {"file_path": p1, "partition": {}, "_data_seq": 1,
+             "content": 0},
+            {"file_path": p2, "partition": {}, "_data_seq": 1,
+             "content": 0},
+        ]
+        deletes = [
+            {"file_path": dfile, "content": 1, "_data_seq": 2},
+        ]
+        monkeypatch.setattr(
+            ice, "iceberg_snapshot_files",
+            lambda *a, **k: (meta, files, deletes),
+        )
+        with pytest.raises(IcebergError, match="duplicate data-file"):
+            read_iceberg(spark, str(tmp_path)).collect()
+
+
+class TestProtocolVersionGate:
+    def test_minreader_4_gates_even_with_empty_features(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "v4")
+        df = spark.createDataFrame([(1,)], "id int")
+        write_delta_commit(spark, path, df)
+        log = os.path.join(path, "_delta_log")
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 4, "minWriterVersion": 7,
+                "readerFeatures": [],
+            }}) + "\n")
+        with pytest.raises(DeltaError, match="minReaderVersion 4"):
+            read_delta(spark, path)
+
+    def test_minreader_3_supported_features_still_pass(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "v3")
+        df = spark.createDataFrame([(1,)], "id int")
+        write_delta_commit(spark, path, df)
+        log = os.path.join(path, "_delta_log")
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }}) + "\n")
+        assert read_delta(spark, path).count() == 1
+
+
+class TestV2CheckpointFeature:
+    def test_v2_checkpoint_declares_feature(self, spark, tmp_path):
+        path = str(tmp_path / "cp")
+        df = spark.createDataFrame([(i,) for i in range(8)], "id int")
+        write_delta_commit(spark, path, df)
+        v = write_delta_checkpoint(spark, path, style="v2")
+        log = os.path.join(path, "_delta_log")
+        cp = next(
+            n for n in os.listdir(log)
+            if n.startswith(f"{v:020d}.checkpoint.")
+            and n.endswith(".parquet")
+        )
+        rows = spark.read.parquet(os.path.join(log, cp)).collect()
+        protos = [
+            r["protocol"] for r in rows
+            if r["protocol"] is not None
+            and r["protocol"]["minReaderVersion"] is not None
+        ]
+        assert len(protos) == 1
+        p = protos[0]
+        assert p["minReaderVersion"] == 3
+        assert p["minWriterVersion"] == 7
+        assert "v2Checkpoint" in (p["readerFeatures"] or [])
+        assert "v2Checkpoint" in (p["writerFeatures"] or [])
+        # and it still bootstraps
+        for n in os.listdir(log):
+            if n.endswith(".json") and not n.startswith("_"):
+                os.remove(os.path.join(log, n))
+        assert read_delta(spark, path).count() == 8
+
+    def test_classic_checkpoint_unchanged(self, spark, tmp_path):
+        path = str(tmp_path / "cpc")
+        df = spark.createDataFrame([(1,)], "id int")
+        write_delta_commit(spark, path, df)
+        v = write_delta_checkpoint(spark, path, style="classic")
+        log = os.path.join(path, "_delta_log")
+        rows = spark.read.parquet(
+            os.path.join(log, f"{v:020d}.checkpoint.parquet")
+        ).collect()
+        protos = [
+            r["protocol"] for r in rows if r["protocol"] is not None
+            and r["protocol"]["minReaderVersion"] is not None
+        ]
+        assert protos[0]["minReaderVersion"] == 1
