@@ -66,6 +66,7 @@ __all__ = [
     "write_iceberg_commit",
     "write_iceberg_position_deletes",
     "write_iceberg_equality_deletes",
+    "evolve_iceberg_schema",
 ]
 
 
@@ -156,15 +157,25 @@ def _load_metadata(path: str) -> tuple[dict, int]:
     return meta, version
 
 
-def _schema_fields(meta: dict) -> dict[int, tuple[str, str]]:
-    """field-id -> (name, primitive type)."""
+def _schema_fields(
+    meta: dict, schema_id: int | None = None
+) -> dict[int, tuple[str, str]]:
+    """field-id -> (name, primitive type), in schema order.  With
+    ``schema_id`` the HISTORICAL schema resolves (time travel reads
+    use the snapshot's recorded schema-id, so a column renamed later
+    still reads under its name as of that snapshot)."""
     schema = None
     if "schemas" in meta:
-        sid = meta.get("current-schema-id", 0)
+        sid = (
+            schema_id if schema_id is not None
+            else meta.get("current-schema-id", 0)
+        )
         for s in meta["schemas"]:
             if s.get("schema-id") == sid:
                 schema = s
                 break
+        if schema is None and schema_id is not None:
+            raise IcebergError(f"schema-id {schema_id} not in metadata")
     if schema is None:
         schema = meta.get("schema")
     if schema is None:
@@ -180,7 +191,8 @@ def _schema_fields(meta: dict) -> dict[int, tuple[str, str]]:
 
 
 def _partition_fields(
-    meta: dict, *, allow_transforms: bool = False
+    meta: dict, *, allow_transforms: bool = False,
+    schema_id: int | None = None,
 ) -> list[tuple[str, str, str, str]]:
     """[(partition field name, source column name, iceberg type,
     transform)] for the current spec.  Non-identity transforms
@@ -198,7 +210,7 @@ def _partition_fields(
                 break
     if spec is None:
         spec = meta.get("partition-spec", [])
-    cols = _schema_fields(meta)
+    cols = _schema_fields(meta, schema_id)
     out = []
     for f in spec or []:
         tr = f.get("transform", "identity")
@@ -221,6 +233,20 @@ _ICE_TO_SPARK = {
     "boolean": "boolean", "float": "float", "double": "double",
     "date": "date",
 }
+
+
+def _spark_type(ice_type: str):
+    from pyspark.sql import types as T
+
+    t = {
+        "int": T.IntegerType(), "long": T.LongType(),
+        "string": T.StringType(), "boolean": T.BooleanType(),
+        "float": T.FloatType(), "double": T.DoubleType(),
+        "date": T.DateType(),
+    }.get(ice_type)
+    if t is None:
+        raise IcebergError(f"column type {ice_type!r} unsupported")
+    return t
 
 
 def _snapshot_manifest_entries(path: str, meta: dict, want) -> list[dict]:
@@ -392,20 +418,48 @@ def _localize(table_path: str, p: str) -> str:
 def read_iceberg(
     spark: SparkSession, path: str, *, snapshot_id: int | None = None
 ) -> DataFrame:
-    """One-scan snapshot read with identity-partition re-injection and
-    format-v2 POSITION deletes applied as a broadcast anti-join on
-    ``(data-file basename, _metadata.row_index)``.  Path identity
-    makes sequence-number scoping unnecessary for position deletes:
-    Iceberg data files are immutable and never reuse a path (compaction
-    rewrites under new paths), so a (path, pos) tombstone can never
-    hit a row it wasn't written against.  Equality deletes DO need
-    sequence numbers and stay gated loudly."""
+    """One-scan snapshot read with spec-true COLUMN PROJECTION,
+    identity-partition re-injection and format-v2 row-level deletes.
+
+    Column resolution (Iceberg spec "Column Projection"): when the
+    data files carry parquet field ids (every real Iceberg writer
+    stamps them; this repo's writer does too), columns resolve BY ID
+    against the snapshot's schema — a column renamed by schema
+    evolution reads under its new name, a column added later reads as
+    null in older files, and time travel resolves through the
+    snapshot's recorded schema-id.  Files without ids (pre-field-id
+    fixtures, foreign parquet) fall back to name resolution with a
+    loud rename guard: a schema column missing from every file while
+    unknown physical names are present is an unresolvable rename and
+    refuses rather than returning silent nulls.  Mixed stamped /
+    unstamped files refuse too.
+
+    Deletes: POSITION deletes apply as one broadcast anti-join on
+    ``(data-file basename, _metadata.row_index)`` — path identity
+    makes sequence scoping unnecessary (data files are immutable,
+    paths never reused); EQUALITY deletes apply with full
+    sequence-number scoping."""
+    from .fieldid import probe_field_ids, read_by_field_id
+
     meta, files, deletes = iceberg_snapshot_files(
         path, snapshot_id=snapshot_id, with_deletes=True, spark=spark
     )
-    parts = _partition_fields(meta, allow_transforms=True)
+    # schema as of the snapshot being read: time travel uses the
+    # snapshot's recorded schema-id when present (the spec's rule)
+    schema_id = None
+    if snapshot_id is not None:
+        snap = next(
+            (s for s in meta.get("snapshots") or []
+             if s.get("snapshot-id") == snapshot_id), None
+        )
+        if snap is not None and snap.get("schema-id") is not None:
+            schema_id = snap["schema-id"]
+    cols = _schema_fields(meta, schema_id)  # id -> (name, type), ordered
+    parts = _partition_fields(
+        meta, allow_transforms=True, schema_id=schema_id
+    )
+    out_cols = [n for n, _t in cols.values()]
     if not files:
-        cols = _schema_fields(meta)
         ddl = ", ".join(
             f"`{n}` {_ICE_TO_SPARK.get(t, 'string')}"
             for n, t in cols.values()
@@ -414,30 +468,83 @@ def read_iceberg(
     paths = [_localize(path, f["file_path"]) for f in files]
     pos_dels = [d for d in deletes if d.get("content") == 1]
     eq_dels = [d for d in deletes if d.get("content") == 2]
-    df = spark.read.parquet(*paths)
-    # source columns already present in the data files (the Iceberg
-    # norm) need no re-injection; only absent IDENTITY columns can be
-    # re-derived from partition tuples — an absent TRANSFORMED column
-    # is lossy and gates loudly
-    scan_cols = set(df.columns)
-    inject = [p for p in parts if p[1] not in scan_cols]
-    lossy = [p for p in inject if p[3] != "identity"]
-    if lossy:
-        raise IcebergError(
-            f"partition column {lossy[0][1]!r} with transform "
-            f"{lossy[0][3]!r} is absent from the data files — its "
-            "values are unrecoverable (fail-loud)"
+
+    probe = probe_field_ids(paths, spark)
+    stamped = [m is not None for m, _names in probe]
+    if all(stamped):
+        # field-id path: one scan, ids matched per file by Spark's
+        # parquet reader; absent ids yield nulls (add-evolution)
+        df = read_by_field_id(
+            spark, paths,
+            [(fid, n, _spark_type(t)) for fid, (n, t) in cols.items()],
         )
-    parts = inject
-    if not deletes and not parts:
-        return df
+        present = [
+            {n for fid, (n, _t) in cols.items() if fid in m}
+            for m, _names in probe
+        ]
+    elif any(stamped):
+        raise IcebergError(
+            "data files mix field-id-stamped and unstamped parquet — "
+            "id resolution would be ambiguous (rewrite the unstamped "
+            "files or read snapshots that predate the mix)"
+        )
+    else:
+        # name path (legacy/foreign files): deterministic explicit
+        # schema — but a rename is unresolvable without ids, so a
+        # schema column missing from EVERY file alongside unknown
+        # physical names refuses loudly instead of reading nulls
+        names_union: set[str] = set()
+        for _m, names in probe:
+            names_union.update(names)
+        logical = set(out_cols)
+        unknown = names_union - logical
+        missing = logical - names_union
+        part_src = {src for _n, src, _t, _tr in parts}
+        missing_beyond_parts = missing - part_src
+        if missing_beyond_parts and unknown:
+            raise IcebergError(
+                f"schema columns {sorted(missing_beyond_parts)} absent "
+                f"from every data file while unknown physical columns "
+                f"{sorted(unknown)} are present, and the files carry "
+                "no parquet field ids — a rename cannot be resolved "
+                "by name (fail-loud)"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        read_schema = StructType([
+            StructField(n, _spark_type(t), True)
+            for n, t in cols.values()
+        ])
+        df = spark.read.schema(read_schema).parquet(*paths)
+        present = [set(names) & logical for _m, names in probe]
+
+    # identity-partition injection is PER FILE: only rows from files
+    # that physically lack the source column take the partition-tuple
+    # value (the spec's Column Projection rule); an absent TRANSFORMED
+    # column is lossy and gates loudly
+    inject = []
+    for pname, src, t, tr in parts:
+        files_missing = [
+            i for i, pres in enumerate(present) if src not in pres
+        ]
+        if not files_missing:
+            continue
+        if tr != "identity":
+            raise IcebergError(
+                f"partition column {src!r} with transform {tr!r} is "
+                "absent from data files — its values are "
+                "unrecoverable (fail-loud)"
+            )
+        inject.append((pname, src, t, set(files_missing)))
+    if not deletes and not inject:
+        return df.select(*out_cols)
     # every remaining path joins on the scan basename — enforce
     # uniqueness even when attach_file_values (which checks itself)
     # is never reached (pure pos/eq-delete tables, no partitions)
     assert_unique_basenames(paths, err_cls=IcebergError, tag="iceberg")
     # basename + row position must be captured ON THE SCAN: after the
     # anti-join, input_file_name()/_metadata would be ambiguous
-    sel = [F.col(c) for c in df.columns] + [
+    sel = [F.col(f"`{c}`") for c in df.columns] + [
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
             "__ice_base"
         )
@@ -465,9 +572,7 @@ def read_iceberg(
         # anti-join.
         from functools import reduce as _reduce
 
-        id2col = {
-            fid: nm for fid, (nm, _t) in _schema_fields(meta).items()
-        }
+        id2col = {fid: nm for fid, (nm, _t) in cols.items()}
         df = attach_file_values(
             df, spark,
             [(os.path.abspath(p), [int(f["_data_seq"])])
@@ -482,18 +587,34 @@ def read_iceberg(
             ).append(d)
         for ids, ds in sorted(groups.items()):
             try:
-                cols = [id2col[i] for i in ids]
+                key_cols = [id2col[i] for i in ids]
             except KeyError as e:
                 raise IcebergError(
                     f"equality_ids reference unknown field {e}"
                 ) from None
             dpaths = [_localize(path, d["file_path"]) for d in ds]
-            ddf = spark.read.parquet(*dpaths).select(
-                *[F.col(c).alias(f"__eq_{c}") for c in cols],
-                F.element_at(
-                    F.split(F.input_file_name(), "/"), -1
-                ).alias("__eq_base"),
-            )
+            dprobe = probe_field_ids(dpaths, spark)
+            if all(m is not None for m, _n in dprobe):
+                # delete files stamped with ids: resolve the equality
+                # columns by id (rename-safe, same as the data scan)
+                ddf = read_by_field_id(
+                    spark, dpaths,
+                    [(i, id2col[i], _spark_type(cols[i][1]))
+                     for i in ids],
+                ).select(
+                    *[F.col(f"`{c}`").alias(f"__eq_{c}")
+                      for c in key_cols],
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ).alias("__eq_base"),
+                )
+            else:
+                ddf = spark.read.parquet(*dpaths).select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in key_cols],
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ).alias("__eq_base"),
+                )
             smap = spark.createDataFrame(
                 [(os.path.basename(p), int(d["_data_seq"]))
                  for d, p in zip(ds, dpaths)],
@@ -505,31 +626,112 @@ def read_iceberg(
             cond = _reduce(
                 lambda a, b: a & b,
                 [F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
-                 for c in cols]
+                 for c in key_cols]
                 + [F.col("__eq_seq") > F.col("__pv_data_seq")],
             )
             df = df.join(F.broadcast(ddf), cond, "left_anti")
         df = df.drop("__pv_data_seq")
-    if parts:
-        file_to_vals = [
-            (os.path.abspath(p),
-             [str((f.get("partition") or {}).get(name))
-              for name, _src, _t, _tr in parts])
-            for f, p in zip(files, paths)
-        ]
+    if inject:
+        file_to_vals = []
+        for i, (f, p) in enumerate(zip(files, paths)):
+            vals = []
+            for _pname, src, _t, missing_set in inject:
+                pv = f.get("partition") or {}
+                vals.append(str(pv.get(_pname)))
+                vals.append("1" if i in missing_set else "0")
+            file_to_vals.append((os.path.abspath(p), vals))
+        value_cols = []
+        for _pname, src, _t, _mset in inject:
+            value_cols += [src, f"{src}__absent"]
         df = attach_file_values(
-            df, spark, file_to_vals,
-            [src for _n, src, _t, _tr in parts],
+            df, spark, file_to_vals, value_cols,
             err_cls=IcebergError, tag="ice", key_col="__ice_base",
         )
-        for _name, src, t, _tr in parts:
+        for _pname, src, t, _mset in inject:
             spark_t = _ICE_TO_SPARK.get(t)
             if spark_t is None:
                 raise IcebergError(f"partition type {t!r} unsupported")
             df = df.withColumn(
-                src, F.col(f"__pv_{src}").cast(spark_t)
-            ).drop(f"__pv_{src}")
-    return df.drop("__ice_base")
+                src,
+                F.when(
+                    F.col(f"__pv_{src}__absent") == "1",
+                    F.col(f"__pv_{src}").cast(spark_t),
+                ).otherwise(F.col(f"`{src}`")),
+            ).drop(f"__pv_{src}", f"__pv_{src}__absent")
+    return df.select(*out_cols)
+
+
+def evolve_iceberg_schema(
+    path: str,
+    *,
+    renames: dict[str, str] | None = None,
+    adds: list[tuple[str, str]] | None = None,
+) -> int:
+    """Commit a schema evolution: ``renames`` maps old column name ->
+    new name (field ids are PRESERVED — that is the whole point of
+    id-based column resolution), ``adds`` appends new columns as
+    ``(name, iceberg primitive type)`` with fresh field ids.  Appends
+    a new schema to ``schemas`` with the next schema-id and points
+    ``current-schema-id`` at it; snapshots keep their recorded
+    schema-id, so time travel still reads the old names.  Returns the
+    new schema id."""
+    renames = dict(renames or {})
+    adds = list(adds or [])
+    if not renames and not adds:
+        raise IcebergError("schema evolution with no changes")
+    meta, version = _load_metadata(path)
+    if "schemas" not in meta:
+        raise IcebergError(
+            "metadata carries no schemas list (v1-style single schema "
+            "cannot record evolution)"
+        )
+    cur_id = meta.get("current-schema-id", 0)
+    cur = next(
+        (s for s in meta["schemas"] if s.get("schema-id") == cur_id),
+        None,
+    )
+    if cur is None:
+        raise IcebergError(f"current-schema-id {cur_id} not in schemas")
+    fields = [dict(f) for f in cur.get("fields", [])]
+    names = {f["name"] for f in fields}
+    for old, new in renames.items():
+        if old not in names:
+            raise IcebergError(f"rename source {old!r} not in schema")
+        if new in names - {old} or new in renames:
+            raise IcebergError(f"rename target {new!r} collides")
+    for f in fields:
+        if f["name"] in renames:
+            f["name"] = renames[f["name"]]
+    names = {f["name"] for f in fields}
+    last_id = int(meta.get(
+        "last-column-id", max((f["id"] for f in fields), default=0)
+    ))
+    for name, t in adds:
+        if name in names:
+            raise IcebergError(f"added column {name!r} already exists")
+        if t not in _ICE_TO_SPARK:
+            raise IcebergError(f"added column type {t!r} unsupported")
+        last_id += 1
+        fields.append({"id": last_id, "name": name,
+                       "required": False, "type": t})
+        names.add(name)
+    new_sid = max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
+    meta = dict(meta)
+    meta["schemas"] = list(meta["schemas"]) + [
+        {"schema-id": new_sid, "type": "struct", "fields": fields}
+    ]
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = last_id
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(path, "metadata")
+    new_version = version + 1
+    with open(os.path.join(mdir, f"v{new_version}.metadata.json"),
+              "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w",
+              encoding="utf-8") as fh:
+        fh.write(str(new_version))
+    return new_sid
 
 
 # ---------------------------------------------------------------------------
@@ -617,9 +819,23 @@ def write_iceberg_commit(
             if m.get("content", 0) == 1
         ]
 
-    # one distributed write
+    # one distributed write, field ids stamped into the parquet
+    # footers (the spec REQUIRES writers to stamp ids; the reader's
+    # rename-safe id resolution depends on them)
+    from .fieldid import with_field_ids
+
+    name_to_id = {
+        nm: fid for fid, (nm, _t) in _schema_fields(meta).items()
+    }
+    unknown_cols = [c for c in df.columns if c not in name_to_id]
+    if unknown_cols:
+        raise IcebergError(
+            f"writer: columns {unknown_cols} not in the table schema "
+            "(evolve the schema first — evolve_iceberg_schema)"
+        )
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     tmp = os.path.join(path, f"_tmp_ice_{uuid.uuid4().hex[:8]}")
-    writer = df.write.mode("overwrite")
+    writer = with_field_ids(df, name_to_id).write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
@@ -721,6 +937,7 @@ def write_iceberg_commit(
         "timestamp-ms": ts,
         "sequence-number": seq,
         "manifest-list": ml_path,
+        "schema-id": meta.get("current-schema-id", 0),
         "summary": {"operation": (
             "overwrite" if replace_partitions else "append"
         )},
@@ -759,10 +976,17 @@ def write_iceberg_position_deletes(
     mdir = os.path.join(path, "metadata")
     ts = int(time.time() * 1000)
     snapshot_id = ts * 1000 + version
+    from .fieldid import with_field_ids
+
     ddf = spark.createDataFrame(
         [(p, int(pos)) for p, pos in deletes],
         "file_path string, pos bigint",
     )
+    # spec-reserved field ids for position-delete files
+    ddf = with_field_ids(
+        ddf, {"file_path": 2147483546, "pos": 2147483545}
+    )
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     tmp = os.path.join(path, f"_tmp_del_{uuid.uuid4().hex[:8]}")
     ddf.coalesce(1).write.mode("overwrite").parquet(tmp)
     data_dir = os.path.join(path, "data")
@@ -818,6 +1042,7 @@ def write_iceberg_position_deletes(
         "timestamp-ms": ts,
         "sequence-number": seq,
         "manifest-list": ml_path,
+        "schema-id": meta.get("current-schema-id", 0),
         "summary": {"operation": "delete"},
     }]
     meta["current-snapshot-id"] = snapshot_id
@@ -867,10 +1092,13 @@ def write_iceberg_equality_deletes(
     ts = int(time.time() * 1000)
     snapshot_id = ts * 1000 + version
     seq = int(meta.get("last-sequence-number") or 0) + 1
+    from .fieldid import with_field_ids
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     tmp = os.path.join(path, f"_tmp_eqdel_{uuid.uuid4().hex[:8]}")
-    values.select(*equality_cols).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    with_field_ids(
+        values.select(*equality_cols), name_to_id
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     part = next(
@@ -924,6 +1152,7 @@ def write_iceberg_equality_deletes(
         "timestamp-ms": ts,
         "sequence-number": seq,
         "manifest-list": ml_path,
+        "schema-id": meta.get("current-schema-id", 0),
         "summary": {"operation": "delete"},
     }]
     meta["current-snapshot-id"] = snapshot_id

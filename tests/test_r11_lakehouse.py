@@ -143,6 +143,203 @@ class TestUniqueBasenames:
             read_iceberg(spark, str(tmp_path)).collect()
 
 
+class TestIcebergFieldIdResolution:
+    def _seed_evolved(self, spark, path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.iceberg import (
+            evolve_iceberg_schema,
+            write_iceberg_commit,
+        )
+
+        s1 = write_iceberg_commit(
+            spark, path,
+            spark.range(6).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 2).cast("int").alias("p"),
+                (F.col("id") * 2).cast("int").alias("val"),
+            ),
+            partition_by=["p"],
+        )
+        evolve_iceberg_schema(
+            path, renames={"val": "score"}, adds=[("bonus", "int")]
+        )
+        s2 = write_iceberg_commit(
+            spark, path,
+            spark.createDataFrame(
+                [(100, 0, 300, 7)], "id int, p int, score int, bonus int"
+            ),
+            partition_by=["p"],
+        )
+        return s1, s2
+
+    def test_rename_resolves_by_id(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.iceberg import read_iceberg
+
+        path = str(tmp_path / "t")
+        self._seed_evolved(spark, path)
+        cur = read_iceberg(spark, path)
+        assert cur.columns == ["id", "p", "score", "bonus"]
+        got = {r["id"]: (r["score"], r["bonus"])
+               for r in cur.collect()}
+        # pre-rename files: physical name 'val' resolves to 'score'
+        assert got[4] == (8, None)
+        assert got[100] == (300, 7)
+
+    def test_time_travel_uses_snapshot_schema(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.iceberg import read_iceberg
+
+        path = str(tmp_path / "t")
+        s1, _s2 = self._seed_evolved(spark, path)
+        old = read_iceberg(spark, path, snapshot_id=s1)
+        assert old.columns == ["id", "p", "val"]
+        assert old.count() == 6
+
+    def test_writer_rejects_unknown_column(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            IcebergError,
+            write_iceberg_commit,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed_evolved(spark, path)
+        with pytest.raises(IcebergError, match="not in the table schema"):
+            write_iceberg_commit(
+                spark, path,
+                spark.createDataFrame(
+                    [(1, 0, 1)], "id int, p int, val int"
+                ),
+                partition_by=["p"],
+            )
+
+    def test_evolve_validations(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            IcebergError,
+            evolve_iceberg_schema,
+            write_iceberg_commit,
+        )
+
+        path = str(tmp_path / "t")
+        write_iceberg_commit(
+            spark, path,
+            spark.createDataFrame([(1, "a")], "id int, s string"),
+        )
+        with pytest.raises(IcebergError, match="not in schema"):
+            evolve_iceberg_schema(path, renames={"nope": "x"})
+        with pytest.raises(IcebergError, match="collides"):
+            evolve_iceberg_schema(path, renames={"s": "id"})
+        with pytest.raises(IcebergError, match="already exists"):
+            evolve_iceberg_schema(path, adds=[("id", "int")])
+        with pytest.raises(IcebergError, match="no changes"):
+            evolve_iceberg_schema(path)
+
+    def test_mixed_stamped_unstamped_loud(self, spark, tmp_path):
+        import os as _os
+
+        from rust_dataframe_spark.sources.iceberg import (
+            IcebergError,
+            iceberg_snapshot_files,
+            read_iceberg,
+            write_iceberg_commit,
+        )
+
+        path = str(tmp_path / "t")
+        write_iceberg_commit(
+            spark, path,
+            spark.createDataFrame([(1,), (2,)], "id int"),
+        )
+        # overwrite one live data file with an UNSTAMPED twin
+        _meta, files = iceberg_snapshot_files(path)
+        victim = files[0]["file_path"]
+        tmp = str(tmp_path / "plain")
+        spark.createDataFrame([(9,)], "id int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        plain = next(
+            _os.path.join(tmp, n) for n in _os.listdir(tmp)
+            if n.endswith(".parquet")
+        )
+        # second commit so the table has BOTH stamped and unstamped
+        write_iceberg_commit(
+            spark, path, spark.createDataFrame([(3,)], "id int")
+        )
+        _os.replace(plain, victim)
+        with pytest.raises(IcebergError, match="mix field-id"):
+            read_iceberg(spark, path).collect()
+
+    def test_unstamped_rename_guard_loud(self, spark, tmp_path):
+        import os as _os
+
+        from rust_dataframe_spark.sources.iceberg import (
+            IcebergError,
+            evolve_iceberg_schema,
+            iceberg_snapshot_files,
+            read_iceberg,
+            write_iceberg_commit,
+        )
+
+        path = str(tmp_path / "t")
+        write_iceberg_commit(
+            spark, path,
+            spark.createDataFrame(
+                [(1, 10)], "id int, val int"
+            ).coalesce(1),
+        )
+        # strip ids: replace the live file with an unstamped twin
+        # (a plain re-write of the read preserves footer field ids,
+        # so build the twin from fresh data instead)
+        _meta, files = iceberg_snapshot_files(path)
+        victim = files[0]["file_path"]
+        tmp = str(tmp_path / "plain")
+        spark.createDataFrame(
+            [(1, 10)], "id int, val int"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        plain = next(
+            _os.path.join(tmp, n) for n in _os.listdir(tmp)
+            if n.endswith(".parquet")
+        )
+        _os.replace(plain, victim)
+        # sanity: unstamped but names match -> still reads by name
+        assert read_iceberg(spark, path).count() == 1
+        evolve_iceberg_schema(path, renames={"val": "score"})
+        with pytest.raises(IcebergError, match="rename cannot be"):
+            read_iceberg(spark, path).collect()
+
+    def test_unstamped_add_evolution_reads_nulls(self, spark, tmp_path):
+        import os as _os
+
+        from rust_dataframe_spark.sources.iceberg import (
+            evolve_iceberg_schema,
+            iceberg_snapshot_files,
+            read_iceberg,
+            write_iceberg_commit,
+        )
+
+        path = str(tmp_path / "t")
+        write_iceberg_commit(
+            spark, path,
+            spark.createDataFrame(
+                [(1, 10)], "id int, val int"
+            ).coalesce(1),
+        )
+        _meta, files = iceberg_snapshot_files(path)
+        victim = files[0]["file_path"]
+        tmp = str(tmp_path / "plain")
+        spark.createDataFrame(
+            [(1, 10)], "id int, val int"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        plain = next(
+            _os.path.join(tmp, n) for n in _os.listdir(tmp)
+            if n.endswith(".parquet")
+        )
+        _os.replace(plain, victim)
+        # pure ADD evolution is name-resolvable: no unknown physical
+        # names, the new column is null everywhere
+        evolve_iceberg_schema(path, adds=[("extra", "long")])
+        row = read_iceberg(spark, path).first()
+        assert (row["id"], row["val"], row["extra"]) == (1, 10, None)
+
+
 class TestProtocolVersionGate:
     def test_minreader_4_gates_even_with_empty_features(
         self, spark, tmp_path
