@@ -125,3 +125,108 @@ def q462_iceberg_schema_evolution(
         )
         .orderBy("snap", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q463: Delta column mapping 'id' mode — field-id resolution + rename
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): a table CREATED in column-mapping 'id' mode
+# (schemaString carries delta.columnMapping.id + physicalName; data
+# files are stamped with parquet field ids = the column ids and carry
+# generated physical names).  Commit 0 writes ids 0..29 (p = id % 3,
+# val = id * 2), commit 1 appends ids 100..108 (val = id * 3), a
+# CHECKPOINT collapses the log (mode + ids must survive bootstrap),
+# commit 3 RENAMES val -> score (metadata-only; ids preserved), and
+# commit 4 appends id 5000 (p = 2, score = 11).  Output: the same
+# census as q458 under the LOGICAL names at the latest snapshot
+# (score from files written as val, resolved by id) and at
+# time-travel version 1 (pre-rename: column still reads as val).
+
+
+@query(
+    "q463_delta_colmap_id_mode",
+    oracle="""
+    WITH c0 AS (SELECT unnest(range(0, 30)) AS id),
+    c1 AS (SELECT 100 + unnest(range(0, 9)) AS id),
+    v1 AS (SELECT id, id % 3 AS p, id * 2 AS val FROM c0
+           UNION ALL SELECT id, id % 3, id * 3 FROM c1),
+    cur AS (SELECT id, p, val AS score FROM v1
+            UNION ALL SELECT 5000, 2, 11),
+    snaps AS (SELECT 'latest' AS snap, p, score FROM cur
+              UNION ALL SELECT 'v1', p, val FROM v1)
+    SELECT snap, CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(score) AS BIGINT) AS score_sum
+    FROM snaps GROUP BY snap, p ORDER BY snap, p
+    """,
+)
+def q463_delta_colmap_id_mode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta column mapping in 'id' mode (round 11 — sources/delta.py
+    + sources/fieldid.py, PROTOCOL.md): data-file columns resolve by
+    parquet FIELD ID = delta.columnMapping.id, the same machinery as
+    the Iceberg reader — physical names in the files are opaque, a
+    logical RENAME is a metadata-only commit (rename_delta_columns;
+    ids and physicalName preserved) after which old files read under
+    the new name, and the whole arrangement survives a checkpoint
+    bootstrap (configuration + schemaString ride in the checkpoint).
+    A table claiming 'id' mode whose files lack field ids refuses
+    loudly (spec: id-mode writers must stamp them)."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.delta import (
+        read_delta,
+        rename_delta_columns,
+        write_delta_checkpoint,
+        write_delta_commit,
+    )
+
+    path = _scratch("delta_colmap_id", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta_commit(
+        spark, path,
+        spark.range(30).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+            (F.col("id") * 2).cast("int").alias("val"),
+        ),
+        partition_by=["p"], column_mapping="id",
+    )
+    write_delta_commit(
+        spark, path,
+        spark.range(100, 109).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+            (F.col("id") * 3).cast("int").alias("val"),
+        ),
+        partition_by=["p"],
+    )
+    write_delta_checkpoint(spark, path)
+    rename_delta_columns(spark, path, {"val": "score"})
+    write_delta_commit(
+        spark, path,
+        spark.createDataFrame(
+            [(5000, 2, 11)], "id int, p int, score int"
+        ),
+        partition_by=["p"],
+    )
+    latest = read_delta(spark, path).select(
+        "p", F.col("score").cast("long").alias("score"),
+        F.lit("latest").alias("snap"),
+    )
+    v1 = read_delta(spark, path, version=1).select(
+        "p", F.col("val").cast("long").alias("score"),
+        F.lit("v1").alias("snap"),
+    )
+    return (
+        latest.unionByName(v1)
+        .groupBy("snap", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score").alias("score_sum"),
+        )
+        .orderBy("snap", "p")
+    )

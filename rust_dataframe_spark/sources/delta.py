@@ -68,6 +68,7 @@ __all__ = [
     "write_delta_commit",
     "write_delta_checkpoint",
     "write_delta_delete_rows",
+    "rename_delta_columns",
 ]
 
 
@@ -518,30 +519,58 @@ def _schema_struct(meta: dict) -> StructType:
     return StructType.fromJson(json.loads(meta["schemaString"]))
 
 
-def _column_mapping(meta: dict) -> dict[str, str] | None:
-    """physical parquet name -> logical name, or None when the table
-    has no column mapping.  'name' mode only; 'id' mode (parquet
-    field-id resolution) gates loudly."""
+def _mapping_mode(meta: dict) -> str:
+    """'none' | 'name' | 'id' (anything else fails loud)."""
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
     if mode in ("none", ""):
-        return None
-    if mode != "name":
+        return "none"
+    if mode not in ("name", "id"):
         raise DeltaError(
-            f"column mapping mode {mode!r} unsupported ('name' only — "
-            "'id' mode needs parquet field-id resolution)"
+            f"column mapping mode {mode!r} unsupported "
+            "('name' and 'id' only)"
         )
+    return mode
+
+
+def _column_mapping(meta: dict) -> dict[str, str] | None:
+    """physical parquet name -> logical name, or None when the table
+    has no column mapping.  Both mapping modes annotate every field
+    with ``delta.columnMapping.physicalName`` (PROTOCOL.md writer
+    requirements), so this map exists for 'name' AND 'id' tables —
+    'id' tables additionally resolve data-file columns by parquet
+    field id (see ``read_delta``); partitionValues stay keyed by
+    physical name in both modes."""
+    mode = _mapping_mode(meta)
+    if mode == "none":
+        return None
     out: dict[str, str] = {}
     for f in json.loads(meta["schemaString"]).get("fields", []):
         md = f.get("metadata") or {}
         phys = md.get("delta.columnMapping.physicalName")
         if not phys:
             raise DeltaError(
-                f"column mapping mode 'name' but field {f['name']!r} "
+                f"column mapping mode {mode!r} but field {f['name']!r} "
                 "carries no physicalName"
             )
         out[phys] = f["name"]
+    return out
+
+
+def _ids_by_logical(meta: dict) -> dict[str, int]:
+    """logical name -> delta.columnMapping.id for an 'id'-mode table
+    (every field must carry one)."""
+    out: dict[str, int] = {}
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        md = f.get("metadata") or {}
+        cid = md.get("delta.columnMapping.id")
+        if cid is None:
+            raise DeltaError(
+                f"column mapping mode 'id' but field {f['name']!r} "
+                "carries no delta.columnMapping.id"
+            )
+        out[f["name"]] = int(cid)
     return out
 
 
@@ -562,6 +591,7 @@ def read_delta(
     type_by_name = {
         f.name: f.dataType.simpleString() for f in struct.fields
     }
+    mode = _mapping_mode(meta)
     mapping = _column_mapping(meta)  # physical -> logical, or None
     if not adds:
         # empty snapshot: typed empty frame from metaData.schemaString
@@ -576,7 +606,35 @@ def read_delta(
         if a.get("deletionVector")
         and a["deletionVector"].get("storageType")
     ]
-    df = spark.read.parquet(*files)
+    if mode == "id":
+        # 'id' mode (PROTOCOL.md): data-file columns resolve by
+        # parquet FIELD ID = delta.columnMapping.id — rename-safe by
+        # construction, same machinery as the Iceberg reader.  The
+        # spec REQUIRES id-mode writers to stamp ids, so unstamped
+        # files are corrupt and refuse loudly.
+        from .fieldid import probe_field_ids, read_by_field_id
+
+        probe = probe_field_ids(files, spark)
+        unstamped = [
+            a["path"] for a, (m, _n) in zip(adds, probe) if m is None
+        ]
+        if unstamped:
+            raise DeltaError(
+                f"column mapping 'id' but data files lack parquet "
+                f"field ids (e.g. {unstamped[0]!r}) — id resolution "
+                "is impossible (fail-loud)"
+            )
+        ids = _ids_by_logical(meta)
+        # partition columns are hive-laid-out (absent from files):
+        # they come back null here and the partition re-injection
+        # below overwrites them from partitionValues
+        df = read_by_field_id(
+            spark, files,
+            [(ids[f.name], f.name, f.dataType)
+             for f in struct.fields],
+        )
+    else:
+        df = spark.read.parquet(*files)
     need_key = bool(part_cols) or bool(dvs)
     if need_key:
         # the DV anti-join below keys on basename without passing
@@ -595,7 +653,7 @@ def read_delta(
     if dvs:
         sel.append(F.col("_metadata.row_index").alias("__delta_pos"))
     df = df.select(*sel)
-    if mapping:
+    if mapping and mode == "name":
         data_cols = [
             c for c in df.columns
             if c not in ("__delta_base", "__delta_pos")
@@ -678,11 +736,20 @@ def read_delta(
 
 
 def _commit0_meta(spark: SparkSession, path: str) -> dict:
-    """Current metaData for the writer: commit 0 fast path, full
-    replay fallback (commit 0 may be checkpointed away)."""
-    c0 = os.path.join(path, _LOG, _commit_name(0))
-    if os.path.exists(c0):
-        with open(c0, encoding="utf-8") as fh:
+    """CURRENT metaData for the writer.  Fast path: scan the JSON
+    commits newest-first for the latest metaData action (metaData can
+    change mid-log — e.g. a rename_delta_columns commit — so commit 0
+    alone is not authoritative); full snapshot replay as the fallback
+    when every metaData-carrying commit has been checkpointed away."""
+    try:
+        commits, _cps = _list_log(path)
+    except DeltaError:
+        commits = []
+    for v in sorted(commits, reverse=True):
+        cpath = os.path.join(path, _LOG, _commit_name(v))
+        if not os.path.exists(cpath):
+            continue
+        with open(cpath, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
                 if line:
@@ -700,17 +767,29 @@ def write_delta_commit(
     *,
     partition_by: list[str] | None = None,
     replace_partitions: bool = False,
-    column_mapping: bool = False,
+    column_mapping: bool | str = False,
 ) -> int:
     """Append ``df`` as one Delta commit (commit 0 also writes
     metaData + protocol).  With ``replace_partitions`` the commit
     first removes every live file whose partitionValues match a
     partition present in ``df`` (dynamic-partition overwrite).
-    ``column_mapping=True`` on commit 0 creates the table in column
-    mapping 'name' mode: parquet files carry generated physical
-    column names, the schemaString annotates each field with
-    ``delta.columnMapping.physicalName``, and partitionValues are
-    keyed by physical name (PROTOCOL.md writer requirements)."""
+    ``column_mapping`` on commit 0 creates the table in column
+    mapping mode ``'name'`` (``True`` is an alias) or ``'id'``:
+    parquet files carry generated physical column names, the
+    schemaString annotates each field with
+    ``delta.columnMapping.id`` + ``physicalName``, and
+    partitionValues are keyed by physical name (PROTOCOL.md writer
+    requirements).  'id' mode additionally stamps parquet field ids
+    into every data file (the spec requires it; the reader resolves
+    columns by id)."""
+    cm_mode = {True: "name", False: None}.get(
+        column_mapping, column_mapping
+    )
+    if cm_mode not in (None, "name", "id"):
+        raise DeltaError(
+            f"column_mapping must be False/True/'name'/'id', "
+            f"got {column_mapping!r}"
+        )
     partition_by = list(partition_by or [])
     log = os.path.join(path, _LOG)
     os.makedirs(log, exist_ok=True)
@@ -723,13 +802,18 @@ def write_delta_commit(
     actions: list[dict] = []
     ts = int(time.time() * 1000)
     phys_of: dict[str, str] = {}  # logical -> physical (mapping mode)
+    ids_of: dict[str, int] = {}  # logical -> column id (id mode)
     if version == 0:
-        if column_mapping:
+        if cm_mode:
             phys_of = {
                 f.name: "col-" + uuid.uuid5(
                     uuid.NAMESPACE_URL, f"delta-cm/{f.name}"
                 ).hex[:16]
                 for f in df.schema.fields
+            }
+            ids_of = {
+                f.name: i + 1
+                for i, f in enumerate(df.schema.fields)
             }
         schema = {
             "type": "struct",
@@ -749,14 +833,14 @@ def write_delta_commit(
         }
         proto = (
             {"minReaderVersion": 2, "minWriterVersion": 5}
-            if column_mapping
+            if cm_mode
             else {"minReaderVersion": 1, "minWriterVersion": 2}
         )
         conf = (
-            {"delta.columnMapping.mode": "name",
+            {"delta.columnMapping.mode": cm_mode,
              "delta.columnMapping.maxColumnId":
                  str(len(df.schema.fields))}
-            if column_mapping else {}
+            if cm_mode else {}
         )
         actions.append({"protocol": proto})
         actions.append({
@@ -770,18 +854,43 @@ def write_delta_commit(
             }
         })
     else:
-        mapping = _column_mapping(_commit0_meta(spark, path))
+        meta0 = _commit0_meta(spark, path)
+        cm_mode = _mapping_mode(meta0)
+        if cm_mode == "none":
+            cm_mode = None
+        mapping = _column_mapping(meta0)
         if mapping:
             phys_of = {v: k for k, v in mapping.items()}
+        if cm_mode == "id":
+            ids_of = _ids_by_logical(meta0)
     # ONE distributed write (hive layout via partitionBy) + ONE count
     # job per commit — not a job per partition
     phys = [phys_of.get(c, c) for c in partition_by]
     out_df = df
     if phys_of:
-        out_df = df.select(
-            *[F.col(f"`{c}`").alias(phys_of.get(c, c))
-              for c in df.columns]
-        )
+        if cm_mode == "id":
+            # stamp parquet field ids = delta.columnMapping.id so the
+            # reader's id resolution finds them (spec requirement)
+            missing_ids = [c for c in df.columns if c not in ids_of]
+            if missing_ids:
+                raise DeltaError(
+                    f"columns {missing_ids} not in the table schema "
+                    "(id-mode writes need a column id per column)"
+                )
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+            out_df = df.select(
+                *[F.col(f"`{c}`").alias(
+                    phys_of.get(c, c),
+                    metadata={"parquet.field.id": ids_of[c]},
+                ) for c in df.columns]
+            )
+        else:
+            out_df = df.select(
+                *[F.col(f"`{c}`").alias(phys_of.get(c, c))
+                  for c in df.columns]
+            )
     tmp = os.path.join(path, f"_tmp_commit_{uuid.uuid4().hex[:8]}")
     writer = out_df.write.mode("overwrite")
     if partition_by:
@@ -908,6 +1017,53 @@ def _write_cp_parquet(spark, path, rows, ddl, out_path) -> None:
     for leftover in os.listdir(cp_tmp):
         os.remove(os.path.join(cp_tmp, leftover))
     os.rmdir(cp_tmp)
+
+
+def rename_delta_columns(
+    spark: SparkSession, path: str, renames: dict[str, str]
+) -> int:
+    """Append a metadata-only commit renaming LOGICAL column names.
+    Column-mapping tables only: ``delta.columnMapping.id`` and
+    ``physicalName`` are preserved, so existing data files keep
+    resolving (by id in 'id' mode, by physical name in 'name' mode) —
+    that is the protocol's whole point.  partitionColumns entries
+    rename along (they are logical names).  Returns the commit
+    version."""
+    meta, _adds = delta_snapshot_files(spark, path)
+    mode = _mapping_mode(meta)
+    if mode == "none":
+        raise DeltaError(
+            "renaming columns requires column mapping ('name' or "
+            "'id') — without it existing files would stop resolving"
+        )
+    schema = json.loads(meta["schemaString"])
+    names = {f["name"] for f in schema.get("fields", [])}
+    for old, new in renames.items():
+        if old not in names:
+            raise DeltaError(f"rename source {old!r} not in schema")
+        if new in names - {old} or new in renames:
+            raise DeltaError(f"rename target {new!r} collides")
+    for f in schema.get("fields", []):
+        if f["name"] in renames:
+            f["name"] = renames[f["name"]]
+    part_cols = [
+        renames.get(c, c) for c in meta.get("partitionColumns") or []
+    ]
+    commits, checkpoints = _list_log(path)
+    version = max(commits + checkpoints) + 1
+    action = {"metaData": {
+        "id": meta.get("id") or str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(schema),
+        "partitionColumns": part_cols,
+        "configuration": meta.get("configuration") or {},
+        "createdTime": meta.get("createdTime")
+        or int(time.time() * 1000),
+    }}
+    with open(os.path.join(path, _LOG, _commit_name(version)), "w",
+              encoding="utf-8") as fh:
+        fh.write(json.dumps(action) + "\n")
+    return version
 
 
 def write_delta_checkpoint(

@@ -209,11 +209,15 @@ class TestDelta:
         assert set(snap2.columns) == {"id", "name", "p"}
         assert snap2.count() == 11
 
-    def test_column_mapping_id_mode_gates(self, spark, tmp_path):
+    def test_id_mode_unstamped_files_loud(self, spark, tmp_path):
+        # round 11: 'id' mode READS now (parquet field-id resolution),
+        # but a table claiming id mode whose files carry no field ids
+        # is corrupt per the spec and must refuse, not read wrong
         path = str(tmp_path / "cmid_dt")
         df = spark.createDataFrame([(1,)], "id int")
         write_delta_commit(spark, path, df, column_mapping=True)
-        # flip the mode to 'id' in commit 0's metaData
+        # flip the mode to 'id' in commit 0's metaData — the name-mode
+        # files were written WITHOUT parquet field ids
         log = os.path.join(path, "_delta_log")
         c0 = os.path.join(log, f"{0:020d}.json")
         lines = open(c0).read().splitlines()
@@ -225,8 +229,8 @@ class TestDelta:
                     "delta.columnMapping.mode"] = "id"
             out.append(json.dumps(a))
         open(c0, "w").write("\n".join(out) + "\n")
-        with pytest.raises(DeltaError, match="'id' mode"):
-            read_delta(spark, path)
+        with pytest.raises(DeltaError, match="lack parquet field ids"):
+            read_delta(spark, path).collect()
 
     # ---- round-10: deletion vectors ------------------------------
 

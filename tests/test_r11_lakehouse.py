@@ -416,3 +416,113 @@ class TestV2CheckpointFeature:
             and r["protocol"]["minReaderVersion"] is not None
         ]
         assert protos[0]["minReaderVersion"] == 1
+
+
+class TestDeltaIdMode:
+    def _seed(self, spark, path):
+        from pyspark.sql import functions as F
+
+        write_delta_commit(
+            spark, path,
+            spark.range(12).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 2).cast("int").alias("p"),
+                (F.col("id") * 10).cast("int").alias("val"),
+            ),
+            partition_by=["p"], column_mapping="id",
+        )
+
+    def test_id_mode_reads_logical_names(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        df = read_delta(spark, path)
+        assert set(df.columns) == {"id", "p", "val"}
+        row = df.filter("id = 7").first()
+        assert (row["p"], row["val"]) == (1, 70)
+
+    def test_rename_preserves_old_files(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.delta import (
+            rename_delta_columns,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        rename_delta_columns(spark, path, {"val": "score"})
+        write_delta_commit(
+            spark, path,
+            spark.createDataFrame(
+                [(100, 0, 1000)], "id int, p int, score int"
+            ),
+            partition_by=["p"],
+        )
+        df = read_delta(spark, path)
+        assert set(df.columns) == {"id", "p", "score"}
+        got = {r["id"]: r["score"] for r in df.collect()}
+        assert got[7] == 70  # written under physical 'val' id
+        assert got[100] == 1000
+
+    def test_rename_without_mapping_loud(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        write_delta_commit(
+            spark, path, spark.createDataFrame([(1,)], "id int")
+        )
+        from rust_dataframe_spark.sources.delta import (
+            rename_delta_columns,
+        )
+
+        with pytest.raises(DeltaError, match="requires column mapping"):
+            rename_delta_columns(spark, path, {"id": "x"})
+
+    def test_id_mode_with_deletion_vectors(self, spark, tmp_path):
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.delta import (
+            delta_snapshot_files,
+            write_delta_delete_rows,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        _m, adds = delta_snapshot_files(spark, path)
+        by_base = {
+            _os.path.basename(a["path"]): a["path"] for a in adds
+        }
+        doomed = {}
+        for r in spark.read.parquet(
+            *[_os.path.join(path, a["path"]) for a in adds]
+        ).select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1)
+            .alias("b"),
+            F.col("_metadata.row_index").alias("pos"),
+            F.col("*"),
+        ).collect():
+            # tombstone physical rows whose first int column % 5 == 3
+            vals = [v for k, v in r.asDict().items()
+                    if k not in ("b", "pos")]
+            if int(vals[0]) % 5 == 3:
+                doomed.setdefault(by_base[r["b"]], []).append(r["pos"])
+        write_delta_delete_rows(spark, path, doomed)
+        df = read_delta(spark, path)
+        ids = sorted(r["id"] for r in df.collect())
+        assert ids == [i for i in range(12) if i % 5 != 3]
+
+    def test_id_mode_checkpoint_declares_feature(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        v = write_delta_checkpoint(spark, path)
+        log = os.path.join(path, "_delta_log")
+        rows = spark.read.parquet(
+            os.path.join(log, f"{v:020d}.checkpoint.parquet")
+        ).collect()
+        protos = [
+            r["protocol"] for r in rows if r["protocol"] is not None
+            and r["protocol"]["minReaderVersion"] is not None
+        ]
+        assert protos[0]["minReaderVersion"] == 2
+        # and bootstrap keeps id-mode resolution
+        for n in os.listdir(log):
+            if n.endswith(".json") and not n.startswith("_"):
+                os.remove(os.path.join(log, n))
+        assert read_delta(spark, path).count() == 12
