@@ -230,3 +230,341 @@ def q463_delta_colmap_id_mode(
         )
         .orderBy("snap", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q464: Delta Change Data Feed — cdc files + synthesized insert/delete
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): a CDF-enabled unpartitioned table.
+# v0 inserts ids 0..9 (val = id*2); v1 inserts (100,7),(101,9) —
+# both add-only commits whose CDF rows SYNTHESIZE as inserts.
+# v2 UPDATE (id % 5 = 0 -> val += 1000) writes a real _change_data/
+# cdc file with update_preimage/update_postimage rows (matched: 0, 5,
+# 100).  v3 DELETE (id = 3) writes a cdc delete.  v4 drops the live
+# file wholesale (remove-only commit, no cdc) — CDF synthesizes
+# deletes by reading the removed file (the spec's remove-only rule).
+# Output: per (scope, commit version, change type) census for the
+# full range AND a starting_version=3 tail read.
+
+
+@query(
+    "q464_delta_change_data_feed",
+    oracle="""
+    WITH base AS (SELECT unnest(range(0, 10)) AS id),
+    late(id, val) AS (VALUES (100, 7), (101, 9)),
+    ins0 AS (SELECT 0 AS v, 'insert' AS ct, id, id * 2 AS val
+             FROM base),
+    ins1 AS (SELECT 1 AS v, 'insert' AS ct, id, val FROM late),
+    upd_match AS (SELECT id, id * 2 AS val FROM base WHERE id % 5 = 0
+                  UNION ALL SELECT id, val FROM late WHERE id % 5 = 0),
+    u_pre AS (SELECT 2 AS v, 'update_preimage' AS ct, id, val
+              FROM upd_match),
+    u_post AS (SELECT 2 AS v, 'update_postimage' AS ct, id,
+                      val + 1000 AS val FROM upd_match),
+    cur2 AS (SELECT id,
+                    CASE WHEN id % 5 = 0 THEN val + 1000 ELSE val END
+                        AS val
+             FROM (SELECT id, id * 2 AS val FROM base
+                   UNION ALL SELECT id, val FROM late)),
+    d3 AS (SELECT 3 AS v, 'delete' AS ct, id, val FROM cur2
+           WHERE id = 3),
+    d4 AS (SELECT 4 AS v, 'delete' AS ct, id, val FROM cur2
+           WHERE id <> 3),
+    all_ch AS (SELECT * FROM ins0 UNION ALL SELECT * FROM ins1
+               UNION ALL SELECT * FROM u_pre
+               UNION ALL SELECT * FROM u_post
+               UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM d4),
+    scoped AS (SELECT 'full' AS scope, * FROM all_ch
+               UNION ALL SELECT 'tail', * FROM all_ch WHERE v >= 3)
+    SELECT scope, CAST(v AS BIGINT) AS commit_version,
+           ct AS change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum,
+           CAST(sum(val) AS BIGINT) AS val_sum
+    FROM scoped GROUP BY scope, v, ct
+    ORDER BY scope, commit_version, change_type
+    """,
+)
+def q464_delta_change_data_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta Change Data Feed (round 11 — sources/delta.py,
+    PROTOCOL.md 'Add CDC File' + the public CDF semantics): per
+    commit, explicit ``_change_data/`` cdc files ARE the change set
+    (update pre/post images, cdc deletes) while commits without cdc
+    SYNTHESIZE — add-only commits as inserts, remove-only commits as
+    deletes read from the removed files, and mixed rewrites without
+    cdc refuse loudly.  The reader runs at most THREE distributed
+    scans regardless of the version span (cdc / insert / delete file
+    groups, commit version re-attached via the basename broadcast
+    map), so a month of commits does not mean a month of scans.
+    Both a full-range and a starting_version tail read are pinned."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.delta import (
+        delete_delta_rows_cdf,
+        delta_snapshot_files,
+        drop_delta_files,
+        read_delta_changes,
+        update_delta_rows_cdf,
+        write_delta_commit,
+    )
+
+    path = _scratch("delta_cdf", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta_commit(
+        spark, path,
+        spark.range(10).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).cast("int").alias("val"),
+        ).coalesce(1),
+        enable_cdf=True,
+    )
+    write_delta_commit(
+        spark, path,
+        spark.createDataFrame(
+            [(100, 7), (101, 9)], "id int, val int"
+        ).coalesce(1),
+    )
+    update_delta_rows_cdf(
+        spark, path, "id % 5 = 0", {"val": "val + 1000"}
+    )
+    delete_delta_rows_cdf(spark, path, "id = 3")
+    _m, adds = delta_snapshot_files(spark, path)
+    drop_delta_files(spark, path, [a["path"] for a in adds])
+    full = read_delta_changes(
+        spark, path, starting_version=0
+    ).withColumn("scope", F.lit("full"))
+    tail = read_delta_changes(
+        spark, path, starting_version=3
+    ).withColumn("scope", F.lit("tail"))
+    return (
+        full.unionByName(tail)
+        .groupBy("scope", "_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("id_sum"),
+            F.sum("val").alias("val_sum"),
+        )
+        .select(
+            "scope",
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            "n", "id_sum", "val_sum",
+        )
+        .orderBy("scope", "commit_version", "change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q465: Iceberg incremental read — append diff between snapshots
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): s0 writes ids 0..19 (p = id % 2, val = id);
+# s1 appends ids 100..104 (val = id * 2); s2 appends ids 200..203
+# (val = id * 3).  Incremental reads return exactly the rows ADDED in
+# (from, to]: after_s0 = s1 + s2 rows, after_s1 = s2 rows only; a
+# delete/overwrite snapshot in range refuses loudly (append-only
+# contract, as real Iceberg incremental scans).
+
+
+@query(
+    "q465_iceberg_incremental",
+    oracle="""
+    WITH s1 AS (SELECT 100 + unnest(range(0, 5)) AS id),
+    s2 AS (SELECT 200 + unnest(range(0, 4)) AS id),
+    r1 AS (SELECT id, id % 2 AS p, id * 2 AS val FROM s1),
+    r2 AS (SELECT id, id % 2 AS p, id * 3 AS val FROM s2),
+    scoped AS (SELECT 'after_s0' AS scope, * FROM r1
+               UNION ALL SELECT 'after_s0', * FROM r2
+               UNION ALL SELECT 'after_s1', * FROM r2)
+    SELECT scope, CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum,
+           CAST(sum(val) AS BIGINT) AS val_sum
+    FROM scoped GROUP BY scope, p ORDER BY scope, p
+    """,
+)
+def q465_iceberg_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg incremental APPEND scan (round 11 —
+    sources/iceberg.py read_iceberg_changes): the rows added by every
+    snapshot in ``(from, to]``, resolved from each snapshot's
+    manifest list (ADDED entries: status == 1 and entry snapshot-id
+    == the snapshot), read in ONE distributed scan with the owning
+    ``_snapshot_id`` re-attached via the basename broadcast map —
+    scan count is O(1) in the snapshot-range length.  Non-append
+    snapshots in range refuse loudly (the spec's incremental-scan
+    contract); schema resolves at the TO snapshot (field ids)."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.iceberg import (
+        read_iceberg_changes,
+        write_iceberg_commit,
+    )
+
+    path = _scratch("iceberg_incr", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    s0 = write_iceberg_commit(
+        spark, path,
+        spark.range(20).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("p"),
+            F.col("id").cast("int").alias("val"),
+        ),
+        partition_by=["p"],
+    )
+    s1 = write_iceberg_commit(
+        spark, path,
+        spark.range(100, 105).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("p"),
+            (F.col("id") * 2).cast("int").alias("val"),
+        ),
+        partition_by=["p"],
+    )
+    write_iceberg_commit(
+        spark, path,
+        spark.range(200, 204).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("p"),
+            (F.col("id") * 3).cast("int").alias("val"),
+        ),
+        partition_by=["p"],
+    )
+    a0 = read_iceberg_changes(
+        spark, path, from_snapshot_id=s0
+    ).withColumn("scope", F.lit("after_s0"))
+    a1 = read_iceberg_changes(
+        spark, path, from_snapshot_id=s1
+    ).withColumn("scope", F.lit("after_s1"))
+    return (
+        a0.unionByName(a1)
+        .groupBy("scope", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("id_sum"),
+            F.sum("val").alias("val_sum"),
+        )
+        .orderBy("scope", "p")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q466: Hudi incremental query — _hoodie_commit_time provenance
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): COW table with meta fields.  t0 inserts ids
+# 0..11 (p = id % 2, val = id * 2).  t1 upserts the p=0 file group:
+# ids with id % 4 == 0 get val += 1000 (new commit time), carried
+# rows keep their ORIGINAL t0 commit time, and id 100 (val 777)
+# inserts.  t2 inserts ids 300, 301 into p=1 (val = id * 5).
+# Incremental (t0, latest] = the updated rows (0/4/8), 100, 300, 301
+# — NOT the carried rows sharing the rewritten file; (t1, latest] =
+# 300, 301 only.
+
+
+@query(
+    "q466_hudi_incremental",
+    oracle="""
+    WITH upd AS (SELECT id, 0 AS p, id * 2 + 1000 AS val
+                 FROM (SELECT unnest(range(0, 12)) AS id)
+                 WHERE id % 2 = 0 AND id % 4 = 0),
+    ins1 AS (SELECT 100 AS id, 0 AS p, 777 AS val),
+    ins2 AS (SELECT id, 1 AS p, id * 5 AS val
+             FROM (SELECT 300 + unnest(range(0, 2)) AS id)),
+    scoped AS (SELECT 'after_t0' AS scope, * FROM upd
+               UNION ALL SELECT 'after_t0', * FROM ins1
+               UNION ALL SELECT 'after_t0', * FROM ins2
+               UNION ALL SELECT 'after_t1', * FROM ins2)
+    SELECT scope, CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum,
+           CAST(sum(val) AS BIGINT) AS val_sum
+    FROM scoped GROUP BY scope, p ORDER BY scope, p
+    """,
+)
+def q466_hudi_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi incremental query (round 11 — sources/hudi.py
+    read_hudi_incremental): rows written by completed instants in
+    ``(begin, end]``, filtered on the ``_hoodie_commit_time`` meta
+    column inside the live file slices whose instant falls in range —
+    the copy-on-write subtlety this pins is that a rewritten file
+    group carries BOTH carried-over rows (original commit time,
+    excluded) and upserted rows (new commit time, included), exactly
+    real Hudi's semantics.  Tables without meta fields refuse loudly;
+    one distributed scan with hive partition values re-injected."""
+    import os as _os
+    import re as _re
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.hudi import (
+        hudi_snapshot_files,
+        read_hudi,
+        read_hudi_incremental,
+        write_hudi_commit,
+    )
+
+    path = _scratch("hudi_incr", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = write_hudi_commit(
+        spark, path,
+        spark.range(12).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("p"),
+            (F.col("id") * 2).cast("int").alias("val"),
+        ),
+        partition_by=["p"], meta_fields=True,
+    )
+    slices = hudi_snapshot_files(path)
+    fid0 = _re.match(
+        r"^([0-9a-f-]+)_",
+        _os.path.basename([f for pt, f in slices if pt == "p=0"][0]),
+    ).group(1)
+    g0 = read_hudi(spark, path).filter("p = 0")
+    upserted = g0.select(
+        F.when(F.col("id") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("_hoodie_commit_time"))
+        .alias("_hoodie_commit_time"),
+        "id", "p",
+        F.when(F.col("id") % 4 == 0, F.col("val") + 1000)
+        .otherwise(F.col("val")).cast("int").alias("val"),
+    ).unionByName(spark.createDataFrame(
+        [(None, 100, 0, 777)],
+        "_hoodie_commit_time string, id int, p int, val int",
+    ))
+    t1 = write_hudi_commit(
+        spark, path, upserted, partition_by=["p"],
+        upsert_into={"p=0": fid0}, meta_fields=True,
+    )
+    write_hudi_commit(
+        spark, path,
+        spark.range(300, 302).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(1).cast("int").alias("p"),
+            (F.col("id") * 5).cast("int").alias("val"),
+        ),
+        partition_by=["p"], meta_fields=True,
+    )
+    a0 = read_hudi_incremental(spark, path, begin_ts=t0).withColumn(
+        "scope", F.lit("after_t0")
+    )
+    a1 = read_hudi_incremental(spark, path, begin_ts=t1).withColumn(
+        "scope", F.lit("after_t1")
+    )
+    return (
+        a0.unionByName(a1)
+        .groupBy("scope", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("id_sum"),
+            F.sum("val").alias("val_sum"),
+        )
+        .orderBy("scope", "p")
+    )

@@ -69,6 +69,10 @@ __all__ = [
     "write_delta_checkpoint",
     "write_delta_delete_rows",
     "rename_delta_columns",
+    "read_delta_changes",
+    "update_delta_rows_cdf",
+    "delete_delta_rows_cdf",
+    "drop_delta_files",
 ]
 
 
@@ -768,6 +772,7 @@ def write_delta_commit(
     partition_by: list[str] | None = None,
     replace_partitions: bool = False,
     column_mapping: bool | str = False,
+    enable_cdf: bool = False,
 ) -> int:
     """Append ``df`` as one Delta commit (commit 0 also writes
     metaData + protocol).  With ``replace_partitions`` the commit
@@ -781,7 +786,9 @@ def write_delta_commit(
     partitionValues are keyed by physical name (PROTOCOL.md writer
     requirements).  'id' mode additionally stamps parquet field ids
     into every data file (the spec requires it; the reader resolves
-    columns by id)."""
+    columns by id).  ``enable_cdf=True`` on commit 0 sets
+    ``delta.enableChangeDataFeed`` (and writer protocol 4, the CDF
+    floor) so ``read_delta_changes`` accepts the table."""
     cm_mode = {True: "name", False: None}.get(
         column_mapping, column_mapping
     )
@@ -834,7 +841,8 @@ def write_delta_commit(
         proto = (
             {"minReaderVersion": 2, "minWriterVersion": 5}
             if cm_mode
-            else {"minReaderVersion": 1, "minWriterVersion": 2}
+            else {"minReaderVersion": 1,
+                  "minWriterVersion": 4 if enable_cdf else 2}
         )
         conf = (
             {"delta.columnMapping.mode": cm_mode,
@@ -842,6 +850,9 @@ def write_delta_commit(
                  str(len(df.schema.fields))}
             if cm_mode else {}
         )
+        if enable_cdf:
+            conf = dict(conf)
+            conf["delta.enableChangeDataFeed"] = "true"
         actions.append({"protocol": proto})
         actions.append({
             "metaData": {
@@ -1239,4 +1250,345 @@ def write_delta_delete_rows(
               encoding="utf-8") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
+    return version
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed (round 11)
+# ---------------------------------------------------------------------------
+
+_CHANGE_DIR = "_change_data"
+
+
+def _commit_actions(path: str, v: int) -> list[dict]:
+    cpath = os.path.join(path, _LOG, _commit_name(v))
+    out = []
+    with open(cpath, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    *,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Delta Change Data Feed read over
+    ``[starting_version, ending_version]`` (PROTOCOL.md 'Add CDC
+    File' + the public CDF semantics).  Returns the table columns
+    plus ``_change_type`` ('insert' / 'delete' /
+    'update_preimage' / 'update_postimage') and ``_commit_version``.
+
+    Per commit: when ``cdc`` actions exist their ``_change_data/``
+    files ARE the change set (the data files' add/remove actions are
+    ignored for CDF, per the spec); otherwise changes are
+    SYNTHESIZED — an add-only commit yields inserts from the added
+    files, a remove-only commit yields deletes read from the removed
+    files (still on disk until vacuum; a vacuumed file fails the scan
+    loudly), and a commit with BOTH adds and removes (dataChange)
+    and no cdc action refuses: row-level changes are not inferable
+    from a rewrite, exactly as real CDF readers refuse.
+
+    Scale: at most three distributed scans regardless of the version
+    span — one per change-file group (cdc / inserts / deletes) —
+    with commit version and partition values re-attached via the
+    basename broadcast map.  ``_commit_timestamp`` is not emitted
+    (this repo's fixtures pin deterministic outputs).  Tables must
+    carry ``delta.enableChangeDataFeed=true``; column-mapped tables
+    gate loudly (CDF + mapping composition not implemented)."""
+    commits, checkpoints = _list_log(path)
+    latest = max(commits + checkpoints)
+    end = latest if ending_version is None else ending_version
+    if starting_version > end:
+        raise DeltaError(
+            f"starting_version {starting_version} > ending {end}"
+        )
+    meta, _adds = delta_snapshot_files(spark, path, version=end)
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.enableChangeDataFeed") != "true":
+        raise DeltaError(
+            "table does not carry delta.enableChangeDataFeed=true — "
+            "change data was never recorded (fail-loud)"
+        )
+    if _mapping_mode(meta) != "none":
+        raise DeltaError(
+            "CDF over a column-mapped table unsupported (fail-loud)"
+        )
+    part_cols = meta.get("partitionColumns") or []
+    struct = _schema_struct(meta)
+    type_by_name = {
+        f.name: f.dataType.simpleString() for f in struct.fields
+    }
+    data_cols = [f.name for f in struct.fields]
+
+    cdc_group: list[tuple[str, int, dict]] = []
+    ins_group: list[tuple[str, int, dict]] = []
+    del_group: list[tuple[str, int, dict]] = []
+    for v in range(starting_version, end + 1):
+        cpath = os.path.join(path, _LOG, _commit_name(v))
+        if not os.path.exists(cpath):
+            raise DeltaError(
+                f"commit JSON for version {v} is gone "
+                "(checkpointed away?) — CDF needs per-commit actions"
+            )
+        cdcs: list[dict] = []
+        adds_dc: list[dict] = []
+        removes_dc: list[dict] = []
+        for action in _commit_actions(path, v):
+            if "cdc" in action:
+                cdcs.append(action["cdc"])
+            elif "add" in action and action["add"].get(
+                "dataChange", True
+            ):
+                adds_dc.append(action["add"])
+            elif "remove" in action and action["remove"].get(
+                "dataChange", True
+            ):
+                removes_dc.append(action["remove"])
+        if cdcs:
+            cdc_group += [
+                (os.path.join(path, _decode_path(c["path"])), v,
+                 c.get("partitionValues") or {})
+                for c in cdcs
+            ]
+        elif adds_dc and removes_dc:
+            raise DeltaError(
+                f"commit {v} rewrites files (adds AND removes with "
+                "dataChange) and carries no cdc action — row-level "
+                "changes are not inferable (fail-loud)"
+            )
+        elif adds_dc:
+            ins_group += [
+                (os.path.join(path, _decode_path(a["path"])), v,
+                 a.get("partitionValues") or {})
+                for a in adds_dc
+            ]
+        elif removes_dc:
+            # remove actions may omit partitionValues — recover them
+            # from the prior version's live-add map
+            prior: dict[str, dict] = {}
+            if part_cols:
+                _m, padds = delta_snapshot_files(
+                    spark, path, version=v - 1
+                )
+                prior = {
+                    a["path"]: a.get("partitionValues") or {}
+                    for a in padds
+                }
+            for r in removes_dc:
+                pv = r.get("partitionValues")
+                if pv is None and part_cols:
+                    if r["path"] not in prior:
+                        raise DeltaError(
+                            f"commit {v} removes {r['path']!r} which "
+                            "was not live at the prior version"
+                        )
+                    pv = prior[r["path"]]
+                del_group.append((
+                    os.path.join(path, _decode_path(r["path"])), v,
+                    pv or {},
+                ))
+
+    def scan(group, fixed_type):
+        files = [g[0] for g in group]
+        df = spark.read.parquet(*files)
+        vals = [
+            (os.path.abspath(p),
+             [str(v)] + [
+                 pv.get(c) if pv.get(c) is not None else None
+                 for c in part_cols
+             ])
+            for p, v, pv in group
+        ]
+        df = attach_file_values(
+            df, spark, vals, ["cdfver"] + part_cols,
+            err_cls=DeltaError, tag="cdf",
+        )
+        for c in part_cols:
+            df = df.withColumn(
+                c, F.col(f"__pv_{c}").cast(type_by_name.get(c, "string"))
+            ).drop(f"__pv_{c}")
+        df = df.withColumn(
+            "_commit_version", F.col("__pv_cdfver").cast("bigint")
+        ).drop("__pv_cdfver")
+        if fixed_type is not None:
+            df = df.withColumn("_change_type", F.lit(fixed_type))
+        return df.select(
+            *[F.col(f"`{c}`") for c in data_cols],
+            "_change_type", "_commit_version",
+        )
+
+    pieces = []
+    if cdc_group:
+        pieces.append(scan(cdc_group, None))
+    if ins_group:
+        pieces.append(scan(ins_group, "insert"))
+    if del_group:
+        pieces.append(scan(del_group, "delete"))
+    if not pieces:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        empty = StructType(
+            list(struct.fields)
+            + [StructField("_change_type", StringType(), True),
+               StructField("_commit_version", LongType(), True)]
+        )
+        return spark.createDataFrame([], empty)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _move_single_parquet(spark, df: DataFrame, path: str,
+                         final_path: str) -> int:
+    """Write ``df`` as one parquet file at ``final_path``; returns its
+    size in bytes."""
+    tmp = os.path.join(path, f"_tmp_cdc_{uuid.uuid4().hex[:8]}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet")
+    )
+    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    os.replace(os.path.join(tmp, part), final_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return os.path.getsize(final_path)
+
+
+def _cdf_rewrite(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    assignments: dict[str, str] | None,
+) -> int:
+    """Shared update/delete writer: full rewrite of an UNPARTITIONED,
+    unmapped table plus a cdc file carrying the row-level changes.
+    ``assignments`` maps column -> SQL expression for UPDATE; None
+    means DELETE (matched rows drop, cdc records them as deletes)."""
+    meta, adds = delta_snapshot_files(spark, path)
+    if meta.get("partitionColumns"):
+        raise DeltaError(
+            "update/delete_delta_rows_cdf support unpartitioned "
+            "tables only"
+        )
+    if _mapping_mode(meta) != "none":
+        raise DeltaError("CDF writers do not support column mapping")
+    snap = read_delta(spark, path)
+    cols = snap.columns
+    matched = snap.filter(condition)
+    if assignments is not None:
+        unknown = [c for c in assignments if c not in cols]
+        if unknown:
+            raise DeltaError(f"assignments reference {unknown}")
+        upd = [
+            (F.when(F.expr(condition), F.expr(assignments[c]))
+             .otherwise(F.col(f"`{c}`")).alias(c))
+            if c in assignments else F.col(f"`{c}`")
+            for c in cols
+        ]
+        new_df = snap.select(*upd)
+        cdc_df = matched.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            matched.select(*upd).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        )
+    else:
+        new_df = snap.filter(f"NOT ({condition})")
+        cdc_df = matched.withColumn("_change_type", F.lit("delete"))
+    commits, checkpoints = _list_log(path)
+    version = max(commits + checkpoints) + 1
+    ts = int(time.time() * 1000)
+    fname = f"part-{version:05d}-000-{uuid.uuid4().hex[:12]}.parquet"
+    size = _move_single_parquet(
+        spark, new_df, path, os.path.join(path, fname)
+    )
+    cdc_name = f"cdc-{version:05d}-{uuid.uuid4().hex[:12]}.parquet"
+    cdc_rel = f"{_CHANGE_DIR}/{cdc_name}"
+    cdc_size = _move_single_parquet(
+        spark, cdc_df, path, os.path.join(path, _CHANGE_DIR, cdc_name)
+    )
+    actions: list[dict] = [
+        {"remove": {"path": a["path"], "deletionTimestamp": ts,
+                    "dataChange": True}}
+        for a in adds
+    ]
+    actions.append({"add": {
+        "path": fname, "partitionValues": {}, "size": size,
+        "modificationTime": ts, "dataChange": True,
+    }})
+    actions.append({"cdc": {
+        "path": cdc_rel, "partitionValues": {}, "size": cdc_size,
+        "dataChange": False,
+    }})
+    with open(os.path.join(path, _LOG, _commit_name(version)), "w",
+              encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return version
+
+
+def update_delta_rows_cdf(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    assignments: dict[str, str],
+) -> int:
+    """UPDATE ... SET with Change Data Feed: rewrites the table's
+    data files (remove + add, dataChange=true) and records the
+    matched rows' pre/post images in a ``_change_data/`` cdc file, so
+    ``read_delta_changes`` (and any real CDF reader) sees
+    update_preimage/update_postimage rows instead of refusing the
+    rewrite.  Unpartitioned, unmapped tables.  Returns the commit
+    version."""
+    if not assignments:
+        raise DeltaError("update with no assignments")
+    return _cdf_rewrite(spark, path, condition, assignments)
+
+
+def delete_delta_rows_cdf(
+    spark: SparkSession, path: str, condition: str
+) -> int:
+    """DELETE WHERE with Change Data Feed: survivors are rewritten,
+    matched rows land in a ``_change_data/`` cdc file as
+    ``_change_type='delete'``.  Unpartitioned, unmapped tables.
+    Returns the commit version."""
+    return _cdf_rewrite(spark, path, condition, None)
+
+
+def drop_delta_files(
+    spark: SparkSession, path: str, rel_paths: list[str]
+) -> int:
+    """Remove-only commit: drops whole live files (no rewrite, no cdc
+    — CDF readers SYNTHESIZE deletes from the removed files, the
+    spec's remove-only rule).  ``rel_paths`` are add-action paths as
+    recorded in the log.  Returns the commit version."""
+    if not rel_paths:
+        raise DeltaError("empty drop set")
+    meta, adds = delta_snapshot_files(spark, path)
+    live = {a["path"]: a for a in adds}
+    missing = [p for p in rel_paths if p not in live]
+    if missing:
+        raise DeltaError(f"paths not live: {missing}")
+    commits, checkpoints = _list_log(path)
+    version = max(commits + checkpoints) + 1
+    ts = int(time.time() * 1000)
+    with open(os.path.join(path, _LOG, _commit_name(version)), "w",
+              encoding="utf-8") as fh:
+        for p in rel_paths:
+            fh.write(json.dumps({"remove": {
+                "path": p, "deletionTimestamp": ts, "dataChange": True,
+                "partitionValues": live[p].get("partitionValues") or {},
+            }}) + "\n")
     return version

@@ -60,6 +60,7 @@ __all__ = [
     "HudiError",
     "read_hudi",
     "read_hudi_mor",
+    "read_hudi_incremental",
     "hudi_snapshot_files",
     "write_hudi_commit",
     "write_hudi_log_commit",
@@ -270,6 +271,7 @@ def write_hudi_commit(
     upsert_into: dict[str, str] | None = None,
     table_type: str = "COPY_ON_WRITE",
     record_key: str | None = None,
+    meta_fields: bool = False,
 ) -> int:
     """Append ``df`` as one base-file commit.  ``upsert_into`` maps a
     hive partition path to an EXISTING fileId: that partition's rows
@@ -279,7 +281,10 @@ def write_hudi_commit(
     a MOR table model compactions; log writes come from
     :func:`write_hudi_log_commit`) and ``record_key`` names the
     hoodie.table.recordkey.fields column MOR merging keys on.
-    Returns the instant timestamp."""
+    ``meta_fields=True`` stamps ``_hoodie_commit_time`` into every
+    row (real Hudi writes it always, populateMetaFields; the
+    incremental reader filters on it).  Returns the instant
+    timestamp."""
     import shutil
 
     partition_by = list(partition_by or [])
@@ -306,7 +311,25 @@ def write_hudi_commit(
     if prev and ts <= prev[-1][0]:
         ts = prev[-1][0] + 1
     tmp = os.path.join(path, f"_tmp_hudi_{uuid.uuid4().hex[:8]}")
-    writer = df.write.mode("overwrite")
+    out_df = df
+    if meta_fields:
+        if "_hoodie_commit_time" in df.columns:
+            # carried-over rows keep their ORIGINAL commit time (real
+            # Hudi preserves meta fields on unchanged records in a
+            # rewritten file group); only rows without one — the
+            # upserted batch — take this instant
+            out_df = df.withColumn(
+                "_hoodie_commit_time",
+                F.coalesce(
+                    F.col("_hoodie_commit_time"), F.lit(str(ts))
+                ),
+            )
+        else:
+            out_df = df.select(
+                F.lit(str(ts)).alias("_hoodie_commit_time"),
+                *[F.col(f"`{c}`") for c in df.columns],
+            )
+    writer = out_df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
@@ -811,4 +834,90 @@ def compact_hudi(spark: SparkSession, path: str) -> int:
     return write_hudi_commit(
         spark, path, merged,
         partition_by=part_cols, upsert_into=upsert_into,
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental query (round 11)
+# ---------------------------------------------------------------------------
+
+
+def read_hudi_incremental(
+    spark: SparkSession,
+    path: str,
+    *,
+    begin_ts: int,
+    end_ts: int | None = None,
+) -> DataFrame:
+    """Hudi incremental query on a COPY_ON_WRITE table: the rows
+    written by completed instants in ``(begin_ts, end_ts]``.
+
+    Mechanics mirror real Hudi: candidate file slices are the LIVE
+    slices at ``end_ts`` whose slice instant falls in the range (an
+    untouched older slice cannot contain new rows), and within them
+    rows filter on the ``_hoodie_commit_time`` meta column — a
+    copy-on-write upsert rewrites a whole file group, so the new base
+    file carries both carried-over rows (older commit time, excluded)
+    and the upserted rows (commit time == the instant, included).
+    Tables written without meta fields refuse loudly (there is no
+    row-level provenance to filter on); MERGE_ON_READ refuses (log
+    blocks carry no per-record commit time in this codec).  One
+    distributed scan; partition values re-injected via the basename
+    broadcast map."""
+    if _props(path).get("hoodie.table.type") == "MERGE_ON_READ":
+        raise HudiError(
+            "incremental read on MERGE_ON_READ unsupported "
+            "(fail-loud: log blocks carry no per-record commit time)"
+        )
+    instants = _timeline(path)
+    end = end_ts if end_ts is not None else instants[-1][0]
+    in_range = [t for t, _k in instants if begin_ts < t <= end]
+    slices = hudi_snapshot_files(path, as_of=end)
+    cands = []
+    for part, f in slices:
+        m = _FILE_RE.match(os.path.basename(f))
+        if int(m.group("ts")) in set(in_range):
+            cands.append((part, f))
+    part_cols = _partition_cols(slices)
+    if not cands:
+        # typed empty frame: sample one live slice for the schema
+        sample = spark.read.parquet(slices[0][1])
+        if "_hoodie_commit_time" not in sample.columns:
+            raise HudiError(
+                "incremental read needs the _hoodie_commit_time meta "
+                "column (table written without meta fields)"
+            )
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        fields = list(sample.schema.fields) + [
+            StructField(c, StringType(), True) for c in part_cols
+            if c not in sample.columns
+        ]
+        return spark.createDataFrame([], StructType(fields))
+    df = spark.read.parquet(*[f for _p, f in cands])
+    if "_hoodie_commit_time" not in df.columns:
+        raise HudiError(
+            "incremental read needs the _hoodie_commit_time meta "
+            "column (table written without meta fields — pass "
+            "meta_fields=True to write_hudi_commit)"
+        )
+    if part_cols:
+        file_to_vals = []
+        for part, f in cands:
+            vals = dict(
+                seg.split("=", 1) for seg in part.split("/")
+                if "=" in seg
+            )
+            file_to_vals.append(
+                (os.path.abspath(f), [vals[c] for c in part_cols])
+            )
+        df = attach_file_values(
+            df, spark, file_to_vals, part_cols,
+            err_cls=HudiError, tag="hudi",
+        )
+        for c in part_cols:
+            df = df.withColumn(c, F.col(f"__pv_{c}")).drop(f"__pv_{c}")
+    return df.where(
+        (F.col("_hoodie_commit_time").cast("long") > begin_ts)
+        & (F.col("_hoodie_commit_time").cast("long") <= end)
     )

@@ -67,6 +67,7 @@ __all__ = [
     "write_iceberg_position_deletes",
     "write_iceberg_equality_deletes",
     "evolve_iceberg_schema",
+    "read_iceberg_changes",
 ]
 
 
@@ -415,6 +416,72 @@ def _localize(table_path: str, p: str) -> str:
     return p
 
 
+def _resolve_files_scan(
+    spark: SparkSession,
+    paths: list[str],
+    cols: dict[int, tuple[str, str]],
+    parts: list[tuple[str, str, str, str]],
+):
+    """ONE distributed scan of ``paths`` projected to the logical
+    schema ``cols`` (field-id resolution when the files are stamped,
+    guarded name resolution otherwise).  Returns ``(df, present)``
+    where ``present[i]`` is the set of logical column names
+    physically present in file i (drives per-file partition
+    injection)."""
+    from .fieldid import probe_field_ids, read_by_field_id
+
+    out_cols = [n for n, _t in cols.values()]
+    probe = probe_field_ids(paths, spark)
+    stamped = [m is not None for m, _names in probe]
+    if all(stamped):
+        # field-id path: one scan, ids matched per file by Spark's
+        # parquet reader; absent ids yield nulls (add-evolution)
+        df = read_by_field_id(
+            spark, paths,
+            [(fid, n, _spark_type(t)) for fid, (n, t) in cols.items()],
+        )
+        present = [
+            {n for fid, (n, _t) in cols.items() if fid in m}
+            for m, _names in probe
+        ]
+    elif any(stamped):
+        raise IcebergError(
+            "data files mix field-id-stamped and unstamped parquet — "
+            "id resolution would be ambiguous (rewrite the unstamped "
+            "files or read snapshots that predate the mix)"
+        )
+    else:
+        # name path (legacy/foreign files): deterministic explicit
+        # schema — but a rename is unresolvable without ids, so a
+        # schema column missing from EVERY file alongside unknown
+        # physical names refuses loudly instead of reading nulls
+        names_union: set[str] = set()
+        for _m, names in probe:
+            names_union.update(names)
+        logical = set(out_cols)
+        unknown = names_union - logical
+        missing = logical - names_union
+        part_src = {src for _n, src, _t, _tr in parts}
+        missing_beyond_parts = missing - part_src
+        if missing_beyond_parts and unknown:
+            raise IcebergError(
+                f"schema columns {sorted(missing_beyond_parts)} absent "
+                f"from every data file while unknown physical columns "
+                f"{sorted(unknown)} are present, and the files carry "
+                "no parquet field ids — a rename cannot be resolved "
+                "by name (fail-loud)"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        read_schema = StructType([
+            StructField(n, _spark_type(t), True)
+            for n, t in cols.values()
+        ])
+        df = spark.read.schema(read_schema).parquet(*paths)
+        present = [set(names) & logical for _m, names in probe]
+    return df, present
+
+
 def read_iceberg(
     spark: SparkSession, path: str, *, snapshot_id: int | None = None
 ) -> DataFrame:
@@ -469,54 +536,7 @@ def read_iceberg(
     pos_dels = [d for d in deletes if d.get("content") == 1]
     eq_dels = [d for d in deletes if d.get("content") == 2]
 
-    probe = probe_field_ids(paths, spark)
-    stamped = [m is not None for m, _names in probe]
-    if all(stamped):
-        # field-id path: one scan, ids matched per file by Spark's
-        # parquet reader; absent ids yield nulls (add-evolution)
-        df = read_by_field_id(
-            spark, paths,
-            [(fid, n, _spark_type(t)) for fid, (n, t) in cols.items()],
-        )
-        present = [
-            {n for fid, (n, _t) in cols.items() if fid in m}
-            for m, _names in probe
-        ]
-    elif any(stamped):
-        raise IcebergError(
-            "data files mix field-id-stamped and unstamped parquet — "
-            "id resolution would be ambiguous (rewrite the unstamped "
-            "files or read snapshots that predate the mix)"
-        )
-    else:
-        # name path (legacy/foreign files): deterministic explicit
-        # schema — but a rename is unresolvable without ids, so a
-        # schema column missing from EVERY file alongside unknown
-        # physical names refuses loudly instead of reading nulls
-        names_union: set[str] = set()
-        for _m, names in probe:
-            names_union.update(names)
-        logical = set(out_cols)
-        unknown = names_union - logical
-        missing = logical - names_union
-        part_src = {src for _n, src, _t, _tr in parts}
-        missing_beyond_parts = missing - part_src
-        if missing_beyond_parts and unknown:
-            raise IcebergError(
-                f"schema columns {sorted(missing_beyond_parts)} absent "
-                f"from every data file while unknown physical columns "
-                f"{sorted(unknown)} are present, and the files carry "
-                "no parquet field ids — a rename cannot be resolved "
-                "by name (fail-loud)"
-            )
-        from pyspark.sql.types import StructField, StructType
-
-        read_schema = StructType([
-            StructField(n, _spark_type(t), True)
-            for n, t in cols.values()
-        ])
-        df = spark.read.schema(read_schema).parquet(*paths)
-        present = [set(names) & logical for _m, names in probe]
+    df, present = _resolve_files_scan(spark, paths, cols, parts)
 
     # identity-partition injection is PER FILE: only rows from files
     # that physically lack the source column take the partition-tuple
@@ -659,6 +679,136 @@ def read_iceberg(
                 ).otherwise(F.col(f"`{src}`")),
             ).drop(f"__pv_{src}", f"__pv_{src}__absent")
     return df.select(*out_cols)
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    path: str,
+    *,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental APPEND scan between two snapshots — the rows added
+    by every snapshot in ``(from, to]``, with ``_snapshot_id``
+    attached per row (the Iceberg incremental-read contract: appends
+    only; a replace/overwrite/delete snapshot in the range refuses
+    loudly because its row-level effect is not an append stream).
+
+    Mechanics: each in-range snapshot's manifest list yields its
+    ADDED data files (entry status == 1 AND entry snapshot-id == the
+    snapshot), then ONE distributed scan reads all of them with the
+    TO-snapshot schema (field-id resolution as in
+    :func:`read_iceberg`) and the owning snapshot id re-attached via
+    the basename broadcast map.  Scan count is O(1) in the length of
+    the snapshot range."""
+    meta, _v = _load_metadata(path)
+    snaps = meta.get("snapshots") or []
+    order = {
+        s.get("snapshot-id"): i for i, s in enumerate(snaps)
+    }
+    if from_snapshot_id not in order:
+        raise IcebergError(
+            f"from_snapshot_id {from_snapshot_id} not in metadata"
+        )
+    want_to = (
+        to_snapshot_id if to_snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    if want_to not in order:
+        raise IcebergError(f"to_snapshot_id {want_to} not in metadata")
+    i_from, i_to = order[from_snapshot_id], order[want_to]
+    if i_from > i_to:
+        raise IcebergError(
+            "from_snapshot_id is newer than to_snapshot_id"
+        )
+    range_snaps = snaps[i_from + 1 : i_to + 1]
+    for s in range_snaps:
+        op = (s.get("summary") or {}).get("operation")
+        if op != "append":
+            raise IcebergError(
+                f"snapshot {s.get('snapshot-id')} in range has "
+                f"operation {op!r} — incremental read is append-only "
+                "(fail-loud)"
+            )
+    to_snap = snaps[i_to]
+    schema_id = to_snap.get("schema-id")
+    cols = _schema_fields(meta, schema_id)
+    parts = _partition_fields(
+        meta, allow_transforms=True, schema_id=schema_id
+    )
+    added: list[tuple[dict, int]] = []
+    for s in range_snaps:
+        sid = s["snapshot-id"]
+        manifests = _snapshot_manifest_entries(path, meta, sid)
+        for man_content, _man_seq, entries in _walk_manifests(
+            manifests, path, spark
+        ):
+            if man_content != 0:
+                continue  # append snapshots carry data manifests only
+            for e in entries:
+                if e.get("status") == 1 and e.get("snapshot_id") == sid:
+                    added.append((dict(e["data_file"] or {}), sid))
+    if not added:
+        ddl = ", ".join(
+            f"`{n}` {_ICE_TO_SPARK.get(t, 'string')}"
+            for n, t in cols.values()
+        ) + ", `_snapshot_id` bigint"
+        return spark.createDataFrame([], ddl)
+    paths = [_localize(path, f["file_path"]) for f, _sid in added]
+    assert_unique_basenames(paths, err_cls=IcebergError, tag="iceberg")
+    df, present = _resolve_files_scan(spark, paths, cols, parts)
+    df = df.select(
+        *[F.col(f"`{c}`") for c in df.columns],
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+            "__ice_base"
+        ),
+    )
+    # snapshot id + per-file partition injection in ONE broadcast map
+    inject = []
+    for pname, src, t, tr in parts:
+        files_missing = [
+            i for i, pres in enumerate(present) if src not in pres
+        ]
+        if not files_missing:
+            continue
+        if tr != "identity":
+            raise IcebergError(
+                f"partition column {src!r} with transform {tr!r} is "
+                "absent from data files — its values are "
+                "unrecoverable (fail-loud)"
+            )
+        inject.append((pname, src, t, set(files_missing)))
+    file_to_vals = []
+    for i, ((f, sid), p) in enumerate(zip(added, paths)):
+        vals = [str(sid)]
+        for _pname, src, _t, missing_set in inject:
+            pv = f.get("partition") or {}
+            vals.append(str(pv.get(_pname)))
+            vals.append("1" if i in missing_set else "0")
+        file_to_vals.append((os.path.abspath(p), vals))
+    value_cols = ["snapid"]
+    for _pname, src, _t, _mset in inject:
+        value_cols += [src, f"{src}__absent"]
+    df = attach_file_values(
+        df, spark, file_to_vals, value_cols,
+        err_cls=IcebergError, tag="icechg", key_col="__ice_base",
+    )
+    for _pname, src, t, _mset in inject:
+        spark_t = _ICE_TO_SPARK.get(t)
+        if spark_t is None:
+            raise IcebergError(f"partition type {t!r} unsupported")
+        df = df.withColumn(
+            src,
+            F.when(
+                F.col(f"__pv_{src}__absent") == "1",
+                F.col(f"__pv_{src}").cast(spark_t),
+            ).otherwise(F.col(f"`{src}`")),
+        ).drop(f"__pv_{src}", f"__pv_{src}__absent")
+    out_cols = [n for n, _t in cols.values()]
+    return df.select(
+        *out_cols,
+        F.col("__pv_snapid").cast("bigint").alias("_snapshot_id"),
+    )
 
 
 def evolve_iceberg_schema(

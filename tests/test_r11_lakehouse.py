@@ -526,3 +526,216 @@ class TestDeltaIdMode:
             if n.endswith(".json") and not n.startswith("_"):
                 os.remove(os.path.join(log, n))
         assert read_delta(spark, path).count() == 12
+
+
+class TestDeltaCDF:
+    def _seed(self, spark, path):
+        from pyspark.sql import functions as F
+
+        write_delta_commit(
+            spark, path,
+            spark.range(8).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") * 2).cast("int").alias("val"),
+            ).coalesce(1),
+            enable_cdf=True,
+        )
+
+    def test_requires_cdf_flag(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.delta import (
+            read_delta_changes,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta_commit(
+            spark, path, spark.createDataFrame([(1,)], "id int")
+        )
+        with pytest.raises(DeltaError, match="enableChangeDataFeed"):
+            read_delta_changes(spark, path, starting_version=0)
+
+    def test_synthesized_inserts_and_deletes(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.delta import (
+            delta_snapshot_files,
+            drop_delta_files,
+            read_delta_changes,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        _m, adds = delta_snapshot_files(spark, path)
+        drop_delta_files(spark, path, [adds[0]["path"]])
+        ch = read_delta_changes(spark, path, starting_version=0)
+        got = {
+            (r["_commit_version"], r["_change_type"])
+            for r in ch.collect()
+        }
+        assert (0, "insert") in got and (1, "delete") in got
+        assert ch.filter("_change_type = 'insert'").count() == 8
+        assert ch.filter("_change_type = 'delete'").count() == 8
+
+    def test_update_cdc_pre_post(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.delta import (
+            read_delta,
+            read_delta_changes,
+            update_delta_rows_cdf,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        update_delta_rows_cdf(
+            spark, path, "id >= 6", {"val": "val * 10"}
+        )
+        ch = read_delta_changes(
+            spark, path, starting_version=1
+        ).collect()
+        pre = sorted(
+            r["val"] for r in ch
+            if r["_change_type"] == "update_preimage"
+        )
+        post = sorted(
+            r["val"] for r in ch
+            if r["_change_type"] == "update_postimage"
+        )
+        assert pre == [12, 14] and post == [120, 140]
+        snap = {r["id"]: r["val"]
+                for r in read_delta(spark, path).collect()}
+        assert snap[7] == 140 and snap[2] == 4
+
+    def test_mixed_rewrite_without_cdc_loud(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.delta import (
+            read_delta_changes,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(6).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("p"),
+        )
+        write_delta_commit(
+            spark, path, df, partition_by=["p"], enable_cdf=True
+        )
+        # replace_partitions = adds AND removes with dataChange, no cdc
+        write_delta_commit(
+            spark, path,
+            spark.createDataFrame([(99, 0)], "id int, p int"),
+            partition_by=["p"], replace_partitions=True,
+        )
+        with pytest.raises(DeltaError, match="not inferable"):
+            read_delta_changes(spark, path, starting_version=0)
+
+    def test_partitioned_synthesis_reinjects(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.delta import (
+            read_delta_changes,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(6).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("p"),
+        )
+        write_delta_commit(
+            spark, path, df, partition_by=["p"], enable_cdf=True
+        )
+        ch = read_delta_changes(spark, path, starting_version=0)
+        got = {(r["id"], r["p"]) for r in ch.collect()}
+        assert got == {(i, i % 2) for i in range(6)}
+
+
+class TestIcebergIncremental:
+    def test_non_append_in_range_refuses(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.iceberg import (
+            IcebergError,
+            iceberg_snapshot_files,
+            read_iceberg_changes,
+            write_iceberg_commit,
+            write_iceberg_position_deletes,
+        )
+
+        path = str(tmp_path / "t")
+        s0 = write_iceberg_commit(
+            spark, path,
+            spark.range(4).select(F.col("id").cast("int").alias("id")),
+        )
+        _m, files = iceberg_snapshot_files(path)
+        write_iceberg_position_deletes(
+            spark, path, [(files[0]["file_path"], 0)]
+        )
+        write_iceberg_commit(
+            spark, path,
+            spark.createDataFrame([(50,)], "id int"),
+        )
+        with pytest.raises(IcebergError, match="append-only"):
+            read_iceberg_changes(spark, path, from_snapshot_id=s0)
+
+    def test_unknown_snapshot_loud(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            IcebergError,
+            read_iceberg_changes,
+            write_iceberg_commit,
+        )
+
+        path = str(tmp_path / "t")
+        write_iceberg_commit(
+            spark, path, spark.createDataFrame([(1,)], "id int")
+        )
+        with pytest.raises(IcebergError, match="not in metadata"):
+            read_iceberg_changes(spark, path, from_snapshot_id=123)
+
+    def test_empty_range(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            read_iceberg_changes,
+            write_iceberg_commit,
+        )
+
+        path = str(tmp_path / "t")
+        s0 = write_iceberg_commit(
+            spark, path, spark.createDataFrame([(1,)], "id int")
+        )
+        ch = read_iceberg_changes(spark, path, from_snapshot_id=s0)
+        assert ch.count() == 0
+        assert "_snapshot_id" in ch.columns
+
+
+class TestHudiIncremental:
+    def test_requires_meta_fields(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.hudi import (
+            HudiError,
+            read_hudi_incremental,
+            write_hudi_commit,
+        )
+
+        path = str(tmp_path / "t")
+        t0 = write_hudi_commit(
+            spark, path,
+            spark.range(4).select(F.col("id").cast("int").alias("id")),
+        )
+        with pytest.raises(HudiError, match="_hoodie_commit_time"):
+            read_hudi_incremental(
+                spark, path, begin_ts=t0 - 1
+            ).collect()
+
+    def test_mor_refuses(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.hudi import (
+            HudiError,
+            read_hudi_incremental,
+            write_hudi_commit,
+        )
+
+        path = str(tmp_path / "t")
+        write_hudi_commit(
+            spark, path,
+            spark.range(4).select(F.col("id").cast("int").alias("id")),
+            table_type="MERGE_ON_READ", record_key="id",
+        )
+        with pytest.raises(HudiError, match="MERGE_ON_READ"):
+            read_hudi_incremental(spark, path, begin_ts=0)
