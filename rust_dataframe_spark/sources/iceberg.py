@@ -271,6 +271,15 @@ def _snapshot_manifest_entries(path: str, meta: dict, want) -> list[dict]:
 # max_live_files discipline (sources/delta.py) applied to manifests.
 _MAX_LIVE_FILES = 1_000_000
 
+# Equality-delete row budget for the broadcast anti-join: below it
+# each delete group broadcasts (tiny map-side join); above it the
+# join runs SHUFFLED on the null-safe equality keys with the
+# sequence-number predicate as an extra join condition — a CDC-heavy
+# table with tens of millions of equality-delete rows must not blow
+# the broadcast (the keys still hash-partition, so Spark plans a
+# sort-merge join, not a nested loop).
+_EQ_DELETE_BROADCAST_ROWS = 1_000_000
+
 # Manifest-count threshold above which the manifest WALK itself is
 # distributed: each manifest decodes on an executor (the repo's own
 # pure-Python Avro codec ships fine in a closure) and only the
@@ -649,7 +658,19 @@ def read_iceberg(
                  for c in key_cols]
                 + [F.col("__eq_seq") > F.col("__pv_data_seq")],
             )
-            df = df.join(F.broadcast(ddf), cond, "left_anti")
+            # record_count comes from the delete files' manifest
+            # entries; above the budget the broadcast hint drops and
+            # the null-safe keys hash-partition a sort-merge anti-join
+            # with the seq comparison as its extra condition
+            group_rows = sum(
+                int(d.get("record_count") or 0) for d in ds
+            )
+            right = (
+                F.broadcast(ddf)
+                if group_rows <= _EQ_DELETE_BROADCAST_ROWS
+                else ddf
+            )
+            df = df.join(right, cond, "left_anti")
         df = df.drop("__pv_data_seq")
     if inject:
         file_to_vals = []

@@ -739,3 +739,49 @@ class TestHudiIncremental:
         )
         with pytest.raises(HudiError, match="MERGE_ON_READ"):
             read_hudi_incremental(spark, path, begin_ts=0)
+
+
+class TestEqDeleteShuffledFallback:
+    def _seed(self, spark, path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.iceberg import (
+            write_iceberg_commit,
+            write_iceberg_equality_deletes,
+        )
+
+        write_iceberg_commit(
+            spark, path,
+            spark.range(20).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") * 2).cast("int").alias("val"),
+            ),
+        )
+        write_iceberg_equality_deletes(
+            spark, path,
+            spark.createDataFrame([(3,), (7,)], "id int"), ["id"],
+        )
+        write_iceberg_commit(
+            spark, path,
+            spark.createDataFrame([(3, 999)], "id int, val int"),
+        )
+
+    def test_both_paths_same_answers(self, spark, tmp_path, monkeypatch):
+        import rust_dataframe_spark.sources.iceberg as ice
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        bc = sorted(
+            (r["id"], r["val"])
+            for r in ice.read_iceberg(spark, path).collect()
+        )
+        monkeypatch.setattr(ice, "_EQ_DELETE_BROADCAST_ROWS", 0)
+        df = ice.read_iceberg(spark, path)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the fallback must hash-partition on the equality keys — a
+        # sort-merge anti-join, never a broadcast nested loop
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert "BroadcastNestedLoop" not in plan
+        sh = sorted((r["id"], r["val"]) for r in df.collect())
+        assert sh == bc
+        assert (3, 999) in sh and (7, 14) not in sh

@@ -264,6 +264,64 @@ def main() -> None:
             shutil.rmtree(path, ignore_errors=True)
     print(json.dumps({"metric": "iceberg_manifest_walk", "rows": out2}))
 
+    # equality-delete application: broadcast anti-join vs the
+    # shuffled sort-merge fallback above _EQ_DELETE_BROADCAST_ROWS —
+    # same answers, bounded memory at 10^5-10^6 delete rows
+    import rust_dataframe_spark.sources.iceberg as ice_mod
+    from pyspark.sql import functions as F
+    from rust_dataframe_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_commit,
+        write_iceberg_equality_deletes,
+    )
+
+    out3 = []
+    saved = ice_mod._EQ_DELETE_BROADCAST_ROWS
+    for n_del in (100_000, 1_000_000):
+        path = tempfile.mkdtemp(prefix=f"eqdel{n_del}_")
+        try:
+            n_rows = 2 * n_del
+            write_iceberg_commit(
+                spark, path,
+                spark.range(n_rows).select(
+                    F.col("id").alias("id"),
+                    (F.col("id") * 2).alias("val"),
+                ),
+            )
+            write_iceberg_equality_deletes(
+                spark, path,
+                spark.range(n_del).select(
+                    (F.col("id") * 2).alias("id")
+                ),
+                ["id"],
+            )
+            expected = n_rows - n_del
+            for mode, budget in (
+                ("broadcast", 10 ** 12), ("shuffled", 0)
+            ):
+                ice_mod._EQ_DELETE_BROADCAST_ROWS = budget
+                rss0 = resource.getrusage(
+                    resource.RUSAGE_SELF
+                ).ru_maxrss
+                t0 = time.time()
+                cnt = read_iceberg(spark, path).count()
+                wall = time.time() - t0
+                rss1 = resource.getrusage(
+                    resource.RUSAGE_SELF
+                ).ru_maxrss
+                assert cnt == expected, (cnt, expected)
+                out3.append({
+                    "delete_rows": n_del, "mode": mode,
+                    "wall_s": round(wall, 3),
+                    "driver_rss_delta_kb": rss1 - rss0,
+                })
+                print(json.dumps(out3[-1]))
+        finally:
+            ice_mod._EQ_DELETE_BROADCAST_ROWS = saved
+            shutil.rmtree(path, ignore_errors=True)
+    print(json.dumps({"metric": "iceberg_eq_delete_apply",
+                      "rows": out3}))
+
 
 if __name__ == "__main__":
     main()
