@@ -411,7 +411,15 @@ def q444_zstd_lz4_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer-compression peel.  FSE tables ride in-stream (writeNCount /
     readNCount twins) on d%4==0 shards; d%4==2 shards use the RFC
     PREDEFINED distributions (mode 0) and FSE-compressed Huffman
-    weights — the round-10 checksummed-only decode paths.  The encode
+    weights — the round-10 checksummed-only decode paths.  d%8==4
+    shards are DICTIONARY-compressed (round 11, RFC 8878 §5): a
+    structured dictionary (Huffman + OF/ML/LL tables, rep offsets,
+    shared-boilerplate content) is held out-of-band as a real
+    pipeline would, the frame records its Dictionary_ID, matches
+    reach back into the dictionary content, and literals code
+    TREELESS against the dictionary's Huffman table; decode without
+    the dictionary (or with the wrong one) fails loudly under the
+    enforced XXH64 checksum.  The encode
     side uses exact decode-table inversion, so every decoded byte
     crossed the real entropy coder.
     md5 per member pins content exactly.  Arrow-batched mapInPandas on
@@ -429,8 +437,19 @@ def q444_zstd_lz4_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from rust_dataframe_spark.operators.archive import archive_members
         from rust_dataframe_spark.operators.lz4 import lz4_frame_compress
-        from rust_dataframe_spark.operators.zstd import zstd_compress
+        from rust_dataframe_spark.operators.zstd import (
+            build_zstd_dictionary,
+            zstd_compress,
+            zstd_decompress,
+        )
 
+        # out-of-band shared dictionary: boilerplate every shard's
+        # members echo (digits + the w/m pattern alphabet)
+        dict_bytes = build_zstd_dictionary(
+            ("".join(f"w{i}m{j} " for i in range(10) for j in range(3))
+             * 2).encode(),
+            dict_id=4444,
+        )
         for pdf in batches:
             rows = {"doc_id": [], "member_idx": [], "member_path": [],
                     "n_bytes": [], "content_md5": []}
@@ -444,7 +463,19 @@ def q444_zstd_lz4_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ti.size = len(body)
                         tf.addfile(ti, io.BytesIO(body))
                 tar = buf.getvalue()
-                if d % 2 == 0:
+                if d % 8 == 4:
+                    # dictionary shard: the dict is out-of-band, so
+                    # the outer peel happens HERE (archive_members'
+                    # magic sniff cannot know the dict) and the
+                    # recovered tar goes through the same front door
+                    blob = zstd_compress(
+                        tar, dictionary=dict_bytes,
+                        treeless_literals=True,
+                    )
+                    blob = zstd_decompress(
+                        blob, dictionary=dict_bytes
+                    )
+                elif d % 2 == 0:
                     # d%4==2 shards cross the checksummed-only round-10
                     # paths: RFC predefined LL/OF/ML distributions
                     # (mode 0) + FSE-compressed Huffman weights

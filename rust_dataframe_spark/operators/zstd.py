@@ -61,6 +61,8 @@ __all__ = [
     "is_zstd_frame",
     "zstd_decompress",
     "zstd_compress",
+    "parse_zstd_dictionary",
+    "build_zstd_dictionary",
 ]
 
 _MAGIC = 0xFD2FB528
@@ -859,9 +861,74 @@ def _decode_block(block: bytes, ctx: dict, out: bytearray, window: int) -> None:
     out += literals[lit_at:]
 
 
-def zstd_decompress(data: bytes) -> bytes:
-    """Decode a (possibly multi-frame) Zstandard payload."""
+_DICT_MAGIC = 0xEC30A437
+
+
+def parse_zstd_dictionary(raw: bytes) -> dict:
+    """RFC 8878 §5 dictionary: magic 0xEC30A437, Dictionary_ID, the
+    entropy tables (Huffman tree description for literals, then FSE
+    tables for Offsets / Match_Lengths / Literal_Lengths — all
+    STREAM-DESCRIBED, no memorized constants), the three repeat
+    offsets (4-byte LE each, non-zero and within the content), then
+    the content itself (the virtual history window).  Bytes without
+    the magic are a RAW-CONTENT dictionary: pure history, no tables,
+    no verifiable id."""
+    raw = bytes(raw)
+    if len(raw) < 8 or struct.unpack_from("<I", raw)[0] != _DICT_MAGIC:
+        return {"id": None, "huf": None, "ll": None, "of": None,
+                "ml": None, "reps": None, "content": raw}
+    (did,) = struct.unpack_from("<I", raw, 4)
+    if did == 0:
+        raise ZstdError("structured dictionary with Dictionary_ID 0")
+    at = 8
+    weights, consumed = _read_huf_weights(raw[at:], True)
+    huf = _HufTable(weights)
+    at += consumed
+    tables: dict[str, _FseTable] = {}
+    for key, max_sym, max_al in (
+        ("of", 31, _MAX_OF_AL),
+        ("ml", 52, _MAX_ML_AL),
+        ("ll", 35, _MAX_LL_AL),
+    ):
+        bits = _FwdBits(raw[at:])
+        counts, al = fse_read_ncount(bits, max_sym, max_al)
+        tables[key] = _FseTable(counts, al)
+        at += bits.bytes_consumed()
+    if at + 12 > len(raw):
+        raise ZstdError("truncated dictionary repeat offsets")
+    reps = list(struct.unpack_from("<III", raw, at))
+    at += 12
+    content = raw[at:]
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise ZstdError(
+                f"dictionary repeat offset {r} out of range "
+                f"(content {len(content)} bytes)"
+            )
+    return {"id": did, "huf": huf, "ll": tables["ll"],
+            "of": tables["of"], "ml": tables["ml"],
+            "reps": reps, "content": content}
+
+
+def zstd_decompress(
+    data: bytes, *, dictionary: bytes | None = None
+) -> bytes:
+    """Decode a (possibly multi-frame) Zstandard payload.
+
+    ``dictionary`` supplies the RFC 8878 §5 dictionary a frame's
+    ``Dictionary_ID`` references: its content becomes match history
+    in front of the frame, its entropy tables seed the first block's
+    Repeat/treeless modes, and its repeat offsets replace the
+    ``[1, 4, 8]`` init.  Dictionary frames are accepted only when
+    they carry the XXH64 content checksum (the zstd CLI default) —
+    under the enforced checksum any wrong table/history decodes to a
+    loud failure instead of plausible garbage; unchecksummed
+    dictionary frames refuse."""
     data = bytes(data)
+    dict_info = (
+        parse_zstd_dictionary(dictionary)
+        if dictionary is not None else None
+    )
     out = bytearray()
     pos = 0
     saw_frame = False
@@ -904,14 +971,32 @@ def zstd_decompress(data: bytes) -> bytes:
             base = 1 << (10 + exp)
             window = base + (base // 8) * (wd & 7)
         did_size = (0, 1, 2, 4)[did_code]
+        did = 0
         if did_size:
             if pos + did_size > len(data):
                 raise ZstdError("truncated dictionary id")
             did = int.from_bytes(data[pos : pos + did_size], "little")
             pos += did_size
-            if did:
+        use_dict = dict_info is not None and (
+            did != 0 or dict_info["id"] is None
+        )
+        if did:
+            if dict_info is None:
                 raise ZstdError(
-                    f"dictionary {did} required (unsupported, fail-loud)"
+                    f"dictionary {did} required but none supplied "
+                    "(fail-loud)"
+                )
+            if not checksum:
+                raise ZstdError(
+                    "dictionary frames accepted only with an XXH64 "
+                    "content checksum (fail-loud: wrong history/"
+                    "tables would decode silently otherwise)"
+                )
+            if (dict_info["id"] is not None
+                    and dict_info["id"] != did):
+                raise ZstdError(
+                    f"frame wants dictionary {did}, supplied "
+                    f"dictionary has id {dict_info['id']}"
                 )
         fcs = None
         fcs_size = (1 if single else 0, 2, 4, 8)[fcs_code]
@@ -926,9 +1011,19 @@ def zstd_decompress(data: bytes) -> bytes:
             if fcs is None:
                 raise ZstdError("single-segment frame missing content size")
             window = fcs
-        frame_out = bytearray()
-        ctx = {"reps": [1, 4, 8], "huf": None, "ll": None, "of": None,
-               "ml": None, "checksummed": checksum}
+        if use_dict:
+            frame_out = bytearray(dict_info["content"])
+            ctx = {
+                "reps": list(dict_info["reps"] or [1, 4, 8]),
+                "huf": dict_info["huf"], "ll": dict_info["ll"],
+                "of": dict_info["of"], "ml": dict_info["ml"],
+                "checksummed": checksum,
+            }
+        else:
+            frame_out = bytearray()
+            ctx = {"reps": [1, 4, 8], "huf": None, "ll": None,
+                   "of": None, "ml": None, "checksummed": checksum}
+        prefix = len(frame_out)
         block_max = min(window if window else 1 << 17, 1 << 17)
         while True:
             if pos + 3 > len(data):
@@ -960,7 +1055,8 @@ def zstd_decompress(data: bytes) -> bytes:
                     before = len(frame_out)
                     _decode_block(
                         body, ctx, frame_out,
-                        window if window else len(frame_out) + (1 << 17),
+                        (window if window
+                         else len(frame_out) + (1 << 17)) + prefix,
                     )
                     if len(frame_out) - before > max(block_max, 1 << 17):
                         raise ZstdError(
@@ -968,21 +1064,22 @@ def zstd_decompress(data: bytes) -> bytes:
                         )
             if last:
                 break
-        if fcs is not None and len(frame_out) != fcs:
+        if fcs is not None and len(frame_out) - prefix != fcs:
             raise ZstdError(
-                f"frame content size {fcs} != decoded {len(frame_out)}"
+                f"frame content size {fcs} != decoded "
+                f"{len(frame_out) - prefix}"
             )
         if checksum:
             if pos + 4 > len(data):
                 raise ZstdError("truncated content checksum")
             (want,) = struct.unpack_from("<I", data, pos)
             pos += 4
-            got = xxh64(bytes(frame_out)) & 0xFFFFFFFF
+            got = xxh64(bytes(frame_out[prefix:])) & 0xFFFFFFFF
             if got != want:
                 raise ZstdError(
                     f"content checksum mismatch: {got:#x} != {want:#x}"
                 )
-        out += frame_out
+        out += frame_out[prefix:]
     if not saw_frame:
         raise ZstdError("payload contains no zstd frame")
     return bytes(out)
@@ -1096,6 +1193,89 @@ def _encode_literals(lits: bytes, *, fse_weights: bool = False) -> bytes:
     return hdr + payload
 
 
+def _encode_literals_treeless(lits: bytes, tab) -> bytes | None:
+    """Treeless literals section (ltype 3): streams coded with a
+    PREVIOUS Huffman table (here: the dictionary's), no tree
+    description.  Returns None when the table doesn't cover the
+    literal bytes or treeless doesn't win."""
+    codes = tab.codes()
+    n = len(lits)
+    if n < 2 or any(b not in codes for b in lits):
+        return None
+
+    def enc(part: bytes) -> bytes:
+        acc = _FwdAcc()
+        for b in part:
+            c, nb = codes[b]
+            acc.put(c, nb)
+        return acc.bytes()
+
+    if n < 256:
+        payload = enc(lits)
+        comp = len(payload)
+        if comp >= n or comp >= 1024:
+            return None
+        hdr = struct.pack("<I", (comp << 14) | (n << 4) | 0b0011)[:3]
+        return hdr + payload
+    r = (n + 3) // 4
+    parts = [lits[0:r], lits[r:2 * r], lits[2 * r:3 * r], lits[3 * r:]]
+    streams = [enc(p) for p in parts]
+    payload = (
+        struct.pack("<HHH", len(streams[0]), len(streams[1]),
+                    len(streams[2]))
+        + b"".join(streams)
+    )
+    comp = len(payload)
+    if comp >= n:
+        return None
+    if n < 16384 and comp < 16384:
+        hdr = struct.pack("<I", (comp << 18) | (n << 4) | 0b1011)
+        return hdr + payload
+    hdr = struct.pack("<Q", (comp << 22) | (n << 4) | 0b1111)[:5]
+    return hdr + payload
+
+
+def build_zstd_dictionary(
+    content: bytes, *, dict_id: int, sample: bytes | None = None
+) -> bytes:
+    """Encoder twin of :func:`parse_zstd_dictionary`: a structured
+    RFC 8878 §5 dictionary — Huffman weights trained on ``sample``
+    (default: the content), uniform-normalized FSE tables for
+    OF/ML/LL (stream-described in the dictionary, so the decode side
+    reads them like any block table), repeat offsets [1, 4, 8], then
+    the content as history."""
+    content = bytes(content)
+    if not dict_id:
+        raise ZstdError("dict_id must be non-zero")
+    if len(content) < 8:
+        raise ZstdError("dictionary content too small (< 8 bytes)")
+    sample = content if sample is None else bytes(sample)
+    freqs: dict[int, int] = {}
+    for b in sample:
+        freqs[b] = freqs.get(b, 0) + 1
+    depth = _huf_build(freqs)
+    if depth is None:
+        raise ZstdError(
+            "dictionary sample not Huffman-codable "
+            "(need >= 2 distinct byte values <= 128)"
+        )
+    maxbits = max(depth.values())
+    weights = [0] * 256
+    for s, nb in depth.items():
+        weights[s] = maxbits + 1 - nb
+    last = max(freqs)
+    _HufTable(weights[:last])  # validates completion
+    parts = [_write_huf_weights(weights[:last])]
+    for n_sym, al in ((29, 5), (43, 6), (36, 6)):  # OF, ML, LL
+        parts.append(fse_write_ncount(_normalize([1] * n_sym, al), al))
+    return (
+        struct.pack("<II", _DICT_MAGIC, dict_id)
+        + b"".join(parts)
+        + struct.pack("<III", 1, 4, 8)
+        + content
+    )
+
+
 def _normalize(freqs: list[int], al: int) -> list[int]:
     total = sum(freqs)
     size = 1 << al
@@ -1185,13 +1365,22 @@ class _FseChannel:
 def _encode_block(
     chunk: bytes, sequences: list[tuple[int, int, int]], lits: bytes,
     reps: list[int], *, predefined: bool = False,
-    fse_weights: bool = False,
+    fse_weights: bool = False, dict_huf=None,
 ) -> bytes:
     """One compressed-block body: literals section + sequences section.
     ``sequences`` are (literal_length, offset, match_length) with real
     offsets; repeat-offset value 1 is emitted when offset == rep1 and
-    ll > 0 (history mirrored from the decoder's rules)."""
-    out = bytearray(_encode_literals(lits, fse_weights=fse_weights))
+    ll > 0 (history mirrored from the decoder's rules).  With
+    ``dict_huf`` the literals try TREELESS coding against the
+    dictionary's Huffman table first."""
+    lit_sec = (
+        _encode_literals_treeless(lits, dict_huf)
+        if dict_huf is not None else None
+    )
+    out = bytearray(
+        lit_sec if lit_sec is not None
+        else _encode_literals(lits, fse_weights=fse_weights)
+    )
     nseq = len(sequences)
     if nseq < 128:
         out.append(nseq)
@@ -1250,60 +1439,89 @@ def _encode_block(
 def zstd_compress(
     data: bytes, *, block_size: int = 1 << 16,
     predefined_sequences: bool = False, fse_weights: bool = False,
+    dictionary: bytes | None = None, treeless_literals: bool = False,
 ) -> bytes:
     """Single-segment frame with content size + XXH64 checksum; greedy
     hash-matched compressed blocks (raw/RLE blocks when they win).
     ``predefined_sequences`` codes LL/OF/ML against the RFC default
     distributions (mode 0, no table description) and ``fse_weights``
     FSE-compresses the Huffman weight table — both exercise the
-    checksummed-only decode paths end to end."""
+    checksummed-only decode paths end to end.  ``dictionary``
+    compresses against an RFC 8878 §5 dictionary: its content seeds
+    the match window (offsets reach into it), its repeat offsets
+    seed the rep history, the frame records the Dictionary_ID, and
+    with ``treeless_literals`` blocks code literals TREELESS against
+    the dictionary's Huffman table when it covers them."""
     data = bytes(data)
     n = len(data)
+    dict_info = (
+        parse_zstd_dictionary(dictionary)
+        if dictionary is not None else None
+    )
+    prefix = dict_info["content"] if dict_info else b""
+    did = (dict_info or {}).get("id")
     out = bytearray(struct.pack("<I", _MAGIC))
+    did_bits = 3 if did else 0  # 4-byte Dictionary_ID when present
     if n <= 255:
-        fhd = 0x20 | 0x04 | (0 << 6)
+        fhd = 0x20 | 0x04 | (0 << 6) | did_bits
         fcs = struct.pack("<B", n)
     elif n <= 65535 + 256:
-        fhd = 0x20 | 0x04 | (1 << 6)
+        fhd = 0x20 | 0x04 | (1 << 6) | did_bits
         fcs = struct.pack("<H", n - 256)
     else:
-        fhd = 0x20 | 0x04 | (2 << 6)
+        fhd = 0x20 | 0x04 | (2 << 6) | did_bits
         fcs = struct.pack("<I", n)
     out.append(fhd)
+    if did:
+        out += struct.pack("<I", did)
     out += fcs
 
-    # global greedy matcher (window = whole content: single-segment)
+    # global greedy matcher (window = whole content: single-segment;
+    # the dictionary content is pre-seeded history, so matches may
+    # reach into it with offsets beyond the frame's own output)
+    base = prefix + data
+    start = len(prefix)
+    total = len(base)
     table: dict[bytes, int] = {}
+    for j in range(max(0, start - 3)):
+        table[base[j : j + 4]] = j
     chunks: list[tuple[list, bytes, bytes]] = []
-    at = 0
-    while at < n or (n == 0 and not chunks):
-        end = min(at + block_size, n)
+    at = start
+    while at < total or (n == 0 and not chunks):
+        end = min(at + block_size, total)
         seqs: list[tuple[int, int, int]] = []
         lits = bytearray()
         anchor = at
         i = at
         while i + 4 <= end:
-            key = data[i : i + 4]
+            key = base[i : i + 4]
             cand = table.get(key)
             table[key] = i
-            if cand is not None and data[cand : cand + 4] == key:
+            if cand is not None and base[cand : cand + 4] == key:
                 ml = 4
                 maxml = end - i
-                while ml < maxml and data[cand + ml] == data[i + ml]:
+                while ml < maxml and base[cand + ml] == base[i + ml]:
                     ml += 1
                 seqs.append((i - anchor, i - cand, ml))
-                lits += data[anchor:i]
+                lits += base[anchor:i]
                 i += ml
                 anchor = i
                 continue
             i += 1
-        lits += data[anchor:end]
-        chunks.append((seqs, bytes(lits), data[at:end]))
+        lits += base[anchor:end]
+        chunks.append((seqs, bytes(lits), base[at:end]))
         at = end
         if n == 0:
             break
 
-    reps = [1, 4, 8]
+    reps = (
+        list(dict_info["reps"]) if dict_info and dict_info["reps"]
+        else [1, 4, 8]
+    )
+    dict_huf = (
+        dict_info["huf"]
+        if dict_info and treeless_literals else None
+    )
     for ci, (seqs, lits, chunk) in enumerate(chunks):
         last = 1 if ci == len(chunks) - 1 else 0
         if chunk and chunk.count(chunk[0]) == len(chunk):
@@ -1313,6 +1531,7 @@ def zstd_compress(
         body = _encode_block(
             chunk, seqs, lits, reps,
             predefined=predefined_sequences, fse_weights=fse_weights,
+            dict_huf=dict_huf,
         )
         if len(body) >= len(chunk):
             out += struct.pack("<I", (len(chunk) << 3) | (0 << 1) | last)[:3]

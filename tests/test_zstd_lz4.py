@@ -471,3 +471,152 @@ class TestPredefinedAndFseWeights:
         data = (b"abcdefgh12345 " * 3000)  # > one 64 KB block
         blob = zstd_compress(data, predefined_sequences=True)
         assert zstd_decompress(blob) == data
+
+
+class TestZstdDictionary:
+    """Round 11: RFC 8878 §5 dictionary frames."""
+
+    def _dict(self):
+        from rust_dataframe_spark.operators.zstd import (
+            build_zstd_dictionary,
+        )
+
+        boiler = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                  b"Server: corpus-fixture\r\n\r\n") * 4
+        return boiler, build_zstd_dictionary(boiler, dict_id=999)
+
+    def test_parse_round_trip(self):
+        from rust_dataframe_spark.operators.zstd import (
+            parse_zstd_dictionary,
+        )
+
+        boiler, d = self._dict()
+        info = parse_zstd_dictionary(d)
+        assert info["id"] == 999
+        assert info["content"] == boiler
+        assert info["reps"] == [1, 4, 8]
+        for k in ("huf", "ll", "of", "ml"):
+            assert info[k] is not None
+
+    def test_dict_round_trip_and_wins(self):
+        from rust_dataframe_spark.operators.zstd import (
+            zstd_compress,
+            zstd_decompress,
+        )
+
+        boiler, d = self._dict()
+        doc = boiler + b"body body body 12345" + boiler[:40]
+        z = zstd_compress(doc, dictionary=d)
+        assert zstd_decompress(z, dictionary=d) == doc
+        # shared boilerplate matches into dict content -> smaller
+        assert len(z) < len(zstd_compress(doc))
+
+    def test_treeless_literals_used(self):
+        from rust_dataframe_spark.operators.zstd import (
+            zstd_compress,
+            zstd_decompress,
+        )
+
+        boiler, d = self._dict()
+        # literals drawn from the dictionary's trained alphabet
+        doc = b"Server: corpus Content plain OK\r\n" * 3 + b"tail"
+        z_t = zstd_compress(doc, dictionary=d, treeless_literals=True)
+        z_n = zstd_compress(doc, dictionary=d)
+        assert zstd_decompress(z_t, dictionary=d) == doc
+        assert zstd_decompress(z_n, dictionary=d) == doc
+        assert z_t != z_n  # the treeless path genuinely engaged
+
+    def test_missing_dict_loud(self):
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators.zstd import (
+            ZstdError,
+            zstd_compress,
+            zstd_decompress,
+        )
+
+        boiler, d = self._dict()
+        z = zstd_compress(boiler + b"x" * 50, dictionary=d)
+        with _pytest.raises(ZstdError, match="required but none"):
+            zstd_decompress(z)
+
+    def test_wrong_dict_fails_checksum(self):
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators.zstd import (
+            ZstdError,
+            build_zstd_dictionary,
+            zstd_compress,
+            zstd_decompress,
+        )
+
+        boiler, d = self._dict()
+        doc = boiler + b"payload payload"
+        z = zstd_compress(doc, dictionary=d, treeless_literals=True)
+        wrong = build_zstd_dictionary(
+            bytes(reversed(boiler)), dict_id=999
+        )
+        with _pytest.raises(ZstdError):
+            # wrong history/tables -> checksum (or bounds) failure,
+            # NEVER a silent wrong decode
+            assert zstd_decompress(z, dictionary=wrong) != doc
+
+    def test_id_mismatch_loud(self):
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators.zstd import (
+            ZstdError,
+            build_zstd_dictionary,
+            zstd_compress,
+            zstd_decompress,
+        )
+
+        boiler, d = self._dict()
+        z = zstd_compress(boiler, dictionary=d)
+        other = build_zstd_dictionary(boiler, dict_id=1000)
+        with _pytest.raises(ZstdError, match="supplied dictionary"):
+            zstd_decompress(z, dictionary=other)
+
+    def test_unchecksummed_dict_frame_loud(self):
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators.zstd import (
+            ZstdError,
+            zstd_compress,
+            zstd_decompress,
+        )
+
+        boiler, d = self._dict()
+        z = bytearray(zstd_compress(boiler + b"zz", dictionary=d))
+        z[4] &= ~0x04  # strip the checksum flag
+        with _pytest.raises(ZstdError, match="XXH64"):
+            zstd_decompress(bytes(z[:-4]), dictionary=d)
+
+    def test_raw_content_dictionary(self):
+        from rust_dataframe_spark.operators.zstd import (
+            zstd_compress,
+            zstd_decompress,
+        )
+
+        boiler, _d = self._dict()
+        doc = boiler[:60] + b"unique tail 987"
+        z = zstd_compress(doc, dictionary=boiler)  # no magic: raw
+        assert zstd_decompress(z, dictionary=boiler) == doc
+
+    def test_dict_rep_offset_bounds_loud(self):
+        import struct as _struct
+
+        import pytest as _pytest
+
+        from rust_dataframe_spark.operators.zstd import (
+            ZstdError,
+            parse_zstd_dictionary,
+        )
+
+        boiler, d = self._dict()
+        bad = bytearray(d)
+        # overwrite rep1 (12 bytes before content) with content+1
+        at = len(d) - len(boiler) - 12
+        bad[at:at + 4] = _struct.pack("<I", len(boiler) + 1)
+        with _pytest.raises(ZstdError, match="repeat offset"):
+            parse_zstd_dictionary(bytes(bad))
