@@ -553,7 +553,8 @@ def q418_bmp_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  unnest(range(0, h // 8)) AS by
           FROM bx)
     SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-           CAST(30 * sf AS BIGINT) AS frame_ts_ms,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 90 * (sf // 3)
+                     ELSE 30 * sf END AS BIGINT) AS frame_ts_ms,
            CAST(sum(64 * ((doc_id + 13 * bx + 17 * by + 41 * sf) % 256))
                 AS BIGINT) AS px_sum
     FROM b GROUP BY doc_id, frame_idx, sf ORDER BY doc_id, frame_idx
@@ -569,8 +570,13 @@ def q419_mkv_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level timestamp reassembly is correct), and ``sample_frames(
     fake_decode=False)`` — now MKV-dispatching — takes 3 frames evenly.
     Completes the container matrix: GIF, AVI, MP4, MKV/WebM all demux
-    real with O(sampled) pixel decode; VP8/VP9/AV1 payloads gate loud,
-    laced blocks are refused rather than half-parsed.  Arrow-batched
+    real with O(sampled) pixel decode; VP8/VP9/AV1 payloads gate loud.
+    Round 11: docs with d%3==1 mux LACED blocks (Xiph for d%6==1,
+    EBML-delta for d%6==4; 3 frames per laced SimpleBlock) — the
+    real-WebM shape; laced frames share their block's timestamp, so
+    frame_ts_ms = 90*(sf//3) for those docs, which only comes out
+    right if the 255-run / signed-vint-delta size tables decode
+    exactly.  Arrow-batched
     mapInPandas on executors; the driver never sees frame bytes."""
     from pyspark.sql.functions import pandas_udf
 
@@ -606,7 +612,14 @@ def q419_mkv_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for f in range(total)
                 ]
                 ids.append(d)
-                payloads.append(encode_mkv(w, h, frames, frame_ms=30))
+                lacing = (
+                    None if d % 3 != 1
+                    else ("xiph" if d % 6 == 1 else "ebml")
+                )
+                payloads.append(
+                    encode_mkv(w, h, frames, frame_ms=30,
+                               lacing=lacing)
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     mm_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")

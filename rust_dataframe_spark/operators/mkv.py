@@ -16,9 +16,13 @@ frame sampling decodes only the sampled frames — O(sampled).
 Pixel path: ``V_MJPEG`` tracks decode via the repo's own
 :mod:`operators.jpeg` (each block a complete baseline JPEG).
 VP8/VP9/AV1/H.264 tracks demux fine (codec, dims, timestamps, sizes)
-and fail LOUD at pixel decode; block LACING (Xiph/fixed/EBML) is
-refused loudly rather than half-parsed — Motion-JPEG muxers do not
-lace, and a silently mis-laced frame boundary would corrupt payloads.
+and fail LOUD at pixel decode.  Block LACING decodes for real (round
+11): Xiph (255-run sizes), fixed (equal split, divisibility
+enforced), and EBML (first size unsigned vint, then signed-vint
+deltas) — the arithmetic is fully public (RFC 9559 §10); laced
+frames share their block's timestamp (per-frame spacing needs the
+track DefaultDuration, which minimal muxers omit).  Malformed lace
+size tables refuse loudly rather than mis-splitting payloads.
 
 Fail-loud contract: structural violations raise :class:`MkvError`;
 undecodable codecs raise NotImplementedError.  The encoder half
@@ -114,6 +118,66 @@ _BLOCK_GROUP = 0xA0
 _BLOCK = 0xA1
 
 
+def _lace_svint(data: bytes, pos: int) -> tuple[int, int]:
+    """Signed lace vint (EBML lacing deltas): unsigned vint minus
+    ``2^(7*length-1) - 1``."""
+    start = pos
+    v, pos = _read_vint(data, pos, keep_marker=False)
+    length = pos - start
+    return v - ((1 << (7 * length - 1)) - 1), pos
+
+
+def _delace(buf: bytes, flags: int) -> list[bytes]:
+    """Split a block payload into its laced frames (RFC 9559 §10.3):
+    flags bits 0x06 = 00 none / 01 Xiph / 10 fixed / 11 EBML."""
+    mode = flags & 0x06
+    if mode == 0:
+        return [buf]
+    if not buf:
+        raise MkvError("laced block missing frame count")
+    n = buf[0] + 1
+    pos = 1
+    sizes: list[int] = []
+    if mode == 0x02:  # Xiph: runs of 255 + terminator byte
+        for _ in range(n - 1):
+            sz = 0
+            while True:
+                if pos >= len(buf):
+                    raise MkvError("truncated Xiph lace sizes")
+                b = buf[pos]
+                pos += 1
+                sz += b
+                if b < 255:
+                    break
+            sizes.append(sz)
+    elif mode == 0x04:  # fixed: equal split, no size table
+        rest = len(buf) - pos
+        if rest % n:
+            raise MkvError(
+                f"fixed lacing: {rest} payload bytes do not divide "
+                f"into {n} frames"
+            )
+        sizes = [rest // n] * (n - 1)
+    else:  # EBML: first unsigned vint, then signed deltas
+        first, pos = _read_vint(buf, pos, keep_marker=False)
+        sizes.append(first)
+        prev = first
+        for _ in range(n - 2):
+            delta, pos = _lace_svint(buf, pos)
+            prev += delta
+            if prev < 0:
+                raise MkvError("EBML lacing size underflow")
+            sizes.append(prev)
+    frames: list[bytes] = []
+    for sz in sizes:
+        if pos + sz > len(buf):
+            raise MkvError("lace size overruns the block payload")
+        frames.append(buf[pos : pos + sz])
+        pos += sz
+    frames.append(buf[pos:])  # last frame: the remainder
+    return frames
+
+
 def decode_mkv(data: bytes):
     """Demux: returns ``(width, height, codec_id, frames, ts_ms)`` for
     the first video track — ``frames`` raw block payloads, ``ts_ms``
@@ -188,16 +252,11 @@ def decode_mkv(data: bytes):
                     raise MkvError("truncated block header")
                 rel = int.from_bytes(data[p : p + 2], "big", signed=True)
                 flags = data[p + 2]
-                if flags & 0x06:
-                    raise MkvError(
-                        "laced block refused (Xiph/fixed/EBML lacing "
-                        "unimplemented; a mis-laced boundary would corrupt "
-                        "frames — fail-loud)"
-                    )
                 if bt != tnum:
                     continue
-                frames.append(data[p + 3 : b])
-                ts_ms.append((cts + rel) * scale // 1_000_000)
+                for f in _delace(data[p + 3 : b], flags):
+                    frames.append(f)
+                    ts_ms.append((cts + rel) * scale // 1_000_000)
     if not frames:
         raise MkvError("video track carries no blocks")
     return width, height, codec, frames, ts_ms
@@ -244,6 +303,49 @@ def _el_uint(eid: int, v: int) -> bytes:
     return _el(eid, v.to_bytes(n, "big"))
 
 
+def _enc_lace_uvint(v: int) -> bytes:
+    for length in range(1, 9):
+        if v < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | v).to_bytes(length, "big")
+    raise MkvError("lace size too large")
+
+
+def _enc_lace_svint(d: int) -> bytes:
+    for length in range(1, 9):
+        bias = (1 << (7 * length - 1)) - 1
+        if -bias <= d <= bias:
+            return ((1 << (7 * length)) | (d + bias)).to_bytes(
+                length, "big"
+            )
+    raise MkvError("lace delta too large")
+
+
+def _lace_payload(parts: list[bytes], lacing: str) -> bytes:
+    """One laced SimpleBlock payload: frame-count byte + size table +
+    concatenated frames (the encoder twin of :func:`_delace`)."""
+    out = bytearray([len(parts) - 1])
+    if lacing == "xiph":
+        for f in parts[:-1]:
+            sz = len(f)
+            out += b"\xff" * (sz // 255)
+            out.append(sz % 255)
+    elif lacing == "fixed":
+        if len({len(f) for f in parts}) != 1:
+            raise MkvError("fixed lacing needs equal frame sizes")
+    elif lacing == "ebml":
+        out += _enc_lace_uvint(len(parts[0]))
+        for k in range(1, len(parts) - 1):
+            out += _enc_lace_svint(len(parts[k]) - len(parts[k - 1]))
+    else:
+        raise MkvError(f"unknown lacing {lacing!r}")
+    for f in parts:
+        out += f
+    return bytes(out)
+
+
+_LACE_FLAG = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}
+
+
 def encode_mkv(
     width: int,
     height: int,
@@ -251,11 +353,16 @@ def encode_mkv(
     *,
     frame_ms: int = 40,
     codec: str = "V_MJPEG",
+    lacing: str | None = None,
+    lace_group: int = 3,
 ) -> bytes:
     """Minimal conformant Matroska: EBML header (DocType matroska),
     Segment with Info (default TimestampScale), one V_MJPEG video
     track, clusters of 2 SimpleBlocks whose cluster timestamp advances
-    so relative-timestamp reassembly is exercised."""
+    so relative-timestamp reassembly is exercised.  With ``lacing``
+    ('xiph' / 'fixed' / 'ebml') each cluster instead carries ONE laced
+    SimpleBlock holding up to ``lace_group`` frames — the real-WebM
+    audio-track shape."""
     if not frames:
         raise MkvError("need at least one frame")
     ebml = _el(
@@ -289,18 +396,40 @@ def encode_mkv(
         ),
     )
     clusters = b""
-    for ci in range(0, len(frames), 2):
-        cts = ci * frame_ms
-        body = _el_uint(_CLUSTER_TS, cts)
-        for k, f in enumerate(frames[ci : ci + 2]):
-            rel = k * frame_ms
-            body += _el(
-                _SIMPLE_BLOCK,
-                b"\x81"  # track 1 vint
-                + rel.to_bytes(2, "big", signed=True)
-                + b"\x80"  # keyframe flag, no lacing
-                + f,
-            )
-        clusters += _el(_CLUSTER, body)
+    if lacing is None:
+        for ci in range(0, len(frames), 2):
+            cts = ci * frame_ms
+            body = _el_uint(_CLUSTER_TS, cts)
+            for k, f in enumerate(frames[ci : ci + 2]):
+                rel = k * frame_ms
+                body += _el(
+                    _SIMPLE_BLOCK,
+                    b"\x81"  # track 1 vint
+                    + rel.to_bytes(2, "big", signed=True)
+                    + b"\x80"  # keyframe flag, no lacing
+                    + f,
+                )
+            clusters += _el(_CLUSTER, body)
+    else:
+        if lace_group < 2:
+            raise MkvError("lace_group must be >= 2")
+        for ci in range(0, len(frames), lace_group):
+            parts = frames[ci : ci + lace_group]
+            cts = ci * frame_ms
+            body = _el_uint(_CLUSTER_TS, cts)
+            if len(parts) == 1:
+                body += _el(
+                    _SIMPLE_BLOCK,
+                    b"\x81" + (0).to_bytes(2, "big", signed=True)
+                    + b"\x80" + parts[0],
+                )
+            else:
+                body += _el(
+                    _SIMPLE_BLOCK,
+                    b"\x81" + (0).to_bytes(2, "big", signed=True)
+                    + bytes([0x80 | _LACE_FLAG[lacing]])
+                    + _lace_payload(parts, lacing),
+                )
+            clusters += _el(_CLUSTER, body)
     segment = _el(_SEGMENT, info + track + clusters)
     return ebml + segment

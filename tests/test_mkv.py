@@ -53,13 +53,33 @@ class TestMkvReal:
         with pytest.raises(NotImplementedError, match="V_VP9"):
             decode_mkv_frame(codec, out[0])
 
-    def test_laced_block_refused(self):
-        frames, _ = _mjpeg_frames(nframes=2)
-        mkv = bytearray(encode_mkv(16, 8, frames))
-        at = bytes(mkv).index(frames[0])
-        mkv[at - 1] |= 0x02  # Xiph lacing bit in block flags
-        with pytest.raises(MkvError, match="laced"):
-            decode_mkv(bytes(mkv))
+    def test_lacing_round_trips(self):
+        # round 11: Xiph / EBML / fixed lacing decode for real
+        frames = [bytes([i]) * (10 + (37 * i) % 300) for i in range(7)]
+        for lacing in ("xiph", "ebml"):
+            mkv = encode_mkv(16, 8, frames, lacing=lacing)
+            _w, _h, _c, out, ts = decode_mkv(mkv)
+            assert out == frames, lacing
+            # laced frames share their block's timestamp
+            assert ts == [0, 0, 0, 120, 120, 120, 240]
+        eq = [b"abcdef"] * 4
+        mkv = encode_mkv(16, 8, eq, lacing="fixed", lace_group=4)
+        assert decode_mkv(mkv)[3] == eq
+
+    def test_xiph_255_run_sizes(self):
+        frames = [b"x" * 600, b"y" * 255, b"z" * 3]
+        mkv = encode_mkv(16, 8, frames, lacing="xiph")
+        assert decode_mkv(mkv)[3] == frames
+
+    def test_malformed_lacing_loud(self):
+        from rust_dataframe_spark.operators.mkv import _delace
+
+        with pytest.raises(MkvError, match="divide"):
+            _delace(bytes([2]) + b"12345", 0x04)
+        with pytest.raises(MkvError, match="truncated Xiph"):
+            _delace(bytes([3, 255]), 0x02)
+        with pytest.raises(MkvError, match="overruns"):
+            _delace(bytes([1, 0x90]) + b"abc", 0x06)  # size 16 > 3
 
     def test_bad_doctype_fails_loud(self):
         frames, _ = _mjpeg_frames(nframes=1)
