@@ -35,7 +35,7 @@ from rust_dataframe_spark.context import get_spark
 # (keyed by ROUND), so every codec re-benches periodically while the
 # recorded core stays comparable round over round — regressions in
 # rotated-out codecs are caught by pytest + local 3-rep records.
-ROUND = 10
+ROUND = 11
 
 CORE = [
     "q01_pricing_summary",
@@ -145,7 +145,31 @@ CORE = [
     "q459_delta_deletion_vectors",
     "q460_iceberg_eq_deletes",
     "q461_delta_checkpoint_formats",
+    "q462_iceberg_schema_evolution",
+    "q463_delta_colmap_id_mode",
+    "q464_delta_change_data_feed",
+    "q465_iceberg_incremental",
+    "q466_hudi_incremental",
+    "q467_delta_maintenance",
+    "q468_iceberg_expiry",
 ]
+
+# Lakehouse fixture queries spend most of their wall building a
+# protocol-real table INSIDE the query (writer half, driver-eager)
+# before the read path runs; the bench records build_s/read_s per
+# name so cross-round comparisons can track the read path (VERDICT
+# r10 #7).  build = the queries() call (fixture writes happen there,
+# eagerly), read = executing the returned lazy plan.
+FIXTURE_SPLIT = {
+    "q451_delta_log", "q452_iceberg_table", "q453_hudi_table",
+    "q455_iceberg_pos_deletes", "q456_hudi_mor_log",
+    "q458_delta_column_mapping", "q459_delta_deletion_vectors",
+    "q460_iceberg_eq_deletes", "q461_delta_checkpoint_formats",
+    "q462_iceberg_schema_evolution", "q463_delta_colmap_id_mode",
+    "q464_delta_change_data_feed", "q465_iceberg_incremental",
+    "q466_hudi_incremental",
+    "q467_delta_maintenance", "q468_iceberg_expiry",
+}
 
 ROTATION_POOL = [
     "q334_gif_frames",
@@ -269,13 +293,15 @@ def main() -> None:
     # warm the JVM + parquet footers once with the cheapest query
     catalog.QUERIES["q31_topk"](spark, sf_dir).collect()
 
-    def run_once(name: str) -> float:
+    def run_once(name: str) -> tuple[float, float, float]:
         t0 = time.time()
         df = catalog.QUERIES[name](spark, sf_dir)
+        t1 = time.time()
         # noop sink evaluates every output column without collecting to the
         # driver (df.count() would let Catalyst prune computed columns)
         df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        t2 = time.time()
+        return t2 - t0, t1 - t0, t2 - t1
 
     names = [n for n in HEADLINE if n in catalog.QUERIES]
     for name in names:  # pass 1: JIT/codegen/footer warm-up (untimed)
@@ -289,9 +315,16 @@ def main() -> None:
     for _ in range(reps):
         passes.append({name: run_once(name) for name in names})
         spark.catalog.clearCache()
-    timings = {
-        name: round(sorted(p[name] for p in passes)[len(passes) // 2], 3)
-        for name in names
+
+    def med(name: str, k: int) -> float:
+        return round(
+            sorted(p[name][k] for p in passes)[len(passes) // 2], 3
+        )
+
+    timings = {name: med(name, 0) for name in names}
+    fixture_split = {
+        name: {"build_s": med(name, 1), "read_s": med(name, 2)}
+        for name in names if name in FIXTURE_SPLIT
     }
     total = round(sum(timings.values()), 3)
     out = {
@@ -306,6 +339,10 @@ def main() -> None:
             sum(t for n, t in timings.items() if n in set(CORE)), 3
         ),
         "rotation": _rot,
+        # lakehouse fixture queries: build (fixture writes) vs read
+        # (executing the returned plan) so the read path is the
+        # comparable signal (VERDICT r10 #7)
+        "fixture_split": fixture_split,
     }
     if reps > 1:
         out["reps"] = reps
@@ -387,6 +424,11 @@ def main() -> None:
         except Exception:
             prev_missing = []
         pruned = dict(out)
+        # the split detail lives in BENCH_SUMMARY.json; the printed
+        # line keeps the per-query totals (the comparable signal)
+        pruned.pop("fixture_split", None)
+        pruned["detail"] = "BENCH_SUMMARY.json"
+        line = json.dumps(pruned, separators=(",", ":"))
         keep = dict.fromkeys(prev_missing + slow_first)
         while len(line) > budget and keep:
             keep.popitem()  # drop the current fastest retained query

@@ -568,3 +568,202 @@ def q466_hudi_incremental(
         )
         .orderBy("scope", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q467: Delta maintenance — OPTIMIZE (dataChange=false) + VACUUM
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): a CDF-enabled table partitioned by p takes
+# three insert commits (ids 0..9, 10..19, 20..29; p = id % 2 — six
+# small files), then OPTIMIZE compacts each partition to one file
+# with dataChange=false actions, then VACUUM(retain_versions=1)
+# physically deletes every file the compacted snapshot no longer
+# references.  Pins: the post-maintenance read returns the identical
+# census, and the CDF stream across the whole range reports the three
+# insert versions and NOTHING for the compaction version (the
+# protocol's dataChange=false contract — an OPTIMIZE must never
+# appear as churn to a CDC consumer).
+
+
+@query(
+    "q467_delta_maintenance",
+    oracle="""
+    WITH rows_ AS (SELECT unnest(range(0, 30)) AS id),
+    t AS (SELECT id, id % 2 AS p, id // 10 AS v FROM rows_),
+    census AS (SELECT 'snapshot' AS section,
+                      CAST(p AS BIGINT) AS k,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(id) AS BIGINT) AS id_sum
+               FROM t GROUP BY p),
+    cdf AS (SELECT 'cdf_insert' AS section, CAST(v AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(id) AS BIGINT) AS id_sum
+            FROM t GROUP BY v)
+    SELECT * FROM census UNION ALL SELECT * FROM cdf
+    ORDER BY section, k
+    """,
+)
+def q467_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta table maintenance (round 11 — sources/delta.py):
+    OPTIMIZE-style compaction rewrites each partition's small files
+    into one, committed with ``dataChange=false`` remove+add actions
+    — the protocol's no-rows-changed signal — and VACUUM physically
+    deletes files referenced by no retained version (time travel
+    below the horizon then fails at scan, real Delta's contract).
+    The oracle pins both the identical post-maintenance census AND
+    that the Change Data Feed reports nothing for the compaction
+    version: a CDC consumer must never see an OPTIMIZE as churn.
+    Compaction over deletion vectors refuses loudly (a naive rewrite
+    would resurrect deleted rows)."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.delta import (
+        compact_delta_files,
+        read_delta,
+        read_delta_changes,
+        vacuum_delta,
+        write_delta_commit,
+    )
+
+    path = _scratch("delta_maint", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    for k in range(3):
+        write_delta_commit(
+            spark, path,
+            spark.range(k * 10, k * 10 + 10).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 2).cast("int").alias("p"),
+            ).coalesce(1),
+            partition_by=["p"], enable_cdf=True,
+        )
+    compact_delta_files(spark, path)
+    # CDF must be consumed BEFORE vacuum: synthesized inserts read
+    # the version-0..2 files, which the vacuum below physically
+    # deletes (real Delta's ordering constraint too) — so the change
+    # census materializes here, then maintenance proceeds
+    cdf_rows = [
+        (int(r["_commit_version"]), int(r["n"]), int(r["id_sum"]))
+        for r in (
+            read_delta_changes(spark, path, starting_version=0)
+            .groupBy("_commit_version")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("id").alias("id_sum"))
+            .collect()
+        )
+    ]
+    vacuum_delta(spark, path, retain_versions=1)
+    snap = (
+        read_delta(spark, path)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
+        .select(
+            F.lit("snapshot").alias("section"),
+            F.col("p").cast("long").alias("k"), "n", "id_sum",
+        )
+    )
+    cdf = spark.createDataFrame(
+        cdf_rows, "k bigint, n bigint, id_sum bigint"
+    ).select(F.lit("cdf_insert").alias("section"), "k", "n", "id_sum")
+    return snap.unionByName(cdf).orderBy("section", "k")
+
+
+# ---------------------------------------------------------------------------
+# q468: Iceberg snapshot expiry — retention window + orphan cleanup
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): s0 writes ids 0..9 (val = id), s1 REWRITES
+# partition p=0 via dynamic-partition overwrite (even ids get
+# val = id * 10 under new file paths), s2 appends ids 100..103
+# (val = id * 2).  expire_iceberg_snapshots(keep_last=2) drops s0 —
+# deleting its manifest list/manifest and the p=0 data file that only
+# s0 referenced — while s1/s2 keep reading identically (their
+# carried-forward files survive the reference census).  Output: the
+# current read plus the s1 time-travel read, both post-expiry.
+
+
+@query(
+    "q468_iceberg_expiry",
+    oracle="""
+    WITH base AS (SELECT unnest(range(0, 10)) AS id),
+    s1 AS (SELECT id, id % 2 AS p,
+                  CASE WHEN id % 2 = 0 THEN id * 10 ELSE id END AS val
+           FROM base),
+    s2 AS (SELECT id, p, val FROM s1
+           UNION ALL
+           SELECT 100 + u AS id, (100 + u) % 2 AS p, (100 + u) * 2
+           FROM (SELECT unnest(range(0, 4)) AS u)),
+    scoped AS (SELECT 'current' AS snap, p, id, val FROM s2
+               UNION ALL SELECT 's1', p, id, val FROM s1)
+    SELECT snap, CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum,
+           CAST(sum(val) AS BIGINT) AS val_sum
+    FROM scoped GROUP BY snap, p ORDER BY snap, p
+    """,
+)
+def q468_iceberg_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot expiry (round 11 — sources/iceberg.py, the
+    spec's table-maintenance operation): snapshots outside the
+    retention window drop from metadata and the manifest lists,
+    manifests and data files referenced by NO retained snapshot are
+    physically deleted — while files carried forward as EXISTING
+    entries into retained snapshots survive the reference census
+    (the overwritten pre-s1 p=0 file dies; everything else lives).
+    Time travel and incremental reads into the expired range fail
+    loudly afterwards (unit-pinned); this query pins that the
+    RETAINED snapshots read identically after the cleanup."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.iceberg import (
+        expire_iceberg_snapshots,
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    path = _scratch("iceberg_expire", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_commit(
+        spark, path,
+        spark.range(10).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("p"),
+            F.col("id").cast("int").alias("val"),
+        ),
+        partition_by=["p"],
+    )
+    s1 = write_iceberg_commit(
+        spark, path,
+        spark.range(10).filter(F.col("id") % 2 == 0).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(0).cast("int").alias("p"),
+            (F.col("id") * 10).cast("int").alias("val"),
+        ),
+        partition_by=["p"], replace_partitions=True,
+    )
+    write_iceberg_commit(
+        spark, path,
+        spark.range(100, 104).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("p"),
+            (F.col("id") * 2).cast("int").alias("val"),
+        ),
+        partition_by=["p"],
+    )
+    expire_iceberg_snapshots(path, keep_last=2)
+    cur = read_iceberg(spark, path).withColumn("snap", F.lit("current"))
+    old = read_iceberg(spark, path, snapshot_id=s1).withColumn(
+        "snap", F.lit("s1")
+    )
+    return (
+        cur.unionByName(old)
+        .groupBy("snap", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("id_sum"),
+            F.sum("val").alias("val_sum"),
+        )
+        .orderBy("snap", "p")
+    )

@@ -73,6 +73,8 @@ __all__ = [
     "update_delta_rows_cdf",
     "delete_delta_rows_cdf",
     "drop_delta_files",
+    "compact_delta_files",
+    "vacuum_delta",
 ]
 
 
@@ -1592,3 +1594,119 @@ def drop_delta_files(
                 "partitionValues": live[p].get("partitionValues") or {},
             }}) + "\n")
     return version
+
+
+# ---------------------------------------------------------------------------
+# table maintenance (round 11): OPTIMIZE + VACUUM
+# ---------------------------------------------------------------------------
+
+
+def compact_delta_files(spark: SparkSession, path: str) -> int:
+    """OPTIMIZE-style small-file compaction: per partition, every
+    live data file group rewrites into ONE file, committed as
+    remove + add actions with ``dataChange=false`` — the protocol's
+    signal that no rows changed, which is exactly what keeps Change
+    Data Feed readers from reporting a rewrite as churn (and what
+    lets concurrent writers treat it as non-conflicting).  Tables
+    carrying deletion vectors refuse loudly (compaction must
+    MATERIALIZE the tombstones; rewriting the file while keeping a
+    (path, position) DV would resurrect deleted rows).  Returns the
+    commit version."""
+    meta, adds = delta_snapshot_files(spark, path)
+    if any(a.get("deletionVector") for a in adds):
+        raise DeltaError(
+            "compaction over deletion vectors unsupported: the DV "
+            "tombstones must be materialized first (fail-loud — a "
+            "naive rewrite would resurrect deleted rows)"
+        )
+    groups: dict[tuple, list[dict]] = {}
+    for a in adds:
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(tuple(sorted(pv.items())), []).append(a)
+    commits, checkpoints = _list_log(path)
+    version = max(commits + checkpoints) + 1
+    ts = int(time.time() * 1000)
+    actions: list[dict] = []
+    did_work = False
+    for key, group in sorted(groups.items()):
+        if len(group) < 2:
+            continue
+        did_work = True
+        pv = dict(key)
+        files = [
+            os.path.join(path, _decode_path(a["path"])) for a in group
+        ]
+        sub = os.path.dirname(_decode_path(group[0]["path"]))
+        fname = (
+            f"part-{version:05d}-opt-{uuid.uuid4().hex[:12]}.parquet"
+        )
+        rel = f"{sub}/{fname}" if sub else fname
+        size = _move_single_parquet(
+            spark, spark.read.parquet(*files), path,
+            os.path.join(path, sub, fname) if sub
+            else os.path.join(path, fname),
+        )
+        for a in group:
+            actions.append({"remove": {
+                "path": a["path"], "deletionTimestamp": ts,
+                "dataChange": False,
+            }})
+        actions.append({"add": {
+            "path": urllib.parse.quote(rel, safe="/="),
+            "partitionValues": pv, "size": size,
+            "modificationTime": ts, "dataChange": False,
+        }})
+    if not did_work:
+        raise DeltaError("nothing to compact (no multi-file partition)")
+    with open(os.path.join(path, _LOG, _commit_name(version)), "w",
+              encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return version
+
+
+def vacuum_delta(
+    spark: SparkSession, path: str, *, retain_versions: int = 1
+) -> int:
+    """VACUUM: physically delete data files referenced by NO retained
+    version (the last ``retain_versions`` snapshots).  Time travel
+    below the horizon fails at scan time afterwards — exactly real
+    Delta's contract.  Retention is by VERSION COUNT, not wall-clock
+    (deterministic fixtures need no clock).  ``_delta_log``,
+    ``_change_data`` and deletion-vector files are untouched.
+    Returns the number of files removed."""
+    if retain_versions < 1:
+        raise DeltaError("retain_versions must be >= 1")
+    commits, checkpoints = _list_log(path)
+    latest = max(commits + checkpoints)
+    versions = [
+        v for v in sorted(set(commits + checkpoints))
+        if v > latest - retain_versions
+    ]
+    keep: set[str] = set()
+    for v in versions:
+        _m, adds = delta_snapshot_files(spark, path, version=v)
+        for a in adds:
+            keep.add(
+                os.path.abspath(
+                    os.path.join(path, _decode_path(a["path"]))
+                )
+            )
+        for a in adds:
+            dv = a.get("deletionVector") or {}
+            if dv.get("storageType") == "p":
+                keep.add(os.path.abspath(dv["pathOrInlineDv"]))
+    removed = 0
+    for root, dirs, files in os.walk(path):
+        rel = os.path.relpath(root, path)
+        if rel.split(os.sep)[0] in (_LOG, _CHANGE_DIR):
+            dirs[:] = []
+            continue
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.abspath(os.path.join(root, name))
+            if full not in keep:
+                os.remove(full)
+                removed += 1
+    return removed

@@ -68,6 +68,7 @@ __all__ = [
     "write_iceberg_equality_deletes",
     "evolve_iceberg_schema",
     "read_iceberg_changes",
+    "expire_iceberg_snapshots",
 ]
 
 
@@ -1337,3 +1338,84 @@ def write_iceberg_equality_deletes(
               encoding="utf-8") as fh:
         fh.write(str(new_version))
     return snapshot_id
+
+
+def expire_iceberg_snapshots(path: str, *, keep_last: int = 1) -> int:
+    """Snapshot expiry (the spec's table-maintenance operation): drop
+    every snapshot except the newest ``keep_last`` from the metadata
+    and physically delete the manifest lists, manifests, and
+    data/delete files referenced by NO retained snapshot.  Time
+    travel and incremental reads into the expired range fail loudly
+    afterwards (the snapshot ids are gone from metadata) — real
+    Iceberg's contract.  Returns the number of files deleted."""
+    if keep_last < 1:
+        raise IcebergError("keep_last must be >= 1")
+    meta, version = _load_metadata(path)
+    snaps = list(meta.get("snapshots") or [])
+    if len(snaps) <= keep_last:
+        return 0
+    retained = snaps[-keep_last:]
+    cur = meta.get("current-snapshot-id")
+    if cur not in {s.get("snapshot-id") for s in retained}:
+        raise IcebergError(
+            "current snapshot not in the retained window"
+        )
+    keep_files: set[str] = set()
+    for s in retained:
+        ml = _localize(path, s["manifest-list"])
+        keep_files.add(os.path.abspath(ml))
+        manifests = _snapshot_manifest_entries(
+            path, meta, s["snapshot-id"]
+        )
+        for m in manifests:
+            keep_files.add(
+                os.path.abspath(_localize(path, m["manifest_path"]))
+            )
+        for _c, _seq, entries in _walk_manifests(manifests, path):
+            for e in entries:
+                if e.get("status") == 2:
+                    continue  # deleted entries are not read by s
+                fp = (e.get("data_file") or {}).get("file_path")
+                if fp:
+                    keep_files.add(
+                        os.path.abspath(_localize(path, fp))
+                    )
+    # collect candidates referenced ONLY by expired snapshots
+    removed = 0
+    for s in snaps[:-keep_last]:
+        ml = os.path.abspath(_localize(path, s["manifest-list"]))
+        manifests = []
+        if os.path.exists(ml):
+            manifests = _snapshot_manifest_entries(
+                path, meta, s["snapshot-id"]
+            )
+        for m in manifests:
+            mp = os.path.abspath(_localize(path, m["manifest_path"]))
+            if mp in keep_files or not os.path.exists(mp):
+                continue
+            for _c, _seq, entries in _walk_manifests([m], path):
+                for e in entries:
+                    fp = (e.get("data_file") or {}).get("file_path")
+                    if not fp:
+                        continue
+                    full = os.path.abspath(_localize(path, fp))
+                    if full not in keep_files and os.path.exists(full):
+                        os.remove(full)
+                        removed += 1
+            os.remove(mp)
+            removed += 1
+        if ml not in keep_files and os.path.exists(ml):
+            os.remove(ml)
+            removed += 1
+    meta = dict(meta)
+    meta["snapshots"] = retained
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(path, "metadata")
+    new_version = version + 1
+    with open(os.path.join(mdir, f"v{new_version}.metadata.json"),
+              "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w",
+              encoding="utf-8") as fh:
+        fh.write(str(new_version))
+    return removed

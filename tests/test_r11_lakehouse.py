@@ -785,3 +785,154 @@ class TestEqDeleteShuffledFallback:
         sh = sorted((r["id"], r["val"]) for r in df.collect())
         assert sh == bc
         assert (3, 999) in sh and (7, 14) not in sh
+
+
+class TestDeltaMaintenance:
+    def _seed(self, spark, path, cdf=False):
+        from pyspark.sql import functions as F
+
+        for k in range(3):
+            write_delta_commit(
+                spark, path,
+                spark.range(k * 10, k * 10 + 10).select(
+                    F.col("id").cast("int").alias("id"),
+                    (F.col("id") % 2).cast("int").alias("p"),
+                ).coalesce(1),
+                partition_by=["p"], enable_cdf=cdf,
+            )
+
+    def test_compact_preserves_data_and_cdf_silence(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.delta import (
+            compact_delta_files,
+            delta_snapshot_files,
+            read_delta_changes,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path, cdf=True)
+        _m, before = delta_snapshot_files(spark, path)
+        v = compact_delta_files(spark, path)
+        _m, after = delta_snapshot_files(spark, path)
+        assert len(after) < len(before)
+        df = read_delta(spark, path)
+        assert df.count() == 30
+        assert df.agg(F.sum("id")).first()[0] == 435
+        vers = {
+            r["_commit_version"]
+            for r in read_delta_changes(
+                spark, path, starting_version=0
+            ).select("_commit_version").distinct().collect()
+        }
+        assert v not in vers  # dataChange=false: invisible to CDF
+
+    def test_compact_refuses_over_dvs(self, spark, tmp_path):
+        import os as _os
+
+        from rust_dataframe_spark.sources.delta import (
+            compact_delta_files,
+            delta_snapshot_files,
+            write_delta_delete_rows,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        _m, adds = delta_snapshot_files(spark, path)
+        target = adds[0]["path"]
+        write_delta_delete_rows(spark, path, {target: [0]})
+        with pytest.raises(DeltaError, match="deletion vectors"):
+            compact_delta_files(spark, path)
+
+    def test_vacuum_deletes_unreferenced_only(self, spark, tmp_path):
+        import glob as _glob
+
+        from rust_dataframe_spark.sources.delta import (
+            compact_delta_files,
+            vacuum_delta,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        compact_delta_files(spark, path)
+        removed = vacuum_delta(spark, path, retain_versions=1)
+        assert removed == 6  # the six pre-compaction small files
+        assert read_delta(spark, path).count() == 30
+        # keeping 4 versions retains everything
+        assert vacuum_delta(spark, path, retain_versions=10) == 0
+
+    def test_vacuum_breaks_pre_horizon_time_travel(
+        self, spark, tmp_path
+    ):
+        from rust_dataframe_spark.sources.delta import (
+            compact_delta_files,
+            vacuum_delta,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        compact_delta_files(spark, path)
+        vacuum_delta(spark, path, retain_versions=1)
+        with pytest.raises(Exception):
+            read_delta(spark, path, version=0).collect()
+
+
+class TestIcebergExpiry:
+    def test_expiry_census_and_loudness(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.iceberg import (
+            IcebergError,
+            expire_iceberg_snapshots,
+            read_iceberg,
+            read_iceberg_changes,
+            write_iceberg_commit,
+        )
+
+        path = str(tmp_path / "t")
+        s0 = write_iceberg_commit(
+            spark, path,
+            spark.range(6).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 2).cast("int").alias("p"),
+            ),
+            partition_by=["p"],
+        )
+        s1 = write_iceberg_commit(
+            spark, path,
+            spark.createDataFrame([(50, 0)], "id int, p int"),
+            partition_by=["p"],
+        )
+        s2 = write_iceberg_commit(
+            spark, path,
+            spark.createDataFrame([(60, 1)], "id int, p int"),
+            partition_by=["p"],
+        )
+        removed = expire_iceberg_snapshots(path, keep_last=2)
+        assert removed >= 2  # s0's manifest list + manifest at least
+        assert read_iceberg(spark, path).count() == 8
+        assert read_iceberg(spark, path, snapshot_id=s1).count() == 7
+        with pytest.raises(IcebergError, match="not in metadata"):
+            read_iceberg(spark, path, snapshot_id=s0)
+        with pytest.raises(IcebergError, match="not in metadata"):
+            read_iceberg_changes(spark, path, from_snapshot_id=s0)
+        # incremental inside the retained window still works
+        got = read_iceberg_changes(
+            spark, path, from_snapshot_id=s1, to_snapshot_id=s2
+        )
+        assert [r["id"] for r in got.collect()] == [60]
+
+    def test_expiry_keeps_current(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            expire_iceberg_snapshots,
+            write_iceberg_commit,
+        )
+
+        path = str(tmp_path / "t")
+        write_iceberg_commit(
+            spark, path, spark.createDataFrame([(1,)], "id int")
+        )
+        assert expire_iceberg_snapshots(path, keep_last=5) == 0
+        assert read_iceberg(spark, path).count() == 1
