@@ -152,6 +152,7 @@ CORE = [
     "q466_hudi_incremental",
     "q467_delta_maintenance",
     "q468_iceberg_expiry",
+    "q469_iceberg_stats_pruning",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -169,6 +170,7 @@ FIXTURE_SPLIT = {
     "q464_delta_change_data_feed", "q465_iceberg_incremental",
     "q466_hudi_incremental",
     "q467_delta_maintenance", "q468_iceberg_expiry",
+    "q469_iceberg_stats_pruning",
 }
 
 ROTATION_POOL = [

@@ -767,3 +767,112 @@ def q468_iceberg_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snap", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q469: Iceberg metadata-side file pruning — manifest column bounds
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): four single-file commits carrying disjoint
+# id ranges (k*100 .. k*100+99, val = id * 3).  The writer stamps
+# per-file lower/upper bounds (spec Appendix D single values) from
+# the parquet footers into the manifest entries; the reader's
+# ``where`` prunes the FILE LIST by those bounds before the scan —
+# id >= 250 provably excludes the first two files, and the string
+# equality name = 'n137' keeps TWO files ('n137' sorts inside both
+# 'n0'..'n99' and 'n100'..'n199' lexicographically — string bounds
+# prune conservatively, exactly like real Iceberg's truncated string
+# stats).  Output: the scan-plan counts
+# (kept/total per predicate — deterministic because each commit is
+# one file) plus the filtered census, which is correct whether or
+# not pruning fires (pruning is advisory; the residual filter runs).
+
+
+@query(
+    "q469_iceberg_stats_pruning",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 400)) AS id),
+    plan_ AS (SELECT 'plan' AS section, pred AS k,
+                     CAST(kept AS BIGINT) AS a,
+                     CAST(total AS BIGINT) AS b
+              FROM (VALUES ('ge', 2, 4), ('range', 2, 4),
+                           ('name_eq', 2, 4)) p(pred, kept, total)),
+    census AS (SELECT 'census' AS section, 'ge' AS k,
+                      CAST(count(*) AS BIGINT) AS a,
+                      CAST(sum(id * 3) AS BIGINT) AS b
+               FROM ids WHERE id >= 250
+               UNION ALL
+               SELECT 'census', 'range', CAST(count(*) AS BIGINT),
+                      CAST(sum(id * 3) AS BIGINT)
+               FROM ids WHERE id >= 250 AND id < 310
+               UNION ALL
+               SELECT 'census', 'name_eq', CAST(count(*) AS BIGINT),
+                      CAST(sum(id * 3) AS BIGINT)
+               FROM ids WHERE 'n' || CAST(id AS VARCHAR) = 'n137')
+    SELECT section, k, a, b FROM plan_
+    UNION ALL SELECT section, k, a, b FROM census
+    ORDER BY section, k
+    """,
+)
+def q469_iceberg_stats_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg metadata-side FILE PRUNING on manifest column bounds
+    (round 11 — sources/iceberg.py, the spec's lower_bounds /
+    upper_bounds with Appendix-D single-value serialization): the
+    writer records per-file min/max from the parquet footers
+    (footer-only, no data read) and ``read_iceberg(where=...)``
+    drops files whose bounds PROVE no row matches a recognized
+    conjunct before the scan's file list is even built — at 10^6
+    files that prunes the PLAN, which no scan-side filter can do.
+    Pruning is advisory (missing bounds and unparsed conjuncts keep
+    the file; the full predicate still filters rows), so answers
+    never depend on it; this query pins BOTH the plan counts
+    (kept/total via iceberg_plan_files) and the filtered census."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.iceberg import (
+        iceberg_plan_files,
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    path = _scratch("iceberg_prune", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    for k in range(4):
+        write_iceberg_commit(
+            spark, path,
+            spark.range(k * 100, k * 100 + 100).select(
+                F.col("id").cast("long").alias("id"),
+                F.concat(F.lit("n"), F.col("id")).alias("name"),
+                (F.col("id") * 3).cast("long").alias("val"),
+            ).coalesce(1),
+        )
+    preds = {
+        "ge": "id >= 250",
+        "range": "id >= 250 AND id < 310",
+        "name_eq": "name = 'n137'",
+    }
+    plan_rows = []
+    for key, w in sorted(preds.items()):
+        kept, total = iceberg_plan_files(path, where=w)
+        plan_rows.append(("plan", key, kept, total))
+    plan_df = spark.createDataFrame(
+        plan_rows, "section string, k string, a bigint, b bigint"
+    )
+    pieces = [plan_df]
+    for key, w in preds.items():
+        pieces.append(
+            read_iceberg(spark, path, where=w).agg(
+                F.count(F.lit(1)).alias("a"),
+                F.sum("val").alias("b"),
+            ).select(
+                F.lit("census").alias("section"),
+                F.lit(key).alias("k"), "a", "b",
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "k")

@@ -69,6 +69,7 @@ __all__ = [
     "evolve_iceberg_schema",
     "read_iceberg_changes",
     "expire_iceberg_snapshots",
+    "iceberg_plan_files",
 ]
 
 
@@ -97,6 +98,21 @@ def _ml_entry(m: dict) -> dict:
             for k in _ML_KEYS}
 
 
+def _bounds_type(name: str) -> dict:
+    # the spec's logical map<int, binary> (field-id keyed single-value
+    # bounds) as an array of key/value records
+    return {
+        "type": "array",
+        "items": {
+            "type": "record", "name": name,
+            "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"},
+            ],
+        },
+    }
+
+
 def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
     return {
         "type": "record", "name": "manifest_entry",
@@ -122,10 +138,182 @@ def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
                     {"name": "equality_ids",
                      "type": ["null", {"type": "array",
                                        "items": "int"}]},
+                    {"name": "lower_bounds",
+                     "type": ["null", _bounds_type("k_lower")]},
+                    {"name": "upper_bounds",
+                     "type": ["null", _bounds_type("k_upper")]},
                 ],
             }},
         ],
     }
+
+
+# ---------------------------------------------------------------------------
+# single-value serialization (spec Appendix D) + file-level pruning
+# ---------------------------------------------------------------------------
+
+
+def _sv_encode(t: str, v):
+    import struct as _struct
+
+    if t == "int" or t == "date":
+        return int(v).to_bytes(4, "little", signed=True)
+    if t == "long":
+        return int(v).to_bytes(8, "little", signed=True)
+    if t == "float":
+        return _struct.pack("<f", float(v))
+    if t == "double":
+        return _struct.pack("<d", float(v))
+    if t == "string":
+        return str(v).encode("utf-8")
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    return None  # unencodable type: no bound recorded
+
+
+def _sv_decode(t: str, b: bytes):
+    import struct as _struct
+
+    if t == "int" or t == "date":
+        return int.from_bytes(b[:4], "little", signed=True)
+    if t == "long":
+        return int.from_bytes(b[:8], "little", signed=True)
+    if t == "float":
+        return _struct.unpack("<f", b[:4])[0]
+    if t == "double":
+        return _struct.unpack("<d", b[:8])[0]
+    if t == "string":
+        return b.decode("utf-8")
+    if t == "boolean":
+        return b[:1] != b"\x00"
+    return None
+
+
+def _parquet_bounds(path: str) -> tuple[dict, dict]:
+    """Per-column (min, max) from the parquet footer's row-group
+    statistics — footer-only, no data read."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = c.path_in_schema
+            if name not in mins or st.min < mins[name]:
+                mins[name] = st.min
+            if name not in maxs or st.max > maxs[name]:
+                maxs[name] = st.max
+    return mins, maxs
+
+
+_PRED_RE = __import__("re").compile(
+    r"^\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|==|=|<|>)\s*(.+?)\s*$"
+)
+
+
+def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
+    """Best-effort parse of ``a AND b AND ...`` into (col, op,
+    literal) triples; conjuncts that don't fit the simple shape are
+    dropped (pruning is advisory — the residual filter still runs)."""
+    import re as _re
+
+    out = []
+    for part in _re.split(r"(?i)\s+and\s+", where):
+        m = _PRED_RE.match(part)
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        lit = lit.strip()
+        if (lit.startswith("'") and lit.endswith("'")) or (
+            lit.startswith('"') and lit.endswith('"')
+        ):
+            val: object = lit[1:-1]
+        else:
+            try:
+                val = int(lit)
+            except ValueError:
+                try:
+                    val = float(lit)
+                except ValueError:
+                    continue
+        out.append((col, op, val))
+    return out
+
+
+def _file_survives(
+    f: dict, conjuncts, cols: dict[int, tuple[str, str]]
+) -> bool:
+    """False only when the file's bounds PROVE no row matches every
+    conjunct; missing bounds always survive."""
+    name_to = {nm: (fid, t) for fid, (nm, t) in cols.items()}
+    lo_raw = {d["key"]: d["value"] for d in (f.get("lower_bounds") or [])}
+    hi_raw = {d["key"]: d["value"] for d in (f.get("upper_bounds") or [])}
+    for col, op, val in conjuncts:
+        if col not in name_to:
+            continue
+        fid, t = name_to[col]
+        lo = _sv_decode(t, lo_raw[fid]) if fid in lo_raw else None
+        hi = _sv_decode(t, hi_raw[fid]) if fid in hi_raw else None
+        if isinstance(val, str) != (t == "string"):
+            continue  # type mismatch: never prune on it
+        try:
+            if op in ("=", "=="):
+                if (hi is not None and hi < val) or (
+                    lo is not None and lo > val
+                ):
+                    return False
+            elif op == "<":
+                if lo is not None and lo >= val:
+                    return False
+            elif op == "<=":
+                if lo is not None and lo > val:
+                    return False
+            elif op == ">":
+                if hi is not None and hi <= val:
+                    return False
+            elif op == ">=":
+                if hi is not None and hi < val:
+                    return False
+        except TypeError:
+            continue  # uncomparable literal: keep the file
+    return True
+
+
+def iceberg_plan_files(
+    path: str,
+    *,
+    where: str | None = None,
+    snapshot_id: int | None = None,
+    spark=None,
+) -> tuple[int, int]:
+    """(files kept after bounds pruning, total live files) — the
+    metadata-side scan plan for a predicate, without reading data."""
+    meta, files, _dels = iceberg_snapshot_files(
+        path, snapshot_id=snapshot_id, with_deletes=True, spark=spark
+    )
+    total = len(files)
+    if not where:
+        return total, total
+    schema_id = None
+    if snapshot_id is not None:
+        snap = next(
+            (s for s in meta.get("snapshots") or []
+             if s.get("snapshot-id") == snapshot_id), None
+        )
+        if snap is not None:
+            schema_id = snap.get("schema-id")
+    cols = _schema_fields(meta, schema_id)
+    conjuncts = _parse_conjuncts(where)
+    kept = sum(
+        1 for f in files if _file_survives(f, conjuncts, cols)
+    )
+    return kept, total
 
 
 def _load_metadata(path: str) -> tuple[dict, int]:
@@ -317,7 +505,17 @@ def _walk_manifests(
     )
 
     def work(batches):
+        import base64 as _b64
+        import json as _json2
+
         import pandas as pd
+
+        def default(o):
+            # manifest bounds values are raw bytes (spec Appendix D
+            # single values) — tag + base64 them across the wire
+            if isinstance(o, (bytes, bytearray)):
+                return {"__b64__": _b64.b64encode(bytes(o)).decode()}
+            raise TypeError(type(o).__name__)
 
         for pdf in batches:
             rows = {"content": [], "seq": [], "entries": []}
@@ -325,13 +523,21 @@ def _walk_manifests(
                                pdf["man_path"]):
                 rows["content"].append(int(c))
                 rows["seq"].append(int(s))
-                rows["entries"].append(
-                    _json.dumps(_decode_manifest_entries(p))
-                )
+                rows["entries"].append(_json2.dumps(
+                    _decode_manifest_entries(p), default=default
+                ))
             yield pd.DataFrame(rows)
 
+    import base64 as _b64
+
+    def hook(d):
+        if set(d) == {"__b64__"}:
+            return _b64.b64decode(d["__b64__"])
+        return d
+
     out = [
-        (r["content"], r["seq"], _json.loads(r["entries"]))
+        (r["content"], r["seq"],
+         _json.loads(r["entries"], object_hook=hook))
         for r in jdf.mapInPandas(
             work, "content int, seq bigint, entries string"
         ).collect()
@@ -493,7 +699,11 @@ def _resolve_files_scan(
 
 
 def read_iceberg(
-    spark: SparkSession, path: str, *, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    snapshot_id: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """One-scan snapshot read with spec-true COLUMN PROJECTION,
     identity-partition re-injection and format-v2 row-level deletes.
@@ -515,7 +725,17 @@ def read_iceberg(
     ``(data-file basename, _metadata.row_index)`` — path identity
     makes sequence scoping unnecessary (data files are immutable,
     paths never reused); EQUALITY deletes apply with full
-    sequence-number scoping."""
+    sequence-number scoping.
+
+    ``where``: a SQL predicate applied to the result AND used for
+    METADATA-SIDE file pruning — files whose manifest column bounds
+    (lower_bounds/upper_bounds, spec Appendix D single values) prove
+    no row can match a recognized conjunct never enter the scan's
+    file list.  At 10^6 files that prunes the plan itself, which no
+    scan-side filter can do; pruning is advisory (files without
+    bounds and unrecognized conjuncts always survive, and the full
+    predicate still filters the rows), so answers never depend on
+    it."""
     from .fieldid import probe_field_ids, read_by_field_id
 
     meta, files, deletes = iceberg_snapshot_files(
@@ -536,6 +756,13 @@ def read_iceberg(
         meta, allow_transforms=True, schema_id=schema_id
     )
     out_cols = [n for n, _t in cols.values()]
+    if where and files:
+        conjuncts = _parse_conjuncts(where)
+        if conjuncts:
+            files = [
+                f for f in files
+                if _file_survives(f, conjuncts, cols)
+            ]
     if not files:
         ddl = ", ".join(
             f"`{n}` {_ICE_TO_SPARK.get(t, 'string')}"
@@ -567,7 +794,8 @@ def read_iceberg(
             )
         inject.append((pname, src, t, set(files_missing)))
     if not deletes and not inject:
-        return df.select(*out_cols)
+        out = df.select(*out_cols)
+        return out.filter(where) if where else out
     # every remaining path joins on the scan basename — enforce
     # uniqueness even when attach_file_values (which checks itself)
     # is never reached (pure pos/eq-delete tables, no partitions)
@@ -700,7 +928,8 @@ def read_iceberg(
                     F.col(f"__pv_{src}").cast(spark_t),
                 ).otherwise(F.col(f"`{src}`")),
             ).drop(f"__pv_{src}", f"__pv_{src}__absent")
-    return df.select(*out_cols)
+    out = df.select(*out_cols)
+    return out.filter(where) if where else out
 
 
 def read_iceberg_changes(
@@ -1055,6 +1284,23 @@ def write_iceberg_commit(
             pv = {}
             for (name, _src, typ, _tr), v in zip(parts_meta, pt):
                 pv[name] = int(v) if typ in ("int", "long") else v
+            # per-file column bounds from the parquet footer (spec
+            # Appendix D single values) — what the reader's
+            # metadata-side pruning keys on
+            lower, upper = [], []
+            try:
+                mins, maxs = _parquet_bounds(final)
+            except Exception:
+                mins, maxs = {}, {}
+            for fid2, (nm2, t2) in _schema_fields(meta).items():
+                if nm2 in mins:
+                    enc = _sv_encode(t2, mins[nm2])
+                    if enc is not None:
+                        lower.append({"key": fid2, "value": enc})
+                if nm2 in maxs:
+                    enc = _sv_encode(t2, maxs[nm2])
+                    if enc is not None:
+                        upper.append({"key": fid2, "value": enc})
             entries.append({
                 "status": 1, "snapshot_id": snapshot_id,
                 "sequence_number": seq,
@@ -1067,6 +1313,8 @@ def write_iceberg_commit(
                         counts[pt] if len(files) == 1 else -1
                     ),
                     "file_size_in_bytes": os.path.getsize(final),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
                 },
             })
     shutil.rmtree(tmp, ignore_errors=True)
@@ -1079,6 +1327,8 @@ def write_iceberg_commit(
     for e in entries:
         e["data_file"].pop("_data_seq", None)
         e["data_file"].setdefault("equality_ids", None)
+        e["data_file"].setdefault("lower_bounds", None)
+        e["data_file"].setdefault("upper_bounds", None)
         e.setdefault("sequence_number", None)
         pv = e["data_file"].get("partition") or {}
         e["data_file"]["partition"] = {
@@ -1186,6 +1436,8 @@ def write_iceberg_position_deletes(
             "record_count": len(deletes),
             "file_size_in_bytes": os.path.getsize(final),
             "equality_ids": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
         },
     }
     man_name = f"{uuid.uuid4().hex}-d0.avro"
@@ -1296,6 +1548,8 @@ def write_iceberg_equality_deletes(
             "record_count": values.count(),
             "file_size_in_bytes": os.path.getsize(final),
             "equality_ids": eq_ids,
+            "lower_bounds": None,
+            "upper_bounds": None,
         },
     }
     man_name = f"{uuid.uuid4().hex}-e0.avro"

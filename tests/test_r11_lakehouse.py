@@ -936,3 +936,106 @@ class TestIcebergExpiry:
         )
         assert expire_iceberg_snapshots(path, keep_last=5) == 0
         assert read_iceberg(spark, path).count() == 1
+
+
+class TestIcebergStatsPruning:
+    def _seed(self, spark, path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.iceberg import (
+            write_iceberg_commit,
+        )
+
+        for k in range(4):
+            write_iceberg_commit(
+                spark, path,
+                spark.range(k * 100, k * 100 + 100).select(
+                    F.col("id").cast("long").alias("id"),
+                    F.concat(F.lit("n"), F.col("id")).alias("name"),
+                ).coalesce(1),
+            )
+
+    def test_plan_counts_and_scan_shrinks(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_plan_files,
+            read_iceberg,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        assert iceberg_plan_files(path, where="id >= 250") == (2, 4)
+        assert iceberg_plan_files(path, where="id < 100") == (1, 4)
+        assert iceberg_plan_files(path, where="id = 150") == (1, 4)
+        assert iceberg_plan_files(path) == (4, 4)
+        df = read_iceberg(spark, path, where="id >= 250")
+        assert len(df.inputFiles()) == 2
+        assert df.count() == 150
+
+    def test_unrecognized_conjunct_never_prunes(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_plan_files,
+            read_iceberg,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        # modulo isn't in the simple grammar: no pruning, but the
+        # residual filter still gives the right answer
+        kept, total = iceberg_plan_files(path, where="id % 2 = 0")
+        assert (kept, total) == (4, 4)
+        assert read_iceberg(
+            spark, path, where="id % 2 = 0"
+        ).count() == 200
+
+    def test_mixed_recognized_unrecognized(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            read_iceberg,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        df = read_iceberg(
+            spark, path, where="id >= 250 AND id % 2 = 0"
+        )
+        assert len(df.inputFiles()) == 2  # the >= conjunct pruned
+        assert df.count() == 75
+
+    def test_type_mismatch_conjunct_safe(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_plan_files,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        # string literal against a long column: no pruning, no crash
+        assert iceberg_plan_files(
+            path, where="id = 'abc'"
+        ) == (4, 4)
+
+    def test_pruning_composes_with_deletes(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_snapshot_files,
+            read_iceberg,
+            write_iceberg_position_deletes,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        _m, files = iceberg_snapshot_files(path)
+        # tombstone position 0 of the LAST file (ids 300..399)
+        target = sorted(files, key=lambda f: f["file_path"])[-1]
+        # find which file holds id 300 by bounds
+        for f in files:
+            lo = {d["key"]: d["value"]
+                  for d in (f.get("lower_bounds") or [])}
+            if lo and int.from_bytes(
+                lo[1][:8], "little", signed=True
+            ) == 300:
+                target = f
+                break
+        write_iceberg_position_deletes(
+            spark, path, [(target["file_path"], 0)]
+        )
+        df = read_iceberg(spark, path, where="id >= 250")
+        assert df.count() == 149  # id 300 tombstoned
+        assert df.filter("id = 300").count() == 0
