@@ -153,6 +153,7 @@ CORE = [
     "q467_delta_maintenance",
     "q468_iceberg_expiry",
     "q469_iceberg_stats_pruning",
+    "q470_delta_data_skipping",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -171,6 +172,7 @@ FIXTURE_SPLIT = {
     "q466_hudi_incremental",
     "q467_delta_maintenance", "q468_iceberg_expiry",
     "q469_iceberg_stats_pruning",
+    "q470_delta_data_skipping",
 }
 
 ROTATION_POOL = [

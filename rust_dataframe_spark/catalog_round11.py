@@ -876,3 +876,109 @@ def q469_iceberg_stats_pruning(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out.orderBy("section", "k")
+
+
+# ---------------------------------------------------------------------------
+# q470: Delta data skipping — per-file stats + partition-value pruning
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): four single-file commits, commit k carrying
+# partition p = k and the disjoint id range k*100 .. k*100+99
+# (val = id * 3).  The writer stamps PROTOCOL.md per-file stats
+# (numRecords + minValues/maxValues from the parquet footers) into
+# every add action; read_delta(where=) skips files whose stats or
+# partitionValues prove no match: id >= 250 keeps 2 of 4 files,
+# p = 2 keeps 1 (pure partition pruning), and p >= 1 AND id < 150
+# keeps 1 (both prune kinds composing).  Output: deterministic plan
+# counts plus the filtered census (correct with or without skipping
+# — the residual filter always runs).
+
+
+@query(
+    "q470_delta_data_skipping",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 400)) AS id),
+    t AS (SELECT id, id // 100 AS p, id * 3 AS val FROM ids),
+    plan_ AS (SELECT 'plan' AS section, pred AS k,
+                     CAST(kept AS BIGINT) AS a,
+                     CAST(total AS BIGINT) AS b
+              FROM (VALUES ('combo', 1, 4), ('ge', 2, 4),
+                           ('part', 1, 4)) p(pred, kept, total)),
+    census AS (SELECT 'census' AS section, 'ge' AS k,
+                      CAST(count(*) AS BIGINT) AS a,
+                      CAST(sum(val) AS BIGINT) AS b
+               FROM t WHERE id >= 250
+               UNION ALL
+               SELECT 'census', 'part', CAST(count(*) AS BIGINT),
+                      CAST(sum(val) AS BIGINT)
+               FROM t WHERE p = 2
+               UNION ALL
+               SELECT 'census', 'combo', CAST(count(*) AS BIGINT),
+                      CAST(sum(val) AS BIGINT)
+               FROM t WHERE p >= 1 AND id < 150)
+    SELECT section, k, a, b FROM plan_
+    UNION ALL SELECT section, k, a, b FROM census
+    ORDER BY section, k
+    """,
+)
+def q470_delta_data_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta DATA SKIPPING (round 11 — sources/delta.py, PROTOCOL.md
+    'Per-file Statistics'): the writer stamps numRecords +
+    minValues/maxValues (footer-only row-group stats, physically
+    keyed under column mapping) into every add action, and
+    ``read_delta(where=...)`` prunes the file list by those stats
+    AND by partitionValues before the scan plan exists — the Delta
+    twin of q469's Iceberg bounds pruning, covering both pruning
+    kinds real engines run (partition pruning is exact point
+    intervals; stats pruning is conservative ranges).  Advisory
+    only: files without stats and unrecognized conjuncts survive,
+    and the residual filter always runs."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.delta import (
+        delta_plan_files,
+        read_delta,
+        write_delta_commit,
+    )
+
+    path = _scratch("delta_skip", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    for k in range(4):
+        write_delta_commit(
+            spark, path,
+            spark.range(k * 100, k * 100 + 100).select(
+                F.col("id").cast("long").alias("id"),
+                F.lit(k).cast("int").alias("p"),
+                (F.col("id") * 3).cast("long").alias("val"),
+            ).coalesce(1),
+            partition_by=["p"],
+        )
+    preds = {
+        "ge": "id >= 250",
+        "part": "p = 2",
+        "combo": "p >= 1 AND id < 150",
+    }
+    plan_rows = []
+    for key, w in sorted(preds.items()):
+        kept, total = delta_plan_files(spark, path, where=w)
+        plan_rows.append(("plan", key, kept, total))
+    pieces = [spark.createDataFrame(
+        plan_rows, "section string, k string, a bigint, b bigint"
+    )]
+    for key, w in preds.items():
+        pieces.append(
+            read_delta(spark, path, where=w).agg(
+                F.count(F.lit(1)).alias("a"),
+                F.sum("val").alias("b"),
+            ).select(
+                F.lit("census").alias("section"),
+                F.lit(key).alias("k"), "a", "b",
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "k")

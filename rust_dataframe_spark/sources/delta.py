@@ -59,7 +59,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
-from .lakehouse_util import assert_unique_basenames, attach_file_values
+from .lakehouse_util import (
+    assert_unique_basenames,
+    attach_file_values,
+    parse_conjuncts,
+    range_survives,
+)
 
 __all__ = [
     "DeltaError",
@@ -75,6 +80,7 @@ __all__ = [
     "drop_delta_files",
     "compact_delta_files",
     "vacuum_delta",
+    "delta_plan_files",
 ]
 
 
@@ -586,9 +592,19 @@ def read_delta(
     *,
     version: int | None = None,
     max_live_files: int = _MAX_LIVE_FILES,
+    where: str | None = None,
 ) -> DataFrame:
     """One-scan snapshot read with partition-value re-injection and
-    column-mapping ('name' mode) physical->logical renames."""
+    column-mapping physical->logical renames ('name' mode) or
+    field-id resolution ('id' mode).
+
+    ``where``: a SQL predicate applied to the result AND used for
+    DATA SKIPPING — add actions whose per-file stats
+    (minValues/maxValues, PROTOCOL.md) or partitionValues prove no
+    row can match a recognized conjunct never enter the scan's file
+    list.  Advisory only (missing stats and unrecognized conjuncts
+    keep the file; the full predicate still filters rows), so
+    answers never depend on it."""
     meta, adds = delta_snapshot_files(
         spark, path, version=version, max_live_files=max_live_files
     )
@@ -599,6 +615,16 @@ def read_delta(
     }
     mode = _mapping_mode(meta)
     mapping = _column_mapping(meta)  # physical -> logical, or None
+    if where and adds:
+        conjuncts = parse_conjuncts(where)
+        if conjuncts:
+            l2p = {v: k for k, v in mapping.items()} if mapping else {}
+            adds = [
+                a for a in adds
+                if _add_survives(
+                    a, conjuncts, part_cols, type_by_name, l2p
+                )
+            ]
     if not adds:
         # empty snapshot: typed empty frame from metaData.schemaString
         # (every-column-string would break downstream casts/joins)
@@ -733,7 +759,7 @@ def read_delta(
             ).drop(f"__pv_{c}")
     if need_key:
         df = df.drop("__delta_base")
-    return df
+    return df.filter(where) if where else df
 
 
 # ---------------------------------------------------------------------------
@@ -764,6 +790,128 @@ def _commit0_meta(spark: SparkSession, path: str) -> dict:
                         return a["metaData"]
     meta, _adds = delta_snapshot_files(spark, path)
     return meta
+
+
+def _file_stats(path: str, fallback_count: int | None) -> dict:
+    """Per-file add-action stats (PROTOCOL.md 'Per-file Statistics'):
+    numRecords from the parquet footer plus minValues/maxValues per
+    column from the row-group statistics — footer-only, no data read.
+    Keys are the columns' names AS WRITTEN (physical names under
+    column mapping, exactly the protocol's rule).  Only
+    JSON-representable stat values are recorded; anything else is
+    simply omitted (data skipping is advisory)."""
+    stats: dict = {}
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(path)
+        stats["numRecords"] = md.num_rows
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if not isinstance(st.min, (int, float, str, bool)):
+                    continue
+                name = c.path_in_schema
+                if name not in mins or st.min < mins[name]:
+                    mins[name] = st.min
+                if name not in maxs or st.max > maxs[name]:
+                    maxs[name] = st.max
+        if mins:
+            stats["minValues"] = mins
+            stats["maxValues"] = maxs
+    except Exception:
+        if fallback_count is not None:
+            stats = {"numRecords": fallback_count}
+    return stats
+
+
+def _coerce_partition_value(raw: str, typ: str):
+    if raw is None:
+        return None
+    try:
+        if typ in ("int", "bigint", "smallint", "tinyint"):
+            return int(raw)
+        if typ in ("double", "float"):
+            return float(raw)
+        if typ == "boolean":
+            return raw.lower() == "true"
+        if typ == "string":
+            return raw
+    except (TypeError, ValueError):
+        return None
+    return None
+
+
+def _add_survives(
+    a: dict,
+    conjuncts,
+    part_cols: list[str],
+    type_by_name: dict[str, str],
+    logical_to_phys: dict[str, str],
+) -> bool:
+    """Delta data skipping: False only when an add action's stats
+    (minValues/maxValues) or partitionValues PROVE no row matches a
+    conjunct.  Missing stats always survive."""
+    try:
+        stats = json.loads(a["stats"]) if a.get("stats") else {}
+    except (TypeError, ValueError):
+        stats = {}
+    minv = stats.get("minValues") or {}
+    maxv = stats.get("maxValues") or {}
+    pv = a.get("partitionValues") or {}
+    for col, op, val in conjuncts:
+        t = type_by_name.get(col)
+        if t is None:
+            continue
+        if isinstance(val, str) != (t == "string"):
+            continue
+        phys = logical_to_phys.get(col, col)
+        if col in part_cols:
+            point = _coerce_partition_value(pv.get(phys), t)
+            if point is None:
+                continue
+            if not range_survives(point, point, op, val):
+                return False
+        else:
+            if not range_survives(
+                minv.get(phys), maxv.get(phys), op, val
+            ):
+                return False
+    return True
+
+
+def delta_plan_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    where: str | None = None,
+    version: int | None = None,
+) -> tuple[int, int]:
+    """(files kept after data skipping, total live files) — the
+    metadata-side scan plan for a predicate, without reading data."""
+    meta, adds = delta_snapshot_files(spark, path, version=version)
+    total = len(adds)
+    if not where:
+        return total, total
+    part_cols = meta.get("partitionColumns") or []
+    struct = _schema_struct(meta)
+    type_by_name = {
+        f.name: f.dataType.simpleString() for f in struct.fields
+    }
+    mapping = _column_mapping(meta)
+    l2p = {v: k for k, v in mapping.items()} if mapping else {}
+    conjuncts = parse_conjuncts(where)
+    kept = sum(
+        1 for a in adds
+        if _add_survives(a, conjuncts, part_cols, type_by_name, l2p)
+    )
+    return kept, total
 
 
 def write_delta_commit(
@@ -983,9 +1131,10 @@ def write_delta_commit(
                 "modificationTime": ts,
                 "dataChange": True,
             }
-            if len(files) == 1:
-                # per-file stats are only exact with one file/partition
-                add["stats"] = json.dumps({"numRecords": counts[pt]})
+            add["stats"] = json.dumps(_file_stats(
+                os.path.join(full_dir, fname),
+                counts[pt] if len(files) == 1 else None,
+            ))
             actions.append({"add": add})
     shutil.rmtree(tmp, ignore_errors=True)
     with open(os.path.join(log, _commit_name(version)), "w",

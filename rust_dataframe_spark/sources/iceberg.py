@@ -57,7 +57,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .avro import decode_records, encode_records
-from .lakehouse_util import assert_unique_basenames, attach_file_values
+from .lakehouse_util import (
+    assert_unique_basenames,
+    attach_file_values,
+    parse_conjuncts as _parse_conjuncts,
+    range_survives as _range_survives,
+)
 
 __all__ = [
     "IcebergError",
@@ -212,40 +217,6 @@ def _parquet_bounds(path: str) -> tuple[dict, dict]:
     return mins, maxs
 
 
-_PRED_RE = __import__("re").compile(
-    r"^\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|==|=|<|>)\s*(.+?)\s*$"
-)
-
-
-def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
-    """Best-effort parse of ``a AND b AND ...`` into (col, op,
-    literal) triples; conjuncts that don't fit the simple shape are
-    dropped (pruning is advisory — the residual filter still runs)."""
-    import re as _re
-
-    out = []
-    for part in _re.split(r"(?i)\s+and\s+", where):
-        m = _PRED_RE.match(part)
-        if not m:
-            continue
-        col, op, lit = m.groups()
-        lit = lit.strip()
-        if (lit.startswith("'") and lit.endswith("'")) or (
-            lit.startswith('"') and lit.endswith('"')
-        ):
-            val: object = lit[1:-1]
-        else:
-            try:
-                val = int(lit)
-            except ValueError:
-                try:
-                    val = float(lit)
-                except ValueError:
-                    continue
-        out.append((col, op, val))
-    return out
-
-
 def _file_survives(
     f: dict, conjuncts, cols: dict[int, tuple[str, str]]
 ) -> bool:
@@ -262,26 +233,8 @@ def _file_survives(
         hi = _sv_decode(t, hi_raw[fid]) if fid in hi_raw else None
         if isinstance(val, str) != (t == "string"):
             continue  # type mismatch: never prune on it
-        try:
-            if op in ("=", "=="):
-                if (hi is not None and hi < val) or (
-                    lo is not None and lo > val
-                ):
-                    return False
-            elif op == "<":
-                if lo is not None and lo >= val:
-                    return False
-            elif op == "<=":
-                if lo is not None and lo > val:
-                    return False
-            elif op == ">":
-                if hi is not None and hi <= val:
-                    return False
-            elif op == ">=":
-                if hi is not None and hi < val:
-                    return False
-        except TypeError:
-            continue  # uncomparable literal: keep the file
+        if not _range_survives(lo, hi, op, val):
+            return False
     return True
 
 
@@ -1067,18 +1020,24 @@ def evolve_iceberg_schema(
     *,
     renames: dict[str, str] | None = None,
     adds: list[tuple[str, str]] | None = None,
+    drops: list[str] | None = None,
 ) -> int:
     """Commit a schema evolution: ``renames`` maps old column name ->
     new name (field ids are PRESERVED — that is the whole point of
     id-based column resolution), ``adds`` appends new columns as
-    ``(name, iceberg primitive type)`` with fresh field ids.  Appends
-    a new schema to ``schemas`` with the next schema-id and points
-    ``current-schema-id`` at it; snapshots keep their recorded
-    schema-id, so time travel still reads the old names.  Returns the
-    new schema id."""
+    ``(name, iceberg primitive type)`` with fresh field ids, and
+    ``drops`` removes columns (their data stays in old files but is
+    never projected; re-adding the NAME later mints a FRESH id, so
+    the old values can never resurrect — the spec's core drop/re-add
+    guarantee).  A partition source column cannot drop while the
+    spec references it.  Appends a new schema to ``schemas`` with
+    the next schema-id and points ``current-schema-id`` at it;
+    snapshots keep their recorded schema-id, so time travel still
+    reads the old shape.  Returns the new schema id."""
     renames = dict(renames or {})
     adds = list(adds or [])
-    if not renames and not adds:
+    drops = list(drops or [])
+    if not renames and not adds and not drops:
         raise IcebergError("schema evolution with no changes")
     meta, version = _load_metadata(path)
     if "schemas" not in meta:
@@ -1094,6 +1053,24 @@ def evolve_iceberg_schema(
     if cur is None:
         raise IcebergError(f"current-schema-id {cur_id} not in schemas")
     fields = [dict(f) for f in cur.get("fields", [])]
+    names = {f["name"] for f in fields}
+    part_src_ids = {
+        sf.get("source-id")
+        for spec in meta.get("partition-specs", [])
+        if spec.get("spec-id") == meta.get("default-spec-id", 0)
+        for sf in spec.get("fields", [])
+    }
+    for d in drops:
+        if d not in names:
+            raise IcebergError(f"drop column {d!r} not in schema")
+        if d in renames:
+            raise IcebergError(f"column {d!r} both dropped and renamed")
+        fid = next(f["id"] for f in fields if f["name"] == d)
+        if fid in part_src_ids:
+            raise IcebergError(
+                f"cannot drop {d!r}: the partition spec references it"
+            )
+    fields = [f for f in fields if f["name"] not in drops]
     names = {f["name"] for f in fields}
     for old, new in renames.items():
         if old not in names:

@@ -24,6 +24,68 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 
+_PRED_RE = __import__("re").compile(
+    r"^\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|==|=|<|>)\s*(.+?)\s*$"
+)
+
+
+def parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
+    """Best-effort parse of ``a AND b AND ...`` into (column, op,
+    literal) triples for METADATA-SIDE file pruning.  Conjuncts that
+    don't fit the simple col-op-literal shape are dropped — pruning
+    is advisory in every caller (the residual filter still runs), so
+    a dropped conjunct costs pruning power, never correctness."""
+    import re as _re
+
+    out: list[tuple[str, str, object]] = []
+    for part in _re.split(r"(?i)\s+and\s+", where):
+        m = _PRED_RE.match(part)
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        lit = lit.strip()
+        if (lit.startswith("'") and lit.endswith("'")) or (
+            lit.startswith('"') and lit.endswith('"')
+        ):
+            val: object = lit[1:-1]
+        else:
+            try:
+                val = int(lit)
+            except ValueError:
+                try:
+                    val = float(lit)
+                except ValueError:
+                    continue
+        out.append((col, op, val))
+    return out
+
+
+def range_survives(lo, hi, op: str, val) -> bool:
+    """False only when a file's [lo, hi] value interval PROVES no row
+    can satisfy ``column op val``; None bounds always survive."""
+    try:
+        if op in ("=", "=="):
+            if (hi is not None and hi < val) or (
+                lo is not None and lo > val
+            ):
+                return False
+        elif op == "<":
+            if lo is not None and lo >= val:
+                return False
+        elif op == "<=":
+            if lo is not None and lo > val:
+                return False
+        elif op == ">":
+            if hi is not None and hi <= val:
+                return False
+        elif op == ">=":
+            if hi is not None and hi < val:
+                return False
+    except TypeError:
+        return True  # uncomparable literal: keep the file
+    return True
+
+
 def assert_unique_basenames(
     paths: list[str], *, err_cls: type[Exception], tag: str
 ) -> None:

@@ -1039,3 +1039,125 @@ class TestIcebergStatsPruning:
         df = read_iceberg(spark, path, where="id >= 250")
         assert df.count() == 149  # id 300 tombstoned
         assert df.filter("id = 300").count() == 0
+
+
+class TestIcebergDropColumn:
+    def test_drop_readd_no_resurrection(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.iceberg import (
+            IcebergError,
+            evolve_iceberg_schema,
+            read_iceberg,
+            write_iceberg_commit,
+        )
+
+        path = str(tmp_path / "t")
+        write_iceberg_commit(
+            spark, path,
+            spark.range(5).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 2).cast("int").alias("p"),
+                (F.col("id") * 7).cast("int").alias("secret"),
+            ),
+            partition_by=["p"],
+        )
+        evolve_iceberg_schema(path, drops=["secret"])
+        df = read_iceberg(spark, path)
+        assert df.columns == ["id", "p"]
+        # re-adding the NAME mints a fresh field id: the spec's
+        # guarantee that dropped data can never resurrect
+        evolve_iceberg_schema(path, adds=[("secret", "int")])
+        vals = [
+            r["secret"] for r in read_iceberg(spark, path).collect()
+        ]
+        assert vals == [None] * 5
+        with pytest.raises(IcebergError, match="partition spec"):
+            evolve_iceberg_schema(path, drops=["p"])
+        with pytest.raises(IcebergError, match="not in schema"):
+            evolve_iceberg_schema(path, drops=["ghost"])
+
+
+class TestDeltaDataSkipping:
+    def _seed(self, spark, path):
+        from pyspark.sql import functions as F
+
+        for k in range(4):
+            write_delta_commit(
+                spark, path,
+                spark.range(k * 100, k * 100 + 100).select(
+                    F.col("id").cast("long").alias("id"),
+                    F.lit(k).cast("int").alias("p"),
+                ).coalesce(1),
+                partition_by=["p"],
+            )
+
+    def test_stats_and_partition_pruning(self, spark, tmp_path):
+        from rust_dataframe_spark.sources.delta import (
+            delta_plan_files,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        assert delta_plan_files(spark, path, where="id >= 250") == (2, 4)
+        assert delta_plan_files(spark, path, where="p = 2") == (1, 4)
+        assert delta_plan_files(
+            spark, path, where="p >= 1 AND id < 150"
+        ) == (1, 4)
+        assert delta_plan_files(spark, path) == (4, 4)
+        df = read_delta(spark, path, where="id >= 250")
+        assert len(df.inputFiles()) == 2
+        assert df.count() == 150
+
+    def test_unrecognized_conjunct_safe(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        df = read_delta(spark, path, where="id % 2 = 0")
+        assert len(df.inputFiles()) == 4
+        assert df.count() == 200
+
+    def test_skipping_with_column_mapping(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.delta import (
+            delta_plan_files,
+        )
+
+        path = str(tmp_path / "t")
+        for k in range(3):
+            write_delta_commit(
+                spark, path,
+                spark.range(k * 10, k * 10 + 10).select(
+                    F.col("id").cast("long").alias("id")
+                ).coalesce(1),
+                column_mapping="name" if k == 0 else False,
+            )
+        # stats keys are PHYSICAL names; the logical conjunct still
+        # prunes through the mapping
+        assert delta_plan_files(spark, path, where="id >= 20") == (1, 3)
+        assert read_delta(spark, path, where="id >= 20").count() == 10
+
+    def test_skipping_composes_with_dvs(self, spark, tmp_path):
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from rust_dataframe_spark.sources.delta import (
+            delta_snapshot_files,
+            write_delta_delete_rows,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        _m, adds = delta_snapshot_files(spark, path)
+        # tombstone position 0 of the file holding ids 300..399
+        by_range = {}
+        for a in adds:
+            import json as _json
+
+            st = _json.loads(a["stats"])
+            by_range[st["minValues"]["id"]] = a["path"]
+        write_delta_delete_rows(spark, path, {by_range[300]: [0]})
+        df = read_delta(spark, path, where="id >= 250")
+        assert df.count() == 149
+        assert df.filter("id = 300").count() == 0
