@@ -159,15 +159,20 @@ def _delace(buf: bytes, flags: int) -> list[bytes]:
             )
         sizes = [rest // n] * (n - 1)
     else:  # EBML: first unsigned vint, then signed deltas
-        first, pos = _read_vint(buf, pos, keep_marker=False)
-        sizes.append(first)
-        prev = first
-        for _ in range(n - 2):
-            delta, pos = _lace_svint(buf, pos)
-            prev += delta
-            if prev < 0:
-                raise MkvError("EBML lacing size underflow")
-            sizes.append(prev)
+        # n == 1 is legal (count byte 0): the size table has ZERO
+        # entries — the whole remainder is the single frame.  Reading
+        # the first-size vint unconditionally would consume frame
+        # data as a size and silently mis-split the payload.
+        if n >= 2:
+            first, pos = _read_vint(buf, pos, keep_marker=False)
+            sizes.append(first)
+            prev = first
+            for _ in range(n - 2):
+                delta, pos = _lace_svint(buf, pos)
+                prev += delta
+                if prev < 0:
+                    raise MkvError("EBML lacing size underflow")
+                sizes.append(prev)
     frames: list[bytes] = []
     for sz in sizes:
         if pos + sz > len(buf):

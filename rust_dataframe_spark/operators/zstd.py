@@ -980,17 +980,21 @@ def zstd_decompress(
         use_dict = dict_info is not None and (
             did != 0 or dict_info["id"] is None
         )
+        if use_dict and not checksum:
+            # Applies to RAW-CONTENT dictionaries (id None, frame
+            # Dictionary_ID 0) too: without the checksum a wrong raw
+            # dictionary is silent plausible garbage, same hazard as
+            # a wrong structured dictionary.
+            raise ZstdError(
+                "dictionary frames accepted only with an XXH64 "
+                "content checksum (fail-loud: wrong history/"
+                "tables would decode silently otherwise)"
+            )
         if did:
             if dict_info is None:
                 raise ZstdError(
                     f"dictionary {did} required but none supplied "
                     "(fail-loud)"
-                )
-            if not checksum:
-                raise ZstdError(
-                    "dictionary frames accepted only with an XXH64 "
-                    "content checksum (fail-loud: wrong history/"
-                    "tables would decode silently otherwise)"
                 )
             if (dict_info["id"] is not None
                     and dict_info["id"] != did):

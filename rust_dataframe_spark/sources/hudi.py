@@ -870,9 +870,19 @@ def read_hudi_incremental(
             "(fail-loud: log blocks carry no per-record commit time)"
         )
     instants = _timeline(path)
+    if not instants:
+        raise HudiError(
+            "incremental read on an empty timeline (no completed "
+            "instants)"
+        )
     end = end_ts if end_ts is not None else instants[-1][0]
     in_range = [t for t, _k in instants if begin_ts < t <= end]
     slices = hudi_snapshot_files(path, as_of=end)
+    if not slices:
+        raise HudiError(
+            "incremental read on a table with no live file slices "
+            f"as of {end}"
+        )
     cands = []
     for part, f in slices:
         m = _FILE_RE.match(os.path.basename(f))

@@ -34,9 +34,18 @@ def parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     literal) triples for METADATA-SIDE file pruning.  Conjuncts that
     don't fit the simple col-op-literal shape are dropped — pruning
     is advisory in every caller (the residual filter still runs), so
-    a dropped conjunct costs pruning power, never correctness."""
+    a dropped conjunct costs pruning power, never correctness.
+
+    Disjunction guard: an OR (or NOT) anywhere makes the AND-split
+    unsound — ``x = 1 AND y = 2 OR z = 3`` would yield a false
+    'required' conjunct ``x = 1`` and prune files that only satisfy
+    the ``z = 3`` arm, which the residual filter CANNOT restore.  Any
+    OR/NOT token (word match, case-insensitive, including inside
+    string literals — conservative) disables pruning entirely."""
     import re as _re
 
+    if _re.search(r"(?i)\b(or|not)\b", where):
+        return []
     out: list[tuple[str, str, object]] = []
     for part in _re.split(r"(?i)\s+and\s+", where):
         m = _PRED_RE.match(part)
@@ -47,7 +56,12 @@ def parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
         if (lit.startswith("'") and lit.endswith("'")) or (
             lit.startswith('"') and lit.endswith('"')
         ):
-            val: object = lit[1:-1]
+            val = lit[1:-1]
+            if "'" in val or '"' in val:
+                # a quote surviving inside the stripped literal means
+                # the AND-split cut through a string — unsound, drop
+                continue
+            val: object = val
         else:
             try:
                 val = int(lit)
