@@ -226,6 +226,86 @@ _rot = [ROTATION_POOL[(ROUND * 8 + i) % len(ROTATION_POOL)]
 HEADLINE = CORE + _rot
 
 
+def _box_load() -> dict:
+    """Self-describing box-load stamp (VERDICT r11 #8): 1/5/15-min
+    loadavg plus a census of BUSY foreign processes — ANY cmdline, not
+    just Spark JVMs.  The round-11 driver record carried a 10x outlier
+    cluster that cost a judge cycle to rebut: ``contended`` only counts
+    other Spark JVMs, so a non-JVM CPU hog (an orphaned fuzz child at
+    100%% CPU) was invisible.  With this stamp the next noisy record
+    self-describes.
+
+    Busy = a non-descendant process burning >50%% of one core over a
+    250 ms jiffy sample.  Best-effort: any procfs error contributes
+    nothing; the census is capped at 5 entries."""
+    out: dict = {"loadavg": None, "busy_procs": []}
+    try:
+        with open("/proc/loadavg") as f:
+            out["loadavg"] = [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        pass
+    me = os.getpid()
+
+    def _ppid(pid: int) -> int:
+        with open(f"/proc/{pid}/stat") as f:
+            return int(f.read().split(")")[-1].split()[1])
+
+    def _is_descendant(pid: int) -> bool:
+        seen = 0
+        while pid > 1 and seen < 64:
+            if pid == me:
+                return True
+            try:
+                pid = _ppid(pid)
+            except OSError:
+                return False
+            seen += 1
+        return False
+
+    def _jiffies() -> dict[int, int]:
+        j: dict[int, int] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    parts = f.read().split(")")[-1].split()
+                j[int(p)] = int(parts[11]) + int(parts[12])  # utime+stime
+            except (OSError, ValueError, IndexError):
+                continue
+        return j
+
+    try:
+        clk = os.sysconf("SC_CLK_TCK") or 100
+        before = _jiffies()
+        time.sleep(0.25)
+        after = _jiffies()
+        busy = []
+        for pid, t1 in after.items():
+            t0 = before.get(pid)
+            if t0 is None or pid == me:
+                continue
+            frac = (t1 - t0) / (0.25 * clk)
+            if frac > 0.5 and not _is_descendant(pid):
+                try:
+                    with open(f"/proc/{pid}/cmdline", "rb") as f:
+                        cmd = (
+                            f.read().replace(b"\0", b" ").decode(
+                                "utf-8", "replace"
+                            ).strip()[:80]
+                        )
+                except OSError:
+                    cmd = "?"
+                busy.append(
+                    {"pid": pid, "cpu": round(frac, 2), "cmd": cmd}
+                )
+        busy.sort(key=lambda d: -d["cpu"])
+        out["busy_procs"] = busy[:5]
+    except (OSError, ValueError):
+        pass
+    return out
+
+
 def _other_spark_jvms() -> int:
     """Count Spark JVMs on this machine that do NOT belong to this bench
     process (solo-guard, VERDICT r5 #7): two rounds running, the driver's
@@ -291,6 +371,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     jvms_before = _other_spark_jvms()
+    load_before = _box_load()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -382,6 +463,10 @@ def main() -> None:
     jvms_after = _other_spark_jvms()
     out["other_spark_jvms"] = max(jvms_before, jvms_after)
     out["contended"] = out["other_spark_jvms"] > 0
+    # VERDICT r11 #8: the stamp that makes non-JVM contention
+    # self-evident — loadavg + busy-foreign-process census at start
+    # and end of the run (BASELINE.md documents interpretation).
+    out["box_load"] = {"start": load_before, "end": _box_load()}
 
     # VERDICT r6 #6: the driver's stdout capture window is ~2000 bytes and
     # BENCH_r05/r06 both landed with parsed=null because the one JSON line
@@ -431,6 +516,16 @@ def main() -> None:
         # the split detail lives in BENCH_SUMMARY.json; the printed
         # line keeps the per-query totals (the comparable signal)
         pruned.pop("fixture_split", None)
+        # compress the load stamp: loadavg triplets + busy-proc count
+        # (full census with cmdlines stays in BENCH_SUMMARY.json)
+        bl = out.get("box_load") or {}
+        pruned["box_load"] = {
+            k: {
+                "loadavg": (bl.get(k) or {}).get("loadavg"),
+                "busy_n": len((bl.get(k) or {}).get("busy_procs") or []),
+            }
+            for k in ("start", "end")
+        }
         pruned["detail"] = "BENCH_SUMMARY.json"
         line = json.dumps(pruned, separators=(",", ":"))
         keep = dict.fromkeys(prev_missing + slow_first)
