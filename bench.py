@@ -35,7 +35,7 @@ from rust_dataframe_spark.context import get_spark
 # (keyed by ROUND), so every codec re-benches periodically while the
 # recorded core stays comparable round over round — regressions in
 # rotated-out codecs are caught by pytest + local 3-rep records.
-ROUND = 11
+ROUND = 12
 
 CORE = [
     "q01_pricing_summary",
@@ -154,6 +154,7 @@ CORE = [
     "q468_iceberg_expiry",
     "q469_iceberg_stats_pruning",
     "q470_delta_data_skipping",
+    "q471_iceberg_name_mapping",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -173,6 +174,7 @@ FIXTURE_SPLIT = {
     "q467_delta_maintenance", "q468_iceberg_expiry",
     "q469_iceberg_stats_pruning",
     "q470_delta_data_skipping",
+    "q471_iceberg_name_mapping",
 }
 
 ROTATION_POOL = [

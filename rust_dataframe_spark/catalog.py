@@ -848,4 +848,4 @@ def q44_scalar_hash_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- register extension catalogs (imported for their @query side effects) ---
-from . import catalog_window, catalog_array, catalog_scalar2, catalog_scalar3, catalog_llm, catalog_sources, catalog_reshape, catalog_tpch, catalog_tpch2, catalog_training, catalog_rank, catalog_pipeline, catalog_analytics, catalog_stats, catalog_stats2, catalog_stats3, catalog_stats4, catalog_round6, catalog_round7, catalog_round8, catalog_round9, catalog_round9b, catalog_round10, catalog_round11  # noqa: E402,F401
+from . import catalog_window, catalog_array, catalog_scalar2, catalog_scalar3, catalog_llm, catalog_sources, catalog_reshape, catalog_tpch, catalog_tpch2, catalog_training, catalog_rank, catalog_pipeline, catalog_analytics, catalog_stats, catalog_stats2, catalog_stats3, catalog_stats4, catalog_round6, catalog_round7, catalog_round8, catalog_round9, catalog_round9b, catalog_round10, catalog_round11, catalog_round12  # noqa: E402,F401

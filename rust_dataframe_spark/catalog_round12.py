@@ -1,0 +1,124 @@
+"""Catalog round 12: lakehouse migration-estate reads and maintenance.
+
+The round-11 verdict ranked remaining extension gaps by how often a
+real pipeline user hits them: Iceberg NAME MAPPING (the spec's Column
+Projection rule 2 — Hive-migrated tables whose data files carry no
+parquet field ids, the most common real Iceberg estate), Delta
+drop-column evolution under column mapping, Hudi MERGE_ON_READ
+incremental reads, Delta OPTIMIZE over deletion-vector tables,
+partition-transform-aware metadata pruning, and Avro data files.
+Each query follows the q451-q470 discipline: a protocol-shaped
+fixture written by the repo's own writer half, read back through the
+real reader path, with a closed-form DuckDB oracle replaying the
+snapshot algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import query
+
+__all__: list[str] = []
+
+
+# ---------------------------------------------------------------------------
+# q471: Iceberg name mapping — unstamped (migrated) files resolve renames
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): commit A writes ids 0..29 (p = id % 3,
+# val = id * 2) WITHOUT parquet field ids — the Hive-migrated /
+# foreign-writer shape (write_iceberg_commit(stamp_field_ids=False));
+# a migration-style `schema.name-mapping.default` property is set
+# (each field id under its then-current name); the schema then
+# evolves (val RENAMED to score, bonus int ADDED); commit B appends
+# ids 100..108 (score = id * 3, bonus = id % 5) with field ids
+# stamped (normal writer).  The current-snapshot read must resolve
+# commit-A files' physical column 'val' to logical 'score' THROUGH
+# THE NAME MAPPING (ids win for commit-B files — spec Column
+# Projection rules 1 then 2), read bonus as null for commit-A files,
+# and plan one scan per distinct resolved-name signature (2 legs),
+# never per file.
+
+
+@query(
+    "q471_iceberg_name_mapping",
+    oracle="""
+    WITH c0 AS (SELECT unnest(range(0, 30)) AS id),
+    c1 AS (SELECT 100 + unnest(range(0, 9)) AS id),
+    cur AS (SELECT id, id % 3 AS p, id * 2 AS score,
+                   CAST(NULL AS BIGINT) AS bonus FROM c0
+            UNION ALL
+            SELECT id, id % 3, id * 3, id % 5 FROM c1)
+    SELECT CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(score) AS BIGINT) AS score_sum,
+           CAST(sum(bonus) AS BIGINT) AS bonus_sum,
+           CAST(count(bonus) AS BIGINT) AS bonus_n
+    FROM cur GROUP BY p ORDER BY p
+    """,
+)
+def q471_iceberg_name_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg name mapping (round 12 — sources/iceberg.py
+    parse_name_mapping/_resolve_files_scan, the spec's Column
+    Projection rule 2): data files written WITHOUT parquet field ids
+    (Hive-migrated tables, older non-Spark writers — the most common
+    real Iceberg estate) resolve their physical column names through
+    the ``schema.name-mapping.default`` table property to field ids,
+    so a column renamed after migration still reads under its new
+    name from pre-migration files; field ids WIN when a file carries
+    them (rule 1), so mixed stamped/unstamped tables read correctly
+    instead of refusing.  The scan unions one leg per DISTINCT
+    resolved-name signature (bounded by schema versions, never per
+    file); tables without a mapping keep the loud rename-guard
+    refusal."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.iceberg import (
+        evolve_iceberg_schema,
+        read_iceberg,
+        set_iceberg_name_mapping,
+        write_iceberg_commit,
+    )
+
+    path = _scratch("iceberg_name_mapping", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    # commit A: migrated shape — no footer field ids
+    write_iceberg_commit(
+        spark, path,
+        spark.range(30).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+            (F.col("id") * 2).cast("int").alias("val"),
+        ),
+        partition_by=["p"], stamp_field_ids=False,
+    )
+    set_iceberg_name_mapping(path)  # migration tool step
+    evolve_iceberg_schema(
+        path, renames={"val": "score"}, adds=[("bonus", "int")]
+    )
+    # commit B: normal writer — stamped; the table is now MIXED
+    write_iceberg_commit(
+        spark, path,
+        spark.range(100, 109).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+            (F.col("id") * 3).cast("int").alias("score"),
+            (F.col("id") % 5).cast("int").alias("bonus"),
+        ),
+        partition_by=["p"],
+    )
+    return (
+        read_iceberg(spark, path)
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score").cast("long").alias("score_sum"),
+            F.sum("bonus").cast("long").alias("bonus_sum"),
+            F.count("bonus").alias("bonus_n"),
+        )
+        .orderBy("p")
+    )

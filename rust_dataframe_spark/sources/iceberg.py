@@ -75,6 +75,8 @@ __all__ = [
     "read_iceberg_changes",
     "expire_iceberg_snapshots",
     "iceberg_plan_files",
+    "parse_name_mapping",
+    "set_iceberg_name_mapping",
 ]
 
 
@@ -585,23 +587,98 @@ def _localize(table_path: str, p: str) -> str:
     return p
 
 
+def parse_name_mapping(meta: dict) -> dict[str, int] | None:
+    """``{physical column name -> field id}`` from the table property
+    ``schema.name-mapping.default`` — the Iceberg spec's Column
+    Projection rule 2 fallback for data files written WITHOUT parquet
+    field ids (Hive-migrated tables, older non-Spark writers).  Flat
+    primitive fields only (nested entries refuse, matching
+    ``_schema_fields``); a name mapped to two different ids refuses;
+    entries without a ``field-id`` are legal per spec (names that
+    resolve to nothing) and are skipped.  Returns None when the
+    property is absent."""
+    raw = (meta.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    if not raw:
+        return None
+    try:
+        entries = json.loads(raw)
+    except (TypeError, ValueError) as e:
+        raise IcebergError(
+            f"schema.name-mapping.default is not valid JSON: {e}"
+        ) from None
+    if not isinstance(entries, list):
+        raise IcebergError(
+            "schema.name-mapping.default must be a JSON list of "
+            "mapped-field entries"
+        )
+    out: dict[str, int] = {}
+    for e in entries:
+        if not isinstance(e, dict):
+            raise IcebergError("name-mapping entry is not an object")
+        if e.get("fields"):
+            raise IcebergError(
+                "nested name-mapping entries unsupported (flat "
+                "primitive schemas only, as with the schema reader)"
+            )
+        fid = e.get("field-id")
+        if fid is None:
+            continue  # spec: a mapping entry may omit field-id
+        for n in e.get("names") or []:
+            if n in out and out[n] != int(fid):
+                raise IcebergError(
+                    f"name mapping maps {n!r} to two field ids "
+                    f"({out[n]} and {int(fid)})"
+                )
+            out[n] = int(fid)
+    return out or None
+
+
 def _resolve_files_scan(
     spark: SparkSession,
     paths: list[str],
     cols: dict[int, tuple[str, str]],
     parts: list[tuple[str, str, str, str]],
+    *,
+    name_mapping: dict[str, int] | None = None,
+    capture_pos: bool = False,
 ):
-    """ONE distributed scan of ``paths`` projected to the logical
-    schema ``cols`` (field-id resolution when the files are stamped,
-    guarded name resolution otherwise).  Returns ``(df, present)``
-    where ``present[i]`` is the set of logical column names
-    physically present in file i (drives per-file partition
-    injection)."""
+    """Distributed scan of ``paths`` projected to the logical schema
+    ``cols``.  Resolution per the spec's Column Projection rules: a
+    file's parquet field ids win when present; files without ids
+    resolve through ``name_mapping`` (``schema.name-mapping.default``)
+    when the table carries one; otherwise guarded name resolution.
+    Returns ``(df, present)`` where ``present[i]`` is the set of
+    logical column names physically present (resolvable) in file i
+    (drives per-file partition injection).
+
+    The returned frame always carries ``__ice_base`` (the scan-time
+    data-file basename) and, with ``capture_pos``, ``__ice_pos``
+    (``_metadata.row_index``): the name-mapping path may union
+    several scans, after which ``_metadata`` no longer resolves —
+    so both captures happen ON each leaf scan, here.
+
+    Scale: the union has one leg per DISTINCT resolved-name signature
+    (bounded by the number of schema versions that ever wrote the
+    table), never per file — a 10^6-file migrated table still plans
+    a handful of scans."""
     from .fieldid import probe_field_ids, read_by_field_id
 
     out_cols = [n for n, _t in cols.values()]
     probe = probe_field_ids(paths, spark)
     stamped = [m is not None for m, _names in probe]
+
+    def _capture(d: DataFrame) -> DataFrame:
+        sel = [F.col(f"`{c}`") for c in d.columns] + [
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                "__ice_base"
+            )
+        ]
+        if capture_pos:
+            sel.append(F.col("_metadata.row_index").alias("__ice_pos"))
+        return d.select(*sel)
+
     if all(stamped):
         # field-id path: one scan, ids matched per file by Spark's
         # parquet reader; absent ids yield nulls (add-evolution)
@@ -613,42 +690,117 @@ def _resolve_files_scan(
             {n for fid, (n, _t) in cols.items() if fid in m}
             for m, _names in probe
         ]
-    elif any(stamped):
-        raise IcebergError(
-            "data files mix field-id-stamped and unstamped parquet — "
-            "id resolution would be ambiguous (rewrite the unstamped "
-            "files or read snapshots that predate the mix)"
-        )
-    else:
-        # name path (legacy/foreign files): deterministic explicit
-        # schema — but a rename is unresolvable without ids, so a
-        # schema column missing from EVERY file alongside unknown
-        # physical names refuses loudly instead of reading nulls
-        names_union: set[str] = set()
-        for _m, names in probe:
-            names_union.update(names)
-        logical = set(out_cols)
-        unknown = names_union - logical
-        missing = logical - names_union
-        part_src = {src for _n, src, _t, _tr in parts}
-        missing_beyond_parts = missing - part_src
-        if missing_beyond_parts and unknown:
-            raise IcebergError(
-                f"schema columns {sorted(missing_beyond_parts)} absent "
-                f"from every data file while unknown physical columns "
-                f"{sorted(unknown)} are present, and the files carry "
-                "no parquet field ids — a rename cannot be resolved "
-                "by name (fail-loud)"
-            )
+        return _capture(df), present
+    if name_mapping is not None:
+        # Column Projection rule 2: unstamped files resolve their
+        # physical names through the table's name mapping to field
+        # ids; stamped files keep id resolution (ids win).  Mapped
+        # fields absent from a file read as null; physical names the
+        # mapping doesn't know are simply not projected (the mapping
+        # IS the resolution authority, unlike the guarded name path).
+        eff: list[dict[int, str]] = []
+        for m, names in probe:
+            if m is not None:
+                eff.append(dict(m))
+                continue
+            e: dict[int, str] = {}
+            for nm in names:
+                fid = name_mapping.get(nm)
+                if fid is None:
+                    continue
+                if fid in e:
+                    raise IcebergError(
+                        f"name mapping resolves two physical columns "
+                        f"({e[fid]!r}, {nm!r}) in one file to field "
+                        f"id {fid} (ambiguous)"
+                    )
+                e[fid] = nm
+            eff.append(e)
+        present = [
+            {n for fid, (n, _t) in cols.items() if fid in e}
+            for e in eff
+        ]
+        legs: list[DataFrame] = []
+        idx_stamped = [i for i, s in enumerate(stamped) if s]
+        if idx_stamped:
+            legs.append(_capture(read_by_field_id(
+                spark, [paths[i] for i in idx_stamped],
+                [(fid, n, _spark_type(t))
+                 for fid, (n, t) in cols.items()],
+            )))
+        groups: dict[tuple, list[int]] = {}
+        for i, s in enumerate(stamped):
+            if s:
+                continue
+            sig = tuple(sorted(
+                (fid, eff[i][fid]) for fid in eff[i] if fid in cols
+            ))
+            groups.setdefault(sig, []).append(i)
         from pyspark.sql.types import StructField, StructType
 
-        read_schema = StructType([
-            StructField(n, _spark_type(t), True)
-            for n, t in cols.values()
-        ])
-        df = spark.read.schema(read_schema).parquet(*paths)
-        present = [set(names) & logical for _m, names in probe]
-    return df, present
+        for sig, idxs in sorted(groups.items()):
+            phys_by_fid = dict(sig)
+            read_schema = StructType([
+                StructField(phys_by_fid[fid], _spark_type(t), True)
+                for fid, (_n, t) in cols.items()
+                if fid in phys_by_fid
+            ])
+            leg = spark.read.schema(read_schema).parquet(
+                *[paths[i] for i in idxs]
+            )
+            sel = []
+            for fid, (n, t) in cols.items():
+                if fid in phys_by_fid:
+                    sel.append(
+                        F.col(f"`{phys_by_fid[fid]}`").alias(n)
+                    )
+                else:
+                    sel.append(
+                        F.lit(None).cast(_spark_type(t)).alias(n)
+                    )
+            legs.append(_capture(leg.select(*sel)))
+        df = legs[0]
+        for leg in legs[1:]:
+            df = df.unionByName(leg)
+        return df, present
+    if any(stamped):
+        raise IcebergError(
+            "data files mix field-id-stamped and unstamped parquet "
+            "and the table has no schema.name-mapping.default — id "
+            "resolution would be ambiguous (rewrite the unstamped "
+            "files, add a name mapping, or read snapshots that "
+            "predate the mix)"
+        )
+    # name path (legacy/foreign files, no mapping): deterministic
+    # explicit schema — but a rename is unresolvable without ids, so
+    # a schema column missing from EVERY file alongside unknown
+    # physical names refuses loudly instead of reading nulls
+    names_union: set[str] = set()
+    for _m, names in probe:
+        names_union.update(names)
+    logical = set(out_cols)
+    unknown = names_union - logical
+    missing = logical - names_union
+    part_src = {src for _n, src, _t, _tr in parts}
+    missing_beyond_parts = missing - part_src
+    if missing_beyond_parts and unknown:
+        raise IcebergError(
+            f"schema columns {sorted(missing_beyond_parts)} absent "
+            f"from every data file while unknown physical columns "
+            f"{sorted(unknown)} are present, and the files carry "
+            "no parquet field ids — a rename cannot be resolved "
+            "by name (fail-loud; a schema.name-mapping.default "
+            "table property would make it resolvable)"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    read_schema = StructType([
+        StructField(n, _spark_type(t), True)
+        for n, t in cols.values()
+    ])
+    df = spark.read.schema(read_schema).parquet(*paths)
+    present = [set(names) & logical for _m, names in probe]
+    return _capture(df), present
 
 
 def read_iceberg(
@@ -726,7 +878,11 @@ def read_iceberg(
     pos_dels = [d for d in deletes if d.get("content") == 1]
     eq_dels = [d for d in deletes if d.get("content") == 2]
 
-    df, present = _resolve_files_scan(spark, paths, cols, parts)
+    df, present = _resolve_files_scan(
+        spark, paths, cols, parts,
+        name_mapping=parse_name_mapping(meta),
+        capture_pos=bool(pos_dels),
+    )
 
     # identity-partition injection is PER FILE: only rows from files
     # that physically lack the source column take the partition-tuple
@@ -751,18 +907,11 @@ def read_iceberg(
         return out.filter(where) if where else out
     # every remaining path joins on the scan basename — enforce
     # uniqueness even when attach_file_values (which checks itself)
-    # is never reached (pure pos/eq-delete tables, no partitions)
+    # is never reached (pure pos/eq-delete tables, no partitions).
+    # __ice_base / __ice_pos were captured ON each leaf scan inside
+    # _resolve_files_scan (after a union or join, input_file_name()/
+    # _metadata would be ambiguous or unresolvable).
     assert_unique_basenames(paths, err_cls=IcebergError, tag="iceberg")
-    # basename + row position must be captured ON THE SCAN: after the
-    # anti-join, input_file_name()/_metadata would be ambiguous
-    sel = [F.col(f"`{c}`") for c in df.columns] + [
-        F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
-            "__ice_base"
-        )
-    ]
-    if pos_dels:
-        sel.append(F.col("_metadata.row_index").alias("__ice_pos"))
-    df = df.select(*sel)
     if pos_dels:
         dpaths = [_localize(path, d["file_path"]) for d in pos_dels]
         ddf = spark.read.parquet(*dpaths).select(
@@ -960,12 +1109,11 @@ def read_iceberg_changes(
         return spark.createDataFrame([], ddl)
     paths = [_localize(path, f["file_path"]) for f, _sid in added]
     assert_unique_basenames(paths, err_cls=IcebergError, tag="iceberg")
-    df, present = _resolve_files_scan(spark, paths, cols, parts)
-    df = df.select(
-        *[F.col(f"`{c}`") for c in df.columns],
-        F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
-            "__ice_base"
-        ),
+    # __ice_base is captured on each leaf scan inside
+    # _resolve_files_scan (name-mapped tables may union legs)
+    df, present = _resolve_files_scan(
+        spark, paths, cols, parts,
+        name_mapping=parse_name_mapping(meta),
     )
     # snapshot id + per-file partition injection in ONE broadcast map
     inject = []
@@ -1112,6 +1260,41 @@ def evolve_iceberg_schema(
     return new_sid
 
 
+def set_iceberg_name_mapping(
+    path: str, names_by_id: dict[int, list[str]] | None = None
+) -> None:
+    """Set the ``schema.name-mapping.default`` table property — what a
+    migration tool (Spark's ``add_files`` procedure, Hive table
+    migration) writes so data files WITHOUT parquet field ids resolve
+    through the spec's Column Projection rule 2.  Default mapping:
+    every current-schema field id under its current name (the
+    migration-time snapshot of names — later logical renames leave
+    the mapping alone, which is exactly why old physical names keep
+    resolving).  ``names_by_id`` overrides, e.g. to add extra alias
+    names per field id.  Persists a new metadata version."""
+    meta, version = _load_metadata(path)
+    cols = _schema_fields(meta)
+    if names_by_id is None:
+        names_by_id = {fid: [nm] for fid, (nm, _t) in cols.items()}
+    entries = [
+        {"field-id": int(fid), "names": list(names)}
+        for fid, names in sorted(names_by_id.items())
+    ]
+    meta = dict(meta)
+    props = dict(meta.get("properties") or {})
+    props["schema.name-mapping.default"] = json.dumps(entries)
+    meta["properties"] = props
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(path, "metadata")
+    new_version = version + 1
+    with open(os.path.join(mdir, f"v{new_version}.metadata.json"),
+              "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w",
+              encoding="utf-8") as fh:
+        fh.write(str(new_version))
+
+
 # ---------------------------------------------------------------------------
 # writer (fixture half + usable sink)
 # ---------------------------------------------------------------------------
@@ -1129,11 +1312,18 @@ def write_iceberg_commit(
     *,
     partition_by: list[str] | None = None,
     replace_partitions: bool = False,
+    stamp_field_ids: bool = True,
 ) -> int:
     """Append ``df`` as one Iceberg snapshot.  Each commit: one
     ``partitionBy`` write job, one full-rewrite manifest (live entries
     EXISTING + new ADDED), one manifest list, the next metadata json.
-    Returns the new snapshot id."""
+    Returns the new snapshot id.
+
+    ``stamp_field_ids=False`` writes the data files WITHOUT parquet
+    field ids — simulating a Hive-migrated / foreign-writer file (the
+    spec requires real Iceberg writers to stamp; such files are only
+    readable through a ``schema.name-mapping.default`` table property,
+    see :func:`set_iceberg_name_mapping`)."""
     import shutil
 
     partition_by = list(partition_by or [])
@@ -1213,7 +1403,8 @@ def write_iceberg_commit(
         )
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     tmp = os.path.join(path, f"_tmp_ice_{uuid.uuid4().hex[:8]}")
-    writer = with_field_ids(df, name_to_id).write.mode("overwrite")
+    out_df = with_field_ids(df, name_to_id) if stamp_field_ids else df
+    writer = out_df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)

@@ -1,0 +1,208 @@
+"""Round-12 lakehouse tests: Iceberg name mapping (spec Column
+Projection rule 2) plus the round-12 writer/maintenance extensions.
+
+Fixture discipline matches tests/test_r11_lakehouse.py: every table is
+built by the repo's own writer half and read through the real reader
+path; refusals are pinned by message substring.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_dataframe_spark.sources.iceberg import (
+    IcebergError,
+    evolve_iceberg_schema,
+    parse_name_mapping,
+    read_iceberg,
+    set_iceberg_name_mapping,
+    write_iceberg_commit,
+    write_iceberg_position_deletes,
+)
+
+
+@pytest.fixture()
+def tpath(tmp_path):
+    p = str(tmp_path / "tbl")
+    shutil.rmtree(p, ignore_errors=True)
+    return p
+
+
+def _commit_a(spark, tpath, *, stamped: bool):
+    return write_iceberg_commit(
+        spark, tpath,
+        spark.range(12).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+            (F.col("id") * 2).cast("int").alias("val"),
+        ),
+        partition_by=["p"], stamp_field_ids=stamped,
+    )
+
+
+class TestParseNameMapping:
+    def test_absent_property_is_none(self):
+        assert parse_name_mapping({"properties": {}}) is None
+        assert parse_name_mapping({}) is None
+
+    def test_basic_mapping(self):
+        meta = {"properties": {"schema.name-mapping.default":
+                '[{"field-id": 1, "names": ["id", "record_id"]},'
+                ' {"field-id": 2, "names": ["p"]}]'}}
+        assert parse_name_mapping(meta) == {
+            "id": 1, "record_id": 1, "p": 2
+        }
+
+    def test_entry_without_field_id_skipped(self):
+        meta = {"properties": {"schema.name-mapping.default":
+                '[{"names": ["ghost"]}, {"field-id": 3, "names": ["x"]}]'}}
+        assert parse_name_mapping(meta) == {"x": 3}
+
+    def test_invalid_json_loud(self):
+        meta = {"properties": {"schema.name-mapping.default": "{nope"}}
+        with pytest.raises(IcebergError, match="not valid JSON"):
+            parse_name_mapping(meta)
+
+    def test_non_list_loud(self):
+        meta = {"properties": {"schema.name-mapping.default": "{}"}}
+        with pytest.raises(IcebergError, match="JSON list"):
+            parse_name_mapping(meta)
+
+    def test_nested_entry_loud(self):
+        meta = {"properties": {"schema.name-mapping.default":
+                '[{"field-id": 1, "names": ["s"],'
+                ' "fields": [{"field-id": 2, "names": ["inner"]}]}]'}}
+        with pytest.raises(IcebergError, match="nested"):
+            parse_name_mapping(meta)
+
+    def test_name_mapped_to_two_ids_loud(self):
+        meta = {"properties": {"schema.name-mapping.default":
+                '[{"field-id": 1, "names": ["x"]},'
+                ' {"field-id": 2, "names": ["x"]}]'}}
+        with pytest.raises(IcebergError, match="two field ids"):
+            parse_name_mapping(meta)
+
+
+class TestNameMappingReads:
+    def test_rename_resolves_through_mapping(self, spark, tpath):
+        _commit_a(spark, tpath, stamped=False)
+        set_iceberg_name_mapping(tpath)
+        evolve_iceberg_schema(tpath, renames={"val": "score"})
+        got = {
+            r.id: r.score
+            for r in read_iceberg(spark, tpath).collect()
+        }
+        assert got == {i: i * 2 for i in range(12)}
+
+    def test_missing_mapping_keeps_loud_refusal(self, spark, tpath):
+        _commit_a(spark, tpath, stamped=False)
+        evolve_iceberg_schema(tpath, renames={"val": "score"})
+        with pytest.raises(IcebergError, match="rename cannot be resolved"):
+            read_iceberg(spark, tpath).collect()
+
+    def test_ids_win_over_mapping(self, spark, tpath):
+        # a STAMPED table with a (stale, wrong) mapping that would
+        # swap id<->val: ids must take precedence (spec rule 1)
+        _commit_a(spark, tpath, stamped=True)
+        set_iceberg_name_mapping(
+            tpath, {1: ["val"], 2: ["p"], 3: ["id"]}  # deliberately swapped
+        )
+        got = {
+            r.id: r.val for r in read_iceberg(spark, tpath).collect()
+        }
+        assert got == {i: i * 2 for i in range(12)}
+
+    def test_mixed_stamped_unstamped_with_mapping(self, spark, tpath):
+        _commit_a(spark, tpath, stamped=False)
+        set_iceberg_name_mapping(tpath)
+        evolve_iceberg_schema(tpath, renames={"val": "score"})
+        write_iceberg_commit(
+            spark, tpath,
+            spark.createDataFrame(
+                [(100, 1, 777)], "id int, p int, score int"
+            ),
+            partition_by=["p"],
+        )
+        rows = {r.id: r.score for r in read_iceberg(spark, tpath).collect()}
+        assert rows[100] == 777 and rows[5] == 10 and len(rows) == 13
+
+    def test_mixed_without_mapping_still_refuses(self, spark, tpath):
+        _commit_a(spark, tpath, stamped=False)
+        write_iceberg_commit(
+            spark, tpath,
+            spark.createDataFrame(
+                [(100, 1, 777)], "id int, p int, val int"
+            ),
+            partition_by=["p"],
+        )
+        with pytest.raises(IcebergError, match="mix"):
+            read_iceberg(spark, tpath).collect()
+
+    def test_added_column_null_in_unmapped_files(self, spark, tpath):
+        _commit_a(spark, tpath, stamped=False)
+        set_iceberg_name_mapping(tpath)
+        evolve_iceberg_schema(tpath, adds=[("bonus", "int")])
+        rows = read_iceberg(spark, tpath).collect()
+        assert len(rows) == 12
+        assert all(r.bonus is None for r in rows)
+
+    def test_unknown_physical_names_ignored_under_mapping(
+        self, spark, tpath
+    ):
+        # mapping is the resolution authority: a physical column the
+        # mapping doesn't know is simply not projected
+        _commit_a(spark, tpath, stamped=False)
+        set_iceberg_name_mapping(
+            tpath, {1: ["id"], 2: ["p"]}  # no entry for 'val'
+        )
+        rows = read_iceberg(spark, tpath).collect()
+        assert len(rows) == 12
+        assert all(r.val is None for r in rows)
+        assert {r.id for r in rows} == set(range(12))
+
+    def test_time_travel_pre_rename_under_mapping(self, spark, tpath):
+        s1 = _commit_a(spark, tpath, stamped=False)
+        set_iceberg_name_mapping(tpath)
+        evolve_iceberg_schema(tpath, renames={"val": "score"})
+        old = read_iceberg(spark, tpath, snapshot_id=s1)
+        assert "val" in old.columns
+        got = {r.id: r.val for r in old.collect()}
+        assert got == {i: i * 2 for i in range(12)}
+
+    def test_position_deletes_through_union_scan(self, spark, tpath):
+        # pos-deletes need _metadata.row_index captured ON each leaf
+        # scan (after the name-mapping union it no longer resolves)
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_snapshot_files,
+        )
+
+        _commit_a(spark, tpath, stamped=False)
+        set_iceberg_name_mapping(tpath)
+        evolve_iceberg_schema(tpath, renames={"val": "score"})
+        _m, files = iceberg_snapshot_files(tpath)
+        doomed = [
+            (r["f"], r["pos"])
+            for r in spark.read.parquet(
+                *[f["file_path"] for f in files]
+            ).select(
+                "id",
+                F.regexp_replace(
+                    F.input_file_name(), "^file:/+", "/"
+                ).alias("f"),
+                F.col("_metadata.row_index").alias("pos"),
+            ).where(F.col("id").isin(3, 7)).collect()
+        ]
+        write_iceberg_position_deletes(spark, tpath, doomed)
+        rows = {r.id for r in read_iceberg(spark, tpath).collect()}
+        assert rows == set(range(12)) - {3, 7}
+
+    def test_where_pruning_and_filter_on_mapped_table(self, spark, tpath):
+        _commit_a(spark, tpath, stamped=False)
+        set_iceberg_name_mapping(tpath)
+        evolve_iceberg_schema(tpath, renames={"val": "score"})
+        rows = read_iceberg(spark, tpath, where="id >= 10").collect()
+        assert {r.id for r in rows} == {10, 11}
