@@ -155,6 +155,7 @@ CORE = [
     "q469_iceberg_stats_pruning",
     "q470_delta_data_skipping",
     "q471_iceberg_name_mapping",
+    "q472_delta_drop_column",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -175,6 +176,7 @@ FIXTURE_SPLIT = {
     "q469_iceberg_stats_pruning",
     "q470_delta_data_skipping",
     "q471_iceberg_name_mapping",
+    "q472_delta_drop_column",
 }
 
 ROTATION_POOL = [

@@ -122,3 +122,115 @@ def q471_iceberg_name_mapping(
         )
         .orderBy("p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q472: Delta drop-column evolution — logical drop + no-resurrection re-add
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): a column-mapping 'id' table — commit 0
+# writes ids 0..29 (p = id % 3, secret = id * 2, keep = id + 1);
+# secret is then DROPPED (metadata-only; the bytes stay in the old
+# files), a CHECKPOINT collapses the log (the dropped field must stay
+# dropped through bootstrap), secret is RE-ADDED (fresh column id +
+# physicalName — the no-resurrection guarantee), and commit D appends
+# ids 100..104 (secret = id % 7).  Latest read: old files' secret is
+# NULL (never the dropped data), new files carry values; time travel
+# to version 0 still reads the original secret.
+
+
+@query(
+    "q472_delta_drop_column",
+    oracle="""
+    WITH c0 AS (SELECT unnest(range(0, 30)) AS id),
+    c1 AS (SELECT 100 + unnest(range(0, 5)) AS id),
+    cur AS (SELECT id, id % 3 AS p, CAST(NULL AS BIGINT) AS secret,
+                   id + 1 AS keep FROM c0
+            UNION ALL
+            SELECT id, id % 3, id % 7, id + 1 FROM c1),
+    v0 AS (SELECT id, id % 3 AS p, id * 2 AS secret FROM c0),
+    snaps AS (SELECT 'latest' AS snap, p, secret, keep FROM cur
+              UNION ALL
+              SELECT 'v0', p, secret, CAST(NULL AS BIGINT) FROM v0)
+    SELECT snap, CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(secret) AS BIGINT) AS secret_n,
+           CAST(sum(secret) AS BIGINT) AS secret_sum,
+           CAST(sum(keep) AS BIGINT) AS keep_sum
+    FROM snaps GROUP BY snap, p ORDER BY snap, p
+    """,
+)
+def q472_delta_drop_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta drop-column evolution under column mapping (round 12 —
+    sources/delta.py drop_delta_columns/add_delta_columns,
+    PROTOCOL.md): a LOGICAL drop is a metadata-only commit removing
+    the field from schemaString; old files keep the physical bytes
+    but the reader projects exactly the mapped physical names, so
+    the dropped column is never read again.  RE-ADDING the same
+    logical name mints a FRESH delta.columnMapping.id (maxColumnId
+    bump) and a fresh physicalName, so old files read the new column
+    as NULL — dropped data can never resurrect (Iceberg's drop got
+    this guarantee in round 11; this closes the asymmetry).  The
+    arrangement survives a checkpoint bootstrap, and time travel to
+    a pre-drop version still reads the original values."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.delta import (
+        add_delta_columns,
+        drop_delta_columns,
+        read_delta,
+        write_delta_checkpoint,
+        write_delta_commit,
+    )
+
+    path = _scratch("delta_drop_column", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta_commit(
+        spark, path,
+        spark.range(30).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+            (F.col("id") * 2).cast("int").alias("secret"),
+            (F.col("id") + 1).cast("int").alias("keep"),
+        ),
+        partition_by=["p"], column_mapping="id",
+    )
+    drop_delta_columns(spark, path, ["secret"])
+    write_delta_checkpoint(spark, path)
+    add_delta_columns(spark, path, [("secret", "int")])
+    write_delta_commit(
+        spark, path,
+        spark.range(100, 105).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 3).cast("int").alias("p"),
+            (F.col("id") % 7).cast("int").alias("secret"),
+            (F.col("id") + 1).cast("int").alias("keep"),
+        ),
+        partition_by=["p"],
+    )
+    latest = read_delta(spark, path).select(
+        "p",
+        F.col("secret").cast("long").alias("secret"),
+        F.col("keep").cast("long").alias("keep"),
+        F.lit("latest").alias("snap"),
+    )
+    v0 = read_delta(spark, path, version=0).select(
+        "p",
+        F.col("secret").cast("long").alias("secret"),
+        F.lit(None).cast("long").alias("keep"),
+        F.lit("v0").alias("snap"),
+    )
+    return (
+        latest.unionByName(v0)
+        .groupBy("snap", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("secret").alias("secret_n"),
+            F.sum("secret").alias("secret_sum"),
+            F.sum("keep").alias("keep_sum"),
+        )
+        .orderBy("snap", "p")
+    )

@@ -57,7 +57,7 @@ import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from .lakehouse_util import (
     assert_unique_basenames,
@@ -74,6 +74,8 @@ __all__ = [
     "write_delta_checkpoint",
     "write_delta_delete_rows",
     "rename_delta_columns",
+    "drop_delta_columns",
+    "add_delta_columns",
     "read_delta_changes",
     "update_delta_rows_cdf",
     "delete_delta_rows_cdf",
@@ -665,6 +667,18 @@ def read_delta(
             [(ids[f.name], f.name, f.dataType)
              for f in struct.fields],
         )
+    elif mapping:
+        # 'name' mode: project EXACTLY the mapped physical columns
+        # through an explicit schema — a physical column present in
+        # old files but absent from the mapping (a DROPPED column)
+        # is never read, and a mapped column absent from old files
+        # (ADDED later) reads null; protocol Column Projection.
+        l2p = {v: k for k, v in mapping.items()}
+        phys_schema = StructType([
+            StructField(l2p[f.name], f.dataType, True)
+            for f in struct.fields
+        ])
+        df = spark.read.schema(phys_schema).parquet(*files)
     else:
         df = spark.read.parquet(*files)
     need_key = bool(part_cols) or bool(dvs)
@@ -1226,6 +1240,143 @@ def rename_delta_columns(
               encoding="utf-8") as fh:
         fh.write(json.dumps(action) + "\n")
     return version
+
+
+def _metadata_only_commit(
+    path: str, meta: dict, schema: dict,
+    part_cols: list[str], configuration: dict,
+) -> int:
+    """Append one commit carrying only a metaData action (the shape
+    rename/drop/add evolution share)."""
+    commits, checkpoints = _list_log(path)
+    version = max(commits + checkpoints) + 1
+    action = {"metaData": {
+        "id": meta.get("id") or str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(schema),
+        "partitionColumns": part_cols,
+        "configuration": configuration,
+        "createdTime": meta.get("createdTime")
+        or int(time.time() * 1000),
+    }}
+    with open(os.path.join(path, _LOG, _commit_name(version)), "w",
+              encoding="utf-8") as fh:
+        fh.write(json.dumps(action) + "\n")
+    return version
+
+
+def drop_delta_columns(
+    spark: SparkSession, path: str, drops: list[str]
+) -> int:
+    """Append a metadata-only commit LOGICALLY dropping columns.
+    Column-mapping tables only (PROTOCOL.md: DROP COLUMN requires
+    mapping — without it the physical column would keep resolving by
+    name): the field leaves the schemaString, so old files' physical
+    column is never read again (the reader projects exactly the
+    mapped physical names), while the bytes stay on disk untouched.
+    ``delta.columnMapping.maxColumnId`` is NOT lowered — a later
+    re-add of the same logical name mints a FRESH id and physicalName
+    (see :func:`add_delta_columns`), so dropped data can never
+    resurrect.  Partition columns refuse to drop while
+    partitionColumns references them.  Returns the commit version."""
+    drops = list(drops)
+    if not drops:
+        raise DeltaError("drop with no columns")
+    meta, _adds = delta_snapshot_files(spark, path)
+    if _mapping_mode(meta) == "none":
+        raise DeltaError(
+            "dropping columns requires column mapping ('name' or "
+            "'id') — without it the physical column would keep "
+            "resolving by name in old files"
+        )
+    schema = json.loads(meta["schemaString"])
+    names = {f["name"] for f in schema.get("fields", [])}
+    part_cols = meta.get("partitionColumns") or []
+    for d in drops:
+        if d not in names:
+            raise DeltaError(f"drop column {d!r} not in schema")
+        if d in part_cols:
+            raise DeltaError(
+                f"cannot drop {d!r}: partitionColumns references it"
+            )
+    remaining = [
+        f for f in schema.get("fields", []) if f["name"] not in drops
+    ]
+    if not remaining:
+        raise DeltaError("cannot drop every column")
+    schema = dict(schema)
+    schema["fields"] = remaining
+    return _metadata_only_commit(
+        path, meta, schema, list(part_cols),
+        dict(meta.get("configuration") or {}),
+    )
+
+
+_DDL_TO_SCHEMA_JSON = {
+    "int": "integer", "integer": "integer", "bigint": "long",
+    "long": "long", "string": "string", "double": "double",
+    "float": "float", "boolean": "boolean", "date": "date",
+}
+
+
+def add_delta_columns(
+    spark: SparkSession, path: str, adds: list[tuple[str, str]]
+) -> int:
+    """Append a metadata-only commit ADDING columns to a
+    column-mapping table.  Each new column mints a FRESH
+    ``delta.columnMapping.id`` (maxColumnId + 1, bumped in the table
+    configuration) and a fresh ``physicalName`` derived from (name,
+    new id) — so re-adding a previously DROPPED logical name can
+    never resolve to the dropped column's old physical data (the
+    no-resurrection guarantee; old files read the new column as
+    null).  ``adds`` is ``[(name, spark ddl type), ...]``.  Returns
+    the commit version."""
+    adds = list(adds)
+    if not adds:
+        raise DeltaError("add with no columns")
+    meta, _snapshot_adds = delta_snapshot_files(spark, path)
+    if _mapping_mode(meta) == "none":
+        raise DeltaError(
+            "add_delta_columns requires column mapping ('name' or "
+            "'id'); tables without mapping take new columns through "
+            "a rewriting write instead"
+        )
+    schema = json.loads(meta["schemaString"])
+    names = {f["name"] for f in schema.get("fields", [])}
+    conf = dict(meta.get("configuration") or {})
+    max_id = int(conf.get("delta.columnMapping.maxColumnId") or 0)
+    fields = list(schema.get("fields", []))
+    for name, ddl in adds:
+        if name in names:
+            raise DeltaError(f"added column {name!r} already exists")
+        jt = _DDL_TO_SCHEMA_JSON.get(ddl)
+        if jt is None:
+            raise DeltaError(
+                f"added column type {ddl!r} unsupported "
+                f"(one of {sorted(set(_DDL_TO_SCHEMA_JSON))})"
+            )
+        max_id += 1
+        # the fresh id participates in the physical name so a re-add
+        # after a drop NEVER reproduces the dropped physicalName
+        # (commit-0 names hash the name alone; ids there start fresh)
+        phys = "col-" + uuid.uuid5(
+            uuid.NAMESPACE_URL, f"delta-cm/{name}/{max_id}"
+        ).hex[:16]
+        fields.append({
+            "name": name, "type": jt, "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": max_id,
+                "delta.columnMapping.physicalName": phys,
+            },
+        })
+        names.add(name)
+    conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    schema = dict(schema)
+    schema["fields"] = fields
+    return _metadata_only_commit(
+        path, meta, schema,
+        list(meta.get("partitionColumns") or []), conf,
+    )
 
 
 def write_delta_checkpoint(

@@ -206,3 +206,128 @@ class TestNameMappingReads:
         evolve_iceberg_schema(tpath, renames={"val": "score"})
         rows = read_iceberg(spark, tpath, where="id >= 10").collect()
         assert {r.id for r in rows} == {10, 11}
+
+
+class TestDeltaDropColumn:
+    @staticmethod
+    def _seed(spark, path, mode):
+        from rust_dataframe_spark.sources.delta import write_delta_commit
+
+        write_delta_commit(
+            spark, path,
+            spark.range(10).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 2).cast("int").alias("p"),
+                (F.col("id") * 2).cast("int").alias("secret"),
+            ),
+            partition_by=["p"], column_mapping=mode,
+        )
+
+    @pytest.mark.parametrize("mode", ["name", "id"])
+    def test_drop_readd_no_resurrection(self, spark, tpath, mode):
+        from rust_dataframe_spark.sources.delta import (
+            add_delta_columns,
+            drop_delta_columns,
+            read_delta,
+            write_delta_checkpoint,
+            write_delta_commit,
+        )
+
+        self._seed(spark, tpath, mode)
+        drop_delta_columns(spark, tpath, ["secret"])
+        assert read_delta(spark, tpath).columns == ["id", "p"]
+        write_delta_checkpoint(spark, tpath)
+        add_delta_columns(spark, tpath, [("secret", "int")])
+        rows = read_delta(spark, tpath).collect()
+        assert len(rows) == 10 and all(r.secret is None for r in rows)
+        write_delta_commit(
+            spark, tpath,
+            spark.createDataFrame(
+                [(100, 0, 9)], "id int, p int, secret int"
+            ),
+            partition_by=["p"],
+        )
+        got = {r.id: r.secret for r in read_delta(spark, tpath).collect()}
+        assert got[100] == 9 and got[3] is None
+        # pre-drop time travel still reads the original values
+        v0 = {r.id: r.secret
+              for r in read_delta(spark, tpath, version=0).collect()}
+        assert v0[3] == 6
+
+    def test_fresh_physical_name_differs(self, spark, tpath):
+        import json as _json
+        import os as _os
+
+        from rust_dataframe_spark.sources.delta import (
+            add_delta_columns,
+            drop_delta_columns,
+        )
+
+        self._seed(spark, tpath, "id")
+
+        def phys(name):
+            log = _os.path.join(tpath, "_delta_log")
+            metas = []
+            for f in sorted(_os.listdir(log)):
+                if not f.endswith(".json"):
+                    continue
+                for line in open(_os.path.join(log, f)):
+                    a = _json.loads(line)
+                    if "metaData" in a:
+                        metas.append(a["metaData"])
+            fields = _json.loads(metas[-1]["schemaString"])["fields"]
+            return {
+                f["name"]: f["metadata"][
+                    "delta.columnMapping.physicalName"
+                ]
+                for f in fields
+            }
+
+        before = phys("secret")["secret"]
+        drop_delta_columns(spark, tpath, ["secret"])
+        add_delta_columns(spark, tpath, [("secret", "int")])
+        after = phys("secret")["secret"]
+        assert before != after
+
+    def test_refusals(self, spark, tpath):
+        from rust_dataframe_spark.sources.delta import (
+            DeltaError,
+            add_delta_columns,
+            drop_delta_columns,
+            write_delta_commit,
+        )
+
+        self._seed(spark, tpath, "id")
+        with pytest.raises(DeltaError, match="partitionColumns"):
+            drop_delta_columns(spark, tpath, ["p"])
+        with pytest.raises(DeltaError, match="not in schema"):
+            drop_delta_columns(spark, tpath, ["ghost"])
+        with pytest.raises(DeltaError, match="already exists"):
+            add_delta_columns(spark, tpath, [("secret", "int")])
+        with pytest.raises(DeltaError, match="unsupported"):
+            add_delta_columns(spark, tpath, [("x", "decimal(9,2)")])
+        # no-mapping table refuses both ways
+        plain = tpath + "_plain"
+        write_delta_commit(
+            spark, plain,
+            spark.createDataFrame([(1, 2)], "id int, v int"),
+        )
+        with pytest.raises(DeltaError, match="column mapping"):
+            drop_delta_columns(spark, plain, ["v"])
+        with pytest.raises(DeltaError, match="column mapping"):
+            add_delta_columns(spark, plain, [("w", "int")])
+
+    def test_drop_every_column_refuses(self, spark, tpath):
+        from rust_dataframe_spark.sources.delta import (
+            DeltaError,
+            drop_delta_columns,
+            write_delta_commit,
+        )
+
+        write_delta_commit(
+            spark, tpath,
+            spark.createDataFrame([(1, 2)], "id int, v int"),
+            column_mapping="id",
+        )
+        with pytest.raises(DeltaError, match="every column"):
+            drop_delta_columns(spark, tpath, ["id", "v"])
