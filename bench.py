@@ -156,6 +156,7 @@ CORE = [
     "q470_delta_data_skipping",
     "q471_iceberg_name_mapping",
     "q472_delta_drop_column",
+    "q473_hudi_mor_incremental",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -177,6 +178,7 @@ FIXTURE_SPLIT = {
     "q470_delta_data_skipping",
     "q471_iceberg_name_mapping",
     "q472_delta_drop_column",
+    "q473_hudi_mor_incremental",
 }
 
 ROTATION_POOL = [

@@ -234,3 +234,121 @@ def q472_delta_drop_column(
         )
         .orderBy("snap", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q473: Hudi MERGE_ON_READ incremental query — log-block instant provenance
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): MOR table with meta fields, record key `id`.
+# t0 base-inserts ids 0..11 (p = id % 2, val = id * 2).  t1 is a
+# deltacommit: log upserts id 0 -> 1000, id 4 -> 1004 (p=0 group) and
+# a NEW record id 100 (p=0, val 777).  t2 is another deltacommit: log
+# upserts id 1 -> 9999 (p=1) and id 4 AGAIN -> 4444 (p=0), plus a
+# DELETE of id 3 (p=1).  Incremental scopes: (t0, latest] = the
+# latest state of records whose last modification is t1 or t2 —
+# {0:1000, 100:777, 4:4444, 1:9999}, with the deleted id 3 absent and
+# NO carried base rows; (t0, t1] = {0:1000, 4:1004, 100:777} (id 4 at
+# its t1 value — the range end snapshots the state); (t1, latest] =
+# {4:4444, 1:9999}.
+
+
+@query(
+    "q473_hudi_mor_incremental",
+    oracle="""
+    WITH s1 AS (SELECT 0 AS id, 0 AS p, 1000 AS val
+                UNION ALL SELECT 100, 0, 777
+                UNION ALL SELECT 4, 0, 4444
+                UNION ALL SELECT 1, 1, 9999),
+    s2 AS (SELECT 0 AS id, 0 AS p, 1000 AS val
+           UNION ALL SELECT 4, 0, 1004
+           UNION ALL SELECT 100, 0, 777),
+    s3 AS (SELECT 4 AS id, 0 AS p, 4444 AS val
+           UNION ALL SELECT 1, 1, 9999),
+    scoped AS (SELECT 'after_t0' AS scope, * FROM s1
+               UNION ALL SELECT 't0_to_t1', * FROM s2
+               UNION ALL SELECT 'after_t1', * FROM s3)
+    SELECT scope, CAST(p AS INT) AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum,
+           CAST(sum(val) AS BIGINT) AS val_sum
+    FROM scoped GROUP BY scope, p ORDER BY scope, p
+    """,
+)
+def q473_hudi_mor_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi MERGE_ON_READ incremental query (round 12 —
+    sources/hudi.py read_hudi_incremental + read_hudi_mor
+    provenance): the latest state (as of the range end) of every
+    record whose last modification instant falls in ``(begin, end]``.
+    Provenance is block-level for log records — the HoodieLogFormat
+    INSTANT_TIME header the replay already parses — and the
+    ``_hoodie_commit_time`` meta column for base rows, so carried
+    base rows never re-emit and a record upserted twice reports once
+    with its newest value.  Records deleted in range are absent
+    (non-CDC semantics); deletes and rollbacks ride the same replay
+    admission as the snapshot read.  Closes the round-11 MOR
+    refusal."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.hudi import (
+        read_hudi_incremental,
+        write_hudi_commit,
+        write_hudi_log_commit,
+    )
+
+    path = _scratch("hudi_mor_incr", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = write_hudi_commit(
+        spark, path,
+        spark.range(12).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("p"),
+            (F.col("id") * 2).cast("int").alias("val"),
+        ).coalesce(1),
+        partition_by=["p"], table_type="MERGE_ON_READ",
+        record_key="id", meta_fields=True,
+    )
+    t1 = write_hudi_log_commit(
+        spark, path,
+        spark.createDataFrame(
+            [(0, 0, 1000), (4, 0, 1004), (100, 0, 777)],
+            "id int, p int, val int",
+        ),
+    )
+    write_hudi_log_commit(
+        spark, path,
+        spark.createDataFrame(
+            [(1, 1, 9999), (4, 0, 4444)], "id int, p int, val int"
+        ),
+        deletes=[("p=1", "3")],
+    )
+    scopes = [
+        ("after_t0", read_hudi_incremental(spark, path, begin_ts=t0)),
+        ("t0_to_t1",
+         read_hudi_incremental(spark, path, begin_ts=t0, end_ts=t1)),
+        ("after_t1", read_hudi_incremental(spark, path, begin_ts=t1)),
+    ]
+    frames = [
+        df.select(
+            "p",
+            F.col("id").cast("long").alias("id"),
+            F.col("val").cast("long").alias("val"),
+            F.lit(name).alias("scope"),
+        )
+        for name, df in scopes
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return (
+        out.groupBy("scope", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("id_sum"),
+            F.sum("val").alias("val_sum"),
+        )
+        .orderBy("scope", "p")
+    )

@@ -556,7 +556,8 @@ def _group_logs(path: str) -> dict[tuple[str, str, int], list[str]]:
 
 
 def read_hudi_mor(
-    spark: SparkSession, path: str, *, as_of: int | None = None
+    spark: SparkSession, path: str, *, as_of: int | None = None,
+    _provenance: bool = False,
 ) -> DataFrame:
     """Merge-on-read snapshot: ONE distributed base-file scan overlaid
     with executor-side log replay.  Log files are decoded per FILE
@@ -565,7 +566,14 @@ def read_hudi_mor(
     admission per block); the newest surviving action per (file group,
     record key) wins; deletes anti-join base rows out, upserts replace
     them.  Driver holds only the group->log-paths listing (file-group
-    axis), never record payloads."""
+    axis), never record payloads.
+
+    ``_provenance`` (the MOR incremental reader's hook): every output
+    row carries a populated ``_hoodie_commit_time`` — base rows from
+    their meta column (tables without meta fields refuse loudly, as
+    with the COW incremental path), log-upserted rows from the
+    winning block's INSTANT_TIME header (the payload's own meta field
+    wins when present, matching the carried-row convention)."""
     import json as _json
 
     props = _props(path)
@@ -581,6 +589,12 @@ def read_hudi_mor(
     cutoff = usable[-1][0]
     completed = sorted(t for t, _k in usable)
     base = read_hudi(spark, path, as_of=as_of, _mor_base=True)
+    if _provenance and "_hoodie_commit_time" not in base.columns:
+        raise HudiError(
+            "incremental read needs the _hoodie_commit_time meta "
+            "column (table written without meta fields — pass "
+            "meta_fields=True to write_hudi_commit)"
+        )
     slices = hudi_snapshot_files(path, as_of=as_of, mor_ok=True)
     base_of: dict[tuple[str, str], int] = {}
     for part, f in slices:
@@ -682,10 +696,23 @@ def read_hudi_mor(
     ).drop("__hudi_fid")
     upserts = (
         latest.where(~F.col("is_delete"))
-        .select(F.from_json("payload", schema_ddl).alias("r"))
-        .select("r.*")
+        .select(
+            F.from_json("payload", schema_ddl).alias("r"),
+            F.col("instant"),
+        )
+        .select("r.*", "instant")
     )
-    return survivors.unionByName(upserts)
+    if _provenance:
+        # log records rarely re-carry the meta column; the block's
+        # INSTANT_TIME header is the spec-true provenance for them
+        upserts = upserts.withColumn(
+            "_hoodie_commit_time",
+            F.coalesce(
+                F.col("_hoodie_commit_time"),
+                F.col("instant").cast("string"),
+            ),
+        )
+    return survivors.unionByName(upserts.drop("instant"))
 
 
 def write_hudi_log_commit(
@@ -829,11 +856,19 @@ def compact_hudi(spark: SparkSession, path: str) -> int:
         m = _FILE_RE.match(os.path.basename(f))
         upsert_into[part] = m.group("fid")
     merged = read_hudi_mor(spark, path)
+    has_meta = "_hoodie_commit_time" in merged.columns
+    if has_meta:
+        # provenance-preserving rewrite: log-upserted rows take their
+        # delta instant (block INSTANT_TIME header) into the new base
+        # file's meta column — without this they'd carry NULL forever
+        # and silently vanish from every incremental range
+        merged = read_hudi_mor(spark, path, _provenance=True)
     if part_cols:
         merged = merged.repartition(*[F.col(c) for c in part_cols])
     return write_hudi_commit(
         spark, path, merged,
         partition_by=part_cols, upsert_into=upsert_into,
+        meta_fields=has_meta,
     )
 
 
@@ -849,26 +884,41 @@ def read_hudi_incremental(
     begin_ts: int,
     end_ts: int | None = None,
 ) -> DataFrame:
-    """Hudi incremental query on a COPY_ON_WRITE table: the rows
-    written by completed instants in ``(begin_ts, end_ts]``.
+    """Hudi incremental query: the LATEST state (as of ``end_ts``) of
+    every record whose last modification instant falls in
+    ``(begin_ts, end_ts]``.
 
-    Mechanics mirror real Hudi: candidate file slices are the LIVE
-    slices at ``end_ts`` whose slice instant falls in the range (an
-    untouched older slice cannot contain new rows), and within them
-    rows filter on the ``_hoodie_commit_time`` meta column — a
-    copy-on-write upsert rewrites a whole file group, so the new base
-    file carries both carried-over rows (older commit time, excluded)
-    and the upserted rows (commit time == the instant, included).
-    Tables written without meta fields refuse loudly (there is no
-    row-level provenance to filter on); MERGE_ON_READ refuses (log
-    blocks carry no per-record commit time in this codec).  One
-    distributed scan; partition values re-injected via the basename
-    broadcast map."""
+    COPY_ON_WRITE mechanics mirror real Hudi: candidate file slices
+    are the LIVE slices at ``end_ts`` whose slice instant falls in
+    the range (an untouched older slice cannot contain new rows), and
+    within them rows filter on the ``_hoodie_commit_time`` meta
+    column — a copy-on-write upsert rewrites a whole file group, so
+    the new base file carries both carried-over rows (older commit
+    time, excluded) and the upserted rows (commit time == the
+    instant, included).  One distributed scan; partition values
+    re-injected via the basename broadcast map.
+
+    MERGE_ON_READ (round 12): the merged ``end_ts`` snapshot is
+    computed by :func:`read_hudi_mor` with per-row provenance — base
+    rows keep their ``_hoodie_commit_time`` meta column (carried rows
+    keep their ORIGINAL time, so a compaction rewrite never re-emits
+    untouched records), log-upserted rows take the winning block's
+    INSTANT_TIME header (the repo's HoodieLogFormat codec parses it
+    for replay admission already) — then filters the range.  Records
+    DELETED in the range are absent (non-CDC incremental semantics).
+    Tables written without meta fields refuse loudly either way
+    (there is no row-level provenance to filter on)."""
     if _props(path).get("hoodie.table.type") == "MERGE_ON_READ":
-        raise HudiError(
-            "incremental read on MERGE_ON_READ unsupported "
-            "(fail-loud: log blocks carry no per-record commit time)"
-        )
+        instants = _timeline(path, mor_ok=True)
+        if not instants:
+            raise HudiError(
+                "incremental read on an empty timeline (no completed "
+                "instants)"
+            )
+        end = end_ts if end_ts is not None else instants[-1][0]
+        merged = read_hudi_mor(spark, path, as_of=end, _provenance=True)
+        ct = F.col("_hoodie_commit_time").cast("long")
+        return merged.where((ct > begin_ts) & (ct <= end))
     instants = _timeline(path)
     if not instants:
         raise HudiError(

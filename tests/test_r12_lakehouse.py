@@ -331,3 +331,116 @@ class TestDeltaDropColumn:
         )
         with pytest.raises(DeltaError, match="every column"):
             drop_delta_columns(spark, tpath, ["id", "v"])
+
+
+class TestHudiMorIncremental:
+    @staticmethod
+    def _seed(spark, path):
+        from rust_dataframe_spark.sources.hudi import (
+            write_hudi_commit,
+            write_hudi_log_commit,
+        )
+
+        t0 = write_hudi_commit(
+            spark, path,
+            spark.range(10).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 2).cast("int").alias("p"),
+                (F.col("id") * 10).cast("int").alias("v"),
+            ).coalesce(1),
+            partition_by=["p"], table_type="MERGE_ON_READ",
+            record_key="id", meta_fields=True,
+        )
+        t1 = write_hudi_log_commit(
+            spark, path,
+            spark.createDataFrame(
+                [(3, 1, 999), (100, 0, 5)], "id int, p int, v int"
+            ),
+        )
+        t2 = write_hudi_log_commit(
+            spark, path,
+            spark.createDataFrame([(4, 0, 444)], "id int, p int, v int"),
+            deletes=[("p=1", "5")],
+        )
+        return t0, t1, t2
+
+    def test_range_semantics(self, spark, tpath):
+        from rust_dataframe_spark.sources.hudi import (
+            read_hudi_incremental,
+        )
+
+        t0, t1, t2 = self._seed(spark, tpath)
+        got = sorted(
+            (r.id, r.v)
+            for r in read_hudi_incremental(
+                spark, tpath, begin_ts=t0, end_ts=t1
+            ).collect()
+        )
+        assert got == [(3, 999), (100, 5)]
+        got = sorted(
+            (r.id, r.v)
+            for r in read_hudi_incremental(
+                spark, tpath, begin_ts=t0
+            ).collect()
+        )
+        # carried base rows excluded; deleted id 5 absent
+        assert got == [(3, 999), (4, 444), (100, 5)]
+        got = sorted(
+            (r.id, r.v)
+            for r in read_hudi_incremental(
+                spark, tpath, begin_ts=t1, end_ts=t2
+            ).collect()
+        )
+        assert got == [(4, 444)]
+
+    def test_full_range_is_base_census(self, spark, tpath):
+        from rust_dataframe_spark.sources.hudi import (
+            read_hudi_incremental,
+        )
+
+        t0, _t1, _t2 = self._seed(spark, tpath)
+        assert read_hudi_incremental(
+            spark, tpath, begin_ts=0, end_ts=t0
+        ).count() == 10
+
+    def test_compaction_preserves_provenance(self, spark, tpath):
+        from rust_dataframe_spark.sources.hudi import (
+            compact_hudi,
+            read_hudi_incremental,
+            read_hudi_mor,
+        )
+
+        t0, t1, t2 = self._seed(spark, tpath)
+        tc = compact_hudi(spark, tpath)
+        # snapshot unchanged by compaction
+        snap = {r.id: r.v for r in read_hudi_mor(spark, tpath).collect()}
+        assert snap[3] == 999 and snap[4] == 444 and 5 not in snap
+        # the compaction instant itself modifies nothing:
+        # (t2, tc] is empty — carried rows keep their original times
+        assert read_hudi_incremental(
+            spark, tpath, begin_ts=t2, end_ts=tc
+        ).count() == 0
+        # log-upserted rows still report under their DELTA instants
+        got = sorted(
+            (r.id, r.v)
+            for r in read_hudi_incremental(
+                spark, tpath, begin_ts=t0
+            ).collect()
+        )
+        assert got == [(3, 999), (4, 444), (100, 5)]
+
+    def test_no_meta_fields_refuses(self, spark, tpath):
+        from rust_dataframe_spark.sources.hudi import (
+            HudiError,
+            read_hudi_incremental,
+            write_hudi_commit,
+        )
+
+        write_hudi_commit(
+            spark, tpath,
+            spark.createDataFrame([(1, 0, 2)], "id int, p int, v int"),
+            partition_by=["p"], table_type="MERGE_ON_READ",
+            record_key="id",
+        )
+        with pytest.raises(HudiError, match="_hoodie_commit_time"):
+            read_hudi_incremental(spark, tpath, begin_ts=0).collect()
