@@ -157,6 +157,7 @@ CORE = [
     "q471_iceberg_name_mapping",
     "q472_delta_drop_column",
     "q473_hudi_mor_incremental",
+    "q474_delta_optimize_dv",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -179,6 +180,7 @@ FIXTURE_SPLIT = {
     "q471_iceberg_name_mapping",
     "q472_delta_drop_column",
     "q473_hudi_mor_incremental",
+    "q474_delta_optimize_dv",
 }
 
 ROTATION_POOL = [

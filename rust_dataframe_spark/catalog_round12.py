@@ -352,3 +352,116 @@ def q473_hudi_mor_incremental(
         )
         .orderBy("scope", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q474: Delta OPTIMIZE over deletion vectors — materializing compaction
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): a CDF-enabled table — v0 writes ids 0..19
+# (p = id % 2, v = id * 3) across several small files per partition;
+# v1 tombstones ids 4 and 7 through DELETION VECTORS (remove +
+# re-add same file with a DV descriptor); v2 = OPTIMIZE: every
+# partition rewrites to ONE file with the DV tombstones MATERIALIZED
+# (dropped rows, no DV on the new files), committed dataChange=false.
+# Pins: the post-compact census equals the pre-compact one (ids 4/7
+# stay gone, never resurrect), the table ends at exactly 2 DV-free
+# files, and the CDF stream at the compaction version is EMPTY
+# (dataChange=false invisibility).
+
+
+@query(
+    "q474_delta_optimize_dv",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 20)) AS id),
+    live AS (SELECT id, id % 2 AS p, id * 3 AS v FROM ids
+             WHERE id NOT IN (4, 7)),
+    census AS (SELECT 'census' AS scope, CAST(p AS INT) AS p,
+                      count(*) AS n, sum(v) AS v_sum
+               FROM live GROUP BY p),
+    metaf AS (SELECT 'meta' AS scope, CAST(0 AS INT) AS p,
+                     CAST(2 AS BIGINT) AS n, CAST(0 AS BIGINT) AS v_sum)
+    SELECT scope, p, CAST(n AS BIGINT) AS n,
+           CAST(v_sum AS BIGINT) AS v_sum
+    FROM (SELECT * FROM census UNION ALL SELECT * FROM metaf)
+    ORDER BY scope, p
+    """,
+)
+def q474_delta_optimize_dv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta OPTIMIZE over deletion vectors (round 12 —
+    sources/delta.py compact_delta_files): compaction of a
+    DV-carrying file MATERIALIZES the tombstones — the DV positions
+    anti-join the rewrite scan on (basename, _metadata.row_index)
+    exactly as the reader applies them — so the compacted file holds
+    only live rows and carries no DV, deleted rows can never
+    resurrect, and since no LOGICAL row changes the commit stays
+    dataChange=false (CDF readers see silence at the compaction
+    version; concurrent writers see no conflict).  Closes the
+    round-11 DV-compaction refusal: DV-heavy tables are exactly the
+    ones that need OPTIMIZE."""
+    import os as _os
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.delta import (
+        compact_delta_files,
+        delta_snapshot_files,
+        read_delta,
+        read_delta_changes,
+        write_delta_commit,
+        write_delta_delete_rows,
+    )
+
+    path = _scratch("delta_optimize_dv", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta_commit(
+        spark, path,
+        spark.range(20).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("p"),
+            (F.col("id") * 3).cast("int").alias("v"),
+        ).repartition(3),
+        partition_by=["p"], enable_cdf=True,
+    )
+    _meta, adds = delta_snapshot_files(spark, path)
+    per_file: dict[str, list[int]] = {}
+    for a in adds:
+        f = _os.path.join(path, a["path"])
+        rows = spark.read.parquet(f).select(
+            "id", F.col("_metadata.row_index").alias("pos")
+        ).collect()
+        doomed = [r.pos for r in rows if r.id in (4, 7)]
+        if doomed:
+            per_file[a["path"]] = doomed
+    write_delta_delete_rows(spark, path, per_file)
+    v2 = compact_delta_files(spark, path)
+    _meta, adds = delta_snapshot_files(spark, path)
+    files_after = len(adds)
+    dv_after = sum(
+        1 for a in adds
+        if a.get("deletionVector")
+        and a["deletionVector"].get("storageType")
+    )
+    cdf_rows = read_delta_changes(
+        spark, path, starting_version=v2
+    ).count()
+    census = (
+        read_delta(spark, path)
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("long").alias("v_sum"),
+        )
+        .select("p", "n", "v_sum", F.lit("census").alias("scope"))
+    )
+    metaf = spark.createDataFrame(
+        [(dv_after, files_after, cdf_rows, "meta")],
+        "p int, n bigint, v_sum bigint, scope string",
+    )
+    return (
+        census.unionByName(metaf)
+        .select("scope", "p", "n", "v_sum")
+        .orderBy("scope", "p")
+    )

@@ -1907,18 +1907,19 @@ def compact_delta_files(spark: SparkSession, path: str) -> int:
     remove + add actions with ``dataChange=false`` — the protocol's
     signal that no rows changed, which is exactly what keeps Change
     Data Feed readers from reporting a rewrite as churn (and what
-    lets concurrent writers treat it as non-conflicting).  Tables
-    carrying deletion vectors refuse loudly (compaction must
-    MATERIALIZE the tombstones; rewriting the file while keeping a
-    (path, position) DV would resurrect deleted rows).  Returns the
-    commit version."""
+    lets concurrent writers treat it as non-conflicting).
+
+    Deletion vectors (round 12): a file carrying a DV is rewritten
+    WITH its tombstones MATERIALIZED — the DV positions anti-join the
+    scan on ``(basename, _metadata.row_index)`` exactly as the reader
+    applies them, so the compacted file holds only live rows and
+    carries no DV.  Dropping already-tombstoned rows changes no
+    LOGICAL row, so ``dataChange=false`` stays truthful and CDF
+    readers still see silence.  A single-file partition with a DV
+    compacts too (that IS the materialization case); DV-free
+    single-file partitions are left alone.  Returns the commit
+    version."""
     meta, adds = delta_snapshot_files(spark, path)
-    if any(a.get("deletionVector") for a in adds):
-        raise DeltaError(
-            "compaction over deletion vectors unsupported: the DV "
-            "tombstones must be materialized first (fail-loud — a "
-            "naive rewrite would resurrect deleted rows)"
-        )
     groups: dict[tuple, list[dict]] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
@@ -1926,10 +1927,16 @@ def compact_delta_files(spark: SparkSession, path: str) -> int:
     commits, checkpoints = _list_log(path)
     version = max(commits + checkpoints) + 1
     ts = int(time.time() * 1000)
+    table_path = os.path.abspath(path)
     actions: list[dict] = []
     did_work = False
     for key, group in sorted(groups.items()):
-        if len(group) < 2:
+        dv_of = {
+            a["path"]: a["deletionVector"] for a in group
+            if a.get("deletionVector")
+            and a["deletionVector"].get("storageType")
+        }
+        if len(group) < 2 and not dv_of:
             continue
         did_work = True
         pv = dict(key)
@@ -1941,8 +1948,50 @@ def compact_delta_files(spark: SparkSession, path: str) -> int:
             f"part-{version:05d}-opt-{uuid.uuid4().hex[:12]}.parquet"
         )
         rel = f"{sub}/{fname}" if sub else fname
+        df = spark.read.parquet(*files)
+        if dv_of:
+            # materialize the tombstones: same (basename, row
+            # position) anti-join shape as read_delta, positions
+            # decoded on executors
+            assert_unique_basenames(
+                files, err_cls=DeltaError, tag="delta-optimize"
+            )
+            df = df.select(
+                *[F.col(f"`{c}`") for c in df.columns],
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("__opt_base"),
+                F.col("_metadata.row_index").alias("__opt_pos"),
+            )
+            desc_df = spark.createDataFrame(
+                [
+                    (os.path.basename(_decode_path(p)), json.dumps(dv))
+                    for p, dv in sorted(dv_of.items())
+                ],
+                "__opt_base string, dv string",
+            )
+
+            def expand(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    rows = {"__opt_base": [], "__opt_pos": []}
+                    for base, dvj in zip(pdf["__opt_base"], pdf["dv"]):
+                        for p_ in _read_dv_positions(
+                            json.loads(dvj), table_path
+                        ):
+                            rows["__opt_base"].append(base)
+                            rows["__opt_pos"].append(p_)
+                    yield pd.DataFrame(rows)
+
+            del_df = desc_df.mapInPandas(
+                expand, "__opt_base string, __opt_pos bigint"
+            )
+            df = df.join(
+                del_df, ["__opt_base", "__opt_pos"], "left_anti"
+            ).drop("__opt_base", "__opt_pos")
         size = _move_single_parquet(
-            spark, spark.read.parquet(*files), path,
+            spark, df, path,
             os.path.join(path, sub, fname) if sub
             else os.path.join(path, fname),
         )

@@ -444,3 +444,118 @@ class TestHudiMorIncremental:
         )
         with pytest.raises(HudiError, match="_hoodie_commit_time"):
             read_hudi_incremental(spark, tpath, begin_ts=0).collect()
+
+
+class TestDeltaOptimizeDV:
+    @staticmethod
+    def _seed(spark, path):
+        import os as _os
+
+        from rust_dataframe_spark.sources.delta import (
+            delta_snapshot_files,
+            write_delta_commit,
+            write_delta_delete_rows,
+        )
+
+        write_delta_commit(
+            spark, path,
+            spark.range(20).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 2).cast("int").alias("p"),
+                (F.col("id") * 3).cast("int").alias("v"),
+            ).repartition(3),
+            partition_by=["p"], enable_cdf=True,
+        )
+        _m, adds = delta_snapshot_files(spark, path)
+        per_file = {}
+        for a in adds:
+            f = _os.path.join(path, a["path"])
+            rows = spark.read.parquet(f).select(
+                "id", F.col("_metadata.row_index").alias("pos")
+            ).collect()
+            doomed = [r.pos for r in rows if r.id in (4, 7)]
+            if doomed:
+                per_file[a["path"]] = doomed
+        return write_delta_delete_rows(spark, path, per_file)
+
+    def test_materializes_and_preserves_census(self, spark, tpath):
+        from rust_dataframe_spark.sources.delta import (
+            compact_delta_files,
+            delta_snapshot_files,
+            read_delta,
+        )
+
+        self._seed(spark, tpath)
+        before = sorted(r.id for r in read_delta(spark, tpath).collect())
+        assert 4 not in before and 7 not in before
+        compact_delta_files(spark, tpath)
+        after = sorted(r.id for r in read_delta(spark, tpath).collect())
+        assert after == before
+        _m, adds = delta_snapshot_files(spark, tpath)
+        assert len(adds) == 2
+        assert not any(
+            a.get("deletionVector") and a["deletionVector"].get("storageType")
+            for a in adds
+        )
+
+    def test_cdf_silence_at_compaction(self, spark, tpath):
+        from rust_dataframe_spark.sources.delta import (
+            compact_delta_files,
+            read_delta_changes,
+        )
+
+        self._seed(spark, tpath)
+        v = compact_delta_files(spark, tpath)
+        assert read_delta_changes(
+            spark, tpath, starting_version=v
+        ).count() == 0
+
+    def test_single_dv_file_is_compactable(self, spark, tpath):
+        import os as _os
+
+        from rust_dataframe_spark.sources.delta import (
+            compact_delta_files,
+            delta_snapshot_files,
+            read_delta,
+            write_delta_commit,
+            write_delta_delete_rows,
+        )
+
+        write_delta_commit(
+            spark, tpath,
+            spark.range(8).select(
+                F.col("id").cast("int").alias("id")
+            ).coalesce(1),
+        )
+        _m, adds = delta_snapshot_files(spark, tpath)
+        f = _os.path.join(tpath, adds[0]["path"])
+        rows = spark.read.parquet(f).select(
+            "id", F.col("_metadata.row_index").alias("pos")
+        ).collect()
+        write_delta_delete_rows(
+            spark, tpath,
+            {adds[0]["path"]: [r.pos for r in rows if r.id in (2, 5)]},
+        )
+        compact_delta_files(spark, tpath)
+        _m, adds = delta_snapshot_files(spark, tpath)
+        assert len(adds) == 1 and not adds[0].get("deletionVector")
+        assert sorted(r.id for r in read_delta(spark, tpath).collect()) \
+            == [0, 1, 3, 4, 6, 7]
+
+    def test_dv_free_single_file_still_nothing_to_compact(
+        self, spark, tpath
+    ):
+        from rust_dataframe_spark.sources.delta import (
+            DeltaError,
+            compact_delta_files,
+            write_delta_commit,
+        )
+
+        write_delta_commit(
+            spark, tpath,
+            spark.range(4).select(
+                F.col("id").cast("int").alias("id")
+            ).coalesce(1),
+        )
+        with pytest.raises(DeltaError, match="nothing to compact"):
+            compact_delta_files(spark, tpath)
