@@ -158,6 +158,7 @@ CORE = [
     "q472_delta_drop_column",
     "q473_hudi_mor_incremental",
     "q474_delta_optimize_dv",
+    "q475_iceberg_transform_pruning",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -181,6 +182,7 @@ FIXTURE_SPLIT = {
     "q472_delta_drop_column",
     "q473_hudi_mor_incremental",
     "q474_delta_optimize_dv",
+    "q475_iceberg_transform_pruning",
 }
 
 ROTATION_POOL = [

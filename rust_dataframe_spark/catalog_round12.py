@@ -465,3 +465,121 @@ def q474_delta_optimize_dv(
         .select("scope", "p", "n", "v_sum")
         .orderBy("scope", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q475: Iceberg partition-transform pruning — bucket / day / truncate
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): table A writes ids 0..59 (k = id % 10,
+# d = 2024-03-01 + (id % 3) days, v = id) under a TRANSFORMED spec
+# [bucket[4](k), day(d)] — coalesce(1) seeds make exactly one file
+# per distinct transform tuple, and the spec's Murmur3 gives
+# bucket(k): {0,1,2->0, 6->1, 4->2, 3,5,7,8,9->3}, so the table holds
+# 4 buckets x 3 days = 12 files.  Table B writes 24 ids over six
+# fruit names under truncate[2](name) -> 5 prefix files.  Pins (all
+# constants pre-computed from the spec transforms): `k = 7 AND
+# d = '2024-03-02'` plans 1/12 files (bucket(7)=3, day bin
+# 2024-03-02) and returns ids {7, 37}; `k = 4` plans 3/12
+# (bucket(4)=2, every day); `name = 'banana'` plans 1/5 (prefix
+# 'ba') and returns 4 rows.
+
+
+@query(
+    "q475_iceberg_transform_pruning",
+    oracle="""
+    WITH facts AS (
+      SELECT 'plan_k4' AS scope, 3 AS a, 12 AS b
+      UNION ALL SELECT 'plan_k7_d2', 1, 12
+      UNION ALL SELECT 'plan_name_ba', 1, 5
+      UNION ALL SELECT 'rows_k4', 6, 174
+      UNION ALL SELECT 'rows_k7_d2', 2, 44
+      UNION ALL SELECT 'rows_name_ba', 4, 44)
+    SELECT scope, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+    FROM facts ORDER BY scope
+    """,
+)
+def q475_iceberg_transform_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg partition-transform pruning (round 12 —
+    sources/iceberg.py _transform_survives + the transform-aware
+    writer): `read_iceberg(where=)` and `iceberg_plan_files` prune
+    the FILE LIST through the partition spec's transform arithmetic —
+    bucket(N) equality via the spec's Murmur3 (Appendix B vectors
+    pinned in tests), truncate(W) prefix/bin intervals, days date
+    bins, and identity point values — before the scan plan exists;
+    the highest-selectivity prune on real transformed tables.
+    Advisory as ever (unrecognized ops/type mismatches survive; the
+    residual filter still runs).  The writer half groups files by
+    computed transform value (vectorized numpy Murmur3 in a pandas
+    UDF for bucket; substring/floor-mod/datediff JVM-side for
+    truncate/day) while source columns stay in-file."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.iceberg import (
+        iceberg_plan_files,
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    pa = _scratch("iceberg_transforms_a", sf_dir)
+    shutil.rmtree(pa, ignore_errors=True)
+    write_iceberg_commit(
+        spark, pa,
+        spark.range(60).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 10).cast("int").alias("k"),
+            F.date_add(
+                F.to_date(F.lit("2024-03-01")),
+                (F.col("id") % 3).cast("int"),
+            ).alias("d"),
+            F.col("id").cast("int").alias("v"),
+        ).coalesce(1),
+        partition_transforms=[
+            ("k_bucket", "k", "bucket[4]"), ("d_day", "d", "day"),
+        ],
+    )
+    pb = _scratch("iceberg_transforms_b", sf_dir)
+    shutil.rmtree(pb, ignore_errors=True)
+    fruit = ["apple", "apricot", "banana", "blueberry", "cherry",
+             "citrus"]
+    write_iceberg_commit(
+        spark, pb,
+        spark.createDataFrame(
+            [(i, fruit[i % 6]) for i in range(24)],
+            "id int, name string",
+        ).coalesce(1),
+        partition_transforms=[("name_tr", "name", "truncate[2]")],
+    )
+    k4 = iceberg_plan_files(pa, where="k = 4", spark=spark)
+    k7 = iceberg_plan_files(
+        pa, where="k = 7 AND d = '2024-03-02'", spark=spark
+    )
+    ba = iceberg_plan_files(pb, where="name = 'banana'", spark=spark)
+    rows_k4 = read_iceberg(spark, pa, where="k = 4").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").cast("long").alias("s"),
+    ).collect()[0]
+    rows_k7 = read_iceberg(
+        spark, pa, where="k = 7 AND d = '2024-03-02'"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").cast("long").alias("s"),
+    ).collect()[0]
+    rows_ba = read_iceberg(spark, pb, where="name = 'banana'").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("plan_k4", k4[0], k4[1]),
+            ("plan_k7_d2", k7[0], k7[1]),
+            ("plan_name_ba", ba[0], ba[1]),
+            ("rows_k4", rows_k4["n"], rows_k4["s"]),
+            ("rows_k7_d2", rows_k7["n"], rows_k7["s"]),
+            ("rows_name_ba", rows_ba["n"], rows_ba["s"]),
+        ],
+        "scope string, a bigint, b bigint",
+    ).orderBy("scope")

@@ -163,7 +163,13 @@ def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
 def _sv_encode(t: str, v):
     import struct as _struct
 
-    if t == "int" or t == "date":
+    if t == "date":
+        from datetime import date as _date
+
+        if isinstance(v, _date):
+            v = (v - _date(1970, 1, 1)).days
+        return int(v).to_bytes(4, "little", signed=True)
+    if t == "int":
         return int(v).to_bytes(4, "little", signed=True)
     if t == "long":
         return int(v).to_bytes(8, "little", signed=True)
@@ -219,24 +225,172 @@ def _parquet_bounds(path: str) -> tuple[dict, dict]:
     return mins, maxs
 
 
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant) — the Iceberg spec's bucket-
+    transform hash (Appendix B).  Pure arithmetic, no lookup tables;
+    pinned against the spec's published test vectors in
+    tests/test_r12_lakehouse.py (int 34 -> 2017239379, string
+    'iceberg' -> 1210000089, date 2017-11-16 -> -653330422)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+
+    def rot(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = rot((k * c1) & 0xFFFFFFFF, 15)
+        h ^= (k * c2) & 0xFFFFFFFF
+        h = (rot(h, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - n % 4:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = rot((k * c1) & 0xFFFFFFFF, 15)
+        h ^= (k * c2) & 0xFFFFFFFF
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(value, n: int, ice_type: str) -> int:
+    """Spec bucket transform: ``(murmur3(le bytes) & MAX_INT) % n``.
+    int/long/date hash as the 8-byte little-endian long; strings as
+    UTF-8 bytes."""
+    import struct as _struct
+
+    if ice_type in ("int", "long"):
+        data = _struct.pack("<q", int(value))
+    elif ice_type == "date":
+        from datetime import date as _date
+
+        if isinstance(value, str):
+            y, m, d = (int(x) for x in value.split("-"))
+            value = _date(y, m, d)
+        days = (value - _date(1970, 1, 1)).days
+        data = _struct.pack("<q", days)
+    elif ice_type == "string":
+        data = str(value).encode("utf-8")
+    else:
+        raise IcebergError(
+            f"bucket transform over type {ice_type!r} unsupported"
+        )
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def iceberg_truncate(value, w: int, ice_type: str):
+    """Spec truncate transform: ints floor to the bin start
+    (``v - (((v % W) + W) % W)`` — Python's %% is already floor-mod);
+    strings keep the first W characters."""
+    if ice_type in ("int", "long"):
+        return int(value) - (int(value) % w)
+    if ice_type == "string":
+        return str(value)[:w]
+    raise IcebergError(
+        f"truncate transform over type {ice_type!r} unsupported"
+    )
+
+
+def _date_to_days(val) -> int | None:
+    from datetime import date as _date
+
+    if isinstance(val, str):
+        try:
+            y, m, d = (int(x) for x in val.split("-"))
+            return (_date(y, m, d) - _date(1970, 1, 1)).days
+        except (ValueError, TypeError):
+            return None
+    return None
+
+
+def _transform_survives(pv, tr: str, op: str, val, t: str) -> bool:
+    """False only when a file's PARTITION TUPLE value under transform
+    ``tr`` PROVES no row can satisfy ``column op val``.  Advisory:
+    unrecognized transforms/ops/type mismatches always survive."""
+    try:
+        if tr == "identity":
+            if isinstance(val, str) != (t == "string"):
+                return True
+            return _range_survives(pv, pv, op, val)
+        if tr.startswith("bucket[") and tr.endswith("]"):
+            if op not in ("=", "=="):
+                return True  # bucket is order-destroying: equality only
+            n = int(tr[7:-1])
+            if t in ("int", "long") and isinstance(val, int):
+                return int(pv) == iceberg_bucket(val, n, t)
+            if t == "string" and isinstance(val, str):
+                return int(pv) == iceberg_bucket(val, n, t)
+            if t == "date" and isinstance(val, str):
+                if _date_to_days(val) is None:
+                    return True
+                return int(pv) == iceberg_bucket(val, n, t)
+            return True
+        if tr.startswith("truncate[") and tr.endswith("]"):
+            w = int(tr[9:-1])
+            if t in ("int", "long") and isinstance(val, int):
+                lo = int(pv)
+                return _range_survives(lo, lo + w - 1, op, val)
+            if t == "string" and isinstance(val, str):
+                lo = str(pv)
+                if op in ("=", "=="):
+                    return val[:w] == lo
+                if op == "<":
+                    return lo < val
+                if op == "<=":
+                    return lo <= val
+                # rows with prefix lo are < lo_next (exclusive sup)
+                if lo and ord(lo[-1]) < 0x10FFFF:
+                    nxt = lo[:-1] + chr(ord(lo[-1]) + 1)
+                    if op in (">", ">=") and val >= nxt:
+                        return False
+                return True
+            return True
+        if tr in ("day", "days"):
+            if t != "date" or not isinstance(val, str):
+                return True
+            days = _date_to_days(val)
+            if days is None:
+                return True
+            return _range_survives(int(pv), int(pv), op, days)
+    except (TypeError, ValueError):
+        return True
+    return True
+
+
 def _file_survives(
-    f: dict, conjuncts, cols: dict[int, tuple[str, str]]
+    f: dict, conjuncts, cols: dict[int, tuple[str, str]],
+    parts: list[tuple[str, str, str, str]] | None = None,
 ) -> bool:
-    """False only when the file's bounds PROVE no row matches every
-    conjunct; missing bounds always survive."""
+    """False only when the file's column bounds — or its partition
+    tuple under the spec's transforms (round 12: identity point
+    values, bucket equality, truncate intervals, day bins) — PROVE no
+    row matches every conjunct; missing bounds/tuples always
+    survive."""
     name_to = {nm: (fid, t) for fid, (nm, t) in cols.items()}
     lo_raw = {d["key"]: d["value"] for d in (f.get("lower_bounds") or [])}
     hi_raw = {d["key"]: d["value"] for d in (f.get("upper_bounds") or [])}
+    part_by_src: dict[str, list[tuple[str, str, str]]] = {}
+    for pname, src, t, tr in parts or []:
+        part_by_src.setdefault(src, []).append((pname, t, tr))
+    pv_tuple = f.get("partition") or {}
     for col, op, val in conjuncts:
-        if col not in name_to:
-            continue
-        fid, t = name_to[col]
-        lo = _sv_decode(t, lo_raw[fid]) if fid in lo_raw else None
-        hi = _sv_decode(t, hi_raw[fid]) if fid in hi_raw else None
-        if isinstance(val, str) != (t == "string"):
-            continue  # type mismatch: never prune on it
-        if not _range_survives(lo, hi, op, val):
-            return False
+        if col in name_to:
+            fid, t = name_to[col]
+            lo = _sv_decode(t, lo_raw[fid]) if fid in lo_raw else None
+            hi = _sv_decode(t, hi_raw[fid]) if fid in hi_raw else None
+            if isinstance(val, str) == (t == "string"):
+                if not _range_survives(lo, hi, op, val):
+                    return False
+        for pname, t, tr in part_by_src.get(col, []):
+            pv = pv_tuple.get(pname)
+            if pv is None:
+                continue
+            if not _transform_survives(pv, tr, op, val, t):
+                return False
     return True
 
 
@@ -264,9 +418,12 @@ def iceberg_plan_files(
         if snap is not None:
             schema_id = snap.get("schema-id")
     cols = _schema_fields(meta, schema_id)
+    parts = _partition_fields(
+        meta, allow_transforms=True, schema_id=schema_id
+    )
     conjuncts = _parse_conjuncts(where)
     kept = sum(
-        1 for f in files if _file_survives(f, conjuncts, cols)
+        1 for f in files if _file_survives(f, conjuncts, cols, parts)
     )
     return kept, total
 
@@ -866,7 +1023,7 @@ def read_iceberg(
         if conjuncts:
             files = [
                 f for f in files
-                if _file_survives(f, conjuncts, cols)
+                if _file_survives(f, conjuncts, cols, parts)
             ]
     if not files:
         ddl = ", ".join(
@@ -1302,7 +1459,97 @@ def set_iceberg_name_mapping(
 _SPARK_TO_ICE = {
     "int": "int", "bigint": "long", "string": "string",
     "boolean": "boolean", "float": "float", "double": "double",
+    "date": "date",
 }
+
+
+def _transform_result_type(t: str, tr: str) -> str:
+    """Iceberg type of a partition-tuple value under transform ``tr``
+    of a source column of type ``t``."""
+    if tr == "identity":
+        return t
+    if tr.startswith("bucket[") or tr in ("day", "days"):
+        return "int"
+    if tr.startswith("truncate["):
+        return t
+    raise IcebergError(f"transform {tr!r} unsupported")
+
+
+def _transform_column(src: str, t: str, tr: str):
+    """Spark Column computing the partition-tuple value of transform
+    ``tr`` over source column ``src`` (type ``t``).  truncate and day
+    stay JVM-side (substring / floor-mod / datediff); bucket needs
+    the spec's Murmur3 — a VECTORIZED pandas UDF (numpy uint32
+    arithmetic over the 8-byte little-endian long for int/long/date;
+    per-value bytes for strings), Arrow-batched, executor-side."""
+    col = F.col(f"`{src}`")
+    if tr == "identity":
+        return col
+    if tr.startswith("truncate[") and tr.endswith("]"):
+        w = int(tr[9:-1])
+        if t in ("int", "long"):
+            return (col - F.pmod(col, F.lit(w))).cast(
+                "int" if t == "int" else "long"
+            )
+        if t == "string":
+            return F.substring(col, 1, w)
+        raise IcebergError(f"truncate over type {t!r} unsupported")
+    if tr in ("day", "days"):
+        if t != "date":
+            raise IcebergError(f"day transform over type {t!r} unsupported")
+        return F.datediff(col, F.to_date(F.lit("1970-01-01")))
+    if tr.startswith("bucket[") and tr.endswith("]"):
+        n = int(tr[7:-1])
+        if t in ("int", "long", "date"):
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("int")
+            def _bucket_long(s):
+                import numpy as np
+                import pandas as pd
+
+                v = s.to_numpy(dtype="int64").view(np.uint64)
+                h = np.zeros(len(v), dtype=np.uint32)
+                c1 = np.uint32(0xCC9E2D51)
+                c2 = np.uint32(0x1B873593)
+
+                def rot(x, r):
+                    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+                for shift in (0, 32):
+                    k = ((v >> np.uint64(shift))
+                         & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                    k = rot(k * c1, 15) * c2
+                    h ^= k
+                    h = rot(h, 13) * np.uint32(5) + np.uint32(0xE6546B64)
+                h ^= np.uint32(8)
+                h ^= h >> np.uint32(16)
+                h = h * np.uint32(0x85EBCA6B)
+                h ^= h >> np.uint32(13)
+                h = h * np.uint32(0xC2B2AE35)
+                h ^= h >> np.uint32(16)
+                out = ((h & np.uint32(0x7FFFFFFF))
+                       % np.uint32(n)).astype("int32")
+                return pd.Series(out).mask(s.isna())
+
+            base = (
+                F.datediff(col, F.to_date(F.lit("1970-01-01")))
+                if t == "date" else col
+            )
+            return _bucket_long(base.cast("long"))
+        if t == "string":
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("int")
+            def _bucket_str(s):
+                return s.map(
+                    lambda v: None if v is None
+                    else iceberg_bucket(v, n, "string")
+                )
+
+            return _bucket_str(col)
+        raise IcebergError(f"bucket over type {t!r} unsupported")
+    raise IcebergError(f"transform {tr!r} unsupported in writer")
 
 
 def write_iceberg_commit(
@@ -1313,6 +1560,7 @@ def write_iceberg_commit(
     partition_by: list[str] | None = None,
     replace_partitions: bool = False,
     stamp_field_ids: bool = True,
+    partition_transforms: list[tuple[str, str, str]] | None = None,
 ) -> int:
     """Append ``df`` as one Iceberg snapshot.  Each commit: one
     ``partitionBy`` write job, one full-rewrite manifest (live entries
@@ -1323,7 +1571,16 @@ def write_iceberg_commit(
     field ids — simulating a Hive-migrated / foreign-writer file (the
     spec requires real Iceberg writers to stamp; such files are only
     readable through a ``schema.name-mapping.default`` table property,
-    see :func:`set_iceberg_name_mapping`)."""
+    see :func:`set_iceberg_name_mapping`).
+
+    ``partition_transforms`` (round 12, mutually exclusive with
+    ``partition_by``) creates/validates a TRANSFORMED partition spec:
+    ``[(field name, source column, transform), ...]`` with transform
+    one of ``bucket[N]`` / ``truncate[W]`` / ``day``.  Files group by
+    the computed transform value (recorded in each manifest entry's
+    partition tuple — what the reader's metadata pruning keys on)
+    while the SOURCE columns stay in-file, matching the Iceberg norm
+    and the reader's existing transformed-spec rule."""
     import shutil
 
     partition_by = list(partition_by or [])
@@ -1345,11 +1602,33 @@ def write_iceberg_commit(
             fields.append({"id": i, "name": f.name, "required": False,
                            "type": t})
         by_name = {f["name"]: f["id"] for f in fields}
-        spec_fields = [
-            {"name": c, "transform": "identity",
-             "source-id": by_name[c], "field-id": 1000 + k}
-            for k, c in enumerate(partition_by)
-        ]
+        if partition_transforms:
+            if partition_by:
+                raise IcebergError(
+                    "writer: partition_by and partition_transforms "
+                    "are mutually exclusive"
+                )
+            for _n, s, tr in partition_transforms:
+                if s not in by_name:
+                    raise IcebergError(
+                        f"writer: transform source column {s!r} not "
+                        "in the schema"
+                    )
+                _transform_result_type(  # validates the transform name
+                    next(f["type"] for f in fields if f["name"] == s),
+                    tr,
+                )
+            spec_fields = [
+                {"name": n, "transform": tr,
+                 "source-id": by_name[s], "field-id": 1000 + k}
+                for k, (n, s, tr) in enumerate(partition_transforms)
+            ]
+        else:
+            spec_fields = [
+                {"name": c, "transform": "identity",
+                 "source-id": by_name[c], "field-id": 1000 + k}
+                for k, c in enumerate(partition_by)
+            ]
         meta = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -1364,12 +1643,33 @@ def write_iceberg_commit(
             "snapshots": [],
             "current-snapshot-id": -1,
         }
-    parts_meta = _partition_fields(meta)
-    if [p[1] for p in parts_meta] != partition_by:
+    parts_meta = _partition_fields(meta, allow_transforms=True)
+    trans = [p for p in parts_meta if p[3] != "identity"]
+    if trans and partition_by:
+        raise IcebergError(
+            "writer: identity partition_by on a transformed spec "
+            "unsupported (the spec drives the layout)"
+        )
+    if trans and any(p[3] == "identity" for p in parts_meta):
+        raise IcebergError(
+            "writer: mixed identity + transformed partition spec "
+            "unsupported"
+        )
+    if not trans and [p[1] for p in parts_meta] != partition_by:
         raise IcebergError(
             "writer: partition_by does not match the table spec"
         )
-    part_types = [(name, typ) for name, _src, typ, _tr in parts_meta]
+    if partition_transforms is not None:
+        have = [(n, s, tr) for n, s, _t, tr in parts_meta]
+        if have != [tuple(x) for x in partition_transforms]:
+            raise IcebergError(
+                f"writer: partition_transforms {partition_transforms} "
+                f"does not match the table spec {have}"
+            )
+    part_types = [
+        (name, _transform_result_type(typ, tr))
+        for name, _src, typ, tr in parts_meta
+    ]
 
     # live entries (for carry-forward / overwrite); prior DELETE
     # manifests carry forward untouched — their (path, pos) tombstones
@@ -1404,9 +1704,29 @@ def write_iceberg_commit(
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     tmp = os.path.join(path, f"_tmp_ice_{uuid.uuid4().hex[:8]}")
     out_df = with_field_ids(df, name_to_id) if stamp_field_ids else df
+    write_cols = list(partition_by)
+    if trans:
+        # derived transform-value columns drive the hive layout and
+        # are DROPPED from file contents by partitionBy — the source
+        # columns stay in-file (the Iceberg norm for transforms)
+        write_cols = [f"__pt_{name}" for name, _s, _t, _tr in parts_meta]
+        for (name, src, t, tr), wc in zip(parts_meta, write_cols):
+            out_df = out_df.withColumn(wc, _transform_column(src, t, tr))
+        counts = {}
+        for r in out_df.groupBy(*write_cols).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect():
+            key = tuple(r[c] for c in write_cols)
+            if any(v is None for v in key):
+                raise IcebergError(
+                    "writer: null partition-transform value "
+                    "(fail-loud; null partitions unsupported)"
+                )
+            counts[tuple(str(v) for v in key)] = r["cnt"]
+        tuples = sorted(counts)
     writer = out_df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    if write_cols:
+        writer = writer.partitionBy(*write_cols)
     writer.parquet(tmp)
     if partition_by:
         counts = {
@@ -1416,7 +1736,7 @@ def write_iceberg_commit(
             ).collect()
         }
         tuples = sorted(counts)
-    else:
+    elif not trans:
         counts = {(): df.count()}
         tuples = [()]
 
@@ -1427,7 +1747,7 @@ def write_iceberg_commit(
     for d in live:
         pv = d.get("partition") or {}
         key = tuple(str(pv.get(name)) for name, _s, _t, _tr in parts_meta)
-        if partition_by and key in doomed:
+        if (partition_by or trans) and key in doomed:
             continue  # dynamic-partition overwrite drops these
         # EXISTING entries keep their ORIGINAL data sequence number
         entries.append({"status": 0, "snapshot_id": snapshot_id,
@@ -1435,13 +1755,15 @@ def write_iceberg_commit(
                         "data_file": d})
 
     data_dir = os.path.join(path, "data")
+    dst_names = [name for name, _s, _t, _tr in parts_meta]
     for pt in tuples:
-        sub = "/".join(f"{c}={v}" for c, v in zip(partition_by, pt))
+        sub = "/".join(f"{c}={v}" for c, v in zip(write_cols, pt))
         src_dir = os.path.join(tmp, sub) if sub else tmp
         files = sorted(
             n for n in os.listdir(src_dir) if n.endswith(".parquet")
         )
-        full_dir = os.path.join(data_dir, sub) if sub else data_dir
+        dst_sub = "/".join(f"{c}={v}" for c, v in zip(dst_names, pt))
+        full_dir = os.path.join(data_dir, dst_sub) if dst_sub else data_dir
         os.makedirs(full_dir, exist_ok=True)
         for k, part in enumerate(files):
             fname = (
@@ -1450,8 +1772,9 @@ def write_iceberg_commit(
             final = os.path.join(full_dir, fname)
             os.replace(os.path.join(src_dir, part), final)
             pv = {}
-            for (name, _src, typ, _tr), v in zip(parts_meta, pt):
-                pv[name] = int(v) if typ in ("int", "long") else v
+            for (name, _src, typ, tr), v in zip(parts_meta, pt):
+                rt = _transform_result_type(typ, tr)
+                pv[name] = int(v) if rt in ("int", "long") else v
             # per-file column bounds from the parquet footer (spec
             # Appendix D single values) — what the reader's
             # metadata-side pruning keys on
@@ -1501,8 +1824,9 @@ def write_iceberg_commit(
         pv = e["data_file"].get("partition") or {}
         e["data_file"]["partition"] = {
             name: (int(pv[name]) if pv.get(name) is not None
-                   and typ in ("int", "long") else pv.get(name))
-            for name, _src, typ, _tr in parts_meta
+                   and _transform_result_type(typ, tr) in ("int", "long")
+                   else pv.get(name))
+            for name, _src, typ, tr in parts_meta
         }
     man_name = f"{uuid.uuid4().hex}-m0.avro"
     man_path = os.path.join(mdir, man_name)

@@ -559,3 +559,131 @@ class TestDeltaOptimizeDV:
         )
         with pytest.raises(DeltaError, match="nothing to compact"):
             compact_delta_files(spark, tpath)
+
+
+class TestIcebergTransforms:
+    def test_murmur3_spec_vectors(self):
+        # Iceberg spec Appendix B published test vectors
+        import struct
+
+        from rust_dataframe_spark.sources.iceberg import _murmur3_32
+
+        def signed(x):
+            return x - (1 << 32) if x >= (1 << 31) else x
+
+        assert signed(_murmur3_32(struct.pack("<q", 34))) == 2017239379
+        assert signed(_murmur3_32(b"iceberg")) == 1210000089
+        from datetime import date
+
+        days = (date(2017, 11, 16) - date(1970, 1, 1)).days
+        assert signed(_murmur3_32(struct.pack("<q", days))) == -653330422
+
+    def test_bucket_and_truncate_helpers(self):
+        from rust_dataframe_spark.sources.iceberg import (
+            IcebergError,
+            iceberg_bucket,
+            iceberg_truncate,
+        )
+
+        assert iceberg_bucket(34, 16, "int") == 2017239379 % 16
+        assert iceberg_bucket("iceberg", 16, "string") \
+            == 1210000089 % 16
+        assert iceberg_truncate(17, 5, "int") == 15
+        assert iceberg_truncate(-1, 5, "int") == -5  # floor, not trunc
+        assert iceberg_truncate("blueberry", 2, "string") == "bl"
+        with pytest.raises(IcebergError, match="unsupported"):
+            iceberg_bucket(1.5, 4, "double")
+
+    def test_transform_survives_edges(self):
+        from rust_dataframe_spark.sources.iceberg import (
+            _transform_survives,
+            iceberg_bucket,
+        )
+
+        b = iceberg_bucket(14, 4, "int")
+        assert _transform_survives(b, "bucket[4]", "=", 14, "int")
+        assert not _transform_survives(
+            (b + 1) % 4, "bucket[4]", "=", 14, "int"
+        )
+        # bucket is order-destroying: range ops never prune
+        assert _transform_survives(0, "bucket[4]", "<", 14, "int")
+        # type mismatch never prunes
+        assert _transform_survives(0, "bucket[4]", "=", "14", "int")
+        # truncate string intervals
+        assert _transform_survives("ba", "truncate[2]", "=", "banana",
+                                   "string")
+        assert not _transform_survives("bl", "truncate[2]", "=",
+                                       "banana", "string")
+        assert not _transform_survives("ap", "truncate[2]", ">=", "b",
+                                       "string")
+        assert _transform_survives("ap", "truncate[2]", ">=", "ap",
+                                   "string")
+        assert not _transform_survives("ch", "truncate[2]", "<", "ch",
+                                       "string")
+        # truncate int bins
+        assert _transform_survives(15, "truncate[5]", "=", 17, "int")
+        assert not _transform_survives(15, "truncate[5]", ">", 19,
+                                       "int")
+        # day bins
+        assert _transform_survives(19784, "day", "=", "2024-03-02",
+                                   "date")
+        assert not _transform_survives(19784, "day", "=", "2024-03-03",
+                                       "date")
+        # identity point value
+        assert not _transform_survives(2, "identity", "=", 3, "int")
+        assert _transform_survives(3, "identity", "=", 3, "int")
+
+    def test_writer_null_refusal_actually_raises(self, spark, tmp_path):
+        p = str(tmp_path / "nulltbl")
+        with pytest.raises(IcebergError, match="null partition"):
+            write_iceberg_commit(
+                spark, p,
+                spark.createDataFrame(
+                    [(1, "a"), (2, None)], "id int, name string"
+                ).coalesce(1),
+                partition_transforms=[
+                    ("name_tr", "name", "truncate[1]")
+                ],
+            )
+
+    def test_append_to_transform_table_and_prune(self, spark, tpath):
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_plan_files,
+        )
+
+        write_iceberg_commit(
+            spark, tpath,
+            spark.range(10).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 4).cast("int").alias("k"),
+            ).coalesce(1),
+            partition_transforms=[("k_b", "k", "bucket[2]")],
+        )
+        write_iceberg_commit(
+            spark, tpath,
+            spark.range(100, 105).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 4).cast("int").alias("k"),
+            ).coalesce(1),
+        )
+        df = read_iceberg(spark, tpath)
+        assert df.count() == 15
+        kept, total = iceberg_plan_files(tpath, where="k = 1",
+                                         spark=spark)
+        assert kept < total
+        got = sorted(
+            r.id for r in read_iceberg(
+                spark, tpath, where="k = 1"
+            ).collect()
+        )
+        assert got == [1, 5, 9, 101]
+
+    def test_mutually_exclusive_with_partition_by(self, spark, tmp_path):
+        p = str(tmp_path / "bad")
+        with pytest.raises(IcebergError, match="mutually exclusive"):
+            write_iceberg_commit(
+                spark, p,
+                spark.createDataFrame([(1, 2)], "id int, k int"),
+                partition_by=["k"],
+                partition_transforms=[("k_b", "k", "bucket[2]")],
+            )
