@@ -159,6 +159,7 @@ CORE = [
     "q473_hudi_mor_incremental",
     "q474_delta_optimize_dv",
     "q475_iceberg_transform_pruning",
+    "q476_iceberg_avro_files",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -183,6 +184,7 @@ FIXTURE_SPLIT = {
     "q473_hudi_mor_incremental",
     "q474_delta_optimize_dv",
     "q475_iceberg_transform_pruning",
+    "q476_iceberg_avro_files",
 }
 
 ROTATION_POOL = [

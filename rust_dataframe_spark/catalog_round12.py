@@ -583,3 +583,92 @@ def q475_iceberg_transform_pruning(
         ],
         "scope string, a bigint, b bigint",
     ).orderBy("scope")
+
+
+# ---------------------------------------------------------------------------
+# q476: Iceberg Avro data files — mixed-format snapshots, field-id attrs
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): snapshot 1 writes ids 0..9 (val = id * 2) as
+# PARQUET; snapshot 2 appends ids 100..105 (val = id * 3) as AVRO
+# containers (stdlib codec, per-field `field-id` attributes stamped —
+# the spec requires them); the schema then evolves (val RENAMED to
+# score, bonus ADDED).  The read must union one parquet leg (field-id
+# parquet resolution) with one Avro leg (binaryFile + mapInArrow
+# decode, resolution by the Avro field-id attributes) — the rename
+# resolves across BOTH formats, bonus reads null everywhere.
+
+
+@query(
+    "q476_iceberg_avro_files",
+    oracle="""
+    WITH pq AS (SELECT unnest(range(0, 10)) AS id),
+    av AS (SELECT 100 + unnest(range(0, 6)) AS id),
+    cur AS (SELECT id, id * 2 AS score, 'parquet' AS fmt FROM pq
+            UNION ALL SELECT id, id * 3, 'avro' FROM av)
+    SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum,
+           CAST(sum(score) AS BIGINT) AS score_sum,
+           CAST(count(NULL) AS BIGINT) AS bonus_n
+    FROM cur GROUP BY fmt ORDER BY fmt
+    """,
+)
+def q476_iceberg_avro_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg AVRO data files (round 12 — sources/iceberg.py
+    _avro_files_scan + the avro writer half): snapshots may mix
+    parquet and Avro data files; Avro files decode on executors
+    (binaryFile scan, one task per file, stdlib container codec in
+    mapInArrow) with columns resolved by the writer schema's
+    per-field `field-id` attributes — the spec requires them, so
+    id-less Avro files refuse loudly — which makes renames and added
+    columns resolve across both formats identically.  Avro entries
+    carry no column bounds; metadata pruning keeps them (advisory
+    contract).  ORC stays gated loud (a new codec, separate
+    decision)."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.iceberg import (
+        evolve_iceberg_schema,
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    path = _scratch("iceberg_avro_files", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_commit(
+        spark, path,
+        spark.range(10).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).cast("int").alias("val"),
+        ),
+    )
+    write_iceberg_commit(
+        spark, path,
+        spark.range(100, 106).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 3).cast("int").alias("val"),
+        ).coalesce(2),
+        file_format="avro",
+    )
+    evolve_iceberg_schema(
+        path, renames={"val": "score"}, adds=[("bonus", "int")]
+    )
+    return (
+        read_iceberg(spark, path)
+        .withColumn(
+            "fmt",
+            F.when(F.col("id") >= 100, F.lit("avro"))
+            .otherwise(F.lit("parquet")),
+        )
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").cast("long").alias("id_sum"),
+            F.sum("score").cast("long").alias("score_sum"),
+            F.count("bonus").alias("bonus_n"),
+        )
+        .orderBy("fmt")
+    )

@@ -700,9 +700,14 @@ def iceberg_snapshot_files(
                 continue  # deleted
             df_ = dict(e.get("data_file") or {})
             content = df_.get("content", 0)
-            if df_.get("file_format", "PARQUET").upper() != "PARQUET":
+            fmt = df_.get("file_format", "PARQUET").upper()
+            if fmt not in ("PARQUET", "AVRO"):
                 raise IcebergError(
                     f"file format {df_.get('file_format')!r} unsupported"
+                )
+            if fmt == "AVRO" and content != 0:
+                raise IcebergError(
+                    "AVRO delete files unsupported (data files only)"
                 )
             # v2 sequence inheritance: a null entry seq takes the
             # manifest's; absent everywhere (v1 fixtures) -> 0
@@ -960,6 +965,111 @@ def _resolve_files_scan(
     return _capture(df), present
 
 
+_ICE_TO_ARROW = {
+    "int": "int32", "long": "int64", "string": "string",
+    "boolean": "bool_", "float": "float32", "double": "float64",
+}
+
+
+def _avro_files_scan(
+    spark: SparkSession,
+    paths: list[str],
+    cols: dict[int, tuple[str, str]],
+    *,
+    capture_pos: bool = False,
+):
+    """Distributed scan of AVRO data files (round 12): a binaryFile
+    scan over the explicit file list (one task per file) + stdlib
+    container decode in ``mapInArrow``.  Columns resolve by the Avro
+    writer schema's per-field ``field-id`` attribute — the Iceberg
+    spec REQUIRES Avro data-file schemas to carry them, so files
+    without complete ids refuse loudly.  Returns ``(df, present)``
+    shaped exactly like ``_resolve_files_scan`` (``__ice_base``
+    always captured; ``__ice_pos`` = record ordinal when asked).
+
+    The driver reads only each file's HEADER (schema-sized, a few
+    hundred bytes) for the presence census; record payloads decode on
+    executors."""
+    from .avro import _MAGIC, _read_meta, decode_records
+
+    present: list[set[str]] = []
+    for p in paths:
+        with open(p, "rb") as fh:
+            head = fh.read(1 << 20)
+        buf = memoryview(head)
+        if bytes(buf[:4]) != _MAGIC:
+            raise IcebergError(f"{p}: not an Avro container")
+        hmeta, _pos = _read_meta(buf, 4)
+        sch = json.loads(hmeta["avro.schema"].decode())
+        ids = set()
+        for fld in sch.get("fields", []):
+            if fld.get("field-id") is None:
+                raise IcebergError(
+                    f"{p}: Avro data-file field {fld.get('name')!r} "
+                    "carries no field-id attribute (the spec requires "
+                    "them; fail-loud)"
+                )
+            ids.add(int(fld["field-id"]))
+        present.append(
+            {n for fid, (n, _t) in cols.items() if fid in ids}
+        )
+    out_fields = []
+    for fid, (n, t) in cols.items():
+        if t not in _ICE_TO_ARROW:
+            raise IcebergError(
+                f"AVRO data files: column type {t!r} unsupported"
+            )
+        out_fields.append((fid, n, t))
+    ddl = ", ".join(
+        f"`{n}` {_ICE_TO_SPARK[t]}" for _fid, n, t in out_fields
+    ) + ", `__ice_base` string"
+    if capture_pos:
+        ddl += ", `__ice_pos` bigint"
+    want = list(out_fields)
+    cap = capture_pos
+
+    def _decode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            names_in = batch.schema.names
+            path_col = batch.column(names_in.index("path"))
+            content_col = batch.column(names_in.index("content"))
+            for i in range(batch.num_rows):
+                blob = content_col[i].as_py()
+                fpath = path_col[i].as_py()
+                sch, rows = decode_records(blob)
+                by_id = {
+                    int(f["field-id"]): f["name"]
+                    for f in sch.get("fields", [])
+                }
+                arrays, names = [], []
+                for fid, n, t in want:
+                    phys = by_id.get(fid)
+                    vals = [
+                        (r.get(phys) if phys is not None else None)
+                        for r in rows
+                    ]
+                    arrays.append(pa.array(
+                        vals, type=getattr(pa, _ICE_TO_ARROW[t])()
+                    ))
+                    names.append(n)
+                base = fpath.rsplit("/", 1)[-1]
+                arrays.append(pa.array([base] * len(rows)))
+                names.append("__ice_base")
+                if cap:
+                    arrays.append(pa.array(
+                        list(range(len(rows))), type=pa.int64()
+                    ))
+                    names.append("__ice_pos")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    raw = spark.read.format("binaryFile").load(paths)
+    return raw.select("path", "content").mapInArrow(
+        _decode, schema=ddl
+    ), present
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -1031,15 +1141,40 @@ def read_iceberg(
             for n, t in cols.values()
         )
         return spark.createDataFrame([], ddl)
-    paths = [_localize(path, f["file_path"]) for f in files]
     pos_dels = [d for d in deletes if d.get("content") == 1]
     eq_dels = [d for d in deletes if d.get("content") == 2]
 
-    df, present = _resolve_files_scan(
-        spark, paths, cols, parts,
-        name_mapping=parse_name_mapping(meta),
-        capture_pos=bool(pos_dels),
-    )
+    # format split (round 12): AVRO data files decode through the
+    # stdlib container codec; parquet keeps the field-id/name-mapping
+    # scan.  `files` reorders parquet-first so the `present` census
+    # and the per-file value maps stay aligned.
+    files_pq, files_av = [], []
+    for f in files:
+        (files_pq if f.get("file_format", "PARQUET").upper()
+         == "PARQUET" else files_av).append(f)
+    files = files_pq + files_av
+    paths = [_localize(path, f["file_path"]) for f in files]
+    legs = []
+    present: list[set[str]] = []
+    if files_pq:
+        leg, pres = _resolve_files_scan(
+            spark, [_localize(path, f["file_path"]) for f in files_pq],
+            cols, parts,
+            name_mapping=parse_name_mapping(meta),
+            capture_pos=bool(pos_dels),
+        )
+        legs.append(leg)
+        present.extend(pres)
+    if files_av:
+        leg, pres = _avro_files_scan(
+            spark, [_localize(path, f["file_path"]) for f in files_av],
+            cols, capture_pos=bool(pos_dels),
+        )
+        legs.append(leg)
+        present.extend(pres)
+    df = legs[0]
+    for leg in legs[1:]:
+        df = df.unionByName(leg)
 
     # identity-partition injection is PER FILE: only rows from files
     # that physically lack the source column take the partition-tuple
@@ -1264,6 +1399,15 @@ def read_iceberg_changes(
             for n, t in cols.values()
         ) + ", `_snapshot_id` bigint"
         return spark.createDataFrame([], ddl)
+    av = [
+        f["file_path"] for f, _sid in added
+        if f.get("file_format", "PARQUET").upper() != "PARQUET"
+    ]
+    if av:
+        raise IcebergError(
+            f"incremental read over AVRO data files unsupported "
+            f"(e.g. {av[0]!r}; snapshot reads handle them — fail-loud)"
+        )
     paths = [_localize(path, f["file_path"]) for f, _sid in added]
     assert_unique_basenames(paths, err_cls=IcebergError, tag="iceberg")
     # __ice_base is captured on each leaf scan inside
@@ -1561,6 +1705,7 @@ def write_iceberg_commit(
     replace_partitions: bool = False,
     stamp_field_ids: bool = True,
     partition_transforms: list[tuple[str, str, str]] | None = None,
+    file_format: str = "parquet",
 ) -> int:
     """Append ``df`` as one Iceberg snapshot.  Each commit: one
     ``partitionBy`` write job, one full-rewrite manifest (live entries
@@ -1572,6 +1717,15 @@ def write_iceberg_commit(
     spec requires real Iceberg writers to stamp; such files are only
     readable through a ``schema.name-mapping.default`` table property,
     see :func:`set_iceberg_name_mapping`).
+
+    ``file_format='avro'`` (round 12) writes the snapshot's data
+    files as Avro containers — the stdlib codec with per-field
+    ``field-id`` attributes stamped into the writer schema (the spec
+    requires them; the reader resolves by them) — restricted to
+    unpartitioned writes; mixing formats ACROSS snapshots of one
+    table is the supported (and realistic) shape.  Avro entries
+    record no column bounds, so metadata pruning simply keeps them
+    (advisory contract).
 
     ``partition_transforms`` (round 12, mutually exclusive with
     ``partition_by``) creates/validates a TRANSFORMED partition spec:
@@ -1701,6 +1855,20 @@ def write_iceberg_commit(
             f"writer: columns {unknown_cols} not in the table schema "
             "(evolve the schema first — evolve_iceberg_schema)"
         )
+    if file_format not in ("parquet", "avro"):
+        raise IcebergError(
+            f"file_format {file_format!r} unsupported "
+            "('parquet' or 'avro')"
+        )
+    if file_format == "avro" and (partition_by or trans):
+        raise IcebergError(
+            "file_format='avro' supports unpartitioned writes only"
+        )
+    if file_format == "avro" and not stamp_field_ids:
+        raise IcebergError(
+            "Avro data files REQUIRE field-id attributes (spec); "
+            "stamp_field_ids=False is contradictory"
+        )
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     tmp = os.path.join(path, f"_tmp_ice_{uuid.uuid4().hex[:8]}")
     out_df = with_field_ids(df, name_to_id) if stamp_field_ids else df
@@ -1724,10 +1892,52 @@ def write_iceberg_commit(
                 )
             counts[tuple(str(v) for v in key)] = r["cnt"]
         tuples = sorted(counts)
-    writer = out_df.write.mode("overwrite")
-    if write_cols:
-        writer = writer.partitionBy(*write_cols)
-    writer.parquet(tmp)
+    if file_format == "avro":
+        # field-id-stamped Avro containers, one per Spark partition
+        # (executor-side encode — rows never route through the driver)
+        from .avro import encode_records as _enc, spark_schema_to_avro
+
+        avro_schema = spark_schema_to_avro(df.schema, "iceberg_row")
+        for fld in avro_schema["fields"]:
+            fld["field-id"] = int(name_to_id[fld["name"]])
+        os.makedirs(tmp, exist_ok=True)
+        cols_order = list(df.columns)
+        sch_json = avro_schema
+
+        def _write_avro(batches):
+            import pyarrow as pa
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            recs: list[dict] = []
+            for batch in batches:
+                data = {
+                    c: batch.column(i)
+                    for i, c in enumerate(batch.schema.names)
+                }
+                for i in range(batch.num_rows):
+                    recs.append({
+                        c: (data[c][i].as_py()
+                            if data[c][i].is_valid else None)
+                        for c in cols_order
+                    })
+            if recs:
+                blob = _enc(sch_json, recs, codec="deflate")
+                with open(
+                    os.path.join(tmp, f"part-{pid:05d}.avro"), "wb"
+                ) as fh:
+                    fh.write(blob)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([len(recs)], type=pa.int64())],
+                    names=["n_rows"],
+                )
+
+        df.mapInArrow(_write_avro, schema="n_rows long").collect()
+    else:
+        writer = out_df.write.mode("overwrite")
+        if write_cols:
+            writer = writer.partitionBy(*write_cols)
+        writer.parquet(tmp)
     if partition_by:
         counts = {
             tuple(str(r[c]) for c in partition_by): r["cnt"]
@@ -1756,18 +1966,19 @@ def write_iceberg_commit(
 
     data_dir = os.path.join(path, "data")
     dst_names = [name for name, _s, _t, _tr in parts_meta]
+    ext = "avro" if file_format == "avro" else "parquet"
     for pt in tuples:
         sub = "/".join(f"{c}={v}" for c, v in zip(write_cols, pt))
         src_dir = os.path.join(tmp, sub) if sub else tmp
         files = sorted(
-            n for n in os.listdir(src_dir) if n.endswith(".parquet")
+            n for n in os.listdir(src_dir) if n.endswith("." + ext)
         )
         dst_sub = "/".join(f"{c}={v}" for c, v in zip(dst_names, pt))
         full_dir = os.path.join(data_dir, dst_sub) if dst_sub else data_dir
         os.makedirs(full_dir, exist_ok=True)
         for k, part in enumerate(files):
             fname = (
-                f"{snapshot_id}-{k:03d}-{uuid.uuid4().hex[:10]}.parquet"
+                f"{snapshot_id}-{k:03d}-{uuid.uuid4().hex[:10]}.{ext}"
             )
             final = os.path.join(full_dir, fname)
             os.replace(os.path.join(src_dir, part), final)
@@ -1777,10 +1988,13 @@ def write_iceberg_commit(
                 pv[name] = int(v) if rt in ("int", "long") else v
             # per-file column bounds from the parquet footer (spec
             # Appendix D single values) — what the reader's
-            # metadata-side pruning keys on
+            # metadata-side pruning keys on; Avro files record none
             lower, upper = [], []
             try:
-                mins, maxs = _parquet_bounds(final)
+                if ext == "parquet":
+                    mins, maxs = _parquet_bounds(final)
+                else:
+                    mins, maxs = {}, {}
             except Exception:
                 mins, maxs = {}, {}
             for fid2, (nm2, t2) in _schema_fields(meta).items():
@@ -1798,7 +2012,7 @@ def write_iceberg_commit(
                 "data_file": {
                     "content": 0,
                     "file_path": final,
-                    "file_format": "PARQUET",
+                    "file_format": ext.upper(),
                     "partition": pv,
                     "record_count": int(
                         counts[pt] if len(files) == 1 else -1

@@ -687,3 +687,105 @@ class TestIcebergTransforms:
                 partition_by=["k"],
                 partition_transforms=[("k_b", "k", "bucket[2]")],
             )
+
+
+class TestIcebergAvroFiles:
+    @staticmethod
+    def _seed(spark, path):
+        write_iceberg_commit(
+            spark, path,
+            spark.range(10).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") * 2).cast("int").alias("val"),
+            ),
+        )
+        write_iceberg_commit(
+            spark, path,
+            spark.range(100, 106).select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") * 3).cast("int").alias("val"),
+            ).coalesce(2),
+            file_format="avro",
+        )
+
+    def test_mixed_format_read(self, spark, tpath):
+        self._seed(spark, tpath)
+        got = {r.id: r.val for r in read_iceberg(spark, tpath).collect()}
+        assert len(got) == 16 and got[4] == 8 and got[103] == 309
+
+    def test_rename_resolves_across_formats(self, spark, tpath):
+        self._seed(spark, tpath)
+        evolve_iceberg_schema(
+            tpath, renames={"val": "score"}, adds=[("bonus", "int")]
+        )
+        rows = read_iceberg(spark, tpath).collect()
+        got = {r.id: (r.score, r.bonus) for r in rows}
+        assert got[4] == (8, None) and got[103] == (309, None)
+
+    def test_position_deletes_on_avro_leg(self, spark, tpath):
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_snapshot_files,
+            write_iceberg_position_deletes,
+        )
+
+        self._seed(spark, tpath)
+        _m, files = iceberg_snapshot_files(tpath)
+        av = [f for f in files
+              if f.get("file_format", "").upper() == "AVRO"]
+        # tombstone record ordinal 0 of each avro file
+        write_iceberg_position_deletes(
+            spark, tpath, [(f["file_path"], 0) for f in av]
+        )
+        got = {r.id for r in read_iceberg(spark, tpath).collect()}
+        assert len(got) == 16 - len(av)
+        assert set(range(10)) <= got  # parquet rows untouched
+
+    def test_avro_without_field_ids_refuses(self, spark, tpath):
+        import json as _json
+        import os as _os
+
+        from rust_dataframe_spark.sources.avro import (
+            decode_records,
+            encode_records,
+        )
+        from rust_dataframe_spark.sources.iceberg import (
+            iceberg_snapshot_files,
+        )
+
+        self._seed(spark, tpath)
+        _m, files = iceberg_snapshot_files(tpath)
+        av = next(f for f in files
+                  if f.get("file_format", "").upper() == "AVRO")
+        sch, rows = decode_records(open(av["file_path"], "rb").read())
+        for f in sch["fields"]:
+            f.pop("field-id", None)
+        with open(av["file_path"], "wb") as fh:
+            fh.write(encode_records(sch, rows, codec="deflate"))
+        with pytest.raises(IcebergError, match="field-id"):
+            read_iceberg(spark, tpath).collect()
+
+    def test_partitioned_avro_write_refuses(self, spark, tmp_path):
+        p = str(tmp_path / "bad_avro")
+        with pytest.raises(IcebergError, match="unpartitioned"):
+            write_iceberg_commit(
+                spark, p,
+                spark.createDataFrame([(1, 2)], "id int, p int"),
+                partition_by=["p"], file_format="avro",
+            )
+
+    def test_incremental_over_avro_refuses(self, spark, tpath):
+        from rust_dataframe_spark.sources.iceberg import (
+            read_iceberg_changes,
+        )
+
+        s1 = write_iceberg_commit(
+            spark, tpath,
+            spark.createDataFrame([(1, 2)], "id int, val int"),
+        )
+        write_iceberg_commit(
+            spark, tpath,
+            spark.createDataFrame([(3, 4)], "id int, val int"),
+            file_format="avro",
+        )
+        with pytest.raises(IcebergError, match="AVRO"):
+            read_iceberg_changes(spark, tpath, from_snapshot_id=s1)
