@@ -160,6 +160,10 @@ CORE = [
     "q474_delta_optimize_dv",
     "q475_iceberg_transform_pruning",
     "q476_iceberg_avro_files",
+    "q477_delta_cdf_stream",
+    "q478_iceberg_append_stream",
+    "q479_hudi_incr_stream",
+    "q480_delta_stream_sink",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -185,6 +189,10 @@ FIXTURE_SPLIT = {
     "q474_delta_optimize_dv",
     "q475_iceberg_transform_pruning",
     "q476_iceberg_avro_files",
+    "q477_delta_cdf_stream",
+    "q478_iceberg_append_stream",
+    "q479_hudi_incr_stream",
+    "q480_delta_stream_sink",
 }
 
 ROTATION_POOL = [

@@ -937,6 +937,7 @@ def write_delta_commit(
     replace_partitions: bool = False,
     column_mapping: bool | str = False,
     enable_cdf: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Append ``df`` as one Delta commit (commit 0 also writes
     metaData + protocol).  With ``replace_partitions`` the commit
@@ -1151,6 +1152,14 @@ def write_delta_commit(
             ))
             actions.append({"add": add})
     shutil.rmtree(tmp, ignore_errors=True)
+    if txn is not None:
+        # PROTOCOL.md Transaction Identifiers: streaming writers record
+        # (appId, version) so a retried micro-batch is detectable — see
+        # streaming/lakehouse.py delta_stream_sink
+        actions.append({
+            "txn": {"appId": txn[0], "version": int(txn[1]),
+                    "lastUpdated": ts}
+        })
     with open(os.path.join(log, _commit_name(version)), "w",
               encoding="utf-8") as fh:
         for a in actions:
