@@ -164,6 +164,7 @@ CORE = [
     "q478_iceberg_append_stream",
     "q479_hudi_incr_stream",
     "q480_delta_stream_sink",
+    "q481_hudi_clean",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -193,6 +194,7 @@ FIXTURE_SPLIT = {
     "q478_iceberg_append_stream",
     "q479_hudi_incr_stream",
     "q480_delta_stream_sink",
+    "q481_hudi_clean",
 }
 
 ROTATION_POOL = [

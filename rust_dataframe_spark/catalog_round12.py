@@ -1131,3 +1131,118 @@ def q480_delta_stream_sink(
             rows, "scope string, n bigint, v_sum bigint"
         ).orderBy("scope")
     )
+
+
+# ---------------------------------------------------------------------------
+# q481: Hudi cleaner — the maintenance triad's third leg
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): file group A (partition p=0) takes three
+# full-group versions — v = 10*id, 100*id, 1000*id over ids 0..3 —
+# while group B (p=1, ids 0..2, v = 7) is written at the first
+# instant and never touched.  clean_hudi(keep_last=2) sets the
+# horizon at the second instant: A's first version is physically
+# deleted (1 file), B's only version SURVIVES (it is B's state at
+# every retained instant), and a .clean instant records the horizon.
+# Latest census: p0 n=4 v_sum=6000, p1 n=3 v_sum=21; time travel to
+# the horizon: p0 v_sum=600; below-horizon travel refuses (pinned in
+# tests); 3 parquet files remain.
+
+
+@query(
+    "q481_hudi_clean",
+    oracle="""
+    WITH facts AS (
+      SELECT 'asof2' AS scope, 0 AS p, 4 AS n, 600 AS v_sum
+      UNION ALL SELECT 'asof2', 1, 3, 21
+      UNION ALL SELECT 'latest', 0, 4, 6000
+      UNION ALL SELECT 'latest', 1, 3, 21
+      UNION ALL SELECT 'meta', -1, 1, 3)
+    SELECT scope, CAST(p AS INT) AS p, CAST(n AS BIGINT) AS n,
+           CAST(v_sum AS BIGINT) AS v_sum
+    FROM facts ORDER BY scope, p
+    """,
+)
+def q481_hudi_clean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi cleaner (round 12 — sources/hudi.py clean_hudi,
+    KEEP_LATEST_COMMITS shape): base-file slice versions no retained
+    instant can serve are physically deleted — per file group the
+    versions at/after the horizon survive, and an untouched group's
+    newest pre-horizon version survives because it IS the group's
+    state at every retained instant.  A .clean timeline instant
+    records the horizon; time travel below it refuses loudly instead
+    of silently dropping vanished groups.  Completes the maintenance
+    triad: Delta OPTIMIZE/VACUUM (q467), Iceberg snapshot expiry
+    (q468), Hudi clean."""
+    import os as _os
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.hudi import (
+        clean_hudi,
+        hudi_snapshot_files,
+        read_hudi,
+        write_hudi_commit,
+    )
+
+    path = _scratch("hudi_clean", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+
+    def mk(mult):
+        return spark.range(4).select(
+            F.col("id").cast("long").alias("id"),
+            F.lit(0).cast("int").alias("p"),
+            (F.col("id") * mult).cast("long").alias("v"),
+        ).coalesce(1)
+
+    write_hudi_commit(
+        spark, path,
+        mk(10).unionByName(
+            spark.range(3).select(
+                F.col("id").cast("long").alias("id"),
+                F.lit(1).cast("int").alias("p"),
+                F.lit(7).cast("long").alias("v"),
+            )
+        ).repartition(F.col("p")),
+        partition_by=["p"], meta_fields=True,
+    )
+    fid = next(
+        _os.path.basename(f).split("_")[0]
+        for part, f in hudi_snapshot_files(path) if part == "p=0"
+    )
+    t2 = write_hudi_commit(
+        spark, path, mk(100),
+        partition_by=["p"], upsert_into={"p=0": fid}, meta_fields=True,
+    )
+    write_hudi_commit(
+        spark, path, mk(1000),
+        partition_by=["p"], upsert_into={"p=0": fid}, meta_fields=True,
+    )
+    n_deleted = clean_hudi(path, keep_last=2)
+    n_files = sum(
+        1 for root, _d, files in _os.walk(path)
+        if ".hoodie" not in root
+        for f in files if f.endswith(".parquet")
+    )
+
+    def census(df, scope):
+        return df.groupBy("p").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("long").alias("v_sum"),
+        ).select(
+            F.lit(scope).alias("scope"),
+            F.col("p").cast("int").alias("p"), "n", "v_sum",
+        )
+
+    latest = census(read_hudi(spark, path), "latest")
+    asof2 = census(read_hudi(spark, path, as_of=t2), "asof2")
+    meta = spark.createDataFrame(
+        [("meta", -1, n_deleted, n_files)],
+        "scope string, p int, n bigint, v_sum bigint",
+    )
+    return (
+        latest.unionByName(asof2).unionByName(meta)
+        .orderBy("scope", "p")
+    )

@@ -66,6 +66,7 @@ __all__ = [
     "write_hudi_log_commit",
     "write_hudi_rollback_block",
     "compact_hudi",
+    "clean_hudi",
     "encode_log_block",
     "iter_log_blocks",
 ]
@@ -141,6 +142,14 @@ def hudi_snapshot_files(
     reader overlays log files on top of these base slices); the
     listing is bounded by the loud ``max_files`` budget."""
     instants = _timeline(path, mor_ok=mor_ok)
+    if as_of is not None:
+        horizon = _clean_horizon(path)
+        if horizon is not None and as_of < horizon:
+            raise HudiError(
+                f"as_of {as_of} is below the clean horizon {horizon} — "
+                "the file slices serving that instant were physically "
+                "deleted by clean_hudi (fail-loud)"
+            )
     usable = [t for t in instants if as_of is None or t[0] <= as_of]
     if not usable:
         raise HudiError(f"no completed instant at or before {as_of}")
@@ -981,3 +990,98 @@ def read_hudi_incremental(
         (F.col("_hoodie_commit_time").cast("long") > begin_ts)
         & (F.col("_hoodie_commit_time").cast("long") <= end)
     )
+
+
+# ---------------------------------------------------------------------------
+# cleaner (round 12) — the maintenance triad's Hudi leg
+# ---------------------------------------------------------------------------
+
+
+def _clean_horizon(path: str) -> int | None:
+    """Earliest instant still servable after cleaning: the max
+    ``earliestInstantRetained`` over completed ``.clean`` instants
+    (None when the table was never cleaned)."""
+    hoodie = os.path.join(path, ".hoodie")
+    if not os.path.isdir(hoodie):
+        return None
+    best: int | None = None
+    for name in os.listdir(hoodie):
+        if not name.endswith(".clean"):
+            continue
+        stem = name[: -len(".clean")]
+        if not stem.isdigit():
+            continue
+        with open(os.path.join(hoodie, name), encoding="utf-8") as fh:
+            meta = json.loads(fh.read() or "{}")
+        h = meta.get("earliestInstantRetained")
+        if h is not None and (best is None or int(h) > best):
+            best = int(h)
+    return best
+
+
+def clean_hudi(path: str, *, keep_last: int = 1) -> int:
+    """Hudi cleaner (KEEP_LATEST_COMMITS shape): physically deletes
+    base-file slice versions no retained instant can ever serve,
+    completing the maintenance triad next to Delta VACUUM and Iceberg
+    snapshot expiry.  ``keep_last`` names how many completed commits
+    stay time-travelable; the horizon is the earliest retained
+    instant.  Per file group: versions at or after the horizon
+    survive, and when a group has NONE (untouched since before the
+    horizon) its newest pre-horizon version survives — it IS the
+    group's state at every retained instant.  Everything older is
+    deleted, a ``<ts>.clean`` instant records the horizon and the
+    deleted files (the audit trail real cleaners leave), and
+    ``hudi_snapshot_files(as_of=)`` below the horizon refuses loudly
+    instead of silently dropping vanished groups.  COPY_ON_WRITE
+    only (MOR cleaning must also reason about log-file attachment —
+    the .deltacommit timeline guard fires first).  Returns the number
+    of files deleted.
+
+    Scale: pure metadata + file-system work — O(file versions) listing
+    with no Spark job and no data movement; at 100 TB the deletes are
+    per-file unlinks exactly like real cleaners."""
+    if keep_last < 1:
+        raise HudiError("keep_last must be >= 1")
+    instants = _timeline(path)  # raises on MOR (.deltacommit) / empty
+    retained = instants[-keep_last:]
+    horizon = retained[0][0]
+    groups: dict[tuple[str, str], list[tuple[int, str]]] = {}
+    for root, _dirs, files in os.walk(path):
+        rel_root = os.path.relpath(root, path)
+        if rel_root.startswith(".hoodie") or "_tmp" in rel_root:
+            continue
+        part = "" if rel_root == "." else rel_root.replace(os.sep, "/")
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            m = _FILE_RE.match(name)
+            if not m:
+                raise HudiError(
+                    f"data file {name!r} violates the "
+                    "fileId_writeToken_instant naming scheme"
+                )
+            groups.setdefault((part, m.group("fid")), []).append(
+                (int(m.group("ts")), os.path.join(root, name))
+            )
+    deleted: list[str] = []
+    for _key, versions in groups.items():
+        versions.sort()
+        live = [v for v in versions if v[0] >= horizon]
+        keep = {f for _ts, f in live}
+        older = [v for v in versions if v[0] < horizon]
+        if not live and older:
+            keep.add(older[-1][1])  # the group's state at the horizon
+        for _ts, f in versions:
+            if f not in keep:
+                os.remove(f)
+                deleted.append(os.path.relpath(f, path))
+    clean_ts = instants[-1][0] + 1
+    with open(
+        os.path.join(path, ".hoodie", f"{clean_ts}.clean"), "w",
+        encoding="utf-8",
+    ) as fh:
+        fh.write(json.dumps({
+            "earliestInstantRetained": horizon,
+            "deleted": sorted(deleted),
+        }))
+    return len(deleted)

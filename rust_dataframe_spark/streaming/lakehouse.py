@@ -662,10 +662,11 @@ class IcebergAppendStreamSource(DataSource):
 
 
 class _HudiIncrTask(InputPartition):
-    def __init__(self, file, begin_ts, end_ts):
+    def __init__(self, file, begin_ts, end_ts, part_vals):
         self.file = file
         self.begin_ts = begin_ts
         self.end_ts = end_ts
+        self.part_vals = part_vals  # hive col -> string value, in order
 
 
 class HudiIncrementalStreamReader(DataSourceStreamReader):
@@ -724,10 +725,15 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
         # delivered (every row's _hoodie_commit_time <= file instant), so
         # they never become tasks — a batch's task count is O(file groups
         # REWRITTEN in the range), not O(table).
-        latest: dict[tuple[str, str], tuple[int, str]] = {}
+        latest: dict[tuple[str, str], tuple[int, str, dict]] = {}
         for dirpath, _dirs, files in os.walk(self._path):
             if ".hoodie" in dirpath:
                 continue
+            rel = os.path.relpath(dirpath, self._path)
+            segs = [] if rel == "." else rel.replace(os.sep, "/").split("/")
+            pvals = dict(
+                seg.split("=", 1) for seg in segs if "=" in seg
+            )
             for name in files:
                 if not name.endswith(".parquet"):
                     continue
@@ -747,10 +753,10 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
                     continue
                 key = (dirpath, fid)
                 if key not in latest or ts > latest[key][0]:
-                    latest[key] = (ts, os.path.join(dirpath, name))
+                    latest[key] = (ts, os.path.join(dirpath, name), pvals)
         return [
-            _HudiIncrTask(p, s, e)
-            for ts, p in sorted(latest.values())
+            _HudiIncrTask(p, s, e, pv)
+            for ts, p, pv in sorted(latest.values())
             if ts > s
         ]
 
@@ -769,7 +775,14 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
             pc.greater(ct, pa.scalar(partition.begin_ts, pa.int64())),
             pc.less_equal(ct, pa.scalar(partition.end_ts, pa.int64())),
         )
-        yield from tbl.filter(mask).to_batches()
+        out = tbl.filter(mask)
+        # hive-path partition values inject as STRING columns — the batch
+        # reader's exact typing (read_hudi re-injects them uncast)
+        for col, val in partition.part_vals.items():
+            out = out.append_column(
+                col, pa.array([val] * out.num_rows, type=pa.string())
+            )
+        yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         pass
@@ -808,7 +821,19 @@ class HudiIncrementalStreamSource(DataSource):
                 "incremental needs it (write with meta_fields=True; "
                 "fail-loud)"
             )
-        return schema
+        # hive partition columns append as STRING (the batch reader's
+        # typing); every slice must agree on the layout
+        part_cols = list(tasks[0].part_vals)
+        for t in tasks:
+            if list(t.part_vals) != part_cols:
+                raise LakehouseStreamError(
+                    "inconsistent hive partition layout: "
+                    f"{part_cols} vs {list(t.part_vals)} (fail-loud)"
+                )
+        return StructType(
+            list(schema.fields)
+            + [StructField(c, StringType(), True) for c in part_cols]
+        )
 
     def streamReader(self, schema) -> HudiIncrementalStreamReader:
         return HudiIncrementalStreamReader(self.options)

@@ -326,19 +326,23 @@ def test_hudi_incr_stream_parity_upsert_restart(streams, tmp_path):
         spark, path,
         spark.range(8).select(
             F.col("id").cast("long").alias("id"),
+            (F.col("id") % 2).cast("int").alias("p"),
             (F.col("id") * 10).cast("long").alias("v"),
-        ),
-        meta_fields=True,
+        ).repartition(F.col("p")),
+        partition_by=["p"], meta_fields=True,
     )
-    f0, part0 = hudi_snapshot_files(path)[0]
-    fid = os.path.basename(f0).split("_")[0]
-    write_hudi_commit(  # upsert rewrites one file group
+    fid = next(
+        os.path.basename(f).split("_")[0]
+        for part, f in hudi_snapshot_files(path) if part == "p=1"
+    )
+    write_hudi_commit(  # upsert REWRITES the p=1 file group
         spark, path,
         spark.range(3).select(
-            F.col("id").cast("long").alias("id"),
+            (F.col("id") * 2 + 1).cast("long").alias("id"),
+            F.lit(1).cast("int").alias("p"),
             (F.col("id") * 100).cast("long").alias("v"),
         ),
-        upsert_into={part0: fid}, meta_fields=True,
+        partition_by=["p"], upsert_into={"p=1": fid}, meta_fields=True,
     )
     got = _run_available_now(spark, "hudi_incr_stream", path, sink, ckpt)
     want = read_hudi_incremental(spark, path, begin_ts=0)
@@ -350,9 +354,10 @@ def test_hudi_incr_stream_parity_upsert_restart(streams, tmp_path):
         spark, path,
         spark.range(2).select(
             (F.col("id") + 50).cast("long").alias("id"),
+            F.lit(0).cast("int").alias("p"),
             F.lit(5).cast("long").alias("v"),
         ),
-        meta_fields=True,
+        partition_by=["p"], meta_fields=True,
     )
     got2 = _run_available_now(spark, "hudi_incr_stream", path, sink, ckpt)
     assert _rows(got2, cols) == _rows(
@@ -464,3 +469,124 @@ def test_delta_stream_sink_exactly_once(spark, tmp_path):
     assert {(t["appId"], t["version"]) for t in acts} >= {
         ("app1", 0), ("app1", 1)
     }
+
+
+# ---------------------------------------------------------------------------
+# Hudi cleaner (maintenance triad's third leg)
+# ---------------------------------------------------------------------------
+
+
+def _hudi_three_versions(spark, path):
+    """One file group (partition p=0), three base versions: v=10*id,
+    then 100*id, then 1000*id (full-group rewrites via upsert_into)."""
+    from rust_dataframe_spark.sources.hudi import (
+        hudi_snapshot_files,
+        write_hudi_commit,
+    )
+
+    def mk(mult):
+        return spark.range(4).select(
+            F.col("id").cast("long").alias("id"),
+            F.lit(0).cast("int").alias("p"),
+            (F.col("id") * mult).cast("long").alias("v"),
+        ).coalesce(1)
+
+    t1 = write_hudi_commit(
+        spark, path, mk(10), partition_by=["p"], meta_fields=True
+    )
+    fid = next(
+        os.path.basename(f).split("_")[0]
+        for part, f in hudi_snapshot_files(path) if part == "p=0"
+    )
+    t2 = write_hudi_commit(
+        spark, path, mk(100),
+        partition_by=["p"], upsert_into={"p=0": fid}, meta_fields=True,
+    )
+    t3 = write_hudi_commit(
+        spark, path, mk(1000),
+        partition_by=["p"], upsert_into={"p=0": fid}, meta_fields=True,
+    )
+    return t1, t2, t3
+
+
+def test_clean_hudi_deletes_below_horizon(spark, tmp_path):
+    from rust_dataframe_spark.sources.hudi import (
+        HudiError,
+        clean_hudi,
+        read_hudi,
+    )
+
+    path = str(tmp_path / "hudi")
+    t1, t2, t3 = _hudi_three_versions(spark, path)
+
+    n = clean_hudi(path, keep_last=2)  # horizon = t2
+    assert n == 1  # only the t1 version dies
+    # latest and horizon reads unchanged
+    assert sorted(
+        r.v for r in read_hudi(spark, path).collect()
+    ) == [0, 1000, 2000, 3000]
+    assert sorted(
+        r.v for r in read_hudi(spark, path, as_of=t2).collect()
+    ) == [0, 100, 200, 300]
+    # below-horizon time travel refuses loudly
+    with pytest.raises(HudiError, match="clean horizon"):
+        read_hudi(spark, path, as_of=t1).collect()
+
+
+def test_clean_hudi_untouched_group_survives(spark, tmp_path):
+    from rust_dataframe_spark.sources.hudi import (
+        clean_hudi,
+        read_hudi,
+        write_hudi_commit,
+    )
+
+    path = str(tmp_path / "hudi2")
+    # group A written at t1 and never touched again; t2/t3 insert new
+    # groups — cleaning keep_last=1 must KEEP A's only version (it IS
+    # the state at the horizon)
+    write_hudi_commit(
+        spark, path,
+        spark.range(3).select(
+            F.col("id").cast("long").alias("id"),
+            F.lit(1).cast("long").alias("v"),
+        ).coalesce(1),
+        meta_fields=True,
+    )
+    write_hudi_commit(
+        spark, path,
+        spark.range(10, 12).select(
+            F.col("id").cast("long").alias("id"),
+            F.lit(2).cast("long").alias("v"),
+        ).coalesce(1),
+        meta_fields=True,
+    )
+    n = clean_hudi(path, keep_last=1)
+    assert n == 0
+    assert read_hudi(spark, path).count() == 5
+
+
+def test_clean_hudi_refusals(spark, tmp_path):
+    from rust_dataframe_spark.sources.hudi import (
+        HudiError,
+        clean_hudi,
+        write_hudi_commit,
+    )
+
+    path = str(tmp_path / "mor")
+    write_hudi_commit(
+        spark, path,
+        spark.range(3).select(
+            F.col("id").cast("long").alias("id")
+        ).coalesce(1),
+        table_type="MERGE_ON_READ", record_key="id", meta_fields=True,
+    )
+    from rust_dataframe_spark.sources.hudi import write_hudi_log_commit
+
+    write_hudi_log_commit(
+        spark, path,
+        spark.createDataFrame([(99,)], "id bigint"),
+    )
+    with pytest.raises(HudiError, match="merge-on-read"):
+        clean_hudi(path)
+    with pytest.raises(HudiError, match="keep_last"):
+        clean_hudi(str(tmp_path / "x"), keep_last=0)
