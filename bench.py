@@ -165,6 +165,7 @@ CORE = [
     "q479_hudi_incr_stream",
     "q480_delta_stream_sink",
     "q481_hudi_clean",
+    "q482_iceberg_refs",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -195,6 +196,7 @@ FIXTURE_SPLIT = {
     "q479_hudi_incr_stream",
     "q480_delta_stream_sink",
     "q481_hudi_clean",
+    "q482_iceberg_refs",
 }
 
 ROTATION_POOL = [

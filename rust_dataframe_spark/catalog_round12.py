@@ -1246,3 +1246,104 @@ def q481_hudi_clean(
         latest.unionByName(asof2).unionByName(meta)
         .orderBy("scope", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q482: Iceberg refs — branches/tags, protected expiry
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): three single-file snapshots (ids 0..3 /
+# 10..13 / 20..23).  Tag `v1` pins snapshot 1, branch `audit` points
+# at snapshot 2.  Censuses: v1 n=4 id_sum=6, audit n=8 id_sum=52,
+# main n=12 id_sum=138.  expire(keep_last=1) removes NOTHING — both
+# refs protect their snapshots (the spec's retention rule).  Dropping
+# the branch releases snapshot 2: the next expiry removes exactly its
+# manifest list + manifest (2 files; its data file survives —
+# snapshot 3's full-rewrite manifest still references it) while the
+# tag still answers.  Dropping the tag releases snapshot 1 (2 more
+# files), one snapshot remains, and main still reads all 12 rows.
+
+
+@query(
+    "q482_iceberg_refs",
+    oracle="""
+    WITH facts AS (
+      SELECT 'audit' AS scope, 8 AS n, 52 AS id_sum
+      UNION ALL SELECT 'main', 12, 138
+      UNION ALL SELECT 'main_final', 12, 138
+      UNION ALL SELECT 'meta_a', 0, 2
+      UNION ALL SELECT 'meta_b', 2, 1
+      UNION ALL SELECT 'v1', 4, 6
+      UNION ALL SELECT 'v1_after_expiry', 4, 6)
+    SELECT scope, CAST(n AS BIGINT) AS n, CAST(id_sum AS BIGINT) AS id_sum
+    FROM facts ORDER BY scope
+    """,
+)
+def q482_iceberg_refs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg branches and tags (round 12 — sources/iceberg.py
+    set_iceberg_ref/resolve_iceberg_ref, the spec's v2 `refs`
+    metadata map): a TAG is an immutable bookmark (release audits,
+    reproducible training snapshots), a BRANCH a movable head, and
+    `main` tracks current-snapshot-id.  read_iceberg(ref=) resolves
+    through the map, and refs PROTECT their snapshots from
+    expire_iceberg_snapshots until dropped — the spec's retention
+    rule and the reason refs exist operationally."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.iceberg import (
+        expire_iceberg_snapshots,
+        read_iceberg,
+        set_iceberg_ref,
+        write_iceberg_commit,
+        _load_metadata,
+    )
+
+    path = _scratch("iceberg_refs", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    sids = []
+    for k in range(3):
+        sids.append(write_iceberg_commit(
+            spark, path,
+            spark.range(4).select(
+                (F.col("id") + 10 * k).cast("long").alias("id"),
+                F.lit(k).cast("long").alias("v"),
+            ).coalesce(1),
+        ))
+    set_iceberg_ref(path, "v1", ref_type="tag", snapshot_id=sids[0])
+    set_iceberg_ref(
+        path, "audit", ref_type="branch", snapshot_id=sids[1]
+    )
+
+    def census(df, scope):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").cast("long").alias("id_sum"),
+        ).select(F.lit(scope).alias("scope"), "n", "id_sum")
+
+    out = census(read_iceberg(spark, path, ref="v1"), "v1")
+    out = out.unionByName(
+        census(read_iceberg(spark, path, ref="audit"), "audit")
+    )
+    out = out.unionByName(
+        census(read_iceberg(spark, path, ref="main"), "main")
+    )
+    removed1 = expire_iceberg_snapshots(path, keep_last=1)  # 0: protected
+    set_iceberg_ref(path, "audit", drop=True)
+    removed2 = expire_iceberg_snapshots(path, keep_last=1)  # s2 released
+    out = out.unionByName(
+        census(read_iceberg(spark, path, ref="v1"), "v1_after_expiry")
+    )
+    set_iceberg_ref(path, "v1", drop=True)
+    removed3 = expire_iceberg_snapshots(path, keep_last=1)  # s1 released
+    n_snaps = len(_load_metadata(path)[0].get("snapshots") or [])
+    out = out.unionByName(
+        census(read_iceberg(spark, path), "main_final")
+    )
+    meta = spark.createDataFrame(
+        [("meta_a", removed1, removed2), ("meta_b", removed3, n_snaps)],
+        "scope string, n bigint, id_sum bigint",
+    )
+    return out.unionByName(meta).orderBy("scope")

@@ -77,6 +77,8 @@ __all__ = [
     "iceberg_plan_files",
     "parse_name_mapping",
     "set_iceberg_name_mapping",
+    "set_iceberg_ref",
+    "resolve_iceberg_ref",
 ]
 
 
@@ -1075,6 +1077,7 @@ def read_iceberg(
     path: str,
     *,
     snapshot_id: int | None = None,
+    ref: str | None = None,
     where: str | None = None,
 ) -> DataFrame:
     """One-scan snapshot read with spec-true COLUMN PROJECTION,
@@ -1110,6 +1113,12 @@ def read_iceberg(
     it."""
     from .fieldid import probe_field_ids, read_by_field_id
 
+    if ref is not None:
+        if snapshot_id is not None:
+            raise IcebergError(
+                "pass either ref= or snapshot_id=, not both"
+            )
+        snapshot_id = resolve_iceberg_ref(path, ref)
     meta, files, deletes = iceberg_snapshot_files(
         path, snapshot_id=snapshot_id, with_deletes=True, spark=spark
     )
@@ -2314,7 +2323,20 @@ def expire_iceberg_snapshots(path: str, *, keep_last: int = 1) -> int:
     snaps = list(meta.get("snapshots") or [])
     if len(snaps) <= keep_last:
         return 0
-    retained = snaps[-keep_last:]
+    # refs PROTECT their snapshots (spec retention: a tagged/branched
+    # snapshot never expires while the ref exists)
+    ref_ids = {
+        int(r["snapshot-id"]) for r in (meta.get("refs") or {}).values()
+    }
+    keep_ids = {
+        s.get("snapshot-id") for s in snaps[-keep_last:]
+    } | ref_ids
+    retained = [s for s in snaps if s.get("snapshot-id") in keep_ids]
+    expired = [
+        s for s in snaps if s.get("snapshot-id") not in keep_ids
+    ]
+    if not expired:
+        return 0
     cur = meta.get("current-snapshot-id")
     if cur not in {s.get("snapshot-id") for s in retained}:
         raise IcebergError(
@@ -2342,7 +2364,7 @@ def expire_iceberg_snapshots(path: str, *, keep_last: int = 1) -> int:
                     )
     # collect candidates referenced ONLY by expired snapshots
     removed = 0
-    for s in snaps[:-keep_last]:
+    for s in expired:
         ml = os.path.abspath(_localize(path, s["manifest-list"]))
         manifests = []
         if os.path.exists(ml):
@@ -2379,3 +2401,85 @@ def expire_iceberg_snapshots(path: str, *, keep_last: int = 1) -> int:
               encoding="utf-8") as fh:
         fh.write(str(new_version))
     return removed
+
+
+# ---------------------------------------------------------------------------
+# refs: branches and tags (spec v2 `refs`) — round 12
+# ---------------------------------------------------------------------------
+
+
+def set_iceberg_ref(
+    path: str,
+    name: str,
+    *,
+    ref_type: str = "tag",
+    snapshot_id: int | None = None,
+    drop: bool = False,
+) -> None:
+    """Create/update/drop a named ref — the spec's ``refs`` metadata
+    map: ``name -> {"snapshot-id", "type": "tag"|"branch"}``.  A TAG
+    is an immutable bookmark (release audits, reproducible training
+    snapshots); a BRANCH is a movable head.  ``snapshot_id`` defaults
+    to the current snapshot.  ``main`` is reserved: the spec keeps it
+    in lock-step with ``current-snapshot-id``, so manual writes
+    refuse.  Refs PROTECT their snapshots from
+    :func:`expire_iceberg_snapshots` — the spec's retention rule and
+    the reason refs exist operationally.  Persists a new metadata
+    version."""
+    if name == "main":
+        raise IcebergError(
+            "ref 'main' is reserved (tracks current-snapshot-id)"
+        )
+    meta, version = _load_metadata(path)
+    refs = dict(meta.get("refs") or {})
+    if drop:
+        if name not in refs:
+            raise IcebergError(f"ref {name!r} does not exist")
+        del refs[name]
+    else:
+        if ref_type not in ("tag", "branch"):
+            raise IcebergError(
+                f"ref type {ref_type!r} must be 'tag' or 'branch'"
+            )
+        sid = snapshot_id
+        if sid is None:
+            sid = meta.get("current-snapshot-id")
+        known = {
+            s.get("snapshot-id") for s in meta.get("snapshots") or []
+        }
+        if sid not in known:
+            raise IcebergError(
+                f"snapshot {sid} not in metadata (cannot ref)"
+            )
+        if name in refs and refs[name].get("type") == "tag":
+            raise IcebergError(
+                f"tag {name!r} already exists — tags are immutable "
+                "(drop it first)"
+            )
+        refs[name] = {"snapshot-id": int(sid), "type": ref_type}
+    meta = dict(meta)
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(path, "metadata")
+    new_version = version + 1
+    with open(os.path.join(mdir, f"v{new_version}.metadata.json"),
+              "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w",
+              encoding="utf-8") as fh:
+        fh.write(str(new_version))
+
+
+def resolve_iceberg_ref(path: str, name: str) -> int:
+    """Ref name -> snapshot id (``main`` resolves to the current
+    snapshot); loud on unknown refs."""
+    meta, _v = _load_metadata(path)
+    if name == "main":
+        cur = meta.get("current-snapshot-id")
+        if cur is None:
+            raise IcebergError("table has no current snapshot")
+        return int(cur)
+    refs = meta.get("refs") or {}
+    if name not in refs:
+        raise IcebergError(f"ref {name!r} does not exist")
+    return int(refs[name]["snapshot-id"])
