@@ -166,6 +166,7 @@ CORE = [
     "q480_delta_stream_sink",
     "q481_hudi_clean",
     "q482_iceberg_refs",
+    "q483_iceberg_orc_files",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -197,6 +198,7 @@ FIXTURE_SPLIT = {
     "q480_delta_stream_sink",
     "q481_hudi_clean",
     "q482_iceberg_refs",
+    "q483_iceberg_orc_files",
 }
 
 ROTATION_POOL = [

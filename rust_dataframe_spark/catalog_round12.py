@@ -1347,3 +1347,113 @@ def q482_iceberg_refs(
         "scope string, n bigint, id_sum bigint",
     )
     return out.unionByName(meta).orderBy("scope")
+
+
+# ---------------------------------------------------------------------------
+# q483: Iceberg ORC data files — field-id attributes, stats pruning, deletes
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): commit A writes ids 0..9 (val = 2*id) as ONE
+# parquet file; the schema evolves (val RENAMED to score, bonus
+# ADDED); commit B appends ids 100..105 (score = 3*id, bonus = id%5)
+# as TWO ORC files (file_format='orc' — iceberg.id type attributes
+# stamped per ORC-529, footer statistics recorded as manifest
+# bounds).  A position delete tombstones ordinal 0 of the first ORC
+# file (id=100, captured through the ORC leg's record-ordinal
+# __ice_pos).  Census by format: parquet n=10 score_sum=90 (renamed
+# column resolves BY ID from pre-evolution bytes, bonus all-null),
+# orc n=5 score_sum=1545 bonus_sum=10; `id >= 103` plans 1/3 files —
+# the ORC FOOTER statistics prune exactly like parquet row-group
+# stats (the stdlib tail parser supplies them).
+
+
+@query(
+    "q483_iceberg_orc_files",
+    oracle="""
+    WITH facts AS (
+      SELECT 'fmt_orc' AS scope, 5 AS n, 1545 AS score_sum,
+             CAST(10 AS BIGINT) AS bonus_sum, 5 AS bonus_n
+      UNION ALL SELECT 'fmt_parquet', 10, 90, CAST(NULL AS BIGINT), 0
+      UNION ALL SELECT 'plan_id_103', 1, 3, 0, 0)
+    SELECT scope, CAST(n AS BIGINT) AS n,
+           CAST(score_sum AS BIGINT) AS score_sum,
+           CAST(bonus_sum AS BIGINT) AS bonus_sum,
+           CAST(bonus_n AS BIGINT) AS bonus_n
+    FROM facts ORDER BY scope
+    """,
+)
+def q483_iceberg_orc_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg ORC data files (round 12 — sources/orc.py +
+    sources/iceberg.py _orc_files_scan/_orc_bounds): snapshots may
+    mix parquet, Avro AND ORC data files.  The ORC data plane rides
+    pyarrow.orc on executors (binaryFile scan, one task per file);
+    the PROTOCOL metadata rides a pure-stdlib tail parser (PostScript
+    + Footer protobuf, validated against pyarrow-written files) —
+    iceberg.id TYPE ATTRIBUTES (ORC-529) resolve columns by field id
+    so renames read identically across all three formats, and the
+    footer column statistics feed manifest bounds so ORC files prune
+    at the metadata layer exactly like parquet.  Position deletes
+    apply to the ORC leg via the record-ordinal capture; ORC delete
+    files and partitioned ORC writes refuse loudly.  Closes the last
+    named format gap (round-11 verdict item 4's ORC half)."""
+    import glob as _glob
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.iceberg import (
+        evolve_iceberg_schema,
+        iceberg_plan_files,
+        read_iceberg,
+        write_iceberg_commit,
+        write_iceberg_position_deletes,
+    )
+
+    path = _scratch("iceberg_orc_files", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_commit(
+        spark, path,
+        spark.range(10).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).cast("int").alias("val"),
+        ).coalesce(1),
+    )
+    evolve_iceberg_schema(
+        path, renames={"val": "score"}, adds=[("bonus", "int")]
+    )
+    write_iceberg_commit(
+        spark, path,
+        spark.range(100, 106).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 3).cast("int").alias("score"),
+            (F.col("id") % 5).cast("int").alias("bonus"),
+        ).coalesce(2),
+        file_format="orc",
+    )
+    f0 = sorted(_glob.glob(f"{path}/data/*.orc"))[0]
+    write_iceberg_position_deletes(spark, path, [(f0, 0)])
+    kept, total = iceberg_plan_files(path, where="id >= 103")
+
+    census = (
+        read_iceberg(spark, path)
+        .groupBy(
+            F.concat(
+                F.lit("fmt_"),
+                F.when(F.col("id") >= 100, F.lit("orc"))
+                .otherwise(F.lit("parquet")),
+            ).alias("scope")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score").cast("long").alias("score_sum"),
+            F.sum("bonus").cast("long").alias("bonus_sum"),
+            F.count("bonus").alias("bonus_n"),
+        )
+    )
+    plan = spark.createDataFrame(
+        [("plan_id_103", kept, total, 0, 0)],
+        "scope string, n bigint, score_sum bigint, bonus_sum bigint, "
+        "bonus_n bigint",
+    )
+    return census.unionByName(plan).orderBy("scope")

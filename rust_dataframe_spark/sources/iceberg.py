@@ -703,13 +703,13 @@ def iceberg_snapshot_files(
             df_ = dict(e.get("data_file") or {})
             content = df_.get("content", 0)
             fmt = df_.get("file_format", "PARQUET").upper()
-            if fmt not in ("PARQUET", "AVRO"):
+            if fmt not in ("PARQUET", "AVRO", "ORC"):
                 raise IcebergError(
                     f"file format {df_.get('file_format')!r} unsupported"
                 )
-            if fmt == "AVRO" and content != 0:
+            if fmt in ("AVRO", "ORC") and content != 0:
                 raise IcebergError(
-                    "AVRO delete files unsupported (data files only)"
+                    f"{fmt} delete files unsupported (data files only)"
                 )
             # v2 sequence inheritance: a null entry seq takes the
             # manifest's; absent everywhere (v1 fixtures) -> 0
@@ -1072,6 +1072,151 @@ def _avro_files_scan(
     ), present
 
 
+def _orc_bounds(path: str) -> tuple[dict, dict]:
+    """Per-column (min, max) from the ORC footer statistics — the
+    stdlib tail parse, footer-only (the parquet twin is
+    ``_parquet_bounds``).  Date stats arrive as epoch days and convert
+    to ``datetime.date`` for the Appendix-D encoder."""
+    import datetime as _dt
+
+    from .orc import orc_tail_of_file
+
+    tail = orc_tail_of_file(path)
+    types = tail["types"]
+    if not types or types[0]["kind"] != "struct":
+        return {}, {}
+    stats = tail["statistics"]
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    epoch = _dt.date(1970, 1, 1)
+    for name, sub in zip(types[0]["field_names"], types[0]["subtypes"]):
+        if sub >= len(stats):
+            continue
+        st = stats[sub]
+        if "min" in st:
+            mins[name] = st["min"]
+        elif "min_days" in st:
+            mins[name] = epoch + _dt.timedelta(days=st["min_days"])
+        if "max" in st:
+            maxs[name] = st["max"]
+        elif "max_days" in st:
+            maxs[name] = epoch + _dt.timedelta(days=st["max_days"])
+    return mins, maxs
+
+
+def _orc_files_scan(
+    spark: SparkSession,
+    paths: list[str],
+    cols: dict[int, tuple[str, str]],
+    *,
+    capture_pos: bool = False,
+):
+    """Distributed scan of ORC data files (round 12): a binaryFile scan
+    over the explicit file list (one task per file) + pyarrow.orc decode
+    in ``mapInArrow``.  Columns resolve by the ``iceberg.id`` TYPE
+    ATTRIBUTES (ORC-529 — what real Iceberg ORC writers stamp; surfaced
+    by pyarrow as Arrow field metadata, and independently parsed by the
+    stdlib tail reader for the driver-side census); id-less files refuse
+    loudly.  Returns ``(df, present)`` shaped exactly like
+    ``_resolve_files_scan``.
+
+    Driver IO is footer-bounded (``orc_tail_of_file`` reads a tail
+    window, not the file); payloads decode on executors."""
+    from .orc import OrcError, orc_tail_of_file
+
+    present: list[set[str]] = []
+    for p in paths:
+        try:
+            tail = orc_tail_of_file(p)
+        except OrcError as exc:
+            raise IcebergError(f"{p}: {exc}") from exc
+        types = tail["types"]
+        if not types or types[0]["kind"] != "struct":
+            raise IcebergError(f"{p}: ORC root type is not a struct")
+        ids = set()
+        for name, sub in zip(
+            types[0]["field_names"], types[0]["subtypes"]
+        ):
+            attr = types[sub]["attributes"].get("iceberg.id")
+            if attr is None:
+                raise IcebergError(
+                    f"{p}: ORC column {name!r} carries no iceberg.id "
+                    "attribute (the spec's ORC field-id carrier; "
+                    "fail-loud)"
+                )
+            ids.add(int(attr))
+        present.append(
+            {n for fid, (n, _t) in cols.items() if fid in ids}
+        )
+    _ORC_ARROW = dict(_ICE_TO_ARROW)
+    _ORC_ARROW["date"] = "date32"
+    out_fields = []
+    for fid, (n, t) in cols.items():
+        if t not in _ORC_ARROW:
+            raise IcebergError(
+                f"ORC data files: column type {t!r} unsupported"
+            )
+        out_fields.append((fid, n, t))
+    ddl = ", ".join(
+        f"`{n}` {_ICE_TO_SPARK[t]}" for _fid, n, t in out_fields
+    ) + ", `__ice_base` string"
+    if capture_pos:
+        ddl += ", `__ice_pos` bigint"
+    want = list(out_fields)
+    cap = capture_pos
+    arrow_names = dict(_ORC_ARROW)
+
+    def _decode(batches):
+        import io
+
+        import pyarrow as pa
+        from pyarrow import orc as pa_orc
+
+        for batch in batches:
+            names_in = batch.schema.names
+            path_col = batch.column(names_in.index("path"))
+            content_col = batch.column(names_in.index("content"))
+            for i in range(batch.num_rows):
+                blob = content_col[i].as_py()
+                fpath = path_col[i].as_py()
+                f = pa_orc.ORCFile(io.BytesIO(blob))
+                by_id = {}
+                for fld in f.schema:
+                    md = fld.metadata or {}
+                    if b"iceberg.id" in md:
+                        by_id[int(md[b"iceberg.id"])] = fld.name
+                tbl = f.read()
+                n_rows = tbl.num_rows
+                arrays, names = [], []
+                for fid, n, t in want:
+                    target = getattr(pa, arrow_names[t])()
+                    phys = by_id.get(fid)
+                    if phys is None or phys not in tbl.column_names:
+                        arrays.append(
+                            pa.array([None] * n_rows, type=target)
+                        )
+                    else:
+                        col = tbl.column(phys)
+                        if col.type != target:
+                            col = col.cast(target)
+                        arrays.append(col.combine_chunks())
+                    names.append(n)
+                base = fpath.rsplit("/", 1)[-1]
+                arrays.append(pa.array([base] * n_rows))
+                names.append("__ice_base")
+                if cap:
+                    arrays.append(pa.array(
+                        list(range(n_rows)), type=pa.int64()
+                    ))
+                    names.append("__ice_pos")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    raw = spark.read.format("binaryFile").load(paths)
+    return raw.select("path", "content").mapInArrow(
+        _decode, schema=ddl
+    ), present
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -1154,14 +1299,20 @@ def read_iceberg(
     eq_dels = [d for d in deletes if d.get("content") == 2]
 
     # format split (round 12): AVRO data files decode through the
-    # stdlib container codec; parquet keeps the field-id/name-mapping
-    # scan.  `files` reorders parquet-first so the `present` census
+    # stdlib container codec, ORC through pyarrow.orc with iceberg.id
+    # attribute resolution; parquet keeps the field-id/name-mapping
+    # scan.  `files` reorders parquet/avro/orc so the `present` census
     # and the per-file value maps stay aligned.
-    files_pq, files_av = [], []
+    files_pq, files_av, files_orc = [], [], []
     for f in files:
-        (files_pq if f.get("file_format", "PARQUET").upper()
-         == "PARQUET" else files_av).append(f)
-    files = files_pq + files_av
+        fmt = f.get("file_format", "PARQUET").upper()
+        if fmt == "PARQUET":
+            files_pq.append(f)
+        elif fmt == "AVRO":
+            files_av.append(f)
+        else:
+            files_orc.append(f)
+    files = files_pq + files_av + files_orc
     paths = [_localize(path, f["file_path"]) for f in files]
     legs = []
     present: list[set[str]] = []
@@ -1177,6 +1328,13 @@ def read_iceberg(
     if files_av:
         leg, pres = _avro_files_scan(
             spark, [_localize(path, f["file_path"]) for f in files_av],
+            cols, capture_pos=bool(pos_dels),
+        )
+        legs.append(leg)
+        present.extend(pres)
+    if files_orc:
+        leg, pres = _orc_files_scan(
+            spark, [_localize(path, f["file_path"]) for f in files_orc],
             cols, capture_pos=bool(pos_dels),
         )
         legs.append(leg)
@@ -1864,16 +2022,17 @@ def write_iceberg_commit(
             f"writer: columns {unknown_cols} not in the table schema "
             "(evolve the schema first — evolve_iceberg_schema)"
         )
-    if file_format not in ("parquet", "avro"):
+    if file_format not in ("parquet", "avro", "orc"):
         raise IcebergError(
             f"file_format {file_format!r} unsupported "
-            "('parquet' or 'avro')"
+            "('parquet', 'avro' or 'orc')"
         )
-    if file_format == "avro" and (partition_by or trans):
+    if file_format in ("avro", "orc") and (partition_by or trans):
         raise IcebergError(
-            "file_format='avro' supports unpartitioned writes only"
+            f"file_format={file_format!r} supports unpartitioned "
+            "writes only"
         )
-    if file_format == "avro" and not stamp_field_ids:
+    if file_format in ("avro", "orc") and not stamp_field_ids:
         raise IcebergError(
             "Avro data files REQUIRE field-id attributes (spec); "
             "stamp_field_ids=False is contradictory"
@@ -1942,6 +2101,18 @@ def write_iceberg_commit(
                 )
 
         df.mapInArrow(_write_avro, schema="n_rows long").collect()
+    elif file_format == "orc":
+        # field-id-stamped ORC files via pyarrow.orc, one per Spark
+        # partition (executor-side encode; iceberg.id type attributes
+        # are the spec's ORC field-id carrier)
+        from .orc import write_orc_dir as _worc
+
+        _worc(
+            df, tmp, compression="zlib",
+            field_ids={
+                c: int(name_to_id[c]) for c in df.columns
+            },
+        )
     else:
         writer = out_df.write.mode("overwrite")
         if write_cols:
@@ -1975,7 +2146,7 @@ def write_iceberg_commit(
 
     data_dir = os.path.join(path, "data")
     dst_names = [name for name, _s, _t, _tr in parts_meta]
-    ext = "avro" if file_format == "avro" else "parquet"
+    ext = {"avro": "avro", "orc": "orc"}.get(file_format, "parquet")
     for pt in tuples:
         sub = "/".join(f"{c}={v}" for c, v in zip(write_cols, pt))
         src_dir = os.path.join(tmp, sub) if sub else tmp
@@ -2002,6 +2173,8 @@ def write_iceberg_commit(
             try:
                 if ext == "parquet":
                     mins, maxs = _parquet_bounds(final)
+                elif ext == "orc":
+                    mins, maxs = _orc_bounds(final)
                 else:
                     mins, maxs = {}, {}
             except Exception:
