@@ -167,6 +167,8 @@ CORE = [
     "q481_hudi_clean",
     "q482_iceberg_refs",
     "q483_iceberg_orc_files",
+    "q484_iceberg_wap",
+    "q485_delta_restore",
 ]
 
 # Lakehouse fixture queries spend most of their wall building a
@@ -199,6 +201,8 @@ FIXTURE_SPLIT = {
     "q481_hudi_clean",
     "q482_iceberg_refs",
     "q483_iceberg_orc_files",
+    "q484_iceberg_wap",
+    "q485_delta_restore",
 }
 
 ROTATION_POOL = [

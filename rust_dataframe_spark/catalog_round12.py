@@ -1457,3 +1457,170 @@ def q483_iceberg_orc_files(
         "bonus_n bigint",
     )
     return census.unionByName(plan).orderBy("scope")
+
+
+# ---------------------------------------------------------------------------
+# q484: Iceberg WAP — write-audit-publish on a branch, plus rollback
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): main holds ids 0..4 (sum 10).  A `staging`
+# branch takes two commits (ids 100..102 then 200..201) while main
+# stays untouched — the audit reads the branch (n=10, id_sum=714),
+# main still answers 5/10.  fast_forward_iceberg publishes (main
+# now 10/714; ancestry proven through the writer's
+# parent-snapshot-id links), then rollback_iceberg returns main to
+# the first snapshot (5/10) with every newer snapshot still
+# time-travelable.
+
+
+@query(
+    "q484_iceberg_wap",
+    oracle="""
+    WITH facts AS (
+      SELECT 'main_before' AS scope, 5 AS n, 10 AS id_sum
+      UNION ALL SELECT 'published', 10, 714
+      UNION ALL SELECT 'rolled_back', 5, 10
+      UNION ALL SELECT 'staging', 10, 714)
+    SELECT scope, CAST(n AS BIGINT) AS n, CAST(id_sum AS BIGINT) AS id_sum
+    FROM facts ORDER BY scope
+    """,
+)
+def q484_iceberg_wap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg write-audit-publish (round 12 — sources/iceberg.py
+    write_iceberg_commit(branch=) / fast_forward_iceberg /
+    rollback_iceberg): commits on a BRANCH build on the branch head's
+    live entries and advance only the branch ref — main readers see
+    nothing until the publish step fast-forwards main to the branch
+    head, which refuses unless main's snapshot is an ANCESTOR
+    (parent-snapshot-id walk; anything else would silently drop
+    main-side commits).  Rollback is the metadata-only inverse: main
+    returns to an older snapshot, newer ones stay time-travelable.
+    The WAP pattern is how real pipelines gate data quality."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.iceberg import (
+        fast_forward_iceberg,
+        read_iceberg,
+        rollback_iceberg,
+        set_iceberg_ref,
+        write_iceberg_commit,
+    )
+
+    path = _scratch("iceberg_wap", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    s1 = write_iceberg_commit(
+        spark, path,
+        spark.range(5).select(F.col("id").cast("long").alias("id")),
+    )
+    set_iceberg_ref(path, "staging", ref_type="branch")
+    write_iceberg_commit(
+        spark, path,
+        spark.range(100, 103).select(
+            F.col("id").cast("long").alias("id")
+        ),
+        branch="staging",
+    )
+    write_iceberg_commit(
+        spark, path,
+        spark.range(200, 202).select(
+            F.col("id").cast("long").alias("id")
+        ),
+        branch="staging",
+    )
+
+    def census(df, scope):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").cast("long").alias("id_sum"),
+        ).select(F.lit(scope).alias("scope"), "n", "id_sum")
+
+    out = census(read_iceberg(spark, path), "main_before")
+    out = out.unionByName(
+        census(read_iceberg(spark, path, ref="staging"), "staging")
+    )
+    fast_forward_iceberg(path, "staging")
+    out = out.unionByName(
+        census(read_iceberg(spark, path), "published")
+    )
+    rollback_iceberg(path, s1)
+    out = out.unionByName(
+        census(read_iceberg(spark, path), "rolled_back")
+    )
+    return out.orderBy("scope")
+
+
+# ---------------------------------------------------------------------------
+# q485: Delta RESTORE — old version reconstructed as a new commit
+# ---------------------------------------------------------------------------
+#
+# Fixture (closed-form): v0 inserts ids 0..4 (sum 10), v1 inserts ids
+# 10..12 (table now 8 rows, sum 43).  RESTORE to version 0 appends
+# commit v2 removing v1's files: the table answers 5/10 again, while
+# time travel to v1 (above the restore) still reads 8/43 — the
+# restore is itself a version, exactly like the real operation.  The
+# restore version is pinned (2).
+
+
+@query(
+    "q485_delta_restore",
+    oracle="""
+    WITH facts AS (
+      SELECT 'meta' AS scope, 2 AS n, 0 AS id_sum
+      UNION ALL SELECT 'pre_restore', 8, 43
+      UNION ALL SELECT 'restored', 5, 10)
+    SELECT scope, CAST(n AS BIGINT) AS n, CAST(id_sum AS BIGINT) AS id_sum
+    FROM facts ORDER BY scope
+    """,
+)
+def q485_delta_restore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta RESTORE (round 12 — sources/delta.py restore_delta, the
+    public RESTORE TABLE ... TO VERSION AS OF): one appended commit
+    removes files live now but absent at the target and re-adds files
+    live at the target but absent now — metadata-only surgery, data
+    files never move, and the pre-restore state stays readable above
+    the restore commit.  Schema/configuration differences re-emit the
+    target metaData; CDF tables and vacuumed-away targets refuse
+    loudly."""
+    import shutil
+
+    from .catalog_sources import _scratch
+    from .sources.delta import (
+        read_delta,
+        restore_delta,
+        write_delta_commit,
+    )
+
+    path = _scratch("delta_restore", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta_commit(
+        spark, path,
+        spark.range(5).select(F.col("id").cast("long").alias("id")),
+    )
+    write_delta_commit(
+        spark, path,
+        spark.range(10, 13).select(F.col("id").cast("long").alias("id")),
+    )
+    v_restore = restore_delta(spark, path, version=0)
+
+    def census(df, scope):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").cast("long").alias("id_sum"),
+        ).select(F.lit(scope).alias("scope"), "n", "id_sum")
+
+    out = census(read_delta(spark, path), "restored")
+    out = out.unionByName(
+        census(
+            read_delta(spark, path, version=v_restore - 1),
+            "pre_restore",
+        )
+    )
+    meta = spark.createDataFrame(
+        [("meta", v_restore, 0)], "scope string, n bigint, id_sum bigint"
+    )
+    return out.unionByName(meta).orderBy("scope")

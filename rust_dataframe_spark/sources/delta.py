@@ -83,6 +83,7 @@ __all__ = [
     "compact_delta_files",
     "vacuum_delta",
     "delta_plan_files",
+    "restore_delta",
 ]
 
 
@@ -2068,3 +2069,73 @@ def vacuum_delta(
                 os.remove(full)
                 removed += 1
     return removed
+
+
+def restore_delta(
+    spark: SparkSession, path: str, *, version: int
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF ``version`` (the public Delta
+    operation): appends ONE commit that removes every file live now but
+    not at the target version and re-adds every file live at the target
+    but not now — metadata-only table surgery; data files never move,
+    and the restore itself is a new version (time travel ABOVE it still
+    sees the pre-restore state, exactly like real RESTORE).  When the
+    target version's schemaString/configuration differ, the commit
+    re-emits the target metaData (RESTORE restores schema too).
+
+    Fail-loud: CDF-enabled tables refuse (a restore is a rewrite
+    commit; its change rows are not synthesizable and
+    ``read_delta_changes`` would refuse the version anyway — refusing
+    at write time is kinder); a re-added file already vacuumed away
+    refuses (below the retention horizon, same contract as time
+    travel after VACUUM)."""
+    meta_now, adds_now = delta_snapshot_files(spark, path)
+    conf = meta_now.get("configuration") or {}
+    if conf.get("delta.enableChangeDataFeed") == "true":
+        raise DeltaError(
+            "RESTORE on a Change-Data-Feed table unsupported — the "
+            "restore commit's change rows are not synthesizable "
+            "(fail-loud)"
+        )
+    meta_v, adds_v = delta_snapshot_files(spark, path, version=version)
+    now_by_path = {a["path"]: a for a in adds_now}
+    v_by_path = {a["path"]: a for a in adds_v}
+    removes = [p for p in now_by_path if p not in v_by_path]
+    readds = [a for p, a in v_by_path.items() if p not in now_by_path]
+    for a in readds:
+        full = os.path.join(path, _decode_path(a["path"]))
+        if not os.path.exists(full):
+            raise DeltaError(
+                f"cannot restore: file {a['path']!r} was vacuumed away "
+                "(below the retention horizon; fail-loud)"
+            )
+    commits, checkpoints = _list_log(path)
+    new_version = max(commits + checkpoints) + 1
+    ts = int(time.time() * 1000)
+    actions: list[dict] = []
+    if (
+        meta_v.get("schemaString") != meta_now.get("schemaString")
+        or (meta_v.get("configuration") or {}) != conf
+        or (meta_v.get("partitionColumns") or [])
+        != (meta_now.get("partitionColumns") or [])
+    ):
+        actions.append({"metaData": meta_v})
+    for p in sorted(removes):
+        actions.append({
+            "remove": {"path": p, "deletionTimestamp": ts,
+                       "dataChange": True}
+        })
+    for a in sorted(readds, key=lambda x: x["path"]):
+        actions.append({"add": dict(a, dataChange=True)})
+    if not actions:
+        raise DeltaError(
+            f"RESTORE to version {version} is a no-op — the table "
+            "already matches (fail-loud so callers notice)"
+        )
+    with open(
+        os.path.join(path, _LOG, _commit_name(new_version)), "w",
+        encoding="utf-8",
+    ) as fh:
+        for action in actions:
+            fh.write(json.dumps(action) + "\n")
+    return new_version

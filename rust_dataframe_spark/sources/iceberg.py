@@ -79,6 +79,8 @@ __all__ = [
     "set_iceberg_name_mapping",
     "set_iceberg_ref",
     "resolve_iceberg_ref",
+    "fast_forward_iceberg",
+    "rollback_iceberg",
 ]
 
 
@@ -1873,11 +1875,20 @@ def write_iceberg_commit(
     stamp_field_ids: bool = True,
     partition_transforms: list[tuple[str, str, str]] | None = None,
     file_format: str = "parquet",
+    branch: str | None = None,
 ) -> int:
     """Append ``df`` as one Iceberg snapshot.  Each commit: one
     ``partitionBy`` write job, one full-rewrite manifest (live entries
     EXISTING + new ADDED), one manifest list, the next metadata json.
     Returns the new snapshot id.
+
+    ``branch=`` commits ON TOP OF a named branch ref instead of main
+    (the write half of WAP — write-audit-publish): the live base is
+    the BRANCH HEAD's entries, ``current-snapshot-id`` stays put, and
+    the branch ref advances to the new snapshot; readers on main see
+    nothing until :func:`fast_forward_iceberg` publishes.  The branch
+    must exist (``set_iceberg_ref(ref_type='branch')`` first) —
+    fail-loud, like real engines.
 
     ``stamp_field_ids=False`` writes the data files WITHOUT parquet
     field ids — simulating a Hive-migrated / foreign-writer file (the
@@ -1997,13 +2008,22 @@ def write_iceberg_commit(
     # stay valid because carried data files keep their paths
     live: list[dict] = []
     carry_deletes: list[dict] = []
-    if meta.get("current-snapshot-id", -1) != -1 and meta["snapshots"]:
+    parent_sid = meta.get("current-snapshot-id", -1)
+    if branch is not None:
+        ref = (meta.get("refs") or {}).get(branch)
+        if ref is None or ref.get("type") != "branch":
+            raise IcebergError(
+                f"branch {branch!r} does not exist (create it with "
+                "set_iceberg_ref(ref_type='branch') first; fail-loud)"
+            )
+        parent_sid = int(ref["snapshot-id"])
+    if parent_sid not in (-1, None) and meta.get("snapshots"):
         _m, live, _dels = iceberg_snapshot_files(
-            path, with_deletes=True, spark=spark
+            path, snapshot_id=parent_sid, with_deletes=True, spark=spark
         )
         carry_deletes = [
             m for m in _snapshot_manifest_entries(
-                path, meta, meta["current-snapshot-id"]
+                path, meta, parent_sid
             )
             if m.get("content", 0) == 1
         ]
@@ -2242,7 +2262,7 @@ def write_iceberg_commit(
             codec="deflate",
         ))
     meta = dict(meta)
-    meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+    snap_entry = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": ts,
         "sequence-number": seq,
@@ -2251,8 +2271,18 @@ def write_iceberg_commit(
         "summary": {"operation": (
             "overwrite" if replace_partitions else "append"
         )},
-    }]
-    meta["current-snapshot-id"] = snapshot_id
+    }
+    if parent_sid not in (-1, None):
+        snap_entry["parent-snapshot-id"] = int(parent_sid)
+    meta["snapshots"] = list(meta.get("snapshots") or []) + [snap_entry]
+    if branch is not None:
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {
+            "snapshot-id": snapshot_id, "type": "branch",
+        }
+        meta["refs"] = refs
+    else:
+        meta["current-snapshot-id"] = snapshot_id
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = ts
     new_version = version + 1
@@ -2656,3 +2686,78 @@ def resolve_iceberg_ref(path: str, name: str) -> int:
     if name not in refs:
         raise IcebergError(f"ref {name!r} does not exist")
     return int(refs[name]["snapshot-id"])
+
+
+def fast_forward_iceberg(path: str, branch: str) -> int:
+    """Publish a branch (the WAP 'publish' step): fast-forward main to
+    the branch head.  Refuses unless main's current snapshot is an
+    ANCESTOR of the branch head (walking ``parent-snapshot-id`` links —
+    this writer stamps them), because anything else is not a
+    fast-forward and would silently drop main-side commits.  The branch
+    ref stays (drop it separately if the audit flow is done).  Returns
+    the published snapshot id."""
+    meta, version = _load_metadata(path)
+    ref = (meta.get("refs") or {}).get(branch)
+    if ref is None or ref.get("type") != "branch":
+        raise IcebergError(f"branch {branch!r} does not exist")
+    head = int(ref["snapshot-id"])
+    cur = meta.get("current-snapshot-id")
+    by_id = {
+        s.get("snapshot-id"): s for s in meta.get("snapshots") or []
+    }
+    if head not in by_id:
+        raise IcebergError(f"branch head {head} not in metadata")
+    if cur is not None and cur != -1:
+        # ancestry walk: head -> parents must reach cur
+        seen = set()
+        node = head
+        while True:
+            if node == cur:
+                break
+            if node in seen:
+                raise IcebergError("parent-snapshot-id cycle (corrupt)")
+            seen.add(node)
+            parent = by_id.get(node, {}).get("parent-snapshot-id")
+            if parent is None:
+                raise IcebergError(
+                    f"main snapshot {cur} is not an ancestor of branch "
+                    f"{branch!r} head {head} (or ancestry is unprovable "
+                    "— pre-round-12 snapshots carry no parent links); "
+                    "not a fast-forward (fail-loud)"
+                )
+            node = int(parent)
+    meta = dict(meta)
+    meta["current-snapshot-id"] = head
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(path, "metadata")
+    new_version = version + 1
+    with open(os.path.join(mdir, f"v{new_version}.metadata.json"),
+              "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w",
+              encoding="utf-8") as fh:
+        fh.write(str(new_version))
+    return head
+
+
+def rollback_iceberg(path: str, snapshot_id: int) -> None:
+    """Roll main back to an EXISTING older snapshot (the spec's
+    rollback — metadata-only; no files move, newer snapshots stay in
+    the log and remain time-travelable until expiry)."""
+    meta, version = _load_metadata(path)
+    known = {s.get("snapshot-id") for s in meta.get("snapshots") or []}
+    if snapshot_id not in known:
+        raise IcebergError(
+            f"snapshot {snapshot_id} not in metadata (cannot roll back)"
+        )
+    meta = dict(meta)
+    meta["current-snapshot-id"] = int(snapshot_id)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(path, "metadata")
+    new_version = version + 1
+    with open(os.path.join(mdir, f"v{new_version}.metadata.json"),
+              "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w",
+              encoding="utf-8") as fh:
+        fh.write(str(new_version))
