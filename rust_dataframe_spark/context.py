@@ -49,6 +49,12 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     # Stable timestamp behavior across engines.
     "spark.sql.session.timeZone": "UTC",
+    # Python worker fork+connect can exceed the 15s default when the box
+    # is saturated (observed: streaming sources flaking with "Python
+    # worker failed to connect back" while a full pytest run pegged all
+    # cores) — a timeout here is never a correctness signal, so be
+    # patient instead of failing a healthy query.
+    "spark.python.authenticate.socketTimeout": "120s",
     # Local-only sizing (cluster deployments override via spark-submit).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
