@@ -722,7 +722,11 @@ class TestHudiIncremental:
                 spark, path, begin_ts=t0 - 1
             ).collect()
 
-    def test_mor_refuses(self, spark, tmp_path):
+    def test_mor_serves_since_round12(self, spark, tmp_path):
+        # round 11 pinned a loud MOR refusal here; round 12 implemented
+        # MOR incremental reads (q473, tests/test_r12_lakehouse.py
+        # TestHudiMorIncremental), so this now pins the POSITIVE path:
+        # a meta-fielded MOR table's base commit serves incrementally.
         from pyspark.sql import functions as F
 
         from rust_dataframe_spark.sources.hudi import (
@@ -734,11 +738,26 @@ class TestHudiIncremental:
         path = str(tmp_path / "t")
         write_hudi_commit(
             spark, path,
-            spark.range(4).select(F.col("id").cast("int").alias("id")),
+            spark.range(4).select(
+                F.col("id").cast("int").alias("id")
+            ).coalesce(1),
+            table_type="MERGE_ON_READ", record_key="id",
+            meta_fields=True,
+        )
+        got = read_hudi_incremental(spark, path, begin_ts=0)
+        assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3]
+
+        # the meta-field-less MOR shape still refuses loudly
+        plain = str(tmp_path / "plain")
+        write_hudi_commit(
+            spark, plain,
+            spark.range(4).select(
+                F.col("id").cast("int").alias("id")
+            ).coalesce(1),
             table_type="MERGE_ON_READ", record_key="id",
         )
-        with pytest.raises(HudiError, match="MERGE_ON_READ"):
-            read_hudi_incremental(spark, path, begin_ts=0)
+        with pytest.raises(HudiError, match="meta"):
+            read_hudi_incremental(spark, plain, begin_ts=0)
 
 
 class TestEqDeleteShuffledFallback:
@@ -829,7 +848,7 @@ class TestDeltaMaintenance:
         }
         assert v not in vers  # dataChange=false: invisible to CDF
 
-    def test_compact_refuses_over_dvs(self, spark, tmp_path):
+    def test_compact_materializes_dvs_since_round12(self, spark, tmp_path):
         import os as _os
 
         from rust_dataframe_spark.sources.delta import (
@@ -843,8 +862,21 @@ class TestDeltaMaintenance:
         _m, adds = delta_snapshot_files(spark, path)
         target = adds[0]["path"]
         write_delta_delete_rows(spark, path, {target: [0]})
-        with pytest.raises(DeltaError, match="deletion vectors"):
-            compact_delta_files(spark, path)
+        # round 11 pinned a loud DV refusal here; round 12 implemented
+        # DV-materializing OPTIMIZE (q474, tests/test_r12_lakehouse.py
+        # TestDeltaOptimizeDV), so this now pins the POSITIVE path:
+        # compaction succeeds, the census is preserved, and the
+        # compacted table carries no deletion vectors.
+        from rust_dataframe_spark.sources.delta import read_delta
+
+        before = read_delta(spark, path).count()
+        compact_delta_files(spark, path)
+        assert read_delta(spark, path).count() == before
+        _m2, adds2 = delta_snapshot_files(spark, path)
+        assert not any(
+            (a.get("deletionVector") or {}).get("storageType")
+            for a in adds2
+        )
 
     def test_vacuum_deletes_unreferenced_only(self, spark, tmp_path):
         import glob as _glob
