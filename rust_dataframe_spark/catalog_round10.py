@@ -578,14 +578,16 @@ def q460_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         partition_by=["p"],
     )
+    from .sources.lakehouse_util import local_rows_df
+
     write_iceberg_equality_deletes(
         spark, path,
-        spark.createDataFrame([(3,), (10,), (17,), (24,)], "id int"),
+        local_rows_df(spark, [(3,), (10,), (17,), (24,)], "id int"),
         ["id"],
     )
     write_iceberg_commit(
         spark, path,
-        spark.createDataFrame([(3, 0)], "id int, p int"),
+        local_rows_df(spark, [(3, 0)], "id int, p int"),
         partition_by=["p"],
     )
     cur = read_iceberg(spark, path).withColumn("snap", F.lit("current"))

@@ -321,11 +321,11 @@ def q464_delta_change_data_feed(
         ).coalesce(1),
         enable_cdf=True,
     )
+    from .sources.lakehouse_util import local_rows_df
+
     write_delta_commit(
         spark, path,
-        spark.createDataFrame(
-            [(100, 7), (101, 9)], "id int, val int"
-        ).coalesce(1),
+        local_rows_df(spark, [(100, 7), (101, 9)], "id int, val int"),
     )
     update_delta_rows_cdf(
         spark, path, "id % 5 = 0", {"val": "val + 1000"}

@@ -545,12 +545,14 @@ def q475_iceberg_transform_pruning(
     shutil.rmtree(pb, ignore_errors=True)
     fruit = ["apple", "apricot", "banana", "blueberry", "cherry",
              "citrus"]
+    from .sources.lakehouse_util import local_rows_df
+
     write_iceberg_commit(
         spark, pb,
-        spark.createDataFrame(
-            [(i, fruit[i % 6]) for i in range(24)],
+        local_rows_df(
+            spark, [(i, fruit[i % 6]) for i in range(24)],
             "id int, name string",
-        ).coalesce(1),
+        ),
         partition_transforms=[("name_tr", "name", "truncate[2]")],
     )
     k4 = iceberg_plan_files(pa, where="k = 4", spark=spark)

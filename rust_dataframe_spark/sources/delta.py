@@ -309,6 +309,105 @@ def _read_dv_positions(dv: dict, table_path: str) -> list[int]:
     return vals
 
 
+# Checkpoints at or under this byte budget replay DRIVER-SIDE via
+# pyarrow (a handful of ms) instead of ~4 small Spark jobs (~1.5-2 s of
+# fixed scheduling latency on every checkpoint-bootstrapped read).
+# Above it, the distributed DataFrame reconciliation below keeps the
+# 10^5-10^7-file posture.  Same adaptive-gate pattern as the field-id
+# footer probe (fieldid.py: driver under 64 files, mapInPandas above).
+_CP_DRIVER_BYTES = int(
+    os.environ.get("SPARK_GRAFT_CP_DRIVER_BYTES", 8 * 1024 * 1024)
+)
+
+
+class _CpFallback(Exception):
+    """Driver-side checkpoint replay declined (size/feature) — use the
+    distributed path."""
+
+
+def _cp_driver_replay(
+    parquet_groups: list[list[str]],
+    sidecar_dir: str,
+    max_live_files: int,
+) -> tuple[dict | None, dict[str, dict]]:
+    """Pure-pyarrow mirror of the distributed checkpoint replay below:
+    same reconciliation (adds of every group minus all removes, last
+    metaData wins, every protocol row checked, V2 top-level sidecars
+    appended as another group), same loud ``max_live_files`` budget.
+    Raises :class:`_CpFallback` when any group exceeds the byte budget
+    or pyarrow is unavailable."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError as e:
+        raise _CpFallback from e
+    groups = [list(g) for g in parquet_groups]
+    meta: dict | None = None
+    adds: dict[str, dict] = {}
+    removed: set[str] = set()
+    first = True
+    while groups:
+        gpaths = groups.pop(0)
+        rows: list[dict] = []
+        for p in gpaths:
+            if os.path.getsize(p) > _CP_DRIVER_BYTES:
+                raise _CpFallback
+            rows.extend(pq.read_table(p).to_pylist())
+        if len(rows) > 2 * max_live_files + 16:
+            raise _CpFallback
+        for r in rows:
+            if first and r.get("sidecar") and (
+                r["sidecar"].get("path") is not None
+            ):
+                p = r["sidecar"]["path"]
+                groups.append([
+                    p if os.path.isabs(p)
+                    else os.path.join(sidecar_dir, p)
+                ])
+            md = r.get("metaData")
+            if md and md.get("id") is not None:
+                meta = dict(md)
+                if isinstance(meta.get("partitionColumns"), str):
+                    meta["partitionColumns"] = json.loads(
+                        meta["partitionColumns"]
+                    )
+                if isinstance(meta.get("configuration"), str):
+                    meta["configuration"] = json.loads(
+                        meta["configuration"]
+                    )
+            proto = r.get("protocol")
+            if proto and proto.get("minReaderVersion") is not None:
+                _check_protocol(
+                    {k: v for k, v in proto.items() if v is not None}
+                )
+            a = r.get("add")
+            if a and a.get("path") is not None:
+                pv = a.get("partitionValues")
+                if isinstance(pv, list):  # pyarrow map -> kv tuples
+                    pv = dict(pv)
+                dv = a.get("deletionVector")
+                if dv is not None and dv.get("storageType") is None:
+                    dv = None
+                adds[a["path"]] = {
+                    "path": a["path"],
+                    "partitionValues": dict(pv or {}),
+                    "size": a.get("size"),
+                    "deletionVector": dict(dv) if dv else None,
+                }
+            rm = r.get("remove")
+            if rm and rm.get("path") is not None:
+                removed.add(rm["path"])
+        first = False
+    live = {p: a for p, a in adds.items() if p not in removed}
+    if len(live) > max_live_files:
+        raise DeltaError(
+            "checkpoint holds more than "
+            f"{max_live_files} live files — refusing the "
+            "driver-side file list (raise max_live_files "
+            "explicitly to proceed)"
+        )
+    return meta, live
+
+
 def delta_snapshot_files(
     spark: SparkSession,
     path: str,
@@ -374,6 +473,16 @@ def delta_snapshot_files(
         else:
             parquet_groups.append(cp_paths)
 
+        try:
+            d_meta, d_live = _cp_driver_replay(
+                parquet_groups, sidecar_dir, max_live_files
+            )
+            if d_meta is not None:
+                meta = d_meta
+            live.update(d_live)
+            parquet_groups = []
+        except _CpFallback:
+            pass
         adds_parts = []
         removes_parts = []
         dv_ddl = (
@@ -1073,17 +1182,62 @@ def write_delta_commit(
     if partition_by:
         writer = writer.partitionBy(*phys)
     writer.parquet(tmp)
-    if partition_by:
-        counts = {
-            tuple(str(r[c]) for c in partition_by): r["cnt"]
-            for r in df.groupBy(*partition_by).agg(
-                F.count(F.lit(1)).alias("cnt")
-            ).collect()
-        }
-        parts = sorted(counts)
+    # Per-commit stats come from the parquet FOOTERS (_file_stats —
+    # numRecords + min/max, footer-only) and the written partition set
+    # from the tmp directory layout, so no second Spark job re-executes
+    # ``df`` (guide §1.2: don't compute things you throw away — the old
+    # groupBy/count job re-ran the entire input plan, which for
+    # compaction-shaped callers is the whole table rewrite twice).
+    # Only a pyarrow-less runtime still pays the count job (fallback).
+    try:
+        import pyarrow.parquet  # noqa: F401
+
+        _have_pa = True
+    except Exception:
+        _have_pa = False
+    if not _have_pa:
+        if partition_by:
+            counts = {
+                tuple(str(r[c]) for c in partition_by): r["cnt"]
+                for r in df.groupBy(*partition_by).agg(
+                    F.count(F.lit(1)).alias("cnt")
+                ).collect()
+            }
+        else:
+            counts = {(): df.count()}
     else:
-        counts = {(): df.count()}
-        parts = [()]
+        counts = {}
+    # Spark Hive-escapes special chars in partition dir names
+    # ('%' -> '%25', ':' -> '%3A', ...); discover the on-disk dirs and
+    # map them back to values instead of predicting the escaping.  The
+    # discovered dirs also ARE the written partition set (a partition
+    # value with zero rows writes no dir), replacing the old
+    # groupBy-count probe job.
+    dir_of: dict[tuple, str] = {(): ""}
+    if partition_by:
+        dir_of = {}
+        for root, dirs, _files in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            segs = [] if rel == "." else rel.split(os.sep)
+            if len(segs) == len(phys) and all(
+                "=" in s for s in segs
+            ):
+                if any(
+                    s.split("=", 1)[1] == "__HIVE_DEFAULT_PARTITION__"
+                    for s in segs
+                ):
+                    raise DeltaError(
+                        "writer: null partition value (fail-loud)"
+                    )
+                vals = tuple(
+                    urllib.parse.unquote(s.split("=", 1)[1])
+                    for s in segs
+                )
+                dir_of[vals] = "/".join(segs)
+                dirs[:] = []
+    parts = sorted(dir_of)
+    if counts and set(counts) != set(parts):
+        raise DeltaError("writer: partition dir/count mismatch")
     if replace_partitions and version > 0:
         _, adds = delta_snapshot_files(spark, path)
         doomed = set(parts)
@@ -1096,27 +1250,7 @@ def write_delta_commit(
                                "deletionTimestamp": ts,
                                "dataChange": True}
                 })
-    # Spark Hive-escapes special chars in partition dir names
-    # ('%' -> '%25', ':' -> '%3A', ...); discover the on-disk dirs and
-    # map them back to values instead of predicting the escaping.
-    dir_of: dict[tuple, str] = {(): ""}
-    if partition_by:
-        dir_of = {}
-        for root, dirs, _files in os.walk(tmp):
-            rel = os.path.relpath(root, tmp)
-            segs = [] if rel == "." else rel.split(os.sep)
-            if len(segs) == len(phys) and all(
-                "=" in s for s in segs
-            ):
-                vals = tuple(
-                    urllib.parse.unquote(s.split("=", 1)[1])
-                    for s in segs
-                )
-                dir_of[vals] = "/".join(segs)
-                dirs[:] = []
     for pt in parts:
-        if pt not in dir_of:
-            raise DeltaError(f"writer: partition dir for {pt!r} missing")
         sub = dir_of[pt]
         src_dir = os.path.join(tmp, sub) if sub else tmp
         files = sorted(
@@ -1149,7 +1283,7 @@ def write_delta_commit(
             }
             add["stats"] = json.dumps(_file_stats(
                 os.path.join(full_dir, fname),
-                counts[pt] if len(files) == 1 else None,
+                counts.get(pt) if len(files) == 1 else None,
             ))
             actions.append({"add": add})
     shutil.rmtree(tmp, ignore_errors=True)
@@ -1189,6 +1323,37 @@ _CP_V2_DDL = _CP_DDL + (
 
 
 def _write_cp_parquet(spark, path, rows, ddl, out_path) -> None:
+    """Write one checkpoint parquet.  Fast path: DRIVER-SIDE pyarrow —
+    checkpoint rows are metadata the driver already holds (guide §5:
+    the driver should do almost no data work, and a distributed write
+    of a driver-local action list is exactly that work plus two Python
+    round-trip jobs).  The arrow schema comes from the same DDL the
+    old from_json path used, so Spark reads the file identically
+    (pinned by tests/test_r12_opt.py).  Falls back to the original
+    Spark job if pyarrow is unavailable."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        struct = StructType.fromDDL(ddl)
+        schema = to_arrow_schema(struct)
+        names = set(schema.names)
+        clean = [
+            {k: v for k, v in r.items() if k in names} for r in rows
+        ]
+        tbl = pa.Table.from_pylist(clean, schema=schema)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        pq.write_table(tbl, out_path, compression="snappy")
+        return
+    except Exception:
+        # no pyarrow, or a row shape the arrow conversion cannot
+        # express — the Spark job below is always-correct (slower)
+        try:
+            os.remove(out_path)
+        except OSError:
+            pass
     import pandas as pd
 
     pdf = pd.DataFrame({"json": [json.dumps(r) for r in rows]})

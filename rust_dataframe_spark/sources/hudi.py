@@ -50,6 +50,7 @@ import json
 import os
 import re
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -342,11 +343,34 @@ def write_hudi_commit(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    # Discover the written partition set from the tmp directory layout
+    # instead of a second Spark job: ``df.select(...).distinct()``
+    # re-executed the ENTIRE input plan — for compact_hudi that input
+    # is the full merge-on-read log replay, so the old probe doubled
+    # the cost of every compaction (guide §1.2: don't recompute what
+    # an earlier pass already produced).
     if partition_by:
-        tuples = sorted(
-            tuple(str(r[c]) for c in partition_by)
-            for r in df.select(*partition_by).distinct().collect()
-        )
+        dir_of: dict[tuple, str] = {}
+        for root, dirs, _files in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            segs = [] if rel == "." else rel.split(os.sep)
+            if len(segs) == len(partition_by) and all(
+                "=" in s for s in segs
+            ):
+                if any(
+                    s.split("=", 1)[1] == "__HIVE_DEFAULT_PARTITION__"
+                    for s in segs
+                ):
+                    raise HudiError(
+                        "writer: null partition value (fail-loud)"
+                    )
+                vals = tuple(
+                    urllib.parse.unquote(s.split("=", 1)[1])
+                    for s in segs
+                )
+                dir_of[vals] = "/".join(segs)
+                dirs[:] = []
+        tuples = sorted(dir_of)
     else:
         tuples = [()]
     written: dict[str, list[str]] = {}
@@ -623,7 +647,18 @@ def read_hudi_mor(
     )
     if not rows:
         return base.drop("__hudi_fid")
-    logs_in = spark.createDataFrame(rows, "fid string, paths string")
+    # one slice per file group (instead of defaultParallelism mostly
+    # empty pickled slices — each empty slice still costs a Python
+    # worker round-trip in the mapInPandas below)
+    logs_in = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            rows,
+            numSlices=min(
+                len(rows), spark.sparkContext.defaultParallelism
+            ),
+        ),
+        "fid string, paths string",
+    )
 
     def replay(batches):
         import pandas as pd
@@ -864,14 +899,24 @@ def compact_hudi(spark: SparkSession, path: str) -> int:
     for part, f in slices:
         m = _FILE_RE.match(os.path.basename(f))
         upsert_into[part] = m.group("fid")
-    merged = read_hudi_mor(spark, path)
-    has_meta = "_hoodie_commit_time" in merged.columns
-    if has_meta:
-        # provenance-preserving rewrite: log-upserted rows take their
-        # delta instant (block INSTANT_TIME header) into the new base
-        # file's meta column — without this they'd carry NULL forever
-        # and silently vanish from every incremental range
-        merged = read_hudi_mor(spark, path, _provenance=True)
+    # meta-field presence from one base-file FOOTER (all slices share
+    # the writer's schema) instead of building a throwaway merge plan
+    # just to inspect .columns
+    try:
+        import pyarrow.parquet as pq
+
+        has_meta = (
+            "_hoodie_commit_time" in pq.read_schema(slices[0][1]).names
+        )
+    except Exception:
+        has_meta = (
+            "_hoodie_commit_time" in read_hudi_mor(spark, path).columns
+        )
+    # provenance-preserving rewrite: log-upserted rows take their
+    # delta instant (block INSTANT_TIME header) into the new base
+    # file's meta column — without this they'd carry NULL forever
+    # and silently vanish from every incremental range
+    merged = read_hudi_mor(spark, path, _provenance=has_meta)
     if part_cols:
         merged = merged.repartition(*[F.col(c) for c in part_cols])
     return write_hudi_commit(

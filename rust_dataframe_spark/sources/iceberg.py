@@ -52,6 +52,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -60,6 +61,7 @@ from .avro import decode_records, encode_records
 from .lakehouse_util import (
     assert_unique_basenames,
     attach_file_values,
+    local_rows_df,
     parse_conjuncts as _parse_conjuncts,
     range_survives as _range_survives,
 )
@@ -227,6 +229,22 @@ def _parquet_bounds(path: str) -> tuple[dict, dict]:
             if name not in maxs or st.max > maxs[name]:
                 maxs[name] = st.max
     return mins, maxs
+
+
+def _file_rows(path: str, ext: str) -> int:
+    """Exact row count from the file FOOTER (parquet metadata / ORC
+    tail) — the writer's manifest record_count without a Spark count
+    job.  Loud on failure: a written file whose footer cannot state
+    its row count is corrupt."""
+    if ext == "parquet":
+        import pyarrow.parquet as pq
+
+        return int(pq.read_metadata(path).num_rows)
+    if ext == "orc":
+        from .orc import orc_tail_of_file
+
+        return int(orc_tail_of_file(path)["num_rows"])
+    raise IcebergError(f"_file_rows: no footer count for {ext!r}")
 
 
 def _murmur3_32(data: bytes, seed: int = 0) -> int:
@@ -2068,18 +2086,6 @@ def write_iceberg_commit(
         write_cols = [f"__pt_{name}" for name, _s, _t, _tr in parts_meta]
         for (name, src, t, tr), wc in zip(parts_meta, write_cols):
             out_df = out_df.withColumn(wc, _transform_column(src, t, tr))
-        counts = {}
-        for r in out_df.groupBy(*write_cols).agg(
-            F.count(F.lit(1)).alias("cnt")
-        ).collect():
-            key = tuple(r[c] for c in write_cols)
-            if any(v is None for v in key):
-                raise IcebergError(
-                    "writer: null partition-transform value "
-                    "(fail-loud; null partitions unsupported)"
-                )
-            counts[tuple(str(v) for v in key)] = r["cnt"]
-        tuples = sorted(counts)
     if file_format == "avro":
         # field-id-stamped Avro containers, one per Spark partition
         # (executor-side encode — rows never route through the driver)
@@ -2120,7 +2126,14 @@ def write_iceberg_commit(
                     names=["n_rows"],
                 )
 
-        df.mapInArrow(_write_avro, schema="n_rows long").collect()
+        # the write job's own per-task row counts replace the old
+        # separate df.count() job (one pass instead of two)
+        avro_total = sum(
+            r["n_rows"]
+            for r in df.mapInArrow(
+                _write_avro, schema="n_rows long"
+            ).collect()
+        )
     elif file_format == "orc":
         # field-id-stamped ORC files via pyarrow.orc, one per Spark
         # partition (executor-side encode; iceberg.id type attributes
@@ -2138,17 +2151,44 @@ def write_iceberg_commit(
         if write_cols:
             writer = writer.partitionBy(*write_cols)
         writer.parquet(tmp)
-    if partition_by:
-        counts = {
-            tuple(str(r[c]) for c in partition_by): r["cnt"]
-            for r in df.groupBy(*partition_by).agg(
-                F.count(F.lit(1)).alias("cnt")
-            ).collect()
-        }
-        tuples = sorted(counts)
-    elif not trans:
-        counts = {(): df.count()}
+    # Written partition set from the tmp directory layout; per-file
+    # row counts from footers at entry-build time — no second Spark
+    # job re-executes ``df`` (guide §1.2; for transformed specs the
+    # old groupBy probe re-ran the bucket pandas UDF over the whole
+    # input a second time).  A null partition/transform value shows
+    # up as Spark's __HIVE_DEFAULT_PARTITION__ dir and refuses loudly
+    # exactly as the old row-probe did.
+    if partition_by or trans:
+        dir_cols = write_cols if trans else partition_by
+        dir_of: dict[tuple, str] = {}
+        for root, dirs, _files in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            segs = [] if rel == "." else rel.split(os.sep)
+            if len(segs) == len(dir_cols) and all(
+                "=" in s for s in segs
+            ):
+                if any(
+                    s.split("=", 1)[1] == "__HIVE_DEFAULT_PARTITION__"
+                    for s in segs
+                ):
+                    raise IcebergError(
+                        "writer: null partition"
+                        + ("-transform" if trans else "")
+                        + " value (fail-loud; null partitions "
+                        "unsupported)"
+                    )
+                vals = tuple(
+                    urllib.parse.unquote(s.split("=", 1)[1])
+                    for s in segs
+                )
+                dir_of[vals] = "/".join(segs)
+                dirs[:] = []
+        tuples = sorted(dir_of)
+    else:
         tuples = [()]
+    counts: dict[tuple, int] = (
+        {(): avro_total} if file_format == "avro" else {}
+    )
 
     snapshot_id = ts * 1000 + version  # unique, monotone enough
     seq = int(meta.get("last-sequence-number") or 0) + 1
@@ -2216,9 +2256,10 @@ def write_iceberg_commit(
                     "file_path": final,
                     "file_format": ext.upper(),
                     "partition": pv,
-                    "record_count": int(
-                        counts[pt] if len(files) == 1 else -1
-                    ),
+                    "record_count": (
+                        int(counts[pt]) if pt in counts
+                        else _file_rows(final, ext)
+                    ) if len(files) == 1 else -1,
                     "file_size_in_bytes": os.path.getsize(final),
                     "lower_bounds": lower or None,
                     "upper_bounds": upper or None,
@@ -2318,7 +2359,12 @@ def write_iceberg_position_deletes(
     snapshot_id = ts * 1000 + version
     from .fieldid import with_field_ids
 
-    ddf = spark.createDataFrame(
+    # one-slice local frame (lakehouse_util.local_rows_df): the old
+    # createDataFrame(...).coalesce(1) evaluated 32 mostly-empty
+    # pickled slices sequentially in one task — ~4.5 s of Python
+    # worker round-trips per delete commit (guide §4)
+    ddf = local_rows_df(
+        spark,
         [(p, int(pos)) for p, pos in deletes],
         "file_path string, pos bigint",
     )
@@ -2328,7 +2374,7 @@ def write_iceberg_position_deletes(
     )
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     tmp = os.path.join(path, f"_tmp_del_{uuid.uuid4().hex[:8]}")
-    ddf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    ddf.write.mode("overwrite").parquet(tmp)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     part = next(

@@ -100,6 +100,22 @@ def range_survives(lo, hi, op: str, val) -> bool:
     return True
 
 
+def local_rows_df(spark, rows: list, schema: str):
+    """One-slice DataFrame from driver-local fixture rows.
+
+    ``spark.createDataFrame(rows, ddl)`` parallelizes the list into
+    ``defaultParallelism`` pickled slices (32 on local[32], mostly
+    empty for fixture-sized data); a later ``.coalesce(1)`` then
+    evaluates all 32 slices SEQUENTIALLY in one task — one Python
+    worker round-trip each, ~4.5 s of pure overhead measured for a
+    24-row frame (guide §4: every Python-boundary crossing costs).
+    Parallelizing into ONE slice up front gives the same rows, the
+    same single output file, one Python round-trip (~0.3 s)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 def assert_unique_basenames(
     paths: list[str], *, err_cls: type[Exception], tag: str
 ) -> None:
