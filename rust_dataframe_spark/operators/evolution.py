@@ -96,7 +96,10 @@ def migrate_schema(
             actions.append((name, "drop", ""))
     migrated = cur.select(*cols)
     n = df.count()
-    audit = spark.createDataFrame(
+    from ..sources.lakehouse_util import local_rows_df
+
+    audit = local_rows_df(
+        spark,
         [(vintage, c, a, d, n) for c, a, d in sorted(actions)] or
         [(vintage, "*", "passthrough", "", n)],
         "vintage string, column string, action string, detail string,"

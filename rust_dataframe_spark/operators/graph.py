@@ -308,7 +308,9 @@ def bfs_levels(
         return s  # exotic key types: let schema verification decide
 
     dist = spark.createDataFrame(
-        [(_coerce(s), 0) for s in seeds],
+        spark.sparkContext.parallelize(
+            [(_coerce(s), 0) for s in seeds], numSlices=1
+        ),
         T.StructType(
             [
                 T.StructField("node", node_type, False),

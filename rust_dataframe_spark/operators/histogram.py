@@ -96,6 +96,10 @@ def profile(df, columns=None):
         )
         for c in cols
     ]
-    return spark.createDataFrame(
-        out, "column string, n_rows bigint, n_nulls bigint, n_distinct bigint, min string, max string"
+    from ..sources.lakehouse_util import local_rows_df
+
+    return local_rows_df(
+        spark,
+        out,
+        "column string, n_rows bigint, n_nulls bigint, n_distinct bigint, min string, max string",
     )

@@ -462,7 +462,13 @@ def bradley_terry(
     cur = {it: S for it in items}  # uniform start on the grid
     out_rows = []
     for rnd in range(1, iters + 1):
-        pi = spark.createDataFrame(
+        # one-slice local frame: plain createDataFrame parallelizes the
+        # item axis into defaultParallelism mostly-empty pickled slices,
+        # each a Python-worker round-trip per evaluating job (guide §4)
+        from ..sources.lakehouse_util import local_rows_df
+
+        pi = local_rows_df(
+            spark,
             [(it, int(q)) for it, q in sorted(cur.items())],
             f"item {item_type}, q bigint",
         )
@@ -527,7 +533,10 @@ def bradley_terry(
         }
         for it in items:
             out_rows.append((rnd, it, cur[it], float(ll_in), iters))
-    return spark.createDataFrame(
+    from ..sources.lakehouse_util import local_rows_df
+
+    return local_rows_df(
+        spark,
         out_rows,
         f"round int, item {item_type}, strength_q bigint, ll_in double, "
         "n_rounds int",

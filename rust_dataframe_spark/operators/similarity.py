@@ -620,7 +620,10 @@ def ivf_batch_topk(
     from pyspark.sql import Window
 
     spark = corpus.sparkSession
-    cent = spark.createDataFrame(
+    from ..sources.lakehouse_util import local_rows_df
+
+    cent = local_rows_df(
+        spark,
         [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
         "cid int, cv array<double>",
     )

@@ -1314,6 +1314,8 @@ def unigram_expected_counts(
     id_col: str,
     text_col: str,
     weights: dict[str, float],
+    *,
+    _freq: DataFrame | None = None,
 ) -> DataFrame:
     """EM E-step for Unigram-LM tokenizer training (forward-backward over the
     per-word segmentation lattice): with path probability proportional to the
@@ -1382,11 +1384,15 @@ def unigram_expected_counts(
         )
 
     _udf.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    # asNondeterministic: the UDF is pure, but without this flag Catalyst
+    # pushes the z>0 filter below the word aggregation (the predicate only
+    # references the grouping key) and re-evaluates the lattice DP on every
+    # word OCCURRENCE — corpus-sized instead of distinct-word-sized.
     fb_udf = F.pandas_udf(
         _udf, "struct<pieces: array<string>, nums: array<double>, z: double>"
-    )
+    ).asNondeterministic()
 
-    freq = (
+    freq = _freq if _freq is not None else (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -1444,29 +1450,46 @@ def unigram_m_step(expected: DataFrame) -> DataFrame:
             lambda a, v: a + v,
         ).alias("te")
     )
-    tot = per_piece.agg(
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("piece", F.col("te").alias("v")))),
-                lambda s: s["v"],
+    # Grand total as a whole-frame window over per_piece (vocab-sized, one
+    # partition) rather than per_piece.agg(...).crossJoin(per_piece): the
+    # self-referencing crossJoin made Catalyst execute the ENTIRE E-step
+    # subtree — corpus scan and lattice UDF included — twice.  The fold
+    # expression is byte-identical (collect_list -> array_sort by (piece, v)
+    # -> ordered + fold), so gt and every output float are unchanged.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gt = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("piece", F.col("te").alias("v"))).over(
+                    w_all
+                )
             ),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        ).alias("gt")
+            lambda s: s["v"],
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
     )
     return (
-        per_piece.crossJoin(F.broadcast(tot))
-        .select(
+        per_piece.select(
             "piece",
             (F.floor(F.col("te") * 1e6) / 1e6).alias("total_expected"),
-            (F.floor(F.col("te") / F.col("gt") * 1e6) / 1e6).alias("new_prob"),
+            (F.floor(F.col("te") / gt * 1e6) / 1e6).alias("new_prob"),
         )
         .orderBy("piece")
     )
 
 
 def unigram_corpus_ll(
-    df: DataFrame, id_col: str, text_col: str, weights: dict[str, float]
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    *,
+    _freq: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus log-likelihood of a Unigram-LM vocabulary with INTEGER
     weights, engine-deterministically: per distinct word a
@@ -1520,9 +1543,12 @@ def unigram_corpus_ll(
         return pd.Series(s.map(_zk))
 
     _udf.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    zk_udf = F.pandas_udf(_udf, "array<double>")
+    # asNondeterministic: prevents the zp>0 filter from pushing below the
+    # word aggregation and re-running the per-k lattice on every word
+    # occurrence (see unigram_expected_counts).
+    zk_udf = F.pandas_udf(_udf, "array<double>").asNondeterministic()
 
-    freq = (
+    freq = _freq if _freq is not None else (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -1630,36 +1656,58 @@ def unigram_em(
     out_rows: list[tuple] = []
     prev_probs: dict[str, float] = {}
     n_rounds = 0
-    for r in range(1, iters + 1):
-        n_rounds = r
-        ll_in = unigram_corpus_ll(df, id_col, text_col, weights).collect()[0][
-            "ll"
-        ]
-        expected = unigram_expected_counts(df, id_col, text_col, weights)
-        m_rows = unigram_m_step(expected).collect()  # vocab-sized
-        next_weights: dict[str, float] = {}
-        probs: dict[str, float] = {}
-        for row in m_rows:
-            piece, te, np_ = row["piece"], row["total_expected"], row["new_prob"]
-            probs[piece] = np_
-            wt = int(_math.floor(np_ * quant_scale + 0.5))
-            if wt > 0:
-                next_weights[piece] = float(wt)
-            out_rows.append((r, piece, te, np_, wt, ll_in))
-        if not next_weights:
-            raise ValueError("every piece quantized to zero; raise quant_scale")
-        converged = (
-            tol is not None
-            and prev_probs
-            and all(
-                abs(probs.get(p, 0.0) - prev_probs.get(p, 0.0)) <= tol
-                for p in set(probs) | set(prev_probs)
+    # The (word, freq) table depends only on the corpus, not the weights:
+    # compute it once and share it across the LL job and the E/M job of
+    # every round (2*iters corpus scans -> 1).  Persisted only for the
+    # duration of this call; the returned frame is literal rows.
+    freq = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .persist()
+    )
+    try:
+        for r in range(1, iters + 1):
+            n_rounds = r
+            ll_in = unigram_corpus_ll(
+                df, id_col, text_col, weights, _freq=freq
+            ).collect()[0]["ll"]
+            expected = unigram_expected_counts(
+                df, id_col, text_col, weights, _freq=freq
             )
-        )
-        weights, prev_probs = next_weights, probs
-        if converged:
-            break
-    return spark.createDataFrame(
+            m_rows = unigram_m_step(expected).collect()  # vocab-sized
+            next_weights: dict[str, float] = {}
+            probs: dict[str, float] = {}
+            for row in m_rows:
+                piece, te, np_ = (
+                    row["piece"], row["total_expected"], row["new_prob"],
+                )
+                probs[piece] = np_
+                wt = int(_math.floor(np_ * quant_scale + 0.5))
+                if wt > 0:
+                    next_weights[piece] = float(wt)
+                out_rows.append((r, piece, te, np_, wt, ll_in))
+            if not next_weights:
+                raise ValueError(
+                    "every piece quantized to zero; raise quant_scale"
+                )
+            converged = (
+                tol is not None
+                and prev_probs
+                and all(
+                    abs(probs.get(p, 0.0) - prev_probs.get(p, 0.0)) <= tol
+                    for p in set(probs) | set(prev_probs)
+                )
+            )
+            weights, prev_probs = next_weights, probs
+            if converged:
+                break
+    finally:
+        freq.unpersist()
+    from ..sources.lakehouse_util import local_rows_df
+
+    return local_rows_df(
+        spark,
         [row + (n_rounds,) for row in out_rows],
         "round int, piece string, total_expected double, new_prob double,"
         " wt_next int, ll_in double, n_rounds int",
