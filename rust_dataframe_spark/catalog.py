@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from .sources.lakehouse_util import local_rows_df as _lrd
 
 __all__ = ["QUERIES", "ORACLE", "table"]
 
@@ -351,7 +352,7 @@ def q15_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select("o_custkey")
     n_semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").count()
     n_anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").count()
-    return spark.createDataFrame([(n_semi, n_anti)], "n_semi bigint, n_anti bigint")
+    return _lrd(spark, [(n_semi, n_anti)], "n_semi bigint, n_anti bigint")
 
 
 @query(
@@ -641,7 +642,7 @@ def q32_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_i = buyers.intersect(rich).count()
     n_e = rich.exceptAll(buyers).distinct().count()
     n_u = buyers.union(rich).distinct().count()
-    return spark.createDataFrame(
+    return _lrd(spark, 
         [(n_i, n_e, n_u)], "n_intersect bigint, n_except bigint, n_union bigint"
     )
 

@@ -46,6 +46,7 @@ from .operators import ranking as rk
 from .operators import similarity as sim
 from .operators import training as tr
 from .operators.temporal import ewma
+from .sources.lakehouse_util import local_rows_df as _lrd
 
 
 # ---------------------------------------------------------------------------
@@ -641,7 +642,7 @@ def q211_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     sketch = countmin_build(toks, "tok", depth=_CM_DEPTH, width=_CM_WIDTH)
-    terms = spark.createDataFrame([(t,) for t in _CM_TERMS], "term string")
+    terms = _lrd(spark, [(t,) for t in _CM_TERMS], "term string")
     est = countmin_lookup(
         sketch, terms, "term", depth=_CM_DEPTH, width=_CM_WIDTH
     )

@@ -21,6 +21,7 @@ from .operators import dedup as dd
 from .operators import multimodal as mm
 from .operators import similarity as sim
 from .operators import text as tx
+from .sources.lakehouse_util import local_rows_df as _lrd
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB side of the MinHash family)
@@ -1992,7 +1993,7 @@ def q363_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (b, r) grid is a bounded LITERAL — enumerate it driver-side
     # rather than cross-joining two literal frames (a 4x3 CartesianProduct
     # node that the catalog-wide plan lint would rightly have to allowlist)
-    grid = spark.createDataFrame(
+    grid = _lrd(spark, 
         [(b, r) for b in (4, 8, 16, 32) for r in (2, 4, 8) if b * r <= 128],
         ["b", "r"],
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .catalog import query, table
+from .sources.lakehouse_util import local_rows_df as _lrd
 
 
 @query(
@@ -173,7 +174,7 @@ def q101_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_i = s1.intersectAll(s2).count()
     n_e = s1.exceptAll(s2).count()
     n_u = s1.unionAll(s2).count()
-    return spark.createDataFrame(
+    return _lrd(spark, 
         [(n_i, n_e, n_u)],
         "n_intersect_all bigint, n_except_all bigint, n_union_all bigint",
     )

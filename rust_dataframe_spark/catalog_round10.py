@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import query, table
+from .sources.lakehouse_util import local_rows_df as _lrd
 
 __all__: list[str] = []
 
@@ -188,7 +189,7 @@ def q456_hudi_mor_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t2 = write_hudi_log_commit(
         spark, path,
-        spark.createDataFrame([(0, 7777, 0)], "id int, v int, p int"),
+        _lrd(spark, [(0, 7777, 0)], "id int, v int, p int"),
     )
     write_hudi_rollback_block(spark, path, t2)
     # compaction folds the surviving log actions into new base file
@@ -283,7 +284,7 @@ def q458_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_delta_checkpoint(spark, path)
     write_delta_commit(
         spark, path,
-        spark.createDataFrame([(5000, 2)], "id int, p int"),
+        _lrd(spark, [(5000, 2)], "id int, p int"),
         partition_by=["p"],
     )
     latest = read_delta(spark, path).withColumn(
@@ -667,7 +668,7 @@ def q461_delta_checkpoint_formats(
         )
         write_delta_commit(
             spark, path,
-            spark.createDataFrame([(100, 1)], "id int, p int"),
+            _lrd(spark, [(100, 1)], "id int, p int"),
             partition_by=["p"],
         )
         write_delta_checkpoint(spark, path, style=style)
@@ -676,7 +677,7 @@ def q461_delta_checkpoint_formats(
             os.remove(os.path.join(log, f"{v:020d}.json"))
         write_delta_commit(
             spark, path,
-            spark.createDataFrame([(200, 2)], "id int, p int"),
+            _lrd(spark, [(200, 2)], "id int, p int"),
             partition_by=["p"],
         )
         outs.append(

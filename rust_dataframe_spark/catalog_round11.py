@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import query
+from .sources.lakehouse_util import local_rows_df as _lrd
 
 __all__: list[str] = []
 
@@ -208,7 +209,7 @@ def q463_delta_colmap_id_mode(
     rename_delta_columns(spark, path, {"val": "score"})
     write_delta_commit(
         spark, path,
-        spark.createDataFrame(
+        _lrd(spark, 
             [(5000, 2, 11)], "id int, p int, score int"
         ),
         partition_by=["p"],
@@ -535,7 +536,7 @@ def q466_hudi_incremental(
         "id", "p",
         F.when(F.col("id") % 4 == 0, F.col("val") + 1000)
         .otherwise(F.col("val")).cast("int").alias("val"),
-    ).unionByName(spark.createDataFrame(
+    ).unionByName(_lrd(spark, 
         [(None, 100, 0, 777)],
         "_hoodie_commit_time string, id int, p int, val int",
     ))
@@ -663,7 +664,7 @@ def q467_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p").cast("long").alias("k"), "n", "id_sum",
         )
     )
-    cdf = spark.createDataFrame(
+    cdf = _lrd(spark, 
         cdf_rows, "k bigint, n bigint, id_sum bigint"
     ).select(F.lit("cdf_insert").alias("section"), "k", "n", "id_sum")
     return snap.unionByName(cdf).orderBy("section", "k")
@@ -858,7 +859,7 @@ def q469_iceberg_stats_pruning(
     for key, w in sorted(preds.items()):
         kept, total = iceberg_plan_files(path, where=w)
         plan_rows.append(("plan", key, kept, total))
-    plan_df = spark.createDataFrame(
+    plan_df = _lrd(spark, 
         plan_rows, "section string, k string, a bigint, b bigint"
     )
     pieces = [plan_df]
@@ -965,7 +966,7 @@ def q470_delta_data_skipping(
     for key, w in sorted(preds.items()):
         kept, total = delta_plan_files(spark, path, where=w)
         plan_rows.append(("plan", key, kept, total))
-    pieces = [spark.createDataFrame(
+    pieces = [_lrd(spark, 
         plan_rows, "section string, k string, a bigint, b bigint"
     )]
     for key, w in preds.items():

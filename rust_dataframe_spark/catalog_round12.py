@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import query
+from .sources.lakehouse_util import local_rows_df as _lrd
 
 __all__: list[str] = []
 
@@ -313,14 +314,14 @@ def q473_hudi_mor_incremental(
     )
     t1 = write_hudi_log_commit(
         spark, path,
-        spark.createDataFrame(
+        _lrd(spark, 
             [(0, 0, 1000), (4, 0, 1004), (100, 0, 777)],
             "id int, p int, val int",
         ),
     )
     write_hudi_log_commit(
         spark, path,
-        spark.createDataFrame(
+        _lrd(spark, 
             [(1, 1, 9999), (4, 0, 4444)], "id int, p int, val int"
         ),
         deletes=[("p=1", "3")],
@@ -456,7 +457,7 @@ def q474_delta_optimize_dv(
         )
         .select("p", "n", "v_sum", F.lit("census").alias("scope"))
     )
-    metaf = spark.createDataFrame(
+    metaf = _lrd(spark, 
         [(dv_after, files_after, cdf_rows, "meta")],
         "p int, n bigint, v_sum bigint, scope string",
     )
@@ -574,7 +575,7 @@ def q475_iceberg_transform_pruning(
         F.count(F.lit(1)).alias("n"),
         F.sum("id").cast("long").alias("s"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return _lrd(spark, 
         [
             ("plan_k4", k4[0], k4[1]),
             ("plan_k7_d2", k7[0], k7[1]),
@@ -790,7 +791,7 @@ def q477_delta_cdf_stream(
             "n", "v_sum",
         )
     )
-    meta = spark.createDataFrame(
+    meta = _lrd(spark, 
         [("meta", run1_rows, run2_delta + compact_rows)],
         "scope string, n bigint, v_sum bigint",
     )
@@ -909,7 +910,7 @@ def q478_iceberg_append_stream(
             "n", "x",
         )
     )
-    meta = spark.createDataFrame(
+    meta = _lrd(spark, 
         [("meta", -1, run1_rows, n_snaps)],
         "scope string, p bigint, n bigint, x bigint",
     )
@@ -1014,7 +1015,7 @@ def q479_hudi_incr_stream(
         ("run1", int(run1["n"]), int(run1["v_sum"])),
         ("instants", n_instants, n_instants),
     ]
-    meta = spark.createDataFrame(
+    meta = _lrd(spark, 
         rows, "scope string, n bigint, v_sum bigint"
     )
     fin = final.agg(
@@ -1129,7 +1130,7 @@ def q480_delta_stream_sink(
     )
     rows.append(census("final"))
     return (
-        spark.createDataFrame(
+        _lrd(spark, 
             rows, "scope string, n bigint, v_sum bigint"
         ).orderBy("scope")
     )
@@ -1240,7 +1241,7 @@ def q481_hudi_clean(
 
     latest = census(read_hudi(spark, path), "latest")
     asof2 = census(read_hudi(spark, path, as_of=t2), "asof2")
-    meta = spark.createDataFrame(
+    meta = _lrd(spark, 
         [("meta", -1, n_deleted, n_files)],
         "scope string, p int, n bigint, v_sum bigint",
     )
@@ -1344,7 +1345,7 @@ def q482_iceberg_refs(
     out = out.unionByName(
         census(read_iceberg(spark, path), "main_final")
     )
-    meta = spark.createDataFrame(
+    meta = _lrd(spark, 
         [("meta_a", removed1, removed2), ("meta_b", removed3, n_snaps)],
         "scope string, n bigint, id_sum bigint",
     )
@@ -1453,7 +1454,7 @@ def q483_iceberg_orc_files(
             F.count("bonus").alias("bonus_n"),
         )
     )
-    plan = spark.createDataFrame(
+    plan = _lrd(spark, 
         [("plan_id_103", kept, total, 0, 0)],
         "scope string, n bigint, score_sum bigint, bonus_sum bigint, "
         "bonus_n bigint",
@@ -1622,7 +1623,7 @@ def q485_delta_restore(
             "pre_restore",
         )
     )
-    meta = spark.createDataFrame(
+    meta = _lrd(spark, 
         [("meta", v_restore, 0)], "scope string, n bigint, id_sum bigint"
     )
     return out.unionByName(meta).orderBy("scope")

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import query, table
+from .sources.lakehouse_util import local_rows_df as _lrd
 
 __all__: list[str] = []
 
@@ -1083,7 +1084,7 @@ def q451_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_delta_checkpoint(spark, path)
     write_delta_commit(
         spark, path,
-        spark.createDataFrame([(5000, 2)], "id int, p int"),
+        _lrd(spark, [(5000, 2)], "id int, p int"),
         partition_by=["p"],
     )
     latest = read_delta(spark, path).withColumn("snap", F.lit("latest"))
@@ -1248,7 +1249,7 @@ def q453_hudi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             fid = _re.match(r"^([0-9a-f-]+)_", name).group(1)
     write_hudi_commit(
         spark, path,
-        spark.createDataFrame([(900 + i, 1) for i in range(4)],
+        _lrd(spark, [(900 + i, 1) for i in range(4)],
                               "id int, p int"),
         partition_by=["p"], upsert_into={"p=1": fid},
     )

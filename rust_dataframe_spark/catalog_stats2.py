@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import load_events, query, table
+from .sources.lakehouse_util import local_rows_df as _lrd
 
 __all__: list[str] = []
 
@@ -342,7 +343,7 @@ def q250_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 40)
     path = _scratch("corrupt_json", sf_dir)
     s.select("s_suppkey", "s_name").write.mode("overwrite").json(path)
-    bad = spark.createDataFrame(
+    bad = _lrd(spark, 
         [
             ('{"s_suppkey": not-a-number}',),
             ("{unclosed",),
@@ -813,7 +814,7 @@ def q257_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = _scratch("compact_events", sf_dir)
     ev.repartition(40).write.mode("overwrite").parquet(src)
     audit = compact_files(spark, src, dst, target_files=4, sort_cols=["ts"])
-    return spark.createDataFrame(
+    return _lrd(spark, 
         [
             (
                 audit["files_before"],

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .catalog import load_events, query, table
+from .sources.lakehouse_util import local_rows_df as _lrd
 
 __all__: list[str] = []
 
@@ -2449,7 +2450,7 @@ def q297_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(n_shards)
             for i in range(vn)
         ]
-        return spark.createDataFrame(pts, "shard int, pos bigint")
+        return _lrd(spark, pts, "shard int, pos bigint")
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -3092,7 +3093,7 @@ def q304_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(live)
         os.replace(staging, live)  # atomic directory promote
     n_live = spark.read.parquet(live).count() if ok else 0
-    return spark.createDataFrame(
+    return _lrd(spark, 
         [(audit["n_staged"], audit["n_contract_violations"], ok, n_live)],
         "n_staged bigint, n_contract_violations bigint, published boolean,"
         " n_live bigint",
@@ -5326,7 +5327,7 @@ def q359_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFra
         F.percentile(F.when(F.col("arm") == 1, F.col("y")), qarr).alias("qt"),
         F.percentile(F.when(F.col("arm") == 0, F.col("y")), qarr).alias("qc"),
     )
-    grid = spark.createDataFrame([(i, q) for i, q in enumerate(qs)], ["i", "q"])
+    grid = _lrd(spark, [(i, q) for i, q in enumerate(qs)], ["i", "q"])
     return (
         grid.crossJoin(F.broadcast(agg))
         .select(

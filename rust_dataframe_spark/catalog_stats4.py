@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .catalog import load_events, query, table
+from .sources.lakehouse_util import local_rows_df as _lrd
 
 __all__: list[str] = []
 
@@ -1941,7 +1942,7 @@ def q382_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / (F.col("n") - 1)
     )
-    grid = spark.createDataFrame(
+    grid = _lrd(spark, 
         [(0.01,), (0.02,), (0.05,), (0.10,), (0.20,)], ["rel_effect"]
     )
     zsum = 1.959964 + 0.841621

@@ -829,8 +829,10 @@ def read_delta(
         # (mapInPandas over the per-file descriptors), anti-join on
         # (basename, row position) — the Iceberg-position-delete shape
         table_path = os.path.abspath(path)
-        desc_df = spark.createDataFrame(
-            dvs, "__delta_base string, dv string"
+        from .lakehouse_util import local_rows_df
+
+        desc_df = local_rows_df(
+            spark, dvs, "__delta_base string, dv string"
         )
 
         def expand(batches):
@@ -2138,7 +2140,10 @@ def compact_delta_files(spark: SparkSession, path: str) -> int:
                 ).alias("__opt_base"),
                 F.col("_metadata.row_index").alias("__opt_pos"),
             )
-            desc_df = spark.createDataFrame(
+            from .lakehouse_util import local_rows_df
+
+            desc_df = local_rows_df(
+                spark,
                 [
                     (os.path.basename(_decode_path(p)), json.dumps(dv))
                     for p, dv in sorted(dv_of.items())

@@ -1454,7 +1454,10 @@ def read_iceberg(
                         F.split(F.input_file_name(), "/"), -1
                     ).alias("__eq_base"),
                 )
-            smap = spark.createDataFrame(
+            from .lakehouse_util import local_rows_df
+
+            smap = local_rows_df(
+                spark,
                 [(os.path.basename(p), int(d["_data_seq"]))
                  for d, p in zip(ds, dpaths)],
                 "__eq_base string, __eq_seq bigint",

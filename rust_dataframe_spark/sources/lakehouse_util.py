@@ -101,7 +101,7 @@ def range_survives(lo, hi, op: str, val) -> bool:
 
 
 def local_rows_df(spark, rows: list, schema: str):
-    """One-slice DataFrame from driver-local fixture rows.
+    """Slice-capped DataFrame from driver-local rows.
 
     ``spark.createDataFrame(rows, ddl)`` parallelizes the list into
     ``defaultParallelism`` pickled slices (32 on local[32], mostly
@@ -109,10 +109,16 @@ def local_rows_df(spark, rows: list, schema: str):
     evaluates all 32 slices SEQUENTIALLY in one task — one Python
     worker round-trip each, ~4.5 s of pure overhead measured for a
     24-row frame (guide §4: every Python-boundary crossing costs).
-    Parallelizing into ONE slice up front gives the same rows, the
-    same single output file, one Python round-trip (~0.3 s)."""
+    Slices are therefore capped at one per 4096 rows (fixture-sized
+    frames get exactly ONE): the same rows, the same output, one
+    Python round-trip for the common case, while a genuinely large
+    driver-side list (e.g. a million-file manifest map) still spreads
+    across the cluster."""
+    n = max(1, min(
+        spark.sparkContext.defaultParallelism, (len(rows) + 4095) // 4096
+    ))
     return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, numSlices=1), schema
+        spark.sparkContext.parallelize(rows, numSlices=n), schema
     )
 
 
@@ -167,7 +173,14 @@ def attach_file_values(
         rows.append((base, *vals))
     key = key_col or f"__{tag}_file"
     map_df = spark.createDataFrame(
-        rows, [key] + [f"__pv_{c}" for c in value_cols]
+        spark.sparkContext.parallelize(
+            rows,
+            numSlices=max(1, min(
+                spark.sparkContext.defaultParallelism,
+                (len(rows) + 4095) // 4096,
+            )),
+        ),
+        [key] + [f"__pv_{c}" for c in value_cols],
     )
     if key_col is None:
         df = df.withColumn(
