@@ -72,7 +72,7 @@ def q455_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_iceberg_commit(
         spark, path,
-        spark.range(30).select(
+        spark.range(0, 30, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
         ),
@@ -80,7 +80,7 @@ def q455_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s_pre = write_iceberg_commit(
         spark, path,
-        spark.range(100, 109).select(
+        spark.range(100, 109, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
         ),
@@ -170,7 +170,7 @@ def q456_hudi_mor_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _scratch("hudi_mor", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    base = spark.range(30).select(
+    base = spark.range(0, 30, 1, 1).select(
         F.col("id").cast("int").alias("id"),
         (F.col("id") * 10).cast("int").alias("v"),
         (F.col("id") % 3).cast("int").alias("p"),
@@ -179,7 +179,7 @@ def q456_hudi_mor_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, base, partition_by=["p"],
         table_type="MERGE_ON_READ", record_key="id",
     )
-    ups = spark.range(30).where(F.col("id") % 5 == 0).select(
+    ups = spark.range(0, 30, 1, 1).where(F.col("id") % 5 == 0).select(
         F.col("id").cast("int").alias("id"),
         (F.lit(1000) + F.col("id")).cast("int").alias("v"),
         (F.col("id") % 3).cast("int").alias("p"),
@@ -267,7 +267,7 @@ def q458_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(30).select(
+        spark.range(0, 30, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
         ),
@@ -275,7 +275,7 @@ def q458_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_delta_commit(
         spark, path,
-        spark.range(100, 109).select(
+        spark.range(100, 109, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
         ),
@@ -473,7 +473,7 @@ def q459_delta_deletion_vectors(
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(30).select(
+        spark.range(0, 30, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
         ),
@@ -481,7 +481,7 @@ def q459_delta_deletion_vectors(
     )
     write_delta_commit(
         spark, path,
-        spark.range(100, 109).select(
+        spark.range(100, 109, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
         ),
@@ -573,7 +573,7 @@ def q460_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     s_pre = write_iceberg_commit(
         spark, path,
-        spark.range(30).select(
+        spark.range(0, 30, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
         ),
@@ -660,7 +660,7 @@ def q461_delta_checkpoint_formats(
         shutil.rmtree(path, ignore_errors=True)
         write_delta_commit(
             spark, path,
-            spark.range(30).select(
+            spark.range(0, 30, 1, 1).select(
                 F.col("id").cast("int").alias("id"),
                 (F.col("id") % 3).cast("int").alias("p"),
             ),

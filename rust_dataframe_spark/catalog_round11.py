@@ -84,7 +84,7 @@ def q462_iceberg_schema_evolution(
     shutil.rmtree(path, ignore_errors=True)
     s1 = write_iceberg_commit(
         spark, path,
-        spark.range(30).select(
+        spark.range(0, 30, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
             (F.col("id") * 2).cast("int").alias("val"),
@@ -96,7 +96,7 @@ def q462_iceberg_schema_evolution(
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(100, 109).select(
+        spark.range(100, 109, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
             (F.col("id") * 3).cast("int").alias("score"),
@@ -189,7 +189,7 @@ def q463_delta_colmap_id_mode(
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(30).select(
+        spark.range(0, 30, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
             (F.col("id") * 2).cast("int").alias("val"),
@@ -198,7 +198,7 @@ def q463_delta_colmap_id_mode(
     )
     write_delta_commit(
         spark, path,
-        spark.range(100, 109).select(
+        spark.range(100, 109, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
             (F.col("id") * 3).cast("int").alias("val"),
@@ -316,7 +316,7 @@ def q464_delta_change_data_feed(
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(10).select(
+        spark.range(0, 10, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") * 2).cast("int").alias("val"),
         ).coalesce(1),
@@ -411,7 +411,7 @@ def q465_iceberg_incremental(
     shutil.rmtree(path, ignore_errors=True)
     s0 = write_iceberg_commit(
         spark, path,
-        spark.range(20).select(
+        spark.range(0, 20, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 2).cast("int").alias("p"),
             F.col("id").cast("int").alias("val"),
@@ -420,7 +420,7 @@ def q465_iceberg_incremental(
     )
     s1 = write_iceberg_commit(
         spark, path,
-        spark.range(100, 105).select(
+        spark.range(100, 105, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 2).cast("int").alias("p"),
             (F.col("id") * 2).cast("int").alias("val"),
@@ -429,7 +429,7 @@ def q465_iceberg_incremental(
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(200, 204).select(
+        spark.range(200, 204, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 2).cast("int").alias("p"),
             (F.col("id") * 3).cast("int").alias("val"),
@@ -516,7 +516,7 @@ def q466_hudi_incremental(
     shutil.rmtree(path, ignore_errors=True)
     t0 = write_hudi_commit(
         spark, path,
-        spark.range(12).select(
+        spark.range(0, 12, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 2).cast("int").alias("p"),
             (F.col("id") * 2).cast("int").alias("val"),
@@ -546,7 +546,7 @@ def q466_hudi_incremental(
     )
     write_hudi_commit(
         spark, path,
-        spark.range(300, 302).select(
+        spark.range(300, 302, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             F.lit(1).cast("int").alias("p"),
             (F.col("id") * 5).cast("int").alias("val"),
@@ -633,7 +633,7 @@ def q467_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(3):
         write_delta_commit(
             spark, path,
-            spark.range(k * 10, k * 10 + 10).select(
+            spark.range(k * 10, k * 10 + 10, 1, 1).select(
                 F.col("id").cast("int").alias("id"),
                 (F.col("id") % 2).cast("int").alias("p"),
             ).coalesce(1),
@@ -728,7 +728,7 @@ def q468_iceberg_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_iceberg_commit(
         spark, path,
-        spark.range(10).select(
+        spark.range(0, 10, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 2).cast("int").alias("p"),
             F.col("id").cast("int").alias("val"),
@@ -737,7 +737,7 @@ def q468_iceberg_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = write_iceberg_commit(
         spark, path,
-        spark.range(10).filter(F.col("id") % 2 == 0).select(
+        spark.range(0, 10, 1, 1).filter(F.col("id") % 2 == 0).select(
             F.col("id").cast("int").alias("id"),
             F.lit(0).cast("int").alias("p"),
             (F.col("id") * 10).cast("int").alias("val"),
@@ -746,7 +746,7 @@ def q468_iceberg_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(100, 104).select(
+        spark.range(100, 104, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 2).cast("int").alias("p"),
             (F.col("id") * 2).cast("int").alias("val"),
@@ -844,7 +844,7 @@ def q469_iceberg_stats_pruning(
     for k in range(4):
         write_iceberg_commit(
             spark, path,
-            spark.range(k * 100, k * 100 + 100).select(
+            spark.range(k * 100, k * 100 + 100, 1, 1).select(
                 F.col("id").cast("long").alias("id"),
                 F.concat(F.lit("n"), F.col("id")).alias("name"),
                 (F.col("id") * 3).cast("long").alias("val"),
@@ -950,7 +950,7 @@ def q470_delta_data_skipping(
     for k in range(4):
         write_delta_commit(
             spark, path,
-            spark.range(k * 100, k * 100 + 100).select(
+            spark.range(k * 100, k * 100 + 100, 1, 1).select(
                 F.col("id").cast("long").alias("id"),
                 F.lit(k).cast("int").alias("p"),
                 (F.col("id") * 3).cast("long").alias("val"),

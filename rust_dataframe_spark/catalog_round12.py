@@ -90,7 +90,7 @@ def q471_iceberg_name_mapping(
     # commit A: migrated shape — no footer field ids
     write_iceberg_commit(
         spark, path,
-        spark.range(30).select(
+        spark.range(0, 30, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
             (F.col("id") * 2).cast("int").alias("val"),
@@ -104,7 +104,7 @@ def q471_iceberg_name_mapping(
     # commit B: normal writer — stamped; the table is now MIXED
     write_iceberg_commit(
         spark, path,
-        spark.range(100, 109).select(
+        spark.range(100, 109, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
             (F.col("id") * 3).cast("int").alias("score"),
@@ -191,7 +191,7 @@ def q472_delta_drop_column(
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(30).select(
+        spark.range(0, 30, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
             (F.col("id") * 2).cast("int").alias("secret"),
@@ -204,7 +204,7 @@ def q472_delta_drop_column(
     add_delta_columns(spark, path, [("secret", "int")])
     write_delta_commit(
         spark, path,
-        spark.range(100, 105).select(
+        spark.range(100, 105, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
             (F.col("id") % 7).cast("int").alias("secret"),
@@ -304,7 +304,7 @@ def q473_hudi_mor_incremental(
     shutil.rmtree(path, ignore_errors=True)
     t0 = write_hudi_commit(
         spark, path,
-        spark.range(12).select(
+        spark.range(0, 12, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 2).cast("int").alias("p"),
             (F.col("id") * 2).cast("int").alias("val"),
@@ -419,7 +419,7 @@ def q474_delta_optimize_dv(
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(20).select(
+        spark.range(0, 20, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 2).cast("int").alias("p"),
             (F.col("id") * 3).cast("int").alias("v"),
@@ -529,7 +529,7 @@ def q475_iceberg_transform_pruning(
     shutil.rmtree(pa, ignore_errors=True)
     write_iceberg_commit(
         spark, pa,
-        spark.range(60).select(
+        spark.range(0, 60, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 10).cast("int").alias("k"),
             F.date_add(
@@ -643,14 +643,14 @@ def q476_iceberg_avro_files(
     shutil.rmtree(path, ignore_errors=True)
     write_iceberg_commit(
         spark, path,
-        spark.range(10).select(
+        spark.range(0, 10, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") * 2).cast("int").alias("val"),
         ),
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(100, 106).select(
+        spark.range(100, 106, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") * 3).cast("int").alias("val"),
         ).coalesce(2),
@@ -749,7 +749,7 @@ def q477_delta_cdf_stream(
 
     write_delta_commit(
         spark, path,
-        spark.range(12).select(
+        spark.range(0, 12, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") * 10).cast("long").alias("v"),
         ),
@@ -757,7 +757,7 @@ def q477_delta_cdf_stream(
     )
     write_delta_commit(
         spark, path,
-        spark.range(3).select(
+        spark.range(0, 3, 1, 1).select(
             (F.col("id") + 100).cast("int").alias("id"),
             (F.col("id") * 10).cast("long").alias("v"),
         ),
@@ -768,7 +768,7 @@ def q477_delta_cdf_stream(
 
     write_delta_commit(
         spark, path,
-        spark.range(2).select(
+        spark.range(0, 2, 1, 1).select(
             (F.col("id") + 200).cast("int").alias("id"),
             F.lit(0).cast("long").alias("v"),
         ),
@@ -868,7 +868,7 @@ def q478_iceberg_append_stream(
 
     write_iceberg_commit(
         spark, path,
-        spark.range(10).select(
+        spark.range(0, 10, 1, 1).select(
             F.col("id").cast("long").alias("id"),
             (F.col("id") % 2).cast("int").alias("p"),
             (F.col("id") * 2).cast("long").alias("val"),
@@ -878,7 +878,7 @@ def q478_iceberg_append_stream(
     evolve_iceberg_schema(path, renames={"val": "score"})
     write_iceberg_commit(
         spark, path,
-        spark.range(5).select(
+        spark.range(0, 5, 1, 1).select(
             (F.col("id") + 100).cast("long").alias("id"),
             (F.col("id") % 2).cast("int").alias("p"),
             (F.col("id") * 3).cast("long").alias("score"),
@@ -889,7 +889,7 @@ def q478_iceberg_append_stream(
 
     write_iceberg_commit(
         spark, path,
-        spark.range(3).select(
+        spark.range(0, 3, 1, 1).select(
             (F.col("id") + 500).cast("long").alias("id"),
             F.lit(0).cast("int").alias("p"),
             F.lit(7).cast("long").alias("score"),
@@ -981,7 +981,7 @@ def q479_hudi_incr_stream(
 
     write_hudi_commit(
         spark, path,
-        spark.range(8).select(
+        spark.range(0, 8, 1, 1).select(
             F.col("id").cast("long").alias("id"),
             (F.col("id") * 10).cast("long").alias("v"),
         ),
@@ -989,7 +989,7 @@ def q479_hudi_incr_stream(
     )
     write_hudi_commit(
         spark, path,
-        spark.range(3).select(
+        spark.range(0, 3, 1, 1).select(
             (F.col("id") + 100).cast("long").alias("id"),
             F.lit(5).cast("long").alias("v"),
         ),
@@ -1002,7 +1002,7 @@ def q479_hudi_incr_stream(
 
     write_hudi_commit(
         spark, path,
-        spark.range(2).select(
+        spark.range(0, 2, 1, 1).select(
             (F.col("id") + 200).cast("long").alias("id"),
             F.lit(9).cast("long").alias("v"),
         ),
@@ -1085,7 +1085,7 @@ def q480_delta_stream_sink(
         ).collect()[0]
         return (scope, int(row["n"]), int(row["v_sum"]))
 
-    spark.range(10).select(
+    spark.range(0, 10, 1, 1).select(
         F.col("id").cast("long").alias("id"),
         (F.col("id") * 2).cast("long").alias("v"),
     ).write.parquet(src)
@@ -1095,7 +1095,7 @@ def q480_delta_stream_sink(
     ).awaitTermination(300)
     rows = [census("run1")]
 
-    spark.range(3).select(
+    spark.range(0, 3, 1, 1).select(
         (F.col("id") + 100).cast("long").alias("id"),
         F.lit(9).cast("long").alias("v"),
     ).write.mode("append").parquet(src)
@@ -1106,7 +1106,7 @@ def q480_delta_stream_sink(
     rows.append(census("run2"))
 
     last = delta_last_txn_version(tbl, "q480")
-    dup = spark.range(3).select(
+    dup = spark.range(0, 3, 1, 1).select(
         (F.col("id") + 100).cast("long").alias("id"),
         F.lit(9).cast("long").alias("v"),
     )
@@ -1122,7 +1122,7 @@ def q480_delta_stream_sink(
     replay(dup, last)  # duplicate delivery: skipped
     rows.append(census("after_dup"))
     replay(
-        spark.range(3).select(
+        spark.range(0, 3, 1, 1).select(
             (F.col("id") + 200).cast("long").alias("id"),
             F.lit(9).cast("long").alias("v"),
         ),
@@ -1194,7 +1194,7 @@ def q481_hudi_clean(
     shutil.rmtree(path, ignore_errors=True)
 
     def mk(mult):
-        return spark.range(4).select(
+        return spark.range(0, 4, 1, 1).select(
             F.col("id").cast("long").alias("id"),
             F.lit(0).cast("int").alias("p"),
             (F.col("id") * mult).cast("long").alias("v"),
@@ -1203,7 +1203,7 @@ def q481_hudi_clean(
     write_hudi_commit(
         spark, path,
         mk(10).unionByName(
-            spark.range(3).select(
+            spark.range(0, 3, 1, 1).select(
                 F.col("id").cast("long").alias("id"),
                 F.lit(1).cast("int").alias("p"),
                 F.lit(7).cast("long").alias("v"),
@@ -1310,7 +1310,7 @@ def q482_iceberg_refs(
     for k in range(3):
         sids.append(write_iceberg_commit(
             spark, path,
-            spark.range(4).select(
+            spark.range(0, 4, 1, 1).select(
                 (F.col("id") + 10 * k).cast("long").alias("id"),
                 F.lit(k).cast("long").alias("v"),
             ).coalesce(1),
@@ -1417,7 +1417,7 @@ def q483_iceberg_orc_files(
     shutil.rmtree(path, ignore_errors=True)
     write_iceberg_commit(
         spark, path,
-        spark.range(10).select(
+        spark.range(0, 10, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") * 2).cast("int").alias("val"),
         ).coalesce(1),
@@ -1427,7 +1427,7 @@ def q483_iceberg_orc_files(
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(100, 106).select(
+        spark.range(100, 106, 1, 2).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") * 3).cast("int").alias("score"),
             (F.col("id") % 5).cast("int").alias("bonus"),
@@ -1516,19 +1516,19 @@ def q484_iceberg_wap(
     shutil.rmtree(path, ignore_errors=True)
     s1 = write_iceberg_commit(
         spark, path,
-        spark.range(5).select(F.col("id").cast("long").alias("id")),
+        spark.range(0, 5, 1, 1).select(F.col("id").cast("long").alias("id")),
     )
     set_iceberg_ref(path, "staging", ref_type="branch")
     write_iceberg_commit(
         spark, path,
-        spark.range(100, 103).select(
+        spark.range(100, 103, 1, 1).select(
             F.col("id").cast("long").alias("id")
         ),
         branch="staging",
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(200, 202).select(
+        spark.range(200, 202, 1, 1).select(
             F.col("id").cast("long").alias("id")
         ),
         branch="staging",
@@ -1602,11 +1602,11 @@ def q485_delta_restore(
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(5).select(F.col("id").cast("long").alias("id")),
+        spark.range(0, 5, 1, 1).select(F.col("id").cast("long").alias("id")),
     )
     write_delta_commit(
         spark, path,
-        spark.range(10, 13).select(F.col("id").cast("long").alias("id")),
+        spark.range(10, 13, 1, 1).select(F.col("id").cast("long").alias("id")),
     )
     v_restore = restore_delta(spark, path, version=0)
 

@@ -1059,7 +1059,7 @@ def q451_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(30).select(
+        spark.range(0, 30, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
         ),
@@ -1067,7 +1067,7 @@ def q451_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_delta_commit(
         spark, path,
-        spark.range(100, 109).select(
+        spark.range(100, 109, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
         ),
@@ -1075,7 +1075,7 @@ def q451_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_delta_commit(
         spark, path,
-        spark.range(900, 904).select(
+        spark.range(900, 904, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             F.lit(1).cast("int").alias("p"),
         ),
@@ -1146,7 +1146,7 @@ def q452_iceberg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_iceberg_commit(
         spark, path,
-        spark.range(30).select(
+        spark.range(0, 30, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
         ),
@@ -1154,7 +1154,7 @@ def q452_iceberg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s_prev = write_iceberg_commit(
         spark, path,
-        spark.range(100, 109).select(
+        spark.range(100, 109, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             (F.col("id") % 3).cast("int").alias("p"),
         ),
@@ -1162,7 +1162,7 @@ def q452_iceberg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(900, 904).select(
+        spark.range(900, 904, 1, 1).select(
             F.col("id").cast("int").alias("id"),
             F.lit(1).cast("int").alias("p"),
         ),
@@ -1232,12 +1232,12 @@ def q453_hudi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _scratch("hudi_table", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    df0 = spark.range(30).select(
+    df0 = spark.range(0, 30, 1, 1).select(
         F.col("id").cast("int").alias("id"),
         (F.col("id") % 3).cast("int").alias("p"),
     ).repartition(F.col("p"))
     t0 = write_hudi_commit(spark, path, df0, partition_by=["p"])
-    df1 = spark.range(100, 109).select(
+    df1 = spark.range(100, 109, 1, 1).select(
         F.col("id").cast("int").alias("id"),
         (F.col("id") % 3).cast("int").alias("p"),
     ).repartition(F.col("p"))
