@@ -2759,11 +2759,21 @@ def q300_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sdocs = screened.join(surv_ids, "doc_id")
     bench = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
-    contam = (
+    from .operators.cache import persist_tracked
+
+    # The funnel census below fans sdocs/clean into five aggregation
+    # branches; without a persisted survivor table each branch re-runs
+    # the screen+dedup chain (and the 3 clean-derived branches re-ran
+    # the 5-gram decontamination join too — measured 38 parquet scans in
+    # one plan).  Persist the SLIM survivor projection (ids + source +
+    # wc, no text) and the tiny contaminated-id set; decontamination
+    # itself still reads the full text exactly once.
+    contam = persist_tracked(
         decontaminate(sdocs, bench, "doc_id", "text", "doc_id", "text")
         .select("doc_id")
         .distinct()
     )
+    sdocs = persist_tracked(sdocs.select("doc_id", "source", "wc"))
     clean = sdocs.join(contam, "doc_id", "left_anti")
     u32 = F.conv(
         F.substring(

@@ -193,12 +193,18 @@ def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     the bounded group axis, sorted — ordered IEEE path on both engines.
     One aggregate pass over the fact table; everything downstream is
     axis-sized."""
-    g = df.select(
-        F.col(group_col).alias("grp"), cents(F.col(value_col)).alias("v")
-    ).groupBy("grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_g"),
-        F.sum("v").cast("bigint").alias("s_g"),
-        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss_g"),
+    from .cache import persist_tracked
+
+    # bounded group axis, read by tot AND the final select — persist so
+    # the corpus aggregate runs once (the chi2 `obs` discipline)
+    g = persist_tracked(
+        df.select(
+            F.col(group_col).alias("grp"), cents(F.col(value_col)).alias("v")
+        ).groupBy("grp").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum("v").cast("bigint").alias("s_g"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss_g"),
+        )
     )
     tot = g.agg(
         F.sum("n_g").cast("bigint").alias("nt"),
@@ -466,9 +472,17 @@ def kruskal_wallis(
     from .training import global_cumsum
 
     promoted = _decimal_promote(df, decimal_sums)
-    gv = df.select(
-        F.col(group_col).alias("grp"), cents(F.col(value_col)).alias("v")
-    ).groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_gv"))
+    from .cache import persist_tracked
+
+    # (group, value) axis, read by the rank table AND the per-group join
+    # — persist so the corpus scan runs once (the chi2 `obs` discipline)
+    gv = persist_tracked(
+        df.select(
+            F.col(group_col).alias("grp"), cents(F.col(value_col)).alias("v")
+        ).groupBy("grp", "v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt_gv")
+        )
+    )
     per_v = gv.groupBy("v").agg(F.sum("cnt_gv").cast("bigint").alias("cnt"))
     ranked = global_cumsum(per_v, "v", "cnt", out_col="below_incl").select(
         "v",
@@ -568,9 +582,15 @@ def fleiss_kappa(
     belt-and-braces certificate (always 0 when the job completes).
     Scale: one groupBy to the (item, category) cells, one item-axis
     aggregate, one category-axis aggregate."""
-    cell = assignments.groupBy(
-        F.col(item_col).alias("item"), F.col(cat_col).alias("cat")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    from .cache import persist_tracked
+
+    # (item, category) cells feed the item-axis AND category-axis
+    # aggregates — persist so the corpus groupBy runs once
+    cell = persist_tracked(
+        assignments.groupBy(
+            F.col(item_col).alias("item"), F.col(cat_col).alias("cat")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    )
     per_item = cell.groupBy("item").agg(
         F.sum("nij").cast("bigint").alias("n_r"),
         F.sum(F.col("nij") * F.col("nij")).cast("bigint").alias("sq"),
@@ -1026,10 +1046,17 @@ def wasserstein_ks(df: DataFrame, arm_col: str, value_col: str) -> DataFrame:
         .alias("arm"),
         cents(F.col(value_col)).alias("v"),
     )
-    per = v.groupBy("v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt"),
-        F.sum("arm").cast("bigint").alias("cnt1"),
-    ).withColumn("cnt0", (F.col("cnt") - F.col("cnt1")).cast("bigint"))
+    from .cache import persist_tracked
+
+    # distinct-value axis, consumed by the cumsum chain AND two broadcast
+    # references to `tot` below — without the persist each reference
+    # re-runs the corpus scan + groupBy
+    per = persist_tracked(
+        v.groupBy("v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("arm").cast("bigint").alias("cnt1"),
+        ).withColumn("cnt0", (F.col("cnt") - F.col("cnt1")).cast("bigint"))
+    )
     c0 = global_cumsum(per, "v", "cnt0", out_col="cum0")
     c1 = global_cumsum(c0, "v", "cnt1", out_col="cum1")
     rn = global_row_number(c1, ["v"], out_col="rn")

@@ -70,11 +70,18 @@ def prefix_jaccard_join(
     # prefix length |d| - ceil(t*|d|) + 1; the tiny epsilon keeps float
     # error from ever SHORTENING the prefix (longer prefix = more
     # candidates = still exact; shorter = false negatives)
-    sized = by_rank.withColumn("sz", F.size("rks")).withColumn(
-        "plen",
-        F.col("sz")
-        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)).cast("int")
-        + F.lit(1),
+    from .cache import persist_tracked
+
+    # the prefix frame is consumed by both sides of the candidate join:
+    # without a persist the whole rank pipeline (corpus explode +
+    # vocabulary rank + per-doc collect) executes once per side
+    sized = persist_tracked(
+        by_rank.withColumn("sz", F.size("rks")).withColumn(
+            "plen",
+            F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)).cast("int")
+            + F.lit(1),
+        )
     )
     prefix = sized.select(
         "did", F.explode(F.slice("rks", 1, F.col("plen"))).alias("prk")
@@ -136,11 +143,18 @@ def prefix_containment_join(
     """
     docs = df.select(F.col(id_col).alias("did"), F.col(tokens_col).alias("toks"))
     by_rank = _ranked_docs(docs)
-    sized = by_rank.withColumn("sz", F.size("rks")).withColumn(
-        "plen",
-        F.col("sz")
-        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)).cast("int")
-        + F.lit(1),
+    from .cache import persist_tracked
+
+    # the prefix frame is consumed by both sides of the candidate join:
+    # without a persist the whole rank pipeline (corpus explode +
+    # vocabulary rank + per-doc collect) executes once per side
+    sized = persist_tracked(
+        by_rank.withColumn("sz", F.size("rks")).withColumn(
+            "plen",
+            F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)).cast("int")
+            + F.lit(1),
+        )
     )
     prefix = sized.select(
         F.col("did").alias("id_a"),
