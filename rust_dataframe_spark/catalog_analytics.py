@@ -1855,7 +1855,10 @@ def q227_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests = [
         F.md5(F.concat(key, F.lit(f"#w{w}"))) for w in range((_BOOT_R + 3) // 4)
     ]
-    replicas = []
+    # ONE wide aggregate instead of an explode to R row-copies through the
+    # hash aggregate (guide §2: 2R map-side-combined columns; identical
+    # exact sums — k and q are integer-valued, totals < 2^53)
+    agg_cols = []
     for b in range(_BOOT_R):
         u = (
             F.conv(F.substring(digests[b // 4], (b % 4) * 8 + 1, 8), 16, 10)
@@ -1867,22 +1870,30 @@ def q227_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(u < 0.7358, F.lit(1))
             .otherwise(F.lit(2))
         )
-        replicas.append(
-            F.struct(F.lit(b).alias("replica"), k.alias("k"))
-        )
-    exploded = li.select(
-        F.col("l_quantity").alias("q"), F.explode(F.array(*replicas)).alias("r")
-    ).select(F.col("r.replica").alias("replica"), F.col("r.k").alias("k"), "q")
+        agg_cols.append(F.sum(k).cast("bigint").alias(f"__n{b}"))
+        agg_cols.append(F.sum(k * F.col("l_quantity")).alias(f"__s{b}"))
+    wide = li.agg(*agg_cols)
+    # replica axis re-expanded from the 1-row result (driver-trivial)
     return (
-        exploded.groupBy("replica")
-        .agg(
-            F.sum("k").cast("bigint").alias("n_eff"),
-            F.round(
-                F.sum(F.col("k") * F.col("q")).cast("double")
-                / F.sum("k").cast("double"),
-                6,
-            ).alias("boot_mean"),
+        wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("replica"),
+                            F.col(f"__n{b}").alias("n_eff"),
+                            F.round(
+                                F.col(f"__s{b}").cast("double")
+                                / F.col(f"__n{b}").cast("double"),
+                                6,
+                            ).alias("boot_mean"),
+                        )
+                        for b in range(_BOOT_R)
+                    ]
+                )
+            ).alias("r")
         )
+        .select("r.replica", "r.n_eff", "r.boot_mean")
         .orderBy("replica")
     )
 

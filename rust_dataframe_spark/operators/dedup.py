@@ -253,8 +253,14 @@ def near_dup_pairs(
     # (__h, id) persists for the expansion joins; it holds digests+ids only.
     h = widen(df).select(F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__h"))
     mem = persist_tracked(h.select("__h", F.col(id_col)))
-    rep_docs = h.groupBy("__h").agg(
-        F.min(id_col).alias(id_col), F.first(text_col).alias(text_col)
+    # rep_docs fans into THREE consumers (the signature stage and both
+    # sides of the verify join), and each reference would re-run the
+    # corpus scan + md5 + full-text groupBy shuffle — persist so the
+    # collapse runs once (MEMORY_AND_DISK; same discipline as `mem`/`sig`)
+    rep_docs = persist_tracked(
+        h.groupBy("__h").agg(
+            F.min(id_col).alias(id_col), F.first(text_col).alias(text_col)
+        )
     )
 
     # 2. LSH over representatives.  No array_distinct before minhash: MinHash
@@ -622,17 +628,24 @@ def repeated_ngram_spans(
     # and the position join consume `grams`, and their shuffles carry
     # different payloads (partial-agg rows vs (id, pos, digest) rows), so
     # Catalyst cannot ReuseExchange — without the persist the O(total
-    # tokens) explode + md5 runs TWICE.  MEMORY_AND_DISK (persist default)
+    # tokens) explode + hash runs TWICE.  MEMORY_AND_DISK (persist default)
     # keeps this safe when the gram table outgrows executor memory.
+    # The fingerprint is INTERNAL (the output is spans, never digests), so
+    # it is xxhash64 over the word slice itself: no gram string is ever
+    # materialized and the shuffle carries an 8-byte long instead of a
+    # 32-byte md5 hex string (guide §2.2 — narrower shuffle types).  A
+    # 64-bit collision (odds ~ d^2/2^65 over d distinct grams) can only
+    # nudge a gram's doc-frequency, the same advisory regime as the
+    # documented approx_count_distinct swap at 100 TB.
     grams = persist_tracked(
         df.select(
             F.col(id_col),
             F.posexplode(
-                F.transform(
-                    positions, lambda i: F.array_join(F.slice(words, i, n), " ")
-                )
+                F.transform(positions, lambda i: F.slice(words, i, n))
             ).alias("pos", "__g"),
-        ).select(F.col(id_col), F.col("pos"), F.md5(F.col("__g")).alias("__h"))
+        ).select(
+            F.col(id_col), F.col("pos"), F.xxhash64(F.col("__g")).alias("__h")
+        )
     )
 
     shared = (

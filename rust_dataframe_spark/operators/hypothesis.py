@@ -278,11 +278,19 @@ _PROMOTE_COUNT_CACHE: "dict[str, int]" = {}
 _PROMOTE_CACHE_MAX = 128
 
 
-def _decimal_promote(df: DataFrame, override: bool | None) -> bool:
+def _decimal_promote(
+    df: DataFrame, override: bool | None, counter=None
+) -> bool:
     """Auto decision for the decimal-sum promotion: explicit override wins;
     otherwise one row-count job (count cached per logical plan, bounded
     LRU, boundary-zone hits re-counted — see _PROMOTE_COUNT_CACHE)
-    against the ``SPARK_GRAFT_RANK_DECIMAL_ROWS`` gate."""
+    against the ``SPARK_GRAFT_RANK_DECIMAL_ROWS`` gate.
+
+    ``counter``: optional zero-arg callable returning ``df``'s exact row
+    count by a cheaper route (the rank family passes a sum of group counts
+    over its already-persisted bounded axis, so the gate decision costs an
+    axis-sized job instead of a second corpus scan).  The cache stays keyed
+    on ``df``'s logical plan and the value MUST equal ``df.count()``."""
     if override is not None:
         return bool(override)
     import hashlib
@@ -302,7 +310,7 @@ def _decimal_promote(df: DataFrame, override: bool | None) -> bool:
             _PROMOTE_COUNT_CACHE[key] = cached  # re-insert = LRU touch
             _evict_promote_cache()
             return cached > gate
-    n = df.count()
+    n = int(counter()) if counter is not None else df.count()
     if key is not None:
         _PROMOTE_COUNT_CACHE[key] = n
         _evict_promote_cache()
@@ -381,7 +389,6 @@ def mann_whitney_u(
     (the one genuinely-float output, floor-at-6)."""
     from .training import global_cumsum
 
-    promoted = _decimal_promote(df, decimal_sums)
     v = df.select(
         F.when(F.col(arm_col).cast("bigint") % 2 == 1, 1)
         .otherwise(0)
@@ -401,6 +408,13 @@ def mann_whitney_u(
         (
             2 * (F.col("below_incl") - F.col("cnt")) + F.col("cnt") + 1
         ).cast("bigint").alias("r2"),
+    )
+    # gate decision rides the cumsum's persisted axis (sum of group counts
+    # == df.count() exactly, null groups included) — no second corpus scan
+    promoted = _decimal_promote(
+        df,
+        decimal_sums,
+        counter=lambda: ranked.agg(F.sum("cnt")).collect()[0][0] or 0,
     )
     s = ranked.agg(
         F.sum("cnt").cast("bigint").alias("n"),
@@ -471,7 +485,6 @@ def kruskal_wallis(
     downstream is axis-bounded."""
     from .training import global_cumsum
 
-    promoted = _decimal_promote(df, decimal_sums)
     from .cache import persist_tracked
 
     # (group, value) axis, read by the rank table AND the per-group join
@@ -482,6 +495,13 @@ def kruskal_wallis(
         ).groupBy("grp", "v").agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt_gv")
         )
+    )
+    # gate decision rides the persisted axis (sum of cell counts ==
+    # df.count() exactly, null cells included) — no second corpus scan
+    promoted = _decimal_promote(
+        df,
+        decimal_sums,
+        counter=lambda: gv.agg(F.sum("cnt_gv")).collect()[0][0] or 0,
     )
     per_v = gv.groupBy("v").agg(F.sum("cnt_gv").cast("bigint").alias("cnt"))
     ranked = global_cumsum(per_v, "v", "cnt", out_col="below_incl").select(
@@ -679,6 +699,14 @@ def spearman_rho(
     ``rho = (N*Sxy - Sx*Sy) / sqrt((N*Sxx - Sx^2) * (N*Syy - Sy^2))``
     in double (deterministic: fixed op order on exact integer inputs).
 
+    (Round-12 measured dead end: regrouping the corpus into a persisted
+    distinct ``(vx, vy, cnt)`` pair axis — one scan instead of three —
+    was measured SLOWER at sf0.1 (5.4 -> 6.8 s) because the pair axis is
+    corpus-sized here (599 646 pairs / 600 000 rows: extendedprice is
+    near-unique), so the groupBy shuffle + persist outweigh the saved
+    scans, and a corpus-sized persist is exactly what guide §5 says not
+    to hold.  The per-row join shape below is the measured optimum.)
+
     Returns one row: ``(n, rho)`` (floor-at-6)."""
     from .training import global_cumsum
 
@@ -765,9 +793,13 @@ def permutation_test(
     bit-deterministic, and the p-value is the exact rational
     ``(1 + #{b : T_b >= T_obs}) / (R + 1)``.
 
-    Scale: one explode to R replicas combining map-side into R x 2 groups
-    — shuffle payload is O(R), not O(rows x R); the observed stat is a
-    second scalar aggregate of the same scan."""
+    Scale: ONE corpus scan — the observed stats and all R replica sums
+    ride a single wide aggregate (2R+4 map-side-combined columns; the
+    old shape exploded every row into R replica copies through the
+    aggregate AND scanned the corpus a second time for the observed
+    stats); the replica axis re-expands from the 1-row result, so
+    everything downstream is driver-trivial.  Each conditional sum is
+    the byte-identical int64 the exploded groupBy produced."""
     base = df.select(
         F.col(id_col).cast("string").alias("id"),
         F.when(F.col(arm_col).cast("bigint") % 2 == 1, 1)
@@ -775,99 +807,118 @@ def permutation_test(
         .alias("arm"),
         cents(F.col(value_col)).alias("v"),
     )
-    obs = base.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("v").cast("bigint").alias("s"),
+
+    def parm(b: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("id"), F.lit(f"#perm{b}"))), 32, 1
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        )
+
+    # hoist the R hash bits into ONE projection (codegen evaluates each
+    # md5 exactly once per row); the aggregate then sums plain columns
+    flags = base.select(
+        "arm", "v", *[parm(b).alias(f"__p{b}") for b in range(replicas)]
     )
-    obs_w = obs.agg(
-        F.sum("n").cast("bigint").alias("n_all"),
-        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0))
+    agg_cols = [
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
         .cast("bigint")
         .alias("n1"),
-        F.sum(F.when(F.col("arm") == 1, F.col("s")).otherwise(0))
+        F.sum(F.when(F.col("arm") == 1, F.col("v")).otherwise(0))
         .cast("bigint")
         .alias("s1"),
-        F.sum("s").cast("bigint").alias("s_all"),
+        F.sum("v").cast("bigint").alias("s_all"),
+    ]
+    for b in range(replicas):
+        p = F.col(f"__p{b}")
+        agg_cols.append(
+            F.sum(F.when(p == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__pn1_{b}")
+        )
+        agg_cols.append(
+            F.sum(F.when(p == 1, F.col("v")).otherwise(0))
+            .cast("bigint")
+            .alias(f"__ps1_{b}")
+        )
+    wide = flags.agg(*agg_cols)
+
+    # replica axis re-expanded from the 1-row aggregate (24 rows, driver-
+    # trivial); per-replica pn == n_all and ps == s_all by construction
+    # (every replica relabels ALL rows), so only (pn1, ps1) vary
+    rep = wide.select(
+        "n_all",
+        "n1",
+        "s1",
+        "s_all",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"__pn1_{b}").alias("pn1"),
+                        F.col(f"__ps1_{b}").alias("ps1"),
+                    )
+                    for b in range(replicas)
+                ]
+            )
+        ).alias("r"),
+    ).select(
+        "n_all",
+        "n1",
+        "s1",
+        "s_all",
+        F.col("r.pn1").alias("pn1"),
+        F.col("r.ps1").alias("ps1"),
     )
     d_obs = F.abs(
         F.col("s1").cast("double") / F.col("n1")
         - (F.col("s_all") - F.col("s1")).cast("double")
         / (F.col("n_all") - F.col("n1"))
     )
-    reps = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("replica"),
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.col("id"), F.lit(f"#perm{b}"))),
-                            32,
-                            1,
-                        ),
-                        16,
-                        10,
-                    ).cast("int")
-                    % 2
-                ).alias("parm"),
-            )
-            for b in range(replicas)
-        ]
-    )
-    per_rep = (
-        base.select("v", F.explode(reps).alias("r"))
-        .select(F.col("r.replica").alias("replica"), F.col("r.parm").alias("parm"), "v")
-        .groupBy("replica")
-        .agg(
-            F.sum(F.when(F.col("parm") == 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("pn1"),
-            F.sum(F.when(F.col("parm") == 1, F.col("v")).otherwise(0))
-            .cast("bigint")
-            .alias("ps1"),
-            F.count(F.lit(1)).cast("bigint").alias("pn"),
-            F.sum("v").cast("bigint").alias("ps"),
-        )
-    )
-    rep_stat = per_rep.select(
-        "replica",
-        ((F.col("pn1") == 0) | (F.col("pn1") == F.col("pn"))).alias("degenerate"),
+    rep_stat = rep.select(
+        "n_all",
+        "n1",
+        "s1",
+        "s_all",
+        ((F.col("pn1") == 0) | (F.col("pn1") == F.col("n_all"))).alias(
+            "degenerate"
+        ),
         F.when(
-            (F.col("pn1") > 0) & (F.col("pn1") < F.col("pn")),
+            (F.col("pn1") > 0) & (F.col("pn1") < F.col("n_all")),
             F.abs(
                 F.col("ps1").cast("double") / F.col("pn1")
-                - (F.col("ps") - F.col("ps1")).cast("double")
-                / (F.col("pn") - F.col("pn1"))
+                - (F.col("s_all") - F.col("ps1")).cast("double")
+                / (F.col("n_all") - F.col("pn1"))
             ),
         ).alias("t"),
     )
     # degenerate replicas count as extreme (conservative): a one-arm
     # replica has no defined statistic and must not shrink the tail
-    tail = (
-        rep_stat.crossJoin(F.broadcast(obs_w.select(d_obs.alias("t_obs"))))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("r"),
-            F.sum(
-                F.when(
-                    F.col("degenerate") | (F.col("t") >= F.col("t_obs")), 1
-                ).otherwise(0)
+    tail = rep_stat.groupBy("n_all", "n1", "s1", "s_all").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r"),
+        F.sum(
+            F.when(F.col("degenerate") | (F.col("t") >= d_obs), 1).otherwise(
+                0
             )
-            .cast("bigint")
-            .alias("n_ge"),
         )
+        .cast("bigint")
+        .alias("n_ge"),
     )
-    return (
-        obs_w.crossJoin(F.broadcast(tail))
-        .select(
-            (F.col("n_all") - F.col("n1")).alias("n0"),
-            F.col("n1").alias("n1"),
-            (F.floor(d_obs / 100.0 * 1e6) / 1e6).alias("obs_abs_diff"),
-            F.col("r").alias("replicas"),
-            F.col("n_ge").alias("n_as_extreme"),
-            ((F.lit(1) + F.col("n_ge")).cast("double") / (F.col("r") + 1)).alias(
-                "p_value"
-            ),
-        )
+    return tail.select(
+        (F.col("n_all") - F.col("n1")).alias("n0"),
+        F.col("n1").alias("n1"),
+        (F.floor(d_obs / 100.0 * 1e6) / 1e6).alias("obs_abs_diff"),
+        F.col("r").alias("replicas"),
+        F.col("n_ge").alias("n_as_extreme"),
+        ((F.lit(1) + F.col("n_ge")).cast("double") / (F.col("r") + 1)).alias(
+            "p_value"
+        ),
     )
 
 
