@@ -78,6 +78,10 @@ SINGLE_PARTITION_ALLOW: dict[str, str] = {
     "q309_mom_growth": "lag over the bounded month axis",
     "q312_new_user_curve": "cumulative over the bounded day axis",
     "q313_zipf_fit": "rank over the vocab-bounded frequency table subset",
+    "q392_unigram_m_step": "whole-frame grand-total window over the "
+    "VOCAB-sized per_piece table (round-12: replaced the agg+crossJoin "
+    "that re-executed the corpus-scanning E-step subtree twice; the "
+    "window input is the bounded piece axis, reduced before the window)",
     "q324_mrl_truncation_audit": "top-10 presentation windows",
     # reviewed in the round-4 lint sweep (2026-08-14)
     "q53_window_ntile_cume": "demonstrates the reference's unpartitioned "
