@@ -43,6 +43,11 @@ def main() -> None:
         t1 = time.time()
         df.write.format("noop").mode("overwrite").save()
         t2 = time.time()
+        # mirror bench.py: per-query persist release outside the timed
+        # window (see the round-12 measurement-bug note in bench.py)
+        from rust_dataframe_spark.operators.cache import release
+        release()
+        spark.catalog.clearCache()
         return t2 - t0, t1 - t0, t2 - t1
 
     for name in names:  # warm pass
