@@ -36,7 +36,7 @@ from rust_dataframe_spark.operators.cache import release as cache_release
 # (keyed by ROUND), so every codec re-benches periodically while the
 # recorded core stays comparable round over round — regressions in
 # rotated-out codecs are caught by pytest + local 3-rep records.
-ROUND = 12
+ROUND = 13
 
 CORE = [
     "q01_pricing_summary",
@@ -429,7 +429,7 @@ def main() -> None:
         # excluded from the timing on purpose: it is inter-query hygiene,
         # not query work.  clearCache additionally drops the few
         # untracked iterative-loop persists (e.g. dup_clusters' adjacency).
-        cache_release()
+        cache_release(blocking=True)
         spark.catalog.clearCache()
         return t2 - t0, t1 - t0, t2 - t1
 
@@ -469,6 +469,11 @@ def main() -> None:
             sum(t for n, t in timings.items() if n in set(CORE)), 3
         ),
         "rotation": _rot,
+        # VERDICT r12 #5: BENCH_SUMMARY.json is overwritten by whatever
+        # run happened last on the box (incl. low-cpu scaling runs);
+        # stamping the core count makes a human-read comparable_total
+        # self-explanatory.  The driver ignores it.
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         # lakehouse fixture queries: build (fixture writes) vs read
         # (executing the returned plan) so the read path is the
         # comparable signal (VERDICT r10 #7)
@@ -530,33 +535,17 @@ def main() -> None:
     budget = 1900
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > budget:
+        # VERDICT r12 #3: the printed subset is now STABLE — always the
+        # slowest-N by current timings.  The old r7 rotation (retain
+        # queries missing from the previous driver record first) made
+        # consecutive printed subsets DISJOINT, which starved the
+        # driver's per-query round-over-round and scaling comparisons
+        # (PERF_r12 n_common=0, empty scaling block).  The rotation
+        # predates BENCH_SUMMARY.json; the full census is always
+        # written there, so rotation is redundant — and slow-first is
+        # both the perf signal and round-over-round stable (the slow
+        # set barely changes between rounds).
         slow_first = sorted(timings, key=lambda n: -timings[n])
-        # VERDICT r7 #6: ROTATE the omitted set round-to-round — queries
-        # missing from the latest committed driver record (BENCH_r{N}.json)
-        # get top retention priority this round, so every headline query
-        # appears in a driver-visible record within ~2 rounds; slow-first
-        # fills the remaining slots (the perf signal).
-        prev_missing: list[str] = []
-        try:
-            import glob as _glob
-
-            recs = sorted(
-                _glob.glob(
-                    os.path.join(
-                        os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_r[0-9]*.json",
-                    )
-                )
-            )
-            if recs:
-                with open(recs[-1]) as f:
-                    rec = json.load(f)
-                # driver records wrap the printed line under "parsed"
-                parsed = rec.get("parsed") or rec
-                prev_q = set(parsed.get("queries") or {})
-                prev_missing = [n for n in timings if n not in prev_q]
-        except Exception:
-            prev_missing = []
         pruned = dict(out)
         # the split detail lives in BENCH_SUMMARY.json; the printed
         # line keeps the per-query totals (the comparable signal)
@@ -573,7 +562,7 @@ def main() -> None:
         }
         pruned["detail"] = "BENCH_SUMMARY.json"
         line = json.dumps(pruned, separators=(",", ":"))
-        keep = dict.fromkeys(prev_missing + slow_first)
+        keep = dict.fromkeys(slow_first)
         while len(line) > budget and keep:
             keep.popitem()  # drop the current fastest retained query
             pruned["queries"] = {n: timings[n] for n in keep}

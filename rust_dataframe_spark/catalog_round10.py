@@ -72,18 +72,12 @@ def q455_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_iceberg_commit(
         spark, path,
-        spark.range(0, 30, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, i % 3) for i in range(0, 30)], "id int, p int"),
         partition_by=["p"],
     )
     s_pre = write_iceberg_commit(
         spark, path,
-        spark.range(100, 109, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, i % 3) for i in range(100, 109)], "id int, p int"),
         partition_by=["p"],
     )
     _meta, files = iceberg_snapshot_files(path)
@@ -170,19 +164,18 @@ def q456_hudi_mor_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _scratch("hudi_mor", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    base = spark.range(0, 30, 1, 1).select(
-        F.col("id").cast("int").alias("id"),
-        (F.col("id") * 10).cast("int").alias("v"),
-        (F.col("id") % 3).cast("int").alias("p"),
-    ).repartition(F.col("p"))
+    base = _lrd(
+        spark, [(i, i * 10, i % 3) for i in range(0, 30)],
+        "id int, v int, p int",
+    )
     t0 = write_hudi_commit(
         spark, path, base, partition_by=["p"],
         table_type="MERGE_ON_READ", record_key="id",
     )
-    ups = spark.range(0, 30, 1, 1).where(F.col("id") % 5 == 0).select(
-        F.col("id").cast("int").alias("id"),
-        (F.lit(1000) + F.col("id")).cast("int").alias("v"),
-        (F.col("id") % 3).cast("int").alias("p"),
+    ups = _lrd(
+        spark,
+        [(i, 1000 + i, i % 3) for i in range(0, 30) if i % 5 == 0],
+        "id int, v int, p int",
     )
     write_hudi_log_commit(
         spark, path, ups, deletes=[("p=1", "7"), ("p=2", "14")]
@@ -267,18 +260,12 @@ def q458_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(0, 30, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, i % 3) for i in range(0, 30)], "id int, p int"),
         partition_by=["p"], column_mapping=True,
     )
     write_delta_commit(
         spark, path,
-        spark.range(100, 109, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, i % 3) for i in range(100, 109)], "id int, p int"),
         partition_by=["p"],
     )
     write_delta_checkpoint(spark, path)
@@ -473,18 +460,12 @@ def q459_delta_deletion_vectors(
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(0, 30, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, i % 3) for i in range(0, 30)], "id int, p int"),
         partition_by=["p"],
     )
     write_delta_commit(
         spark, path,
-        spark.range(100, 109, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, i % 3) for i in range(100, 109)], "id int, p int"),
         partition_by=["p"],
     )
     _m, adds = delta_snapshot_files(spark, path)
@@ -573,10 +554,7 @@ def q460_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     s_pre = write_iceberg_commit(
         spark, path,
-        spark.range(0, 30, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, i % 3) for i in range(0, 30)], "id int, p int"),
         partition_by=["p"],
     )
     from .sources.lakehouse_util import local_rows_df
@@ -660,10 +638,7 @@ def q461_delta_checkpoint_formats(
         shutil.rmtree(path, ignore_errors=True)
         write_delta_commit(
             spark, path,
-            spark.range(0, 30, 1, 1).select(
-                F.col("id").cast("int").alias("id"),
-                (F.col("id") % 3).cast("int").alias("p"),
-            ),
+            _lrd(spark, [(i, i % 3) for i in range(0, 30)], "id int, p int"),
             partition_by=["p"],
         )
         write_delta_commit(

@@ -84,11 +84,7 @@ def q462_iceberg_schema_evolution(
     shutil.rmtree(path, ignore_errors=True)
     s1 = write_iceberg_commit(
         spark, path,
-        spark.range(0, 30, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-            (F.col("id") * 2).cast("int").alias("val"),
-        ),
+        _lrd(spark, [(i, i % 3, i * 2) for i in range(0, 30)], "id int, p int, val int"),
         partition_by=["p"],
     )
     evolve_iceberg_schema(
@@ -96,12 +92,7 @@ def q462_iceberg_schema_evolution(
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(100, 109, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-            (F.col("id") * 3).cast("int").alias("score"),
-            (F.col("id") % 5).cast("int").alias("bonus"),
-        ),
+        _lrd(spark, [(i, i % 3, i * 3, i % 5) for i in range(100, 109)], "id int, p int, score int, bonus int"),
         partition_by=["p"],
     )
     cur = read_iceberg(spark, path).select(
@@ -189,20 +180,12 @@ def q463_delta_colmap_id_mode(
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(0, 30, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-            (F.col("id") * 2).cast("int").alias("val"),
-        ),
+        _lrd(spark, [(i, i % 3, i * 2) for i in range(0, 30)], "id int, p int, val int"),
         partition_by=["p"], column_mapping="id",
     )
     write_delta_commit(
         spark, path,
-        spark.range(100, 109, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-            (F.col("id") * 3).cast("int").alias("val"),
-        ),
+        _lrd(spark, [(i, i % 3, i * 3) for i in range(100, 109)], "id int, p int, val int"),
         partition_by=["p"],
     )
     write_delta_checkpoint(spark, path)
@@ -316,10 +299,7 @@ def q464_delta_change_data_feed(
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(0, 10, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") * 2).cast("int").alias("val"),
-        ).coalesce(1),
+        _lrd(spark, [(i, i * 2) for i in range(0, 10)], "id int, val int"),
         enable_cdf=True,
     )
     from .sources.lakehouse_util import local_rows_df
@@ -411,29 +391,17 @@ def q465_iceberg_incremental(
     shutil.rmtree(path, ignore_errors=True)
     s0 = write_iceberg_commit(
         spark, path,
-        spark.range(0, 20, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 2).cast("int").alias("p"),
-            F.col("id").cast("int").alias("val"),
-        ),
+        _lrd(spark, [(i, i % 2, i) for i in range(0, 20)], "id int, p int, val int"),
         partition_by=["p"],
     )
     s1 = write_iceberg_commit(
         spark, path,
-        spark.range(100, 105, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 2).cast("int").alias("p"),
-            (F.col("id") * 2).cast("int").alias("val"),
-        ),
+        _lrd(spark, [(i, i % 2, i * 2) for i in range(100, 105)], "id int, p int, val int"),
         partition_by=["p"],
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(200, 204, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 2).cast("int").alias("p"),
-            (F.col("id") * 3).cast("int").alias("val"),
-        ),
+        _lrd(spark, [(i, i % 2, i * 3) for i in range(200, 204)], "id int, p int, val int"),
         partition_by=["p"],
     )
     a0 = read_iceberg_changes(
@@ -516,11 +484,7 @@ def q466_hudi_incremental(
     shutil.rmtree(path, ignore_errors=True)
     t0 = write_hudi_commit(
         spark, path,
-        spark.range(0, 12, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 2).cast("int").alias("p"),
-            (F.col("id") * 2).cast("int").alias("val"),
-        ),
+        _lrd(spark, [(i, i % 2, i * 2) for i in range(0, 12)], "id int, p int, val int"),
         partition_by=["p"], meta_fields=True,
     )
     slices = hudi_snapshot_files(path)
@@ -546,11 +510,7 @@ def q466_hudi_incremental(
     )
     write_hudi_commit(
         spark, path,
-        spark.range(300, 302, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            F.lit(1).cast("int").alias("p"),
-            (F.col("id") * 5).cast("int").alias("val"),
-        ),
+        _lrd(spark, [(i, 1, i * 5) for i in range(300, 302)], "id int, p int, val int"),
         partition_by=["p"], meta_fields=True,
     )
     a0 = read_hudi_incremental(spark, path, begin_ts=t0).withColumn(
@@ -633,10 +593,7 @@ def q467_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(3):
         write_delta_commit(
             spark, path,
-            spark.range(k * 10, k * 10 + 10, 1, 1).select(
-                F.col("id").cast("int").alias("id"),
-                (F.col("id") % 2).cast("int").alias("p"),
-            ).coalesce(1),
+            _lrd(spark, [(i, i % 2) for i in range(k * 10, k * 10 + 10)], "id int, p int"),
             partition_by=["p"], enable_cdf=True,
         )
     compact_delta_files(spark, path)
@@ -728,29 +685,21 @@ def q468_iceberg_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_iceberg_commit(
         spark, path,
-        spark.range(0, 10, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 2).cast("int").alias("p"),
-            F.col("id").cast("int").alias("val"),
-        ),
+        _lrd(spark, [(i, i % 2, i) for i in range(0, 10)], "id int, p int, val int"),
         partition_by=["p"],
     )
     s1 = write_iceberg_commit(
         spark, path,
-        spark.range(0, 10, 1, 1).filter(F.col("id") % 2 == 0).select(
-            F.col("id").cast("int").alias("id"),
-            F.lit(0).cast("int").alias("p"),
-            (F.col("id") * 10).cast("int").alias("val"),
+        _lrd(
+            spark,
+            [(i, 0, i * 10) for i in range(0, 10) if i % 2 == 0],
+            "id int, p int, val int",
         ),
         partition_by=["p"], replace_partitions=True,
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(100, 104, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 2).cast("int").alias("p"),
-            (F.col("id") * 2).cast("int").alias("val"),
-        ),
+        _lrd(spark, [(i, i % 2, i * 2) for i in range(100, 104)], "id int, p int, val int"),
         partition_by=["p"],
     )
     expire_iceberg_snapshots(path, keep_last=2)
@@ -844,11 +793,7 @@ def q469_iceberg_stats_pruning(
     for k in range(4):
         write_iceberg_commit(
             spark, path,
-            spark.range(k * 100, k * 100 + 100, 1, 1).select(
-                F.col("id").cast("long").alias("id"),
-                F.concat(F.lit("n"), F.col("id")).alias("name"),
-                (F.col("id") * 3).cast("long").alias("val"),
-            ).coalesce(1),
+            _lrd(spark, [(i, f"n{i}", i * 3) for i in range(k * 100, k * 100 + 100)], "id long, name string, val long"),
         )
     preds = {
         "ge": "id >= 250",
@@ -950,11 +895,7 @@ def q470_delta_data_skipping(
     for k in range(4):
         write_delta_commit(
             spark, path,
-            spark.range(k * 100, k * 100 + 100, 1, 1).select(
-                F.col("id").cast("long").alias("id"),
-                F.lit(k).cast("int").alias("p"),
-                (F.col("id") * 3).cast("long").alias("val"),
-            ).coalesce(1),
+            _lrd(spark, [(i, k, i * 3) for i in range(k * 100, k * 100 + 100)], "id long, p int, val long"),
             partition_by=["p"],
         )
     preds = {

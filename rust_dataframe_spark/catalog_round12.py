@@ -15,6 +15,8 @@ snapshot algebra.
 
 from __future__ import annotations
 
+from datetime import date as _d, timedelta as _td
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import query
@@ -90,11 +92,7 @@ def q471_iceberg_name_mapping(
     # commit A: migrated shape — no footer field ids
     write_iceberg_commit(
         spark, path,
-        spark.range(0, 30, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-            (F.col("id") * 2).cast("int").alias("val"),
-        ),
+        _lrd(spark, [(i, i % 3, i * 2) for i in range(0, 30)], "id int, p int, val int"),
         partition_by=["p"], stamp_field_ids=False,
     )
     set_iceberg_name_mapping(path)  # migration tool step
@@ -104,12 +102,7 @@ def q471_iceberg_name_mapping(
     # commit B: normal writer — stamped; the table is now MIXED
     write_iceberg_commit(
         spark, path,
-        spark.range(100, 109, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-            (F.col("id") * 3).cast("int").alias("score"),
-            (F.col("id") % 5).cast("int").alias("bonus"),
-        ),
+        _lrd(spark, [(i, i % 3, i * 3, i % 5) for i in range(100, 109)], "id int, p int, score int, bonus int"),
         partition_by=["p"],
     )
     return (
@@ -191,12 +184,7 @@ def q472_delta_drop_column(
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(0, 30, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-            (F.col("id") * 2).cast("int").alias("secret"),
-            (F.col("id") + 1).cast("int").alias("keep"),
-        ),
+        _lrd(spark, [(i, i % 3, i * 2, i + 1) for i in range(0, 30)], "id int, p int, secret int, keep int"),
         partition_by=["p"], column_mapping="id",
     )
     drop_delta_columns(spark, path, ["secret"])
@@ -204,12 +192,7 @@ def q472_delta_drop_column(
     add_delta_columns(spark, path, [("secret", "int")])
     write_delta_commit(
         spark, path,
-        spark.range(100, 105, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-            (F.col("id") % 7).cast("int").alias("secret"),
-            (F.col("id") + 1).cast("int").alias("keep"),
-        ),
+        _lrd(spark, [(i, i % 3, i % 7, i + 1) for i in range(100, 105)], "id int, p int, secret int, keep int"),
         partition_by=["p"],
     )
     latest = read_delta(spark, path).select(
@@ -304,11 +287,7 @@ def q473_hudi_mor_incremental(
     shutil.rmtree(path, ignore_errors=True)
     t0 = write_hudi_commit(
         spark, path,
-        spark.range(0, 12, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 2).cast("int").alias("p"),
-            (F.col("id") * 2).cast("int").alias("val"),
-        ).coalesce(1),
+        _lrd(spark, [(i, i % 2, i * 2) for i in range(0, 12)], "id int, p int, val int"),
         partition_by=["p"], table_type="MERGE_ON_READ",
         record_key="id", meta_fields=True,
     )
@@ -419,11 +398,7 @@ def q474_delta_optimize_dv(
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(0, 20, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 2).cast("int").alias("p"),
-            (F.col("id") * 3).cast("int").alias("v"),
-        ).repartition(3),
+        _lrd(spark, [(i, i % 2, i * 3) for i in range(0, 20)], "id int, p int, v int").repartition(3),
         partition_by=["p"], enable_cdf=True,
     )
     _meta, adds = delta_snapshot_files(spark, path)
@@ -529,15 +504,12 @@ def q475_iceberg_transform_pruning(
     shutil.rmtree(pa, ignore_errors=True)
     write_iceberg_commit(
         spark, pa,
-        spark.range(0, 60, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 10).cast("int").alias("k"),
-            F.date_add(
-                F.to_date(F.lit("2024-03-01")),
-                (F.col("id") % 3).cast("int"),
-            ).alias("d"),
-            F.col("id").cast("int").alias("v"),
-        ).coalesce(1),
+        _lrd(
+            spark,
+            [(i, i % 10, _d(2024, 3, 1) + _td(days=i % 3), i)
+             for i in range(0, 60)],
+            "id int, k int, d date, v int",
+        ),
         partition_transforms=[
             ("k_bucket", "k", "bucket[4]"), ("d_day", "d", "day"),
         ],
@@ -643,17 +615,11 @@ def q476_iceberg_avro_files(
     shutil.rmtree(path, ignore_errors=True)
     write_iceberg_commit(
         spark, path,
-        spark.range(0, 10, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") * 2).cast("int").alias("val"),
-        ),
+        _lrd(spark, [(i, i * 2) for i in range(0, 10)], "id int, val int"),
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(100, 106, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") * 3).cast("int").alias("val"),
-        ).coalesce(2),
+        _lrd(spark, [(i, i * 3) for i in range(100, 106)], "id int, val int").coalesce(2),
         file_format="avro",
     )
     evolve_iceberg_schema(
@@ -749,18 +715,12 @@ def q477_delta_cdf_stream(
 
     write_delta_commit(
         spark, path,
-        spark.range(0, 12, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") * 10).cast("long").alias("v"),
-        ),
+        _lrd(spark, [(i, i * 10) for i in range(0, 12)], "id int, v long"),
         enable_cdf=True,
     )
     write_delta_commit(
         spark, path,
-        spark.range(0, 3, 1, 1).select(
-            (F.col("id") + 100).cast("int").alias("id"),
-            (F.col("id") * 10).cast("long").alias("v"),
-        ),
+        _lrd(spark, [(i + 100, i * 10) for i in range(0, 3)], "id int, v long"),
     )
     update_delta_rows_cdf(spark, path, "id = 5", {"v": "v + 1"})
     delete_delta_rows_cdf(spark, path, "id = 7")
@@ -768,10 +728,7 @@ def q477_delta_cdf_stream(
 
     write_delta_commit(
         spark, path,
-        spark.range(0, 2, 1, 1).select(
-            (F.col("id") + 200).cast("int").alias("id"),
-            F.lit(0).cast("long").alias("v"),
-        ),
+        _lrd(spark, [(i + 200, 0) for i in range(0, 2)], "id int, v long"),
     )
     v_compact = compact_delta_files(spark, path)
     final = run()
@@ -868,32 +825,20 @@ def q478_iceberg_append_stream(
 
     write_iceberg_commit(
         spark, path,
-        spark.range(0, 10, 1, 1).select(
-            F.col("id").cast("long").alias("id"),
-            (F.col("id") % 2).cast("int").alias("p"),
-            (F.col("id") * 2).cast("long").alias("val"),
-        ),
+        _lrd(spark, [(i, i % 2, i * 2) for i in range(0, 10)], "id long, p int, val long"),
         partition_by=["p"],
     )
     evolve_iceberg_schema(path, renames={"val": "score"})
     write_iceberg_commit(
         spark, path,
-        spark.range(0, 5, 1, 1).select(
-            (F.col("id") + 100).cast("long").alias("id"),
-            (F.col("id") % 2).cast("int").alias("p"),
-            (F.col("id") * 3).cast("long").alias("score"),
-        ),
+        _lrd(spark, [(i + 100, i % 2, i * 3) for i in range(0, 5)], "id long, p int, score long"),
         partition_by=["p"],
     )
     run1_rows = run().count()
 
     write_iceberg_commit(
         spark, path,
-        spark.range(0, 3, 1, 1).select(
-            (F.col("id") + 500).cast("long").alias("id"),
-            F.lit(0).cast("int").alias("p"),
-            F.lit(7).cast("long").alias("score"),
-        ),
+        _lrd(spark, [(i + 500, 0, 7) for i in range(0, 3)], "id long, p int, score long"),
         partition_by=["p"],
     )
     final = run()
@@ -981,18 +926,12 @@ def q479_hudi_incr_stream(
 
     write_hudi_commit(
         spark, path,
-        spark.range(0, 8, 1, 1).select(
-            F.col("id").cast("long").alias("id"),
-            (F.col("id") * 10).cast("long").alias("v"),
-        ),
+        _lrd(spark, [(i, i * 10) for i in range(0, 8)], "id long, v long"),
         meta_fields=True,
     )
     write_hudi_commit(
         spark, path,
-        spark.range(0, 3, 1, 1).select(
-            (F.col("id") + 100).cast("long").alias("id"),
-            F.lit(5).cast("long").alias("v"),
-        ),
+        _lrd(spark, [(i + 100, 5) for i in range(0, 3)], "id long, v long"),
         meta_fields=True,
     )
     r1 = run()
@@ -1002,10 +941,7 @@ def q479_hudi_incr_stream(
 
     write_hudi_commit(
         spark, path,
-        spark.range(0, 2, 1, 1).select(
-            (F.col("id") + 200).cast("long").alias("id"),
-            F.lit(9).cast("long").alias("v"),
-        ),
+        _lrd(spark, [(i + 200, 9) for i in range(0, 2)], "id long, v long"),
         meta_fields=True,
     )
     final = run()
@@ -1095,8 +1031,8 @@ def q480_delta_stream_sink(
     ).awaitTermination(300)
     rows = [census("run1")]
 
-    spark.range(0, 3, 1, 1).select(
-        (F.col("id") + 100).cast("long").alias("id"),
+    spark.range(100, 103, 1, 1).select(
+        F.col("id").cast("long").alias("id"),
         F.lit(9).cast("long").alias("v"),
     ).write.mode("append").parquet(src)
     stream = spark.readStream.schema("id bigint, v bigint").parquet(src)
@@ -1106,10 +1042,7 @@ def q480_delta_stream_sink(
     rows.append(census("run2"))
 
     last = delta_last_txn_version(tbl, "q480")
-    dup = spark.range(0, 3, 1, 1).select(
-        (F.col("id") + 100).cast("long").alias("id"),
-        F.lit(9).cast("long").alias("v"),
-    )
+    dup = _lrd(spark, [(i + 100, 9) for i in range(0, 3)], "id long, v long")
 
     def replay(batch_df, batch_id):
         lastv = delta_last_txn_version(tbl, "q480")
@@ -1122,10 +1055,7 @@ def q480_delta_stream_sink(
     replay(dup, last)  # duplicate delivery: skipped
     rows.append(census("after_dup"))
     replay(
-        spark.range(0, 3, 1, 1).select(
-            (F.col("id") + 200).cast("long").alias("id"),
-            F.lit(9).cast("long").alias("v"),
-        ),
+        _lrd(spark, [(i + 200, 9) for i in range(0, 3)], "id long, v long"),
         last + 1,
     )
     rows.append(census("final"))
@@ -1194,21 +1124,16 @@ def q481_hudi_clean(
     shutil.rmtree(path, ignore_errors=True)
 
     def mk(mult):
-        return spark.range(0, 4, 1, 1).select(
-            F.col("id").cast("long").alias("id"),
-            F.lit(0).cast("int").alias("p"),
-            (F.col("id") * mult).cast("long").alias("v"),
-        ).coalesce(1)
+        return _lrd(spark, [(i, 0, i * mult) for i in range(0, 4)], "id long, p int, v long")
 
     write_hudi_commit(
         spark, path,
-        mk(10).unionByName(
-            spark.range(0, 3, 1, 1).select(
-                F.col("id").cast("long").alias("id"),
-                F.lit(1).cast("int").alias("p"),
-                F.lit(7).cast("long").alias("v"),
-            )
-        ).repartition(F.col("p")),
+        _lrd(
+            spark,
+            [(i, 0, i * 10) for i in range(0, 4)]
+            + [(i, 1, 7) for i in range(0, 3)],
+            "id long, p int, v long",
+        ),
         partition_by=["p"], meta_fields=True,
     )
     fid = next(
@@ -1310,10 +1235,7 @@ def q482_iceberg_refs(
     for k in range(3):
         sids.append(write_iceberg_commit(
             spark, path,
-            spark.range(0, 4, 1, 1).select(
-                (F.col("id") + 10 * k).cast("long").alias("id"),
-                F.lit(k).cast("long").alias("v"),
-            ).coalesce(1),
+            _lrd(spark, [(i + 10 * k, k) for i in range(0, 4)], "id long, v long"),
         ))
     set_iceberg_ref(path, "v1", ref_type="tag", snapshot_id=sids[0])
     set_iceberg_ref(
@@ -1417,10 +1339,7 @@ def q483_iceberg_orc_files(
     shutil.rmtree(path, ignore_errors=True)
     write_iceberg_commit(
         spark, path,
-        spark.range(0, 10, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") * 2).cast("int").alias("val"),
-        ).coalesce(1),
+        _lrd(spark, [(i, i * 2) for i in range(0, 10)], "id int, val int"),
     )
     evolve_iceberg_schema(
         path, renames={"val": "score"}, adds=[("bonus", "int")]
@@ -1516,21 +1435,17 @@ def q484_iceberg_wap(
     shutil.rmtree(path, ignore_errors=True)
     s1 = write_iceberg_commit(
         spark, path,
-        spark.range(0, 5, 1, 1).select(F.col("id").cast("long").alias("id")),
+        _lrd(spark, [(i,) for i in range(0, 5)], "id long"),
     )
     set_iceberg_ref(path, "staging", ref_type="branch")
     write_iceberg_commit(
         spark, path,
-        spark.range(100, 103, 1, 1).select(
-            F.col("id").cast("long").alias("id")
-        ),
+        _lrd(spark, [(i,) for i in range(100, 103)], "id long"),
         branch="staging",
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(200, 202, 1, 1).select(
-            F.col("id").cast("long").alias("id")
-        ),
+        _lrd(spark, [(i,) for i in range(200, 202)], "id long"),
         branch="staging",
     )
 
@@ -1602,11 +1517,11 @@ def q485_delta_restore(
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(0, 5, 1, 1).select(F.col("id").cast("long").alias("id")),
+        _lrd(spark, [(i,) for i in range(0, 5)], "id long"),
     )
     write_delta_commit(
         spark, path,
-        spark.range(10, 13, 1, 1).select(F.col("id").cast("long").alias("id")),
+        _lrd(spark, [(i,) for i in range(10, 13)], "id long"),
     )
     v_restore = restore_delta(spark, path, version=0)
 

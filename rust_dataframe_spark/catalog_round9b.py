@@ -1059,26 +1059,17 @@ def q451_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_delta_commit(
         spark, path,
-        spark.range(0, 30, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, i % 3) for i in range(0, 30)], "id int, p int"),
         partition_by=["p"],
     )
     write_delta_commit(
         spark, path,
-        spark.range(100, 109, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, i % 3) for i in range(100, 109)], "id int, p int"),
         partition_by=["p"],
     )
     write_delta_commit(
         spark, path,
-        spark.range(900, 904, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            F.lit(1).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, 1) for i in range(900, 904)], "id int, p int"),
         partition_by=["p"], replace_partitions=True,
     )
     write_delta_checkpoint(spark, path)
@@ -1146,26 +1137,17 @@ def q452_iceberg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_iceberg_commit(
         spark, path,
-        spark.range(0, 30, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, i % 3) for i in range(0, 30)], "id int, p int"),
         partition_by=["p"],
     )
     s_prev = write_iceberg_commit(
         spark, path,
-        spark.range(100, 109, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % 3).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, i % 3) for i in range(100, 109)], "id int, p int"),
         partition_by=["p"],
     )
     write_iceberg_commit(
         spark, path,
-        spark.range(900, 904, 1, 1).select(
-            F.col("id").cast("int").alias("id"),
-            F.lit(1).cast("int").alias("p"),
-        ),
+        _lrd(spark, [(i, 1) for i in range(900, 904)], "id int, p int"),
         partition_by=["p"], replace_partitions=True,
     )
     cur = read_iceberg(spark, path).withColumn("snap", F.lit("current"))
@@ -1232,15 +1214,9 @@ def q453_hudi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _scratch("hudi_table", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    df0 = spark.range(0, 30, 1, 1).select(
-        F.col("id").cast("int").alias("id"),
-        (F.col("id") % 3).cast("int").alias("p"),
-    ).repartition(F.col("p"))
+    df0 = _lrd(spark, [(i, i % 3) for i in range(0, 30)], "id int, p int")
     t0 = write_hudi_commit(spark, path, df0, partition_by=["p"])
-    df1 = spark.range(100, 109, 1, 1).select(
-        F.col("id").cast("int").alias("id"),
-        (F.col("id") % 3).cast("int").alias("p"),
-    ).repartition(F.col("p"))
+    df1 = _lrd(spark, [(i, i % 3) for i in range(100, 109)], "id int, p int")
     t1 = write_hudi_commit(spark, path, df1, partition_by=["p"])
     fid = None
     for part, f in hudi_snapshot_files(path):

@@ -27,9 +27,15 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
-def release() -> int:
-    """Unpersist every tracked frame (blocking=False). Returns the count."""
+def release(blocking: bool = False) -> int:
+    """Unpersist every tracked frame.  Returns the count.
+
+    ``blocking=True`` waits for the block eviction to complete — the
+    bench harness uses it between queries so that an asynchronous
+    eviction (and its GC tail) cannot overlap the NEXT query's timed
+    window (ADVICE r12).  Default stays non-blocking for long-lived
+    sessions where latency matters more than isolation."""
     n = len(_PERSISTED)
     while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+        _PERSISTED.pop().unpersist(blocking=blocking)
     return n

@@ -64,6 +64,8 @@ from .lakehouse_util import (
     attach_file_values,
     parse_conjuncts,
     range_survives,
+    tagged_rows,
+    write_rows_hive_tmp,
 )
 
 __all__ = [
@@ -1180,10 +1182,44 @@ def write_delta_commit(
                   for c in df.columns]
             )
     tmp = os.path.join(path, f"_tmp_commit_{uuid.uuid4().hex[:8]}")
-    writer = out_df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*phys)
-    writer.parquet(tmp)
+    # Driver-side fast path for one-slice local fixture frames (guide
+    # §5): write the SAME hive layout into tmp via pyarrow — no Spark
+    # job.  Row values are untouched by the physical rename, so the
+    # tagged rows ARE the file contents; only names (and id-mode field
+    # ids) differ.  Equivalence pinned in tests/test_r13_opt.py; every
+    # non-provable case falls back to the Spark job below.
+    _local = tagged_rows(df)
+    _wrote_fast = False
+    if _local is not None:
+        from pyspark.sql.types import StructType as _St
+
+        _cols = list(df.columns)
+        _pidx = [_cols.index(c) for c in partition_by]
+        _didx = [i for i, c in enumerate(_cols) if c not in partition_by]
+        _data_fields = [df.schema.fields[i] for i in _didx]
+        _data_schema = _St([
+            type(f)(phys_of.get(f.name, f.name), f.dataType, True)
+            for f in _data_fields
+        ])
+        _fids = (
+            {phys_of.get(c, c): ids_of[c]
+             for c in _cols if c not in partition_by}
+            if cm_mode == "id" else None
+        )
+        _wrote_fast = write_rows_hive_tmp(
+            [tuple(r[i] for i in _didx) for r in _local],
+            _data_schema,
+            tmp,
+            phys,
+            [tuple(r[i] for i in _pidx) for r in _local]
+            if partition_by else None,
+            field_ids=_fids,
+        )
+    if not _wrote_fast:
+        writer = out_df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*phys)
+        writer.parquet(tmp)
     # Per-commit stats come from the parquet FOOTERS (_file_stats —
     # numRecords + min/max, footer-only) and the written partition set
     # from the tmp directory layout, so no second Spark job re-executes
@@ -1944,6 +1980,124 @@ def _move_single_parquet(spark, df: DataFrame, path: str,
     return os.path.getsize(final_path)
 
 
+def _cdf_rewrite_local(
+    spark: SparkSession,
+    path: str,
+    snap: DataFrame,
+    condition: str,
+    assignments: dict[str, str] | None,
+    new_path: str,
+    cdc_path: str,
+) -> bool:
+    """Driver-side half of a size-gated CDF rewrite: ONE Spark job
+    collects the snapshot's columns plus the condition flags and (for
+    UPDATE) the assignment values — all still computed by Spark SQL,
+    so expression semantics (null conditions, casts) are identical to
+    the distributed path — then pyarrow writes the rewritten table
+    file and the cdc file.  Returns False (caller runs the original
+    two-write-job path) when pyarrow or a type falls outside the
+    pinned whitelist."""
+    from .lakehouse_util import _FAST_DATA_TYPES
+
+    for f in snap.schema.fields:
+        if f.dataType.typeName() not in _FAST_DATA_TYPES:
+            return False
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StringType, StructField, StructType
+    except Exception:
+        return False
+    cols = snap.columns
+    probe_cols = [F.col(f"`{c}`") for c in cols]
+    # __m mirrors filter(condition): TRUE only; __nm mirrors
+    # filter(NOT condition) for the DELETE survivor set (a NULL
+    # condition drops the row from BOTH outputs, exactly as before)
+    probe_cols.append(
+        F.coalesce(F.expr(f"({condition})"), F.lit(False)).alias("__m")
+    )
+    if assignments is None:
+        probe_cols.append(
+            F.coalesce(
+                F.expr(f"(NOT ({condition}))"), F.lit(False)
+            ).alias("__nm")
+        )
+    else:
+        # the SAME when/otherwise expression the distributed new_df
+        # uses — Spark performs the type unification and evaluation,
+        # so the collected value IS the rewritten cell
+        for c in assignments:
+            probe_cols.append(
+                F.when(F.expr(condition), F.expr(assignments[c]))
+                .otherwise(F.col(f"`{c}`")).alias(f"__new_{c}")
+            )
+    probe = snap.select(*probe_cols)
+    if assignments is not None:
+        # the distributed path's output schema is the when/otherwise
+        # UNIFIED type; decline when unification widened a column (the
+        # pyarrow write below would silently narrow it back)
+        for c in assignments:
+            if (
+                probe.schema[f"__new_{c}"].dataType
+                != snap.schema[c].dataType
+            ):
+                return False
+    try:
+        rows = probe.collect()
+    except Exception:
+        return False
+    n = len(cols)
+    base = [tuple(r[i] for i in range(n)) for r in rows]
+    if assignments is not None:
+        new_idx = {c: n + 1 + k for k, c in enumerate(assignments)}
+        post = [
+            tuple(
+                r[new_idx[c]] if c in assignments else r[i]
+                for i, c in enumerate(cols)
+            )
+            for r in rows
+        ]
+        m = [bool(r[n]) for r in rows]
+        new_rows = post  # when/otherwise already folded unmatched rows
+        cdc_rows = (
+            [b + ("update_preimage",) for b, mm in zip(base, m) if mm]
+            + [p + ("update_postimage",) for p, mm in zip(post, m) if mm]
+        )
+    else:
+        m = [bool(r[n]) for r in rows]
+        nm = [bool(r[n + 1]) for r in rows]
+        new_rows = [b for b, keep in zip(base, nm) if keep]
+        cdc_rows = [b + ("delete",) for b, mm in zip(base, m) if mm]
+    try:
+        data_schema = to_arrow_schema(snap.schema)
+        cdc_schema = to_arrow_schema(StructType(
+            list(snap.schema.fields)
+            + [StructField("_change_type", StringType(), True)]
+        ))
+        for out_path, schema, rws in (
+            (new_path, data_schema, new_rows),
+            (cdc_path, cdc_schema, cdc_rows),
+        ):
+            arrs = [
+                pa.array([r[i] for r in rws], type=schema.types[i])
+                for i in range(len(schema.names))
+            ]
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            pq.write_table(
+                pa.Table.from_arrays(arrs, schema=schema),
+                out_path, compression="snappy",
+            )
+    except Exception:
+        for p in (new_path, cdc_path):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return False
+    return True
+
+
 def _cdf_rewrite(
     spark: SparkSession,
     path: str,
@@ -1964,40 +2118,65 @@ def _cdf_rewrite(
         raise DeltaError("CDF writers do not support column mapping")
     snap = read_delta(spark, path)
     cols = snap.columns
-    matched = snap.filter(condition)
     if assignments is not None:
         unknown = [c for c in assignments if c not in cols]
         if unknown:
             raise DeltaError(f"assignments reference {unknown}")
-        upd = [
-            (F.when(F.expr(condition), F.expr(assignments[c]))
-             .otherwise(F.col(f"`{c}`")).alias(c))
-            if c in assignments else F.col(f"`{c}`")
-            for c in cols
-        ]
-        new_df = snap.select(*upd)
-        cdc_df = matched.withColumn(
-            "_change_type", F.lit("update_preimage")
-        ).unionByName(
-            matched.select(*upd).withColumn(
-                "_change_type", F.lit("update_postimage")
-            )
-        )
-    else:
-        new_df = snap.filter(f"NOT ({condition})")
-        cdc_df = matched.withColumn("_change_type", F.lit("delete"))
     commits, checkpoints = _list_log(path)
     version = max(commits + checkpoints) + 1
     ts = int(time.time() * 1000)
     fname = f"part-{version:05d}-000-{uuid.uuid4().hex[:12]}.parquet"
-    size = _move_single_parquet(
-        spark, new_df, path, os.path.join(path, fname)
-    )
     cdc_name = f"cdc-{version:05d}-{uuid.uuid4().hex[:12]}.parquet"
     cdc_rel = f"{_CHANGE_DIR}/{cdc_name}"
-    cdc_size = _move_single_parquet(
-        spark, cdc_df, path, os.path.join(path, _CHANGE_DIR, cdc_name)
-    )
+    # Size-gated driver path (same adaptive gate as the round-12
+    # checkpoint fast path): a CDF rewrite on a fixture-sized table
+    # used to cost TWO scans + TWO write jobs; under the gate ONE
+    # Spark job collects the columns plus the CONDITION/ASSIGNMENT
+    # values (still evaluated by Spark SQL — semantics untouched) and
+    # pyarrow writes both files driver-side.  At scale the gate never
+    # opens and the distributed rewrite below runs unchanged.
+    total_live = sum(int(a.get("size") or 0) for a in adds)
+    done = False
+    if total_live <= _CP_DRIVER_BYTES:
+        done = _cdf_rewrite_local(
+            spark, path, snap, condition, assignments,
+            os.path.join(path, fname),
+            os.path.join(path, _CHANGE_DIR, cdc_name),
+        )
+    if done:
+        size = os.path.getsize(os.path.join(path, fname))
+        cdc_size = os.path.getsize(
+            os.path.join(path, _CHANGE_DIR, cdc_name)
+        )
+    else:
+        matched = snap.filter(condition)
+        if assignments is not None:
+            upd = [
+                (F.when(F.expr(condition), F.expr(assignments[c]))
+                 .otherwise(F.col(f"`{c}`")).alias(c))
+                if c in assignments else F.col(f"`{c}`")
+                for c in cols
+            ]
+            new_df = snap.select(*upd)
+            cdc_df = matched.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                matched.select(*upd).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        else:
+            new_df = snap.filter(f"NOT ({condition})")
+            cdc_df = matched.withColumn(
+                "_change_type", F.lit("delete")
+            )
+        size = _move_single_parquet(
+            spark, new_df, path, os.path.join(path, fname)
+        )
+        cdc_size = _move_single_parquet(
+            spark, cdc_df, path,
+            os.path.join(path, _CHANGE_DIR, cdc_name),
+        )
     actions: list[dict] = [
         {"remove": {"path": a["path"], "deletionTimestamp": ts,
                     "dataChange": True}}
@@ -2125,6 +2304,32 @@ def compact_delta_files(spark: SparkSession, path: str) -> int:
             f"part-{version:05d}-opt-{uuid.uuid4().hex[:12]}.parquet"
         )
         rel = f"{sub}/{fname}" if sub else fname
+        # Size-gated driver path (same gate as checkpoints/CDF): a
+        # fixture-sized group compacts via pyarrow — per-file DV
+        # positions dropped driver-side (the same tombstones
+        # _read_dv_positions feeds the distributed anti-join), no
+        # scan + write job per group.  The compacted row MULTISET is
+        # identical; row order is file-concatenation order, which no
+        # reader depends on (fresh files carry no DVs; all committed
+        # consumers aggregate).  Falls through to the distributed
+        # rewrite above the gate or on any non-provable input.
+        local_size = _compact_group_local(
+            spark, path, files, dv_of, table_path,
+            os.path.join(path, sub, fname) if sub
+            else os.path.join(path, fname),
+        )
+        if local_size is not None:
+            for a in group:
+                actions.append({"remove": {
+                    "path": a["path"], "deletionTimestamp": ts,
+                    "dataChange": False,
+                }})
+            actions.append({"add": {
+                "path": urllib.parse.quote(rel, safe="/="),
+                "partitionValues": pv, "size": local_size,
+                "modificationTime": ts, "dataChange": False,
+            }})
+            continue
         df = spark.read.parquet(*files)
         if dv_of:
             # materialize the tombstones: same (basename, row
@@ -2192,6 +2397,51 @@ def compact_delta_files(spark: SparkSession, path: str) -> int:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     return version
+
+
+def _compact_group_local(
+    spark, path: str, files: list[str], dv_of: dict,
+    table_path: str, out_path: str,
+) -> int | None:
+    """Driver-side half of a size-gated OPTIMIZE group rewrite: read
+    the group's files with pyarrow, drop each file's DV-tombstoned
+    row positions (the same position sets ``_read_dv_positions``
+    feeds the distributed anti-join), concatenate, write one snappy
+    parquet.  Returns the output size, or None (caller runs the
+    distributed rewrite) above the byte gate or on schema drift."""
+    try:
+        if sum(os.path.getsize(f) for f in files) > _CP_DRIVER_BYTES:
+            return None
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pos_of: dict[str, set] = {}
+        for p, dv in dv_of.items():
+            base = os.path.basename(_decode_path(p))
+            pos_of[base] = set(_read_dv_positions(dv, table_path))
+        tables = []
+        schema0 = None
+        for f in files:
+            tbl = pq.read_table(f)
+            if schema0 is None:
+                schema0 = tbl.schema
+            elif tbl.schema != schema0:
+                return None  # schema drift: distributed path unifies
+            drop = pos_of.get(os.path.basename(f))
+            if drop:
+                keep = [i for i in range(tbl.num_rows) if i not in drop]
+                tbl = tbl.take(keep)
+            tables.append(tbl)
+        out = pa.concat_tables(tables)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        pq.write_table(out, out_path, compression="snappy")
+        return os.path.getsize(out_path)
+    except Exception:
+        try:
+            os.remove(out_path)
+        except OSError:
+            pass
+        return None
 
 
 def vacuum_delta(

@@ -55,7 +55,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .lakehouse_util import attach_file_values
+from .lakehouse_util import (
+    attach_file_values,
+    tagged_rows,
+    write_rows_hive_tmp,
+)
 
 __all__ = [
     "HudiError",
@@ -339,10 +343,56 @@ def write_hudi_commit(
                 F.lit(str(ts)).alias("_hoodie_commit_time"),
                 *[F.col(f"`{c}`") for c in df.columns],
             )
-    writer = out_df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
+    # Driver-side fast path for one-slice local fixture frames (guide
+    # §5; same discipline as the Delta/Iceberg writers): the tagged
+    # rows ARE the file contents, with the meta-field prepend/coalesce
+    # replicated value-for-value.  Equivalence pinned in
+    # tests/test_r13_opt.py; non-provable cases fall back to the Spark
+    # job below.
+    _local = tagged_rows(df)
+    _wrote_fast = False
+    if _local is not None:
+        from pyspark.sql.types import StringType as _StrT
+        from pyspark.sql.types import StructField as _Sf
+        from pyspark.sql.types import StructType as _St
+
+        _cols = list(df.columns)
+        _fields = list(df.schema.fields)
+        _rows = [tuple(r) for r in _local]
+        if meta_fields:
+            if "_hoodie_commit_time" in _cols:
+                _hidx = _cols.index("_hoodie_commit_time")
+                _rows = [
+                    tuple(
+                        (v if v is not None else str(ts))
+                        if i == _hidx else v
+                        for i, v in enumerate(r)
+                    )
+                    for r in _rows
+                ]
+            else:
+                _cols = ["_hoodie_commit_time"] + _cols
+                _fields = [
+                    _Sf("_hoodie_commit_time", _StrT(), True)
+                ] + _fields
+                _rows = [(str(ts),) + r for r in _rows]
+        _pidx = [_cols.index(c) for c in partition_by]
+        _didx = [
+            i for i, c in enumerate(_cols) if c not in partition_by
+        ]
+        _wrote_fast = write_rows_hive_tmp(
+            [tuple(r[i] for i in _didx) for r in _rows],
+            _St([_fields[i] for i in _didx]),
+            tmp,
+            partition_by,
+            [tuple(r[i] for i in _pidx) for r in _rows]
+            if partition_by else None,
+        )
+    if not _wrote_fast:
+        writer = out_df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
     # Discover the written partition set from the tmp directory layout
     # instead of a second Spark job: ``df.select(...).distinct()``
     # re-executed the ENTIRE input plan — for compact_hudi that input
@@ -802,8 +852,16 @@ def write_hudi_log_commit(
         from .avro import spark_schema_to_avro
 
         avro_schema = spark_schema_to_avro(updates.schema, "hudi_rec")
-        for r in updates.collect():
-            rec = r.asDict(recursive=True)
+        # tagged one-slice local frames skip the collect() job — the
+        # driver already holds the rows (guide §5)
+        _local = tagged_rows(updates)
+        _names = list(updates.columns)
+        _recs = (
+            [dict(zip(_names, r)) for r in _local]
+            if _local is not None
+            else [r.asDict(recursive=True) for r in updates.collect()]
+        )
+        for rec in _recs:
             part = "/".join(
                 f"{c}={rec[c]}" for c in part_cols
             ) if part_cols else ""

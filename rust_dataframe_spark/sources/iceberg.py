@@ -64,6 +64,8 @@ from .lakehouse_util import (
     local_rows_df,
     parse_conjuncts as _parse_conjuncts,
     range_survives as _range_survives,
+    tagged_rows,
+    write_rows_hive_tmp,
 )
 
 __all__ = [
@@ -1886,6 +1888,88 @@ def _transform_column(src: str, t: str, tr: str):
     raise IcebergError(f"transform {tr!r} unsupported in writer")
 
 
+def _write_orc_local(
+    rows: list[tuple], schema, tmp: str, field_ids: dict[str, int],
+) -> bool:
+    """Driver-side twin of ``write_orc_dir`` for a ONE-SLICE local
+    frame: one ``part-00000.orc`` via the same pyarrow.orc writer,
+    zlib, ``iceberg.id`` field metadata.  Returns False (caller runs
+    the distributed writer) on any conversion the fast path cannot
+    prove equivalent."""
+    if not rows:
+        # the distributed writer emits NO file for an empty partition
+        return False
+    try:
+        import pyarrow as pa
+        from pyarrow import orc as pa_orc
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        fields = []
+        for f in arrow_schema:
+            if f.name not in field_ids:
+                return False
+            fields.append(f.with_metadata(
+                {b"iceberg.id": str(field_ids[f.name]).encode()}
+            ))
+        arrow_schema = pa.schema(fields)
+        cols = [
+            pa.array([r[i] for r in rows], type=arrow_schema.types[i])
+            for i in range(len(fields))
+        ]
+        tbl = pa.Table.from_arrays(cols, schema=arrow_schema)
+        os.makedirs(tmp, exist_ok=True)
+        pa_orc.write_table(
+            tbl, os.path.join(tmp, "part-00000.orc"),
+            compression="ZLIB",
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _iceberg_local_transform_vals(
+    rows: list[tuple], cols: list[str],
+    parts_meta: list[tuple],
+):
+    """Per-row partition tuples for a TRANSFORMED spec, computed
+    driver-side over local fixture rows — the same spec kernels
+    (:func:`iceberg_bucket`, :func:`iceberg_truncate`, day-from-epoch)
+    the distributed ``_transform_column`` path applies.  Returns False
+    (caller falls back to the Spark job) for any transform/type pair
+    outside the pinned set or a null source value."""
+    from datetime import date as _date
+
+    idx = {c: i for i, c in enumerate(cols)}
+    out: list[tuple] = []
+    for r in rows:
+        pv = []
+        for _name, src, t, tr in parts_meta:
+            v = r[idx[src]]
+            if v is None:
+                return False
+            try:
+                if tr.startswith("bucket[") and tr.endswith("]"):
+                    pv.append(
+                        iceberg_bucket(v, int(tr[7:-1]), t)
+                    )
+                elif tr.startswith("truncate[") and tr.endswith("]"):
+                    pv.append(
+                        iceberg_truncate(v, int(tr[9:-1]), t)
+                    )
+                elif tr in ("day", "days") and t == "date":
+                    if isinstance(v, str):
+                        y, m, d = (int(x) for x in v.split("-"))
+                        v = _date(y, m, d)
+                    pv.append((v - _date(1970, 1, 1)).days)
+                else:
+                    return False
+            except (IcebergError, ValueError, TypeError):
+                return False
+        out.append(tuple(pv))
+    return out
+
+
 def write_iceberg_commit(
     spark: SparkSession,
     path: str,
@@ -2129,31 +2213,100 @@ def write_iceberg_commit(
                     names=["n_rows"],
                 )
 
-        # the write job's own per-task row counts replace the old
-        # separate df.count() job (one pass instead of two)
-        avro_total = sum(
-            r["n_rows"]
-            for r in df.mapInArrow(
-                _write_avro, schema="n_rows long"
-            ).collect()
-        )
+        # tagged one-slice local frames encode driver-side — the SAME
+        # encode_records codec, one part-00000.avro, no Spark job
+        # (guide §5); otherwise the write job's own per-task row
+        # counts replace the old separate df.count() job
+        _local = tagged_rows(df)
+        if _local:  # empty -> distributed path (which writes no file)
+            _recs = [dict(zip(cols_order, r)) for r in _local]
+            with open(
+                os.path.join(tmp, "part-00000.avro"), "wb"
+            ) as fh:
+                fh.write(_enc(sch_json, _recs, codec="deflate"))
+            avro_total = len(_recs)
+        else:
+            avro_total = sum(
+                r["n_rows"]
+                for r in df.mapInArrow(
+                    _write_avro, schema="n_rows long"
+                ).collect()
+            )
     elif file_format == "orc":
         # field-id-stamped ORC files via pyarrow.orc, one per Spark
         # partition (executor-side encode; iceberg.id type attributes
-        # are the spec's ORC field-id carrier)
-        from .orc import write_orc_dir as _worc
+        # are the spec's ORC field-id carrier).  Tagged one-slice
+        # local frames write their single part file driver-side —
+        # same pyarrow.orc writer, same naming, no Spark job.
+        _local = tagged_rows(df)
+        _wrote_orc = False
+        if _local is not None:
+            _wrote_orc = _write_orc_local(
+                _local, df.schema, tmp,
+                {c: int(name_to_id[c]) for c in df.columns},
+            )
+        if not _wrote_orc:
+            from .orc import write_orc_dir as _worc
 
-        _worc(
-            df, tmp, compression="zlib",
-            field_ids={
-                c: int(name_to_id[c]) for c in df.columns
-            },
-        )
+            _worc(
+                df, tmp, compression="zlib",
+                field_ids={
+                    c: int(name_to_id[c]) for c in df.columns
+                },
+            )
     else:
-        writer = out_df.write.mode("overwrite")
-        if write_cols:
-            writer = writer.partitionBy(*write_cols)
-        writer.parquet(tmp)
+        # Driver-side fast path for one-slice local fixture frames
+        # (guide §5; same discipline as the Delta writer and the
+        # checkpoint fast path): the tagged rows ARE the file contents
+        # — with_field_ids only changes metadata, and transform values
+        # are recomputed through the SAME spec-pinned Python kernels
+        # (iceberg_bucket / iceberg_truncate, murmur3 test vectors in
+        # tests/test_r12_lakehouse.py) the pandas-UDF path vectorizes.
+        # Equivalence pinned in tests/test_r13_opt.py; any non-provable
+        # case falls back to the Spark job below.
+        _local = tagged_rows(df)
+        _wrote_fast = False
+        if _local is not None:
+            _cols = list(df.columns)
+            if trans:
+                _didx = list(range(len(_cols)))
+                _pv = _iceberg_local_transform_vals(
+                    _local, _cols, parts_meta
+                )
+            else:
+                _pidx = [_cols.index(c) for c in partition_by]
+                _didx = [
+                    i for i, c in enumerate(_cols)
+                    if c not in partition_by
+                ]
+                _pv = (
+                    [tuple(r[i] for i in _pidx) for r in _local]
+                    if partition_by else None
+                )
+            if _pv is not False:
+                from pyspark.sql.types import StructType as _St
+
+                _data_schema = _St(
+                    [df.schema.fields[i] for i in _didx]
+                )
+                _fids = (
+                    {c: int(name_to_id[c])
+                     for c in (_cols[i] for i in _didx)}
+                    if stamp_field_ids else None
+                )
+                _wrote_fast = write_rows_hive_tmp(
+                    [tuple(r[i] for i in _didx) for r in _local],
+                    _data_schema,
+                    tmp,
+                    write_cols,
+                    _pv,
+                    field_ids=_fids,
+                )
+        if not _wrote_fast:
+            writer = out_df.write.mode("overwrite")
+            if write_cols:
+                writer = writer.partitionBy(*write_cols)
+            writer.parquet(tmp)
     # Written partition set from the tmp directory layout; per-file
     # row counts from footers at entry-build time — no second Spark
     # job re-executes ``df`` (guide §1.2; for transformed specs the
@@ -2362,22 +2515,36 @@ def write_iceberg_position_deletes(
     snapshot_id = ts * 1000 + version
     from .fieldid import with_field_ids
 
-    # one-slice local frame (lakehouse_util.local_rows_df): the old
-    # createDataFrame(...).coalesce(1) evaluated 32 mostly-empty
-    # pickled slices sequentially in one task — ~4.5 s of Python
-    # worker round-trips per delete commit (guide §4)
-    ddf = local_rows_df(
-        spark,
-        [(p, int(pos)) for p, pos in deletes],
-        "file_path string, pos bigint",
-    )
-    # spec-reserved field ids for position-delete files
-    ddf = with_field_ids(
-        ddf, {"file_path": 2147483546, "pos": 2147483545}
-    )
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     tmp = os.path.join(path, f"_tmp_del_{uuid.uuid4().hex[:8]}")
-    ddf.write.mode("overwrite").parquet(tmp)
+    # The delete set is a driver-local list — write its parquet
+    # driver-side (pyarrow, spec-reserved field ids); no Spark job at
+    # all (guide §5).  Falls back to the one-slice distributed write
+    # when pyarrow is unavailable or the set exceeds the one-slice
+    # equivalence bound.
+    from pyspark.sql.types import StructType as _St
+
+    _del_rows = [(p, int(pos)) for p, pos in deletes]
+    if not write_rows_hive_tmp(
+        _del_rows,
+        _St.fromDDL("file_path string, pos bigint"),
+        tmp, [], None,
+        field_ids={"file_path": 2147483546, "pos": 2147483545},
+    ):
+        # one-slice local frame (lakehouse_util.local_rows_df): the old
+        # createDataFrame(...).coalesce(1) evaluated 32 mostly-empty
+        # pickled slices sequentially in one task — ~4.5 s of Python
+        # worker round-trips per delete commit (guide §4)
+        ddf = local_rows_df(
+            spark, _del_rows, "file_path string, pos bigint",
+        )
+        # spec-reserved field ids for position-delete files
+        ddf = with_field_ids(
+            ddf, {"file_path": 2147483546, "pos": 2147483545}
+        )
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+        ddf.write.mode("overwrite").parquet(tmp)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     part = next(
@@ -2485,11 +2652,32 @@ def write_iceberg_equality_deletes(
     seq = int(meta.get("last-sequence-number") or 0) + 1
     from .fieldid import with_field_ids
 
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     tmp = os.path.join(path, f"_tmp_eqdel_{uuid.uuid4().hex[:8]}")
-    with_field_ids(
-        values.select(*equality_cols), name_to_id
-    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    # Driver-side fast path when ``values`` is a tagged one-slice local
+    # frame: project the equality columns from the local rows and write
+    # via pyarrow — no Spark job (guide §5).
+    _local = tagged_rows(values)
+    _wrote_fast = False
+    if _local is not None:
+        from pyspark.sql.types import StructType as _St
+
+        _vcols = list(values.columns)
+        _eidx = [_vcols.index(c) for c in equality_cols]
+        _wrote_fast = write_rows_hive_tmp(
+            [tuple(r[i] for i in _eidx) for r in _local],
+            _St([values.schema.fields[i] for i in _eidx]),
+            tmp, [], None,
+            field_ids={
+                c: int(name_to_id[c]) for c in equality_cols
+            },
+        )
+    if not _wrote_fast:
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+        with_field_ids(
+            values.select(*equality_cols), name_to_id
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     part = next(

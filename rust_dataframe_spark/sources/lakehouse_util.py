@@ -20,6 +20,8 @@ the join — a duplicate basename falls back to nothing silently wrong.
 from __future__ import annotations
 
 import os
+import re
+import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -117,9 +119,149 @@ def local_rows_df(spark, rows: list, schema: str):
     n = max(1, min(
         spark.sparkContext.defaultParallelism, (len(rows) + 4095) // 4096
     ))
-    return spark.createDataFrame(
+    df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, numSlices=n), schema
     )
+    if n == 1:
+        # Fast-path tag: the lakehouse writers recognize a one-slice
+        # local frame and can write its data file DRIVER-SIDE (pyarrow)
+        # instead of launching a Spark write job (~0.25-0.4 s each; see
+        # write_rows_hive_tmp).  The tag lives on this exact DataFrame
+        # object only — any transformation returns an untagged frame,
+        # so a derived plan can never be mistaken for driver rows.
+        try:
+            df._sg_rows = [tuple(r) for r in rows]
+        except Exception:
+            pass
+    return df
+
+
+def tagged_rows(df: DataFrame) -> list[tuple] | None:
+    """Driver-local rows of a one-slice :func:`local_rows_df` frame,
+    or None for any other DataFrame (including anything derived from
+    a tagged frame by a transformation)."""
+    return getattr(df, "_sg_rows", None)
+
+
+# Types for which the pyarrow fast path is pinned byte-equivalent to
+# Spark's parquet writer (tests/test_r13_opt.py: same read-back schema,
+# same footer row counts and min/max stats, same file census).  Anything
+# else falls back to the Spark write job.
+_FAST_DATA_TYPES = {
+    "integer", "long", "string", "double", "float", "boolean", "date",
+    "short", "byte",
+}
+# Partition-dir values additionally must render to the same directory
+# string Spark produces; pinned for int-family, string and date.
+_FAST_PART_TYPES = {"integer", "long", "string", "date", "short", "byte"}
+# Characters Spark/Hive never escape in a partition dir name.  Anything
+# outside (including '%', so unquote() round-trips) falls back.
+_SAFE_PART_RE = re.compile(r"^[A-Za-z0-9._+-]+$")
+
+
+def write_rows_hive_tmp(
+    rows: list[tuple],
+    data_schema,
+    tmp: str,
+    part_names: list[str],
+    part_vals: list[tuple] | None,
+    *,
+    field_ids: dict[str, int] | None = None,
+) -> bool:
+    """Driver-side twin of ``df.write.mode('overwrite')
+    .partitionBy(*cols).parquet(tmp)`` for ONE-SLICE local-rows frames
+    (guide §5: the driver should do almost no data work — and a
+    distributed write job over a driver-local fixture list is exactly
+    that work, ~0.25-0.4 s of scheduling per tiny commit).
+
+    Produces the SAME tmp layout the Spark job would: hive partition
+    dirs ``k=v``, ONE part file per partition value (a one-slice frame
+    is a one-task write), parquet schema derived through the same
+    ``to_arrow_schema`` mapping the checkpoint fast path pinned, footer
+    min/max statistics on, optional ``PARQUET:field_id`` stamping.
+    Returns False — caller runs the original Spark job — whenever
+    equivalence is not provable: pyarrow missing, empty input, a type
+    outside the pinned whitelist, or a partition value that is null or
+    would be hive-escaped (chars outside ``_SAFE_PART_RE``).
+
+    ``rows`` are the FILE contents (partition columns already removed,
+    matching partitionBy semantics) in input order; ``part_vals`` the
+    per-row partition tuples aligned with ``rows`` (None ≡ all-empty,
+    unpartitioned)."""
+    if not rows or len(rows) > 4096:
+        # >4096 rows would have been a multi-slice frame: the Spark
+        # job writes one file PER SLICE per value — a different file
+        # census the fast path must not silently change
+        return False
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+    except Exception:
+        return False
+    for f in data_schema.fields:
+        if f.dataType.typeName() not in _FAST_DATA_TYPES:
+            return False
+    if part_names:
+        if part_vals is None or len(part_vals) != len(rows):
+            return False
+        for pv in part_vals:
+            for v in pv:
+                if v is None:
+                    return False  # Spark path fail-louds identically
+                s = str(v)
+                if not _SAFE_PART_RE.match(s):
+                    return False
+    try:
+        arrow_schema = to_arrow_schema(data_schema)
+    except Exception:
+        return False
+    if field_ids is not None:
+        missing = [n for n in arrow_schema.names if n not in field_ids]
+        if missing:
+            return False
+        arrow_schema = pa.schema([
+            f.with_metadata(
+                {b"PARQUET:field_id": str(int(field_ids[f.name])).encode()}
+            )
+            for f in arrow_schema
+        ])
+    # stable group by partition tuple: input order within each group is
+    # exactly the one-task Spark write's order (positions in the file
+    # matter to position-delete fixtures)
+    groups: dict[tuple, list[tuple]] = {}
+    if part_names:
+        for r, pv in zip(rows, part_vals):
+            groups.setdefault(tuple(pv), []).append(tuple(r))
+    else:
+        groups[()] = [tuple(r) for r in rows]
+    ncols = len(data_schema.fields)
+    try:
+        for pv, grp in groups.items():
+            sub = "/".join(
+                f"{c}={v}" for c, v in zip(part_names, pv)
+            )
+            out_dir = os.path.join(tmp, sub) if sub else tmp
+            os.makedirs(out_dir, exist_ok=True)
+            cols = [
+                pa.array([r[i] for r in grp], type=arrow_schema.types[i])
+                for i in range(ncols)
+            ]
+            tbl = pa.Table.from_arrays(cols, schema=arrow_schema)
+            pq.write_table(
+                tbl,
+                os.path.join(
+                    out_dir, f"part-00000-{uuid.uuid4().hex[:12]}.parquet"
+                ),
+                compression="snappy",
+            )
+    except Exception:
+        # half-written tmp must not leak into the caller's discovery
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    return True
 
 
 def assert_unique_basenames(

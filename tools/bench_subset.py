@@ -46,7 +46,7 @@ def main() -> None:
         # mirror bench.py: per-query persist release outside the timed
         # window (see the round-12 measurement-bug note in bench.py)
         from rust_dataframe_spark.operators.cache import release
-        release()
+        release(blocking=True)
         spark.catalog.clearCache()
         return t2 - t0, t1 - t0, t2 - t1
 

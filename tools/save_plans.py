@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for named queries to plans/r12/<name>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/<ver>/<name>_<tag>.txt.
 
 Usage: python tools/save_plans.py <tag> <query> [<query> ...]
 
@@ -18,7 +18,7 @@ from rust_dataframe_spark import catalog
 from rust_dataframe_spark.context import get_spark
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r12")
+                   "plans", os.environ.get("PLAN_VER", "r13"))
 SF_DIR = os.environ.get("PLAN_SF_DIR", "/root/testdata/sf0.001")
 
 
