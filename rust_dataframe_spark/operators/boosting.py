@@ -80,12 +80,12 @@ def boosted_stumps(
     # 1-row frame, but each broadcast reference re-scans the corpus to
     # recompute it (it appears in the cell-table lineage AND the final
     # output row) — persist so the min/max pass runs once.
-    bounds = _pt(f.agg(
+    bounds = f.agg(
         F.min("x1").alias("lo1"),
         F.max("x1").alias("hi1"),
         F.min("x2").alias("lo2"),
         F.max("x2").alias("hi2"),
-    ))
+    )
     # THE data pass: joint histogram cells, integer counts.  Persisted
     # (nbins^2 x 2 rows) because three downstream stages — round-1 bins,
     # residual cells, final SSE — all read it; without the persist each

@@ -256,7 +256,15 @@ def near_dup_pairs(
     # rep_docs fans into THREE consumers (the signature stage and both
     # sides of the verify join), and each reference would re-run the
     # corpus scan + md5 + full-text groupBy shuffle — persist so the
-    # collapse runs once (MEMORY_AND_DISK; same discipline as `mem`/`sig`)
+    # collapse runs once (MEMORY_AND_DISK; same discipline as `mem`/`sig`).
+    # 100 TB footprint note (ADVICE r12): unlike `mem` this persist
+    # carries FULL TEXT per distinct doc — a corpus-sized spill
+    # footprint at scale.  The trade is deliberate: all three consumers
+    # need the text itself (shingling and both verify sides), so a
+    # text-free (id, __h) table would re-join text per consumer and
+    # re-run the very scans the persist exists to collapse; the spill
+    # is disk-backed, per-query released, and bounded by the DISTINCT
+    # corpus (duplicates are already collapsed here).
     rep_docs = persist_tracked(
         h.groupBy("__h").agg(
             F.min(id_col).alias(id_col), F.first(text_col).alias(text_col)
@@ -701,6 +709,17 @@ def excise_repeated_spans(
     broadcast along the doc join is bounded; the heavy lifting is the same
     digest-keyed detection shuffle as repeated_ngram_spans, and the rebuild
     is one equi-join on the doc id.
+
+    Collision regime (ADVICE r12): detection fingerprints n-grams with
+    ``xxhash64`` (repeated_ngram_spans) — a 64-bit collision between two
+    DISTINCT n-grams can inflate a gram's doc frequency past
+    ``min_docs``, and in THIS caller that false span is not just a count:
+    the covered words are CUT FROM THE OUTPUT TEXT.  Odds are
+    ~d²/2⁶⁵ over d distinct grams (~1 in 2⁴⁵ at a billion grams) — the
+    documented advisory trade; a pipeline that cannot tolerate any
+    false excision at 100 TB should carry a 128-bit fingerprint here
+    (two xxhash64 seeds or md5) at double the detection-shuffle key
+    width.
     """
     spans = repeated_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
     per_doc = spans.groupBy(id_col).agg(
@@ -867,17 +886,43 @@ def dup_clusters_star(
     rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
     nodes = fwd.select("u").unionByName(rev.select("u")).distinct()
     edges = fwd.unionByName(rev).filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+
+    # Convergence probe (round 13): ONE order-independent signature job
+    # per round — (canonical edge count, sum of per-edge xxhash64) —
+    # instead of two exceptAll jobs.  Equal signatures trigger the
+    # EXACT set comparison once (equal counts make the one-sided
+    # exceptAll sufficient), so a hash collision can only cost one
+    # extra verify job, never a wrong early stop; the fixed point and
+    # the executed round count are identical to the old probe's.
+    def _sig(e: DataFrame) -> tuple:
+        srow = _canon(e).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (srow["n"], srow["h"])
+
+    # (Round 13 negative probe, kept for the record: batching TWO star
+    # rounds per checkpoint/probe measured 12.4 -> 17.0 s on q374 — the
+    # doubled un-checkpointed plan cost more per job than the saved
+    # job floors, the same failure mode as round 12's reverted fused
+    # probe.  One round per checkpoint is the measured optimum.)
+    prev_sig = _sig(edges)
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint()
-        canon_old = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
-        canon_new = new_edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
-        changed = (
-            canon_new.exceptAll(canon_old).limit(1).count()
-            + canon_old.exceptAll(canon_new).limit(1).count()
-        )
-        edges = new_edges
-        if changed == 0:
+        sig = _sig(new_edges)
+        if sig == prev_sig and (
+            _canon(new_edges).exceptAll(_canon(edges)).limit(1).count()
+            == 0
+        ):
+            edges = new_edges
             break
+        prev_sig = sig
+        edges = new_edges
     # fixed point: star edges (node -> component_min); roots label themselves
     labels = (
         edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))

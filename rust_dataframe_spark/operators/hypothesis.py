@@ -705,16 +705,30 @@ def spearman_rho(
     corpus-sized here (599 646 pairs / 600 000 rows: extendedprice is
     near-unique), so the groupBy shuffle + persist outweigh the saved
     scans, and a corpus-sized persist is exactly what guide §5 says not
-    to hold.  The per-row join shape below is the measured optimum.)
+    to hold.  Round 13: the NARROW-projection persist — just the two
+    int64 cents columns, NO regroup — was tried next (VERDICT r12 #5):
+    both rank tables and the final join read the 16-byte-row cache, so
+    the parquet source is scanned ONCE (materialized by the promotion
+    gate's count, which doubles as the counter hook ADVICE r12 noted
+    spearman lacked) instead of three times.  Footprint note for
+    100 TB: 16 B/row of cache vs two extra 2-column pruned scans — the
+    persist spills to disk and stays the right trade while the rank
+    join is the dominant cost; the harness releases it per query.)
 
     Returns one row: ``(n, rho)`` (floor-at-6)."""
+    from .cache import persist_tracked
     from .training import global_cumsum
 
-    promoted = _decimal_promote(df, decimal_sums)
+    rows = persist_tracked(df.select(
+        cents(F.col(x_col)).alias("__vx"), cents(F.col(y_col)).alias("__vy")
+    ))
+    promoted = _decimal_promote(
+        df, decimal_sums, counter=lambda: rows.count()
+    )
 
     def rank_table(col: str):
         per = (
-            df.select(cents(F.col(col)).alias("v"))
+            rows.select(F.col(col).alias("v"))
             .groupBy("v")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         )
@@ -726,14 +740,11 @@ def spearman_rho(
             ).cast("bigint").alias("r2"),
         )
 
-    rx = rank_table(x_col).select(
+    rx = rank_table("__vx").select(
         F.col("v").alias("__vx"), F.col("r2").alias("__rx")
     )
-    ry = rank_table(y_col).select(
+    ry = rank_table("__vy").select(
         F.col("v").alias("__vy"), F.col("r2").alias("__ry")
-    )
-    rows = df.select(
-        cents(F.col(x_col)).alias("__vx"), cents(F.col(y_col)).alias("__vy")
     )
     j = rows.join(rx, "__vx").join(ry, "__vy")
     s = j.agg(

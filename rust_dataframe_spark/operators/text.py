@@ -848,11 +848,17 @@ def kneser_ney_logprob(
         1,
         F.greatest(F.size("__w") - 1, F.lit(0)),
     )
-    grams = base.select(F.col(id_col), F.explode(pairs).alias("__g")).select(
-        F.col(id_col), F.col("__g.a").alias("a"), F.col("__g.b").alias("b")
-    )
     from .cache import persist_tracked
 
+    # grams fans into TWO consumers (the c2 bigram census and the
+    # scoring join) — without the persist the split/lower/explode
+    # tokenization re-runs per consumer (round 13; the same fan-in
+    # discipline as c2 below and dedup's rep_docs)
+    grams = persist_tracked(
+        base.select(F.col(id_col), F.explode(pairs).alias("__g")).select(
+            F.col(id_col), F.col("__g.a").alias("a"), F.col("__g.b").alias("b")
+        )
+    )
     c2 = persist_tracked(
         grams.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
     )
